@@ -1,13 +1,453 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{Registry, VectorExpressions}
+import graft.operators.{Dedup, Multimodal, Ops, Similarity, TextAnalysis}
+import graft.sinks.Sinks
+import graft.sources.Sources
+import graft.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract (SURVEY.md §7): one named query per implemented operator,
+  * each paired (when ANSI-SQL-expressible) with a DuckDB oracle over the same
+  * parquet tables.
+  *
+  * Determinism rules for oracle parity:
+  *  - aggregated monetary/quantity sums go through DECIMAL casts in BOTH
+  *    engines (double accumulation order differs between Spark partial
+  *    aggregates and DuckDB's sequential scan; decimal arithmetic is exact);
+  *  - per-row double arithmetic is left as double (same IEEE ops, same
+  *    operands, identical results);
+  *  - `events.ts` (parquet TIMESTAMP_NANOS) is truncated to µs on the Spark
+  *    side ([[Sources.events]]) and `CAST(ts AS TIMESTAMP)` on the DuckDB
+  *    side — identical truncation;
+  *  - every computed column is aliased to the same name in both engines
+  *    (the driver sorts columns by name before hashing);
+  *  - ranked/limited queries carry a full deterministic tiebreaker.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Spark restatement of the reference's elasticsearch_to_postgresql run
+    * (SURVEY.md §3.1): half-open time window + term filter + projection +
+    * constant enrichment + derived datetime/time_mcs/month + scan order.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    flagship(spark, "/root/testdata/sf0.001")
+
+  private def flagship(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.events(s, dir)
+    val (dt, mcs, month) = Registry.timestampParts(col("ts"))
+    val pipe = Seq(
+      Ops.rangeFilter("ts", Some("2024-01-05 00:00:00"), Some("2024-01-20 00:00:00")),
+      Ops.termFilters(Seq("event_type" -> "purchase")),
+      Ops.enrichConst(Seq("version_" -> "v1"))
+    ).reduce(_ andThen _)
+    pipe(ev)
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        dt.as("datetime"), mcs.as("time_mcs"), month.as("month_"), col("version_"))
+      .orderBy(col("event_id"))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the LLM-pipeline
+    * operator family). Key convention: reference-surface ops first, then
+    * Spark-native capability queries, then large-scale data-pipeline ops.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference surface --------------------------------------------
+    "flagship_events" -> ((s, dir) => flagship(s, dir)),
+
+    "events_query_model" -> ((s, dir) =>
+      Ops.query(QuerySpec(
+        rangeField = Some("ts"), start = Some("2024-01-01 00:00:00"), end = None, // one bound -> match_all
+        filters = Seq("event_type" -> "signup"),
+        sourceFields = Some(Seq("event_id", "user_id", "event_type")),
+        sortBy = Seq(("event_id", true))))(Sources.events(s, dir))),
+
+    "dedup_keep_first" -> ((s, dir) =>
+      Ops.dedupKeepFirst(DedupSpec(Seq("user_id"), Seq("ts"), Some(col("event_id"))))(
+        Sources.events(s, dir))
+        .select(col("user_id"), col("event_id"), col("value"))),
+
+    "cast_rename" -> ((s, dir) => {
+      val pipe = Ops.renameWith(Map("c_name" -> "name"))
+        .andThen(Ops.castWith(Seq(TypeSpec("c_custkey", "string"), TypeSpec("c_mktsegment", "int"))))
+      pipe(Tables.customer(s, dir)).select(
+        col("c_custkey").as("custkey"), col("name"),
+        col("c_acctbal").as("balance"), col("c_mktsegment").as("seg"))
+    }),
+
+    "enrich_fn_iso" -> ((s, dir) => {
+      val ev = Sources.events(s, dir)
+        .withColumn("iso", date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'+00:00'"))
+      Ops.enrichFn(FnField("iso_to_dict",
+        inputMapping = Map("iso_time" -> "iso"),
+        staticArgs = Map.empty,
+        outputMapping = Map("datetime" -> "datetime", "microseconds" -> "time_mcs", "month" -> "month_")))(ev)
+        .select(col("event_id"), col("datetime"), col("time_mcs"), col("month_"))
+    }),
+
+    "notnull_projection" -> ((s, dir) =>
+      Ops.project(
+        Seq(FieldSpec("id", "event_id"), FieldSpec("etype", "event_type"), FieldSpec("props_raw", "props")),
+        placeholder = Some("NULL"))(Sources.events(s, dir))),
+
+    "union_all" -> ((s, dir) => {
+      val ev = Sources.events(s, dir)
+      ev.filter(col("event_type") === "signup").select("event_id", "event_type")
+        .unionByName(ev.filter(col("event_type") === "error").select("event_id", "event_type"))
+    }),
+
+    "intersect_except" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .except(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
+    }),
+
+    "upsert_orders" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val incoming = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      Sinks.upsert(o, incoming, Seq("o_orderkey"), ConflictUpdate)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    "incremental_window" -> ((s, dir) =>
+      Ops.rangeFilter("ts", Some("2024-01-01 00:00:00"), Some("2024-01-08 00:00:00"))(
+        Sources.events(s, dir))
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // ---- Spark-native capability queries (reference-absent categories) --
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast(DecimalType(28, 2)).as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast(DecimalType(28, 2)).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast(DecimalType(28, 4)).as("sum_disc_price"),
+          count(lit(1)).as("cnt"))),
+
+    "q3_topk_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast(DecimalType(28, 4)).as("revenue"))
+        .select(col("o_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "broadcast_join_agg" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(dec2(col("c_acctbal"))).cast(DecimalType(28, 2)).as("total_balance"))),
+
+    "semi_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))),
+
+    "anti_join" -> ((s, dir) =>
+      // customers with no still-pending ('P') order — non-empty at every SF
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+
+    "window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+    }),
+
+    "window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(dec2(col("l_quantity"))).over(w).cast(DecimalType(28, 2)).as("running_qty"))
+    }),
+
+    "window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta"))
+    }),
+
+    "rollup_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(dec2(col("l_quantity"))).cast(DecimalType(28, 2)).as("sum_qty"))),
+
+    "topk_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    "events_window_agg" -> ((s, dir) =>
+      Sources.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(dec2(col("value"))).cast(DecimalType(28, 2)).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("cnt"), col("sum_value"))),
+
+    // ---- LLM-data-pipeline operators ----------------------------------
+    "text_stats" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.qualityFeatures(col("text")).as("q"))
+        .select(
+          col("doc_id"),
+          col("q.n_chars").as("n_chars"),
+          col("q.n_tokens").as("n_tokens"),
+          col("q.avg_token_len").as("avg_token_len"),
+          col("q.punct_ratio").as("punct_ratio"),
+          col("q.stopword_ratio").as("stopword_ratio"))),
+
+    "lang_distribution" -> ((s, dir) =>
+      Tables.documents(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("cnt"))),
+
+    "lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "token_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        TextAnalysis.subwordEstimate(col("text")).as("n_subwords"))),
+
+    "exact_dedup_docs" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", Seq("text")).select("doc_id")),
+
+    "minhash_dedup_docs" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text").select("doc_id")),
+
+    "simhash_dedup_docs" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text").select("doc_id")),
+
+    "ngram_jaccard_dedup_docs" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", threshold = 0.8).select("doc_id")),
+
+    "embed_dedup" -> ((s, dir) =>
+      Dedup.embeddingCosine(Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64,
+        threshold = 0.95).select("vec_id")),
+
+    "embedding_norms" -> ((s, dir) =>
+      Tables.embeddings(s, dir).select(
+        col("vec_id"), VectorExpressions.l2norm(col("embedding")).as("norm"))),
+
+    "ann_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k = 10)
+    }),
+
+    "ann_topk_join" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.topKJoin(emb, "vec_id", "embedding", queries, "query_id", "query_vec", k = 5)
+    }),
+
+    "ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val (assignments, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+      Similarity.ivfTopK(assignments, centroids, "vec_id", "embedding", q, k = 10, nprobe = 4)
+    }),
+
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir)).toDF()),
+
+    "frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, dir), framesPerClip = 3))
+  )
+
+  /** DuckDB oracle SQL per query key. Omitted keys (LSH dedup family, ANN,
+    * multimodal stubs, heuristic lang-id) are not faithfully expressible in
+    * portable SQL — the driver records a rows-only check for those; their
+    * semantics are covered by ScalaTest specs instead.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "flagship_events" ->
+      """SELECT event_id, user_id, value,
+        | strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS datetime,
+        | CAST(epoch_us(CAST(ts AS TIMESTAMP)) % 1000000 AS INT) AS time_mcs,
+        | strftime(date_trunc('month', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS month_,
+        | 'v1' AS version_
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |  AND event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "events_query_model" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
+
+    "dedup_keep_first" ->
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+
+    "cast_rename" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS custkey, c_name AS name,
+        | c_acctbal AS balance, TRY_CAST(c_mktsegment AS INT) AS seg
+        |FROM customer""".stripMargin,
+
+    "enrich_fn_iso" ->
+      """SELECT event_id,
+        | strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS datetime,
+        | CAST(epoch_us(CAST(ts AS TIMESTAMP)) % 1000000 AS INT) AS time_mcs,
+        | strftime(date_trunc('month', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS month_
+        |FROM events""".stripMargin,
+
+    "notnull_projection" ->
+      """SELECT COALESCE(CAST(event_id AS VARCHAR), 'NULL') AS id,
+        | COALESCE(event_type, 'NULL') AS etype,
+        | COALESCE(props, 'NULL') AS props_raw
+        |FROM events""".stripMargin,
+
+    "union_all" ->
+      """SELECT event_id, event_type FROM events WHERE event_type = 'signup'
+        |UNION ALL
+        |SELECT event_id, event_type FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "intersect_except" ->
+      """(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
+
+    "upsert_orders" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
+
+    "incremental_window" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, count(*) AS cnt
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk_join" ->
+      """SELECT o_orderkey,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS revenue,
+        | strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "broadcast_join_agg" ->
+      """SELECT r_name, count(*) AS n_customers,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_balance
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
+
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t WHERE rnk <= 3""".stripMargin,
+
+    "window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS running_qty
+        |FROM lineitem""".stripMargin,
+
+    "window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        | o_totalprice - lag(o_totalprice, 1) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta
+        |FROM orders""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "events_window_agg" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type, count(*) AS cnt,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS INT) AS n_chars,
+        | CAST(len(tokens) AS INT) AS n_tokens,
+        | CASE WHEN len(tokens) > 0 THEN CAST(length(text) AS DOUBLE) / len(tokens) ELSE 0.0 END AS avg_token_len,
+        | CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio,
+        | CASE WHEN len(tokens) > 0 THEN CAST(len(list_filter(tokens, t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','from','it','this','that'], t))) AS DOUBLE) / len(tokens) ELSE 0.0 END AS stopword_ratio
+        |FROM (SELECT doc_id, text,
+        |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '') AS tokens
+        |      FROM documents) t""".stripMargin,
+
+    "lang_distribution" ->
+      "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+
+    "exact_dedup_docs" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+
+    "embedding_norms" ->
+      """SELECT vec_id,
+        | sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |FROM embeddings""".stripMargin
+  )
 }

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Whitelisted scalar-function catalog — the engine's analog of the
+  * reference's UDF registry (`app/utils/__init__.py:7-12`, gated at
+  * `elasticsearch_to_postgresql.py:100-111`: only names exported in
+  * `app.utils.__all__` may be called from pipeline config).
+  *
+  * Each entry maps a name to a builder producing one struct-typed Column so a
+  * single call can fan out into several output columns (the reference's
+  * AdditionalFields splat, `tsv_converter.py:199-209`): callers `select`
+  * `result.getField(...)` per `outputMapping`.
+  */
+object Registry {
+
+  /** A registered function: positional arg names (pulled from `inputMapping`/
+    * `staticArgs` in config) and a Column builder over resolved arg columns.
+    */
+  final case class RegisteredFn(argNames: Seq[String], build: Map[String, Column] => Column)
+
+  private val isoToPartsUdf = udf { (iso: String, expectedTz: Int, handle: String, allowEmpty: Boolean) =>
+    TimeFunctions.isoToParts(iso, expectedTz, handle, allowEmpty)
+  }
+
+  private val normalizeIsoUdf = udf { (iso: String) => TimeFunctions.normalizeIso(iso) }
+
+  /** The whitelist. Unknown names are a config error, mirroring the
+    * reference's `__all__` gate.
+    */
+  val all: Map[String, RegisteredFn] = Map(
+    // F2 — ISO string -> struct(datetime, microseconds, month)
+    "iso_to_dict" -> RegisteredFn(
+      Seq("iso_time", "expected_timezone", "handle_timezone", "allow_empty"),
+      args =>
+        isoToPartsUdf(
+          args("iso_time"),
+          args.getOrElse("expected_timezone", lit(0)),
+          args.getOrElse("handle_timezone", lit("error")),
+          args.getOrElse("allow_empty", lit(false)))),
+    // F1 — fractional-second normalization, struct for uniform splat shape
+    "normalize_iso_time" -> RegisteredFn(
+      Seq("iso_time"),
+      args => struct(normalizeIsoUdf(args("iso_time")).as("normalized"))),
+    // F8 — run-scoped current time string (dynamic checkpoint field)
+    "current_time" -> RegisteredFn(
+      Seq(),
+      _ => struct(date_format(current_timestamp(), "yyyy-MM-dd HH:mm:ss").as("current_time")))
+  )
+
+  def apply(name: String): RegisteredFn =
+    all.getOrElse(name, throw new IllegalArgumentException(
+      s"Function '$name' is not in the registry whitelist: ${all.keys.mkString(", ")}"))
+
+  // Native (non-UDF) Column equivalents for hot paths ----------------------
+
+  /** F2 as pure built-ins over an already-parsed timestamp column: stays in
+    * whole-stage codegen, used by the flagship query instead of the UDF.
+    */
+  def timestampParts(ts: Column): (Column, Column, Column) = (
+    date_format(ts, "yyyy-MM-dd HH:mm:ss"),
+    (unix_micros(ts) % 1000000L).cast("int"),
+    date_format(date_trunc("month", ts), "yyyy-MM-dd"))
+
+  /** F3 — TSV value sanitization (reference `tsv_converter.py:83-94`):
+    * tabs/newlines become spaces.
+    */
+  def sanitizeTsv(c: Column): Column = regexp_replace(c, "[\\t\\n]", " ")
+
+  /** F4 — string-NaN normalization at CSV-ingest parity
+    * (reference `postgresql_service.py:290-291`).
+    */
+  def nanToNull(c: Column): Column = when(c.isin("nan", "NaN"), lit(null)).otherwise(c)
+}

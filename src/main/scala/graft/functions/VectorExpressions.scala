@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, LongType}
+
+/** Native Catalyst expressions for the vector-similarity hot path.
+  *
+  * The embedding column is `array<float>`; at 100 TB a brute-force similarity
+  * scan evaluates the metric billions of times, so these stay inside
+  * whole-stage codegen (`doGenCode` emits a tight primitive loop over the
+  * unsafe array data — no boxing, no UDF serialization). Compare: the
+  * `functions.zip_with`/`aggregate` higher-order-function formulation
+  * allocates per-row lambda frames and falls out of codegen.
+  */
+object VectorExpressions {
+
+  abstract class VectorBinary extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = DoubleType
+
+    /** Scalar kernel over two float arrays. */
+    protected def kernel(a: ArrayData, b: ArrayData): Double
+
+    /** Java source for the loop body; `a`/`b` are ArrayData, result in `ev`.
+      * Locals come from `ctx.freshName` — the snippet may be inlined twice
+      * into one generated method.
+      */
+    protected def genKernel(ctx: CodegenContext, ev: String, a: String, b: String): String
+
+    override def nullSafeEval(left: Any, right: Any): Any =
+      kernel(left.asInstanceOf[ArrayData], right.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => genKernel(ctx, ev.value.toString, a, b))
+  }
+
+  /** dot(a, b) over array<float>. */
+  case class DotProduct(left: Expression, right: Expression) extends VectorBinary {
+    override protected def kernel(a: ArrayData, b: ArrayData): Double = {
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+      s
+    }
+    override protected def genKernel(ctx: CodegenContext, ev: String, a: String, b: String): String = {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |$ev = $s;
+       """.stripMargin
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** cosine(a, b) over array<float>; 0.0 when either norm is zero. */
+  case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinary {
+    override protected def kernel(a: ArrayData, b: ArrayData): Double = {
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    override protected def genKernel(ctx: CodegenContext, ev: String, a: String, b: String): String = {
+      val n = ctx.freshName("n"); val dt = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dt = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dt += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |$ev = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dt / java.lang.Math.sqrt($na * $nb);
+       """.stripMargin
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** L2 norm of array<float>. */
+  case class L2Norm(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      var s = 0.0; var i = 0
+      while (i < a.numElements()) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+      math.sqrt(s)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val s = ctx.freshName("s"); val i = ctx.freshName("i"); val x = ctx.freshName("x")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double $x = (double) $a.getFloat($i); $s += $x * $x;
+           |}
+           |${ev.value} = java.lang.Math.sqrt($s);
+         """.stripMargin)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** 64-bit SimHash over an array of 64-bit token hashes: each input hash
+    * votes +1/-1 per bit position; the sign of each tally forms the output
+    * fingerprint. Near-duplicate texts land within a small Hamming distance.
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < a.numElements()) {
+        val h = a.getLong(i)
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val votes = ctx.freshName("votes"); val i = ctx.freshName("i")
+      val h = ctx.freshName("h"); val b = ctx.freshName("b"); val out = ctx.freshName("out")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""
+           |int[] $votes = new int[64];
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  long $h = $a.getLong($i);
+           |  for (int $b = 0; $b < 64; $b++) {
+           |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+           |  }
+           |}
+           |long $out = 0L;
+           |for (int $b = 0; $b < 64; $b++) { if ($votes[$b] > 0) $out |= (1L << $b); }
+           |${ev.value} = $out;
+         """.stripMargin)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  // Column-facing wrappers -------------------------------------------------
+
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def l2norm(a: Column): Column =
+    ColumnBridge.column(L2Norm(ColumnBridge.expression(a)))
+
+  def simhash64(tokenHashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization, quality
+  * scoring, language ID, fingerprinting. All pure Column algebra (no UDFs) —
+  * at 100 TB these run embarrassingly parallel inside the scan stage with
+  * zero shuffle, and Catalyst prunes the parquet read to just `text`.
+  */
+object TextAnalysis {
+
+  /** Lowercased word tokens; empty strings (leading/trailing separators)
+    * filtered out so counts agree with intuitive word counts.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: word tokens plus an extra token per 4
+    * chars of long words (the usual "~4 chars/token" heuristic), computed
+    * without any model — deterministic and cheap.
+    */
+  def subwordEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + greatest(lit(1L), ceil(length(t) / 4.0).cast("long")))
+
+  private val stopwordList: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "from", "it", "this", "that")
+
+  /** Quality-scoring feature columns (length / punctuation / stopword
+    * ratios). Returned as a struct so one `withColumn` materializes all
+    * features; the struct keeps codegen in a single projection.
+    */
+  def qualityFeatures(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nChars = length(text)
+    val nPunct = length(regexp_replace(text, "[^.!?,;:]", ""))
+    val nStop = size(filter(toks, t => t.isin(stopwordList.map(lit(_)): _*)))
+    struct(
+      nChars.as("n_chars"),
+      nTok.as("n_tokens"),
+      when(nTok > 0, (nChars.cast("double") / nTok)).otherwise(lit(0.0)).as("avg_token_len"),
+      when(nChars > 0, nPunct.cast("double") / nChars).otherwise(lit(0.0)).as("punct_ratio"),
+      when(nTok > 0, nStop.cast("double") / nTok).otherwise(lit(0.0)).as("stopword_ratio"))
+  }
+
+  /** Language-ID heuristic: per-language marker-token profiles scored by hit
+    * count over the document's token set; argmax wins, ties broken by fixed
+    * language order, zero hits -> "und". Profiles are tiny driver-side
+    * literals (broadcast as constants into codegen).
+    */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "dans", "que", "pour", "une"),
+    "it" -> Seq("il", "di", "che", "la", "per", "con", "del", "una", "sono", "non"))
+
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val scores: Seq[(String, Column)] = langProfiles.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Document fingerprint: a 64-bit polynomial rolling hash over the token
+    * sequence (order-sensitive, whitespace-insensitive) — two documents with
+    * the same token stream collide regardless of formatting. The fold is a
+    * native expression ([[graft.functions.HashExpressions.RollingHash]]):
+    * wraparound multiply is intentional, which rules out SQL `*` under ANSI.
+    */
+  def fingerprint(text: Column): Column =
+    graft.functions.HashExpressions.rollingHash(transform(tokens(text), t => xxhash64(t)))
+
+  /** Character shingles of length k (for MinHash). */
+  def charShingles(text: Column, k: Int): Column = {
+    val t = lower(text)
+    when(length(t) < k, array(t)).otherwise(
+      transform(sequence(lit(0), length(t) - k), i => t.substr(i + 1, lit(k))))
+  }
+
+  /** Word n-gram shingles (for MinHash / n-gram Jaccard). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.sinks
+
+import graft.types._
+import graft.functions.Registry
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink registry (SURVEY.md §2.11). The reference selects a loader strategy
+  * by name at runtime (K3, `postgresql_service.py:92-115`); here the registry
+  * is a plain map of writer builders. The bench environment has no Postgres,
+  * so the COPY/TSV and upsert paths are realized against files with the same
+  * semantics; on a cluster the same DataFrames go to `.jdbc` /
+  * `foreachPartition`+CopyManager unchanged.
+  */
+object Sinks {
+
+  /** K1-parity TSV sink: tab-separated text, empty string as NULL (the COPY
+    * `NULL ''` contract, reference `postgresql_service.py:167-170`), values
+    * sanitized of tabs/newlines (F3). One file per partition — the
+    * distributed analog of the per-batch COPY buffer.
+    */
+  def writeTsv(df: DataFrame, path: String): Unit = {
+    val sanitized = df.columns.foldLeft(df) { (d, c) =>
+      d.withColumn(c, Registry.sanitizeTsv(col(c).cast("string")))
+    }
+    sanitized.write
+      .mode(SaveMode.Overwrite)
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("emptyValue", "")
+      .option("nullValue", "")
+      .csv(path)
+  }
+
+  /** Plain columnar sink. */
+  def writeParquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).parquet(path)
+
+  /** K4 — timestamped write + `latest` alias (reference `s3_service.py:44-61`):
+    * the run's output lands under a run-stamped directory and `latest` is
+    * atomically repointed (rewritten) at it.
+    */
+  def writeVersioned(df: DataFrame, baseDir: String, runId: String): (String, String) = {
+    val runPath = s"$baseDir/$runId"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(runPath)
+    val latest = s"$baseDir/latest"
+    df.sparkSession.read.parquet(runPath).write.mode(SaveMode.Overwrite).parquet(latest)
+    (runPath, latest)
+  }
+
+  /** K2 — upsert emulation over parquet (no transactional store in the bench
+    * env; SURVEY.md §7.4.4): `ON CONFLICT (keys) DO UPDATE` = keep incoming
+    * row on key collision, `DO NOTHING` = keep existing row. Implemented as
+    * anti-join + union — both sides shuffle once on the conflict key; small
+    * incoming batches broadcast automatically under AQE.
+    */
+  def upsert(
+      existing: DataFrame,
+      incoming: DataFrame,
+      conflictColumns: Seq[String],
+      action: ConflictAction): DataFrame = {
+    val keys = conflictColumns
+    action match {
+      case ConflictUpdate =>
+        // incoming wins: drop existing rows whose key collides, then union
+        existing.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          .unionByName(dedupIncoming(incoming, keys))
+      case ConflictNothing =>
+        // existing wins: only genuinely new keys come in
+        existing.unionByName(
+          dedupIncoming(incoming, keys).join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+    }
+  }
+
+  /** Within one incoming batch the reference's INSERT applies rows in order,
+    * so the last row per key wins under DO UPDATE; emulate with a keep-last
+    * window when an ordering column exists, else arbitrary-but-deterministic
+    * first by all-column order.
+    */
+  private def dedupIncoming(incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orderCols = incoming.columns.filterNot(keys.contains).map(col).toSeq
+    if (orderCols.isEmpty) incoming.distinct()
+    else {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(_.desc): _*)
+      incoming.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+  }
+
+  /** K6 — checkpoint/metadata write (reference
+    * `internal_raw_to_dwh/standard_pipeline.py:117-124`): one row per run,
+    * stamped with a run-scoped current-time value (F8 — evaluated once on the
+    * driver, not per executor row, matching the reference's single INSERT).
+    * Written only after the data action succeeds; a skipped run (missing
+    * source) never calls this, so the watermark cannot advance past
+    * unprocessed data.
+    */
+  def writeCheckpoint(
+      spark: SparkSession,
+      path: String,
+      runValues: Map[String, String]): Unit = {
+    import spark.implicits._
+    val now = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
+    val row = (runValues + ("current_time" -> now)).toSeq.sortBy(_._1)
+    val df = Seq(row.map(_._2)).toDF("values")
+      .select(row.map(_._1).zipWithIndex.map { case (name, i) => col("values")(i).as(name) }: _*)
+    df.write.mode(SaveMode.Append).parquet(path)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.sources
+
+import graft.types._
+import graft.operators.Ops
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source abstraction (SURVEY.md §2.1). The reference's scans are paged pulls
+  * from Elasticsearch / S3 / HTTP; here every source is a `spark.read` whose
+  * pagination, parallelism and projection/predicate pushdown are Spark's
+  * partitioned scan. The existence-probe + failOnMissing semantics (S2) are
+  * preserved: a missing source either aborts or yields None so the caller
+  * skips the run *without advancing its checkpoint*
+  * (reference `internal_raw_to_dwh/standard_pipeline.py:73-79`).
+  */
+object Sources {
+
+  sealed trait Source {
+    def path: String
+    def load(spark: SparkSession): DataFrame
+  }
+
+  /** S1-analog primary scan: columnar, partitioned, pushdown-friendly. */
+  final case class ParquetSource(path: String) extends Source {
+    def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  }
+
+  /** S3-analog chunked CSV scan with rename + lenient type maps applied
+    * (reference `s3_service.py:155-184`). Chunking maps to file-split
+    * partitions (`spark.sql.files.maxPartitionBytes`), not a row-count loop.
+    */
+  final case class CsvSource(
+      path: String,
+      renames: Map[String, String] = Map.empty,
+      types: Seq[TypeSpec] = Nil,
+      header: Boolean = true) extends Source {
+    def load(spark: SparkSession): DataFrame = {
+      val raw = spark.read
+        .option("header", header.toString)
+        .option("encoding", "UTF-8") // BOM handled natively (C2 parity)
+        .csv(path)
+      Ops.castWith(types)(Ops.renameWith(renames)(raw))
+    }
+  }
+
+  /** S5-analog NDJSON scan (reference `data_processing.py:18-60`); the
+    * type/date grouping it feeds is `groupBy`/`partitionBy` downstream.
+    */
+  final case class JsonLinesSource(path: String) extends Source {
+    def load(spark: SparkSession): DataFrame = spark.read.json(path)
+  }
+
+  /** S2 — existence probe + failOnMissing gate. Returns None (skip, keep
+    * checkpoint) when missing and failOnMissing=false, throws when true.
+    */
+  def open(spark: SparkSession, source: Source, failOnMissing: Boolean): Option[DataFrame] = {
+    if (exists(spark, source.path)) Some(source.load(spark))
+    else if (failOnMissing)
+      throw new java.io.FileNotFoundException(s"Source does not exist: ${source.path}")
+    else None
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Events table adapter: the driver's parquet stores `ts` as
+    * TIMESTAMP(NANOS), which Spark's TimestampType (µs) cannot hold. With
+    * `spark.sql.legacy.parquet.nanosAsLong=true` the column arrives as a
+    * nanosecond epoch long; this adapter truncates to µs — exactly what
+    * DuckDB's reader does — so oracle comparisons agree. The raw nanos stay
+    * available as `ts_ns` for tiebreaks.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // Defensive: a driver-created session may lack the nanosAsLong conf
+    // (it is runtime-settable); without it the NANOS column is unreadable.
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // Integer division is mandatory: epoch-ns (~1.7e18) exceeds double's
+        // 53-bit mantissa, so `/ 1000` + floor would be off by ±1 µs.
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
+  }
+}
