@@ -125,7 +125,9 @@ object Ops {
     specs.foldLeft(df) { (d, s) =>
       val src = col(s.column)
       val casted = s.target.toLowerCase match {
-        case "timestamp" => to_timestamp(src)
+        // try_to_timestamp, not to_timestamp: ANSI mode (Spark 4 default)
+        // raises on malformed input, but coerce semantics want null.
+        case "timestamp" => try_to_timestamp(src)
         case t => try_cast(src, t)
       }
       s.mode match {

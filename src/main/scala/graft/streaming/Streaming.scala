@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+/** Structured Streaming surface (SURVEY.md §2.12). The reference's
+  * incremental-batch loop (scroll pages + half-open window + checkpoint) maps
+  * to micro-batch streaming: the watermark is the engine-managed analog of
+  * the reference's "don't advance the checkpoint past unprocessed data" rule
+  * (`internal_raw_to_dwh/standard_pipeline.py:20-22`).
+  *
+  * Every transform here is written against a plain DataFrame so the same
+  * code runs batch (finite source) and streaming (readStream) — the Spark
+  * unified-engine idiom.
+  */
+object Streaming {
+
+  /** Tumbling-window counts + decimal value sums per event type. On a stream
+    * the watermark bounds state: late rows beyond `watermarkDelay` are
+    * dropped and completed windows are emitted/evicted. At cluster scale
+    * state lives in the executor state store partitioned by group key.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    withWm
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(28, 2)).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"), col("sum_value"))
+  }
+
+  final case class UserEvent(user_id: Long, event_type: String, value: Double, tsMicros: Long)
+  final case class UserStats(user_id: Long, n_events: Long, total_value: Double, last_ts_micros: Long)
+
+  /** Stateful per-user running stats via mapGroupsWithState — the engine's
+    * custom-state surface (the reference has no analog; this is the Spark
+    * capability its checkpoint table gestures at). State is one small record
+    * per user, partitioned by user_id across the cluster.
+    */
+  def userStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0, Long.MinValue))
+          val next = rows.foldLeft(prev) { (acc, e) =>
+            UserStats(userId, acc.n_events + 1, acc.total_value + e.value,
+              math.max(acc.last_ts_micros, e.tsMicros))
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Streaming exactly-once-per-key dedup: dropDuplicates keyed on event_id
+    * with the watermark bounding how long ids are remembered — the streaming
+    * analog of W1/K2 conflict-skip semantics.
+    */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermarkDelay).dropDuplicates("event_id", "ts")
+
+  /** File-backed micro-batch harness used by tests: stream the events table
+    * through `transform` into an in-memory table, synchronously.
+    */
+  def runFileStream(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      transform: DataFrame => DataFrame,
+      queryName: String,
+      outputMode: OutputMode = OutputMode.Update()): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = transform(stream).writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

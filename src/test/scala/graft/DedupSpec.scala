@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the hills tonight"
+
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base), // exact duplicate of 0
+    (2L, base.replace("quick", "rapid")), // near-duplicate of 0
+    (3L, "completely different content about spark query engines and columnar formats at scale"),
+    (4L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the smallest id per identical content") {
+    val kept = Dedup.exact(docs, "doc_id", Seq("text")).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 2L, 3L, 4L))
+  }
+
+  test("minhash LSH drops exact and near duplicates, keeps distinct docs") {
+    val kept = Dedup.minhashLsh(docs, "doc_id", "text").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(!kept.contains(1L), "exact dup must be dropped")
+    assert(kept.contains(0L) && kept.contains(3L) && kept.contains(4L))
+  }
+
+  test("simhash drops exact and token-reordered duplicates, keeps distinct docs") {
+    // SimHash is order-insensitive over the token multiset: a reordered doc
+    // has Hamming distance 0. (A one-word edit in a short unweighted doc
+    // flips ~sqrt(n) low-margin bits, beyond the 4-band <=3 guarantee — the
+    // word-level near-dup case belongs to MinHash/Jaccard, not SimHash.)
+    val reordered = base.split(' ').reverse.mkString(" ")
+    val withReorder = docs.unionByName(Seq((5L, reordered)).toDF("doc_id", "text"))
+    val kept = Dedup.simhash(withReorder, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(!kept.contains(1L), "identical fingerprints always collide")
+    assert(!kept.contains(5L), "token-reordered doc has Hamming 0")
+    assert(kept.contains(0L) && kept.contains(3L) && kept.contains(4L))
+  }
+
+  test("ngram jaccard verifies candidates against the exact threshold") {
+    val kept = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(!kept.contains(1L))
+    assert(kept.contains(3L) && kept.contains(4L))
+  }
+
+  test("embedding cosine dedup drops a duplicated vector, keeps orthogonal ones") {
+    val v1 = Array.tabulate(8)(i => if (i == 0) 1f else 0f)
+    val v1b = v1.map(_ * 2f) // same direction -> cosine 1
+    val v2 = Array.tabulate(8)(i => if (i == 1) 1f else 0f)
+    val emb = Seq((0L, v1.toSeq), (1L, v1b.toSeq), (2L, v2.toSeq)).toDF("vec_id", "embedding")
+    val kept = Dedup.embeddingCosine(emb, "vec_id", "embedding", dim = 8, threshold = 0.95)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 2L))
+  }
+
+  test("minhash signatures are deterministic across evaluations") {
+    val sig = Dedup.minhashSignature(graft.operators.TextAnalysis.wordShingles(col("text"), 3), 16)
+    val a = docs.select(sig).collect().map(_.getSeq[Long](0))
+    val b = docs.select(sig).collect().map(_.getSeq[Long](0))
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.head.length == 16)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.pipeline.Pipeline
+import graft.sinks.Sinks
+import graft.sources.Sources
+import graft.types._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class PipelineSinksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("missing source: failOnMissing=false skips (checkpoint untouched), true raises") {
+    var checkpointed = false
+    val p = Pipeline(
+      Sources.ParquetSource("/tmp/does/not/exist.parquet"),
+      failOnMissing = false,
+      checkpoint = Some(() => { checkpointed = true }))
+    assert(p.run(spark).isEmpty)
+    assert(!checkpointed, "checkpoint must not advance when the source is missing")
+    intercept[java.io.FileNotFoundException] {
+      p.copy(failOnMissing = true).run(spark)
+    }
+  }
+
+  test("pipeline runs transforms lazily as one plan and checkpoints after the sink") {
+    val order = scala.collection.mutable.ArrayBuffer[String]()
+    val p = Pipeline(
+      Sources.ParquetSource(s"$sfDir/orders.parquet"),
+      transforms = Seq(_.filter(col("o_orderstatus") === "F")),
+      sink = Some(df => { df.count(); order += "sink" }),
+      checkpoint = Some(() => order += "checkpoint"))
+    assert(p.run(spark).isDefined)
+    assert(order.toSeq == Seq("sink", "checkpoint"))
+  }
+
+  test("upsert DO UPDATE keeps incoming row on conflict; DO NOTHING keeps existing") {
+    val existing = Seq((1L, "old"), (2L, "old")).toDF("k", "v")
+    val incoming = Seq((2L, "new"), (3L, "new")).toDF("k", "v")
+    val updated = Sinks.upsert(existing, incoming, Seq("k"), ConflictUpdate)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(updated == Seq((1L, "old"), (2L, "new"), (3L, "new")))
+    val nothing = Sinks.upsert(existing, incoming, Seq("k"), ConflictNothing)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(nothing == Seq((1L, "old"), (2L, "old"), (3L, "new")))
+  }
+
+  test("TSV sink sanitizes tabs/newlines and writes empty string for NULL (COPY contract)") {
+    val dir = Files.createTempDirectory("graft-tsv").toString
+    val df = Seq((1L, "a\tb\nc"), (2L, null)).toDF("id", "payload")
+    Sinks.writeTsv(df, s"$dir/out")
+    val back = spark.read.option("header", "true").option("sep", "\t").csv(s"$dir/out")
+    val rows = back.orderBy("id").collect()
+    assert(rows(0).getString(1) == "a b c")
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("versioned sink writes run dir + latest alias with identical content") {
+    val dir = Files.createTempDirectory("graft-ver").toString
+    val df = Seq((1L, "x")).toDF("id", "v")
+    val (runPath, latest) = Sinks.writeVersioned(df, dir, "run-001")
+    assert(spark.read.parquet(runPath).count() == 1)
+    assert(spark.read.parquet(latest).count() == 1)
+  }
+
+  test("checkpoint write stamps a run-scoped current_time row") {
+    val dir = Files.createTempDirectory("graft-ckpt").toString + "/meta"
+    Sinks.writeCheckpoint(spark, dir, Map("start_time" -> "2024-01-01 00:00:00", "rows" -> "42"))
+    val row = spark.read.parquet(dir).head()
+    val cols = spark.read.parquet(dir).columns.toSet
+    assert(cols == Set("current_time", "rows", "start_time"))
+    assert(row.getAs[String]("rows") == "42")
+    assert(row.getAs[String]("current_time").matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"""))
+  }
+
+  test("CSV source applies rename + lenient type maps (BOM-tolerant read)") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "﻿User Name,Install Time,Count\nalice,2024-01-02 03:04:05,7\nbob,not-a-time,oops\n")
+    val src = Sources.CsvSource(s"$dir/in.csv",
+      renames = Map("User Name" -> "user_name", "Install Time" -> "install_time", "Count" -> "cnt"),
+      types = Seq(TypeSpec("install_time", "timestamp"), TypeSpec("cnt", "int")))
+    val out = Sources.open(spark, src, failOnMissing = true).get.orderBy("user_name").collect()
+    assert(out(0).getAs[java.sql.Timestamp]("install_time") != null)
+    assert(out(0).getAs[Int]("cnt") == 7)
+    assert(out(1).isNullAt(out(1).fieldIndex("install_time")), "lenient coerce -> null")
+    assert(out(1).isNullAt(out(1).fieldIndex("cnt")))
+  }
+
+  test("events source truncates nanos to µs exactly (integer division)") {
+    val ev = Sources.events(spark, sfDir)
+    val r = ev.select($"ts_ns", unix_micros($"ts").as("us")).head()
+    assert(r.getLong(0) / 1000L == r.getLong(1))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Smoke over the full driver contract at sf0.001: every query plans and
+  * returns rows; entry is non-empty; multimodal/text ops behave sanely.
+  */
+class QueriesSmokeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and returns at least one row at sf0.001") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"queries with zero rows: $empty")
+  }
+
+  test("every oracle key has a matching query") {
+    val orphan = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphan.isEmpty, s"oracle entries without queries: $orphan")
+  }
+
+  test("langId picks the dominant marker language and und on no hits") {
+    val df = Seq(
+      "the cat and the dog sat in the house",
+      "el perro y el gato en la casa",
+      "zzz qqq xxx").toDF("text")
+    val out = df.select(TextAnalysis.langId($"text")).as[String].collect().toSeq
+    assert(out == Seq("en", "es", "und"))
+  }
+
+  test("fingerprint is whitespace-insensitive but order-sensitive") {
+    val df = Seq(
+      ("a", "hello   world\n"),
+      ("b", "hello world"),
+      ("c", "world hello")).toDF("id", "text")
+    val fps = df.select($"id", TextAnalysis.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fps("a") == fps("b"))
+    assert(fps("a") != fps("c"))
+  }
+
+  test("multimodal feature extraction is deterministic and entropy-bounded") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == media.count())
+    assert(feats.forall(f => f.byte_entropy >= 0.0 && f.byte_entropy <= 8.0))
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(feats.map(_.content_hash).toSet == again.map(_.content_hash).toSet)
+  }
+
+  test("frame sampling emits framesPerClip rows per video") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir)
+    val nVideos = media.filter($"modality" === "video").count()
+    val frames = Multimodal.sampleFrames(media, 4)
+    assert(frames.count() == nVideos * 4)
+    assert(frames.groupBy("media_id").count().select(max("count")).head().getLong(0) == 4L)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.VectorExpressions
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine/dot/l2norm expressions match scalar math (eval + codegen paths)") {
+    val a = Array(1f, 2f, 3f)
+    val b = Array(4f, 5f, 6f)
+    val df = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+    val row = df.select(
+      VectorExpressions.dot($"a", $"b").as("dot"),
+      VectorExpressions.cosine($"a", $"b").as("cos"),
+      VectorExpressions.l2norm($"a").as("na")).head()
+    val expDot = (a zip b).map { case (x, y) => x.toDouble * y }.sum
+    val expNa = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val expNb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    assert(math.abs(row.getDouble(0) - expDot) < 1e-12)
+    assert(math.abs(row.getDouble(1) - expDot / (expNa * expNb)) < 1e-12)
+    assert(math.abs(row.getDouble(2) - expNa) < 1e-12)
+  }
+
+  test("cosine handles zero vectors and null inputs") {
+    val df = Seq(
+      (Some(Seq(0f, 0f)), Some(Seq(1f, 0f))),
+      (None: Option[Seq[Float]], Some(Seq(1f, 0f)))
+    ).toDF("a", "b")
+    val rows = df.select(VectorExpressions.cosine($"a", $"b").as("c")).collect()
+    assert(rows(0).getDouble(0) == 0.0)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("brute-force top-k ranks the query vector itself first with score ~1") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" === 7).select("embedding").head().getSeq[Float](0).toArray
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5).collect()
+    assert(top.length == 5)
+    assert(top.head.getLong(0) == 7L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    val scores = top.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse, "descending scores")
+  }
+
+  test("topKJoin returns exactly k neighbors per query, self first") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val out = Similarity.topKJoin(emb, "vec_id", "embedding", queries, "query_id", "query_vec", 4)
+    val grouped = out.groupBy("query_id").agg(count(lit(1)).as("n")).collect()
+    assert(grouped.forall(_.getLong(1) == 4L))
+    val self = out.filter($"query_id" === $"vec_id").count()
+    assert(self == 3L, "each query's own vector is among its top-k")
+  }
+
+  test("IVF probe finds the query vector when probing enough lists") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" === 12).select("embedding").head().getSeq[Float](0).toArray
+    val (assignments, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 8)
+    assert(assignments.count() == emb.count(), "every vector assigned to exactly one list")
+    val top = Similarity.ivfTopK(assignments, centroids, "vec_id", "embedding", q, k = 5, nprobe = 8)
+      .collect()
+    assert(top.head.getLong(0) == 12L, "with nprobe = nlist the scan is exhaustive -> exact result")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.sources.Sources
+import graft.streaming.Streaming
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("windowedCounts over a file stream matches the batch plan (unified engine)") {
+    // Streaming parquet source can't read the NANOS column; stage a µs copy.
+    val staged = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"
+    val ev = Sources.events(spark, sfDir).drop("ts_ns")
+    ev.write.parquet(staged)
+
+    val batch = Streaming.windowedCounts(spark.read.parquet(staged))
+      .select("window_start", "event_type", "cnt")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+
+    val q = Streaming.runFileStream(
+      spark, staged, ev.schema, Streaming.windowedCounts(_),
+      queryName = "win_counts", outputMode = OutputMode.Update())
+    try {
+      val streamed = spark.table("win_counts")
+        .select("window_start", "event_type", "cnt")
+        .as[(java.sql.Timestamp, String, Long)].collect()
+        // Update mode may emit a window several times; the final emission
+        // per (window, type) must equal the batch result.
+        .groupBy(t => (t._1, t._2)).map { case (_, vs) => vs.maxBy(_._3) }.toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful userStats accumulates per-key state across micro-batches") {
+    val staged = java.nio.file.Files.createTempDirectory("graft-stream2").toString + "/events"
+    val ev = Sources.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"value", unix_micros($"ts").as("tsMicros"))
+    ev.write.parquet(staged)
+
+    val expected = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max("tsMicros").as("last"))
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2, t._3)).toSet
+
+    val stream = spark.readStream.schema(ev.schema).parquet(staged)
+      .as[Streaming.UserEvent]
+    val q = Streaming.userStats(stream).writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("user_stats").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("user_stats")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n"), max("last_ts_micros").as("last"))
+        .as[(Long, Long, Long)].collect().map(t => (t._1, t._2, t._3)).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("dedupStream drops replayed event ids within the watermark horizon") {
+    val staged = java.nio.file.Files.createTempDirectory("graft-stream3").toString + "/events"
+    val ev = Sources.events(spark, sfDir).drop("ts_ns").limit(100)
+    ev.unionAll(ev).write.parquet(staged) // every event twice
+    val q = Streaming.runFileStream(
+      spark, staged, ev.schema, Streaming.dedupStream(_),
+      queryName = "dedup_stream", outputMode = OutputMode.Append())
+    try {
+      assert(spark.table("dedup_stream").count() == 100)
+    } finally q.stop()
+  }
+}
