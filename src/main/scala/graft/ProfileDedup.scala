@@ -1,0 +1,23 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage-by-stage timing of the LSH dedup path (bench diagnosis). */
+object ProfileDedup {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get("profile")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val docs = Tables.documents(spark, dir)
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    time("warmup")(docs.count())
+    time("minhashLsh")(Dedup.minhashLsh(docs, "doc_id", "text").count())
+    time("minhashLsh 2nd")(Dedup.minhashLsh(docs, "doc_id", "text").count())
+    time("ngramJaccard")(Dedup.ngramJaccard(docs, "doc_id", "text").count())
+    time("simhash")(Dedup.simhash(docs, "doc_id", "text").count())
+    spark.stop()
+  }
+}

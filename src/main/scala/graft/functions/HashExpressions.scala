@@ -47,6 +47,75 @@ object HashKernels {
     }
     h
   }
+
+  private def mix(h0: Long, v: Long): Long = {
+    var z = h0 ^ v
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Hashes of all n-gram shingles of a token array, in one pass: each token
+    * is xxhash64'd once, then shingle hashes are splitmix folds of the token
+    * hashes (position-sensitive, no string concatenation). Fewer than n
+    * tokens -> one shingle covering all tokens; empty -> empty.
+    *
+    * This exists because the Column formulation
+    * `transform(sequence(...), i -> concat_ws(slice(tokens, i, n)))`
+    * re-evaluates the full `tokens` child (a regex split) once per shingle
+    * inside the interpreted lambda — O(tokens²) work per row.
+    */
+  def ngramHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt == 0) return new GenericArrayData(Array.emptyLongArray)
+    val tokHash = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      val s = tokens.getUTF8String(i)
+      tokHash(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    val m = math.max(1, cnt - n + 1)
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var h = 0x9e3779b97f4a7c15L
+      var k = j
+      val end = math.min(j + n, cnt)
+      while (k < end) { h = mix(h, tokHash(k)); k += 1 }
+      out(j) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** LSH band keys over a fixed-length signature: the signature is split into
+    * `bands` equal slices and each slice is folded with a splitmix64-style
+    * mix into one 64-bit bucket key. Pure long arithmetic — no string
+    * round-trip, no per-band array allocation.
+    */
+  def bandKeys(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    val rowsPerBand = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x9e3779b97f4a7c15L + b
+      var j = b * rowsPerBand
+      val end = j + rowsPerBand
+      while (j < end) {
+        var z = h ^ sig.getLong(j)
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        h = z ^ (z >>> 31)
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Catalyst expressions wrapping [[HashKernels]]; input is `array<long>`
@@ -80,9 +149,37 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class NGramHashes(child: Expression, n: Int) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      HashKernels.ngramHashes(v.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.HashKernels.ngramHashes($c, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class BandKeys(child: Expression, bands: Int) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      HashKernels.bandKeys(v.asInstanceOf[ArrayData], bands)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.HashKernels.bandKeys($c, $bands);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def minhashSig(elementHashes: Column, a: Array[Long], b: Array[Long]): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(elementHashes), a, b))
 
   def rollingHash(elementHashes: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(elementHashes)))
+
+  def bandKeys(signature: Column, bands: Int): Column =
+    ColumnBridge.column(BandKeys(ColumnBridge.expression(signature), bands))
+
+  def ngramHashes(tokens: Column, n: Int): Column =
+    ColumnBridge.column(NGramHashes(ColumnBridge.expression(tokens), n))
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def vecLit(v: Array[Float]): Column = array(v.map(x => lit(x)): _*)
+  private def vecLit(v: Array[Float]): Column = typedlit(v.toSeq)
 
   /** Brute-force cosine top-k for one query vector. The scoring kernel is the
     * codegen'd [[VectorExpressions.CosineSimilarity]]; orderBy+limit plans as
