@@ -218,6 +218,98 @@ object SparkEntry {
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("cnt"), col("sum_value"))),
 
+    "collect_groups" -> ((s, dir) =>
+      // A1 analog: group-into-buckets (collect, not aggregate); sort_array
+      // gives the deterministic order the oracle's list_sort mirrors
+      Sources.events(s, dir)
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sort_array(collect_list(col("event_id"))).as("ids"), count(lit(1)).as("cnt"))),
+
+    "cube_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec2(col("l_quantity"))).cast(DecimalType(28, 2)).as("sum_qty"))),
+
+    "grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(1) AS cnt
+          |FROM graft_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+
+    "count_distinct" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))),
+
+    "json_extract" -> ((s, dir) =>
+      Sources.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))),
+
+    "window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        first(col("o_orderkey")).over(w).as("top_order"))
+    }),
+
+    "pivot_agg" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val pivoted = Sources.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", types)
+        .count()
+      // Spark pivot leaves missing combinations null; the FILTER-count oracle
+      // yields 0 — align on 0.
+      pivoted.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+
+    "string_funcs" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 10)).as("head_uc"),
+        regexp_replace(col("source"), "src", "origin-").as("origin"),
+        levenshtein(col("lang"), lit("en")).as("lev"),
+        length(trim(col("text"))).as("trim_len"))),
+
+    "date_funcs" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("days_since"),
+        date_add(to_date(col("o_orderdate")), 7).as("week_later"))),
+
+    "scalar_math" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        sqrt(col("l_quantity")).as("sq"),
+        floor(col("l_extendedprice")).as("fl"),
+        ceil(col("l_extendedprice")).as("ce"),
+        abs(col("l_discount") - 0.05).as("ad"),
+        pow(col("l_discount"), 2).as("p2"))),
+
+    "session_window" -> ((s, dir) =>
+      // gap-based sessionization (streaming-native session_window run in
+      // batch mode); the oracle reconstructs identical sessions with
+      // lag + cumulative-sum SQL
+      Sources.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec2(col("value"))).cast(DecimalType(28, 2)).as("sum_value"))
+        .select(
+          col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("sum_value"))),
+
     // ---- LLM-data-pipeline operators ----------------------------------
     "text_stats" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -427,6 +519,89 @@ object SparkEntry {
         | event_type, count(*) AS cnt,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "collect_groups" ->
+      """SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        | list_sort(list(event_id)) AS ids, count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "count_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events""".stripMargin,
+
+    "window_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | ntile(4) OVER w AS quartile,
+        | percent_rank() OVER w AS pr,
+        | first_value(o_orderkey) OVER w AS top_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+
+    "pivot_agg" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'view') AS view,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "string_funcs" ->
+      """SELECT doc_id,
+        | upper(substr(text, 1, 10)) AS head_uc,
+        | replace(source, 'src', 'origin-') AS origin,
+        | CAST(levenshtein(lang, 'en') AS INT) AS lev,
+        | CAST(length(trim(text)) AS INT) AS trim_len
+        |FROM documents""".stripMargin,
+
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INT) AS y,
+        | CAST(month(o_orderdate) AS INT) AS m,
+        | CAST(day(o_orderdate) AS INT) AS d,
+        | CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        | CAST(o_orderdate + INTERVAL 7 DAY AS DATE) AS week_later
+        |FROM orders""".stripMargin,
+
+    "scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | sqrt(l_quantity) AS sq,
+        | CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        | CAST(ceiling(l_extendedprice) AS BIGINT) AS ce,
+        | abs(l_discount - 0.05) AS ad,
+        | pow(l_discount, 2) AS p2
+        |FROM lineitem""".stripMargin,
+
+    "session_window" ->
+      """SELECT user_id,
+        | strftime(min(ts2), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+        |FROM (
+        |  SELECT user_id, ts2, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts2
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM (
+        |    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2, value,
+        |      CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+        |             OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) >= INTERVAL 30 MINUTE
+        |           THEN 1 ELSE 0 END AS is_new
+        |    FROM events) t1) t2
+        |GROUP BY user_id, sess""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,
