@@ -374,8 +374,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      val (assignments, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
-      Similarity.ivfTopK(assignments, centroids, "vec_id", "embedding", q, k = 10, nprobe = 4)
+      val (assignments, model) = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+      Similarity.ivfTopK(assignments, model, "vec_id", "embedding", q, k = 10, nprobe = 4)
     }),
 
     "multimodal_features" -> ((s, dir) =>

@@ -157,6 +157,26 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** Nearest-centroid assignment against a small broadcast codebook: returns
+    * the index of the centroid with max cosine similarity. The codebook rides
+    * into generated code as a reference object — the corpus side is a pure
+    * projection, NO join and NO shuffle (the scale-critical property of IVF
+    * assignment over 100 TB: each vector is read once, written once).
+    */
+  case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+      extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.nearestCentroid(v.asInstanceOf[ArrayData], centroids)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorKernels.nearestCentroid($c, $ref);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // Column-facing wrappers -------------------------------------------------
 
   def dot(a: Column, b: Column): Column =
@@ -170,4 +190,30 @@ object VectorExpressions {
 
   def simhash64(tokenHashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
+
+  def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
+}
+
+/** Static-forwarder kernels callable from generated Java. */
+object VectorKernels {
+  def nearestCentroid(v: ArrayData, centroids: Array[Array[Float]]): Int = {
+    var best = -1
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val n = math.min(v.numElements(), cen.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = v.getFloat(i).toDouble; val y = cen(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val sim = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
 }

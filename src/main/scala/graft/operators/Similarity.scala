@@ -1,8 +1,8 @@
 package graft.operators
 
 import graft.functions.VectorExpressions
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -11,11 +11,23 @@ import org.apache.spark.sql.functions._
   * (Spark's distributed top-k: per-partition heaps, k-sized merge at the
   * driver), which IS the right plan at any scale when every vector must be
   * scored. Scale path: IVF — a coarse quantizer restricts scoring to the
-  * nprobe nearest partitions, trading recall for a ~nlist/nprobe scan cut.
+  * nprobe nearest lists; assignment is a shuffle-free projection against a
+  * broadcast codebook.
   */
 object Similarity {
 
   private def vecLit(v: Array[Float]): Column = typedlit(v.toSeq)
+
+  private[graft] def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
 
   /** Brute-force cosine top-k for one query vector. The scoring kernel is the
     * codegen'd [[VectorExpressions.CosineSimilarity]]; orderBy+limit plans as
@@ -27,64 +39,99 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 
+  final case class Scored(id: Long, score: Double)
+
+  /** Bounded top-k aggregator: the buffer never exceeds 2k entries, so the
+    * map-side partial aggregation reduces each partition to at most k rows
+    * per query BEFORE the shuffle — the window-function formulation
+    * (row_number over the full scored set) shuffles every scored row.
+    * Deterministic: ties on score break by ascending id.
+    */
+  class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private def best(xs: Seq[Scored]): Seq[Scored] =
+      xs.sortBy(s => (-s.score, s.id)).take(k)
+    override def zero: Seq[Scored] = Vector.empty
+    override def reduce(buf: Seq[Scored], a: Scored): Seq[Scored] = {
+      val appended = buf :+ a
+      if (appended.length > 2 * k) best(appended) else appended
+    }
+    override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] = best(b1 ++ b2)
+    override def finish(buf: Seq[Scored]): Seq[Scored] = best(buf)
+    override def bufferEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
   /** Batched top-k: every query row gets its k nearest corpus rows. The query
     * side broadcasts (it is small by construction); scoring happens in the
-    * corpus scan stage; ranking is one window shuffle on the query id.
+    * corpus scan stage; the bounded [[TopKAgg]] keeps the shuffle at
+    * O(partitions x queries x k) rows regardless of corpus size.
     */
   def topKJoin(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
+    corpus.crossJoin(broadcast(queries))
       .select(
-        col(queryId), col(corpusId),
-        VectorExpressions.cosine(col(corpusVec), col(queryVec)).as("score"))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("score").desc, col(corpusId).asc)
-    scored.withColumn("__rank", row_number().over(w)).filter(col("__rank") <= k).drop("__rank")
+        col(queryId), col(corpusId).as("__cid"),
+        VectorExpressions.cosine(col(corpusVec), col(queryVec)).as("__score"))
+      .groupBy(col(queryId))
+      .agg(topk(col("__cid"), col("__score")).as("__top"))
+      .select(col(queryId), explode(col("__top")).as("__s"))
+      .select(col(queryId), col("__s.id").as(corpusId), col("__s.score").as("score"))
   }
 
-  /** IVF index: pick `nlist` deterministic centroid rows (stride sample — on
-    * real data a k-means pass would refine these; the partition/probe
-    * machinery is identical), assign every corpus vector to its nearest
-    * centroid. Returns (assignments, centroids). The assignment join
-    * broadcasts the centroid table — the corpus never shuffles.
+  /** The IVF coarse quantizer: a small driver-side codebook (at real scale a
+    * k-means pass would refine it; here a deterministic stride sample of the
+    * corpus supplies the centroids — the partition/probe machinery is
+    * identical).
+    */
+  final case class IvfModel(centroids: Array[Array[Float]]) {
+    def nearestLists(query: Array[Float], nprobe: Int): Seq[Int] =
+      centroids.indices
+        .sortBy(i => (-cosineLocal(query, centroids(i)), i))
+        .take(nprobe)
+  }
+
+  /** Build the IVF index: every corpus vector is tagged with its nearest
+    * centroid index via the codegen'd [[VectorExpressions.NearestCentroid]]
+    * projection — NO join, NO shuffle; at cluster scale the assignment is a
+    * single map stage and the index is written `partitionBy("centroid_id")`
+    * so probes prune to nprobe/nlist of the files.
     */
   def ivfIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int): (DataFrame, DataFrame) = {
+      nlist: Int): (DataFrame, IvfModel) = {
     val n = corpus.count()
     val stride = math.max(1L, n / nlist)
-    val centroids = corpus
+    val centroids: Array[Array[Float]] = corpus
       .filter(pmod(col(idCol), lit(stride)) === 0)
+      .orderBy(col(idCol))
       .limit(nlist)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .withColumn("__sim", VectorExpressions.cosine(col(vecCol), col("centroid_vec")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("centroid_id").asc)
-    val assignments = assigned
-      .withColumn("__rank", row_number().over(w)).filter(col("__rank") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
-    (assignments, centroids)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val model = IvfModel(centroids)
+    val assignments = corpus.select(
+      col(idCol), col(vecCol),
+      VectorExpressions.nearestCentroid(col(vecCol), centroids).as("centroid_id"))
+    (assignments, model)
   }
 
-  /** IVF probe: score the query against centroids, keep the `nprobe` nearest
-    * lists, then brute-force only inside those lists. Partition the
-    * assignments by centroid_id on write (or bucket them) and the probe scan
-    * prunes to nprobe/nlist of the data.
+  /** IVF probe: rank centroids against the query on the driver (the codebook
+    * is tiny), then brute-force only inside the `nprobe` nearest lists — an
+    * IN-filter the scan prunes on.
     */
   def ivfTopK(
-      assignments: DataFrame, centroids: DataFrame,
+      assignments: DataFrame, model: IvfModel,
       idCol: String, vecCol: String,
       query: Array[Float], k: Int, nprobe: Int): DataFrame = {
-    val q = vecLit(query)
-    val probeLists = centroids
-      .select(col("centroid_id"), VectorExpressions.cosine(col("centroid_vec"), q).as("__csim"))
-      .orderBy(col("__csim").desc, col("centroid_id").asc)
-      .limit(nprobe)
-      .select("centroid_id")
+    val probeLists = model.nearestLists(query, nprobe)
     assignments
-      .join(broadcast(probeLists), Seq("centroid_id"), "left_semi")
-      .select(col(idCol), VectorExpressions.cosine(col(vecCol), q).as("score"))
+      .filter(col("centroid_id").isin(probeLists: _*))
+      .select(col(idCol), VectorExpressions.cosine(col(vecCol), vecLit(query)).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }

@@ -58,10 +58,15 @@ class SimilaritySpec extends SparkTestBase {
   test("IVF probe finds the query vector when probing enough lists") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter($"vec_id" === 12).select("embedding").head().getSeq[Float](0).toArray
-    val (assignments, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val (assignments, model) = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 8)
     assert(assignments.count() == emb.count(), "every vector assigned to exactly one list")
-    val top = Similarity.ivfTopK(assignments, centroids, "vec_id", "embedding", q, k = 5, nprobe = 8)
+    assert(assignments.select("centroid_id").distinct().count() <= 8)
+    val top = Similarity.ivfTopK(assignments, model, "vec_id", "embedding", q, k = 5, nprobe = 8)
       .collect()
     assert(top.head.getLong(0) == 12L, "with nprobe = nlist the scan is exhaustive -> exact result")
+    // fewer probes must still find the query vector in its own list
+    val top1 = Similarity.ivfTopK(assignments, model, "vec_id", "embedding", q, k = 5, nprobe = 1)
+      .collect()
+    assert(top1.map(_.getLong(0)).contains(12L))
   }
 }
