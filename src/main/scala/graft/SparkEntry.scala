@@ -40,10 +40,13 @@ object SparkEntry {
     flagship(spark, "/root/testdata/sf0.001")
 
   private def flagship(s: SparkSession, dir: String): DataFrame = {
-    val ev = Sources.events(s, dir)
+    val (start, end) = ("2024-01-05 00:00:00", "2024-01-20 00:00:00")
+    // redundant ns-column bounds reach the parquet reader (row-group pruning);
+    // the exact µs filter below keeps the query semantics
+    val ev = Sources.pushTsRangeNs(Sources.events(s, dir), Some(start), Some(end))
     val (dt, mcs, month) = Registry.timestampParts(col("ts"))
     val pipe = Seq(
-      Ops.rangeFilter("ts", Some("2024-01-05 00:00:00"), Some("2024-01-20 00:00:00")),
+      Ops.rangeFilter("ts", Some(start), Some(end)),
       Ops.termFilters(Seq("event_type" -> "purchase")),
       Ops.enrichConst(Seq("version_" -> "v1"))
     ).reduce(_ andThen _)
@@ -120,7 +123,8 @@ object SparkEntry {
 
     "incremental_window" -> ((s, dir) =>
       Ops.rangeFilter("ts", Some("2024-01-01 00:00:00"), Some("2024-01-08 00:00:00"))(
-        Sources.events(s, dir))
+        Sources.pushTsRangeNs(Sources.events(s, dir),
+          Some("2024-01-01 00:00:00"), Some("2024-01-08 00:00:00")))
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("cnt"))),
 

@@ -73,6 +73,30 @@ object Sources {
     * DuckDB's reader does — so oracle comparisons agree. The raw nanos stay
     * available as `ts_ns` for tiebreaks.
     */
+  /** Push a half-open wall-clock window down to the raw nanosecond column:
+    * the derived µs `ts` is a post-scan projection, so a predicate on it
+    * cannot reach the parquet reader — the equivalent `ts_ns` bounds do,
+    * and row-group min/max stats prune whole chunks of a 100 TB scan.
+    */
+  def pushTsRangeNs(df: DataFrame, start: Option[String], end: Option[String]): DataFrame = {
+    // The pushed bounds are deliberately weaker-or-equal (floor the lower,
+    // ceil the upper to whole seconds): the exact µs-precision filter on `ts`
+    // still applies downstream, so this only prunes, never drops valid rows.
+    def instant(s: String): java.time.Instant =
+      java.time.LocalDateTime.parse(s.replace(' ', 'T')).toInstant(java.time.ZoneOffset.UTC)
+    def floorNs(s: String): Long = instant(s).getEpochSecond * 1000000000L
+    def ceilNs(s: String): Long = {
+      val i = instant(s)
+      (i.getEpochSecond + (if (i.getNano > 0) 1 else 0)) * 1000000000L
+    }
+    if (!df.columns.contains("ts_ns")) df
+    else {
+      val lower = start.map(s => col("ts_ns") >= lit(floorNs(s)))
+      val upper = end.map(e => col("ts_ns") < lit(ceilNs(e)))
+      (lower.toSeq ++ upper.toSeq).foldLeft(df)((d, p) => d.filter(p))
+    }
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // Defensive: a driver-created session may lack the nanosAsLong conf
     // (it is runtime-settable); without it the NANOS column is unreadable.
