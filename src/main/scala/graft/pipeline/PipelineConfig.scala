@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import graft.operators.Ops
+import graft.sinks.Sinks
+import graft.sources.Sources
+import graft.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** JSON-driven pipeline construction — the engine's analog of the
+  * reference's config-driven entrypoint (X4/X5: sectioned kwargs at
+  * `internal_raw_to_dwh/standard_pipeline.py:44-57`, JSON CLI dispatch gated
+  * by `__all__` at `scripts/runs/internal_raw_to_dwh.py:44-57`). A config
+  * document declares source, declarative query, enrichment, dedup, sink and
+  * checkpoint; the interpreter assembles ONE lazy [[Pipeline]] plan from it.
+  *
+  * Sinks resolve by name from [[sinkRegistry]] — the K3 strategy-by-name
+  * semantics (`postgresql_service.py:92-115`), including the hard failure on
+  * names outside the registry.
+  */
+object PipelineConfig {
+
+  private implicit val formats: Formats = DefaultFormats
+
+  /** K3 — named sink strategies. `options` carries per-sink settings. */
+  val sinkRegistry: Map[String, (DataFrame, Map[String, String]) => Unit] = Map(
+    "parquet" -> ((df, o) => Sinks.writeParquet(df, o("path"))),
+    "tsv" -> ((df, o) => Sinks.writeTsv(df, o("path"))),
+    "versioned" -> ((df, o) => { Sinks.writeVersioned(df, o("path"), o("runId")); () }))
+
+  def sink(name: String): (DataFrame, Map[String, String]) => Unit =
+    sinkRegistry.getOrElse(name, throw new IllegalArgumentException(
+      s"Sink '$name' is not in the registry: ${sinkRegistry.keys.mkString(", ")}"))
+
+  def fromJson(spark: SparkSession, json: String): Pipeline = {
+    val cfg = JsonMethods.parse(json)
+
+    val sourceCfg = cfg \ "source"
+    val source: Sources.Source = (sourceCfg \ "type").extract[String] match {
+      case "parquet" => Sources.ParquetSource((sourceCfg \ "path").extract[String])
+      case "csv" =>
+        Sources.CsvSource(
+          (sourceCfg \ "path").extract[String],
+          renames = (sourceCfg \ "renames").extractOrElse[Map[String, String]](Map.empty),
+          types = (sourceCfg \ "types").extractOrElse[Map[String, String]](Map.empty).toSeq
+            .map { case (c, t) => TypeSpec(c, t) })
+      case "jsonlines" => Sources.JsonLinesSource((sourceCfg \ "path").extract[String])
+      case other => throw new IllegalArgumentException(s"Unknown source type: $other")
+    }
+
+    val transforms = Seq.newBuilder[DataFrame => DataFrame]
+
+    (cfg \ "query") match {
+      case JNothing => ()
+      case q =>
+        transforms += Ops.query(QuerySpec(
+          rangeField = (q \ "rangeField").extractOpt[String],
+          start = (q \ "start").extractOpt[String],
+          end = (q \ "end").extractOpt[String],
+          filters = (q \ "filters").extractOrElse[Map[String, String]](Map.empty).toSeq,
+          sourceFields = (q \ "sourceFields").extractOpt[Seq[String]],
+          sortBy = (q \ "sortBy").extractOrElse[Seq[Seq[String]]](Nil)
+            .map(p => (p.head, p.lift(1).forall(_ == "asc")))))
+    }
+
+    (cfg \ "constants") match {
+      case JNothing => ()
+      case c => transforms += Ops.enrichConst(c.extract[Map[String, String]].toSeq)
+    }
+
+    (cfg \ "additionalFields") match {
+      case JNothing => ()
+      case af =>
+        af.extract[Seq[JValue]].foreach { f =>
+          transforms += Ops.enrichFn(FnField(
+            fn = (f \ "fn").extract[String],
+            inputMapping = (f \ "inputMapping").extractOrElse[Map[String, String]](Map.empty),
+            staticArgs = (f \ "staticArgs").extractOrElse[Map[String, String]](Map.empty),
+            outputMapping = (f \ "outputMapping").extract[Map[String, String]]))
+        }
+    }
+
+    (cfg \ "dedup") match {
+      case JNothing => ()
+      case d =>
+        transforms += Ops.dedupKeepFirst(DedupSpec(
+          dedupBy = (d \ "by").extract[Seq[String]],
+          orderBy = (d \ "orderBy").extractOrElse[Seq[String]](Nil)))
+    }
+
+    val sinkFn: Option[DataFrame => Unit] = (cfg \ "sink") match {
+      case JNothing => None
+      case sc =>
+        val name = (sc \ "type").extract[String]
+        val opts = (sc \ "options").extractOrElse[Map[String, String]](Map.empty)
+        Some(df => sink(name)(df, opts))
+    }
+
+    val checkpointFn: Option[() => Unit] = (cfg \ "checkpoint") match {
+      case JNothing => None
+      case cc =>
+        val path = (cc \ "path").extract[String]
+        val values = (cc \ "values").extractOrElse[Map[String, String]](Map.empty)
+        Some(() => Sinks.writeCheckpoint(spark, path, values))
+    }
+
+    Pipeline(
+      source = source,
+      transforms = transforms.result(),
+      failOnMissing = (cfg \ "failOnMissing").extractOrElse[Boolean](true),
+      sink = sinkFn,
+      checkpoint = checkpointFn)
+  }
+}

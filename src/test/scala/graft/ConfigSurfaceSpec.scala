@@ -1,0 +1,90 @@
+package graft
+
+import graft.pipeline.PipelineConfig
+import graft.sources.{ApiTemplate, FsExplorer}
+import graft.sources.ApiTemplate.RequestTemplate
+import java.nio.file.Files
+
+/** The reference's config/framework surface: templated API fetch (S4/F6),
+  * filesystem exploration (S6), sink registry (K3), JSON-driven pipeline
+  * construction (X4/X5).
+  */
+class ConfigSurfaceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("template placeholders are extracted recursively and validated strictly") {
+    val t = RequestTemplate(
+      url = "https://api.example.com/{APP_ID}/installs",
+      headers = Map("Authorization" -> "Bearer {TOKEN}"),
+      body = Some("""{"from": "{FROM_DATE}"}"""))
+    assert(ApiTemplate.extractPlaceholders(t) == Set("APP_ID", "TOKEN", "FROM_DATE"))
+    val full = Map("APP_ID" -> "app1", "TOKEN" -> "t", "FROM_DATE" -> "2024-01-01")
+    val rendered = ApiTemplate.render(t, full)
+    assert(rendered.url == "https://api.example.com/app1/installs")
+    assert(rendered.headers("Authorization") == "Bearer t")
+    intercept[IllegalArgumentException] { ApiTemplate.render(t, full - "TOKEN") }
+    intercept[IllegalArgumentException] { ApiTemplate.render(t, full + ("BOGUS" -> "x")) }
+  }
+
+  test("templated fetch parses the JSON response into a DataFrame") {
+    val t = RequestTemplate(url = "https://api.example.com/{APP_ID}/installs")
+    val df = ApiTemplate.fetchJson(spark, t, Map("APP_ID" -> "app1"),
+      transport = r => {
+        assert(r.url.endsWith("/app1/installs"))
+        """[{"id": 1, "os": "ios"}, {"id": 2, "os": "android"}]"""
+      })
+    assert(df.count() == 2)
+    assert(df.select("os").as[String].collect().sorted.toSeq == Seq("android", "ios"))
+  }
+
+  test("fs explorer lists/creates/deletes/copies through the Hadoop FS API") {
+    val base = Files.createTempDirectory("graft-fs").toString
+    val fx = new FsExplorer(spark)
+    assert(fx.createDir(s"$base/a"))
+    assert(fx.createDir(s"$base/b"))
+    Files.writeString(java.nio.file.Paths.get(s"$base/a/x.txt"), "payload")
+    assert(fx.listDirs(base) == Seq("a", "b"))
+    assert(fx.listFiles(s"$base/a") == Seq("x.txt"))
+    assert(fx.copy(s"$base/a/x.txt", s"$base/b/latest.txt"))
+    assert(fx.exists(s"$base/b/latest.txt"))
+    assert(fx.deleteDir(s"$base/b", recursive = true))
+    assert(!fx.exists(s"$base/b"))
+  }
+
+  test("unknown sink names are rejected by the registry (K3 gate)") {
+    intercept[IllegalArgumentException] { PipelineConfig.sink("drop_table") }
+  }
+
+  test("a JSON config assembles and runs a full pipeline with checkpoint-last ordering") {
+    val out = Files.createTempDirectory("graft-pipecfg").toString
+    val cfg =
+      s"""{
+         |  "source": {"type": "parquet", "path": "$sfDir/orders.parquet"},
+         |  "query": {
+         |    "filters": {"o_orderstatus": "F"},
+         |    "sourceFields": ["o_orderkey", "o_custkey", "o_totalprice"],
+         |    "sortBy": [["o_orderkey", "asc"]]
+         |  },
+         |  "constants": {"version_": "v1"},
+         |  "dedup": {"by": ["o_custkey"], "orderBy": ["o_orderkey"]},
+         |  "sink": {"type": "parquet", "options": {"path": "$out/data"}},
+         |  "checkpoint": {"path": "$out/meta", "values": {"run": "r1"}}
+         |}""".stripMargin
+    val pipe = PipelineConfig.fromJson(spark, cfg)
+    assert(pipe.run(spark).isDefined)
+    val data = spark.read.parquet(s"$out/data")
+    assert(data.columns.toSet == Set("o_orderkey", "o_custkey", "o_totalprice", "version_"))
+    assert(data.select("o_custkey").distinct().count() == data.count(), "dedup by custkey held")
+    val meta = spark.read.parquet(s"$out/meta")
+    assert(meta.count() == 1 && meta.head().getAs[String]("run") == "r1")
+  }
+
+  test("a JSON config with a missing source and failOnMissing=false skips cleanly") {
+    val cfg =
+      """{
+        |  "source": {"type": "parquet", "path": "/tmp/graft/definitely/missing.parquet"},
+        |  "failOnMissing": false
+        |}""".stripMargin
+    assert(PipelineConfig.fromJson(spark, cfg).run(spark).isEmpty)
+  }
+}
