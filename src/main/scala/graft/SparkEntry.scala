@@ -222,6 +222,34 @@ object SparkEntry {
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("cnt"), col("sum_value"))),
 
+    "asof_join" -> ((s, dir) => {
+      // every event joined to the user's most recent purchase at-or-before it
+      val ev = Sources.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts"),
+        col("event_id").as("purchase_event_id"), col("value").as("purchase_value"))
+      operators.Joins.asOfJoin(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("purchase_event_id", "purchase_value"),
+        rightTieBreak = "purchase_event_id")
+        .select("event_id", "user_id", "purchase_event_id", "purchase_value")
+    }),
+
+    "range_join" -> ((s, dir) => {
+      // per purchase: the user's event activity in the following 30 minutes
+      val ev = Sources.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      val follows = operators.Joins.timeRangeJoin(
+        purchases, ev.select(col("user_id"), col("ts"), col("value")),
+        keys = Seq("user_id"), leftTs = "p_ts", rightTs = "ts",
+        lowerMicros = 0L, upperMicros = 30L * 60 * 1000000)
+      follows.groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_follow"),
+          sum(dec2(col("value"))).cast(DecimalType(28, 2)).as("sum_value"))
+    }),
+
     "collect_groups" -> ((s, dir) =>
       // A1 analog: group-into-buckets (collect, not aggregate); sort_array
       // gives the deterministic order the oracle's list_sort mirrors
@@ -523,6 +551,25 @@ object SparkEntry {
         | event_type, count(*) AS cnt,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "asof_join" ->
+      """SELECT e.event_id, e.user_id, p.purchase_event_id, p.purchase_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts2 FROM events) e
+        |ASOF JOIN (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2,
+        |         event_id AS purchase_event_id, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts2 >= p.ts2""".stripMargin,
+
+    "range_join" ->
+      """SELECT p.purchase_id, count(*) AS n_follow,
+        | CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+        |FROM (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2, value FROM events) e
+        |  ON e.user_id = p.user_id AND e.ts2 >= p.p_ts
+        | AND e.ts2 < p.p_ts + INTERVAL 30 MINUTE
+        |GROUP BY p.purchase_id""".stripMargin,
 
     "collect_groups" ->
       """SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as built-ins, composed from existing
+  * ops so Catalyst keeps full visibility (SURVEY.md §2.3; preference order
+  * (a) of the custom-operator ladder).
+  *
+  * Both are shaped for 100 TB:
+  *  - as-of join: ONE hash shuffle on the key + an in-partition sort — the
+  *    union-and-forward-fill formulation; never an inequality (nested-loop)
+  *    join.
+  *  - range join: time-bucketing turns the interval predicate into an
+  *    equi-join on (key, bucket) with a residual filter — the classic
+  *    banding trick; shuffle volume grows with matches, not with the cross
+  *    product.
+  */
+object Joins {
+
+  /** For every left row, attach the payload of the most recent right row with
+    * the same key and `rightTs <= leftTs` (ASOF >= semantics; a same-instant
+    * right row matches). Left rows with no prior right row are dropped
+    * (inner as-of).
+    *
+    * `rightPayload` columns must not collide with left columns. Ties on
+    * (key, rightTs) resolve to the first right row by `rightTieBreak` —
+    * deterministic for any input.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      rightTieBreak: String): DataFrame = {
+    // one row per (key, ts) on the right: keep-first by the tiebreak so the
+    // forward-fill below is deterministic
+    val rightDedup = Ops.dedupKeepFirst(
+      graft.types.DedupSpec(keys :+ rightTs, Seq(rightTieBreak)))(right)
+
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          rightDedup.select(rightPayload.map(col): _*).schema.fields)))
+    val r = rightDedup.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        struct(rightPayload.map(col): _*).as("__payload")): _*)
+    // align schemas: right side carries nulls for non-key left columns
+    val rAligned = leftCols.foldLeft(r) { (d, c) =>
+      if (keys.contains(c)) d else d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(l.columns.map(col): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(rAligned)
+      .withColumn("__filled", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__filled").isNotNull)
+      .select(leftCols.map(col) ++ rightPayload.map(p => col(s"__filled.$p")): _*)
+  }
+
+  /** Pairs (left, right) with equal keys and `rightTs` in
+    * `[leftTs + lowerMicros, leftTs + upperMicros)`. Bucket width is the
+    * interval span, so each left row lands in at most two buckets and every
+    * qualifying pair meets in exactly one (key, bucket) cell.
+    */
+  def timeRangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      lowerMicros: Long,
+      upperMicros: Long): DataFrame = {
+    require(upperMicros > lowerMicros, "empty interval")
+    // Column names outside `keys` must be disjoint between the two sides
+    // (same contract as a plain join with a post-filter).
+    val width = upperMicros - lowerMicros
+    val l = left.withColumn("__lb0", expr(s"(unix_micros($leftTs) + $lowerMicros) DIV $width"))
+    val lExploded = l.withColumn("__bucket",
+      explode(array(col("__lb0"), col("__lb0") + 1)))
+    val r = right.withColumn("__bucket", expr(s"unix_micros($rightTs) DIV $width"))
+    lExploded.join(r, keys :+ "__bucket")
+      .filter(
+        unix_micros(col(rightTs)) >= unix_micros(col(leftTs)) + lowerMicros &&
+          unix_micros(col(rightTs)) < unix_micros(col(leftTs)) + upperMicros)
+      .drop("__lb0", "__bucket")
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Joins
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOfJoin attaches the most recent prior right row, >= semantics, inner drop") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:05:00")), // after p1
+      (2L, 10L, ts("2024-01-01 00:10:00")), // exactly at p2 -> matches p2
+      (3L, 10L, ts("2024-01-01 00:20:00")), // after p2
+      (4L, 20L, ts("2024-01-01 00:01:00")), // user 20 has no purchase -> dropped
+      (5L, 10L, ts("2023-12-31 23:00:00"))  // before any purchase -> dropped
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 100L, 1.0),
+      (10L, ts("2024-01-01 00:10:00"), 200L, 2.0)
+    ).toDF("user_id", "ts", "purchase_event_id", "purchase_value")
+
+    val out = Joins.asOfJoin(left, right, Seq("user_id"), "ts", "ts",
+      Seq("purchase_event_id", "purchase_value"), "purchase_event_id")
+      .select($"event_id", $"purchase_event_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 100L, 2L -> 200L, 3L -> 200L))
+  }
+
+  test("asOfJoin breaks same-instant right ties deterministically (keep smallest tiebreak)") {
+    val left = Seq((1L, 10L, ts("2024-01-01 00:00:01"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 300L, 3.0),
+      (10L, ts("2024-01-01 00:00:00"), 100L, 1.0)
+    ).toDF("user_id", "ts", "purchase_event_id", "purchase_value")
+    val out = Joins.asOfJoin(left, right, Seq("user_id"), "ts", "ts",
+      Seq("purchase_event_id", "purchase_value"), "purchase_event_id").head()
+    assert(out.getAs[Long]("purchase_event_id") == 100L)
+  }
+
+  test("timeRangeJoin is half-open and survives bucket boundaries") {
+    val width = 30L * 60 * 1000000 // 30 min
+    val anchors = Seq((10L, ts("2024-01-01 00:50:00"), 1L)).toDF("user_id", "p_ts", "purchase_id")
+    val points = Seq(
+      (10L, ts("2024-01-01 00:49:59"), -1.0), // before -> out
+      (10L, ts("2024-01-01 00:50:00"), 1.0),  // inclusive lower
+      (10L, ts("2024-01-01 01:05:00"), 2.0),  // crosses the 01:00 bucket line
+      (10L, ts("2024-01-01 01:19:59"), 3.0),  // last in-window instant
+      (10L, ts("2024-01-01 01:20:00"), -2.0), // exclusive upper
+      (20L, ts("2024-01-01 00:55:00"), -3.0)  // other key
+    ).toDF("user_id", "ts", "value")
+    val out = Joins.timeRangeJoin(anchors, points, Seq("user_id"), "p_ts", "ts", 0L, width)
+      .select("value").as[Double].collect().sorted.toSeq
+    assert(out == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("range join matches the plain inequality-join semantics on real data") {
+    val ev = graft.sources.Sources.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+    val bucketed = Joins.timeRangeJoin(
+      purchases, ev.select($"user_id", $"ts", $"event_id"),
+      Seq("user_id"), "p_ts", "ts", 0L, 30L * 60 * 1000000)
+      .select("purchase_id", "event_id").as[(Long, Long)].collect().toSet
+    val naive = purchases.join(ev.select($"user_id", $"ts", $"event_id"), Seq("user_id"))
+      .filter(unix_micros($"ts") >= unix_micros($"p_ts") &&
+        unix_micros($"ts") < unix_micros($"p_ts") + 30L * 60 * 1000000)
+      .select("purchase_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive && bucketed.nonEmpty)
+  }
+}
