@@ -94,4 +94,26 @@ object Joins {
           unix_micros(col(rightTs)) < unix_micros(col(leftTs)) + upperMicros)
       .drop("__lb0", "__bucket")
   }
+
+  /** Manual key-salting for joins whose build side has pathological hot keys
+    * beyond what AQE's skew-split handles: the skewed (left) side gets a
+    * random salt in [0, factor), the small-but-replicable right side is
+    * exploded once per salt value, and the join key becomes (key, salt) — a
+    * hot key's rows spread over `factor` reducers. Results are identical to
+    * the unsalted join; the salt uses a deterministic per-row hash (not
+    * rand()) so retried tasks stay consistent.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      factor: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(factor > 1, "salting needs factor > 1")
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(factor)).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(array((0 until factor).map(lit): _*)))
+    saltedLeft.join(saltedRight, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

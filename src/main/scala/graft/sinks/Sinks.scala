@@ -36,6 +36,27 @@ object Sinks {
   def writeParquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)
 
+  /** Hive-style partitioned layout (the S5/A1 `{type: {date: [...]}}`
+    * grouping as a directory tree): downstream scans with predicates on the
+    * partition columns prune whole directories — the 100 TB idiom for
+    * anything consumed by time- or category-restricted queries.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed table write: co-locates rows by key so joins and aggregations
+    * between tables bucketed on the same key by the same count plan WITHOUT
+    * a shuffle — pre-paying the exchange once at write time, the right trade
+    * for fact tables joined repeatedly at scale. (Bucketing requires the
+    * table catalog, hence saveAsTable rather than a path write.)
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** K4 — timestamped write + `latest` alias (reference `s3_service.py:44-61`):
     * the run's output lands under a run-stamped directory and `latest` is
     * atomically repointed (rewritten) at it.
