@@ -31,6 +31,15 @@ object SparkEntry {
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Exact decimal accumulation, double on the wire: aggregate over
+    * DECIMAL(18,2) inputs (order-insensitive, exact), then cast the final
+    * sum to DOUBLE so both engines serialize an identical float64 (the
+    * driver's pandas compare renders Spark parquet DECIMAL as
+    * `decimal.Decimal` but DuckDB DECIMAL as float64 — same value, different
+    * canonical string — so decimals must never reach the output schema).
+    */
+  private def decSum(c: Column): Column = sum(dec2(c)).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Spark restatement of the reference's elasticsearch_to_postgresql run
     * (SURVEY.md §3.1): half-open time window + term filter + projection +
@@ -133,10 +142,10 @@ object SparkEntry {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec2(col("l_quantity"))).cast(DecimalType(28, 2)).as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).cast(DecimalType(28, 2)).as("sum_base_price"),
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
           sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-            .cast(DecimalType(28, 4)).as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("cnt"))),
 
     "q3_topk_join" -> ((s, dir) => {
@@ -147,7 +156,7 @@ object SparkEntry {
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-          .cast(DecimalType(28, 4)).as("revenue"))
+          .cast("double").as("revenue"))
         .select(col("o_orderkey"), col("revenue"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -161,7 +170,7 @@ object SparkEntry {
         .groupBy(col("r_name"))
         .agg(
           count(lit(1)).as("n_customers"),
-          sum(dec2(col("c_acctbal"))).cast(DecimalType(28, 2)).as("total_balance"))),
+          decSum(col("c_acctbal")).as("total_balance"))),
 
     "semi_join" -> ((s, dir) =>
       Tables.customer(s, dir)
@@ -189,7 +198,7 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, dir).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        sum(dec2(col("l_quantity"))).over(w).cast(DecimalType(28, 2)).as("running_qty"))
+        sum(dec2(col("l_quantity"))).over(w).cast("double").as("running_qty"))
     }),
 
     "window_lag" -> ((s, dir) => {
@@ -204,7 +213,7 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("cnt"),
-          sum(dec2(col("l_quantity"))).cast(DecimalType(28, 2)).as("sum_qty"))),
+          decSum(col("l_quantity")).as("sum_qty"))),
 
     "topk_orders" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -217,7 +226,7 @@ object SparkEntry {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(
           count(lit(1)).as("cnt"),
-          sum(dec2(col("value"))).cast(DecimalType(28, 2)).as("sum_value"))
+          decSum(col("value")).as("sum_value"))
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("cnt"), col("sum_value"))),
@@ -247,7 +256,7 @@ object SparkEntry {
         lowerMicros = 0L, upperMicros = 30L * 60 * 1000000)
       follows.groupBy(col("purchase_id"))
         .agg(count(lit(1)).as("n_follow"),
-          sum(dec2(col("value"))).cast(DecimalType(28, 2)).as("sum_value"))
+          decSum(col("value")).as("sum_value"))
     }),
 
     "collect_groups" -> ((s, dir) =>
@@ -255,13 +264,16 @@ object SparkEntry {
       // gives the deterministic order the oracle's list_sort mirrors
       Sources.events(s, dir)
         .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
-        .agg(sort_array(collect_list(col("event_id"))).as("ids"), count(lit(1)).as("cnt"))),
+        // serialized to one string column: the driver's pandas compare cannot
+        // sort rows containing numpy arrays
+        .agg(concat_ws(",", sort_array(collect_list(col("event_id")))).as("ids"),
+          count(lit(1)).as("cnt"))),
 
     "cube_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"),
-          sum(dec2(col("l_quantity"))).cast(DecimalType(28, 2)).as("sum_qty"))),
+          decSum(col("l_quantity")).as("sum_qty"))),
 
     "grouping_sets" -> ((s, dir) => {
       Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
@@ -318,7 +330,7 @@ object SparkEntry {
         month(col("o_orderdate")).as("m"),
         dayofmonth(col("o_orderdate")).as("d"),
         datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("days_since"),
-        date_add(to_date(col("o_orderdate")), 7).as("week_later"))),
+        date_format(date_add(to_date(col("o_orderdate")), 7), "yyyy-MM-dd").as("week_later"))),
 
     "scalar_math" -> ((s, dir) =>
       Tables.lineitem(s, dir).select(
@@ -336,7 +348,7 @@ object SparkEntry {
       Sources.events(s, dir)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"),
-          sum(dec2(col("value"))).cast(DecimalType(28, 2)).as("sum_value"))
+          decSum(col("value")).as("sum_value"))
         .select(
           col("user_id"),
           date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
@@ -417,10 +429,42 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, dir), framesPerClip = 3))
   )
 
-  /** DuckDB oracle SQL per query key. Omitted keys (LSH dedup family, ANN,
-    * multimodal stubs, heuristic lang-id) are not faithfully expressible in
-    * portable SQL — the driver records a rows-only check for those; their
-    * semantics are covered by ScalaTest specs instead.
+  // ---- SQL fragments mirroring the native vector kernels -----------------
+  // DuckDB's list_sum over DOUBLE accumulates sequentially (verified bitwise
+  // identical to the Java loops in VectorExpressions), so dot/cosine oracles
+  // compare EXACTLY — no rounding tolerance needed.
+
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def sqlNorm2(a: String): String =
+    s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  private def sqlCos(a: String, b: String): String =
+    s"""(CASE WHEN ${sqlNorm2(a)} = 0 OR ${sqlNorm2(b)} = 0 THEN 0.0
+       | ELSE ${sqlDot(a, b)} / sqrt(${sqlNorm2(a)} * ${sqlNorm2(b)}) END)""".stripMargin
+
+  /** The sign-LSH hyperplanes as a DuckDB VALUES literal — same deterministic
+    * [[Dedup.hyperplanes]] codebook the Spark side uses (float-to-double is
+    * exact, and Double.toString round-trips, so the SQL literal is the same
+    * 64-bit value the codegen kernel sees).
+    */
+  private def sqlPlanes(numPlanes: Int, dim: Int): String =
+    operators.Dedup.hyperplanes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
+      "(" + i + ", [" + p.map(_.toDouble.toString).mkString(",") + "]::DOUBLE[])"
+    }.mkString(",\n  ")
+
+  private val langMarkersSql: Seq[(String, String)] = Seq(
+    "en" -> "['the','and','of','to','in','is','that','it','for','with']",
+    "es" -> "['el','la','de','que','y','en','un','por','con','los']",
+    "de" -> "['der','die','und','das','ist','nicht','von','mit','den','ein']",
+    "fr" -> "['le','la','et','les','des','est','dans','que','pour','une']",
+    "it" -> "['il','di','che','la','per','con','del','una','sono','non']")
+
+  /** DuckDB oracle SQL per query key. Omitted keys (the xxhash64-based LSH
+    * dedup family, multimodal stubs) depend on hash kernels DuckDB does not
+    * ship — the driver records a rows-only check for those; their semantics
+    * are covered by ScalaTest specs instead.
     */
   def oracleSql: Map[String, String] = Map(
     "flagship_events" ->
@@ -487,15 +531,15 @@ object SparkEntry {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         | count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_topk_join" ->
       """SELECT o_orderkey,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS revenue,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         | strftime(o_orderdate, '%Y-%m-%d') AS orderdate
         |FROM customer JOIN orders ON c_custkey = o_custkey
         | JOIN lineitem ON o_orderkey = l_orderkey
@@ -505,7 +549,7 @@ object SparkEntry {
 
     "broadcast_join_agg" ->
       """SELECT r_name, count(*) AS n_customers,
-        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_balance
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
@@ -528,7 +572,7 @@ object SparkEntry {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS running_qty
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem""".stripMargin,
 
     "window_lag" ->
@@ -539,7 +583,7 @@ object SparkEntry {
 
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "topk_orders" ->
@@ -549,7 +593,7 @@ object SparkEntry {
     "events_window_agg" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, count(*) AS cnt,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "asof_join" ->
@@ -563,7 +607,7 @@ object SparkEntry {
 
     "range_join" ->
       """SELECT p.purchase_id, count(*) AS n_follow,
-        | CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+        | CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
         |      FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2, value FROM events) e
@@ -573,12 +617,12 @@ object SparkEntry {
 
     "collect_groups" ->
       """SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-        | list_sort(list(event_id)) AS ids, count(*) AS cnt
+        | array_to_string(list_sort(list(event_id)), ',') AS ids, count(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "cube_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "grouping_sets" ->
@@ -625,7 +669,7 @@ object SparkEntry {
         | CAST(month(o_orderdate) AS INT) AS m,
         | CAST(day(o_orderdate) AS INT) AS d,
         | CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
-        | CAST(o_orderdate + INTERVAL 7 DAY AS DATE) AS week_later
+        | strftime(CAST(o_orderdate + INTERVAL 7 DAY AS DATE), '%Y-%m-%d') AS week_later
         |FROM orders""".stripMargin,
 
     "scalar_math" ->
@@ -641,7 +685,7 @@ object SparkEntry {
       """SELECT user_id,
         | strftime(min(ts2), '%Y-%m-%d %H:%M:%S') AS session_start,
         | count(*) AS n_events,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM (
         |  SELECT user_id, ts2, value,
         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts2
@@ -674,6 +718,84 @@ object SparkEntry {
     "embedding_norms" ->
       """SELECT vec_id,
         | sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+
+    "lang_id" ->
+      s"""SELECT doc_id,
+         | CASE ${langMarkersSql.map { case (l, m) => s"WHEN best > 0 AND s_$l = best THEN '$l'" }.mkString(" ")}
+         |      ELSE 'und' END AS lang_pred
+         |FROM (
+         |  SELECT doc_id, greatest(${langMarkersSql.map("s_" + _._1).mkString(", ")}) AS best,
+         |         ${langMarkersSql.map("s_" + _._1).mkString(", ")}
+         |  FROM (
+         |    SELECT doc_id,
+         |      ${langMarkersSql.map { case (l, m) =>
+               s"len(list_filter(toks, t -> list_contains($m, t))) AS s_$l"
+             }.mkString(",\n      ")}
+         |    FROM (
+         |      SELECT doc_id,
+         |        list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')) AS toks
+         |      FROM documents) t0) t1) t2""".stripMargin,
+
+    "ann_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${sqlCos("e.embedding", "q.qv")} AS score
+         |FROM embeddings e, q
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "ann_topk_join" ->
+      s"""WITH qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5)
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT query_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+         |  FROM (
+         |    SELECT q.query_id, e.vec_id, ${sqlCos("e.embedding", "q.qv")} AS score
+         |    FROM embeddings e, qs q) s) t
+         |WHERE rn <= 5""".stripMargin,
+
+    "ivf_topk" ->
+      // mirrors ivfIndex (stride-sampled codebook, argmax-cosine assignment,
+      // first-index-wins ties) + ivfTopK (rank centroids vs the query, probe
+      // the top nprobe lists, brute-force inside)
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |stride AS (SELECT greatest(1, count(*) // 16) AS s FROM embeddings),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cv
+         |  FROM embeddings, stride WHERE vec_id % stride.s = 0
+         |  ORDER BY vec_id LIMIT 16),
+         |assign AS (
+         |  SELECT vec_id, embedding, cidx FROM (
+         |    SELECT e.vec_id, e.embedding, c.cidx,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlCos("e.embedding", "c.cv")} DESC, c.cidx) AS rn
+         |    FROM embeddings e, cents c) a WHERE rn = 1),
+         |probes AS (
+         |  SELECT cidx FROM (
+         |    SELECT c.cidx, row_number() OVER (
+         |      ORDER BY ${sqlCos("q.qv", "c.cv")} DESC, c.cidx) AS rn
+         |    FROM cents c, q) p WHERE rn <= 4)
+         |SELECT a.vec_id, ${sqlCos("a.embedding", "q.qv")} AS score
+         |FROM assign a, q
+         |WHERE a.cidx IN (SELECT cidx FROM probes)
+         |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    "embed_dedup" ->
+      s"""WITH planes(pid, pv) AS (VALUES
+         |  ${sqlPlanes(32, 64)}),
+         |sig AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    sum(CASE WHEN ${sqlDot("e.embedding", "p.pv")} >= 0
+         |             THEN 1::BIGINT << p.pid ELSE 0 END)::BIGINT AS sign
+         |  FROM embeddings e, planes p GROUP BY e.vec_id, e.embedding),
+         |banded AS (
+         |  SELECT vec_id, embedding, b.band, (sign >> (b.band * 16)) & 65535 AS bucket
+         |  FROM sig, (VALUES (0), (1)) b(band)),
+         |drops AS (
+         |  SELECT DISTINCT r.vec_id
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |  WHERE ${sqlCos("l.embedding", "r.embedding")} >= 0.95)
+         |SELECT e.vec_id FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
   )
 }

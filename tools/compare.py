@@ -3,10 +3,12 @@
 
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 
-For each query dir under verifyOutDir, loads the Spark parquet result and the
-matching oracle SQL (oracle_sql.json) run in DuckDB against the sfDir tables,
-sorts columns by name and rows by value, and compares cell-by-cell (floats via
-repr, Decimal by numeric equality).
+Mirrors the driver's pandas-based compare: the Spark result is read with
+pandas/pyarrow (so parquet DECIMAL surfaces as decimal.Decimal and arrays as
+numpy arrays — both of which the driver cannot canonicalize; outputs must
+avoid them), the oracle SQL runs in DuckDB and is fetched as a pandas frame,
+then both sides are column-sorted by name, row-sorted by every column, and
+compared cell-by-cell via canonical strings.
 """
 import json
 import math
@@ -15,26 +17,29 @@ from decimal import Decimal
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 
 def canon(v):
-    if v is None:
+    if v is None or v is pd.NA or (isinstance(v, float) and math.isnan(v)):
         return "<NULL>"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
         return repr(v)
     if isinstance(v, Decimal):
-        return str(v.normalize())
+        return "DECIMAL:" + str(v)  # deliberately never equal to a float repr
     return str(v)
 
 
-def table_of(rows, cols):
-    # sort columns by name, then rows lexicographically
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon(r[i]) for i in order) for r in rows]
-    out.sort()
-    return sorted(c for c in cols), out
+def frame_table(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    try:
+        df = df.sort_values(by=cols, kind="mergesort")
+    except TypeError as e:
+        raise RuntimeError(f"unsortable result (driver would ERR): {e}")
+    rows = [tuple(canon(v) for v in rec) for rec in df.itertuples(index=False, name=None)]
+    rows.sort()  # canonical strings break ties pandas sorts differently
+    return cols, rows
 
 
 def main():
@@ -50,30 +55,36 @@ def main():
         if not qdir.is_dir():
             continue
         name = qdir.name
-        if not list(qdir.glob("*.parquet")):
+        parts = list(qdir.glob("*.parquet"))
+        if not parts:
             n_fail += 1
             print(f"{'FAIL':10} {name}: no spark output written")
             continue
-        spark_rel = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-        spark_cols = spark_rel.columns
-        spark_rows = spark_rel.fetchall()
+        try:
+            spark_df = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
+        except Exception as e:
+            n_fail += 1
+            print(f"{'FAIL':10} {name}: spark parquet unreadable in pandas: {e}")
+            continue
         if name not in oracle:
             n_rows_only += 1
-            status = "ROWS-ONLY"
-            print(f"{status:10} {name}: rows={len(spark_rows)}")
-            if len(spark_rows) == 0:
-                print(f"  !! zero rows")
+            print(f"{'ROWS-ONLY':10} {name}: rows={len(spark_df)}")
+            if len(spark_df) == 0:
+                print("  !! zero rows")
             continue
         try:
-            ora_rel = con.sql(oracle[name])
-            ora_cols = ora_rel.columns
-            ora_rows = ora_rel.fetchall()
+            ora_df = con.sql(oracle[name]).df()
         except Exception as e:
             n_fail += 1
             print(f"{'FAIL':10} {name}: oracle SQL error: {e}")
             continue
-        sc, sr = table_of(spark_rows, spark_cols)
-        oc, orows = table_of(ora_rows, ora_cols)
+        try:
+            sc, sr = frame_table(spark_df)
+            oc, orows = frame_table(ora_df)
+        except RuntimeError as e:
+            n_fail += 1
+            print(f"{'FAIL':10} {name}: {e}")
+            continue
         if sc != oc:
             n_fail += 1
             print(f"{'FAIL':10} {name}: column mismatch spark={sc} oracle={oc}")
