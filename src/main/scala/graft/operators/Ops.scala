@@ -152,6 +152,20 @@ object Ops {
       if (order.isEmpty) df
       else df.orderBy(order.map { case (f, asc) => if (asc) col(f).asc else col(f).desc }: _*)
 
+  /** Parallelism guard for CPU-dense per-row kernels (MinHash signatures,
+    * cosine scans, tokenization): if the input plan has fewer partitions than
+    * the cluster has slots, round-robin repartition up to `defaultParallelism`
+    * so the compute actually fans out. At 100 TB the scan already carries
+    * thousands of file-split partitions and this is a no-op — the guard only
+    * fires for few-partition inputs (a single small file, a collapsed
+    * post-AQE stage), where the one extra shuffle of the narrow projected
+    * input is trivially cheaper than running the kernel on one core.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Whole declarative query (the ElasticQueryModel analog): window + terms +
     * projection + sort in one plan (reference `elastic_query_model.py:18-61`).
     */

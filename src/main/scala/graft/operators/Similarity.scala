@@ -34,7 +34,7 @@ object Similarity {
     * TakeOrderedAndProject (no global sort).
     */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String, query: Array[Float], k: Int): DataFrame =
-    corpus
+    Ops.spread(corpus.select(col(idCol), col(vecCol)))
       .select(col(idCol), VectorExpressions.cosine(col(vecCol), vecLit(query)).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
@@ -73,7 +73,7 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int): DataFrame = {
     val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
-    corpus.crossJoin(broadcast(queries))
+    Ops.spread(corpus.select(col(corpusId), col(corpusVec))).crossJoin(broadcast(queries))
       .select(
         col(queryId), col(corpusId).as("__cid"),
         VectorExpressions.cosine(col(corpusVec), col(queryVec)).as("__score"))
@@ -114,7 +114,7 @@ object Similarity {
       .collect()
       .map(_.getSeq[Float](0).toArray)
     val model = IvfModel(centroids)
-    val assignments = corpus.select(
+    val assignments = Ops.spread(corpus.select(col(idCol), col(vecCol))).select(
       col(idCol), col(vecCol),
       VectorExpressions.nearestCentroid(col(vecCol), centroids).as("centroid_id"))
     (assignments, model)
