@@ -426,7 +426,129 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir)).toDF()),
 
     "frame_sample" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, dir), framesPerClip = 3))
+      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, dir), framesPerClip = 3)),
+
+    // ---- statistics / scale-shaped additions --------------------------
+    "stats_moments" -> ((s, dir) => {
+      // two-pass-free exact moments: decimal sums are order-insensitive, the
+      // variance/corr formulas then run in identical double arithmetic in
+      // both engines — numerically stable at any partition count, unlike
+      // streaming variance whose merge order differs per run
+      val x = dec2(col("l_quantity")); val y = dec2(col("l_extendedprice"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double"); val sx2 = col("sx2").cast("double")
+      val sy = col("sy").cast("double"); val sy2 = col("sy2").cast("double")
+      val sxy = col("sxy").cast("double")
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(x * x).as("sx2"),
+          sum(y).as("sy"), sum(y * y).as("sy2"), sum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          (sx / n).as("mean_qty"),
+          ((n * sx2 - sx * sx) / (n * (n - lit(1.0)))).as("var_qty"),
+          sqrt((n * sx2 - sx * sx) / (n * (n - lit(1.0)))).as("std_qty"),
+          ((n * sxy - sx * sy) /
+            (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))).as("corr_qty_price"))
+    }),
+
+    "percentile_qty" -> ((s, dir) =>
+      // exact (not approx) percentiles; quartiles of integral quantities are
+      // bitwise identical across interpolation formulas
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"))),
+
+    "histogram_price" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(floor(col("o_totalprice") / lit(25000.0)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))),
+
+    "token_counts_topk" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)),
+
+    "top_bigrams" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.wordShingles(col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(20)),
+
+    "quality_filter" -> ((s, dir) =>
+      // the canonical training-data gate: keep documents passing quality
+      // thresholds; runs entirely in the scan stage
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.qualityFeatures(col("text")).as("q"))
+        .filter(col("q.n_tokens") >= 10 &&
+          col("q.punct_ratio") <= 0.1 && col("q.stopword_ratio") >= 0.05)
+        .select(col("doc_id"), col("q.n_tokens").as("n_tokens"),
+          col("q.stopword_ratio").as("stopword_ratio"))),
+
+    "pii_scrub" -> ((s, dir) => {
+      // email -> URL -> number, in that order (later passes see earlier
+      // placeholders, which contain no scrubbable characters)
+      val scrubbed =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+            "https?://[^ ]+", "<URL>"),
+          "[0-9]+", "<NUM>")
+      Tables.documents(s, dir).select(col("doc_id"), scrubbed.as("scrubbed"))
+    }),
+
+    "salted_join_agg" -> ((s, dir) => {
+      // skew-safe fact-to-fact join: identical result to the plain equi-join
+      // (the oracle), with hot keys spread over 8 reducers
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"), col("l_quantity"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"), col("o_custkey"))
+      operators.Joins.saltedJoin(li, o, Seq("k"), factor = 8)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"), decSum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    "trailing_window_sum" -> ((s, dir) => {
+      // RANGE frame: per customer, order value in the trailing 30 days —
+      // value-based frames are the time-series primitive rows-frames can't
+      // express when days gap
+      val days = datediff(to_date(col("o_orderdate")), lit("1990-01-01").cast("date"))
+      Tables.orders(s, dir)
+        .withColumn("days", days)
+        .select(col("o_orderkey"), col("o_custkey"), col("days").cast("long").as("days"),
+          sum(dec2(col("o_totalprice"))).over(
+            Window.partitionBy(col("o_custkey")).orderBy(col("days")).rangeBetween(-30, 0))
+            .cast("double").as("trail30"))
+    }),
+
+    "array_funcs_docs" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(array_distinct(toks)).as("n_distinct"),
+        concat_ws(" ", slice(toks, 1, 3)).as("first3"),
+        array_contains(toks, "the").as("has_the"))
+    }),
+
+    "null_cond_funcs" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("g"),
+        least(col("o_totalprice"), lit(100000.0)).as("l"),
+        when(col("o_orderstatus") === "P", lit(null)).otherwise(col("o_totalprice")).as("nn"),
+        coalesce(when(col("o_orderstatus") === "P", lit(null)).otherwise(col("o_totalprice")),
+          lit(-1.0)).as("co"))),
+
+    "distinct_pairs" -> ((s, dir) =>
+      Sources.events(s, dir)
+        .filter(col("event_type").isin("signup", "error"))
+        .select(col("user_id"), col("event_type"))
+        .distinct())
   )
 
   // ---- SQL fragments mirroring the native vector kernels -----------------
@@ -453,6 +575,10 @@ object SparkEntry {
     operators.Dedup.hyperplanes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
       "(" + i + ", [" + p.map(_.toDouble.toString).mkString(",") + "]::DOUBLE[])"
     }.mkString(",\n  ")
+
+  /** Word-token list, mirroring [[TextAnalysis.tokens]]. */
+  private val sqlToks: String =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"
 
   private val langMarkersSql: Seq[(String, String)] = Seq(
     "en" -> "['the','and','of','to','in','is','that','it','for','with']",
@@ -796,6 +922,106 @@ object SparkEntry {
          |    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
          |  WHERE ${sqlCos("l.embedding", "r.embedding")} >= 0.95)
          |SELECT e.vec_id FROM embeddings e
-         |WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
+         |WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin,
+
+    "stats_moments" ->
+      """SELECT l_returnflag, n,
+        | sx / nd AS mean_qty,
+        | (nd * sx2 - sx * sx) / (nd * (nd - 1.0)) AS var_qty,
+        | sqrt((nd * sx2 - sx * sx) / (nd * (nd - 1.0))) AS std_qty,
+        | (nd * sxy - sx * sy) /
+        |   (sqrt(nd * sx2 - sx * sx) * sqrt(nd * sy2 - sy * sy)) AS corr_qty_price
+        |FROM (
+        |  SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx_d AS DOUBLE) AS sx, CAST(sx2_d AS DOUBLE) AS sx2,
+        |    CAST(sy_d AS DOUBLE) AS sy, CAST(sy2_d AS DOUBLE) AS sy2, CAST(sxy_d AS DOUBLE) AS sxy
+        |  FROM (
+        |    SELECT l_returnflag, count(*) AS n,
+        |      sum(x) AS sx_d, sum(x * x) AS sx2_d,
+        |      sum(y) AS sy_d, sum(y * y) AS sy2_d, sum(x * y) AS sxy_d
+        |    FROM (SELECT l_returnflag,
+        |            CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |            CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |          FROM lineitem) t0
+        |    GROUP BY l_returnflag) t1) t2""".stripMargin,
+
+    "percentile_qty" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS p25,
+        | quantile_cont(l_quantity, 0.5) AS p50,
+        | quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "histogram_price" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+        | count(*) AS cnt, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "token_counts_topk" ->
+      s"""SELECT token, count(*) AS cnt
+         |FROM (SELECT unnest($sqlToks) AS token FROM documents) t
+         |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "top_bigrams" ->
+      s"""SELECT bigram, count(*) AS cnt
+         |FROM (
+         |  SELECT unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+         |                ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |                END) AS bigram
+         |  FROM (SELECT $sqlToks AS toks FROM documents) t0) t1
+         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+
+    "quality_filter" ->
+      s"""SELECT doc_id, n_tokens, stopword_ratio FROM (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS INT) AS n_tokens,
+         |    CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio,
+         |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','from','it','this','that'], t))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio
+         |  FROM (SELECT doc_id, text, $sqlToks AS toks FROM documents) t0) t1
+         |WHERE n_tokens >= 10 AND punct_ratio <= 0.1 AND stopword_ratio >= 0.05""".stripMargin,
+
+    "pii_scrub" ->
+      """SELECT doc_id,
+        | regexp_replace(
+        |   regexp_replace(
+        |     regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |     'https?://[^ ]+', '<URL>', 'g'),
+        |   '[0-9]+', '<NUM>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
+
+    "salted_join_agg" ->
+      """SELECT o_custkey, count(*) AS n_items,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey""".stripMargin,
+
+    "trailing_window_sum" ->
+      """SELECT o_orderkey, o_custkey, days,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY days
+        |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail30
+        |FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS days
+        |  FROM orders) t""".stripMargin,
+
+    "array_funcs_docs" ->
+      s"""SELECT doc_id,
+         | CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+         | array_to_string(toks[1:3], ' ') AS first3,
+         | list_contains(toks, 'the') AS has_the
+         |FROM (SELECT doc_id, $sqlToks AS toks FROM documents) t""".stripMargin,
+
+    "null_cond_funcs" ->
+      """SELECT o_orderkey,
+        | greatest(o_totalprice, 100000.0) AS g,
+        | least(o_totalprice, 100000.0) AS l,
+        | CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS nn,
+        | coalesce(CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END, -1.0) AS co
+        |FROM orders""".stripMargin,
+
+    "distinct_pairs" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |WHERE event_type IN ('signup', 'error')""".stripMargin
   )
 }
