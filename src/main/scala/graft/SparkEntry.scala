@@ -578,7 +578,7 @@ object SparkEntry {
 
   /** Word-token list, mirroring [[TextAnalysis.tokens]]. */
   private val sqlToks: String =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"
+    "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   private val langMarkersSql: Seq[(String, String)] = Seq(
     "en" -> "['the','and','of','to','in','is','that','it','for','with']",
@@ -832,7 +832,7 @@ object SparkEntry {
         | CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio,
         | CASE WHEN len(tokens) > 0 THEN CAST(len(list_filter(tokens, t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','from','it','this','that'], t))) AS DOUBLE) / len(tokens) ELSE 0.0 END AS stopword_ratio
         |FROM (SELECT doc_id, text,
-        |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '') AS tokens
+        |        regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens
         |      FROM documents) t""".stripMargin,
 
     "lang_distribution" ->
@@ -860,7 +860,7 @@ object SparkEntry {
              }.mkString(",\n      ")}
          |    FROM (
          |      SELECT doc_id,
-         |        list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')) AS toks
+         |        list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
          |      FROM documents) t0) t1) t2""".stripMargin,
 
     "ann_topk" ->

@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Lowercased word tokens; empty strings (leading/trailing separators)
-    * filtered out so counts agree with intuitive word counts.
+  /** Lowercased word tokens: maximal `[a-z0-9]` runs via
+    * `regexp_extract_all` — semantically identical to splitting on
+    * `[^a-z0-9]+` and dropping empties, but a single codegen'd expression;
+    * the split+filter formulation is a higher-order function
+    * (CodegenFallback), which broke the whole-stage-codegen span of every
+    * downstream text operator.
     */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
