@@ -60,6 +60,78 @@ object Streaming {
       }
   }
 
+  final case class SessionEvent(user_id: Long, tsMicros: Long, value: Double)
+  final case class Session(
+      user_id: Long, start_micros: Long, end_micros: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState — the custom-state
+    * surface for whole-session semantics the built-in `session_window`
+    * aggregation can't express (arbitrary per-session payload, emit-on-close).
+    *
+    * A session closes when the next event for the key arrives `gapMicros` or
+    * more after the session's last event; closed sessions are EMITTED, the
+    * open session stays in the key's state across micro-batches (so a session
+    * spanning batches merges correctly). State per key is one small record —
+    * partitioned across the cluster's state store, never collected.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMicros: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[SessionEvent], state: GroupState[Session]) =>
+          // micro-batch group input is unordered; sessionization needs time order
+          val sorted = rows.toIndexedSeq.sortBy(_.tsMicros)
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var open = state.getOption
+          sorted.foreach { e =>
+            open = open match {
+              case Some(s) if e.tsMicros - s.end_micros < gapMicros =>
+                Some(s.copy(end_micros = e.tsMicros,
+                  n_events = s.n_events + 1, sum_value = s.sum_value + e.value))
+              case Some(s) =>
+                closed += s
+                Some(Session(uid, e.tsMicros, e.tsMicros, 1L, e.value))
+              case None =>
+                Some(Session(uid, e.tsMicros, e.tsMicros, 1L, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  /** Streaming upsert sink via foreachBatch: each micro-batch is merged into
+    * the parquet target with the reference's ON CONFLICT semantics
+    * ([[graft.sinks.Sinks.upsert]]) — the streaming form of the K2 loader.
+    * The merge writes to a staging dir and swaps atomically so readers never
+    * see a half-written target.
+    */
+  def upsertStream(
+      events: DataFrame,
+      targetDir: String,
+      keys: Seq[String],
+      action: graft.types.ConflictAction = graft.types.ConflictUpdate): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(targetDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val target = new org.apache.hadoop.fs.Path(targetDir)
+        val merged =
+          if (fs.exists(target))
+            graft.sinks.Sinks.upsert(spark.read.parquet(targetDir), batch, keys, action)
+          else batch
+        val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        if (fs.exists(target)) fs.delete(target, true)
+        fs.rename(staging, target)
+        ()
+      }
+      .start()
+
   /** Streaming exactly-once-per-key dedup: dropDuplicates keyed on event_id
     * with the watermark bounding how long ids are remembered — the streaming
     * analog of W1/K2 conflict-skip semantics.

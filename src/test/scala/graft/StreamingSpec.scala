@@ -58,6 +58,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize emits closed sessions and carries open sessions across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val minute = 60L * 1000000
+    val input = MemoryStream[Streaming.SessionEvent]
+    val q = Streaming.sessionize(input.toDS(), gapMicros = 30 * minute)
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    try {
+      input.addData(
+        Streaming.SessionEvent(1, 0, 1.0), Streaming.SessionEvent(1, 10 * minute, 2.0),
+        Streaming.SessionEvent(2, 0, 5.0))
+      q.processAllAvailable()
+      // nothing closed yet: both users' sessions are open, held in state
+      assert(spark.table("sessions").count() == 0)
+      input.addData(Streaming.SessionEvent(1, 120 * minute, 3.0)) // 110 min gap -> closes user 1
+      q.processAllAvailable()
+      val got = spark.table("sessions").as[Streaming.Session].collect().toSet
+      assert(got == Set(Streaming.Session(1, 0, 10 * minute, 2, 3.0)))
+    } finally q.stop()
+  }
+
+  test("upsertStream merges each micro-batch into the parquet target (ON CONFLICT DO UPDATE)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/target"
+    val q = Streaming.upsertStream(input.toDF().toDF("id", "v"), dir, Seq("id"))
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((2L, "b-updated"), (3L, "c"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(dir).as[(Long, String)].collect().toMap
+      assert(got == Map(1L -> "a", 2L -> "b-updated", 3L -> "c"))
+    } finally q.stop()
+  }
+
   test("dedupStream drops replayed event ids within the watermark horizon") {
     val staged = java.nio.file.Files.createTempDirectory("graft-stream3").toString + "/events"
     val ev = Sources.events(spark, sfDir).drop("ts_ns").limit(100)
