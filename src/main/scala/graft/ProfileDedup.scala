@@ -18,6 +18,23 @@ object ProfileDedup {
     time("minhashLsh 2nd")(Dedup.minhashLsh(docs, "doc_id", "text").count())
     time("ngramJaccard")(Dedup.ngramJaccard(docs, "doc_id", "text").count())
     time("simhash")(Dedup.simhash(docs, "doc_id", "text").count())
+    val emb = Tables.embeddings(spark, dir)
+    time("emb warmup")(emb.count())
+    (1 to 2).foreach { i =>
+      time(s"embeddingCosine run$i")(
+        Dedup.embeddingCosine(emb, "vec_id", "embedding", dim = 64).count())
+    }
+    // stage isolation: sign-bit projection alone
+    import graft.functions.VectorExpressions
+    val planes = Dedup.hyperplanes(32, 64)
+    val signBits = planes.toSeq.zipWithIndex.map { case (p, i) =>
+      when(VectorExpressions.dot(col("embedding"), typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    (1 to 2).foreach { i =>
+      time(s"signs only run$i")(
+        graft.operators.Ops.spread(emb.select(col("vec_id"), col("embedding")))
+          .select(col("vec_id"), signBits.as("s")).agg(sum("s")).count())
+    }
     spark.stop()
   }
 }

@@ -17,7 +17,8 @@ import org.apache.spark.sql.types.DecimalType
   * Determinism rules for oracle parity:
   *  - aggregated monetary/quantity sums go through DECIMAL casts in BOTH
   *    engines (double accumulation order differs between Spark partial
-  *    aggregates and DuckDB's sequential scan; decimal arithmetic is exact);
+  *    aggregates and DuckDB's sequential scan; decimal arithmetic is exact),
+  *    but the FINAL sum is cast to DOUBLE in both — see [[decSum]];
   *  - per-row double arithmetic is left as double (same IEEE ops, same
   *    operands, identical results);
   *  - `events.ts` (parquet TIMESTAMP_NANOS) is truncated to µs on the Spark
