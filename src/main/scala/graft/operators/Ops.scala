@@ -152,6 +152,18 @@ object Ops {
       if (order.isEmpty) df
       else df.orderBy(order.map { case (f, asc) => if (asc) col(f).asc else col(f).desc }: _*)
 
+  /** A2 — run-stats counters (the reference's `rows_loaded` accounting,
+    * `internal_raw_to_dwh/standard_pipeline.py:113-115`) via `observe`: the
+    * metric accumulates during the SAME action that consumes the frame — no
+    * second scan, which at 100 TB is the difference between free accounting
+    * and doubling the job.
+    */
+  def countObserved(df: DataFrame)(action: DataFrame => Unit): Long = {
+    val obs = new org.apache.spark.sql.Observation()
+    action(df.observe(obs, count(lit(1)).as("rows_loaded")))
+    obs.get("rows_loaded").asInstanceOf[Long]
+  }
+
   /** Parallelism guard for CPU-dense per-row kernels (MinHash signatures,
     * cosine scans, tokenization): if the input plan has fewer partitions than
     * the cluster has slots, round-robin repartition up to `defaultParallelism`
