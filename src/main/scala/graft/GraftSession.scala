@@ -17,6 +17,9 @@ object GraftSession {
   def builder(appName: String): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
+      // engine Catalyst extensions (e.g. nanos range pushdown); applied when
+      // this builder CREATES the session (a reused session keeps its own)
+      .withExtensions(graft.plans.GraftExtensions.inject)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Optimizer rule (registered through [[GraftExtensions]]): rewrite range
+  * comparisons on a µs timestamp DERIVED from a raw nanosecond long
+  * (`timestamp_micros(ns DIV 1000)`, the events-source adapter in
+  * [[graft.sources.Sources.events]]) into the exactly-equivalent bound on
+  * the raw column itself.
+  *
+  * Why it matters: after predicate pushdown inlines the derivation, the
+  * filter sits on `timestamp_micros(ns DIV 1000) >= L` — an expression over
+  * the scan column, which the parquet reader cannot use. The rewritten
+  * `ns >= L'` is a plain attribute comparison, so it lands in
+  * `PushedFilters` and prunes row groups by min/max stats — at 100 TB the
+  * difference between reading the time window and reading everything.
+  *
+  * Exactness: `DIV` truncates toward zero, so for a µs bound `U` the
+  * smallest nanosecond with `ns DIV 1000 >= U` is `U*1000` when `U > 0`
+  * but `U*1000 - 999` when `U <= 0` (pre-epoch). Using that boundary, each
+  * rewrite is an equivalence — never a relaxation — and null semantics are
+  * preserved (both forms are null iff `ns` is null). The rewritten form no
+  * longer matches the pattern, so the optimizer's fixed point terminates.
+  *
+  * The manual [[graft.sources.Sources.pushTsRangeNs]] remains as the
+  * explicit-API form; with this rule active, a plain
+  * `df.filter(col("ts") >= ... && col("ts") < ...)` gets the same scan.
+  */
+object PushTsRangeToNanos extends Rule[LogicalPlan] {
+
+  /** `timestamp_micros(ns DIV 1000)` over a directly-scannable column. */
+  private object DerivedTs {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case MicrosToTimestamp(IntegralDivide(ns: AttributeReference, Literal(1000L, LongType), _)) =>
+        Some(ns)
+      case _ => None
+    }
+  }
+
+  /** Smallest ns with `ns DIV 1000 >= u`; None on overflow. */
+  private def lowNs(u: Long): Option[Long] =
+    if (u >= Long.MaxValue / 1000L - 1L || u <= Long.MinValue / 1000L + 1L) None
+    else Some(if (u > 0L) u * 1000L else u * 1000L - 999L)
+
+  private def nsLit(v: Long): Literal = Literal(v, LongType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // ts >= U  ⟺  ns >= lowNs(U)
+    case e @ GreaterThanOrEqual(DerivedTs(ns), Literal(u: Long, TimestampType)) =>
+      lowNs(u).map(b => GreaterThanOrEqual(ns, nsLit(b)): Expression).getOrElse(e)
+    // ts > U  ⟺  ts >= U+1µs  ⟺  ns >= lowNs(U+1)
+    case e @ GreaterThan(DerivedTs(ns), Literal(u: Long, TimestampType)) =>
+      lowNs(u + 1L).map(b => GreaterThanOrEqual(ns, nsLit(b)): Expression).getOrElse(e)
+    // ts < U  ⟺  ns < lowNs(U)
+    case e @ LessThan(DerivedTs(ns), Literal(u: Long, TimestampType)) =>
+      lowNs(u).map(b => LessThan(ns, nsLit(b)): Expression).getOrElse(e)
+    // ts <= U  ⟺  ns < lowNs(U+1)
+    case e @ LessThanOrEqual(DerivedTs(ns), Literal(u: Long, TimestampType)) =>
+      lowNs(u + 1L).map(b => LessThan(ns, nsLit(b)): Expression).getOrElse(e)
+    // literal-on-the-left mirror images
+    case e @ LessThanOrEqual(Literal(u: Long, TimestampType), DerivedTs(ns)) =>
+      lowNs(u).map(b => GreaterThanOrEqual(ns, nsLit(b)): Expression).getOrElse(e)
+    case e @ LessThan(Literal(u: Long, TimestampType), DerivedTs(ns)) =>
+      lowNs(u + 1L).map(b => GreaterThanOrEqual(ns, nsLit(b)): Expression).getOrElse(e)
+    case e @ GreaterThan(Literal(u: Long, TimestampType), DerivedTs(ns)) =>
+      lowNs(u).map(b => LessThan(ns, nsLit(b)): Expression).getOrElse(e)
+    case e @ GreaterThanOrEqual(Literal(u: Long, TimestampType), DerivedTs(ns)) =>
+      lowNs(u + 1L).map(b => LessThan(ns, nsLit(b)): Expression).getOrElse(e)
+  }
+}
+
+/** Engine extensions entry point: `SparkSession.builder.withExtensions
+  * (GraftExtensions.inject)` or spark.sql.extensions=graft.plans.GraftExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftExtensions.inject(ext)
+}
+
+object GraftExtensions {
+  def inject(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => PushTsRangeToNanos)
+}

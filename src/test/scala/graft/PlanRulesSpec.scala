@@ -1,0 +1,65 @@
+package graft
+
+import graft.plans.PushTsRangeToNanos
+import graft.sources.Sources
+import org.apache.spark.sql.catalyst.expressions.{Attribute, GreaterThanOrEqual, LessThan, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Catalyst extension rules: nanos-pushdown rewriting. */
+class PlanRulesSpec extends SparkTestBase {
+
+  // raw nanos comparisons: plain long-attribute vs long-literal (the parquet
+  // column is still named "ts" pre-rename in the optimized plan)
+  private def nsBounds(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[(String, Long)] =
+    plan.collect { case Filter(cond, _) =>
+      cond.collect {
+        case GreaterThanOrEqual(a: Attribute, Literal(v: Long, LongType)) if a.dataType == LongType => (">=", v)
+        case LessThan(a: Attribute, Literal(v: Long, LongType)) if a.dataType == LongType => ("<", v)
+      }
+    }.flatten
+
+  test("PushTsRangeToNanos adds exact ts_ns bounds for a derived-ts range filter") {
+    val df = Sources.events(spark, sfDir)
+      .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+    val before = df.queryExecution.optimizedPlan
+    assert(nsBounds(before).isEmpty, "no manual push in this plan")
+
+    val after = PushTsRangeToNanos(before)
+    val bounds = nsBounds(after)
+    val loNs = java.time.LocalDateTime.parse("2024-01-05T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+    val hiNs = java.time.LocalDateTime.parse("2024-01-20T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+    assert(bounds.contains((">=", loNs)) && bounds.contains(("<", hiNs)), s"got $bounds")
+
+    // idempotent: a second application changes nothing
+    assert(PushTsRangeToNanos(after) == after)
+
+    // semantics preserved: bounds are exact, so row sets agree
+    val manual = Sources.pushTsRangeNs(Sources.events(spark, sfDir),
+      Some("2024-01-05 00:00:00"), Some("2024-01-20 00:00:00"))
+      .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+    assert(df.count() == manual.count())
+  }
+
+  test("rule is a no-op when the filter does not bound a derived timestamp") {
+    val df = Sources.events(spark, sfDir).filter(col("event_type") === "purchase")
+    val plan = df.queryExecution.optimizedPlan
+    assert(PushTsRangeToNanos(plan) == plan)
+  }
+
+  test("rule does not fire when ts_ns was projected away below the filter") {
+    val df = Sources.events(spark, sfDir)
+      .select("event_id", "ts")
+      .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp"))
+    // after optimization ts_ns may not flow through the filter's child;
+    // whatever the shape, applying the rule must keep the plan resolvable
+    val plan = df.queryExecution.optimizedPlan
+    val rewritten = PushTsRangeToNanos(plan)
+    assert(rewritten.resolved)
+  }
+}
