@@ -549,7 +549,46 @@ object SparkEntry {
       Sources.events(s, dir)
         .filter(col("event_type").isin("signup", "error"))
         .select(col("user_id"), col("event_type"))
-        .distinct())
+        .distinct()),
+
+    "doc_chunks" -> ((s, dir) => {
+      // token-window chunking with overlap (50-token windows, stride 40) —
+      // the standard prep for context-bounded training samples; 1→N rows via
+      // posexplode, all inside the scan stage
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+      val lastIdx = greatest(lit(0),
+        ceil((size(col("toks")) - lit(50)).cast("double") / 40.0).cast("int"))
+      base.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lastIdx),
+            i => concat_ws(" ", slice(col("toks"), i * 40 + 1, lit(50))))))
+        .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
+    }),
+
+    "stratified_sample" -> ((s, dir) => {
+      // per-language top-k by quality — stratified curriculum selection;
+      // one shuffle on the stratum key
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("stopword_ratio").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityFeatures(col("text")).getField("stopword_ratio").as("stopword_ratio"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 20)
+    }),
+
+    "weighted_mix" -> ((s, dir) => {
+      // deterministic per-language sampling rates (modulo on the stable id,
+      // not rand() — retried tasks must agree) — training-mixture weighting
+      val rates = Seq("en" -> 2, "es" -> 5, "de" -> 5, "fr" -> 8, "zh" -> 8)
+      val rate = rates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+        when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(10)) < rate)
+        .select(col("doc_id"), col("lang"))
+    })
   )
 
   // ---- SQL fragments mirroring the native vector kernels -----------------
@@ -1023,6 +1062,30 @@ object SparkEntry {
 
     "distinct_pairs" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |WHERE event_type IN ('signup', 'error')""".stripMargin
+        |WHERE event_type IN ('signup', 'error')""".stripMargin,
+
+    "doc_chunks" ->
+      s"""SELECT doc_id, CAST(c['idx'] AS INT) AS chunk_idx, c['chunk'] AS chunk FROM (
+         |  SELECT doc_id, unnest(list_transform(range(0, nch),
+         |    i -> {'idx': i, 'chunk': array_to_string(toks[i*40+1 : i*40+50], ' ')})) AS c
+         |  FROM (SELECT doc_id, toks,
+         |          greatest(0, CAST(ceil((len(toks) - 50) / 40.0) AS BIGINT)) + 1 AS nch
+         |        FROM (SELECT doc_id, $sqlToks AS toks FROM documents) t0
+         |        WHERE len(toks) > 0) t1) t2""".stripMargin,
+
+    "stratified_sample" ->
+      s"""SELECT doc_id, lang, stopword_ratio, rnk FROM (
+         |  SELECT doc_id, lang, stopword_ratio,
+         |    row_number() OVER (PARTITION BY lang ORDER BY stopword_ratio DESC, doc_id) AS rnk
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |      CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','from','it','this','that'], t))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio
+         |    FROM (SELECT doc_id, lang, $sqlToks AS toks FROM documents) t0) t1) t2
+         |WHERE rnk <= 20""".stripMargin,
+
+    "weighted_mix" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id % 10 < CASE lang WHEN 'en' THEN 2 WHEN 'es' THEN 5
+        |  WHEN 'de' THEN 5 WHEN 'fr' THEN 8 WHEN 'zh' THEN 8 ELSE 0 END""".stripMargin
   )
 }
