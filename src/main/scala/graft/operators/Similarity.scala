@@ -120,6 +120,23 @@ object Similarity {
     (assignments, model)
   }
 
+  /** Persist the IVF index partitioned by centroid id — the 100 TB layout:
+    * each inverted list is a directory, so a probe's `centroid_id IN (...)`
+    * filter becomes PARTITION pruning and the scan reads nprobe/nlist of the
+    * files instead of filtering all of them.
+    */
+  def writeIvfIndex(assignments: DataFrame, dir: String): Unit =
+    assignments.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+
+  /** Probe a persisted IVF index: identical semantics to [[ivfTopK]], but the
+    * centroid filter prunes whole directories at planning time.
+    */
+  def ivfTopKFromIndex(
+      spark: SparkSession, indexDir: String, model: IvfModel,
+      idCol: String, vecCol: String,
+      query: Array[Float], k: Int, nprobe: Int): DataFrame =
+    ivfTopK(spark.read.parquet(indexDir), model, idCol, vecCol, query, k, nprobe)
+
   /** IVF probe: rank centroids against the query on the driver (the codebook
     * is tiny), then brute-force only inside the `nprobe` nearest lists — an
     * IN-filter the scan prunes on.

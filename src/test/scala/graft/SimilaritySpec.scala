@@ -55,6 +55,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(self == 3L, "each query's own vector is among its top-k")
   }
 
+  test("persisted IVF index prunes partitions on probe and matches the in-memory result") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" === 5).select("embedding").head().getSeq[Float](0).toArray
+    val (assignments, model) = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/index"
+    Similarity.writeIvfIndex(assignments, dir)
+
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, dir, model, "vec_id", "embedding", q, k = 10, nprobe = 2)
+    val inMemory = Similarity.ivfTopK(assignments, model, "vec_id", "embedding", q, k = 10, nprobe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows(fromIndex) == rows(inMemory) && rows(fromIndex).nonEmpty)
+
+    // the probe's centroid filter must prune DIRECTORIES, not just rows
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"probe should partition-prune:\n$plan")
+    // the on-disk layout is one directory per inverted list, so pruning to
+    // nprobe lists reads a strict subset of directories
+    val listDirs = new java.io.File(dir).list().count(_.startsWith("centroid_id="))
+    assert(listDirs > 2, s"expected one directory per non-empty list, got $listDirs")
+  }
+
   test("IVF probe finds the query vector when probing enough lists") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter($"vec_id" === 12).select("embedding").head().getSeq[Float](0).toArray
