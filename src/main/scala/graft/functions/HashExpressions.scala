@@ -90,6 +90,36 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Space-joined n-gram shingle STRINGS of a token array, single pass.
+    * Fewer than n tokens -> one shingle of all tokens (empty input -> [""]),
+    * matching the Column-level wordShingles contract. Exists for the same
+    * reason as [[ngramHashes]]: the `transform(sequence, i ->
+    * concat_ws(slice(...)))` formulation runs an interpreted lambda that
+    * copies the token array per shingle.
+    */
+  def ngramStrings(tokens: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val space = UTF8String.fromString(" ")
+    val cnt = tokens.numElements()
+    if (cnt < n) {
+      val parts = new Array[UTF8String](cnt)
+      var i = 0
+      while (i < cnt) { parts(i) = tokens.getUTF8String(i); i += 1 }
+      return new GenericArrayData(Array[Any](UTF8String.concatWs(space, parts: _*)))
+    }
+    val m = cnt - n + 1
+    val out = new Array[Any](m)
+    val parts = new Array[UTF8String](n)
+    var j = 0
+    while (j < m) {
+      var k = 0
+      while (k < n) { parts(k) = tokens.getUTF8String(j + k); k += 1 }
+      out(j) = UTF8String.concatWs(space, parts: _*)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** LSH band keys over a fixed-length signature: the signature is split into
     * `bands` equal slices and each slice is folded with a splitmix64-style
     * mix into one 64-bit bucket key. Pure long arithmetic — no string
@@ -160,6 +190,18 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class NGramStrings(child: Expression, n: Int) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      HashKernels.ngramStrings(v.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.HashKernels.ngramStrings($c, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class BandKeys(child: Expression, bands: Int) extends UnaryExpression {
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -182,4 +224,7 @@ object HashExpressions {
 
   def ngramHashes(tokens: Column, n: Int): Column =
     ColumnBridge.column(NGramHashes(ColumnBridge.expression(tokens), n))
+
+  def ngramStrings(tokens: Column, n: Int): Column =
+    ColumnBridge.column(NGramStrings(ColumnBridge.expression(tokens), n))
 }

@@ -91,11 +91,12 @@ object TextAnalysis {
       transform(sequence(lit(0), length(t) - k), i => t.substr(i + 1, lit(k))))
   }
 
-  /** Word n-gram shingles (for MinHash / n-gram Jaccard). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** Word n-gram shingles (for MinHash / n-gram Jaccard / frequency mining).
+    * Native single-pass kernel ([[graft.functions.HashExpressions.NGramStrings]]):
+    * the `transform(sequence, i -> concat_ws(slice(toks, ...)))` formulation
+    * copies the token array per shingle inside an interpreted lambda —
+    * measured ~10x slower at bench scale.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.HashExpressions.ngramStrings(tokens(text), n)
 }
