@@ -81,6 +81,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  def inject(ext: SparkSessionExtensions): Unit =
+  import graft.functions.{HashExpressions => H, VectorExpressions => V}
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  /** The engine's native kernels as SQL-callable functions, so every operator
+    * is reachable from `spark.sql(...)` as well as the Column API.
+    */
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine", (c: Seq[Expression]) => V.CosineSimilarity(c(0), c(1))),
+    ("graft_dot", (c: Seq[Expression]) => V.DotProduct(c(0), c(1))),
+    ("graft_l2norm", (c: Seq[Expression]) => V.L2Norm(c(0))),
+    ("graft_simhash64", (c: Seq[Expression]) => V.SimHash64(c(0))),
+    ("graft_rolling_hash", (c: Seq[Expression]) => H.RollingHash(c(0))),
+    ("graft_ngram_hashes", (c: Seq[Expression]) => H.NGramHashes(c(0), intArg(c(1), "n"))),
+    ("graft_ngrams", (c: Seq[Expression]) => H.NGramStrings(c(0), intArg(c(1), "n"))),
+    ("graft_band_keys", (c: Seq[Expression]) => H.BandKeys(c(0), intArg(c(1), "bands")))
+  ).map { case (name, builder) =>
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name),
+      builder)
+  }
+
+  def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PushTsRangeToNanos)
+    functions.foreach(ext.injectFunction)
+  }
+
+  /** Register the same functions into an ALREADY-RUNNING session (extensions
+    * only apply at session construction; tests and notebooks attach late).
+    */
+  def registerInto(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -52,6 +52,23 @@ class PlanRulesSpec extends SparkTestBase {
     assert(PushTsRangeToNanos(plan) == plan)
   }
 
+  test("native kernels are SQL-callable once registered (extension function surface)") {
+    graft.plans.GraftExtensions.registerInto(spark)
+    Tables.embeddings(spark, sfDir).limit(10).createOrReplaceTempView("emb_sql")
+    spark.sql(
+      """SELECT vec_id, graft_cosine(embedding, embedding) AS c, graft_l2norm(embedding) AS n
+        |FROM emb_sql""".stripMargin).collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-9 && r.getDouble(2) > 0.0)
+    }
+    val grams = spark.sql("SELECT graft_ngrams(array('a','b','c'), 2) AS g")
+      .head().getSeq[String](0)
+    assert(grams == Seq("a b", "b c"))
+    val fp = spark.sql(
+      "SELECT graft_rolling_hash(transform(array('x','y'), t -> xxhash64(t))) AS fp")
+      .head().getLong(0)
+    assert(fp != 0L)
+  }
+
   test("rule does not fire when ts_ns was projected away below the filter") {
     val df = Sources.events(spark, sfDir)
       .select("event_id", "ts")
