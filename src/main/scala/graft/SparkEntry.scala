@@ -578,6 +578,19 @@ object SparkEntry {
         .filter(col("rnk") <= 20)
     }),
 
+    "sql_surface_topk" -> ((s, dir) => {
+      // the engine's SQL face: native kernels invoked from spark.sql
+      // (registered by GraftExtensions; registerInto covers sessions built
+      // without the extensions)
+      graft.plans.GraftExtensions.registerInto(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+      s.sql(
+        """WITH q AS (SELECT embedding AS qv FROM graft_embeddings WHERE vec_id = 1)
+          |SELECT e.vec_id, graft_cosine(e.embedding, q.qv) AS score
+          |FROM graft_embeddings e CROSS JOIN q
+          |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin)
+    }),
+
     "weighted_mix" -> ((s, dir) => {
       // deterministic per-language sampling rates (modulo on the stable id,
       // not rand() — retried tasks must agree) — training-mixture weighting
@@ -1082,6 +1095,12 @@ object SparkEntry {
          |      CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','from','it','this','that'], t))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio
          |    FROM (SELECT doc_id, lang, $sqlToks AS toks FROM documents) t0) t1) t2
          |WHERE rnk <= 20""".stripMargin,
+
+    "sql_surface_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+         |SELECT e.vec_id, ${sqlCos("e.embedding", "q.qv")} AS score
+         |FROM embeddings e, q
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
 
     "weighted_mix" ->
       """SELECT doc_id, lang FROM documents
