@@ -37,6 +37,35 @@ class ScaleLayoutSpec extends SparkTestBase {
       s"partition filters missing from plan:\n$plan")
   }
 
+  test("ORC sink roundtrips the frame") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/orders"
+    val o = Tables.orders(spark, sfDir)
+    Sinks.writeOrc(o, dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == o.count())
+    assert(back.schema == o.schema)
+  }
+
+  test("range-clustered write gives each file a tight, non-overlapping key range") {
+    val dir = Files.createTempDirectory("graft-sorted").toString + "/orders"
+    Sinks.writeSorted(Tables.orders(spark, sfDir), dir, Seq("o_orderdate"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == Tables.orders(spark, sfDir).count())
+    // per-file min/max ranges must not overlap (that is what makes row-group
+    // stats selective for range predicates)
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](1), r.getAs[java.time.LocalDateTime](2)))
+      .sortBy(_._1.toString)
+    assert(ranges.nonEmpty)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(!lo2.isBefore(hi1), s"overlap: $hi1 vs $lo2")
+      case _ => ()
+    }
+  }
+
   test("tables bucketed on the join key join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle decision
     try {
