@@ -578,6 +578,20 @@ object SparkEntry {
         .filter(col("rnk") <= 20)
     }),
 
+    "resize_meta" -> ((s, dir) =>
+      // multimodal resize path: stub codec stamps target dims into the meta
+      // map; the oracle checks the metadata contract end-to-end
+      Multimodal.resizeImages(Multimodal.mediaFromDocuments(s, dir), width = 640, height = 480)
+        .filter(col("modality") === "image")
+        .select(col("media_id"),
+          element_at(col("meta"), "resized_w").as("rw"),
+          element_at(col("meta"), "resized_h").as("rh"),
+          element_at(col("meta"), "lang").as("lang"))),
+
+    "subword_counts" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextAnalysis.subwordEstimate(col("text")).as("n_subwords"))),
+
     "sql_surface_topk" -> ((s, dir) => {
       // the engine's SQL face: native kernels invoked from spark.sql
       // (registered by GraftExtensions; registerInto covers sessions built
@@ -1095,6 +1109,17 @@ object SparkEntry {
          |      CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','from','it','this','that'], t))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio
          |    FROM (SELECT doc_id, lang, $sqlToks AS toks FROM documents) t0) t1) t2
          |WHERE rnk <= 20""".stripMargin,
+
+    "resize_meta" ->
+      """SELECT doc_id AS media_id, '640' AS rw, '480' AS rh, lang
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+
+    "subword_counts" ->
+      s"""SELECT doc_id,
+         | CAST(CASE WHEN len(toks) = 0 THEN 0
+         |      ELSE list_sum(list_transform(toks,
+         |             t -> greatest(1, CAST(ceil(length(t) / 4.0) AS BIGINT)))) END AS BIGINT) AS n_subwords
+         |FROM (SELECT doc_id, $sqlToks AS toks FROM documents) t""".stripMargin,
 
     "sql_surface_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
