@@ -29,8 +29,8 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       once(name, fn) // warm: codegen compile + JIT
-      // min of two measured runs: robust to one-off GC pauses / scheduler
-      // jitter on the shared rig without hiding real plan cost
+      // min of two measured runs: the rig shows multi-second scheduler noise
+      // bursts; a single sample regularly inflates a 0.3s plan to 4s
       name -> math.min(once(name, fn), once(name, fn))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
