@@ -555,14 +555,11 @@ object SparkEntry {
       // token-window chunking with overlap (50-token windows, stride 40) —
       // the standard prep for context-bounded training samples; 1→N rows via
       // posexplode, all inside the scan stage
-      val base = Tables.documents(s, dir)
+      Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) > 0)
-      val lastIdx = greatest(lit(0),
-        ceil((size(col("toks")) - lit(50)).cast("double") / 40.0).cast("int"))
-      base.select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), lastIdx),
-            i => concat_ws(" ", slice(col("toks"), i * 40 + 1, lit(50))))))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokenChunks(col("toks"), size = 50, stride = 40)))
         .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
     }),
 

@@ -90,34 +90,51 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
-  /** Space-joined n-gram shingle STRINGS of a token array, single pass.
-    * Fewer than n tokens -> one shingle of all tokens (empty input -> [""]),
-    * matching the Column-level wordShingles contract. Exists for the same
+  /** Space-joined token windows of `size` tokens starting every `stride`
+    * tokens, single pass. stride == 1 gives classic n-gram shingles; stride
+    * < size gives overlapping training chunks. Fewer than `size` tokens ->
+    * one window of all tokens (empty input -> [""]). Exists for the same
     * reason as [[ngramHashes]]: the `transform(sequence, i ->
     * concat_ws(slice(...)))` formulation runs an interpreted lambda that
-    * copies the token array per shingle.
+    * copies the token array per window.
     */
-  def ngramStrings(tokens: ArrayData, n: Int): ArrayData = {
+  def ngramStrings(tokens: ArrayData, size: Int, stride: Int): ArrayData = {
     import org.apache.spark.unsafe.types.UTF8String
     val space = UTF8String.fromString(" ")
     val cnt = tokens.numElements()
-    if (cnt < n) {
-      val parts = new Array[UTF8String](cnt)
-      var i = 0
-      while (i < cnt) { parts(i) = tokens.getUTF8String(i); i += 1 }
-      return new GenericArrayData(Array[Any](UTF8String.concatWs(space, parts: _*)))
-    }
-    val m = cnt - n + 1
-    val out = new Array[Any](m)
-    val parts = new Array[UTF8String](n)
+    // windows start at i*stride for i in [0, lastIdx]; the last window is
+    // the first one whose end reaches cnt
+    val lastIdx =
+      if (cnt <= size) 0
+      else ((cnt - size) + stride - 1) / stride
+    val out = new Array[Any](lastIdx + 1)
     var j = 0
-    while (j < m) {
-      var k = 0
-      while (k < n) { parts(k) = tokens.getUTF8String(j + k); k += 1 }
-      out(j) = UTF8String.concatWs(space, parts: _*)
+    while (j <= lastIdx) {
+      val start = j * stride
+      val end = math.min(start + size, cnt)
+      val parts = new Array[UTF8String](math.max(0, end - start))
+      var k = start
+      while (k < end) { parts(k - start) = tokens.getUTF8String(k); k += 1 }
+      out(j) = UTF8String.concatWs(space, parts.toSeq: _*)
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Count of elements contained in a fixed string set (stopword / marker
+    * scoring) — the `size(filter(arr, t -> t INSET ...))` formulation is an
+    * interpreted lambda (CodegenFallback) that broke the codegen span of
+    * every quality/lang-id projection.
+    */
+  def countInSet(arr: ArrayData, set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]): Int = {
+    var c = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
   }
 
   /** LSH band keys over a fixed-length signature: the signature is split into
@@ -190,15 +207,33 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  case class NGramStrings(child: Expression, n: Int) extends UnaryExpression {
+  case class NGramStrings(child: Expression, n: Int, stride: Int = 1) extends UnaryExpression {
     override def nullIntolerant: Boolean = true
     override def dataType: DataType =
       ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
-      HashKernels.ngramStrings(v.asInstanceOf[ArrayData], n)
+      HashKernels.ngramStrings(v.asInstanceOf[ArrayData], n, stride)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.functions.HashKernels.ngramStrings($c, $n);")
+        s"${ev.value} = graft.functions.HashKernels.ngramStrings($c, $n, $stride);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class CountInSet(child: Expression, values: Seq[String]) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    @transient private lazy val set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+      val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      values.foreach(v => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+      s
+    }
+    override def nullSafeEval(v: Any): Any =
+      HashKernels.countInSet(v.asInstanceOf[ArrayData], set)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("countSet", set, "java.util.HashSet")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.HashKernels.countInSet($c, $ref);")
+    }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -225,6 +260,9 @@ object HashExpressions {
   def ngramHashes(tokens: Column, n: Int): Column =
     ColumnBridge.column(NGramHashes(ColumnBridge.expression(tokens), n))
 
-  def ngramStrings(tokens: Column, n: Int): Column =
-    ColumnBridge.column(NGramStrings(ColumnBridge.expression(tokens), n))
+  def ngramStrings(tokens: Column, n: Int, stride: Int = 1): Column =
+    ColumnBridge.column(NGramStrings(ColumnBridge.expression(tokens), n, stride))
+
+  def countInSet(arr: Column, values: Seq[String]): Column =
+    ColumnBridge.column(CountInSet(ColumnBridge.expression(arr), values))
 }

@@ -42,7 +42,9 @@ object TextAnalysis {
     val nTok = size(toks)
     val nChars = length(text)
     val nPunct = length(regexp_replace(text, "[^.!?,;:]", ""))
-    val nStop = size(filter(toks, t => t.isin(stopwordList.map(lit(_)): _*)))
+    // native set-membership count: the filter(t -> t.isin(...)) HOF is
+    // CodegenFallback and broke the codegen span of the whole projection
+    val nStop = graft.functions.HashExpressions.countInSet(toks, stopwordList)
     struct(
       nChars.as("n_chars"),
       nTok.as("n_tokens"),
@@ -66,7 +68,7 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     val toks = array_distinct(tokens(text))
     val scores: Seq[(String, Column)] = langProfiles.map { case (lang, markers) =>
-      lang -> size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+      lang -> graft.functions.HashExpressions.countInSet(toks, markers)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val pick = scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
@@ -99,4 +101,10 @@ object TextAnalysis {
     */
   def wordShingles(text: Column, n: Int): Column =
     graft.functions.HashExpressions.ngramStrings(tokens(text), n)
+
+  /** Overlapping token-window chunks (`size` tokens, stride `stride`) —
+    * context-bounded training samples; same native kernel as shingles.
+    */
+  def tokenChunks(tokens: Column, size: Int, stride: Int): Column =
+    graft.functions.HashExpressions.ngramStrings(tokens, size, stride)
 }
