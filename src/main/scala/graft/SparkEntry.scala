@@ -397,6 +397,12 @@ object SparkEntry {
       Dedup.embeddingCosine(Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64,
         threshold = 0.95).select("vec_id")),
 
+    "embed_dedup_cc" -> ((s, dir) =>
+      // exact duplicate clusters: connected components over the verified
+      // near-dup pair graph, one representative (min id) per component
+      Dedup.embeddingCosineCC(Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64,
+        threshold = 0.95).select("vec_id")),
+
     "embedding_norms" -> ((s, dir) =>
       Tables.embeddings(s, dir).select(
         col("vec_id"), VectorExpressions.l2norm(col("embedding")).as("norm"))),
@@ -987,6 +993,35 @@ object SparkEntry {
          |  WHERE ${sqlCos("l.embedding", "r.embedding")} >= 0.95)
          |SELECT e.vec_id FROM embeddings e
          |WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin,
+
+    "embed_dedup_cc" ->
+      // same LSH pair generation as embed_dedup, then transitive closure via
+      // a recursive CTE: walk(id, lab) enumerates reachable nodes, min per
+      // id is the component representative
+      s"""WITH RECURSIVE planes(pid, pv) AS (VALUES
+         |  ${sqlPlanes(32, 64)}),
+         |sig AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    sum(CASE WHEN ${sqlDot("e.embedding", "p.pv")} >= 0
+         |             THEN 1::BIGINT << p.pid ELSE 0 END)::BIGINT AS sign
+         |  FROM embeddings e, planes p GROUP BY e.vec_id, e.embedding),
+         |banded AS (
+         |  SELECT vec_id, embedding, b.band, (sign >> (b.band * 16)) & 65535 AS bucket
+         |  FROM sig, (VALUES (0), (1)) b(band)),
+         |edges AS (
+         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |  WHERE ${sqlCos("l.embedding", "r.embedding")} >= 0.95),
+         |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |nodes AS (SELECT DISTINCT a AS id FROM sym),
+         |walk(id, lab) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT w.id, s.b FROM walk w JOIN sym s ON s.a = w.lab),
+         |comp AS (SELECT id, min(lab) AS label FROM walk GROUP BY id)
+         |SELECT e.vec_id FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT id FROM comp WHERE label <> id)""".stripMargin,
 
     "stats_moments" ->
       """SELECT l_returnflag, n,

@@ -165,6 +165,44 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over an undirected edge list (columns `a`, `b`)
+    * by iterative min-label propagation: every node's label becomes the
+    * minimum label in its neighborhood until a fixpoint. Converges in
+    * O(component diameter) rounds — near-duplicate clusters are shallow, so
+    * a handful of rounds suffices; pathological long-chain graphs would want
+    * the large-star/small-star variant (same join primitives, O(log n)
+    * rounds). Each round is one shuffle on the node id;
+    * `localCheckpoint` truncates the growing lineage (an HDFS/object-store
+    * `checkpoint` at cluster scale).
+    *
+    * Returns (id, label) with label = the smallest id in the component.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("nid")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.alias("l")
+        .join(neighborMin, col("l.id") === col("nid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
+        .localCheckpoint(true)
+      converged = updated.alias("u")
+        .join(labels.alias("o"), col("u.id") === col("o.id"))
+        .filter(col("u.label") =!= col("o.label"))
+        .limit(1).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
   /** Random-hyperplane signs for embedding LSH — deterministic from seed. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
@@ -177,6 +215,23 @@ object Dedup {
     * codegen'd cosine kernel. One equi-shuffle on (band, bucket).
     */
   def embeddingCosine(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      numPlanes: Int = 32,
+      bandBits: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val drops = embeddingCandidatePairs(df, idCol, vecCol, dim, threshold, numPlanes, bandBits, seed)
+      .select(col("b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Verified near-duplicate pairs (a < b, cosine >= threshold) from sign-LSH
+    * candidate buckets — the edge list both dedup rules consume.
+    */
+  def embeddingCandidatePairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
@@ -203,12 +258,33 @@ object Dedup {
     val banded = withSig.select(col(idCol), col(vecCol),
       posexplode(array(bandCols: _*)))
       .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
-    val l = banded.select(col("__band"), col("__bucket"), col(idCol).as("__id_a"), col(vecCol).as("__v_a"))
-    val r = banded.select(col("__band"), col("__bucket"), col(idCol).as("__id_b"), col(vecCol).as("__v_b"))
-    val drops = l.join(r, Seq("__band", "__bucket"))
-      .filter(col("__id_a") < col("__id_b"))
+    val l = banded.select(col("__band"), col("__bucket"), col(idCol).as("a"), col(vecCol).as("__v_a"))
+    val r = banded.select(col("__band"), col("__bucket"), col(idCol).as("b"), col(vecCol).as("__v_b"))
+    l.join(r, Seq("__band", "__bucket"))
+      .filter(col("a") < col("b"))
       .filter(VectorExpressions.cosine(col("__v_a"), col("__v_b")) >= threshold)
-      .select(col("__id_b").as(idCol)).distinct()
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Embedding dedup with EXACT duplicate clusters: connected components
+    * over the verified pair graph, keep each component's smallest id. The
+    * greedy bucket rule ([[embeddingCosine]]) can over-drop when b duplicates
+    * both a and c but a and c are distinct — CC keeps one representative per
+    * true transitive cluster instead.
+    */
+  def embeddingCosineCC(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      numPlanes: Int = 32,
+      bandBits: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val pairs = embeddingCandidatePairs(df, idCol, vecCol, dim, threshold, numPlanes, bandBits, seed)
+    val drops = connectedComponents(pairs)
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
     df.join(drops, Seq(idCol), "left_anti")
   }
 

@@ -16,6 +16,38 @@ class DedupSpec extends SparkTestBase {
     (4L, "unrelated short text")
   ).toDF("doc_id", "text")
 
+  test("connectedComponents labels every node with its component minimum") {
+    // chain 1-2-3, pair 10-11, isolated edge 20-21; node 3 only reaches 1
+    // transitively through 2
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (21L, 20L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("CC dedup keeps one representative per transitive cluster; greedy can over-drop") {
+    // a(0) ~ b(1) and b(1) ~ c(2) transitively cluster {0,1,2} even if a and
+    // c never share a verified pair
+    val v0 = Array.fill(8)(1.0f)
+    val v1 = v0.updated(0, 1.01f) // nearly identical to v0
+    val v2 = v1.updated(1, 1.02f) // nearly identical to v1
+    val far = Array.tabulate(8)(i => if (i % 2 == 0) -1.0f else 1.0f)
+    val emb = Seq(
+      (0L, v0.toSeq), (1L, v1.toSeq), (2L, v2.toSeq), (3L, far.toSeq)
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.embeddingCosineCC(emb, "vec_id", "embedding", dim = 8, threshold = 0.97)
+      .select("vec_id").as[Long].collect().toSet
+    // whatever the LSH bucketing yields, the representative of the {0,1,2}
+    // cluster must be 0 and the far vector must survive
+    assert(kept.contains(0L) && kept.contains(3L))
+    assert(!kept.contains(1L), "1 duplicates 0 directly")
+    val pairs = Dedup.embeddingCandidatePairs(emb, "vec_id", "embedding", dim = 8, threshold = 0.97)
+      .as[(Long, Long)].collect().toSet
+    // the chain premise: 0-1 and 1-2 are verified pairs
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)))
+    assert(!kept.contains(2L), "2 joins the cluster transitively through 1")
+  }
+
   test("exact dedup keeps the smallest id per identical content") {
     val kept = Dedup.exact(docs, "doc_id", Seq("text")).select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(0L, 2L, 3L, 4L))
