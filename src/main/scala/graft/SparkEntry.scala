@@ -557,6 +557,26 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"))
         .distinct()),
 
+    "union_byname_mixed" -> ((s, dir) => {
+      // schema-evolution union: older records lack columns newer ones carry;
+      // unionByName(allowMissingColumns) null-fills instead of failing
+      val ev = Sources.events(s, dir)
+      val old = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"))
+      val extended = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("value"))
+      old.unionByName(extended, allowMissingColumns = true)
+    }),
+
+    "collect_set_sorted" -> ((s, dir) =>
+      // distinct-collect serialized deterministically (sorted, joined) so
+      // the group payload is comparable across engines
+      Sources.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(concat_ws(",", sort_array(collect_set(col("event_id")))).as("event_ids"),
+          count(lit(1)).as("cnt"))),
+
     "doc_chunks" -> ((s, dir) => {
       // token-window chunking with overlap (50-token windows, stride 40) —
       // the standard prep for context-bounded training samples; 1→N rows via
@@ -1122,6 +1142,17 @@ object SparkEntry {
     "distinct_pairs" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |WHERE event_type IN ('signup', 'error')""".stripMargin,
+
+    "union_byname_mixed" ->
+      """SELECT event_id, user_id, NULL AS value FROM events WHERE event_type = 'signup'
+        |UNION ALL BY NAME
+        |SELECT event_id, user_id, value FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "collect_set_sorted" ->
+      """SELECT user_id,
+        | array_to_string(list_sort(list(DISTINCT event_id)), ',') AS event_ids,
+        | count(*) AS cnt
+        |FROM events WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin,
 
     "doc_chunks" ->
       s"""SELECT doc_id, CAST(c['idx'] AS INT) AS chunk_idx, c['chunk'] AS chunk FROM (
