@@ -165,6 +165,56 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Verified n-gram-Jaccard near-duplicate pairs (a < b) — the edge list
+    * for transitive clustering.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val gramHashes = graft.functions.HashExpressions.ngramHashes(TextAnalysis.tokens(col(textCol)), n)
+    val grams = array_distinct(gramHashes)
+    val sig = minhashSignatureFromTokens(TextAnalysis.tokens(col(textCol)), n, numHashes, seed)
+    val base = Ops.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), grams.as("__grams"), sig.as("__sig"))
+    val banded = base.select(col(idCol), col("__grams"),
+      posexplode(bandKeys(col("__sig"), numHashes, bands)))
+      .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
+    val l = banded.select(col("__band"), col("__bucket"), col(idCol).as("a"), col("__grams").as("__g_a"))
+    val r = banded.select(col("__band"), col("__bucket"), col(idCol).as("b"), col("__grams").as("__g_b"))
+    val jac = size(array_intersect(col("__g_a"), col("__g_b"))).cast("double") /
+      size(array_union(col("__g_a"), col("__g_b")))
+    l.join(r, Seq("__band", "__bucket"))
+      .filter(col("a") < col("b"))
+      .filter(jac >= threshold)
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** n-gram Jaccard dedup with exact transitive clusters: connected
+    * components over the verified pair graph, keep each component's smallest
+    * id (see [[embeddingCosineCC]] for the cluster-vs-greedy distinction).
+    */
+  def ngramJaccardCC(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, n, threshold, numHashes, bands, seed)
+    val drops = connectedComponents(pairs)
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over an undirected edge list (columns `a`, `b`)
     * by iterative min-label propagation: every node's label becomes the
     * minimum label in its neighborhood until a fixpoint. Converges in

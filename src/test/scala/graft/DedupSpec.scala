@@ -48,6 +48,22 @@ class DedupSpec extends SparkTestBase {
     assert(!kept.contains(2L), "2 joins the cluster transitively through 1")
   }
 
+  test("ngramJaccardCC clusters a chain of overlapping revisions to one representative") {
+    // 0 and 1 share most shingles; 1 and 2 share most shingles; 0 and 2
+    // overlap less — the chain still forms ONE cluster under CC
+    val t0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val t1 = t0 + " omicron pi rho"
+    val t2 = t1.replace("alpha beta gamma delta", "one two three four")
+    val chain = Seq((0L, t0), (1L, t1), (2L, t2), (9L, "something else entirely about query engines"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(chain, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)), s"chain premise: $pairs")
+    val kept = Dedup.ngramJaccardCC(chain, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 9L), s"one representative per cluster, got $kept")
+  }
+
   test("exact dedup keeps the smallest id per identical content") {
     val kept = Dedup.exact(docs, "doc_id", Seq("text")).select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(0L, 2L, 3L, 4L))
