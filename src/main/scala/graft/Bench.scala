@@ -20,18 +20,21 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    // a failed run returns the -1.0 sentinel, NOT its elapsed time — a broken
+    // query must be visible in the JSON, not disguised as a fast timing
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
+        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
-      (System.nanoTime() - t0) / 1e9
     }
+    def combine(a: Double, b: Double): Double =
+      if (a < 0 || b < 0) -1.0 else math.min(a, b)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       once(name, fn) // warm: codegen compile + JIT
       // min of two measured runs: the rig shows multi-second scheduler noise
       // bursts; a single sample regularly inflates a 0.3s plan to 4s
-      name -> math.min(once(name, fn), once(name, fn))
+      name -> combine(once(name, fn), once(name, fn))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -638,6 +638,18 @@ object SparkEntry {
       Tables.documents(s, dir)
         .filter(pmod(col("doc_id"), lit(10)) < rate)
         .select(col("doc_id"), col("lang"))
+    }),
+
+    "json_sink_roundtrip" -> ((s, dir) => {
+      // C3 write half: rows pass through the NDJSON sink and come back
+      // bit-identical (doubles survive via shortest-round-trip formatting);
+      // the oracle is the pre-sink relation, so the round-trip is the check
+      val out = sys.props("java.io.tmpdir") + "/graft_json_roundtrip"
+      Sinks.writeJson(
+        Sources.events(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value")),
+        out)
+      s.read.schema("event_id BIGINT, user_id BIGINT, value DOUBLE").json(out)
     })
   )
 
@@ -1193,6 +1205,10 @@ object SparkEntry {
     "weighted_mix" ->
       """SELECT doc_id, lang FROM documents
         |WHERE doc_id % 10 < CASE lang WHEN 'en' THEN 2 WHEN 'es' THEN 5
-        |  WHEN 'de' THEN 5 WHEN 'fr' THEN 8 WHEN 'zh' THEN 8 ELSE 0 END""".stripMargin
+        |  WHEN 'de' THEN 5 WHEN 'fr' THEN 8 WHEN 'zh' THEN 8 ELSE 0 END""".stripMargin,
+
+    "json_sink_roundtrip" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase'""".stripMargin
   )
 }

@@ -50,7 +50,7 @@ object Registry {
   )
 
   def apply(name: String): RegisteredFn =
-    all.getOrElse(name, throw new IllegalArgumentException(
+    all.getOrElse(name, throw new graft.GraftConfigError(
       s"Function '$name' is not in the registry whitelist: ${all.keys.mkString(", ")}"))
 
   // Native (non-UDF) Column equivalents for hot paths ----------------------

@@ -36,7 +36,7 @@ object Ops {
     val present = df.columns.toSet
     val missing = columns.filterNot(present)
     if (strict && missing.nonEmpty)
-      throw new IllegalArgumentException(s"Missing columns: ${missing.mkString(", ")}")
+      throw new graft.GraftConfigError(s"Missing columns: ${missing.mkString(", ")}")
     df.select(columns.filter(present).map(col): _*)
   }
 
@@ -71,7 +71,7 @@ object Ops {
       val pred = fields.map(col(_).isNull).reduce(_ || _)
       val bad = df.filter(pred).limit(1).count()
       if (bad > 0)
-        throw new IllegalStateException(s"Null value in required field(s): ${fields.mkString(", ")}")
+        throw new graft.GraftDataError(s"Null value in required field(s): ${fields.mkString(", ")}")
     }
     df
   }

@@ -23,15 +23,48 @@ object PipelineConfig {
 
   private implicit val formats: Formats = DefaultFormats
 
-  /** K3 — named sink strategies. `options` carries per-sink settings. */
+  /** K3 — named sink strategies. `options` carries per-sink settings. The
+    * jdbc entries are the cluster deploy's loaders (reference
+    * `postgresql_service.py`); the file strategies serve the bench env.
+    */
   val sinkRegistry: Map[String, (DataFrame, Map[String, String]) => Unit] = Map(
     "parquet" -> ((df, o) => Sinks.writeParquet(df, o("path"))),
     "tsv" -> ((df, o) => Sinks.writeTsv(df, o("path"))),
-    "versioned" -> ((df, o) => { Sinks.writeVersioned(df, o("path"), o("runId")); () }))
+    "json" -> ((df, o) => Sinks.writeJson(df, o("path"))),
+    "orc" -> ((df, o) => Sinks.writeOrc(df, o("path"))),
+    "versioned" -> ((df, o) => { Sinks.writeVersioned(df, o("path"), o("runId")); () }),
+    "jdbc" -> ((df, o) => Sinks.jdbcWrite(df, o("url"), o("table"), o - "url" - "table")),
+    "jdbc_upsert" -> ((df, o) =>
+      Sinks.jdbcUpsert(df, o("url"), o("table"),
+        conflictColumns = o("keys").split(",").map(_.trim).toSeq,
+        action = o.getOrElse("onConflict", "update") match {
+          case "nothing" => ConflictNothing
+          case "update" => ConflictUpdate
+          case other => throw new graft.GraftConfigError(
+            s"Unknown onConflict '$other' (expected update|nothing)")
+        },
+        options = o - "url" - "table" - "keys" - "onConflict")))
 
   def sink(name: String): (DataFrame, Map[String, String]) => Unit =
-    sinkRegistry.getOrElse(name, throw new IllegalArgumentException(
+    sinkRegistry.getOrElse(name, throw new graft.GraftConfigError(
       s"Sink '$name' is not in the registry: ${sinkRegistry.keys.mkString(", ")}"))
+
+  private val tsPattern =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  /** F9 — timestamp-format gate at config-parse time (reference
+    * `elasticsearch_to_postgresql.py:72-76`, `appsflyer_to_aws_s3.py:40-43`
+    * validate run args BEFORE building the pipeline): a malformed bound is a
+    * config error now, not an ANSI cast crash mid-run.
+    */
+  def validateTimestamp(label: String, value: Option[String]): Unit = value.foreach { s =>
+    try java.time.LocalDateTime.parse(s, tsPattern)
+    catch {
+      case e: java.time.format.DateTimeParseException =>
+        throw new graft.GraftConfigError(
+          s"Invalid timestamp for '$label': '$s' (expected yyyy-MM-dd HH:mm:ss)", e)
+    }
+  }
 
   def fromJson(spark: SparkSession, json: String): Pipeline = {
     val cfg = JsonMethods.parse(json)
@@ -46,7 +79,7 @@ object PipelineConfig {
           types = (sourceCfg \ "types").extractOrElse[Map[String, String]](Map.empty).toSeq
             .map { case (c, t) => TypeSpec(c, t) })
       case "jsonlines" => Sources.JsonLinesSource((sourceCfg \ "path").extract[String])
-      case other => throw new IllegalArgumentException(s"Unknown source type: $other")
+      case other => throw new graft.GraftConfigError(s"Unknown source type: $other")
     }
 
     val transforms = Seq.newBuilder[DataFrame => DataFrame]
@@ -54,6 +87,8 @@ object PipelineConfig {
     (cfg \ "query") match {
       case JNothing => ()
       case q =>
+        validateTimestamp("query.start", (q \ "start").extractOpt[String])
+        validateTimestamp("query.end", (q \ "end").extractOpt[String])
         transforms += Ops.query(QuerySpec(
           rangeField = (q \ "rangeField").extractOpt[String],
           start = (q \ "start").extractOpt[String],

@@ -36,6 +36,14 @@ object Sinks {
   def writeParquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)
 
+  /** C3 write half — list→NDJSON sink (reference
+    * `s3_service.py:146-153` serializes a record list as one JSON object per
+    * line): Spark's json writer IS newline-delimited JSON, written
+    * distributed, one file per partition — no driver-side serialization loop.
+    */
+  def writeJson(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
   /** Columnar ORC sink (format breadth: some warehouses standardize on ORC;
     * Spark's reader/writer is native and codegen'd like parquet's).
     */
@@ -98,32 +106,104 @@ object Sinks {
       existing: DataFrame,
       incoming: DataFrame,
       conflictColumns: Seq[String],
-      action: ConflictAction): DataFrame = {
+      action: ConflictAction,
+      orderBy: Seq[String] = Nil): DataFrame = {
     val keys = conflictColumns
     action match {
       case ConflictUpdate =>
         // incoming wins: drop existing rows whose key collides, then union
         existing.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
-          .unionByName(dedupIncoming(incoming, keys))
+          .unionByName(dedupIncoming(incoming, keys, orderBy))
       case ConflictNothing =>
         // existing wins: only genuinely new keys come in
         existing.unionByName(
-          dedupIncoming(incoming, keys).join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+          dedupIncoming(incoming, keys, orderBy).join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti"))
     }
   }
 
   /** Within one incoming batch the reference's INSERT applies rows in order,
-    * so the last row per key wins under DO UPDATE; emulate with a keep-last
-    * window when an ordering column exists, else arbitrary-but-deterministic
-    * first by all-column order.
+    * so the last row per key wins under DO UPDATE. Callers that care about
+    * WHICH row wins pass `orderBy` (an ingest sequence / updated-at column):
+    * the row with the LARGEST orderBy value per key survives, matching
+    * "last in insert order". Without `orderBy` the choice falls back to
+    * ordering by all non-key columns desc — deterministic, but an arbitrary
+    * proxy for insert order (dataframes carry no row order across a shuffle).
     */
-  private def dedupIncoming(incoming: DataFrame, keys: Seq[String]): DataFrame = {
+  private def dedupIncoming(incoming: DataFrame, keys: Seq[String], orderBy: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val orderCols = incoming.columns.filterNot(keys.contains).map(col).toSeq
+    // tiebreak beyond the explicit ordering keeps the result deterministic
+    // even when orderBy values collide
+    val orderCols: Seq[Column] =
+      (orderBy ++ incoming.columns.filterNot(c => keys.contains(c) || orderBy.contains(c))).map(col(_).desc)
     if (orderCols.isEmpty) incoming.distinct()
     else {
-      val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(_.desc): _*)
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
       incoming.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+  }
+
+  /** K1 cluster form — plain JDBC append (reference
+    * `postgresql_service.py:117-165` COPY loader): `df.write.jdbc` fans the
+    * insert out across executors, one connection per partition. Not
+    * executable in the bench env (no database, no driver jar) but the real
+    * sink a cluster deploy points the registry at.
+    */
+  def jdbcWrite(df: DataFrame, url: String, table: String, options: Map[String, String] = Map.empty): Unit = {
+    val props = new java.util.Properties()
+    options.foreach { case (k, v) => props.setProperty(k, v) }
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+  }
+
+  /** K2 cluster form — JDBC upsert via per-partition
+    * `INSERT ... ON CONFLICT (keys) DO UPDATE/DO NOTHING` prepared-statement
+    * batches (reference `postgresql_service.py:214-296`). Each executor
+    * partition opens one connection and flushes every `batchSize` rows —
+    * the scale-correct shape (no driver-side row loop, no full-table
+    * read-modify-write). The merge itself is the database's: concurrent
+    * writers serialize on the unique key, unlike the file-emulation
+    * [[upsert]].
+    */
+  def jdbcUpsert(
+      df: DataFrame,
+      url: String,
+      table: String,
+      conflictColumns: Seq[String],
+      action: ConflictAction,
+      options: Map[String, String] = Map.empty,
+      batchSize: Int = 1000): Unit = {
+    val cols = df.columns.toSeq
+    val conflictClause = action match {
+      case ConflictNothing => "DO NOTHING"
+      case ConflictUpdate =>
+        val sets = cols.filterNot(conflictColumns.contains)
+          .map(c => s""""$c" = EXCLUDED."$c"""").mkString(", ")
+        if (sets.isEmpty) "DO NOTHING" else s"DO UPDATE SET $sets"
+    }
+    val sql =
+      s"""INSERT INTO $table (${cols.map(c => s""""$c"""").mkString(", ")})
+         |VALUES (${cols.map(_ => "?").mkString(", ")})
+         |ON CONFLICT (${conflictColumns.map(c => s""""$c"""").mkString(", ")}) $conflictClause""".stripMargin
+    val opts = options // serialize the map, not the Properties
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val props = new java.util.Properties()
+      opts.foreach { case (k, v) => props.setProperty(k, v) }
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        conn.setAutoCommit(false)
+        val stmt = conn.prepareStatement(sql)
+        try {
+          var pending = 0
+          rows.foreach { row =>
+            var i = 0
+            while (i < cols.length) { stmt.setObject(i + 1, row.get(i)); i += 1 }
+            stmt.addBatch()
+            pending += 1
+            if (pending >= batchSize) { stmt.executeBatch(); pending = 0 }
+          }
+          if (pending > 0) stmt.executeBatch()
+          conn.commit()
+        } finally stmt.close()
+      } finally conn.close()
     }
   }
 

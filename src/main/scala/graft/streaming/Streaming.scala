@@ -75,62 +75,143 @@ object Streaming {
     * spanning batches merges correctly). State per key is one small record —
     * partitioned across the cluster's state store, never collected.
     */
-  def sessionize(events: Dataset[SessionEvent], gapMicros: Long): Dataset[Session] = {
+  /** `flushAfterMs`: with no timeout, the final open session per key is never
+    * emitted (it waits forever for a closing event); a processing-time
+    * timeout flushes a key's open session after that much quiet time.
+    */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapMicros: Long,
+      flushAfterMs: Option[Long] = None): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (flushAfterMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Session, Session](OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Session, Session](OutputMode.Append(), timeoutConf) {
         (uid: Long, rows: Iterator[SessionEvent], state: GroupState[Session]) =>
-          // micro-batch group input is unordered; sessionization needs time order
-          val sorted = rows.toIndexedSeq.sortBy(_.tsMicros)
-          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var open = state.getOption
-          sorted.foreach { e =>
-            open = open match {
-              case Some(s) if e.tsMicros - s.end_micros < gapMicros =>
-                Some(s.copy(end_micros = e.tsMicros,
-                  n_events = s.n_events + 1, sum_value = s.sum_value + e.value))
-              case Some(s) =>
-                closed += s
-                Some(Session(uid, e.tsMicros, e.tsMicros, 1L, e.value))
-              case None =>
-                Some(Session(uid, e.tsMicros, e.tsMicros, 1L, e.value))
+          if (state.hasTimedOut) {
+            // quiet key: flush the trailing open session
+            val flushed = state.getOption.toSeq
+            state.remove()
+            flushed.iterator
+          } else {
+            // micro-batch group input is unordered; sessionization needs time order
+            val sorted = rows.toIndexedSeq.sortBy(_.tsMicros)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open = open match {
+                case Some(s) if e.tsMicros - s.end_micros < gapMicros =>
+                  // a late cross-batch event may land INSIDE the open span:
+                  // widen with min/max so the session never moves backwards
+                  Some(s.copy(
+                    start_micros = math.min(s.start_micros, e.tsMicros),
+                    end_micros = math.max(s.end_micros, e.tsMicros),
+                    n_events = s.n_events + 1, sum_value = s.sum_value + e.value))
+                case Some(s) =>
+                  closed += s
+                  Some(Session(uid, e.tsMicros, e.tsMicros, 1L, e.value))
+                case None =>
+                  Some(Session(uid, e.tsMicros, e.tsMicros, 1L, e.value))
+              }
             }
+            open.foreach { s =>
+              state.update(s)
+              flushAfterMs.foreach(state.setTimeoutDuration)
+            }
+            closed.iterator
           }
-          open.foreach(state.update)
-          closed.iterator
       }
   }
 
   /** Streaming upsert sink via foreachBatch: each micro-batch is merged into
     * the parquet target with the reference's ON CONFLICT semantics
     * ([[graft.sinks.Sinks.upsert]]) — the streaming form of the K2 loader.
-    * The merge writes to a staging dir and swaps atomically so readers never
-    * see a half-written target.
+    *
+    * With `partitionCol` set, the merge is PARTITION-SCOPED: only the
+    * partitions containing batch keys are read and rewritten (dynamic
+    * partition overwrite) — O(touched partitions) per batch instead of
+    * O(target), the difference between a viable long-running stream and a
+    * full-table rewrite every trigger on a large table. The partition value
+    * must be stable per key (derived from the key or an immutable attribute),
+    * or a key that "moves" partitions leaves its old row behind. A format
+    * with transactional MERGE (Delta/Iceberg) is the upgrade when available.
+    *
+    * Without `partitionCol` the whole table is merged and swapped
+    * crash-safely: staging is fully written FIRST, then
+    * target→.old / staging→target / delete .old — the data always exists in
+    * at least one complete copy, and [[mergeBatch]] recovers an interrupted
+    * swap before the next merge.
     */
   def upsertStream(
       events: DataFrame,
       targetDir: String,
       keys: Seq[String],
-      action: graft.types.ConflictAction = graft.types.ConflictUpdate): StreamingQuery =
+      action: graft.types.ConflictAction = graft.types.ConflictUpdate,
+      partitionCol: Option[String] = None): StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(targetDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val target = new org.apache.hadoop.fs.Path(targetDir)
+        mergeBatch(batch, targetDir, keys, action, partitionCol)
+      }
+      .start()
+
+  /** One micro-batch merge (the foreachBatch body, callable from batch jobs
+    * and tests).
+    */
+  def mergeBatch(
+      batch: DataFrame,
+      targetDir: String,
+      keys: Seq[String],
+      action: graft.types.ConflictAction = graft.types.ConflictUpdate,
+      partitionCol: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    partitionCol match {
+      case Some(pcol) =>
+        if (!fs.exists(target)) {
+          batch.write.partitionBy(pcol).parquet(targetDir)
+        } else {
+          // partitions this batch touches — bounded by the batch, not the table
+          val affected = batch.select(col(pcol)).distinct().collect().map(_.get(0)).toSeq
+          if (affected.nonEmpty) {
+            // the filter prunes to affected partition DIRECTORIES at plan time
+            val slice = spark.read.parquet(targetDir).filter(col(pcol).isin(affected: _*))
+            val merged = graft.sinks.Sinks.upsert(slice, batch, keys, action)
+            // dynamic overwrite replaces exactly the partitions present in
+            // `merged` (= the affected ones); all other dirs are untouched
+            merged.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy(pcol).parquet(targetDir)
+          }
+        }
+      case None =>
+        val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
+        val old = new org.apache.hadoop.fs.Path(targetDir + ".old")
+        // recover a crash mid-swap: staging is only ever renamed in AFTER it
+        // was completely written (its _SUCCESS marker exists), so if target is
+        // missing, a complete staging — else the displaced .old — IS the data
+        val stagingComplete =
+          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+        if (!fs.exists(target)) {
+          if (stagingComplete) fs.rename(staging, target)
+          else if (fs.exists(old)) fs.rename(old, target)
+        }
+        if (fs.exists(old)) fs.delete(old, true)
         val merged =
           if (fs.exists(target))
             graft.sinks.Sinks.upsert(spark.read.parquet(targetDir), batch, keys, action)
           else batch
-        val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
         merged.write.mode("overwrite").parquet(staging.toString)
-        if (fs.exists(target)) fs.delete(target, true)
+        // swap: never delete the only complete copy
+        if (fs.exists(target)) fs.rename(target, old)
         fs.rename(staging, target)
-        ()
-      }
-      .start()
+        if (fs.exists(old)) fs.delete(old, true)
+    }
+  }
 
   /** Streaming exactly-once-per-key dedup: dropDuplicates keyed on event_id
     * with the watermark bounding how long ids are remembered — the streaming

@@ -3,6 +3,7 @@ package graft
 import graft.pipeline.PipelineConfig
 import graft.sources.{ApiTemplate, FsExplorer}
 import graft.sources.ApiTemplate.RequestTemplate
+import org.apache.spark.sql.functions.{col, when}
 import java.nio.file.Files
 
 /** The reference's config/framework surface: templated API fetch (S4/F6),
@@ -52,7 +53,42 @@ class ConfigSurfaceSpec extends SparkTestBase {
   }
 
   test("unknown sink names are rejected by the registry (K3 gate)") {
-    intercept[IllegalArgumentException] { PipelineConfig.sink("drop_table") }
+    intercept[GraftConfigError] { PipelineConfig.sink("drop_table") }
+  }
+
+  test("registry carries the full sink surface including the jdbc cluster forms") {
+    assert(Set("parquet", "tsv", "json", "orc", "versioned", "jdbc", "jdbc_upsert")
+      .subsetOf(PipelineConfig.sinkRegistry.keySet))
+    // the jdbc builders resolve (they are not executable in this env — no
+    // database — but the strategy lookup and option plumbing must work)
+    assert(PipelineConfig.sink("jdbc") != null)
+    assert(PipelineConfig.sink("jdbc_upsert") != null)
+  }
+
+  test("F9: malformed query timestamps are a config error at parse time, not a runtime crash") {
+    val cfg =
+      s"""{
+         |  "source": {"type": "parquet", "path": "$sfDir/orders.parquet"},
+         |  "query": {"rangeField": "ts", "start": "2024-13-99 00:00:00", "end": "2024-01-02 00:00:00"}
+         |}""".stripMargin
+    val e = intercept[GraftConfigError] { PipelineConfig.fromJson(spark, cfg) }
+    assert(e.getMessage.contains("query.start"))
+    // date-like but invalid shapes are rejected too
+    intercept[GraftConfigError] {
+      PipelineConfig.fromJson(spark, cfg.replace("2024-13-99 00:00:00", "01/02/2024"))
+    }
+    // well-formed bounds parse fine
+    PipelineConfig.fromJson(spark, cfg.replace("2024-13-99 00:00:00", "2024-01-01 00:00:00"))
+  }
+
+  test("error taxonomy: config vs data errors are typed (reference app/errors parity)") {
+    intercept[GraftConfigError] { graft.functions.Registry("not_whitelisted") }
+    intercept[GraftConfigError] {
+      graft.operators.Ops.selectColumns(Seq("nope"))(Tables.orders(spark, sfDir))
+    }
+    val withNull = Tables.orders(spark, sfDir)
+      .withColumn("maybe", when(col("o_orderkey") % 2 === 0, col("o_orderkey")))
+    intercept[GraftDataError] { graft.operators.Ops.notNullCheck(Seq("maybe"))(withNull) }
   }
 
   test("a JSON config assembles and runs a full pipeline with checkpoint-last ordering") {

@@ -45,6 +45,38 @@ class PipelineSinksSpec extends SparkTestBase {
     assert(nothing == Seq((1L, "old"), (2L, "old"), (3L, "new")))
   }
 
+  test("NDJSON sink writes one object per line and round-trips exactly (C3 write half)") {
+    val dir = Files.createTempDirectory("graft-json").toString
+    val df = Seq((1L, "a", 1.25), (2L, null.asInstanceOf[String], -0.5), (3L, "c\nd", 0.1))
+      .toDF("id", "payload", "score")
+    Sinks.writeJson(df, s"$dir/out")
+    // raw shape: newline-delimited JSON objects (embedded \n is escaped)
+    val lines = Files.list(java.nio.file.Paths.get(s"$dir/out")).toArray.map(_.toString)
+      .filter(_.endsWith(".json"))
+      .flatMap(p => scala.io.Source.fromFile(p).getLines().toSeq)
+    assert(lines.length == 3)
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+    // round-trip equality, including the double and the embedded newline
+    val back = spark.read.schema("id BIGINT, payload STRING, score DOUBLE").json(s"$dir/out")
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(back == Seq((1L, "a", 1.25), (2L, null, -0.5), (3L, "c\nd", 0.1)))
+  }
+
+  test("upsert DO UPDATE with explicit orderBy: last-by-order wins on intra-batch conflicts") {
+    val existing = Seq((1L, "old", 0L)).toDF("k", "v", "seq")
+    // two incoming rows conflict on k=1; seq says which is "last inserted"
+    val incoming = Seq((1L, "first", 10L), (1L, "second", 20L), (2L, "new", 5L))
+      .toDF("k", "v", "seq")
+    val byOrder = Sinks.upsert(existing, incoming, Seq("k"), ConflictUpdate, orderBy = Seq("seq"))
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(byOrder == Seq((1L, "second", 20L), (2L, "new", 5L)),
+      "highest seq per key must win under DO UPDATE")
+    // the ordering column does not leak into DO NOTHING semantics
+    val nothing = Sinks.upsert(existing, incoming, Seq("k"), ConflictNothing, orderBy = Seq("seq"))
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(nothing == Seq((1L, "old", 0L), (2L, "new", 5L)))
+  }
+
   test("TSV sink sanitizes tabs/newlines and writes empty string for NULL (COPY contract)") {
     val dir = Files.createTempDirectory("graft-tsv").toString
     val df = Seq((1L, "a\tb\nc"), (2L, null)).toDF("id", "payload")

@@ -95,6 +95,93 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("partition-scoped upsert rewrites only the partitions a batch touches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pupsert").toString + "/target"
+    val b1 = Seq((1L, "a", "p1"), (2L, "b", "p2"), (3L, "c", "p3")).toDF("id", "v", "part")
+    Streaming.mergeBatch(b1, dir, Seq("id"), partitionCol = Some("part"))
+    def dataFiles(p: String): Set[String] = {
+      val d = new java.io.File(s"$dir/part=$p")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName + "@" + f.lastModified()).toSet
+    }
+    val (p1Before, p2Before, p3Before) = (dataFiles("p1"), dataFiles("p2"), dataFiles("p3"))
+    // batch 2 touches p1 (update) and p4 (new) — p2/p3 must not be rewritten
+    val b2 = Seq((1L, "a2", "p1"), (9L, "z", "p4")).toDF("id", "v", "part")
+    Streaming.mergeBatch(b2, dir, Seq("id"), partitionCol = Some("part"))
+    assert(dataFiles("p2") == p2Before, "untouched partition p2 was rewritten")
+    assert(dataFiles("p3") == p3Before, "untouched partition p3 was rewritten")
+    assert(dataFiles("p1") != p1Before, "affected partition p1 must be rewritten")
+    assert(dataFiles("p4").nonEmpty)
+    val got = spark.read.parquet(dir).select("id", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a2", 2L -> "b", 3L -> "c", 9L -> "z"))
+  }
+
+  test("whole-table merge recovers from a crash that left only the staging copy") {
+    val base = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val dir = base + "/target"
+    Streaming.mergeBatch(Seq((1L, "a")).toDF("id", "v"), dir, Seq("id"))
+    // simulate a crash between target→.old and staging→target: the merged
+    // staging copy (complete, with _SUCCESS) exists, target does not
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(dir).write.parquet(dir + ".staging")
+    fs.rename(new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.fs.Path(dir + ".old"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    // next batch must recover the staging copy, then merge on top of it
+    Streaming.mergeBatch(Seq((2L, "b")).toDF("id", "v"), dir, Seq("id"))
+    val got = spark.read.parquet(dir).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b"), "previously merged data was lost in the swap")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")))
+  }
+
+  test("sessionize: a late in-gap event cannot move the session span backwards") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val minute = 60L * 1000000
+    val input = MemoryStream[Streaming.SessionEvent]
+    val q = Streaming.sessionize(input.toDS(), gapMicros = 30 * minute)
+      .writeStream.outputMode("append").format("memory").queryName("late_sessions").start()
+    try {
+      input.addData(
+        Streaming.SessionEvent(1, 10 * minute, 1.0), Streaming.SessionEvent(1, 20 * minute, 2.0))
+      q.processAllAvailable()
+      // late arrival INSIDE the open span (and one before its start)
+      input.addData(
+        Streaming.SessionEvent(1, 15 * minute, 4.0), Streaming.SessionEvent(1, 5 * minute, 8.0))
+      q.processAllAvailable()
+      input.addData(Streaming.SessionEvent(1, 120 * minute, 0.0)) // closes the session
+      q.processAllAvailable()
+      val got = spark.table("late_sessions").as[Streaming.Session].collect().toSet
+      assert(got == Set(Streaming.Session(1, 5 * minute, 20 * minute, 4, 15.0)),
+        "span must be [min,max] over all in-gap events, never shrink")
+    } finally q.stop()
+  }
+
+  test("sessionize with a processing-time timeout flushes the trailing open session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val minute = 60L * 1000000
+    val input = MemoryStream[Streaming.SessionEvent]
+    val q = Streaming.sessionize(input.toDS(), gapMicros = 30 * minute, flushAfterMs = Some(1L))
+      .writeStream.outputMode("append").format("memory").queryName("flush_sessions").start()
+    try {
+      input.addData(Streaming.SessionEvent(7, 0, 1.0))
+      // processAllAvailable() cannot be used here: with ProcessingTimeTimeout
+      // the engine keeps constructing timer micro-batches (shouldRunAnotherBatch
+      // is always true), so its no-new-data signal never fires — poll the sink
+      val want = Streaming.Session(7, 0, 0, 1, 1.0)
+      val deadline = System.currentTimeMillis() + 60000
+      var flushed = Set.empty[Streaming.Session]
+      while (System.currentTimeMillis() < deadline && !flushed.contains(want)) {
+        Thread.sleep(100)
+        flushed = spark.table("flush_sessions").as[Streaming.Session].collect().toSet
+      }
+      assert(flushed.contains(want),
+        "quiet key 7's open session must be flushed by the timeout")
+    } finally q.stop()
+  }
+
   test("dedupStream drops replayed event ids within the watermark horizon") {
     val staged = java.nio.file.Files.createTempDirectory("graft-stream3").toString + "/events"
     val ev = Sources.events(spark, sfDir).drop("ts_ns").limit(100)
