@@ -93,14 +93,21 @@ object Dedup {
       bands: Int = 16,
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // collapse EXACT duplicates first: identical docs share every band key,
+    // so a flood of N identical documents would otherwise put N ids in the
+    // same bucket and the banded self-grouping goes quadratic. Collapsing to
+    // the min-id representative changes nothing downstream (the rep sits in
+    // exactly the buckets its clones did, with the smallest id of the group)
+    // and bounds bucket growth to distinct content.
+    val reps = exact(df, idCol, Seq(textCol))
     val sig = minhashSignatureFromTokens(TextAnalysis.tokens(col(textCol)), shingleSize, numHashes, seed)
     // spread BEFORE the signature projection: a single-file input is one
     // partition, which would serialize the whole MinHash pass on one core
-    val banded = Ops.spread(df.select(col(idCol), col(textCol)))
+    val banded = Ops.spread(reps.select(col(idCol), col(textCol)))
       .select(col(idCol), sig.as("__sig"))
       .select(col(idCol), posexplode(bandKeys(col("__sig"), numHashes, bands)))
       .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
-    dropBucketNonMin(df, banded, idCol)
+    dropBucketNonMin(reps, banded, idCol)
   }
 
   /** SimHash near-duplicate removal: 64-bit fingerprint over token hashes
@@ -113,8 +120,12 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // exact-collapse first: identical docs have identical fingerprints —
+    // see [[minhashLsh]] for why this bounds bucket blowup with no semantic
+    // change
+    val reps = exact(df, idCol, Seq(textCol))
     val tokenHashes = transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t))
-    val withFp = Ops.spread(df.select(col(idCol), col(textCol)))
+    val withFp = Ops.spread(reps.select(col(idCol), col(textCol)))
       .select(col(idCol), VectorExpressions.simhash64(tokenHashes).as("__fp"))
     val bandCols = (0 until 4).map(bnd => shiftright(col("__fp"), bnd * 16).bitwiseAND(lit(0xFFFFL)))
     val banded = withFp.select(
@@ -127,7 +138,7 @@ object Dedup {
       .filter(col("__id_a") < col("__id_b"))
       .filter(bit_count(col("__fp_a").bitwiseXOR(col("__fp_b"))) <= maxHamming)
       .select(col("__id_b").as(idCol)).distinct()
-    df.join(drops, Seq(idCol), "left_anti")
+    reps.join(drops, Seq(idCol), "left_anti")
   }
 
   /** n-gram Jaccard near-dup: MinHash-LSH candidate buckets, then exact
@@ -143,13 +154,16 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       seed: Long = 42L): DataFrame = {
+    // exact-collapse first (identical docs: identical grams, Jaccard 1 ≥ any
+    // threshold — see [[minhashLsh]] for the bucket-blowup rationale), then
     // grams as distinct shingle *hashes* (long arrays): the exact-Jaccard
-    // verify then runs array_intersect/union over primitive longs instead of
+    // verify runs array_intersect/union over primitive longs instead of
     // strings — same set semantics, far cheaper on candidate pairs.
+    val reps = exact(df, idCol, Seq(textCol))
     val gramHashes = graft.functions.HashExpressions.ngramHashes(TextAnalysis.tokens(col(textCol)), n)
     val grams = array_distinct(gramHashes)
     val sig = minhashSignatureFromTokens(TextAnalysis.tokens(col(textCol)), n, numHashes, seed)
-    val base = Ops.spread(df.select(col(idCol), col(textCol)))
+    val base = Ops.spread(reps.select(col(idCol), col(textCol)))
       .select(col(idCol), grams.as("__grams"), sig.as("__sig"))
     val banded = base.select(col(idCol), col("__grams"),
       posexplode(bandKeys(col("__sig"), numHashes, bands)))
@@ -162,7 +176,7 @@ object Dedup {
       .filter(col("__id_a") < col("__id_b"))
       .filter(jac >= threshold)
       .select(col("__id_b").as(idCol)).distinct()
-    df.join(drops, Seq(idCol), "left_anti")
+    reps.join(drops, Seq(idCol), "left_anti")
   }
 
   /** Verified n-gram-Jaccard near-duplicate pairs (a < b) — the edge list
@@ -208,49 +222,73 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       seed: Long = 42L): DataFrame = {
-    val pairs = ngramJaccardPairs(df, idCol, textCol, n, threshold, numHashes, bands, seed)
+    // exact-collapse first: clones connect to their representative with
+    // Jaccard 1, so the full-graph component minimum equals the rep-graph
+    // component minimum — same survivors, bounded buckets
+    val reps = exact(df, idCol, Seq(textCol))
+    val pairs = ngramJaccardPairs(reps, idCol, textCol, n, threshold, numHashes, bands, seed)
     val drops = connectedComponents(pairs)
       .filter(col("label") =!= col("id"))
       .select(col("id").as(idCol))
-    df.join(drops, Seq(idCol), "left_anti")
+    reps.join(drops, Seq(idCol), "left_anti")
   }
 
-  /** Connected components over an undirected edge list (columns `a`, `b`)
-    * by iterative min-label propagation: every node's label becomes the
-    * minimum label in its neighborhood until a fixpoint. Converges in
-    * O(component diameter) rounds — near-duplicate clusters are shallow, so
-    * a handful of rounds suffices; pathological long-chain graphs would want
-    * the large-star/small-star variant (same join primitives, O(log n)
-    * rounds). Each round is one shuffle on the node id;
+  /** Connected components over an undirected edge list (columns `a`, `b`):
+    * min-label propagation PLUS pointer doubling (`label ← label(label)`,
+    * the shortcutting step of large-star/small-star style algorithms), so a
+    * component of diameter d converges in O(log d) rounds instead of O(d) —
+    * a 1M-node chain needs ~21 rounds, not 1M. Each round is two key
+    * shuffles (neighbor-min aggregation + label self-join);
     * `localCheckpoint` truncates the growing lineage (an HDFS/object-store
-    * `checkpoint` at cluster scale).
+    * `checkpoint` at cluster scale). The convergence check rides on the
+    * already-materialized round result (a scan of cached blocks carrying
+    * old + new labels — no extra join against the previous frame).
     *
     * Returns (id, label) with label = the smallest id in the component.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(edges, maxIter)._1
+
+  /** [[connectedComponents]] exposing the executed round count (tests assert
+    * the O(log d) bound). Logs a warning when `maxIter` exhausts before the
+    * fixpoint — the labels are then only partially merged and CC-based dedup
+    * under-merges, which must not happen silently.
+    */
+  def connectedComponentsWithRounds(edges: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      // contraction: the min label across the neighborhood (and self)
       val neighborMin = sym.join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("nid")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.alias("l")
+      val half = labels.alias("l")
         .join(neighborMin, col("l.id") === col("nid"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
+        .select(col("l.id").as("id"), col("l.label").as("old_label"),
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("mid"))
         .localCheckpoint(true)
-      converged = updated.alias("u")
-        .join(labels.alias("o"), col("u.id") === col("o.id"))
-        .filter(col("u.label") =!= col("o.label"))
-        .limit(1).isEmpty
-      labels = updated
-      i += 1
+      // shortcut (pointer doubling): follow the label pointer one more hop,
+      // label ← mid(mid) — this is what collapses chains in O(log d)
+      val ptr = half.select(col("id").as("p_id"), col("mid").as("p_mid"))
+      val doubled = half
+        .join(ptr, half("mid") === ptr("p_id"), "left")
+        .select(col("id"), col("old_label"),
+          least(col("mid"), coalesce(col("p_mid"), col("mid"))).as("label"))
+        .localCheckpoint(true)
+      // old_label rides in the materialized frame: convergence = cheap scan
+      converged = doubled.filter(col("label") =!= col("old_label")).limit(1).isEmpty
+      labels = doubled.select(col("id"), col("label"))
+      rounds += 1
     }
-    labels
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents exhausted maxIter=$maxIter before the fixpoint; " +
+          "labels are PARTIALLY merged and CC-based dedup will under-merge clusters")
+    (labels, rounds)
   }
 
   /** Random-hyperplane signs for embedding LSH — deterministic from seed. */
@@ -273,9 +311,13 @@ object Dedup {
       numPlanes: Int = 32,
       bandBits: Int = 16,
       seed: Long = 42L): DataFrame = {
-    val drops = embeddingCandidatePairs(df, idCol, vecCol, dim, threshold, numPlanes, bandBits, seed)
+    // exact-collapse first: an identical vector shares every sign-band with
+    // its representative (cosine 1 ≥ any threshold) — same survivors,
+    // bounded buckets under duplicate floods (see [[minhashLsh]])
+    val reps = exact(df, idCol, Seq(vecCol))
+    val drops = embeddingCandidatePairs(reps, idCol, vecCol, dim, threshold, numPlanes, bandBits, seed)
       .select(col("b").as(idCol)).distinct()
-    df.join(drops, Seq(idCol), "left_anti")
+    reps.join(drops, Seq(idCol), "left_anti")
   }
 
   /** Verified near-duplicate pairs (a < b, cosine >= threshold) from sign-LSH
@@ -331,11 +373,14 @@ object Dedup {
       numPlanes: Int = 32,
       bandBits: Int = 16,
       seed: Long = 42L): DataFrame = {
-    val pairs = embeddingCandidatePairs(df, idCol, vecCol, dim, threshold, numPlanes, bandBits, seed)
+    // exact-collapse first — see [[ngramJaccardCC]]; component minima are
+    // unchanged because clones attach to their rep at cosine 1
+    val reps = exact(df, idCol, Seq(vecCol))
+    val pairs = embeddingCandidatePairs(reps, idCol, vecCol, dim, threshold, numPlanes, bandBits, seed)
     val drops = connectedComponents(pairs)
       .filter(col("label") =!= col("id"))
       .select(col("id").as(idCol))
-    df.join(drops, Seq(idCol), "left_anti")
+    reps.join(drops, Seq(idCol), "left_anti")
   }
 
   /** LSH band keys: one codegen'd expression folds each signature slice into

@@ -64,6 +64,34 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Set(0L, 9L), s"one representative per cluster, got $kept")
   }
 
+  test("connectedComponents collapses a long chain in O(log n) rounds (pointer doubling)") {
+    // path graph 0-1-2-...-63: diameter 63, so pure min-label propagation
+    // needs ~63 rounds; with the shortcutting step the fixpoint (plus the
+    // round that detects it) must land within ceil(log2 64) + 3 = 9
+    val n = 64
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(edges)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got == (0L until n.toLong).map(_ -> 0L).toMap, "one component labeled by its minimum")
+    assert(rounds <= 9, s"expected <= log2($n)+3 rounds, took $rounds")
+  }
+
+  test("a flood of identical documents cannot blow up the LSH buckets (exact pre-collapse)") {
+    // 1000 copies of one doc + the distinct docs: without the exact-dedup
+    // pre-pass the banded self-join would generate ~10^6 pairs per band —
+    // with it, the flood collapses to one representative before any banding
+    val flood = (100L until 1100L).map(i => (i, base))
+    val flooded = docs.unionByName(flood.toDF("doc_id", "text"))
+    val keptMinhash = Dedup.minhashLsh(flooded, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptMinhash.forall(_ < 100L), "every flood clone must be dropped")
+    assert(keptMinhash.contains(3L) && keptMinhash.contains(4L))
+    val keptJaccardCC = Dedup.ngramJaccardCC(flooded, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptJaccardCC.forall(_ < 100L))
+    assert(keptJaccardCC.contains(3L) && keptJaccardCC.contains(4L))
+  }
+
   test("exact dedup keeps the smallest id per identical content") {
     val kept = Dedup.exact(docs, "doc_id", Seq("text")).select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(0L, 2L, 3L, 4L))
