@@ -982,30 +982,58 @@ object SparkEntry {
          |WHERE rn <= 5""".stripMargin,
 
     "ivf_topk" ->
-      // mirrors ivfIndex (stride-sampled codebook, argmax-cosine assignment,
-      // first-index-wins ties) + ivfTopK (rank centroids vs the query, probe
-      // the top nprobe lists, brute-force inside)
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |stride AS (SELECT greatest(1, count(*) // 16) AS s FROM embeddings),
-         |cents AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cv
-         |  FROM embeddings, stride WHERE vec_id % stride.s = 0
-         |  ORDER BY vec_id LIMIT 16),
-         |assign AS (
-         |  SELECT vec_id, embedding, cidx FROM (
-         |    SELECT e.vec_id, e.embedding, c.cidx,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${sqlCos("e.embedding", "c.cv")} DESC, c.cidx) AS rn
-         |    FROM embeddings e, cents c) a WHERE rn = 1),
-         |probes AS (
-         |  SELECT cidx FROM (
-         |    SELECT c.cidx, row_number() OVER (
-         |      ORDER BY ${sqlCos("q.qv", "c.cv")} DESC, c.cidx) AS rn
-         |    FROM cents c, q) p WHERE rn <= 4)
-         |SELECT a.vec_id, ${sqlCos("a.embedding", "q.qv")} AS score
-         |FROM assign a, q
-         |WHERE a.cidx IN (SELECT cidx FROM probes)
-         |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin,
+      // mirrors ivfIndex's k-means codebook build EXACTLY (Similarity
+      // .trainCodebook): stride-seeded init, a 256-cap stride sample, two
+      // Lloyd iterations where assignment is argmax cosine with
+      // lowest-index ties and per-dimension means accumulate sequentially in
+      // sample-id order (list_sum over an id-ordered list = the Java loop,
+      // bitwise), empty clusters keep the previous centroid, final centroids
+      // round to REAL; then assignment over the full table + nprobe probe
+      {
+        def kmAssign(out: String, src: String, cents: String): String =
+          s"""$out AS (
+             |  SELECT vec_id, embedding, cidx FROM (
+             |    SELECT s.vec_id, s.embedding, c.cidx,
+             |      row_number() OVER (PARTITION BY s.vec_id
+             |        ORDER BY ${sqlCos("s.embedding", "c.cv")} DESC, c.cidx) AS rn
+             |    FROM $src s, $cents c) x WHERE rn = 1)""".stripMargin
+        def kmUpdate(out: String, assigned: String, prev: String): String =
+          s"""$out AS (
+             |  SELECT p.cidx, COALESCE(m.cv, p.cv) AS cv
+             |  FROM $prev p LEFT JOIN (
+             |    SELECT cidx, list(mval ORDER BY d) AS cv FROM (
+             |      SELECT a.cidx, d.d AS d,
+             |        list_sum(list(CAST(a.embedding[d.d] AS DOUBLE) ORDER BY a.vec_id)) / count(*) AS mval
+             |      FROM $assigned a, range(1, 65) d(d)
+             |      GROUP BY a.cidx, d.d) g
+             |    GROUP BY cidx) m ON m.cidx = p.cidx)""".stripMargin
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |ist AS (SELECT greatest(1, count(*) // 16) AS s FROM embeddings),
+           |sst AS (SELECT greatest(1, count(*) // 256) AS s FROM embeddings),
+           |init AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+           |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           |  FROM embeddings, ist WHERE vec_id % ist.s = 0
+           |  ORDER BY vec_id LIMIT 16),
+           |samp AS (
+           |  SELECT vec_id, embedding FROM embeddings, sst WHERE vec_id % sst.s = 0
+           |  ORDER BY vec_id LIMIT 256),
+           |${kmAssign("a1", "samp", "init")},
+           |${kmUpdate("c1", "a1", "init")},
+           |${kmAssign("a2", "samp", "c1")},
+           |${kmUpdate("c2", "a2", "c1")},
+           |cf AS (SELECT cidx, list_transform(cv, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS cv FROM c2),
+           |${kmAssign("afull", "embeddings", "cf")},
+           |probes AS (
+           |  SELECT cidx FROM (
+           |    SELECT c.cidx, row_number() OVER (
+           |      ORDER BY ${sqlCos("q.qv", "c.cv")} DESC, c.cidx) AS rn
+           |    FROM cf c, q) p WHERE rn <= 4)
+           |SELECT a.vec_id, ${sqlCos("a.embedding", "q.qv")} AS score
+           |FROM afull a, q
+           |WHERE a.cidx IN (SELECT cidx FROM probes)
+           |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin
+      },
 
     "embed_dedup" ->
       s"""WITH planes(pid, pv) AS (VALUES

@@ -83,10 +83,8 @@ object Similarity {
       .select(col(queryId), col("__s.id").as(corpusId), col("__s.score").as("score"))
   }
 
-  /** The IVF coarse quantizer: a small driver-side codebook (at real scale a
-    * k-means pass would refine it; here a deterministic stride sample of the
-    * corpus supplies the centroids — the partition/probe machinery is
-    * identical).
+  /** The IVF coarse quantizer: a small driver-side codebook, k-means-trained
+    * on a bounded sample (see [[ivfIndex]]).
     */
   final case class IvfModel(centroids: Array[Array[Float]]) {
     def nearestLists(query: Array[Float], nprobe: Int): Seq[Int] =
@@ -95,24 +93,91 @@ object Similarity {
         .take(nprobe)
   }
 
-  /** Build the IVF index: every corpus vector is tagged with its nearest
-    * centroid index via the codegen'd [[VectorExpressions.NearestCentroid]]
-    * projection — NO join, NO shuffle; at cluster scale the assignment is a
-    * single map stage and the index is written `partitionBy("centroid_id")`
-    * so probes prune to nprobe/nlist of the files.
+  /** Argmax-cosine assignment against double centroids; ties break to the
+    * lowest index (mirrors [[VectorKernels.nearestCentroid]] and the oracle's
+    * `row_number ... ORDER BY cos DESC, cidx`).
+    */
+  private def nearestIdxD(v: Array[Float], cents: Array[Array[Double]]): Int = {
+    var best = -1
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cen = cents(c)
+      val n = math.min(v.length, cen.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = v(i).toDouble; val y = cen(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val sim = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic Lloyd refinement of the codebook over a bounded sample
+    * (ascending-id order). Every arithmetic step is chosen to be exactly
+    * reproducible in the DuckDB oracle: assignments are argmax cosine with
+    * lowest-index ties, per-dimension means accumulate in DOUBLE in sample
+    * id order (= DuckDB `list_sum(list(x ORDER BY id))`), division happens in
+    * double, empty clusters keep their previous centroid, and only the FINAL
+    * centroids round to float (IEEE round-to-nearest-even in both engines).
+    */
+  private[graft] def trainCodebook(
+      sample: Array[Array[Float]],
+      init: Array[Array[Float]],
+      iters: Int): Array[Array[Float]] = {
+    var cents: Array[Array[Double]] = init.map(_.map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val dim = if (cents.nonEmpty) cents(0).length else 0
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        val c = nearestIdxD(v, cents)
+        counts(c) += 1L
+        var d = 0
+        val n = math.min(dim, v.length)
+        while (d < n) { sums(c)(d) += v(d).toDouble; d += 1 }
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0L) cents(c)
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    cents.map(_.map(_.toFloat))
+  }
+
+  /** Build the IVF index. The codebook is k-means-trained (FAISS-style: the
+    * coarse quantizer trains on a bounded sample, NOT the full corpus — the
+    * sample and the nlist-sized codebook are the only driver-side data, so
+    * the build stays O(sample) on the driver at any corpus size) from a
+    * deterministic stride sample, initialized with stride-spaced seeds.
+    * Every corpus vector is then tagged with its nearest centroid via the
+    * codegen'd [[VectorExpressions.NearestCentroid]] projection — NO join,
+    * NO shuffle; at cluster scale the assignment is a single map stage and
+    * the index is written `partitionBy("centroid_id")` so probes prune to
+    * nprobe/nlist of the files.
     */
   def ivfIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int): (DataFrame, IvfModel) = {
+      nlist: Int, iters: Int = 2, sampleMax: Int = 256): (DataFrame, IvfModel) = {
     val n = corpus.count()
-    val stride = math.max(1L, n / nlist)
-    val centroids: Array[Array[Float]] = corpus
-      .filter(pmod(col(idCol), lit(stride)) === 0)
-      .orderBy(col(idCol))
-      .limit(nlist)
-      .select(col(vecCol))
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
+    def strideSample(target: Int): Array[Array[Float]] = {
+      val stride = math.max(1L, n / target)
+      corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+        .orderBy(col(idCol))
+        .limit(target)
+        .select(col(vecCol))
+        .collect()
+        .map(_.getSeq[Float](0).toArray)
+    }
+    val init = strideSample(nlist)
+    val sample = strideSample(sampleMax)
+    val centroids = trainCodebook(sample, init, iters)
     val model = IvfModel(centroids)
     val assignments = Ops.spread(corpus.select(col(idCol), col(vecCol))).select(
       col(idCol), col(vecCol),

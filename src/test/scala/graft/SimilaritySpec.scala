@@ -78,6 +78,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(listDirs > 2, s"expected one directory per non-empty list, got $listDirs")
   }
 
+  test("k-means-trained codebook reaches recall@10 >= 0.9 at nprobe=4 vs brute force") {
+    // clustered corpus: 16 gaussian centers + small noise. (The testdata
+    // embeddings are UNIFORM random vectors — pairwise cosine tops out ~0.4 —
+    // so no codebook can pin a query's true neighbors into 4 of 16 lists
+    // there; codebook QUALITY is only measurable where clusters exist.)
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val points = (0L until 400L).map { i =>
+      val c = centers((i % 16).toInt)
+      (i, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    }
+    val emb = points.toDF("vec_id", "embedding")
+    val (assignments, model) = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+    val recalls = Seq(0L, 5L, 42L, 137L, 233L, 311L).map { qid =>
+      val q = emb.filter($"vec_id" === qid).select("embedding").head().getSeq[Float](0).toArray
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val approx = Similarity.ivfTopK(assignments, model, "vec_id", "embedding", q, k = 10, nprobe = 4)
+        .collect().map(_.getLong(0)).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"recall@10 per query $recalls, mean $mean")
+    // the Lloyd iterations must genuinely move the codebook off its seeds
+    val (_, seedModel) = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16, iters = 0)
+    assert(model.centroids.zip(seedModel.centroids).exists { case (a, b) => !a.sameElements(b) },
+      "trained codebook should differ from the stride seeds")
+  }
+
   test("IVF probe finds the query vector when probing enough lists") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter($"vec_id" === 12).select("embedding").head().getSeq[Float](0).toArray
