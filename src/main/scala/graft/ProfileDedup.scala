@@ -18,6 +18,14 @@ object ProfileDedup {
     time("minhashLsh 2nd")(Dedup.minhashLsh(docs, "doc_id", "text").count())
     time("ngramJaccard")(Dedup.ngramJaccard(docs, "doc_id", "text").count())
     time("simhash")(Dedup.simhash(docs, "doc_id", "text").count())
+    (1 to 2).foreach { i =>
+      time(s"q:minhash_dedup_docs run$i")(
+        SparkEntry.queries("minhash_dedup_docs")(spark, dir).count())
+    }
+    (1 to 2).foreach { i =>
+      time(s"q:token_fingerprint run$i")(
+        SparkEntry.queries("token_fingerprint")(spark, dir).count())
+    }
     val emb = Tables.embeddings(spark, dir)
     time("emb warmup")(emb.count())
     (1 to 2).foreach { i =>

@@ -42,7 +42,10 @@ object SparkEntry {
     * executes: every invariant consumes the survivor set.
     */
   private def dedupInvariants(docs: DataFrame, kept: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keptIds = kept.select(col(idCol))
+    // materialize the survivor ID LIST once (narrow long column, bounded by
+    // the corpus id count): each invariant below references it, and without
+    // the checkpoint every branch would re-run the whole LSH dedup
+    val keptIds = kept.select(col(idCol)).localCheckpoint(true)
     val digest = md5(to_json(struct(col(textCol))))
     val tot = docs.agg(count(lit(1)).as("total"))
     val kc = keptIds.agg(count(lit(1)).as("kept"))
@@ -425,9 +428,11 @@ object SparkEntry {
       // invariants instead (fingerprint is a pure function of the text:
       // identical text -> identical fingerprint, never null, and distinct
       // fingerprints cannot exceed distinct texts)
+      // checkpointed: three narrow columns, consumed by four invariants
       val fps = Tables.documents(s, dir).select(
         col("doc_id"), md5(col("text")).as("__d"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .localCheckpoint(true)
       val tot = fps.agg(count(lit(1)).as("total"))
       val nulls = fps.filter(col("fingerprint").isNull).agg(count(lit(1)).as("nulls"))
       val inconsistent = fps.groupBy(col("__d"))

@@ -20,16 +20,40 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup on a content digest: keep the smallest id per digest.
-    * One shuffle; digest computed in the scan stage.
+    * One shuffle on the digest and a SINGLE scan of the input (row_number
+    * keep-first, not groupBy+semi-join — the join formulation scans the
+    * input twice and re-runs both halves every time a caller's plan
+    * references the result more than once, e.g. the two sides of an LSH
+    * banded self-join).
     */
   def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // JSON-encoded struct, not concat_ws: concat_ws silently drops null
     // columns, which made a null document and an empty one hash identically
     val digest = md5(to_json(struct(contentCols.map(col): _*)))
-    val keep = df.withColumn("__digest", digest)
-      .groupBy("__digest").agg(min(col(idCol)).as(idCol))
-      .select(idCol)
-    df.join(keep, Seq(idCol), "left_semi")
+    val w = Window.partitionBy(digest).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** The pair-join ops' narrow precompose: (id, content) of the min-id
+    * representative per distinct content. ONE explicit hash shuffle on the
+    * digest with `defaultParallelism` output partitions — the window's
+    * required distribution is already satisfied, so no second exchange, and
+    * the explicit partition count keeps AQE from coalescing a small output
+    * to one partition (which would serialize the CPU-dense signature
+    * kernels computed downstream of this frame).
+    */
+  private def distinctContent(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(idCol), col(contentCol))
+      .withColumn("__digest", md5(to_json(struct(col(contentCol)))))
+      .repartition(target, col("__digest"))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("__digest")).orderBy(col(idCol))))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(contentCol))
   }
 
   /** Deterministic MinHash parameters derived from a fixed seed (splitmix64
@@ -93,21 +117,18 @@ object Dedup {
       bands: Int = 16,
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    // collapse EXACT duplicates first: identical docs share every band key,
-    // so a flood of N identical documents would otherwise put N ids in the
-    // same bucket and the banded self-grouping goes quadratic. Collapsing to
-    // the min-id representative changes nothing downstream (the rep sits in
-    // exactly the buckets its clones did, with the smallest id of the group)
-    // and bounds bucket growth to distinct content.
-    val reps = exact(df, idCol, Seq(textCol))
+    // no exact-dup precompose here: the greedy keep-rule is a WINDOW min per
+    // (band, bucket) — linear in bucket size, so an identical-document flood
+    // costs a sort, never a quadratic pair join (the pair-verifying ops
+    // below are the ones that need the precompose)
     val sig = minhashSignatureFromTokens(TextAnalysis.tokens(col(textCol)), shingleSize, numHashes, seed)
     // spread BEFORE the signature projection: a single-file input is one
     // partition, which would serialize the whole MinHash pass on one core
-    val banded = Ops.spread(reps.select(col(idCol), col(textCol)))
+    val banded = Ops.spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), sig.as("__sig"))
       .select(col(idCol), posexplode(bandKeys(col("__sig"), numHashes, bands)))
       .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
-    dropBucketNonMin(reps, banded, idCol)
+    dropBucketNonMin(df, banded, idCol)
   }
 
   /** SimHash near-duplicate removal: 64-bit fingerprint over token hashes
@@ -123,9 +144,11 @@ object Dedup {
     // exact-collapse first: identical docs have identical fingerprints —
     // see [[minhashLsh]] for why this bounds bucket blowup with no semantic
     // change
-    val reps = exact(df, idCol, Seq(textCol))
+    val reps = distinctContent(df, idCol, textCol)
     val tokenHashes = transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t))
-    val withFp = Ops.spread(reps.select(col(idCol), col(textCol)))
+    // reps is already hash-partitioned to defaultParallelism by
+    // distinctContent — no spread probe (it would re-execute the shuffle)
+    val withFp = reps
       .select(col(idCol), VectorExpressions.simhash64(tokenHashes).as("__fp"))
     val bandCols = (0 until 4).map(bnd => shiftright(col("__fp"), bnd * 16).bitwiseAND(lit(0xFFFFL)))
     val banded = withFp.select(
@@ -159,11 +182,11 @@ object Dedup {
     // grams as distinct shingle *hashes* (long arrays): the exact-Jaccard
     // verify runs array_intersect/union over primitive longs instead of
     // strings — same set semantics, far cheaper on candidate pairs.
-    val reps = exact(df, idCol, Seq(textCol))
+    val reps = distinctContent(df, idCol, textCol)
     val gramHashes = graft.functions.HashExpressions.ngramHashes(TextAnalysis.tokens(col(textCol)), n)
     val grams = array_distinct(gramHashes)
     val sig = minhashSignatureFromTokens(TextAnalysis.tokens(col(textCol)), n, numHashes, seed)
-    val base = Ops.spread(reps.select(col(idCol), col(textCol)))
+    val base = reps
       .select(col(idCol), grams.as("__grams"), sig.as("__sig"))
     val banded = base.select(col(idCol), col("__grams"),
       posexplode(bandKeys(col("__sig"), numHashes, bands)))
@@ -225,7 +248,7 @@ object Dedup {
     // exact-collapse first: clones connect to their representative with
     // Jaccard 1, so the full-graph component minimum equals the rep-graph
     // component minimum — same survivors, bounded buckets
-    val reps = exact(df, idCol, Seq(textCol))
+    val reps = distinctContent(df, idCol, textCol)
     val pairs = ngramJaccardPairs(reps, idCol, textCol, n, threshold, numHashes, bands, seed)
     val drops = connectedComponents(pairs)
       .filter(col("label") =!= col("id"))
@@ -314,7 +337,7 @@ object Dedup {
     // exact-collapse first: an identical vector shares every sign-band with
     // its representative (cosine 1 ≥ any threshold) — same survivors,
     // bounded buckets under duplicate floods (see [[minhashLsh]])
-    val reps = exact(df, idCol, Seq(vecCol))
+    val reps = distinctContent(df, idCol, vecCol)
     val drops = embeddingCandidatePairs(reps, idCol, vecCol, dim, threshold, numPlanes, bandBits, seed)
       .select(col("b").as(idCol)).distinct()
     reps.join(drops, Seq(idCol), "left_anti")
@@ -375,7 +398,7 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     // exact-collapse first — see [[ngramJaccardCC]]; component minima are
     // unchanged because clones attach to their rep at cosine 1
-    val reps = exact(df, idCol, Seq(vecCol))
+    val reps = distinctContent(df, idCol, vecCol)
     val pairs = embeddingCandidatePairs(reps, idCol, vecCol, dim, threshold, numPlanes, bandBits, seed)
     val drops = connectedComponents(pairs)
       .filter(col("label") =!= col("id"))

@@ -174,8 +174,21 @@ object Ops {
     * input is trivially cheaper than running the kernel on one core.
     */
   def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // a plan that already shuffles gets its parallelism from the shuffle
+    // (spark.sql.shuffle.partitions / an explicit repartition / AQE); only
+    // narrow scan-shaped plans need the guard. This matters because the
+    // `.rdd` partition probe below EXECUTES query stages under AQE — cheap
+    // metadata for a raw scan, a full re-run for a shuffled subtree.
+    val hasShuffle = df.queryExecution.logical.find {
+      case _: logical.Repartition | _: logical.RepartitionByExpression |
+          _: logical.Aggregate | _: logical.Join | _: logical.Window |
+          _: logical.Distinct | _: logical.Deduplicate | _: logical.Sort => true
+      case _ => false
+    }.isDefined
+    if (hasShuffle) df
+    else if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   /** Whole declarative query (the ElasticQueryModel analog): window + terms +
