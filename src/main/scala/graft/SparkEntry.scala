@@ -716,6 +716,51 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    "tfidf_top_terms" -> ((s, dir) => {
+      // tf × idf with LINEAR idf (tf·N/df): same ranking as the log form for
+      // the per-doc top-k, but transcendental-free — ln() can differ by an
+      // ulp between the JVM and DuckDB's libm, which would break the exact
+      // hash gate. All math is integer-exact in double.
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      tf.join(dfreq, "token").crossJoin(n)
+        .withColumn("score", col("tf").cast("double") * col("n") / col("df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("token"), col("score"))
+    }),
+
+    "approx_distinct" -> ((s, dir) => {
+      // sketch-based distinct (HLL++) for the 100 TB path where exact
+      // countDistinct's shuffle is unaffordable; the oracle pins the exact
+      // count and asserts the sketch lands within the error envelope
+      val agg = Tables.orders(s, dir).agg(
+        countDistinct(col("o_custkey")).as("exact"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+      agg.selectExpr(
+        """stack(2,
+          | 'exact_custkeys', CAST(exact AS BIGINT),
+          | 'approx_within_5pct', CAST(CASE WHEN abs(approx - exact) <= 0.05 * exact THEN 1 ELSE 0 END AS BIGINT)
+          |) AS (chk, n)""".stripMargin)
+    }),
+
+    "unpivot_metrics" -> ((s, dir) =>
+      // wide→long melt: the schema-reshape primitive feature pipelines use
+      // before per-metric aggregation; stays a narrow 1→3 projection
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          variableColumnName = "metric",
+          valueColumnName = "value")),
+
     "json_sink_roundtrip" -> ((s, dir) => {
       // C3 write half: rows pass through the NDJSON sink and come back
       // bit-identical (doubles survive via shortest-round-trip formatting);
@@ -1327,6 +1372,30 @@ object SparkEntry {
 
     "json_sink_roundtrip" ->
       """SELECT event_id, user_id, value FROM events
-        |WHERE event_type = 'purchase'""".stripMargin
+        |WHERE event_type = 'purchase'""".stripMargin,
+
+    "tfidf_top_terms" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT doc_id, token, score FROM (
+         |  SELECT tf.doc_id, tf.token,
+         |    CAST(tf.tf AS DOUBLE) * n.n / df.df AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY CAST(tf.tf AS DOUBLE) * n.n / df.df DESC, tf.token) AS rn
+         |  FROM tf JOIN df USING (token), n) t
+         |WHERE rn <= 3""".stripMargin,
+
+    "approx_distinct" ->
+      """SELECT 'exact_custkeys' AS chk, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n FROM orders
+        |UNION ALL SELECT 'approx_within_5pct', 1""".stripMargin,
+
+    "unpivot_metrics" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""".stripMargin
   )
 }

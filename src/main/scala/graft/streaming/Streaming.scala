@@ -213,6 +213,38 @@ object Streaming {
     }
   }
 
+  /** Watermarked stream-stream inner join: every click joined to the same
+    * user's purchases within the following `windowMinutes`. Both sides carry
+    * watermarks AND the join condition bounds the event-time distance, so
+    * the state store evicts rows once the watermark passes the window — the
+    * two requirements that make a stream-stream join runnable indefinitely
+    * (an unbounded-state join would OOM a long-running cluster job).
+    * Expects (event_id, user_id, ts) on both inputs.
+    */
+  def clickToPurchase(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowMinutes: Int = 30,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val c = if (clicks.isStreaming) clicks.withWatermark("ts", watermarkDelay) else clicks
+    // rename the right side AFTER its watermark so the join condition binds
+    // unambiguously without dataset aliases (alias resolution through
+    // EventTimeWatermark nodes is fragile in the streaming planner)
+    val p0 = if (purchases.isStreaming) purchases.withWatermark("ts", watermarkDelay) else purchases
+    val p = p0.select(
+      col("event_id").as("p_event_id"), col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("p_ts") >= col("ts") &&
+          col("p_ts") <= col("ts") + expr(s"interval $windowMinutes minutes"))
+      .select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        col("p_event_id").as("purchase_id"),
+        col("ts").as("click_ts"),
+        col("p_ts").as("purchase_ts"))
+  }
+
   /** Streaming exactly-once-per-key dedup: dropDuplicates keyed on event_id
     * with the watermark bounding how long ids are remembered — the streaming
     * analog of W1/K2 conflict-skip semantics.

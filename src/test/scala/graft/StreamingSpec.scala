@@ -182,6 +182,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream join attributes purchases to preceding clicks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // NOT epoch-based: the initial global watermark is epoch 0 and rows at
+    // or below the watermark are dropped as late
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(minute: Long) = new java.sql.Timestamp(base + minute * 60000L)
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = Streaming.clickToPurchase(
+        clicks.toDF().toDF("event_id", "user_id", "ts"),
+        purchases.toDF().toDF("event_id", "user_id", "ts"),
+        windowMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("attrib").start()
+    try {
+      clicks.addData((1L, 7L, ts(0)), (2L, 7L, ts(100)), (3L, 8L, ts(0)))
+      purchases.addData((10L, 7L, ts(20)), (11L, 8L, ts(200)))
+      q.processAllAvailable()
+      // a second trigger: micro-batch scheduling may land the two sources'
+      // first batches in separate triggers, matching via state on the next
+      clicks.addData((4L, 9L, ts(500)))
+      purchases.addData((12L, 9L, ts(999)))
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("user_id", "click_id", "purchase_id")
+        .as[(Long, Long, Long)].collect().toSet
+      // user 7: purchase 10 at t=20 follows click 1 at t=0 within 30 min;
+      // click 2 (t=100) is AFTER the purchase, user 8's purchase (t=200) is
+      // 200 min after their click — both outside the window
+      assert(got == Set((7L, 1L, 10L)))
+    } finally q.stop()
+  }
+
+  test("clickToPurchase runs identically in batch mode (unified engine)") {
+    def ts(minute: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + minute * 60000L)
+    val clicks = Seq((1L, 7L, ts(0)), (2L, 7L, ts(100)), (3L, 8L, ts(0)))
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq((10L, 7L, ts(20)), (11L, 8L, ts(200)))
+      .toDF("event_id", "user_id", "ts")
+    val got = Streaming.clickToPurchase(clicks, purchases)
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((7L, 1L, 10L)))
+  }
+
   test("dedupStream drops replayed event ids within the watermark horizon") {
     val staged = java.nio.file.Files.createTempDirectory("graft-stream3").toString + "/events"
     val ev = Sources.events(spark, sfDir).drop("ts_ns").limit(100)
