@@ -749,6 +749,43 @@ object SparkEntry {
           |) AS (chk, n)""".stripMargin)
     }),
 
+    "bloom_prune_check" -> ((s, dir) => {
+      // manual bloom-pruned join: filter over the dimension's keys,
+      // broadcast, probe fact rows in their scan stage. Invariants: zero
+      // false negatives (every true match tests positive) and the filter
+      // actually prunes (sized for 1M items over a few hundred keys, the
+      // false-positive rate is ~0)
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      // the filter binary must reach might_contain as a foldable value (the
+      // expression rejects joined columns), so the ONE aggregated sketch —
+      // ~120 KB, like an IVF codebook — is collected and inlined as a
+      // literal; Spark's own runtime filtering injects it the same way, as
+      // a scalar-subquery result
+      val bf: Array[Byte] = cust
+        .agg(graft.functions.SketchFunctions.bloomFilterAgg(col("c_custkey"), 100000L).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val orders = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val tested = orders
+        .withColumn("might", graft.functions.SketchFunctions.mightContain(lit(bf), col("o_custkey")))
+        .localCheckpoint(true) // narrow; consumed by three invariants below
+      val inSet = tested.join(
+        cust.withColumnRenamed("c_custkey", "o_custkey").distinct(), Seq("o_custkey"), "left_semi")
+      val building = inSet.agg(count(lit(1)).as("building"))
+      val falseNeg = inSet.filter(!col("might")).agg(count(lit(1)).as("fn"))
+      val totals = tested.agg(
+        count(lit(1)).as("total"),
+        sum(when(col("might"), 1L).otherwise(0L)).as("kept"))
+      totals.crossJoin(building).crossJoin(falseNeg)
+        .selectExpr(
+          """stack(4,
+            | 'orders_total', CAST(total AS BIGINT),
+            | 'building_orders', CAST(building AS BIGINT),
+            | 'bloom_false_negatives', CAST(fn AS BIGINT),
+            | 'bloom_prunes_nonmatches', CAST(CASE WHEN kept < total THEN 1 ELSE 0 END AS BIGINT)
+            |) AS (chk, n)""".stripMargin)
+    }),
+
     "unpivot_metrics" -> ((s, dir) =>
       // wide→long melt: the schema-reshape primitive feature pipelines use
       // before per-metric aggregation; stays a narrow 1→3 projection
@@ -1390,6 +1427,15 @@ object SparkEntry {
     "approx_distinct" ->
       """SELECT 'exact_custkeys' AS chk, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n FROM orders
         |UNION ALL SELECT 'approx_within_5pct', 1""".stripMargin,
+
+    "bloom_prune_check" ->
+      """SELECT 'orders_total' AS chk, CAST(count(*) AS BIGINT) AS n FROM orders
+        |UNION ALL SELECT 'building_orders', CAST((
+        |  SELECT count(*) FROM orders o
+        |  JOIN (SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |    ON o.o_custkey = c.c_custkey) AS BIGINT)
+        |UNION ALL SELECT 'bloom_false_negatives', 0
+        |UNION ALL SELECT 'bloom_prunes_nonmatches', 1""".stripMargin,
 
     "unpivot_metrics" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem

@@ -21,7 +21,14 @@ import pandas as pd
 
 
 def canon(v):
-    if v is None or v is pd.NA or (isinstance(v, float) and math.isnan(v)):
+    # STRICTER than the driver: float NaN canonicalizes to "NaN", distinct
+    # from NULL, so a genuine NaN-vs-NULL divergence between Spark and the
+    # oracle fails HERE even though the driver's pandas compare (which folds
+    # NaN into NULL) would let it slide. Passing the strict local gate
+    # implies passing the driver's.
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if v is None or v is pd.NA:
         return "<NULL>"
     if isinstance(v, float):
         return repr(v)
