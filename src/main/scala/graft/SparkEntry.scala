@@ -294,6 +294,32 @@ object SparkEntry {
         .select("event_id", "user_id", "purchase_event_id", "purchase_value")
     }),
 
+    "asof_join_forward" -> ((s, dir) => {
+      // every event joined to the user's NEXT purchase at-or-after it
+      val ev = Sources.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts"),
+        col("event_id").as("next_purchase_id"), col("value").as("next_purchase_value"))
+      operators.Joins.asOfJoinForward(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("next_purchase_id", "next_purchase_value"),
+        rightTieBreak = "next_purchase_id")
+        .select("event_id", "user_id", "next_purchase_id", "next_purchase_value")
+    }),
+
+    "window_fill_forward" -> ((s, dir) => {
+      // running last-known-value (forward fill): the gap-filling idiom for
+      // sparse time series; ignoreNulls last over a running frame
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Sources.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+          .over(w).as("last_purchase_value"))
+    }),
+
     "range_join" -> ((s, dir) => {
       // per purchase: the user's event activity in the following 30 minutes
       val ev = Sources.events(s, dir)
@@ -991,6 +1017,22 @@ object SparkEntry {
         |         event_id AS purchase_event_id, value AS purchase_value
         |  FROM events WHERE event_type = 'purchase') p
         |ON e.user_id = p.user_id AND e.ts2 >= p.ts2""".stripMargin,
+
+    "asof_join_forward" ->
+      """SELECT e.event_id, e.user_id, p.next_purchase_id, p.next_purchase_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts2 FROM events) e
+        |ASOF JOIN (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2,
+        |         event_id AS next_purchase_id, value AS next_purchase_value
+        |  FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts2 <= p.ts2""".stripMargin,
+
+    "window_fill_forward" ->
+      """SELECT event_id, user_id,
+        | last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+        |FROM events""".stripMargin,
 
     "range_join" ->
       """SELECT p.purchase_id, count(*) AS n_follow,

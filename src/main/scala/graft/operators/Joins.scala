@@ -67,6 +67,50 @@ object Joins {
       .select(leftCols.map(col) ++ rightPayload.map(p => col(s"__filled.$p")): _*)
   }
 
+  /** Forward as-of: for every left row, the EARLIEST right row with the same
+    * key and `rightTs >= leftTs` (the "next event" lookup — e.g. first
+    * purchase after a click). Same single-shuffle union-and-fill shape as
+    * [[asOfJoin]], scanning time DESCENDING so the running `last` carries
+    * the nearest FUTURE payload backward.
+    */
+  def asOfJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      rightTieBreak: String): DataFrame = {
+    val rightDedup = Ops.dedupKeepFirst(
+      graft.types.DedupSpec(keys :+ rightTs, Seq(rightTieBreak)))(right)
+
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          rightDedup.select(rightPayload.map(col): _*).schema.fields)))
+    val r = rightDedup.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        struct(rightPayload.map(col): _*).as("__payload")): _*)
+    val rAligned = leftCols.foldLeft(r) { (d, c) =>
+      if (keys.contains(c)) d else d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(l.columns.map(col): _*)
+
+    // DESC time scan; at equal ts the right row (side 0) still precedes the
+    // left row, so a same-instant right row matches (>= semantics)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(rAligned)
+      .withColumn("__filled", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__filled").isNotNull)
+      .select(leftCols.map(col) ++ rightPayload.map(p => col(s"__filled.$p")): _*)
+  }
+
   /** Pairs (left, right) with equal keys and `rightTs` in
     * `[leftTs + lowerMicros, leftTs + upperMicros)`. Bucket width is the
     * interval span, so each left row lands in at most two buckets and every

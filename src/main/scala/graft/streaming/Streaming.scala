@@ -213,6 +213,15 @@ object Streaming {
     }
   }
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * static dimension, broadcast so the stream side never shuffles — the
+    * standard shape for enriching an event stream with reference data. The
+    * static side is re-planned per batch, so an updated dimension table is
+    * picked up without restarting the query.
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Watermarked stream-stream inner join: every click joined to the same
     * user's purchases within the following `windowMinutes`. Both sides carry
     * watermarks AND the join condition bounds the event-time distance, so

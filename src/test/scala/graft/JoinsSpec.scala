@@ -27,6 +27,25 @@ class JoinsSpec extends SparkTestBase {
     assert(out == Map(1L -> 100L, 2L -> 200L, 3L -> 200L))
   }
 
+  test("asOfJoinForward attaches the earliest at-or-after right row, inner drop") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:05:00")), // next is p2
+      (2L, 10L, ts("2024-01-01 00:10:00")), // exactly at p2 -> matches p2
+      (3L, 10L, ts("2024-01-01 00:20:00")), // nothing after -> dropped
+      (4L, 20L, ts("2024-01-01 00:01:00")), // user 20 has no purchase -> dropped
+      (5L, 10L, ts("2023-12-31 23:00:00"))  // before everything -> next is p1
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 100L, 1.0),
+      (10L, ts("2024-01-01 00:10:00"), 200L, 2.0)
+    ).toDF("user_id", "ts", "purchase_event_id", "purchase_value")
+
+    val out = Joins.asOfJoinForward(left, right, Seq("user_id"), "ts", "ts",
+      Seq("purchase_event_id", "purchase_value"), "purchase_event_id")
+      .select($"event_id", $"purchase_event_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 200L, 2L -> 200L, 5L -> 100L))
+  }
+
   test("asOfJoin breaks same-instant right ties deterministically (keep smallest tiebreak)") {
     val left = Seq((1L, 10L, ts("2024-01-01 00:00:01"))).toDF("event_id", "user_id", "ts")
     val right = Seq(

@@ -215,6 +215,24 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each micro-batch from a broadcast dimension") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Long)]
+    val q = Streaming.enrichWithStatic(input.toDF().toDF("event_id", "user_id"), dim, Seq("user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    try {
+      input.addData((10L, 1L), (11L, 2L), (12L, 3L))
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select("event_id", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(got == Set((10L, Some("gold")), (11L, Some("silver")), (12L, None)),
+        "left join: unmatched stream rows survive with a null tier")
+    } finally q.stop()
+  }
+
   test("clickToPurchase runs identically in batch mode (unified engine)") {
     def ts(minute: Long) = new java.sql.Timestamp(
       java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + minute * 60000L)
