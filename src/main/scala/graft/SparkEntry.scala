@@ -827,8 +827,11 @@ object SparkEntry {
     "json_sink_roundtrip" -> ((s, dir) => {
       // C3 write half: rows pass through the NDJSON sink and come back
       // bit-identical (doubles survive via shortest-round-trip formatting);
-      // the oracle is the pre-sink relation, so the round-trip is the check
-      val out = sys.props("java.io.tmpdir") + "/graft_json_roundtrip"
+      // the oracle is the pre-sink relation, so the round-trip is the check.
+      // Run-scoped dir: a fixed path would let two concurrent runs (local
+      // verify loop + the driver's gate) clobber each other mid-read
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_json_roundtrip").toString + "/out"
       Sinks.writeJson(
         Sources.events(s, dir).filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("value")),

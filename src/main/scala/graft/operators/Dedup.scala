@@ -161,7 +161,10 @@ object Dedup {
       .filter(col("__id_a") < col("__id_b"))
       .filter(bit_count(col("__fp_a").bitwiseXOR(col("__fp_b"))) <= maxHamming)
       .select(col("__id_b").as(idCol)).distinct()
-    reps.join(drops, Seq(idCol), "left_anti")
+    // survivors resolve against the ORIGINAL frame so callers keep every
+    // column (reps is a narrow internal projection)
+    df.join(reps.join(drops, Seq(idCol), "left_anti").select(col(idCol)),
+      Seq(idCol), "left_semi")
   }
 
   /** n-gram Jaccard near-dup: MinHash-LSH candidate buckets, then exact
@@ -199,7 +202,10 @@ object Dedup {
       .filter(col("__id_a") < col("__id_b"))
       .filter(jac >= threshold)
       .select(col("__id_b").as(idCol)).distinct()
-    reps.join(drops, Seq(idCol), "left_anti")
+    // survivors resolve against the ORIGINAL frame so callers keep every
+    // column (reps is a narrow internal projection)
+    df.join(reps.join(drops, Seq(idCol), "left_anti").select(col(idCol)),
+      Seq(idCol), "left_semi")
   }
 
   /** Verified n-gram-Jaccard near-duplicate pairs (a < b) — the edge list
@@ -253,7 +259,8 @@ object Dedup {
     val drops = connectedComponents(pairs)
       .filter(col("label") =!= col("id"))
       .select(col("id").as(idCol))
-    reps.join(drops, Seq(idCol), "left_anti")
+    df.join(reps.join(drops, Seq(idCol), "left_anti").select(col(idCol)),
+      Seq(idCol), "left_semi")
   }
 
   /** Connected components over an undirected edge list (columns `a`, `b`):
@@ -340,7 +347,8 @@ object Dedup {
     val reps = distinctContent(df, idCol, vecCol)
     val drops = embeddingCandidatePairs(reps, idCol, vecCol, dim, threshold, numPlanes, bandBits, seed)
       .select(col("b").as(idCol)).distinct()
-    reps.join(drops, Seq(idCol), "left_anti")
+    df.join(reps.join(drops, Seq(idCol), "left_anti").select(col(idCol)),
+      Seq(idCol), "left_semi")
   }
 
   /** Verified near-duplicate pairs (a < b, cosine >= threshold) from sign-LSH
@@ -403,7 +411,8 @@ object Dedup {
     val drops = connectedComponents(pairs)
       .filter(col("label") =!= col("id"))
       .select(col("id").as(idCol))
-    reps.join(drops, Seq(idCol), "left_anti")
+    df.join(reps.join(drops, Seq(idCol), "left_anti").select(col(idCol)),
+      Seq(idCol), "left_semi")
   }
 
   /** LSH band keys: one codegen'd expression folds each signature slice into

@@ -181,10 +181,16 @@ object Ops {
     // narrow scan-shaped plans need the guard. This matters because the
     // `.rdd` partition probe below EXECUTES query stages under AQE — cheap
     // metadata for a raw scan, a full re-run for a shuffled subtree.
+    // Join is deliberately NOT in this list: a broadcast join keeps the
+    // probe side's partitioning (possibly 1 partition), so joined plans
+    // still need the guard; the probe may then execute join stages once,
+    // which is the price of not serializing a CPU kernel. Sort counts only
+    // when global (sortWithinPartitions does not exchange).
     val hasShuffle = df.queryExecution.logical.find {
       case _: logical.Repartition | _: logical.RepartitionByExpression |
-          _: logical.Aggregate | _: logical.Join | _: logical.Window |
-          _: logical.Distinct | _: logical.Deduplicate | _: logical.Sort => true
+          _: logical.Aggregate | _: logical.Window |
+          _: logical.Distinct | _: logical.Deduplicate => true
+      case s: logical.Sort => s.global
       case _ => false
     }.isDefined
     if (hasShuffle) df

@@ -103,9 +103,18 @@ object Streaming {
             var open = state.getOption
             sorted.foreach { e =>
               open = open match {
+                case Some(s) if e.tsMicros < s.start_micros - gapMicros =>
+                  // cross-batch late arrival more than a gap BEFORE the open
+                  // session: it can never merge, so it forms its own
+                  // single-event closed session (best effort — earlier
+                  // batches' sessions are already emitted) and the open
+                  // session is untouched
+                  closed += Session(uid, e.tsMicros, e.tsMicros, 1L, e.value)
+                  Some(s)
                 case Some(s) if e.tsMicros - s.end_micros < gapMicros =>
-                  // a late cross-batch event may land INSIDE the open span:
-                  // widen with min/max so the session never moves backwards
+                  // a late cross-batch event may land INSIDE the open span
+                  // (or within the gap before its start): widen with min/max
+                  // so the session never moves backwards
                   Some(s.copy(
                     start_micros = math.min(s.start_micros, e.tsMicros),
                     end_micros = math.max(s.end_micros, e.tsMicros),
@@ -170,16 +179,29 @@ object Streaming {
     val spark = batch.sparkSession
     val target = new org.apache.hadoop.fs.Path(targetDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // intra-batch duplicate keys must collapse on EVERY path, including the
+    // first write — route through upsert against an empty existing frame so
+    // the keep-one-row-per-key contract (and its ordering rules) apply
+    def dedupedFirstWrite: DataFrame =
+      graft.sinks.Sinks.upsert(batch.limit(0), batch, keys, action)
     partitionCol match {
       case Some(pcol) =>
         if (!fs.exists(target)) {
-          batch.write.partitionBy(pcol).parquet(targetDir)
+          dedupedFirstWrite.write.partitionBy(pcol).parquet(targetDir)
         } else {
           // partitions this batch touches — bounded by the batch, not the table
           val affected = batch.select(col(pcol)).distinct().collect().map(_.get(0)).toSeq
           if (affected.nonEmpty) {
-            // the filter prunes to affected partition DIRECTORIES at plan time
-            val slice = spark.read.parquet(targetDir).filter(col(pcol).isin(affected: _*))
+            // the filter prunes to affected partition DIRECTORIES at plan
+            // time. isin(null) is never true (SQL null semantics), so the
+            // null partition needs an explicit isNull disjunct — without it
+            // the dynamic overwrite would replace the null-partition
+            // directory with ONLY the batch's rows, silently deleting the
+            // existing ones
+            val nonNull = affected.filter(_ != null)
+            val prune = (if (nonNull.nonEmpty) Some(col(pcol).isin(nonNull: _*)) else None) ++
+              (if (affected.contains(null)) Some(col(pcol).isNull) else None)
+            val slice = spark.read.parquet(targetDir).filter(prune.reduce(_ || _))
             val merged = graft.sinks.Sinks.upsert(slice, batch, keys, action)
             // dynamic overwrite replaces exactly the partitions present in
             // `merged` (= the affected ones); all other dirs are untouched
@@ -204,7 +226,7 @@ object Streaming {
         val merged =
           if (fs.exists(target))
             graft.sinks.Sinks.upsert(spark.read.parquet(targetDir), batch, keys, action)
-          else batch
+          else dedupedFirstWrite
         merged.write.mode("overwrite").parquet(staging.toString)
         // swap: never delete the only complete copy
         if (fs.exists(target)) fs.rename(target, old)

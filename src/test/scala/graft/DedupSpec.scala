@@ -92,6 +92,20 @@ class DedupSpec extends SparkTestBase {
     assert(keptJaccardCC.contains(3L) && keptJaccardCC.contains(4L))
   }
 
+  test("dedup ops return the caller's FULL rows, not the internal projection") {
+    val withMeta = docs.withColumn("lang", lit("en")).withColumn("source", lit("s1"))
+    Seq(
+      Dedup.minhashLsh(withMeta, "doc_id", "text"),
+      Dedup.simhash(withMeta, "doc_id", "text"),
+      Dedup.ngramJaccard(withMeta, "doc_id", "text", threshold = 0.5),
+      Dedup.ngramJaccardCC(withMeta, "doc_id", "text", threshold = 0.5)
+    ).foreach { out =>
+      assert(out.columns.toSet == Set("doc_id", "text", "lang", "source"),
+        s"survivors must keep every input column, got ${out.columns.toSeq}")
+      assert(out.select("lang").distinct().head().getString(0) == "en")
+    }
+  }
+
   test("exact dedup keeps the smallest id per identical content") {
     val kept = Dedup.exact(docs, "doc_id", Seq("text")).select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(0L, 2L, 3L, 4L))

@@ -117,6 +117,50 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Map(1L -> "a2", 2L -> "b", 3L -> "c", 9L -> "z"))
   }
 
+  test("partition-scoped merge preserves existing rows in the NULL partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullpart").toString + "/target"
+    val b1 = Seq((1L, "a", Some("p1")), (2L, "b", None), (3L, "c", None))
+      .toDF("id", "v", "part")
+    Streaming.mergeBatch(b1, dir, Seq("id"), partitionCol = Some("part"))
+    // batch 2 touches ONLY the null partition; rows 2 and 3 must survive
+    val b2 = Seq((4L, "d", None: Option[String])).toDF("id", "v", "part")
+    Streaming.mergeBatch(b2, dir, Seq("id"), partitionCol = Some("part"))
+    val got = spark.read.parquet(dir).select("id", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"),
+      "null-partition rows must merge, not be replaced by the batch")
+  }
+
+  test("first micro-batch collapses intra-batch duplicate keys like every later batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-firstdup").toString + "/target"
+    val b1 = Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "c", 5L)).toDF("id", "v", "seq")
+    Streaming.mergeBatch(b1, dir, Seq("id"))
+    val got = spark.read.parquet(dir).select("id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 2L), s"one row per key even on the first write, got $got")
+  }
+
+  test("sessionize: an event more than a gap BEFORE the open session forms its own session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val minute = 60L * 1000000
+    val input = MemoryStream[Streaming.SessionEvent]
+    val q = Streaming.sessionize(input.toDS(), gapMicros = 30 * minute)
+      .writeStream.outputMode("append").format("memory").queryName("prestart_sessions").start()
+    try {
+      input.addData(Streaming.SessionEvent(1, 100 * minute, 1.0), Streaming.SessionEvent(1, 120 * minute, 2.0))
+      q.processAllAvailable()
+      // t=5min is 95 min before the open session's start: must NOT absorb
+      // into [100,120] (which would fabricate a span with an hour of silence)
+      input.addData(Streaming.SessionEvent(1, 5 * minute, 8.0))
+      q.processAllAvailable()
+      input.addData(Streaming.SessionEvent(1, 300 * minute, 0.0)) // closes [100,120]
+      q.processAllAvailable()
+      val got = spark.table("prestart_sessions").as[Streaming.Session].collect().toSet
+      assert(got == Set(
+        Streaming.Session(1, 5 * minute, 5 * minute, 1, 8.0),
+        Streaming.Session(1, 100 * minute, 120 * minute, 2, 3.0)))
+    } finally q.stop()
+  }
+
   test("whole-table merge recovers from a crash that left only the staging copy") {
     val base = java.nio.file.Files.createTempDirectory("graft-crash").toString
     val dir = base + "/target"
