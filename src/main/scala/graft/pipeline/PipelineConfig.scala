@@ -119,9 +119,30 @@ object PipelineConfig {
     (cfg \ "dedup") match {
       case JNothing => ()
       case d =>
-        transforms += Ops.dedupKeepFirst(DedupSpec(
-          dedupBy = (d \ "by").extract[Seq[String]],
-          orderBy = (d \ "orderBy").extractOrElse[Seq[String]](Nil)))
+        // strategy-by-name, like the sink registry: the reference's
+        // keep-first (W1) plus the engine's large-scale dedup family,
+        // selectable from config
+        transforms += ((d \ "strategy").extractOrElse[String]("keepFirst") match {
+          case "keepFirst" =>
+            Ops.dedupKeepFirst(DedupSpec(
+              dedupBy = (d \ "by").extract[Seq[String]],
+              orderBy = (d \ "orderBy").extractOrElse[Seq[String]](Nil)))
+          case "exact" =>
+            (df: DataFrame) => graft.operators.Dedup.exact(
+              df, (d \ "id").extract[String], (d \ "contentColumns").extract[Seq[String]])
+          case "minhash" =>
+            (df: DataFrame) => graft.operators.Dedup.minhashLsh(
+              df, (d \ "id").extract[String], (d \ "text").extract[String])
+          case "simhash" =>
+            (df: DataFrame) => graft.operators.Dedup.simhash(
+              df, (d \ "id").extract[String], (d \ "text").extract[String])
+          case "ngram_jaccard" =>
+            (df: DataFrame) => graft.operators.Dedup.ngramJaccard(
+              df, (d \ "id").extract[String], (d \ "text").extract[String],
+              threshold = (d \ "threshold").extractOrElse[Double](0.8))
+          case other => throw new graft.GraftConfigError(
+            s"Unknown dedup strategy '$other' (expected keepFirst|exact|minhash|simhash|ngram_jaccard)")
+        })
     }
 
     val sinkFn: Option[DataFrame => Unit] = (cfg \ "sink") match {

@@ -115,6 +115,31 @@ class ConfigSurfaceSpec extends SparkTestBase {
     assert(meta.count() == 1 && meta.head().getAs[String]("run") == "r1")
   }
 
+  test("JSON config selects dedup strategies by name, rejecting unknown ones") {
+    val docsDir = Files.createTempDirectory("graft-dedupcfg").toString
+    Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup
+        (2L, "totally different content here about query engines"))
+      .toDF("doc_id", "text").write.parquet(s"$docsDir/docs")
+    val out = Files.createTempDirectory("graft-dedupcfg-out").toString
+    def cfg(strategy: String) =
+      s"""{
+         |  "source": {"type": "parquet", "path": "$docsDir/docs"},
+         |  "dedup": {"strategy": "$strategy", "id": "doc_id", "text": "text",
+         |            "contentColumns": ["text"]},
+         |  "sink": {"type": "parquet", "options": {"path": "$out/$strategy"}}
+         |}""".stripMargin
+    Seq("exact", "minhash", "ngram_jaccard").foreach { strategy =>
+      PipelineConfig.fromJson(spark, cfg(strategy)).run(spark)
+      val kept = spark.read.parquet(s"$out/$strategy").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(kept == Seq(0L, 2L), s"$strategy must drop the exact dup, got $kept")
+    }
+    intercept[GraftConfigError] {
+      PipelineConfig.fromJson(spark, cfg("drop_everything"))
+    }
+  }
+
   test("a JSON config with a missing source and failOnMissing=false skips cleanly") {
     val cfg =
       """{
