@@ -505,6 +505,27 @@ object SparkEntry {
       Dedup.embeddingCosineCC(Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64,
         threshold = 0.95).select("vec_id")),
 
+    "dup_cluster_sizes" -> ((s, dir) => {
+      // duplicate-cluster size distribution: connected components over the
+      // verified near-dup pair graph, then a two-level rollup — the
+      // dataset-curation report that tells you whether duplication is
+      // dominated by pairs or by giant clusters
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Dedup.embeddingCandidatePairs(
+        emb, "vec_id", "embedding", dim = 64, threshold = 0.95)
+      val labels = Dedup.connectedComponents(pairs)
+      val clustered = labels
+        .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+        .select(col("cluster_size"))
+      // vectors in no verified pair are their own size-1 cluster, so the
+      // histogram is the FULL distribution (and never empty)
+      val singles = emb.select(col("vec_id").as("id"))
+        .join(labels.select(col("id")), Seq("id"), "left_anti")
+        .select(lit(1L).as("cluster_size"))
+      clustered.unionByName(singles)
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    }),
+
     "embedding_norms" -> ((s, dir) =>
       Tables.embeddings(s, dir).select(
         col("vec_id"), VectorExpressions.l2norm(col("embedding")).as("norm"))),
@@ -1299,6 +1320,39 @@ object SparkEntry {
          |comp AS (SELECT id, min(lab) AS label FROM walk GROUP BY id)
          |SELECT e.vec_id FROM embeddings e
          |WHERE e.vec_id NOT IN (SELECT id FROM comp WHERE label <> id)""".stripMargin,
+
+    "dup_cluster_sizes" ->
+      // same LSH pair generation + recursive-CTE transitive closure as
+      // embed_dedup_cc, aggregated to the cluster-size histogram
+      s"""WITH RECURSIVE planes(pid, pv) AS (VALUES
+         |  ${sqlPlanes(32, 64)}),
+         |sig AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    sum(CASE WHEN ${sqlDot("e.embedding", "p.pv")} >= 0
+         |             THEN 1::BIGINT << p.pid ELSE 0 END)::BIGINT AS sign
+         |  FROM embeddings e, planes p GROUP BY e.vec_id, e.embedding),
+         |banded AS (
+         |  SELECT vec_id, embedding, b.band, (sign >> (b.band * 16)) & 65535 AS bucket
+         |  FROM sig, (VALUES (0), (1)) b(band)),
+         |edges AS (
+         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |  WHERE ${sqlCos("l.embedding", "r.embedding")} >= 0.95),
+         |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |nodes AS (SELECT DISTINCT a AS id FROM sym),
+         |walk(id, lab) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT w.id, s.b FROM walk w JOIN sym s ON s.a = w.lab),
+         |comp AS (SELECT id, min(lab) AS label FROM walk GROUP BY id),
+         |all_sizes AS (
+         |  SELECT cluster_size FROM (
+         |    SELECT label, count(*) AS cluster_size FROM comp GROUP BY label) s
+         |  UNION ALL
+         |  SELECT 1 AS cluster_size FROM embeddings
+         |  WHERE vec_id NOT IN (SELECT id FROM comp))
+         |SELECT cluster_size, count(*) AS n_clusters FROM all_sizes GROUP BY cluster_size""".stripMargin,
 
     "stats_moments" ->
       """SELECT l_returnflag, n,
