@@ -69,6 +69,24 @@ class PlanRulesSpec extends SparkTestBase {
     assert(fp != 0L)
   }
 
+  test("unpivot melts wide to long without a shuffle (Expand, no Exchange)") {
+    val plan = SparkEntry.queries("unpivot_metrics")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"wide->long reshape must stay a narrow projection:\n$plan")
+    assert(plan.contains("Expand"), "unpivot plans as an Expand generator")
+  }
+
+  test("per-group top-k plans with rank pushdown (WindowGroupLimit), not a full sort") {
+    // stratified_sample and tfidf keep only the top rows per group; Spark's
+    // WindowGroupLimit maintains a bounded per-group heap BEFORE the window
+    // sort, the difference between sorting k rows and sorting everything
+    Seq("stratified_sample", "tfidf_top_terms").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"), s"$q should push the rank limit down:\n$plan")
+    }
+  }
+
   test("rule does not fire when ts_ns was projected away below the filter") {
     val df = Sources.events(spark, sfDir)
       .select("event_id", "ts")
