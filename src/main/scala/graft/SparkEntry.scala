@@ -845,6 +845,25 @@ object SparkEntry {
           variableColumnName = "metric",
           valueColumnName = "value")),
 
+    "curation_pipeline" -> ((s, dir) => {
+      // the end-to-end training-data curation shape, composed from the
+      // operator library: quality gate -> language gate -> exact dedup ->
+      // per-language stratified top-k — one lazy plan, oracle-exact
+      val docs = Tables.documents(s, dir)
+      val quality = docs
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.qualityFeatures(col("text")).as("q"))
+        .filter(col("q.n_tokens") >= 10 && col("q.stopword_ratio") >= 0.05)
+        .filter(col("lang").isin("en", "es", "de"))
+      val deduped = Dedup.exact(quality, "doc_id", Seq("text"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("q.stopword_ratio").desc, col("doc_id"))
+      deduped
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 50)
+        .select(col("doc_id"), col("lang"), col("rnk"))
+    }),
+
     "json_sink_roundtrip" -> ((s, dir) => {
       // C3 write half: rows pass through the NDJSON sink and come back
       // bit-identical (doubles survive via shortest-round-trip formatting);
@@ -1509,6 +1528,26 @@ object SparkEntry {
     "json_sink_roundtrip" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'purchase'""".stripMargin,
+
+    "curation_pipeline" ->
+      s"""WITH quality AS (
+         |  SELECT doc_id, lang, text, stopword_ratio FROM (
+         |    SELECT doc_id, lang, text,
+         |      CAST(len(toks) AS INT) AS n_tokens,
+         |      CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','from','it','this','that'], t))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio
+         |    FROM (SELECT doc_id, lang, text, $sqlToks AS toks FROM documents) t0) t1
+         |  WHERE n_tokens >= 10 AND stopword_ratio >= 0.05
+         |    AND lang IN ('en', 'es', 'de')),
+         |deduped AS (
+         |  SELECT doc_id, lang, stopword_ratio FROM (
+         |    SELECT doc_id, lang, stopword_ratio,
+         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dd
+         |    FROM quality) t WHERE dd = 1)
+         |SELECT doc_id, lang, rnk FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY stopword_ratio DESC, doc_id) AS rnk
+         |  FROM deduped) t
+         |WHERE rnk <= 50""".stripMargin,
 
     "tfidf_top_terms" ->
       s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS token FROM documents),

@@ -92,6 +92,29 @@ class DedupSpec extends SparkTestBase {
     assert(keptJaccardCC.contains(3L) && keptJaccardCC.contains(4L))
   }
 
+  test("connectedComponents matches a union-find reference on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val n = 200
+    val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // union-find ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodes.map { id =>
+      // component label = min node id in the component
+      val root = find(id.toInt)
+      id -> nodes.filter(m => find(m.toInt) == root).min
+    }.toMap
+    val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("dedup ops return the caller's FULL rows, not the internal projection") {
     val withMeta = docs.withColumn("lang", lit("en")).withColumn("source", lit("s1"))
     Seq(
