@@ -845,6 +845,26 @@ object SparkEntry {
           variableColumnName = "metric",
           valueColumnName = "value")),
 
+    "null_safe_join" -> ((s, dir) => {
+      // <=> join: null keys MATCH each other (IS NOT DISTINCT FROM), the
+      // semantics plain = joins silently drop
+      val ev = Sources.events(s, dir)
+      val l = ev.select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      val counts = l.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .withColumnRenamed("k", "k2")
+      l.join(counts, col("k") <=> col("k2"))
+        .select(col("event_id"), col("k"), col("cnt"))
+    }),
+
+    "explode_outer_tokens" -> ((s, dir) =>
+      // generator with OUTER semantics: a doc with zero tokens still yields
+      // one (null-token) row instead of vanishing from the output
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"))
+        .agg(count(col("token")).as("n_tokens"), count(lit(1)).as("n_rows"))),
+
     "curation_pipeline" -> ((s, dir) => {
       // the end-to-end training-data curation shape, composed from the
       // operator library: quality gate -> language gate -> exact dedup ->
@@ -1528,6 +1548,18 @@ object SparkEntry {
     "json_sink_roundtrip" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'purchase'""".stripMargin,
+
+    "null_safe_join" ->
+      """WITH l AS (SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events),
+        |counts AS (SELECT k, count(*) AS cnt FROM l GROUP BY k)
+        |SELECT l.event_id, l.k, c.cnt
+        |FROM l JOIN counts c ON l.k IS NOT DISTINCT FROM c.k""".stripMargin,
+
+    "explode_outer_tokens" ->
+      s"""SELECT doc_id,
+         | CAST(len(toks) AS BIGINT) AS n_tokens,
+         | CAST(greatest(1, len(toks)) AS BIGINT) AS n_rows
+         |FROM (SELECT doc_id, $sqlToks AS toks FROM documents) t""".stripMargin,
 
     "curation_pipeline" ->
       s"""WITH quality AS (
