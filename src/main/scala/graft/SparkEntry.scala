@@ -946,7 +946,7 @@ object SparkEntry {
     "flagship_events" ->
       """SELECT event_id, user_id, value,
         | strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS datetime,
-        | CAST(epoch_us(CAST(ts AS TIMESTAMP)) % 1000000 AS INT) AS time_mcs,
+        | CAST(((epoch_us(CAST(ts AS TIMESTAMP)) % 1000000) + 1000000) % 1000000 AS INT) AS time_mcs,
         | strftime(date_trunc('month', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS month_,
         | 'v1' AS version_
         |FROM events
@@ -972,7 +972,7 @@ object SparkEntry {
     "enrich_fn_iso" ->
       """SELECT event_id,
         | strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS datetime,
-        | CAST(epoch_us(CAST(ts AS TIMESTAMP)) % 1000000 AS INT) AS time_mcs,
+        | CAST(((epoch_us(CAST(ts AS TIMESTAMP)) % 1000000) + 1000000) % 1000000 AS INT) AS time_mcs,
         | strftime(date_trunc('month', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS month_
         |FROM events""".stripMargin,
 

@@ -144,6 +144,12 @@ object HashKernels {
     */
   def bandKeys(sig: ArrayData, bands: Int): ArrayData = {
     val n = sig.numElements()
+    if (bands <= 0 || n % bands != 0)
+      // fail loudly: silently truncating the trailing n % bands signature
+      // rows would make near-identical signatures collide in every band
+      // (and rowsPerBand == 0 would collapse ALL rows into one bucket)
+      throw new IllegalArgumentException(
+        s"bandKeys: signature length $n is not divisible into $bands bands")
     val rowsPerBand = n / bands
     val out = new Array[Long](bands)
     var b = 0

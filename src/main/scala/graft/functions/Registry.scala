@@ -60,7 +60,9 @@ object Registry {
     */
   def timestampParts(ts: Column): (Column, Column, Column) = (
     date_format(ts, "yyyy-MM-dd HH:mm:ss"),
-    (unix_micros(ts) % 1000000L).cast("int"),
+    // pmod, not %: truncated remainder goes negative for pre-epoch
+    // timestamps, while the UDF path (getNano/1000) is always 0..999999
+    pmod(unix_micros(ts), lit(1000000L)).cast("int"),
     date_format(date_trunc("month", ts), "yyyy-MM-dd"))
 
   /** F3 — TSV value sanitization (reference `tsv_converter.py:83-94`):

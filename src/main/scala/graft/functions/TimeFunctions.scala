@@ -45,6 +45,10 @@ object TimeFunctions {
       if (fraction.length > maxFractionLength)
         throw new InvalidFormatException(
           s"The fractional part is too long: ${fraction.length} digits (max $maxFractionLength).")
+      if (!fraction.forall(_.isDigit))
+        // keep the documented error contract: a malformed fraction must be a
+        // format error, not a NumberFormatException escaping from toLong
+        throw new InvalidFormatException(s"Invalid time format: $isoTime")
       val padded = fraction.padTo(maxFractionLength, '0').mkString
       val scale = math.pow(10, (maxFractionLength - 6).toDouble).toLong
       val n = padded.toLong

@@ -9,6 +9,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expressions for the vector-similarity hot path.
   *
+  * Dimension-mismatch semantics: all kernels score over
+  * `min(a.length, b.length)` components (never throw mid-job). A corpus with
+  * inconsistent dimensions therefore yields scores over the common prefix —
+  * callers that need strictness should assert a uniform `size(vec)` up front
+  * (one cheap scan) rather than pay a per-comparison branch in the kernel.
+  *
   * The embedding column is `array<float>`; at 100 TB a brute-force similarity
   * scan evaluates the metric billions of times, so these stay inside
   * whole-stage codegen (`doGenCode` emits a tight primitive loop over the

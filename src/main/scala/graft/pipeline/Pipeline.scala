@@ -27,10 +27,18 @@ final case class Pipeline(
 
   /** Run end-to-end: action the sink, then (and only then) the checkpoint.
     * Returns the planned DataFrame when the source existed.
+    *
+    * A checkpoint may only advance past data that was actually PROCESSED:
+    * with no sink configured, the plan is still executed (count) before the
+    * checkpoint fires, so a failure anywhere in the transforms keeps the
+    * watermark where it was — never "checkpoint written, nothing ran".
     */
   def run(spark: SparkSession): Option[DataFrame] =
     plan(spark).map { df =>
-      sink.foreach(_(df))
+      sink match {
+        case Some(s) => s(df)
+        case None => if (checkpoint.isDefined) df.count()
+      }
       checkpoint.foreach(_())
       df
     }

@@ -27,16 +27,26 @@ object PipelineConfig {
     * jdbc entries are the cluster deploy's loaders (reference
     * `postgresql_service.py`); the file strategies serve the bench env.
     */
+  /** Required sink option, as a typed config error rather than a bare
+    * NoSuchElementException surfacing mid-run at sink time.
+    */
+  private def req(o: Map[String, String], key: String, sink: String): String =
+    o.getOrElse(key, throw new graft.GraftConfigError(
+      s"Sink '$sink' requires option '$key' (got: ${o.keys.mkString(", ")})"))
+
   val sinkRegistry: Map[String, (DataFrame, Map[String, String]) => Unit] = Map(
-    "parquet" -> ((df, o) => Sinks.writeParquet(df, o("path"))),
-    "tsv" -> ((df, o) => Sinks.writeTsv(df, o("path"))),
-    "json" -> ((df, o) => Sinks.writeJson(df, o("path"))),
-    "orc" -> ((df, o) => Sinks.writeOrc(df, o("path"))),
-    "versioned" -> ((df, o) => { Sinks.writeVersioned(df, o("path"), o("runId")); () }),
-    "jdbc" -> ((df, o) => Sinks.jdbcWrite(df, o("url"), o("table"), o - "url" - "table")),
+    "parquet" -> ((df, o) => Sinks.writeParquet(df, req(o, "path", "parquet"))),
+    "tsv" -> ((df, o) => Sinks.writeTsv(df, req(o, "path", "tsv"))),
+    "json" -> ((df, o) => Sinks.writeJson(df, req(o, "path", "json"))),
+    "orc" -> ((df, o) => Sinks.writeOrc(df, req(o, "path", "orc"))),
+    "versioned" -> ((df, o) => {
+      Sinks.writeVersioned(df, req(o, "path", "versioned"), req(o, "runId", "versioned")); ()
+    }),
+    "jdbc" -> ((df, o) =>
+      Sinks.jdbcWrite(df, req(o, "url", "jdbc"), req(o, "table", "jdbc"), o - "url" - "table")),
     "jdbc_upsert" -> ((df, o) =>
-      Sinks.jdbcUpsert(df, o("url"), o("table"),
-        conflictColumns = o("keys").split(",").map(_.trim).toSeq,
+      Sinks.jdbcUpsert(df, req(o, "url", "jdbc_upsert"), req(o, "table", "jdbc_upsert"),
+        conflictColumns = req(o, "keys", "jdbc_upsert").split(",").map(_.trim).toSeq,
         action = o.getOrElse("onConflict", "update") match {
           case "nothing" => ConflictNothing
           case "update" => ConflictUpdate
@@ -96,7 +106,18 @@ object PipelineConfig {
           filters = (q \ "filters").extractOrElse[Map[String, String]](Map.empty).toSeq,
           sourceFields = (q \ "sourceFields").extractOpt[Seq[String]],
           sortBy = (q \ "sortBy").extractOrElse[Seq[Seq[String]]](Nil)
-            .map(p => (p.head, p.lift(1).forall(_ == "asc")))))
+            .map {
+              case Seq() => throw new graft.GraftConfigError(
+                "query.sortBy entries must be [field] or [field, asc|desc]")
+              case p =>
+                val asc = p.lift(1).map(_.toLowerCase) match {
+                  case None | Some("asc") => true
+                  case Some("desc") => false
+                  case Some(other) => throw new graft.GraftConfigError(
+                    s"query.sortBy direction '$other' (expected asc|desc)")
+                }
+                (p.head, asc)
+            }))
     }
 
     (cfg \ "constants") match {
@@ -122,24 +143,28 @@ object PipelineConfig {
         // strategy-by-name, like the sink registry: the reference's
         // keep-first (W1) plus the engine's large-scale dedup family,
         // selectable from config
+        // required fields extract EAGERLY so a misconfigured dedup section
+        // fails at parse time, not mid-run inside the transform lambda
+        def field(name: String): String = (d \ name).extractOpt[String].getOrElse(
+          throw new graft.GraftConfigError(s"dedup section requires '$name' for this strategy"))
         transforms += ((d \ "strategy").extractOrElse[String]("keepFirst") match {
           case "keepFirst" =>
             Ops.dedupKeepFirst(DedupSpec(
               dedupBy = (d \ "by").extract[Seq[String]],
               orderBy = (d \ "orderBy").extractOrElse[Seq[String]](Nil)))
           case "exact" =>
-            (df: DataFrame) => graft.operators.Dedup.exact(
-              df, (d \ "id").extract[String], (d \ "contentColumns").extract[Seq[String]])
+            val (id, cols) = (field("id"), (d \ "contentColumns").extract[Seq[String]])
+            (df: DataFrame) => graft.operators.Dedup.exact(df, id, cols)
           case "minhash" =>
-            (df: DataFrame) => graft.operators.Dedup.minhashLsh(
-              df, (d \ "id").extract[String], (d \ "text").extract[String])
+            val (id, text) = (field("id"), field("text"))
+            (df: DataFrame) => graft.operators.Dedup.minhashLsh(df, id, text)
           case "simhash" =>
-            (df: DataFrame) => graft.operators.Dedup.simhash(
-              df, (d \ "id").extract[String], (d \ "text").extract[String])
+            val (id, text) = (field("id"), field("text"))
+            (df: DataFrame) => graft.operators.Dedup.simhash(df, id, text)
           case "ngram_jaccard" =>
-            (df: DataFrame) => graft.operators.Dedup.ngramJaccard(
-              df, (d \ "id").extract[String], (d \ "text").extract[String],
-              threshold = (d \ "threshold").extractOrElse[Double](0.8))
+            val (id, text) = (field("id"), field("text"))
+            val threshold = (d \ "threshold").extractOrElse[Double](0.8)
+            (df: DataFrame) => graft.operators.Dedup.ngramJaccard(df, id, text, threshold = threshold)
           case other => throw new graft.GraftConfigError(
             s"Unknown dedup strategy '$other' (expected keepFirst|exact|minhash|simhash|ngram_jaccard)")
         })

@@ -38,8 +38,13 @@ object ApiTemplate {
     val extra = params.keySet -- needed
     require(missing.isEmpty, s"Missing template params: ${missing.mkString(", ")}")
     require(extra.isEmpty, s"Unknown template params: ${extra.mkString(", ")}")
+    // single-pass regex substitution, NOT sequential replace: substituting
+    // one param at a time re-scans earlier params' VALUES, so a value
+    // containing "{OTHER}" would splice in another param (injection) with
+    // map-iteration-order-dependent results
     def fill(s: String): String =
-      params.foldLeft(s) { case (acc, (k, v)) => acc.replace(s"{$k}", v) }
+      placeholderRe.replaceAllIn(s, m =>
+        java.util.regex.Matcher.quoteReplacement(params(m.group(1))))
     t.copy(
       url = fill(t.url),
       headers = t.headers.map { case (k, v) => fill(k) -> fill(v) },

@@ -140,6 +140,35 @@ class ConfigSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("template param values containing placeholders are NOT re-substituted (injection)") {
+    val t = RequestTemplate(url = "https://api.example.com/{A}/{B}")
+    val rendered = ApiTemplate.render(t, Map("A" -> "{B}", "B" -> "secret"))
+    assert(rendered.url == "https://api.example.com/{B}/secret",
+      "a value that looks like a placeholder must be inert, not expanded")
+  }
+
+  test("config misconfigurations fail at parse time as typed errors") {
+    val base = s"""{"source": {"type": "parquet", "path": "$sfDir/orders.parquet"}"""
+    // sortBy: empty entry / bad direction
+    intercept[GraftConfigError] {
+      PipelineConfig.fromJson(spark, base + ""","query": {"sortBy": [[]]}}""")
+    }
+    intercept[GraftConfigError] {
+      PipelineConfig.fromJson(spark, base + ""","query": {"sortBy": [["ts", "sideways"]]}}""")
+    }
+    // uppercase ASC is accepted as ascending, not silently flipped
+    PipelineConfig.fromJson(spark, base + ""","query": {"sortBy": [["o_orderkey", "ASC"]]}}""")
+    // dedup strategy with missing required field
+    intercept[GraftConfigError] {
+      PipelineConfig.fromJson(spark, base + ""","dedup": {"strategy": "minhash", "id": "doc_id"}}""")
+    }
+    // sink with a missing required option fails at the registry, typed
+    intercept[GraftConfigError] {
+      PipelineConfig.sink("jdbc_upsert")(
+        Tables.orders(spark, sfDir).limit(1), Map("url" -> "jdbc:x", "table" -> "t"))
+    }
+  }
+
   test("a JSON config with a missing source and failOnMissing=false skips cleanly") {
     val cfg =
       """{

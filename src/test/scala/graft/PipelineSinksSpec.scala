@@ -23,6 +23,18 @@ class PipelineSinksSpec extends SparkTestBase {
     }
   }
 
+  test("a sink-less pipeline still executes the plan before checkpointing") {
+    val order = scala.collection.mutable.ArrayBuffer[String]()
+    // the failure must live in a FILTER: an unused error column would be
+    // pruned away by the count() materialization
+    val boom = Pipeline(
+      Sources.ParquetSource(s"$sfDir/orders.parquet"),
+      transforms = Seq(df => df.filter(assert_true(col("o_totalprice") < 0).isNull)),
+      checkpoint = Some(() => order += "checkpoint"))
+    intercept[Exception] { boom.run(spark) }
+    assert(order.isEmpty, "a failing transform must keep the checkpoint untouched even with no sink")
+  }
+
   test("pipeline runs transforms lazily as one plan and checkpoints after the sink") {
     val order = scala.collection.mutable.ArrayBuffer[String]()
     val p = Pipeline(

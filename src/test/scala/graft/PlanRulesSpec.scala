@@ -67,6 +67,12 @@ class PlanRulesSpec extends SparkTestBase {
       "SELECT graft_rolling_hash(transform(array('x','y'), t -> xxhash64(t))) AS fp")
       .head().getLong(0)
     assert(fp != 0L)
+    // band keys refuse non-divisible / non-positive band counts loudly
+    // instead of silently truncating signature rows
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_band_keys(array(1L,2L,3L), 2)").collect()
+    }
+    assert(e.getMessage != null)
   }
 
   test("unpivot melts wide to long without a shuffle (Expand, no Exchange)") {

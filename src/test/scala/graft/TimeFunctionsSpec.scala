@@ -31,6 +31,12 @@ class TimeFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("non-digit fraction is a FORMAT error, not a NumberFormatException") {
+    intercept[InvalidFormatException] {
+      TimeFunctions.normalizeIso("2021-01-01T10:00:00.12a+00:00")
+    }
+  }
+
   test("short fraction is padded to 6 on parse path") {
     val p = TimeFunctions.isoToParts("2025-01-01T10:20:30.123+00:00")
     assert(p.datetime == "2025-01-01 10:20:30")
