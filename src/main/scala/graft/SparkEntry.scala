@@ -552,11 +552,25 @@ object SparkEntry {
       Similarity.ivfTopK(assignments, model, "vec_id", "embedding", q, k = 10, nprobe = 4)
     }),
 
-    "multimodal_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir)).toDF()),
+    "multimodal_features" -> ((s, dir) => {
+      // schema contract + byte counts are EXACTLY oracle-checkable (payload
+      // is the UTF-8 text bytes); the stub kernel's entropy/hash outputs
+      // become per-row invariant flags (entropy in [0,8], FNV hash nonzero)
+      val f = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir)).toDF()
+      f.select(
+        col("media_id"), col("modality"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        when(col("byte_entropy") >= 0.0 && col("byte_entropy") <= 8.0, 1L).otherwise(0L)
+          .as("entropy_ok"),
+        when(col("content_hash") =!= 0L, 1L).otherwise(0L).as("hash_ok"))
+    }),
 
     "frame_sample" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, dir), framesPerClip = 3)),
+      // frame indices are exact (framesPerClip per video row); the stub
+      // frame hash is pinned by a nonzero invariant
+      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, dir), framesPerClip = 3)
+        .select(col("media_id"), col("frame_idx"),
+          when(col("frame_hash") =!= 0L, 1L).otherwise(0L).as("hash_ok"))),
 
     // ---- statistics / scale-shaped additions --------------------------
     "stats_moments" -> ((s, dir) => {
@@ -936,11 +950,11 @@ object SparkEntry {
     "fr" -> "['le','la','et','les','des','est','dans','que','pour','une']",
     "it" -> "['il','di','che','la','per','con','del','una','sono','non']")
 
-  /** DuckDB oracle SQL per query key. The xxhash64-based LSH dedup family
-    * and the fingerprint query are oracle-checked via provable INVARIANTS
-    * ([[dedupInvariants]]) because DuckDB does not ship those hash kernels;
-    * only the two multimodal stub queries remain rows-only (their stub
-    * codecs are spec-covered).
+  /** DuckDB oracle SQL per query key — EVERY query has one. Where DuckDB
+    * cannot run a kernel (the xxhash64 LSH family, the stub media codecs),
+    * the query emits provable invariants instead ([[dedupInvariants]];
+    * per-row flag columns for the multimodal stubs) and the oracle states
+    * the expected values, so violations still break the hash gate.
     */
   def oracleSql: Map[String, String] = Map(
     "flagship_events" ->
@@ -1206,6 +1220,19 @@ object SparkEntry {
 
     "exact_dedup_docs" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        | CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
+        | 1 AS entropy_ok, 1 AS hash_ok
+        |FROM documents""".stripMargin,
+
+    "frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(f.i AS INT) AS frame_idx, 1 AS hash_ok
+        |FROM documents, (VALUES (0), (1), (2)) f(i)
+        |WHERE doc_id % 3 = 2""".stripMargin,
 
     // the LSH family runs xxhash64 kernels DuckDB doesn't ship; their
     // queries emit provable invariants of a correct run (see
