@@ -553,13 +553,22 @@ object SparkEntry {
     }),
 
     "multimodal_features" -> ((s, dir) => {
-      // schema contract + byte counts are EXACTLY oracle-checkable (payload
-      // is the UTF-8 text bytes); the stub kernel's entropy/hash outputs
-      // become per-row invariant flags (entropy in [0,8], FNV hash nonzero)
+      // REAL decode path: payloads are genuine WAV/BMP/PPM containers
+      // (synthesized closed-form from doc_id — see Multimodal's adapter
+      // contract), parsed by MediaCodecs; the oracle recomputes every decoded
+      // feature arithmetically, so header math, sample extraction and pixel
+      // channel order are all hash-checked exactly. Entropy/FNV stay as
+      // invariant flags (transcendental log / no DuckDB FNV).
       val f = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir)).toDF()
       f.select(
         col("media_id"), col("modality"),
         col("n_bytes").cast("long").as("n_bytes"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("duration_s"), col("rms"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"),
+        col("decoded").cast("long").as("decoded"),
         when(col("byte_entropy") >= 0.0 && col("byte_entropy") <= 8.0, 1L).otherwise(0L)
           .as("entropy_ok"),
         when(col("content_hash") =!= 0L, 1L).otherwise(0L).as("hash_ok"))
@@ -738,15 +747,23 @@ object SparkEntry {
         .filter(col("rnk") <= 20)
     }),
 
-    "resize_meta" -> ((s, dir) =>
-      // multimodal resize path: stub codec stamps target dims into the meta
-      // map; the oracle checks the metadata contract end-to-end
-      Multimodal.resizeImages(Multimodal.mediaFromDocuments(s, dir), width = 640, height = 480)
+    "resize_meta" -> ((s, dir) => {
+      // REAL resize round trip: decode BMP/PPM → nearest-neighbor resample →
+      // re-encode in the same container → decode AGAIN via extractFeatures.
+      // The oracle mirrors the resample mapping (src pixel = (r*h/H, c*w/W),
+      // integer floor) closed-form, so container re-encode and resampling are
+      // both hash-checked. Small target dims keep the oracle's per-row list
+      // math bounded (8x6 = 48 pixels).
+      val resized = Multimodal.resizeImages(Multimodal.mediaFromDocuments(s, dir),
+        width = 8, height = 6)
+      Multimodal.extractFeatures(resized).toDF()
         .filter(col("modality") === "image")
         .select(col("media_id"),
-          element_at(col("meta"), "resized_w").as("rw"),
-          element_at(col("meta"), "resized_h").as("rh"),
-          element_at(col("meta"), "lang").as("lang"))),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
 
     "subword_counts" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -1221,13 +1238,36 @@ object SparkEntry {
     "exact_dedup_docs" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
 
+    // mirrors Multimodal's adapter contract closed-form: WAV = 44-byte header
+    // + 2 bytes/sample; BMP = 54 + h*rowstride(4-padded); PPM = "P6\n{w} {h}\n
+    // 255\n" + 3wh; RMS/means = integer sums then one IEEE divide (+sqrt) —
+    // exact in both engines
     "multimodal_features" ->
-      """SELECT doc_id AS media_id,
-        | CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
-        | CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
-        | 1 AS entropy_ok, 1 AS hash_ok
-        |FROM documents""".stripMargin,
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 3 AS md,
+        |    4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h,
+        |    8000 + 4000 * (doc_id % 4) AS rate, 64 + doc_id % 97 AS ns,
+        |    (doc_id // 3) % 2 = 0 AS is_bmp, text
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        | CASE md WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        | CAST(CASE
+        |   WHEN md = 1 THEN 44 + 2 * ns
+        |   WHEN md = 0 AND is_bmp THEN 54 + h * (((3 * w + 3) // 4) * 4)
+        |   WHEN md = 0 THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h
+        |   ELSE COALESCE(octet_length(encode(text)), 0) END AS BIGINT) AS n_bytes,
+        | CAST(CASE WHEN md = 1 THEN rate END AS BIGINT) AS sample_rate,
+        | CASE WHEN md = 1 THEN CAST(ns AS DOUBLE) / rate END AS duration_s,
+        | CASE WHEN md = 1 THEN sqrt(CAST(list_sum(list_transform(range(0, ns),
+        |   i -> ((doc_id*7919 + i*104729) % 4001 - 2000) * ((doc_id*7919 + i*104729) % 4001 - 2000))) AS DOUBLE) / ns) END AS rms,
+        | CAST(CASE WHEN md = 0 THEN w END AS BIGINT) AS width,
+        | CAST(CASE WHEN md = 0 THEN h END AS BIGINT) AS height,
+        | CASE WHEN md = 0 THEN CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*31 + (p*3+0)*17) % 256)) AS DOUBLE)/(w*h) END AS mean_r,
+        | CASE WHEN md = 0 THEN CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*31 + (p*3+1)*17) % 256)) AS DOUBLE)/(w*h) END AS mean_g,
+        | CASE WHEN md = 0 THEN CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*31 + (p*3+2)*17) % 256)) AS DOUBLE)/(w*h) END AS mean_b,
+        | CAST(CASE WHEN md IN (0, 1) THEN 1 ELSE 0 END AS BIGINT) AS decoded,
+        | CAST(1 AS BIGINT) AS entropy_ok, CAST(1 AS BIGINT) AS hash_ok
+        |FROM m""".stripMargin,
 
     "frame_sample" ->
       """SELECT doc_id AS media_id, CAST(f.i AS INT) AS frame_idx, 1 AS hash_ok
@@ -1550,9 +1590,24 @@ object SparkEntry {
          |    FROM (SELECT doc_id, lang, $sqlToks AS toks FROM documents) t0) t1) t2
          |WHERE rnk <= 20""".stripMargin,
 
+    // resized 8x6: n_bytes closed-form per container (BMP 54+6*24=198,
+    // PPM 9+1+1+144=155); means replay the nearest-neighbor mapping
+    // src = ((r*h)//6, (c*w)//8) over the doc_id-parameterized pixel function
     "resize_meta" ->
-      """SELECT doc_id AS media_id, '640' AS rw, '480' AS rh, lang
-        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+      """WITH m AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h,
+        |    (doc_id // 3) % 2 = 0 AS is_bmp
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id AS media_id,
+        | CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+        | CAST(CASE WHEN is_bmp THEN 198 ELSE 155 END AS BIGINT) AS n_bytes,
+        | CAST(list_sum(list_transform(range(0, 48),
+        |   k -> (doc_id*31 + (((((k // 8) * h) // 6) * w + ((k % 8) * w) // 8) * 3 + 0) * 17) % 256)) AS DOUBLE)/48 AS mean_r,
+        | CAST(list_sum(list_transform(range(0, 48),
+        |   k -> (doc_id*31 + (((((k // 8) * h) // 6) * w + ((k % 8) * w) // 8) * 3 + 1) * 17) % 256)) AS DOUBLE)/48 AS mean_g,
+        | CAST(list_sum(list_transform(range(0, 48),
+        |   k -> (doc_id*31 + (((((k // 8) * h) // 6) * w + ((k % 8) * w) // 8) * 3 + 2) * 17) % 256)) AS DOUBLE)/48 AS mean_b
+        |FROM m""".stripMargin,
 
     "subword_counts" ->
       s"""SELECT doc_id,

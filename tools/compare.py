@@ -51,6 +51,7 @@ def frame_table(df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -62,6 +63,8 @@ def main():
         if not qdir.is_dir():
             continue
         name = qdir.name
+        if only is not None and name not in only:
+            continue
         parts = list(qdir.glob("*.parquet"))
         if not parts:
             n_fail += 1
