@@ -1637,10 +1637,13 @@ object SparkEntry {
         |SELECT l.event_id, l.k, c.cnt
         |FROM l JOIN counts c ON l.k IS NOT DISTINCT FROM c.k""".stripMargin,
 
+    // COALESCE(len, 0): regexp_extract_all(NULL) is NULL in DuckDB, while the
+    // Spark side's explode_outer + count(token) yields 0 with one row — a
+    // NULL text document must not diverge the hash gate
     "explode_outer_tokens" ->
       s"""SELECT doc_id,
-         | CAST(len(toks) AS BIGINT) AS n_tokens,
-         | CAST(greatest(1, len(toks)) AS BIGINT) AS n_rows
+         | CAST(COALESCE(len(toks), 0) AS BIGINT) AS n_tokens,
+         | CAST(greatest(1, COALESCE(len(toks), 0)) AS BIGINT) AS n_rows
          |FROM (SELECT doc_id, $sqlToks AS toks FROM documents) t""".stripMargin,
 
     "curation_pipeline" ->

@@ -186,6 +186,11 @@ object Ops {
     // still need the guard; the probe may then execute join stages once,
     // which is the price of not serializing a CPU kernel. Sort counts only
     // when global (sortWithinPartitions does not exchange).
+    // CAVEAT: trusting shuffle parallelism means AQE may still coalesce a
+    // small shuffle output to 1 partition and re-serialize a downstream
+    // CPU-dense kernel. Kernel-feeding call sites that can't afford that
+    // must pin parallelism with an explicit repartition(n, cols) — explicit
+    // counts are exempt from AQE coalescing (see Dedup.distinctContent).
     val hasShuffle = df.queryExecution.logical.find {
       case _: logical.Repartition | _: logical.RepartitionByExpression |
           _: logical.Aggregate | _: logical.Window |

@@ -53,7 +53,16 @@ object PipelineConfig {
           case other => throw new graft.GraftConfigError(
             s"Unknown onConflict '$other' (expected update|nothing)")
         },
-        options = o - "url" - "table" - "keys" - "onConflict")))
+        // batchSize is OUR knob, not a JDBC connection property — parse it
+        // out (typed error on junk) so it can't silently leak into the
+        // connection properties map
+        options = o - "url" - "table" - "keys" - "onConflict" - "batchSize",
+        batchSize = o.get("batchSize").map { s =>
+          try s.toInt catch {
+            case _: NumberFormatException => throw new graft.GraftConfigError(
+              s"jdbc_upsert batchSize must be an integer (got '$s')")
+          }
+        }.getOrElse(1000))))
 
   def sink(name: String): (DataFrame, Map[String, String]) => Unit =
     sinkRegistry.getOrElse(name, throw new graft.GraftConfigError(

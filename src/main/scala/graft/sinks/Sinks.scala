@@ -163,6 +163,40 @@ object Sinks {
     * writers serialize on the unique key, unlike the file-emulation
     * [[upsert]].
     */
+  /** SQL-injection-safe identifier: wrap in double quotes, double any
+    * embedded quote (config-sourced names must never splice raw into SQL).
+    */
+  private[graft] def quoteIdent(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** A table reference may be schema-qualified (`schema.table`): quote each
+    * dotted part separately so the qualification survives.
+    */
+  private[graft] def quoteQualified(table: String): String =
+    table.split('.').map(quoteIdent).mkString(".")
+
+  /** The upsert statement [[jdbcUpsert]] prepares. ON CONFLICT syntax is
+    * PostgreSQL (and SQLite/CockroachDB); other dialects need a MERGE
+    * variant. All identifiers are quoted/escaped — table and column names
+    * arrive from user config.
+    */
+  private[graft] def upsertSql(
+      table: String,
+      cols: Seq[String],
+      conflictColumns: Seq[String],
+      action: ConflictAction): String = {
+    val conflictClause = action match {
+      case ConflictNothing => "DO NOTHING"
+      case ConflictUpdate =>
+        val sets = cols.filterNot(conflictColumns.contains)
+          .map(c => s"${quoteIdent(c)} = EXCLUDED.${quoteIdent(c)}").mkString(", ")
+        if (sets.isEmpty) "DO NOTHING" else s"DO UPDATE SET $sets"
+    }
+    s"""INSERT INTO ${quoteQualified(table)} (${cols.map(quoteIdent).mkString(", ")})
+       |VALUES (${cols.map(_ => "?").mkString(", ")})
+       |ON CONFLICT (${conflictColumns.map(quoteIdent).mkString(", ")}) $conflictClause""".stripMargin
+  }
+
   def jdbcUpsert(
       df: DataFrame,
       url: String,
@@ -172,17 +206,7 @@ object Sinks {
       options: Map[String, String] = Map.empty,
       batchSize: Int = 1000): Unit = {
     val cols = df.columns.toSeq
-    val conflictClause = action match {
-      case ConflictNothing => "DO NOTHING"
-      case ConflictUpdate =>
-        val sets = cols.filterNot(conflictColumns.contains)
-          .map(c => s""""$c" = EXCLUDED."$c"""").mkString(", ")
-        if (sets.isEmpty) "DO NOTHING" else s"DO UPDATE SET $sets"
-    }
-    val sql =
-      s"""INSERT INTO $table (${cols.map(c => s""""$c"""").mkString(", ")})
-         |VALUES (${cols.map(_ => "?").mkString(", ")})
-         |ON CONFLICT (${conflictColumns.map(c => s""""$c"""").mkString(", ")}) $conflictClause""".stripMargin
+    val sql = upsertSql(table, cols, conflictColumns, action)
     val opts = options // serialize the map, not the Properties
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       val props = new java.util.Properties()

@@ -204,7 +204,19 @@ object Streaming {
             val slice = spark.read.parquet(targetDir).filter(prune.reduce(_ || _))
             val merged = graft.sinks.Sinks.upsert(slice, batch, keys, action)
             // dynamic overwrite replaces exactly the partitions present in
-            // `merged` (= the affected ones); all other dirs are untouched
+            // `merged` (= the affected ones); all other dirs are untouched.
+            // CRASH WINDOW (unlike the non-partitioned path's staged swap):
+            // dynamic partition overwrite deletes+renames per partition dir
+            // with no cross-directory atomicity, so a crash mid-commit can
+            // lose an affected partition's prior contents. Streaming retries
+            // the batch (foreachBatch is at-least-once) which repairs the
+            // SLICE it re-reads, but rows already merged into a lost dir from
+            // EARLIER batches are gone. Production deployments at this
+            // contract level should point the sink at a table format with an
+            // atomic commit protocol (Delta/Iceberg MERGE, which also
+            // replaces this whole read-merge-write); the plain-parquet path
+            // here accepts the window in exchange for zero table-format
+            // dependencies.
             merged.write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy(pcol).parquet(targetDir)

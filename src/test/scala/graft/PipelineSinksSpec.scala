@@ -136,4 +136,29 @@ class PipelineSinksSpec extends SparkTestBase {
     val r = ev.select($"ts_ns", unix_micros($"ts").as("us")).head()
     assert(r.getLong(0) / 1000L == r.getLong(1))
   }
+
+  test("jdbc upsert SQL quotes and escapes config-sourced identifiers") {
+    val sql = Sinks.upsertSql(
+      table = """sch"ema.orders; DROP TABLE x""",
+      cols = Seq("id", """we"ird"""),
+      conflictColumns = Seq("id"),
+      action = ConflictUpdate)
+    // embedded quotes doubled, whole parts wrapped — the ; and " are inert
+    assert(sql.contains("""INSERT INTO "sch""ema"."orders; DROP TABLE x" ("id", "we""ird")"""))
+    assert(sql.contains("""ON CONFLICT ("id") DO UPDATE SET "we""ird" = EXCLUDED."we""ird""""))
+    val nothing = Sinks.upsertSql("t", Seq("id", "v"), Seq("id"), ConflictNothing)
+    assert(nothing.contains("""ON CONFLICT ("id") DO NOTHING"""))
+    // all-key columns degrade DO UPDATE to DO NOTHING (nothing to set)
+    assert(Sinks.upsertSql("t", Seq("id"), Seq("id"), ConflictUpdate).contains("DO NOTHING"))
+  }
+
+  test("jdbc_upsert registry entry rejects a non-numeric batchSize at config time") {
+    val df = Seq((1, "a")).toDF("id", "v")
+    val e = intercept[graft.GraftConfigError] {
+      graft.pipeline.PipelineConfig.sink("jdbc_upsert")(df, Map(
+        "url" -> "jdbc:postgresql://localhost/x", "table" -> "t",
+        "keys" -> "id", "batchSize" -> "lots"))
+    }
+    assert(e.getMessage.contains("batchSize"))
+  }
 }
