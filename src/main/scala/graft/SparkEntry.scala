@@ -1326,12 +1326,15 @@ object SparkEntry {
          |WHERE rn <= 5""".stripMargin,
 
     "ivf_topk" ->
-      // mirrors ivfIndex's k-means codebook build EXACTLY (Similarity
-      // .trainCodebook): stride-seeded init, a 256-cap stride sample, two
-      // Lloyd iterations where assignment is argmax cosine with
-      // lowest-index ties and per-dimension means accumulate sequentially in
-      // sample-id order (list_sum over an id-ordered list = the Java loop,
-      // bitwise), empty clusters keep the previous centroid, final centroids
+      // mirrors the DISTRIBUTED k-means codebook build EXACTLY (Similarity
+      // .trainCodebook): first-nlist-by-id seeding (no count() pre-pass),
+      // two Lloyd iterations over the FULL corpus where assignment is argmax
+      // cosine with lowest-index ties and per-dimension sums accumulate in
+      // FIXED-POINT — floor(x*2^20) as BIGINT is IEEE-exact and the integer
+      // sum is order-free, which is exactly why the Spark side is bitwise
+      // deterministic at any parallelism and this mirror needs no
+      // accumulation-order tricks. Means divide back in double, empty
+      // clusters keep the previous centroid, each iteration's centroids
       // round to REAL; then assignment over the full table + nprobe probe
       {
         def kmAssign(out: String, src: String, cents: String): String =
@@ -1345,34 +1348,27 @@ object SparkEntry {
           s"""$out AS (
              |  SELECT p.cidx, COALESCE(m.cv, p.cv) AS cv
              |  FROM $prev p LEFT JOIN (
-             |    SELECT cidx, list(mval ORDER BY d) AS cv FROM (
+             |    SELECT cidx, list(CAST(CAST(mval AS REAL) AS DOUBLE) ORDER BY d) AS cv FROM (
              |      SELECT a.cidx, d.d AS d,
-             |        list_sum(list(CAST(a.embedding[d.d] AS DOUBLE) ORDER BY a.vec_id)) / count(*) AS mval
+             |        (CAST(sum(CAST(floor(CAST(a.embedding[d.d] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE) / count(*)) / 1048576.0 AS mval
              |      FROM $assigned a, range(1, 65) d(d)
              |      GROUP BY a.cidx, d.d) g
              |    GROUP BY cidx) m ON m.cidx = p.cidx)""".stripMargin
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-           |ist AS (SELECT greatest(1, count(*) // 16) AS s FROM embeddings),
-           |sst AS (SELECT greatest(1, count(*) // 256) AS s FROM embeddings),
            |init AS (
            |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
            |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-           |  FROM embeddings, ist WHERE vec_id % ist.s = 0
-           |  ORDER BY vec_id LIMIT 16),
-           |samp AS (
-           |  SELECT vec_id, embedding FROM embeddings, sst WHERE vec_id % sst.s = 0
-           |  ORDER BY vec_id LIMIT 256),
-           |${kmAssign("a1", "samp", "init")},
+           |  FROM embeddings ORDER BY vec_id LIMIT 16),
+           |${kmAssign("a1", "embeddings", "init")},
            |${kmUpdate("c1", "a1", "init")},
-           |${kmAssign("a2", "samp", "c1")},
+           |${kmAssign("a2", "embeddings", "c1")},
            |${kmUpdate("c2", "a2", "c1")},
-           |cf AS (SELECT cidx, list_transform(cv, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS cv FROM c2),
-           |${kmAssign("afull", "embeddings", "cf")},
+           |${kmAssign("afull", "embeddings", "c2")},
            |probes AS (
            |  SELECT cidx FROM (
            |    SELECT c.cidx, row_number() OVER (
            |      ORDER BY ${sqlCos("q.qv", "c.cv")} DESC, c.cidx) AS rn
-           |    FROM cf c, q) p WHERE rn <= 4)
+           |    FROM c2 c, q) p WHERE rn <= 4)
            |SELECT a.vec_id, ${sqlCos("a.embedding", "q.qv")} AS score
            |FROM afull a, q
            |WHERE a.cidx IN (SELECT cidx FROM probes)

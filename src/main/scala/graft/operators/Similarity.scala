@@ -84,7 +84,7 @@ object Similarity {
   }
 
   /** The IVF coarse quantizer: a small driver-side codebook, k-means-trained
-    * on a bounded sample (see [[ivfIndex]]).
+    * on the full corpus by distributed Lloyd (see [[ivfIndex]]).
     */
   final case class IvfModel(centroids: Array[Array[Float]]) {
     def nearestLists(query: Array[Float], nprobe: Int): Seq[Int] =
@@ -93,69 +93,69 @@ object Similarity {
         .take(nprobe)
   }
 
-  /** Argmax-cosine assignment against double centroids; ties break to the
-    * lowest index (mirrors [[VectorKernels.nearestCentroid]] and the oracle's
-    * `row_number ... ORDER BY cos DESC, cidx`).
+  /** Fixed-point scale for distributed centroid accumulation: 2^20. A
+    * power-of-two multiply only shifts the exponent, so `x * FP` and
+    * `floor(...)` are EXACT double ops in any engine, and the resulting long
+    * sums are order-free — the reason the distributed codebook is bitwise
+    * deterministic (see [[trainCodebook]]).
     */
-  private def nearestIdxD(v: Array[Float], cents: Array[Array[Double]]): Int = {
-    var best = -1
-    var bestSim = Double.NegativeInfinity
-    var c = 0
-    while (c < cents.length) {
-      val cen = cents(c)
-      val n = math.min(v.length, cen.length)
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < n) {
-        val x = v(i).toDouble; val y = cen(i)
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      val sim = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
-      if (sim > bestSim) { bestSim = sim; best = c }
-      c += 1
-    }
-    best
-  }
+  private[graft] val FixedPoint = 1048576.0
 
-  /** Deterministic Lloyd refinement of the codebook over a bounded sample
-    * (ascending-id order). Every arithmetic step is chosen to be exactly
-    * reproducible in the DuckDB oracle: assignments are argmax cosine with
-    * lowest-index ties, per-dimension means accumulate in DOUBLE in sample
-    * id order (= DuckDB `list_sum(list(x ORDER BY id))`), division happens in
-    * double, empty clusters keep their previous centroid, and only the FINAL
-    * centroids round to float (IEEE round-to-nearest-even in both engines).
+  /** DISTRIBUTED deterministic Lloyd: assignment is the codegen'd
+    * [[VectorExpressions.NearestCentroid]] projection against the broadcast
+    * codebook (a map stage — no join, no driver data beyond the codebook),
+    * and the per-dimension means are one hash aggregation per iteration.
+    *
+    * Determinism at any parallelism — double addition is not associative, so
+    * a naive `sum(x)` would produce a partitioning-dependent codebook (and
+    * break the DuckDB oracle mirror). Instead each element quantizes to
+    * fixed-point: `floor(x * 2^20)` as a long (exact: power-of-two scaling +
+    * floor are IEEE-exact), long sums are order-free, and the mean divides
+    * back in double. The ≤2^-20 quantization bias is irrelevant to a coarse
+    * quantizer; the payoff is a bitwise-reproducible codebook on 1 core or
+    * 1000 executors. Assignments are argmax cosine with lowest-index ties;
+    * empty clusters keep their previous centroid; each iteration's centroids
+    * round to float (round-to-nearest-even, identical in the oracle).
+    *
+    * The aggregation shuffles O(partitions × nlist × dim) rows (map-side
+    * partial aggregation collapses the posexplode inside the scan stage);
+    * only the nlist×dim codebook ever reaches the driver.
     */
   private[graft] def trainCodebook(
-      sample: Array[Array[Float]],
-      init: Array[Array[Float]],
-      iters: Int): Array[Array[Float]] = {
-    var cents: Array[Array[Double]] = init.map(_.map(_.toDouble))
+      corpus: DataFrame, idCol: String, vecCol: String,
+      init: Array[Array[Float]], iters: Int): Array[Array[Float]] = {
+    var cents = init
     var it = 0
     while (it < iters) {
-      val dim = if (cents.nonEmpty) cents(0).length else 0
-      val sums = Array.fill(cents.length)(new Array[Double](dim))
-      val counts = new Array[Long](cents.length)
-      sample.foreach { v =>
-        val c = nearestIdxD(v, cents)
-        counts(c) += 1L
-        var d = 0
-        val n = math.min(dim, v.length)
-        while (d < n) { sums(c)(d) += v(d).toDouble; d += 1 }
+      val rows = Ops.spread(corpus.select(col(vecCol)))
+        .select(
+          VectorExpressions.nearestCentroid(col(vecCol), cents).as("cid"),
+          posexplode(col(vecCol)).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(
+          sum(floor(col("x").cast("double") * lit(FixedPoint))).as("qsum"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val next = cents.map(_.clone()) // empty clusters keep previous centroid
+      rows.foreach { r =>
+        val cid = r.getInt(0); val d = r.getInt(1)
+        val qsum = r.getLong(2); val cnt = r.getLong(3)
+        if (cid >= 0 && cid < next.length && d < next(cid).length)
+          next(cid)(d) = ((qsum.toDouble / cnt) / FixedPoint).toFloat
       }
-      cents = Array.tabulate(cents.length) { c =>
-        if (counts(c) == 0L) cents(c)
-        else sums(c).map(_ / counts(c))
-      }
+      cents = next
       it += 1
     }
-    cents.map(_.map(_.toFloat))
+    cents
   }
 
-  /** Build the IVF index. The codebook is k-means-trained (FAISS-style: the
-    * coarse quantizer trains on a bounded sample, NOT the full corpus — the
-    * sample and the nlist-sized codebook are the only driver-side data, so
-    * the build stays O(sample) on the driver at any corpus size) from a
-    * deterministic stride sample, initialized with stride-spaced seeds.
+  /** Build the IVF index. The codebook is k-means-trained on the FULL corpus
+    * by [[trainCodebook]] (distributed assignment + aggregation; the
+    * nlist-sized codebook is the only driver-side data, so the build scales
+    * to any corpus and any nlist the driver can hold a codebook for).
+    * Seeding is the first `nlist` vectors by id — deterministic with no
+    * `count()` pre-pass; Lloyd over the whole corpus corrects the seeding
+    * bias (the recall gate in SimilaritySpec holds it to account).
     * Every corpus vector is then tagged with its nearest centroid via the
     * codegen'd [[VectorExpressions.NearestCentroid]] projection — NO join,
     * NO shuffle; at cluster scale the assignment is a single map stage and
@@ -164,20 +164,10 @@ object Similarity {
     */
   def ivfIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int = 2, sampleMax: Int = 256): (DataFrame, IvfModel) = {
-    val n = corpus.count()
-    def strideSample(target: Int): Array[Array[Float]] = {
-      val stride = math.max(1L, n / target)
-      corpus.filter(pmod(col(idCol), lit(stride)) === 0)
-        .orderBy(col(idCol))
-        .limit(target)
-        .select(col(vecCol))
-        .collect()
-        .map(_.getSeq[Float](0).toArray)
-    }
-    val init = strideSample(nlist)
-    val sample = strideSample(sampleMax)
-    val centroids = trainCodebook(sample, init, iters)
+      nlist: Int, iters: Int = 2): (DataFrame, IvfModel) = {
+    val init = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    val centroids = trainCodebook(corpus, idCol, vecCol, init, iters)
     val model = IvfModel(centroids)
     val assignments = Ops.spread(corpus.select(col(idCol), col(vecCol))).select(
       col(idCol), col(vecCol),

@@ -105,7 +105,67 @@ class SimilaritySpec extends SparkTestBase {
     // the Lloyd iterations must genuinely move the codebook off its seeds
     val (_, seedModel) = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16, iters = 0)
     assert(model.centroids.zip(seedModel.centroids).exists { case (a, b) => !a.sameElements(b) },
-      "trained codebook should differ from the stride seeds")
+      "trained codebook should differ from the first-id seeds")
+  }
+
+  test("distributed Lloyd at nlist=64 on the full corpus keeps recall@10 >= 0.9") {
+    // 64 gaussian clusters, seed order scrambled (i*7 % 64) so the first-64
+    // seeding does NOT hand each seed its own cluster in order — the
+    // distributed iterations have to do the refinement
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(64)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val points = (0L until 1280L).map { i =>
+      val c = centers(((i * 7) % 64).toInt)
+      (i, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    }
+    val emb = points.toDF("vec_id", "embedding").repartition(8)
+    val (assignments, model) = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 64)
+    assert(model.centroids.length == 64)
+    val recalls = Seq(3L, 77L, 411L, 905L, 1203L).map { qid =>
+      val q = points(qid.toInt)._2.toArray
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val approx = Similarity.ivfTopK(assignments, model, "vec_id", "embedding", q, k = 10, nprobe = 8)
+        .collect().map(_.getLong(0)).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"recall@10 per query $recalls, mean $mean")
+  }
+
+  test("codebook is bitwise identical at any parallelism (fixed-point sums)") {
+    // double addition is not associative: a naive sum(x) codebook would
+    // depend on partitioning. The fixed-point accumulation must not.
+    val emb = Tables.embeddings(spark, sfDir)
+    val (_, m1) = Similarity.ivfIndex(emb.repartition(1), "vec_id", "embedding", nlist = 8)
+    val (_, m13) = Similarity.ivfIndex(emb.repartition(13), "vec_id", "embedding", nlist = 8)
+    m1.centroids.zip(m13.centroids).foreach { case (a, b) =>
+      assert(a.sameElements(b), "centroids diverged across partitionings")
+    }
+  }
+
+  test("ivfIndex runs no count() pre-pass (seed-only build is a single collect)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val sc = spark.sparkContext
+    def jobsFor(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group, interruptOnCancel = false)
+      try body finally sc.clearJobGroup()
+      val deadline = System.nanoTime() + 5_000_000_000L
+      var jobs = sc.statusTracker.getJobIdsForGroup(group).length
+      while (jobs == 0 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        jobs = sc.statusTracker.getJobIdsForGroup(group).length
+      }
+      jobs
+    }
+    // iters=0 isolates the pre-pass: the only action is the seed collect
+    // (TakeOrderedAndProject, <=2 jobs under AQE). The removed count() +
+    // stride-sample collects were 3+ jobs here.
+    val seedOnly = jobsFor("ivf-seed") {
+      Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 8, iters = 0)
+    }
+    assert(seedOnly >= 1 && seedOnly <= 2, s"seed-only build should be one collect, saw $seedOnly jobs")
   }
 
   test("IVF probe finds the query vector when probing enough lists") {
