@@ -184,10 +184,21 @@ object Streaming {
     // the keep-one-row-per-key contract (and its ordering rules) apply
     def dedupedFirstWrite: DataFrame =
       graft.sinks.Sinks.upsert(batch.limit(0), batch, keys, action)
+    // COMPACTION, piggybacked on every merge: the merged slice comes out of
+    // upsert's join/window shuffled across spark.sql.shuffle.partitions
+    // tasks, and EVERY task holding rows of a partition value writes its own
+    // file into that directory — O(shuffle.partitions) small files per
+    // touched directory per batch, compounding scan overhead over a long
+    // stream. Hash-clustering on the partition column first puts each
+    // partition value in exactly one task, so every touched directory is
+    // rewritten as ONE file — file count per partition stays 1 regardless of
+    // batch count (StreamingSpec asserts this across 10 batches). Oversized
+    // partitions can be re-split by setting maxRecordsPerFile on the session.
+    def clustered(df: DataFrame, pcol: String): DataFrame = df.repartition(col(pcol))
     partitionCol match {
       case Some(pcol) =>
         if (!fs.exists(target)) {
-          dedupedFirstWrite.write.partitionBy(pcol).parquet(targetDir)
+          clustered(dedupedFirstWrite, pcol).write.partitionBy(pcol).parquet(targetDir)
         } else {
           // partitions this batch touches — bounded by the batch, not the table
           val affected = batch.select(col(pcol)).distinct().collect().map(_.get(0)).toSeq
@@ -217,7 +228,7 @@ object Streaming {
             // replaces this whole read-merge-write); the plain-parquet path
             // here accepts the window in exchange for zero table-format
             // dependencies.
-            merged.write.mode("overwrite")
+            clustered(merged, pcol).write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy(pcol).parquet(targetDir)
           }

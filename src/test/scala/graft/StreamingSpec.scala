@@ -117,6 +117,26 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Map(1L -> "a2", 2L -> "b", 3L -> "c", 9L -> "z"))
   }
 
+  test("partition-scoped merge compacts: file count per partition stays bounded over 10 batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/target"
+    // every batch touches the same hot partition plus one stable cold one
+    (1 to 10).foreach { i =>
+      val b = Seq((i.toLong, s"v$i", "hot"), (1000L + i, "w", "hot"), (5000L, "cold", "cold"))
+        .toDF("id", "v", "part")
+      Streaming.mergeBatch(b, dir, Seq("id"), partitionCol = Some("part"))
+    }
+    def parquetFiles(p: String): Int =
+      new java.io.File(s"$dir/part=$p").listFiles().count(_.getName.endsWith(".parquet"))
+    // each merge rewrites a touched directory as ONE clustered file — without
+    // the repartition this is O(shuffle.partitions) files per rewrite
+    assert(parquetFiles("hot") == 1, s"hot partition fragmented: ${parquetFiles("hot")} files")
+    assert(parquetFiles("cold") == 1, s"cold partition fragmented: ${parquetFiles("cold")} files")
+    // and the 10 merges kept every key exactly once
+    val got = spark.read.parquet(dir)
+    assert(got.count() == got.select("id").distinct().count())
+    assert(got.filter($"part" === "hot").count() == 20L) // 10 iota keys + 10 "1000+i" keys
+  }
+
   test("partition-scoped merge preserves existing rows in the NULL partition") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nullpart").toString + "/target"
     val b1 = Seq((1L, "a", Some("p1")), (2L, "b", None), (3L, "c", None))
