@@ -130,6 +130,17 @@ object SparkEntry {
         sourceFields = Some(Seq("event_id", "user_id", "event_type")),
         sortBy = Seq(("event_id", true))))(Sources.events(s, dir))),
 
+    "events_scan_v2" -> ((s, dir) =>
+      // the same declarative query routed through the DataSourceV2 connector
+      // (graft.sources.v2.GraftParquetSource): the event_type equality and
+      // the column set reach the connector via SupportsPushDownFilters /
+      // pruneColumns (PlanRulesSpec asserts both) — same oracle as
+      // events_query_model
+      s.read.format("graft-parquet").load(s"$dir/events.parquet")
+        .filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))),
+
     "dedup_keep_first" -> ((s, dir) =>
       Ops.dedupKeepFirst(DedupSpec(Seq("user_id"), Seq("ts"), Some(col("event_id"))))(
         Sources.events(s, dir))
@@ -986,6 +997,10 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
 
     "events_query_model" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
+
+    "events_scan_v2" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
 

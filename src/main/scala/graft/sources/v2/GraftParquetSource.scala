@@ -1,0 +1,300 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A minimal DataSourceV2 connector proving S1's pushdown contract end-to-end
+  * (the offline stand-in for the reference's Elasticsearch scroll scan,
+  * `elasticsearch_service.py:63-87`, where the query DSL carries filters and
+  * `_source` carries the projection INTO the store):
+  *
+  *   - `SupportsPushDownRequiredColumns` — the pruned schema becomes the
+  *     parquet read projection (`parquet.read.schema`), so unread columns are
+  *     never decoded.
+  *   - `SupportsPushDownFilters` — comparison/equality filters on primitive
+  *     columns are accepted, compiled to parquet `FilterApi` predicates
+  *     (row-group + page skipping via min/max stats), and re-checked
+  *     per-record; everything else is rejected back to Spark.
+  *   - One `InputPartition` per parquet file — the slice-parallel scan (the
+  *     ES sliced-scroll analog). At cluster scale partitions would split by
+  *     row group; file granularity keeps this connector minimal.
+  *
+  * Registered as `graft-parquet` via META-INF/services. Executors read with a
+  * fresh Hadoop `Configuration` (local/posix filesystems); a cluster deploy
+  * would broadcast the driver conf.
+  */
+class GraftParquetSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-parquet"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // one driver-side footer read through Spark's own inference so logical
+    // types (incl. the nanosAsLong mapping) match the native reader exactly
+    SparkSession.active.read.parquet(pathOf(options)).schema
+  }
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform], properties: JMap[String, String]): Table =
+    GraftParquetTable(pathOf(properties), schema)
+
+  private def pathOf(properties: JMap[String, String]): String = {
+    val p = properties.get("path")
+    require(p != null, "graft-parquet requires a single load(path)")
+    p
+  }
+}
+
+final case class GraftParquetTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-parquet($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, tableSchema)
+}
+
+final class GraftScanBuilder(path: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition(GraftScan.evaluable(_, full))
+    pushed = accepted
+    rejected // Spark keeps these as a post-scan Filter
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = GraftScan(path, full, required, pushed)
+}
+
+final case class GraftScan(
+    path: String, full: StructType, required: StructType, filters: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftScan path=$path, pushed=[${filters.mkString(", ")}], read=[${required.fieldNames.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      else Array(p)
+    files.sortBy(_.toString).map(f => GraftFilePartition(f.toString): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory(required, filters)
+}
+
+final case class GraftFilePartition(file: String) extends InputPartition
+
+final case class GraftReaderFactory(required: StructType, filters: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(partition.asInstanceOf[GraftFilePartition].file, required, filters)
+}
+
+object GraftScan {
+  /** Columns a filter references. */
+  private def refs(f: Filter): Array[String] = f.references
+
+  /** Accept only what the reader genuinely evaluates: comparisons/equality/
+    * null-tests/IN over primitive columns present in the schema. Anything
+    * else (nested ops, string matches, OR trees) goes back to Spark.
+    */
+  def evaluable(f: Filter, schema: StructType): Boolean = {
+    def primitive(attr: String): Boolean =
+      schema.fields.find(_.name == attr).map(_.dataType).exists {
+        case LongType | IntegerType | DoubleType | FloatType | BooleanType | StringType => true
+        case _ => false
+      }
+    val shapeOk = f match {
+      case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+          _: LessThan | _: LessThanOrEqual | _: IsNull | _: IsNotNull | _: In => true
+      case _ => false
+    }
+    shapeOk && refs(f).forall(primitive)
+  }
+
+  /** Total order across the numeric value classes Spark puts in Filters. */
+  private def cmp(field: Any, value: Any): Option[Int] = (field, value) match {
+    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(a, b))
+    case (a: Number, b: Number) =>
+      (a, b) match {
+        case (x: java.lang.Double, _) => Some(java.lang.Double.compare(x, b.doubleValue()))
+        case (_, y: java.lang.Double) => Some(java.lang.Double.compare(a.doubleValue(), y))
+        case (x: java.lang.Float, _) => Some(java.lang.Double.compare(x.doubleValue(), b.doubleValue()))
+        case (_, y: java.lang.Float) => Some(java.lang.Double.compare(a.doubleValue(), y.doubleValue()))
+        case _ => Some(java.lang.Long.compare(a.longValue(), b.longValue()))
+      }
+    case _ => None
+  }
+
+  /** Reference record-level semantics for every accepted filter (SQL
+    * three-valued logic: a comparison against a missing value is false).
+    */
+  def eval(f: Filter, get: String => Any): Boolean = f match {
+    case IsNull(a) => get(a) == null
+    case IsNotNull(a) => get(a) != null
+    case EqualTo(a, v) => val x = get(a); x != null && cmp(x, v).contains(0)
+    case GreaterThan(a, v) => val x = get(a); x != null && cmp(x, v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => val x = get(a); x != null && cmp(x, v).exists(_ >= 0)
+    case LessThan(a, v) => val x = get(a); x != null && cmp(x, v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => val x = get(a); x != null && cmp(x, v).exists(_ <= 0)
+    case In(a, vs) => val x = get(a); x != null && vs.exists(v => cmp(x, v).contains(0))
+    case _ => true // unreachable: evaluable() gates acceptance
+  }
+
+  /** Compile an accepted filter to a parquet FilterPredicate where the
+    * physical type allows — this is what turns the pushdown into row-group
+    * and page SKIPPING via min/max statistics, not just early evaluation.
+    * Filters that don't compile (IN, null-tests) still evaluate per record.
+    */
+  def toParquetPredicate(f: Filter, fileSchema: MessageType): Option[FilterPredicate] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def physical(attr: String) = {
+      // index-based lookup: getType(String) is overload-ambiguous from Scala
+      if (!fileSchema.containsField(attr)) None
+      else {
+        val t = fileSchema.getType(fileSchema.getFieldIndex(attr))
+        if (t.isPrimitive) Some(t.asPrimitiveType().getPrimitiveTypeName) else None
+      }
+    }
+    def make(attr: String, v: Any,
+        mkLong: (org.apache.parquet.filter2.predicate.Operators.LongColumn, java.lang.Long) => FilterPredicate,
+        mkInt: (org.apache.parquet.filter2.predicate.Operators.IntColumn, java.lang.Integer) => FilterPredicate,
+        mkDouble: (org.apache.parquet.filter2.predicate.Operators.DoubleColumn, java.lang.Double) => FilterPredicate,
+        mkBinary: (org.apache.parquet.filter2.predicate.Operators.BinaryColumn, Binary) => FilterPredicate)
+        : Option[FilterPredicate] =
+      (physical(attr), v) match {
+        case (Some(INT64), n: Number) => Some(mkLong(FilterApi.longColumn(attr), n.longValue()))
+        case (Some(INT32), n: Number) => Some(mkInt(FilterApi.intColumn(attr), n.intValue()))
+        case (Some(DOUBLE), n: Number) => Some(mkDouble(FilterApi.doubleColumn(attr), n.doubleValue()))
+        case (Some(BINARY), s: String) => Some(mkBinary(FilterApi.binaryColumn(attr), Binary.fromString(s)))
+        case _ => None
+      }
+    f match {
+      case EqualTo(a, v) => make(a, v, FilterApi.eq, FilterApi.eq, FilterApi.eq, FilterApi.eq)
+      case GreaterThan(a, v) => make(a, v, FilterApi.gt, FilterApi.gt, FilterApi.gt, FilterApi.gt)
+      case GreaterThanOrEqual(a, v) => make(a, v, FilterApi.gtEq, FilterApi.gtEq, FilterApi.gtEq, FilterApi.gtEq)
+      case LessThan(a, v) => make(a, v, FilterApi.lt, FilterApi.lt, FilterApi.lt, FilterApi.lt)
+      case LessThanOrEqual(a, v) => make(a, v, FilterApi.ltEq, FilterApi.ltEq, FilterApi.ltEq, FilterApi.ltEq)
+      case _ => None
+    }
+  }
+}
+
+/** Executor-side reader: parquet-hadoop Group API with the projection pushed
+  * into the decoder and compiled predicates pushed into the row-group/page
+  * filter; every accepted Spark filter is additionally re-checked per record
+  * (statistics-based skipping is only a may-drop).
+  */
+final class GraftPartitionReader(
+    file: String, required: StructType, filters: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val filePath = new Path(file)
+
+  private val fileSchema: MessageType = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(filePath, conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+
+  // projection = required columns ∪ filter columns, in file order; built from
+  // the FILE schema so logical annotations survive intact
+  private val readCols: Seq[String] = {
+    val want = (required.fieldNames ++ filters.flatMap(_.references)).toSet
+    fileSchema.getFields.asScala.map(_.getName).filter(want).toSeq
+  }
+  private val projection = new MessageType(fileSchema.getName,
+    readCols.map(c => fileSchema.getType(fileSchema.getFieldIndex(c))): _*)
+
+  private val reader: ParquetReader[Group] = {
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    val builder = ParquetReader.builder(new GroupReadSupport(), filePath).withConf(conf)
+    val preds = filters.flatMap(GraftScan.toParquetPredicate(_, fileSchema))
+    val withSkip =
+      if (preds.isEmpty) builder
+      else builder.withFilter(FilterCompat.get(preds.reduce(FilterApi.and)))
+    withSkip.build()
+  }
+
+  private val colIdx: Map[String, Int] = readCols.zipWithIndex.toMap
+  private var current: InternalRow = _
+
+  private def value(g: Group, name: String): Any = {
+    val i = colIdx(name)
+    if (g.getFieldRepetitionCount(i) == 0) null
+    else required.find(_.name == name).map(_.dataType) match {
+      case Some(LongType) => g.getLong(i, 0)
+      case Some(IntegerType) => g.getInteger(i, 0)
+      case Some(DoubleType) => g.getDouble(i, 0)
+      case Some(FloatType) => g.getFloat(i, 0)
+      case Some(BooleanType) => g.getBoolean(i, 0)
+      case Some(StringType) => g.getString(i, 0)
+      case _ => // filter-only column: physical type decides
+        projection.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+          case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 => g.getLong(i, 0)
+          case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 => g.getInteger(i, 0)
+          case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE => g.getDouble(i, 0)
+          case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT => g.getFloat(i, 0)
+          case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BOOLEAN => g.getBoolean(i, 0)
+          case _ => g.getString(i, 0)
+        }
+    }
+  }
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    while (g != null && !filters.forall(GraftScan.eval(_, value(g, _)))) g = reader.read()
+    if (g == null) { current = null; false }
+    else {
+      val row = new GenericInternalRow(required.length)
+      var i = 0
+      while (i < required.length) {
+        val v = value(g, required(i).name)
+        row.update(i, v match {
+          case s: String => UTF8String.fromString(s)
+          case other => other
+        })
+        i += 1
+      }
+      current = row
+      true
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

@@ -93,6 +93,61 @@ class PlanRulesSpec extends SparkTestBase {
     }
   }
 
+  test("DSv2 connector: filters and required columns arrive AT the connector") {
+    import graft.sources.v2.GraftScan
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = spark.read.format("graft-parquet").load(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "signup" && col("value") > 0.25)
+      .select("event_id", "event_type", "value")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.getOrElse(fail("connector scan not planned as BatchScanExec")).asInstanceOf[GraftScan]
+    // pushFilters accepted both conjuncts
+    val pushed = scan.filters.map(_.toString).mkString(" ")
+    assert(pushed.contains("event_type") && pushed.contains("signup"), s"equality not pushed: $pushed")
+    assert(pushed.contains("value"), s"range not pushed: $pushed")
+    // pruneColumns delivered exactly the projected column set
+    assert(scan.readSchema().fieldNames.toSet == Set("event_id", "event_type", "value"),
+      s"pruned schema: ${scan.readSchema().fieldNames.mkString(",")}")
+    // and the connector's answer matches the native parquet reader's
+    val native = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "signup" && col("value") > 0.25)
+      .select("event_id", "event_type", "value")
+    assert(df.collect().toSet == native.collect().toSet && df.count() > 0)
+  }
+
+  test("DSv2 connector: unsupported filters are rejected back to Spark, results stay correct") {
+    import graft.sources.v2.GraftScan
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // endswith is not in the connector's evaluable set; the nanos ts column
+    // (LongType) range IS — mixed predicate must split connector/post-scan
+    val df = spark.read.format("graft-parquet").load(s"$sfDir/events.parquet")
+      .filter(col("event_type").endsWith("up") && col("ts") > 0L)
+      .select("event_id", "event_type")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.get.asInstanceOf[GraftScan]
+    assert(scan.filters.exists(_.references.contains("ts")), "ts range should be accepted")
+    assert(!scan.filters.exists(_.toString.toLowerCase.contains("endswith")),
+      "string-match filter must be rejected back to Spark")
+    val native = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type").endsWith("up") && col("ts") > 0L)
+      .select("event_id", "event_type")
+    assert(df.collect().toSet == native.collect().toSet && df.count() > 0)
+  }
+
+  test("DSv2 connector: null-partition and IN filters evaluate with SQL semantics") {
+    import graft.sources.v2.GraftScan
+    import org.apache.spark.sql.sources.{EqualTo, In, IsNull}
+    // reference semantics of the record-level evaluator, independent of Spark
+    def get(m: Map[String, Any])(k: String): Any = m.getOrElse(k, null)
+    assert(GraftScan.eval(EqualTo("a", "x"), get(Map("a" -> "x"))))
+    assert(!GraftScan.eval(EqualTo("a", "x"), get(Map("a" -> null))), "NULL = x is not true")
+    assert(GraftScan.eval(IsNull("a"), get(Map("a" -> null))))
+    assert(GraftScan.eval(In("n", Array(1L, 2L)), get(Map("n" -> 2L))))
+    assert(!GraftScan.eval(In("n", Array(1L, 2L)), get(Map("n" -> 3L))))
+  }
+
   test("rule does not fire when ts_ns was projected away below the filter") {
     val df = Sources.events(spark, sfDir)
       .select("event_id", "ts")
