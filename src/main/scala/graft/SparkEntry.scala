@@ -805,24 +805,10 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
-    "tfidf_top_terms" -> ((s, dir) => {
-      // tf × idf with LINEAR idf (tf·N/df): same ranking as the log form for
-      // the per-doc top-k, but transcendental-free — ln() can differ by an
-      // ulp between the JVM and DuckDB's libm, which would break the exact
-      // hash gate. All math is integer-exact in double.
-      val docs = Tables.documents(s, dir)
-      val toks = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
-      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val dfreq = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
-      val n = docs.agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("token"))
-      tf.join(dfreq, "token").crossJoin(n)
-        .withColumn("score", col("tf").cast("double") * col("n") / col("df"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("doc_id"), col("token"), col("score"))
-    }),
+    "tfidf_top_terms" -> ((s, dir) =>
+      // minDf left at 1 (knob off) so the exact oracle semantics hold; the
+      // Zipf-tail shuffle cut with minDf >= 2 is asserted in AnalyticsSpec
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), k = 3)),
 
     "approx_distinct" -> ((s, dir) => {
       // sketch-based distinct (HLL++) for the 100 TB path where exact

@@ -107,4 +107,43 @@ object TextAnalysis {
     */
   def tokenChunks(tokens: Column, size: Int, stride: Int): Column =
     graft.functions.HashExpressions.ngramStrings(tokens, size, stride)
+
+  /** Per-document top-k terms by tf×idf, with LINEAR idf (tf·N/df): same
+    * ranking as the log form for the per-doc top-k but transcendental-free —
+    * ln() can differ by an ulp between the JVM and DuckDB's libm, which
+    * would break the exact hash gate. All math is integer-exact in double.
+    *
+    * `minDf` is the scale knob: the Zipf tail means hapax-ish terms dominate
+    * the distinct-token space, so dropping `df < minDf` terms before the
+    * tf⋈df join cuts the join output and the per-doc window shuffle by the
+    * tail mass (spec-asserted via shuffle-write metrics). The default 1 keeps
+    * the exact-oracle semantics; corpus-scale runs want 2+.
+    */
+  /** The scored (doc, term) candidate set feeding the per-doc ranking:
+    * tf ⋈ df on token (+ broadcast corpus size). With `minDf > 1` the df
+    * side drops `df < minDf` terms BEFORE the join, so the candidate set —
+    * what the top-k ranking has to chew through — shrinks by the Zipf tail
+    * mass (hapax terms dominate the distinct-token space AND score highest
+    * under idf, so this is also the knob that keeps one-off typos out of
+    * the top terms). Exposed separately so callers (and the spec, via
+    * `observe`) can see the stage the knob cuts.
+    */
+  def tfidfCandidates(docs: DataFrame, minDf: Long = 1): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreqAll = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val dfreq = if (minDf > 1L) dfreqAll.filter(col("df") >= minDf) else dfreqAll
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(dfreq, "token").crossJoin(n)
+      .withColumn("score", col("tf").cast("double") * col("n") / col("df"))
+  }
+
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3, minDf: Long = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    tfidfCandidates(docs, minDf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("token"), col("score"))
+  }
 }

@@ -61,6 +61,36 @@ class AnalyticsSpec extends SparkTestBase {
     assert(math.abs(rank.toDouble / sortedPrices.length - 0.5) < 0.01, s"$approxMedian vs $exactMedian")
   }
 
+  test("tfidf minDf knob drops rare terms and cuts the ranking candidate set") {
+    import graft.operators.TextAnalysis
+    // the knob cuts the tf-join-df candidate stage (the per-doc top-k
+    // ranking's input): measure it with Spark's observe() metric (via
+    // Ops.countObserved) — the post-ranking shuffle is already bounded by
+    // WindowGroupLimit, so candidate rows are where the Zipf-tail saving
+    // physically lands. The testdata corpus has a closed vocabulary (no
+    // hapax terms), so build one WITH a tail: shared words + a per-doc typo.
+    import spark.implicits._
+    val docs = (0L until 200L)
+      .map(i => (i, s"the quick brown fox shares these words typo$i"))
+      .toDF("doc_id", "text")
+    val base = Ops.countObserved(TextAnalysis.tfidfCandidates(docs, minDf = 1))(
+      _.write.mode("overwrite").format("noop").save())
+    val cut = Ops.countObserved(TextAnalysis.tfidfCandidates(docs, minDf = 2))(
+      _.write.mode("overwrite").format("noop").save())
+    // exactly the 200 hapax typo tokens drop out of the candidate set
+    assert(cut == base - 200, s"minDf=2 should drop the hapax candidates ($cut vs $base)")
+
+    // semantics with the knob on: no surviving term has df < 2 (without it,
+    // hapax terms dominate the top-k — df=1 maximizes idf), per-doc <= k
+    val out = TextAnalysis.tfidfTopTerms(docs, k = 3, minDf = 2)
+    assert(!out.select("token").as[String].collect().exists(_.startsWith("typo")))
+    val noKnob = TextAnalysis.tfidfTopTerms(docs, k = 3, minDf = 1)
+    assert(noKnob.filter(col("token").startsWith("typo")).count() == 200,
+      "without the knob every doc's top term is its hapax typo")
+    val perDoc = out.groupBy("doc_id").count().select(max("count")).head().getLong(0)
+    assert(perDoc <= 3L && out.count() > 0)
+  }
+
   test("countObserved reports the row count of the consuming action without a rescan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-observe").toString + "/out"
     val df = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F")
