@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.{Dedup, Joins}
+import org.apache.spark.sql.functions._
+
+/** Opt-in stress tier — `GRAFT_STRESS=1 sbt "testOnly graft.StressScaleSpec"`.
+  *
+  * Scale-shaped behavior that is too slow for the default CI loop: a
+  * multi-million-row skewed join, an identical-document flood through LSH
+  * dedup, and connected components over a 10k-long chain. Without the env
+  * var every test cancels (not fails), so `sbt test` stays fast.
+  */
+class StressScaleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val enabled = sys.env.get("GRAFT_STRESS").contains("1")
+  private def stress(name: String)(body: => Unit): Unit =
+    test(name) { assume(enabled, "set GRAFT_STRESS=1 to run the stress tier"); body }
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  stress("salted join balances and beats the plain shuffle join on a hot key (8M rows)") {
+    // ~99% of 8M rows share key 0; the rest spread over 200 keys. Broadcast
+    // and AQE skew-split are disabled so both plans shuffle — the claim
+    // under test is the MANUAL salting mechanism, which targets exactly the
+    // skew AQE cannot split (e.g. a join followed by a keyed aggregation).
+    val left = spark.range(8000000L)
+      .select(when(pmod($"id", lit(100)) < 99, 0L).otherwise(pmod($"id", lit(200))).as("k"),
+        $"id".as("v"))
+    val right = spark.range(200L).select($"id".as("k"), ($"id" * 2).as("w"))
+    val conf = spark.conf
+    val savedBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedSkew = conf.get("spark.sql.adaptive.skewJoin.enabled")
+    val savedAqeBroadcast = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // AQE re-plans to broadcast at runtime through its OWN threshold —
+      // disable that too or both plans degenerate to the same broadcast join
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      def total(df: org.apache.spark.sql.DataFrame): Long =
+        df.select(sum($"v" + $"w").as("s")).head().getLong(0)
+      // warm both plans once (codegen/JIT), then measure
+      val plainDf = left.join(right, Seq("k"))
+      val saltedDf = Joins.saltedJoin(left, right, Seq("k"), factor = 8)
+      val expected = total(plainDf)
+      assert(total(saltedDf) == expected, "salting must not change the join result")
+      // structural load-balance property (deterministic, the real 100 TB
+      // claim): the hot key's rows split across (key, salt) cells, so the
+      // largest reducer input drops by ~the salt factor
+      val hot = left.filter($"k" === 0L).count()
+      val maxCell = left
+        .withColumn("__salt", pmod(xxhash64(left.columns.map(col): _*), lit(8)).cast("int"))
+        .groupBy($"k", $"__salt").count().select(max($"count")).head().getLong(0)
+      assert(maxCell < hot / 4,
+        s"hot key must spread over salt cells: max cell $maxCell vs hot $hot")
+      // wall-time: best-of-two per plan guards against this VM's scheduler
+      // noise bursts; the single-reducer sort of ~7.9M rows dominates plain
+      val plainS = math.min(timed(total(plainDf))._2, timed(total(plainDf))._2)
+      val saltedS = math.min(timed(total(saltedDf))._2, timed(total(saltedDf))._2)
+      info(f"plain $plainS%.2fs vs salted $saltedS%.2fs")
+      assert(saltedS < plainS,
+        f"salting should spread the hot key over reducers: salted $saltedS%.2fs vs plain $plainS%.2fs")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      conf.set("spark.sql.adaptive.skewJoin.enabled", savedSkew)
+      savedAqeBroadcast match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  stress("minhash LSH stays sub-quadratic under a 10k identical-document flood") {
+    // 10k copies of one doc + 10k distinct docs. The flood lands whole in
+    // every one of its (band, bucket) cells; the keep-rule is a window min
+    // (linear in bucket size), so this costs a sort — a pair-join here would
+    // be ~10^8 candidate pairs and run far beyond the time box.
+    val flood = (0L until 10000L).map(i => (i, "the same flooded document body repeated everywhere"))
+    val distinct = (10000L until 20000L).map(i => (i, s"doc $i alpha$i beta$i gamma$i delta$i epsilon$i"))
+    val docs = (flood ++ distinct).toDF("doc_id", "text").repartition(8)
+    val (survivors, secs) = timed {
+      Dedup.minhashLsh(docs, "doc_id", "text").count()
+    }
+    info(f"LSH flood dedup in $secs%.1fs, $survivors survivors")
+    assert(survivors == 10001L, s"one survivor for the flood + each distinct doc, got $survivors")
+    assert(secs < 180.0, f"flood handling took $secs%.1fs — sub-quadratic path likely regressed")
+  }
+
+  stress("ngram-Jaccard pair verification survives the flood via exact-dup precompose") {
+    // the pair-verifying op WOULD be quadratic in the flood without the
+    // distinctContent precompose (10k identical docs -> 1 representative)
+    val flood = (0L until 10000L).map(i => (i, "the same flooded document body repeated everywhere"))
+    val distinct = (10000L until 12000L).map(i => (i, s"doc $i alpha$i beta$i gamma$i delta$i epsilon$i"))
+    val docs = (flood ++ distinct).toDF("doc_id", "text").repartition(8)
+    val (survivors, secs) = timed {
+      Dedup.ngramJaccard(docs, "doc_id", "text").count()
+    }
+    info(f"jaccard flood dedup in $secs%.1fs, $survivors survivors")
+    assert(survivors == 2001L, s"one survivor for the flood + each distinct doc, got $survivors")
+    assert(secs < 180.0, f"flood handling took $secs%.1fs — precompose likely regressed")
+  }
+
+  stress("connected components collapses a 10k-node chain within 15 pointer-doubling rounds") {
+    val edges = (0L until 9999L).map(i => (i, i + 1)).toDF("a", "b").repartition(8)
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(edges, maxIter = 15)
+    assert(rounds <= 15, s"chain should collapse in O(log n) rounds, took $rounds")
+    assert(labels.select("label").distinct().count() == 1L,
+      "a single chain must converge to ONE component within the round budget")
+    assert(labels.count() == 10000L)
+  }
+}
