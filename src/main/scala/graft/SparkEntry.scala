@@ -578,6 +578,7 @@ object SparkEntry {
         col("duration_s"), col("rms"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"),
         col("mean_r"), col("mean_g"), col("mean_b"),
         col("decoded").cast("long").as("decoded"),
         when(col("byte_entropy") >= 0.0 && col("byte_entropy") <= 8.0, 1L).otherwise(0L)
@@ -586,11 +587,14 @@ object SparkEntry {
     }),
 
     "frame_sample" -> ((s, dir) =>
-      // frame indices are exact (framesPerClip per video row); the stub
-      // frame hash is pinned by a nonzero invariant
+      // REAL frame sampling out of the AVI container: 3 evenly-spaced frames
+      // per clip are seeked and decoded; the oracle replays the frame
+      // mapping (src = j*n/3, floor) and each frame's pixel function
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, dir), framesPerClip = 3)
-        .select(col("media_id"), col("frame_idx"),
-          when(col("frame_hash") =!= 0L, 1L).otherwise(0L).as("hash_ok"))),
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("src_frame").cast("long").as("src_frame"),
+          col("mean_r"), col("mean_g"), col("mean_b"))),
 
     // ---- statistics / scale-shaped additions --------------------------
     "stats_moments" -> ((s, dir) => {
@@ -1241,14 +1245,18 @@ object SparkEntry {
 
     // mirrors Multimodal's adapter contract closed-form: WAV = 44-byte header
     // + 2 bytes/sample; BMP = 54 + h*rowstride(4-padded); PPM = "P6\n{w} {h}\n
-    // 255\n" + 3wh; RMS/means = integer sums then one IEEE divide (+sqrt) —
-    // exact in both engines
+    // 255\n" + 3wh; AVI = 224-byte canonical headers + n*(8 + h*rowstride)
+    // frames. RMS/means/duration = integer sums then one IEEE divide (+sqrt)
+    // — exact in both engines. Video color stats come from frame 0 (f*101
+    // term vanishes).
     "multimodal_features" ->
       """WITH m AS (
         |  SELECT doc_id, doc_id % 3 AS md,
         |    4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h,
         |    8000 + 4000 * (doc_id % 4) AS rate, 64 + doc_id % 97 AS ns,
-        |    (doc_id // 3) % 2 = 0 AS is_bmp, text
+        |    (doc_id // 3) % 2 = 0 AS is_bmp,
+        |    3 + doc_id % 7 AS vn, 4 + doc_id % 6 AS vw, 4 + doc_id % 5 AS vh,
+        |    33000 + 1000 * (doc_id % 8) AS uspf
         |  FROM documents)
         |SELECT doc_id AS media_id,
         | CASE md WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
@@ -1256,24 +1264,37 @@ object SparkEntry {
         |   WHEN md = 1 THEN 44 + 2 * ns
         |   WHEN md = 0 AND is_bmp THEN 54 + h * (((3 * w + 3) // 4) * 4)
         |   WHEN md = 0 THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h
-        |   ELSE COALESCE(octet_length(encode(text)), 0) END AS BIGINT) AS n_bytes,
+        |   ELSE 224 + vn * (8 + vh * (((3 * vw + 3) // 4) * 4)) END AS BIGINT) AS n_bytes,
         | CAST(CASE WHEN md = 1 THEN rate END AS BIGINT) AS sample_rate,
-        | CASE WHEN md = 1 THEN CAST(ns AS DOUBLE) / rate END AS duration_s,
+        | CASE WHEN md = 1 THEN CAST(ns AS DOUBLE) / rate
+        |      WHEN md = 2 THEN CAST(vn * uspf AS DOUBLE) / 1000000.0 END AS duration_s,
         | CASE WHEN md = 1 THEN sqrt(CAST(list_sum(list_transform(range(0, ns),
         |   i -> ((doc_id*7919 + i*104729) % 4001 - 2000) * ((doc_id*7919 + i*104729) % 4001 - 2000))) AS DOUBLE) / ns) END AS rms,
-        | CAST(CASE WHEN md = 0 THEN w END AS BIGINT) AS width,
-        | CAST(CASE WHEN md = 0 THEN h END AS BIGINT) AS height,
-        | CASE WHEN md = 0 THEN CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*31 + (p*3+0)*17) % 256)) AS DOUBLE)/(w*h) END AS mean_r,
-        | CASE WHEN md = 0 THEN CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*31 + (p*3+1)*17) % 256)) AS DOUBLE)/(w*h) END AS mean_g,
-        | CASE WHEN md = 0 THEN CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*31 + (p*3+2)*17) % 256)) AS DOUBLE)/(w*h) END AS mean_b,
-        | CAST(CASE WHEN md IN (0, 1) THEN 1 ELSE 0 END AS BIGINT) AS decoded,
+        | CAST(CASE WHEN md = 0 THEN w WHEN md = 2 THEN vw END AS BIGINT) AS width,
+        | CAST(CASE WHEN md = 0 THEN h WHEN md = 2 THEN vh END AS BIGINT) AS height,
+        | CAST(CASE WHEN md = 2 THEN vn END AS BIGINT) AS n_frames,
+        | CASE WHEN md = 0 THEN CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*31 + (p*3+0)*17) % 256)) AS DOUBLE)/(w*h)
+        |      WHEN md = 2 THEN CAST(list_sum(list_transform(range(0, vw*vh), p -> (doc_id*31 + (p*3+0)*17) % 256)) AS DOUBLE)/(vw*vh) END AS mean_r,
+        | CASE WHEN md = 0 THEN CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*31 + (p*3+1)*17) % 256)) AS DOUBLE)/(w*h)
+        |      WHEN md = 2 THEN CAST(list_sum(list_transform(range(0, vw*vh), p -> (doc_id*31 + (p*3+1)*17) % 256)) AS DOUBLE)/(vw*vh) END AS mean_g,
+        | CASE WHEN md = 0 THEN CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*31 + (p*3+2)*17) % 256)) AS DOUBLE)/(w*h)
+        |      WHEN md = 2 THEN CAST(list_sum(list_transform(range(0, vw*vh), p -> (doc_id*31 + (p*3+2)*17) % 256)) AS DOUBLE)/(vw*vh) END AS mean_b,
+        | CAST(1 AS BIGINT) AS decoded,
         | CAST(1 AS BIGINT) AS entropy_ok, CAST(1 AS BIGINT) AS hash_ok
         |FROM m""".stripMargin,
 
+    // replays the AVI sampling mapping: src = (j*n)//3 (floor), then each
+    // sampled frame's pixel function (doc_id*31 + src*101 + k*17) % 256
     "frame_sample" ->
-      """SELECT doc_id AS media_id, CAST(f.i AS INT) AS frame_idx, 1 AS hash_ok
-        |FROM documents, (VALUES (0), (1), (2)) f(i)
-        |WHERE doc_id % 3 = 2""".stripMargin,
+      """WITH v AS (
+        |  SELECT doc_id, 3 + doc_id % 7 AS n, 4 + doc_id % 6 AS w, 4 + doc_id % 5 AS h
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id AS media_id, CAST(j.j AS BIGINT) AS frame_idx,
+        | CAST((j.j * n) // 3 AS BIGINT) AS src_frame,
+        | CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*31 + ((j.j*n)//3)*101 + (p*3+0)*17) % 256)) AS DOUBLE)/(w*h) AS mean_r,
+        | CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*31 + ((j.j*n)//3)*101 + (p*3+1)*17) % 256)) AS DOUBLE)/(w*h) AS mean_g,
+        | CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*31 + ((j.j*n)//3)*101 + (p*3+2)*17) % 256)) AS DOUBLE)/(w*h) AS mean_b
+        |FROM v, (VALUES (0), (1), (2)) j(j)""".stripMargin,
 
     // the LSH family runs xxhash64 kernels DuckDB doesn't ship; their
     // queries emit provable invariants of a correct run (see

@@ -238,6 +238,170 @@ object MediaCodecs {
     DecodedImage(width, height, rgb)
   }
 
+  // ---------------------------------------------------------------- AVI ----
+
+  /** Decoded AVI clip: header facts plus lazily-decoded frames (the pixel
+    * data stays in the payload buffer until a frame is asked for — sampling
+    * 3 frames of a 1000-frame clip decodes 3, not 1000).
+    */
+  final case class DecodedVideo(
+      width: Int, height: Int, nFrames: Int, usPerFrame: Int,
+      private val frameOffsets: Vector[Int], private val bytes: Array[Byte]) {
+    /** Exact in both engines: integer product, one double divide. */
+    def durationS: Double = (nFrames.toLong * usPerFrame).toDouble / 1000000.0
+    def frame(i: Int): DecodedImage = {
+      require(i >= 0 && i < nFrames, s"frame $i of $nFrames")
+      DecodedImage(width, height, unpackDib(bytes, frameOffsets(i), width, height))
+    }
+  }
+
+  /** Fixed header overhead of the canonical AVI layout this codec writes:
+    * 12 (RIFF) + 200 (LIST hdrl: avih 64 + LIST strl [strh 64 + strf 48])
+    * + 12 (LIST movi preamble); each frame adds 8 + h*rowSize(w).
+    */
+  def aviSize(width: Int, height: Int, nFrames: Int): Int =
+    224 + nFrames * (8 + height * bmpRowSize(width))
+
+  /** Top-down RGB frames → RIFF/AVI with uncompressed `00db` DIB frames
+    * (bottom-up BGR rows, 4-byte padded — the same pixel convention as BMP).
+    */
+  def encodeAvi(width: Int, height: Int, usPerFrame: Int, frames: Array[Array[Byte]]): Array[Byte] = {
+    require(usPerFrame > 0 && frames.nonEmpty, "need a frame rate and at least one frame")
+    frames.foreach(f => require(f.length == width * height * 3, "frame buffer size mismatch"))
+    val rowSize = bmpRowSize(width)
+    val frameSize = height * rowSize
+    val total = aviSize(width, height, frames.length)
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes(StandardCharsets.US_ASCII))
+    fourcc("RIFF"); buf.putInt(total - 8); fourcc("AVI ")
+    // LIST hdrl
+    fourcc("LIST"); buf.putInt(4 + 64 + 124); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+    buf.putInt(frames.length).putInt(0).putInt(1).putInt(frameSize)
+    buf.putInt(width).putInt(height)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+    // LIST strl
+    fourcc("LIST"); buf.putInt(4 + 64 + 48); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    buf.putInt(0).putShort(0).putShort(0).putInt(0)
+    buf.putInt(usPerFrame)  // scale
+    buf.putInt(1000000)     // rate: frames/sec = rate/scale
+    buf.putInt(0).putInt(frames.length).putInt(frameSize).putInt(-1).putInt(0)
+    buf.putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort) // rcFrame
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(width).putInt(height)
+    buf.putShort(1).putShort(24)
+    buf.putInt(0) // BI_RGB
+    buf.putInt(frameSize)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // LIST movi
+    fourcc("LIST"); buf.putInt(4 + frames.length * (8 + frameSize)); fourcc("movi")
+    frames.foreach { rgb =>
+      fourcc("00db"); buf.putInt(frameSize)
+      packDibInto(buf, width, height, rgb)
+    }
+    buf.array()
+  }
+
+  def looksLikeAvi(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 && ascii(bytes, 0) == "RIFF" && ascii(bytes, 8) == "AVI "
+
+  /** Real container parse: walk RIFF LISTs, read `avih` (frame period, count,
+    * dims), validate `strf` is 24 bpp uncompressed, index the `movi` frame
+    * chunks. Frame pixels decode lazily via [[DecodedVideo.frame]].
+    */
+  def decodeAvi(bytes: Array[Byte]): DecodedVideo = {
+    if (!looksLikeAvi(bytes)) fail("avi: not RIFF/AVI")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var usPerFrame = -1; var nFrames = -1; var width = -1; var height = -1
+    var bppOk = false
+    var frameOffsets = Vector.newBuilder[Int]
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = ascii(bytes, pos)
+        val size = buf.getInt(pos + 4)
+        if (size < 0 || pos + 8 + size > end) fail(s"avi: chunk '$id' overruns payload")
+        id match {
+          case "LIST" =>
+            if (size < 4) fail("avi: truncated LIST")
+            walk(pos + 12, pos + 8 + size) // recurse past the list type fourcc
+          case "avih" =>
+            if (size < 40) fail("avi: avih too short")
+            usPerFrame = buf.getInt(pos + 8)
+            nFrames = buf.getInt(pos + 24)
+            width = buf.getInt(pos + 40)
+            height = buf.getInt(pos + 44)
+          case "strf" =>
+            if (size >= 20) {
+              val bpp = buf.getShort(pos + 8 + 14) & 0xffff
+              val compression = buf.getInt(pos + 8 + 16)
+              if (bpp != 24 || compression != 0) fail(s"avi: only 24 bpp uncompressed ($bpp/$compression)")
+              bppOk = true
+            }
+          case "00db" | "00dc" => frameOffsets += pos + 8
+          case _ => () // strh, idx1, JUNK, ...
+        }
+        pos += 8 + size + (size & 1) // RIFF chunks are even-padded
+      }
+    }
+    walk(12, bytes.length)
+    val offsets = frameOffsets.result()
+    if (usPerFrame <= 0 || width <= 0 || height <= 0) fail("avi: missing or bad avih header")
+    if (!bppOk) fail("avi: missing strf format chunk")
+    if (offsets.isEmpty) fail("avi: no movi frame chunks")
+    if (nFrames != offsets.length) fail(s"avi: header claims $nFrames frames, movi has ${offsets.length}")
+    offsets.foreach { off =>
+      if (off + height * bmpRowSize(width) > bytes.length) fail("avi: frame overruns payload")
+    }
+    DecodedVideo(width, height, offsets.length, usPerFrame, offsets, bytes)
+  }
+
+  // ------------------------------------------------- DIB pixel packing ----
+  // Shared convention for BMP pixel arrays and AVI 00db frames: bottom-up
+  // rows, BGR byte order, rows padded to 4 bytes.
+
+  private def packDibInto(buf: ByteBuffer, width: Int, height: Int, rgb: Array[Byte]): Unit = {
+    val rowSize = bmpRowSize(width)
+    val base = buf.position()
+    var row = height - 1
+    while (row >= 0) {
+      val rowBase = base + (height - 1 - row) * rowSize
+      var c = 0
+      while (c < width) {
+        val p = (row * width + c) * 3
+        buf.put(rowBase + c * 3, rgb(p + 2))
+        buf.put(rowBase + c * 3 + 1, rgb(p + 1))
+        buf.put(rowBase + c * 3 + 2, rgb(p))
+        c += 1
+      }
+      row -= 1
+    }
+    buf.position(base + height * rowSize)
+  }
+
+  private def unpackDib(bytes: Array[Byte], off: Int, width: Int, height: Int): Array[Byte] = {
+    val rowSize = bmpRowSize(width)
+    val rgb = new Array[Byte](width * height * 3)
+    var srcRow = 0
+    while (srcRow < height) {
+      val logicalRow = height - 1 - srcRow
+      val base = off + srcRow * rowSize
+      var c = 0
+      while (c < width) {
+        val p = (logicalRow * width + c) * 3
+        rgb(p) = bytes(base + c * 3 + 2)
+        rgb(p + 1) = bytes(base + c * 3 + 1)
+        rgb(p + 2) = bytes(base + c * 3)
+        c += 1
+      }
+      srcRow += 1
+    }
+    rgb
+  }
+
   // ----------------------------------------------------------- dispatch ----
 
   /** Container sniffing by magic bytes — the real-world contract (mime/meta

@@ -10,12 +10,12 @@ import org.apache.spark.sql.types._
   * the Scala analog of `mapInPandas` batch UDFs).
   *
   * The decode kernels are REAL pure-JVM codecs ([[MediaCodecs]]): RIFF/WAVE
-  * PCM audio and BMP/PPM images are parsed from their actual container bytes
-  * (header walk, pixel/sample extraction), features are computed from decoded
-  * samples/pixels, and image resize decodes → resamples → re-encodes. Only
-  * video remains an opaque-payload stub (no pure-JVM container format exists
-  * for it); its rows degrade to byte-level stats, clearly flagged by
-  * `decoded = false`.
+  * PCM audio, BMP/PPM images, AND RIFF/AVI video (uncompressed DIB frames)
+  * are parsed from their actual container bytes (chunk/LIST walk,
+  * pixel/sample/frame extraction). Features come from decoded data, image
+  * resize decodes → resamples → re-encodes, and video frame sampling seeks
+  * real frames out of the clip. Payloads that are none of these containers
+  * degrade to byte-level stats, flagged by `decoded = false`.
   */
 object Multimodal {
 
@@ -45,6 +45,7 @@ object Multimodal {
       rms: Option[Double],
       width: Option[Int],
       height: Option[Int],
+      n_frames: Option[Int],
       mean_r: Option[Double],
       mean_g: Option[Double],
       mean_b: Option[Double])
@@ -78,9 +79,16 @@ object Multimodal {
     val bytes = if (payload == null) Array.emptyByteArray else payload
     val (nBytes, entropy, hash) = byteStats(bytes)
     val base = MediaFeatures(mediaId, modality, nBytes, entropy, hash, decoded = false,
-      None, None, None, None, None, None, None, None, None)
+      None, None, None, None, None, None, None, None, None, None)
     try {
-      if (MediaCodecs.looksLikeWav(bytes)) {
+      if (MediaCodecs.looksLikeAvi(bytes)) {
+        val v = MediaCodecs.decodeAvi(bytes)
+        val f0 = v.frame(0) // video color stats come from the first frame
+        base.copy(decoded = true, width = Some(v.width), height = Some(v.height),
+          n_frames = Some(v.nFrames), duration_s = Some(v.durationS),
+          mean_r = Some(f0.meanChannel(0)), mean_g = Some(f0.meanChannel(1)),
+          mean_b = Some(f0.meanChannel(2)))
+      } else if (MediaCodecs.looksLikeWav(bytes)) {
         val w = MediaCodecs.decodeWav(bytes)
         base.copy(decoded = true, sample_rate = Some(w.sampleRate), n_samples = Some(w.nSamples),
           duration_s = Some(w.durationS), rms = Some(w.rms))
@@ -136,17 +144,38 @@ object Multimodal {
           .otherwise(col("meta")))
   }
 
-  /** STUB video frame sampling: emits `framesPerClip` synthetic frame rows
-    * per video row (1->N generator via posexplode) with deterministic frame
-    * offsets — a real kernel would seek+decode frames per partition (no
-    * pure-JVM video container to parse; documented stub).
+  /** One sampled frame: which source frame was decoded and its channel
+    * means. `src_frame = frame_idx * n_frames / framesPerClip` (floor) —
+    * evenly spaced, first frame always included, same integer mapping the
+    * oracle replays.
     */
-  def sampleFrames(media: DataFrame, framesPerClip: Int): DataFrame =
+  final case class FrameSample(
+      media_id: Long, frame_idx: Int, src_frame: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL video frame sampling: parse the AVI container, seek `framesPerClip`
+    * evenly-spaced frames, decode ONLY those (frame chunks index lazily —
+    * sampling 3 of 1000 frames decodes 3), and emit per-frame channel stats.
+    * Runs 1→N inside the scan stage (flatMap, no shuffle); malformed clips
+    * contribute no rows instead of failing the job (extractFeatures'
+    * `decoded` flag is where they surface).
+    */
+  def sampleFrames(media: DataFrame, framesPerClip: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
     media.filter(col("modality") === "video")
-      .select(col("media_id"), posexplode(
-        transform(sequence(lit(0), lit(framesPerClip - 1)),
-          i => xxhash64(col("media_id"), i))))
-      .withColumnsRenamed(Map("pos" -> "frame_idx", "col" -> "frame_hash"))
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        try {
+          val v = MediaCodecs.decodeAvi(payload)
+          (0 until framesPerClip).map { j =>
+            val src = j * v.nFrames / framesPerClip
+            val f = v.frame(src)
+            FrameSample(id, j, src, f.meanChannel(0), f.meanChannel(1), f.meanChannel(2))
+          }
+        } catch { case _: MediaDecodeException => Nil }
+      }.toDF()
+  }
 
   // ------------------------------------------------------------------------
   // Test-data adapter: REAL container payloads, closed-form from doc_id.
@@ -162,7 +191,9 @@ object Multimodal {
   //   image     : container = BMP if (doc_id/3) even else PPM
   //               w = 4 + doc_id % 13; h = 4 + doc_id % 7
   //               rgb(k) = (doc_id*31 + k*17) % 256,  k = (row*w + col)*3 + ch
-  //   video     : UTF-8 text bytes, opaque (no pure-JVM video container)
+  //   video     : AVI, n = 3 + doc_id % 7 frames; w = 4 + doc_id % 6;
+  //               h = 4 + doc_id % 5; usPerFrame = 33000 + 1000*(doc_id % 8)
+  //               frame f pixel k: (doc_id*31 + f*101 + k*17) % 256
   // ------------------------------------------------------------------------
 
   private[operators] def synthAudio(docId: Long): Array[Byte] = {
@@ -190,16 +221,33 @@ object Multimodal {
     else MediaCodecs.encodePpm(w, h, rgb)
   }
 
-  /** Fabricates a media table from the documents table: images and audio get
-    * REAL encoded BMP/PPM/WAV payloads (deterministic in doc_id, see contract
-    * above); video rides the raw text bytes as an opaque clip stand-in.
+  private[operators] def synthVideo(docId: Long): Array[Byte] = {
+    val n = (3 + docId % 7).toInt
+    val w = (4 + docId % 6).toInt
+    val h = (4 + docId % 5).toInt
+    val usPerFrame = (33000 + 1000 * (docId % 8)).toInt
+    val frames = Array.tabulate(n) { f =>
+      val rgb = new Array[Byte](w * h * 3)
+      var k = 0
+      while (k < rgb.length) {
+        rgb(k) = ((docId * 31L + f * 101L + k * 17L) % 256L).toByte
+        k += 1
+      }
+      rgb
+    }
+    MediaCodecs.encodeAvi(w, h, usPerFrame, frames)
+  }
+
+  /** Fabricates a media table from the documents table: every modality gets
+    * a REAL encoded container payload (BMP/PPM, WAV, AVI — deterministic in
+    * doc_id, see contract above).
     */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "source", "lang", "text")
-      .as[(Long, String, String, String)]
-    docs.map { case (docId, source, lang, text) =>
+      .select("doc_id", "source", "lang")
+      .as[(Long, String, String)]
+    docs.map { case (docId, source, lang) =>
       val modality = (docId % 3) match {
         case 0 => "image"
         case 1 => "audio"
@@ -208,12 +256,12 @@ object Multimodal {
       val payload: Array[Byte] = modality match {
         case "image" => synthImage(docId)
         case "audio" => synthAudio(docId)
-        case _ => if (text == null) null else text.getBytes("UTF-8")
+        case _ => synthVideo(docId)
       }
       val mime = modality match {
         case "image" => if ((docId / 3) % 2 == 0) "image/bmp" else "image/x-portable-pixmap"
         case "audio" => "audio/wav"
-        case _ => "application/octet-stream"
+        case _ => "video/x-msvideo"
       }
       (docId, modality, payload, mime, Map("source" -> source, "lang" -> lang))
     }.toDF("media_id", "modality", "payload", "mime", "meta")

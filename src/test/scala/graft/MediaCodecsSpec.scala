@@ -102,6 +102,41 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeImage(enc).rgb.toSeq == raster.toSeq)
   }
 
+  // ------------------------------------------------------------- golden AVI
+
+  test("golden AVI: 2-frame 2x2 clip round-trips header facts and frame pixels") {
+    val f0 = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30).map(_.toByte)
+    val f1 = f0.map(b => (b ^ 0x7f).toByte)
+    val bytes = MediaCodecs.encodeAvi(2, 2, 40000, Array(f0, f1))
+    // layout: 224 header bytes + 2 frames of (8 + 2 rows * 8-byte stride)
+    assert(bytes.length == MediaCodecs.aviSize(2, 2, 2))
+    assert(bytes.length == 224 + 2 * (8 + 16))
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "AVI ")
+    val v = MediaCodecs.decodeAvi(bytes)
+    assert(v.width == 2 && v.height == 2 && v.nFrames == 2 && v.usPerFrame == 40000)
+    assert(v.durationS == (2L * 40000).toDouble / 1000000.0)
+    assert(v.frame(0).rgb.toSeq == f0.toSeq)
+    assert(v.frame(1).rgb.toSeq == f1.toSeq)
+    assert(v.frame(0).meanChannel(0) == (255.0 + 0 + 0 + 10) / 4)
+  }
+
+  test("AVI decoder rejects malformed clips instead of garbage-decoding") {
+    val ok = MediaCodecs.encodeAvi(2, 2, 40000, Array(new Array[Byte](12)))
+    intercept[MediaDecodeException](MediaCodecs.decodeAvi(ok.slice(0, 100)))  // truncated movi
+    val badBpp = ok.clone()
+    // strf BITMAPINFOHEADER starts after RIFF(12) + LIST hdrl preamble(12) +
+    // avih(64) + LIST strl preamble(12) + strh(64) + "strf"+size(8)
+    java.nio.ByteBuffer.wrap(badBpp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(12 + 12 + 64 + 12 + 64 + 8 + 14, 16) // biBitCount = 16
+    intercept[MediaDecodeException](MediaCodecs.decodeAvi(badBpp))
+    val badCount = ok.clone()
+    java.nio.ByteBuffer.wrap(badCount).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(12 + 12 + 8 + 16, 5) // avih totalFrames = 5, movi has 1
+    intercept[MediaDecodeException](MediaCodecs.decodeAvi(badCount))
+    intercept[MediaDecodeException](MediaCodecs.decodeAvi("RIFFxxxxWAVE".getBytes))
+  }
+
   // -------------------------------------------------------- seeded round-trips
 
   test("seeded encode->decode round-trips preserve samples and pixels") {
@@ -123,6 +158,12 @@ class MediaCodecsSpec extends AnyFunSuite {
       val viaPpm = MediaCodecs.decodeImage(MediaCodecs.encodePpm(w, h, rgb))
       assert(viaBmp.width == w && viaBmp.height == h && viaBmp.rgb.toSeq == rgb.toSeq)
       assert(viaPpm.width == w && viaPpm.height == h && viaPpm.rgb.toSeq == rgb.toSeq)
+
+      val nf = 1 + rnd.nextInt(6)
+      val frames = Array.fill(nf)(Array.fill(w * h * 3)(rnd.nextInt(256).toByte))
+      val clip = MediaCodecs.decodeAvi(MediaCodecs.encodeAvi(w, h, 33333, frames))
+      assert(clip.nFrames == nf && clip.width == w && clip.height == h)
+      (0 until nf).foreach(i => assert(clip.frame(i).rgb.toSeq == frames(i).toSeq))
     }
   }
 
@@ -167,14 +208,15 @@ class MediaCodecsSpec extends AnyFunSuite {
 class MultimodalDecodeSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("extractFeatures decodes every synthesized image/audio payload for real") {
+  test("extractFeatures decodes every synthesized payload for real, all three modalities") {
     val media = Multimodal.mediaFromDocuments(spark, sfDir)
     val feats = Multimodal.extractFeatures(media).collect()
     val byModality = feats.groupBy(_.modality)
     assert(byModality("image").forall(f => f.decoded && f.width.nonEmpty && f.mean_b.nonEmpty))
     assert(byModality("audio").forall(f => f.decoded && f.sample_rate.nonEmpty && f.rms.nonEmpty))
-    assert(byModality("video").forall(f => !f.decoded && f.width.isEmpty && f.rms.isEmpty))
-    // decoded dims must match the adapter's closed-form contract
+    assert(byModality("video").forall(f =>
+      f.decoded && f.width.nonEmpty && f.n_frames.nonEmpty && f.mean_b.nonEmpty && f.rms.isEmpty))
+    // decoded facts must match the adapter's closed-form contract
     byModality("image").foreach { f =>
       assert(f.width.get == 4 + (f.media_id % 13).toInt)
       assert(f.height.get == 4 + (f.media_id % 7).toInt)
@@ -183,6 +225,27 @@ class MultimodalDecodeSpec extends SparkTestBase {
       assert(f.sample_rate.get == 8000 + 4000 * (f.media_id % 4).toInt)
       assert(f.n_samples.get == 64 + (f.media_id % 97).toInt)
       assert(f.duration_s.get == f.n_samples.get.toDouble / f.sample_rate.get)
+    }
+    byModality("video").foreach { f =>
+      assert(f.n_frames.get == 3 + (f.media_id % 7).toInt)
+      assert(f.width.get == 4 + (f.media_id % 6).toInt)
+      assert(f.height.get == 4 + (f.media_id % 5).toInt)
+    }
+  }
+
+  test("sampleFrames seeks evenly spaced frames and decodes their real pixels") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir)
+    val frames = Multimodal.sampleFrames(media, framesPerClip = 3).collect()
+    assert(frames.nonEmpty && frames.length % 3 == 0)
+    frames.foreach { r =>
+      val id = r.getLong(0); val j = r.getInt(1); val src = r.getInt(2)
+      val n = 3 + (id % 7).toInt
+      assert(src == j * n / 3, s"frame mapping for doc $id idx $j")
+      // recompute the frame-0-style closed-form mean for THIS frame
+      val w = 4 + (id % 6).toInt; val h = 4 + (id % 5).toInt
+      var sum = 0L
+      (0 until w * h).foreach(p => sum += (id * 31 + src * 101L + (p * 3) * 17) % 256)
+      assert(r.getDouble(3) == sum.toDouble / (w * h), s"mean_r of doc $id frame $src")
     }
   }
 
