@@ -453,6 +453,17 @@ object SparkEntry {
           col("q.punct_ratio").as("punct_ratio"),
           col("q.stopword_ratio").as("stopword_ratio"))),
 
+    "repetition_quality" -> ((s, dir) =>
+      // Gopher-style repetition signal: duplicate-trigram fraction per doc —
+      // boilerplate/keyword-stuffing/generation-loop detector the length and
+      // stopword ratios miss. Integer counts + one divide, oracle-exact.
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextAnalysis.repetitionStats(col("text"), 3).as("r"))
+        .select(col("doc_id"),
+          col("r.n_ngrams").as("n_trigrams"),
+          col("r.n_distinct").as("n_distinct"),
+          col("r.dup_frac").as("dup_frac"))),
+
     "lang_distribution" -> ((s, dir) =>
       Tables.documents(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("cnt"))),
 
@@ -1236,6 +1247,18 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |        regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens
         |      FROM documents) t""".stripMargin,
+
+    // trigram strings rebuilt exactly as the native shingle kernel emits
+    // them (space-joined tokens); duplicate fraction = integer subtraction
+    // then one IEEE divide
+    "repetition_quality" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |g AS (SELECT doc_id, list_transform(range(0, greatest(len(toks) - 2, 0)),
+         |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS grams FROM t)
+         |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_trigrams,
+         | CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+         | CASE WHEN len(grams) > 0 THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)/len(grams) ELSE 0.0 END AS dup_frac
+         |FROM g""".stripMargin,
 
     "lang_distribution" ->
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",

@@ -119,6 +119,29 @@ object TextAnalysis {
     * tail mass (spec-asserted via shuffle-write metrics). The default 1 keeps
     * the exact-oracle semantics; corpus-scale runs want 2+.
     */
+  /** Repetition-based quality signal (the Gopher-rule family): the fraction
+    * of duplicate word n-grams in a document. Boilerplate, keyword stuffing
+    * and generation loops all show up as high duplicate-trigram mass, which
+    * length/stopword ratios miss entirely. Pure Column algebra over the
+    * native shingle kernel — runs inside the scan stage, zero shuffle, and
+    * the integer-count → one-divide math keeps it exactly DuckDB-mirrorable.
+    */
+  def repetitionStats(text: Column, n: Int = 3): Column = {
+    // the shingle kernel emits one whole-doc window for docs shorter than n
+    // (the right call for DEDUP — short docs still need a signature); for a
+    // repetition STATISTIC a sub-n doc has no n-grams, so gate on token
+    // count (size(null) = -1 also lands in the empty branch)
+    val grams = when(size(tokens(text)) >= n, wordShingles(text, n))
+      .otherwise(array().cast("array<string>"))
+    val total = size(grams)
+    val distinctN = size(array_distinct(grams))
+    struct(
+      total.cast("long").as("n_ngrams"),
+      distinctN.cast("long").as("n_distinct"),
+      when(total > 0, (total - distinctN).cast("double") / total)
+        .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   /** The scored (doc, term) candidate set feeding the per-doc ranking:
     * tf ⋈ df on token (+ broadcast corpus size). With `minDf > 1` the df
     * side drops `df < minDf` terms BEFORE the join, so the candidate set —

@@ -46,6 +46,21 @@ class QueriesSmokeSpec extends SparkTestBase {
     assert(fps("a") != fps("c"))
   }
 
+  test("repetitionStats flags looping text and zeroes out short/empty docs") {
+    val df = Seq(
+      ("loop", "spam spam spam spam spam spam"),   // 4 trigrams, 1 distinct
+      ("clean", "every word here is fully unique"),
+      ("short", "two words"),                      // < n tokens -> no ngrams
+      ("empty", "")).toDF("id", "text")
+    val r = df.select($"id", TextAnalysis.repetitionStats($"text", 3).as("r"))
+      .select($"id", $"r.n_ngrams", $"r.n_distinct", $"r.dup_frac")
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r("loop") == ((4L, 1L, 0.75)))
+    assert(r("clean")._3 == 0.0 && r("clean")._1 == r("clean")._2)
+    assert(r("short") == ((0L, 0L, 0.0)))
+    assert(r("empty") == ((0L, 0L, 0.0)))
+  }
+
   test("multimodal feature extraction is deterministic and entropy-bounded") {
     val media = Multimodal.mediaFromDocuments(spark, sfDir)
     val feats = Multimodal.extractFeatures(media).collect()
