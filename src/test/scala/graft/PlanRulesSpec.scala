@@ -75,6 +75,14 @@ class PlanRulesSpec extends SparkTestBase {
     assert(e.getMessage != null)
   }
 
+  test("repetition_quality stays a scan-stage projection (no Exchange)") {
+    // the Gopher repetition signal must never shuffle: all counts are
+    // per-row Column algebra over the native shingle kernel
+    val plan = SparkEntry.queries("repetition_quality")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition stats must not shuffle:\n$plan")
+  }
+
   test("unpivot melts wide to long without a shuffle (Expand, no Exchange)") {
     val plan = SparkEntry.queries("unpivot_metrics")(spark, sfDir)
       .queryExecution.executedPlan.toString
