@@ -464,6 +464,11 @@ object SparkEntry {
           col("r.n_distinct").as("n_distinct"),
           col("r.dup_frac").as("dup_frac"))),
 
+    "top_ngram_share" -> ((s, dir) =>
+      // the second Gopher repetition rule: share of the doc's trigrams taken
+      // by its single most frequent trigram (one-phrase loop detector)
+      TextAnalysis.topNgramShare(Tables.documents(s, dir), 3)),
+
     "lang_distribution" -> ((s, dir) =>
       Tables.documents(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("cnt"))),
 
@@ -1259,6 +1264,17 @@ object SparkEntry {
          | CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
          | CASE WHEN len(grams) > 0 THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)/len(grams) ELSE 0.0 END AS dup_frac
          |FROM g""".stripMargin,
+
+    "top_ngram_share" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 2),
+         |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+         |      FROM t WHERE len(toks) >= 3),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+         |SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_cnt,
+         | CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+         | CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_share
+         |FROM c GROUP BY doc_id""".stripMargin,
 
     "lang_distribution" ->
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",

@@ -142,6 +142,25 @@ object TextAnalysis {
         .otherwise(lit(0.0)).as("dup_frac"))
   }
 
+  /** The other Gopher repetition rule: the share of a document's n-grams
+    * taken by its single most frequent n-gram — catches documents that loop
+    * ONE phrase hard enough to dominate, which the duplicate-fraction metric
+    * under-weights when the rest of the doc is clean. Distribution-shaped
+    * (explode → two aggregations keyed by doc_id, map-side partials absorb
+    * the explode); docs with fewer than n tokens emit no row.
+    */
+  def topNgramShare(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = when(size(tokens(col("text"))) >= n, wordShingles(col("text"), n))
+    docs.select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("n_ngrams"))
+      .select(col("doc_id"),
+        col("top_cnt").cast("long").as("top_cnt"),
+        col("n_ngrams").cast("long").as("n_ngrams"),
+        (col("top_cnt").cast("double") / col("n_ngrams")).as("top_share"))
+  }
+
   /** The scored (doc, term) candidate set feeding the per-doc ranking:
     * tf ⋈ df on token (+ broadcast corpus size). With `minDf > 1` the df
     * side drops `df < minDf` terms BEFORE the join, so the candidate set —

@@ -59,6 +59,16 @@ class QueriesSmokeSpec extends SparkTestBase {
     assert(r("clean")._3 == 0.0 && r("clean")._1 == r("clean")._2)
     assert(r("short") == ((0L, 0L, 0.0)))
     assert(r("empty") == ((0L, 0L, 0.0)))
+
+    // the companion rule: share of the single most frequent trigram
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),      // one trigram owns the doc
+      (2L, "all words are different here now"))   // 4 distinct trigrams
+      .toDF("doc_id", "text")
+    val shares = TextAnalysis.topNgramShare(docs, 3).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(shares(1L) == ((4L, 4L, 1.0)))
+    assert(shares(2L) == ((1L, 4L, 0.25)))
   }
 
   test("multimodal feature extraction is deterministic and entropy-bounded") {
