@@ -469,6 +469,16 @@ object SparkEntry {
       // by its single most frequent trigram (one-phrase loop detector)
       TextAnalysis.topNgramShare(Tables.documents(s, dir), 3)),
 
+    "contamination_check" -> ((s, dir) => {
+      // benchmark decontamination: every 97th doc stands in as the held-out
+      // eval set; the rest of the corpus reports its distinct-trigram
+      // overlap with that set's vocabulary
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.contaminationCheck(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0), n = 3)
+    }),
+
     "lang_distribution" -> ((s, dir) =>
       Tables.documents(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("cnt"))),
 
@@ -1275,6 +1285,21 @@ object SparkEntry {
          | CAST(sum(cnt) AS BIGINT) AS n_ngrams,
          | CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_share
          |FROM c GROUP BY doc_id""".stripMargin,
+
+    // distinct trigram sets per doc, eval vocabulary = union over the
+    // doc_id % 97 = 0 docs; overlap counts are integers, one IEEE divide
+    "contamination_check" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks) - 2, 0)),
+         |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS grams
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
+         |e AS (SELECT DISTINCT unnest(grams) AS g FROM t WHERE doc_id % 97 = 0),
+         |d AS (SELECT doc_id, unnest(grams) AS g FROM t WHERE doc_id % 97 <> 0),
+         |o AS (SELECT d.doc_id, count(*) AS n_overlap FROM d JOIN e USING (g) GROUP BY d.doc_id)
+         |SELECT t.doc_id, CAST(len(grams) AS BIGINT) AS n_shingles,
+         | CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+         | CASE WHEN len(grams) > 0 THEN CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)/len(grams) ELSE 0.0 END AS overlap_frac
+         |FROM t LEFT JOIN o ON t.doc_id = o.doc_id WHERE t.doc_id % 97 <> 0""".stripMargin,
 
     "lang_distribution" ->
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",

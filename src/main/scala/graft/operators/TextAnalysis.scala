@@ -161,6 +161,37 @@ object TextAnalysis {
         (col("top_cnt").cast("double") / col("n_ngrams")).as("top_share"))
   }
 
+  /** Benchmark decontamination: for every corpus document, the overlap of
+    * its distinct word n-grams with an evaluation set's n-gram vocabulary —
+    * the standard pre-training hygiene check (a doc sharing a large shingle
+    * mass with a benchmark likely CONTAINS benchmark items and must not be
+    * trained on).
+    *
+    * Scale shape: the eval side is small by construction (benchmarks are),
+    * so its distinct shingles broadcast; the corpus side explodes its
+    * distinct shingles inside the scan stage, hash-joins against the
+    * broadcast, and aggregates per doc — one doc-keyed shuffle, reused by
+    * the join-back (co-partitioned). Docs with zero overlap survive with 0.
+    */
+  def contaminationCheck(docs: DataFrame, evalDocs: DataFrame, n: Int = 3): DataFrame = {
+    def gramsOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      array_distinct(
+        when(size(tokens(col("text"))) >= n, wordShingles(col("text"), n))
+          .otherwise(array().cast("array<string>"))).as("grams"))
+    val d = gramsOf(docs)
+    val evalGrams = gramsOf(evalDocs).select(explode(col("grams")).as("g")).distinct()
+    val overlaps = d.select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    d.join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(size(col("grams")) > 0,
+          coalesce(col("n_overlap"), lit(0L)).cast("double") / size(col("grams")))
+          .otherwise(lit(0.0)).as("overlap_frac"))
+  }
+
   /** The scored (doc, term) candidate set feeding the per-doc ranking:
     * tf ⋈ df on token (+ broadcast corpus size). With `minDf > 1` the df
     * side drops `df < minDf` terms BEFORE the join, so the candidate set —

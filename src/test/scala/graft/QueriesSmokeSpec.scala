@@ -71,6 +71,19 @@ class QueriesSmokeSpec extends SparkTestBase {
     assert(shares(2L) == ((1L, 4L, 0.25)))
   }
 
+  test("contaminationCheck counts distinct-shingle overlap against the eval set") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"),     // shares "the quick brown", "quick brown fox"
+      (2L, "totally separate words appear here"), // zero overlap
+      (3L, "x")).toDF("doc_id", "text")           // sub-n doc: 0 shingles, frac 0
+    val eval = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationCheck(corpus, eval, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((4L, 2L, 0.5)))
+    assert(out(2L) == ((3L, 0L, 0.0)), "zero-overlap docs must survive with 0")
+    assert(out(3L) == ((0L, 0L, 0.0)))
+  }
+
   test("multimodal feature extraction is deterministic and entropy-bounded") {
     val media = Multimodal.mediaFromDocuments(spark, sfDir)
     val feats = Multimodal.extractFeatures(media).collect()
