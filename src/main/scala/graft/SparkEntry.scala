@@ -532,6 +532,32 @@ object SparkEntry {
       dedupInvariants(docs, Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.8), "doc_id", "text")
     }),
 
+    "segment_dedup" -> ((s, dir) =>
+      // CCNet/RefinedWeb-style line-level dedup (the corpus has no newlines,
+      // so the "line" is a fixed 10-token segment): a segment seen anywhere
+      // earlier in the corpus drops, documents reassemble from survivors
+      Dedup.segmentDedup(Tables.documents(s, dir), "doc_id", "text", segTokens = 10)),
+
+    "incremental_dedup" -> ((s, dir) => {
+      // ingestion-gate dedup: every 7th doc plays the incoming batch, the
+      // rest the accumulated corpus; the corpus reduces to one bloom filter
+      // that prunes the batch before the exact anti-join confirms
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalExact(
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+        "doc_id", Seq("text"), expectedCorpusItems = 100000L)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    "semantic_dedup" -> ((s, dir) =>
+      // SemDeDup: distributed-k-means clusters bound the candidate space,
+      // cosine verifies within clusters only; the oracle replays the exact
+      // Lloyd iterations (fixed-point sums) and the within-cluster prune
+      Dedup.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nlist = 16, iters = 2, threshold = 0.95)
+        .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))),
+
     "embed_dedup" -> ((s, dir) =>
       Dedup.embeddingCosine(Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64,
         threshold = 0.95).select("vec_id")),
@@ -776,6 +802,15 @@ object SparkEntry {
         .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
     }),
 
+    "pack_sequences" -> ((s, dir) =>
+      // sequence packing: greedy sequential fill of 256-token training bins
+      // per language — deterministic, one shuffle on the group key, a single
+      // stateful pass per group (see Packing's scale notes on sharding)
+      operators.Packing.packGreedy(
+        Tables.documents(s, dir), "lang", "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 256)
+        .withColumnsRenamed(Map("group" -> "lang", "id" -> "doc_id"))),
+
     "stratified_sample" -> ((s, dir) => {
       // per-language top-k by quality — stratified curriculum selection;
       // one shuffle on the stratum key
@@ -986,6 +1021,49 @@ object SparkEntry {
   /** Word-token list, mirroring [[TextAnalysis.tokens]]. */
   private val sqlToks: String =
     "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  // ---- k-means mirror (Similarity.trainCodebook) -------------------------
+  // Shared by the ivf_topk and semantic_dedup oracles: assignment is argmax
+  // cosine with lowest-index ties; the centroid update accumulates per-dim
+  // FIXED-POINT sums (floor(x*2^20) as BIGINT — IEEE-exact and order-free,
+  // which is why the Spark side is bitwise deterministic at any parallelism
+  // and this mirror needs no accumulation-order tricks), divides back in
+  // double, keeps the previous centroid for empty clusters, and rounds each
+  // iteration's centroids to REAL (round-to-nearest-even, same as the JVM).
+
+  private def sqlKmAssign(out: String, src: String, cents: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, embedding, cidx FROM (
+       |    SELECT s.vec_id, s.embedding, c.cidx,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${sqlCos("s.embedding", "c.cv")} DESC, c.cidx) AS rn
+       |    FROM $src s, $cents c) x WHERE rn = 1)""".stripMargin
+
+  private def sqlKmUpdate(out: String, assigned: String, prev: String): String =
+    s"""$out AS (
+       |  SELECT p.cidx, COALESCE(m.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT cidx, list(CAST(CAST(mval AS REAL) AS DOUBLE) ORDER BY d) AS cv FROM (
+       |      SELECT a.cidx, d.d AS d,
+       |        (CAST(sum(CAST(floor(CAST(a.embedding[d.d] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE) / count(*)) / 1048576.0 AS mval
+       |      FROM $assigned a, range(1, 65) d(d)
+       |      GROUP BY a.cidx, d.d) g
+       |    GROUP BY cidx) m ON m.cidx = p.cidx)""".stripMargin
+
+  /** Two Lloyd iterations from first-16-by-id seeding + full-corpus
+    * assignment — the exact [[operators.Similarity.trainCodebook]] mirror;
+    * ends with `afull(vec_id, embedding, cidx)` over every vector.
+    */
+  private def sqlKmeansAssignAll: String =
+    s"""init AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings ORDER BY vec_id LIMIT 16),
+       |${sqlKmAssign("a1", "embeddings", "init")},
+       |${sqlKmUpdate("c1", "a1", "init")},
+       |${sqlKmAssign("a2", "embeddings", "c1")},
+       |${sqlKmUpdate("c2", "a2", "c1")},
+       |${sqlKmAssign("afull", "embeddings", "c2")}""".stripMargin
 
   private val langMarkersSql: Seq[(String, String)] = Seq(
     "en" -> "['the','and','of','to','in','is','that','it','for','with']",
@@ -1307,6 +1385,59 @@ object SparkEntry {
     "exact_dedup_docs" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
 
+    // 10-token segments (trailing partial included; >= 1 segment per doc,
+    // mirroring the chunk kernel), keep-first by (doc_id, position), rebuild
+    // in position order. DuckDB list slices clamp at the list end.
+    "segment_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |e AS (
+         |  SELECT doc_id, CAST(u['i'] AS INT) AS seg_idx, u['seg'] AS seg FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, greatest(1, (len(toks)+9)//10)),
+         |      i -> {'i': i, 'seg': array_to_string(toks[i*10+1 : i*10+10], ' ')})) AS u
+         |    FROM t) t1),
+         |k AS (
+         |  SELECT doc_id, seg_idx, seg,
+         |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+         |  FROM e),
+         |r AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(seg, ' ' ORDER BY seg_idx) AS dedup_text
+         |  FROM k WHERE rn = 1 GROUP BY doc_id)
+         |SELECT t.doc_id,
+         | CAST(greatest(1, (len(toks)+9)//10) AS BIGINT) AS n_segs,
+         | CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+         | COALESCE(r.dedup_text, '') AS dedup_text
+         |FROM t LEFT JOIN r ON t.doc_id = r.doc_id""".stripMargin,
+
+    // the bloom filter only PRUNES; the exact confirm makes the result equal
+    // to the plain batch-minus-corpus anti-join this oracle states
+    "incremental_dedup" ->
+      """WITH batch AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 7 = 0),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY md5(text))
+        |SELECT b.doc_id, b.lang FROM batch b JOIN keep k ON b.doc_id = k.doc_id
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id % 7 <> 0 AND md5(c.text) = md5(b.text))""".stripMargin,
+
+    // greedy sequential packing replayed row-by-row per language: the
+    // recursive CTE threads (bin, acc) through the id order — a new bin
+    // opens exactly when the next doc does not fit (first doc always bin 0)
+    "pack_sequences" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT lang, doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |p(lang, rn, doc_id, n_tokens, bin_id, acc) AS (
+         |  SELECT lang, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
+         |    CASE WHEN p.acc + d.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |    CASE WHEN p.acc + d.n_tokens > 256 THEN d.n_tokens ELSE p.acc + d.n_tokens END
+         |  FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
+         |SELECT lang, doc_id, n_tokens, bin_id FROM p""".stripMargin,
+
     // mirrors Multimodal's adapter contract closed-form: WAV = 44-byte header
     // + 2 bytes/sample; BMP = 54 + h*rowstride(4-padded); PPM = "P6\n{w} {h}\n
     // 255\n" + 3wh; AVI = 224-byte canonical headers + n*(8 + h*rowstride)
@@ -1422,44 +1553,31 @@ object SparkEntry {
       // accumulation-order tricks. Means divide back in double, empty
       // clusters keep the previous centroid, each iteration's centroids
       // round to REAL; then assignment over the full table + nprobe probe
-      {
-        def kmAssign(out: String, src: String, cents: String): String =
-          s"""$out AS (
-             |  SELECT vec_id, embedding, cidx FROM (
-             |    SELECT s.vec_id, s.embedding, c.cidx,
-             |      row_number() OVER (PARTITION BY s.vec_id
-             |        ORDER BY ${sqlCos("s.embedding", "c.cv")} DESC, c.cidx) AS rn
-             |    FROM $src s, $cents c) x WHERE rn = 1)""".stripMargin
-        def kmUpdate(out: String, assigned: String, prev: String): String =
-          s"""$out AS (
-             |  SELECT p.cidx, COALESCE(m.cv, p.cv) AS cv
-             |  FROM $prev p LEFT JOIN (
-             |    SELECT cidx, list(CAST(CAST(mval AS REAL) AS DOUBLE) ORDER BY d) AS cv FROM (
-             |      SELECT a.cidx, d.d AS d,
-             |        (CAST(sum(CAST(floor(CAST(a.embedding[d.d] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE) / count(*)) / 1048576.0 AS mval
-             |      FROM $assigned a, range(1, 65) d(d)
-             |      GROUP BY a.cidx, d.d) g
-             |    GROUP BY cidx) m ON m.cidx = p.cidx)""".stripMargin
-        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-           |init AS (
-           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
-           |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-           |  FROM embeddings ORDER BY vec_id LIMIT 16),
-           |${kmAssign("a1", "embeddings", "init")},
-           |${kmUpdate("c1", "a1", "init")},
-           |${kmAssign("a2", "embeddings", "c1")},
-           |${kmUpdate("c2", "a2", "c1")},
-           |${kmAssign("afull", "embeddings", "c2")},
-           |probes AS (
-           |  SELECT cidx FROM (
-           |    SELECT c.cidx, row_number() OVER (
-           |      ORDER BY ${sqlCos("q.qv", "c.cv")} DESC, c.cidx) AS rn
-           |    FROM c2 c, q) p WHERE rn <= 4)
-           |SELECT a.vec_id, ${sqlCos("a.embedding", "q.qv")} AS score
-           |FROM afull a, q
-           |WHERE a.cidx IN (SELECT cidx FROM probes)
-           |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin
-      },
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |$sqlKmeansAssignAll,
+         |probes AS (
+         |  SELECT cidx FROM (
+         |    SELECT c.cidx, row_number() OVER (
+         |      ORDER BY ${sqlCos("q.qv", "c.cv")} DESC, c.cidx) AS rn
+         |    FROM c2 c, q) p WHERE rn <= 4)
+         |SELECT a.vec_id, ${sqlCos("a.embedding", "q.qv")} AS score
+         |FROM afull a, q
+         |WHERE a.cidx IN (SELECT cidx FROM probes)
+         |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    "semantic_dedup" ->
+      // replay the distributed k-means (see sqlKmeansAssignAll) then prune
+      // WITHIN clusters only: any vector cosine-similar (>= 0.95) to a
+      // smaller id in its own cluster drops — SemDeDup's candidate scoping
+      s"""WITH $sqlKmeansAssignAll,
+         |drops AS (
+         |  SELECT DISTINCT r.vec_id
+         |  FROM afull l JOIN afull r
+         |    ON l.cidx = r.cidx AND l.vec_id < r.vec_id
+         |  WHERE ${sqlCos("l.embedding", "r.embedding")} >= 0.95)
+         |SELECT a.vec_id, CAST(a.cidx AS BIGINT) AS centroid_id
+         |FROM afull a
+         |WHERE a.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin,
 
     "embed_dedup" ->
       s"""WITH planes(pid, pv) AS (VALUES

@@ -415,6 +415,142 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** Segment-level exact dedup (the CCNet/RefinedWeb line-dedup shape): each
+    * document splits into fixed `segTokens`-token segments, a segment
+    * occurring anywhere earlier in the corpus (order = first occurrence by
+    * (id, position)) is dropped, and each document is reassembled from its
+    * surviving segments. Boilerplate repeated across documents disappears
+    * while the unique remainder of every document survives.
+    *
+    * Scale shape: ONE shuffle on the segment key for the keep-first window
+    * and one on the doc id for reassembly — no pair joins, no driver data.
+    * Segment keys are strings of bounded length (`segTokens` tokens), so the
+    * shuffle record size is bounded regardless of document size.
+    *
+    * Returns (id, n_segs, n_kept, dedup_text): total segments, surviving
+    * segments, and the document reassembled from survivors in order (empty
+    * when every segment was seen earlier).
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String, segTokens: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(col(textCol))
+    val segs = TextAnalysis.tokenChunks(toks, size = segTokens, stride = segTokens)
+    // spread first: a single-file scan is one partition, which would
+    // serialize the tokenize+chunk kernels (see [[minhashLsh]])
+    val exploded = Ops.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), posexplode(segs))
+      .withColumnsRenamed(Map("pos" -> "__seg_idx", "col" -> "__seg"))
+    // keep-first: the globally earliest (id, position) occurrence of each
+    // distinct segment survives — later repeats (across OR within documents)
+    // drop. One hash shuffle on the segment string.
+    val w = Window.partitionBy(col("__seg")).orderBy(col(idCol), col("__seg_idx"))
+    val kept = exploded
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        // deterministic reassembly: sort the (position, segment) pairs, then
+        // join — collect_list order is not guaranteed under merge
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__seg_idx"), col("__seg")))),
+            p => p.getField("__seg")),
+          " ").as("dedup_text"))
+    // resolve against the full input: a document whose every segment was
+    // seen earlier has no survivor rows but must still appear (empty text)
+    df.select(col(idCol), size(segs).cast("long").as("n_segs"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
+    * embedding space with the distributed Lloyd codebook
+    * ([[Similarity.trainCodebook]] — deterministic at any parallelism), then
+    * verify cosine similarity ONLY within each cluster and drop the larger id
+    * of any pair above `threshold`. The cluster assignment is a shuffle-free
+    * map-stage projection against the broadcast codebook; the only shuffle is
+    * the equi-join on `centroid_id`, so candidate volume is bounded by
+    * cluster sizes — never all-pairs. Near-duplicate pairs split across two
+    * clusters are missed by construction (the SemDeDup trade-off; raise
+    * `nlist` for tighter clusters, or use [[embeddingCosine]] whose sign-LSH
+    * bands are recall-calibrated instead).
+    *
+    * Returns the surviving rows of `df` with their `centroid_id` attached.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      iters: Int = 2,
+      threshold: Double = 0.95): DataFrame = {
+    val init = df.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    val cents = Similarity.trainCodebook(df, idCol, vecCol, init, iters)
+    // exact-collapse first: an identical vector lands in the same cluster as
+    // its representative and verifies at cosine 1 ≥ any threshold — same
+    // survivors, bounded pair volume under duplicate floods
+    val reps = distinctContent(df, idCol, vecCol)
+    val assigned = reps.select(
+      col(idCol), col(vecCol),
+      VectorExpressions.nearestCentroid(col(vecCol), cents).as("centroid_id"))
+    val l = assigned.select(col("centroid_id"), col(idCol).as("__id_a"), col(vecCol).as("__v_a"))
+    val r = assigned.select(col("centroid_id"), col(idCol).as("__id_b"), col(vecCol).as("__v_b"))
+    val drops = l.join(r, Seq("centroid_id"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(VectorExpressions.cosine(col("__v_a"), col("__v_b")) >= threshold)
+      .select(col("__id_b").as(idCol)).distinct()
+    df.join(reps.join(drops, Seq(idCol), "left_anti").select(col(idCol)),
+      Seq(idCol), "left_semi")
+      .join(assigned.select(col(idCol), col("centroid_id")), Seq(idCol), "left")
+  }
+
+  /** Incremental corpus dedup: admit only the rows of `batch` whose content
+    * does not already exist in `corpus` (after collapsing exact duplicates
+    * WITHIN the batch to their min-id representative). This is the streaming
+    * ingestion gate of a training-data pipeline — each day's crawl checks
+    * against the accumulated corpus without re-deduplicating it.
+    *
+    * Scale shape: the corpus is reduced to ONE aggregated bloom filter (a
+    * bounded binary, like a broadcast runtime filter — the only driver-side
+    * data), which prunes the batch in its scan stage: rows the filter rejects
+    * are DEFINITELY new (bloom has no false negatives) and skip the join
+    * entirely; only the (tiny, false-positive-inflated) candidate remainder
+    * anti-joins against the corpus digests for exact confirmation. At 100 TB
+    * the anti-join's corpus-side scan reads one digest column and its
+    * batch-side input is the candidate sliver, not the whole batch.
+    */
+  def incrementalExact(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      contentCols: Seq[String],
+      expectedCorpusItems: Long = 1000000L): DataFrame = {
+    val structCols = struct(contentCols.map(col): _*)
+    val bloomKey = xxhash64(to_json(structCols))
+    val digest = md5(to_json(structCols))
+    val withinDeduped = exact(batch, idCol, contentCols)
+    val bfRow = corpus
+      .agg(graft.functions.SketchFunctions.bloomFilterAgg(bloomKey, expectedCorpusItems).as("bf"))
+      .head()
+    if (bfRow.isNullAt(0)) withinDeduped // empty corpus: everything is new
+    else {
+      val bf = bfRow.getAs[Array[Byte]]("bf")
+      val flagged = withinDeduped
+        .withColumn("__might", graft.functions.SketchFunctions.mightContain(lit(bf), bloomKey))
+      val definitelyNew = flagged.filter(!col("__might"))
+      val confirmed = flagged.filter(col("__might"))
+        .withColumn("__digest", digest)
+        .join(corpus.select(digest.as("__digest")), Seq("__digest"), "left_anti")
+        .drop("__digest")
+      definitelyNew.unionByName(confirmed).drop("__might")
+    }
+  }
+
   /** LSH band keys: one codegen'd expression folds each signature slice into
     * a 64-bit bucket key ([[graft.functions.HashExpressions.BandKeys]]).
     * An earlier formulation built 16 per-band `xxhash64(concat_ws(...))`

@@ -171,6 +171,73 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Seq(0L, 2L))
   }
 
+  test("segmentDedup keeps first occurrences, drops repeats across AND within docs") {
+    val segDocs = Seq(
+      (0L, "a b c d e f a b c"), // 3 segments of 3; the third repeats the first
+      (1L, "a b c x y z"),       // first segment already seen in doc 0
+      (2L, "d e f")              // entirely made of seen segments
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(segDocs, "doc_id", "text", segTokens = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, 2L, "a b c d e f"),
+      (1L, 2L, 1L, "x y z"),
+      (2L, 1L, 0L, "")))
+  }
+
+  test("segmentDedup on disjoint docs is the identity (normalized text)") {
+    val segDocs = Seq(
+      (0L, "one two three four five six"),
+      (1L, "seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(segDocs, "doc_id", "text", segTokens = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 2L, "one two three four five six"),
+      (1L, 2L, 2L, "seven eight nine ten eleven twelve")))
+  }
+
+  test("semanticDedup prunes within k-means clusters, keeps cross-cluster reps") {
+    // two tight direction groups; seeding (first nlist by id) puts one seed
+    // in each group, so Lloyd separates them and each clone pair collapses
+    val a = Array.tabulate(8)(i => if (i < 4) 1f else 0.1f)
+    val b = Array.tabulate(8)(i => if (i < 4) 0.1f else 1f)
+    val aClone = a.map(_ * 1.001f) // same direction -> cosine ~1
+    val bClone = b.map(_ * 0.999f)
+    val emb = Seq(
+      (0L, a.toSeq), (1L, b.toSeq), (2L, aClone.toSeq), (3L, bClone.toSeq)
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      nlist = 2, iters = 2, threshold = 0.99)
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(0L, 1L), s"expected clones 2,3 dropped, got $out")
+    assert(out(0L) != out(1L), "the two direction groups must land in different clusters")
+  }
+
+  test("incrementalExact admits only content absent from the corpus") {
+    val corpus = Seq((0L, "seen one"), (1L, "seen two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen one"),   // exact dup of corpus
+      (11L, "brand new"),  // genuinely new
+      (12L, "brand new"),  // within-batch dup of 11
+      (13L, "seen two")    // exact dup of corpus
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(corpus, batch, "doc_id", Seq("text"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L))
+  }
+
+  test("incrementalExact with an empty corpus keeps the within-batch dedup") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((5L, "x"), (6L, "x"), (7L, "y")).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(corpus, batch, "doc_id", Seq("text"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(5L, 7L))
+  }
+
   test("minhash signatures are deterministic across evaluations") {
     val sig = Dedup.minhashSignature(graft.operators.TextAnalysis.wordShingles(col("text"), 3), 16)
     val a = docs.select(sig).collect().map(_.getSeq[Long](0))
