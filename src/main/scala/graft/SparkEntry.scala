@@ -711,6 +711,18 @@ object SparkEntry {
         .select(col("doc_id"), col("q.n_tokens").as("n_tokens"),
           col("q.stopword_ratio").as("stopword_ratio"))),
 
+    "classifier_filter" -> ((s, dir) =>
+      // model-based quality gate, fastText-shaped: hashed-feature linear
+      // scoring in the scan stage, fixed-point margin aggregation (md5-derived
+      // weights stand in for trained ones — portable to any engine, which is
+      // what makes the oracle exact)
+      TextAnalysis.classifierScore(Tables.documents(s, dir), bias = 0.0, threshold = 0.0)),
+
+    "lm_score" -> ((s, dir) =>
+      // corpus-bigram LM scoring (KenLM-filter stand-in): mean bigram
+      // conditional probability per doc, all-rational arithmetic
+      TextAnalysis.bigramLmScore(Tables.documents(s, dir))),
+
     "pii_scrub" -> ((s, dir) => {
       // email -> URL -> number, in that order (later passes see earlier
       // placeholders, which contain no scrubbable characters)
@@ -1408,6 +1420,44 @@ object SparkEntry {
          | CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
          | COALESCE(r.dedup_text, '') AS dedup_text
          |FROM t LEFT JOIN r ON t.doc_id = r.doc_id""".stripMargin,
+
+    // hashed weight mirror: first 8 md5 hex chars parse to the same BIGINT in
+    // both engines; the margin replays the fixed-point sum (floor(w*2^20) as
+    // BIGINT — order-free) and the identical final double arithmetic
+    "classifier_filter" ->
+      s"""WITH e AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |    CAST(floor((((('0x' || substr(md5(tok), 1, 8))::BIGINT % 1001) - 500) / 500.0) * 1048576.0) AS BIGINT) AS qw
+         |  FROM e),
+         |s AS (SELECT doc_id, count(*) AS n_tokens, sum(qw) AS qsum FROM w GROUP BY doc_id)
+         |SELECT d.doc_id,
+         | CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+         | COALESCE((CAST(s.qsum AS DOUBLE) / s.n_tokens) / 1048576.0 + 0.0, 0.0) AS margin,
+         | CAST(CASE WHEN COALESCE((CAST(s.qsum AS DOUBLE) / s.n_tokens) / 1048576.0 + 0.0, 0.0) > 0.0
+         |      THEN 1 ELSE 0 END AS BIGINT) AS pass
+         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin,
+
+    // bigram LM replay: the model (C2/C1 counts) and the per-doc mean
+    // probability are integer counts + one divide, fixed-point-summed
+    "lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+         |    i -> toks[i+1] || ' ' || toks[i+2])) AS g
+         |  FROM t),
+         |c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+         |c1 AS (SELECT split_part(g, ' ', 1) AS w, count(*) AS c1 FROM bg GROUP BY 1),
+         |p AS (
+         |  SELECT b.doc_id,
+         |    CAST(floor((CAST(c2.c2 AS DOUBLE) / c1.c1) * 1048576.0) AS BIGINT) AS q
+         |  FROM bg b JOIN c2 ON b.g = c2.g JOIN c1 ON split_part(b.g, ' ', 1) = c1.w),
+         |s AS (SELECT doc_id, count(*) AS n_bigrams, sum(q) AS qs FROM p GROUP BY doc_id)
+         |SELECT t.doc_id,
+         | CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         | CASE WHEN s.n_bigrams > 0 THEN (CAST(s.qs AS DOUBLE) / s.n_bigrams) / 1048576.0
+         |      ELSE 0.0 END AS avg_bigram_p
+         |FROM t LEFT JOIN s ON t.doc_id = s.doc_id""".stripMargin,
 
     // the bloom filter only PRUNES; the exact confirm makes the result equal
     // to the plain batch-minus-corpus anti-join this oracle states

@@ -219,4 +219,89 @@ object TextAnalysis {
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("token"), col("score"))
   }
+
+  /** Fixed-point quantum for distributed per-doc double sums: floor(x*2^20)
+    * is IEEE-exact (power-of-two scale + floor) and the long sums are
+    * order-free — the same trick as [[Similarity.trainCodebook]]; without it
+    * a per-doc `sum(double)` depends on shuffle merge order and can never
+    * hash-match a sequential oracle.
+    */
+  private val Fp = 1048576.0
+
+  /** Per-token weight of the hashed linear classifier: the token's md5 maps
+    * it to a deterministic weight in [-1, 1] (md5 is computed identically in
+    * any engine, so the "model" is portable by construction). In production
+    * the weight table comes from training; the pipeline shape — hashing
+    * trick, per-token lookup in the scan stage, distribution-shaped margin
+    * aggregation — is exactly what a trained model uses.
+    */
+  private def hashedWeight(tok: Column): Column =
+    (conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % 1001L - 500L)
+      .cast("double") / 500.0
+
+  /** Model-based quality filtering, fastText-shaped: a linear classifier
+    * over hashed token features scores every document; the margin (mean
+    * token weight + bias) gates the corpus. The weight lookup is pure Column
+    * algebra inside the scan stage (one md5 + arithmetic per token — no
+    * dictionary join, the point of the hashing trick), followed by ONE
+    * doc-keyed shuffle whose map-side partials absorb the token explode.
+    * Margin sums accumulate in fixed-point so the score is bitwise
+    * deterministic at any parallelism.
+    *
+    * Returns (doc_id, n_tokens, margin, pass) for every input document —
+    * callers filter on `pass` (or re-threshold on `margin`).
+    */
+  def classifierScore(docs: DataFrame, bias: Double = 0.0, threshold: Double = 0.0): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        floor(hashedWeight(col("tok")) * lit(Fp)).cast("long").as("qw"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("qw")).as("qsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("qsum").cast("double") / col("n_tokens")) / lit(Fp) + lit(bias)).as("margin"))
+    // empty docs (no tokens) emit no scored row but must not vanish
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("margin"), lit(bias)).as("margin"),
+        when(coalesce(col("margin"), lit(bias)) > threshold, 1L).otherwise(0L).as("pass"))
+  }
+
+  /** Corpus-bigram language-model scoring (the KenLM-filter stand-in): train
+    * bigram conditional probabilities p(w2|w1) = C(w1 w2) / C(w1·) on the
+    * corpus itself, then score each document by its MEAN bigram probability.
+    * Generated/boilerplate text scores high, token soup scores low. The mean
+    * (not the log-likelihood product) keeps every number rational — exact
+    * integer counts, one divide — so the oracle hash-matches; a log-space
+    * variant would differ by ulps between libms.
+    *
+    * Scale shape: bigrams explode inside the scan stage; the model is two
+    * key-shuffled counts; scoring joins occurrences to the model on the
+    * bigram/prefix keys (AQE-handled equi-shuffles — the model never visits
+    * the driver) and aggregates per doc in fixed-point.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val grams = when(size(tokens(col("text"))) >= 2, wordShingles(col("text"), 2))
+      .otherwise(array().cast("array<string>"))
+    val bg = docs.select(col("doc_id"), explode(grams).as("g"))
+    val c2 = bg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(split_part(col("g"), lit(" "), lit(1)).as("w"))
+      .agg(count(lit(1)).as("c1"))
+    val scored = bg
+      .join(c2, Seq("g"))
+      .join(c1, split_part(col("g"), lit(" "), lit(1)) === col("w"))
+      .select(col("doc_id"),
+        floor((col("c2").cast("double") / col("c1")) * lit(Fp)).cast("long").as("q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("qs"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          (col("qs").cast("double") / col("n_bigrams")) / lit(Fp))
+          .otherwise(lit(0.0)).as("avg_bigram_p"))
+  }
 }

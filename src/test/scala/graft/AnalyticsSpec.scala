@@ -91,6 +91,57 @@ class AnalyticsSpec extends SparkTestBase {
     assert(perDoc <= 3L && out.count() > 0)
   }
 
+  test("classifierScore: margin is the mean hashed token weight, deterministic, threshold gates") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha alpha alpha"), // repeated token: margin = that token's weight
+      (2L, "")                   // empty: margin = bias, no tokens
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.classifierScore(docs, bias = 0.1, threshold = 0.0)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // driver-side replay of the weight formula for doc 1
+    def w(tok: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.take(8), 16)
+      (h % 1001L - 500L).toDouble / 500.0
+    }
+    val exp1 = math.floor(w("alpha") * 1048576.0) * 3 / 3 / 1048576.0 + 0.1
+    assert(out(1)._2 == 3L && math.abs(out(1)._3 - exp1) < 1e-12)
+    assert(out(2) == (2L, 0L, 0.1, 1L), "empty doc scores the bias")
+    out.foreach { case (_, _, margin, pass) =>
+      assert((margin > 0.0) == (pass == 1L))
+    }
+    // determinism: same input, same margins
+    val again = TextAnalysis.classifierScore(docs, bias = 0.1, threshold = 0.0)
+      .orderBy("doc_id").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(again == out)
+  }
+
+  test("bigramLmScore: corpus-typical phrasing outscores atypical recombination") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // docs 0-3 repeat the phrase "a b c d"; doc 4 recombines the SAME tokens
+    // in an order the corpus never continues ("a c b d") — its prefixes are
+    // ambiguous (a/b/c each continue differently elsewhere), so every bigram
+    // probability is low. Hand-computed: common bigrams score 4/5 each
+    // (avg 0.8), recombined ones 1/5 each (avg 0.2).
+    val docs = ((0L to 3L).map(i => (i, "a b c d")) :+ ((4L, "a c b d"))).toSeq
+    val out = TextAnalysis.bigramLmScore(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._2 == 3L && out(4L)._2 == 3L)
+    assert(math.abs(out(0L)._3 - 0.8) < 1e-5, s"common phrasing ~0.8, got ${out(0L)._3}")
+    assert(math.abs(out(4L)._3 - 0.2) < 1e-5, s"recombination ~0.2, got ${out(4L)._3}")
+    assert(out(0L)._3 > out(4L)._3)
+    // sub-2-token docs emit zero bigrams and score 0
+    val tiny = TextAnalysis.bigramLmScore(Seq((9L, "single")).toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect().head
+    assert(tiny == ((9L, 0L, 0.0)))
+  }
+
   test("countObserved reports the row count of the consuming action without a rescan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-observe").toString + "/out"
     val df = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F")
