@@ -607,6 +607,15 @@ object SparkEntry {
       Similarity.topKJoin(emb, "vec_id", "embedding", queries, "query_id", "query_vec", k = 5)
     }),
 
+    "quantized_ann" -> ((s, dir) => {
+      // int8-quantized ANN: 4x smaller codes, exact integer dot + rescale;
+      // every arithmetic step is IEEE-mirrorable so the oracle is exact
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.quantizedTopK(emb, "vec_id", "embedding", q, k = 10)
+    }),
+
     "ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
@@ -1591,6 +1600,26 @@ object SparkEntry {
          |    SELECT q.query_id, e.vec_id, ${sqlCos("e.embedding", "q.qv")} AS score
          |    FROM embeddings e, qs q) s) t
          |WHERE rn <= 5""".stripMargin,
+
+    // replays the symmetric int8 quantization (floor(x*127/max|x|), clamp to
+    // [-127,127], zero vector -> zeros), the exact integer dot, and the
+    // identical double rescale sequence (idot * s_corpus) * s_query
+    "quantized_ann" ->
+      s"""WITH m AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+         |  FROM embeddings),
+         |q8 AS (
+         |  SELECT vec_id, ma / 127.0 AS s,
+         |    list_transform(embedding, x ->
+         |      CASE WHEN ma = 0 THEN 0
+         |           ELSE greatest(-127, least(127, CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma) AS BIGINT))) END) AS q
+         |  FROM m),
+         |qv AS (SELECT q AS qq, s AS qs FROM q8 WHERE vec_id = 0)
+         |SELECT c.vec_id,
+         | (CAST(list_sum(list_transform(range(1, len(c.q)+1), i -> c.q[i] * qv.qq[i])) AS DOUBLE) * c.s) * qv.qs AS qscore
+         |FROM q8 c, qv
+         |ORDER BY qscore DESC, c.vec_id LIMIT 10""".stripMargin,
 
     "ivf_topk" ->
       // mirrors the DISTRIBUTED k-means codebook build EXACTLY (Similarity

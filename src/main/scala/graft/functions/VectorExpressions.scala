@@ -183,6 +183,66 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Symmetric int8 quantization of array<float>: q_i = clamp(floor(x_i *
+    * 127 / max|x|), -127, 127) — the standard 4x storage cut for embedding
+    * corpora (at 100 TB the embedding column dominates the table; int8
+    * probes also read 4x fewer bytes). All arithmetic is IEEE double ops on
+    * exactly-widened floats, so any engine reproduces the codes bit-for-bit.
+    * A zero vector quantizes to all zeros.
+    */
+  case class QuantizeVec(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.quantizeVec(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorKernels.quantizeVec($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** The dequantization scale paired with [[QuantizeVec]]: max|x| / 127. */
+  case class QuantScale(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.quantScale(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorKernels.quantScale($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Integer dot product over two int8 code arrays — a LONG of exact integer
+    * sums (order-free by construction, unlike float accumulation), rescaled
+    * to an approximate float dot by `idot * scaleA * scaleB` at the caller.
+    */
+  case class QuantizedDot(left: Expression, right: Expression) extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0L; var i = 0
+      while (i < n) { s += a.getByte(i).toLong * b.getByte(i).toLong; i += 1 }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += (long) $a.getByte($i) * (long) $b.getByte($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
   // Column-facing wrappers -------------------------------------------------
 
   def dot(a: Column, b: Column): Column =
@@ -199,10 +259,49 @@ object VectorExpressions {
 
   def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
+
+  def quantizeVec(vec: Column): Column =
+    ColumnBridge.column(QuantizeVec(ColumnBridge.expression(vec)))
+
+  def quantScale(vec: Column): Column =
+    ColumnBridge.column(QuantScale(ColumnBridge.expression(vec)))
+
+  def quantizedDot(a: Column, b: Column): Column =
+    ColumnBridge.column(QuantizedDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 /** Static-forwarder kernels callable from generated Java. */
 object VectorKernels {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private def maxAbs(v: ArrayData): Double = {
+    var m = 0.0; var i = 0
+    while (i < v.numElements()) {
+      val x = math.abs(v.getFloat(i).toDouble)
+      if (x > m) m = x
+      i += 1
+    }
+    m
+  }
+
+  def quantScale(v: ArrayData): Double = maxAbs(v) / 127.0
+
+  def quantizeVec(v: ArrayData): ArrayData = {
+    val m = maxAbs(v)
+    val out = new Array[Any](v.numElements())
+    var i = 0
+    while (i < v.numElements()) {
+      val q =
+        if (m == 0.0) 0L
+        else math.floor(v.getFloat(i).toDouble * 127.0 / m).toLong
+      // floor can land on -128 exactly at x = -max|x| (rounding in the
+      // divide); clamp keeps the code symmetric in [-127, 127]
+      out(i) = math.max(-127L, math.min(127L, q)).toByte
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def nearestCentroid(v: ArrayData, centroids: Array[Array[Float]]): Int = {
     var best = -1
     var bestSim = Double.NegativeInfinity

@@ -39,6 +39,16 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 
+  /** Brute-force DOT-product top-k — the ranking [[quantizedTopK]]
+    * approximates (quantization preserves the dot up to per-vector scale
+    * error; cosine additionally divides by norms the codes don't carry).
+    */
+  def bruteForceDotTopK(corpus: DataFrame, idCol: String, vecCol: String, query: Array[Float], k: Int): DataFrame =
+    Ops.spread(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol), VectorExpressions.dot(col(vecCol), vecLit(query)).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
   final case class Scored(id: Long, score: Double)
 
   /** Bounded top-k aggregator: the buffer never exceeds 2k entries, so the
@@ -81,6 +91,43 @@ object Similarity {
       .agg(topk(col("__cid"), col("__score")).as("__top"))
       .select(col(queryId), explode(col("__top")).as("__s"))
       .select(col(queryId), col("__s.id").as(corpusId), col("__s.score").as("score"))
+  }
+
+  /** Driver-side mirror of [[VectorExpressions.QuantizeVec]]/QuantScale —
+    * quantizes the query vector with the identical formula.
+    */
+  private[graft] def quantizeLocal(v: Array[Float]): (Array[Byte], Double) = {
+    var m = 0.0
+    v.foreach(x => m = math.max(m, math.abs(x.toDouble)))
+    val codes = v.map { x =>
+      val q = if (m == 0.0) 0L else math.floor(x.toDouble * 127.0 / m).toLong
+      math.max(-127L, math.min(127L, q)).toByte
+    }
+    (codes, m / 127.0)
+  }
+
+  /** Brute-force top-k over int8-QUANTIZED embeddings: codes are 4x smaller
+    * than floats (the scan reads 4x fewer bytes when the codes are the
+    * stored column — the 100 TB storage path), the scoring loop is an exact
+    * integer dot (order-free) rescaled by the two per-vector scales, and the
+    * plan is the same TakeOrderedAndProject as [[bruteForceTopK]]. Scores
+    * approximate the float dot within quantization error; ranking quality is
+    * spec-gated against the float brute force (recall@k).
+    */
+  def quantizedTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    val (qCodes, qScale) = quantizeLocal(query)
+    val qLit = typedlit(qCodes.toSeq)
+    Ops.spread(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol),
+        VectorExpressions.quantizedDot(
+          VectorExpressions.quantizeVec(col(vecCol)), qLit).as("__idot"),
+        VectorExpressions.quantScale(col(vecCol)).as("__s"))
+      .select(col(idCol),
+        ((col("__idot").cast("double") * col("__s")) * lit(qScale)).as("qscore"))
+      .orderBy(col("qscore").desc, col(idCol).asc)
+      .limit(k)
   }
 
   /** The IVF coarse quantizer: a small driver-side codebook, k-means-trained

@@ -258,6 +258,54 @@ object Streaming {
     }
   }
 
+  /** Continuous dedup ingestion: each micro-batch passes the
+    * [[graft.operators.Dedup.incrementalExact]] gate against the corpus
+    * accumulated so far and APPENDS only the survivors — the streaming form
+    * of the daily-crawl ingestion pipeline (the corpus is never rewritten,
+    * only grown, so the per-batch cost is the batch size + one corpus-digest
+    * scan feeding a bloom filter, not the corpus size).
+    *
+    * foreachBatch is at-least-once: a RETRIED batch re-checks against a
+    * corpus that already holds whatever its first attempt appended, so the
+    * retry admits nothing already present — the corpus stays content-unique
+    * under retries (content-level idempotence, the invariant that matters
+    * for a dedup corpus; StreamingSpec asserts it by replaying a batch).
+    */
+  def ingestDedupStream(
+      docs: DataFrame,
+      corpusDir: String,
+      idCol: String,
+      contentCols: Seq[String]): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch, corpusDir, idCol, contentCols)
+      }
+      .start()
+
+  /** One ingestion micro-batch (the foreachBatch body, callable from batch
+    * jobs and tests): gate, then append survivors. An empty survivor set
+    * skips the write so uneventful batches don't accrete empty files.
+    */
+  def ingestBatch(
+      batch: DataFrame,
+      corpusDir: String,
+      idCol: String,
+      contentCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val target = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (!fs.exists(target))
+        graft.operators.Dedup.exact(batch, idCol, contentCols)
+      else
+        graft.operators.Dedup.incrementalExact(
+          spark.read.parquet(corpusDir), batch, idCol, contentCols)
+    val survivors = fresh.localCheckpoint(true) // gate once; isEmpty + write
+    if (!survivors.isEmpty)
+      survivors.write.mode("append").parquet(corpusDir)
+  }
+
   /** Stream-static enrichment join: each micro-batch joins against the
     * static dimension, broadcast so the stream side never shuffles — the
     * standard shape for enriching an event stream with reference data. The

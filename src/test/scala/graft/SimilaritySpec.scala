@@ -168,6 +168,48 @@ class SimilaritySpec extends SparkTestBase {
     assert(seedOnly >= 1 && seedOnly <= 2, s"seed-only build should be one collect, saw $seedOnly jobs")
   }
 
+  test("int8 quantized top-k tracks the float brute force (recall@10 >= 0.8)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val recalls = Seq(0L, 7L, 42L).map { qid =>
+      val q = emb.filter($"vec_id" === qid).select("embedding").head().getSeq[Float](0).toArray
+      // dot-product ranking on both sides (quantization approximates the DOT,
+      // not the cosine; corpus norms vary so compare like with like)
+      val exact = Similarity.bruteForceDotTopK(emb, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val approx = Similarity.quantizedTopK(emb, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"quantized recall@10 per query $recalls, mean $mean")
+  }
+
+  test("quantizeLocal mirrors the QuantizeVec kernel bit-for-bit") {
+    import org.apache.spark.sql.functions.{col, typedlit}
+    val vecs = Seq(
+      (0L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (1L, Seq(-0.001f, 0.002f, -0.003f, 0.004f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)) // zero vector -> all-zero codes
+    ).toDF("vec_id", "embedding")
+    val kernel = vecs.select(col("vec_id"),
+      graft.functions.VectorExpressions.quantizeVec(col("embedding")).as("q"),
+      graft.functions.VectorExpressions.quantScale(col("embedding")).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Byte](1).toSeq, r.getDouble(2)))).toMap
+    Seq(
+      0L -> Array(0.5f, -1.0f, 0.25f, 0.0f),
+      1L -> Array(-0.001f, 0.002f, -0.003f, 0.004f),
+      2L -> Array(0.0f, 0.0f, 0.0f, 0.0f)
+    ).foreach { case (id, arr) =>
+      val (codes, scale) = Similarity.quantizeLocal(arr)
+      assert(kernel(id)._1 == codes.toSeq, s"codes for $id")
+      assert(kernel(id)._2 == scale, s"scale for $id")
+    }
+    // codes bounded and the extreme component hits the scale exactly
+    assert(kernel(0L)._1.forall(c => c >= -127 && c <= 127))
+    assert(kernel(0L)._1(1) == -127.toByte)
+    assert(kernel(2L)._1.forall(_ == 0))
+  }
+
   test("IVF probe finds the query vector when probing enough lists") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter($"vec_id" === 12).select("embedding").head().getSeq[Float](0).toArray

@@ -310,6 +310,35 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set((7L, 1L, 10L)))
   }
 
+  test("ingestDedupStream grows a content-unique corpus across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = java.nio.file.Files.createTempDirectory("graft-ingest").toString + "/corpus"
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.ingestDedupStream(
+      input.toDS().toDF("doc_id", "text"), corpus, "doc_id", Seq("text"))
+    try {
+      input.addData((1L, "x"), (2L, "x"), (3L, "y")) // within-batch dup
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).as[(Long, String)].collect().toSet ==
+        Set((1L, "x"), (3L, "y")))
+      input.addData((4L, "x"), (5L, "z")) // cross-batch dup + new content
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).as[(Long, String)].collect().toSet ==
+        Set((1L, "x"), (3L, "y"), (5L, "z")))
+    } finally q.stop()
+  }
+
+  test("ingestBatch is content-idempotent under an at-least-once replay") {
+    val corpus = java.nio.file.Files.createTempDirectory("graft-ingest2").toString + "/corpus"
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    Streaming.ingestBatch(batch, corpus, "doc_id", Seq("text"))
+    // the retry sees a corpus already holding its own first attempt
+    Streaming.ingestBatch(batch, corpus, "doc_id", Seq("text"))
+    val got = spark.read.parquet(corpus).as[(Long, String)].collect().toSeq
+    assert(got.sorted == Seq((1L, "a"), (2L, "b")), s"replay must admit nothing: $got")
+  }
+
   test("dedupStream drops replayed event ids within the watermark horizon") {
     val staged = java.nio.file.Files.createTempDirectory("graft-stream3").toString + "/events"
     val ev = Sources.events(spark, sfDir).drop("ts_ns").limit(100)
