@@ -91,6 +91,27 @@ class PlanRulesSpec extends SparkTestBase {
     assert(plan.contains("Expand"), "unpivot plans as an Expand generator")
   }
 
+  test("packGreedy plans exactly one shuffle (the group repartition)") {
+    // the packing pass is a single stateful scan per group: one hash
+    // exchange on the group key, a partition-local sort, then mapPartitions
+    // — any second exchange would mean the sequential pass re-shuffled
+    val plan = SparkEntry.queries("pack_sequences")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 Exchange, got $exchanges:\n$plan")
+    assert(!plan.toLowerCase.contains("exchange rangepartitioning"),
+      "partition-local sort must not become a global range sort")
+  }
+
+  test("quantized ANN plans as TakeOrderedAndProject over a scan-stage projection") {
+    // quantize + integer dot + rescale all run inside the scan stage; top-k
+    // is the bounded heap operator, never a global sort
+    val plan = SparkEntry.queries("quantized_ann")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must be bounded:\n$plan")
+    assert(!plan.contains("SortExec"), s"no global sort in the quantized scan:\n$plan")
+  }
+
   test("per-group top-k plans with rank pushdown (WindowGroupLimit), not a full sort") {
     // stratified_sample and tfidf keep only the top rows per group; Spark's
     // WindowGroupLimit maintains a bounded per-group heap BEFORE the window

@@ -105,6 +105,43 @@ class StressScaleSpec extends SparkTestBase {
     assert(secs < 180.0, f"flood handling took $secs%.1fs — precompose likely regressed")
   }
 
+  stress("segment dedup stays linear under a 20k boilerplate flood") {
+    // 20k docs sharing one boilerplate segment + a unique tail. The
+    // keep-first rule is a window min per segment (linear in occurrence
+    // count) — a pair formulation would be ~4*10^8 candidate pairs.
+    val boiler = "all rights reserved contact us terms of service apply here"
+    val docs = (0L until 20000L)
+      .map(i => (i, s"$boiler unique$i tail$i content$i words$i extra$i more$i body$i text$i end$i fin$i"))
+      .toDF("doc_id", "text").repartition(8)
+    val (out, secs) = timed {
+      Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 10)
+        .agg(sum(when(col("n_kept") < col("n_segs"), 1L).otherwise(0L)),
+          min(col("n_kept"))).head()
+    }
+    info(f"segment flood dedup in $secs%.1fs")
+    // every doc after the first loses the boilerplate segment, none loses
+    // its unique tail
+    assert(out.getLong(0) == 19999L, s"19999 docs must shed the boilerplate, got ${out.getLong(0)}")
+    assert(out.getLong(1) >= 1L, "no document may lose its unique segments")
+    assert(secs < 180.0, f"segment flood took $secs%.1fs — linear path likely regressed")
+  }
+
+  stress("greedy packing a 1M-row group completes in one sequential pass") {
+    // one group forces one task to walk 1M rows — the worst case the
+    // (lang, shard) composite-group advice exists for; the pass itself must
+    // be trivially linear (iterator state, no per-row allocation blowup)
+    val rows = spark.range(1000000L)
+      .select(lit("g").as("lang"), col("id").as("doc_id"), (pmod(col("id"), lit(97)) + 10L).as("n_tokens"))
+    val (stats, secs) = timed {
+      val assigned = operators.Packing.packGreedy(rows, "lang", "doc_id", col("n_tokens"), budget = 2048L)
+      assigned.agg(count(lit(1)), max(col("bin_id"))).head()
+    }
+    info(f"packed 1M rows in $secs%.1fs, ${stats.getLong(1) + 1} bins")
+    assert(stats.getLong(0) == 1000000L)
+    assert(stats.getLong(1) > 25000L, "2048-token bins over ~58-token docs must need >25k bins")
+    assert(secs < 120.0, f"packing took $secs%.1fs — the sequential pass regressed")
+  }
+
   stress("connected components collapses a 10k-node chain within 15 pointer-doubling rounds") {
     val edges = (0L until 9999L).map(i => (i, i + 1)).toDF("a", "b").repartition(8)
     val (labels, rounds) = Dedup.connectedComponentsWithRounds(edges, maxIter = 15)
