@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -169,6 +169,31 @@ object HashKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Morton interleave of the low `bits` bits of a (even positions) and b
+    * (odd positions). Inputs are bucket indices — small and non-negative.
+    */
+  def zInterleave(a: Long, b: Long, bits: Int): Long = {
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      out |= ((a >>> i) & 1L) << (2 * i)
+      out |= ((b >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    out
+  }
+
+  /** Count of bounds <= x via binary search (bounds ascending). */
+  def bucketIndex(x: Double, bounds: Array[Double]): Int = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) <= x) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
 }
 
 /** Catalyst expressions wrapping [[HashKernels]]; input is `array<long>`
@@ -243,6 +268,42 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Z-order (Morton) key: interleaves the low `bits` bits of two
+    * non-negative bucket indices, a's bits at even positions. Rows close in
+    * BOTH dimensions get close keys, so sorting by the key co-locates them —
+    * the multi-dimensional generalization of range clustering.
+    */
+  case class ZOrderKey(left: Expression, right: Expression, bits: Int) extends BinaryExpression {
+    require(bits >= 1 && bits <= 31, "ZOrderKey interleaves 1..31 bits per dimension")
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      HashKernels.zInterleave(l.asInstanceOf[Long], r.asInstanceOf[Long], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.HashKernels.zInterleave($a, $b, $bits);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** Quantile-bucket index: the count of `bounds` entries <= x (bounds
+    * sorted ascending), i.e. x below the first bound -> 0, x past the last
+    * -> bounds.length. The bounds array (a small driver-side quantile sketch
+    * result) rides into generated code as a reference object — the lookup is
+    * a binary search per row, no join.
+    */
+  case class BucketIndex(child: Expression, bounds: Array[Double]) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def nullSafeEval(v: Any): Any =
+      HashKernels.bucketIndex(v.asInstanceOf[Double], bounds)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bucketBounds", bounds, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.HashKernels.bucketIndex($c, $ref);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class BandKeys(child: Expression, bands: Int) extends UnaryExpression {
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -271,4 +332,10 @@ object HashExpressions {
 
   def countInSet(arr: Column, values: Seq[String]): Column =
     ColumnBridge.column(CountInSet(ColumnBridge.expression(arr), values))
+
+  def zOrderKey(a: Column, b: Column, bits: Int): Column =
+    ColumnBridge.column(ZOrderKey(ColumnBridge.expression(a), ColumnBridge.expression(b), bits))
+
+  def bucketIndex(x: Column, bounds: Array[Double]): Column =
+    ColumnBridge.column(BucketIndex(ColumnBridge.expression(x), bounds))
 }

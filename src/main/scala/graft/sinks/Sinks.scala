@@ -63,6 +63,44 @@ object Sinks {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Z-order clustered write over TWO numeric dimensions: each dimension is
+    * quantile-bucketed (2^bits buckets from an `approxQuantile` sketch — a
+    * tiny driver-side array, rank-normalizing so skewed distributions still
+    * spread over all buckets), bucket indices interleave into a Morton key
+    * (codegen'd [[graft.functions.HashExpressions.ZOrderKey]]), and the data
+    * range-partitions + sorts on that key. Every output file then covers a
+    * tight range in BOTH dimensions simultaneously, so parquet min/max
+    * statistics prune predicates on either column or both — what
+    * single-column range clustering ([[writeSorted]]) can only give one
+    * dimension. The standard 100 TB layout for tables queried by two
+    * independent selective columns (e.g. time x customer).
+    *
+    * Cost: two quantile jobs + one range shuffle at write time, amortized
+    * over every later scan. ScaleLayoutSpec asserts the per-file span bound
+    * on both dimensions against an unclustered layout.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      targetFiles: Int,
+      bits: Int = 8): Unit = {
+    require(targetFiles >= 1, "targetFiles must be positive")
+    val cuts = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val Array(boundsA, boundsB) =
+      df.stat.approxQuantile(Array(colA, colB), cuts, 0.001)
+    val z = graft.functions.HashExpressions.zOrderKey(
+      graft.functions.HashExpressions.bucketIndex(col(colA).cast("double"), boundsA).cast("long"),
+      graft.functions.HashExpressions.bucketIndex(col(colB).cast("double"), boundsB).cast("long"),
+      bits)
+    df.withColumn("__zkey", z)
+      .repartitionByRange(targetFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Hive-style partitioned layout (the S5/A1 `{type: {date: [...]}}`
     * grouping as a directory tree): downstream scans with predicates on the
     * partition columns prune whole directories — the 100 TB idiom for

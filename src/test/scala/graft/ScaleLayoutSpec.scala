@@ -66,6 +66,47 @@ class ScaleLayoutSpec extends SparkTestBase {
     }
   }
 
+  test("z-ordered write bounds per-file spans on BOTH dimensions at once") {
+    import spark.implicits._
+    // two independent uniform dimensions — the case 1-D range clustering
+    // cannot serve (sorting by x leaves every file spanning all of y)
+    val n = 100000L
+    val data = spark.range(n).select(
+      pmod(xxhash64($"id"), lit(10000L)).cast("double").as("x"),
+      pmod(xxhash64($"id", lit(7)), lit(10000L)).cast("double").as("y"),
+      $"id".as("payload"))
+    val zDir = Files.createTempDirectory("graft-z").toString + "/t"
+    val plainDir = Files.createTempDirectory("graft-plain").toString + "/t"
+    Sinks.writeZOrdered(data, zDir, "x", "y", targetFiles = 16)
+    data.repartition(16).write.parquet(plainDir)
+
+    def fileRanges(dir: String): Seq[(Double, Double, Double, Double)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("xlo"), max("x").as("xhi"), min("y").as("ylo"), max("y").as("yhi"))
+        .collect().toSeq
+        .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    def avgSpan(rs: Seq[(Double, Double, Double, Double)]): Double =
+      rs.map { case (xl, xh, yl, yh) => ((xh - xl) + (yh - yl)) / 2.0 / 10000.0 }.sum / rs.size
+
+    val zRanges = fileRanges(zDir)
+    val plainRanges = fileRanges(plainDir)
+    assert(spark.read.parquet(zDir).count() == n, "clustering must not lose rows")
+    // 16 files x 8-bit buckets: each file fixes >= 2 high bits per dimension
+    // -> spans near 1/4 of the domain; random placement spans nearly all of it
+    assert(avgSpan(zRanges) < 0.55, f"z-order spans ${avgSpan(zRanges)}%.2f — clustering broke")
+    assert(avgSpan(plainRanges) > 0.8, "the unclustered baseline should span the domain")
+
+    // the operational claim: a small box predicate on BOTH dims intersects
+    // few z-ordered files (min/max stats prune the rest) but every plain file
+    def touched(rs: Seq[(Double, Double, Double, Double)]): Int =
+      rs.count { case (xl, xh, yl, yh) => xl <= 2500 && xh >= 0 && yl <= 2500 && yh >= 0 }
+    assert(touched(zRanges) <= zRanges.size / 2,
+      s"box query should touch a minority of z-ordered files: ${touched(zRanges)}/${zRanges.size}")
+    assert(touched(plainRanges) == plainRanges.size,
+      "the unclustered layout cannot prune the box query")
+  }
+
   test("tables bucketed on the join key join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle decision
     try {
