@@ -720,6 +720,27 @@ object SparkEntry {
         .select(col("doc_id"), col("q.n_tokens").as("n_tokens"),
           col("q.stopword_ratio").as("stopword_ratio"))),
 
+    "vocab_coverage" -> ((s, dir) => {
+      // tokenizer-vocabulary sizing: cumulative share of corpus token
+      // OCCURRENCES covered by the top-50 tokens by frequency. The global
+      // window runs over the AGGREGATED vocab table (bounded by distinct
+      // tokens, not corpus rows) — the corpus-sized work is the one
+      // map-side-combined groupBy
+      val counts = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val total = counts.agg(sum(col("cnt")).as("tot"))
+      counts
+        .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .filter(col("rank") <= 50)
+        .crossJoin(total)
+        .select(col("rank"), col("token"), col("cnt"),
+          (col("cum").cast("double") / col("tot")).as("cum_frac"))
+    }),
+
     "classifier_filter" -> ((s, dir) =>
       // model-based quality gate, fastText-shaped: hashed-feature linear
       // scoring in the scan stage, fixed-point margin aggregation (md5-derived
@@ -996,6 +1017,26 @@ object SparkEntry {
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 50)
         .select(col("doc_id"), col("lang"), col("rnk"))
+    }),
+
+    "curation_pipeline_v2" -> ((s, dir) => {
+      // the round-6 curation shape, composed end-to-end as ONE lazy plan:
+      // model-based gates (classifier margin + corpus-bigram LM score over
+      // the FULL-corpus model) -> segment-level dedup across survivors ->
+      // greedy sequence packing of the deduped text into 256-token bins
+      val docs = Tables.documents(s, dir)
+      val cls = TextAnalysis.classifierScore(docs)
+        .filter(col("margin") > 0.0).select("doc_id")
+      val lm = TextAnalysis.bigramLmScore(docs)
+        .filter(col("avg_bigram_p") >= 0.033).select("doc_id")
+      val gated = docs.join(cls, Seq("doc_id"), "left_semi")
+        .join(lm, Seq("doc_id"), "left_semi")
+      val deduped = Dedup.segmentDedup(gated, "doc_id", "text", segTokens = 10)
+        .filter(col("n_kept") >= 2)
+      val withLang = deduped.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      operators.Packing.packGreedy(withLang, "lang", "doc_id",
+        TextAnalysis.tokenCount(col("dedup_text")), budget = 256)
+        .withColumnsRenamed(Map("group" -> "lang", "id" -> "doc_id"))
     }),
 
     "json_sink_roundtrip" -> ((s, dir) => {
@@ -1429,6 +1470,82 @@ object SparkEntry {
          | CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
          | COALESCE(r.dedup_text, '') AS dedup_text
          |FROM t LEFT JOIN r ON t.doc_id = r.doc_id""".stripMargin,
+
+    // top-50 vocabulary coverage: the cumulative-sum window runs over the
+    // aggregated vocab, full (cnt DESC, token) tiebreak everywhere
+    "vocab_coverage" ->
+      s"""WITH c AS (
+         |  SELECT t.t AS token, count(*) AS cnt
+         |  FROM (SELECT unnest($sqlToks) AS t FROM documents) t GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS tot FROM c),
+         |r AS (
+         |  SELECT token, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+         |    sum(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM c)
+         |SELECT CAST(rank AS BIGINT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
+         | CAST(cum AS DOUBLE) / tot AS cum_frac
+         |FROM r, tot WHERE rank <= 50""".stripMargin,
+
+    // the full v2 pipeline replay: classifier + LM gates (models over ALL
+    // documents), segment dedup over the gated subset, greedy packing of
+    // the deduped token counts — each stage the same mirror as its
+    // standalone oracle, composed
+    "curation_pipeline_v2" ->
+      s"""WITH RECURSIVE
+         |ce AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+         |cw AS (
+         |  SELECT doc_id,
+         |    CAST(floor((((('0x' || substr(md5(tok), 1, 8))::BIGINT % 1001) - 500) / 500.0) * 1048576.0) AS BIGINT) AS qw
+         |  FROM ce),
+         |cs AS (SELECT doc_id, count(*) AS n, sum(qw) AS q FROM cw GROUP BY doc_id),
+         |cls AS (SELECT doc_id FROM cs WHERE (CAST(q AS DOUBLE) / n) / 1048576.0 + 0.0 > 0.0),
+         |lt AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+         |    i -> toks[i+1] || ' ' || toks[i+2])) AS g
+         |  FROM lt),
+         |c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+         |c1 AS (SELECT split_part(g, ' ', 1) AS w, count(*) AS c1 FROM bg GROUP BY 1),
+         |lp AS (
+         |  SELECT b.doc_id, CAST(floor((CAST(c2.c2 AS DOUBLE) / c1.c1) * 1048576.0) AS BIGINT) AS q
+         |  FROM bg b JOIN c2 ON b.g = c2.g JOIN c1 ON split_part(b.g, ' ', 1) = c1.w),
+         |ls AS (SELECT doc_id, count(*) AS n, sum(q) AS qs FROM lp GROUP BY doc_id),
+         |lmv AS (SELECT doc_id FROM ls WHERE (CAST(qs AS DOUBLE) / n) / 1048576.0 >= 0.033),
+         |gated AS (
+         |  SELECT d.doc_id, d.lang, d.text FROM documents d
+         |  JOIN cls ON d.doc_id = cls.doc_id JOIN lmv ON d.doc_id = lmv.doc_id),
+         |gt AS (SELECT doc_id, $sqlToks AS toks FROM gated),
+         |ge AS (
+         |  SELECT doc_id, CAST(u['i'] AS INT) AS seg_idx, u['seg'] AS seg FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, greatest(1, (len(toks)+9)//10)),
+         |      i -> {'i': i, 'seg': array_to_string(toks[i*10+1 : i*10+10], ' ')})) AS u
+         |    FROM gt) t1),
+         |gk AS (
+         |  SELECT doc_id, seg_idx, seg,
+         |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+         |  FROM ge),
+         |gr AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(seg, ' ' ORDER BY seg_idx) AS dedup_text
+         |  FROM gk WHERE rn = 1 GROUP BY doc_id),
+         |surv AS (
+         |  SELECT g.lang, gr.doc_id,
+         |    CAST(len(regexp_extract_all(lower(gr.dedup_text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+         |  FROM gr JOIN gated g ON gr.doc_id = g.doc_id WHERE gr.n_kept >= 2),
+         |d2 AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |  FROM surv),
+         |p(lang, rn, doc_id, n_tokens, bin_id, acc) AS (
+         |  SELECT lang, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+         |  FROM d2 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d2.lang, d2.rn, d2.doc_id, d2.n_tokens,
+         |    CASE WHEN p.acc + d2.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |    CASE WHEN p.acc + d2.n_tokens > 256 THEN d2.n_tokens ELSE p.acc + d2.n_tokens END
+         |  FROM p JOIN d2 ON d2.lang = p.lang AND d2.rn = p.rn + 1)
+         |SELECT lang, doc_id, n_tokens, bin_id FROM p""".stripMargin,
 
     // hashed weight mirror: first 8 md5 hex chars parse to the same BIGINT in
     // both engines; the margin replays the fixed-point sum (floor(w*2^20) as

@@ -100,7 +100,11 @@ object GraftExtensions {
     ("graft_rolling_hash", (c: Seq[Expression]) => H.RollingHash(c(0))),
     ("graft_ngram_hashes", (c: Seq[Expression]) => H.NGramHashes(c(0), intArg(c(1), "n"))),
     ("graft_ngrams", (c: Seq[Expression]) => H.NGramStrings(c(0), intArg(c(1), "n"))),
-    ("graft_band_keys", (c: Seq[Expression]) => H.BandKeys(c(0), intArg(c(1), "bands")))
+    ("graft_band_keys", (c: Seq[Expression]) => H.BandKeys(c(0), intArg(c(1), "bands"))),
+    ("graft_quantize", (c: Seq[Expression]) => V.QuantizeVec(c(0))),
+    ("graft_quant_scale", (c: Seq[Expression]) => V.QuantScale(c(0))),
+    ("graft_quantized_dot", (c: Seq[Expression]) => V.QuantizedDot(c(0), c(1))),
+    ("graft_zorder", (c: Seq[Expression]) => H.ZOrderKey(c(0), c(1), intArg(c(2), "bits")))
   ).map { case (name, builder) =>
     (new FunctionIdentifier(name),
       new ExpressionInfo("graft.functions", name),

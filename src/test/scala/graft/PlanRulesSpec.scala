@@ -91,6 +91,19 @@ class PlanRulesSpec extends SparkTestBase {
     assert(plan.contains("Expand"), "unpivot plans as an Expand generator")
   }
 
+  test("quantization and z-order kernels are SQL-callable (graft_* registry)") {
+    graft.plans.GraftExtensions.registerInto(spark)
+    val row = spark.sql(
+      """SELECT graft_quantized_dot(graft_quantize(array(1.0F, -1.0F)),
+        |                           graft_quantize(array(1.0F, 1.0F))) AS idot,
+        |       graft_quant_scale(array(2.0F, -4.0F)) AS s,
+        |       graft_zorder(3L, 1L, 2) AS z""".stripMargin).head()
+    assert(row.getLong(0) == 0L, "127*127 + (-127)*127 = 0")
+    assert(row.getDouble(1) == 4.0 / 127.0)
+    // interleave a=0b11 (even bits), b=0b01 (odd bits) -> 0b0111 = 7
+    assert(row.getLong(2) == 7L)
+  }
+
   test("packGreedy plans exactly one shuffle (the group repartition)") {
     // the packing pass is a single stateful scan per group: one hash
     // exchange on the group key, a partition-local sort, then mapPartitions
