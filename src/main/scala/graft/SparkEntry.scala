@@ -968,6 +968,34 @@ object SparkEntry {
             |) AS (chk, n)""".stripMargin)
     }),
 
+    "freq_sketch_check" -> ((s, dir) => {
+      // count-min frequency sketch (the bloom filter's counting sibling):
+      // fixed-memory token-frequency estimation without the full-cardinality
+      // shuffle. The grid build is one distributed aggregation; probes are
+      // driver-side O(1). Exact probe counts are oracle-exact; the sketch
+      // estimates are checked by its two provable properties — never
+      // underestimates, overestimates within the eps*N envelope
+      import s.implicits._
+      val probes = Seq("the", "table", "value", "row", "data")
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val cms = toks.as[String]
+        .select(new graft.functions.SketchFunctions.CountMinAgg(4, 2048).toColumn)
+        .head()
+      val exact = toks.filter(col("token").isin(probes: _*))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = toks.count()
+      val under = probes.count(t => cms.estimate(t) < exact.getOrElse(t, 0L))
+      val over = probes.count(t =>
+        cms.estimate(t) > exact.getOrElse(t, 0L) + math.ceil(0.01 * n).toLong)
+      (Seq("total_occurrences" -> n) ++
+        probes.map(t => s"exact_$t" -> exact.getOrElse(t, 0L)) ++
+        Seq("sketch_underestimates" -> under.toLong,
+          "sketch_over_envelope" -> over.toLong))
+        .toDF("chk", "n")
+    }),
+
     "unpivot_metrics" -> ((s, dir) =>
       // wide→long melt: the schema-reshape primitive feature pipelines use
       // before per-metric aggregation; stays a narrow 1→3 projection
@@ -1443,6 +1471,19 @@ object SparkEntry {
 
     "lang_distribution" ->
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+
+    // exact probe counts are oracle-exact; the count-min estimates enter
+    // only through their provable one-sided properties (see the query)
+    "freq_sketch_check" ->
+      s"""WITH t AS (SELECT unnest($sqlToks) AS tok FROM documents)
+         |SELECT 'total_occurrences' AS chk, CAST(count(*) AS BIGINT) AS n FROM t
+         |UNION ALL SELECT 'exact_the', CAST(count(*) AS BIGINT) FROM t WHERE tok = 'the'
+         |UNION ALL SELECT 'exact_table', CAST(count(*) AS BIGINT) FROM t WHERE tok = 'table'
+         |UNION ALL SELECT 'exact_value', CAST(count(*) AS BIGINT) FROM t WHERE tok = 'value'
+         |UNION ALL SELECT 'exact_row', CAST(count(*) AS BIGINT) FROM t WHERE tok = 'row'
+         |UNION ALL SELECT 'exact_data', CAST(count(*) AS BIGINT) FROM t WHERE tok = 'data'
+         |UNION ALL SELECT 'sketch_underestimates', 0
+         |UNION ALL SELECT 'sketch_over_envelope', 0""".stripMargin,
 
     "exact_dedup_docs" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",

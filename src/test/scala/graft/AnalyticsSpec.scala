@@ -142,6 +142,30 @@ class AnalyticsSpec extends SparkTestBase {
     assert(tiny == ((9L, 0L, 0.0)))
   }
 
+  test("count-min sketch never underestimates and stays within its envelope") {
+    import spark.implicits._
+    import graft.functions.SketchFunctions
+    // skewed multiset: "hot" x 5000, "warm" x 500, 2000 singletons
+    val rows = Seq.fill(5000)("hot") ++ Seq.fill(500)("warm") ++
+      (0 until 2000).map(i => s"rare$i")
+    val n = rows.size.toLong
+    def build(partitions: Int) =
+      rows.toDF("k").repartition(partitions).as[String]
+        .select(new SketchFunctions.CountMinAgg(4, 1024).toColumn).head()
+    val cms = build(7)
+    assert(cms.estimate("hot") >= 5000L && cms.estimate("warm") >= 500L)
+    assert(cms.estimate("rare7") >= 1L)
+    assert(cms.estimate("never-seen-key") <= math.ceil(0.01 * n).toLong,
+      "an absent key's estimate is pure collision mass, bounded by eps*N")
+    Seq("hot", "warm", "rare7").foreach { k =>
+      val exact = rows.count(_ == k).toLong
+      assert(cms.estimate(k) <= exact + math.ceil(0.01 * n).toLong,
+        s"estimate for $k outside the envelope: ${cms.estimate(k)} vs $exact")
+    }
+    // merges are element-wise sums: any partitioning yields the same grid
+    assert(build(1).counters.toSeq == cms.counters.toSeq)
+  }
+
   test("countObserved reports the row count of the consuming action without a rescan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-observe").toString + "/out"
     val df = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F")
