@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the LAST ~2000 chars of stdout for one
+// JSON line. Two sbt defaults break that: LoggedOutput prefixes every forked
+// stdout line with "[info] " (not valid JSON), and "[success] Total time"
+// prints after the app's output. Pass stdout through raw and drop the banner.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, which lintUnused can't see
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
