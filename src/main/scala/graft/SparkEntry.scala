@@ -1080,7 +1080,62 @@ object SparkEntry {
           .select(col("event_id"), col("user_id"), col("value")),
         out)
       s.read.schema("event_id BIGINT, user_id BIGINT, value DOUBLE").json(out)
-    })
+    }),
+
+    "orc_sink_roundtrip" -> ((s, dir) => {
+      // second columnar container: rows pass through the ORC sink and come
+      // back identical (ORC preserves exact int64/float64 — no formatting
+      // hop like the NDJSON path). Oracle is the pre-sink relation.
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_orc_roundtrip").toString + "/out"
+      Sinks.writeOrc(
+        Sources.events(s, dir).filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("value")),
+        out)
+      s.read.orc(out)
+    }),
+
+    "binary_ingest" -> ((s, dir) => {
+      // data-lake drop-zone ingestion: loose media files → Spark's
+      // binaryFile source (path/length/content come from the source, not a
+      // custom reader) → real image decode. Files are materialized by the
+      // EXECUTORS (foreachPartition), not a driver loop — on a cluster the
+      // same code targets a shared filesystem. media_id rides in the file
+      // name and is recovered by regexp on `path` — the standard pattern for
+      // id-in-filename lakes.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_binary_ingest").toString
+      Multimodal.mediaFromDocuments(s, dir)
+        .filter(col("modality") === "image")
+        .select(col("media_id"), col("payload"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(root, s"media_${r.getLong(0)}.img"),
+              r.getAs[Array[Byte]](1))
+          }
+        }
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.img").load(root)
+        .select(
+          regexp_extract(col("path"), "media_(\\d+)\\.img", 1)
+            .cast("long").as("media_id"),
+          lit("image").as("modality"),
+          col("content").as("payload"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
+
+    "unicode_fold" -> ((s, dir) =>
+      // canonicalization fold (NFC + strip accents + lowercase) as a native
+      // codegen'd expression — the pre-dedup normalization pass every text
+      // pipeline runs; a UDF here would break the scan stage's codegen
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        graft.functions.StringNormalize.unicodeFold(col("text")).as("folded")))
   )
 
   // ---- SQL fragments mirroring the native vector kernels -----------------
@@ -2134,6 +2189,32 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
         |UNION ALL
-        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""".stripMargin
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""".stripMargin,
+
+    "orc_sink_roundtrip" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'click'""".stripMargin,
+
+    // image branch of the media closed form (multimodal_features): the
+    // payloads round-trip through loose files and the binaryFile source, so
+    // a correct run reproduces the same decoded features
+    "binary_ingest" ->
+      """WITH m AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h,
+        |    (doc_id // 3) % 2 = 0 AS is_bmp
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id AS media_id,
+        | CAST(CASE WHEN is_bmp THEN 54 + h * (((3 * w + 3) // 4) * 4)
+        |   ELSE 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h
+        |   END AS BIGINT) AS n_bytes,
+        | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*31 + (p*3+0)*17) % 256)) AS DOUBLE)/(w*h) AS mean_r,
+        | CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*31 + (p*3+1)*17) % 256)) AS DOUBLE)/(w*h) AS mean_g,
+        | CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*31 + (p*3+2)*17) % 256)) AS DOUBLE)/(w*h) AS mean_b
+        |FROM m""".stripMargin,
+
+    "unicode_fold" ->
+      """SELECT doc_id, lower(strip_accents(nfc_normalize(text))) AS folded
+        |FROM documents""".stripMargin
   )
 }

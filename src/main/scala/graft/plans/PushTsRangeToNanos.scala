@@ -104,7 +104,8 @@ object GraftExtensions {
     ("graft_quantize", (c: Seq[Expression]) => V.QuantizeVec(c(0))),
     ("graft_quant_scale", (c: Seq[Expression]) => V.QuantScale(c(0))),
     ("graft_quantized_dot", (c: Seq[Expression]) => V.QuantizedDot(c(0), c(1))),
-    ("graft_zorder", (c: Seq[Expression]) => H.ZOrderKey(c(0), c(1), intArg(c(2), "bits")))
+    ("graft_zorder", (c: Seq[Expression]) => H.ZOrderKey(c(0), c(1), intArg(c(2), "bits"))),
+    ("graft_unicode_fold", (c: Seq[Expression]) => graft.functions.StringNormalize.UnicodeFold(c(0)))
   ).map { case (name, builder) =>
     (new FunctionIdentifier(name),
       new ExpressionInfo("graft.functions", name),
