@@ -1135,7 +1135,49 @@ object SparkEntry {
       // pipeline runs; a UDF here would break the scan stage's codegen
       Tables.documents(s, dir).select(
         col("doc_id"),
-        graft.functions.StringNormalize.unicodeFold(col("text")).as("folded")))
+        graft.functions.StringNormalize.unicodeFold(col("text")).as("folded"))),
+
+    "approx_quantile_check" -> ((s, dir) => {
+      import s.implicits._
+      // quantile sketch (Greenwald-Khanna) completes the sketch family
+      // (HLL distinct, bloom membership, count-min frequency): exact
+      // percentiles need a global sort; the sketch is one aggregation with
+      // a provable rank-error bound. The oracle pins the exact row count
+      // and asserts each sketch value's rank lands inside the eps envelope
+      // — the sketch's actual guarantee, so any broken merge fails the gate.
+      // The extra count jobs are check-harness cost, not operator cost.
+      val li = Tables.lineitem(s, dir).select(col("l_quantity").cast("double").as("q"))
+      val eps = 0.01
+      val qs = li.stat.approxQuantile("q", Array(0.5, 0.95), eps)
+      val n = li.count()
+      val checks = Seq(0.5 -> qs(0), 0.95 -> qs(1)).map { case (p, v) =>
+        val below = li.filter(col("q") < v).count() // ranks covered by v:
+        val atOrBelow = li.filter(col("q") <= v).count() // [below, atOrBelow]
+        val lo = math.floor((p - eps) * n).toLong
+        val hi = math.ceil((p + eps) * n).toLong
+        s"p${(p * 100).toInt}_within_eps" ->
+          (if (atOrBelow >= lo && below <= hi) 1L else 0L)
+      }
+      (Seq("total_rows" -> n) ++ checks).toDF("chk", "n")
+    }),
+
+    "merge_schema_scan" -> ((s, dir) => {
+      // on-disk schema evolution: a v1 batch (no `value` column) and a v2
+      // batch (with it) under one dataset; mergeSchema unifies the footers
+      // at planning time — the lake reality where producers add columns
+      // over time. union_byname_mixed covers the DataFrame-level analog;
+      // this one proves the SCAN path (schema reconciliation in the reader).
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_schema_evo").toString
+      val ev = Sources.events(s, dir)
+      ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"))
+        .write.parquet(s"$root/v1")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .write.parquet(s"$root/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$root/v1", s"$root/v2")
+    })
   )
 
   // ---- SQL fragments mirroring the native vector kernels -----------------
@@ -2215,6 +2257,18 @@ object SparkEntry {
 
     "unicode_fold" ->
       """SELECT doc_id, lower(strip_accents(nfc_normalize(text))) AS folded
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "approx_quantile_check" ->
+      """SELECT 'total_rows' AS chk, CAST(count(*) AS BIGINT) AS n FROM lineitem
+        |UNION ALL SELECT 'p50_within_eps', 1
+        |UNION ALL SELECT 'p95_within_eps', 1""".stripMargin,
+
+    "merge_schema_scan" ->
+      """SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value FROM events
+        |WHERE event_type = 'view'
+        |UNION ALL
+        |SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase'""".stripMargin
   )
 }
