@@ -36,12 +36,18 @@ class StressScaleSpec extends SparkTestBase {
     val savedBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
     val savedSkew = conf.get("spark.sql.adaptive.skewJoin.enabled")
     val savedAqeBroadcast = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val savedShuffle = conf.get("spark.sql.shuffle.partitions")
     try {
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       // AQE re-plans to broadcast at runtime through its OWN threshold —
       // disable that too or both plans degenerate to the same broadcast join
       conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      // partitions must RESOLVE the salt cells: with only 4 shuffle
+      // partitions the hot key's 8 (k, salt) cells hash into 4 reducers and
+      // can re-concentrate by chance, erasing the salting advantage. Same
+      // sizing rule as production: shuffle.partitions >> saltFactor.
+      conf.set("spark.sql.shuffle.partitions", "32")
       def total(df: org.apache.spark.sql.DataFrame): Long =
         df.select(sum($"v" + $"w").as("s")).head().getLong(0)
       // warm both plans once (codegen/JIT), then measure
@@ -68,6 +74,7 @@ class StressScaleSpec extends SparkTestBase {
     } finally {
       conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
       conf.set("spark.sql.adaptive.skewJoin.enabled", savedSkew)
+      conf.set("spark.sql.shuffle.partitions", savedShuffle)
       savedAqeBroadcast match {
         case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
         case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
