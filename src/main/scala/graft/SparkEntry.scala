@@ -1161,6 +1161,48 @@ object SparkEntry {
       (Seq("total_rows" -> n) ++ checks).toDF("chk", "n")
     }),
 
+    "funnel_conversion" -> ((s, dir) => {
+      // ordered, time-bounded funnel (first view → click within a day →
+      // purchase within a day of that click): three sequentially-dependent
+      // per-user milestones. All three are whole-partition window mins over
+      // the SAME user_id partitioning, so the plan pays ONE shuffle and
+      // three WindowExec passes — not three self-joins. Stage counts reduce
+      // to 4 rows at the end.
+      val day = expr("INTERVAL 1 DAY")
+      val w = Window.partitionBy("user_id")
+      Sources.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("v", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("c", min(when(col("event_type") === "click"
+          && col("ts") >= col("v") && col("ts") <= col("v") + day, col("ts"))).over(w))
+        .withColumn("p", min(when(col("event_type") === "purchase"
+          && col("ts") >= col("c") && col("ts") <= col("c") + day, col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("v")).as("v"), max(col("c")).as("c"), max(col("p")).as("p"))
+        .agg(count(lit(1)).as("t"), count(col("v")).as("rv"),
+          count(col("c")).as("rc"), count(col("p")).as("rp"))
+        .selectExpr(
+          """stack(4,
+            | 'users_total', t,
+            | 'reached_view', rv,
+            | 'reached_click', rc,
+            | 'reached_purchase', rp
+            |) AS (stage, n)""".stripMargin)
+    }),
+
+    "retention_cohorts" -> ((s, dir) => {
+      // cohort retention matrix (day of first activity × day offset →
+      // distinct active users): the first-touch date is a window min over
+      // user_id; the matrix is one distinct-aggregation on (cohort, offset).
+      val w = Window.partitionBy("user_id")
+      Sources.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .withColumn("cohort", min(col("d")).over(w))
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     "merge_schema_scan" -> ((s, dir) => {
       // on-disk schema evolution: a v1 batch (no `value` column) and a v2
       // batch (with it) under one dataset; mergeSchema unifies the footers
@@ -2269,6 +2311,36 @@ object SparkEntry {
         |WHERE event_type = 'view'
         |UNION ALL
         |SELECT event_id, user_id, value FROM events
-        |WHERE event_type = 'purchase'""".stripMargin
+        |WHERE event_type = 'purchase'""".stripMargin,
+
+    // sequentially-dependent, day-bounded milestones: each stage's min-ts
+    // conditions on the previous stage's. µs truncation (CAST) matches the
+    // Spark side; interval arithmetic is exact in both engines.
+    "funnel_conversion" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS v
+        |       FROM e GROUP BY 1),
+        |s2 AS (SELECT e.user_id, any_value(s1.v) AS v,
+        |         min(CASE WHEN e.event_type = 'click' AND e.ts >= s1.v
+        |             AND e.ts <= s1.v + INTERVAL 1 DAY THEN e.ts END) AS c
+        |       FROM e JOIN s1 USING (user_id) GROUP BY 1),
+        |s3 AS (SELECT e.user_id, any_value(s2.v) AS v, any_value(s2.c) AS c,
+        |         min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.c
+        |             AND e.ts <= s2.c + INTERVAL 1 DAY THEN e.ts END) AS p
+        |       FROM e JOIN s2 USING (user_id) GROUP BY 1)
+        |SELECT 'users_total' AS stage, CAST(count(*) AS BIGINT) AS n FROM s3
+        |UNION ALL SELECT 'reached_view', CAST(count(v) AS BIGINT) FROM s3
+        |UNION ALL SELECT 'reached_click', CAST(count(c) AS BIGINT) FROM s3
+        |UNION ALL SELECT 'reached_purchase', CAST(count(p) AS BIGINT) FROM s3""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |    min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) OVER (PARTITION BY user_id) AS cohort
+        |  FROM events)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(d - cohort AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM f GROUP BY 1, 2""".stripMargin
   )
 }
