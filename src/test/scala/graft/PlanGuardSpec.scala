@@ -1,0 +1,66 @@
+package graft
+
+/** Whole-surface plan guard: planning-time regression net over EVERY
+  * SparkEntry query. The per-operator specs assert their own plans in
+  * detail; this sweep freezes the two properties that silently rot at
+  * 100 TB — an accidental cartesian (a join that lost its equi-keys) and a
+  * UDF fallback (an expression that fell out of codegen) — across the whole
+  * surface at once, with an explicit, reasoned allowlist.
+  */
+class PlanGuardSpec extends SparkTestBase {
+
+  // plans that legitimately cross a BOUNDED side (a scalar or a <=k-row
+  // invariant/query frame, broadcast) — the documented tiny-side patterns.
+  // The list is exact in both directions: a query outside it must not plan
+  // a cartesian, and an entry whose plan no longer crosses is stale.
+  private val crossAllowed: Map[String, String] = Map(
+    "ann_topk_join" -> "<=5-row query side broadcast against the corpus",
+    "sql_surface_topk" -> "1-row WITH q subquery crossed in SQL",
+    "tfidf_top_terms" -> "1-row corpus-count scalar broadcast",
+    "vocab_coverage" -> "1-row vocab-size scalar broadcast",
+    "bloom_prune_check" -> "1-row invariant frames unioned with the counts",
+    "token_fingerprint" -> "1-row invariant frames unioned with the counts",
+    "minhash_dedup_docs" -> "dedupInvariants 1-row check frames",
+    "simhash_dedup_docs" -> "dedupInvariants 1-row check frames",
+    "ngram_jaccard_dedup_docs" -> "dedupInvariants 1-row check frames"
+  )
+
+  // plans that carry a Scala UDF on purpose, with the reason it is exempt
+  // from the functions-not-UDFs rule
+  private val udfAllowed: Map[String, String] = Map(
+    "resize_meta" -> ("resize kernel is a whole-payload codec call, not row " +
+      "arithmetic — nothing for codegen to fuse; payload stays binary"),
+    "enrich_fn_iso" -> ("U1 function-valued fields: the whitelist registry " +
+      "(reference parity) applies TimeFunctions.normalizeIso — a stateful " +
+      "parser preserving the reference's Python quirks, not row arithmetic")
+  )
+
+  test("no query plans an unbounded cartesian or nested-loop join") {
+    val crossing = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+        Some(name)
+      else None
+    }.toSet
+    val offenders = crossing -- crossAllowed.keySet
+    assert(offenders.isEmpty, s"unexpected cartesian/nested-loop in: $offenders")
+    val stale = crossAllowed.keySet -- crossing
+    assert(stale.isEmpty, s"allowlisted but no longer crossing (remove): $stale")
+  }
+
+  test("no query falls back to a Scala UDF outside the allowlist") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !udfAllowed.contains(name) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("UDF(")) Some(name) else None
+      case _ => None
+    }
+    assert(offenders.isEmpty, s"unexpected UDF fallback in: $offenders")
+  }
+
+  test("the allowlists only name real queries") {
+    val known = SparkEntry.queries.keySet
+    val stale = (crossAllowed.keySet ++ udfAllowed.keySet) -- known
+    assert(stale.isEmpty, s"allowlist entries without queries: $stale")
+  }
+}
