@@ -24,25 +24,51 @@ object Registry {
     TimeFunctions.isoToParts(iso, expectedTz, handle, allowEmpty)
   }
 
-  private val normalizeIsoUdf = udf { (iso: String) => TimeFunctions.normalizeIso(iso) }
+  /** Literal value of a config-arg Column, when it is one. Config args are
+    * `lit(...)` in every real pipeline; a non-literal (a computed column fed
+    * as a function knob) falls back to the UDF form.
+    */
+  private def litValue(c: Column): Option[Any] =
+    org.apache.spark.sql.graftbridge.ColumnBridge.literalValue(c)
+
+  // config staticArgs are strings (FnField.staticArgs: Map[String, String]);
+  // coerce them the way the UDF path's implicit casts did
+  private def litBool(c: Column): Option[Boolean] = litValue(c).flatMap {
+    case b: Boolean => Some(b)
+    case s: String => s.toLowerCase match {
+      case "true" => Some(true); case "false" => Some(false); case _ => None
+    }
+    case _ => None
+  }
+  private def litInt(c: Column): Option[Int] = litValue(c).flatMap {
+    case i: Int => Some(i)
+    case s: String => s.toIntOption
+    case _ => None
+  }
 
   /** The whitelist. Unknown names are a config error, mirroring the
     * reference's `__all__` gate.
     */
   val all: Map[String, RegisteredFn] = Map(
-    // F2 — ISO string -> struct(datetime, microseconds, month)
+    // F2 — ISO string -> struct(datetime, microseconds, month). Config knobs
+    // are literals at config-parse time, so the native codegen expression
+    // applies; the UDF form survives only for dynamic (non-literal) knobs.
     "iso_to_dict" -> RegisteredFn(
       Seq("iso_time", "expected_timezone", "handle_timezone", "allow_empty"),
-      args =>
-        isoToPartsUdf(
-          args("iso_time"),
-          args.getOrElse("expected_timezone", lit(0)),
-          args.getOrElse("handle_timezone", lit("error")),
-          args.getOrElse("allow_empty", lit(false)))),
+      args => {
+        val tz = args.getOrElse("expected_timezone", lit(0))
+        val handle = args.getOrElse("handle_timezone", lit("error"))
+        val allowEmpty = args.getOrElse("allow_empty", lit(false))
+        (litInt(tz), litValue(handle), litBool(allowEmpty)) match {
+          case (Some(t), Some(h), Some(a)) =>
+            TimeExpressions.isoToParts(args("iso_time"), t, String.valueOf(h), a)
+          case _ => isoToPartsUdf(args("iso_time"), tz, handle, allowEmpty)
+        }
+      }),
     // F1 — fractional-second normalization, struct for uniform splat shape
     "normalize_iso_time" -> RegisteredFn(
       Seq("iso_time"),
-      args => struct(normalizeIsoUdf(args("iso_time")).as("normalized"))),
+      args => struct(TimeExpressions.normalizeIso(args("iso_time")).as("normalized"))),
     // F8 — run-scoped current time string (dynamic checkpoint field)
     "current_time" -> RegisteredFn(
       Seq(),

@@ -66,6 +66,24 @@ class OpsSpec extends SparkTestBase {
     assert(row.getString(2) == "2024-05-01")
   }
 
+  test("native iso_to_dict preserves the allowEmpty contract through codegen") {
+    // the native expression must feed null/empty INTO the parser (allowEmpty
+    // decides the behavior), not null-propagate around it
+    val src = Seq(Some("2024-05-06T07:08:09.123456+00:00"), Some(""), None).toDF("iso")
+    val lenient = Ops.enrichFn(FnField("iso_to_dict",
+      Map("iso_time" -> "iso"), Map("allow_empty" -> "true"),
+      Map("datetime" -> "dt", "microseconds" -> "mcs")))(src)
+    val rows = lenient.select("dt", "mcs").collect()
+    assert(rows(0).getString(0) == "2024-05-06 07:08:09" && rows(0).getInt(1) == 123456)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1)) // empty -> nulls
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1)) // null -> nulls
+    val strict = Ops.enrichFn(FnField("iso_to_dict",
+      Map("iso_time" -> "iso"), Map.empty,
+      Map("datetime" -> "dt")))(src)
+    // thrown raw from the codegen'd kernel — the reference's strict contract
+    intercept[graft.functions.TimeFunctions.EmptyValueException] { strict.collect() }
+  }
+
   test("enrichFn rejects names outside the registry whitelist") {
     intercept[IllegalArgumentException] {
       Ops.enrichFn(FnField("rm_rf", Map.empty, Map.empty, Map("x" -> "x")))(df)

@@ -29,10 +29,7 @@ class PlanGuardSpec extends SparkTestBase {
   // from the functions-not-UDFs rule
   private val udfAllowed: Map[String, String] = Map(
     "resize_meta" -> ("resize kernel is a whole-payload codec call, not row " +
-      "arithmetic — nothing for codegen to fuse; payload stays binary"),
-    "enrich_fn_iso" -> ("U1 function-valued fields: the whitelist registry " +
-      "(reference parity) applies TimeFunctions.normalizeIso — a stateful " +
-      "parser preserving the reference's Python quirks, not row arithmetic")
+      "arithmetic — nothing for codegen to fuse; payload stays binary")
   )
 
   test("no query plans an unbounded cartesian or nested-loop join") {
