@@ -49,6 +49,18 @@ class StringNormalizeSpec extends SparkTestBase {
     }
   }
 
+  test("property: fold is idempotent over seeded random unicode strings") {
+    // canonicalization must be a projection onto its own image — folding a
+    // folded string changes nothing (dedup keys stay stable across passes)
+    val rnd = new scala.util.Random(42)
+    val pool = goldens.map(_._1).mkString + "abcXYZ 123é́łテ中"
+    (1 to 500).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(24))(pool(rnd.nextInt(pool.length))).mkString
+      val once = StringKernels.fold(s)
+      assert(StringKernels.fold(once) == once, s"not idempotent for: $s")
+    }
+  }
+
   test("expression evaluates in a plan, null-safe, and registered in SQL") {
     import spark.implicits._
     val df = Seq(Some("Éléphant"), None, Some("ABC")).toDF("t")
