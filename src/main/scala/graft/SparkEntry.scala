@@ -722,20 +722,25 @@ object SparkEntry {
 
     "vocab_coverage" -> ((s, dir) => {
       // tokenizer-vocabulary sizing: cumulative share of corpus token
-      // OCCURRENCES covered by the top-50 tokens by frequency. The global
-      // window runs over the AGGREGATED vocab table (bounded by distinct
-      // tokens, not corpus rows) — the corpus-sized work is the one
-      // map-side-combined groupBy
+      // OCCURRENCES covered by the top-50 tokens by frequency. Scale shape:
+      // the corpus-sized work is the one map-side-combined groupBy; the
+      // top-50 is taken with orderBy().limit(50) — a distributed
+      // TakeOrderedAndProject with per-partition pruning — NOT a global
+      // Window over the whole vocabulary (web-scale corpora have billions
+      // of distinct tokens; an empty-partition-spec Window would move them
+      // all to one partition). The rank/cumsum window then runs over the
+      // <=50 surviving rows, and cum at rank r only depends on rows 1..r,
+      // so the result is identical to ranking the full vocab first.
       val counts = Tables.documents(s, dir)
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("cnt").desc, col("token"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val total = counts.agg(sum(col("cnt")).as("tot"))
-      counts
-        .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
-        .withColumn("cum", sum(col("cnt")).over(w))
-        .filter(col("rank") <= 50)
+      val top = counts.orderBy(col("cnt").desc, col("token")).limit(50)
+      val w = Window.orderBy(col("cnt").desc, col("token"))
+      top
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("cnt"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .crossJoin(total)
         .select(col("rank"), col("token"), col("cnt"),
           (col("cum").cast("double") / col("tot")).as("cum_frac"))

@@ -32,6 +32,15 @@ class PlanGuardSpec extends SparkTestBase {
       "arithmetic — nothing for codegen to fuse; payload stays binary")
   )
 
+  // plans that legitimately run a Window with an EMPTY partition spec — the
+  // pattern that moves its whole input to one partition and is the classic
+  // 100 TB scale-killer. Only bounded inputs may appear here, with the bound
+  // stated. Exact in both directions, like the cartesian list.
+  private val globalWindowAllowed: Map[String, String] = Map(
+    "vocab_coverage" -> ("rank/cumsum window runs AFTER a limit(50) " +
+      "(TakeOrderedAndProject), so its input is <=50 rows by construction")
+  )
+
   test("no query plans an unbounded cartesian or nested-loop join") {
     val crossing = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -46,18 +55,39 @@ class PlanGuardSpec extends SparkTestBase {
   }
 
   test("no query falls back to a Scala UDF outside the allowlist") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) if !udfAllowed.contains(name) =>
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        if (plan.contains("UDF(")) Some(name) else None
-      case _ => None
-    }
+    // walk the physical expression trees for ScalaUDF nodes rather than
+    // string-matching "UDF(" — a named UDF prints under its registered name
+    // and would escape a substring check
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val carrying = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+      val hasUdf = plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
+      if (hasUdf) Some(name) else None
+    }.toSet
+    val offenders = carrying -- udfAllowed.keySet
     assert(offenders.isEmpty, s"unexpected UDF fallback in: $offenders")
+    val stale = udfAllowed.keySet -- carrying
+    assert(stale.isEmpty, s"allowlisted but no longer carrying a UDF (remove): $stale")
+  }
+
+  test("no query plans a Window over a single global partition") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val global = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+      val hasGlobalWindow =
+        plan.exists { case w: WindowExec => w.partitionSpec.isEmpty; case _ => false }
+      if (hasGlobalWindow) Some(name) else None
+    }.toSet
+    val offenders = global -- globalWindowAllowed.keySet
+    assert(offenders.isEmpty, s"single-partition Window in: $offenders")
+    val stale = globalWindowAllowed.keySet -- global
+    assert(stale.isEmpty, s"allowlisted but no longer global-windowing (remove): $stale")
   }
 
   test("the allowlists only name real queries") {
     val known = SparkEntry.queries.keySet
-    val stale = (crossAllowed.keySet ++ udfAllowed.keySet) -- known
+    val stale = (crossAllowed.keySet ++ udfAllowed.keySet ++
+      globalWindowAllowed.keySet) -- known
     assert(stale.isEmpty, s"allowlist entries without queries: $stale")
   }
 }
