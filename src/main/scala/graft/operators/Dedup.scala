@@ -530,26 +530,55 @@ object Dedup {
       idCol: String,
       contentCols: Seq[String],
       expectedCorpusItems: Long = 1000000L): DataFrame = {
-    val structCols = struct(contentCols.map(col): _*)
-    val bloomKey = xxhash64(to_json(structCols))
-    val digest = md5(to_json(structCols))
-    val withinDeduped = exact(batch, idCol, contentCols)
     val bfRow = corpus
-      .agg(graft.functions.SketchFunctions.bloomFilterAgg(bloomKey, expectedCorpusItems).as("bf"))
+      .agg(graft.functions.SketchFunctions
+        .bloomFilterAgg(contentBloomKey(contentCols), expectedCorpusItems).as("bf"))
       .head()
-    if (bfRow.isNullAt(0)) withinDeduped // empty corpus: everything is new
-    else {
-      val bf = bfRow.getAs[Array[Byte]]("bf")
-      val flagged = withinDeduped
-        .withColumn("__might", graft.functions.SketchFunctions.mightContain(lit(bf), bloomKey))
-      val definitelyNew = flagged.filter(!col("__might"))
-      val confirmed = flagged.filter(col("__might"))
-        .withColumn("__digest", digest)
-        .join(corpus.select(digest.as("__digest")), Seq("__digest"), "left_anti")
-        .drop("__digest")
-      definitelyNew.unionByName(confirmed).drop("__might")
-    }
+    if (bfRow.isNullAt(0)) exact(batch, idCol, contentCols) // empty corpus
+    else incrementalExactPruned(corpus, batch, idCol, contentCols,
+      bfRow.getAs[Array[Byte]]("bf"))
   }
+
+  /** [[incrementalExact]] with a PREBUILT corpus bloom — the continuous-
+    * ingestion form ([[graft.streaming.Streaming.ingestBatch]] persists the
+    * bloom as a sidecar and OR-merges each admitted batch's keys into it, so
+    * steady-state per-batch cost never pays a corpus-sized bloom rebuild).
+    * The bloom must have been built over [[contentBloomKey]] of the SAME
+    * content columns and must cover every corpus row (no false negatives);
+    * a bloom that additionally contains keys absent from the corpus is safe
+    * — those rows just take the exact confirm join.
+    */
+  def incrementalExactPruned(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      contentCols: Seq[String],
+      bloom: Array[Byte]): DataFrame = {
+    val digest = contentDigest(contentCols)
+    val withinDeduped = exact(batch, idCol, contentCols)
+    val flagged = withinDeduped
+      .withColumn("__might", graft.functions.SketchFunctions
+        .mightContain(lit(bloom), contentBloomKey(contentCols)))
+    val definitelyNew = flagged.filter(!col("__might"))
+    val confirmed = flagged.filter(col("__might"))
+      .withColumn("__digest", digest)
+      .join(corpus.select(digest.as("__digest")), Seq("__digest"), "left_anti")
+      .drop("__digest")
+    definitelyNew.unionByName(confirmed).drop("__might")
+  }
+
+  /** The 64-bit bloom key over the content columns — shared by the
+    * incremental gate and the ingest sidecar so filters built in either
+    * place probe identically.
+    */
+  def contentBloomKey(contentCols: Seq[String]): Column =
+    xxhash64(to_json(struct(contentCols.map(col): _*)))
+
+  /** The exact-confirmation digest over the content columns (the same
+    * null-safe JSON-struct encoding as [[exact]]).
+    */
+  def contentDigest(contentCols: Seq[String]): Column =
+    md5(to_json(struct(contentCols.map(col): _*)))
 
   /** LSH band keys: one codegen'd expression folds each signature slice into
     * a 64-bit bucket key ([[graft.functions.HashExpressions.BandKeys]]).

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The persisted corpus-bloom sidecar for continuous dedup ingestion
+  * ([[Streaming.ingestBatch]]): the serialized bloom filter over the corpus
+  * content keys plus the header needed to maintain it incrementally —
+  * capacity (merge compatibility requires equal sizing), inserted-key count
+  * (saturation detection), and the corpus data-file count at write time
+  * (staleness detection: the corpus advanced without a sidecar swap ⇒ a
+  * crash landed in the append→swap window and the bloom may under-cover the
+  * corpus, so it must be rebuilt rather than trusted).
+  *
+  * The bloom bytes are exactly what Spark's `BloomFilterAggregate` emits —
+  * `org.apache.spark.util.sketch.BloomFilter` serialization — so filters
+  * built by the aggregate, loaded from the sidecar, and OR-merged with
+  * [[BloomSidecar.merge]] all probe identically via `mightContain`.
+  *
+  * The file lives INSIDE the corpus directory as `_bloom`: Spark's file
+  * index ignores underscore-prefixed entries, so `spark.read.parquet(corpus)`
+  * is unaffected.
+  */
+final case class BloomSidecar(
+    expectedItems: Long,
+    insertedCount: Long,
+    nDataFiles: Int,
+    bloom: Array[Byte])
+
+object BloomSidecar {
+
+  private val Magic = 0x47424c31 // "GBL1"
+
+  def path(corpusDir: Path): Path = new Path(corpusDir, "_bloom")
+
+  /** Corpus data files (the staleness stamp): everything except hidden and
+    * metadata entries — the same visibility rule Spark's file index applies.
+    */
+  def dataFileCount(fs: FileSystem, corpusDir: Path): Int =
+    fs.listStatus(corpusDir).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** Load the sidecar; None when absent or unreadable (any error degrades to
+    * a rebuild, never a failed batch).
+    */
+  def read(fs: FileSystem, corpusDir: Path): Option[BloomSidecar] = {
+    val p = path(corpusDir)
+    if (!fs.exists(p)) None
+    else
+      try {
+        val in = new java.io.DataInputStream(fs.open(p))
+        try {
+          require(in.readInt() == Magic, "bad sidecar magic")
+          val expected = in.readLong()
+          val inserted = in.readLong()
+          val nFiles = in.readInt()
+          val len = in.readInt()
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          Some(BloomSidecar(expected, inserted, nFiles, bytes))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Staging write + rename swap: a reader never sees a torn sidecar; a
+    * crash mid-swap leaves it absent, which the loader treats as a rebuild.
+    */
+  def write(fs: FileSystem, corpusDir: Path, sc: BloomSidecar): Unit = {
+    val p = path(corpusDir)
+    val staging = new Path(corpusDir, "_bloom.staging")
+    val out = new java.io.DataOutputStream(fs.create(staging, true))
+    try {
+      out.writeInt(Magic)
+      out.writeLong(sc.expectedItems)
+      out.writeLong(sc.insertedCount)
+      out.writeInt(sc.nDataFiles)
+      out.writeInt(sc.bloom.length)
+      out.write(sc.bloom)
+    } finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(staging, p)
+  }
+
+  /** Bloom union: bitwise OR, valid because both sides were sized with the
+    * same `expectedItems` (same bit count, same hash count). Delegates to
+    * the sketch library's own merge so compatibility is CHECKED, not
+    * assumed — an incompatible pair throws rather than silently corrupting
+    * the filter's no-false-negative guarantee.
+    */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val fa = org.apache.spark.util.sketch.BloomFilter.readFrom(new ByteArrayInputStream(a))
+    val fb = org.apache.spark.util.sketch.BloomFilter.readFrom(new ByteArrayInputStream(b))
+    fa.mergeInPlace(fb)
+    val out = new ByteArrayOutputStream()
+    fa.writeTo(out)
+    out.toByteArray
+  }
+}

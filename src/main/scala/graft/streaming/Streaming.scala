@@ -258,12 +258,14 @@ object Streaming {
     }
   }
 
-  /** Continuous dedup ingestion: each micro-batch passes the
-    * [[graft.operators.Dedup.incrementalExact]] gate against the corpus
-    * accumulated so far and APPENDS only the survivors — the streaming form
-    * of the daily-crawl ingestion pipeline (the corpus is never rewritten,
-    * only grown, so the per-batch cost is the batch size + one corpus-digest
-    * scan feeding a bloom filter, not the corpus size).
+  /** Continuous dedup ingestion: each micro-batch passes the incremental
+    * exact-dedup gate against the corpus accumulated so far and APPENDS only
+    * the survivors — the streaming form of the daily-crawl ingestion
+    * pipeline. The corpus bloom filter is PERSISTED as a sidecar and
+    * OR-merged with each admitted batch's keys ([[ingestBatch]]), so the
+    * steady-state per-batch cost is the batch size alone: no corpus-sized
+    * bloom rebuild, and the exact confirm join runs only when the bloom
+    * flags candidate duplicates.
     *
     * foreachBatch is at-least-once: a RETRIED batch re-checks against a
     * corpus that already holds whatever its first attempt appended, so the
@@ -279,31 +281,136 @@ object Streaming {
     docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch, corpusDir, idCol, contentCols)
+        ingestBatch(batch, corpusDir, idCol, contentCols): Unit
       }
       .start()
 
+  /** Per-batch ingestion outcome, returned so callers (and StreamingSpec)
+    * can assert the cost model: `corpusScans` counts the corpus-sized Spark
+    * reads this batch actually paid (0 in the steady state — the bloom
+    * rejected every row or the sidecar was fresh; 1 when candidates needed
+    * the exact confirm join; +1 when the sidecar had to be rebuilt).
+    */
+  final case class IngestStats(
+      admitted: Long,
+      corpusScans: Int,
+      rebuiltBloom: Boolean,
+      saturatedRebuild: Boolean)
+
   /** One ingestion micro-batch (the foreachBatch body, callable from batch
-    * jobs and tests): gate, then append survivors. An empty survivor set
-    * skips the write so uneventful batches don't accrete empty files.
+    * jobs and tests): gate against the persisted corpus bloom, append the
+    * survivors, then OR-merge their keys into the bloom sidecar. An empty
+    * survivor set skips both writes so uneventful batches don't accrete
+    * files.
+    *
+    * Cost model at 100 TB: the corpus is NEVER scanned in the steady state.
+    * The sidecar bloom prunes the batch inside its scan stage; only rows the
+    * bloom flags (true duplicates + the sized false-positive rate) take the
+    * exact anti-join against the corpus digests, and the whole join is
+    * skipped when no row is flagged. The bloom is rebuilt from the corpus in
+    * exactly two cases: the sidecar is missing/stale (first migration, or a
+    * crash landed between the corpus append and the sidecar swap — detected
+    * by the data-file-count stamp) and saturation (admitted keys outgrew the
+    * filter's capacity; it is rebuilt at double size, so rebuilds amortize
+    * to O(log corpus) over the corpus lifetime).
+    *
+    * Crash-safety ordering: survivors are appended BEFORE the sidecar swap.
+    * A crash in between leaves a sidecar missing the new keys — but also
+    * stale by file count, which forces a rebuild on the next batch. The
+    * bloom therefore never under-covers the corpus it gates (a false
+    * negative would admit a duplicate; a false positive only costs the
+    * confirm join).
     */
   def ingestBatch(
       batch: DataFrame,
       corpusDir: String,
       idCol: String,
-      contentCols: Seq[String]): Unit = {
+      contentCols: Seq[String],
+      expectedCorpusItems: Long = 1000000L): IngestStats = {
     val spark = batch.sparkSession
     val target = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh =
-      if (!fs.exists(target))
-        graft.operators.Dedup.exact(batch, idCol, contentCols)
-      else
-        graft.operators.Dedup.incrementalExact(
-          spark.read.parquet(corpusDir), batch, idCol, contentCols)
-    val survivors = fresh.localCheckpoint(true) // gate once; isEmpty + write
-    if (!survivors.isEmpty)
-      survivors.write.mode("append").parquet(corpusDir)
+    val bloomKey = graft.operators.Dedup.contentBloomKey(contentCols)
+
+    if (!fs.exists(target)) {
+      val survivors = graft.operators.Dedup.exact(batch, idCol, contentCols)
+        .localCheckpoint(true)
+      val n = survivors.count()
+      if (n > 0) {
+        survivors.write.mode("append").parquet(corpusDir)
+        val expected = math.max(expectedCorpusItems, 2 * n)
+        val bf = survivors.agg(
+          graft.functions.SketchFunctions.bloomFilterAgg(bloomKey, expected))
+          .head().getAs[Array[Byte]](0)
+        BloomSidecar.write(fs, target,
+          BloomSidecar(expected, n, BloomSidecar.dataFileCount(fs, target), bf))
+      }
+      IngestStats(n, corpusScans = 0, rebuiltBloom = false, saturatedRebuild = false)
+    } else {
+      // load the sidecar; a missing or stale one (file count moved without a
+      // sidecar swap — crash window) costs ONE corpus scan to rebuild
+      val loaded = BloomSidecar.read(fs, target)
+        .filter(_.nDataFiles == BloomSidecar.dataFileCount(fs, target))
+      var scans = 0
+      val sidecar = loaded.getOrElse {
+        scans += 1
+        val corpus = spark.read.parquet(corpusDir)
+        val cnt = corpus.count()
+        val expected = math.max(expectedCorpusItems, 2 * cnt)
+        val bf = corpus.agg(
+          graft.functions.SketchFunctions.bloomFilterAgg(bloomKey, expected))
+          .head().getAs[Array[Byte]](0)
+        BloomSidecar(expected, cnt, BloomSidecar.dataFileCount(fs, target), bf)
+      }
+      // gate: within-batch dedup, then the bloom prune in the batch's own
+      // scan stage. Checkpoint the flagged frame once — the split, the
+      // emptiness probe, and the append all reuse it.
+      val flagged = graft.operators.Dedup.exact(batch, idCol, contentCols)
+        .withColumn("__might", graft.functions.SketchFunctions
+          .mightContain(lit(sidecar.bloom), bloomKey))
+        .localCheckpoint(true)
+      val definitelyNew = flagged.filter(!col("__might")).drop("__might")
+      val candidates = flagged.filter(col("__might")).drop("__might")
+      val survivors = (if (candidates.isEmpty) definitelyNew
+      else {
+        scans += 1 // exact confirmation reads the corpus digests once
+        val digest = graft.operators.Dedup.contentDigest(contentCols)
+        val confirmed = candidates.withColumn("__digest", digest)
+          .join(spark.read.parquet(corpusDir).select(digest.as("__digest")),
+            Seq("__digest"), "left_anti")
+          .drop("__digest")
+        definitelyNew.unionByName(confirmed)
+      }).localCheckpoint(true)
+      val n = survivors.count()
+      var saturated = false
+      if (n > 0) {
+        survivors.write.mode("append").parquet(corpusDir)
+        val mergedCount = sidecar.insertedCount + n
+        val next =
+          if (mergedCount > sidecar.expectedItems) {
+            // capacity outgrown: rebuild at double size from the corpus
+            // (which now includes this batch) — amortized O(log corpus)
+            saturated = true; scans += 1
+            val corpus = spark.read.parquet(corpusDir)
+            val expected = math.max(2 * mergedCount, expectedCorpusItems)
+            val bf = corpus.agg(
+              graft.functions.SketchFunctions.bloomFilterAgg(bloomKey, expected))
+              .head().getAs[Array[Byte]](0)
+            BloomSidecar(expected, mergedCount,
+              BloomSidecar.dataFileCount(fs, target), bf)
+          } else {
+            val batchBf = survivors.agg(
+              graft.functions.SketchFunctions
+                .bloomFilterAgg(bloomKey, sidecar.expectedItems))
+              .head().getAs[Array[Byte]](0)
+            BloomSidecar(sidecar.expectedItems, mergedCount,
+              BloomSidecar.dataFileCount(fs, target),
+              BloomSidecar.merge(sidecar.bloom, batchBf))
+          }
+        BloomSidecar.write(fs, target, next)
+      }
+      IngestStats(n, scans, rebuiltBloom = loaded.isEmpty, saturatedRebuild = saturated)
+    }
   }
 
   /** Stream-static enrichment join: each micro-batch joins against the

@@ -339,6 +339,61 @@ class StreamingSpec extends SparkTestBase {
     assert(got.sorted == Seq((1L, "a"), (2L, "b")), s"replay must admit nothing: $got")
   }
 
+  test("ingestBatch never rescans the corpus in the steady state (flat per-batch cost)") {
+    val corpus = java.nio.file.Files.createTempDirectory("graft-ingest3").toString + "/corpus"
+    def batch(lo: Long, n: Long) =
+      spark.range(lo, lo + n).select(col("id").as("doc_id"),
+        concat(lit("doc-"), col("id")).as("text"))
+    val first = Streaming.ingestBatch(batch(0, 50), corpus, "doc_id", Seq("text"))
+    assert(first.admitted == 50 && first.corpusScans == 0)
+    // five all-new batches against a growing corpus: the persisted sidecar
+    // must absorb each batch's keys, so NO batch pays a corpus-sized scan —
+    // the cost model the in-line bloom rebuild violated (it scanned the
+    // whole corpus every batch)
+    val steady = (1 to 5).map { i =>
+      Streaming.ingestBatch(batch(i * 50L, 50), corpus, "doc_id", Seq("text"))
+    }
+    assert(steady.forall(_.admitted == 50), s"all-new batches must all land: $steady")
+    assert(steady.forall(s => s.corpusScans == 0 && !s.rebuiltBloom),
+      s"steady-state batches paid corpus scans: $steady")
+    // a replayed (all-duplicate) batch: the bloom flags every row, the exact
+    // confirm join reads the corpus ONCE, and nothing is admitted
+    val replay = Streaming.ingestBatch(batch(100, 50), corpus, "doc_id", Seq("text"))
+    assert(replay.admitted == 0 && replay.corpusScans == 1, s"replay: $replay")
+    // a deleted sidecar (migration / crash mid-swap) degrades to ONE rebuild
+    // scan, then the next batch is back to zero
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(graft.streaming.BloomSidecar.path(new org.apache.hadoop.fs.Path(corpus)), false)
+    val rebuilt = Streaming.ingestBatch(batch(300, 50), corpus, "doc_id", Seq("text"))
+    assert(rebuilt.admitted == 50 && rebuilt.rebuiltBloom && rebuilt.corpusScans == 1,
+      s"rebuild: $rebuilt")
+    val after = Streaming.ingestBatch(batch(400, 50), corpus, "doc_id", Seq("text"))
+    assert(after.corpusScans == 0 && !after.rebuiltBloom, s"after rebuild: $after")
+    assert(spark.read.parquet(corpus).count() == 400)
+  }
+
+  test("ingestBatch rebuilds a saturated bloom at doubled capacity and stays correct") {
+    val corpus = java.nio.file.Files.createTempDirectory("graft-ingest4").toString + "/corpus"
+    def batch(lo: Long, n: Long) =
+      spark.range(lo, lo + n).select(col("id").as("doc_id"),
+        concat(lit("doc-"), col("id")).as("text"))
+    // tiny capacity: 40 keys saturate after the first two 16-row batches
+    Streaming.ingestBatch(batch(0, 16), corpus, "doc_id", Seq("text"), expectedCorpusItems = 40)
+    Streaming.ingestBatch(batch(16, 16), corpus, "doc_id", Seq("text"), expectedCorpusItems = 40)
+    val sat = Streaming.ingestBatch(batch(32, 16), corpus, "doc_id", Seq("text"),
+      expectedCorpusItems = 40)
+    assert(sat.saturatedRebuild, s"expected saturation at 48 > 40 keys: $sat")
+    // post-saturation: duplicates still rejected, new content still admitted
+    val dup = Streaming.ingestBatch(batch(0, 48), corpus, "doc_id", Seq("text"),
+      expectedCorpusItems = 40)
+    assert(dup.admitted == 0, s"saturation rebuild lost keys: $dup")
+    val more = Streaming.ingestBatch(batch(48, 16), corpus, "doc_id", Seq("text"),
+      expectedCorpusItems = 40)
+    assert(more.admitted == 16)
+    assert(spark.read.parquet(corpus).count() == 64)
+  }
+
   test("dedupStream drops replayed event ids within the watermark horizon") {
     val staged = java.nio.file.Files.createTempDirectory("graft-stream3").toString + "/events"
     val ev = Sources.events(spark, sfDir).drop("ts_ns").limit(100)
