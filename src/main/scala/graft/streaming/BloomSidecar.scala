@@ -8,10 +8,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * ([[Streaming.ingestBatch]]): the serialized bloom filter over the corpus
   * content keys plus the header needed to maintain it incrementally —
   * capacity (merge compatibility requires equal sizing), inserted-key count
-  * (saturation detection), and the corpus data-file count at write time
-  * (staleness detection: the corpus advanced without a sidecar swap ⇒ a
-  * crash landed in the append→swap window and the bloom may under-cover the
-  * corpus, so it must be rebuilt rather than trusted).
+  * (saturation detection), and a fingerprint of the corpus data-file NAME
+  * SET at write time (staleness detection: the corpus advanced without a
+  * sidecar swap ⇒ a crash landed in the append→swap window and the bloom
+  * may under-cover the corpus, so it must be rebuilt rather than trusted).
+  * The stamp is the name set, not a file count: an append plus a compaction
+  * can net a count change of zero, but every write introduces fresh
+  * UUID-bearing part names, so the set always moves.
   *
   * The bloom bytes are exactly what Spark's `BloomFilterAggregate` emits —
   * `org.apache.spark.util.sketch.BloomFilter` serialization — so filters
@@ -25,23 +28,29 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 final case class BloomSidecar(
     expectedItems: Long,
     insertedCount: Long,
-    nDataFiles: Int,
+    filesStamp: String,
     bloom: Array[Byte])
 
 object BloomSidecar {
 
-  private val Magic = 0x47424c31 // "GBL1"
+  private val Magic = 0x47424c32 // "GBL2"
 
   def path(corpusDir: Path): Path = new Path(corpusDir, "_bloom")
 
-  /** Corpus data files (the staleness stamp): everything except hidden and
-    * metadata entries — the same visibility rule Spark's file index applies.
+  /** Staleness stamp: digest of the sorted visible data-file names (the
+    * same visibility rule Spark's file index applies). Any append or
+    * compaction changes the set, so a stamp mismatch means the corpus moved
+    * without a sidecar swap.
     */
-  def dataFileCount(fs: FileSystem, corpusDir: Path): Int =
-    fs.listStatus(corpusDir).count { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
+  def filesStamp(fs: FileSystem, corpusDir: Path): String = {
+    val names = fs.listStatus(corpusDir).collect {
+      case st if st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") => st.getPath.getName
+    }.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    names.foreach { n => md.update(n.getBytes(java.nio.charset.StandardCharsets.UTF_8)); md.update(0.toByte) }
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   /** Load the sidecar; None when absent or unreadable (any error degrades to
     * a rebuild, never a failed batch).
@@ -56,11 +65,11 @@ object BloomSidecar {
           require(in.readInt() == Magic, "bad sidecar magic")
           val expected = in.readLong()
           val inserted = in.readLong()
-          val nFiles = in.readInt()
+          val stamp = in.readUTF()
           val len = in.readInt()
           val bytes = new Array[Byte](len)
           in.readFully(bytes)
-          Some(BloomSidecar(expected, inserted, nFiles, bytes))
+          Some(BloomSidecar(expected, inserted, stamp, bytes))
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -76,7 +85,7 @@ object BloomSidecar {
       out.writeInt(Magic)
       out.writeLong(sc.expectedItems)
       out.writeLong(sc.insertedCount)
-      out.writeInt(sc.nDataFiles)
+      out.writeUTF(sc.filesStamp)
       out.writeInt(sc.bloom.length)
       out.write(sc.bloom)
     } finally out.close()

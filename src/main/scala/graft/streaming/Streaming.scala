@@ -326,7 +326,9 @@ object Streaming {
       corpusDir: String,
       idCol: String,
       contentCols: Seq[String],
-      expectedCorpusItems: Long = 1000000L): IngestStats = {
+      expectedCorpusItems: Long = 1000000L,
+      maxSmallFiles: Int = 8,
+      minFileBytes: Long = 32L * 1024 * 1024): IngestStats = {
     val spark = batch.sparkSession
     val target = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -343,14 +345,17 @@ object Streaming {
           graft.functions.SketchFunctions.bloomFilterAgg(bloomKey, expected))
           .head().getAs[Array[Byte]](0)
         BloomSidecar.write(fs, target,
-          BloomSidecar(expected, n, BloomSidecar.dataFileCount(fs, target), bf))
+          BloomSidecar(expected, n, BloomSidecar.filesStamp(fs, target), bf))
       }
       IngestStats(n, corpusScans = 0, rebuiltBloom = false, saturatedRebuild = false)
     } else {
+      // finish any compaction commit a crash interrupted BEFORE trusting the
+      // corpus: mid-commit, retired rows exist only in the staging dir
+      CorpusCompaction.recover(fs, target)
       // load the sidecar; a missing or stale one (file count moved without a
       // sidecar swap — crash window) costs ONE corpus scan to rebuild
       val loaded = BloomSidecar.read(fs, target)
-        .filter(_.nDataFiles == BloomSidecar.dataFileCount(fs, target))
+        .filter(_.filesStamp == BloomSidecar.filesStamp(fs, target))
       var scans = 0
       val sidecar = loaded.getOrElse {
         scans += 1
@@ -360,7 +365,7 @@ object Streaming {
         val bf = corpus.agg(
           graft.functions.SketchFunctions.bloomFilterAgg(bloomKey, expected))
           .head().getAs[Array[Byte]](0)
-        BloomSidecar(expected, cnt, BloomSidecar.dataFileCount(fs, target), bf)
+        BloomSidecar(expected, cnt, BloomSidecar.filesStamp(fs, target), bf)
       }
       // gate: within-batch dedup, then the bloom prune in the batch's own
       // scan stage. Checkpoint the flagged frame once — the split, the
@@ -386,28 +391,31 @@ object Streaming {
       if (n > 0) {
         survivors.write.mode("append").parquet(corpusDir)
         val mergedCount = sidecar.insertedCount + n
-        val next =
+        val (capacity, bloomBytes) =
           if (mergedCount > sidecar.expectedItems) {
             // capacity outgrown: rebuild at double size from the corpus
             // (which now includes this batch) — amortized O(log corpus)
             saturated = true; scans += 1
             val corpus = spark.read.parquet(corpusDir)
-            val expected = math.max(2 * mergedCount, expectedCorpusItems)
-            val bf = corpus.agg(
-              graft.functions.SketchFunctions.bloomFilterAgg(bloomKey, expected))
-              .head().getAs[Array[Byte]](0)
-            BloomSidecar(expected, mergedCount,
-              BloomSidecar.dataFileCount(fs, target), bf)
+            val cap = math.max(2 * mergedCount, expectedCorpusItems)
+            (cap, corpus.agg(
+              graft.functions.SketchFunctions.bloomFilterAgg(bloomKey, cap))
+              .head().getAs[Array[Byte]](0))
           } else {
             val batchBf = survivors.agg(
               graft.functions.SketchFunctions
                 .bloomFilterAgg(bloomKey, sidecar.expectedItems))
               .head().getAs[Array[Byte]](0)
-            BloomSidecar(sidecar.expectedItems, mergedCount,
-              BloomSidecar.dataFileCount(fs, target),
-              BloomSidecar.merge(sidecar.bloom, batchBf))
+            (sidecar.expectedItems, BloomSidecar.merge(sidecar.bloom, batchBf))
           }
-        BloomSidecar.write(fs, target, next)
+        // bound the file count BEFORE stamping the sidecar: the stamp must
+        // record the post-compaction count or the next batch would read it
+        // as a crash and pay a needless rebuild. Compaction preserves
+        // content, so the bloom itself is untouched.
+        CorpusCompaction.compact(spark, fs, target, maxSmallFiles, minFileBytes)
+        BloomSidecar.write(fs, target,
+          BloomSidecar(capacity, mergedCount,
+            BloomSidecar.filesStamp(fs, target), bloomBytes))
       }
       IngestStats(n, scans, rebuiltBloom = loaded.isEmpty, saturatedRebuild = saturated)
     }

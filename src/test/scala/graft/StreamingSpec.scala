@@ -373,6 +373,64 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(corpus).count() == 400)
   }
 
+  test("ingestBatch compaction bounds the corpus file count across 12 batches") {
+    val corpus = java.nio.file.Files.createTempDirectory("graft-ingest5").toString + "/corpus"
+    def batch(lo: Long, n: Long) =
+      spark.range(lo, lo + n).select(col("id").as("doc_id"),
+        concat(lit("doc-"), col("id")).as("text"))
+    // each 20-row range batch writes ~20 part files; without compaction the
+    // corpus would hold ~240 files after 12 batches
+    val stats = (0 until 12).map { i =>
+      Streaming.ingestBatch(batch(i * 20L, 20), corpus, "doc_id", Seq("text"),
+        maxSmallFiles = 4)
+    }
+    assert(stats.forall(_.admitted == 20))
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(corpus)).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    assert(dataFiles.length <= 5, s"file count unbounded: ${dataFiles.length}")
+    // compaction preserved content exactly and kept the sidecar stamp fresh
+    assert(spark.read.parquet(corpus).select("doc_id").distinct().count() == 240)
+    assert(stats.tail.forall(s => !s.rebuiltBloom && s.corpusScans == 0),
+      s"compaction broke the steady-state cost model: $stats")
+    val replay = Streaming.ingestBatch(batch(0, 240), corpus, "doc_id", Seq("text"),
+      maxSmallFiles = 4)
+    assert(replay.admitted == 0, s"dedup lost keys across compactions: $replay")
+  }
+
+  test("compaction recovery completes an interrupted commit without loss or duplication") {
+    val corpus = java.nio.file.Files.createTempDirectory("graft-ingest6").toString + "/corpus"
+    def batch(lo: Long, n: Long) =
+      spark.range(lo, lo + n).select(col("id").as("doc_id"),
+        concat(lit("doc-"), col("id")).as("text"))
+    Streaming.ingestBatch(batch(0, 20), corpus, "doc_id", Seq("text"))
+    // stage exactly the state a crash leaves AFTER the commit point (data +
+    // manifest written) but BEFORE any retire/move ran
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(corpus)).collect {
+      case st if st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") => st.getPath.getName
+    }
+    spark.read.parquet(corpus).coalesce(1)
+      .write.parquet(s"$corpus/_compact/data")
+    val man = fs.create(new org.apache.hadoop.fs.Path(s"$corpus/_compact/manifest"), true)
+    try man.write(names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally man.close()
+    // the next batch must roll the commit forward before gating — retired
+    // rows exist only in staging at this point
+    val next = Streaming.ingestBatch(batch(20, 20), corpus, "doc_id", Seq("text"))
+    assert(next.admitted == 20)
+    assert(next.rebuiltBloom, "post-crash file count must invalidate the sidecar stamp")
+    assert(spark.read.parquet(corpus).select("doc_id").distinct().count() == 40)
+    assert(spark.read.parquet(corpus).count() == 40, "recovery duplicated rows")
+    val replay = Streaming.ingestBatch(batch(0, 40), corpus, "doc_id", Seq("text"))
+    assert(replay.admitted == 0, s"recovery lost rows: $replay")
+  }
+
   test("ingestBatch rebuilds a saturated bloom at doubled capacity and stays correct") {
     val corpus = java.nio.file.Files.createTempDirectory("graft-ingest4").toString + "/corpus"
     def batch(lo: Long, n: Long) =
