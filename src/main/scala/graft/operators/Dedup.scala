@@ -354,6 +354,33 @@ object Dedup {
   /** Verified near-duplicate pairs (a < b, cosine >= threshold) from sign-LSH
     * candidate buckets — the edge list both dedup rules consume.
     */
+  /** The packed hyperplane-sign bitmap for a vector column (bit i = sign of
+    * the dot product with plane i).
+    */
+  private def signBitsCol(vecCol: Column, planes: Array[Array[Float]]): Column =
+    planes.toSeq.zipWithIndex.map { case (p, i) =>
+      // typedlit: ONE foldable array literal per plane (array(lit...) would
+      // inline dim-many literal expressions into codegen per plane)
+      when(VectorExpressions.dot(vecCol, typedlit(p.toSeq)) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Explode a signed frame into one row per (band, bucket): `__band` is the
+    * band index, `__bucket` the band's `bandBits`-bit slice of the sign
+    * bitmap.
+    */
+  private def explodeSignBands(
+      signed: DataFrame,
+      keep: Seq[Column],
+      numPlanes: Int,
+      bandBits: Int): DataFrame = {
+    val nBands = numPlanes / bandBits
+    val bandCols = (0 until nBands).map(bnd =>
+      shiftright(col("__sign"), bnd * bandBits).bitwiseAND(lit((1L << bandBits) - 1)))
+    signed.select(keep :+ posexplode(array(bandCols: _*)): _*)
+      .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
+  }
+
   def embeddingCandidatePairs(
       df: DataFrame,
       idCol: String,
@@ -364,23 +391,9 @@ object Dedup {
       bandBits: Int = 16,
       seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(numPlanes, dim, seed)
-    val signBits: Column = {
-      val bits: Seq[Column] = planes.toSeq.zipWithIndex.map { case (p, i) =>
-        // typedlit: ONE foldable array literal per plane (array(lit...) would
-        // inline dim-many literal expressions into codegen per plane)
-        val pl = typedlit(p.toSeq)
-        when(VectorExpressions.dot(col(vecCol), pl) >= 0, lit(1L << i)).otherwise(lit(0L))
-      }
-      bits.reduce((a, b) => a.bitwiseOR(b))
-    }
-    val nBands = numPlanes / bandBits
     val withSig = Ops.spread(df.select(col(idCol), col(vecCol)))
-      .select(col(idCol), col(vecCol), signBits.as("__sign"))
-    val bandCols = (0 until nBands).map(bnd =>
-      shiftright(col("__sign"), bnd * bandBits).bitwiseAND(lit((1L << bandBits) - 1)))
-    val banded = withSig.select(col(idCol), col(vecCol),
-      posexplode(array(bandCols: _*)))
-      .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
+      .select(col(idCol), col(vecCol), signBitsCol(col(vecCol), planes).as("__sign"))
+    val banded = explodeSignBands(withSig, Seq(col(idCol), col(vecCol)), numPlanes, bandBits)
     val l = banded.select(col("__band"), col("__bucket"), col(idCol).as("a"), col(vecCol).as("__v_a"))
     val r = banded.select(col("__band"), col("__bucket"), col(idCol).as("b"), col(vecCol).as("__v_b"))
     l.join(r, Seq("__band", "__bucket"))
@@ -479,6 +492,24 @@ object Dedup {
     * `nlist` for tighter clusters, or use [[embeddingCosine]] whose sign-LSH
     * bands are recall-calibrated instead).
     *
+    * Size `nlist` to the corpus: SemDeDup's published runs use ~10k-100k
+    * clusters on billions of embeddings — aim for an expected cluster size
+    * in the low thousands (nlist ≈ corpus / 5000). The default 16 suits test
+    * scale only. Training is distributed, so a large `nlist` costs one
+    * broadcast codebook per iteration, not a driver blow-up.
+    *
+    * Within-cluster guard: a cluster larger than `guardClusterSize`
+    * (mis-sized `nlist`, or a pathological mega-cluster of near-identical
+    * embeddings — exactly where size² explodes) switches from all-pairs
+    * verification to REPRESENTATIVE verification: the cluster's rows are
+    * sub-bucketed by sign-LSH bands and each row is verified only against
+    * its bucket's min-id representative — O(size x bands) comparisons
+    * instead of O(size²). For the flood that motivates the guard (everything
+    * similar to everything) the result is identical — every row verifies
+    * against the representative at ≥ threshold; in mixed oversized clusters
+    * it can only under-drop (a row similar to some member but not to a
+    * shared-bucket representative survives), never over-drop.
+    *
     * Returns the surviving rows of `df` with their `centroid_id` attached.
     */
   def semanticDedup(
@@ -487,7 +518,11 @@ object Dedup {
       vecCol: String,
       nlist: Int = 16,
       iters: Int = 2,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95,
+      guardClusterSize: Int = 4096,
+      guardPlanes: Int = 32,
+      guardBandBits: Int = 16,
+      seed: Long = 42L): DataFrame = {
     val init = df.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
     val cents = Similarity.trainCodebook(df, idCol, vecCol, init, iters)
@@ -498,12 +533,42 @@ object Dedup {
     val assigned = reps.select(
       col(idCol), col(vecCol),
       VectorExpressions.nearestCentroid(col(vecCol), cents).as("centroid_id"))
-    val l = assigned.select(col("centroid_id"), col(idCol).as("__id_a"), col(vecCol).as("__v_a"))
-    val r = assigned.select(col("centroid_id"), col(idCol).as("__id_b"), col(vecCol).as("__v_b"))
-    val drops = l.join(r, Seq("centroid_id"))
+    // cluster sizes: at most nlist rows — broadcast back onto the assignment
+    val sizes = assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("__csize"))
+    val flagged = assigned.join(broadcast(sizes), Seq("centroid_id"))
+
+    // exact path: all-pairs within clusters of sane size
+    val small = flagged.filter(col("__csize") <= guardClusterSize)
+    val l = small.select(col("centroid_id"), col(idCol).as("__id_a"), col(vecCol).as("__v_a"))
+    val r = small.select(col("centroid_id"), col(idCol).as("__id_b"), col(vecCol).as("__v_b"))
+    val dropsSmall = l.join(r, Seq("centroid_id"))
       .filter(col("__id_a") < col("__id_b"))
       .filter(VectorExpressions.cosine(col("__v_a"), col("__v_b")) >= threshold)
-      .select(col("__id_b").as(idCol)).distinct()
+      .select(col("__id_b").as(idCol))
+
+    // guarded path: sign-band sub-buckets, verify against the bucket's
+    // min-id representative only — one window + one equi-join, linear in
+    // cluster size
+    val big = flagged.filter(col("__csize") > guardClusterSize)
+    val dim = init.headOption.map(_.length).getOrElse(0)
+    val planes = hyperplanes(guardPlanes, dim, seed)
+    val signed = big.select(col("centroid_id"), col(idCol), col(vecCol),
+      signBitsCol(col(vecCol), planes).as("__sign"))
+    val banded = explodeSignBands(signed,
+      Seq(col("centroid_id"), col(idCol), col(vecCol)), guardPlanes, guardBandBits)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("centroid_id"), col("__band"), col("__bucket"))
+      .orderBy(col(idCol))
+    val ranked = banded.withColumn("__rn", row_number().over(w))
+    val bucketReps = ranked.filter(col("__rn") === 1)
+      .select(col("centroid_id"), col("__band"), col("__bucket"),
+        col(idCol).as("__rep_id"), col(vecCol).as("__rep_v"))
+    val dropsBig = ranked.filter(col("__rn") > 1)
+      .join(bucketReps, Seq("centroid_id", "__band", "__bucket"))
+      .filter(VectorExpressions.cosine(col(vecCol), col("__rep_v")) >= threshold)
+      .select(col(idCol))
+
+    val drops = dropsSmall.unionByName(dropsBig).distinct()
     df.join(reps.join(drops, Seq(idCol), "left_anti").select(col(idCol)),
       Seq(idCol), "left_semi")
       .join(assigned.select(col(idCol), col("centroid_id")), Seq(idCol), "left")

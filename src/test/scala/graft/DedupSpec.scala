@@ -217,6 +217,21 @@ class DedupSpec extends SparkTestBase {
     assert(out(0L) != out(1L), "the two direction groups must land in different clusters")
   }
 
+  test("semanticDedup's oversized-cluster guard keeps bucket-representative semantics") {
+    // 6 near-identical vectors (distinct values, cosine ~1 pairwise) + 2
+    // orthogonal ones; guardClusterSize=2 forces the representative path for
+    // the big cluster. All flood members share every sign bucket, so exactly
+    // the min id survives — same outcome as all-pairs — and the orthogonal
+    // vectors (cosine ~0 to any representative) are untouched.
+    val flood = (0L until 6L).map(i => (i, Seq(1f, i * 1e-5f, 0f, 0f)))
+    val others = Seq((10L, Seq(0f, 1f, 0f, 0f)), (11L, Seq(0f, 0f, 1f, 0f)))
+    val emb = (flood ++ others).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      nlist = 1, iters = 1, threshold = 0.95, guardClusterSize = 2)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(0L, 10L, 11L), s"guarded cluster must keep only the min id: $out")
+  }
+
   test("incrementalExact admits only content absent from the corpus") {
     val corpus = Seq((0L, "seen one"), (1L, "seen two")).toDF("doc_id", "text")
     val batch = Seq(

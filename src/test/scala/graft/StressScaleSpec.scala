@@ -156,6 +156,31 @@ class StressScaleSpec extends SparkTestBase {
     assert(secs < 120.0, f"packing took $secs%.1fs — the sequential pass regressed")
   }
 
+  stress("semantic dedup guard stays sub-quadratic under a 20k near-identical cluster flood") {
+    // 20k DISTINCT but near-identical embeddings (cosine ≈ 1 pairwise) all
+    // land in one k-means cluster — exact-collapse can't help (no exact
+    // dups) and all-pairs verification would be 4*10^8 cosine evaluations
+    // shuffled through a self-join. The guard trips (cluster > 1000) and
+    // verifies each row against its sign-band bucket representative instead
+    // — linear in the flood.
+    val flood = (0L until 20000L).map { i =>
+      (i, Array(1.0f, i * 1e-7f, 0f, 0f, 0f, 0f, 0f, 0f))
+    }
+    val distinct = (0 until 7).map { j =>
+      val v = new Array[Float](8); v(j + 1) = 1.0f
+      (20000L + j, v)
+    }
+    val docs = (flood ++ distinct).toDF("id", "vec").repartition(8)
+    val (survivors, secs) = timed {
+      Dedup.semanticDedup(docs, "id", "vec", nlist = 1, iters = 2,
+        guardClusterSize = 1000).count()
+    }
+    info(f"semantic flood dedup in $secs%.1fs, $survivors survivors")
+    assert(survivors == 8L,
+      s"min-id flood survivor + 7 orthogonal vectors expected, got $survivors")
+    assert(secs < 180.0, f"flood took $secs%.1fs — the guard likely regressed to all-pairs")
+  }
+
   stress("connected components collapses a 10k-node chain within 15 pointer-doubling rounds") {
     val edges = (0L until 9999L).map(i => (i, i + 1)).toDF("a", "b").repartition(8)
     val (labels, rounds) = Dedup.connectedComponentsWithRounds(edges, maxIter = 15)
