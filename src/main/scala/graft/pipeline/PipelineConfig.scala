@@ -53,16 +53,22 @@ object PipelineConfig {
           case other => throw new graft.GraftConfigError(
             s"Unknown onConflict '$other' (expected update|nothing)")
         },
-        // batchSize is OUR knob, not a JDBC connection property — parse it
-        // out (typed error on junk) so it can't silently leak into the
-        // connection properties map
-        options = o - "url" - "table" - "keys" - "onConflict" - "batchSize",
+        // batchSize/dialect are OUR knobs, not JDBC connection properties —
+        // parse them out (typed error on junk) so they can't silently leak
+        // into the connection properties map
+        options = o - "url" - "table" - "keys" - "onConflict" - "batchSize" - "dialect",
         batchSize = o.get("batchSize").map { s =>
           try s.toInt catch {
             case _: NumberFormatException => throw new graft.GraftConfigError(
               s"jdbc_upsert batchSize must be an integer (got '$s')")
           }
-        }.getOrElse(1000))))
+        }.getOrElse(1000),
+        dialect = o.getOrElse("dialect", "on_conflict") match {
+          case "on_conflict" => Sinks.OnConflictDialect
+          case "update_insert" => Sinks.UpdateInsertDialect()
+          case other => throw new graft.GraftConfigError(
+            s"Unknown jdbc_upsert dialect '$other' (expected on_conflict|update_insert)")
+        })))
 
   def sink(name: String): (DataFrame, Map[String, String]) => Unit =
     sinkRegistry.getOrElse(name, throw new graft.GraftConfigError(

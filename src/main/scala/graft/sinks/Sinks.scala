@@ -182,9 +182,8 @@ object Sinks {
 
   /** K1 cluster form — plain JDBC append (reference
     * `postgresql_service.py:117-165` COPY loader): `df.write.jdbc` fans the
-    * insert out across executors, one connection per partition. Not
-    * executable in the bench env (no database, no driver jar) but the real
-    * sink a cluster deploy points the registry at.
+    * insert out across executors, one connection per partition. Exercised
+    * end-to-end against embedded Derby in PipelineSinksSpec.
     */
   def jdbcWrite(df: DataFrame, url: String, table: String, options: Map[String, String] = Map.empty): Unit = {
     val props = new java.util.Properties()
@@ -213,10 +212,25 @@ object Sinks {
   private[graft] def quoteQualified(table: String): String =
     table.split('.').map(quoteIdent).mkString(".")
 
-  /** The upsert statement [[jdbcUpsert]] prepares. ON CONFLICT syntax is
-    * PostgreSQL (and SQLite/CockroachDB); other dialects need a MERGE
-    * variant. All identifiers are quoted/escaped — table and column names
-    * arrive from user config.
+  /** Upsert SQL dialects. The reference's flagship loader is PostgreSQL
+    * `ON CONFLICT` ([[OnConflictDialect]], `postgresql_service.py:214-296`);
+    * [[UpdateInsertDialect]] is the portable pair — batched
+    * `UPDATE` + `INSERT … WHERE NOT EXISTS` in one transaction — for engines
+    * without it (Derby, DB2; Derby's MERGE cannot read a VALUES source, so a
+    * MERGE dialect would not cover it anyway). The pair form assumes keys
+    * are DISTINCT WITHIN A BATCH (guaranteed by the reference's keep-last
+    * pre-collapse, [[upsert]]) and, unlike the native form, two CONCURRENT
+    * writers can race the NOT EXISTS probe into a unique-key violation — the
+    * primary key still holds; single-writer pipelines are unaffected.
+    */
+  sealed trait UpsertDialect extends Serializable
+  case object OnConflictDialect extends UpsertDialect
+  final case class UpdateInsertDialect(dummyTable: String = "SYSIBM.SYSDUMMY1")
+      extends UpsertDialect
+
+  /** The upsert statement [[jdbcUpsert]] prepares for
+    * [[OnConflictDialect]]. All identifiers are quoted/escaped — table and
+    * column names arrive from user config.
     */
   private[graft] def upsertSql(
       table: String,
@@ -235,6 +249,31 @@ object Sinks {
        |ON CONFLICT (${conflictColumns.map(quoteIdent).mkString(", ")}) $conflictClause""".stripMargin
   }
 
+  /** The portable pair's UPDATE half: non-key setters, keyed WHERE. None
+    * when every column is a key (nothing to update — DO NOTHING shape).
+    */
+  private[graft] def updateSql(
+      table: String, cols: Seq[String], keys: Seq[String]): Option[String] = {
+    val sets = cols.filterNot(keys.contains)
+    if (sets.isEmpty) None
+    else Some(
+      s"UPDATE ${quoteQualified(table)} SET " +
+        sets.map(c => s"${quoteIdent(c)} = ?").mkString(", ") +
+        " WHERE " + keys.map(k => s"${quoteIdent(k)} = ?").mkString(" AND "))
+  }
+
+  /** The portable pair's INSERT half: parameters projected from the 1-row
+    * dummy table, guarded by a correlated NOT EXISTS on the keys (the form
+    * Derby's planner accepts — a parameterized VALUES derived table is not).
+    * Binds: every column, then every key again.
+    */
+  private[graft] def insertIfAbsentSql(
+      table: String, cols: Seq[String], keys: Seq[String], dummyTable: String): String =
+    s"INSERT INTO ${quoteQualified(table)} (${cols.map(quoteIdent).mkString(", ")}) " +
+      s"SELECT ${cols.map(_ => "?").mkString(", ")} FROM ${quoteQualified(dummyTable)} " +
+      s"WHERE NOT EXISTS (SELECT 1 FROM ${quoteQualified(table)} WHERE " +
+      keys.map(k => s"${quoteIdent(k)} = ?").mkString(" AND ") + ")"
+
   def jdbcUpsert(
       df: DataFrame,
       url: String,
@@ -242,30 +281,82 @@ object Sinks {
       conflictColumns: Seq[String],
       action: ConflictAction,
       options: Map[String, String] = Map.empty,
-      batchSize: Int = 1000): Unit = {
+      batchSize: Int = 1000,
+      dialect: UpsertDialect = OnConflictDialect): Unit = {
     val cols = df.columns.toSeq
-    val sql = upsertSql(table, cols, conflictColumns, action)
+    val keyIdx = conflictColumns.map(cols.indexOf)
+    require(keyIdx.forall(_ >= 0),
+      s"conflict columns ${conflictColumns.filterNot(cols.contains)} absent from the frame")
     val opts = options // serialize the map, not the Properties
-    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+    def connect(): java.sql.Connection = {
       val props = new java.util.Properties()
       opts.foreach { case (k, v) => props.setProperty(k, v) }
-      val conn = java.sql.DriverManager.getConnection(url, props)
-      try {
-        conn.setAutoCommit(false)
-        val stmt = conn.prepareStatement(sql)
-        try {
-          var pending = 0
-          rows.foreach { row =>
-            var i = 0
-            while (i < cols.length) { stmt.setObject(i + 1, row.get(i)); i += 1 }
-            stmt.addBatch()
-            pending += 1
-            if (pending >= batchSize) { stmt.executeBatch(); pending = 0 }
-          }
-          if (pending > 0) stmt.executeBatch()
-          conn.commit()
-        } finally stmt.close()
-      } finally conn.close()
+      val c = java.sql.DriverManager.getConnection(url, props)
+      c.setAutoCommit(false)
+      c
+    }
+    dialect match {
+      case OnConflictDialect =>
+        val sql = upsertSql(table, cols, conflictColumns, action)
+        df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val conn = connect()
+          try {
+            val stmt = conn.prepareStatement(sql)
+            try {
+              var pending = 0
+              rows.foreach { row =>
+                var i = 0
+                while (i < cols.length) { stmt.setObject(i + 1, row.get(i)); i += 1 }
+                stmt.addBatch()
+                pending += 1
+                if (pending >= batchSize) { stmt.executeBatch(); pending = 0 }
+              }
+              if (pending > 0) stmt.executeBatch()
+              conn.commit()
+            } finally stmt.close()
+          } finally conn.close()
+        }
+      case UpdateInsertDialect(dummy) =>
+        val updSqlOpt = action match {
+          case ConflictUpdate => updateSql(table, cols, conflictColumns)
+          case ConflictNothing => None
+        }
+        val insSql = insertIfAbsentSql(table, cols, conflictColumns, dummy)
+        val setIdx = cols.indices.filterNot(i => conflictColumns.contains(cols(i)))
+        val kIdx = keyIdx
+        df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val conn = connect()
+          try {
+            val upd = updSqlOpt.map(conn.prepareStatement)
+            val ins = conn.prepareStatement(insSql)
+            try {
+              var pending = 0
+              def flush(): Unit = {
+                // update-then-insert: existing keys take the UPDATE, the
+                // rest pass NOT EXISTS into the INSERT
+                upd.foreach(_.executeBatch())
+                ins.executeBatch()
+                pending = 0
+              }
+              rows.foreach { row =>
+                upd.foreach { u =>
+                  var p = 1
+                  setIdx.foreach { i => u.setObject(p, row.get(i)); p += 1 }
+                  kIdx.foreach { i => u.setObject(p, row.get(i)); p += 1 }
+                  u.addBatch()
+                }
+                var p = 1
+                cols.indices.foreach { i => ins.setObject(p, row.get(i)); p += 1 }
+                kIdx.foreach { i => ins.setObject(p, row.get(i)); p += 1 }
+                ins.addBatch()
+                pending += 1
+                if (pending >= batchSize) flush()
+              }
+              if (pending > 0) flush()
+              conn.commit()
+            } finally { upd.foreach(_.close()); ins.close() }
+          } finally conn.close()
+        }
     }
   }
 

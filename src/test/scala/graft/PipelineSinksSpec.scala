@@ -161,4 +161,93 @@ class PipelineSinksSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("batchSize"))
   }
+
+  // ---- live JDBC coverage against embedded Derby (the in-env database;
+  // Postgres's native ON CONFLICT statement stays string-pinned above, the
+  // portable UpdateInsertDialect pair runs the same executor-side batching
+  // path end-to-end) ----
+
+  private def derby(db: String): String = s"jdbc:derby:memory:$db;create=true"
+
+  private def derbyQuery(db: String, sql: String): Seq[Seq[Any]] = {
+    val conn = java.sql.DriverManager.getConnection(derby(db))
+    try {
+      val rs = conn.createStatement().executeQuery(sql)
+      val n = rs.getMetaData.getColumnCount
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      while (rs.next()) buf += (1 to n).map(rs.getObject)
+      buf.toSeq
+    } finally conn.close()
+  }
+
+  private def derbyExec(db: String, sql: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(derby(db))
+    try { conn.createStatement().executeUpdate(sql); () } finally conn.close()
+  }
+
+  test("jdbcWrite appends through executor connections into a live database") {
+    val db = "graft_k1"
+    // Derby folds unquoted DDL identifiers upper-case; Spark's JDBC writer
+    // quotes COLUMN names (so they must be created quoted-lowercase to match
+    // the frame) but passes the TABLE name through unquoted
+    derbyExec(db, """CREATE TABLE loads ("id" BIGINT, "v" VARCHAR(20))""")
+    val df = spark.range(10).select($"id", concat(lit("v"), $"id").as("v")).repartition(4)
+    Sinks.jdbcWrite(df, derby(db), "loads")
+    Sinks.jdbcWrite(df.filter($"id" < 2), derby(db), "loads") // append, not replace
+    val got = derbyQuery(db, """SELECT "id", "v" FROM loads ORDER BY "id", "v"""")
+    assert(got.size == 12)
+    assert(got.count(_.head == 0L) == 2, "second write must append")
+  }
+
+  test("jdbcUpsert DO UPDATE round-trips insert+update through a live database") {
+    val db = "graft_k2"
+    derbyExec(db, """CREATE TABLE "t" ("id" BIGINT PRIMARY KEY, "v" VARCHAR(20), "n" BIGINT)""")
+    derbyExec(db, """INSERT INTO "t" VALUES (1, 'old', 10), (2, 'keep', 20)""")
+    val batch = Seq((1L, "new", 11L), (3L, "three", 30L)).toDF("id", "v", "n")
+      .repartition(3) // several executor connections, some empty
+    Sinks.jdbcUpsert(batch, derby(db), "t", Seq("id"), ConflictUpdate,
+      dialect = Sinks.UpdateInsertDialect())
+    val got = derbyQuery(db, """SELECT "id", "v", "n" FROM "t" ORDER BY "id"""")
+    assert(got == Seq(Seq(1L, "new", 11L), Seq(2L, "keep", 20L), Seq(3L, "three", 30L)),
+      s"got $got")
+  }
+
+  test("jdbcUpsert DO NOTHING keeps existing rows and admits only new keys") {
+    val db = "graft_k3"
+    derbyExec(db, """CREATE TABLE "t" ("id" BIGINT PRIMARY KEY, "v" VARCHAR(20))""")
+    derbyExec(db, """INSERT INTO "t" VALUES (1, 'old')""")
+    val batch = Seq((1L, "clobber"), (2L, "two")).toDF("id", "v")
+    Sinks.jdbcUpsert(batch, derby(db), "t", Seq("id"), ConflictNothing,
+      dialect = Sinks.UpdateInsertDialect())
+    val got = derbyQuery(db, """SELECT "id", "v" FROM "t" ORDER BY "id"""")
+    assert(got == Seq(Seq(1L, "old"), Seq(2L, "two")), s"got $got")
+  }
+
+  test("jdbcUpsert batches flush correctly across the batchSize boundary") {
+    val db = "graft_k4"
+    derbyExec(db, """CREATE TABLE "t" ("id" BIGINT PRIMARY KEY, "v" VARCHAR(30))""")
+    derbyExec(db, """INSERT INTO "t" VALUES (0, 'seed'), (5, 'seed')""")
+    // 20 rows through batchSize=7 in one partition: 2 updates + 18 inserts
+    // spanning three flushes
+    val batch = spark.range(20)
+      .select($"id", concat(lit("row"), $"id").as("v")).coalesce(1)
+    Sinks.jdbcUpsert(batch, derby(db), "t", Seq("id"), ConflictUpdate,
+      batchSize = 7, dialect = Sinks.UpdateInsertDialect())
+    val got = derbyQuery(db, """SELECT "id", "v" FROM "t" ORDER BY "id"""")
+    assert(got.size == 20)
+    assert(got.forall(r => r(1) == s"row${r.head}"), s"got $got")
+  }
+
+  test("jdbcUpsert with an upper-cased composite key updates the right row") {
+    val db = "graft_k5"
+    // Derby folds unquoted DDL identifiers to upper case; the sink quotes
+    // every identifier, so the frame's column names must match exactly
+    derbyExec(db, """CREATE TABLE "t" ("a" BIGINT, "b" BIGINT, "v" VARCHAR(20), PRIMARY KEY ("a", "b"))""")
+    derbyExec(db, """INSERT INTO "t" VALUES (1, 1, 'keep'), (1, 2, 'old')""")
+    val batch = Seq((1L, 2L, "new"), (2L, 1L, "ins")).toDF("a", "b", "v")
+    Sinks.jdbcUpsert(batch, derby(db), "t", Seq("a", "b"), ConflictUpdate,
+      dialect = Sinks.UpdateInsertDialect())
+    val got = derbyQuery(db, """SELECT "a", "b", "v" FROM "t" ORDER BY "a", "b"""")
+    assert(got == Seq(Seq(1L, 1L, "keep"), Seq(1L, 2L, "new"), Seq(2L, 1L, "ins")), s"got $got")
+  }
 }
