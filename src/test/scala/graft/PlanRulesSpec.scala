@@ -178,6 +178,28 @@ class PlanRulesSpec extends SparkTestBase {
     assert(df.collect().toSet == native.collect().toSet && df.count() > 0)
   }
 
+  test("DSv2 connector splits a multi-row-group file into one partition per row group") {
+    // small parquet block size forces many row groups in ONE file — the
+    // multi-GB-file shape where file-granularity partitions cap parallelism
+    val dir = java.nio.file.Files.createTempDirectory("graft-rowgroups").toString + "/t"
+    spark.range(100000L)
+      .select(col("id"), (col("id") % 7).as("k"),
+        concat(lit("padpadpadpadpadpad-"), col("id")).as("pad"))
+      .coalesce(1)
+      .write.option("parquet.block.size", "65536").parquet(dir)
+    val df = spark.read.format("graft-parquet").load(dir)
+    val nParts = df.rdd.getNumPartitions
+    assert(nParts > 1, s"one file with many row groups must plan >1 partition, got $nParts")
+    // tiling is exact: no row group read twice or dropped
+    assert(df.count() == 100000L)
+    assert(df.select(org.apache.spark.sql.functions.sum("id")).head().getLong(0) ==
+      100000L * 99999L / 2)
+    // pushdown still composes with the range read
+    val filtered = df.filter(col("k") === 3L).select("id")
+    val native = spark.read.parquet(dir).filter(col("k") === 3L).select("id")
+    assert(filtered.collect().toSet == native.collect().toSet)
+  }
+
   test("DSv2 connector: null-partition and IN filters evaluate with SQL semantics") {
     import graft.sources.v2.GraftScan
     import org.apache.spark.sql.sources.{EqualTo, In, IsNull}
