@@ -59,7 +59,9 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}""".getBytes("UTF-8"))
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","detail":"BENCH_DETAIL.json","n":${results.size},"sf":"$sfDir","queries":{"""
     val tailStr = "}}"
     val budget = 1900 - head.length - tailStr.length

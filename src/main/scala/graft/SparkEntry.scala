@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Registry, VectorExpressions}
-import graft.operators.{Dedup, Multimodal, Ops, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Ops, Sampling, Similarity, TextAnalysis}
 import graft.sinks.Sinks
 import graft.sources.Sources
 import graft.types._
@@ -31,6 +31,28 @@ import org.apache.spark.sql.types.DecimalType
 object SparkEntry {
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** One scratch root per JVM, deleted on exit: the round-trip/ingest
+    * queries materialize files, and every builder invocation (Verify,
+    * Bench re-runs, PlanGuardSpec's whole-surface sweeps) would otherwise
+    * leave a fresh orphan directory under /tmp. Run-scoped (not a fixed
+    * path) so two concurrent runs — the local verify loop and the
+    * driver's gate — cannot clobber each other mid-read.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file._
+      try {
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Exception => () } // best-effort: never fail exit
+    }))
+    root
+  }
+
+  private def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
 
   /** Invariant harness for the near-dup LSH family, whose survivor sets
     * depend on xxhash64 kernels DuckDB cannot run: instead of dumping the
@@ -858,6 +880,67 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), budget = 256)
         .withColumnsRenamed(Map("group" -> "lang", "id" -> "doc_id"))),
 
+    "mixture_sample" -> ((s, dir) =>
+      // domain-weighted mixture subsampling: the "CommonCrawl at 25%, books
+      // at 100%" step of assembling a pretraining mix. The weight table is
+      // config-sized, so it compiles to a literal CASE inside ONE scan-stage
+      // filter — no join, no shuffle, pushdown-composable (see Sampling's
+      // scale notes); membership is hash-of-id deterministic, not rand()
+      Sampling.mixtureSample(
+        Tables.documents(s, dir), "source", "doc_id",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultWeight = 0.1)
+        .select(col("doc_id"), col("source"))),
+
+    "epoch_upsample" -> ((s, dir) =>
+      // fractional-epoch upsampling: en seen 2.3×, de 0.5×, the rest 1× —
+      // how public pretraining recipes weight sources across a pass. The
+      // per-row copy count is literals + one hash, so the explode fuses
+      // into the scan stage: zero shuffles, output exactly Σ epochs·|domain|
+      Sampling.upsampleEpochs(
+        Tables.documents(s, dir), "lang", "doc_id",
+        Map("en" -> 2.3, "de" -> 0.5), salt = 7)
+        .select(col("doc_id"), col("lang"), col("epoch"))),
+
+    "uniform_stratum_sample" -> ((s, dir) =>
+      // per-language uniform cap: ≤20 docs per lang drawn by hash order — a
+      // deterministic uniform draw, unlike first-k-by-id (biased to old
+      // rows) or stratified_sample's quality top-k. One shuffle on the
+      // stratum key, one partitioned-window row_number pass
+      Sampling.stratifiedSample(
+        Tables.documents(s, dir), "lang", "doc_id", k = 20, salt = 3)
+        .select(col("doc_id"), col("lang"))),
+
+    "token_budget_select" -> ((s, dir) =>
+      // token-budget selection: per language, best-first (longest docs) until
+      // a 2000-token budget fills; the row that would cross is excluded. One
+      // shuffle on the group key + one partitioned running-sum window
+      Sampling.tokenBudgetSelect(
+        Tables.documents(s, dir), "lang", "doc_id",
+        qualityCol = col("n_chars"),
+        tokensCol = TextAnalysis.tokenCount(col("text")),
+        budget = 2000)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    "quantile_gate" -> ((s, dir) =>
+      // per-language quality gate at a QUANTILE, not an absolute threshold
+      // (absolute cutoffs tuned on the majority language gut low-resource
+      // ones): drop each language's bottom quartile by length. cume_dist
+      // ties survive or die together; one partitioned-window pass
+      Sampling.quantileQualityFilter(
+        Tables.documents(s, dir), "lang", col("n_chars"), dropBelow = 0.25)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    "train_order" -> ((s, dir) =>
+      // reproducible global shuffle order: hash-of-id scatters crawl/source
+      // locality into a deterministic training order; under the limit the
+      // sort collapses to TakeOrderedAndProject (distributed top-k, no
+      // single-partition exchange). Salting by epoch gives per-pass orders
+      Sampling.shuffleOrder(
+        Tables.documents(s, dir).select(col("doc_id"),
+          Sampling.unitHash(col("doc_id"), 11).as("shuffle_key")),
+        "doc_id", salt = 11)
+        .limit(100)),
+
     "stratified_sample" -> ((s, dir) => {
       // per-language top-k by quality — stratified curriculum selection;
       // one shuffle on the stratum key
@@ -1078,8 +1161,7 @@ object SparkEntry {
       // the oracle is the pre-sink relation, so the round-trip is the check.
       // Run-scoped dir: a fixed path would let two concurrent runs (local
       // verify loop + the driver's gate) clobber each other mid-read
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_json_roundtrip").toString + "/out"
+      val out = scratchDir("graft_json_roundtrip") + "/out"
       Sinks.writeJson(
         Sources.events(s, dir).filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("value")),
@@ -1091,8 +1173,7 @@ object SparkEntry {
       // second columnar container: rows pass through the ORC sink and come
       // back identical (ORC preserves exact int64/float64 — no formatting
       // hop like the NDJSON path). Oracle is the pre-sink relation.
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_orc_roundtrip").toString + "/out"
+      val out = scratchDir("graft_orc_roundtrip") + "/out"
       Sinks.writeOrc(
         Sources.events(s, dir).filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("value")),
@@ -1108,8 +1189,7 @@ object SparkEntry {
       // same code targets a shared filesystem. media_id rides in the file
       // name and is recovered by regexp on `path` — the standard pattern for
       // id-in-filename lakes.
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_binary_ingest").toString
+      val root = scratchDir("graft_binary_ingest")
       Multimodal.mediaFromDocuments(s, dir)
         .filter(col("modality") === "image")
         .select(col("media_id"), col("payload"))
@@ -1157,11 +1237,15 @@ object SparkEntry {
       val n = li.count()
       val checks = Seq(0.5 -> qs(0), 0.95 -> qs(1)).map { case (p, v) =>
         val below = li.filter(col("q") < v).count() // ranks covered by v:
-        val atOrBelow = li.filter(col("q") <= v).count() // [below, atOrBelow]
+        val atOrBelow = li.filter(col("q") <= v).count() // [below+1, atOrBelow]
         val lo = math.floor((p - eps) * n).toLong
         val hi = math.ceil((p + eps) * n).toLong
+        // intersection of [below+1, atOrBelow] with [lo, hi] is non-empty
+        // iff atOrBelow >= lo AND below+1 <= hi — `below < hi`, not `<=`,
+        // else a value whose lowest covered rank is hi+1 (just outside the
+        // eps envelope) would pass
         s"p${(p * 100).toInt}_within_eps" ->
-          (if (atOrBelow >= lo && below <= hi) 1L else 0L)
+          (if (atOrBelow >= lo && below < hi) 1L else 0L)
       }
       (Seq("total_rows" -> n) ++ checks).toDF("chk", "n")
     }),
@@ -1214,8 +1298,7 @@ object SparkEntry {
       // at planning time — the lake reality where producers add columns
       // over time. union_byname_mixed covers the DataFrame-level analog;
       // this one proves the SCAN path (schema reconciliation in the reader).
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_schema_evo").toString
+      val root = scratchDir("graft_schema_evo")
       val ev = Sources.events(s, dir)
       ev.filter(col("event_type") === "view")
         .select(col("event_id"), col("user_id"))
@@ -1255,6 +1338,14 @@ object SparkEntry {
   /** Word-token list, mirroring [[TextAnalysis.tokens]]. */
   private val sqlToks: String =
     "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  /** SQL mirror of [[Sampling.unitHash]]: Knuth multiplicative hash scaled
+    * to [0, 1). Plain Int64 arithmetic + one IEEE divide by a power of two,
+    * so DuckDB reproduces the Spark value bit-for-bit — which is the whole
+    * reason the sampling family hashes with this instead of xxhash64.
+    */
+  private def sqlUnitHash(id: String, salt: Long): String =
+    s"(CAST((($id + $salt) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0)"
 
   // ---- k-means mirror (Similarity.trainCodebook) -------------------------
   // Shared by the ivf_topk and semantic_dedup oracles: assignment is argmax
@@ -1307,10 +1398,12 @@ object SparkEntry {
     "it" -> "['il','di','che','la','per','con','del','una','sono','non']")
 
   /** DuckDB oracle SQL per query key — EVERY query has one. Where DuckDB
-    * cannot run a kernel (the xxhash64 LSH family, the stub media codecs),
-    * the query emits provable invariants instead ([[dedupInvariants]];
-    * per-row flag columns for the multimodal stubs) and the oracle states
-    * the expected values, so violations still break the hash gate.
+    * cannot run a kernel (the xxhash64 LSH family, the pure-JVM media
+    * codecs in [[graft.operators.MediaCodecs]]), the query emits provable
+    * invariants instead ([[dedupInvariants]]; exact per-row feature values
+    * recomputed from the deterministic fixtures for the multimodal
+    * queries) and the oracle states the expected values, so violations
+    * still break the hash gate.
     */
   def oracleSql: Map[String, String] = Map(
     "flagship_events" ->
@@ -1798,6 +1891,55 @@ object SparkEntry {
          |    CASE WHEN p.acc + d.n_tokens > 256 THEN d.n_tokens ELSE p.acc + d.n_tokens END
          |  FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
          |SELECT lang, doc_id, n_tokens, bin_id FROM p""".stripMargin,
+
+    // the sampling family's decisions are pure Int64 hash arithmetic
+    // (sqlUnitHash), so DuckDB replays every membership bit-for-bit
+    "mixture_sample" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${sqlUnitHash("doc_id", 0)} <
+         |  CASE WHEN source = 'src0' THEN CAST(1.0 AS DOUBLE)
+         |       WHEN source = 'src1' THEN CAST(0.5 AS DOUBLE)
+         |       WHEN source = 'src2' THEN CAST(0.25 AS DOUBLE)
+         |       ELSE CAST(0.1 AS DOUBLE) END""".stripMargin,
+
+    "epoch_upsample" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN lang = 'de' THEN CAST(0.5 AS DOUBLE)
+         |         WHEN lang = 'en' THEN CAST(2.3 AS DOUBLE)
+         |         ELSE CAST(1.0 AS DOUBLE) END AS ep
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang,
+         |    CAST(floor(ep) AS BIGINT) +
+         |    CASE WHEN ${sqlUnitHash("doc_id", 7)} < ep - floor(ep)
+         |         THEN 1 ELSE 0 END AS copies
+         |  FROM e)
+         |SELECT c.doc_id, c.lang, g.range AS epoch
+         |FROM c, range(0, 3) g WHERE g.range < c.copies""".stripMargin,
+
+    "uniform_stratum_sample" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang ORDER BY ${sqlUnitHash("doc_id", 3)}, doc_id) AS rn
+         |  FROM documents) t WHERE rn <= 20""".stripMargin,
+
+    "token_budget_select" ->
+      s"""SELECT doc_id, lang, n_chars FROM (
+         |  SELECT doc_id, lang, n_chars, sum(CAST(len($sqlToks) AS BIGINT)) OVER (
+         |    PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM documents) t WHERE cum <= 2000""".stripMargin,
+
+    "quantile_gate" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    cume_dist() OVER (PARTITION BY lang ORDER BY n_chars ASC) AS cd
+        |  FROM documents) t WHERE cd > 0.25""".stripMargin,
+
+    "train_order" ->
+      s"""SELECT doc_id, ${sqlUnitHash("doc_id", 11)} AS shuffle_key
+         |FROM documents ORDER BY shuffle_key, doc_id LIMIT 100""".stripMargin,
 
     // mirrors Multimodal's adapter contract closed-form: WAV = 44-byte header
     // + 2 bytes/sample; BMP = 54 + h*rowstride(4-padded); PPM = "P6\n{w} {h}\n

@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and corpus mixing: the operators that turn a
+  * curated corpus into a TRAINING MIX — domain-weighted subsampling,
+  * fractional-epoch upsampling, per-stratum caps, token-budget selection,
+  * quantile-gated quality filtering, and a reproducible global shuffle
+  * order. The reference's pipeline stops at load (services/pipelines/
+  * etl_pipeline.py:24-38 runs extract→transform→load with no sampling
+  * stage); these extend the same DataFrame-in/DataFrame-out operator shape
+  * to the mixing step every LLM pretraining run needs (domain weights à la
+  * the public LLaMA/Pile data recipes).
+  *
+  * Everything here is DETERMINISTIC BY CONSTRUCTION: membership decisions
+  * come from a hash of the row's stable id, never from `rand()`. That is
+  * the property that matters operationally — re-running the pipeline (task
+  * retry, AQE re-plan, a second epoch of the same mix) must select the
+  * SAME rows, and `rand()` breaks under task re-execution. It also makes
+  * every operator oracle-able: the hash is plain integer arithmetic any
+  * SQL engine reproduces bit-for-bit.
+  *
+  * Scale shape: mixture sampling and epoch upsampling are SCAN-STAGE ops
+  * (a filter / a bounded explode fused into the scan — zero shuffles, so
+  * they compose with pushdown and never move the corpus). The stratified /
+  * budget / quantile operators are single partitioned-window passes: one
+  * shuffle on the stratum key, never a global window. The shuffle order is
+  * a range-partitioned sort (or TakeOrderedAndProject under a limit) —
+  * Spark's distributed sort, no single-partition exchange.
+  */
+object Sampling {
+
+  /** Deterministic unit-interval hash of `id` — Knuth's multiplicative
+    * hash over the low 32 bits, scaled to [0, 1). Chosen over xxhash64
+    * because it is plain 64-bit integer arithmetic (`*`, `%`, `/`) that
+    * any SQL engine evaluates identically, so sampling decisions can be
+    * cross-checked by an external oracle. `salt` decorrelates independent
+    * sampling decisions on the same id (each decision gets its own salt —
+    * reusing one would nest the samples instead of crossing them).
+    *
+    * The multiplier is the golden-ratio constant 2654435761 = ⌊2^32/φ⌋
+    * (Knuth, TAOCP vol. 3 §6.4): consecutive ids map to well-spread
+    * fractions, so a filter `unitHash < p` keeps ~p of any id range —
+    * including adversarially regular ones (strided, blocked) — without a
+    * shuffle. Overflow note: the product stays in Int64 for ids below
+    * ~3.4e9; at lake scale pass `pmod(xxhash64(id), 2^32)` as the id to
+    * fold wider keys first (same downstream algebra).
+    */
+  def unitHash(id: Column, salt: Long = 0L): Column =
+    pmod((id + lit(salt)) * lit(2654435761L), lit(4294967296L))
+      .cast("double") / lit(4294967296.0)
+
+  /** Domain-weighted mixture subsampling: keep each row with probability
+    * `weights(domain)` — the "sample source X at 30%, source Y at 100%"
+    * step of assembling a pretraining mix. Domains absent from `weights`
+    * default to `defaultWeight` (0 = drop, the safe default for a curated
+    * mix: an unlisted source should not leak in at full rate).
+    *
+    * Scale shape: the weight table becomes a literal CASE expression (the
+    * map is config-sized — tens of domains, never data-sized), so the
+    * whole operator is ONE scan-stage filter: no join, no shuffle, and
+    * Catalyst pushes it into the parquet scan alongside user predicates.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 0.0,
+      salt: Long = 0L): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
+      "mixture weights must be in [0, 1]")
+    val weightExpr = weights.toSeq.sortBy(_._1).foldRight(lit(defaultWeight): Column) {
+      case ((dom, w), rest) => when(col(domainCol) === lit(dom), lit(w)).otherwise(rest)
+    }
+    df.filter(unitHash(col(idCol), salt) < weightExpr)
+  }
+
+  /** Fractional-epoch upsampling: replicate each row `epochs(domain)`
+    * times, where the fractional part is resolved per row by hash — e.g.
+    * 2.3 epochs means every row appears twice and a deterministic 30%
+    * subset appears a third time. This is how public pretraining recipes
+    * express "see Wikipedia 3.3 times per pass over CommonCrawl".
+    *
+    * Emits an `epoch` column (0-based copy index) so downstream shuffling
+    * can decorrelate copies ([[shuffleOrder]] salts with it).
+    *
+    * Scale shape: `explode(sequence(...))` fused into the scan stage — the
+    * per-row copy count is computed from literals + one hash, so there is
+    * no join and no shuffle; output size is exactly Σ epochs(domain)·|domain|.
+    * Domains absent from `epochs` default to 1.0 (pass through unchanged —
+    * upsampling is an additive adjustment, unlike [[mixtureSample]]'s
+    * membership gate).
+    */
+  def upsampleEpochs(
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      epochs: Map[String, Double],
+      salt: Long = 0L): DataFrame = {
+    require(epochs.values.forall(e => e >= 0.0 && e <= 100.0),
+      "epoch factors must be in [0, 100] — a larger factor is almost " +
+        "certainly a unit mistake and would explode the corpus")
+    val epochExpr = epochs.toSeq.sortBy(_._1).foldRight(lit(1.0): Column) {
+      case ((dom, e), rest) => when(col(domainCol) === lit(dom), lit(e)).otherwise(rest)
+    }
+    val copies = floor(epochExpr).cast("long") +
+      when(unitHash(col(idCol), salt) < (epochExpr - floor(epochExpr)), 1L)
+        .otherwise(0L)
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
+  /** Stratified cap: keep at most `k` rows per stratum, chosen by hash
+    * order (a deterministic uniform draw — NOT "first k by id", which
+    * would bias toward old rows). The per-stratum analog of `limit`:
+    * balanced eval sets, per-source caps, debugging slices.
+    *
+    * Scale shape: one shuffle on the stratum key + one partitioned-window
+    * `row_number` pass. Never a global window; the 100 TB caveat is a
+    * single mega-stratum, which this still handles (one sort per stratum,
+    * spilling, not quadratic) — pre-composite the stratum key if a single
+    * stratum exceeds a task's comfortable sort size.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      k: Int,
+      salt: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(unitHash(col(idCol), salt), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Token-budget selection: per group, take rows in descending quality
+    * order until the token budget is exhausted — "give me the best 1B
+    * tokens per language". The row that would cross the budget is EXCLUDED
+    * (strict budget; the greedy prefix property makes the selection
+    * order-free to verify: a row is in iff the running sum of all
+    * strictly-better rows plus itself fits).
+    *
+    * Scale shape: one shuffle on the group key + one partitioned-window
+    * running sum. Quality ties break by ascending id so the selection is
+    * total-order deterministic.
+    */
+  def tokenBudgetSelect(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      qualityCol: Column,
+      tokensCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(qualityCol.desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum_tokens", sum(tokensCol.cast("long")).over(w))
+      .filter(col("__cum_tokens") <= budget)
+      .drop("__cum_tokens")
+  }
+
+  /** Quantile-gated quality filter: within each group, drop rows whose
+    * score sits in the bottom `dropBelow` quantile — per-language quality
+    * thresholds without hand-picking absolute cutoffs (an absolute
+    * threshold tuned on English silently guts low-resource languages;
+    * a per-group quantile adapts).
+    *
+    * Gate: `cume_dist() > dropBelow`, i.e. a row survives when MORE than
+    * `dropBelow` of its group scores at or below it. Ties share a
+    * cume_dist, so equal scores live or die together (no hash tiebreak —
+    * a quality gate that split identical scores would be arbitrary).
+    *
+    * Scale shape: one shuffle on the group key + one partitioned-window
+    * pass. At extreme group sizes, swap the exact cume_dist for a
+    * broadcast of per-group `approx_percentile` cutoffs — same gate
+    * semantics, sketch-sized state; the exact form is the oracle-able
+    * reference implementation.
+    */
+  def quantileQualityFilter(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: Column,
+      dropBelow: Double): DataFrame = {
+    require(dropBelow >= 0.0 && dropBelow < 1.0, "dropBelow must be in [0, 1)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(scoreCol.asc)
+    df.withColumn("__cd", cume_dist().over(w))
+      .filter(col("__cd") > dropBelow)
+      .drop("__cd")
+  }
+
+  /** Reproducible global shuffle order: a hash-of-id sort key that scatters
+    * any id locality (crawl order, source grouping) into a pseudorandom but
+    * DETERMINISTIC training order — same corpus, same salt, same order,
+    * on any cluster size. Salt with the epoch index so each pass over the
+    * data sees a different permutation.
+    *
+    * Scale shape: `orderBy(shuffle key)` is Spark's range-partitioned
+    * distributed sort (sampled range boundaries, no single-partition
+    * exchange); under a `limit` it collapses to TakeOrderedAndProject.
+    * At 100 TB, prefer writing the sorted output with
+    * [[graft.sinks.Sinks]]' sorted layout so the order is materialized
+    * once, not re-sorted per consumer.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, salt: Long = 0L): DataFrame =
+    df.orderBy(unitHash(col(idCol), salt).asc, col(idCol).asc)
+}

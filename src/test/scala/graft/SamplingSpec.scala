@@ -1,0 +1,146 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** The sampling/mixing family: deterministic membership, statistical rate
+  * accuracy, the greedy-prefix/quantile gate semantics, and — the part that
+  * matters at 100 TB — the plan shapes: mixture/upsample must stay
+  * scan-stage (zero shuffles), the window ops must plan PARTITIONED windows
+  * only.
+  */
+class SamplingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet(s"$sfDir/documents.parquet").cache()
+
+  test("unitHash is uniform enough and stable across salts") {
+    val n = 4096L
+    val ids = spark.range(n).toDF("id")
+    val buckets = ids
+      .select((Sampling.unitHash(col("id")) * 10).cast("int").as("b"))
+      .groupBy("b").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(buckets.keySet == (0 until 10).toSet, "all 10 deciles populated")
+    buckets.values.foreach { c =>
+      assert(math.abs(c - n / 10.0) < n / 10.0 * 0.25,
+        s"decile count $c should be within 25% of ${n / 10}")
+    }
+    // different salts decorrelate: the same id set agrees on ~p^2 under two
+    // independent p-filters, not ~p (which nested/identical draws would give)
+    val p = 0.5
+    val both = ids.filter(
+      Sampling.unitHash(col("id"), 1) < p && Sampling.unitHash(col("id"), 999) < p)
+      .count()
+    assert(math.abs(both - n * p * p) < n * 0.08,
+      s"salted draws must cross, not nest: got $both, expected ~${n * p * p}")
+  }
+
+  test("mixtureSample keeps ~weight per domain, deterministically, with zero shuffles") {
+    val weights = Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.5)
+    val out = Sampling.mixtureSample(docs, "source", "doc_id", weights)
+    val byDomain = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain("src0") == totals("src0"), "weight 1.0 keeps everything")
+    assert(!byDomain.contains("src1"), "weight 0.0 drops the domain")
+    assert(byDomain.keySet.subsetOf(Set("src0", "src2")),
+      "defaultWeight 0.0 drops unlisted domains")
+    val kept2 = byDomain.getOrElse("src2", 0L).toDouble / totals("src2")
+    assert(kept2 > 0.2 && kept2 < 0.8, s"src2 kept rate $kept2 should be ~0.5")
+    // deterministic: a re-run selects the identical id set
+    val again = Sampling.mixtureSample(docs, "source", "doc_id", weights)
+    assert(out.select("doc_id").except(again.select("doc_id")).isEmpty &&
+      again.select("doc_id").except(out.select("doc_id")).isEmpty)
+    // the scale property: one scan-stage filter, no shuffle, no join
+    val shuffles = out.queryExecution.sparkPlan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, "mixtureSample must not shuffle")
+  }
+
+  test("upsampleEpochs emits floor/ceil copies with distinct epoch indices, zero shuffles") {
+    val out = Sampling.upsampleEpochs(docs, "lang", "doc_id",
+      Map("en" -> 2.25, "de" -> 0.5), salt = 7).cache()
+    try {
+      // every (doc_id, epoch) pair is unique and epochs are dense from 0
+      assert(out.groupBy("doc_id", "epoch").count().filter($"count" > 1).isEmpty)
+      val perDoc = out.groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("copies"), max($"epoch").as("max_e"))
+      assert(perDoc.filter($"copies" =!= $"max_e" + 1).isEmpty,
+        "epoch indices must be 0..copies-1")
+      // en docs get 2 or 3 copies, ~25% getting 3; de docs 0 or 1; others exactly 1
+      assert(perDoc.filter($"lang" === "en" && !$"copies".isin(2L, 3L)).isEmpty)
+      assert(perDoc.filter($"lang" === "de" && $"copies" =!= 1L).isEmpty,
+        "surviving de docs have exactly 1 copy (0-copy docs are absent)")
+      assert(perDoc.filter(!$"lang".isin("en", "de") && $"copies" =!= 1L).isEmpty)
+      val en = perDoc.filter($"lang" === "en").agg(
+        count(lit(1)).as("n"), sum(when($"copies" === 3, 1L).otherwise(0L)).as("three"))
+        .head()
+      val frac3 = en.getLong(1).toDouble / en.getLong(0)
+      assert(frac3 > 0.05 && frac3 < 0.5, s"~25% of en docs get the 3rd copy, got $frac3")
+      val shuffles = out.queryExecution.sparkPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty, "upsampleEpochs must not shuffle")
+    } finally out.unpersist()
+  }
+
+  test("stratifiedSample caps every stratum at k with a partitioned window") {
+    val out = Sampling.stratifiedSample(docs, "lang", "doc_id", k = 5, salt = 3)
+    val sizes = out.groupBy("lang").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 5), "no stratum exceeds k")
+    assert(out.join(docs, Seq("doc_id"), "left_anti").isEmpty, "output ⊆ input")
+    // a small stratum passes through whole
+    val tiny = docs.filter($"lang" === "zh").limit(3)
+    assert(Sampling.stratifiedSample(tiny, "lang", "doc_id", k = 5).count() == tiny.count())
+    val global = out.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "window must be partitioned by the stratum")
+  }
+
+  test("tokenBudgetSelect takes the greedy best-first prefix within budget") {
+    val rows = Seq(
+      ("a", 1L, 10.0, 400L), ("a", 2L, 9.0, 400L), ("a", 3L, 8.0, 300L),
+      ("a", 4L, 7.0, 300L), // would cross 1000 at cum=1400 → excluded
+      ("a", 5L, 6.0, 100L), // also excluded: greedy stops counting, cum=1500
+      ("b", 6L, 1.0, 999L), ("b", 7L, 2.0, 2000L) // best-first: 7 alone busts
+    ).toDF("g", "id", "quality", "toks")
+    val out = Sampling.tokenBudgetSelect(rows, "g", "id", $"quality", $"toks", budget = 1000)
+      .select($"id").as[Long].collect().toSet
+    // group a: 400+400 fits, +300 crosses... 400+400=800, +300=1100 > 1000 →
+    // id 3 excluded, and the running sum keeps accumulating so 4,5 excluded too
+    // group b: quality order is id 7 (2000 busts) then id 6 — strict greedy
+    // excludes both (the prefix property, same as the SQL window replay)
+    assert(out == Set(1L, 2L))
+  }
+
+  test("quantileQualityFilter drops the bottom quantile, ties together") {
+    val rows = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 1.0), ("a", 3L, 2.0), ("a", 4L, 3.0),
+      ("b", 5L, 9.0)
+    ).toDF("g", "id", "score")
+    // group a, dropBelow=0.5: scores 1.0,1.0 have cume_dist 0.5 → dropped
+    // TOGETHER; 2.0 (0.75) and 3.0 (1.0) survive. singleton group b: cume 1.0
+    val out = Sampling.quantileQualityFilter(rows, "g", $"score", dropBelow = 0.5)
+      .select($"id").as[Long].collect().toSet
+    assert(out == Set(3L, 4L, 5L))
+  }
+
+  test("shuffleOrder is a deterministic permutation that breaks id locality") {
+    val ordered = Sampling.shuffleOrder(docs.select("doc_id"), "doc_id", salt = 1)
+      .as[Long].collect()
+    assert(ordered.sorted.toSeq == docs.select("doc_id").as[Long].collect().sorted.toSeq,
+      "a permutation: same multiset")
+    val again = Sampling.shuffleOrder(docs.select("doc_id"), "doc_id", salt = 1)
+      .as[Long].collect()
+    assert(ordered.toSeq == again.toSeq, "same salt → same order")
+    val other = Sampling.shuffleOrder(docs.select("doc_id"), "doc_id", salt = 2)
+      .as[Long].collect()
+    assert(ordered.toSeq != other.toSeq, "different salt → different order")
+    // locality scatter: consecutive output ids are rarely consecutive inputs
+    val adjacent = ordered.sliding(2).count(p => math.abs(p(1) - p(0)) == 1)
+    assert(adjacent < ordered.length / 10, s"id runs must scatter, got $adjacent adjacent pairs")
+  }
+}

@@ -66,18 +66,24 @@ class StressScaleSpec extends SparkTestBase {
         s"hot key must spread over salt cells: max cell $maxCell vs hot $hot")
       // wall-time: this VM's scheduler-noise bursts inflate either plan by
       // multiple seconds for tens of seconds at a time (r3 recorded 13.45s
-      // for a 0.5s plan), so a single paired race flakes. Run up to 3
-      // races and require salted to win ANY of them — a genuinely broken
-      // salt (e.g. cells that re-concentrate) loses every race, while one
-      // noise burst cannot span three back-to-back attempts.
-      val won = (1 to 3).exists { attempt =>
+      // for a 0.5s plan), so a single paired race flakes — but "salted wins
+      // ANY of 3" would let a broken salt pass off one lucky burst. Compare
+      // MEDIANS of 3 interleaved runs per plan: a single burst inflates at
+      // most one of a plan's three samples, so the median stays clean,
+      // while a genuinely broken salt loses on medians every time.
+      val samples = (1 to 3).map { attempt =>
         val plainS = timed(total(plainDf))._2
         val saltedS = timed(total(saltedDf))._2
         info(f"race $attempt: plain $plainS%.2fs vs salted $saltedS%.2fs")
-        saltedS < plainS
+        (plainS, saltedS)
       }
-      assert(won, "salting never beat the plain join across 3 races — " +
-        "the hot key is not spreading over reducers")
+      def median3(xs: Seq[Double]): Double = xs.sorted.apply(1)
+      val plainMed = median3(samples.map(_._1))
+      val saltedMed = median3(samples.map(_._2))
+      assert(saltedMed < plainMed,
+        f"salted median $saltedMed%.2fs did not beat plain median " +
+          f"$plainMed%.2fs over 3 races — the hot key is not spreading " +
+          "over reducers")
     } finally {
       conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
       conf.set("spark.sql.adaptive.skewJoin.enabled", savedSkew)
