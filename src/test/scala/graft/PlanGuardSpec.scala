@@ -84,10 +84,66 @@ class PlanGuardSpec extends SparkTestBase {
     assert(stale.isEmpty, s"allowlisted but no longer global-windowing (remove): $stale")
   }
 
+  // Exchange-count budget for the surface's most expensive queries, counted
+  // on the fully-prepared plan (EnsureRequirements has inserted every
+  // exchange) with AQE off so the number is planning-time deterministic.
+  // An accidental extra shuffle — a lost partitioning, a join that stopped
+  // broadcasting, a stray repartition — fails HERE with a named query
+  // rather than surfacing as an unexplained bench regression. Counts are
+  // pinned at the spec's sf0.001 (broadcast thresholds shape joins); the
+  // REASON records what the exchanges pay for, so a legitimate re-plan
+  // updates the pin consciously.
+  private val shuffleBudget: Map[String, (Int, String)] = Map(
+    // scan-stage sampling: the whole point is the corpus does not move
+    "mixture_sample" -> (0, "weighted sampling is one scan-stage filter"),
+    "epoch_upsample" -> (0, "epoch explode fuses into the scan"),
+    "train_order" -> (0, "orderBy+limit collapses to TakeOrderedAndProject"),
+    // one-exchange workhorses
+    "q1_agg" -> (1, "partial→final agg exchange on the group keys"),
+    "flagship_events" -> (1, "final sort exchange of the filtered scan"),
+    "exact_dedup_docs" -> (1, "the operator contract: ONE digest-keyed shuffle"),
+    "pack_sequences" -> (1, "one group-key repartition, then a narrow stateful pass"),
+    "salted_join_agg" -> (1, "build side broadcasts at this sf; agg exchange remains"),
+    "q3_topk_join" -> (1, "dims broadcast at this sf; agg exchange + distributed top-k"),
+    "ivf_topk" -> (1, "codebook/probe sides broadcast; one exchange builds the lists"),
+    "token_budget_select" -> (1, "one partitioned-window exchange on the group key"),
+    "quantile_gate" -> (1, "one partitioned-window exchange on the group key"),
+    "uniform_stratum_sample" -> (1, "one partitioned-window exchange on the stratum key"),
+    // analytics: one user-keyed exchange feeds all window passes + final agg
+    "funnel_conversion" -> (2, "user-key exchange reused by 3 windows; tiny final agg"),
+    "retention_cohorts" -> (2, "user-key exchange + cohort-grid agg"),
+    // multi-stage pipelines: each number is the audited stage count
+    "segment_dedup" -> (3, "segment-key agg (2-phase) + doc-id regroup"),
+    "embed_dedup" -> (4, "LSH bucket join + component resolution + survivor semi-join"),
+    "tfidf_top_terms" -> (5, "term df agg, doc tf agg, join, per-doc top-k window"),
+    "curation_pipeline_v2" -> (7, "LM bigram counts ×2 + joins + segment dedup + packing"),
+    "semantic_dedup" -> (7, "distributed Lloyd (assign+update) + cluster pair verify"),
+    "minhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
+    "simhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
+    "ngram_jaccard_dedup_docs" -> (8, "exact-collapse + shingle joins + CC + invariants")
+  )
+
+  test("flagship queries keep their pinned exchange counts") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val actual = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      shuffleBudget.keySet.toSeq.sorted.map { name =>
+        val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+        name -> plan.collect { case e: ShuffleExchangeExec => e }.size
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+    val drifted = actual.filter { case (name, n) => n != shuffleBudget(name)._1 }
+    assert(drifted.isEmpty, drifted.map { case (name, n) =>
+      s"$name plans $n exchanges, pinned ${shuffleBudget(name)._1} " +
+        s"(${shuffleBudget(name)._2})"
+    }.mkString("; "))
+  }
+
   test("the allowlists only name real queries") {
     val known = SparkEntry.queries.keySet
     val stale = (crossAllowed.keySet ++ udfAllowed.keySet ++
-      globalWindowAllowed.keySet) -- known
+      globalWindowAllowed.keySet ++ shuffleBudget.keySet) -- known
     assert(stale.isEmpty, s"allowlist entries without queries: $stale")
   }
 }
