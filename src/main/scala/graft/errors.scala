@@ -18,3 +18,13 @@ class GraftConfigError(message: String, cause: Throwable = null)
   */
 class GraftDataError(message: String, cause: Throwable = null)
     extends IllegalStateException(message, cause)
+
+/** A plan vetoed BEFORE execution because [[graft.plans.PlanAdvisor]] found
+  * a Critical scale-killer (cartesian join, global window, repartition(1),
+  * UDF fallback) and the pipeline runs with `advisor.mode = "fail"`. The
+  * declarative analog of the reference's performance warnings
+  * (`app/warnings/performance_warnings.py`): raised at plan time, when
+  * fixing it is free, not after cluster-hours prove it.
+  */
+class GraftPlanError(message: String)
+    extends IllegalStateException(message)

@@ -17,12 +17,28 @@ final case class Pipeline(
     transforms: Seq[DataFrame => DataFrame] = Nil,
     failOnMissing: Boolean = true,
     sink: Option[DataFrame => Unit] = None,
-    checkpoint: Option[() => Unit] = None) {
+    checkpoint: Option[() => Unit] = None,
+    advisorMode: Pipeline.AdvisorMode = Pipeline.AdvisorOff) {
 
-  /** Build the logical plan without running it. None = source missing + skip. */
+  /** Build the logical plan without running it. None = source missing + skip.
+    * With an advisor mode set, the assembled plan is inspected by
+    * [[graft.plans.PlanAdvisor]] BEFORE anything executes: `AdvisorLog`
+    * logs every finding; `AdvisorFail` additionally vetoes the run with
+    * [[graft.GraftPlanError]] on any Critical one. Pure plan inspection —
+    * no jobs run either way.
+    */
   def plan(spark: SparkSession): Option[DataFrame] =
     Sources.open(spark, source, failOnMissing).map { df =>
-      transforms.foldLeft(df)((d, t) => t(d))
+      val planned = transforms.foldLeft(df)((d, t) => t(d))
+      if (advisorMode != Pipeline.AdvisorOff) {
+        val warnings = graft.plans.PlanAdvisor.advise(planned)
+        warnings.foreach(w => Pipeline.log.warn(s"[plan-advisor] ${w.message}"))
+        val criticals = warnings.filter(_.severity == graft.plans.PlanAdvisor.Critical)
+        if (advisorMode == Pipeline.AdvisorFail && criticals.nonEmpty)
+          throw new graft.GraftPlanError(
+            s"plan vetoed: ${criticals.map(_.message).mkString("; ")}")
+      }
+      planned
     }
 
   /** Run end-to-end: action the sink, then (and only then) the checkpoint.
@@ -42,4 +58,17 @@ final case class Pipeline(
       checkpoint.foreach(_())
       df
     }
+}
+
+object Pipeline {
+  private[pipeline] val log = org.slf4j.LoggerFactory.getLogger(classOf[Pipeline])
+
+  /** Advisor gate for an assembled pipeline plan (config: `advisor.mode`). */
+  sealed trait AdvisorMode
+  /** No inspection (default — existing configs are untouched). */
+  case object AdvisorOff extends AdvisorMode
+  /** Log every PlanAdvisor finding, run anyway. */
+  case object AdvisorLog extends AdvisorMode
+  /** Log, and veto the run with [[graft.GraftPlanError]] on any Critical. */
+  case object AdvisorFail extends AdvisorMode
 }

@@ -201,11 +201,22 @@ object PipelineConfig {
         Some(() => Sinks.writeCheckpoint(spark, path, values))
     }
 
+    // advisor gate: same hard-gate posture as the sink registry — an
+    // unknown mode is a config error at parse time, not a silent default
+    val advisorMode = (cfg \ "advisor" \ "mode").extractOpt[String] match {
+      case None | Some("off") => Pipeline.AdvisorOff
+      case Some("log") => Pipeline.AdvisorLog
+      case Some("fail") => Pipeline.AdvisorFail
+      case Some(other) => throw new graft.GraftConfigError(
+        s"advisor.mode '$other' (expected off|log|fail)")
+    }
+
     Pipeline(
       source = source,
       transforms = transforms.result(),
       failOnMissing = (cfg \ "failOnMissing").extractOrElse[Boolean](true),
       sink = sinkFn,
-      checkpoint = checkpointFn)
+      checkpoint = checkpointFn,
+      advisorMode = advisorMode)
   }
 }

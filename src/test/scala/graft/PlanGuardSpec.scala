@@ -41,12 +41,19 @@ class PlanGuardSpec extends SparkTestBase {
       "(TakeOrderedAndProject), so its input is <=50 rows by construction")
   )
 
+  // The three sweeps below drive graft.plans.PlanAdvisor — the library's
+  // typed plan-warning surface — across every query, so the ADVISOR's
+  // detectors are what this suite regression-tests (one source of truth;
+  // a pipeline running with advisor.mode=fail gets exactly these checks).
+  private lazy val adviceByQuery: Map[String, Seq[graft.plans.PlanAdvisor.PlanWarning]] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> graft.plans.PlanAdvisor.advise(fn(spark, sfDir))
+    }.toMap
+
   test("no query plans an unbounded cartesian or nested-loop join") {
-    val crossing = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-      if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
-        Some(name)
-      else None
+    import graft.plans.PlanAdvisor.CartesianJoin
+    val crossing = adviceByQuery.collect {
+      case (name, ws) if ws.exists(_.isInstanceOf[CartesianJoin]) => name
     }.toSet
     val offenders = crossing -- crossAllowed.keySet
     assert(offenders.isEmpty, s"unexpected cartesian/nested-loop in: $offenders")
@@ -55,14 +62,12 @@ class PlanGuardSpec extends SparkTestBase {
   }
 
   test("no query falls back to a Scala UDF outside the allowlist") {
-    // walk the physical expression trees for ScalaUDF nodes rather than
+    // PlanAdvisor walks the expression trees for ScalaUDF nodes rather than
     // string-matching "UDF(" — a named UDF prints under its registered name
     // and would escape a substring check
-    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
-    val carrying = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.sparkPlan
-      val hasUdf = plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
-      if (hasUdf) Some(name) else None
+    import graft.plans.PlanAdvisor.UdfFallback
+    val carrying = adviceByQuery.collect {
+      case (name, ws) if ws.exists(_.isInstanceOf[UdfFallback]) => name
     }.toSet
     val offenders = carrying -- udfAllowed.keySet
     assert(offenders.isEmpty, s"unexpected UDF fallback in: $offenders")
@@ -71,17 +76,23 @@ class PlanGuardSpec extends SparkTestBase {
   }
 
   test("no query plans a Window over a single global partition") {
-    import org.apache.spark.sql.execution.window.WindowExec
-    val global = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.sparkPlan
-      val hasGlobalWindow =
-        plan.exists { case w: WindowExec => w.partitionSpec.isEmpty; case _ => false }
-      if (hasGlobalWindow) Some(name) else None
+    import graft.plans.PlanAdvisor.GlobalWindow
+    val global = adviceByQuery.collect {
+      case (name, ws) if ws.exists(_.isInstanceOf[GlobalWindow]) => name
     }.toSet
     val offenders = global -- globalWindowAllowed.keySet
     assert(offenders.isEmpty, s"single-partition Window in: $offenders")
     val stale = globalWindowAllowed.keySet -- global
     assert(stale.isEmpty, s"allowlisted but no longer global-windowing (remove): $stale")
+  }
+
+  test("no query funnels the dataflow into one partition") {
+    import graft.plans.PlanAdvisor.SinglePartitionFunnel
+    val funneling = adviceByQuery.collect {
+      case (name, ws) if ws.exists(_.isInstanceOf[SinglePartitionFunnel]) => name
+    }.toSet
+    assert(funneling.isEmpty,
+      s"repartition(1)/coalesce(1) in: $funneling — nothing on the surface may funnel")
   }
 
   // Exchange-count budget for the surface's most expensive queries, counted
