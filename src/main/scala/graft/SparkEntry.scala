@@ -646,6 +646,42 @@ object SparkEntry {
       Similarity.ivfTopK(assignments, model, "vec_id", "embedding", q, k = 10, nprobe = 4)
     }),
 
+    "kmeans_clusters" -> ((s, dir) =>
+      // cluster-cohesion report over the distributed-Lloyd partitioning:
+      // size + mean cosine-to-centroid per cluster, accumulated fixed-point
+      // so the profile (and the oracle's Lloyd replay) is bitwise exact
+      Similarity.clusterProfile(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nlist = 16)),
+
+    "cluster_balanced_sample" -> ((s, dir) =>
+      // diversity-preserving cut: at most 8 vectors per k-means cluster,
+      // picked by the deterministic unit hash — a mega-cluster of
+      // boilerplate cannot dominate the sample the way it would a uniform cut
+      Similarity.clusterBalancedSample(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nlist = 16, perCluster = 8)),
+
+    "knn_classify" -> ((s, dir) => {
+      // label propagation: the 5 held-out query vectors take the majority
+      // label of their 10 nearest labeled neighbors (bounded TopKAgg — the
+      // shuffle is O(partitions x queries x k) regardless of corpus size)
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.knnClassify(
+        emb.filter(col("vec_id") >= 5), "vec_id", "embedding", "label",
+        queries, "query_id", "query_vec", k = 10)
+        .select(col("query_id"),
+          col("predicted_label").cast("long").as("predicted_label"),
+          col("votes"))
+    }),
+
+    "containment_dedup" -> ((s, dir) =>
+      // A-inside-B detection over the rare-shingle space: the substring-dup
+      // remainder exact dedup (identical docs) and Jaccard (length-diluted)
+      // both miss; df-cut bounds pair volume linearly in the corpus
+      Dedup.containmentScores(Tables.documents(s, dir), "doc_id", "text",
+        n = 5, threshold = 0.9, maxShingleDf = 100)),
+
     "multimodal_features" -> ((s, dir) => {
       // REAL decode path: payloads are genuine WAV/BMP/PPM containers
       // (synthesized closed-form from doc_id — see Multimodal's adapter
@@ -2101,6 +2137,77 @@ object SparkEntry {
          |SELECT a.vec_id, CAST(a.cidx AS BIGINT) AS centroid_id
          |FROM afull a
          |WHERE a.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin,
+
+    "kmeans_clusters" ->
+      // replay the distributed Lloyd (sqlKmeansAssignAll), then profile each
+      // cluster: the mean cosine accumulates the same fixed-point longs as
+      // the Spark side, so the profile compares bitwise
+      s"""WITH $sqlKmeansAssignAll
+         |SELECT CAST(a.cidx AS BIGINT) AS centroid_id,
+         |  count(*) AS n_vectors,
+         |  (CAST(sum(CAST(floor(${sqlCos("a.embedding", "c.cv")} * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |    / count(*)) / 1048576.0 AS mean_cos
+         |FROM afull a JOIN c2 c ON c.cidx = a.cidx
+         |GROUP BY a.cidx""".stripMargin,
+
+    "cluster_balanced_sample" ->
+      s"""WITH $sqlKmeansAssignAll
+         |SELECT vec_id, CAST(cidx AS BIGINT) AS centroid_id FROM (
+         |  SELECT vec_id, cidx,
+         |    row_number() OVER (PARTITION BY cidx
+         |      ORDER BY ${sqlUnitHash("vec_id", 0L)} ASC, vec_id) AS rn
+         |  FROM afull) t
+         |WHERE rn <= 8""".stripMargin,
+
+    "knn_classify" ->
+      s"""WITH qs AS (
+         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id, e.label,
+         |    ${sqlCos("e.embedding", "q.qv")} AS score
+         |  FROM embeddings e, qs q WHERE e.vec_id >= 5),
+         |top10 AS (
+         |  SELECT query_id, label FROM (
+         |    SELECT query_id, label,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+         |    FROM scored) s WHERE rn <= 10),
+         |votes AS (
+         |  SELECT query_id, label, count(*) AS votes FROM top10 GROUP BY query_id, label)
+         |SELECT query_id, CAST(label AS BIGINT) AS predicted_label, votes FROM (
+         |  SELECT query_id, label, votes,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+         |  FROM votes) v
+         |WHERE rn = 1""".stripMargin,
+
+    "containment_dedup" ->
+      // rare-shingle containment: same 5-token shingles, same df<=100 cut,
+      // same integer-ratio arithmetic as Dedup.containmentScores
+      s"""WITH toks AS (
+         |  SELECT doc_id, $sqlToks AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+         |    THEN list_distinct(list_transform(range(0, len(t) - 4),
+         |      i -> array_to_string(t[i+1:i+5], ' ')))
+         |    ELSE []::VARCHAR[] END) AS s
+         |  FROM toks),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+         |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+         |denom AS (SELECT doc_id, count(*) AS n_rare FROM kept GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS common
+         |  FROM kept l JOIN kept r ON l.s = r.s AND l.doc_id <> r.doc_id
+         |  GROUP BY l.doc_id, r.doc_id),
+         |best AS (
+         |  SELECT p.a AS doc_id, max(CAST(p.common AS DOUBLE) / d.n_rare) AS best_c
+         |  FROM pairs p JOIN denom d ON d.doc_id = p.a
+         |  GROUP BY p.a)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(n.n_rare, 0) AS BIGINT) AS n_rare_shingles,
+         |  COALESCE(b.best_c, 0.0) AS best_containment,
+         |  CAST(CASE WHEN COALESCE(b.best_c, 0.0) >= 0.9 THEN 1 ELSE 0 END AS BIGINT) AS contained
+         |FROM documents d
+         |LEFT JOIN denom n ON n.doc_id = d.doc_id
+         |LEFT JOIN best b ON b.doc_id = d.doc_id""".stripMargin,
 
     "embed_dedup" ->
       s"""WITH planes(pid, pv) AS (VALUES

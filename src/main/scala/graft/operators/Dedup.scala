@@ -480,6 +480,73 @@ object Dedup {
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
 
+  /** Shingle-containment scoring (RefinedWeb-style substring-dedup
+    * approximation): for every document A, the best containment
+    * `|shingles(A) ∩ shingles(B)| / |shingles(A)|` over all other documents
+    * B — near 1.0 when A's content is substantially embedded inside some
+    * other document, which symmetric Jaccard misses whenever B is much
+    * longer than A (union-normalized similarity dilutes to |A|/|B|).
+    *
+    * The metric runs over the RARE-shingle space: shingles occurring in
+    * more than `maxShingleDf` documents are excluded from both numerator
+    * and denominator. That is the scale bound — candidate-pair volume is
+    * Σ_s df(s)² ≤ maxShingleDf × |postings| (linear in the corpus for a
+    * fixed cut), where the unfiltered inverted index is quadratic in every
+    * boilerplate shingle's frequency. It is also the right semantics:
+    * ubiquitous shingles are boilerplate (segment dedup's job), and exact
+    * clones are exact dedup's job — run those first; this operator finds
+    * the A-inside-B remainder neither catches.
+    *
+    * Scale shape: shingling is scan-stage Column algebra; then one shuffle
+    * on the shingle string (document frequencies), one equi-join on shingle
+    * (the bounded inverted-index pairs), and hash aggregations on doc id.
+    * Integer-ratio arithmetic only, so the scores mirror exactly.
+    *
+    * Returns one row per input document:
+    * (id, n_rare_shingles, best_containment, contained).
+    */
+  def containmentScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      threshold: Double = 0.9,
+      maxShingleDf: Int = 100): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // n-token shingle strings; sequence() would count DOWN for short docs,
+    // so guard to an empty set below n tokens
+    val shingles = when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+      .otherwise(array())
+    val posting = Ops.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(shingles).as("__s"))
+    val rare = posting.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxShingleDf)
+      .select(col("__s"))
+    val kept = posting.join(rare, Seq("__s"))
+    val denom = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n_rare"))
+    val l = kept.select(col("__s"), col(idCol).as("__a"))
+    val r = kept.select(col("__s"), col(idCol).as("__b"))
+    val best = l.join(r, Seq("__s"))
+      .filter(col("__a") =!= col("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__common"))
+      .join(denom.select(col(idCol).as("__a"), col("__n_rare")), Seq("__a"))
+      .groupBy(col("__a"))
+      .agg(max(col("__common").cast("double") / col("__n_rare")).as("__best"))
+      .select(col("__a").as(idCol), col("__best"))
+    df.select(col(idCol))
+      .join(denom, Seq(idCol), "left")
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n_rare"), lit(0L)).as("n_rare_shingles"),
+        coalesce(col("__best"), lit(0.0)).as("best_containment"),
+        when(coalesce(col("__best"), lit(0.0)) >= threshold, 1L).otherwise(0L)
+          .as("contained"))
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
     * embedding space with the distributed Lloyd codebook
     * ([[Similarity.trainCodebook]] — deterministic at any parallelism), then

@@ -230,6 +230,97 @@ object Similarity {
   def writeIvfIndex(assignments: DataFrame, dir: String): Unit =
     assignments.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
 
+  /** Per-cluster profile of a k-means partitioning of the corpus: size and
+    * mean cosine-to-centroid (the cohesion/inertia analog a curation run
+    * reads to decide whether clusters are tight enough to sample from or
+    * the codebook needs more lists/iterations).
+    *
+    * Scale shape: assignment is the shuffle-free [[ivfIndex]] projection,
+    * the centroid lookup is a broadcast equi-join against the nlist-sized
+    * codebook, and the profile is ONE hash aggregation on `centroid_id` —
+    * map-side partials reduce each task to ≤nlist rows before the shuffle.
+    * The mean accumulates fixed-point longs (`floor(cos·2^20)`, see
+    * [[FixedPoint]]) instead of doubles, so the profile is bitwise
+    * deterministic at any parallelism — and exactly mirrorable.
+    */
+  def clusterProfile(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 2): DataFrame = {
+    val (assignments, model) = ivfIndex(corpus, idCol, vecCol, nlist, iters)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "__cv")
+    assignments
+      .join(broadcast(cents), Seq("centroid_id"))
+      .select(col("centroid_id"),
+        floor(VectorExpressions.cosine(col(vecCol), col("__cv")) * lit(FixedPoint))
+          .cast("long").as("__qcos"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("__qcos")).as("__qsum"))
+      .select(
+        col("centroid_id").cast("long").as("centroid_id"),
+        col("n_vectors"),
+        (col("__qsum").cast("double") / col("n_vectors") / lit(FixedPoint))
+          .as("mean_cos"))
+  }
+
+  /** Cluster-balanced subsample: at most `perCluster` vectors from each
+    * k-means cluster, chosen by the deterministic [[Sampling.unitHash]]
+    * order — the diversity-preserving cut that keeps a mega-cluster of
+    * boilerplate from dominating a curated set the way a uniform sample
+    * would.
+    *
+    * Scale shape: assignment is shuffle-free (broadcast codebook), then ONE
+    * window partitioned by `centroid_id` — never a global window; the hash
+    * order means no per-cluster sort state beyond the window's own, and the
+    * result is reproducible across any partitioning.
+    */
+  def clusterBalancedSample(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, perCluster: Int, iters: Int = 2, salt: Long = 0L): DataFrame = {
+    val (assignments, _) = ivfIndex(corpus, idCol, vecCol, nlist, iters)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("centroid_id"))
+      .orderBy(Sampling.unitHash(col(idCol), salt).asc, col(idCol).asc)
+    assignments
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perCluster)
+      .select(col(idCol), col("centroid_id").cast("long").as("centroid_id"))
+  }
+
+  /** k-NN label classification: each query vector takes the majority label
+    * of its `k` nearest corpus vectors by cosine (votes tie-break to the
+    * smallest label, neighbor ties to the smallest id — fully
+    * deterministic). The label-propagation primitive for semi-supervised
+    * curation: score unlabeled documents by their labeled neighbors.
+    *
+    * Scale shape: riding [[topKJoin]], scoring stays in the corpus scan
+    * stage and the bounded [[TopKAgg]] shuffles O(partitions × queries × k)
+    * rows regardless of corpus size; the label lookup is an equi-join on
+    * the ≤ queries×k neighbor rows, and the vote is a two-level hash
+    * aggregation on query id.
+    */
+  def knnClassify(
+      corpus: DataFrame, corpusId: String, vecCol: String, labelCol: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val neighbors = topKJoin(
+      corpus, corpusId, vecCol, queries, queryId, queryVec, k)
+    val votes = neighbors
+      .join(corpus.select(col(corpusId), col(labelCol)), Seq(corpusId))
+      .groupBy(col(queryId), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryId))
+      .orderBy(col("votes").desc, col(labelCol).asc)
+    votes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(queryId), col(labelCol).as("predicted_label"), col("votes"))
+  }
+
   /** Probe a persisted IVF index: identical semantics to [[ivfTopK]], but the
     * centroid filter prunes whole directories at planning time.
     */

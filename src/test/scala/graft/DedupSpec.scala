@@ -253,6 +253,47 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Seq(5L, 7L))
   }
 
+  test("containmentScores finds A-inside-B that Jaccard dilutes away") {
+    val frame = Seq(
+      // A: 6 tokens -> 2 distinct 5-shingles, both inside B
+      (1L, "a1 a2 a3 a4 a5 a6"),
+      // B: wraps A with extra context -> 4 shingles, 2 shared with A
+      (2L, "x0 a1 a2 a3 a4 a5 a6 x1"),
+      // C: unrelated -> zero common shingles
+      (3L, "c1 c2 c3 c4 c5 c6 c7"),
+      // D: too short for a 5-shingle -> empty shingle set
+      (4L, "d1 d2 d3")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentScores(frame, "doc_id", "text", n = 5, threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 1.0, 1L)), "A fully contained in B")
+    assert(out(2L) == ((4L, 0.5, 0L)), "B shares half its shingles, below threshold")
+    assert(out(3L) == ((7L - 4L, 0.0, 0L)), "no overlap -> zero containment")
+    assert(out(4L) == ((0L, 0.0, 0L)), "sub-shingle docs score zero, not null")
+    // the same pair under symmetric Jaccard: 2 / (2 + 4 - 2) = 0.5 — the
+    // dilution containment exists to avoid
+  }
+
+  test("containmentScores excludes boilerplate shingles above the df cut") {
+    // one shingle shared by 3 docs; with maxShingleDf = 2 it is boilerplate
+    // and must not count toward containment for anyone
+    val boiler = "b1 b2 b3 b4 b5"
+    val frame = Seq(
+      (1L, s"$boiler u1 u2 u3 u4 u5"),
+      (2L, s"$boiler v1 v2 v3 v4 v5"),
+      (3L, boiler)
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentScores(
+      frame, "doc_id", "text", n = 5, threshold = 0.9, maxShingleDf = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc 3's only shingle is the boilerplate one -> empty rare space
+    assert(out(3L) == ((0L, 0.0)))
+    // docs 1/2 keep only their unique tails, which do not overlap
+    assert(out(1L)._2 == 0.0 && out(2L)._2 == 0.0)
+    assert(out(1L)._1 > 0L, "unique shingles survive the cut")
+  }
+
   test("minhash signatures are deterministic across evaluations") {
     val sig = Dedup.minhashSignature(graft.operators.TextAnalysis.wordShingles(col("text"), 3), 16)
     val a = docs.select(sig).collect().map(_.getSeq[Long](0))

@@ -15,6 +15,7 @@ class PlanGuardSpec extends SparkTestBase {
   // a cartesian, and an entry whose plan no longer crosses is stale.
   private val crossAllowed: Map[String, String] = Map(
     "ann_topk_join" -> "<=5-row query side broadcast against the corpus",
+    "knn_classify" -> "<=5-row query side broadcast against the corpus (topKJoin)",
     "sql_surface_topk" -> "1-row WITH q subquery crossed in SQL",
     "tfidf_top_terms" -> "1-row corpus-count scalar broadcast",
     "vocab_coverage" -> "1-row vocab-size scalar broadcast",

@@ -224,4 +224,66 @@ class SimilaritySpec extends SparkTestBase {
       .collect()
     assert(top1.map(_.getLong(0)).contains(12L))
   }
+
+  test("clusterProfile partitions the corpus and bounds cohesion to [-1, 1]") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val profile = Similarity.clusterProfile(emb, "vec_id", "embedding", nlist = 16)
+      .collect()
+    assert(profile.map(_.getLong(1)).sum == emb.count(),
+      "cluster sizes partition the corpus exactly")
+    assert(profile.map(_.getLong(0)).forall(c => c >= 0 && c < 16))
+    assert(profile.forall(r => r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0 + 1e-9),
+      "mean cosine-to-centroid is a cosine mean")
+    // tightest sanity: a cluster's members are on average closer to their
+    // own centroid than random (> 0 overall for non-degenerate codebooks)
+    assert(profile.map(_.getDouble(2)).sum / profile.length > 0.0)
+  }
+
+  test("clusterBalancedSample caps every cluster and is reproducible") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val sample = Similarity.clusterBalancedSample(
+      emb, "vec_id", "embedding", nlist = 16, perCluster = 8)
+    val perCluster = sample.groupBy("centroid_id").agg(count(lit(1)).as("n")).collect()
+    assert(perCluster.forall(_.getLong(1) <= 8L), "no cluster exceeds the cap")
+    val ids = sample.select("vec_id").as[Long].collect().toSet
+    val again = Similarity.clusterBalancedSample(
+      emb, "vec_id", "embedding", nlist = 16, perCluster = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids == again, "hash-ordered selection is deterministic")
+    // a different salt draws a genuinely different sample
+    val salted = Similarity.clusterBalancedSample(
+      emb, "vec_id", "embedding", nlist = 16, perCluster = 8, salt = 7L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids != salted)
+  }
+
+  test("knnClassify takes the majority label of the k nearest, deterministically") {
+    // two tight clusters on orthogonal axes: labels are unambiguous, so the
+    // vote must be unanimous for a query inside either cluster
+    def around(axis: Int, n: Int, base: Long): Seq[(Long, Seq[Float], Int)] =
+      (0 until n).map { i =>
+        val v = Array.fill(4)(0.01f * (i % 3))
+        v(axis) = 1f
+        (base + i, v.toSeq, axis)
+      }
+    val corpus = (around(0, 12, 100L) ++ around(1, 12, 200L))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (0L, Seq(0.9f, 0.05f, 0f, 0f)),
+      (1L, Seq(0.05f, 0.9f, 0f, 0f))).toDF("query_id", "query_vec")
+    val out = Similarity.knnClassify(
+      corpus, "vec_id", "embedding", "label", queries, "query_id", "query_vec", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out(0L) == ((0, 5L)), "axis-0 query: unanimous label 0")
+    assert(out(1L) == ((1, 5L)), "axis-1 query: unanimous label 1")
+    // exact 50/50 vote splits must break to the SMALLEST label: a query
+    // equidistant from both clusters with k=2 sees one neighbor of each
+    val tieCorpus = Seq(
+      (1L, Seq(1f, 0f), 3), (2L, Seq(0f, 1f), 1)).toDF("vec_id", "embedding", "label")
+    val tieQuery = Seq((9L, Seq(1f, 1f))).toDF("query_id", "query_vec")
+    val tie = Similarity.knnClassify(
+      tieCorpus, "vec_id", "embedding", "label", tieQuery, "query_id", "query_vec", k = 2)
+      .head()
+    assert(tie.getInt(1) == 1 && tie.getLong(2) == 1L)
+  }
 }
