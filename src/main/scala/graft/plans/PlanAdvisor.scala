@@ -110,8 +110,13 @@ object PlanAdvisor {
         (b.right.isInstanceOf[AttributeReference] && b.left.foldable)
     case In(_: AttributeReference, list) => list.forall(_.foldable)
     case InSet(_: AttributeReference, _) => true
-    case IsNull(_: AttributeReference) => true
-    case IsNotNull(_: AttributeReference) => true
+    // null guards over ANY expression are exempt, not just over bare
+    // columns: Catalyst inserts IsNotNull(f(col)) ahead of joins/windows
+    // keyed on computed columns. Such a guard is not a selective data gate
+    // — the row is decoded for f() regardless — so reporting it as "lost
+    // row-group skipping" would be pure noise.
+    case IsNull(_) => true
+    case IsNotNull(_) => true
     case StartsWith(_: AttributeReference, Literal(_, _)) => true
     case EndsWith(_: AttributeReference, Literal(_, _)) => true
     case Contains(_: AttributeReference, Literal(_, _)) => true

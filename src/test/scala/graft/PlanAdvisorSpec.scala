@@ -80,6 +80,11 @@ class PlanAdvisorSpec extends SparkTestBase {
       assert(warningsOf(opaque).exists(_.isInstanceOf[UnpushedScanFilters]))
       // a raw-column comparison pushes — no warning
       assert(!warningsOf(scan.filter($"id" > 50)).exists(_.isInstanceOf[UnpushedScanFilters]))
+      // a null GUARD over a computed expression is exempt: Catalyst inserts
+      // IsNotNull(f(col)) ahead of joins on computed keys, and the row is
+      // decoded for f() regardless — not a selective gate worth a warning
+      assert(!warningsOf(scan.filter(sha2($"s", 256).isNotNull))
+        .exists(_.isInstanceOf[UnpushedScanFilters]))
     } finally {
       import java.nio.file._
       Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder())

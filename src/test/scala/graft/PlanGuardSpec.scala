@@ -96,6 +96,66 @@ class PlanGuardSpec extends SparkTestBase {
       s"repartition(1)/coalesce(1) in: $funneling — nothing on the surface may funnel")
   }
 
+  // scans whose residual (post-decode) filter legitimately cannot translate
+  // to a parquet predicate, with the reason the full-decode is acceptable.
+  // Two shapes qualify: deterministic hash/mod sampling gates (the VALUE of
+  // the gate is a function of the row — no storage predicate can express
+  // it, and the operators' contract is precisely "one scan-stage cut, no
+  // shuffle") and text-derived quality gates (the score IS computed from
+  // the decoded text). Catalyst's IsNotNull guards over computed join keys
+  // are exempted inside the advisor itself, not here.
+  private val unpushedAllowed: Map[String, String] = Map(
+    "mixture_sample" -> "unit-hash sampling gate — scan-stage by contract",
+    "weighted_mix" -> "per-lang mod-hash sampling gate — scan-stage by contract",
+    "epoch_upsample" -> "fractional-epoch hash gate — scan-stage by contract",
+    "upsert_orders" -> "mod-gate splits base/delta from one table in the fixture",
+    "incremental_dedup" -> "mod-gate splits corpus/batch from one table in the fixture",
+    "contamination_check" -> "mod-gate carves the eval set; shingle overlap needs the text",
+    "quality_filter" -> "quality scores are computed FROM the decoded text",
+    "curation_pipeline" -> "composed quality + token gates over the decoded text",
+    "doc_chunks" -> "non-empty-token gate over the decoded text",
+    "ivf_topk" -> ("in-memory probe filters on the computed centroid; the " +
+      "persisted-index path (writeIvfIndex) turns the same filter into " +
+      "partition pruning — ScaleLayoutSpec asserts it")
+  )
+
+  test("every deterministic scan filter on the surface reaches the source") {
+    import graft.plans.PlanAdvisor.UnpushedScanFilters
+    val unpushed = adviceByQuery.collect {
+      case (name, ws) if ws.exists(_.isInstanceOf[UnpushedScanFilters]) => name
+    }.toSet
+    val offenders = unpushed -- unpushedAllowed.keySet
+    assert(offenders.isEmpty,
+      s"scan filters that cannot push to parquet in: $offenders — " +
+        "rewrite over raw columns or allowlist with the decode-cost rationale")
+    val stale = unpushedAllowed.keySet -- unpushed
+    assert(stale.isEmpty, s"allowlisted but now fully pushed (remove): $stale")
+  }
+
+  // queries that deliberately materialize a full total order (sorted-layout
+  // writes, order-sensitive sinks), with the consumer of that order named.
+  // A range sort IS distributed (sampled range partitioning, no single
+  // task) — the budget question is only whether anything consumes the order.
+  private val globalSortAllowed: Map[String, String] = Map(
+    "flagship_events" -> ("the reference query model's sortBy (§2.6) — " +
+      "ordered output is the flagship's contract"),
+    "events_query_model" -> "QuerySpec.sortBy under test — the §2.6 sort operator itself",
+    "events_scan_v2" -> "same declarative query as events_query_model via DSv2"
+  )
+
+  test("no query pays for a total order nothing consumes") {
+    import graft.plans.PlanAdvisor.GlobalSort
+    val sorting = adviceByQuery.collect {
+      case (name, ws) if ws.exists(_.isInstanceOf[GlobalSort]) => name
+    }.toSet
+    val offenders = sorting -- globalSortAllowed.keySet
+    assert(offenders.isEmpty,
+      s"global sort without a limit in: $offenders — under a limit Spark " +
+        "plans TakeOrderedAndProject; a bare total order needs a named consumer")
+    val stale = globalSortAllowed.keySet -- sorting
+    assert(stale.isEmpty, s"allowlisted but no longer globally sorting (remove): $stale")
+  }
+
   // Exchange-count budget for the surface's most expensive queries, counted
   // on the fully-prepared plan (EnsureRequirements has inserted every
   // exchange) with AQE off so the number is planning-time deterministic.

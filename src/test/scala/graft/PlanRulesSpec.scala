@@ -24,10 +24,10 @@ class PlanRulesSpec extends SparkTestBase {
     val df = Sources.events(spark, sfDir)
       .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
         col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
-    val before = df.queryExecution.optimizedPlan
-    assert(nsBounds(before).isEmpty, "no manual push in this plan")
-
-    val after = PushTsRangeToNanos(before)
+    // the session runs GraftExtensions, so the optimizer has ALREADY
+    // applied the rule by the time the plan is optimized — assert the
+    // end-to-end wiring, then the rewrite's exactness on that plan
+    val after = df.queryExecution.optimizedPlan
     val bounds = nsBounds(after)
     val loNs = java.time.LocalDateTime.parse("2024-01-05T00:00:00")
       .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L

@@ -10,6 +10,11 @@ trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .appName("graft-test")
+      // the ENGINE's extensions (nanos pushdown rule + graft_* functions):
+      // specs must exercise the planner users get from GraftSession, or
+      // plan-shape assertions drift from production (the sweep suites found
+      // exactly that — filters unpushed only under the bare test session)
+      .withExtensions(graft.plans.GraftExtensions.inject)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
