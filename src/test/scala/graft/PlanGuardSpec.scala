@@ -190,6 +190,12 @@ class PlanGuardSpec extends SparkTestBase {
     "tfidf_top_terms" -> (5, "term df agg, doc tf agg, join, per-doc top-k window"),
     "curation_pipeline_v2" -> (7, "LM bigram counts ×2 + joins + segment dedup + packing"),
     "semantic_dedup" -> (7, "distributed Lloyd (assign+update) + cluster pair verify"),
+    "kmeans_clusters" -> (2, "spread guard + ONE profile agg; codebook join broadcasts"),
+    "cluster_balanced_sample" -> (2, "spread guard + ONE cluster-key window exchange"),
+    "knn_classify" -> (2, "spread guard + query-id TopKAgg exchange; label join and " +
+      "vote window ride the tiny aggregated side"),
+    "containment_dedup" -> (7, "spread guard + shingle-df agg + df-cut join + pair agg " +
+      "+ denominator agg + best-containment agg + survivor resolution"),
     "minhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "simhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "ngram_jaccard_dedup_docs" -> (8, "exact-collapse + shingle joins + CC + invariants")

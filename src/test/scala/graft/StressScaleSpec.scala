@@ -187,6 +187,30 @@ class StressScaleSpec extends SparkTestBase {
     assert(secs < 180.0, f"flood took $secs%.1fs — the guard likely regressed to all-pairs")
   }
 
+  stress("containment scoring survives a 20k shared-boilerplate flood via the df cut") {
+    // 20k docs share one boilerplate 5-shingle; without the df cut the
+    // inverted index emits 20k² pairs from that single posting list. With
+    // the cut the boilerplate shingle is excluded and pair volume collapses
+    // to the planted unique-tail overlaps.
+    val boiler = "b1 b2 b3 b4 b5"
+    val flood = (0L until 20000L).map(i =>
+      (i, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e"))
+    // two planted A-inside-B pairs among the flood
+    val planted = Seq(
+      (30000L, "p1 p2 p3 p4 p5 p6"),
+      (30001L, "z0 p1 p2 p3 p4 p5 p6 z1"))
+    val docs = (flood ++ planted).toDF("doc_id", "text").repartition(8)
+    val (res, secs) = timed {
+      Dedup.containmentScores(docs, "doc_id", "text", n = 5, threshold = 0.9,
+        maxShingleDf = 100)
+        .filter(col("contained") === 1L).select("doc_id").as[Long].collect().sorted.toSeq
+    }
+    info(f"containment flood scored in $secs%.1fs")
+    assert(res == Seq(30000L), s"only the planted contained doc, got $res")
+    assert(secs < 120.0,
+      f"flood took $secs%.1fs — the df cut likely stopped bounding the pair join")
+  }
+
   stress("connected components collapses a 10k-node chain within 15 pointer-doubling rounds") {
     val edges = (0L until 9999L).map(i => (i, i + 1)).toDF("a", "b").repartition(8)
     val (labels, rounds) = Dedup.connectedComponentsWithRounds(edges, maxIter = 15)
