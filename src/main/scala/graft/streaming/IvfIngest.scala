@@ -1,0 +1,217 @@
+package graft.streaming
+
+import graft.operators.{Ops, Similarity}
+import graft.functions.VectorExpressions
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+/** Streaming ANN-index maintenance: continuous embedding ingestion into the
+  * partitioned IVF layout ([[Similarity.writeIvfIndex]] — one directory per
+  * inverted list, so probes prune to nprobe/nlist of the files).
+  *
+  * The codebook persists as a `_codebook` sidecar next to the index (raw
+  * float bits — exact round-trip, no text formatting loss), so every
+  * micro-batch assigns against the SAME quantizer the index was built with:
+  * assignment is a shuffle-free projection against the broadcast codebook
+  * (the codegen'd [[VectorExpressions.NearestCentroid]]), and the append
+  * only touches the partitions the batch's vectors land in. Steady-state
+  * per-batch cost is the batch size alone — the index is never read.
+  *
+  * Centroid drift: a codebook trained on early data degrades as the
+  * distribution moves — lists go lopsided and probes lose recall.
+  * [[refresh]] retrains the codebook over the accumulated index
+  * (distributed Lloyd — executors do the work, only the nlist×dim codebook
+  * reaches the driver) and rewrites the layout under the new assignment via
+  * a staging-swap, the same roll-forward discipline as
+  * [[CorpusCompaction]]. Rewrites are an explicit maintenance action (cost:
+  * one full index pass), not a per-batch tax; trigger on a list-balance
+  * metric from [[listSizes]] rather than a clock.
+  *
+  * foreachBatch is at-least-once: a retried batch re-appends rows it
+  * already wrote — acceptable for an ANN index (duplicate candidates cost a
+  * little probe work, never correctness: top-k dedups by id upstream of any
+  * consumer that cares). Exactly-once ingestion belongs to the dedup gate
+  * ([[Streaming.ingestDedupStream]]) composed BEFORE this sink.
+  */
+object IvfIngest {
+
+  private val Magic = 0x47435642 // "GCVB"
+
+  def codebookPath(indexDir: Path): Path = new Path(indexDir, "_codebook")
+
+  /** Load the persisted codebook; None when absent (first batch trains). */
+  def readCodebook(fs: FileSystem, indexDir: Path): Option[Similarity.IvfModel] = {
+    val p = codebookPath(indexDir)
+    if (!fs.exists(p)) None
+    else {
+      val in = new java.io.DataInputStream(fs.open(p))
+      try {
+        require(in.readInt() == Magic, "bad codebook magic")
+        val nlist = in.readInt(); val dim = in.readInt()
+        val cents = Array.fill(nlist) {
+          val v = new Array[Float](dim)
+          var i = 0
+          while (i < dim) { v(i) = java.lang.Float.intBitsToFloat(in.readInt()); i += 1 }
+          v
+        }
+        Some(Similarity.IvfModel(cents))
+      } finally in.close()
+    }
+  }
+
+  /** Staging write + rename swap (see [[BloomSidecar.write]]): readers never
+    * see a torn codebook; a crash mid-swap leaves the previous one.
+    */
+  def writeCodebook(fs: FileSystem, indexDir: Path, model: Similarity.IvfModel): Unit = {
+    val staging = new Path(indexDir, "_codebook.staging")
+    val out = new java.io.DataOutputStream(fs.create(staging, true))
+    try {
+      out.writeInt(Magic)
+      out.writeInt(model.centroids.length)
+      out.writeInt(model.centroids.headOption.map(_.length).getOrElse(0))
+      model.centroids.foreach(_.foreach(x => out.writeInt(java.lang.Float.floatToIntBits(x))))
+    } finally out.close()
+    val p = codebookPath(indexDir)
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(staging, p)
+  }
+
+  /** Per-batch outcome so callers (and StreamingSpec) can assert the cost
+    * model: `trainedCodebook` is true only on the bootstrap batch.
+    */
+  final case class IvfIngestStats(appended: Long, trainedCodebook: Boolean)
+
+  /** One ingestion micro-batch (the foreachBatch body, callable from batch
+    * jobs and tests). Bootstrap: the FIRST batch trains the codebook (seeded
+    * by its lowest-id vectors, corrected by distributed Lloyd) and persists
+    * the sidecar; every later batch assigns against the persisted codebook
+    * unchanged — bitwise-stable assignment across batches, which is what
+    * keeps one vector's duplicates in one directory.
+    */
+  def ingestBatch(
+      batch: DataFrame,
+      indexDir: String,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      iters: Int = 2): IvfIngestStats = {
+    val spark = batch.sparkSession
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val (model, trained) = readCodebook(fs, dir) match {
+      case Some(m) => (m, false)
+      case None =>
+        val init = batch.orderBy(col(idCol)).limit(nlist)
+          .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+        require(init.nonEmpty, "cannot bootstrap a codebook from an empty batch")
+        val m = Similarity.IvfModel(
+          Similarity.trainCodebook(batch, idCol, vecCol, init, iters))
+        (m, true)
+    }
+
+    val assigned = batch.select(
+      col(idCol), col(vecCol),
+      VectorExpressions.nearestCentroid(col(vecCol), model.centroids).as("centroid_id"))
+    // crash-safety ordering on bootstrap: codebook FIRST, then data. A
+    // crash in between leaves an empty index with a codebook — the next
+    // batch appends under it and nothing orphans. The reverse order would
+    // strand partitions assigned under a codebook that was never persisted,
+    // and the retrained replacement would assign differently.
+    if (trained) writeCodebook(fs, dir, model)
+    val n = batch.count()
+    if (n > 0)
+      assigned.write.mode("append").partitionBy("centroid_id").parquet(indexDir)
+    IvfIngestStats(n, trained)
+  }
+
+  /** Continuous form: every micro-batch of the embedding stream lands in
+    * the partitioned index under the persisted codebook.
+    */
+  def ingestStream(
+      embeddings: DataFrame,
+      indexDir: String,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16): StreamingQuery =
+    embeddings.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch, indexDir, idCol, vecCol, nlist): Unit
+      }
+      .start()
+
+  /** Probe the ingested index with the persisted codebook — partition
+    * pruning to the nprobe nearest lists, then exact cosine inside them.
+    */
+  def probe(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val model = readCodebook(fs, dir).getOrElse(
+      throw new graft.GraftDataError(s"no codebook sidecar under $indexDir"))
+    Similarity.ivfTopKFromIndex(spark, indexDir, model, idCol, vecCol, query, k, nprobe)
+  }
+
+  /** Inverted-list balance report: (centroid_id, n) per list — the metric a
+    * maintenance loop watches to decide a [[refresh]] (e.g. max/mean above
+    * a skew bound). Partition-pruned scan of directory metadata plus one
+    * count aggregation.
+    */
+  def listSizes(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(indexDir)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
+
+  /** Retrain the codebook over the ACCUMULATED index and rewrite the layout
+    * under the new assignment. Staging-swap roll-forward: the new layout
+    * builds completely under `_refresh`, then data directories swap — a
+    * crash before the swap leaves the old index fully intact; after, the
+    * new one. One full index pass; an explicit maintenance action, not a
+    * per-batch cost.
+    */
+  def refresh(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      iters: Int = 2): Unit = {
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = spark.read.parquet(indexDir).select(col(idCol), col(vecCol))
+    val init = current.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    val model = Similarity.IvfModel(
+      Similarity.trainCodebook(current, idCol, vecCol, init, iters))
+    val staging = new Path(dir, "_refresh")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val reassigned = Ops.spread(current).select(
+      col(idCol), col(vecCol),
+      VectorExpressions.nearestCentroid(col(vecCol), model.centroids).as("centroid_id"))
+    reassigned.write.mode("overwrite").partitionBy("centroid_id").parquet(staging.toString)
+    // swap: drop the old list directories, move the new ones up, then the
+    // codebook LAST (readers pairing old codebook + new lists would
+    // mis-probe; old lists + old codebook remain consistent until the end)
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("centroid_id=")) fs.delete(st.getPath, true)
+      else if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+        fs.delete(st.getPath, false)
+    }
+    fs.listStatus(staging).foreach { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        fs.rename(st.getPath, new Path(dir, name))
+    }
+    fs.delete(staging, true)
+    writeCodebook(fs, dir, model)
+  }
+}

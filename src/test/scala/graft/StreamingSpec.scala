@@ -452,6 +452,70 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(corpus).count() == 64)
   }
 
+  test("IvfIngest bootstraps a codebook then appends batches without retraining") {
+    import graft.streaming.IvfIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/index"
+    val emb = Tables.embeddings(spark, sfDir)
+    val b1 = emb.filter($"vec_id" < 100)
+    val b2 = emb.filter($"vec_id" >= 100 && $"vec_id" < 200)
+    val s1 = IvfIngest.ingestBatch(b1, dir, "vec_id", "embedding", nlist = 8)
+    assert(s1.trainedCodebook && s1.appended == b1.count())
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cb1 = IvfIngest.readCodebook(fs, new org.apache.hadoop.fs.Path(dir)).get
+    val s2 = IvfIngest.ingestBatch(b2, dir, "vec_id", "embedding", nlist = 8)
+    assert(!s2.trainedCodebook, "later batches must reuse the persisted codebook")
+    val cb2 = IvfIngest.readCodebook(fs, new org.apache.hadoop.fs.Path(dir)).get
+    assert(cb1.centroids.map(_.toSeq).toSeq == cb2.centroids.map(_.toSeq).toSeq,
+      "codebook is bitwise stable across appends")
+    assert(spark.read.parquet(dir).count() == b1.count() + b2.count())
+    // the layout is the partition-pruned IVF shape: one dir per list
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .exists(_.getPath.getName.startsWith("centroid_id=")))
+    // a probe through the sidecar finds a vector ingested in batch 2
+    val q = emb.filter($"vec_id" === 150).select("embedding").head().getSeq[Float](0).toArray
+    val top = IvfIngest.probe(spark, dir, "vec_id", "embedding", q, k = 5, nprobe = 8)
+    assert(top.collect().map(_.getLong(0)).contains(150L))
+  }
+
+  test("IvfIngest assigns a duplicated vector to the same list in any batch") {
+    import graft.streaming.IvfIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf2").toString + "/index"
+    val emb = Tables.embeddings(spark, sfDir)
+    IvfIngest.ingestBatch(emb.filter($"vec_id" < 50), dir, "vec_id", "embedding", nlist = 4): Unit
+    // re-ingest vector 7 under a new id in a later batch
+    val clone = emb.filter($"vec_id" === 7)
+      .select((lit(90000L)).as("vec_id"), $"embedding", $"label")
+    IvfIngest.ingestBatch(clone, dir, "vec_id", "embedding", nlist = 4): Unit
+    val lists = spark.read.parquet(dir)
+      .filter($"vec_id".isin(7L, 90000L))
+      .select("centroid_id").distinct().count()
+    assert(lists == 1L, "identical vectors land in the SAME inverted list across batches")
+  }
+
+  test("IvfIngest.refresh retrains and rewrites without losing a vector") {
+    import graft.streaming.IvfIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf3").toString + "/index"
+    val emb = Tables.embeddings(spark, sfDir)
+    IvfIngest.ingestBatch(emb.filter($"vec_id" < 120), dir, "vec_id", "embedding", nlist = 4): Unit
+    IvfIngest.ingestBatch(
+      emb.filter($"vec_id" >= 120 && $"vec_id" < 240), dir, "vec_id", "embedding", nlist = 4): Unit
+    val before = spark.read.parquet(dir).select("vec_id").as[Long].collect().toSet
+    IvfIngest.refresh(spark, dir, "vec_id", "embedding", nlist = 8)
+    val after = spark.read.parquet(dir).select("vec_id").as[Long].collect().toSet
+    assert(after == before, "refresh rewrites the layout, never the membership")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val model = IvfIngest.readCodebook(fs, new org.apache.hadoop.fs.Path(dir)).get
+    assert(model.centroids.length == 8, "refresh persisted the retrained codebook")
+    assert(IvfIngest.listSizes(spark, dir)
+      .agg(sum($"n")).head().getLong(0) == before.size.toLong)
+    // probes keep working against the refreshed layout + codebook pair
+    val q = emb.filter($"vec_id" === 130).select("embedding").head().getSeq[Float](0).toArray
+    val top = IvfIngest.probe(spark, dir, "vec_id", "embedding", q, k = 3, nprobe = 8)
+    assert(top.collect().map(_.getLong(0)).contains(130L))
+  }
+
   test("dedupStream drops replayed event ids within the watermark horizon") {
     val staged = java.nio.file.Files.createTempDirectory("graft-stream3").toString + "/events"
     val ev = Sources.events(spark, sfDir).drop("ts_ns").limit(100)
