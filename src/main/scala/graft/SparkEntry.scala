@@ -1328,6 +1328,29 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    "data_quality_report" -> ((s, dir) => {
+      // declarative expectations over orders, ALL counted in one
+      // aggregation over one scan (the reference's data-warning checks as
+      // a single-pass report; adding a check never adds a pass)
+      import operators.DataChecks.Expectation
+      operators.DataChecks.expectationReport(Tables.orders(s, dir), Seq(
+        Expectation("totalprice_positive", col("o_totalprice") > 0),
+        Expectation("orderdate_present", col("o_orderdate").isNotNull),
+        Expectation("status_known", col("o_orderstatus").isin("O", "F", "P")),
+        Expectation("custkey_positive", col("o_custkey") > 0),
+        Expectation("priority_nonempty", length(col("o_orderpriority")) > 0)))
+        .withColumnRenamed("check", "check_name")
+    }),
+
+    "value_outliers" -> ((s, dir) =>
+      // robust per-group outlier profile: exact median + MAD (rank-picked
+      // middle rows, not an interpolated sketch — mirrorable to the bit),
+      // outlier = deviation beyond 3×MAD; survives the heavy tail that
+      // inflates stddev until nothing is an outlier
+      operators.DataChecks.robustOutliers(
+        Sources.events(s, dir).select(col("event_type"), col("value")),
+        "event_type", "value", k = 3.0)),
+
     "merge_schema_scan" -> ((s, dir) => {
       // on-disk schema evolution: a v1 batch (no `value` column) and a v2
       // batch (with it) under one dataset; mergeSchema unifies the footers
@@ -2595,6 +2618,54 @@ object SparkEntry {
         |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
         |  CAST(d - cohort AS BIGINT) AS day_offset,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM f GROUP BY 1, 2""".stripMargin
+        |FROM f GROUP BY 1, 2""".stripMargin,
+
+    "data_quality_report" ->
+      // same one-pass posture: every violation count from one WITH frame
+      """WITH t AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS total,
+        |  CAST(sum(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |  CAST(sum(CASE WHEN NOT COALESCE(o_orderdate IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |  CAST(sum(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |  CAST(sum(CASE WHEN NOT COALESCE(o_custkey > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+        |  CAST(sum(CASE WHEN NOT COALESCE(length(o_orderpriority) > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v5
+        |  FROM orders)
+        |SELECT check_name, violations, total,
+        |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |FROM (
+        |  SELECT 'totalprice_positive' AS check_name, v1 AS violations, total FROM t
+        |  UNION ALL SELECT 'orderdate_present', v2, total FROM t
+        |  UNION ALL SELECT 'status_known', v3, total FROM t
+        |  UNION ALL SELECT 'custkey_positive', v4, total FROM t
+        |  UNION ALL SELECT 'priority_nonempty', v5, total FROM t) u""".stripMargin,
+
+    "value_outliers" ->
+      // exact median/MAD replay: rank-picked middle rows (integer-division
+      // positions, `//` = Spark's floor-of-double-divide for positive
+      // counts), two-element average, raw 3×MAD gate — bit-identical math
+      """WITH vals AS (
+        |  SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL),
+        |r1 AS (
+        |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS cnt FROM vals),
+        |med AS (
+        |  SELECT g, avg(v) AS med FROM r1
+        |  WHERE rn = (cnt+1)//2 OR rn = (cnt+2)//2 GROUP BY g),
+        |dev AS (
+        |  SELECT a.g, a.v, m.med, abs(a.v - m.med) AS dv
+        |  FROM vals a JOIN med m ON m.g = a.g),
+        |r2 AS (
+        |  SELECT g, dv, row_number() OVER (PARTITION BY g ORDER BY dv) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS cnt FROM dev),
+        |mad AS (
+        |  SELECT g, avg(dv) AS mad FROM r2
+        |  WHERE rn = (cnt+1)//2 OR rn = (cnt+2)//2 GROUP BY g)
+        |SELECT d.g AS event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(d.med) AS med,
+        |  min(m.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.dv > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m ON m.g = d.g
+        |GROUP BY d.g""".stripMargin
   )
 }

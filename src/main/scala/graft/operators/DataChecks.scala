@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks — the engine's analog of the reference's
+  * data warnings (`app/warnings/data_warnings.py`), re-aimed at what a
+  * declarative engine can prove in ONE pass: expectation predicates counted
+  * over the whole frame, and robust (median/MAD) outlier profiles per
+  * group. Both are pure Column algebra: the expectation report is a single
+  * aggregation (every check rides the same scan), the outlier profile is
+  * group-keyed windows + aggregations — nothing global, nothing collected.
+  */
+object DataChecks {
+
+  /** One expectation: rows where `holds` is FALSE (or NULL — an unknown is
+    * a violation, not a pass) count as violations.
+    */
+  final case class Expectation(name: String, holds: Column)
+
+  /** Evaluate every expectation in ONE aggregation over one scan — adding a
+    * check never adds a pass. Returns one row per expectation:
+    * (check, violations, total, passed) with `passed` = no violations.
+    *
+    * Scale shape: a single partial+final aggregate (each check is a
+    * conditional-sum expression in the same agg), then a LITERAL-sized
+    * unpivot of the one wide row to long form — the result frame is
+    * |checks| rows however large the input.
+    */
+  def expectationReport(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
+    require(checks.nonEmpty, "at least one expectation")
+    val aggs = checks.flatMap { c =>
+      Seq(sum(when(coalesce(c.holds, lit(false)), lit(0L)).otherwise(lit(1L)))
+        .as(s"__v_${c.name}"))
+    } :+ count(lit(1)).as("__total")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // reshape the ONE aggregated row to long form by exploding a
+    // literal-width struct array — NOT a per-check union of selects, which
+    // would duplicate the aggregation subtree (and the scan) once per check
+    val pairs = array(checks.map { c =>
+      struct(
+        lit(c.name).as("check"),
+        coalesce(col(s"__v_${c.name}"), lit(0L)).as("violations"))
+    }: _*)
+    wide
+      .select(explode(pairs).as("__p"), col("__total").as("total"))
+      .select(
+        col("__p.check").as("check"),
+        col("__p.violations").as("violations"),
+        col("total"),
+        when(col("__p.violations") === 0L, lit(1L)).otherwise(lit(0L)).as("passed"))
+  }
+
+  /** Exact per-group median without a sketch: rank the group, keep the one
+    * or two middle rows, average them. Mirrorable to the last bit (a
+    * two-element average is one IEEE add + one divide in any engine),
+    * unlike interpolated approximate quantiles whose formulas differ across
+    * engines. One partitioned window + one tiny aggregation per call.
+    */
+  private def groupMedian(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      // middle positions: floor((cnt+1)/2) and floor((cnt+2)/2) — equal for
+      // odd counts, adjacent for even. floor() matters: Spark's `/` on
+      // longs is DOUBLE division, and a bare (cnt+1)/2 = 2.5 would match
+      // no rank, silently collapsing even groups to a single middle row
+      .filter(col("__rn") === floor((col("__cnt") + 1) / 2) ||
+        col("__rn") === floor((col("__cnt") + 2) / 2))
+      .groupBy(col(groupCol))
+      .agg(avg(col(valueCol)).as("__med"))
+  }
+
+  /** Robust per-group outlier profile: median + MAD (median absolute
+    * deviation) per group, and the count of rows deviating more than
+    * `k × MAD` from the group median. The robust form survives exactly the
+    * data that breaks mean/stddev profiling — a heavy-tailed value column's
+    * outliers inflate the stddev until nothing is an outlier; the median
+    * and MAD barely move.
+    *
+    * Scale shape: two groupMedian passes (value, then deviation) — each ONE
+    * group-partitioned window plus a group-keyed aggregation — and
+    * group-keyed equi-joins to attach the medians back. No global windows,
+    * no driver data; group cardinality bounds every intermediate.
+    *
+    * Returns (group, n, med, mad, n_outliers). Raw k×MAD gate — callers
+    * wanting the normal-consistent convention multiply k by 1.4826
+    * themselves; an exact engine mirror beats a baked-in constant.
+    */
+  def robustOutliers(
+      df: DataFrame, groupCol: String, valueCol: String, k: Double = 3.0): DataFrame = {
+    val vals = df.select(col(groupCol), col(valueCol)).filter(col(valueCol).isNotNull)
+    val med = groupMedian(vals, groupCol, valueCol)
+    val withDev = vals.join(med, Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val mad = groupMedian(withDev.select(col(groupCol), col("__dev")), groupCol, "__dev")
+      .withColumnRenamed("__med", "__mad")
+    withDev.join(mad, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("__med")).as("med"),
+        min(col("__mad")).as("mad"),
+        sum(when(col("__dev") > lit(k) * col("__mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+}
