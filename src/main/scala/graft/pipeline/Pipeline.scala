@@ -18,7 +18,8 @@ final case class Pipeline(
     failOnMissing: Boolean = true,
     sink: Option[DataFrame => Unit] = None,
     checkpoint: Option[() => Unit] = None,
-    advisorMode: Pipeline.AdvisorMode = Pipeline.AdvisorOff) {
+    advisorMode: Pipeline.AdvisorMode = Pipeline.AdvisorOff,
+    gate: Option[DataFrame => Unit] = None) {
 
   /** Build the logical plan without running it. None = source missing + skip.
     * With an advisor mode set, the assembled plan is inspected by
@@ -41,8 +42,15 @@ final case class Pipeline(
       planned
     }
 
-  /** Run end-to-end: action the sink, then (and only then) the checkpoint.
-    * Returns the planned DataFrame when the source existed.
+  /** Run end-to-end: data-quality gate (if configured), then the sink, then
+    * (and only then) the checkpoint. Returns the planned DataFrame when the
+    * source existed.
+    *
+    * The gate runs BEFORE the sink — a failed expectation
+    * ([[graft.GraftDataError]] from the config's `expectations` section)
+    * stops both the sink and the checkpoint, so bad data never lands AND
+    * the watermark never advances past it. Unlike the plan-time advisor,
+    * the gate executes (one aggregation pass over the data).
     *
     * A checkpoint may only advance past data that was actually PROCESSED:
     * with no sink configured, the plan is still executed (count) before the
@@ -51,6 +59,7 @@ final case class Pipeline(
     */
   def run(spark: SparkSession): Option[DataFrame] =
     plan(spark).map { df =>
+      gate.foreach(g => g(df))
       sink match {
         case Some(s) => s(df)
         case None => if (checkpoint.isDefined) df.count()

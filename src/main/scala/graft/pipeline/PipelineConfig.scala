@@ -180,8 +180,12 @@ object PipelineConfig {
             val (id, text) = (field("id"), field("text"))
             val threshold = (d \ "threshold").extractOrElse[Double](0.8)
             (df: DataFrame) => graft.operators.Dedup.ngramJaccard(df, id, text, threshold = threshold)
+          case "segment" =>
+            val (id, text) = (field("id"), field("text"))
+            val segTokens = (d \ "segTokens").extractOrElse[Int](10)
+            (df: DataFrame) => graft.operators.Dedup.segmentDedup(df, id, text, segTokens)
           case other => throw new graft.GraftConfigError(
-            s"Unknown dedup strategy '$other' (expected keepFirst|exact|minhash|simhash|ngram_jaccard)")
+            s"Unknown dedup strategy '$other' (expected keepFirst|exact|minhash|simhash|ngram_jaccard|segment)")
         })
     }
 
@@ -201,6 +205,53 @@ object PipelineConfig {
         Some(() => Sinks.writeCheckpoint(spark, path, values))
     }
 
+    // expectations gate — the reference's data warnings as a RUN gate:
+    // every check is an SQL expression counted in ONE pass over the
+    // assembled plan (DataChecks.expectationReport); `fail` vetoes the sink
+    // and the checkpoint with GraftDataError, `warn` logs and proceeds.
+    // Parse eagerly: an empty check list, a bad mode, or an unparseable
+    // expression is a config error NOW, not a surprise mid-run.
+    val gateFn: Option[DataFrame => Unit] = (cfg \ "expectations") match {
+      case JNothing => None
+      case ec =>
+        val failMode = (ec \ "mode").extractOrElse[String]("fail") match {
+          case "fail" => true
+          case "warn" => false
+          case other => throw new graft.GraftConfigError(
+            s"expectations.mode '$other' (expected fail|warn)")
+        }
+        val checks = (ec \ "checks").extractOrElse[Seq[JValue]](Nil).map { c =>
+          val name = (c \ "name").extractOpt[String].getOrElse(
+            throw new graft.GraftConfigError("each expectation needs a 'name'"))
+          val exprStr = (c \ "expr").extractOpt[String].getOrElse(
+            throw new graft.GraftConfigError(s"expectation '$name' needs an 'expr'"))
+          // functions.expr defers parsing to resolution time (Spark 4's
+          // Column nodes are lazy) — validate through the session parser
+          // NOW so a typo is a parse-time config error
+          try spark.sessionState.sqlParser.parseExpression(exprStr)
+          catch {
+            case e: Exception => throw new graft.GraftConfigError(
+              s"expectation '$name' has an unparseable expr '$exprStr'", e)
+          }
+          graft.operators.DataChecks.Expectation(
+            name, org.apache.spark.sql.functions.expr(exprStr))
+        }
+        if (checks.isEmpty) throw new graft.GraftConfigError(
+          "expectations section needs a non-empty 'checks' list")
+        Some { df =>
+          val failed = graft.operators.DataChecks.expectationReport(df, checks)
+            .filter(org.apache.spark.sql.functions.col("passed") === 0L)
+            .collect() // |checks| rows at most — never data-sized
+          if (failed.nonEmpty) {
+            val msg = failed.map(r =>
+              s"${r.getString(0)}: ${r.getLong(1)} of ${r.getLong(2)} rows violate")
+              .mkString("; ")
+            if (failMode) throw new graft.GraftDataError(s"expectations failed: $msg")
+            else Pipeline.log.warn(s"[expectations] $msg")
+          }
+        }
+    }
+
     // advisor gate: same hard-gate posture as the sink registry — an
     // unknown mode is a config error at parse time, not a silent default
     val advisorMode = (cfg \ "advisor" \ "mode").extractOpt[String] match {
@@ -217,6 +268,7 @@ object PipelineConfig {
       failOnMissing = (cfg \ "failOnMissing").extractOrElse[Boolean](true),
       sink = sinkFn,
       checkpoint = checkpointFn,
-      advisorMode = advisorMode)
+      advisorMode = advisorMode,
+      gate = gateFn)
   }
 }

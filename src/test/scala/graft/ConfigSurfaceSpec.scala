@@ -177,4 +177,64 @@ class ConfigSurfaceSpec extends SparkTestBase {
         |}""".stripMargin
     assert(PipelineConfig.fromJson(spark, cfg).run(spark).isEmpty)
   }
+
+  test("expectations gate: fail vetoes sink AND checkpoint; warn lands both") {
+    val root = Files.createTempDirectory("graft-expect").toString
+    Seq((1L, 10.0), (2L, -5.0)).toDF("id", "price").write.parquet(s"$root/src")
+    def cfg(mode: String, out: String) =
+      s"""{
+         |  "source": {"type": "parquet", "path": "$root/src"},
+         |  "expectations": {"mode": "$mode", "checks": [
+         |    {"name": "price_positive", "expr": "price > 0"}]},
+         |  "sink": {"type": "parquet", "options": {"path": "$root/$out"}},
+         |  "checkpoint": {"path": "$root/ckpt_$out", "values": {"w": "1"}}
+         |}""".stripMargin
+    val e = intercept[GraftDataError] {
+      PipelineConfig.fromJson(spark, cfg("fail", "out_fail")).run(spark)
+    }
+    assert(e.getMessage.contains("price_positive") && e.getMessage.contains("1 of 2"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/out_fail")),
+      "a failed gate must stop the sink")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/ckpt_out_fail")),
+      "a failed gate must keep the watermark where it was")
+    // warn: same data, the run proceeds and both artifacts land
+    PipelineConfig.fromJson(spark, cfg("warn", "out_warn")).run(spark)
+    assert(spark.read.parquet(s"$root/out_warn").count() == 2)
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/ckpt_out_warn")))
+  }
+
+  test("expectations misconfigurations are typed parse-time errors") {
+    def base(body: String) =
+      s"""{"source": {"type": "parquet", "path": "/tmp/x"}, "expectations": $body}"""
+    intercept[GraftConfigError] { // unknown mode
+      PipelineConfig.fromJson(spark, base("""{"mode": "loud", "checks": [{"name": "a", "expr": "1=1"}]}"""))
+    }
+    intercept[GraftConfigError] { // empty checks
+      PipelineConfig.fromJson(spark, base("""{"checks": []}"""))
+    }
+    intercept[GraftConfigError] { // unparseable expression
+      PipelineConfig.fromJson(spark, base("""{"checks": [{"name": "a", "expr": "> > nonsense ("}]}"""))
+    }
+    intercept[GraftConfigError] { // nameless check
+      PipelineConfig.fromJson(spark, base("""{"checks": [{"expr": "1=1"}]}"""))
+    }
+  }
+
+  test("segment dedup strategy is selectable from config") {
+    val root = Files.createTempDirectory("graft-segcfg").toString
+    Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 fresh tail content here now")
+    ).toDF("doc_id", "text").write.parquet(s"$root/src")
+    val cfg =
+      s"""{
+         |  "source": {"type": "parquet", "path": "$root/src"},
+         |  "dedup": {"strategy": "segment", "id": "doc_id", "text": "text", "segTokens": 10}
+         |}""".stripMargin
+    val out = PipelineConfig.fromJson(spark, cfg).run(spark).get
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) == 1L, "doc 1 keeps its one segment")
+    assert(out(1).getAs[String]("dedup_text").startsWith("fresh"),
+      "doc 2's repeated leading segment drops, the fresh tail survives")
+  }
 }
