@@ -1328,6 +1328,18 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    "doc_pagerank" -> ((s, dir) => {
+      // centrality over the near-duplication structure: documents sharing
+      // rare shingles link; 5 fixed-point PageRank iterations rank each
+      // document's embeddedness in the co-occurrence graph — the
+      // boilerplate-neighborhood signal no single pairwise threshold shows
+      val docs = Tables.documents(s, dir)
+      val edges = operators.Dedup.rareShinglePairs(docs, "doc_id", "text",
+        n = 5, maxShingleDf = 100)
+      operators.Graph.pageRank(edges, docs.select(col("doc_id").as("id")), iters = 5)
+        .select(col("id").as("doc_id"), col("rank"))
+    }),
+
     "data_quality_report" -> ((s, dir) => {
       // declarative expectations over orders, ALL counted in one
       // aggregation over one scan (the reference's data-warning checks as
@@ -1397,6 +1409,23 @@ object SparkEntry {
   /** Word-token list, mirroring [[TextAnalysis.tokens]]. */
   private val sqlToks: String =
     "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  /** Shared rare-shingle candidate space (mirrors
+    * [[operators.Dedup]]'s `rareShinglePostings`): 5-token shingles with
+    * document frequency ≤ 100, as `kept(doc_id, s)` — the prefix of the
+    * containment and pagerank oracles.
+    */
+  private lazy val sqlRareKept: String =
+    s"""toks AS (
+       |  SELECT doc_id, $sqlToks AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+       |    THEN list_distinct(list_transform(range(0, len(t) - 4),
+       |      i -> array_to_string(t[i+1:i+5], ' ')))
+       |    ELSE []::VARCHAR[] END) AS s
+       |  FROM toks),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+       |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s))""".stripMargin
 
   /** SQL mirror of [[Sampling.unitHash]]: Knuth multiplicative hash scaled
     * to [0, 1). Plain Int64 arithmetic + one IEEE divide by a power of two,
@@ -2205,16 +2234,7 @@ object SparkEntry {
     "containment_dedup" ->
       // rare-shingle containment: same 5-token shingles, same df<=100 cut,
       // same integer-ratio arithmetic as Dedup.containmentScores
-      s"""WITH toks AS (
-         |  SELECT doc_id, $sqlToks AS t FROM documents),
-         |sh AS (
-         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
-         |    THEN list_distinct(list_transform(range(0, len(t) - 4),
-         |      i -> array_to_string(t[i+1:i+5], ' ')))
-         |    ELSE []::VARCHAR[] END) AS s
-         |  FROM toks),
-         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
-         |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+      s"""WITH $sqlRareKept,
          |denom AS (SELECT doc_id, count(*) AS n_rare FROM kept GROUP BY doc_id),
          |pairs AS (
          |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS common
@@ -2619,6 +2639,39 @@ object SparkEntry {
         |  CAST(d - cohort AS BIGINT) AS day_offset,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM f GROUP BY 1, 2""".stripMargin,
+
+    "doc_pagerank" -> {
+      // replay the 5 fixed-point iterations exactly: contributions quantize
+      // to floor(rank/deg * 2^40) BIGINTs (order-free sums), teleport mass
+      // is (1.0 - 0.85)/N with the same IEEE operation order as the engine
+      // ::DOUBLE on every numeric literal: DuckDB parses bare decimals as
+      // exact DECIMALs ((1.0-0.85)/500 = 0.0003 exactly), while the engine
+      // computes the same expression in IEEE doubles (3.0000000000000003e-4)
+      def iter(k: Int): String =
+        s"""r$k AS (
+           |  SELECT nd.id,
+           |    (1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+           |      + 0.85::DOUBLE * (CAST(COALESCE(c.qs, 0) AS DOUBLE) / 1099511627776.0::DOUBLE) AS rank
+           |  FROM nodes nd CROSS JOIN nn
+           |  LEFT JOIN (
+           |    SELECT e.b, sum(CAST(floor(p.rank / d.deg * 1099511627776.0::DOUBLE) AS BIGINT)) AS qs
+           |    FROM edges e JOIN r${k - 1} p ON p.id = e.a JOIN deg d ON d.a = e.a
+           |    GROUP BY e.b) c ON c.b = nd.id)""".stripMargin
+      s"""WITH $sqlRareKept,
+         |edges AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM kept l JOIN kept r ON l.s = r.s AND l.doc_id <> r.doc_id),
+         |deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+         |nodes AS (SELECT doc_id AS id FROM documents),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT nd.id, 1.0::DOUBLE / nn.n AS rank FROM nodes nd CROSS JOIN nn),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)},
+         |${iter(4)},
+         |${iter(5)}
+         |SELECT id AS doc_id, rank FROM r5""".stripMargin
+    },
 
     "data_quality_report" ->
       // same one-pass posture: every violation count from one WITH frame

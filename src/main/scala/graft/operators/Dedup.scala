@@ -505,13 +505,18 @@ object Dedup {
     * Returns one row per input document:
     * (id, n_rare_shingles, best_containment, contained).
     */
-  def containmentScores(
+  /** Rare-shingle posting list: one (id, shingle) row per distinct n-token
+    * shingle of each document, with shingles above the `maxShingleDf`
+    * document-frequency cut excluded — the shared candidate space of
+    * [[containmentScores]] and [[rareShinglePairs]]. One shuffle on the
+    * shingle string for the frequencies, one equi-join to apply the cut.
+    */
+  private def rareShinglePostings(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int = 5,
-      threshold: Double = 0.9,
-      maxShingleDf: Int = 100): DataFrame = {
+      n: Int,
+      maxShingleDf: Int): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     // n-token shingle strings; sequence() would count DOWN for short docs,
     // so guard to an empty set below n tokens
@@ -526,7 +531,36 @@ object Dedup {
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxShingleDf)
       .select(col("__s"))
-    val kept = posting.join(rare, Seq("__s"))
+    posting.join(rare, Seq("__s"))
+  }
+
+  /** Directed co-occurrence edges (both directions, distinct): documents
+    * sharing at least one rare shingle. The edge list for graph analytics
+    * over the near-duplication structure ([[Graph.pageRank]]); pair volume
+    * is bounded by the same df-cut argument as [[containmentScores]].
+    */
+  def rareShinglePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      maxShingleDf: Int = 100): DataFrame = {
+    val kept = rareShinglePostings(df, idCol, textCol, n, maxShingleDf)
+    val l = kept.select(col("__s"), col(idCol).as("a"))
+    val r = kept.select(col("__s"), col(idCol).as("b"))
+    l.join(r, Seq("__s"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  def containmentScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      threshold: Double = 0.9,
+      maxShingleDf: Int = 100): DataFrame = {
+    val kept = rareShinglePostings(df, idCol, textCol, n, maxShingleDf)
     val denom = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n_rare"))
     val l = kept.select(col("__s"), col(idCol).as("__a"))
     val r = kept.select(col("__s"), col(idCol).as("__b"))

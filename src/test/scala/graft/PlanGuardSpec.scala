@@ -196,6 +196,8 @@ class PlanGuardSpec extends SparkTestBase {
       "vote window ride the tiny aggregated side"),
     "containment_dedup" -> (7, "spread guard + shingle-df agg + df-cut join + pair agg " +
       "+ denominator agg + best-containment agg + survivor resolution"),
+    "doc_pagerank" -> (7, "one destination-keyed contribution agg per iteration (×5) " +
+      "+ rank/node join exchanges; adjacency is checkpointed once, not re-derived"),
     "minhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "simhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "ngram_jaccard_dedup_docs" -> (8, "exact-collapse + shingle joins + CC + invariants")
