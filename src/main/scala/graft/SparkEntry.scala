@@ -937,6 +937,17 @@ object SparkEntry {
         Map("en" -> 2.3, "de" -> 0.5), salt = 7)
         .select(col("doc_id"), col("lang"), col("epoch"))),
 
+    "dsir_select" -> ((s, dir) =>
+      // DSIR-shaped data selection: score every document by the hashed-
+      // bigram likelihood ratio against the English slice as the target
+      // distribution, then priority-sample the top 60 — the "select raw
+      // documents that look like the target corpus" recipe step. Two
+      // corpus shuffles total (bucket model + per-doc score); the bucket
+      // model and its totals broadcast; the top-k is TakeOrderedAndProject
+      Sampling.importanceResample(
+        Tables.documents(s, dir), "doc_id", "text",
+        targetPred = col("lang") === "en", k = 60, buckets = 1024, salt = 11)),
+
     "uniform_stratum_sample" -> ((s, dir) =>
       // per-language uniform cap: ≤20 docs per lang drawn by hash order — a
       // deterministic uniform draw, unlike first-k-by-id (biased to old
@@ -1989,6 +2000,42 @@ object SparkEntry {
          |       WHEN source = 'src1' THEN CAST(0.5 AS DOUBLE)
          |       WHEN source = 'src2' THEN CAST(0.25 AS DOUBLE)
          |       ELSE CAST(0.1 AS DOUBLE) END""".stripMargin,
+
+    "dsir_select" ->
+      // full replay of the DSIR surrogate: md5-hashed bigram buckets,
+      // add-1-smoothed target/raw ratio (fixed IEEE op order), quantized
+      // mean score, priority = score / ((hash+1)/2^32), top-60
+      s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, lang = 'en' AS tgt,
+         |    unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+         |      i -> toks[i+1] || ' ' || toks[i+2])) AS g
+         |  FROM t),
+         |occ AS (
+         |  SELECT doc_id, tgt, ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b
+         |  FROM bg),
+         |counts AS (
+         |  SELECT b, count(*) AS rc, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc
+         |  FROM occ GROUP BY b),
+         |tot AS (SELECT sum(rc) AS rtot, sum(tc) AS ttot FROM counts),
+         |ratios AS (
+         |  SELECT b, CAST(floor(
+         |    ((CAST(tc + 1 AS DOUBLE) / CAST(ttot + 1024 AS DOUBLE)) /
+         |     (CAST(rc + 1 AS DOUBLE) / CAST(rtot + 1024 AS DOUBLE))) * 1048576.0)
+         |    AS BIGINT) AS qr
+         |  FROM counts CROSS JOIN tot),
+         |s AS (
+         |  SELECT occ.doc_id, count(*) AS n_bigrams, sum(qr) AS qs
+         |  FROM occ JOIN ratios USING (b) GROUP BY occ.doc_id),
+         |f AS (
+         |  SELECT d.doc_id,
+         |    CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |    COALESCE((CAST(s.qs AS DOUBLE) / s.n_bigrams) / 1048576.0, 1.0) AS score
+         |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)
+         |SELECT doc_id, n_bigrams, score,
+         |  score / (CAST(((doc_id + 11) * 2654435761) % 4294967296 + 1 AS DOUBLE)
+         |           / 4294967296.0) AS priority
+         |FROM f ORDER BY priority DESC, doc_id LIMIT 60""".stripMargin,
 
     "epoch_upsample" ->
       s"""WITH e AS (

@@ -198,6 +198,95 @@ object Sampling {
       .drop("__cd")
   }
 
+  /** DSIR-shaped importance resampling (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every raw document by how much its
+    * hashed n-gram feature distribution looks like a TARGET corpus, then
+    * draw a weighted without-replacement sample of `k` — "select the k
+    * CommonCrawl documents that look most like Wikipedia", the data-recipe
+    * step between quality filtering and mixing.
+    *
+    * Construction (each piece chosen so the whole operator is bitwise
+    * deterministic and oracle-able — the repo's standing bar):
+    *
+    *  - Features: bigrams hashed into `buckets` counters via md5 (the
+    *    hashing trick; md5 is engine-portable, same construction as
+    *    [[TextAnalysis.classifierScore]]'s weight lookup).
+    *  - Bucket model: add-1-smoothed occurrence frequencies under the
+    *    target slice and under the full raw stream; each bucket carries the
+    *    likelihood ratio r_b = p_target(b) / p_raw(b) as a fixed IEEE
+    *    operation sequence (two divides, one divide — identical in any
+    *    engine).
+    *  - Doc score: MEAN quantized ratio over the doc's bigram occurrences
+    *    (`floor(r_b·2^20)` longs — order-free sums). The mean-ratio form
+    *    replaces DSIR's log-likelihood sum deliberately: ln() may differ by
+    *    an ulp between the JVM and DuckDB's libm, which would break the
+    *    exact oracle; the ratio is monotone per bucket and keeps the
+    *    "target-like scores high" ordering. Docs with no bigrams score a
+    *    neutral 1.0 (the empty product of ratios), not 0 — smoothing means
+    *    absence of evidence is not evidence of mismatch.
+    *  - Resampling: priority sampling (Duffield–Lund–Thorup): priority
+    *    q = score / u with u = (hash(id)+1)/2^32 ∈ (0, 1], take the top k
+    *    by q. One IEEE divide per row — the deterministic, exactly-
+    *    verifiable stand-in for Gumbel-top-k (which needs two logs).
+    *
+    * Scale shape: ONE bucket-keyed shuffle builds the model (target and raw
+    * counts in the same aggregation — `buckets` rows out, so the totals
+    * cross-join and the ratio lookup both broadcast); one doc-keyed shuffle
+    * aggregates scores (map-side partials absorb the bigram explode); the
+    * top-k is orderBy+limit = TakeOrderedAndProject, distributed with no
+    * global exchange. Nothing corpus-sized moves except those two shuffles.
+    */
+  def importanceResample(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      k: Int,
+      buckets: Int = 1024,
+      salt: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(buckets > 0, "buckets must be positive")
+    val Fp = 1048576.0 // 2^20 — same fixed-point scale as TextAnalysis
+    val grams = when(size(TextAnalysis.tokens(col(textCol))) >= 2,
+      TextAnalysis.wordShingles(col(textCol), 2))
+      .otherwise(array().cast("array<string>"))
+    val occ = docs
+      .select(col(idCol), targetPred.as("__tgt"), explode(grams).as("__g"))
+      .select(col(idCol), col("__tgt"),
+        (conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long") % buckets).as("__b"))
+    // one aggregation carries BOTH distributions: rc = raw occurrences,
+    // tc = the target slice's occurrences (sum of a 0/1 gate)
+    val counts = occ.groupBy(col("__b")).agg(
+      count(lit(1)).as("__rc"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tc"))
+    val totals = counts.agg(
+      sum(col("__rc")).as("__rtot"), sum(col("__tc")).as("__ttot"))
+    // ≤`buckets` rows × 1 row: both sides broadcast; ratio math is a fixed
+    // sequence of IEEE ops so the oracle reproduces it bit-for-bit
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        floor(
+          ((col("__tc") + 1L).cast("double") / (col("__ttot") + lit(buckets.toLong)).cast("double")) /
+            ((col("__rc") + 1L).cast("double") / (col("__rtot") + lit(buckets.toLong)).cast("double")) *
+            lit(Fp)).cast("long").as("__qr"))
+    val scored = occ
+      .join(broadcast(ratios), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__qr")).as("__qs"))
+      .select(col(idCol), col("n_bigrams"),
+        ((col("__qs").cast("double") / col("n_bigrams")) / lit(Fp)).as("score"))
+    val u = (pmod((col(idCol) + lit(salt)) * lit(2654435761L), lit(4294967296L)) + 1L)
+      .cast("double") / lit(4294967296.0)
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score"), lit(1.0)).as("score"))
+      .withColumn("priority", col("score") / u)
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Reproducible global shuffle order: a hash-of-id sort key that scatters
     * any id locality (crawl order, source grouping) into a pseudorandom but
     * DETERMINISTIC training order — same corpus, same salt, same order,

@@ -19,6 +19,7 @@ class PlanGuardSpec extends SparkTestBase {
     "sql_surface_topk" -> "1-row WITH q subquery crossed in SQL",
     "tfidf_top_terms" -> "1-row corpus-count scalar broadcast",
     "vocab_coverage" -> "1-row vocab-size scalar broadcast",
+    "dsir_select" -> "1-row bucket-totals scalar crossed into the <=1024-row model",
     "bloom_prune_check" -> "1-row invariant frames unioned with the counts",
     "token_fingerprint" -> "1-row invariant frames unioned with the counts",
     "minhash_dedup_docs" -> "dedupInvariants 1-row check frames",

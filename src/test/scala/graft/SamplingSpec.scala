@@ -11,12 +11,20 @@ import org.apache.spark.sql.execution.window.WindowExec
   * scan-stage (zero shuffles), the window ops must plan PARTITIONED windows
   * only.
   */
-class SamplingSpec extends SparkTestBase {
+class SamplingSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
 
   import spark.implicits._
 
   private lazy val docs =
     spark.read.parquet(s"$sfDir/documents.parquet").cache()
+
+  // the session is shared across suites (getOrCreate): drop the cached scan
+  // so plan-shape suites running later see real parquet scans, not an
+  // InMemoryRelation substituted by the cache manager
+  override def afterAll(): Unit = {
+    docs.unpersist(blocking = true)
+    super.afterAll()
+  }
 
   test("unitHash is uniform enough and stable across salts") {
     val n = 4096L
@@ -126,6 +134,53 @@ class SamplingSpec extends SparkTestBase {
     val out = Sampling.quantileQualityFilter(rows, "g", $"score", dropBelow = 0.5)
       .select($"id").as[Long].collect().toSet
     assert(out == Set(3L, 4L, 5L))
+  }
+
+  test("importanceResample prefers target-like docs and stays deterministic") {
+    // two dialects: target docs repeat "alpha beta", off-target "gamma delta".
+    // a raw doc written in the target dialect must outscore one that is not.
+    val rows = (0L until 40L).map { i =>
+      val tgt = i < 10
+      val text = if (tgt || i % 2 == 0) "alpha beta alpha beta alpha beta"
+                 else "gamma delta gamma delta gamma delta"
+      (i, text, if (tgt) "target" else "raw")
+    }.toDF("doc_id", "text", "split")
+    val out = Sampling.importanceResample(
+      rows, "doc_id", "text", col("split") === "target", k = 40, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val tgtLike = out(12L)  // raw, target dialect
+    val offTgt = out(11L)   // raw, off-target dialect
+    // the raw mix is majority target-dialect, so the target-like ratio sits
+    // near 1 (smoothing pulls it slightly under); the off-dialect doc's
+    // buckets never occur in the target slice and crater toward 0
+    assert(tgtLike > 0.8 && offTgt < 0.2 && tgtLike > offTgt * 5,
+      s"likelihood ratio must separate dialects: $tgtLike vs $offTgt")
+    // empty doc scores the neutral 1.0 and still appears
+    val withEmpty = rows.unionByName(Seq((99L, "", "raw")).toDF("doc_id", "text", "split"))
+    val empt = Sampling.importanceResample(
+      withEmpty, "doc_id", "text", col("split") === "target", k = 41, buckets = 64)
+      .filter(col("doc_id") === 99L).collect()
+    assert(empt.length == 1 && empt(0).getDouble(2) == 1.0)
+    // determinism across partitionings (fixed-point sums + hash priorities)
+    val a = Sampling.importanceResample(rows.repartition(7), "doc_id", "text",
+      col("split") === "target", k = 40, buckets = 64).collect().map(_.toSeq).toSeq
+    val b = Sampling.importanceResample(rows.repartition(2), "doc_id", "text",
+      col("split") === "target", k = 40, buckets = 64).collect().map(_.toSeq).toSeq
+    assert(a == b, "selection must be bitwise identical at any parallelism")
+  }
+
+  test("importanceResample's priority order samples high-weight docs first") {
+    val rows = (0L until 100L).map { i =>
+      (i, if (i < 50) "alpha beta alpha beta" else "gamma delta gamma delta",
+        if (i < 10) "t" else "r")
+    }.toDF("doc_id", "text", "split")
+    val picked = Sampling.importanceResample(
+      rows, "doc_id", "text", col("split") === "t", k = 20, buckets = 64)
+      .select("doc_id").as[Long].collect().toSet
+    // priority = score/u: the 40 target-dialect raw docs carry a far larger
+    // weight, so the 20 winners skew heavily toward them
+    val targetLike = picked.count(_ < 50)
+    assert(targetLike >= 15, s"expected the sample to skew target-like, got $targetLike/20")
   }
 
   test("shuffleOrder is a deterministic permutation that breaks id locality") {
