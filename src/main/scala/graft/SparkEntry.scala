@@ -1022,6 +1022,28 @@ object SparkEntry {
       Tables.documents(s, dir).select(
         col("doc_id"), TextAnalysis.subwordEstimate(col("text")).as("n_subwords"))),
 
+    "bpe_merges" -> ((s, dir) =>
+      // tokenizer training: learn the corpus's first 8 BPE merges. Each step
+      // is one map-side-combined pair count over the vocab-sized word table
+      // (checkpointed — no lineage replay) + a 1-row argmax collect; counts
+      // are exact integers, ties break on the pair string, so the merge
+      // table is deterministic at any parallelism
+      operators.Bpe.learnMerges(Tables.documents(s, dir), "text", steps = 8)),
+
+    "bpe_segment" -> ((s, dir) => {
+      // the other half of the BPE lifecycle: segment the corpus with the
+      // learned merge table. The table is config-sized (8 rows collected),
+      // so the replay compiles to scan-stage literal replaces inside a
+      // transform over each doc's token array — zero shuffles, word order
+      // preserved by construction
+      val docs = Tables.documents(s, dir)
+      val merges = operators.Bpe.learnMerges(docs, "text", steps = 8)
+        .orderBy(col("step")).collect()
+        .map { r => val Array(a, b) = r.getString(1).split(" ", 2); (a, b) }
+        .toSeq
+      operators.Bpe.segment(docs, "doc_id", "text", merges)
+    }),
+
     "sql_surface_topk" -> ((s, dir) => {
       // the engine's SQL face: native kernels invoked from spark.sql
       // (registered by GraftExtensions; registerInto covers sessions built
@@ -1437,6 +1459,36 @@ object SparkEntry {
        |  FROM toks),
        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
        |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s))""".stripMargin
+
+  /** SQL mirror of [[operators.Bpe.learnMerges]]: word counts, bracket-form
+    * char segmentation, then per step k the pair explode, the (count desc,
+    * pair asc) argmax as 1-row CTE `b{k}`, and the literal bracket replace
+    * producing `v{k}`. The bracket encoding makes DuckDB's left-to-right
+    * non-overlapping `replace` exactly the engine's greedy merge.
+    */
+  private def sqlBpeSteps(steps: Int): String = {
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // step references its predecessor ~4 times — inlining would expand the
+    // chain 4^steps-fold (observed as "too many open files" at steps=8)
+    def one(k: Int): String =
+      s"""p$k AS MATERIALIZED (
+         |  SELECT c, unnest(list_transform(range(0, greatest(len(s) - 1, 0)),
+         |    i -> s[i+1] || ' ' || s[i+2])) AS pair
+         |  FROM (SELECT c, regexp_extract_all(form, '\\(([a-z0-9]+)\\)', 1) AS s
+         |        FROM v${k - 1})),
+         |b$k AS MATERIALIZED (SELECT $k AS step, pair, CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM p$k GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+         |v$k AS MATERIALIZED (SELECT c, replace(form,
+         |    '(' || split_part(b$k.pair, ' ', 1) || ')(' ||
+         |      split_part(b$k.pair, ' ', 2) || ')',
+         |    '(' || replace(b$k.pair, ' ', '') || ')') AS form
+         |  FROM v${k - 1} CROSS JOIN b$k)""".stripMargin
+    s"""w0 AS MATERIALIZED (
+       |  SELECT w, count(*) AS c
+       |  FROM (SELECT unnest($sqlToks) AS w FROM documents) GROUP BY w),
+       |v0 AS MATERIALIZED (SELECT c, regexp_replace(w, '(.)', '(\\1)', 'g') AS form FROM w0),
+       |${(1 to steps).map(one).mkString(",\n")}""".stripMargin
+  }
 
   /** SQL mirror of [[Sampling.unitHash]]: Knuth multiplicative hash scaled
     * to [0, 1). Plain Int64 arithmetic + one IEEE divide by a power of two,
@@ -2535,6 +2587,29 @@ object SparkEntry {
          |      ELSE list_sum(list_transform(toks,
          |             t -> greatest(1, CAST(ceil(length(t) / 4.0) AS BIGINT)))) END AS BIGINT) AS n_subwords
          |FROM (SELECT doc_id, $sqlToks AS toks FROM documents) t""".stripMargin,
+
+    "bpe_merges" ->
+      s"""WITH ${sqlBpeSteps(8)}
+         |${(1 to 8).map(k => s"SELECT step, pair, cnt FROM b$k").mkString("\n UNION ALL ")}""".stripMargin,
+
+    "bpe_segment" -> {
+      // replay the 8 learned merges per word: wrap chars, then the literal
+      // bracket-form replace chain (same greedy semantics as the engine —
+      // see Bpe.scala's encoding argument), then re-extract symbols
+      val chain = (1 to 8).foldLeft("regexp_replace(w, '(.)', '(\\1)', 'g')") { (acc, k) =>
+        s"replace($acc, '(' || split_part(m$k, ' ', 1) || ')(' || " +
+          s"split_part(m$k, ' ', 2) || ')', '(' || replace(m$k, ' ', '') || ')')"
+      }
+      s"""WITH ${sqlBpeSteps(8)},
+         |m AS (SELECT ${(1 to 8).map(k => s"(SELECT pair FROM b$k) AS m$k").mkString(", ")}),
+         |t AS (SELECT doc_id, $sqlToks AS toks FROM documents)
+         |SELECT doc_id, array_to_string(sw, ' ') AS subwords,
+         |  CAST(len(sw) AS BIGINT) AS n_subwords
+         |FROM (
+         |  SELECT doc_id, flatten(list_transform(toks,
+         |    w -> regexp_extract_all($chain, '\\(([a-z0-9]+)\\)', 1))) AS sw
+         |  FROM t CROSS JOIN m)""".stripMargin
+    },
 
     "sql_surface_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
