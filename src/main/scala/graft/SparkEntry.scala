@@ -212,6 +212,16 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"))
     }),
 
+    "scd2_history" -> ((s, dir) =>
+      // Type-2 dimension history from the orders change log: each
+      // customer's status changes become half-open validity intervals,
+      // no-change observations collapse, same-instant conflicts keep the
+      // later observation. One key shuffle shared by both window passes
+      operators.Scd.scd2FromChangeLog(
+        Tables.orders(s, dir),
+        keyCols = Seq("o_custkey"), tsCol = "o_orderdate",
+        tieCol = "o_orderkey", attrCols = Seq("o_orderstatus"))),
+
     "incremental_window" -> ((s, dir) =>
       Ops.rangeFilter("ts", Some("2024-01-01 00:00:00"), Some("2024-01-08 00:00:00"))(
         Sources.pushTsRangeNs(Sources.events(s, dir),
@@ -1616,6 +1626,26 @@ object SparkEntry {
       """SELECT o_orderkey,
         | CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
         |FROM orders""".stripMargin,
+
+    "scd2_history" ->
+      // same derivation: lag-collapse no-change rows, lead-close intervals,
+      // elide zero-length versions (same-instant replacement)
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |v AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey FROM c
+        |  WHERE prev IS NULL OR prev <> o_orderstatus),
+        |i AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM v)
+        |SELECT o_custkey, o_orderstatus, valid_from, valid_to,
+        |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM i WHERE valid_to IS NULL OR valid_to <> valid_from""".stripMargin,
 
     "incremental_window" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, count(*) AS cnt
