@@ -255,10 +255,15 @@ object Sampling {
       .select(col(idCol), col("__tgt"),
         (conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long") % buckets).as("__b"))
     // one aggregation carries BOTH distributions: rc = raw occurrences,
-    // tc = the target slice's occurrences (sum of a 0/1 gate)
+    // tc = the target slice's occurrences (sum of a 0/1 gate). The ≤buckets-
+    // row model is locally checkpointed (EAGER — the bucket model is a
+    // trained artifact, same posture as the k-means codebook): without it,
+    // the totals aggregation re-derives this lineage and the plan scans the
+    // corpus TWICE — the exact duplicate-scan bug the checkpoint removes
     val counts = occ.groupBy(col("__b")).agg(
       count(lit(1)).as("__rc"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tc"))
+      .localCheckpoint(true)
     val totals = counts.agg(
       sum(col("__rc")).as("__rtot"), sum(col("__tc")).as("__ttot"))
     // ≤`buckets` rows × 1 row: both sides broadcast; ratio math is a fixed

@@ -195,6 +195,13 @@ class PlanGuardSpec extends SparkTestBase {
     "cluster_balanced_sample" -> (2, "spread guard + ONE cluster-key window exchange"),
     "knn_classify" -> (2, "spread guard + query-id TopKAgg exchange; label join and " +
       "vote window ride the tiny aggregated side"),
+    "scd2_history" -> (1, "ONE key exchange shared by the lag and lead windows"),
+    "bpe_segment" -> (0, "the merge-table replay is a scan-stage replace chain " +
+      "inside a transform — zero shuffles by contract"),
+    "dsir_select" -> (3, "per-doc score agg + docs-side exchange for the all-docs " +
+      "left join + the trivial 1024-row totals collapse; the corpus-sized bucket " +
+      "agg runs ONCE inside the model checkpoint, model/totals broadcast, " +
+      "top-k is TakeOrdered"),
     "containment_dedup" -> (7, "spread guard + shingle-df agg + df-cut join + pair agg " +
       "+ denominator agg + best-containment agg + survivor resolution"),
     "doc_pagerank" -> (7, "one destination-keyed contribution agg per iteration (×5) " +
