@@ -234,29 +234,89 @@ object Streaming {
           }
         }
       case None =>
-        val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
-        val old = new org.apache.hadoop.fs.Path(targetDir + ".old")
-        // recover a crash mid-swap: staging is only ever renamed in AFTER it
-        // was completely written (its _SUCCESS marker exists), so if target is
-        // missing, a complete staging — else the displaced .old — IS the data
-        val stagingComplete =
-          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
-        if (!fs.exists(target)) {
-          if (stagingComplete) fs.rename(staging, target)
-          else if (fs.exists(old)) fs.rename(old, target)
+        stagedSwap(spark, targetDir) {
+          case Some(existing) => graft.sinks.Sinks.upsert(existing, batch, keys, action)
+          case None => dedupedFirstWrite
         }
-        if (fs.exists(old)) fs.delete(old, true)
-        val merged =
-          if (fs.exists(target))
-            graft.sinks.Sinks.upsert(spark.read.parquet(targetDir), batch, keys, action)
-          else dedupedFirstWrite
-        merged.write.mode("overwrite").parquet(staging.toString)
-        // swap: never delete the only complete copy
-        if (fs.exists(target)) fs.rename(target, old)
-        fs.rename(staging, target)
-        if (fs.exists(old)) fs.delete(old, true)
     }
   }
+
+  /** Crash-safe whole-table rewrite: recover an interrupted swap, hand the
+    * current table (None on first write) to `compute`, write the result to
+    * staging FIRST, then target→.old / staging→target / delete .old — the
+    * data always exists in at least one complete copy, and the next call
+    * recovers an interrupted swap before reading. Shared by the streaming
+    * upsert and SCD2 sinks; only for dimension/history-sized targets — a
+    * fact-sized table wants the partition-scoped path.
+    */
+  private def stagedSwap(spark: SparkSession, targetDir: String)(
+      compute: Option[DataFrame] => DataFrame): Unit = {
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
+    val old = new org.apache.hadoop.fs.Path(targetDir + ".old")
+    // recover a crash mid-swap: staging is only ever renamed in AFTER it
+    // was completely written (its _SUCCESS marker exists), so if target is
+    // missing, a complete staging — else the displaced .old — IS the data
+    val stagingComplete =
+      fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+    if (!fs.exists(target)) {
+      if (stagingComplete) fs.rename(staging, target)
+      else if (fs.exists(old)) fs.rename(old, target)
+    }
+    if (fs.exists(old)) fs.delete(old, true)
+    val result = compute(
+      if (fs.exists(target)) Some(spark.read.parquet(targetDir)) else None)
+    result.write.mode("overwrite").parquet(staging.toString)
+    // swap: never delete the only complete copy
+    if (fs.exists(target)) fs.rename(target, old)
+    fs.rename(staging, target)
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+
+  /** Streaming SCD Type-2 maintenance: each micro-batch of dimension
+    * observations merges into the parquet history via
+    * [[graft.operators.Scd.scd2Merge]] — versions open and close as
+    * changes stream in, `valid_to IS NULL` always marks the current row.
+    *
+    * Replay-safe by construction: re-merging an already-applied batch is a
+    * no-op because every batch row is either a no-change re-observation
+    * (lag-collapsed) or loses its instant to the identical existing version
+    * — foreachBatch's at-least-once delivery needs exactly that
+    * (StreamingSpec asserts idempotence under replay). The history table is
+    * dimension-sized, so the whole-table staged swap applies; the merge
+    * itself re-derives only the batch's affected keys.
+    */
+  def scd2Stream(
+      changes: DataFrame,
+      targetDir: String,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      attrCols: Seq[String]): StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        scd2Batch(batch, targetDir, keyCols, tsCol, tieCol, attrCols)
+      }
+      .start()
+
+  /** One SCD2 micro-batch (the foreachBatch body, callable from batch jobs
+    * and tests).
+    */
+  def scd2Batch(
+      batch: DataFrame,
+      targetDir: String,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      attrCols: Seq[String]): Unit =
+    stagedSwap(batch.sparkSession, targetDir) {
+      case Some(history) =>
+        graft.operators.Scd.scd2Merge(history, batch, keyCols, tsCol, tieCol, attrCols)
+      case None =>
+        graft.operators.Scd.scd2FromChangeLog(batch, keyCols, tsCol, tieCol, attrCols)
+    }
 
   /** Continuous dedup ingestion: each micro-batch passes the incremental
     * exact-dedup gate against the corpus accumulated so far and APPENDS only

@@ -527,4 +527,42 @@ class StreamingSpec extends SparkTestBase {
       assert(spark.table("dedup_stream").count() == 100)
     } finally q.stop()
   }
+
+  test("scd2 stream: versions open and close as change batches arrive") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Int, Long)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2").toString + "/history"
+    val q = Streaming.scd2Stream(
+      input.toDF().toDF("k", "status", "ts", "tie"),
+      dir, Seq("k"), "ts", "tie", Seq("status"))
+    try {
+      input.addData((1L, "A", 1, 1L), (2L, "X", 1, 2L))
+      q.processAllAvailable()
+      input.addData((1L, "B", 5, 3L), (2L, "X", 6, 4L)) // change + no-change
+      q.processAllAvailable()
+      val hist = spark.read.parquet(dir)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getInt(2), Option(r.get(3)), r.getLong(4))).toSet
+      assert(hist == Set(
+        (1L, "A", 1, Some(5), 0L),
+        (1L, "B", 5, None, 1L),
+        (2L, "X", 1, None, 1L)), s"got $hist")
+    } finally q.stop()
+  }
+
+  test("scd2Batch is idempotent under an at-least-once replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2r").toString + "/history"
+    val b1 = Seq((1L, "A", 1, 1L), (1L, "B", 5, 2L)).toDF("k", "status", "ts", "tie")
+    val b2 = Seq((1L, "C", 9, 3L), (1L, "C", 9, 4L)).toDF("k", "status", "ts", "tie")
+    Streaming.scd2Batch(b1, dir, Seq("k"), "ts", "tie", Seq("status"))
+    Streaming.scd2Batch(b2, dir, Seq("k"), "ts", "tie", Seq("status"))
+    val once = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    // foreachBatch is at-least-once: the replayed batch must change nothing
+    Streaming.scd2Batch(b2, dir, Seq("k"), "ts", "tie", Seq("status"))
+    val twice = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    assert(once == twice, "replaying an applied batch must be a no-op")
+    assert(twice.map(s => (s(1), s(2), Option(s(3)))) ==
+      Set(("A", 1, Some(5)), ("B", 5, Some(9)), ("C", 9, None)))
+  }
 }
