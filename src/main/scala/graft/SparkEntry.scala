@@ -222,6 +222,24 @@ object SparkEntry {
         keyCols = Seq("o_custkey"), tsCol = "o_orderdate",
         tieCol = "o_orderkey", attrCols = Seq("o_orderstatus"))),
 
+    "pit_status_lookup" -> ((s, dir) => {
+      // point-in-time lookup: each order retrieves the status version TRUE
+      // at its own date from the customer's Type-2 history — the standard
+      // fact-to-dimension temporal join. One key-partitioned equi-join with
+      // the interval containment as the non-equi condition; exactly one
+      // version matches per fact (intervals partition time per key)
+      val o = Tables.orders(s, dir)
+      val hist = operators.Scd.scd2FromChangeLog(
+        o, Seq("o_custkey"), "o_orderdate", "o_orderkey", Seq("o_orderstatus"))
+        .withColumnRenamed("o_orderstatus", "status_at")
+      operators.Joins.pointInTimeJoin(
+        o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        hist.drop("is_current"),
+        keys = Seq("o_custkey"), factTs = "o_orderdate")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("status_at"), col("valid_from"))
+    }),
+
     "incremental_window" -> ((s, dir) =>
       Ops.rangeFilter("ts", Some("2024-01-01 00:00:00"), Some("2024-01-08 00:00:00"))(
         Sources.pushTsRangeNs(Sources.events(s, dir),
@@ -1646,6 +1664,30 @@ object SparkEntry {
         |SELECT o_custkey, o_orderstatus, valid_from, valid_to,
         |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM i WHERE valid_to IS NULL OR valid_to <> valid_from""".stripMargin,
+
+    "pit_status_lookup" ->
+      // the scd2_history derivation inlined, then the interval-containment
+      // join: ts >= valid_from AND (valid_to IS NULL OR ts < valid_to)
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |v AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey FROM c
+        |  WHERE prev IS NULL OR prev <> o_orderstatus),
+        |i AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM v),
+        |h AS (
+        |  SELECT o_custkey, o_orderstatus AS status_at, valid_from, valid_to
+        |  FROM i WHERE valid_to IS NULL OR valid_to <> valid_from)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, h.status_at, h.valid_from
+        |FROM orders o JOIN h ON o.o_custkey = h.o_custkey
+        |  AND o.o_orderdate >= h.valid_from
+        |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)""".stripMargin,
 
     "incremental_window" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, count(*) AS cnt

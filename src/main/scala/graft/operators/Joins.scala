@@ -139,6 +139,45 @@ object Joins {
       .drop("__lb0", "__bucket")
   }
 
+  /** Point-in-time (temporal) lookup against a Type-2 dimension history
+    * ([[Scd]]): for each fact row, attach the dimension version whose
+    * half-open validity interval `[validFrom, validTo)` contains the fact's
+    * timestamp — `validTo IS NULL` meaning "still current". The warehouse
+    * companion of [[asOfJoin]]: as-of picks the latest PRIOR observation
+    * from a change log; point-in-time picks the version a history table
+    * says was TRUE at that instant (facts before the key's first version
+    * match nothing, which `how = "left"` surfaces as nulls).
+    *
+    * Scale shape: an equi-join on the dimension key with the interval
+    * predicate evaluated as the join's non-equi condition — each fact meets
+    * only its own key's versions (per-key version counts are small by SCD2
+    * nature, so the per-key cross-section is bounded), one key-partitioned
+    * shuffle, and a history side small enough broadcasts under AQE. No
+    * bucketed time-range explode is needed precisely because the key
+    * equality already prunes the pair space — [[timeRangeJoin]] exists for
+    * the keyless/wide-interval case.
+    */
+  def pointInTimeJoin(
+      facts: DataFrame,
+      history: DataFrame,
+      keys: Seq[String],
+      factTs: String,
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to",
+      how: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "point-in-time lookup needs the dimension key")
+    // The history is often DERIVED from the facts table itself (an SCD2
+    // change-log rollup of the same source), so `facts(k) === history(k)`
+    // would hit Spark's same-lineage attribute ambiguity. Renaming the
+    // history keys first makes the join condition unambiguous by name.
+    val pref = "__pit_"
+    val h = keys.foldLeft(history)((df, k) => df.withColumnRenamed(k, pref + k))
+    val cond = keys.map(k => facts(k) === h(pref + k)).reduce(_ && _) &&
+      facts(factTs) >= h(validFrom) &&
+      (h(validTo).isNull || facts(factTs) < h(validTo))
+    keys.foldLeft(facts.join(h, cond, how))((df, k) => df.drop(pref + k))
+  }
+
   /** Manual key-salting for joins whose build side has pathological hot keys
     * beyond what AQE's skew-split handles: the skewed (left) side gets a
     * random salt in [0, factor), the small-but-replicable right side is

@@ -87,4 +87,28 @@ class JoinsSpec extends SparkTestBase {
       .select("purchase_id", "event_id").as[(Long, Long)].collect().toSet
     assert(bucketed == naive && bucketed.nonEmpty)
   }
+
+  test("pointInTimeJoin attaches the version true at each fact's timestamp") {
+    val history = Seq(
+      // k=1: A over [1,5), B over [5,∞); k=2: X over [2,∞)
+      (1L, "A", 1, Option(5)), (1L, "B", 5, Option.empty[Int]),
+      (2L, "X", 2, Option.empty[Int]))
+      .toDF("k", "status", "valid_from", "valid_to")
+    val facts = Seq(
+      (10L, 1L, 1),  // at A's open instant → A
+      (11L, 1L, 4),  // inside [1,5) → A
+      (12L, 1L, 5),  // at the boundary: half-open → B
+      (13L, 2L, 9),  // current version → X
+      (14L, 2L, 1),  // BEFORE the key's first version → no match
+      (15L, 3L, 1))  // unknown key → no match
+      .toDF("fact_id", "k", "ts")
+    val inner = Joins.pointInTimeJoin(facts, history, Seq("k"), "ts")
+      .select($"fact_id", $"status").as[(Long, String)].collect().toMap
+    assert(inner == Map(10L -> "A", 11L -> "A", 12L -> "B", 13L -> "X"))
+    val left = Joins.pointInTimeJoin(facts, history, Seq("k"), "ts", how = "left")
+      .select($"fact_id", $"status").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(left(14L).isEmpty && left(15L).isEmpty && left.size == 6,
+      "left join surfaces pre-history facts and unknown keys as nulls")
+  }
 }
