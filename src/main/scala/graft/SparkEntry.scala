@@ -588,6 +588,12 @@ object SparkEntry {
       // earlier in the corpus drops, documents reassemble from survivors
       Dedup.segmentDedup(Tables.documents(s, dir), "doc_id", "text", segTokens = 10)),
 
+    "duplicate_spans" -> ((s, dir) =>
+      // hashed-window substring-dedup stats (Lee et al. 2022): per document,
+      // how many tokens sit under an 8-token window repeated anywhere in the
+      // corpus — the quantity exact substring dedup cuts
+      Dedup.duplicateSpanStats(Tables.documents(s, dir), "doc_id", "text", k = 8)),
+
     "incremental_dedup" -> ((s, dir) => {
       // ingestion-gate dedup: every 7th doc plays the incoming batch, the
       // rest the accumulated corpus; the corpus reduces to one bloom filter
@@ -1971,6 +1977,36 @@ object SparkEntry {
          | CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
          | COALESCE(r.dedup_text, '') AS dedup_text
          |FROM t LEFT JOIN r ON t.doc_id = r.doc_id""".stripMargin,
+
+    // 8-token rolling windows fingerprinted with the same \x01-joined md5;
+    // a fingerprint occurring >1 times corpus-wide marks its window
+    // duplicated; covered tokens = interval union via the running-max-end
+    // frontier (identical gaps-and-islands formulation on both sides)
+    "duplicate_spans" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |win AS (
+         |  SELECT doc_id, i, md5(array_to_string(toks[i:i+7], chr(1))) AS h
+         |  FROM t, LATERAL unnest(generate_series(1, greatest(len(toks)-7, 0))) AS u(i)),
+         |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
+         |dw AS (SELECT doc_id, i AS pos, i+8 AS e FROM win
+         |       WHERE h IN (SELECT h FROM dup)),
+         |cov AS (
+         |  SELECT doc_id, pos, e,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM dw),
+         |p AS (
+         |  SELECT doc_id, count(*) AS n_dup_windows,
+         |    sum(greatest(0, e - greatest(coalesce(pm, pos), pos))) AS dup_tokens
+         |  FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  CAST(greatest(len(t.toks)-7, 0) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+         |  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CASE WHEN len(t.toks) = 0 THEN 0.0
+         |       ELSE CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / len(t.toks) END
+         |    AS dup_frac
+         |FROM t LEFT JOIN p ON t.doc_id = p.doc_id""".stripMargin,
 
     // top-50 vocabulary coverage: the cumulative-sum window runs over the
     // aggregated vocab, full (cnt DESC, token) tiebreak everywhere

@@ -480,6 +480,91 @@ object Dedup {
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
 
+  /** Duplicated-span statistics (the hashed-window approximation of exact
+    * substring dedup a la "Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022): every `k`-token rolling window of every
+    * document is fingerprinted; a window whose fingerprint occurs more than
+    * once ANYWHERE in the corpus (another document, or a repeat inside the
+    * same document) is a duplicated span. Per document the operator reports
+    * how much of the text those spans cover — the quantity the paper cuts.
+    * A suffix array finds arbitrary-length repeats; fixed-`k` windows find
+    * every repeat of length >= k, which is the same cut policy with the
+    * minimum-match-length knob made explicit, and unlike the suffix array it
+    * is a pure dataflow (no global sorted index to build or host).
+    *
+    * Scale shape: tokenize+window-hash is scan-stage Column algebra (after
+    * an [[Ops.spread]] so a single-file scan does not serialize the
+    * kernels); the window relation is REcomputed for the semi-join probe
+    * rather than materialized — two cheap scan passes beat persisting a
+    * corpus x tokens row blowup. The corpus-sized shuffle is the
+    * fingerprint aggregate (map-side combined; only fingerprints with
+    * count > 1 survive, a tiny set that BROADCASTS into the semi-join — at
+    * a duplication rate where it stops broadcasting, the semi-join's two
+    * hash(fingerprint) exchanges are identical subplans and ReuseExchange
+    * materializes one). Span coverage then needs only a doc-keyed window:
+    * the covered token count is the classic interval-union running-max —
+    * no per-token explode, the record volume stays one row per duplicated
+    * window. PlanGuardSpec pins the exchange count.
+    *
+    * Returns one row per input document:
+    * (id, n_tokens, n_windows, n_dup_windows, dup_tokens, dup_frac) where
+    * `dup_tokens` is the union length of the duplicated-window intervals
+    * and `dup_frac` = dup_tokens / n_tokens (0.0 for empty docs).
+    */
+  def duplicateSpanStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+    // window fingerprints with their 1-based start position; sequence() is
+    // guarded because Spark generates a DESCENDING sequence when stop <
+    // start — a <k-token document must yield zero windows, not [1, 0]
+    val win = Ops.spread(toks).select(
+        col(idCol),
+        explode(when(size(col("__t")) >= k,
+          transform(
+            sequence(lit(1), size(col("__t")) - (k - 1)),
+            i => struct(
+              i.as("pos"),
+              md5(concat_ws("\u0001", slice(col("__t"), i, lit(k)))).as("h"))))
+          .otherwise(array())).as("w"))
+      .select(col(idCol), col("w.pos").as("__pos"), col("w.h").as("__h"))
+    // fingerprints seen more than once corpus-wide; count>1 needs the full
+    // aggregate (a bloom can't count), but only the key survives the filter
+    val dupHashes = win.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select(col("__h"))
+    val dupWin = win.join(dupHashes, Seq("__h"), "left_semi")
+      .select(col(idCol), col("__pos"), (col("__pos") + k).as("__end"))
+    // interval union per doc: sort windows by start, carry the running max
+    // end of all EARLIER windows; each window contributes only the part
+    // past that frontier (gaps-and-islands, one row per dup window)
+    val frontier = max(col("__end")).over(
+      Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val perDoc = dupWin
+      .withColumn("__pm", frontier)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_dup_windows"),
+        sum(greatest(lit(0L),
+          col("__end") - greatest(coalesce(col("__pm"), col("__pos")), col("__pos"))))
+          .as("dup_tokens"))
+    toks
+      .select(col(idCol), size(col("__t")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        greatest(col("n_tokens") - (k - 1), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")).as("dup_frac"))
+  }
+
   /** Shingle-containment scoring (RefinedWeb-style substring-dedup
     * approximation): for every document A, the best containment
     * `|shingles(A) ∩ shingles(B)| / |shingles(A)|` over all other documents

@@ -294,6 +294,28 @@ class DedupSpec extends SparkTestBase {
     assert(out(1L)._1 > 0L, "unique shingles survive the cut")
   }
 
+  test("duplicateSpanStats measures interval-union coverage of repeated windows") {
+    // k=3 windows. doc 1 and doc 2 share the run "a b c d" (two overlapping
+    // duplicated windows: [a b c], [b c d] -> union covers 4 tokens); doc 3
+    // repeats "x y z" INSIDE itself (self-repeat also counts); doc 4 is
+    // unique; doc 5 is shorter than k (zero windows)
+    val frame = Seq(
+      (1L, "a b c d p q r"),
+      (2L, "m n a b c d"),
+      (3L, "x y z g h x y z"),
+      (4L, "u1 u2 u3 u4 u5"),
+      (5L, "t1 t2")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanStats(frame, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(1L) == ((7L, 5L, 2L, 4L, 4.0 / 7.0)), "cross-doc run, overlap unioned")
+    assert(out(2L) == ((6L, 4L, 2L, 4L, 4.0 / 6.0)))
+    assert(out(3L) == ((8L, 6L, 2L, 6L, 6.0 / 8.0)), "self-repeat counts, disjoint spans sum")
+    assert(out(4L) == ((5L, 3L, 0L, 0L, 0.0)), "unique doc untouched")
+    assert(out(5L) == ((2L, 0L, 0L, 0L, 0.0)), "sub-k doc yields zero windows, not [1,0]")
+  }
+
   test("minhash signatures are deterministic across evaluations") {
     val sig = Dedup.minhashSignature(graft.operators.TextAnalysis.wordShingles(col("text"), 3), 16)
     val a = docs.select(sig).collect().map(_.getSeq[Long](0))

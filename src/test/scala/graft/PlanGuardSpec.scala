@@ -187,6 +187,9 @@ class PlanGuardSpec extends SparkTestBase {
     "retention_cohorts" -> (2, "user-key exchange + cohort-grid agg"),
     // multi-stage pipelines: each number is the audited stage count
     "segment_dedup" -> (3, "segment-key agg (2-phase) + doc-id regroup"),
+    "duplicate_spans" -> (4, "spread ×2 (probe + aggregate branches re-scan the " +
+      "corpus) + fingerprint agg; dup set broadcasts into the semi-join; " +
+      "doc-keyed coverage window"),
     "embed_dedup" -> (4, "LSH bucket join + component resolution + survivor semi-join"),
     "tfidf_top_terms" -> (5, "term df agg, doc tf agg, join, per-doc top-k window"),
     "curation_pipeline_v2" -> (7, "LM bigram counts ×2 + joins + segment dedup + packing"),
