@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Registry, VectorExpressions}
-import graft.operators.{Dedup, Multimodal, Ops, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EntityResolution, Multimodal, Ops, Sampling, Similarity, TextAnalysis}
 import graft.sinks.Sinks
 import graft.sources.Sources
 import graft.types._
@@ -644,6 +644,19 @@ object SparkEntry {
       clustered.unionByName(singles)
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
     }),
+
+    "entity_resolution" -> ((s, dir) =>
+      // record linkage over the customer dimension: block on the name minus
+      // its last two characters, match within blocks at edit distance <= 1,
+      // transitive closure assigns min-custkey entity ids. The fixture's
+      // generated names make the expected clusters deterministic; the
+      // operator's knobs (block key, match attribute, threshold) are what a
+      // real deployment tunes
+      EntityResolution.resolve(
+        Tables.customer(s, dir), "c_custkey",
+        blockKey = expr("substr(c_name, 1, length(c_name) - 2)"),
+        matchAttr = col("c_name"),
+        maxDistance = 1)),
 
     "embedding_norms" -> ((s, dir) =>
       Tables.embeddings(s, dir).select(
@@ -2539,6 +2552,30 @@ object SparkEntry {
          |  SELECT 1 AS cluster_size FROM embeddings
          |  WHERE vec_id NOT IN (SELECT id FROM comp))
          |SELECT cluster_size, count(*) AS n_clusters FROM all_sizes GROUP BY cluster_size""".stripMargin,
+
+    "entity_resolution" ->
+      // same blocking + levenshtein edges, transitive closure via the
+      // recursive-CTE walk, unmatched records resolve to themselves
+      """WITH RECURSIVE c AS (
+        |  SELECT c_custkey AS k, c_name AS nm,
+        |    substr(c_name, 1, length(c_name) - 2) AS blk
+        |  FROM customer),
+        |e AS (
+        |  SELECT a.k AS a, b.k AS b FROM c a JOIN c b
+        |  ON a.blk = b.blk AND a.k < b.k AND levenshtein(a.nm, b.nm) <= 1),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |nodes AS (SELECT DISTINCT a AS id FROM sym),
+        |walk(id, lab) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT w.id, s.b FROM walk w JOIN sym s ON s.a = w.lab),
+        |comp AS (SELECT id, min(lab) AS label FROM walk GROUP BY id),
+        |asg AS (
+        |  SELECT c.k AS c_custkey, coalesce(comp.label, c.k) AS entity_id
+        |  FROM c LEFT JOIN comp ON c.k = comp.id)
+        |SELECT c_custkey, entity_id,
+        |  count(*) OVER (PARTITION BY entity_id) AS entity_size
+        |FROM asg""".stripMargin,
 
     "stats_moments" ->
       """SELECT l_returnflag, n,
