@@ -24,6 +24,22 @@ import org.apache.spark.sql.functions._
   *      min record id of its entity cluster — the same deterministic
   *      keep-rule as the dedup family.
   *
+  * MEGA-BLOCK GUARD: Σ block² is only a bound if no single block is huge. A
+  * skewed blocking key — one common name prefix, an empty/null attribute —
+  * concentrates the corpus into one block and the all-pairs join inside it
+  * goes quadratic. Blocks above `guardBlockSize` therefore switch from
+  * ALL-PAIRS matching to SORTED-NEIGHBORHOOD matching (Hernández & Stolfo's
+  * merge/purge): rows are ordered by the match attribute inside the block
+  * and each row is compared only against its next `guardWindow` neighbors,
+  * via an (block, position) EQUI-join — pair volume is size × window,
+  * strictly linear in block size. For the floods that create mega-blocks
+  * (many near-identical values) sorted order places matches adjacently and
+  * transitive closure recovers the full cluster, so the result is identical;
+  * in adversarial mixed blocks the guard can only UNDER-match (a pair whose
+  * neighborhood is interrupted by > window unrelated-but-same-block rows),
+  * never over-match — the same degradation contract as
+  * [[Dedup.semanticDedup]]'s oversized-cluster guard.
+  *
   * Returns one row per input record: (idCol, entity_id, entity_size) where
   * entity_id is the cluster representative (a record's own id when nothing
   * matched it) and entity_size counts the cluster's members.
@@ -35,20 +51,55 @@ object EntityResolution {
       idCol: String,
       blockKey: Column,
       matchAttr: Column,
-      maxDistance: Int): DataFrame = {
+      maxDistance: Int,
+      guardBlockSize: Int = 4096,
+      guardWindow: Int = 16): DataFrame = {
     val ents = df.select(col(idCol).as("__id"), blockKey.as("__blk"), matchAttr.as("__attr"))
-    // self-join through aliases: the two sides share lineage by design
-    val edges = ents.alias("a")
+    // block-size census rides the same __blk shuffle the pair join needs;
+    // joining it back tags every record with its block's population so the
+    // two matching strategies split on a plain filter
+    val sizes = ents.groupBy(col("__blk")).agg(count(lit(1)).as("__bsize"))
+    val flagged = ents.join(sizes, Seq("__blk"))
+
+    // exact path: all-pairs within blocks of sane size (Σ block² bounded by
+    // guardBlockSize × corpus); self-join through aliases — the two sides
+    // share lineage by design
+    val small = flagged.filter(col("__bsize") <= guardBlockSize).drop("__bsize")
+    val edgesSmall = small.alias("a")
       .join(
-        ents.alias("b"),
+        small.alias("b"),
         col("a.__blk") === col("b.__blk") &&
           col("a.__id") < col("b.__id") &&
           levenshtein(col("a.__attr"), col("b.__attr")) <= maxDistance)
       .select(col("a.__id").as("a"), col("b.__id").as("b"))
-    val clusters = Dedup.connectedComponents(edges) // (id, label = min id)
+
+    // guarded path: sorted neighborhood inside oversized blocks. Each row
+    // probes positions rn+1 … rn+window of the block's attr-sorted order via
+    // an (blk, position) equi-join, so a mega-block costs size × window
+    // comparisons and the join key is fine-grained — no reducer ever sees
+    // the whole block twice.
+    val big = flagged.filter(col("__bsize") > guardBlockSize).drop("__bsize")
+    val order = Window.partitionBy(col("__blk")).orderBy(col("__attr"), col("__id"))
+    val ranked = big.withColumn("__rn", row_number().over(order))
+    val probes = ranked.select(
+      col("__blk"), col("__id"), col("__attr"),
+      explode(sequence(col("__rn") + 1, col("__rn") + guardWindow)).as("__target"))
+    val edgesBig = probes.alias("a")
+      .join(
+        ranked.alias("b"),
+        col("a.__blk") === col("b.__blk") &&
+          col("a.__target") === col("b.__rn") &&
+          levenshtein(col("a.__attr"), col("b.__attr")) <= maxDistance)
+      .select(
+        least(col("a.__id"), col("b.__id")).as("a"),
+        greatest(col("a.__id"), col("b.__id")).as("b"))
+
+    // CC output renamed so a caller idCol literally named "id" can't clash
+    val clusters = Dedup.connectedComponents(edgesSmall.unionByName(edgesBig))
+      .select(col("id").as("__cc_id"), col("label"))
     // resolve against the full input: unmatched records are their own entity
     val assigned = df.select(col(idCol))
-      .join(clusters, col(idCol) === clusters("id"), "left")
+      .join(clusters, col(idCol) === col("__cc_id"), "left")
       .select(col(idCol), coalesce(col("label"), col(idCol)).as("entity_id"))
     // entity-keyed window (partitioned — never global); counts ride the
     // already-shuffled cluster assignment

@@ -209,6 +209,15 @@ class PlanGuardSpec extends SparkTestBase {
       "+ denominator agg + best-containment agg + survivor resolution"),
     "doc_pagerank" -> (7, "one destination-keyed contribution agg per iteration (×5) " +
       "+ rank/node join exchanges; adjacency is checkpointed once, not re-derived"),
+    "entity_resolution" -> (3, "input⋈labels left join (2 key exchanges) + " +
+      "entity-window exchange; block census, pair join and CC rounds run " +
+      "behind connectedComponents' per-round localCheckpoints"),
+    "value_outliers" -> (3, "ONE event_type exchange REUSED by both median " +
+      "windows + one for the MAD-deviation ranks + the final report agg; " +
+      "per-group medians broadcast back onto the corpus"),
+    "pit_status_lookup" -> (1, "ONE custkey exchange feeds both SCD2 windows " +
+      "(lag + lead); the derived history broadcasts into the point-in-time " +
+      "range join at this sf"),
     "minhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "simhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "ngram_jaccard_dedup_docs" -> (8, "exact-collapse + shingle joins + CC + invariants")

@@ -211,6 +211,28 @@ class StressScaleSpec extends SparkTestBase {
       f"flood took $secs%.1fs — the df cut likely stopped bounding the pair join")
   }
 
+  stress("entity resolution survives a 20k single-block flood via the sorted-neighborhood guard") {
+    // every record lands in ONE block (the empty/constant-key pathology the
+    // guard exists for). All-pairs would be 2*10^8 levenshtein evaluations;
+    // the guard compares each row only against its 16 sorted neighbors —
+    // 3.2*10^5 — and transitive closure recovers the two identical-name
+    // entities whole.
+    val flood = (0L until 10000L).map(i => (i, "aaaa entity alpha")) ++
+      (10000L until 20000L).map(i => (i, "bbbb entity beta"))
+    val docs = flood.toDF("id", "name").repartition(8)
+    val (out, secs) = timed {
+      graft.operators.EntityResolution.resolve(
+        docs, "id", blockKey = lit(""), matchAttr = col("name"), maxDistance = 1)
+        .groupBy(col("entity_id")).agg(max(col("entity_size")).as("sz"))
+        .select(col("sz")).as[Long].collect().sorted.toSeq
+    }
+    info(f"single-block ER flood resolved in $secs%.1fs")
+    assert(out == Seq(10000L, 10000L),
+      s"two 10k entities expected from the flood, got $out")
+    assert(secs < 180.0,
+      f"flood took $secs%.1fs — the mega-block guard likely regressed to all-pairs")
+  }
+
   stress("connected components collapses a 10k-node chain within 15 pointer-doubling rounds") {
     val edges = (0L until 9999L).map(i => (i, i + 1)).toDF("a", "b").repartition(8)
     val (labels, rounds) = Dedup.connectedComponentsWithRounds(edges, maxIter = 15)
