@@ -2746,7 +2746,13 @@ object SparkEntry {
           s"split_part(m$k, ' ', 2) || ')', '(' || replace(m$k, ' ', '') || ')')"
       }
       s"""WITH ${sqlBpeSteps(8)},
-         |m AS (SELECT ${(1 to 8).map(k => s"(SELECT pair FROM b$k) AS m$k").mkString(", ")}),
+         |m AS (SELECT ${(1 to 8).map(k =>
+        // COALESCE('') guards early exhaustion: an empty b_k would make the
+        // scalar subselect NULL and NULL the whole replace chain, while the
+        // engine replays only the merges actually learned. '' turns the
+        // replace into a no-op ('()()' can never occur — symbols are
+        // nonempty [a-z0-9]+), matching the engine's behavior exactly.
+        s"coalesce((SELECT pair FROM b$k), '') AS m$k").mkString(", ")}),
          |t AS (SELECT doc_id, $sqlToks AS toks FROM documents)
          |SELECT doc_id, array_to_string(sw, ' ') AS subwords,
          |  CAST(len(sw) AS BIGINT) AS n_subwords

@@ -42,12 +42,57 @@ object Bpe {
   private def symbols(form: org.apache.spark.sql.Column) =
     regexp_extract_all(form, lit("\\(([a-z0-9]+)\\)"), lit(1))
 
+  /** Adjacent-pair multiset of a bracket form — one entry PER OCCURRENCE
+    * (duplicates included), so summing word counts over the exploded array
+    * is the exact weighted pair frequency. Single-symbol words emit no pairs
+    * (the kernel's short-input window would emit the lone symbol itself —
+    * same guard as wordShingles).
+    */
+  private[graft] def pairsOf(form: org.apache.spark.sql.Column) = {
+    val syms = symbols(form)
+    when(size(syms) >= 2, graft.functions.HashExpressions.ngramStrings(syms, 2))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** The incremental step kernel: fusing (a,b) changes the pair multiset of
+    * ONLY the words whose form contains the literal `(a)(b)` — the bracket
+    * anchors make the containment test exact symbol-boundary matching (the
+    * same pattern the replace rewrites). Returns the signed count delta
+    * (old pairs of affected words at -count, new pairs at +count) and the
+    * fused vocab. The delta's explode scans the affected SUBSET, not the
+    * vocab — reference BPE trainers maintain pair counts the same way.
+    */
+  private[graft] def fuseDelta(
+      vocab: DataFrame,
+      a: String,
+      b: String): (DataFrame, DataFrame) = {
+    val pat = s"($a)($b)"
+    val fused = call_function("replace", col("__form"), lit(pat), lit(s"($a$b)"))
+    val affected = vocab.filter(col("__form").contains(pat))
+    val removed = affected
+      .select((-col("__c")).as("__cnt"), explode(pairsOf(col("__form"))).as("__pair"))
+    val added = affected
+      .select(col("__c").as("__cnt"), explode(pairsOf(fused)).as("__pair"))
+    val delta = removed.unionByName(added).select(col("__pair"), col("__cnt"))
+    // the rewrite itself stays a full-vocab NARROW pass (replace is a no-op
+    // off the affected rows; no shuffle) — only the re-COUNT is subset-sized
+    (delta, vocab.withColumn("__form", fused))
+  }
+
   /** Learn the first `steps` BPE merges from `docs(textCol)`. Returns the
     * merge table as a DataFrame (step, pair, cnt) — config-sized (`steps`
     * rows), built on the driver from the per-step argmaxes. Ties on count
     * break by ascending pair string, so the table is a deterministic
     * function of the corpus at any parallelism (counts are exact integer
     * sums; no floating point anywhere).
+    *
+    * The pair census is built ONCE from the initial vocab; every later step
+    * maintains it incrementally via [[fuseDelta]] — argmax over the
+    * checkpointed pair table, delta re-count over the affected words only,
+    * merge + drop of zeroed pairs. 1000 steps cost 1000 affected-subset
+    * scans instead of 1000 full-vocab re-explosions, and the table is
+    * bit-identical to a full recount (exact integer accounting of the same
+    * multiset).
     */
   def learnMerges(
       docs: DataFrame,
@@ -63,19 +108,16 @@ object Bpe {
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
       .select(col("__c"), regexp_replace(col("__w"), "(.)", "($1)").as("__form"))
       .localCheckpoint(true)
+    // full census exactly once; checkpointed so step k replays nothing
+    var pairCounts = vocab
+      .select(col("__c").as("__cnt"), explode(pairsOf(col("__form"))).as("__pair"))
+      .groupBy(col("__pair")).agg(sum(col("__cnt")).as("__cnt"))
+      .localCheckpoint(true)
     val merges = Seq.newBuilder[Merge]
     var step = 1
     var exhausted = false
     while (step <= steps && !exhausted) {
-      // single-symbol words emit no pairs (the kernel's short-input window
-      // would emit the lone symbol itself — same guard as wordShingles)
-      val syms = symbols(col("__form"))
-      val pairs = when(size(syms) >= 2,
-        graft.functions.HashExpressions.ngramStrings(syms, 2))
-        .otherwise(array().cast("array<string>"))
-      val best = vocab
-        .select(col("__c"), explode(pairs).as("__pair"))
-        .groupBy(col("__pair")).agg(sum(col("__c")).as("__cnt"))
+      val best = pairCounts
         .orderBy(col("__cnt").desc, col("__pair").asc)
         .limit(1)
         .collect() // 1 row: the argmax — bounded by construction
@@ -86,9 +128,12 @@ object Bpe {
         val cnt = best(0).getLong(1)
         merges += Merge(step, pair, cnt)
         val Array(a, b) = pair.split(" ", 2)
-        vocab = vocab
-          .withColumn("__form",
-            call_function("replace", col("__form"), lit(s"($a)($b)"), lit(s"($a$b)")))
+        val (delta, fusedVocab) = fuseDelta(vocab, a, b)
+        vocab = fusedVocab.localCheckpoint(true)
+        pairCounts = pairCounts
+          .unionByName(delta)
+          .groupBy(col("__pair")).agg(sum(col("__cnt")).as("__cnt"))
+          .filter(col("__cnt") > 0) // fused-away pairs zero out and drop
           .localCheckpoint(true)
         step += 1
       }

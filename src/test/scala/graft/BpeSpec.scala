@@ -44,4 +44,65 @@ class BpeSpec extends SparkTestBase {
         .collect().map(_.toSeq).toSeq
     assert(run(1) == run(7), "merge table must not depend on partitioning")
   }
+
+  test("incremental pair maintenance matches a full per-step recount exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    val steps = 25
+    val incremental = Bpe.learnMerges(docs, "text", steps)
+      .collect().map(_.toSeq).toSeq
+    // brute-force reference: re-explode the FULL vocab every step (the
+    // pre-round-8 algorithm) — the delta-maintained table must be
+    // bit-identical, merge order and counts included
+    var vocab = docs
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .select(col("__c"), regexp_replace(col("__w"), "(.)", "($1)").as("__form"))
+      .localCheckpoint(true)
+    val reference = Seq.newBuilder[Seq[Any]]
+    for (step <- 1 to steps) {
+      val best = vocab
+        .select(col("__c"), explode(Bpe.pairsOf(col("__form"))).as("__pair"))
+        .groupBy(col("__pair")).agg(sum(col("__c")).as("__cnt"))
+        .orderBy(col("__cnt").desc, col("__pair").asc).limit(1).collect()
+      assert(best.nonEmpty, "fixture must sustain all reference steps")
+      val Array(a, b) = best(0).getString(0).split(" ", 2)
+      reference += Seq(step, best(0).getString(0), best(0).getLong(1))
+      vocab = vocab.withColumn("__form",
+        call_function("replace", col("__form"), lit(s"($a)($b)"), lit(s"($a$b)")))
+        .localCheckpoint(true)
+    }
+    assert(incremental == reference.result(),
+      "delta-maintained pair counts diverged from the full recount")
+  }
+
+  test("the per-step delta scans only the affected vocab subset") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate}
+    // a parquet-backed vocab: ConvertToLocalRelation would otherwise
+    // evaluate the affected-filter at optimization time and erase the plan
+    // shape this test pins
+    val dir = java.nio.file.Files.createTempDirectory("bpe_delta_").toString
+    Seq((10L, "(a)(b)(c)"), (5L, "(a)(b)"), (7L, "(x)(y)(z)"), (3L, "(q)"))
+      .toDF("__c", "__form").write.mode("overwrite").parquet(dir)
+    val vocab = spark.read.parquet(dir)
+    val (delta, fused) = Bpe.fuseDelta(vocab, "a", "b")
+    // plan shape: every explode in the delta sits ABOVE a contains-filter,
+    // so the re-count's input is the affected subset, never the whole vocab
+    val generates = delta.queryExecution.optimizedPlan.collect { case g: Generate => g }
+    assert(generates.nonEmpty)
+    generates.foreach { g =>
+      val filtered = g.collectFirst {
+        case f: Filter if f.condition.toString.toLowerCase.contains("contains") => f }
+      assert(filtered.nonEmpty,
+        s"delta explode is not gated by the affected-subset filter:\n$g")
+    }
+    // semantics: signed multiset of ONLY the affected words' pair changes
+    val out = delta.groupBy(col("__pair")).agg(sum(col("__cnt")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a b" -> -15L, "b c" -> -10L, "ab c" -> 10L),
+      s"unexpected delta: $out")
+    val forms = fused.select(col("__form")).collect().map(_.getString(0)).toSet
+    assert(forms == Set("(ab)(c)", "(ab)", "(x)(y)(z)", "(q)"))
+  }
 }
