@@ -100,6 +100,7 @@ object IvfIngest {
     val spark = batch.sparkSession
     val dir = new Path(indexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRefresh(fs, dir) // finish an interrupted refresh before pairing codebook+lists
 
     val (model, trained) = readCodebook(fs, dir) match {
       case Some(m) => (m, false)
@@ -156,6 +157,7 @@ object IvfIngest {
       nprobe: Int): DataFrame = {
     val dir = new Path(indexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRefresh(fs, dir) // finish an interrupted refresh before pairing codebook+lists
     val model = readCodebook(fs, dir).getOrElse(
       throw new graft.GraftDataError(s"no codebook sidecar under $indexDir"))
     Similarity.ivfTopKFromIndex(spark, indexDir, model, idCol, vecCol, query, k, nprobe)
@@ -171,11 +173,21 @@ object IvfIngest {
       .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
 
   /** Retrain the codebook over the ACCUMULATED index and rewrite the layout
-    * under the new assignment. Staging-swap roll-forward: the new layout
-    * builds completely under `_refresh`, then data directories swap — a
-    * crash before the swap leaves the old index fully intact; after, the
-    * new one. One full index pass; an explicit maintenance action, not a
-    * per-batch cost.
+    * under the new assignment — an explicit maintenance action (one full
+    * index pass), not a per-batch cost. Single-maintainer discipline: one
+    * refresh at a time, like [[CorpusCompaction]].
+    *
+    * Crash safety is the [[graft.streaming.Streaming]] staged-swap marker
+    * discipline: the ENTIRE new state — reassigned lists under
+    * `_refresh/data` AND the retrained `_refresh/_codebook` — builds inside
+    * the staging directory, then a `_REFRESH_COMPLETE` marker makes it the
+    * durable copy of record, and only then does [[completeRefresh]] roll the
+    * swap forward in marker-tracked phases. A crash at ANY point leaves a
+    * recoverable state: before the marker, the old index is untouched and
+    * the partial staging is discarded; after it, the next entry point
+    * ([[refresh]], [[ingestBatch]] or [[probe]] via [[recoverRefresh]])
+    * finishes the swap — the new codebook can never be lost, and stale
+    * codebook + new lists can never pair up silently.
     */
   def refresh(
       spark: org.apache.spark.sql.SparkSession,
@@ -186,32 +198,83 @@ object IvfIngest {
       iters: Int = 2): Unit = {
     val dir = new Path(indexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRefresh(fs, dir) // an interrupted predecessor finishes (or clears) first
+    val staging = stagingPath(dir)
     val current = spark.read.parquet(indexDir).select(col(idCol), col(vecCol))
     val init = current.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
     val model = Similarity.IvfModel(
       Similarity.trainCodebook(current, idCol, vecCol, init, iters))
-    val staging = new Path(dir, "_refresh")
-    if (fs.exists(staging)) fs.delete(staging, true)
     val reassigned = Ops.spread(current).select(
       col(idCol), col(vecCol),
       VectorExpressions.nearestCentroid(col(vecCol), model.centroids).as("centroid_id"))
-    reassigned.write.mode("overwrite").partitionBy("centroid_id").parquet(staging.toString)
-    // swap: drop the old list directories, move the new ones up, then the
-    // codebook LAST (readers pairing old codebook + new lists would
-    // mis-probe; old lists + old codebook remain consistent until the end)
-    fs.listStatus(dir).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("centroid_id=")) fs.delete(st.getPath, true)
-      else if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
-        fs.delete(st.getPath, false)
+    // the old index stays fully intact (and is what `reassigned` reads)
+    // until the marker lands; everything below builds inside staging
+    reassigned.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(new Path(staging, "data").toString)
+    writeCodebook(fs, staging, model) // the NEW quantizer travels WITH its lists
+    fs.create(new Path(staging, CompleteMarker), true).close()
+    completeRefresh(fs, dir)
+  }
+
+  private val CompleteMarker = "_REFRESH_COMPLETE"
+  private val ClearedMarker = "_REFRESH_CLEARED"
+
+  private def stagingPath(dir: Path) = new Path(dir, "_refresh")
+
+  /** Recover an interrupted [[refresh]]: a staging directory carrying a
+    * completion marker IS the index (the old layout may already be partly
+    * cleared) — roll the swap forward; one without the marker is a dead
+    * partial build over a still-intact index — discard it. Idempotent and
+    * cheap (one existence probe) when no staging exists.
+    */
+  def recoverRefresh(fs: FileSystem, dir: Path): Unit = {
+    val staging = stagingPath(dir)
+    if (!fs.exists(staging)) return
+    if (fs.exists(new Path(staging, CompleteMarker)) ||
+      fs.exists(new Path(staging, ClearedMarker))) completeRefresh(fs, dir)
+    else fs.delete(staging, true)
+  }
+
+  /** Marker-tracked swap phases, each idempotent so a crash inside any of
+    * them re-runs safely:
+    *   1. CLEAR — delete the old list dirs/files. Runs only while the
+    *      COMPLETE marker is in place (no new dir has moved up yet, so
+    *      deleting every `centroid_id=` dir is safe); finishes by RENAMING
+    *      the marker to CLEARED — the atomic phase transition that stops a
+    *      re-entry from deleting already-promoted new lists.
+    *   2. PROMOTE — move `_refresh/data`'s list dirs up; re-entry skips the
+    *      ones already moved (they are no longer in staging).
+    *   3. CODEBOOK — swap `_codebook` last (old lists + old codebook stay
+    *      consistent for readers until the lists finish promoting). The
+    *      staged copy's presence decides idempotence: still there → the top
+    *      copy may be stale, redo the swap; gone → already swapped.
+    *   4. Drop staging (markers leave with it) — the refresh is finished.
+    */
+  private def completeRefresh(fs: FileSystem, dir: Path): Unit = {
+    val staging = stagingPath(dir)
+    val clearedM = new Path(staging, ClearedMarker)
+    if (!fs.exists(clearedM)) {
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith("centroid_id=")) fs.delete(st.getPath, true)
+        else if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+          fs.delete(st.getPath, false)
+      }
+      fs.rename(new Path(staging, CompleteMarker), clearedM)
     }
-    fs.listStatus(staging).foreach { st =>
+    val data = new Path(staging, "data")
+    if (fs.exists(data)) fs.listStatus(data).foreach { st =>
       val name = st.getPath.getName
       if (!name.startsWith("_") && !name.startsWith("."))
         fs.rename(st.getPath, new Path(dir, name))
     }
+    val stagedCb = codebookPath(staging)
+    if (fs.exists(stagedCb)) {
+      val cb = codebookPath(dir)
+      if (fs.exists(cb)) fs.delete(cb, false)
+      fs.rename(stagedCb, cb)
+    }
     fs.delete(staging, true)
-    writeCodebook(fs, dir, model)
   }
 }

@@ -516,6 +516,88 @@ class StreamingSpec extends SparkTestBase {
     assert(top.collect().map(_.getLong(0)).contains(130L))
   }
 
+  test("IvfIngest recovers a refresh interrupted anywhere after the completion marker") {
+    // Reconstructs the crash windows the staged swap must survive: the new
+    // state (lists + retrained codebook) is complete inside _refresh and
+    // marked, but the process died (1) before touching the old layout,
+    // (2) mid-CLEAR with old dirs half-deleted, (3) mid-PROMOTE with some
+    // new dirs already moved up and the stale codebook still on top. In
+    // every case the next entry point must finish the swap: index contents
+    // = the staged lists, codebook = the staged (retrained) one.
+    import graft.streaming.IvfIngest
+    import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val emb = Tables.embeddings(spark, sfDir).filter($"vec_id" < 200)
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-crash").toString
+    // OLD state: nlist=4 index over half the data; NEW state: nlist=8 over all
+    val oldDir = s"$base/old"
+    IvfIngest.ingestBatch(emb.filter($"vec_id" < 100), oldDir, "vec_id", "embedding", nlist = 4): Unit
+    val newDir = s"$base/new"
+    IvfIngest.ingestBatch(emb, newDir, "vec_id", "embedding", nlist = 8): Unit
+    val fs = new HPath(base).getFileSystem(conf)
+    val newIds = spark.read.parquet(newDir).select("vec_id").as[Long].collect().toSet
+    val newCb = IvfIngest.readCodebook(fs, new HPath(newDir)).get.centroids.map(_.toSeq).toSeq
+
+    def buildScene(name: String, marker: String, clearTopDirs: Int, promote: Int): String = {
+      val scene = s"$base/$name"
+      FileUtil.copy(fs, new HPath(oldDir), fs, new HPath(scene), false, conf)
+      val staging = new HPath(scene, "_refresh")
+      FileUtil.copy(fs, new HPath(newDir), fs, new HPath(staging, "data"), false, conf)
+      // the staged codebook sits in _refresh root, as refresh() writes it
+      fs.rename(new HPath(staging, "data/_codebook"), new HPath(staging, "_codebook"))
+      fs.create(new HPath(staging, marker), true).close()
+      // simulate a partial CLEAR: some old list dirs already deleted
+      fs.listStatus(new HPath(scene)).filter(_.getPath.getName.startsWith("centroid_id="))
+        .take(clearTopDirs).foreach(st => fs.delete(st.getPath, true))
+      // simulate a partial PROMOTE: some new dirs already moved up
+      fs.listStatus(new HPath(staging, "data"))
+        .filter(_.getPath.getName.startsWith("centroid_id="))
+        .take(promote).foreach { st =>
+          val top = new HPath(scene, st.getPath.getName)
+          if (fs.exists(top)) fs.delete(top, true)
+          fs.rename(st.getPath, top)
+        }
+      scene
+    }
+
+    val scenes = Seq(
+      buildScene("crash_marked", "_REFRESH_COMPLETE", clearTopDirs = 0, promote = 0),
+      buildScene("crash_midclear", "_REFRESH_COMPLETE", clearTopDirs = 2, promote = 0),
+      buildScene("crash_midpromote", "_REFRESH_CLEARED", clearTopDirs = Int.MaxValue, promote = 2))
+    for (scene <- scenes) {
+      // any entry point recovers; probe is the cheapest
+      val q = emb.filter($"vec_id" === 150).select("embedding").head().getSeq[Float](0).toArray
+      val top = IvfIngest.probe(spark, scene, "vec_id", "embedding", q, k = 3, nprobe = 8)
+      assert(top.collect().map(_.getLong(0)).contains(150L), s"$scene: probe after recovery")
+      assert(spark.read.parquet(scene).select("vec_id").as[Long].collect().toSet == newIds,
+        s"$scene: recovered index must hold exactly the staged lists")
+      assert(IvfIngest.readCodebook(fs, new HPath(scene)).get.centroids.map(_.toSeq).toSeq == newCb,
+        s"$scene: recovered codebook must be the retrained one")
+      assert(!fs.exists(new HPath(scene, "_refresh")), s"$scene: staging cleaned up")
+    }
+  }
+
+  test("IvfIngest discards an unmarked partial refresh and keeps the old index intact") {
+    import graft.streaming.IvfIngest
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-dead").toString + "/index"
+    val emb = Tables.embeddings(spark, sfDir).filter($"vec_id" < 100)
+    IvfIngest.ingestBatch(emb, dir, "vec_id", "embedding", nlist = 4): Unit
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = spark.read.parquet(dir).select("vec_id").as[Long].collect().toSet
+    val cbBefore = IvfIngest.readCodebook(fs, new HPath(dir)).get.centroids.map(_.toSeq).toSeq
+    // a refresh that died mid-build: partial data, NO completion marker
+    fs.mkdirs(new HPath(dir, "_refresh/data/centroid_id=0"))
+    fs.create(new HPath(dir, "_refresh/data/centroid_id=0/part-junk.parquet"), true).close()
+    val q = emb.filter($"vec_id" === 50).select("embedding").head().getSeq[Float](0).toArray
+    IvfIngest.probe(spark, dir, "vec_id", "embedding", q, k = 3, nprobe = 4).collect(): Unit
+    assert(spark.read.parquet(dir).select("vec_id").as[Long].collect().toSet == before,
+      "old index must be untouched")
+    assert(IvfIngest.readCodebook(fs, new HPath(dir)).get.centroids.map(_.toSeq).toSeq == cbBefore,
+      "old codebook must be untouched")
+    assert(!fs.exists(new HPath(dir, "_refresh")), "dead staging discarded")
+  }
+
   test("dedupStream drops replayed event ids within the watermark horizon") {
     val staged = java.nio.file.Files.createTempDirectory("graft-stream3").toString + "/events"
     val ev = Sources.events(spark, sfDir).drop("ts_ns").limit(100)
