@@ -1543,7 +1543,9 @@ object SparkEntry {
     * reason the sampling family hashes with this instead of xxhash64.
     */
   private def sqlUnitHash(id: String, salt: Long): String =
-    s"(CAST((($id + $salt) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0)"
+    // the % 2147483648 fold mirrors unitHash exactly: without it DuckDB
+    // raises on Int64 overflow for ids above ~3.4e9 while Spark would wrap
+    s"(CAST((((($id % 2147483648) + $salt) % 2147483648) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0)"
 
   // ---- k-means mirror (Similarity.trainCodebook) -------------------------
   // Shared by the ivf_topk and semantic_dedup oracles: assignment is argmax
@@ -2206,7 +2208,7 @@ object SparkEntry {
          |    COALESCE((CAST(s.qs AS DOUBLE) / s.n_bigrams) / 1048576.0, 1.0) AS score
          |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)
          |SELECT doc_id, n_bigrams, score,
-         |  score / (CAST(((doc_id + 11) * 2654435761) % 4294967296 + 1 AS DOUBLE)
+         |  score / (CAST(((((doc_id % 2147483648) + 11) % 2147483648) * 2654435761) % 4294967296 + 1 AS DOUBLE)
          |           / 4294967296.0) AS priority
          |FROM f ORDER BY priority DESC, doc_id LIMIT 60""".stripMargin,
 

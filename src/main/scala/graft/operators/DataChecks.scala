@@ -30,18 +30,22 @@ object DataChecks {
     */
   def expectationReport(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
     require(checks.nonEmpty, "at least one expectation")
-    val aggs = checks.flatMap { c =>
-      Seq(sum(when(coalesce(c.holds, lit(false)), lit(0L)).otherwise(lit(1L)))
-        .as(s"__v_${c.name}"))
+    // violation columns alias by INDEX, never by the user-supplied name: a
+    // name containing a dot/backtick would break col() resolution at run
+    // time, and duplicate names would be ambiguous. The name travels only
+    // inside the output literal, where any string is safe.
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
+      sum(when(coalesce(c.holds, lit(false)), lit(0L)).otherwise(lit(1L)))
+        .as(s"__v_$i")
     } :+ count(lit(1)).as("__total")
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // reshape the ONE aggregated row to long form by exploding a
     // literal-width struct array — NOT a per-check union of selects, which
     // would duplicate the aggregation subtree (and the scan) once per check
-    val pairs = array(checks.map { c =>
+    val pairs = array(checks.zipWithIndex.map { case (c, i) =>
       struct(
         lit(c.name).as("check"),
-        coalesce(col(s"__v_${c.name}"), lit(0L)).as("violations"))
+        coalesce(col(s"__v_$i"), lit(0L)).as("violations"))
     }: _*)
     wide
       .select(explode(pairs).as("__p"), col("__total").as("total"))

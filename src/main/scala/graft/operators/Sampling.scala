@@ -43,12 +43,20 @@ object Sampling {
     * (Knuth, TAOCP vol. 3 §6.4): consecutive ids map to well-spread
     * fractions, so a filter `unitHash < p` keeps ~p of any id range —
     * including adversarially regular ones (strided, blocked) — without a
-    * shuffle. Overflow note: the product stays in Int64 for ids below
-    * ~3.4e9; at lake scale pass `pmod(xxhash64(id), 2^32)` as the id to
-    * fold wider keys first (same downstream algebra).
+    * shuffle. The id is folded into [0, 2^31) BEFORE the multiply, so the
+    * product is bounded by 2^31 × 2654435761 < 2^63 and can never overflow
+    * Int64 — Spark (ANSI would error) and any SQL mirror (DuckDB raises on
+    * Int64 overflow) stay bit-for-bit identical at ANY id magnitude, which
+    * is the operator's whole cross-engine-reproducibility contract. Ids
+    * below 2^31 hash to the same value as the unfolded form.
     */
   def unitHash(id: Column, salt: Long = 0L): Column =
-    pmod((id + lit(salt)) * lit(2654435761L), lit(4294967296L))
+    // id folds BEFORE the salt add (id + salt alone can overflow at
+    // Long.MaxValue); (id % m + salt) % m == (id + salt) % m, so values are
+    // unchanged wherever the unfolded form was defined
+    pmod(
+      pmod(pmod(id, lit(2147483648L)) + lit(salt), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
       .cast("double") / lit(4294967296.0)
 
   /** Domain-weighted mixture subsampling: keep each row with probability
@@ -280,7 +288,11 @@ object Sampling {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__qr")).as("__qs"))
       .select(col(idCol), col("n_bigrams"),
         ((col("__qs").cast("double") / col("n_bigrams")) / lit(Fp)).as("score"))
-    val u = (pmod((col(idCol) + lit(salt)) * lit(2654435761L), lit(4294967296L)) + 1L)
+    // same folded Knuth hash as unitHash (overflow-free at any id), +1 so
+    // the divisor is never zero
+    val u = (pmod(
+      pmod(pmod(col(idCol), lit(2147483648L)) + lit(salt), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L)) + 1L)
       .cast("double") / lit(4294967296.0)
     docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")

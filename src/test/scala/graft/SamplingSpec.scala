@@ -198,4 +198,28 @@ class SamplingSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     val adjacent = ordered.sliding(2).count(p => math.abs(p(1) - p(0)) == 1)
     assert(adjacent < ordered.length / 10, s"id runs must scatter, got $adjacent adjacent pairs")
   }
+
+  test("unitHash never overflows and matches the exact algebra at lake-scale ids") {
+    // ids above ~3.4e9 used to overflow the Int64 product: Spark wrapped
+    // (non-ANSI) while the SQL mirror raised — breaking the bit-for-bit
+    // oracle contract exactly at the scale the operator targets. The
+    // internal fold to [0, 2^31) bounds the product below 2^63; this pins
+    // both the no-exception behavior and the exact value via BigInt replay.
+    val ids = Seq(0L, 1L, 2147483647L, 2147483648L, 5000000000L,
+      987654321987L, Long.MaxValue - 1)
+    val salt = 11L
+    def expected(id: Long): Double = {
+      val folded = ((BigInt(id) + salt) mod BigInt(2147483648L)).toLong
+      ((BigInt(folded) * BigInt(2654435761L)) mod BigInt(4294967296L)).toDouble / 4294967296.0
+    }
+    val got = ids.toDF("id")
+      .select($"id", Sampling.unitHash($"id", salt).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (id <- ids) {
+      assert(got(id) == expected(id), s"id $id: ${got(id)} != ${expected(id)}")
+      assert(got(id) >= 0.0 && got(id) < 1.0)
+    }
+    // ids below the fold boundary hash exactly as the unfolded original form
+    assert(got(1L) == ((1L + salt) * 2654435761L % 4294967296L).toDouble / 4294967296.0)
+  }
 }
