@@ -100,4 +100,23 @@ class QueriesSmokeSpec extends SparkTestBase {
     assert(frames.count() == nVideos * 4)
     assert(frames.groupBy("media_id").count().select(max("count")).head().getLong(0) == 4L)
   }
+
+  test("QUERIES.md documents the whole query surface (and nothing stale)") {
+    // the contract doc drifted twice (r5, r7); this pins it to the map.
+    // Forked tests run from the build base, so the doc is at the cwd root.
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("QUERIES.md")), "UTF-8")
+    val documented = "`([a-z0-9_]+)`".r.findAllMatchIn(doc).map(_.group(1)).toSet
+    val surface = SparkEntry.queries.keySet
+    val undocumented = surface -- documented
+    assert(undocumented.isEmpty,
+      s"queries missing from QUERIES.md: ${undocumented.toSeq.sorted.mkString(", ")}")
+    val stale = documented.filter(n => n.contains("_") && !surface.contains(n)) --
+      Set("oracle_sql") // non-query backticked terms used in prose
+    assert(stale.isEmpty,
+      s"QUERIES.md names queries that no longer exist: ${stale.toSeq.sorted.mkString(", ")}")
+    val header = "All (\\d+) queries".r.findFirstMatchIn(doc).map(_.group(1).toInt)
+    assert(header.contains(surface.size),
+      s"QUERIES.md header count ${header.getOrElse(-1)} != surface ${surface.size}")
+  }
 }
