@@ -36,3 +36,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Opt-in stress tier (multi-million-row floods; see StressScaleSpec).
+// `sbt stressTest` injects the gate env var into the forked test JVM, so it
+// works without exporting GRAFT_STRESS in the shell. Run once per round —
+// the flood guarantees (LSH, packing, CC chain, salted join, ER, PageRank)
+// rot silently if nothing executes them.
+addCommandAlias("stressTest",
+  """set Test / envVars += "GRAFT_STRESS" -> "1"; testOnly graft.StressScaleSpec""")

@@ -240,6 +240,42 @@ class PlanGuardSpec extends SparkTestBase {
     }.mkString("; "))
   }
 
+  test("with auto-broadcast disabled no join degrades to a nested loop or cartesian") {
+    // Several exchange pins are justified by "the dim side broadcasts at
+    // this sf" — at 100× the dims exceed the threshold and the planner
+    // re-shapes. This sweep plans the WHOLE surface with auto-broadcast off
+    // (hint-forced broadcasts keep working: a hint is a deliberate
+    // bounded-size assertion) and asserts the fallback for every join is a
+    // shuffled join (sort-merge / shuffled-hash), never a nested-loop or
+    // cartesian — the two shapes that go quadratic when a dim outgrows the
+    // threshold. Queries in crossAllowed cross a PROVEN-bounded side by
+    // design and keep their documented shape.
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val conf = spark.conf
+    val savedB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedA = conf.get("spark.sql.adaptive.enabled", "true")
+    val offenders = try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        val bad = plan.collect {
+          case j: BroadcastNestedLoopJoinExec => j.getClass.getSimpleName
+          case j: CartesianProductExec => j.getClass.getSimpleName
+        }
+        if (bad.nonEmpty) Some(name -> bad.distinct.mkString(",")) else None
+      }.toMap
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", savedB)
+      conf.set("spark.sql.adaptive.enabled", savedA)
+    }
+    val unexpected = offenders.keySet -- crossAllowed.keySet
+    assert(unexpected.isEmpty, unexpected.toSeq.sorted.map { n =>
+      s"$n plans ${offenders(n)} without auto-broadcast — at scale this " +
+        "join goes quadratic; give it equi-keys or a reasoned allowlist entry"
+    }.mkString("; "))
+  }
+
   test("the allowlists only name real queries") {
     val known = SparkEntry.queries.keySet
     val stale = (crossAllowed.keySet ++ udfAllowed.keySet ++

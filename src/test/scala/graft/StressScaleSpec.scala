@@ -233,6 +233,44 @@ class StressScaleSpec extends SparkTestBase {
       f"flood took $secs%.1fs — the mega-block guard likely regressed to all-pairs")
   }
 
+  stress("pageRank stays linear in edges on a dense 1M-edge graph") {
+    // a boilerplate-heavy corpus maxes the df cut and densifies the
+    // co-occurrence edge list; this floods pageRank directly with 10k
+    // vertices x 100 out-edges = 1M directed edges. The claims under test:
+    // the flood finishes inside the time box (each iteration is ONE
+    // equi-join + ONE agg over the checkpointed adjacency), and more
+    // iterations cost ~linearly more — if the adjacency checkpoint
+    // regressed, every iteration would re-derive the full upstream lineage
+    // and iteration cost would compound instead.
+    import graft.operators.Graph
+    val nNodes = 10000L
+    val nodes = spark.range(nNodes).select($"id")
+    val edges = spark.range(nNodes)
+      .select($"id".as("a"), explode(sequence(lit(0), lit(99))).as("j"))
+      .select($"a", (($"a" * 37 + $"j" * 101) % nNodes).as("b"))
+      .repartition(8)
+    def run(iters: Int): Double = {
+      val (sumRank, secs) = timed {
+        Graph.pageRank(edges, nodes, iters = iters)
+          .agg(sum($"rank")).head().getDouble(0)
+      }
+      assert(sumRank > 0.0 && sumRank <= 1.0 + 1e-6,
+        s"rank mass must stay within the unit simplex, got $sumRank")
+      secs
+    }
+    run(1) // warm codegen/JIT + the adjacency build
+    val t2 = Seq(run(2), run(2), run(2)).sorted.apply(1)
+    val t6 = Seq(run(6), run(6), run(6)).sorted.apply(1)
+    info(f"1M-edge pageRank: 2 iters $t2%.1fs, 6 iters $t6%.1fs (medians of 3)")
+    assert(t6 < 180.0, f"6-iteration flood took $t6%.1fs — iteration cost likely compounding")
+    // 3x the iterations must cost well under the quadratic blowup; the
+    // generous 6x bound absorbs this VM's scheduler noise while still
+    // catching a lost checkpoint (which compounds per iteration)
+    assert(t6 < t2 * 6.0 + 5.0,
+      f"6 iters ($t6%.1fs) vs 2 iters ($t2%.1fs): iteration cost is compounding — " +
+        "the adjacency checkpoint likely regressed")
+  }
+
   stress("connected components collapses a 10k-node chain within 15 pointer-doubling rounds") {
     val edges = (0L until 9999L).map(i => (i, i + 1)).toDF("a", "b").repartition(8)
     val (labels, rounds) = Dedup.connectedComponentsWithRounds(edges, maxIter = 15)
