@@ -48,7 +48,13 @@ object Bench {
         name -> (if (again < 0) t else math.min(t, again))
       } else name -> t
     }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // The total is the elapsed time of the queries that SUCCEEDED — the -1.0
+    // failure sentinels must never be summed in (they'd make a broken run
+    // read as a speedup). Failures are counted explicitly and fail the
+    // process, so a round artifact can't record a partial run as rc:0.
+    val ok = results.filter(_._2 >= 0)
+    val nFailed = results.size - ok.size
+    val total = ok.map(_._2).sum
     // Full precision, every query → BENCH_DETAIL.json (committed artifact).
     // The harness keeps only the last ~2000 chars of stdout, which a
     // ~95-query map overflows, so the stdout line carries the suite total
@@ -58,11 +64,11 @@ object Bench {
       .mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${ok.size},"n_failed":$nFailed,"queries":$detail,"sf":"$sfDir"}""".getBytes("UTF-8"))
     def fmt(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","detail":"BENCH_DETAIL.json","n":${results.size},"sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","detail":"BENCH_DETAIL.json","n":${results.size},"n_ok":${ok.size},"n_failed":$nFailed,"sf":"$sfDir","queries":{"""
     val tailStr = "}}"
     val budget = 1900 - head.length - tailStr.length
     val entries = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -75,5 +81,11 @@ object Bench {
     val line = head + shown + tailStr
     spark.stop()
     println(line)
+    // A bench with ANY failed query is a failed bench: nonzero rc so the
+    // round ledger can't stamp it clean (round-8 lesson).
+    if (nFailed > 0) {
+      System.err.println(s"[bench] $nFailed of ${results.size} queries FAILED")
+      sys.exit(1)
+    }
   }
 }

@@ -73,6 +73,104 @@ object PushTsRangeToNanos extends Rule[LogicalPlan] {
   }
 }
 
+/** Optimizer rule: unwrap range comparisons over columns DERIVED from a
+  * naive-µs (TIMESTAMP_NTZ) scan column back onto the attribute itself.
+  *
+  * The regenerated TESTDATA stores `events.ts` as parquet naive µs, which
+  * Spark reads as TIMESTAMP_NTZ; the events adapter exposes the engine's
+  * contract columns as `ts = cast(ntz as timestamp)` (UTC session zone) and
+  * `ts_ns = unix_micros(cast(...)) * 1000`. Both are expressions over the
+  * scan attribute, so predicates on them never reach `PushedFilters`.
+  * Under a fixed UTC zone the NTZ→instant cast is the identity on the
+  * epoch-micros value, so each comparison rewrites exactly onto the NTZ
+  * attribute — restoring parquet row-group min/max pruning, which at 100 TB
+  * is the difference between scanning the window and scanning everything.
+  *
+  * Zone safety: the rewrite fires ONLY when the cast's resolved zone is a
+  * fixed zero-offset zone (UTC/GMT/Z). Under a DST zone the wall→instant
+  * map is non-injective and no literal rewrite is exact, so we leave the
+  * plan alone.
+  */
+object PushNtzTsFilters extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.types.TimestampNTZType
+
+  private def isUtc(tz: Option[String]): Boolean =
+    tz.exists(z => z == "UTC" || z == "GMT" || z == "Z" || z == "Etc/UTC" || z == "+00:00")
+
+  /** `cast(ntzAttr as timestamp)` under a zero-offset zone. */
+  private object NtzAsTs {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case c @ Cast(a: AttributeReference, TimestampType, _, _)
+          if a.dataType == TimestampNTZType && isUtc(c.timeZoneId) => Some(a)
+      case _ => None
+    }
+  }
+
+  /** `unix_micros(cast(ntzAttr as timestamp)) * 1000L` (either operand order). */
+  private object NtzAsNs {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case Multiply(UnixMicros(NtzAsTs(a)), Literal(1000L, LongType), _) => Some(a)
+      case Multiply(Literal(1000L, LongType), UnixMicros(NtzAsTs(a)), _) => Some(a)
+      case _ => None
+    }
+  }
+
+  private def ntzLit(micros: Long): Literal = Literal(micros, TimestampNTZType)
+
+  // Bounds for `µ * 1000 CMP L` → `µ CMP' B`, exact for all integers, with
+  // overflow guards (None = leave the comparison unrewritten).
+  private def ceilDiv(l: Long): Option[Long] =
+    if (l > Long.MaxValue - 999L) None else Some(Math.floorDiv(l + 999L, 1000L))
+  private def floorDiv(l: Long): Option[Long] = Some(Math.floorDiv(l, 1000L))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // --- ts (instant) form: epoch-micros are identical, swap the literal type.
+    case GreaterThanOrEqual(NtzAsTs(a), Literal(u: Long, TimestampType)) =>
+      GreaterThanOrEqual(a, ntzLit(u))
+    case GreaterThan(NtzAsTs(a), Literal(u: Long, TimestampType)) =>
+      GreaterThan(a, ntzLit(u))
+    case LessThan(NtzAsTs(a), Literal(u: Long, TimestampType)) =>
+      LessThan(a, ntzLit(u))
+    case LessThanOrEqual(NtzAsTs(a), Literal(u: Long, TimestampType)) =>
+      LessThanOrEqual(a, ntzLit(u))
+    case EqualTo(NtzAsTs(a), Literal(u: Long, TimestampType)) =>
+      EqualTo(a, ntzLit(u))
+    case GreaterThanOrEqual(Literal(u: Long, TimestampType), NtzAsTs(a)) =>
+      LessThanOrEqual(a, ntzLit(u))
+    case GreaterThan(Literal(u: Long, TimestampType), NtzAsTs(a)) =>
+      LessThan(a, ntzLit(u))
+    case LessThan(Literal(u: Long, TimestampType), NtzAsTs(a)) =>
+      GreaterThan(a, ntzLit(u))
+    case LessThanOrEqual(Literal(u: Long, TimestampType), NtzAsTs(a)) =>
+      GreaterThanOrEqual(a, ntzLit(u))
+    case EqualTo(Literal(u: Long, TimestampType), NtzAsTs(a)) =>
+      EqualTo(a, ntzLit(u))
+
+    // --- ts_ns (derived long) form: µ*1000 CMP L ⟺ µ CMP' bound.
+    // µ*1000 >= L ⟺ µ >= ceil(L/1000)
+    case e @ GreaterThanOrEqual(NtzAsNs(a), Literal(l: Long, LongType)) =>
+      ceilDiv(l).map(b => GreaterThanOrEqual(a, ntzLit(b)): Expression).getOrElse(e)
+    // µ*1000 > L ⟺ µ > floor(L/1000)
+    case e @ GreaterThan(NtzAsNs(a), Literal(l: Long, LongType)) =>
+      floorDiv(l).map(b => GreaterThan(a, ntzLit(b)): Expression).getOrElse(e)
+    // µ*1000 < L ⟺ µ < ceil(L/1000)
+    case e @ LessThan(NtzAsNs(a), Literal(l: Long, LongType)) =>
+      ceilDiv(l).map(b => LessThan(a, ntzLit(b)): Expression).getOrElse(e)
+    // µ*1000 <= L ⟺ µ <= floor(L/1000)
+    case e @ LessThanOrEqual(NtzAsNs(a), Literal(l: Long, LongType)) =>
+      floorDiv(l).map(b => LessThanOrEqual(a, ntzLit(b)): Expression).getOrElse(e)
+    // literal-on-the-left mirrors
+    case e @ GreaterThanOrEqual(Literal(l: Long, LongType), NtzAsNs(a)) =>
+      floorDiv(l).map(b => LessThanOrEqual(a, ntzLit(b)): Expression).getOrElse(e)
+    case e @ GreaterThan(Literal(l: Long, LongType), NtzAsNs(a)) =>
+      ceilDiv(l).map(b => LessThan(a, ntzLit(b)): Expression).getOrElse(e)
+    case e @ LessThan(Literal(l: Long, LongType), NtzAsNs(a)) =>
+      floorDiv(l).map(b => GreaterThan(a, ntzLit(b)): Expression).getOrElse(e)
+    case e @ LessThanOrEqual(Literal(l: Long, LongType), NtzAsNs(a)) =>
+      ceilDiv(l).map(b => GreaterThanOrEqual(a, ntzLit(b)): Expression).getOrElse(e)
+  }
+}
+
 /** Engine extensions entry point: `SparkSession.builder.withExtensions
   * (GraftExtensions.inject)` or spark.sql.extensions=graft.plans.GraftExtensions.
   */
@@ -114,6 +212,7 @@ object GraftExtensions {
 
   def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PushTsRangeToNanos)
+    ext.injectOptimizerRule(_ => PushNtzTsFilters)
     functions.foreach(ext.injectFunction)
   }
 

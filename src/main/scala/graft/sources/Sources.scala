@@ -105,10 +105,20 @@ object Sources {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        // Integer division is mandatory: epoch-ns (~1.7e18) exceeds double's
-        // 53-bit mantissa, so `/ 1000` + floor would be off by ±1 µs.
+        // TIMESTAMP(NANOS) parquet, surfaced as an epoch-ns long. Integer
+        // division is mandatory: epoch-ns (~1.7e18) exceeds double's 53-bit
+        // mantissa, so `/ 1000` + floor would be off by ±1 µs.
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Naive µs parquet (no tz annotation): interpret the wall-clock value
+        // as UTC — identical to DuckDB's naive read and to the NANOS branch's
+        // truncation semantics. The cast is exact under the engine's fixed
+        // UTC session zone; [[graft.plans.PushNtzTsFilters]] unwraps range
+        // filters on the derived columns back onto the scannable NTZ
+        // attribute so row-group pruning still works.
+        raw.withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * 1000L)
+          .withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
   }

@@ -21,7 +21,15 @@ class PlanRulesSpec extends SparkTestBase {
     }.flatten
 
   test("PushTsRangeToNanos adds exact ts_ns bounds for a derived-ts range filter") {
-    val df = Sources.events(spark, sfDir)
+    // synthesize the TIMESTAMP(NANOS) source shape the rule targets (a raw
+    // epoch-ns long `ts` column) — the driver's testdata has moved to naive
+    // µs, but the nanos adapter branch and its rewrite stay supported
+    val dir = java.nio.file.Files.createTempDirectory("graft-nanos").toString
+    spark.range(0, 30).select(
+      col("id").as("event_id"),
+      (lit(1704067200000000000L) + col("id") * 86400L * 1000000000L).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = Sources.events(spark, dir)
       .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
         col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
     // the session runs GraftExtensions, so the optimizer has ALREADY
@@ -39,11 +47,48 @@ class PlanRulesSpec extends SparkTestBase {
     assert(PushTsRangeToNanos(after) == after)
 
     // semantics preserved: bounds are exact, so row sets agree
-    val manual = Sources.pushTsRangeNs(Sources.events(spark, sfDir),
+    val manual = Sources.pushTsRangeNs(Sources.events(spark, dir),
       Some("2024-01-05 00:00:00"), Some("2024-01-20 00:00:00"))
       .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
         col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
-    assert(df.count() == manual.count())
+    assert(df.count() == 15L && manual.count() == 15L)
+  }
+
+  test("PushNtzTsFilters pushes derived-ts bounds onto the naive-µs scan column") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val rawType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    assume(rawType == TimestampNTZType, s"testdata events.ts is $rawType, not NTZ")
+    val df = Sources.events(spark, sfDir)
+      .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+    val after = df.queryExecution.optimizedPlan
+    val bounds = after.collect { case Filter(cond, _) =>
+      cond.collect {
+        case GreaterThanOrEqual(a: Attribute, Literal(v: Long, TimestampNTZType)) => (">=", v)
+        case LessThan(a: Attribute, Literal(v: Long, TimestampNTZType)) => ("<", v)
+      }
+    }.flatten
+    def micros(s: String): Long = java.time.LocalDateTime.parse(s)
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+    assert(bounds.contains((">=", micros("2024-01-05T00:00:00"))) &&
+      bounds.contains(("<", micros("2024-01-20T00:00:00"))), s"got $bounds")
+    // end-to-end: the bounds reach the parquet reader as PushedFilters
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("GreaterThanOrEqual(ts,") && physical.contains("LessThan(ts,"),
+      s"bounds must land in PushedFilters:\n${physical.take(2000)}")
+    // idempotent
+    assert(graft.plans.PushNtzTsFilters(after) == after)
+    // the ts_ns (derived long) form unwraps too: pushTsRangeNs alone
+    // must produce NTZ-attribute bounds, not post-scan long arithmetic
+    val viaNs = Sources.pushTsRangeNs(Sources.events(spark, sfDir),
+      Some("2024-01-05 00:00:00"), Some("2024-01-20 00:00:00"))
+    val nsPhysical = viaNs.queryExecution.executedPlan.toString
+    assert(nsPhysical.contains("GreaterThanOrEqual(ts,") && nsPhysical.contains("LessThan(ts,"),
+      s"ts_ns bounds must unwrap to the scan column:\n${nsPhysical.take(2000)}")
+    // exactness: both paths agree on the row set
+    assert(df.count() ==
+      viaNs.filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-20 00:00:00").cast("timestamp")).count())
   }
 
   test("rule is a no-op when the filter does not bound a derived timestamp") {
@@ -161,19 +206,19 @@ class PlanRulesSpec extends SparkTestBase {
   test("DSv2 connector: unsupported filters are rejected back to Spark, results stay correct") {
     import graft.sources.v2.GraftScan
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-    // endswith is not in the connector's evaluable set; the nanos ts column
-    // (LongType) range IS — mixed predicate must split connector/post-scan
+    // endswith is not in the connector's evaluable set; the numeric `value`
+    // range IS — mixed predicate must split connector/post-scan
     val df = spark.read.format("graft-parquet").load(s"$sfDir/events.parquet")
-      .filter(col("event_type").endsWith("up") && col("ts") > 0L)
+      .filter(col("event_type").endsWith("up") && col("value") > 0.0)
       .select("event_id", "event_type")
     val scan = df.queryExecution.executedPlan.collectFirst {
       case b: BatchScanExec => b.scan
     }.get.asInstanceOf[GraftScan]
-    assert(scan.filters.exists(_.references.contains("ts")), "ts range should be accepted")
+    assert(scan.filters.exists(_.references.contains("value")), "value range should be accepted")
     assert(!scan.filters.exists(_.toString.toLowerCase.contains("endswith")),
       "string-match filter must be rejected back to Spark")
     val native = spark.read.parquet(s"$sfDir/events.parquet")
-      .filter(col("event_type").endsWith("up") && col("ts") > 0L)
+      .filter(col("event_type").endsWith("up") && col("value") > 0.0)
       .select("event_id", "event_type")
     assert(df.collect().toSet == native.collect().toSet && df.count() > 0)
   }
