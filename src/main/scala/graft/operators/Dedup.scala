@@ -285,8 +285,14 @@ object Dedup {
     * under-merges, which must not happen silently.
     */
   def connectedComponentsWithRounds(edges: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
+    // The edge list is usually the OUTPUT of an expensive derivation (an
+    // LSH band join, a blocked levenshtein self-join…). Materialize it ONCE:
+    // without this, every pointer-doubling round's join against `sym`
+    // re-executes that whole upstream plan — the iteration count multiplies
+    // the most expensive stage of the caller instead of a cached edge scan.
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)

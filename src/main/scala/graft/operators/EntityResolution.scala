@@ -55,11 +55,22 @@ object EntityResolution {
       guardBlockSize: Int = 4096,
       guardWindow: Int = 16): DataFrame = {
     val ents = df.select(col(idCol).as("__id"), blockKey.as("__blk"), matchAttr.as("__attr"))
-    // block-size census rides the same __blk shuffle the pair join needs;
-    // joining it back tags every record with its block's population so the
-    // two matching strategies split on a plain filter
-    val sizes = ents.groupBy(col("__blk")).agg(count(lit(1)).as("__bsize"))
-    val flagged = ents.join(sizes, Seq("__blk"))
+    // block-size census rides ONE __blk window exchange (no groupBy + join
+    // back); the two matching strategies then split on a plain filter. The
+    // tagged frame is materialized once — the small path self-joins it and
+    // the big path windows + probes it, four subtree evaluations without
+    // the checkpoint, each repeating the scan and the census exchange.
+    val flagged = ents.withColumn(
+      "__bsize", count(lit(1)).over(Window.partitionBy(col("__blk"))))
+      .localCheckpoint(true)
+
+    // banded edit distance: with a threshold the DP runs O(len × maxD), not
+    // O(len²), and returns -1 above the bound — so `>= 0` IS `<= maxD`. The
+    // length-gap prefilter is a codegen'd subtraction that rejects most
+    // pairs before any DP row is touched.
+    def matches(a: Column, b: Column): Column =
+      abs(length(a) - length(b)) <= maxDistance &&
+        levenshtein(a, b, maxDistance) >= 0
 
     // exact path: all-pairs within blocks of sane size (Σ block² bounded by
     // guardBlockSize × corpus); self-join through aliases — the two sides
@@ -70,7 +81,7 @@ object EntityResolution {
         small.alias("b"),
         col("a.__blk") === col("b.__blk") &&
           col("a.__id") < col("b.__id") &&
-          levenshtein(col("a.__attr"), col("b.__attr")) <= maxDistance)
+          matches(col("a.__attr"), col("b.__attr")))
       .select(col("a.__id").as("a"), col("b.__id").as("b"))
 
     // guarded path: sorted neighborhood inside oversized blocks. Each row
@@ -89,7 +100,7 @@ object EntityResolution {
         ranked.alias("b"),
         col("a.__blk") === col("b.__blk") &&
           col("a.__target") === col("b.__rn") &&
-          levenshtein(col("a.__attr"), col("b.__attr")) <= maxDistance)
+          matches(col("a.__attr"), col("b.__attr")))
       .select(
         least(col("a.__id"), col("b.__id")).as("a"),
         greatest(col("a.__id"), col("b.__id")).as("b"))
