@@ -685,6 +685,24 @@ object SparkEntry {
       Similarity.quantizedTopK(emb, "vec_id", "embedding", q, k = 10)
     }),
 
+    "jl_project_check" -> ((s, dir) =>
+      // deterministic JL sign projection, all 8 target dims emitted as
+      // scalar columns — full-matrix verification of the kernel against the
+      // oracle's formula replay (2000 vectors x 8 doubles, bit-exact)
+      Similarity.jlProject(Tables.embeddings(s, dir), "vec_id", "embedding", k = 8)
+        .select(col("vec_id") +: (0 until 8).map(i =>
+          col("projected").getItem(i).as(s"p$i")): _*)),
+
+    "jl_ann_topk" -> ((s, dir) => {
+      // the scale path for similarity at 100 TB: project once (scan-stage
+      // map, 8x narrower), shortlist in the projected space; distances are
+      // sequential-accumulated doubles so the oracle replay is exact
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.jlTopK(emb, "vec_id", "embedding", q, k = 10, projDim = 8)
+    }),
+
     "ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
@@ -1406,6 +1424,18 @@ object SparkEntry {
         .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
           datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    "doc_triangles" -> ((s, dir) => {
+      // triangle counts + local clustering coefficient over the same rare-
+      // shingle co-occurrence graph pageRank reads: a high-clustering
+      // neighborhood is a boilerplate clique, triangle density separates it
+      // from a hub that merely links many unrelated near-dups
+      val docs = Tables.documents(s, dir)
+      val edges = operators.Dedup.rareShinglePairs(docs, "doc_id", "text",
+        n = 5, maxShingleDf = 100)
+      operators.Graph.triangleCounts(edges, docs.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("triangles"), col("degree"), col("clustering"))
     }),
 
     "doc_pagerank" -> ((s, dir) => {
@@ -2375,6 +2405,37 @@ object SparkEntry {
          |FROM q8 c, qv
          |ORDER BY qscore DESC, c.vec_id LIMIT 10""".stripMargin,
 
+    // replays the deterministic JL sign matrix: sign(i,j) = top bit of the
+    // LCG over the flat index (1103515245*(i*D+j) + 12345) mod 2^31, inner
+    // sum sequential over j — DuckDB's list_sum over a DOUBLE list is a
+    // sequential fold, so the projection doubles match bit-for-bit
+    "jl_project_check" ->
+      s"""WITH proj AS (
+         |  SELECT vec_id, list_transform(range(0, 8), i ->
+         |    list_sum(list_transform(range(0, len(embedding)), j ->
+         |      CASE WHEN ((1103515245 * (i * len(embedding) + j) + 12345) % 2147483648) >= 1073741824
+         |           THEN CAST(embedding[j+1] AS DOUBLE)
+         |           ELSE -CAST(embedding[j+1] AS DOUBLE) END))) AS p
+         |  FROM embeddings)
+         |SELECT vec_id, p[1] AS p0, p[2] AS p1, p[3] AS p2, p[4] AS p3,
+         |       p[5] AS p4, p[6] AS p5, p[7] AS p6, p[8] AS p7
+         |FROM proj""".stripMargin,
+
+    "jl_ann_topk" ->
+      s"""WITH proj AS (
+         |  SELECT vec_id, list_transform(range(0, 8), i ->
+         |    list_sum(list_transform(range(0, len(embedding)), j ->
+         |      CASE WHEN ((1103515245 * (i * len(embedding) + j) + 12345) % 2147483648) >= 1073741824
+         |           THEN CAST(embedding[j+1] AS DOUBLE)
+         |           ELSE -CAST(embedding[j+1] AS DOUBLE) END))) AS p
+         |  FROM embeddings),
+         |qv AS (SELECT p AS q FROM proj WHERE vec_id = 0)
+         |SELECT proj.vec_id,
+         |  list_sum(list_transform(range(1, 9), i ->
+         |    (proj.p[i] - qv.q[i]) * (proj.p[i] - qv.q[i]))) AS pdist
+         |FROM proj, qv
+         |ORDER BY pdist ASC, proj.vec_id ASC LIMIT 10""".stripMargin,
+
     "ivf_topk" ->
       // mirrors the DISTRIBUTED k-means codebook build EXACTLY (Similarity
       // .trainCodebook): first-nlist-by-id seeding (no count() pre-pass),
@@ -2914,6 +2975,44 @@ object SparkEntry {
         |  CAST(d - cohort AS BIGINT) AS day_offset,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM f GROUP BY 1, 2""".stripMargin,
+
+    // same rare-shingle edge derivation as doc_pagerank, then the degree-
+    // oriented triangle enumeration replayed literally: edges directed
+    // low→high (degree, id), wedges from out-edges with ord-sorted spokes,
+    // closed against the directed list — each triangle found exactly once
+    "doc_triangles" ->
+      s"""WITH $sqlRareKept,
+         |e AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM kept l JOIN kept r ON l.s = r.s AND l.doc_id <> r.doc_id),
+         |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM e),
+         |deg AS (
+         |  SELECT id, count(*) AS d FROM (
+         |    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+         |  GROUP BY id),
+         |dir AS (
+         |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS x,
+         |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS y
+         |  FROM und JOIN deg du ON du.id = u JOIN deg dv ON dv.id = v),
+         |dird AS (SELECT dir.x, dir.y, deg.d AS dy FROM dir JOIN deg ON deg.id = dir.y),
+         |tri AS (
+         |  SELECT w1.x AS x, w1.y AS y, w2.y AS z
+         |  FROM dird w1 JOIN dird w2 ON w1.x = w2.x
+         |    AND (w1.dy < w2.dy OR (w1.dy = w2.dy AND w1.y < w2.y))
+         |  JOIN dir c ON c.x = w1.y AND c.y = w2.y),
+         |pern AS (
+         |  SELECT id, count(*) AS t FROM (
+         |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         |  GROUP BY id)
+         |SELECT d.doc_id,
+         |  COALESCE(pern.t, 0) AS triangles,
+         |  COALESCE(deg.d, 0) AS degree,
+         |  CASE WHEN COALESCE(deg.d, 0) >= 2
+         |       THEN (2.0::DOUBLE * COALESCE(pern.t, 0)) / (deg.d * (deg.d - 1))
+         |       ELSE 0.0::DOUBLE END AS clustering
+         |FROM documents d
+         |LEFT JOIN deg ON deg.id = d.doc_id
+         |LEFT JOIN pern ON pern.id = d.doc_id""".stripMargin,
 
     "doc_pagerank" -> {
       // replay the 5 fixed-point iterations exactly: contributions quantize

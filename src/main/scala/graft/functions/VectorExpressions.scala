@@ -243,6 +243,63 @@ object VectorExpressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
   }
 
+  /** Deterministic Johnson–Lindenstrauss sign projection: array<float> (dim
+    * D) → array<double> (dim k), p_i = Σ_j s(i,j)·x_j with signs s(i,j) ∈
+    * {+1, −1} derived from an LCG over the flat index i·D+j (top bit of
+    * `(1103515245·(iD+j) + 12345) mod 2³¹` — the LCG's low bits alternate,
+    * its top bit doesn't). No stored matrix, no broadcast, no randomness at
+    * runtime: any engine regenerates the same projection from the formula
+    * alone, which is what makes an exact cross-engine oracle possible.
+    *
+    * Scale shape: this is the embedding-corpus shrink step — at 100 TB the
+    * vector column dominates; an 8× narrower search space makes every
+    * downstream distance 8× cheaper, and the projection itself is a pure
+    * scan-stage map (one read, one write, no shuffle). Accumulation is
+    * sequential over j, so the doubles are bit-reproducible everywhere.
+    */
+  case class JlProject(child: Expression, k: Int) extends UnaryExpression {
+    require(k > 0, s"projection dim must be positive, got $k")
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.jlProject(v.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorKernels.jlProject($c, $k);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Squared L2 distance between two array<double> vectors (the projected
+    * space of [[JlProject]]): Σ (a_i − b_i)², sequential — exact mirror of a
+    * DuckDB list_sum over the same terms.
+    */
+  case class L2DistSq(left: Expression, right: Expression) extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0; var i = 0
+      while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = $a.getDouble($i) - $b.getDouble($i); $s += $d * $d;
+           |}
+           |${ev.value} = $s;
+         """.stripMargin)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
   // Column-facing wrappers -------------------------------------------------
 
   def dot(a: Column, b: Column): Column =
@@ -268,6 +325,12 @@ object VectorExpressions {
 
   def quantizedDot(a: Column, b: Column): Column =
     ColumnBridge.column(QuantizedDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def jlProject(vec: Column, k: Int): Column =
+    ColumnBridge.column(JlProject(ColumnBridge.expression(vec), k))
+
+  def l2DistSq(a: Column, b: Column): Column =
+    ColumnBridge.column(L2DistSq(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 /** Static-forwarder kernels callable from generated Java. */
@@ -297,6 +360,28 @@ object VectorKernels {
       // floor can land on -128 exactly at x = -max|x| (rounding in the
       // divide); clamp keeps the code symmetric in [-127, 127]
       out(i) = math.max(-127L, math.min(127L, q)).toByte
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def jlProject(v: ArrayData, k: Int): ArrayData = {
+    val dim = v.numElements()
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      var s = 0.0
+      var j = 0
+      while (j < dim) {
+        // LCG over the flat matrix index; mask = mod 2^31 (value stays
+        // non-negative), top bit (>= 2^30) picks the sign — the low bits of
+        // this LCG alternate with the seed and would be a striped matrix
+        val r = (1103515245L * (i.toLong * dim + j) + 12345L) & 0x7FFFFFFFL
+        val x = v.getFloat(j).toDouble
+        s += (if (r >= 1073741824L) x else -x)
+        j += 1
+      }
+      out(i) = s
       i += 1
     }
     new GenericArrayData(out)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.VectorExpressions
+import graft.functions.{VectorExpressions, VectorKernels}
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -38,6 +38,31 @@ object Similarity {
       .select(col(idCol), VectorExpressions.cosine(col(vecCol), vecLit(query)).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+
+  /** Project the corpus into a k-dim Johnson–Lindenstrauss sign space
+    * ([[VectorExpressions.JlProject]]) — a pure scan-stage map that shrinks
+    * every downstream distance computation by dim/k. The approximation
+    * contract is the JL lemma: pairwise distances are preserved within
+    * (1±ε) w.h.p., so projected-space top-k is the cheap first pass of a
+    * project→shortlist→re-rank pipeline at corpus scale.
+    */
+  def jlProject(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    corpus.select(col(idCol), VectorExpressions.jlProject(col(vecCol), k).as("projected"))
+
+  /** Top-k by squared L2 distance in the projected space, for one query
+    * vector given in the ORIGINAL space (projected with the same kernel, so
+    * engine and oracle agree bit-for-bit). TakeOrderedAndProject, ascending.
+    */
+  def jlTopK(corpus: DataFrame, idCol: String, vecCol: String, query: Array[Float], k: Int, projDim: Int): DataFrame = {
+    val qProjected = VectorKernels.jlProject(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(query.map(_.asInstanceOf[Any])), projDim)
+    val qLit = array((0 until projDim).map(i => lit(qProjected.getDouble(i))): _*)
+    Ops.spread(jlProject(corpus, idCol, vecCol, projDim))
+      .select(col(idCol),
+        VectorExpressions.l2DistSq(col("projected"), qLit).as("pdist"))
+      .orderBy(col("pdist").asc, col(idCol).asc)
+      .limit(k)
+  }
 
   /** Brute-force DOT-product top-k — the ranking [[quantizedTopK]]
     * approximates (quantization preserves the dot up to per-vector scale

@@ -203,6 +203,8 @@ object GraftExtensions {
     ("graft_quant_scale", (c: Seq[Expression]) => V.QuantScale(c(0))),
     ("graft_quantized_dot", (c: Seq[Expression]) => V.QuantizedDot(c(0), c(1))),
     ("graft_zorder", (c: Seq[Expression]) => H.ZOrderKey(c(0), c(1), intArg(c(2), "bits"))),
+    ("graft_jl_project", (c: Seq[Expression]) => V.JlProject(c(0), intArg(c(1), "k"))),
+    ("graft_l2distsq", (c: Seq[Expression]) => V.L2DistSq(c(0), c(1))),
     ("graft_unicode_fold", (c: Seq[Expression]) => graft.functions.StringNormalize.UnicodeFold(c(0)))
   ).map { case (name, builder) =>
     (new FunctionIdentifier(name),

@@ -286,4 +286,37 @@ class SimilaritySpec extends SparkTestBase {
       .head()
     assert(tie.getInt(1) == 1 && tie.getLong(2) == 1L)
   }
+
+  test("jlProject: deterministic, distance-preserving in expectation, codegen = interpreted") {
+    import graft.functions.{VectorExpressions, VectorKernels}
+    val emb = Tables.embeddings(spark, sfDir).limit(50)
+    val a = Similarity.jlProject(emb, "vec_id", "embedding", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = Similarity.jlProject(emb.repartition(7), "vec_id", "embedding", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b, "projection must be bitwise partition-independent")
+    assert(a.values.forall(_.size == 8))
+    // kernel agrees with a direct sequential replay of the sign formula
+    val one = emb.filter(col("vec_id") === 1).select("embedding").head().getSeq[Float](0)
+    val d = one.size
+    val expected = (0 until 8).map { i =>
+      var s = 0.0
+      for (j <- 0 until d) {
+        val r = (1103515245L * (i.toLong * d + j) + 12345L) & 0x7FFFFFFFL
+        s += (if (r >= 1073741824L) one(j).toDouble else -one(j).toDouble)
+      }
+      s
+    }
+    assert(a(1L) == expected, "LCG sign matrix replay must match the kernel exactly")
+  }
+
+  test("jlTopK: self is nearest at distance zero; shortlist ranks by projected L2") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val top = Similarity.jlTopK(emb, "vec_id", "embedding", q, k = 10, projDim = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.head == ((0L, 0.0)), "the query vector is its own nearest neighbor, exactly")
+    assert(top.map(_._2).toSeq == top.map(_._2).sorted.toSeq, "ascending distance")
+    assert(top.length == 10)
+  }
 }
