@@ -64,10 +64,15 @@ object Graph {
     * `nodes` (vertices without edges report 0/0/0.0).
     */
   def triangleCounts(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    // materialize the canonical edge list once: the degree census and the
+    // orientation join both scan it, and the edge derivation upstream (for
+    // the document graph: a full shingle explode + df cut) must not run
+    // per consumer
     val und = edges
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint(true)
     val deg = und.select(col("u").as("id"))
       .unionAll(und.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("__deg"))

@@ -218,6 +218,13 @@ class PlanGuardSpec extends SparkTestBase {
     "pit_status_lookup" -> (1, "ONE custkey exchange feeds both SCD2 windows " +
       "(lag + lead); the derived history broadcasts into the point-in-time " +
       "range join at this sf"),
+    "jl_project_check" -> (0, "JL projection is a pure scan-stage map — " +
+      "the whole point: the corpus never moves"),
+    "jl_ann_topk" -> (1, "projection fuses into the scan; spread guard " +
+      "exchange; top-k is TakeOrderedAndProject"),
+    "doc_triangles" -> (7, "per-doc + both-endpoint degree census (2) + " +
+      "orientation joins (2) + wedge self-join + closure join + final " +
+      "left-join resolution; edge list and oriented list checkpoint once"),
     "minhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "simhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "ngram_jaccard_dedup_docs" -> (8, "exact-collapse + shingle joins + CC + invariants")

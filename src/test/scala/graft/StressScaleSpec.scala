@@ -279,4 +279,26 @@ class StressScaleSpec extends SparkTestBase {
       "a single chain must converge to ONE component within the round budget")
     assert(labels.count() == 10000L)
   }
+
+  stress("triangle counting survives a 20k-neighbor celebrity hub (degree orientation)") {
+    // a naive wedge enumeration pairs the hub's neighbors: 20k^2 = 400M
+    // 2-paths before the closure join ever runs. Degree orientation directs
+    // every spoke INTO the hub (it has max degree), so the hub contributes
+    // zero out-wedges; total wedge volume stays linear in the edge count.
+    // A thin triangle fringe (100 leaf-leaf chords) proves closure still
+    // fires inside the flood.
+    import graft.operators.Graph
+    val hub = spark.range(1L, 20001L).select(lit(0L).as("a"), $"id".as("b"))
+    val chords = spark.range(1L, 101L).select($"id".as("a"), ($"id" + 1).as("b"))
+    val edges = hub.unionByName(chords)
+    val (counts, secs) = timed {
+      Graph.triangleCounts(edges, spark.range(0L, 20001L).select($"id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // chord i joins hub spokes (0,i),(0,i+1): one triangle per chord
+    assert(counts(0L) == 100L, s"hub closes every chord triangle, got ${counts(0L)}")
+    assert(counts(1L) == 1L && counts(50L) == 2L, "interior chord vertices sit in two")
+    assert(counts(20000L) == 0L)
+    assert(secs < 60.0, f"celebrity hub must not go quadratic: $secs%.1f s")
+  }
 }
