@@ -64,10 +64,11 @@ object Graph {
     * `nodes` (vertices without edges report 0/0/0.0).
     */
   def triangleCounts(edges: DataFrame, nodes: DataFrame): DataFrame = {
-    // materialize the canonical edge list once: the degree census and the
-    // orientation join both scan it, and the edge derivation upstream (for
-    // the document graph: a full shingle explode + df cut) must not run
-    // per consumer
+    // materialize the canonical edge list once: the degree census, the
+    // orientation join AND the final left-join all scan it, and the edge
+    // derivation upstream (for the document graph: a full shingle explode +
+    // df cut) must not re-run per consumer — at corpus scale the repeated
+    // lineage dominates, the local-rig delta sits inside the noise band
     val und = edges
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
