@@ -72,4 +72,12 @@ class GraphSpec extends SparkTestBase {
     // every ring vertex closes exactly 3 triangles (i-1,i,i+1), (i,i+1,i+2), (i-2,i-1,i)... = 3
     assert(run(2).forall(_._2 == 3L))
   }
+
+  test("triangleCounts: empty edge list yields all-zero rows for every node") {
+    val nodes = (0L to 2L).toDF("id")
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val r = Graph.triangleCounts(empty, nodes)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))).sortBy(_._1)
+    assert(r.toSeq == Seq((0L, 0L, 0L, 0.0), (1L, 0L, 0L, 0.0), (2L, 0L, 0L, 0.0)))
+  }
 }

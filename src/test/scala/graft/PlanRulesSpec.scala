@@ -149,6 +149,22 @@ class PlanRulesSpec extends SparkTestBase {
     assert(row.getLong(2) == 7L)
   }
 
+  test("JL projection and projected-space distance are SQL-callable (graft_* registry)") {
+    graft.plans.GraftExtensions.registerInto(spark)
+    val row = spark.sql(
+      """SELECT graft_l2distsq(p, p) AS self,
+        |       size(p) AS k, p[0] AS p0
+        |FROM (SELECT graft_jl_project(array(1.0F, 2.0F, 3.0F, 4.0F), 4) AS p)""".stripMargin).head()
+    assert(row.getDouble(0) == 0.0, "distance to self is exactly zero")
+    assert(row.getInt(1) == 4)
+    // replay dim 0 of the sign formula over D=4
+    val expected = (0 until 4).map { j =>
+      val r = (1103515245L * j + 12345L) & 0x7FFFFFFFL
+      if (r >= 1073741824L) (j + 1).toDouble else -(j + 1).toDouble
+    }.sum
+    assert(row.getDouble(2) == expected, s"p0 must replay the LCG signs, got ${row.getDouble(2)}")
+  }
+
   test("packGreedy plans exactly one shuffle (the group repartition)") {
     // the packing pass is a single stateful scan per group: one hash
     // exchange on the group key, a partition-local sort, then mapPartitions
