@@ -381,6 +381,34 @@ object SparkEntry {
           .over(w).as("last_purchase_value"))
     }),
 
+    "interval_overlap_join" -> ((s, dir) => {
+      // window-vs-window temporal join: each user's daily activity span
+      // (capped to user_id < 500 to bound the pair surface) against every
+      // event type's daily span — pairs that overlap in wall-clock time,
+      // with the exact intersection length. Bucketized equi-join (1-hour
+      // buckets), never a cross join; pairs dedupe by first shared bucket
+      val ev = Sources.events(s, dir)
+      val sessions = ev.filter(col("user_id") < 500)
+        .groupBy(col("user_id"), to_date(col("ts")).as("s_day"))
+        .agg(min(col("ts")).as("s_start"),
+          expr("max(ts) + INTERVAL 1 MINUTE").as("s_end"))
+        .drop("s_day")
+      val windows = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("w_day"))
+        .agg(min(col("ts")).as("w_start"),
+          expr("max(ts) + INTERVAL 1 MINUTE").as("w_end"))
+        .drop("w_day")
+      operators.Joins.intervalOverlapJoin(
+        sessions, windows, keys = Seq.empty,
+        leftStart = "s_start", leftEnd = "s_end",
+        rightStart = "w_start", rightEnd = "w_end",
+        widthMicros = 3600L * 1000000)
+        .select(col("user_id"), col("event_type"), col("s_start"), col("w_start"),
+          (least(unix_micros(col("s_end")), unix_micros(col("w_end"))) -
+            greatest(unix_micros(col("s_start")), unix_micros(col("w_start"))))
+            .as("overlap_us"))
+    }),
+
     "range_join" -> ((s, dir) => {
       // per purchase: the user's event activity in the following 30 minutes
       val ev = Sources.events(s, dir)
@@ -1847,6 +1875,19 @@ object SparkEntry {
         |  ON e.user_id = p.user_id AND e.ts2 >= p.p_ts
         | AND e.ts2 < p.p_ts + INTERVAL 30 MINUTE
         |GROUP BY p.purchase_id""".stripMargin,
+
+    "interval_overlap_join" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s AS (
+        |  SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 1 MINUTE AS s_end
+        |  FROM ev WHERE user_id < 500 GROUP BY user_id, CAST(ts AS DATE)),
+        |w AS (
+        |  SELECT event_type, min(ts) AS w_start, max(ts) + INTERVAL 1 MINUTE AS w_end
+        |  FROM ev GROUP BY event_type, CAST(ts AS DATE))
+        |SELECT s.user_id, w.event_type, s.s_start, w.w_start,
+        |  least(epoch_us(s.s_end), epoch_us(w.w_end))
+        |    - greatest(epoch_us(s.s_start), epoch_us(w.w_start)) AS overlap_us
+        |FROM s JOIN w ON s.s_start < w.w_end AND w.w_start < s.s_end""".stripMargin,
 
     "collect_groups" ->
       """SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,

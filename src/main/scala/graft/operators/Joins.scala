@@ -139,6 +139,54 @@ object Joins {
       .drop("__lb0", "__bucket")
   }
 
+  /** Interval OVERLAP join: pairs (left, right) with equal `keys` whose
+    * half-open validity windows intersect — `[lStart, lEnd) ∩ [rStart,
+    * rEnd) ≠ ∅`. Completes the temporal-join family: [[asOfJoin]] picks the
+    * latest prior point, [[timeRangeJoin]] matches points into a window
+    * around a point, this matches window against window (sessions ×
+    * campaigns, outage windows × SLA windows).
+    *
+    * Scale shape: both sides explode their interval onto `widthMicros`-wide
+    * time buckets and meet in an equi-join on (keys, bucket) — never a
+    * cross join with an inequality, which is the shape Spark would plan
+    * naively and that dies at any real row count. An overlapping pair
+    * shares every bucket its intersection covers; instead of a distinct
+    * (a second full shuffle), the join keeps a pair only in the bucket
+    * containing `max(lStart, rStart)` — the intersection's first instant,
+    * which both explode ranges provably cover — so each pair survives
+    * exactly once. Pick `widthMicros` near the typical interval span: an
+    * interval spanning b buckets costs b exploded rows.
+    *
+    * Contract: intervals with `end <= start` are empty and match nothing;
+    * non-key column names must be disjoint between the sides.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      widthMicros: Long): DataFrame = {
+    require(widthMicros > 0, "bucket width must be positive")
+    def buckets(s: String, e: String) =
+      when(col(e) > col(s),
+        sequence(expr(s"unix_micros($s) DIV $widthMicros"),
+          expr(s"(unix_micros($e) - 1) DIV $widthMicros")))
+        .otherwise(array())
+    val l = left.withColumn("__bucket", explode(buckets(leftStart, leftEnd)))
+    val r = right.withColumn("__bucket", explode(buckets(rightStart, rightEnd)))
+    l.join(r, keys :+ "__bucket")
+      .filter(
+        unix_micros(col(leftStart)) < unix_micros(col(rightEnd)) &&
+          unix_micros(col(rightStart)) < unix_micros(col(leftEnd)) &&
+          col("__bucket") === greatest(
+            expr(s"unix_micros($leftStart) DIV $widthMicros"),
+            expr(s"unix_micros($rightStart) DIV $widthMicros")))
+      .drop("__bucket")
+  }
+
   /** Point-in-time (temporal) lookup against a Type-2 dimension history
     * ([[Scd]]): for each fact row, attach the dimension version whose
     * half-open validity interval `[validFrom, validTo)` contains the fact's

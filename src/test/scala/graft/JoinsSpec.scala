@@ -111,4 +111,40 @@ class JoinsSpec extends SparkTestBase {
     assert(left(14L).isEmpty && left(15L).isEmpty && left.size == 6,
       "left join surfaces pre-history facts and unknown keys as nulls")
   }
+
+  test("intervalOverlapJoin: overlap semantics — touching is empty, containment matches once") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00")),
+      (3L, ts("2024-01-01 09:00:00"), ts("2024-01-02 09:00:00"))  // spans 24 buckets
+    ).toDF("lid", "ls", "le")
+    val r = Seq(
+      (10L, ts("2024-01-01 10:30:00"), ts("2024-01-01 10:45:00")), // inside 1 and 3
+      (11L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")), // touches 1 (half-open: no overlap), inside 3
+      (12L, ts("2024-01-01 08:00:00"), ts("2024-01-02 08:00:00"))  // long: overlaps 1, 2, 3
+    ).toDF("rid", "rs", "re")
+    val got = Joins.intervalOverlapJoin(l, r, Seq.empty, "ls", "le", "rs", "re",
+        widthMicros = 3600L * 1000000)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 10L), (1L, 12L), (2L, 12L), (3L, 10L), (3L, 11L), (3L, 12L)),
+      s"got $got — exactly one row per overlapping pair, touching intervals excluded")
+  }
+
+  test("intervalOverlapJoin: keys scope the pair space; empty intervals match nothing") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq(
+      ("a", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      ("b", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"))  // empty: end == start
+    ).toDF("k", "ls", "le")
+    val r = Seq(
+      ("a", ts("2024-01-01 10:30:00"), ts("2024-01-01 10:40:00")),
+      ("b", ts("2024-01-01 10:30:00"), ts("2024-01-01 10:40:00")),
+      ("c", ts("2024-01-01 10:30:00"), ts("2024-01-01 10:40:00"))
+    ).toDF("k", "rs", "re")
+    val got = Joins.intervalOverlapJoin(l, r, Seq("k"), "ls", "le", "rs", "re",
+        widthMicros = 3600L * 1000000)
+      .select("k").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a"), s"same-key overlap only, empty left interval dropped: $got")
+  }
 }
