@@ -218,6 +218,9 @@ class PlanGuardSpec extends SparkTestBase {
     "pit_status_lookup" -> (1, "ONE custkey exchange feeds both SCD2 windows " +
       "(lag + lead); the derived history broadcasts into the point-in-time " +
       "range join at this sf"),
+    "interval_overlap_join" -> (2, "one session-agg + one window-agg " +
+      "exchange; the bucket equi-join broadcasts the tiny type-window side " +
+      "at this sf and dedupes by first shared bucket — no distinct shuffle"),
     "jl_project_check" -> (0, "JL projection is a pure scan-stage map — " +
       "the whole point: the corpus never moves"),
     "jl_ann_topk" -> (1, "projection fuses into the scan; spread guard " +
