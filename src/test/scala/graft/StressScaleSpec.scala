@@ -301,4 +301,31 @@ class StressScaleSpec extends SparkTestBase {
     assert(counts(20000L) == 0L)
     assert(secs < 60.0, f"celebrity hub must not go quadratic: $secs%.1f s")
   }
+
+  stress("the whole query surface is partitioning-independent (32 vs 7 shuffle partitions)") {
+    // the distilled 100 TB question: does ANY query's answer depend on the
+    // cluster layout? Every accumulation in the engine is engineered to be
+    // order-free (fixed-point sums, decimal sums, min-label CC, rank-picked
+    // medians, deterministic hash sampling) — this sweep pins that property
+    // for EVERY query at once: same rows, bit-identical, at 32 and at 7
+    // shuffle partitions. Row.toString is shortest-round-trip for doubles,
+    // so any bitwise drift in a float changes the canonical form.
+    val dir = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame): String =
+      df.collect().map(_.toString).sorted.mkString("\n")
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.shuffle.partitions")
+    val diffs = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        conf.set("spark.sql.shuffle.partitions", "32")
+        val a = canon(fn(spark, dir))
+        conf.set("spark.sql.shuffle.partitions", "7")
+        val b = canon(fn(spark, dir))
+        if (a != b) diffs += name
+      }
+    } finally conf.set("spark.sql.shuffle.partitions", saved)
+    assert(diffs.isEmpty,
+      s"partitioning-dependent results from: ${diffs.mkString(", ")}")
+  }
 }
