@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpointing
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -107,12 +108,12 @@ object Bpe {
       .select(explode(TextAnalysis.tokens(col(textCol))).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
       .select(col("__c"), regexp_replace(col("__w"), "(.)", "($1)").as("__form"))
-      .localCheckpoint(true)
+      .transform(Checkpointing.materialize)
     // full census exactly once; checkpointed so step k replays nothing
     var pairCounts = vocab
       .select(col("__c").as("__cnt"), explode(pairsOf(col("__form"))).as("__pair"))
       .groupBy(col("__pair")).agg(sum(col("__cnt")).as("__cnt"))
-      .localCheckpoint(true)
+      .transform(Checkpointing.materialize)
     val merges = Seq.newBuilder[Merge]
     var step = 1
     var exhausted = false
@@ -129,12 +130,12 @@ object Bpe {
         merges += Merge(step, pair, cnt)
         val Array(a, b) = pair.split(" ", 2)
         val (delta, fusedVocab) = fuseDelta(vocab, a, b)
-        vocab = fusedVocab.localCheckpoint(true)
+        vocab = fusedVocab.transform(Checkpointing.materialize)
         pairCounts = pairCounts
           .unionByName(delta)
           .groupBy(col("__pair")).agg(sum(col("__cnt")).as("__cnt"))
           .filter(col("__cnt") > 0) // fused-away pairs zero out and drop
-          .localCheckpoint(true)
+          .transform(Checkpointing.materialize)
         step += 1
       }
     }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpointing
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -62,7 +63,7 @@ object EntityResolution {
     // the checkpoint, each repeating the scan and the census exchange.
     val flagged = ents.withColumn(
       "__bsize", count(lit(1)).over(Window.partitionBy(col("__blk"))))
-      .localCheckpoint(true)
+      .transform(Checkpointing.materialize)
 
     // banded edit distance: with a threshold the DP runs O(len × maxD), not
     // O(len²), and returns -1 above the bound — so `>= 0` IS `<= maxD`. The

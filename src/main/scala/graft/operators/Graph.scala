@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpointing
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -36,7 +37,8 @@ object Graph {
     * exact oracle (and a reproducible curation run) needs.
     *
     * Scale shape: the edge list joins its out-degrees ONCE and is
-    * locally checkpointed — an iterative consumer must materialize its
+    * checkpointed via [[graft.Checkpointing]] (local by default, reliable
+    * DFS on preemptible clusters) — an iterative consumer must materialize its
     * adjacency or every iteration re-derives the upstream lineage (here:
     * the full shingle explode, per iteration, compounding). Each iteration
     * is then one equi-join on the source vertex + one hash aggregation on
@@ -73,7 +75,7 @@ object Graph {
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Checkpointing.materialize)
     val deg = und.select(col("u").as("id"))
       .unionAll(und.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("__deg"))
@@ -88,7 +90,7 @@ object Graph {
           .otherwise(struct(col("v").as("x"), col("u").as("y"), col("__du").as("__dy")))
           .as("e"))
       .select(col("e.x").as("x"), col("e.y").as("y"), col("e.__dy").as("__dy"))
-      .localCheckpoint(true) // wedge + closure joins both scan it; derive once
+      .transform(Checkpointing.materialize) // wedge + closure joins both scan it; derive once
     // wedges (y ← x → z) with ord(y) < ord(z); close against the directed
     // edge (y, z) — present iff the triangle exists, counted exactly once
     val wedges = dir.select(col("x"), col("y"), col("__dy"))
@@ -125,7 +127,7 @@ object Graph {
     val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("__deg"))
     val adj = edges.select(col("a"), col("b"))
       .join(deg, Seq("a"))
-      .localCheckpoint(true)
+      .transform(Checkpointing.materialize)
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty vertex set")
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpointing
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -271,7 +272,7 @@ object Sampling {
     val counts = occ.groupBy(col("__b")).agg(
       count(lit(1)).as("__rc"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tc"))
-      .localCheckpoint(true)
+      .transform(Checkpointing.materialize)
     val totals = counts.agg(
       sum(col("__rc")).as("__rtot"), sum(col("__tc")).as("__ttot"))
     // ≤`buckets` rows × 1 row: both sides broadcast; ratio math is a fixed
