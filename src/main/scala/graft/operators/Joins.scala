@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** The bucketed temporal joins stage work in temp columns; an input that
+    * already carries one of those names would be silently overwritten by
+    * `withColumn` and join on garbage. Fail at plan-build time instead.
+    */
+  private def reserveBucketCols(
+      left: DataFrame, right: DataFrame, op: String, reserved: Seq[String]): Unit =
+    Seq("left" -> left, "right" -> right).foreach { case (side, df) =>
+      val clash = reserved.filter(df.columns.contains)
+      require(clash.isEmpty,
+        s"$op reserves column name(s) ${clash.mkString(", ")} for internal " +
+          s"bucketing; rename them on the $side input")
+    }
+
   /** For every left row, attach the payload of the most recent right row with
     * the same key and `rightTs <= leftTs` (ASOF >= semantics; a same-instant
     * right row matches). Left rows with no prior right row are dropped
@@ -127,6 +140,7 @@ object Joins {
     require(upperMicros > lowerMicros, "empty interval")
     // Column names outside `keys` must be disjoint between the two sides
     // (same contract as a plain join with a post-filter).
+    reserveBucketCols(left, right, "timeRangeJoin", Seq("__lb0", "__bucket"))
     val width = upperMicros - lowerMicros
     val l = left.withColumn("__lb0", expr(s"(unix_micros($leftTs) + $lowerMicros) DIV $width"))
     val lExploded = l.withColumn("__bucket",
@@ -157,8 +171,17 @@ object Joins {
     * exactly once. Pick `widthMicros` near the typical interval span: an
     * interval spanning b buckets costs b exploded rows.
     *
+    * The explode is UNBOUNDED in the interval span, so one pathological
+    * outlier (a year-long interval at an hour-wide bucket) would silently
+    * emit thousands of rows for a single record and skew its (key, bucket)
+    * reducers. `maxBucketsPerRow` bounds the per-row cost: any interval
+    * spanning more buckets fails the job with a typed data error naming the
+    * span — the fix is a wider `widthMicros` (or pre-splitting the outlier),
+    * and that decision must be the caller's, not a silent 8000× blowup.
+    *
     * Contract: intervals with `end <= start` are empty and match nothing;
-    * non-key column names must be disjoint between the sides.
+    * non-key column names must be disjoint between the sides; `__bucket` is
+    * reserved.
     */
   def intervalOverlapJoin(
       left: DataFrame,
@@ -168,13 +191,24 @@ object Joins {
       leftEnd: String,
       rightStart: String,
       rightEnd: String,
-      widthMicros: Long): DataFrame = {
+      widthMicros: Long,
+      maxBucketsPerRow: Int = 4096): DataFrame = {
     require(widthMicros > 0, "bucket width must be positive")
-    def buckets(s: String, e: String) =
+    require(maxBucketsPerRow > 1, "maxBucketsPerRow must allow the 2-bucket straddle case")
+    reserveBucketCols(left, right, "intervalOverlapJoin", Seq("__bucket"))
+    def buckets(s: String, e: String) = {
+      val lo = expr(s"unix_micros($s) DIV $widthMicros")
+      val hi = expr(s"(unix_micros($e) - 1) DIV $widthMicros")
       when(col(e) > col(s),
-        sequence(expr(s"unix_micros($s) DIV $widthMicros"),
-          expr(s"(unix_micros($e) - 1) DIV $widthMicros")))
+        when(hi - lo >= maxBucketsPerRow,
+          raise_error(concat(
+            lit(s"intervalOverlapJoin: interval [$s, $e) spans "),
+            (hi - lo + 1).cast("string"),
+            lit(s" buckets at widthMicros=$widthMicros, over maxBucketsPerRow=" +
+              s"$maxBucketsPerRow — widen widthMicros or pre-split the outlier"))))
+          .otherwise(sequence(lo, hi)))
         .otherwise(array())
+    }
     val l = left.withColumn("__bucket", explode(buckets(leftStart, leftEnd)))
     val r = right.withColumn("__bucket", explode(buckets(rightStart, rightEnd)))
     l.join(r, keys :+ "__bucket")

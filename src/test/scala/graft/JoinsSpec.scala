@@ -147,4 +147,41 @@ class JoinsSpec extends SparkTestBase {
       .select("k").collect().map(_.getString(0)).toSeq
     assert(got == Seq("a"), s"same-key overlap only, empty left interval dropped: $got")
   }
+
+  test("intervalOverlapJoin: a pathological outlier interval fails typed, not a silent 8000× explode") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val hour = 3600L * 1000000
+    val l = (Seq.tabulate(20)(i =>
+      (i.toLong, ts(f"2024-01-01 ${i % 24}%02d:00:00"), ts(f"2024-01-01 ${i % 24}%02d:45:00"))) :+
+      ((99L, ts("2024-01-01 00:00:00"), ts("2024-12-31 00:00:00")))) // ~8760 buckets at 1h
+      .toDF("lid", "ls", "le")
+    val r = Seq((1L, ts("2024-01-01 00:30:00"), ts("2024-01-01 00:40:00"))).toDF("rid", "rs", "re")
+    val e = intercept[Exception](
+      Joins.intervalOverlapJoin(l, r, Seq.empty, "ls", "le", "rs", "re", hour).count())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("maxBucketsPerRow")), s"got: ${msgs(e)}")
+    // the caller's documented outs both work: a wider bucket, or a raised cap
+    assert(Joins.intervalOverlapJoin(l, r, Seq.empty, "ls", "le", "rs", "re",
+      widthMicros = 30L * 24 * hour).count() == 2)
+    val raised = Joins.intervalOverlapJoin(l, r, Seq.empty, "ls", "le", "rs", "re",
+      hour, maxBucketsPerRow = 10000)
+    assert(raised.count() == 2, "normal session + year-long outlier both overlap the probe")
+  }
+
+  test("bucketed temporal joins reject inputs that carry the reserved temp columns") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 7L))
+      .toDF("lid", "ls", "le", "__bucket")
+    val r = Seq((10L, ts("2024-01-01 10:30:00"), ts("2024-01-01 10:45:00"))).toDF("rid", "rs", "re")
+    val e1 = intercept[IllegalArgumentException](
+      Joins.intervalOverlapJoin(l, r, Seq.empty, "ls", "le", "rs", "re", 3600L * 1000000))
+    assert(e1.getMessage.contains("__bucket") && e1.getMessage.contains("left"))
+    val e2 = intercept[IllegalArgumentException](
+      Joins.timeRangeJoin(
+        Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "a_ts"),
+        Seq((1L, ts("2024-01-01 10:00:00"), 3L)).toDF("k", "b_ts", "__lb0"),
+        Seq("k"), "a_ts", "b_ts", 0L, 1000000L))
+    assert(e2.getMessage.contains("__lb0") && e2.getMessage.contains("right"))
+  }
 }
