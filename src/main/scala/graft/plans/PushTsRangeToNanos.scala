@@ -94,8 +94,19 @@ object PushTsRangeToNanos extends Rule[LogicalPlan] {
 object PushNtzTsFilters extends Rule[LogicalPlan] {
   import org.apache.spark.sql.types.TimestampNTZType
 
+  /** True iff the zone id resolves to a FIXED zero-offset zone — any
+    * spelling ("UTC", "Etc/GMT", "GMT0", "+00", "Z", …). Fixed-offset rules
+    * only: a region zone that merely happens to sit at offset 0 today (e.g.
+    * Europe/London in winter) has DST transitions, where the wall→instant
+    * map is non-injective and no literal rewrite is exact.
+    */
   private def isUtc(tz: Option[String]): Boolean =
-    tz.exists(z => z == "UTC" || z == "GMT" || z == "Z" || z == "Etc/UTC" || z == "+00:00")
+    tz.exists { z =>
+      try {
+        val rules = java.time.ZoneId.of(z, java.time.ZoneId.SHORT_IDS).getRules
+        rules.isFixedOffset && rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+      } catch { case _: java.time.DateTimeException => false }
+    }
 
   /** `cast(ntzAttr as timestamp)` under a zero-offset zone. */
   private object NtzAsTs {

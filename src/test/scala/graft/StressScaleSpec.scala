@@ -310,7 +310,7 @@ class StressScaleSpec extends SparkTestBase {
     // for EVERY query at once: same rows, bit-identical, at 32 and at 7
     // shuffle partitions. Row.toString is shortest-round-trip for doubles,
     // so any bitwise drift in a float changes the canonical form.
-    val dir = "/root/testdata/sf0.001"
+    val dir = sfDir
     def canon(df: org.apache.spark.sql.DataFrame): String =
       df.collect().map(_.toString).sorted.mkString("\n")
     val conf = spark.conf
