@@ -67,7 +67,7 @@ object SparkEntry {
     // materialize the survivor ID LIST once (narrow long column, bounded by
     // the corpus id count): each invariant below references it, and without
     // the checkpoint every branch would re-run the whole LSH dedup
-    val keptIds = kept.select(col(idCol)).localCheckpoint(true)
+    val keptIds = kept.select(col(idCol)).transform(Checkpointing.materialize)
     val digest = md5(to_json(struct(col(textCol))))
     val tot = docs.agg(count(lit(1)).as("total"))
     val kc = keptIds.agg(count(lit(1)).as("kept"))
@@ -90,6 +90,79 @@ object SparkEntry {
           | 'exact_group_multi_kept', CAST(multi AS BIGINT),
           | 'min_id_dropped', CAST(mindrop AS BIGINT),
           | 'kept_gt_distinct_content', CAST(CASE WHEN kept > groups THEN 1 ELSE 0 END AS BIGINT)
+          |) AS (chk, n)""".stripMargin)
+  }
+
+  /** Invariants for the incremental NEAR-dup ingestion gate
+    * ([[operators.Dedup.incrementalMinhash]]), each computable Spark-side by
+    * an independent exact method and stated by the oracle as a literal (the
+    * LSH pruning itself uses xxhash kernels DuckDB cannot replay — same
+    * rationale as [[dedupInvariants]]):
+    *  - `total_batch`: batch row count (oracle recomputes in SQL);
+    *  - `admitted_not_in_batch` = 0: admitted ⊆ batch;
+    *  - `exact_clone_admitted` = 0: a batch row whose content digest exists
+    *    in the corpus NEVER passes (identical text ⇒ full band collision ⇒
+    *    bloom hit ⇒ Jaccard 1 ≥ threshold);
+    *  - `within_admitted_exact_dupes` = 0: the within-batch collapse leaves
+    *    no two admitted rows with identical content;
+    *  - `near_clone_admitted` = 0: no admitted row has exact n-gram Jaccard
+    *    ≥ 0.9 against any corpus row — verified here via the FULL gram-hash
+    *    inverted index (every pair with jac > 0 shares a gram, so the index
+    *    misses nothing), independent of the gate's banded path;
+    *  - `rejected_ge_exact_clones` = 1: the gate rejected at least as many
+    *    rows as there are exact corpus clones in the batch.
+    */
+  private def incrementalGateInvariants(
+      corpus: DataFrame,
+      batch: DataFrame,
+      admitted: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val admIds = admitted.select(col(idCol)).transform(Checkpointing.materialize)
+    val digest = md5(to_json(struct(col(textCol))))
+    val grams = array_distinct(graft.functions.HashExpressions
+      .ngramHashes(operators.TextAnalysis.tokens(col(textCol)), 3))
+    val tot = batch.agg(count(lit(1)).as("total"))
+    val admCnt = admIds.agg(count(lit(1)).as("adm"))
+    val notIn = admIds.join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+      .agg(count(lit(1)).as("not_in"))
+    val corpusDigests = corpus.select(digest.as("__digest")).distinct()
+    val cloneAdmitted = batch.withColumn("__digest", digest)
+      .join(admIds, Seq(idCol), "left_semi")
+      .join(corpusDigests, Seq("__digest"), "left_semi")
+      .agg(count(lit(1)).as("clone_adm"))
+    val withinDupes = batch.withColumn("__digest", digest)
+      .join(admIds, Seq(idCol), "left_semi")
+      .groupBy(col("__digest")).agg(count(lit(1)).as("k"))
+      .filter(col("k") >= 2).agg(count(lit(1)).as("within"))
+    // exact inverted-index near-clone check: common-gram counts per
+    // (admitted, corpus) pair via one equi-join on the gram hash, then the
+    // exact |∩| / |∪| ratio — no LSH involved
+    val admGrams = batch.join(admIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("__a"), grams.as("__g"))
+      .select(col("__a"), size(col("__g")).as("__na"), explode(col("__g")).as("__h"))
+    val corpGrams = corpus
+      .select(col(idCol).as("__b"), grams.as("__g"))
+      .select(col("__b"), size(col("__g")).as("__nb"), explode(col("__g")).as("__h"))
+    val nearClone = admGrams.join(corpGrams, Seq("__h"))
+      .groupBy(col("__a"), col("__b"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__common"))
+      .filter(col("__common").cast("double") /
+        (col("__na") + col("__nb") - col("__common")) >= 0.9)
+      .agg(countDistinct(col("__a")).as("near_adm"))
+    val exactClones = batch.withColumn("__digest", digest)
+      .join(corpusDigests, Seq("__digest"), "left_semi")
+      .agg(count(lit(1)).as("clones"))
+    tot.crossJoin(admCnt).crossJoin(notIn).crossJoin(cloneAdmitted)
+      .crossJoin(withinDupes).crossJoin(nearClone).crossJoin(exactClones)
+      .selectExpr(
+        """stack(6,
+          | 'total_batch', CAST(total AS BIGINT),
+          | 'admitted_not_in_batch', CAST(not_in AS BIGINT),
+          | 'exact_clone_admitted', CAST(clone_adm AS BIGINT),
+          | 'within_admitted_exact_dupes', CAST(within AS BIGINT),
+          | 'near_clone_admitted', CAST(near_adm AS BIGINT),
+          | 'rejected_ge_exact_clones', CAST(CASE WHEN total - adm >= clones THEN 1 ELSE 0 END AS BIGINT)
           |) AS (chk, n)""".stripMargin)
   }
 
@@ -573,7 +646,7 @@ object SparkEntry {
       val fps = Tables.documents(s, dir).select(
         col("doc_id"), md5(col("text")).as("__d"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-        .localCheckpoint(true)
+        .transform(Checkpointing.materialize)
       val tot = fps.agg(count(lit(1)).as("total"))
       val nulls = fps.filter(col("fingerprint").isNull).agg(count(lit(1)).as("nulls"))
       val inconsistent = fps.groupBy(col("__d"))
@@ -622,6 +695,12 @@ object SparkEntry {
       // corpus — the quantity exact substring dedup cuts
       Dedup.duplicateSpanStats(Tables.documents(s, dir), "doc_id", "text", k = 8)),
 
+    "remove_duplicate_spans" -> ((s, dir) =>
+      // substring dedup as a TRANSFORM: the stats query's duplicated windows
+      // actually excised — keep-first per fingerprint corpus-wide, documents
+      // rebuilt from surviving tokens (the Lee et al. pipeline's output)
+      Dedup.removeDuplicateSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)),
+
     "incremental_dedup" -> ((s, dir) => {
       // ingestion-gate dedup: every 7th doc plays the incoming batch, the
       // rest the accumulated corpus; the corpus reduces to one bloom filter
@@ -632,6 +711,18 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(7)) === 0),
         "doc_id", Seq("text"), expectedCorpusItems = 100000L)
         .select(col("doc_id"), col("lang"))
+    }),
+
+    "incremental_minhash_dedup" -> ((s, dir) => {
+      // NEAR-dup ingestion gate (the exact gate's re-crawl hole closed):
+      // band-key bloom probe prunes the batch, (band, bucket) equi-join +
+      // exact-Jaccard confirm rejects near-dups of the corpus; verified via
+      // gate invariants each recomputed by an independent exact method
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      val admitted = Dedup.incrementalMinhash(corpus, batch, "doc_id", "text")
+      incrementalGateInvariants(corpus, batch, admitted, "doc_id", "text")
     }),
 
     "semantic_dedup" -> ((s, dir) =>
@@ -1200,7 +1291,7 @@ object SparkEntry {
       val orders = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       val tested = orders
         .withColumn("might", graft.functions.SketchFunctions.mightContain(lit(bf), col("o_custkey")))
-        .localCheckpoint(true) // narrow; consumed by three invariants below
+        .transform(Checkpointing.materialize) // narrow; consumed by three invariants below
       val inSet = tested.join(
         cust.withColumnRenamed("c_custkey", "o_custkey").distinct(), Seq("o_custkey"), "left_semi")
       val building = inSet.agg(count(lit(1)).as("building"))
@@ -1314,6 +1405,27 @@ object SparkEntry {
       val withLang = deduped.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       operators.Packing.packGreedy(withLang, "lang", "doc_id",
         TextAnalysis.tokenCount(col("dedup_text")), budget = 256)
+        .withColumnsRenamed(Map("group" -> "lang", "id" -> "doc_id"))
+    }),
+
+    "curation_pipeline_v3" -> ((s, dir) => {
+      // v2 with the dedup stage upgraded from segment dedup to true
+      // substring-span excision (removeDuplicateSpans): model gates over the
+      // full corpus -> duplicated 8-token windows excised keep-first across
+      // the gated survivors -> greedy packing of the cleaned token counts.
+      // Still ONE lazy composed plan — no materialization between stages.
+      val docs = Tables.documents(s, dir)
+      val cls = TextAnalysis.classifierScore(docs)
+        .filter(col("margin") > 0.0).select("doc_id")
+      val lm = TextAnalysis.bigramLmScore(docs)
+        .filter(col("avg_bigram_p") >= 0.033).select("doc_id")
+      val gated = docs.join(cls, Seq("doc_id"), "left_semi")
+        .join(lm, Seq("doc_id"), "left_semi")
+      val cleaned = Dedup.removeDuplicateSpans(gated, "doc_id", "text", k = 8)
+        .filter(col("n_tokens") - col("removed_tokens") >= 2)
+      val withLang = cleaned.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      operators.Packing.packGreedy(withLang, "lang", "doc_id",
+        TextAnalysis.tokenCount(col("clean_text")), budget = 256)
         .withColumnsRenamed(Map("group" -> "lang", "id" -> "doc_id"))
     }),
 
@@ -2094,6 +2206,37 @@ object SparkEntry {
          |    AS dup_frac
          |FROM t LEFT JOIN p ON t.doc_id = p.doc_id""".stripMargin,
 
+    // the transform mirror of duplicate_spans: same \x01-joined md5 window
+    // fingerprints, keep-first per fingerprint by (doc_id, pos), later
+    // occurrences' [pos, pos+8) token ranges excised, text rebuilt from the
+    // position-sorted survivors
+    "remove_duplicate_spans" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |win AS (
+         |  SELECT doc_id, i, md5(array_to_string(toks[i:i+7], chr(1))) AS h
+         |  FROM t, LATERAL unnest(generate_series(1, greatest(len(toks)-7, 0))) AS u(i)),
+         |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
+         |rk AS (
+         |  SELECT doc_id, i AS pos,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+         |  FROM win WHERE h IN (SELECT h FROM dup)),
+         |iv AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM rk WHERE rn > 1),
+         |tok AS (
+         |  SELECT t.doc_id, u.i, t.toks[u.i] AS tok
+         |  FROM t, LATERAL unnest(generate_series(1, len(t.toks))) AS u(i)),
+         |keep AS (
+         |  SELECT tok.doc_id, tok.i, tok.tok FROM tok
+         |  WHERE NOT EXISTS (SELECT 1 FROM iv
+         |    WHERE iv.doc_id = tok.doc_id AND tok.i >= iv.s AND tok.i < iv.e)),
+         |c AS (
+         |  SELECT doc_id, count(*) AS n_clean,
+         |    string_agg(tok, ' ' ORDER BY i) AS clean_text
+         |  FROM keep GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(t.toks) - coalesce(c.n_clean, 0) AS BIGINT) AS removed_tokens,
+         |  coalesce(c.clean_text, '') AS clean_text
+         |FROM t LEFT JOIN c ON t.doc_id = c.doc_id""".stripMargin,
+
     // top-50 vocabulary coverage: the cumulative-sum window runs over the
     // aggregated vocab, full (cnt DESC, token) tiebreak everywhere
     "vocab_coverage" ->
@@ -2170,6 +2313,69 @@ object SparkEntry {
          |  FROM p JOIN d2 ON d2.lang = p.lang AND d2.rn = p.rn + 1)
          |SELECT lang, doc_id, n_tokens, bin_id FROM p""".stripMargin,
 
+    // v3 replay: v2's model-gate CTEs verbatim, then the
+    // remove_duplicate_spans mirror over the GATED subset (fingerprints are
+    // censused among survivors only, same as the Spark plan), then the same
+    // recursive greedy packing over the kept-token counts
+    "curation_pipeline_v3" ->
+      s"""WITH RECURSIVE
+         |ce AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+         |cw AS (
+         |  SELECT doc_id,
+         |    CAST(floor((((('0x' || substr(md5(tok), 1, 8))::BIGINT % 1001) - 500) / 500.0) * 1048576.0) AS BIGINT) AS qw
+         |  FROM ce),
+         |cs AS (SELECT doc_id, count(*) AS n, sum(qw) AS q FROM cw GROUP BY doc_id),
+         |cls AS (SELECT doc_id FROM cs WHERE (CAST(q AS DOUBLE) / n) / 1048576.0 + 0.0 > 0.0),
+         |lt AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+         |    i -> toks[i+1] || ' ' || toks[i+2])) AS g
+         |  FROM lt),
+         |c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+         |c1 AS (SELECT split_part(g, ' ', 1) AS w, count(*) AS c1 FROM bg GROUP BY 1),
+         |lp AS (
+         |  SELECT b.doc_id, CAST(floor((CAST(c2.c2 AS DOUBLE) / c1.c1) * 1048576.0) AS BIGINT) AS q
+         |  FROM bg b JOIN c2 ON b.g = c2.g JOIN c1 ON split_part(b.g, ' ', 1) = c1.w),
+         |ls AS (SELECT doc_id, count(*) AS n, sum(q) AS qs FROM lp GROUP BY doc_id),
+         |lmv AS (SELECT doc_id FROM ls WHERE (CAST(qs AS DOUBLE) / n) / 1048576.0 >= 0.033),
+         |gated AS (
+         |  SELECT d.doc_id, d.lang, d.text FROM documents d
+         |  JOIN cls ON d.doc_id = cls.doc_id JOIN lmv ON d.doc_id = lmv.doc_id),
+         |gt AS (SELECT doc_id, $sqlToks AS toks FROM gated),
+         |win AS (
+         |  SELECT doc_id, i, md5(array_to_string(toks[i:i+7], chr(1))) AS h
+         |  FROM gt, LATERAL unnest(generate_series(1, greatest(len(toks)-7, 0))) AS u(i)),
+         |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
+         |rk AS (
+         |  SELECT doc_id, i AS pos,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+         |  FROM win WHERE h IN (SELECT h FROM dup)),
+         |iv AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM rk WHERE rn > 1),
+         |tok AS (
+         |  SELECT gt.doc_id, u.i
+         |  FROM gt, LATERAL unnest(generate_series(1, len(gt.toks))) AS u(i)),
+         |keepc AS (
+         |  SELECT tok.doc_id, count(*) AS n_clean FROM tok
+         |  WHERE NOT EXISTS (SELECT 1 FROM iv
+         |    WHERE iv.doc_id = tok.doc_id AND tok.i >= iv.s AND tok.i < iv.e)
+         |  GROUP BY tok.doc_id),
+         |surv AS (
+         |  SELECT g.lang, k.doc_id, CAST(k.n_clean AS BIGINT) AS n_tokens
+         |  FROM keepc k JOIN gated g ON k.doc_id = g.doc_id WHERE k.n_clean >= 2),
+         |d2 AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |  FROM surv),
+         |p(lang, rn, doc_id, n_tokens, bin_id, acc) AS (
+         |  SELECT lang, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+         |  FROM d2 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d2.lang, d2.rn, d2.doc_id, d2.n_tokens,
+         |    CASE WHEN p.acc + d2.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |    CASE WHEN p.acc + d2.n_tokens > 256 THEN d2.n_tokens ELSE p.acc + d2.n_tokens END
+         |  FROM p JOIN d2 ON d2.lang = p.lang AND d2.rn = p.rn + 1)
+         |SELECT lang, doc_id, n_tokens, bin_id FROM p""".stripMargin,
+
     // hashed weight mirror: first 8 md5 hex chars parse to the same BIGINT in
     // both engines; the margin replays the fixed-point sum (floor(w*2^20) as
     // BIGINT — order-free) and the identical final double arithmetic
@@ -2218,6 +2424,19 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM documents c
         |  WHERE c.doc_id % 7 <> 0 AND md5(c.text) = md5(b.text))""".stripMargin,
+
+    // near-dup gate invariants: the LSH pruning uses xxhash kernels DuckDB
+    // cannot replay, so the oracle states each check's guaranteed value as
+    // a literal while Spark computes it by an independent exact method
+    // (content digests, full gram-hash inverted index)
+    "incremental_minhash_dedup" ->
+      """SELECT 'total_batch' AS chk,
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 7 = 0) AS BIGINT) AS n
+        |UNION ALL SELECT 'admitted_not_in_batch', 0
+        |UNION ALL SELECT 'exact_clone_admitted', 0
+        |UNION ALL SELECT 'within_admitted_exact_dupes', 0
+        |UNION ALL SELECT 'near_clone_admitted', 0
+        |UNION ALL SELECT 'rejected_ge_exact_clones', 1""".stripMargin,
 
     // greedy sequential packing replayed row-by-row per language: the
     // recursive CTE threads (bin, acc) through the id order — a new bin

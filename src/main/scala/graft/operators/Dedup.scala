@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpointing
 import graft.functions.VectorExpressions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -268,9 +269,11 @@ object Dedup {
     * the shortcutting step of large-star/small-star style algorithms), so a
     * component of diameter d converges in O(log d) rounds instead of O(d) —
     * a 1M-node chain needs ~21 rounds, not 1M. Each round is two key
-    * shuffles (neighbor-min aggregation + label self-join);
-    * `localCheckpoint` truncates the growing lineage (an HDFS/object-store
-    * `checkpoint` at cluster scale). The convergence check rides on the
+    * shuffles (neighbor-min aggregation + label self-join); each round's
+    * labels are materialized through [[graft.Checkpointing]] to truncate the
+    * growing lineage (mode `local` on a single-JVM rig; `reliable` — a
+    * DFS `checkpoint` — on clusters where executor loss must not kill the
+    * job). The convergence check rides on the
     * already-materialized round result (a scan of cached blocks carrying
     * old + new labels — no extra join against the previous frame).
     *
@@ -292,10 +295,10 @@ object Dedup {
     // the most expensive stage of the caller instead of a cached edge scan.
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
+      .transform(Checkpointing.materialize)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .transform(Checkpointing.materialize)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
@@ -306,7 +309,7 @@ object Dedup {
         .join(neighborMin, col("l.id") === col("nid"), "left")
         .select(col("l.id").as("id"), col("l.label").as("old_label"),
           least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("mid"))
-        .localCheckpoint(true)
+        .transform(Checkpointing.materialize)
       // shortcut (pointer doubling): follow the label pointer one more hop,
       // label ← mid(mid) — this is what collapses chains in O(log d)
       val ptr = half.select(col("id").as("p_id"), col("mid").as("p_mid"))
@@ -314,7 +317,7 @@ object Dedup {
         .join(ptr, half("mid") === ptr("p_id"), "left")
         .select(col("id"), col("old_label"),
           least(col("mid"), coalesce(col("p_mid"), col("mid"))).as("label"))
-        .localCheckpoint(true)
+        .transform(Checkpointing.materialize)
       // old_label rides in the materialized frame: convergence = cheap scan
       converged = doubled.filter(col("label") =!= col("old_label")).limit(1).isEmpty
       labels = doubled.select(col("id"), col("label"))
@@ -569,6 +572,73 @@ object Dedup {
         when(col("n_tokens") === 0, lit(0.0))
           .otherwise(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
             col("n_tokens").cast("double")).as("dup_frac"))
+  }
+
+  /** Exact substring-dedup as a TRANSFORM (the actual output of the Lee et
+    * al. 2022 pipeline, where [[duplicateSpanStats]] only reports the cut):
+    * every `k`-token rolling window repeated anywhere in the corpus is a
+    * duplicated span; the globally FIRST occurrence of each fingerprint (by
+    * (id, position) — the same keep-first policy as [[segmentDedup]]) keeps
+    * its tokens, every later occurrence's window is excised, and each
+    * document is rebuilt from its surviving tokens in order. Deterministic
+    * for any input and any partitioning: the survivor choice is a total
+    * order, the rebuild is position-sorted.
+    *
+    * Scale shape: identical to [[duplicateSpanStats]] — window hashing is
+    * scan-stage Column algebra behind an [[Ops.spread]], the corpus-sized
+    * shuffles are the fingerprint census and the keep-first window (both on
+    * the fingerprint key), and the excised intervals flow back to their doc
+    * as ONE doc-keyed aggregation (an interval array per doc, bounded by
+    * that doc's duplicated-window count — never a per-token explode). The
+    * final token filter is per-row lambda algebra over the token array with
+    * the interval array at hand; cost O(n_tokens × n_excised_intervals) per
+    * doc inside the scan stage.
+    *
+    * Returns one row per input document:
+    * (id, n_tokens, removed_tokens, clean_text).
+    */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+    // same guarded window fingerprinting as duplicateSpanStats: <k-token
+    // docs yield zero windows (sequence() would count DOWN otherwise)
+    val win = Ops.spread(toks).select(
+        col(idCol),
+        explode(when(size(col("__t")) >= k,
+          transform(
+            sequence(lit(1), size(col("__t")) - (k - 1)),
+            i => struct(
+              i.as("pos"),
+              md5(concat_ws("\u0001", slice(col("__t"), i, lit(k)))).as("h"))))
+          .otherwise(array())).as("w"))
+      .select(col(idCol), col("w.pos").as("__pos"), col("w.h").as("__h"))
+    val dupHashes = win.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select(col("__h"))
+    // keep-first per fingerprint; rows ranked past 1 are the excise set
+    val rnW = Window.partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
+    val excised = win.join(dupHashes, Seq("__h"), "left_semi")
+      .withColumn("__rn", row_number().over(rnW))
+      .filter(col("__rn") > 1)
+      .select(col(idCol),
+        struct(col("__pos").as("s"), (col("__pos") + k).as("e")).as("__iv"))
+    val perDoc = excised.groupBy(col(idCol))
+      .agg(collect_list(col("__iv")).as("__ivs"))
+    toks.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("__t"),
+        coalesce(col("__ivs"), array().cast("array<struct<s:int,e:int>>")).as("__ivs"))
+      .select(col(idCol), col("__t"),
+        filter(col("__t"), (t, i) =>
+          !exists(col("__ivs"),
+            p => i + 1 >= p.getField("s") && i + 1 < p.getField("e"))).as("__clean"))
+      .select(
+        col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(col("__clean"))).cast("long").as("removed_tokens"),
+        array_join(col("__clean"), " ").as("clean_text"))
   }
 
   /** Shingle-containment scoring (RefinedWeb-style substring-dedup
@@ -834,6 +904,117 @@ object Dedup {
     */
   def contentBloomKey(contentCols: Seq[String]): Column =
     xxhash64(to_json(struct(contentCols.map(col): _*)))
+
+  /** Per-document LSH band PROBE keys — each (band index, bucket hash) pair
+    * folded to one 64-bit key, the unit the near-dup ingestion gate's bloom
+    * sidecar stores and probes. Shared by [[incrementalMinhash]] and
+    * [[graft.streaming.Streaming.ingestNearDupBatch]] so filters built in
+    * either place probe identically.
+    */
+  def bandProbeKeys(
+      textCol: Column, n: Int, numHashes: Int, bands: Int, seed: Long): Column =
+    transform(
+      bandKeys(minhashSignatureFromTokens(TextAnalysis.tokens(textCol), n, numHashes, seed),
+        numHashes, bands),
+      (b, i) => xxhash64(i, b))
+
+  /** Incremental NEAR-duplicate ingestion gate: admit only the batch rows
+    * that are neither near-duplicates of the accumulated corpus nor of an
+    * earlier-id row in the same batch — the MinHash analog of
+    * [[incrementalExact]], closing the re-crawl hole where a page with one
+    * changed byte sails through an exact-hash gate.
+    *
+    * Semantics (the [[ngramJaccard]] mirror, applied incrementally): a batch
+    * row is rejected when some corpus row (or surviving earlier batch row)
+    * shares an LSH band bucket AND the exact n-gram Jaccard over distinct
+    * gram hashes meets `threshold`. An exact clone of a corpus row is always
+    * rejected: identical text ⇒ identical signature ⇒ collides in every
+    * band, and the bloom has no false negatives.
+    *
+    * Scale shape: `bandBloom` (a filter over the corpus's
+    * [[bandProbeKeys]] — the persisted sidecar in the streaming form) prunes
+    * the batch inside its own scan stage; rows with NO flagged band key are
+    * admitted without touching the corpus. Only flagged candidates take the
+    * (band, bucket) equi-join against the corpus — shuffle volume is
+    * candidates × bands, never corpus-sized, and the whole join is skipped
+    * when nothing is flagged. When no prebuilt bloom is passed, one corpus
+    * pass builds it (the batch-job form; expect `corpusRows × bands` keys).
+    *
+    * Returns the admitted batch rows with the caller's full columns.
+    */
+  def incrementalMinhash(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L,
+      bandBloom: Option[Array[Byte]] = None,
+      expectedCorpusBandKeys: Long = 1000000L): DataFrame = {
+    val probeKeys = bandProbeKeys(col(textCol), n, numHashes, bands, seed)
+    if (bandBloom.isEmpty && corpus.isEmpty)
+      return ngramJaccard(batch, idCol, textCol, n, threshold, numHashes, bands, seed)
+    // within-batch near-dup collapse first: the gate must be idempotent
+    // under replay, and a batch containing its own near-dup family must
+    // admit exactly one representative
+    val batchKept = ngramJaccard(batch, idCol, textCol, n, threshold, numHashes, bands, seed)
+    val bloom = bandBloom.getOrElse {
+      corpus.select(explode(probeKeys).as("__k"))
+        .agg(graft.functions.SketchFunctions.bloomFilterAgg(
+          col("__k"), expectedCorpusBandKeys).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+    }
+    // batch-sized materialization: the candidate split, the emptiness probe
+    // and the final anti-join all reuse it — and when the bloom flags
+    // nothing, the corpus is NEVER touched (the steady-state cost model)
+    val flagged = batchKept.withColumn("__cand",
+      exists(probeKeys,
+        k => graft.functions.SketchFunctions.mightContain(lit(bloom), k)))
+      .transform(Checkpointing.materialize)
+    val candidates = flagged.filter(col("__cand"))
+    val out =
+      if (candidates.isEmpty) flagged
+      else flagged.join(
+        nearDupRejects(corpus, candidates, idCol, textCol, n, threshold, numHashes, bands, seed),
+        Seq(idCol), "left_anti")
+    out.drop("__cand")
+  }
+
+  /** Ids of `candidates` rows with a VERIFIED near-duplicate in `corpus`:
+    * LSH band-bucket equi-join (shuffle volume = collisions, never the
+    * cross product) + exact gram-hash Jaccard confirm — the corpus-facing
+    * half of [[incrementalMinhash]], shared with the streaming ingest gate
+    * so batch and streaming forms reject identically.
+    */
+  private[graft] def nearDupRejects(
+      corpus: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int,
+      seed: Long): DataFrame = {
+    val grams = array_distinct(
+      graft.functions.HashExpressions.ngramHashes(TextAnalysis.tokens(col(textCol)), n))
+    val sig = minhashSignatureFromTokens(TextAnalysis.tokens(col(textCol)), n, numHashes, seed)
+    val candBanded = candidates
+      .select(col(idCol), grams.as("__g_a"),
+        posexplode(bandKeys(sig, numHashes, bands)))
+      .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
+    val corpBanded = corpus
+      .select(grams.as("__g_b"), posexplode(bandKeys(sig, numHashes, bands)))
+      .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
+    val jac = size(array_intersect(col("__g_a"), col("__g_b"))).cast("double") /
+      size(array_union(col("__g_a"), col("__g_b")))
+    candBanded.join(corpBanded, Seq("__band", "__bucket"))
+      .filter(jac >= threshold)
+      .select(col(idCol)).distinct()
+  }
 
   /** The exact-confirmation digest over the content columns (the same
     * null-safe JSON-struct encoding as [[exact]]).

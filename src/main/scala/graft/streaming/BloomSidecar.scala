@@ -35,7 +35,18 @@ object BloomSidecar {
 
   private val Magic = 0x47424c32 // "GBL2"
 
-  def path(corpusDir: Path): Path = new Path(corpusDir, "_bloom")
+  /** Default sidecar name (content-key filter of the exact-dedup gate). */
+  val ContentName = "_bloom"
+
+  /** Band-key sidecar of the NEAR-dup ingestion gate — same format, keys
+    * from [[graft.operators.Dedup.bandProbeKeys]] instead of content hashes.
+    */
+  val BandName = "_bloom_bands"
+
+  def path(corpusDir: Path, name: String = ContentName): Path = {
+    require(name.startsWith("_"), "sidecar names must be underscore-prefixed (invisible to Spark's file index)")
+    new Path(corpusDir, name)
+  }
 
   /** Staleness stamp: digest of the sorted visible data-file names (the
     * same visibility rule Spark's file index applies). Any append or
@@ -55,8 +66,8 @@ object BloomSidecar {
   /** Load the sidecar; None when absent or unreadable (any error degrades to
     * a rebuild, never a failed batch).
     */
-  def read(fs: FileSystem, corpusDir: Path): Option[BloomSidecar] = {
-    val p = path(corpusDir)
+  def read(fs: FileSystem, corpusDir: Path, name: String = ContentName): Option[BloomSidecar] = {
+    val p = path(corpusDir, name)
     if (!fs.exists(p)) None
     else
       try {
@@ -77,9 +88,9 @@ object BloomSidecar {
   /** Staging write + rename swap: a reader never sees a torn sidecar; a
     * crash mid-swap leaves it absent, which the loader treats as a rebuild.
     */
-  def write(fs: FileSystem, corpusDir: Path, sc: BloomSidecar): Unit = {
-    val p = path(corpusDir)
-    val staging = new Path(corpusDir, "_bloom.staging")
+  def write(fs: FileSystem, corpusDir: Path, sc: BloomSidecar, name: String = ContentName): Unit = {
+    val p = path(corpusDir, name)
+    val staging = new Path(corpusDir, name + ".staging")
     val out = new java.io.DataOutputStream(fs.create(staging, true))
     try {
       out.writeInt(Magic)

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Checkpointing
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
@@ -396,7 +397,7 @@ object Streaming {
 
     if (!fs.exists(target)) {
       val survivors = graft.operators.Dedup.exact(batch, idCol, contentCols)
-        .localCheckpoint(true)
+        .transform(Checkpointing.materialize)
       val n = survivors.count()
       if (n > 0) {
         survivors.write.mode("append").parquet(corpusDir)
@@ -433,7 +434,7 @@ object Streaming {
       val flagged = graft.operators.Dedup.exact(batch, idCol, contentCols)
         .withColumn("__might", graft.functions.SketchFunctions
           .mightContain(lit(sidecar.bloom), bloomKey))
-        .localCheckpoint(true)
+        .transform(Checkpointing.materialize)
       val definitelyNew = flagged.filter(!col("__might")).drop("__might")
       val candidates = flagged.filter(col("__might")).drop("__might")
       val survivors = (if (candidates.isEmpty) definitelyNew
@@ -445,7 +446,7 @@ object Streaming {
             Seq("__digest"), "left_anti")
           .drop("__digest")
         definitelyNew.unionByName(confirmed)
-      }).localCheckpoint(true)
+      }).transform(Checkpointing.materialize)
       val n = survivors.count()
       var saturated = false
       if (n > 0) {
@@ -478,6 +479,127 @@ object Streaming {
             BloomSidecar.filesStamp(fs, target), bloomBytes))
       }
       IngestStats(n, scans, rebuiltBloom = loaded.isEmpty, saturatedRebuild = saturated)
+    }
+  }
+
+  /** Continuous NEAR-duplicate ingestion: [[ingestDedupStream]]'s exact gate
+    * upgraded to MinHash-LSH — a re-crawled page with one changed byte is an
+    * exact-gate miss but a near-dup hit, so an ingestion pipeline that only
+    * hashes content accretes boilerplate families forever. Same at-least-once
+    * content idempotence: a retried batch re-gates against a corpus (and
+    * band sidecar) that already holds its first attempt's rows, and every
+    * row of the retry is a Jaccard-1 clone of itself, so nothing lands twice.
+    */
+  def ingestNearDupStream(
+      docs: DataFrame,
+      corpusDir: String,
+      idCol: String,
+      textCol: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestNearDupBatch(batch, corpusDir, idCol, textCol): Unit
+      }
+      .start()
+
+  /** One near-dup ingestion micro-batch — [[ingestBatch]]'s cost model with
+    * LSH band keys as the sidecar unit: the persisted bloom holds the
+    * corpus's [[graft.operators.Dedup.bandProbeKeys]] (bands keys per doc);
+    * a batch row NONE of whose band keys hit the bloom provably shares no
+    * band bucket with any corpus row and is admitted inside the batch's own
+    * scan stage. Only flagged candidates pay the (band, bucket) equi-join +
+    * exact-Jaccard confirm against the corpus, and the join is skipped
+    * entirely when nothing is flagged — the corpus is never scanned in the
+    * steady state. Rebuild triggers (stale stamp, saturation) and the
+    * crash-safety ordering (append BEFORE sidecar swap; a crash in the
+    * window leaves the stamp stale, forcing a rebuild — the bloom never
+    * under-covers the corpus) are identical to the exact gate's.
+    */
+  def ingestNearDupBatch(
+      batch: DataFrame,
+      corpusDir: String,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L,
+      expectedCorpusBandKeys: Long = 1000000L,
+      maxSmallFiles: Int = 8,
+      minFileBytes: Long = 32L * 1024 * 1024): IngestStats = {
+    val spark = batch.sparkSession
+    val target = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val Dedup = graft.operators.Dedup
+    val probeKeys = Dedup.bandProbeKeys(col(textCol), n, numHashes, bands, seed)
+    def bloomOver(df: DataFrame, expected: Long): Array[Byte] =
+      df.select(explode(probeKeys).as("__k"))
+        .agg(graft.functions.SketchFunctions.bloomFilterAgg(col("__k"), expected))
+        .head().getAs[Array[Byte]](0)
+
+    if (!fs.exists(target)) {
+      val survivors = Dedup
+        .ngramJaccard(batch, idCol, textCol, n, threshold, numHashes, bands, seed)
+        .transform(Checkpointing.materialize)
+      val cnt = survivors.count()
+      if (cnt > 0) {
+        survivors.write.mode("append").parquet(corpusDir)
+        val expected = math.max(expectedCorpusBandKeys, 2 * cnt * bands)
+        BloomSidecar.write(fs, target,
+          BloomSidecar(expected, cnt * bands,
+            BloomSidecar.filesStamp(fs, target), bloomOver(survivors, expected)),
+          BloomSidecar.BandName)
+      }
+      IngestStats(cnt, corpusScans = 0, rebuiltBloom = false, saturatedRebuild = false)
+    } else {
+      CorpusCompaction.recover(fs, target)
+      val loaded = BloomSidecar.read(fs, target, BloomSidecar.BandName)
+        .filter(_.filesStamp == BloomSidecar.filesStamp(fs, target))
+      var scans = 0
+      val sidecar = loaded.getOrElse {
+        scans += 1
+        val corpus = spark.read.parquet(corpusDir)
+        val keyCnt = corpus.count() * bands
+        val expected = math.max(expectedCorpusBandKeys, 2 * keyCnt)
+        BloomSidecar(expected, keyCnt,
+          BloomSidecar.filesStamp(fs, target), bloomOver(corpus, expected))
+      }
+      val flagged = Dedup
+        .ngramJaccard(batch, idCol, textCol, n, threshold, numHashes, bands, seed)
+        .withColumn("__cand", exists(probeKeys,
+          k => graft.functions.SketchFunctions.mightContain(lit(sidecar.bloom), k)))
+        .transform(Checkpointing.materialize)
+      val candidates = flagged.filter(col("__cand"))
+      val survivors = (if (candidates.isEmpty) flagged
+      else {
+        scans += 1 // the confirm join reads the corpus once
+        flagged.join(
+          Dedup.nearDupRejects(spark.read.parquet(corpusDir), candidates,
+            idCol, textCol, n, threshold, numHashes, bands, seed),
+          Seq(idCol), "left_anti")
+      }).drop("__cand").transform(Checkpointing.materialize)
+      val cnt = survivors.count()
+      var saturated = false
+      if (cnt > 0) {
+        survivors.write.mode("append").parquet(corpusDir)
+        val mergedCount = sidecar.insertedCount + cnt * bands
+        val (capacity, bloomBytes) =
+          if (mergedCount > sidecar.expectedItems) {
+            saturated = true; scans += 1
+            val corpus = spark.read.parquet(corpusDir)
+            val cap = math.max(2 * mergedCount, expectedCorpusBandKeys)
+            (cap, bloomOver(corpus, cap))
+          } else
+            (sidecar.expectedItems, BloomSidecar.merge(sidecar.bloom,
+              bloomOver(survivors, sidecar.expectedItems)))
+        CorpusCompaction.compact(spark, fs, target, maxSmallFiles, minFileBytes)
+        BloomSidecar.write(fs, target,
+          BloomSidecar(capacity, mergedCount,
+            BloomSidecar.filesStamp(fs, target), bloomBytes),
+          BloomSidecar.BandName)
+      }
+      IngestStats(cnt, scans, rebuiltBloom = loaded.isEmpty, saturatedRebuild = saturated)
     }
   }
 

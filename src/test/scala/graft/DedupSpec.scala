@@ -253,6 +253,36 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Seq(5L, 7L))
   }
 
+  test("incrementalMinhash rejects near-dups of the corpus that the exact gate admits") {
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val base = words("a", 40)
+    // one token changed at the tail: 3 of 41 distinct trigrams differ,
+    // exact-Jaccard 35/41 ≈ 0.854 ≥ 0.8 — a near-dup, not an exact clone
+    val reCrawl = words("a", 39) + " zz"
+    val fresh = words("b", 40)
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val batch = Seq((10L, base), (11L, reCrawl), (12L, fresh), (13L, fresh))
+      .toDF("doc_id", "text")
+    val admitted = Dedup.incrementalMinhash(corpus, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(12L),
+      s"exact clone 10, near-dup 11 and within-batch dup 13 must all be rejected: $admitted")
+    // the exact gate's re-crawl hole, demonstrated: one changed token sails through
+    val exactAdmitted = Dedup.incrementalExact(corpus, batch, "doc_id", Seq("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactAdmitted.contains(11L), "premise: the exact gate admits the re-crawl")
+  }
+
+  test("incrementalMinhash with an empty corpus keeps the within-batch near-dup dedup") {
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, words("a", 40)), (2L, words("a", 39) + " zz"), (3L, words("b", 40)))
+      .toDF("doc_id", "text")
+    val admitted = Dedup.incrementalMinhash(empty, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 3L), s"batch-internal near-dup family keeps its min id: $admitted")
+  }
+
   test("containmentScores finds A-inside-B that Jaccard dilutes away") {
     val frame = Seq(
       // A: 6 tokens -> 2 distinct 5-shingles, both inside B
@@ -314,6 +344,28 @@ class DedupSpec extends SparkTestBase {
     assert(out(3L) == ((8L, 6L, 2L, 6L, 6.0 / 8.0)), "self-repeat counts, disjoint spans sum")
     assert(out(4L) == ((5L, 3L, 0L, 0L, 0.0)), "unique doc untouched")
     assert(out(5L) == ((2L, 0L, 0L, 0L, 0.0)), "sub-k doc yields zero windows, not [1,0]")
+  }
+
+  test("removeDuplicateSpans excises later occurrences, keeps the global first") {
+    // same fixture as the stats test (k=3): doc 1 and doc 2 share "a b c d",
+    // doc 3 self-repeats "x y z". Keep-first by (doc_id, pos) means doc 1
+    // keeps its copy and doc 2 loses the shared run; doc 3 keeps the first
+    // "x y z" and loses the trailing one.
+    val frame = Seq(
+      (1L, "a b c d p q r"),
+      (2L, "m n a b c d"),
+      (3L, "x y z g h x y z"),
+      (4L, "u1 u2 u3 u4 u5"),
+      (5L, "t1 t2")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(frame, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((7L, 0L, "a b c d p q r")), "global first occurrence survives intact")
+    assert(out(2L) == ((6L, 4L, "m n")), "later cross-doc occurrence excised (interval union)")
+    assert(out(3L) == ((8L, 3L, "x y z g h")), "self-repeat: first kept, trailing copy excised")
+    assert(out(4L) == ((5L, 0L, "u1 u2 u3 u4 u5")), "unique doc untouched")
+    assert(out(5L) == ((2L, 0L, "t1 t2")), "sub-k doc has no windows to excise")
   }
 
   test("minhash signatures are deterministic across evaluations") {

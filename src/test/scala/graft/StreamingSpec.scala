@@ -373,6 +373,56 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(corpus).count() == 400)
   }
 
+  test("ingestNearDupBatch gates re-crawls, stays idempotent, and keeps the flat cost model") {
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val corpus = java.nio.file.Files.createTempDirectory("graft-ingest-nd").toString + "/corpus"
+    val first = Seq((1L, words("a", 40)), (2L, words("b", 40))).toDF("doc_id", "text")
+    val s1 = Streaming.ingestNearDupBatch(first, corpus, "doc_id", "text")
+    assert(s1.admitted == 2 && s1.corpusScans == 0)
+    // at-least-once replay: every row is a Jaccard-1 clone of what the first
+    // attempt appended — the retry admits nothing and the corpus stays unique
+    val s2 = Streaming.ingestNearDupBatch(first, corpus, "doc_id", "text")
+    assert(s2.admitted == 0, s"replay must admit nothing: $s2")
+    // the re-crawl hole, closed: one changed token is an exact-gate miss but
+    // a banded-collision + Jaccard-0.854 hit
+    val reCrawl = Seq((3L, words("a", 39) + " zz")).toDF("doc_id", "text")
+    val s3 = Streaming.ingestNearDupBatch(reCrawl, corpus, "doc_id", "text")
+    assert(s3.admitted == 0 && s3.corpusScans == 1, s"re-crawl must be rejected: $s3")
+    // a genuinely fresh doc: the band sidecar prunes it in the scan stage —
+    // admitted without any corpus read (steady-state cost)
+    val s4 = Streaming.ingestNearDupBatch(
+      Seq((4L, words("c", 40))).toDF("doc_id", "text"), corpus, "doc_id", "text")
+    assert(s4.admitted == 1 && s4.corpusScans == 0 && !s4.rebuiltBloom, s"fresh: $s4")
+    // a deleted band sidecar degrades to ONE rebuild scan, then recovers
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(graft.streaming.BloomSidecar.path(
+      new org.apache.hadoop.fs.Path(corpus), graft.streaming.BloomSidecar.BandName), false)
+    val s5 = Streaming.ingestNearDupBatch(
+      Seq((5L, words("d", 40))).toDF("doc_id", "text"), corpus, "doc_id", "text")
+    assert(s5.admitted == 1 && s5.rebuiltBloom && s5.corpusScans == 1, s"rebuild: $s5")
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L, 5L))
+  }
+
+  test("ingestNearDupStream grows a near-dup-free corpus across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val corpus = java.nio.file.Files.createTempDirectory("graft-ingest-nds").toString + "/corpus"
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.ingestNearDupStream(
+      input.toDS().toDF("doc_id", "text"), corpus, "doc_id", "text")
+    try {
+      input.addData((1L, words("a", 40)), (2L, words("a", 39) + " zz")) // within-batch near-dup
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet == Set(1L))
+      input.addData((3L, words("a", 38) + " y1 y2"), (4L, words("e", 40))) // cross-batch near-dup + new
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("ingestBatch compaction bounds the corpus file count across 12 batches") {
     val corpus = java.nio.file.Files.createTempDirectory("graft-ingest5").toString + "/corpus"
     def batch(lo: Long, n: Long) =
