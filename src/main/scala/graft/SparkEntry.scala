@@ -166,6 +166,37 @@ object SparkEntry {
           |) AS (chk, n)""".stripMargin)
   }
 
+  /** Shared DuckDB replay of [[operators.TextAnalysis.trainPerceptron]]'s
+    * three unrolled batch-perceptron iterations (integer weights, exact
+    * integer margins), used by both `classifier_train` and
+    * `trained_classifier_filter`. Ends at CTE `w3` = the learned table.
+    */
+  private lazy val perceptronReplayCtes: String =
+    s"""WITH f AS (
+       |  SELECT d, y, b, count(*) AS x FROM (
+       |    SELECT doc_id AS d,
+       |      CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |      ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+       |    FROM (SELECT doc_id, lang, unnest($sqlToks) AS tok FROM documents) t0) t1
+       |  GROUP BY d, y, b),
+       |w1 AS (SELECT b, sum(y * x) AS w FROM f GROUP BY b),
+       |m2 AS (SELECT f.d, f.y, sum(coalesce(w1.w, 0) * f.x) AS m
+       |       FROM f LEFT JOIN w1 ON f.b = w1.b GROUP BY f.d, f.y),
+       |mis2 AS (SELECT d FROM m2 WHERE y * m <= 0),
+       |g2 AS (SELECT f.b, sum(f.y * f.x) AS g FROM f
+       |       JOIN mis2 ON f.d = mis2.d GROUP BY f.b),
+       |w2 AS (SELECT coalesce(w1.b, g2.b) AS b,
+       |         coalesce(w1.w, 0) + coalesce(g2.g, 0) AS w
+       |       FROM w1 FULL OUTER JOIN g2 ON w1.b = g2.b),
+       |m3 AS (SELECT f.d, f.y, sum(coalesce(w2.w, 0) * f.x) AS m
+       |       FROM f LEFT JOIN w2 ON f.b = w2.b GROUP BY f.d, f.y),
+       |mis3 AS (SELECT d FROM m3 WHERE y * m <= 0),
+       |g3 AS (SELECT f.b, sum(f.y * f.x) AS g FROM f
+       |       JOIN mis3 ON f.d = mis3.d GROUP BY f.b),
+       |w3 AS (SELECT coalesce(w2.b, g3.b) AS b,
+       |         coalesce(w2.w, 0) + coalesce(g3.g, 0) AS w
+       |       FROM w2 FULL OUTER JOIN g3 ON w2.b = g3.b)""".stripMargin
+
   /** The oracle side of [[dedupInvariants]]: expected values as literals. */
   private val dedupInvariantsOracle: String =
     """SELECT 'total_input' AS chk, CAST(count(*) AS BIGINT) AS n FROM documents
@@ -994,6 +1025,24 @@ object SparkEntry {
       // weights stand in for trained ones — portable to any engine, which is
       // what makes the oracle exact)
       TextAnalysis.classifierScore(Tables.documents(s, dir), bias = 0.0, threshold = 0.0)),
+
+    "classifier_train" -> ((s, dir) =>
+      // DISTRIBUTED training of the quality classifier (the stage the fixed
+      // md5 weights stand in for): batch perceptron over hashed token-count
+      // features, integer weights, batch-synchronous updates — bitwise
+      // partitioning-independent, every iteration replayed by the oracle
+      TextAnalysis.trainPerceptron(Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", buckets = 1024, iters = 3)),
+
+    "trained_classifier_filter" -> ((s, dir) => {
+      // the trained weights FEEDING the scoring path: same scan-stage
+      // feature hash as classifier_filter, weights learned by
+      // classifier_train instead of derived from md5
+      val docs = Tables.documents(s, dir)
+      val w = TextAnalysis.trainPerceptron(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 1024, iters = 3)
+      TextAnalysis.scoreWithWeights(docs, "doc_id", "text", w, buckets = 1024)
+    }),
 
     "lm_score" -> ((s, dir) =>
       // corpus-bigram LM scoring (KenLM-filter stand-in): mean bigram
@@ -2375,6 +2424,32 @@ object SparkEntry {
          |    CASE WHEN p.acc + d2.n_tokens > 256 THEN d2.n_tokens ELSE p.acc + d2.n_tokens END
          |  FROM p JOIN d2 ON d2.lang = p.lang AND d2.rn = p.rn + 1)
          |SELECT lang, doc_id, n_tokens, bin_id FROM p""".stripMargin,
+
+    // batch-perceptron iteration replay (3 unrolled iterations): integer
+    // weights, exact integer margins, batch-synchronous updates — w1 is the
+    // closed-form first step (w=0 ⇒ every margin 0 ⇒ every doc a miss)
+    "classifier_train" ->
+      s"""$perceptronReplayCtes
+         |SELECT CAST(b AS BIGINT) AS bucket, CAST(w AS BIGINT) AS weight
+         |FROM w3 WHERE w <> 0""".stripMargin,
+
+    // the trained table scoring the corpus: same replay CTEs, then one
+    // integer dot product per document (zero-weight buckets contribute 0,
+    // so the unfiltered w3 scores identically to the emitted table)
+    "trained_classifier_filter" ->
+      s"""$perceptronReplayCtes,
+         |fx AS (
+         |  SELECT d, b, count(*) AS x FROM (
+         |    SELECT doc_id AS d,
+         |      ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+         |    FROM (SELECT doc_id, unnest($sqlToks) AS tok FROM documents) q0) q1
+         |  GROUP BY d, b),
+         |sc AS (
+         |  SELECT fx.d, sum(coalesce(w3.w, 0) * fx.x) AS score
+         |  FROM fx LEFT JOIN w3 ON fx.b = w3.b GROUP BY fx.d)
+         |SELECT dd.doc_id, CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
+         |  CAST(CASE WHEN coalesce(sc.score, 0) > 0 THEN 1 ELSE -1 END AS BIGINT) AS predicted
+         |FROM documents dd LEFT JOIN sc ON dd.doc_id = sc.d""".stripMargin,
 
     // hashed weight mirror: first 8 md5 hex chars parse to the same BIGINT in
     // both engines; the margin replays the fixed-point sum (floor(w*2^20) as

@@ -304,4 +304,121 @@ object TextAnalysis {
           (col("qs").cast("double") / col("n_bigrams")) / lit(Fp))
           .otherwise(lit(0.0)).as("avg_bigram_p"))
   }
+
+  /** Hash-bucket index of a token for the trained classifier's feature
+    * space: the same portable md5 construction as [[hashedWeight]] (first 8
+    * hex chars parse to the same BIGINT in any engine), folded onto
+    * `buckets` features. Shared by training and scoring so a weight table
+    * learned anywhere scores identically everywhere.
+    */
+  def hashBucket(tok: Column, buckets: Int): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Per-(doc, label, bucket) token-count features — the shared input
+    * relation of [[trainPerceptron]] and [[scoreWithWeights]]. One
+    * corpus-sized shuffle (map-side combined); everything downstream of it
+    * is model-sized.
+    */
+  private def features(
+      docs: DataFrame, idCol: String, textCol: String,
+      label: Column, buckets: Int): DataFrame =
+    docs
+      .select(col(idCol).as("__d"),
+        (label.cast("int") * 2 - 1).cast("long").as("__y"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .select(col("__d"), col("__y"), hashBucket(col("__tok"), buckets).as("__b"))
+      .groupBy(col("__d"), col("__y"), col("__b"))
+      .agg(count(lit(1)).as("__x"))
+
+  /** Distributed training of the quality/language classifier (the fastText
+    * recipe's seed-set stage, which [[classifierScore]]'s fixed hashed
+    * weights stand in for): batch perceptron over hashed token-count
+    * features. `label` is the boolean seed signal (true → +1, false → −1).
+    *
+    * Determinism is the design driver, the same construction as
+    * [[graft.operators.Graph.FixedPoint]] taken one step further: weights
+    * are INTEGERS (token counts summed with ±1 labels), margins are exact
+    * integer dot products, and the per-iteration update is batch-synchronous
+    * — w += Σ over currently-misclassified examples of y·x. No floats
+    * anywhere, so the learned table is bitwise identical at any parallelism
+    * and an oracle can replay every iteration in SQL. (True SGD is
+    * inherently order-dependent — a sequential visit order cannot be
+    * mirrored by an order-free distributed sum, so the batch variant is the
+    * correct distributed restatement, not a simplification.)
+    *
+    * Scale shape: the feature relation is built by ONE corpus-sized shuffle
+    * and checkpointed (every iteration scans it; see the
+    * [[graft.Checkpointing]] note on iterative consumers). Each iteration is
+    * then: broadcast the weight table (≤ `buckets` rows) into the margin
+    * scan, one doc-keyed aggregation for margins, one bucket-keyed
+    * aggregation for the gradient — shuffle volume is features-sized, never
+    * pairs, and nothing reaches the driver.
+    *
+    * Returns (bucket, weight) for every bucket with a nonzero final weight.
+    */
+  def trainPerceptron(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      label: Column,
+      buckets: Int = 1024,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    require(buckets > 0, "buckets must be positive")
+    val feats = features(docs, idCol, textCol, label, buckets)
+      .transform(graft.Checkpointing.materialize)
+    // iteration 1 from w = 0 in closed form: every margin is 0, 0 is a
+    // perceptron miss for either label, so w1 is the full label-weighted
+    // feature sum — saves the first (trivial) margin pass
+    var w = feats.groupBy(col("__b"))
+      .agg(sum(col("__y") * col("__x")).as("__w"))
+      .transform(graft.Checkpointing.materialize)
+    for (_ <- 2 to iters) {
+      val mis = feats
+        .join(broadcast(w), Seq("__b"), "left")
+        .groupBy(col("__d"), col("__y"))
+        .agg(sum(coalesce(col("__w"), lit(0L)) * col("__x")).as("__m"))
+        .filter(col("__y") * col("__m") <= 0)
+        .select(col("__d"))
+      val grad = feats.join(mis, Seq("__d"), "left_semi")
+        .groupBy(col("__b")).agg(sum(col("__y") * col("__x")).as("__g"))
+      w = w.join(grad, Seq("__b"), "full_outer")
+        .select(col("__b"),
+          (coalesce(col("__w"), lit(0L)) + coalesce(col("__g"), lit(0L))).as("__w"))
+        .transform(graft.Checkpointing.materialize)
+    }
+    w.filter(col("__w") =!= 0L)
+      .select(col("__b").as("bucket"), col("__w").as("weight"))
+  }
+
+  /** Score documents with a TRAINED weight table ([[trainPerceptron]]'s
+    * output): exact integer dot product of the doc's hashed token counts
+    * against the broadcast weights, plus the predicted label. The trained
+    * counterpart of [[classifierScore]]'s fixed-weight margin — same plan
+    * shape (scan-stage feature hash, one doc-keyed shuffle), weights joined
+    * by bucket instead of derived from md5.
+    *
+    * Returns (doc_id, score, predicted) for every input document (empty and
+    * all-unseen-bucket docs score 0 → predicted −1 on the > 0 rule).
+    */
+  def scoreWithWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      buckets: Int = 1024): DataFrame = {
+    val scored = docs
+      .select(col(idCol).as("__d"), explode(tokens(col(textCol))).as("__tok"))
+      .select(col("__d"), hashBucket(col("__tok"), buckets).as("__b"))
+      .groupBy(col("__d"), col("__b")).agg(count(lit(1)).as("__x"))
+      .join(broadcast(weights.select(col("bucket").as("__b"), col("weight"))),
+        Seq("__b"), "left")
+      .groupBy(col("__d"))
+      .agg(sum(coalesce(col("weight"), lit(0L)) * col("__x")).as("score"))
+    docs.select(col(idCol))
+      .join(scored.select(col("__d").as(idCol), col("score")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("score"), lit(0L)).as("score"),
+        when(coalesce(col("score"), lit(0L)) > 0, 1L).otherwise(-1L).as("predicted"))
+  }
 }

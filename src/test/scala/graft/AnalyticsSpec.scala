@@ -121,6 +121,34 @@ class AnalyticsSpec extends SparkTestBase {
     assert(again == out)
   }
 
+  test("trainPerceptron learns a separating table and the trained scorer separates") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // linearly separable seed set: positive docs share 'good'-family tokens,
+    // negative docs 'bad'-family — plus a shared neutral token both sides use
+    val docs = Seq(
+      (1L, "good fine great common words here", true),
+      (2L, "good great nice common tokens again", true),
+      (3L, "fine nice good common stuff here", true),
+      (4L, "bad awful poor common words here", false),
+      (5L, "awful poor ugly common tokens again", false),
+      (6L, "poor ugly bad common stuff here", false)
+    ).toDF("doc_id", "text", "label")
+    val w = TextAnalysis.trainPerceptron(docs, "doc_id", "text", col("label"), buckets = 256, iters = 3)
+    val weights = w.as[(Long, Long)].collect().toMap
+    assert(weights.nonEmpty && weights.values.exists(_ > 0) && weights.values.exists(_ < 0),
+      s"a separable seed set must learn signed weights: $weights")
+    // weights are integers and bitwise identical at a different parallelism
+    val w7 = TextAnalysis.trainPerceptron(docs.repartition(7), "doc_id", "text",
+      col("label"), buckets = 256, iters = 3).as[(Long, Long)].collect().toMap
+    assert(w7 == weights, "training must be partitioning-independent")
+    // the trained scorer separates the seed set it converged on
+    val scored = TextAnalysis.scoreWithWeights(docs, "doc_id", "text", w, buckets = 256)
+      .select($"doc_id", $"predicted").as[(Long, Long)].collect().toMap
+    assert((1L to 3L).forall(scored(_) == 1L) && (4L to 6L).forall(scored(_) == -1L),
+      s"trained weights must separate the training set: $scored")
+  }
+
   test("bigramLmScore: corpus-typical phrasing outscores atypical recombination") {
     import spark.implicits._
     import graft.operators.TextAnalysis
