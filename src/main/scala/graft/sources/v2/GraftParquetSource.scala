@@ -17,9 +17,10 @@ import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -56,8 +57,16 @@ class GraftParquetSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     // one driver-side footer read through Spark's own inference so logical
-    // types (incl. the nanosAsLong mapping) match the native reader exactly
-    SparkSession.active.read.parquet(pathOf(options)).schema
+    // types (incl. the nanosAsLong mapping) match the native reader exactly.
+    // A missing/empty target (the FIRST write of a table) infers as the
+    // empty schema — the write path takes its real schema from
+    // LogicalWriteInfo, and ACCEPT_ANY_SCHEMA keeps Spark from rejecting
+    // the append against the placeholder.
+    val path = pathOf(options)
+    val p = new Path(path)
+    val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) new StructType()
+    else SparkSession.active.read.parquet(path).schema
   }
 
   override def getTable(
@@ -72,13 +81,27 @@ class GraftParquetSource extends TableProvider with DataSourceRegister {
 }
 
 final case class GraftParquetTable(path: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-parquet($path)"
   override def schema(): StructType = tableSchema
+  // ACCEPT_ANY_SCHEMA defers append-schema validation to the connector: the
+  // first write of a table has only the empty placeholder schema to check
+  // against (see inferSchema); a LATER append against a populated table is
+  // validated here instead (newWriteBuilder), same strictness, right time
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // structural match (names + types, nullability-insensitive — writing a
+    // non-nullable column into a nullable parquet field is always safe)
+    def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
+    require(tableSchema.isEmpty || shape(tableSchema) == shape(info.schema()),
+      s"graft-parquet append schema ${info.schema().simpleString} does not match " +
+        s"table schema ${tableSchema.simpleString}")
+    GraftWriteBuilder(path, info)
+  }
 }
 
 final class GraftScanBuilder(path: String, full: StructType)

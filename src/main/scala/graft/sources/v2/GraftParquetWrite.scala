@@ -1,0 +1,206 @@
+package graft.sources.v2
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+/** The WRITE half of the `graft-parquet` connector ([[GraftParquetSource]]):
+  * a staged-commit batch writer, so the connector round-trips — what the
+  * reader proves about pushdown, the writer proves about atomicity.
+  *
+  * Commit protocol (the [[graft.streaming.CorpusCompaction]] manifest
+  * roll-forward, applied to appends; single writer assumed like every sink
+  * here):
+  *
+  *  1. every task writes its parquet file into `_write_<queryId>/` —
+  *     underscore-prefixed, so readers cannot see uncommitted data;
+  *  2. the driver's commit writes `_write_<queryId>/manifest` listing
+  *     exactly the files of COMMITTED tasks (a speculative or failed task's
+  *     orphan file is not listed and dies with the staging dir) — the
+  *     manifest's existence is the commit point;
+  *  3. roll-forward: listed files move into the table directory (names are
+  *     queryId-unique, so replaying a move can't collide), staging dir drops.
+  *
+  * A crash before (2) leaves invisible staging garbage the next write
+  * discards; a crash after (2) is completed by [[GraftParquetWrite.recover]]
+  * at the next write job — renames are idempotent-by-absence (a file already
+  * moved is skipped), so replaying the roll-forward neither loses nor
+  * duplicates rows.
+  */
+object GraftParquetWrite {
+
+  private val StagingPrefix = "_write_"
+
+  def stagingDir(table: Path, queryId: String): Path =
+    new Path(table, StagingPrefix + queryId)
+
+  private def manifestPath(staging: Path): Path = new Path(staging, "manifest")
+
+  /** Complete interrupted commits (manifest present) and discard incomplete
+    * staging writes (no manifest). Idempotent; runs at the start of every
+    * write job, and is public for recovery-on-demand.
+    */
+  def recover(fs: FileSystem, table: Path): Unit =
+    if (fs.exists(table)) {
+      fs.listStatus(table).filter { st =>
+        st.isDirectory && st.getPath.getName.startsWith(StagingPrefix)
+      }.foreach { st =>
+        if (fs.exists(manifestPath(st.getPath))) commit(fs, table, st.getPath)
+        else fs.delete(st.getPath, true)
+      }
+    }
+
+  private[v2] def commitFiles(fs: FileSystem, table: Path, staging: Path, names: Seq[String]): Unit = {
+    val man = fs.create(manifestPath(staging), true)
+    try man.write(names.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally man.close()
+    commit(fs, table, staging)
+  }
+
+  private def commit(fs: FileSystem, table: Path, staging: Path): Unit = {
+    val in = fs.open(manifestPath(staging))
+    val names =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+      finally in.close()
+    names.foreach { n =>
+      val from = new Path(staging, n)
+      if (fs.exists(from)) fs.rename(from, new Path(table, n))
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Spark schema → parquet message type, restricted to the primitive
+    * columns the reader evaluates ([[GraftScan.evaluable]]'s type set) so
+    * everything written through the connector reads back with full pushdown.
+    */
+  def toMessageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val rep = if (f.nullable) Type.Repetition.OPTIONAL else Type.Repetition.REQUIRED
+      f.dataType match {
+        case LongType => b.addField(Types.primitive(INT64, rep).named(f.name))
+        case IntegerType => b.addField(Types.primitive(INT32, rep).named(f.name))
+        case DoubleType => b.addField(Types.primitive(DOUBLE, rep).named(f.name))
+        case FloatType => b.addField(Types.primitive(FLOAT, rep).named(f.name))
+        case BooleanType => b.addField(Types.primitive(BOOLEAN, rep).named(f.name))
+        case StringType => b.addField(Types.primitive(BINARY, rep)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case other => throw new graft.GraftConfigError(
+          s"graft-parquet write supports primitive columns only; '${f.name}' is $other")
+      }
+    }
+    b.named("graft_schema")
+  }
+}
+
+final case class GraftWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      // fail at plan time on an unwritable schema, not per-task
+      GraftParquetWrite.toMessageType(info.schema())
+      GraftBatchWrite(path, info.queryId(), info.schema())
+    }
+  }
+}
+
+final case class GraftBatchWrite(path: String, queryId: String, schema: StructType)
+    extends BatchWrite {
+
+  private def withFs[T](body: (FileSystem, Path) => T): T = {
+    val table = new Path(path)
+    body(table.getFileSystem(new Configuration()), table)
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    withFs { (fs, table) =>
+      // single-writer contract: finish any interrupted predecessor BEFORE
+      // staging new data next to its leftovers
+      GraftParquetWrite.recover(fs, table)
+      fs.mkdirs(GraftParquetWrite.stagingDir(table, queryId))
+    }
+    GraftWriterFactory(path, queryId, schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = withFs { (fs, table) =>
+    val names = messages.collect { case GraftCommitMessage(name) => name }.toSeq
+    GraftParquetWrite.commitFiles(fs, table, GraftParquetWrite.stagingDir(table, queryId), names)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = withFs { (fs, table) =>
+    fs.delete(GraftParquetWrite.stagingDir(table, queryId), true)
+  }
+}
+
+final case class GraftCommitMessage(fileName: String) extends WriterCommitMessage
+
+final case class GraftWriterFactory(path: String, queryId: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(path, queryId, schema, partitionId, taskId)
+}
+
+/** Executor-side writer: parquet-hadoop example API (the mirror of the
+  * reader's [[GraftPartitionReader]]); one file per task, named
+  * queryId-uniquely so commit renames can never collide across jobs.
+  */
+final class GraftDataWriter(
+    path: String, queryId: String, schema: StructType, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val fileName = s"part-$queryId-$partitionId-$taskId.parquet"
+  private val staged =
+    new Path(GraftParquetWrite.stagingDir(new Path(path), queryId), fileName)
+  private val msgType = GraftParquetWrite.toMessageType(schema)
+  private val factory = new SimpleGroupFactory(msgType)
+
+  private val writer: ParquetWriter[Group] = {
+    val conf = new Configuration()
+    ExampleParquetWriter.builder(staged).withConf(conf).withType(msgType).build()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        val f = schema(i)
+        f.dataType match {
+          case LongType => g.append(f.name, row.getLong(i))
+          case IntegerType => g.append(f.name, row.getInt(i))
+          case DoubleType => g.append(f.name, row.getDouble(i))
+          case FloatType => g.append(f.name, row.getFloat(i))
+          case BooleanType => g.append(f.name, row.getBoolean(i))
+          case StringType => g.append(f.name, row.getUTF8String(i).toString)
+          case other => throw new graft.GraftConfigError(
+            s"unreachable: '${f.name}' ($other) was gated at plan time")
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    GraftCommitMessage(fileName)
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    val fs = staged.getFileSystem(new Configuration())
+    if (fs.exists(staged)) fs.delete(staged, false)
+  }
+
+  override def close(): Unit = ()
+}

@@ -273,6 +273,69 @@ class PlanRulesSpec extends SparkTestBase {
     assert(!GraftScan.eval(In("n", Array(1L, 2L)), get(Map("n" -> 3L))))
   }
 
+  test("DSv2 connector: staged-commit write round-trips with pushdown intact") {
+    import graft.sources.v2.GraftScan
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2w").toString + "/t"
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n)
+      .select(col("id"), (col("id") % 5).cast("int").as("cat"),
+        concat(lit("name-"), col("id")).as("name"), (col("id") * 1.5).as("score"))
+    // first write creates the table; second write appends through the same
+    // staged-commit path against the now-populated schema
+    rows(0, 100).write.format("graft-parquet").mode("append").save(dir)
+    rows(100, 50).write.format("graft-parquet").mode("append").save(dir)
+    val back = spark.read.format("graft-parquet").load(dir)
+      .filter(col("id") >= 40L && col("cat") === 2)
+      .select("id", "name")
+    val scan = back.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.getOrElse(fail("re-read did not plan the connector scan")).asInstanceOf[GraftScan]
+    val pushed = scan.filters.map(_.toString).mkString(" ")
+    assert(pushed.contains("id") && pushed.contains("cat"),
+      s"filters must reach the connector on the written table: $pushed")
+    assert(scan.readSchema().fieldNames.toSet == Set("id", "name"))
+    val expect = (0L until 150L).filter(i => i >= 40 && i % 5 == 2).map(i => (i, s"name-$i")).toSet
+    assert(back.as[(Long, String)].collect().toSet == expect)
+    // a mismatched append is rejected at plan-build time
+    intercept[IllegalArgumentException] {
+      Seq((1L, "x")).toDF("id", "other").write.format("graft-parquet").mode("append").save(dir)
+    }
+  }
+
+  test("DSv2 connector: an interrupted write commit is invisible, then rolls forward") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.v2.GraftParquetWrite
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2r").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.format("graft-parquet").mode("append").save(dir)
+    val table = new Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash AFTER the commit point (manifest written) but BEFORE
+    // the roll-forward: stage a data file + manifest by hand
+    val staging = GraftParquetWrite.stagingDir(table, "crashq")
+    fs.mkdirs(staging)
+    val staged = new Path(staging, "part-crashq-0-0.parquet")
+    Seq((3L, "c")).toDF("id", "name").coalesce(1).write.parquet(staging.toString + "/tmp")
+    val part = fs.listStatus(new Path(staging, "tmp"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.rename(part, staged)
+    fs.delete(new Path(staging, "tmp"), true)
+    val man = fs.create(new Path(staging, "manifest"), true)
+    try man.write("part-crashq-0-0.parquet".getBytes("UTF-8")) finally man.close()
+    // uncommitted data is invisible to readers (underscore staging dir)
+    assert(spark.read.format("graft-parquet").load(dir).count() == 2)
+    // and a crash BEFORE the commit point (no manifest) is garbage to discard
+    val dead = GraftParquetWrite.stagingDir(table, "deadq")
+    fs.mkdirs(dead)
+    // the next write job recovers BOTH: rolls the manifest forward, drops the dead dir
+    Seq((4L, "d")).toDF("id", "name").write.format("graft-parquet").mode("append").save(dir)
+    assert(!fs.exists(staging) && !fs.exists(dead))
+    assert(spark.read.format("graft-parquet").load(dir)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("rule does not fire when ts_ns was projected away below the filter") {
     val df = Sources.events(spark, sfDir)
       .select("event_id", "ts")
