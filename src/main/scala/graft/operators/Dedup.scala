@@ -620,11 +620,29 @@ object Dedup {
       .filter(col("__c") > 1).select(col("__h"))
     // keep-first per fingerprint; rows ranked past 1 are the excise set
     val rnW = Window.partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
-    val excised = win.join(dupHashes, Seq("__h"), "left_semi")
+    val excisedRaw = win.join(dupHashes, Seq("__h"), "left_semi")
       .withColumn("__rn", row_number().over(rnW))
       .filter(col("__rn") > 1)
-      .select(col(idCol),
-        struct(col("__pos").as("s"), (col("__pos") + k).as("e")).as("__iv"))
+      .select(col(idCol), col("__pos"), (col("__pos") + k).as("__end"))
+    // merge overlapping excisions to DISJOINT spans before they reach the
+    // token filter (gaps-and-islands over the duplicateSpanStats frontier):
+    // a window opens a new island iff it starts past the running-max end of
+    // all earlier windows; islands collapse to (min start, max end). Without
+    // this a fully-duplicated n-token doc carries ~n one-token-step
+    // intervals and the per-token coverage lambda goes quadratic; merged,
+    // the array length is the number of distinct duplicated SPANS. Both
+    // windows and the island aggregation cluster on the doc id, so it all
+    // rides the ONE doc-keyed exchange.
+    val docW = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val frontier = max(col("__end")).over(docW.rowsBetween(Window.unboundedPreceding, -1))
+    val excised = excisedRaw
+      .withColumn("__pm", frontier)
+      .withColumn("__island",
+        sum(when(col("__pm").isNull || col("__pos") > col("__pm"), 1).otherwise(0))
+          .over(docW.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("__pos")).as("s"), max(col("__end")).as("e"))
+      .select(col(idCol), struct(col("s"), col("e")).as("__iv"))
     val perDoc = excised.groupBy(col(idCol))
       .agg(collect_list(col("__iv")).as("__ivs"))
     toks.join(perDoc, Seq(idCol), "left")

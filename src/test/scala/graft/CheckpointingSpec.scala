@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Bpe, Dedup, EntityResolution, Graph, Sampling}
+import graft.operators.{Bpe, Dedup, EntityResolution, Graph, Sampling, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** The pluggable checkpoint policy ([[Checkpointing]]): every iterative
@@ -60,8 +60,11 @@ class CheckpointingSpec extends SparkTestBase {
     val er = EntityResolution.resolve(
       docs.withColumn("name", concat(lit("doc "), col("id"))),
       "id", col("grp"), col("name"), maxDistance = 2)
+    val train = TextAnalysis.trainPerceptron(
+      docs, "id", "text", col("grp") === "a", buckets = 128, iters = 3)
     Seq(cc.orderBy("id"), pr.orderBy("id"), tri.orderBy("id"),
-      bpe.orderBy("step"), dsir.orderBy("id"), er.orderBy("id"))
+      bpe.orderBy("step"), dsir.orderBy("id"), er.orderBy("id"),
+      train.orderBy("bucket"))
       .map(_.collect().toSeq.map(_.toString))
   }
 

@@ -24,7 +24,8 @@ class PlanGuardSpec extends SparkTestBase {
     "token_fingerprint" -> "1-row invariant frames unioned with the counts",
     "minhash_dedup_docs" -> "dedupInvariants 1-row check frames",
     "simhash_dedup_docs" -> "dedupInvariants 1-row check frames",
-    "ngram_jaccard_dedup_docs" -> "dedupInvariants 1-row check frames"
+    "ngram_jaccard_dedup_docs" -> "dedupInvariants 1-row check frames",
+    "incremental_minhash_dedup" -> "incrementalGateInvariants 1-row check frames"
   )
 
   // plans that carry a Scala UDF on purpose, with the reason it is exempt
@@ -111,6 +112,7 @@ class PlanGuardSpec extends SparkTestBase {
     "epoch_upsample" -> "fractional-epoch hash gate — scan-stage by contract",
     "upsert_orders" -> "mod-gate splits base/delta from one table in the fixture",
     "incremental_dedup" -> "mod-gate splits corpus/batch from one table in the fixture",
+    "incremental_minhash_dedup" -> "mod-gate splits corpus/batch from one table in the fixture",
     "contamination_check" -> "mod-gate carves the eval set; shingle overlap needs the text",
     "quality_filter" -> "quality scores are computed FROM the decoded text",
     "curation_pipeline" -> "composed quality + token gates over the decoded text",
@@ -228,6 +230,19 @@ class PlanGuardSpec extends SparkTestBase {
     "doc_triangles" -> (7, "per-doc + both-endpoint degree census (2) + " +
       "orientation joins (2) + wedge self-join + closure join + final " +
       "left-join resolution; edge list and oriented list checkpoint once"),
+    "remove_duplicate_spans" -> (5, "fingerprint census + keep-first window + " +
+      "per-doc excised-interval agg + the rebuild join's two key exchanges; " +
+      "the window relation is recomputed for the probe, never materialized"),
+    "curation_pipeline_v3" -> (8, "v2's model gates (classifier + LM counts) + " +
+      "span excision's census/keep-first/interval aggs + packing, ONE lazy plan"),
+    "incremental_minhash_dedup" -> (11, "within-batch LSH dedup + banded corpus " +
+      "confirm + the invariants' independent exact recomputations (digest " +
+      "joins + full gram-hash inverted index)"),
+    "classifier_train" -> (0, "every training iteration materializes behind a " +
+      "checkpoint (the feature shuffle and margin/gradient aggs run inside); " +
+      "the returned weight table is a filter over the final checkpoint"),
+    "trained_classifier_filter" -> (3, "doc-bucket feature agg + per-doc score " +
+      "agg + the all-docs left join; the trained weight table broadcasts"),
     "minhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "simhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "ngram_jaccard_dedup_docs" -> (8, "exact-collapse + shingle joins + CC + invariants")
