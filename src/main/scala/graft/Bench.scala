@@ -14,6 +14,11 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional args = query names: time only those (iteration aid). A
+    // filtered run writes BENCH_PARTIAL.json so the committed full-suite
+    // artifact is never clobbered by a partial measurement.
+    val only: Option[Set[String]] = if (args.nonEmpty) Some(args.toSet) else None
+    val detailFile = if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_DETAIL.json"
     val spark = GraftSession.get("graft-bench")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
@@ -30,7 +35,9 @@ object Bench {
     }
     def combine(a: Double, b: Double): Double =
       if (a < 0 || b < 0) -1.0 else math.min(a, b)
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       once(name, fn) // warm: codegen compile + JIT
       // min of two measured runs: the rig shows multi-second scheduler noise
       // bursts; a single sample regularly inflates a 0.3s plan to 4s
@@ -63,12 +70,12 @@ object Bench {
     val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      java.nio.file.Paths.get(detailFile),
       s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${ok.size},"n_failed":$nFailed,"queries":$detail,"sf":"$sfDir"}""".getBytes("UTF-8"))
     def fmt(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","detail":"BENCH_DETAIL.json","n":${results.size},"n_ok":${ok.size},"n_failed":$nFailed,"sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","detail":"$detailFile","n":${results.size},"n_ok":${ok.size},"n_failed":$nFailed,"sf":"$sfDir","queries":{"""
     val tailStr = "}}"
     val budget = 1900 - head.length - tailStr.length
     val entries = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + fmt(v) }

@@ -144,7 +144,15 @@ object SparkEntry {
     val corpGrams = corpus
       .select(col(idCol).as("__b"), grams.as("__g"))
       .select(col("__b"), size(col("__g")).as("__nb"), explode(col("__g")).as("__h"))
+    // sound pair prune BEFORE the per-pair count: jac = |∩|/|∪| ≤
+    // min(na,nb)/max(na,nb), so any pair whose distinct-gram counts differ
+    // by more than the threshold ratio cannot reach 0.9 — dropping it at
+    // join-output time keeps the exactness of the check while cutting the
+    // groupBy input by the frequent-gram blowup (the common trigrams that
+    // pair most docs also pair docs of very different lengths)
     val nearClone = admGrams.join(corpGrams, Seq("__h"))
+      .filter(least(col("__na"), col("__nb")) * 10 >=
+        greatest(col("__na"), col("__nb")) * 9)
       .groupBy(col("__a"), col("__b"), col("__na"), col("__nb"))
       .agg(count(lit(1)).as("__common"))
       .filter(col("__common").cast("double") /
@@ -375,6 +383,56 @@ object SparkEntry {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
+    }),
+
+    "q5_region_volume" -> ((s, dir) => {
+      // TPC-H Q5 shape: the deep star join with the LOCAL-supplier twist
+      // (customer and supplier must share a nation). Plan strategy at scale:
+      // region→nation collapses to one broadcast dim; supplier×nation is
+      // broadcast onto the lineitem scan (fact side never re-shuffles for a
+      // dim); the only big-big exchanges are lineitem⋈orders (orderkey) and
+      // ⋈customer (custkey); the year filter pushes to the orders scan as a
+      // parquet predicate so the fact join starts from 1/6 of the table.
+      val asiaNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val localSup = Tables.supplier(s, dir)
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val ord96 = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01")
+          && col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(localSup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord96, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"))
+    }),
+
+    "q18_large_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: agg-filter on the fact table (orders whose total
+      // quantity clears a threshold), then join the survivors back to their
+      // order/customer rows. The HAVING gate runs FIRST, so the expensive
+      // joins see only the ~3% surviving orderkeys; sums are exact decimals
+      // cast to double at the edge (oracle-identical).
+      val bigOrders = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(decSum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      bigOrders
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_totalprice"), col("total_qty"))
     }),
 
     "broadcast_join_agg" -> ((s, dir) =>
@@ -1470,10 +1528,13 @@ object SparkEntry {
         .filter(col("avg_bigram_p") >= 0.033).select("doc_id")
       val gated = docs.join(cls, Seq("doc_id"), "left_semi")
         .join(lm, Seq("doc_id"), "left_semi")
-      val cleaned = Dedup.removeDuplicateSpans(gated, "doc_id", "text", k = 8)
+      // lang rides THROUGH the span excision (carryCols) instead of being
+      // re-joined from docs afterwards — a re-join would re-execute the
+      // whole gated subtree (classifier + LM census) a third time
+      val cleaned = Dedup.removeDuplicateSpans(gated, "doc_id", "text", k = 8,
+        carryCols = Seq("lang"))
         .filter(col("n_tokens") - col("removed_tokens") >= 2)
-      val withLang = cleaned.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      operators.Packing.packGreedy(withLang, "lang", "doc_id",
+      operators.Packing.packGreedy(cleaned, "lang", "doc_id",
         TextAnalysis.tokenCount(col("clean_text")), budget = 256)
         .withColumnsRenamed(Map("group" -> "lang", "id" -> "doc_id"))
     }),
@@ -1952,6 +2013,30 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_volume" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  o_totalprice, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     "broadcast_join_agg" ->
       """SELECT r_name, count(*) AS n_customers,

@@ -542,9 +542,14 @@ object Dedup {
       .select(col(idCol), col("w.pos").as("__pos"), col("w.h").as("__h"))
     // fingerprints seen more than once corpus-wide; count>1 needs the full
     // aggregate (a bloom can't count), but only the key survives the filter
-    val dupHashes = win.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > 1).select(col("__h"))
-    val dupWin = win.join(dupHashes, Seq("__h"), "left_semi")
+    // fingerprints seen more than once corpus-wide: a COUNT window over the
+    // fingerprint partition, not a groupBy + semi-join — the join form pays
+    // the window explode twice (both join inputs re-derive `win`) plus two
+    // shuffles of the full window set; the window form is one explode pass
+    // and ONE fingerprint-keyed exchange
+    val dupWin = win
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .filter(col("__c") > 1)
       .select(col(idCol), col("__pos"), (col("__pos") + k).as("__end"))
     // interval union per doc: sort windows by start, carry the running max
     // end of all EARLIER windows; each window contributes only the part
@@ -585,25 +590,31 @@ object Dedup {
     * order, the rebuild is position-sorted.
     *
     * Scale shape: identical to [[duplicateSpanStats]] — window hashing is
-    * scan-stage Column algebra behind an [[Ops.spread]], the corpus-sized
-    * shuffles are the fingerprint census and the keep-first window (both on
-    * the fingerprint key), and the excised intervals flow back to their doc
-    * as ONE doc-keyed aggregation (an interval array per doc, bounded by
-    * that doc's duplicated-window count — never a per-token explode). The
-    * final token filter is per-row lambda algebra over the token array with
-    * the interval array at hand; cost O(n_tokens × n_excised_intervals) per
-    * doc inside the scan stage.
+    * scan-stage Column algebra behind an [[Ops.spread]], the only
+    * corpus-sized shuffle is the ONE fingerprint-keyed exchange under the
+    * keep-first window (row_number > 1 doubles as the dup census — no
+    * separate groupBy, no semi-join), and the excised intervals flow back to
+    * their doc as ONE doc-keyed aggregation (an interval array per doc,
+    * bounded by that doc's duplicated-window count — never a per-token
+    * explode). The final token filter is per-row lambda algebra over the
+    * token array with the interval array at hand; cost
+    * O(n_tokens × n_excised_intervals) per doc inside the scan stage.
     *
     * Returns one row per input document:
-    * (id, n_tokens, removed_tokens, clean_text).
+    * (id, carryCols..., n_tokens, removed_tokens, clean_text) —
+    * `carryCols` ride the rebuild side so composed pipelines don't re-join
+    * (and re-execute) their gated upstream just to recover a label column.
     */
   def removeDuplicateSpans(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8,
+      carryCols: Seq[String] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+    val carried = carryCols.map(col)
+    val toks = df.select(
+      (col(idCol) +: carried) :+ TextAnalysis.tokens(col(textCol)).as("__t"): _*)
     // same guarded window fingerprinting as duplicateSpanStats: <k-token
     // docs yield zero windows (sequence() would count DOWN otherwise)
     val win = Ops.spread(toks).select(
@@ -616,11 +627,15 @@ object Dedup {
               md5(concat_ws("\u0001", slice(col("__t"), i, lit(k)))).as("h"))))
           .otherwise(array())).as("w"))
       .select(col(idCol), col("w.pos").as("__pos"), col("w.h").as("__h"))
-    val dupHashes = win.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > 1).select(col("__h"))
-    // keep-first per fingerprint; rows ranked past 1 are the excise set
+    // keep-first per fingerprint; rows ranked past 1 are the excise set.
+    // row_number > 1 alone IS the dup-census condition (a fingerprint with
+    // a single occurrence never ranks past 1), so no groupBy census and no
+    // semi-join — the join form re-derived the whole window explode on its
+    // second input (doubling the dominant scan-stage hashing, and with it
+    // every upstream gate the caller composed in) and paid two extra
+    // fingerprint-keyed shuffles. One explode pass, ONE exchange.
     val rnW = Window.partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
-    val excisedRaw = win.join(dupHashes, Seq("__h"), "left_semi")
+    val excisedRaw = win
       .withColumn("__rn", row_number().over(rnW))
       .filter(col("__rn") > 1)
       .select(col(idCol), col("__pos"), (col("__pos") + k).as("__end"))
@@ -646,17 +661,16 @@ object Dedup {
     val perDoc = excised.groupBy(col(idCol))
       .agg(collect_list(col("__iv")).as("__ivs"))
     toks.join(perDoc, Seq(idCol), "left")
-      .select(col(idCol), col("__t"),
-        coalesce(col("__ivs"), array().cast("array<struct<s:int,e:int>>")).as("__ivs"))
-      .select(col(idCol), col("__t"),
+      .select((col(idCol) +: carried) ++ Seq(col("__t"),
+        coalesce(col("__ivs"), array().cast("array<struct<s:int,e:int>>")).as("__ivs")): _*)
+      .select((col(idCol) +: carried) ++ Seq(col("__t"),
         filter(col("__t"), (t, i) =>
           !exists(col("__ivs"),
-            p => i + 1 >= p.getField("s") && i + 1 < p.getField("e"))).as("__clean"))
-      .select(
-        col(idCol),
+            p => i + 1 >= p.getField("s") && i + 1 < p.getField("e"))).as("__clean")): _*)
+      .select((col(idCol) +: carried) ++ Seq(
         size(col("__t")).cast("long").as("n_tokens"),
         (size(col("__t")) - size(col("__clean"))).cast("long").as("removed_tokens"),
-        array_join(col("__clean"), " ").as("clean_text"))
+        array_join(col("__clean"), " ").as("clean_text")): _*)
   }
 
   /** Shingle-containment scoring (RefinedWeb-style substring-dedup
@@ -931,10 +945,17 @@ object Dedup {
     */
   def bandProbeKeys(
       textCol: Column, n: Int, numHashes: Int, bands: Int, seed: Long): Column =
-    transform(
-      bandKeys(minhashSignatureFromTokens(TextAnalysis.tokens(textCol), n, numHashes, seed),
-        numHashes, bands),
-      (b, i) => xxhash64(i, b))
+    bandProbeKeysFromSig(
+      minhashSignatureFromTokens(TextAnalysis.tokens(textCol), n, numHashes, seed),
+      numHashes, bands)
+
+  /** [[bandProbeKeys]] over an already-computed signature column — the same
+    * (band index, bucket) → xxhash64 fold, exposed so a caller that has
+    * materialized per-doc signatures builds IDENTICAL probe keys without a
+    * second tokenize+minhash pass.
+    */
+  def bandProbeKeysFromSig(sig: Column, numHashes: Int, bands: Int): Column =
+    transform(bandKeys(sig, numHashes, bands), (b, i) => xxhash64(i, b))
 
   /** Incremental NEAR-duplicate ingestion gate: admit only the batch rows
     * that are neither near-duplicates of the accumulated corpus nor of an
@@ -979,8 +1000,16 @@ object Dedup {
     // under replay, and a batch containing its own near-dup family must
     // admit exactly one representative
     val batchKept = ngramJaccard(batch, idCol, textCol, n, threshold, numHashes, bands, seed)
+    // With no prebuilt sidecar, the corpus pass happens HERE — once. The
+    // materialized (id, grams, signature) frame feeds BOTH the bloom build
+    // and the reject join below; without it the corpus would be tokenized +
+    // minhashed twice (the dominant cost of the batch-job form).
+    val corpFeat = bandBloom.map(_ => (null: DataFrame)).getOrElse(
+      nearDupFeatures(corpus, idCol, textCol, n, numHashes, seed)
+        .transform(Checkpointing.materialize))
     val bloom = bandBloom.getOrElse {
-      corpus.select(explode(probeKeys).as("__k"))
+      corpFeat.select(explode(
+        bandProbeKeysFromSig(col("__sig"), numHashes, bands)).as("__k"))
         .agg(graft.functions.SketchFunctions.bloomFilterAgg(
           col("__k"), expectedCorpusBandKeys).as("bf"))
         .head().getAs[Array[Byte]]("bf")
@@ -995,9 +1024,14 @@ object Dedup {
     val candidates = flagged.filter(col("__cand"))
     val out =
       if (candidates.isEmpty) flagged
-      else flagged.join(
-        nearDupRejects(corpus, candidates, idCol, textCol, n, threshold, numHashes, bands, seed),
-        Seq(idCol), "left_anti")
+      else {
+        val feat = Option(corpFeat).getOrElse(
+          nearDupFeatures(corpus, idCol, textCol, n, numHashes, seed)
+            .transform(Checkpointing.materialize))
+        flagged.join(
+          nearDupRejectsFeat(feat, candidates, idCol, textCol, n, threshold, numHashes, bands, seed),
+          Seq(idCol), "left_anti")
+      }
     out.drop("__cand")
   }
 
@@ -1016,22 +1050,66 @@ object Dedup {
       threshold: Double,
       numHashes: Int,
       bands: Int,
+      seed: Long): DataFrame =
+    nearDupRejectsFeat(
+      nearDupFeatures(corpus, idCol, textCol, n, numHashes, seed)
+        .transform(Checkpointing.materialize),
+      candidates, idCol, textCol, n, threshold, numHashes, bands, seed)
+
+  /** One corpus feature pass for the near-dup gate: (renamed id, distinct
+    * gram hashes, minhash signature) per corpus row. Callers materialize the
+    * result ONCE and feed it to both the sidecar/bloom build and
+    * [[nearDupRejectsFeat]].
+    */
+  private[graft] def nearDupFeatures(
+      corpus: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, seed: Long): DataFrame =
+    corpus.select(
+      col(idCol).as("__cb"),
+      array_distinct(graft.functions.HashExpressions
+        .ngramHashes(TextAnalysis.tokens(col(textCol)), n)).as("__g_b"),
+      minhashSignatureFromTokens(TextAnalysis.tokens(col(textCol)), n, numHashes, seed)
+        .as("__sig"))
+
+  /** [[nearDupRejects]] over a prepared corpus feature frame. The band join
+    * carries IDS ONLY — the distinct-gram arrays would otherwise ride the
+    * 16-way band explode through the shuffle (bands × |corpus| array copies,
+    * the dominant wire cost of the old formulation); instead the verified
+    * candidate pairs (a tiny frame — collisions only) join BACK to the two
+    * gram tables and the exact Jaccard confirms on one array copy per side.
+    */
+  private[graft] def nearDupRejectsFeat(
+      corpFeat: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int,
       seed: Long): DataFrame = {
-    val grams = array_distinct(
-      graft.functions.HashExpressions.ngramHashes(TextAnalysis.tokens(col(textCol)), n))
-    val sig = minhashSignatureFromTokens(TextAnalysis.tokens(col(textCol)), n, numHashes, seed)
-    val candBanded = candidates
-      .select(col(idCol), grams.as("__g_a"),
-        posexplode(bandKeys(sig, numHashes, bands)))
+    val candFeat = candidates
+      .select(col(idCol).as("__ca"),
+        array_distinct(graft.functions.HashExpressions
+          .ngramHashes(TextAnalysis.tokens(col(textCol)), n)).as("__g_a"),
+        minhashSignatureFromTokens(TextAnalysis.tokens(col(textCol)), n, numHashes, seed)
+          .as("__sig_a"))
+      .transform(Checkpointing.materialize)
+    val candBanded = candFeat
+      .select(col("__ca"), posexplode(bandKeys(col("__sig_a"), numHashes, bands)))
       .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
-    val corpBanded = corpus
-      .select(grams.as("__g_b"), posexplode(bandKeys(sig, numHashes, bands)))
+    val corpBanded = corpFeat
+      .select(col("__cb"), posexplode(bandKeys(col("__sig"), numHashes, bands)))
       .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
+    val pairs = candBanded.join(corpBanded, Seq("__band", "__bucket"))
+      .select(col("__ca"), col("__cb")).distinct()
     val jac = size(array_intersect(col("__g_a"), col("__g_b"))).cast("double") /
       size(array_union(col("__g_a"), col("__g_b")))
-    candBanded.join(corpBanded, Seq("__band", "__bucket"))
+    pairs
+      .join(candFeat.select(col("__ca"), col("__g_a")), Seq("__ca"))
+      .join(corpFeat.select(col("__cb"), col("__g_b")), Seq("__cb"))
       .filter(jac >= threshold)
-      .select(col(idCol)).distinct()
+      .select(col("__ca").as(idCol)).distinct()
   }
 
   /** The exact-confirmation digest over the content columns (the same

@@ -189,9 +189,9 @@ class PlanGuardSpec extends SparkTestBase {
     "retention_cohorts" -> (2, "user-key exchange + cohort-grid agg"),
     // multi-stage pipelines: each number is the audited stage count
     "segment_dedup" -> (3, "segment-key agg (2-phase) + doc-id regroup"),
-    "duplicate_spans" -> (4, "spread ×2 (probe + aggregate branches re-scan the " +
-      "corpus) + fingerprint agg; dup set broadcasts into the semi-join; " +
-      "doc-keyed coverage window"),
+    "duplicate_spans" -> (3, "spread probe + ONE fingerprint-keyed exchange " +
+      "(count-over-window doubles as the dup census — no groupBy, no " +
+      "semi-join, no second window explode) + doc-keyed coverage window"),
     "embed_dedup" -> (4, "LSH bucket join + component resolution + survivor semi-join"),
     "tfidf_top_terms" -> (5, "term df agg, doc tf agg, join, per-doc top-k window"),
     "curation_pipeline_v2" -> (7, "LM bigram counts ×2 + joins + segment dedup + packing"),
@@ -230,11 +230,12 @@ class PlanGuardSpec extends SparkTestBase {
     "doc_triangles" -> (7, "per-doc + both-endpoint degree census (2) + " +
       "orientation joins (2) + wedge self-join + closure join + final " +
       "left-join resolution; edge list and oriented list checkpoint once"),
-    "remove_duplicate_spans" -> (5, "fingerprint census + keep-first window + " +
-      "per-doc excised-interval agg + the rebuild join's two key exchanges; " +
-      "the window relation is recomputed for the probe, never materialized"),
-    "curation_pipeline_v3" -> (8, "v2's model gates (classifier + LM counts) + " +
-      "span excision's census/keep-first/interval aggs + packing, ONE lazy plan"),
+    "remove_duplicate_spans" -> (3, "ONE fingerprint-keyed keep-first window " +
+      "(row_number>1 doubles as the dup census — no groupBy, no semi-join) + " +
+      "per-doc excised-interval agg + the rebuild join's toks-side exchange"),
+    "curation_pipeline_v3" -> (7, "v2's model gates (classifier + LM counts) + " +
+      "span excision's keep-first window/interval aggs (census fused into the " +
+      "window) + packing, ONE lazy plan; lang rides carryCols — no re-join"),
     "incremental_minhash_dedup" -> (11, "within-batch LSH dedup + banded corpus " +
       "confirm + the invariants' independent exact recomputations (digest " +
       "joins + full gram-hash inverted index)"),
