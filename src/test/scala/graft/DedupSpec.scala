@@ -368,6 +368,25 @@ class DedupSpec extends SparkTestBase {
     assert(out(5L) == ((2L, 0L, "t1 t2")), "sub-k doc has no windows to excise")
   }
 
+  test("removeDuplicateSpans carries extra columns through the rebuild") {
+    // carryCols ride the toks side so composed pipelines don't re-join (and
+    // re-execute) their gated upstream; excision results must be unchanged
+    val frame = Seq(
+      (1L, "a b c d p q r", "en"),
+      (2L, "m n a b c d", "de"),
+      (5L, "t1 t2", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.removeDuplicateSpans(frame, "doc_id", "text", k = 3,
+      carryCols = Seq("lang"))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "lang", "n_tokens", "removed_tokens", "clean_text"))
+    val m = out.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getLong(3), r.getString(4)))).toMap
+    assert(m(1L) == (("en", 0L, "a b c d p q r")))
+    assert(m(2L) == (("de", 4L, "m n")), "excision identical with carried cols")
+    assert(m(5L) == (("fr", 0L, "t1 t2")))
+  }
+
   test("minhash signatures are deterministic across evaluations") {
     val sig = Dedup.minhashSignature(graft.operators.TextAnalysis.wordShingles(col("text"), 3), 16)
     val a = docs.select(sig).collect().map(_.getSeq[Long](0))
