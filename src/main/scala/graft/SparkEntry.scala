@@ -503,6 +503,25 @@ object SparkEntry {
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("cnt"), col("sum_value"))),
 
+    "asof_join_native" -> ((s, dir) => {
+      // the SAME as-of lookup as asof_join, through the whole-operator
+      // native path: AsOfJoinPlan -> AsOfJoinStrategy -> AsOfJoinExec
+      // (custom-operator ladder tier (c), SparkSessionExtensions-injected);
+      // co-partitioned streaming merge, O(1) state — and the same DuckDB
+      // ASOF JOIN oracle as the composed form, so both paths are pinned
+      // row-identical by the driver gate
+      val ev = Sources.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts"),
+        col("event_id").as("purchase_event_id"), col("value").as("purchase_value"))
+      operators.Joins.asOfJoinNative(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("purchase_event_id", "purchase_value"),
+        rightTieBreak = "purchase_event_id")
+        .select("event_id", "user_id", "purchase_event_id", "purchase_value")
+    }),
+
     "asof_join" -> ((s, dir) => {
       // every event joined to the user's most recent purchase at-or-before it
       val ev = Sources.events(s, dir)
@@ -2086,6 +2105,15 @@ object SparkEntry {
         | event_type, count(*) AS cnt,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "asof_join_native" ->
+      """SELECT e.event_id, e.user_id, p.purchase_event_id, p.purchase_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts2 FROM events) e
+        |ASOF JOIN (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2,
+        |         event_id AS purchase_event_id, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts2 >= p.ts2""".stripMargin,
 
     "asof_join" ->
       """SELECT e.event_id, e.user_id, p.purchase_event_id, p.purchase_value

@@ -124,6 +124,54 @@ object Joins {
       .select(leftCols.map(col) ++ rightPayload.map(p => col(s"__filled.$p")): _*)
   }
 
+  /** [[asOfJoin]] through the NATIVE whole-operator path
+    * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]], the
+    * custom-operator ladder's tier (c)): same semantics and the same
+    * deterministic tiebreak pre-dedup, but planned as a co-partitioned
+    * streaming merge — two key exchanges (elidable when the inputs are
+    * bucketed), in-partition sorts, O(1) merge state — instead of the
+    * union-and-forward-fill window. AsOfNativeSpec pins result equality
+    * against [[asOfJoin]] across partitionings.
+    *
+    * Requires the session to carry [[graft.plans.GraftExtensions]] (the
+    * strategy is planner-injected; [[graft.GraftSession]] sessions do).
+    */
+  def asOfJoinNative(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      rightTieBreak: String): DataFrame = {
+    require(rightPayload.nonEmpty, "asOfJoinNative needs at least one payload column")
+    val clash = rightPayload.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"payload column(s) ${clash.mkString(", ")} collide with left columns")
+    // (key, ts)-unique right side: the merge's "last consumed right row"
+    // rule is only deterministic when same-instant rows are pre-collapsed
+    val rightDedup = Ops.dedupKeepFirst(
+      graft.types.DedupSpec(keys :+ rightTs, Seq(rightTieBreak)))(right)
+    // fresh exprIds on the right via aliases, so a self-as-of (left and
+    // right scanning the same source) cannot produce ambiguous attributes
+    val rCols = (keys :+ rightTs) ++ rightPayload
+    val rPrepped = rightDedup.select(rCols.distinct.map(c => col(c).as("__r_" + c)): _*)
+    val spark = left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rPrepped.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val node = graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, "__r_" + k)),
+      attr(lPlan, leftTs), attr(rPlan, "__r_" + rightTs),
+      rightPayload.map(p => attr(rPlan, "__r_" + p)))
+    org.apache.spark.sql.GraftPlanBridge.ofRows(spark, node)
+      .select(left.columns.map(col) ++
+        rightPayload.map(p => col("__r_" + p).as(p)): _*)
+  }
+
   /** Pairs (left, right) with equal keys and `rightTs` in
     * `[leftTs + lowerMicros, leftTs + upperMicros)`. Bucket width is the
     * interval span, so each left row lands in at most two buckets and every

@@ -226,6 +226,7 @@ object GraftExtensions {
   def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PushTsRangeToNanos)
     ext.injectOptimizerRule(_ => PushNtzTsFilters)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     functions.foreach(ext.injectFunction)
   }
 

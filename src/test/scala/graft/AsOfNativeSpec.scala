@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.Joins
+import graft.sources.Sources
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The native as-of join ([[graft.plans.AsOfJoinExec]]) — tier (c) of the
+  * custom-operator ladder. The ground truth is the composed
+  * union-and-forward-fill form ([[Joins.asOfJoin]]), itself oracle-exact
+  * against DuckDB's ASOF JOIN in the driver gate; the native operator must
+  * be row-identical to it under every partitioning.
+  */
+class AsOfNativeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  private lazy val events = Sources.events(spark, sfDir)
+  private lazy val purchases = events
+    .filter(col("event_type") === "purchase")
+    .select(col("user_id"), col("ts"),
+      col("event_id").as("purchase_event_id"), col("value").as("purchase_value"))
+
+  private def composed(l: DataFrame, r: DataFrame): DataFrame =
+    Joins.asOfJoin(l, r, Seq("user_id"), "ts", "ts",
+      Seq("purchase_event_id", "purchase_value"), "purchase_event_id")
+  private def native(l: DataFrame, r: DataFrame): DataFrame =
+    Joins.asOfJoinNative(l, r, Seq("user_id"), "ts", "ts",
+      Seq("purchase_event_id", "purchase_value"), "purchase_event_id")
+
+  test("native as-of equals the composed form on the events fixture (self as-of)") {
+    val l = events.select("event_id", "user_id", "ts")
+    val a = canon(composed(l, purchases))
+    val b = canon(native(l, purchases))
+    assert(a.nonEmpty, "fixture must produce matches")
+    assert(a == b)
+  }
+
+  test("native as-of is partitioning-independent") {
+    val l = events.select("event_id", "user_id", "ts")
+    val base = canon(native(l, purchases))
+    for (n <- Seq(1, 3, 32)) {
+      val got = canon(native(l.repartition(n), purchases.repartition(n + 1)))
+      assert(got == base, s"diverged at repartition($n)")
+    }
+  }
+
+  test("same-instant right rows match (<= semantics) and ties pre-collapse by tiebreak") {
+    val l = Seq((1L, 10L, 100L), (1L, 50L, 50L)).toDF("k", "lid", "ts")
+      .select(col("k"), col("lid"), timestamp_micros(col("ts")).as("ts"))
+    // two right rows at the SAME (key, ts): keep-first by tiebreak wins
+    val r = Seq((1L, 100L, "late"), (1L, 100L, "early"), (1L, 40L, "old"))
+      .toDF("k", "ts", "tag")
+      .select(col("k"), timestamp_micros(col("ts")).as("ts"), col("tag"))
+    val out = Joins.asOfJoinNative(l, r, Seq("k"), "ts", "ts", Seq("tag"), "tag")
+      .select("lid", "tag").as[(Long, String)].collect().toMap
+    assert(out(10L) == "early", "same-instant matches; tiebreak keeps first")
+    assert(out(50L) == "old", "only at-or-before rows match")
+    assert(out.size == 2)
+  }
+
+  test("left rows with no prior right row drop (inner as-of); empty right yields empty") {
+    val l = Seq((1L, 1L, 5L), (2L, 2L, 5L)).toDF("k", "lid", "ts")
+      .select(col("k"), col("lid"), timestamp_micros(col("ts")).as("ts"))
+    val r = Seq((1L, 3L, "x")).toDF("k", "ts", "tag")
+      .select(col("k"), timestamp_micros(col("ts")).as("ts"), col("tag"))
+    val out = Joins.asOfJoinNative(l, r, Seq("k"), "ts", "ts", Seq("tag"), "tag")
+    assert(out.select("lid").as[Long].collect().toSeq == Seq(1L))
+    val empty = Joins.asOfJoinNative(l, r.filter(lit(false)), Seq("k"), "ts", "ts",
+      Seq("tag"), "tag")
+    assert(empty.isEmpty)
+  }
+
+  test("plans as AsOfJoinExec: co-partitioned key exchanges + in-partition sorts") {
+    val l = events.select("event_id", "user_id", "ts")
+    // AQE off: node/exchange pins need the planning-time plan, not an
+    // AdaptiveSparkPlan wrapper (same convention as PlanGuardSpec)
+    val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try native(l, purchases).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+    val nodes = plan.collect { case e: graft.plans.AsOfJoinExec => e }
+    assert(nodes.size == 1, s"native node missing:\n$plan")
+    // both children of the merge must be sorted in-partition (never global)
+    nodes.head.children.foreach { c =>
+      val sorts = c.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.nonEmpty, s"child of AsOfJoinExec not sorted:\n$c")
+      assert(!sorts.head.global, "child sort must be in-partition")
+    }
+    // 3 exchanges total: the two key exchanges feeding the merge + the
+    // (key, ts) exchange inside the deterministic tiebreak pre-dedup
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 3, s"expected 3 exchanges, got ${exchanges.size}:\n$plan")
+  }
+
+  test("native as-of survives AQE re-planning with identical results") {
+    val l = events.select("event_id", "user_id", "ts")
+    val base = canon(native(l, purchases))
+    withAqe { assert(canon(native(l, purchases)) == base) }
+  }
+
+  private def withAqe[A](f: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val old = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try f finally spark.conf.set(key, old)
+  }
+}

@@ -185,6 +185,9 @@ class PlanGuardSpec extends SparkTestBase {
     "quantile_gate" -> (1, "one partitioned-window exchange on the group key"),
     "uniform_stratum_sample" -> (1, "one partitioned-window exchange on the stratum key"),
     // analytics: one user-keyed exchange feeds all window passes + final agg
+    "asof_join_native" -> (3, "the two co-partitioned key exchanges feeding " +
+      "AsOfJoinExec's streaming merge + the (key, ts) exchange inside the " +
+      "tiebreak pre-dedup"),
     "funnel_conversion" -> (2, "user-key exchange reused by 3 windows; tiny final agg"),
     "retention_cohorts" -> (2, "user-key exchange + cohort-grid agg"),
     // multi-stage pipelines: each number is the audited stage count
