@@ -98,6 +98,23 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(exchanges.size == 3, s"expected 3 exchanges, got ${exchanges.size}:\n$plan")
   }
 
+  test("one hot key (every row the same key) stays O(1) state and matches composed") {
+    // the skew case a buffering join degrades on: 10k left rows and 2k
+    // right rows all sharing ONE key land in one partition; the merge must
+    // stream it with a single buffered right row, and the result must still
+    // equal the composed form
+    val l = spark.range(10000).select(
+      lit(7L).as("k"), col("id").as("lid"),
+      timestamp_micros(col("id") * 10L).as("ts"))
+    val r = spark.range(2000).select(
+      lit(7L).as("k"), timestamp_micros(col("id") * 50L).as("ts"),
+      col("id").as("rid"))
+    val a = canon(Joins.asOfJoin(l, r, Seq("k"), "ts", "ts", Seq("rid"), "rid"))
+    val b = canon(Joins.asOfJoinNative(l, r, Seq("k"), "ts", "ts", Seq("rid"), "rid"))
+    assert(a == b)
+    assert(b.size == 10000, "right ts=0 exists, so every left row matches")
+  }
+
   test("native as-of survives AQE re-planning with identical results") {
     val l = events.select("event_id", "user_id", "ts")
     val base = canon(native(l, purchases))
