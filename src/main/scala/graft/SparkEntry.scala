@@ -536,6 +536,22 @@ object SparkEntry {
         .select("event_id", "user_id", "purchase_event_id", "purchase_value")
     }),
 
+    "asof_join_forward_native" -> ((s, dir) => {
+      // the forward (next-event) lookup through the native merge: ts sorted
+      // DESCENDING within the key, consume comparison mirrored — same
+      // DuckDB ASOF >= oracle as the composed asof_join_forward
+      val ev = Sources.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts"),
+        col("event_id").as("next_purchase_id"), col("value").as("next_purchase_value"))
+      operators.Joins.asOfJoinForwardNative(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("next_purchase_id", "next_purchase_value"),
+        rightTieBreak = "next_purchase_id")
+        .select("event_id", "user_id", "next_purchase_id", "next_purchase_value")
+    }),
+
     "asof_join_forward" -> ((s, dir) => {
       // every event joined to the user's NEXT purchase at-or-after it
       val ev = Sources.events(s, dir)
@@ -2123,6 +2139,15 @@ object SparkEntry {
         |         event_id AS purchase_event_id, value AS purchase_value
         |  FROM events WHERE event_type = 'purchase') p
         |ON e.user_id = p.user_id AND e.ts2 >= p.ts2""".stripMargin,
+
+    "asof_join_forward_native" ->
+      """SELECT e.event_id, e.user_id, p.next_purchase_id, p.next_purchase_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts2 FROM events) e
+        |ASOF JOIN (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2,
+        |         event_id AS next_purchase_id, value AS next_purchase_value
+        |  FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts2 <= p.ts2""".stripMargin,
 
     "asof_join_forward" ->
       """SELECT e.event_id, e.user_id, p.next_purchase_id, p.next_purchase_value

@@ -143,7 +143,34 @@ object Joins {
       leftTs: String,
       rightTs: String,
       rightPayload: Seq[String],
-      rightTieBreak: String): DataFrame = {
+      rightTieBreak: String): DataFrame =
+    asOfNativeImpl(left, right, keys, leftTs, rightTs, rightPayload,
+      rightTieBreak, forward = false)
+
+  /** [[asOfJoinForward]] through the native path — the same mirrored merge
+    * ([[graft.plans.AsOfJoinExec]] with ts sorted descending), pinned
+    * row-identical to the composed form by AsOfNativeSpec.
+    */
+  def asOfJoinForwardNative(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      rightTieBreak: String): DataFrame =
+    asOfNativeImpl(left, right, keys, leftTs, rightTs, rightPayload,
+      rightTieBreak, forward = true)
+
+  private def asOfNativeImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      rightTieBreak: String,
+      forward: Boolean): DataFrame = {
     require(rightPayload.nonEmpty, "asOfJoinNative needs at least one payload column")
     val clash = rightPayload.filter(left.columns.contains)
     require(clash.isEmpty,
@@ -166,7 +193,7 @@ object Joins {
       lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, "__r_" + k)),
       attr(lPlan, leftTs), attr(rPlan, "__r_" + rightTs),
-      rightPayload.map(p => attr(rPlan, "__r_" + p)))
+      rightPayload.map(p => attr(rPlan, "__r_" + p)), forward)
     org.apache.spark.sql.GraftPlanBridge.ofRows(spark, node)
       .select(left.columns.map(col) ++
         rightPayload.map(p => col("__r_" + p).as(p)): _*)

@@ -49,7 +49,8 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
-    payload: Seq[Attribute]) extends BinaryNode {
+    payload: Seq[Attribute],
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ payload
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -61,8 +62,8 @@ case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, payload) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, payload) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, payload, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, payload, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -79,7 +80,8 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
-    payload: Seq[Attribute]) extends BinaryExecNode {
+    payload: Seq[Attribute],
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payload
 
@@ -87,14 +89,24 @@ case class AsOfJoinExec(
     ClusteredDistribution(leftKeys, requireAllClusterKeys = true, None) ::
       ClusteredDistribution(rightKeys, requireAllClusterKeys = true, None) :: Nil
 
+  // FORWARD mode ("next event at-or-after") is the time-mirrored merge:
+  // sort ts DESCENDING within the key and flip the consume comparison —
+  // the last right row consumed before crossing the left ts is then the
+  // EARLIEST at-or-after match, symmetric to backward's latest at-or-before.
+  private def tsDirection: org.apache.spark.sql.catalyst.expressions.SortDirection =
+    if (forward) org.apache.spark.sql.catalyst.expressions.Descending
+    else org.apache.spark.sql.catalyst.expressions.Ascending
+
+  private def ordering(keys: Seq[Expression], ts: Expression): Seq[SortOrder] =
+    keys.map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)) :+
+      SortOrder(ts, tsDirection)
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftKeys :+ leftTs).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)),
-    (rightKeys :+ rightTs).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
+    ordering(leftKeys, leftTs), ordering(rightKeys, rightTs))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
-  override def outputOrdering: Seq[SortOrder] =
-    (leftKeys :+ leftTs).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending))
+  override def outputOrdering: Seq[SortOrder] = ordering(leftKeys, leftTs)
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
@@ -141,9 +153,12 @@ case class AsOfJoinExec(
         val lTs = lTsProj(lRow)
         // consume right rows that are (a) before this left key — they can
         // never match a later left row either (left keys ascend) — or
-        // (b) same key, ts at-or-before: each overwrites the buffered match
+        // (b) same key, ts at-or-before (backward) / at-or-after (forward,
+        // where ts is sorted descending): each overwrites the buffered match
+        def tsConsumable: Boolean =
+          if (forward) tsOrd.compare(rTs, lTs) >= 0 else tsOrd.compare(rTs, lTs) <= 0
         var cmp = if (rValid) keyOrd.compare(rKey, lKey) else 1
-        while (rValid && (cmp < 0 || (cmp == 0 && tsOrd.compare(rTs, lTs) <= 0))) {
+        while (rValid && (cmp < 0 || (cmp == 0 && tsConsumable))) {
           if (cmp == 0) { lastKey = rKey; lastPayload = rPayload }
           fetchRight()
           cmp = if (rValid) keyOrd.compare(rKey, lKey) else 1

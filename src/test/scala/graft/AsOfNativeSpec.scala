@@ -98,6 +98,29 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(exchanges.size == 3, s"expected 3 exchanges, got ${exchanges.size}:\n$plan")
   }
 
+  test("forward native equals the composed forward form (next-event lookup)") {
+    val l = events.select("event_id", "user_id", "ts")
+    val a = canon(Joins.asOfJoinForward(l, purchases, Seq("user_id"), "ts", "ts",
+      Seq("purchase_event_id", "purchase_value"), "purchase_event_id"))
+    val b = canon(Joins.asOfJoinForwardNative(l, purchases, Seq("user_id"), "ts", "ts",
+      Seq("purchase_event_id", "purchase_value"), "purchase_event_id"))
+    assert(a.nonEmpty)
+    assert(a == b)
+  }
+
+  test("forward native: same-instant matches, only at-or-after rows, earliest wins") {
+    val l = Seq((1L, 10L, 100L), (1L, 50L, 150L)).toDF("k", "lid", "ts")
+      .select(col("k"), col("lid"), timestamp_micros(col("ts")).as("ts"))
+    val r = Seq((1L, 100L, "now"), (1L, 120L, "soon"), (1L, 400L, "far"))
+      .toDF("k", "ts", "tag")
+      .select(col("k"), timestamp_micros(col("ts")).as("ts"), col("tag"))
+    val out = Joins.asOfJoinForwardNative(l, r, Seq("k"), "ts", "ts", Seq("tag"), "tag")
+      .select("lid", "tag").as[(Long, String)].collect().toMap
+    assert(out(10L) == "now", "same-instant right row matches (>= semantics)")
+    assert(out(50L) == "far", "earliest at-or-after wins, not the latest")
+    assert(out.size == 2)
+  }
+
   test("one hot key (every row the same key) stays O(1) state and matches composed") {
     // the skew case a buffering join degrades on: 10k left rows and 2k
     // right rows all sharing ONE key land in one partition; the merge must

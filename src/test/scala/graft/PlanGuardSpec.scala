@@ -188,6 +188,8 @@ class PlanGuardSpec extends SparkTestBase {
     "asof_join_native" -> (3, "the two co-partitioned key exchanges feeding " +
       "AsOfJoinExec's streaming merge + the (key, ts) exchange inside the " +
       "tiebreak pre-dedup"),
+    "asof_join_forward_native" -> (3, "same shape as asof_join_native with " +
+      "ts sorted descending (the mirrored forward merge)"),
     "funnel_conversion" -> (2, "user-key exchange reused by 3 windows; tiny final agg"),
     "retention_cohorts" -> (2, "user-key exchange + cohort-grid agg"),
     // multi-stage pipelines: each number is the audited stage count
