@@ -138,6 +138,34 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(b.size == 10000, "right ts=0 exists, so every left row matches")
   }
 
+  test("key-bucketed inputs as-of join with ZERO exchanges (the pre-paid shuffle)") {
+    // the scaladoc's cluster claim, proven: both sides bucketed on the key
+    // satisfy the merge's ClusteredDistribution AND the tiebreak pre-dedup's
+    // (key, ts) clustering (key ⊆ clustering keys), so the whole native
+    // as-of plans without a single shuffle — the bucketed-fact-table idiom
+    val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val l = events.select("event_id", "user_id", "ts")
+      graft.sinks.Sinks.writeBucketed(l, "graft_asof_l_b", Seq("user_id"), 8)
+      graft.sinks.Sinks.writeBucketed(purchases, "graft_asof_r_b", Seq("user_id"), 8)
+      val out = Joins.asOfJoinNative(
+        spark.table("graft_asof_l_b"), spark.table("graft_asof_r_b"),
+        Seq("user_id"), "ts", "ts",
+        Seq("purchase_event_id", "purchase_value"), "purchase_event_id")
+      val exchanges = out.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed as-of must not shuffle:\n${out.queryExecution.executedPlan}")
+      assert(canon(out) == canon(composed(l, purchases)))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", saved)
+      spark.sql("DROP TABLE IF EXISTS graft_asof_l_b")
+      spark.sql("DROP TABLE IF EXISTS graft_asof_r_b")
+    }
+  }
+
   test("native as-of survives AQE re-planning with identical results") {
     val l = events.select("event_id", "user_id", "ts")
     val base = canon(native(l, purchases))
