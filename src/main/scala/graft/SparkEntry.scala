@@ -206,6 +206,35 @@ object SparkEntry {
        |       FROM w2 FULL OUTER JOIN g3 ON w2.b = g3.b)""".stripMargin
 
   /** The oracle side of [[dedupInvariants]]: expected values as literals. */
+  /** Shared CTE chain replaying [[operators.Multimodal.dHash64]] closed-form
+    * from the media adapter's pixel function: `m` = image dims, `g` = the
+    * 9×8 nearest-neighbor grayscale grid (gray = r+g+b of the sampled source
+    * pixel), `b` = gradient-sign bits, `hs` = the hash as its 8 row-bytes
+    * b0..b7 (never leaves 8-bit integers, so no BIGINT shift overflow).
+    */
+  private val dHashOracleCtes: String = {
+    val bandCols = (0 until 8).map(k =>
+      s"    CAST(COALESCE(SUM(CASE WHEN y = $k THEN bit << x END), 0) AS BIGINT) AS b$k")
+      .mkString(",\n")
+    s"""m AS (
+       |  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |g AS (
+       |  SELECT doc_id, x.x AS x, y.y AS y,
+       |    list_sum(list_transform(range(0, 3), ch ->
+       |      (doc_id*31 + (((y.y*h//8)*w + (x.x*w//9))*3 + ch)*17) % 256)) AS gray
+       |  FROM m, range(0, 9) x(x), range(0, 8) y(y)),
+       |b AS (
+       |  SELECT l.doc_id, l.x AS x, l.y AS y,
+       |    CASE WHEN r.gray > l.gray THEN 1 ELSE 0 END AS bit
+       |  FROM g l JOIN g r ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+       |  WHERE l.x < 8),
+       |hs AS (
+       |  SELECT doc_id AS media_id,
+       |$bandCols
+       |  FROM b GROUP BY doc_id)""".stripMargin
+  }
+
   private val dedupInvariantsOracle: String =
     """SELECT 'total_input' AS chk, CAST(count(*) AS BIGINT) AS n FROM documents
       |UNION ALL SELECT 'kept_in_range', 1
@@ -1022,6 +1051,33 @@ object SparkEntry {
           col("frame_idx").cast("long").as("frame_idx"),
           col("src_frame").cast("long").as("src_frame"),
           col("mean_r"), col("mean_g"), col("mean_b"))),
+
+    "image_dhash" -> ((s, dir) => {
+      // REAL perceptual hashing out of the image containers: decode BMP/PPM
+      // → 9×8 nearest-neighbor downsample → gradient-sign dHash. Emitted as
+      // the 8 per-row bytes of the 64-bit hash so the oracle (which replays
+      // resample + grayscale + gradient closed-form) never leaves 8-bit ints
+      val h = Multimodal.imageDHash(Multimodal.mediaFromDocuments(s, dir))
+      h.select(col("media_id") +: (0 until 8).map(b =>
+        shiftright(col("dhash"), b * 8).bitwiseAND(lit(255L)).as(s"b$b")): _*)
+    }),
+
+    "image_dedup" -> ((s, dir) => {
+      // image near-dup removal, end to end: real-decode dHash fingerprints,
+      // then EXACT hamming-ball dedup (8-band pigeonhole LSH — zero false
+      // negatives for radius 2, see Dedup.hammingDedup). Guaranteed
+      // positives: each image is unioned with a 1-bit-perturbed variant
+      // (id + 10^9, bit id%64 flipped — a rough stand-in for the re-encoded/
+      // slightly-cropped copies a crawl produces), every variant must
+      // cluster with its original and the original (smaller id) must win
+      val h = Multimodal.imageDHash(Multimodal.mediaFromDocuments(s, dir))
+      val variants = h.select(
+        (col("media_id") + lit(1000000000L)).as("media_id"),
+        expr("dhash ^ shiftleft(CAST(1 AS BIGINT), CAST(media_id % 64 AS INT))").as("dhash"))
+      Dedup.hammingDedup(h.unionByName(variants), "media_id", "dhash",
+        maxHamming = 2, bands = 8)
+        .select(col("media_id"))
+    }),
 
     // ---- statistics / scale-shaped additions --------------------------
     "stats_moments" -> ((s, dir) => {
@@ -2806,6 +2862,36 @@ object SparkEntry {
         | CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*31 + ((j.j*n)//3)*101 + (p*3+1)*17) % 256)) AS DOUBLE)/(w*h) AS mean_g,
         | CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*31 + ((j.j*n)//3)*101 + (p*3+2)*17) % 256)) AS DOUBLE)/(w*h) AS mean_b
         |FROM v, (VALUES (0), (1), (2)) j(j)""".stripMargin,
+
+    // replays decode → 9×8 NN resample → grayscale → gradient-sign bits
+    // arithmetically, so the whole perceptual-hash path is hash-checked
+    "image_dhash" ->
+      s"""WITH $dHashOracleCtes
+         |SELECT media_id, b0, b1, b2, b3, b4, b5, b6, b7 FROM hs""".stripMargin,
+
+    // replays the full near-dup pass: hashes, the 1-bit-perturbed variants,
+    // the hamming<=2 pair set (all-pairs here — sound because the Spark
+    // side's pigeonhole banding provably generates a superset of these
+    // candidates), and the drop-larger-id keep rule
+    "image_dedup" -> {
+      val flipped = (0 until 8).map(k =>
+        s"    CASE WHEN (media_id % 64) // 8 = $k THEN xor(b$k, 1 << (media_id % 8)) ELSE b$k END AS b$k")
+        .mkString(",\n")
+      val hamming = (0 until 8).map(k => s"bit_count(xor(aa.b$k, bb.b$k))").mkString(" + ")
+      s"""WITH $dHashOracleCtes,
+         |allh AS (
+         |  SELECT media_id, b0, b1, b2, b3, b4, b5, b6, b7 FROM hs
+         |  UNION ALL
+         |  SELECT media_id + 1000000000 AS media_id,
+         |$flipped
+         |  FROM hs),
+         |drops AS (
+         |  SELECT DISTINCT bb.media_id AS media_id
+         |  FROM allh aa JOIN allh bb ON aa.media_id < bb.media_id
+         |  WHERE $hamming <= 2)
+         |SELECT media_id FROM allh
+         |WHERE media_id NOT IN (SELECT media_id FROM drops)""".stripMargin
+    },
 
     // the LSH family runs xxhash64 kernels DuckDB doesn't ship; their
     // queries emit provable invariants of a correct run (see

@@ -168,6 +168,56 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** EXACT hamming-ball near-dup removal over any 64-bit fingerprint column
+    * (SimHash, image dHash, audio chromaprint-style hashes…): band the
+    * fingerprint into `bands` equal slices, equi-join candidates sharing a
+    * slice, verify by exact `bit_count(a XOR b)`, drop the larger id of any
+    * verified pair.
+    *
+    * The banding is not approximate here: with `maxHamming < bands`, a pair
+    * within the ball differs in at most `maxHamming` slices, so it SHARES at
+    * least `bands - maxHamming ≥ 1` — every qualifying pair is generated
+    * (pigeonhole; the same argument [[simhash]] instantiates at 4×16 bits).
+    * The join is therefore a pure cost optimization over the all-pairs
+    * quadratic: per-band buckets shuffle-partition the corpus, and only
+    * fingerprints agreeing on ≥1 slice ever meet.
+    *
+    * Scale shape: one explode (×`bands`), one equi-join on (band, slice),
+    * one distinct, one anti-join — no all-pairs anywhere. A flood of
+    * identical fingerprints degrades to a quadratic *bucket*, so callers
+    * dealing with exact-dup-heavy corpora should pre-collapse identical
+    * fingerprints first (cheap: groupBy(fp) → min(id)); near-dup fingerprint
+    * floods are bounded by the verify's bucket join as in [[simhash]].
+    */
+  def hammingDedup(
+      df: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 8): DataFrame = {
+    require(bands >= 2 && bands <= 64 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands)")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"exactness needs maxHamming < bands (got $maxHamming vs $bands): " +
+        "a pair differing in >= bands slices can share none")
+    val width = 64 / bands
+    val mask = (1L << width) - 1L
+    val bandCols = (0 until bands).map(b =>
+      shiftright(col(fpCol), b * width).bitwiseAND(lit(mask)))
+    val banded = Ops.spread(df.select(col(idCol), col(fpCol)))
+      .select(col(idCol), col(fpCol), posexplode(array(bandCols: _*)))
+      .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
+    val l = banded.select(col("__band"), col("__bucket"),
+      col(idCol).as("__id_a"), col(fpCol).as("__fp_a"))
+    val r = banded.select(col("__band"), col("__bucket"),
+      col(idCol).as("__id_b"), col(fpCol).as("__fp_b"))
+    val drops = l.join(r, Seq("__band", "__bucket"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(bit_count(col("__fp_a").bitwiseXOR(col("__fp_b"))) <= maxHamming)
+      .select(col("__id_b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** n-gram Jaccard near-dup: MinHash-LSH candidate buckets, then exact
     * Jaccard over word n-gram sets (`array_intersect`/`array_union` — native,
     * codegen'd) as the verify step. Keeps the smaller id of a verified pair.

@@ -177,6 +177,61 @@ object Multimodal {
       }.toDF()
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual fingerprint for image near-dup detection at corpus scale
+    * (gradient-sign hash over a 9×8 downsample; robust to re-encode and
+    * uniform brightness shifts, cheap enough to run inside the scan stage).
+    *
+    * Construction (every step integer-exact so an oracle can replay it):
+    *   1. nearest-neighbor resample to 9×8 ([[MediaCodecs.resizeNearest]]
+    *      mapping: src row = r*h/8, src col = c*w/9, floor),
+    *   2. grayscale as the plain channel sum r+g+b (monotone in luminance;
+    *      no division, so gradient signs are exact),
+    *   3. bit (x,y) for x<8 set iff gray(x+1,y) > gray(x,y), packed at
+    *      position y*8+x — each output byte is one pixel row's gradient
+    *      signs, which keeps any replaying oracle inside 8-bit integers.
+    */
+  private[graft] def dHash64(img: MediaCodecs.DecodedImage): Long = {
+    val g = MediaCodecs.resizeNearest(img, 9, 8)
+    def gray(x: Int, y: Int): Int = {
+      val p = (y * 9 + x) * 3
+      (g.rgb(p) & 0xff) + (g.rgb(p + 1) & 0xff) + (g.rgb(p + 2) & 0xff)
+    }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(x + 1, y) > gray(x, y)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Per-image perceptual fingerprints: decode image payloads and emit
+    * `(media_id, dhash)`. Runs 1→{0,1} inside the scan stage (flatMap, no
+    * shuffle); non-image rows and malformed payloads contribute no rows —
+    * a 100 TB fingerprint pass must not die on one truncated file
+    * (`extractFeatures.decoded` is where those surface).
+    *
+    * Feed the result to [[Dedup.hammingDedup]] for exact hamming-ball
+    * near-dup removal.
+    */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "image")
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        if (payload == null || !MediaCodecs.looksLikeImage(payload)) Nil
+        else try {
+          (id, dHash64(MediaCodecs.decodeImage(payload))) :: Nil
+        } catch { case _: MediaDecodeException => Nil }
+      }.toDF("media_id", "dhash")
+  }
+
   // ------------------------------------------------------------------------
   // Test-data adapter: REAL container payloads, closed-form from doc_id.
   //
@@ -208,7 +263,7 @@ object Multimodal {
     MediaCodecs.encodeWav(rate, samples)
   }
 
-  private[operators] def synthImage(docId: Long): Array[Byte] = {
+  private[graft] def synthImage(docId: Long): Array[Byte] = {
     val w = (4 + docId % 13).toInt
     val h = (4 + docId % 7).toInt
     val rgb = new Array[Byte](w * h * 3)

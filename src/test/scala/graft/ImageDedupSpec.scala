@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, MediaCodecs, Multimodal}
+
+/** Perceptual image near-dup: dHash construction against an independent
+  * closed-form replay, the decode path end to end, and the EXACTNESS of the
+  * banded hamming dedup (pigeonhole: banded candidates ⊇ the hamming ball)
+  * against brute-force all-pairs.
+  */
+class ImageDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Independent dHash replay straight from the adapter's pixel closed form
+    * (no MediaCodecs involved): the same arithmetic the DuckDB oracle runs.
+    */
+  private def dHashClosedForm(docId: Long): Long = {
+    val w = (4 + docId % 13).toInt
+    val h = (4 + docId % 7).toInt
+    def gray(x: Int, y: Int): Long = {
+      val sr = y * h / 8
+      val sc = x * w / 9
+      (0 until 3).map(ch => (docId * 31L + ((sr * w + sc) * 3 + ch) * 17L) % 256L).sum
+    }
+    var hash = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (gray(x + 1, y) > gray(x, y)) hash |= 1L << (y * 8 + x)
+    hash
+  }
+
+  test("dHash64 of decoded synth images matches the pixel-closed-form replay") {
+    // image doc_ids cover both containers (BMP: doc_id/3 even, PPM: odd)
+    // and every (w, h) residue class
+    val ids = (0L until 300L by 3L)
+    ids.foreach { id =>
+      val img = MediaCodecs.decodeImage(Multimodal.synthImage(id))
+      assert(Multimodal.dHash64(img) == dHashClosedForm(id), s"doc_id=$id")
+    }
+  }
+
+  test("imageDHash runs the real decode path and skips non-images and junk") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir)
+    val got = Multimodal.imageDHash(media).as[(Long, Long)].collect().toMap
+    val imageIds = media.filter(col("modality") === "image")
+      .select("media_id").as[Long].collect().toSet
+    assert(got.keySet == imageIds) // audio/video rows contribute nothing
+    got.foreach { case (id, h) => assert(h == dHashClosedForm(id), s"doc_id=$id") }
+
+    // a malformed payload degrades to no row, never an exception
+    val broken = Seq((1L, "image", Array[Byte]('B', 'M', 1, 2))).toDF("media_id", "modality", "payload")
+    assert(Multimodal.imageDHash(broken).count() == 0)
+  }
+
+  test("hammingDedup drops exactly the in-ball larger ids (hand-built fingerprints)") {
+    // base, 2 bits flipped (in ball at maxHamming=2), 3 bits flipped (out),
+    // and an unrelated far fingerprint
+    val base = 0x0123456789abcdefL
+    val in2 = base ^ (1L << 5) ^ (1L << 60)
+    val out3 = base ^ (1L << 1) ^ (1L << 2) ^ (1L << 3)
+    val far = ~base
+    val df = Seq((1L, base), (2L, in2), (3L, out3), (4L, far)).toDF("id", "fp")
+    val kept = Dedup.hammingDedup(df, "id", "fp", maxHamming = 2, bands = 8)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L)) // only the 2-bit variant collapses into 1
+  }
+
+  test("hammingDedup equals brute-force all-pairs on a pseudo-random corpus") {
+    // LCG fingerprints with planted near-dups every 7th id: banding must
+    // produce EXACTLY the all-pairs hamming result (zero false negatives by
+    // pigeonhole, zero false positives by the exact verify)
+    val fps = (0L until 400L).map { i =>
+      val seed = i * 6364136223846793005L + 1442695040888963407L
+      val fp = if (i % 7 == 3) {
+        val prev = (i - 1) * 6364136223846793005L + 1442695040888963407L
+        prev ^ (1L << (i % 64).toInt) // 1-bit variant of the previous id
+      } else seed
+      (i, fp)
+    }
+    val maxD = 3
+    val expectedDrops = (for {
+      (a, fa) <- fps; (b, fb) <- fps
+      if a < b && java.lang.Long.bitCount(fa ^ fb) <= maxD
+    } yield b).toSet
+    val kept = Dedup.hammingDedup(fps.toDF("id", "fp"), "id", "fp",
+      maxHamming = maxD, bands = 8)
+      .select("id").as[Long].collect().toSet
+    assert(kept == fps.map(_._1).toSet -- expectedDrops)
+    assert(expectedDrops.nonEmpty) // the planted variants actually planted
+  }
+
+  test("hammingDedup rejects configurations that break the pigeonhole guarantee") {
+    val df = Seq((1L, 0L)).toDF("id", "fp")
+    intercept[IllegalArgumentException] {
+      Dedup.hammingDedup(df, "id", "fp", maxHamming = 8, bands = 8) // d >= bands
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.hammingDedup(df, "id", "fp", maxHamming = 2, bands = 7) // 7 ∤ 64
+    }
+  }
+}
