@@ -983,6 +983,35 @@ object SparkEntry {
       Similarity.ivfTopK(assignments, model, "vec_id", "embedding", q, k = 10, nprobe = 4)
     }),
 
+    "pq_ann_topk" -> ((s, dir) => {
+      // product quantization, the storage-side ANN endgame: 8 subspaces × 16
+      // centroids trained jointly (one aggregation per Lloyd iteration),
+      // corpus encoded to ONE long per vector (32× smaller than float32),
+      // query scored by ADC table lookups over the codes alone. Training,
+      // encoding and the lookup-sum are all fixed-point/sequential-order
+      // deterministic, so the oracle replays every step bitwise
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+      Similarity.pqTopK(codes, "vec_id", "pq_code", model, q, k = 10)
+    }),
+
+    "pq_ann_refined" -> ((s, dir) => {
+      // the deployed PQ shape: ADC shortlists 50 candidates from the codes
+      // alone, then ONLY those ids' float vectors are read back (broadcast
+      // semi-join = pruned scan at corpus scale) for an exact dot rerank —
+      // codes quantize away within-cell ordering, the refine restores it
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+      Similarity.pqTopKRefined(codes, emb, "vec_id", "pq_code", "embedding",
+        model, q, k = 10, shortlist = 50)
+    }),
+
     "kmeans_clusters" -> ((s, dir) =>
       // cluster-cohesion report over the distributed-Lloyd partitioning:
       // size + mean cosine-to-centroid per cluster, accumulated fixed-point
@@ -1945,6 +1974,84 @@ object SparkEntry {
        |      FROM $assigned a, range(1, 65) d(d)
        |      GROUP BY a.cidx, d.d) g
        |    GROUP BY cidx) m ON m.cidx = p.cidx)""".stripMargin
+
+  // ---- product-quantization mirror (Similarity.pqTrain/pqEncode/pqTopK) --
+  // Same Lloyd construction as the k-means mirror above, but per SUBSPACE:
+  // each of the 8 subspaces runs its own seed → assign → update ×2 → final
+  // assign over the 8-dim slices. The ADC lookup values and the final
+  // per-vector sum both accumulate sequentially (driver loop / left-assoc
+  // add chain on the Spark side; DuckDB's sequential list_sum here), so the
+  // scores compare bitwise.
+
+  private def sqlPqAssign(out: String, src: String, cents: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, sv, cidx FROM (
+       |    SELECT t.vec_id, t.sv, c.cidx,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${sqlCos("t.sv", "c.cv")} DESC, c.cidx) AS rn
+       |    FROM $src t, $cents c) x WHERE rn = 1)""".stripMargin
+
+  private def sqlPqUpdate(out: String, assigned: String, prev: String, subDim: Int): String =
+    s"""$out AS (
+       |  SELECT p.cidx, COALESCE(u.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT cidx, list(CAST(CAST(mval AS REAL) AS DOUBLE) ORDER BY d) AS cv FROM (
+       |      SELECT a.cidx, d.d AS d,
+       |        (CAST(sum(CAST(floor(CAST(a.sv[d.d] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE) / count(*)) / 1048576.0 AS mval
+       |      FROM $assigned a, range(1, ${subDim + 1}) d(d)
+       |      GROUP BY a.cidx, d.d) g
+       |    GROUP BY cidx) u ON u.cidx = p.cidx)""".stripMargin
+
+  /** The full PQ replay: per-subspace codebooks (2 Lloyd iterations from
+    * first-16-by-id slice seeding), final assignments `af{s}`, the ADC
+    * lookup table `lut(s, cid, v)` against vec 0's query slices, and the
+    * top-10 by sequential lookup-sum.
+    */
+  private def sqlPqOracle(refine: Boolean = false, m: Int = 8, subDim: Int = 8, k: Int = 16): String = {
+    val perSub = (0 until m).map { s =>
+      val lo = s * subDim + 1; val hi = (s + 1) * subDim
+      s"""sv$s AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
+         |init$s AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+         |         list_transform(sv, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM sv$s ORDER BY vec_id LIMIT $k),
+         |${sqlPqAssign(s"a1_$s", s"sv$s", s"init$s")},
+         |${sqlPqUpdate(s"c1_$s", s"a1_$s", s"init$s", subDim)},
+         |${sqlPqAssign(s"a2_$s", s"sv$s", s"c1_$s")},
+         |${sqlPqUpdate(s"c2_$s", s"a2_$s", s"c1_$s", subDim)},
+         |${sqlPqAssign(s"af$s", s"sv$s", s"c2_$s")}""".stripMargin
+    }.mkString(",\n")
+    val lut = (0 until m).map { s =>
+      val lo = s * subDim + 1; val hi = (s + 1) * subDim
+      s"""  SELECT $s AS s, c.cidx AS cid, ${sqlDot(s"(q.qv[$lo:$hi])", "c.cv")} AS v
+         |  FROM c2_$s c, q""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val assigns = (0 until m).map(s =>
+      s"  SELECT vec_id, $s AS s, cidx FROM af$s").mkString("\n  UNION ALL\n")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |$perSub,
+       |lut AS (
+       |$lut),
+       |assigns AS (
+       |$assigns),
+       |scored AS (
+       |  SELECT a.vec_id, a.s, l.v
+       |  FROM assigns a JOIN lut l ON l.s = a.s AND l.cid = a.cidx),
+       |adc AS (
+       |  SELECT vec_id, list_sum(list(v ORDER BY s)) AS adc_score
+       |  FROM scored GROUP BY vec_id)
+       |${
+         if (refine)
+           s""", short AS (
+              |  SELECT vec_id FROM adc ORDER BY adc_score DESC, vec_id LIMIT 50)
+              |SELECT e.vec_id, ${sqlDot("e.embedding", "q.qv")} AS score
+              |FROM embeddings e JOIN short USING (vec_id), q
+              |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
+         else
+           """SELECT vec_id, adc_score FROM adc
+             |ORDER BY adc_score DESC, vec_id LIMIT 10""".stripMargin
+       }""".stripMargin
+  }
 
   /** Two Lloyd iterations from first-16-by-id seeding + full-corpus
     * assignment — the exact [[operators.Similarity.trainCodebook]] mirror;
@@ -2994,6 +3101,13 @@ object SparkEntry {
          |    (proj.p[i] - qv.q[i]) * (proj.p[i] - qv.q[i]))) AS pdist
          |FROM proj, qv
          |ORDER BY pdist ASC, proj.vec_id ASC LIMIT 10""".stripMargin,
+
+    // the full PQ lifecycle replay: 8 per-subspace Lloyd codebooks, final
+    // slice assignments, driver-identical ADC lookup table, sequential sum
+    "pq_ann_topk" -> sqlPqOracle(),
+    // the same replay continued through the refine: ADC top-50 shortlist,
+    // exact float-dot rerank over only the shortlisted vectors
+    "pq_ann_refined" -> sqlPqOracle(refine = true),
 
     "ivf_topk" ->
       // mirrors the DISTRIBUTED k-means codebook build EXACTLY (Similarity

@@ -370,4 +370,144 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  // ------------------------------------------------------------------ PQ
+
+  /** Product-quantization model: `m` subspaces of `subDim` dims, each with a
+    * `k ≤ 16`-entry codebook (4-bit codes — a whole vector's code word packs
+    * into ONE long). `codebooks(s)(c)` is subspace `s`'s centroid `c`.
+    */
+  final case class PqModel(m: Int, k: Int, subDim: Int,
+      codebooks: Array[Array[Array[Float]]])
+
+  /** Train a product quantizer — the storage-side ANN path past IVF: at
+    * 100 TB the float corpus itself is the cost, and PQ stores 8 BYTES per
+    * 64-dim vector (32× smaller than float32), with query-time scoring done
+    * entirely over the codes (ADC — no float vector is ever read).
+    *
+    * All `m` subspaces train JOINTLY: each Lloyd iteration is ONE pass over
+    * the corpus — the per-subspace nearest-centroid assignments are `m`
+    * broadcast-codebook projections inside the scan stage, and the centroid
+    * update is a single hash aggregation keyed (subspace, cid, dim) whose
+    * map-side combine collapses the explode before any shuffle. Per
+    * iteration the shuffle carries O(partitions × m × k × subDim) rows and
+    * only the m×k×subDim codebook reaches the driver — the same scale shape
+    * as [[trainCodebook]], which also supplies the determinism construction
+    * (fixed-point long sums → bitwise-identical codebooks at any
+    * parallelism; assignment = argmax cosine, lowest index on ties; empty
+    * cells keep the previous centroid; centroids round to float).
+    * Seeding: subspace slices of the first `k` vectors by id.
+    */
+  def pqTrain(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 8, k: Int = 16, iters: Int = 2): PqModel = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k >= 2 && k <= 16, s"k=$k must fit a 4-bit code")
+    val subDim = dim / m
+    val seedVecs = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(seedVecs.length == k, s"corpus has < $k vectors")
+    var books: Array[Array[Array[Float]]] =
+      Array.tabulate(m, k)((s, c) => seedVecs(c).slice(s * subDim, (s + 1) * subDim))
+    var it = 0
+    while (it < iters) {
+      val cidCols = (0 until m).map(s => VectorExpressions
+        .nearestCentroid(slice(col(vecCol), s * subDim + 1, subDim), books(s))
+        .as(s"__cid$s"))
+      val entries = for { s <- 0 until m; d <- 0 until subDim } yield struct(
+        lit(s).as("s"), col(s"__cid$s").as("cid"), lit(d).as("d"),
+        element_at(col(vecCol), s * subDim + d + 1).as("x"))
+      val rows = Ops.spread(corpus.select(col(vecCol)))
+        .select(col(vecCol) +: cidCols: _*)
+        .select(explode(array(entries: _*)).as("e"))
+        .select(col("e.s"), col("e.cid"), col("e.d"), col("e.x"))
+        .groupBy(col("s"), col("cid"), col("d"))
+        .agg(sum(floor(col("x").cast("double") * lit(FixedPoint))).as("qsum"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      rows.foreach { r =>
+        val s = r.getInt(0); val cid = r.getInt(1); val d = r.getInt(2)
+        val qsum = r.getLong(3); val cnt = r.getLong(4)
+        if (s >= 0 && s < m && cid >= 0 && cid < k && d >= 0 && d < subDim)
+          next(s)(cid)(d) = ((qsum.toDouble / cnt) / FixedPoint).toFloat
+      }
+      books = next
+      it += 1
+    }
+    PqModel(m, k, subDim, books)
+  }
+
+  /** Encode the corpus against a trained [[PqModel]]: per-subspace
+    * nearest-centroid codes packed 4 bits each into one long. A pure map
+    * stage (broadcast codebooks, no join, no shuffle) — and the reason the
+    * stored index is `(id, BIGINT)`: 8 bytes/vector however wide the floats
+    * were.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame = {
+    val packed = (0 until model.m).map { s =>
+      shiftleft(VectorExpressions.nearestCentroid(
+        slice(col(vecCol), s * model.subDim + 1, model.subDim),
+        model.codebooks(s)).cast("long"), 4 * s)
+    }.reduce(_.bitwiseOR(_))
+    Ops.spread(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol), packed.as("pq_code"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes: the query
+    * stays FLOAT — its dot product against every codebook centroid is a
+    * driver-side m×k lookup table, and each corpus vector scores as the sum
+    * of its `m` table entries, selected by 4-bit shifts out of the packed
+    * code. The scan reads (id, long); scoring is integer bit-ops + `m`
+    * array lookups + a left-to-right add chain (fixed association order —
+    * the DuckDB mirror replays it bitwise via sequential list_sum); the plan
+    * is the same TakeOrderedAndProject as [[bruteForceTopK]].
+    */
+  def pqTopK(encoded: DataFrame, idCol: String, codeCol: String,
+      model: PqModel, query: Array[Float], k: Int): DataFrame = {
+    require(query.length == model.m * model.subDim, "query/model dim mismatch")
+    val lut: Seq[Double] = for { s <- 0 until model.m; c <- 0 until model.k }
+      yield {
+        var acc = 0.0
+        var d = 0
+        while (d < model.subDim) {
+          acc += query(s * model.subDim + d).toDouble * model.codebooks(s)(c)(d).toDouble
+          d += 1
+        }
+        acc
+      }
+    val lutLit = typedlit(lut)
+    val score = (0 until model.m).map { s =>
+      element_at(lutLit,
+        (shiftright(col(codeCol), 4 * s).bitwiseAND(lit(15L)).cast("int")
+          + lit(s * model.k + 1)))
+    }.reduce(_ + _)
+    encoded
+      .select(col(idCol), score.as("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** PQ search with the refine stage every production PQ deployment runs:
+    * ADC over the codes shortlists `shortlist` candidates, then ONLY those
+    * vectors' floats are read back for an exact dot rerank. Codes quantize
+    * away within-cell ordering (two vectors in the same cells score
+    * identically), so raw [[pqTopK]] ranks coarsely; the rerank restores
+    * exact order while still reading `shortlist/N` of the float corpus —
+    * at 100 TB the float side is a semi-join against a broadcast id list,
+    * i.e. a pruned scan, never a full pass.
+    */
+  def pqTopKRefined(
+      encoded: DataFrame, corpus: DataFrame,
+      idCol: String, codeCol: String, vecCol: String,
+      model: PqModel, query: Array[Float], k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val cands = pqTopK(encoded, idCol, codeCol, model, query, shortlist)
+      .select(col(idCol))
+    corpus.join(broadcast(cands), Seq(idCol), "left_semi")
+      .select(col(idCol), VectorExpressions.dot(col(vecCol), vecLit(query)).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -319,4 +319,86 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.map(_._2).toSeq == top.map(_._2).sorted.toSeq, "ascending distance")
     assert(top.length == 10)
   }
+
+  // ------------------------------------------------------------------ PQ
+
+  test("pqEncode packs the per-subspace argmax codes (local replay, all in range)") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val points = (0L until 120L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val emb = points.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding", dim = dim, m = 4, k = 16)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+      .as[(Long, Long)].collect().toMap
+    val byId = points.toMap
+    codes.foreach { case (id, packed) =>
+      (0 until model.m).foreach { s =>
+        val code = ((packed >> (4 * s)) & 15L).toInt
+        assert(code >= 0 && code < model.k)
+        val sub = byId(id).slice(s * model.subDim, (s + 1) * model.subDim)
+        val best = model.codebooks(s).indices.minBy(c =>
+          (-Similarity.cosineLocal(sub, model.codebooks(s)(c)), c))
+        assert(code == best, s"id=$id subspace=$s")
+      }
+    }
+    // 4-bit fields above m stay zero: the whole word fits m*4 bits
+    assert(codes.values.forall(p => (p >>> (4 * model.m)) == 0L))
+  }
+
+  test("PQ codebooks are bitwise identical at any parallelism (fixed-point sums)") {
+    val rnd = new scala.util.Random(23)
+    val points = (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val one = points.toDF("vec_id", "embedding").repartition(1)
+    val many = points.toDF("vec_id", "embedding").repartition(13)
+    val m1 = Similarity.pqTrain(one, "vec_id", "embedding", dim = 16, m = 4)
+    val m2 = Similarity.pqTrain(many, "vec_id", "embedding", dim = 16, m = 4)
+    (0 until 4).foreach { s =>
+      (0 until 16).foreach { c =>
+        assert(m1.codebooks(s)(c).sameElements(m2.codebooks(s)(c)), s"s=$s c=$c")
+      }
+    }
+  }
+
+  test("ADC top-k over PQ codes tracks the float dot brute force on clustered data") {
+    // same clustered construction as the IVF recall gates: PQ quality is
+    // only measurable where neighborhoods exist
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val points = (0L until 400L).map { i =>
+      val c = centers((i % 16).toInt)
+      (i, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    }
+    val emb = points.toDF("vec_id", "embedding")
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding", dim = dim, m = 4, k = 16)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+    // codes lose within-cell ordering, so raw ADC is judged as a SHORTLIST
+    // (does the coarse score net the true neighbors?) and the refined path
+    // as the final ranking — exactly how production PQ is deployed
+    val (shortRecalls, refinedRecalls) = Seq(0L, 42L, 137L, 233L).map { qid =>
+      val q = emb.filter($"vec_id" === qid).select("embedding").head().getSeq[Float](0).toArray
+      val exact = Similarity.bruteForceDotTopK(emb, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val short = Similarity.pqTopK(codes, "vec_id", "pq_code", model, q, 50)
+        .collect().map(_.getLong(0)).toSet
+      val refined = Similarity.pqTopKRefined(codes, emb, "vec_id", "pq_code",
+        "embedding", model, q, k = 10, shortlist = 50)
+        .collect().map(_.getLong(0)).toSet
+      (exact.intersect(short).size / 10.0, exact.intersect(refined).size / 10.0)
+    }.unzip
+    val shortMean = shortRecalls.sum / shortRecalls.size
+    val refinedMean = refinedRecalls.sum / refinedRecalls.size
+    assert(shortMean >= 0.8, s"ADC shortlist@50 recall of true top-10: $shortRecalls")
+    assert(refinedMean >= 0.9, s"refined recall@10 per query $refinedRecalls")
+  }
+
+  test("pqTrain rejects codes that cannot pack and dims that cannot split") {
+    val emb = (0L until 20L).map(i => (i, Seq.fill(16)(i.toFloat))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(emb, "vec_id", "embedding", dim = 16, m = 5) // 5 does not divide 16
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(emb, "vec_id", "embedding", dim = 16, m = 4, k = 17) // > 4 bits
+    }
+  }
 }
