@@ -651,6 +651,115 @@ object Streaming {
   def dedupStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermarkDelay).dropDuplicates("event_id", "ts")
 
+  // ---------------------------------------------------------- streaming PIT
+
+  /** A dimension-version record on the update stream. */
+  final case class AsOfUpdate(key: Long, tsMicros: Long, dimValue: String)
+
+  /** A fact on the event stream, to be enriched as-of its own event time. */
+  final case class AsOfEvent(event_id: Long, key: Long, tsMicros: Long, payload: Double)
+
+  /** One enriched fact: the LATEST dim version at or before the event's
+    * time (None when no version precedes it) — the batch
+    * [[graft.operators.Joins.asOfJoin]] contract, emitted from a stream.
+    */
+  final case class AsOfEnriched(
+      event_id: Long, key: Long, event_ts_micros: Long, payload: Double,
+      dim_value: Option[String], dim_ts_micros: Option[Long])
+
+  final case class AsOfTagged(
+      key: Long, tsMicros: Long, isDim: Boolean,
+      dimValue: String, eventId: Long, payload: Double,
+      ts: java.sql.Timestamp)
+
+  /** Keyed state: buffered dim versions and not-yet-emittable events, both
+    * ascending by time. Bounded: events only live until the watermark
+    * passes them, dim versions older than the newest one at-or-before the
+    * watermark are evicted (any future emittable event is ≥ the watermark,
+    * so only that version and newer can ever match).
+    */
+  final case class AsOfState(
+      dims: List[(Long, String)], events: List[(Long, Long, Double)])
+
+  /** STREAM-STREAM event-time as-of join (streaming point-in-time
+    * enrichment): facts on one stream, dimension versions on another, each
+    * fact enriched with the latest version at or before its event time —
+    * watermark-correct, so out-of-order arrival of either side within the
+    * allowed lateness cannot produce a stale or too-new match.
+    *
+    * Spark's built-in stream-stream joins can bound one side's time against
+    * the other's, but "the LATEST version ≤ t" is an argmax per fact —
+    * inexpressible as a join condition without a per-pair aggregation after
+    * the fact. This is the custom-state ladder instead
+    * ([[sessionize]]-style): both streams tag-union into one keyed
+    * `flatMapGroupsWithState`, facts buffer until the event-time watermark
+    * passes them (only then is the set of admissible versions complete),
+    * then match by binary order against the buffered version history.
+    *
+    * Guarantees, under the shared watermark `delay`:
+    *  - a fact emits exactly once, when the watermark passes its event time;
+    *  - the match equals the batch as-of join of everything that arrived
+    *    no later than `delay` after its event time (parity is spec-pinned
+    *    against [[graft.operators.Joins.asOfJoin]]);
+    *  - state per key is O(versions-in-flight + facts-in-flight): eviction
+    *    keeps exactly the still-matchable suffix of the version history.
+    *    Same-instant versions tie-break to the greatest value
+    *    (deterministic under any arrival order).
+    *  - keys with buffered facts but no new input still flush on time via
+    *    an event-time timeout pinned to the earliest buffered fact.
+    */
+  def asOfEnrichStream(
+      events: Dataset[AsOfEvent],
+      updates: Dataset[AsOfUpdate],
+      watermarkDelay: String = "10 minutes"): Dataset[AsOfEnriched] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val taggedEvents = events.map(e =>
+      AsOfTagged(e.key, e.tsMicros, isDim = false, null, e.event_id, e.payload,
+        new java.sql.Timestamp(e.tsMicros / 1000L)))
+    val taggedDims = updates.map(u =>
+      AsOfTagged(u.key, u.tsMicros, isDim = true, u.dimValue, -1L, 0.0,
+        new java.sql.Timestamp(u.tsMicros / 1000L)))
+    taggedEvents.unionByName(taggedDims)
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AsOfEnriched](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[AsOfTagged], state: GroupState[AsOfState]) =>
+          val st = state.getOption.getOrElse(AsOfState(Nil, Nil))
+          var dims = st.dims
+          var evs = st.events
+          if (!state.hasTimedOut) rows.foreach { r =>
+            if (r.isDim) dims = (r.tsMicros, r.dimValue) :: dims
+            else evs = (r.eventId, r.tsMicros, r.payload) :: evs
+          }
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          // (ts, value) order makes the same-instant tie-break (max value)
+          // independent of arrival interleaving
+          val dimsSorted = dims.distinct.sortBy(identity)
+          val (emit, keep) = evs.partition(_._2 <= wm)
+          val out = emit.sortBy(e => (e._2, e._1)).map { case (id, ts, pay) =>
+            val matched = dimsSorted.takeWhile(_._1 <= ts).lastOption
+            AsOfEnriched(id, key, ts, pay, matched.map(_._2), matched.map(_._1))
+          }
+          // evict all versions superseded at the watermark: the newest one
+          // at-or-before wm still serves future facts, older ones cannot
+          val lastCovered = dimsSorted.lastIndexWhere(_._1 <= wm)
+          val prunedDims = if (lastCovered <= 0) dimsSorted else dimsSorted.drop(lastCovered)
+          if (prunedDims.isEmpty && keep.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(AsOfState(prunedDims, keep))
+            // flush guarantee for quiet keys: wake when the watermark passes
+            // the earliest buffered fact (strictly > current wm by the
+            // partition above; +1ms covers the micro→milli truncation)
+            if (keep.nonEmpty)
+              state.setTimeoutTimestamp(keep.map(_._2).min / 1000L + 1L)
+          }
+          out.iterator
+      }
+  }
+
   /** File-backed micro-batch harness used by tests: stream the events table
     * through `transform` into an in-memory table, synchronously.
     */

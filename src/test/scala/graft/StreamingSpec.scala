@@ -697,4 +697,94 @@ class StreamingSpec extends SparkTestBase {
     assert(twice.map(s => (s(1), s(2), Option(s(3)))) ==
       Set(("A", 1, Some(5)), ("B", 5, Some(9)), ("C", 9, None)))
   }
+
+  test("asOfEnrichStream matches the batch as-of join under out-of-order arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val minute = 60L * 1000000
+    val events = MemoryStream[Streaming.AsOfEvent]
+    val updates = MemoryStream[Streaming.AsOfUpdate]
+    val q = Streaming.asOfEnrichStream(events.toDS(), updates.toDS(), "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("asof_enriched").start()
+    try {
+      // batch 1: versions and facts interleaved, max event time 10m → the
+      // watermark stays at 0 (10m − 10m delay), so nothing may emit yet
+      updates.addData(
+        Streaming.AsOfUpdate(1, 1 * minute, "v1"),
+        Streaming.AsOfUpdate(2, 5 * minute, "w5"))
+      events.addData(
+        Streaming.AsOfEvent(101, 1, 10 * minute, 1.0),
+        Streaming.AsOfEvent(103, 2, 3 * minute, 3.0))
+      q.processAllAvailable()
+      assert(spark.table("asof_enriched").count() == 0, "watermark has not passed any fact")
+
+      // batch 2: an out-of-order version (t=8m, BEFORE buffered fact 101)
+      // arrives within the allowed lateness, alongside later traffic that
+      // pushes the watermark to 25m — fact 101 then emits and must pick v8
+      // over v1; fact 103 emits with no preceding version; 102 (35m) stays
+      updates.addData(
+        Streaming.AsOfUpdate(1, 8 * minute, "v8"),
+        Streaming.AsOfUpdate(1, 30 * minute, "v30"))
+      events.addData(Streaming.AsOfEvent(102, 1, 35 * minute, 2.0))
+      q.processAllAvailable()
+      val mid = spark.table("asof_enriched").as[Streaming.AsOfEnriched].collect().toSet
+      assert(mid == Set(
+        Streaming.AsOfEnriched(101, 1, 10 * minute, 1.0, Some("v8"), Some(8 * minute)),
+        Streaming.AsOfEnriched(103, 2, 3 * minute, 3.0, None, None)))
+
+      // batch 3: far-future traffic on an unused key pushes the watermark
+      // past fact 102, which flushes with the version history intact
+      events.addData(Streaming.AsOfEvent(999, 9, 60 * minute, 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("asof_enriched").as[Streaming.AsOfEnriched]
+        .collect().filter(_.key != 9).toSet
+      assert(got == Set(
+        Streaming.AsOfEnriched(101, 1, 10 * minute, 1.0, Some("v8"), Some(8 * minute)),
+        Streaming.AsOfEnriched(102, 1, 35 * minute, 2.0, Some("v30"), Some(30 * minute)),
+        Streaming.AsOfEnriched(103, 2, 3 * minute, 3.0, None, None)))
+
+      // parity: the matched subset equals the BATCH as-of join over the
+      // same rows (inner semantics — batch drops no-version facts)
+      val dimDf = Seq((1L, 1 * minute, "v1"), (1L, 30 * minute, "v30"),
+        (2L, 5 * minute, "w5"), (1L, 8 * minute, "v8"))
+        .toDF("key", "dim_ts", "dim_value")
+      val evDf = Seq((101L, 1L, 10 * minute, 1.0), (102L, 1L, 35 * minute, 2.0),
+        (103L, 2L, 3 * minute, 3.0))
+        .toDF("event_id", "key", "ev_ts", "payload")
+      val batch = graft.operators.Joins.asOfJoin(evDf, dimDf, Seq("key"),
+        "ev_ts", "dim_ts", Seq("dim_value"), "dim_value")
+        .select("event_id", "dim_value").as[(Long, String)].collect().toMap
+      val streamed = got.filter(_.dim_value.isDefined)
+        .map(e => e.event_id -> e.dim_value.get).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("asOfEnrichStream flushes quiet keys by event-time timeout and emits exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val minute = 60L * 1000000
+    val events = MemoryStream[Streaming.AsOfEvent]
+    val updates = MemoryStream[Streaming.AsOfUpdate]
+    val q = Streaming.asOfEnrichStream(events.toDS(), updates.toDS(), "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("asof_quiet").start()
+    try {
+      updates.addData(Streaming.AsOfUpdate(7, 90 * minute, "old"))
+      events.addData(Streaming.AsOfEvent(201, 7, 100 * minute, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("asof_quiet").count() == 0)
+      // ONLY other-key traffic pushes the watermark past key 7's fact —
+      // the event-time timeout must flush it with no new key-7 input
+      updates.addData(Streaming.AsOfUpdate(8, 200 * minute, "x"))
+      q.processAllAvailable()
+      val got = spark.table("asof_quiet").as[Streaming.AsOfEnriched].collect().toSeq
+      assert(got == Seq(
+        Streaming.AsOfEnriched(201, 7, 100 * minute, 1.0, Some("old"), Some(90 * minute))))
+      // replaying more far-future traffic must not re-emit (state removed)
+      updates.addData(Streaming.AsOfUpdate(8, 300 * minute, "y"))
+      q.processAllAvailable()
+      assert(spark.table("asof_quiet").count() == 1)
+    } finally q.stop()
+  }
 }
