@@ -150,7 +150,10 @@ object SparkEntry {
     // join-output time keeps the exactness of the check while cutting the
     // groupBy input by the frequent-gram blowup (the common trigrams that
     // pair most docs also pair docs of very different lengths)
-    val nearClone = admGrams.join(corpGrams, Seq("__h"))
+    // the admitted side is batch-bounded (one ingestion micro-batch), the
+    // corpus side is the 100 TB one: broadcasting the batch grams keeps the
+    // corpus explode in the scan stage — no corpus-sized shuffle
+    val nearClone = broadcast(admGrams).join(corpGrams, Seq("__h"))
       .filter(least(col("__na"), col("__nb")) * 10 >=
         greatest(col("__na"), col("__nb")) * 9)
       .groupBy(col("__a"), col("__b"), col("__na"), col("__nb"))
@@ -1616,10 +1619,15 @@ object SparkEntry {
     }),
 
     "curation_pipeline_v2" -> ((s, dir) => {
-      // the round-6 curation shape, composed end-to-end as ONE lazy plan:
-      // model-based gates (classifier margin + corpus-bigram LM score over
-      // the FULL-corpus model) -> segment-level dedup across survivors ->
-      // greedy sequence packing of the deduped text into 256-token bins
+      // the round-6 curation shape: model-based gates (classifier margin +
+      // corpus-bigram LM score over the FULL-corpus model) -> segment-level
+      // dedup across survivors -> greedy sequence packing of the deduped
+      // text into 256-token bins. The gated survivors CHECKPOINT once:
+      // segment dedup consumes its input on both sides of the doc-rebuild
+      // join, and lazily composed that re-executed the classifier pass and
+      // the corpus-bigram LM census per consumer (the "LM counts x2" the
+      // old exchange pin documented) — at 100 TB those are full-corpus
+      // scans, so materialize-after-gates is the right plan at any scale
       val docs = Tables.documents(s, dir)
       val cls = TextAnalysis.classifierScore(docs)
         .filter(col("margin") > 0.0).select("doc_id")
@@ -1627,6 +1635,8 @@ object SparkEntry {
         .filter(col("avg_bigram_p") >= 0.033).select("doc_id")
       val gated = docs.join(cls, Seq("doc_id"), "left_semi")
         .join(lm, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .transform(Checkpointing.materialize)
       val deduped = Dedup.segmentDedup(gated, "doc_id", "text", segTokens = 10)
         .filter(col("n_kept") >= 2)
       val withLang = deduped.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
@@ -1640,17 +1650,23 @@ object SparkEntry {
       // substring-span excision (removeDuplicateSpans): model gates over the
       // full corpus -> duplicated 8-token windows excised keep-first across
       // the gated survivors -> greedy packing of the cleaned token counts.
-      // Still ONE lazy composed plan — no materialization between stages.
+      // Gates checkpoint once (below), then excision + packing compose lazily.
       val docs = Tables.documents(s, dir)
       val cls = TextAnalysis.classifierScore(docs)
         .filter(col("margin") > 0.0).select("doc_id")
       val lm = TextAnalysis.bigramLmScore(docs)
         .filter(col("avg_bigram_p") >= 0.033).select("doc_id")
+      // the gated survivors checkpoint once (same rationale as v2: the
+      // span excision consumes its input on both sides of the rebuild
+      // join, and a lazy composition re-executed classifier + LM census
+      // per consumer — full-corpus scans at scale)
       val gated = docs.join(cls, Seq("doc_id"), "left_semi")
         .join(lm, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .transform(Checkpointing.materialize)
       // lang rides THROUGH the span excision (carryCols) instead of being
-      // re-joined from docs afterwards — a re-join would re-execute the
-      // whole gated subtree (classifier + LM census) a third time
+      // re-joined from docs afterwards — a re-join would add a third
+      // consumer of the gated frame
       val cleaned = Dedup.removeDuplicateSpans(gated, "doc_id", "text", k = 8,
         carryCols = Seq("lang"))
         .filter(col("n_tokens") - col("removed_tokens") >= 2)

@@ -1043,13 +1043,47 @@ object Dedup {
       seed: Long = 42L,
       bandBloom: Option[Array[Byte]] = None,
       expectedCorpusBandKeys: Long = 1000000L): DataFrame = {
-    val probeKeys = bandProbeKeys(col(textCol), n, numHashes, bands, seed)
+    import org.apache.spark.sql.expressions.Window
     if (bandBloom.isEmpty && corpus.isEmpty)
       return ngramJaccard(batch, idCol, textCol, n, threshold, numHashes, bands, seed)
-    // within-batch near-dup collapse first: the gate must be idempotent
-    // under replay, and a batch containing its own near-dup family must
-    // admit exactly one representative
-    val batchKept = ngramJaccard(batch, idCol, textCol, n, threshold, numHashes, bands, seed)
+    // ONE batch featurization pass — (exact-dup digest, distinct gram
+    // hashes, minhash signature) per row, materialized. Previously the
+    // batch text was re-tokenized and re-minhashed by each consumer
+    // separately (the within-batch dedup, the bloom probe, and the
+    // candidate featurization): three regex+hash passes over every batch
+    // document, the dominant cost of the gate after the corpus pass.
+    val toks = TextAnalysis.tokens(col(textCol))
+    val batchFeat = Ops.spread(batch.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol),
+        md5(to_json(struct(col(textCol)))).as("__digest"),
+        array_distinct(graft.functions.HashExpressions.ngramHashes(toks, n)).as("__g_a"),
+        minhashSignatureFromTokens(toks, n, numHashes, seed).as("__sig_a"))
+      .transform(Checkpointing.materialize)
+    // within-batch collapse, same semantics as [[ngramJaccard]] run on the
+    // batch: identical text keeps the min id (exact-collapse bounds bucket
+    // blowup under an exact-dup flood), then the larger id of any verified
+    // near-dup pair drops
+    val reps = batchFeat
+      .withColumn("__rn", row_number()
+        .over(Window.partitionBy(col("__digest")).orderBy(col(idCol))))
+      .filter(col("__rn") === 1).drop("__rn", "__digest")
+    val bandedB = reps
+      .select(col(idCol), posexplode(bandKeys(col("__sig_a"), numHashes, bands)))
+      .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
+    val lB = bandedB.select(col("__band"), col("__bucket"), col(idCol).as("__ia"))
+    val rB = bandedB.select(col("__band"), col("__bucket"), col(idCol).as("__ib"))
+    val gramsOf = reps.select(col(idCol), col("__g_a"))
+    val jacB = size(array_intersect(col("__ga"), col("__gb"))).cast("double") /
+      size(array_union(col("__ga"), col("__gb")))
+    val withinDrops = lB.join(rB, Seq("__band", "__bucket"))
+      .filter(col("__ia") < col("__ib"))
+      .select(col("__ia"), col("__ib")).distinct()
+      .join(gramsOf.select(col(idCol).as("__ia"), col("__g_a").as("__ga")), Seq("__ia"))
+      .join(gramsOf.select(col(idCol).as("__ib"), col("__g_a").as("__gb")), Seq("__ib"))
+      .filter(jacB >= threshold)
+      .select(col("__ib").as(idCol)).distinct()
+    val batchKeptFeat = reps.join(withinDrops, Seq(idCol), "left_anti")
     // With no prebuilt sidecar, the corpus pass happens HERE — once. The
     // materialized (id, grams, signature) frame feeds BOTH the bloom build
     // and the reject join below; without it the corpus would be tokenized +
@@ -1067,22 +1101,24 @@ object Dedup {
     // batch-sized materialization: the candidate split, the emptiness probe
     // and the final anti-join all reuse it — and when the bloom flags
     // nothing, the corpus is NEVER touched (the steady-state cost model)
-    val flagged = batchKept.withColumn("__cand",
-      exists(probeKeys,
+    val flagged = batchKeptFeat.withColumn("__cand",
+      exists(bandProbeKeysFromSig(col("__sig_a"), numHashes, bands),
         k => graft.functions.SketchFunctions.mightContain(lit(bloom), k)))
       .transform(Checkpointing.materialize)
     val candidates = flagged.filter(col("__cand"))
-    val out =
-      if (candidates.isEmpty) flagged
+      .select(col(idCol).as("__ca"), col("__g_a"), col("__sig_a"))
+    val admittedIds =
+      if (candidates.isEmpty) flagged.select(col(idCol))
       else {
         val feat = Option(corpFeat).getOrElse(
           nearDupFeatures(corpus, idCol, textCol, n, numHashes, seed)
             .transform(Checkpointing.materialize))
-        flagged.join(
-          nearDupRejectsFeat(feat, candidates, idCol, textCol, n, threshold, numHashes, bands, seed),
+        flagged.select(col(idCol)).join(
+          nearDupRejectsFromFeats(feat, candidates, idCol, threshold, numHashes, bands),
           Seq(idCol), "left_anti")
       }
-    out.drop("__cand")
+    // resolve against the caller's frame so admitted rows keep every column
+    batch.join(admittedIds, Seq(idCol), "left_semi")
   }
 
   /** Ids of `candidates` rows with a VERIFIED near-duplicate in `corpus`:
@@ -1145,6 +1181,20 @@ object Dedup {
         minhashSignatureFromTokens(TextAnalysis.tokens(col(textCol)), n, numHashes, seed)
           .as("__sig_a"))
       .transform(Checkpointing.materialize)
+    nearDupRejectsFromFeats(corpFeat, candFeat, idCol, threshold, numHashes, bands)
+  }
+
+  /** [[nearDupRejectsFeat]] when the candidate features are ALREADY built
+    * (`__ca`, `__g_a`, `__sig_a`) — [[incrementalMinhash]] reuses its one
+    * batch featurization pass here instead of re-tokenizing the candidates.
+    */
+  private[graft] def nearDupRejectsFromFeats(
+      corpFeat: DataFrame,
+      candFeat: DataFrame,
+      idCol: String,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int): DataFrame = {
     val candBanded = candFeat
       .select(col("__ca"), posexplode(bandKeys(col("__sig_a"), numHashes, bands)))
       .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))

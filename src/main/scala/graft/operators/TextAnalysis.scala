@@ -241,32 +241,31 @@ object TextAnalysis {
 
   /** Model-based quality filtering, fastText-shaped: a linear classifier
     * over hashed token features scores every document; the margin (mean
-    * token weight + bias) gates the corpus. The weight lookup is pure Column
-    * algebra inside the scan stage (one md5 + arithmetic per token — no
-    * dictionary join, the point of the hashing trick), followed by ONE
-    * doc-keyed shuffle whose map-side partials absorb the token explode.
-    * Margin sums accumulate in fixed-point so the score is bitwise
-    * deterministic at any parallelism.
+    * token weight + bias) gates the corpus. ENTIRELY scan-stage: the weight
+    * lookup is pure Column algebra (one md5 + arithmetic per token — no
+    * dictionary join, the point of the hashing trick) and the per-doc sum
+    * is an `aggregate` fold over the token array — no explode, no shuffle,
+    * no re-join for empty docs. A model gate that moves zero bytes is the
+    * only shape that stays free at 100 TB. The fold accumulates fixed-point
+    * longs left-to-right, so the margin is bitwise deterministic at any
+    * parallelism (and equals the old groupBy-sum form exactly: integer
+    * addition is associative).
     *
     * Returns (doc_id, n_tokens, margin, pass) for every input document —
     * callers filter on `pass` (or re-threshold on `margin`).
     */
   def classifierScore(docs: DataFrame, bias: Double = 0.0, threshold: Double = 0.0): DataFrame = {
-    val scored = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"),
-        floor(hashedWeight(col("tok")) * lit(Fp)).cast("long").as("qw"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("qw")).as("qsum"))
-      .select(col("doc_id"), col("n_tokens"),
-        ((col("qsum").cast("double") / col("n_tokens")) / lit(Fp) + lit(bias)).as("margin"))
-    // empty docs (no tokens) emit no scored row but must not vanish
-    docs.select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("margin"), lit(bias)).as("margin"),
-        when(coalesce(col("margin"), lit(bias)) > threshold, 1L).otherwise(0L).as("pass"))
+    val toks = coalesce(tokens(col("text")), array().cast("array<string>"))
+    val qsum = aggregate(
+      transform(toks, t => floor(hashedWeight(t) * lit(Fp)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val n = size(toks).cast("long")
+    val margin = when(n > 0,
+      (qsum.cast("double") / n) / lit(Fp) + lit(bias)).otherwise(lit(bias))
+    docs.select(col("doc_id"),
+      n.as("n_tokens"),
+      margin.as("margin"),
+      when(margin > threshold, 1L).otherwise(0L).as("pass"))
   }
 
   /** Corpus-bigram language-model scoring (the KenLM-filter stand-in): train
@@ -277,23 +276,29 @@ object TextAnalysis {
     * integer counts, one divide — so the oracle hash-matches; a log-space
     * variant would differ by ulps between libms.
     *
-    * Scale shape: bigrams explode inside the scan stage; the model is two
-    * key-shuffled counts; scoring joins occurrences to the model on the
-    * bigram/prefix keys (AQE-handled equi-shuffles — the model never visits
-    * the driver) and aggregates per doc in fixed-point.
+    * Scale shape: bigrams explode inside the scan stage, ONE occurrence
+    * count keyed by bigram; the prefix marginal C(w1·) then re-aggregates
+    * the DISTINCT-bigram table (vocabulary-sized, not corpus-sized — the
+    * sum of C(w1 w2) over w2 IS C(w1·)), and the two attach into one
+    * bigram→probability model before the single occurrence-to-model scoring
+    * join (AQE-handled equi-shuffles — the model never visits the driver).
+    * The old form aggregated the full corpus explode twice and joined it
+    * twice; this halves the corpus-sized shuffles with the identical
+    * rational result.
     */
   def bigramLmScore(docs: DataFrame): DataFrame = {
     val grams = when(size(tokens(col("text"))) >= 2, wordShingles(col("text"), 2))
       .otherwise(array().cast("array<string>"))
     val bg = docs.select(col("doc_id"), explode(grams).as("g"))
     val c2 = bg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy(split_part(col("g"), lit(" "), lit(1)).as("w"))
-      .agg(count(lit(1)).as("c1"))
-    val scored = bg
-      .join(c2, Seq("g"))
+    val c1 = c2.groupBy(split_part(col("g"), lit(" "), lit(1)).as("w"))
+      .agg(sum(col("c2")).as("c1"))
+    val model = c2
       .join(c1, split_part(col("g"), lit(" "), lit(1)) === col("w"))
-      .select(col("doc_id"),
+      .select(col("g"),
         floor((col("c2").cast("double") / col("c1")) * lit(Fp)).cast("long").as("q"))
+    val scored = bg
+      .join(model, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("qs"))
     docs.select(col("doc_id"))
@@ -407,18 +412,24 @@ object TextAnalysis {
       textCol: String,
       weights: DataFrame,
       buckets: Int = 1024): DataFrame = {
-    val scored = docs
-      .select(col(idCol).as("__d"), explode(tokens(col(textCol))).as("__tok"))
-      .select(col("__d"), hashBucket(col("__tok"), buckets).as("__b"))
-      .groupBy(col("__d"), col("__b")).agg(count(lit(1)).as("__x"))
-      .join(broadcast(weights.select(col("bucket").as("__b"), col("weight"))),
-        Seq("__b"), "left")
-      .groupBy(col("__d"))
-      .agg(sum(coalesce(col("weight"), lit(0L)) * col("__x")).as("score"))
-    docs.select(col(idCol))
-      .join(scored.select(col("__d").as(idCol), col("score")), Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("score"), lit(0L)).as("score"),
-        when(coalesce(col("score"), lit(0L)) > 0, 1L).otherwise(-1L).as("predicted"))
+    // the weight table is bounded by the bucket count (the hashing trick's
+    // whole point), so it collects to a driver-side lookup array and
+    // inference becomes a PURE scan-stage fold over each doc's token array:
+    // no explode, no per-doc shuffle, no join — the same zero-byte-movement
+    // shape as [[classifierScore]], with the learned weights riding the
+    // closure. Long sums keep the score exact under any token order.
+    val w = new Array[Long](buckets)
+    weights.select(col("bucket"), col("weight")).collect().foreach { r =>
+      val b = r.getLong(0).toInt
+      if (b >= 0 && b < buckets) w(b) = r.getLong(1)
+    }
+    val wLit = typedlit(w.toSeq)
+    val toks = coalesce(tokens(col(textCol)), array().cast("array<string>"))
+    val score = aggregate(
+      transform(toks, t => element_at(wLit, hashBucket(t, buckets).cast("int") + 1)),
+      lit(0L), (acc, x) => acc + x)
+    docs.select(col(idCol),
+      score.as("score"),
+      when(score > 0, 1L).otherwise(-1L).as("predicted"))
   }
 }

@@ -199,7 +199,10 @@ class PlanGuardSpec extends SparkTestBase {
       "semi-join, no second window explode) + doc-keyed coverage window"),
     "embed_dedup" -> (4, "LSH bucket join + component resolution + survivor semi-join"),
     "tfidf_top_terms" -> (5, "term df agg, doc tf agg, join, per-doc top-k window"),
-    "curation_pipeline_v2" -> (7, "LM bigram counts ×2 + joins + segment dedup + packing"),
+    "curation_pipeline_v2" -> (4, "gates checkpoint once (classifier is pure " +
+      "scan-stage, the LM census aggregates the corpus explode ONCE and derives " +
+      "the prefix marginal from the distinct-bigram table); the visible plan is " +
+      "segment dedup + packing over the checkpointed survivors"),
     "semantic_dedup" -> (7, "distributed Lloyd (assign+update) + cluster pair verify"),
     "kmeans_clusters" -> (2, "spread guard + ONE profile agg; codebook join broadcasts"),
     "cluster_balanced_sample" -> (2, "spread guard + ONE cluster-key window exchange"),
@@ -238,17 +241,19 @@ class PlanGuardSpec extends SparkTestBase {
     "remove_duplicate_spans" -> (3, "ONE fingerprint-keyed keep-first window " +
       "(row_number>1 doubles as the dup census — no groupBy, no semi-join) + " +
       "per-doc excised-interval agg + the rebuild join's toks-side exchange"),
-    "curation_pipeline_v3" -> (7, "v2's model gates (classifier + LM counts) + " +
-      "span excision's keep-first window/interval aggs (census fused into the " +
-      "window) + packing, ONE lazy plan; lang rides carryCols — no re-join"),
+    "curation_pipeline_v3" -> (4, "gates checkpoint once (see v2); span " +
+      "excision's keep-first window/interval aggs (census fused into the " +
+      "window) + packing; lang rides carryCols — no re-join"),
     "incremental_minhash_dedup" -> (11, "within-batch LSH dedup + banded corpus " +
       "confirm + the invariants' independent exact recomputations (digest " +
       "joins + full gram-hash inverted index)"),
     "classifier_train" -> (0, "every training iteration materializes behind a " +
       "checkpoint (the feature shuffle and margin/gradient aggs run inside); " +
       "the returned weight table is a filter over the final checkpoint"),
-    "trained_classifier_filter" -> (3, "doc-bucket feature agg + per-doc score " +
-      "agg + the all-docs left join; the trained weight table broadcasts"),
+    "trained_classifier_filter" -> (0, "inference is a pure scan-stage fold: " +
+      "the bucket-bounded weight table rides the closure as a literal lookup " +
+      "array, so scoring moves zero bytes (training materializes behind the " +
+      "classifier_train checkpoint)"),
     "minhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "simhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "ngram_jaccard_dedup_docs" -> (8, "exact-collapse + shingle joins + CC + invariants")
