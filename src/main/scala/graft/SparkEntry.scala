@@ -1001,6 +1001,18 @@ object SparkEntry {
       Similarity.pqTopK(codes, "vec_id", "pq_code", model, q, k = 10)
     }),
 
+    "ivfpq_topk" -> ((s, dir) => {
+      // the composed FAISS-style index: coarse quantizer prunes to 4 of 16
+      // lists (partition pruning over a persisted index), PQ codes ADC-score
+      // only inside those lists — the probe reads nprobe/nlist of the files
+      // AND 8 bytes per vector; the two prunings multiply
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val (index, ivf, pq) = Similarity.ivfPqIndex(emb, "vec_id", "embedding", dim = 64)
+      Similarity.ivfPqTopK(index, ivf, pq, "vec_id", q, k = 10, nprobe = 4)
+    }),
+
     "pq_ann_refined" -> ((s, dir) => {
       // the deployed PQ shape: ADC shortlists 50 candidates from the codes
       // alone, then ONLY those ids' float vectors are read back (broadcast
@@ -2023,7 +2035,10 @@ object SparkEntry {
     * lookup table `lut(s, cid, v)` against vec 0's query slices, and the
     * top-10 by sequential lookup-sum.
     */
-  private def sqlPqOracle(refine: Boolean = false, m: Int = 8, subDim: Int = 8, k: Int = 16): String = {
+  /** The PQ replay's CTE chain (everything through `adc(vec_id,
+    * adc_score)`), shared by the pq_ann_* and ivfpq oracles.
+    */
+  private def sqlPqCtes(m: Int = 8, subDim: Int = 8, k: Int = 16): String = {
     val perSub = (0 until m).map { s =>
       val lo = s * subDim + 1; val hi = (s + 1) * subDim
       s"""sv$s AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
@@ -2044,7 +2059,7 @@ object SparkEntry {
     }.mkString("\n  UNION ALL\n")
     val assigns = (0 until m).map(s =>
       s"  SELECT vec_id, $s AS s, cidx FROM af$s").mkString("\n  UNION ALL\n")
-    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |$perSub,
        |lut AS (
        |$lut),
@@ -2055,7 +2070,11 @@ object SparkEntry {
        |  FROM assigns a JOIN lut l ON l.s = a.s AND l.cid = a.cidx),
        |adc AS (
        |  SELECT vec_id, list_sum(list(v ORDER BY s)) AS adc_score
-       |  FROM scored GROUP BY vec_id)
+       |  FROM scored GROUP BY vec_id)""".stripMargin
+  }
+
+  private def sqlPqOracle(refine: Boolean = false): String = {
+    s"""WITH ${sqlPqCtes()}
        |${
          if (refine)
            s""", short AS (
@@ -2068,6 +2087,24 @@ object SparkEntry {
              |ORDER BY adc_score DESC, vec_id LIMIT 10""".stripMargin
        }""".stripMargin
   }
+
+  /** The composed IVF-PQ replay: the coarse k-means chain (ends `afull` +
+    * `c2`) and the PQ chain (ends `adc`) share only `q`; the probe set
+    * ranks coarse centroids exactly as `IvfModel.nearestLists`, and the
+    * final top-10 is ADC over the probed lists only.
+    */
+  private def sqlIvfPqOracle(nprobe: Int = 4): String =
+    s"""WITH ${sqlPqCtes()},
+       |$sqlKmeansAssignAll,
+       |probes AS (
+       |  SELECT cidx FROM (
+       |    SELECT c.cidx, row_number() OVER (
+       |      ORDER BY ${sqlCos("q.qv", "c.cv")} DESC, c.cidx) AS rn
+       |    FROM c2 c, q) p WHERE rn <= $nprobe)
+       |SELECT a.vec_id, adc.adc_score
+       |FROM afull a JOIN adc ON adc.vec_id = a.vec_id
+       |WHERE a.cidx IN (SELECT cidx FROM probes)
+       |ORDER BY adc_score DESC, a.vec_id LIMIT 10""".stripMargin
 
   /** Two Lloyd iterations from first-16-by-id seeding + full-corpus
     * assignment — the exact [[operators.Similarity.trainCodebook]] mirror;
@@ -3124,6 +3161,8 @@ object SparkEntry {
     // the same replay continued through the refine: ADC top-50 shortlist,
     // exact float-dot rerank over only the shortlisted vectors
     "pq_ann_refined" -> sqlPqOracle(refine = true),
+    // coarse chain + PQ chain composed; probes ranked as IvfModel.nearestLists
+    "ivfpq_topk" -> sqlIvfPqOracle(),
 
     "ivf_topk" ->
       // mirrors the DISTRIBUTED k-means codebook build EXACTLY (Similarity

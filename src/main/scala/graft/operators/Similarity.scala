@@ -444,16 +444,17 @@ object Similarity {
     * stored index is `(id, BIGINT)`: 8 bytes/vector however wide the floats
     * were.
     */
-  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-      model: PqModel): DataFrame = {
-    val packed = (0 until model.m).map { s =>
+  private def packedCodes(vecCol: String, model: PqModel): Column =
+    (0 until model.m).map { s =>
       shiftleft(VectorExpressions.nearestCentroid(
         slice(col(vecCol), s * model.subDim + 1, model.subDim),
         model.codebooks(s)).cast("long"), 4 * s)
     }.reduce(_.bitwiseOR(_))
+
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame =
     Ops.spread(corpus.select(col(idCol), col(vecCol)))
-      .select(col(idCol), packed.as("pq_code"))
-  }
+      .select(col(idCol), packedCodes(vecCol, model).as("pq_code"))
 
   /** ADC (asymmetric distance computation) top-k over PQ codes: the query
     * stays FLOAT — its dot product against every codebook centroid is a
@@ -487,6 +488,44 @@ object Similarity {
       .select(col(idCol), score.as("adc_score"))
       .orderBy(col("adc_score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Build the composed IVF-PQ index (the FAISS IVFADC layout): a coarse
+    * k-means quantizer for list pruning AND packed PQ codes for in-list
+    * scoring, stamped in ONE map stage — `(id, centroid_id, pq_code)` is
+    * 12 bytes of index per vector however wide the floats were. Persisted
+    * `partitionBy("centroid_id")` (see [[writeIvfIndex]]) a probe reads
+    * nprobe/nlist of the FILES and 8 bytes per vector — the two prunings
+    * multiply. Codebooks train on the raw vectors (shared across lists);
+    * per-list residual codebooks are the classical recall upgrade, at
+    * nlist× the codebook state.
+    */
+  def ivfPqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nlist: Int = 16, iters: Int = 2,
+      m: Int = 8, k: Int = 16): (DataFrame, IvfModel, PqModel) = {
+    val init = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    val coarse = trainCodebook(corpus, idCol, vecCol, init, iters)
+    val pq = pqTrain(corpus, idCol, vecCol, dim, m, k, iters)
+    val index = Ops.spread(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol),
+        VectorExpressions.nearestCentroid(col(vecCol), coarse).as("centroid_id"),
+        packedCodes(vecCol, pq).as("pq_code"))
+    (index, IvfModel(coarse), pq)
+  }
+
+  /** IVF-PQ probe: rank coarse centroids against the query on the driver,
+    * ADC-score ONLY the vectors in the `nprobe` nearest lists (a partition-
+    * prunable IN filter over the persisted index), top-k over the lookup
+    * sums. The scan that answers the query reads codes, never floats.
+    */
+  def ivfPqTopK(
+      index: DataFrame, ivf: IvfModel, pq: PqModel,
+      idCol: String, query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val probes = ivf.nearestLists(query, nprobe)
+    pqTopK(index.filter(col("centroid_id").isin(probes: _*)),
+      idCol, "pq_code", pq, query, k)
   }
 
   /** PQ search with the refine stage every production PQ deployment runs:

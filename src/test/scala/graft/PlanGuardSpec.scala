@@ -119,7 +119,10 @@ class PlanGuardSpec extends SparkTestBase {
     "doc_chunks" -> "non-empty-token gate over the decoded text",
     "ivf_topk" -> ("in-memory probe filters on the computed centroid; the " +
       "persisted-index path (writeIvfIndex) turns the same filter into " +
-      "partition pruning — ScaleLayoutSpec asserts it")
+      "partition pruning — ScaleLayoutSpec asserts it"),
+    "ivfpq_topk" -> ("same as ivf_topk: the composed index probes on the " +
+      "computed centroid in memory; persisted partitionBy(centroid_id) the " +
+      "filter is partition pruning")
   )
 
   test("every deterministic scan filter on the surface reaches the source") {

@@ -392,6 +392,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(refinedMean >= 0.9, s"refined recall@10 per query $refinedRecalls")
   }
 
+  test("ivfPqTopK: full probe equals plain PQ; partial probe stays inside its lists") {
+    val rnd = new scala.util.Random(41)
+    val dim = 16
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val points = (0L until 400L).map { i =>
+      val c = centers((i % 16).toInt)
+      (i, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    }
+    val emb = points.toDF("vec_id", "embedding")
+    val (index, ivf, pq) = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dim = dim, nlist = 16, m = 4, k = 16)
+    val q = emb.filter($"vec_id" === 42L).select("embedding").head().getSeq[Float](0).toArray
+    // probing every list = no pruning: must equal plain PQ over the corpus
+    val full = Similarity.ivfPqTopK(index, ivf, pq, "vec_id", q, k = 10, nprobe = 16)
+      .as[(Long, Double)].collect().toSeq
+    val plain = Similarity.pqTopK(
+      Similarity.pqEncode(emb, "vec_id", "embedding", pq), "vec_id", "pq_code", pq, q, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == plain)
+    // a partial probe only ever returns vectors from the probed lists
+    val probed = ivf.nearestLists(q, 2).toSet
+    val narrow = Similarity.ivfPqTopK(index, ivf, pq, "vec_id", q, k = 10, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val listOf = index.select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    assert(narrow.nonEmpty && narrow.forall(id => probed.contains(listOf(id))))
+  }
+
   test("pqTrain rejects codes that cannot pack and dims that cannot split") {
     val emb = (0L until 20L).map(i => (i, Seq.fill(16)(i.toFloat))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
