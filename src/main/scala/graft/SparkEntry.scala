@@ -1106,6 +1106,17 @@ object SparkEntry {
         shiftright(col("dhash"), b * 8).bitwiseAND(lit(255L)).as(s"b$b")): _*)
     }),
 
+    "audio_fingerprint" -> ((s, dir) => {
+      // the audio analog of image_dhash: REAL WAV decode → 65-window energy
+      // contour → sign-of-difference fingerprint (Chromaprint's construction
+      // over integer energies). Emitted as the hash's 8 bytes so the oracle
+      // (which replays windowing + energy + signs closed-form) stays in
+      // small integers; the SAME hammingDedup then serves audio near-dup
+      val f = Multimodal.audioFingerprints(Multimodal.mediaFromDocuments(s, dir))
+      f.select(col("media_id") +: (0 until 8).map(b =>
+        shiftright(col("afp"), b * 8).bitwiseAND(lit(255L)).as(s"b$b")): _*)
+    }),
+
     "image_dedup" -> ((s, dir) => {
       // image near-dup removal, end to end: real-decode dHash fingerprints,
       // then EXACT hamming-ball dedup (8-band pigeonhole LSH — zero false
@@ -3022,6 +3033,28 @@ object SparkEntry {
         | CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*31 + ((j.j*n)//3)*101 + (p*3+1)*17) % 256)) AS DOUBLE)/(w*h) AS mean_g,
         | CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*31 + ((j.j*n)//3)*101 + (p*3+2)*17) % 256)) AS DOUBLE)/(w*h) AS mean_b
         |FROM v, (VALUES (0), (1), (2)) j(j)""".stripMargin,
+
+    // replays WAV decode → 65-window energy partition → sign-of-difference
+    // bits arithmetically (sample closed form, exact integer energies)
+    "audio_fingerprint" -> {
+      val bandCols = (0 until 8).map(k =>
+        s" CAST(COALESCE(SUM(CASE WHEN j // 8 = $k THEN bit << (j % 8) END), 0) AS BIGINT) AS b$k")
+        .mkString(",\n")
+      s"""WITH a AS (
+         |  SELECT doc_id, 64 + doc_id % 97 AS n FROM documents WHERE doc_id % 3 = 1),
+         |e AS (
+         |  SELECT doc_id, w.w AS w,
+         |    COALESCE(list_sum(list_transform(range(w.w*n//65, (w.w+1)*n//65),
+         |      i -> ((doc_id*7919 + i*104729) % 4001 - 2000) * ((doc_id*7919 + i*104729) % 4001 - 2000))), 0) AS en
+         |  FROM a, range(0, 65) w(w)),
+         |b AS (
+         |  SELECT l.doc_id, l.w AS j, CASE WHEN r.en > l.en THEN 1 ELSE 0 END AS bit
+         |  FROM e l JOIN e r ON r.doc_id = l.doc_id AND r.w = l.w + 1
+         |  WHERE l.w < 64)
+         |SELECT doc_id AS media_id,
+         |$bandCols
+         |FROM b GROUP BY doc_id""".stripMargin
+    },
 
     // replays decode → 9×8 NN resample → grayscale → gradient-sign bits
     // arithmetically, so the whole perceptual-hash path is hash-checked

@@ -71,6 +71,24 @@ object MediaCodecs {
     * computes duration/RMS over the 16-bit LE mono samples.
     */
   def decodeWav(bytes: Array[Byte]): WavInfo = {
+    val (sampleRate, samples) = decodeWavSamples(bytes)
+    val n = samples.length
+    var sumSq = 0L
+    var i = 0
+    while (i < n) {
+      val s = samples(i).toLong
+      sumSq += s * s
+      i += 1
+    }
+    val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+    WavInfo(sampleRate, n, n.toDouble / sampleRate, rms)
+  }
+
+  /** The raw decode underneath [[decodeWav]]: (sampleRate, PCM samples).
+    * Fingerprinting and any sample-level transform need the waveform, not
+    * just the canonical stats.
+    */
+  def decodeWavSamples(bytes: Array[Byte]): (Int, Array[Short]) = {
     if (bytes == null || bytes.length < 12) fail("wav: truncated RIFF header")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     if (ascii(bytes, 0) != "RIFF" || ascii(bytes, 8) != "WAVE") fail("wav: not RIFF/WAVE")
@@ -103,15 +121,13 @@ object MediaCodecs {
     if (channels != 1 || bitsPerSample != 16)
       fail(s"wav: only 16-bit mono supported (got $channels ch / $bitsPerSample bit)")
     val n = dataLen / 2
-    var sumSq = 0L
+    val samples = new Array[Short](n)
     var i = 0
     while (i < n) {
-      val s = buf.getShort(dataOff + i * 2).toLong
-      sumSq += s * s
+      samples(i) = buf.getShort(dataOff + i * 2)
       i += 1
     }
-    val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
-    WavInfo(sampleRate, n, n.toDouble / sampleRate, rms)
+    (sampleRate, samples)
   }
 
   // ---------------------------------------------------------------- BMP ----

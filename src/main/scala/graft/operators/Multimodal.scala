@@ -210,6 +210,59 @@ object Multimodal {
     hash
   }
 
+  /** 64-bit audio fingerprint over the decoded PCM waveform — the
+    * energy-contour analog of [[dHash64]] (the sign-of-difference
+    * construction Chromaprint-family fingerprints use, over time-windowed
+    * energy instead of chroma bins; integer-exact so an oracle can replay
+    * it):
+    *   1. partition the samples into 65 equal time windows
+    *      (window w covers [w·n/65, (w+1)·n/65) — floor, same mapping as
+    *      the image resample),
+    *   2. per-window energy = Σ s², exact in a long,
+    *   3. bit j set iff energy(j+1) > energy(j).
+    * Robust to uniform gain scaling's sign structure and to container
+    * re-encode; cheap enough for the scan stage.
+    */
+  private[graft] def audioFingerprint64(samples: Array[Short]): Long = {
+    val n = samples.length
+    val e = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      var i = w * n / 65
+      val end = (w + 1) * n / 65
+      var acc = 0L
+      while (i < end) { val s = samples(i).toLong; acc += s * s; i += 1 }
+      e(w) = acc
+      w += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 64) {
+      if (e(j + 1) > e(j)) hash |= 1L << j
+      j += 1
+    }
+    hash
+  }
+
+  /** Per-clip audio fingerprints: decode WAV payloads and emit
+    * `(media_id, afp)`. Scan-stage flatMap like [[imageDHash]]; non-audio
+    * and malformed payloads contribute no rows. Feed to
+    * [[Dedup.hammingDedup]] — the same exact pigeonhole-banded hamming
+    * machinery serves every 64-bit perceptual fingerprint.
+    */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "audio")
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        if (payload == null || !MediaCodecs.looksLikeWav(payload)) Nil
+        else try {
+          (id, audioFingerprint64(MediaCodecs.decodeWavSamples(payload)._2)) :: Nil
+        } catch { case _: MediaDecodeException => Nil }
+      }.toDF("media_id", "afp")
+  }
+
   /** Per-image perceptual fingerprints: decode image payloads and emit
     * `(media_id, dhash)`. Runs 1→{0,1} inside the scan stage (flatMap, no
     * shuffle); non-image rows and malformed payloads contribute no rows —
@@ -251,7 +304,7 @@ object Multimodal {
   //               frame f pixel k: (doc_id*31 + f*101 + k*17) % 256
   // ------------------------------------------------------------------------
 
-  private[operators] def synthAudio(docId: Long): Array[Byte] = {
+  private[graft] def synthAudio(docId: Long): Array[Byte] = {
     val rate = (8000 + 4000 * (docId % 4)).toInt
     val n = (64 + docId % 97).toInt
     val samples = new Array[Short](n)

@@ -89,6 +89,35 @@ class ImageDedupSpec extends SparkTestBase {
     assert(expectedDrops.nonEmpty) // the planted variants actually planted
   }
 
+  test("audioFingerprint64 matches the sample-closed-form replay through the real decode") {
+    def closedForm(docId: Long): Long = {
+      val n = (64 + docId % 97).toInt
+      def energy(w: Int): Long =
+        (w * n / 65 until (w + 1) * n / 65).map { i =>
+          val s = (docId * 7919L + i * 104729L) % 4001L - 2000L
+          s * s
+        }.sum
+      var hash = 0L
+      for (j <- 0 until 64) if (energy(j + 1) > energy(j)) hash |= 1L << j
+      hash
+    }
+    (1L until 300L by 3L).foreach { id => // doc_id % 3 == 1: the audio docs
+      val (_, samples) = MediaCodecs.decodeWavSamples(Multimodal.synthAudio(id))
+      assert(Multimodal.audioFingerprint64(samples) == closedForm(id), s"doc_id=$id")
+    }
+
+    val media = Multimodal.mediaFromDocuments(spark, sfDir)
+    val got = Multimodal.audioFingerprints(media).as[(Long, Long)].collect().toMap
+    val audioIds = media.filter(col("modality") === "audio")
+      .select("media_id").as[Long].collect().toSet
+    assert(got.keySet == audioIds)
+    got.foreach { case (id, h) => assert(h == closedForm(id), s"doc_id=$id") }
+    // junk degrades to no row, never an exception
+    val broken = Seq((1L, "audio", Array[Byte]('R', 'I', 'F', 'F', 9)))
+      .toDF("media_id", "modality", "payload")
+    assert(Multimodal.audioFingerprints(broken).count() == 0)
+  }
+
   test("hammingDedup rejects configurations that break the pigeonhole guarantee") {
     val df = Seq((1L, 0L)).toDF("id", "fp")
     intercept[IllegalArgumentException] {
