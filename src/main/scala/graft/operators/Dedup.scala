@@ -218,6 +218,43 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Ids of `batch` rows whose fingerprint has a corpus fingerprint within
+    * hamming `maxHamming` — the corpus-facing half of a fingerprint
+    * ingestion gate ([[graft.streaming.Streaming.ingestFingerprintBatch]]).
+    * Same pigeonhole-exact banding as [[hammingDedup]]: the band join is a
+    * superset of the ball, `bit_count` confirms exactly. The batch side is
+    * bounded (one micro-batch), so its banded form broadcasts and the
+    * corpus fingerprint table never shuffles.
+    */
+  private[graft] def hammingRejects(
+      corpusFps: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int,
+      bands: Int): DataFrame = {
+    require(bands >= 2 && bands <= 64 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands)")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"exactness needs maxHamming < bands (got $maxHamming vs $bands)")
+    val width = 64 / bands
+    val mask = (1L << width) - 1L
+    def banded(df: DataFrame, id: Option[String]): DataFrame = {
+      val bandCols = (0 until bands).map(b =>
+        shiftright(col(fpCol), b * width).bitwiseAND(lit(mask)))
+      df.select(id.map(col).toSeq :+ col(fpCol) :+
+          posexplode(array(bandCols: _*)): _*)
+        .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
+    }
+    val b = banded(batch.select(col(idCol), col(fpCol)), Some(idCol))
+      .select(col("__band"), col("__bucket"), col(idCol), col(fpCol).as("__fa"))
+    val c = banded(corpusFps.select(col(fpCol)), None)
+      .select(col("__band"), col("__bucket"), col(fpCol).as("__fb"))
+    broadcast(b).join(c, Seq("__band", "__bucket"))
+      .filter(bit_count(col("__fa").bitwiseXOR(col("__fb"))) <= maxHamming)
+      .select(col(idCol)).distinct()
+  }
+
   /** n-gram Jaccard near-dup: MinHash-LSH candidate buckets, then exact
     * Jaccard over word n-gram sets (`array_intersect`/`array_union` — native,
     * codegen'd) as the verify step. Keeps the smaller id of a verified pair.

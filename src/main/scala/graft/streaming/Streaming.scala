@@ -651,6 +651,69 @@ object Streaming {
   def dedupStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermarkDelay).dropDuplicates("event_id", "ts")
 
+  // ------------------------------------------------- multimodal dedup ingest
+
+  /** Continuous MULTIMODAL dedup ingestion: perceptual fingerprints
+    * (image dHash, audio energy hash — any 64-bit fingerprint) stream in;
+    * a row is admitted iff nothing within hamming `maxHamming` exists in
+    * the corpus fingerprint sidecar or earlier in the batch, and admitted
+    * fingerprints append to the sidecar. The corpus never re-fingerprints:
+    * the sidecar IS the index — 16 bytes per corpus item, the whole reason
+    * perceptual hashes are the right ingestion-gate currency at 100 TB
+    * (probing a billion-image corpus = a band equi-join against a 16 GB
+    * table, pruned to collisions).
+    */
+  def ingestFingerprintStream(
+      fps: DataFrame,
+      sidecarDir: String,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int = 2,
+      bands: Int = 8): StreamingQuery =
+    fps.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestFingerprintBatch(batch, sidecarDir, idCol, fpCol, maxHamming, bands): Unit
+      }
+      .start()
+
+  /** One fingerprint-gated ingestion micro-batch (callable from batch jobs
+    * and tests): within-batch hamming dedup first (the gate must admit one
+    * representative of a batch-internal near-dup family, and be idempotent
+    * under at-least-once replay — a replayed row's own fingerprint is in
+    * the sidecar by then, at distance 0), then the corpus probe (banded
+    * equi-join + exact `bit_count` confirm — the same pigeonhole-exact
+    * construction as [[graft.operators.Dedup.hammingDedup]]), then the
+    * admitted fingerprints append. Returns the admitted count.
+    */
+  def ingestFingerprintBatch(
+      batch: DataFrame,
+      sidecarDir: String,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int = 2,
+      bands: Int = 8): Long = {
+    val spark = batch.sparkSession
+    val kept = graft.operators.Dedup.hammingDedup(
+      batch.select(col(idCol), col(fpCol)), idCol, fpCol, maxHamming, bands)
+    val path = new org.apache.hadoop.fs.Path(sidecarDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val admitted =
+      if (!fs.exists(path)) kept
+      else {
+        val corpusFps = spark.read.parquet(sidecarDir).select(col(fpCol))
+        kept.join(
+          graft.operators.Dedup.hammingRejects(
+            corpusFps, kept, idCol, fpCol, maxHamming, bands),
+          Seq(idCol), "left_anti")
+      }
+    val admittedRows = Checkpointing.materialize(admitted)
+    val n = admittedRows.count()
+    if (n > 0)
+      admittedRows.write.mode("append").parquet(sidecarDir)
+    n
+  }
+
   // ---------------------------------------------------------- streaming PIT
 
   /** A dimension-version record on the update stream. */

@@ -698,6 +698,35 @@ class StreamingSpec extends SparkTestBase {
       Set(("A", 1, Some(5)), ("B", 5, Some(9)), ("C", 9, None)))
   }
 
+  test("ingestFingerprintBatch gates multimodal near-dups and replays idempotently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fp-ingest").toString + "/fps"
+    val base = 0x0123456789abcdefL
+    // batch 1: base, a 1-bit batch-internal variant (in the radius-2 ball),
+    // and an unrelated fingerprint — the family admits ONE representative
+    val b1 = Seq((1L, base), (2L, base ^ (1L << 13)), (3L, ~base))
+      .toDF("media_id", "fp")
+    assert(Streaming.ingestFingerprintBatch(b1, dir, "media_id", "fp") == 2L)
+    val afterB1 = spark.read.parquet(dir).as[(Long, Long)].collect().toMap
+    assert(afterB1.keySet == Set(1L, 3L))
+
+    // batch 2: a 2-bit near-dup of the corpus (rejected), a fresh clip
+    // (admitted), and an exact REPLAY of an admitted row (rejected at
+    // distance 0 — at-least-once delivery cannot double-ingest)
+    val fresh = 0x5555aaaa5555aaaaL
+    val b2 = Seq((10L, base ^ (1L << 3) ^ (1L << 60)), (11L, fresh), (1L, base))
+      .toDF("media_id", "fp")
+    assert(Streaming.ingestFingerprintBatch(b2, dir, "media_id", "fp") == 1L)
+    val afterB2 = spark.read.parquet(dir).as[(Long, Long)].collect().toMap
+    assert(afterB2.keySet == Set(1L, 3L, 11L))
+    assert(afterB2(11L) == fresh)
+
+    // an empty batch appends nothing (no file accretion)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(Streaming.ingestFingerprintBatch(
+      Seq.empty[(Long, Long)].toDF("media_id", "fp"), dir, "media_id", "fp") == 0L)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) == files)
+  }
+
   test("asOfEnrichStream matches the batch as-of join under out-of-order arrival") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
