@@ -78,6 +78,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(listDirs > 2, s"expected one directory per non-empty list, got $listDirs")
   }
 
+  test("persisted IVF-PQ index prunes partitions and reads only codes") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" === 5).select("embedding").head().getSeq[Float](0).toArray
+    val (index, ivf, pq) = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dim = 64, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString + "/index"
+    Similarity.writeIvfIndex(index, dir) // same centroid_id layout: one dir per list
+    val persisted = spark.read.parquet(dir)
+    val fromIndex = Similarity.ivfPqTopK(persisted, ivf, pq, "vec_id", q, k = 10, nprobe = 2)
+    val inMemory = Similarity.ivfPqTopK(index, ivf, pq, "vec_id", q, k = 10, nprobe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows(fromIndex) == rows(inMemory) && rows(fromIndex).nonEmpty)
+    // directory pruning + a code-only ReadSchema: the probe reads 8-byte
+    // codes, never floats — both prunings visible in the scan node
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"probe should partition-prune:\n$plan")
+    assert(!plan.contains("embedding"),
+      s"the ADC probe must not read the float column:\n$plan")
+  }
+
   test("k-means-trained codebook reaches recall@10 >= 0.9 at nprobe=4 vs brute force") {
     // clustered corpus: 16 gaussian centers + small noise. (The testdata
     // embeddings are UNIFORM random vectors — pairwise cosine tops out ~0.4 —
