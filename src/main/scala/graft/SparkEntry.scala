@@ -1859,6 +1859,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("rank"))
     }),
 
+    "drift_report" -> ((s, dir) => {
+      // distribution-drift gate between the standing corpus and an incoming
+      // crawl slice (the same mod-7 split the ingestion gates use): per-lang
+      // counts/shares + total-variation distance, accumulated in fixed
+      // point so the drift number is bitwise deterministic and replayable
+      val docs = Tables.documents(s, dir)
+      operators.DataChecks.distributionDrift(
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+        col("lang"))
+    }),
+
     "data_quality_report" -> ((s, dir) => {
       // declarative expectations over orders, ALL counted in one
       // aggregation over one scan (the reference's data-warning checks as
@@ -3807,6 +3819,28 @@ object SparkEntry {
          |${iter(5)}
          |SELECT id AS doc_id, rank FROM r5""".stripMargin
     },
+
+    // replays the tagged-union histogram, the share divides, and the
+    // fixed-point TVD accumulation (floor(|Δ|·2^30) longs — order-free)
+    "drift_report" ->
+      """WITH c AS (
+        |  SELECT lang AS bucket,
+        |    SUM(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS count_a,
+        |    SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS count_b
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT SUM(count_a) AS ta, SUM(count_b) AS tb FROM c),
+        |p AS (
+        |  SELECT bucket, count_a, count_b,
+        |    CAST(count_a AS DOUBLE) / ta AS share_a,
+        |    CAST(count_b AS DOUBLE) / tb AS share_b
+        |  FROM c, tot),
+        |s AS (
+        |  SELECT SUM(CAST(floor(abs(share_a - share_b) * 1073741824.0) AS BIGINT)) AS q
+        |  FROM p)
+        |SELECT bucket, CAST(count_a AS BIGINT) AS count_a,
+        |  CAST(count_b AS BIGINT) AS count_b, share_a, share_b,
+        |  0.5 * (CAST(q AS DOUBLE) / 1073741824.0) AS tvd
+        |FROM p, s""".stripMargin,
 
     "data_quality_report" ->
       // same one-pass posture: every violation count from one WITH frame

@@ -95,6 +95,57 @@ object DataChecks {
     * wanting the normal-consistent convention multiply k by 1.4826
     * themselves; an exact engine mirror beats a baked-in constant.
     */
+  /** Fixed-point scale for the drift distance accumulation: 2^30. Power-of-
+    * two multiply + floor are IEEE-exact, long sums are order-free — the
+    * same construction as the k-means codebooks, so the summary distance is
+    * bitwise deterministic at any parallelism and an oracle replays it.
+    */
+  private val DriftFp = 1073741824.0
+
+  /** Distribution drift between two snapshots of one relation — the gate a
+    * continuously-ingested training corpus needs before a new crawl slice
+    * joins the mix (lang mix shifted? value histogram moved?). `bucketExpr`
+    * is any bucketing expression (a categorical column, a histogram bin
+    * floor, a quality-score band).
+    *
+    * Returns one row per observed bucket:
+    * (bucket, count_a, count_b, share_a, share_b, tvd) — counts exact,
+    * shares single divides, and `tvd` (constant across rows) the
+    * total-variation distance 0.5·Σ|share_a−share_b|, accumulated in
+    * fixed point so it is order-free. TVD is THE drift number to gate on:
+    * rational, bounded [0,1], and exactly the fraction of the corpus whose
+    * bucket assignment changed.
+    *
+    * Scale shape: one tagged union scan + ONE bucket-keyed aggregation;
+    * the totals and the distance aggregate the |buckets|-sized result, not
+    * the data, and re-attach through single-row broadcast equi-joins (a
+    * literal key, so no nested-loop shape anywhere).
+    */
+  def distributionDrift(a: DataFrame, b: DataFrame, bucketExpr: Column): DataFrame = {
+    val tagged = a.select(bucketExpr.as("bucket"), lit(0).as("__side"))
+      .unionByName(b.select(bucketExpr.as("bucket"), lit(1).as("__side")))
+    val counts = tagged.groupBy(col("bucket"))
+      .agg(
+        sum(when(col("__side") === 0, 1L).otherwise(0L)).as("count_a"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("count_b"))
+    val tot = counts.agg(
+      sum(col("count_a")).as("__ta"), sum(col("count_b")).as("__tb"))
+    val shares = counts
+      .withColumn("__k", lit(1))
+      .join(broadcast(tot.withColumn("__k", lit(1))), Seq("__k"))
+      .select(col("bucket"), col("count_a"), col("count_b"),
+        (col("count_a").cast("double") / col("__ta")).as("share_a"),
+        (col("count_b").cast("double") / col("__tb")).as("share_b"))
+    val dist = shares
+      .agg(sum(floor(abs(col("share_a") - col("share_b")) * lit(DriftFp))
+        .cast("long")).as("__q"))
+      .select((lit(0.5) * (col("__q").cast("double") / lit(DriftFp))).as("tvd"))
+    shares
+      .withColumn("__k", lit(1))
+      .join(broadcast(dist.withColumn("__k", lit(1))), Seq("__k"))
+      .drop("__k")
+  }
+
   def robustOutliers(
       df: DataFrame, groupCol: String, valueCol: String, k: Double = 3.0): DataFrame = {
     val vals = df.select(col(groupCol), col(valueCol)).filter(col(valueCol).isNotNull)

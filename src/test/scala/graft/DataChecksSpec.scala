@@ -66,4 +66,29 @@ class DataChecksSpec extends SparkTestBase {
     assert(sigmaOutliers <= 1L, "the spike drags mean/stddev toward itself")
     assert(r.getDouble(2) < 200.0, "median stays with the inliers")
   }
+
+  test("distributionDrift: exact counts/shares, TVD hand-checked, one-sided buckets survive") {
+    // A: 6 en, 2 de; B: 2 en, 1 de, 1 fr (fr only on the B side)
+    val a = (Seq.fill(6)("en") ++ Seq.fill(2)("de")).zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }.toDF("id", "lang")
+    val b = Seq((100L, "en"), (101L, "en"), (102L, "de"), (103L, "fr"))
+      .toDF("id", "lang")
+    val out = DataChecks.distributionDrift(a, b, col("lang"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // shares: en 0.75 vs 0.5, de 0.25 vs 0.25, fr 0.0 vs 0.25
+    assert(out("en") == ((6L, 2L, 0.75, 0.5, 0.25)))
+    assert(out("de") == ((2L, 1L, 0.25, 0.25, 0.25)))
+    assert(out("fr") == ((0L, 1L, 0.0, 0.25, 0.25)))
+    // TVD = 0.5 * (0.25 + 0 + 0.25) = 0.25 — exactly representable, so the
+    // fixed-point round trip is lossless here
+    assert(out.values.map(_._5).toSet == Set(0.25))
+
+    // partitioning independence: the fixed-point accumulation is order-free
+    val p1 = DataChecks.distributionDrift(a.repartition(1), b.repartition(1), col("lang"))
+      .collect().map(_.toSeq).toSet
+    val p13 = DataChecks.distributionDrift(a.repartition(13), b.repartition(13), col("lang"))
+      .collect().map(_.toSeq).toSet
+    assert(p1 == p13)
+  }
 }

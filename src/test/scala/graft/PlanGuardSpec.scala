@@ -25,7 +25,9 @@ class PlanGuardSpec extends SparkTestBase {
     "minhash_dedup_docs" -> "dedupInvariants 1-row check frames",
     "simhash_dedup_docs" -> "dedupInvariants 1-row check frames",
     "ngram_jaccard_dedup_docs" -> "dedupInvariants 1-row check frames",
-    "incremental_minhash_dedup" -> "incrementalGateInvariants 1-row check frames"
+    "incremental_minhash_dedup" -> "incrementalGateInvariants 1-row check frames",
+    "drift_report" -> ("1-row totals and 1-row TVD scalars broadcast back onto " +
+      "the |buckets|-sized share table (the literal join key folds away)")
   )
 
   // plans that carry a Scala UDF on purpose, with the reason it is exempt
@@ -113,6 +115,7 @@ class PlanGuardSpec extends SparkTestBase {
     "upsert_orders" -> "mod-gate splits base/delta from one table in the fixture",
     "incremental_dedup" -> "mod-gate splits corpus/batch from one table in the fixture",
     "incremental_minhash_dedup" -> "mod-gate splits corpus/batch from one table in the fixture",
+    "drift_report" -> "mod-gate splits corpus/batch from one table in the fixture",
     "contamination_check" -> "mod-gate carves the eval set; shingle overlap needs the text",
     "quality_filter" -> "quality scores are computed FROM the decoded text",
     "curation_pipeline" -> "composed quality + token gates over the decoded text",
