@@ -694,8 +694,14 @@ object Streaming {
       maxHamming: Int = 2,
       bands: Int = 8): Long = {
     val spark = batch.sparkSession
+    // exact-collapse identical fingerprints first (min id per fp): a crawl
+    // batch full of byte-identical images is the common flood, and the
+    // banded pair join would go quadratic inside that bucket — collapsing
+    // first is semantics-free (distance-0 pairs keep the min id either way)
+    val uniq = batch.groupBy(col(fpCol)).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(fpCol))
     val kept = graft.operators.Dedup.hammingDedup(
-      batch.select(col(idCol), col(fpCol)), idCol, fpCol, maxHamming, bands)
+      uniq, idCol, fpCol, maxHamming, bands)
     val path = new org.apache.hadoop.fs.Path(sidecarDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val admitted =

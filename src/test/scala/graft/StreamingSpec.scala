@@ -725,6 +725,15 @@ class StreamingSpec extends SparkTestBase {
     assert(Streaming.ingestFingerprintBatch(
       Seq.empty[(Long, Long)].toDF("media_id", "fp"), dir, "media_id", "fp") == 0L)
     assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) == files)
+
+    // an identical-fingerprint flood (one scraped image duplicated 5k
+    // times) admits exactly its min id — and the exact-collapse keeps the
+    // banded pair join off the quadratic bucket
+    val floodDir = java.nio.file.Files.createTempDirectory("graft-fp-flood").toString + "/fps"
+    val flood = (0L until 5000L).map(i => (i + 1000L, 0x7777000077770000L)).toDF("media_id", "fp")
+    assert(Streaming.ingestFingerprintBatch(flood, floodDir, "media_id", "fp") == 1L)
+    assert(spark.read.parquet(floodDir).as[(Long, Long)].collect().toSeq ==
+      Seq((1000L, 0x7777000077770000L)))
   }
 
   test("asOfEnrichStream matches the batch as-of join under out-of-order arrival") {
