@@ -217,6 +217,23 @@ class PlanGuardSpec extends SparkTestBase {
     "scd2_history" -> (1, "ONE key exchange shared by the lag and lead windows"),
     "bpe_segment" -> (0, "the merge-table replay is a scan-stage replace chain " +
       "inside a transform — zero shuffles by contract"),
+    "pq_ann_topk" -> (1, "spread guard; training/encoding are scan-stage " +
+      "projections against broadcast codebooks, ADC is a fold over the packed " +
+      "long, top-k collapses to TakeOrderedAndProject"),
+    "pq_ann_refined" -> (1, "the ADC shortlist's spread guard; the rerank is a " +
+      "broadcast semi-join + TakeOrderedAndProject — no extra exchange"),
+    "ivfpq_topk" -> (1, "one composed-index spread guard; probe filter + ADC " +
+      "ride the scan stage"),
+    "image_dhash" -> (0, "decode → resample → gradient hash is one scan-stage " +
+      "flatMap; zero shuffles by contract"),
+    "image_dedup" -> (4, "band explode feeds the candidate self-join (2 " +
+      "exchanges), verified drops distinct, survivors anti-join — the " +
+      "pigeonhole-exact LSH plan"),
+    "audio_fingerprint" -> (0, "WAV decode → windowed energies → sign hash is " +
+      "one scan-stage flatMap; zero shuffles by contract"),
+    "drift_report" -> (3, "ONE bucket-keyed count aggregation + the two 1-row " +
+      "scalar re-attach aggs (totals, fixed-point TVD); the data is scanned " +
+      "once and shuffled once"),
     "dsir_select" -> (3, "per-doc score agg + docs-side exchange for the all-docs " +
       "left join + the trivial 1024-row totals collapse; the corpus-sized bucket " +
       "agg runs ONCE inside the model checkpoint, model/totals broadcast, " +
