@@ -1859,6 +1859,23 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("rank"))
     }),
 
+    "semantic_contamination" -> ((s, dir) => {
+      // embedding-space benchmark decontamination: paraphrased eval items
+      // the shingle check can't see. The eval set is a mod-23 slice of the
+      // corpus RE-EMBEDDED with one dimension's sign flipped (a
+      // deterministic paraphrase stand-in — cosine stays near 1); each eval
+      // item must surface its corpus source. One row per eval item,
+      // zero-hit items kept; 8-bit bands buy the recall a contamination
+      // gate needs at this radius
+      val emb = Tables.embeddings(s, dir)
+      val evalSet = emb.filter(pmod(col("vec_id"), lit(23)) === 0)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
+      Dedup.semanticContamination(emb, evalSet,
+        "vec_id", "embedding", dim = 64, threshold = 0.9, bandBits = 8)
+    }),
+
     "drift_report" -> ((s, dir) => {
       // distribution-drift gate between the standing corpus and an incoming
       // crawl slice (the same mod-7 split the ingestion gates use): per-lang
@@ -3819,6 +3836,44 @@ object SparkEntry {
          |${iter(5)}
          |SELECT id AS doc_id, rank FROM r5""".stripMargin
     },
+
+    // replays the cross-table sign-LSH banding (same hyperplane literal as
+    // the embedding dedup family) + exact cosine confirm + per-eval rollup
+    "semantic_contamination" ->
+      s"""WITH planes(pid, pv) AS (VALUES
+         |  ${sqlPlanes(32, 64)}),
+         |ev AS (
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list_transform(range(1, len(embedding)+1),
+         |      i -> CASE WHEN i = 1 THEN -embedding[i] ELSE embedding[i] END) AS embedding
+         |  FROM embeddings WHERE vec_id % 23 = 0),
+         |esig AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    sum(CASE WHEN ${sqlDot("e.embedding", "p.pv")} >= 0
+         |             THEN 1::BIGINT << p.pid ELSE 0 END)::BIGINT AS sign
+         |  FROM ev e, planes p GROUP BY e.vec_id, e.embedding),
+         |csig AS (
+         |  SELECT c.vec_id, c.embedding,
+         |    sum(CASE WHEN ${sqlDot("c.embedding", "p.pv")} >= 0
+         |             THEN 1::BIGINT << p.pid ELSE 0 END)::BIGINT AS sign
+         |  FROM embeddings c, planes p GROUP BY c.vec_id, c.embedding),
+         |eb AS (
+         |  SELECT vec_id, embedding, b.band, (sign >> (b.band * 8)) & 255 AS bucket
+         |  FROM esig, (VALUES (0), (1), (2), (3)) b(band)),
+         |cb AS (
+         |  SELECT vec_id, embedding, b.band, (sign >> (b.band * 8)) & 255 AS bucket
+         |  FROM csig, (VALUES (0), (1), (2), (3)) b(band)),
+         |pairs AS (
+         |  SELECT DISTINCT e.vec_id AS eid, c.vec_id AS cid,
+         |    ${sqlCos("e.embedding", "c.embedding")} AS cs
+         |  FROM eb e JOIN cb c ON e.band = c.band AND e.bucket = c.bucket
+         |  WHERE ${sqlCos("e.embedding", "c.embedding")} >= 0.9),
+         |hits AS (
+         |  SELECT eid, count(*) AS n, max(cs) AS mx FROM pairs GROUP BY eid)
+         |SELECT ev.vec_id AS eval_id,
+         |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_corpus_hits,
+         |  h.mx AS max_cos
+         |FROM ev LEFT JOIN hits h ON h.eid = ev.vec_id""".stripMargin,
 
     // replays the tagged-union histogram, the share divides, and the
     // fixed-point TVD accumulation (floor(|Δ|·2^30) longs — order-free)

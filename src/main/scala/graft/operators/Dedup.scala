@@ -498,6 +498,54 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
   }
 
+  /** SEMANTIC benchmark decontamination: for every evaluation vector, the
+    * corpus vectors within cosine `threshold` — paraphrased or re-embedded
+    * eval items that the shingle-overlap check
+    * ([[TextAnalysis.contaminationCheck]]) cannot see, found in embedding
+    * space. Returns one row PER EVAL ITEM: (eval_id, n_corpus_hits,
+    * max_cos) with zero-hit items kept (the report a decontamination run
+    * signs off on).
+    *
+    * Scale shape: sign-LSH bands on BOTH sides (the same deterministic
+    * hyperplane codebook as the embedding dedup family), so the join is an
+    * equi-join on (band, bucket) whose volume is collisions, never
+    * |corpus|×|eval|; the exact cosine confirms each candidate. The eval
+    * side is benchmark-sized — at cluster scale its banded form broadcasts.
+    */
+  def semanticContamination(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      numPlanes: Int = 32,
+      bandBits: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    def banded(df: DataFrame): DataFrame = {
+      val signed = Ops.spread(df.select(col(idCol), col(vecCol)))
+        .select(col(idCol), col(vecCol), signBitsCol(col(vecCol), planes).as("__sign"))
+      explodeSignBands(signed, Seq(col(idCol), col(vecCol)), numPlanes, bandBits)
+    }
+    val eb = banded(evalSet)
+      .select(col("__band"), col("__bucket"), col(idCol).as("__eid"), col(vecCol).as("__ev"))
+    val cb = banded(corpus)
+      .select(col("__band"), col("__bucket"), col(idCol).as("__cid"), col(vecCol).as("__cv"))
+    val cos = VectorExpressions.cosine(col("__ev"), col("__cv"))
+    val pairs = broadcast(eb).join(cb, Seq("__band", "__bucket"))
+      .filter(cos >= threshold)
+      .select(col("__eid"), col("__cid"), cos.as("__cos"))
+      .distinct()
+    val hits = pairs.groupBy(col("__eid"))
+      .agg(count(lit(1)).as("n_corpus_hits"), max(col("__cos")).as("max_cos"))
+    evalSet.select(col(idCol).as("eval_id"))
+      .join(hits.withColumnRenamed("__eid", "eval_id"), Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_corpus_hits"), lit(0L)).as("n_corpus_hits"),
+        col("max_cos"))
+  }
+
   /** Embedding dedup with EXACT duplicate clusters: connected components
     * over the verified pair graph, keep each component's smallest id. The
     * greedy bucket rule ([[embeddingCosine]]) can over-drop when b duplicates

@@ -283,6 +283,32 @@ class DedupSpec extends SparkTestBase {
     assert(admitted == Set(1L, 3L), s"batch-internal near-dup family keeps its min id: $admitted")
   }
 
+  test("semanticContamination surfaces re-embedded eval items and keeps zero-hit rows") {
+    val rnd = new scala.util.Random(59)
+    val dim = 64
+    val corpus = (0L until 200L)
+      .map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    // eval: two corpus vectors with a tiny deterministic perturbation (the
+    // paraphrase stand-in) + one unrelated vector that must report 0 hits
+    val evalDf = Seq(
+      (1000L, corpus(17)._2.map(x => x * 1.001f)),
+      (1001L, corpus(42)._2.map(x => x * 0.999f)),
+      (1002L, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val out = operators.Dedup.semanticContamination(
+      corpusDf, evalDf, "vec_id", "embedding", dim = dim,
+      threshold = 0.99, bandBits = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(out.keySet == Set(1000L, 1001L, 1002L), "every eval item reports")
+    assert(out(1000L)._1 >= 1L && out(1001L)._1 >= 1L,
+      s"scaled copies must surface their sources: $out")
+    assert(out(1002L) == ((0L, None)), "unrelated eval item: zero hits, null max_cos")
+    // a uniform positive scaling leaves cosine at ~1 — the max_cos of a
+    // found source reflects that
+    assert(out(1000L)._2.exists(_.asInstanceOf[Double] > 0.999))
+  }
+
   test("containmentScores finds A-inside-B that Jaccard dilutes away") {
     val frame = Seq(
       // A: 6 tokens -> 2 distinct 5-shingles, both inside B

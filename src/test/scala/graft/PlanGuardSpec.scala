@@ -116,6 +116,7 @@ class PlanGuardSpec extends SparkTestBase {
     "incremental_dedup" -> "mod-gate splits corpus/batch from one table in the fixture",
     "incremental_minhash_dedup" -> "mod-gate splits corpus/batch from one table in the fixture",
     "drift_report" -> "mod-gate splits corpus/batch from one table in the fixture",
+    "semantic_contamination" -> "mod-gate carves the eval slice from one table in the fixture",
     "contamination_check" -> "mod-gate carves the eval set; shingle overlap needs the text",
     "quality_filter" -> "quality scores are computed FROM the decoded text",
     "curation_pipeline" -> "composed quality + token gates over the decoded text",
