@@ -1859,6 +1859,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("rank"))
     }),
 
+    "resample_daily" -> ((s, dir) => {
+      // time-series gap fill: every user's value stream resampled to a
+      // daily grid with forward fill (sample-and-hold) — grid bounds from
+      // one agg, the fill IS the engine's as-of join. ~150 users × ≤30
+      // days at this sf; at corpus scale output = keys × span/step, by
+      // construction
+      val day = 86400000000L
+      val ev = Sources.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("value"))
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
+          col("event_id"), col("value"))
+      operators.Ops.resampleForward(ev, Seq("user_id"), "ts_us",
+        Seq("value"), "event_id", day)
+    }),
+
     "semantic_contamination" -> ((s, dir) => {
       // embedding-space benchmark decontamination: paraphrased eval items
       // the shingle check can't see. The eval set is a mod-23 slice of the
@@ -3836,6 +3851,27 @@ object SparkEntry {
          |${iter(5)}
          |SELECT id AS doc_id, rank FROM r5""".stripMargin
     },
+
+    // replays the per-key grid derivation (first multiple of a day ≥ min,
+    // last ≤ max) and the forward fill via DuckDB's own ASOF join, with the
+    // same keep-first same-instant tiebreak
+    "resample_daily" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value
+        |  FROM events),
+        |b AS (SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx FROM e GROUP BY user_id),
+        |g AS (
+        |  SELECT user_id, unnest(range(
+        |    ((mn + 86399999999) // 86400000000) * 86400000000,
+        |    mx + 1, 86400000000)) AS ts_us
+        |  FROM b),
+        |d AS (
+        |  SELECT user_id, ts_us, value FROM (
+        |    SELECT user_id, ts_us, value,
+        |      row_number() OVER (PARTITION BY user_id, ts_us ORDER BY event_id) AS rn
+        |    FROM e) x WHERE rn = 1)
+        |SELECT g.user_id, g.ts_us, d.value
+        |FROM g ASOF JOIN d ON g.user_id = d.user_id AND g.ts_us >= d.ts_us""".stripMargin,
 
     // replays the cross-table sign-LSH banding (same hyperplane literal as
     // the embedding dedup family) + exact cosine confirm + per-eval rollup

@@ -130,12 +130,17 @@ object DataChecks {
         sum(when(col("__side") === 1, 1L).otherwise(0L)).as("count_b"))
     val tot = counts.agg(
       sum(col("count_a")).as("__ta"), sum(col("count_b")).as("__tb"))
+    // an empty side means "no snapshot": its shares are 0, not NaN — the
+    // drift against nothing is then exactly 0.5·Σ share_other = 0.5 (or 0
+    // when both are empty), never a NaN that poisons the fold
+    def share(cnt: Column, totCol: Column): Column =
+      when(totCol > 0, cnt.cast("double") / totCol).otherwise(lit(0.0))
     val shares = counts
       .withColumn("__k", lit(1))
       .join(broadcast(tot.withColumn("__k", lit(1))), Seq("__k"))
       .select(col("bucket"), col("count_a"), col("count_b"),
-        (col("count_a").cast("double") / col("__ta")).as("share_a"),
-        (col("count_b").cast("double") / col("__tb")).as("share_b"))
+        share(col("count_a"), col("__ta")).as("share_a"),
+        share(col("count_b"), col("__tb")).as("share_b"))
     val dist = shares
       .agg(sum(floor(abs(col("share_a") - col("share_b")) * lit(DriftFp))
         .cast("long")).as("__q"))

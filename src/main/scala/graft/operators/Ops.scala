@@ -217,4 +217,38 @@ object Ops {
     }
     sortBy(spec.sortBy)(afterProj)
   }
+
+  /** Time-series resampling to a regular grid with forward fill (the
+    * kdb/Flink "sample-and-hold" shape): per key, grid points at every
+    * multiple of `stepMicros` within the key's observed span, each carrying
+    * the LAST observation at or before it. The grid starts at the first
+    * multiple ≥ the key's min timestamp, so every emitted point has an
+    * observation to inherit — no partial rows, no sentinel values.
+    *
+    * Composition, not new machinery: per-key bounds are one aggregation,
+    * the grid is a bounded `sequence` explode (≤ span/step rows per key —
+    * state the step in the key's natural cadence, not microseconds, or the
+    * explode IS the output size), and the fill is the engine's own as-of
+    * join ([[Joins.asOfJoin]] — union + one keyed window, one shuffle).
+    * Same-instant observation ties break by `tieBreak` keep-first, the
+    * as-of contract.
+    */
+  def resampleForward(
+      df: DataFrame,
+      keys: Seq[String],
+      tsMicrosCol: String,
+      payload: Seq[String],
+      tieBreak: String,
+      stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, s"stepMicros must be positive (got $stepMicros)")
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(min(col(tsMicrosCol)).as("__mn"), max(col(tsMicrosCol)).as("__mx"))
+    val first = expr(s"((__mn + ${stepMicros - 1}) DIV $stepMicros) * $stepMicros")
+    val grid = bounds
+      .select(keys.map(col) :+ explode(
+        when(first <= col("__mx"),
+          sequence(first, col("__mx"), lit(stepMicros)))
+          .otherwise(array().cast("array<long>"))).as(tsMicrosCol): _*)
+    Joins.asOfJoin(grid, df, keys, tsMicrosCol, tsMicrosCol, payload, tieBreak)
+  }
 }

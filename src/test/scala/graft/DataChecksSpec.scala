@@ -90,5 +90,13 @@ class DataChecksSpec extends SparkTestBase {
     val p13 = DataChecks.distributionDrift(a.repartition(13), b.repartition(13), col("lang"))
       .collect().map(_.toSeq).toSet
     assert(p1 == p13)
+
+    // an EMPTY side is "no snapshot", not a NaN factory: its shares are 0
+    // and the drift against nothing is exactly 0.5 (total mass moved)
+    val empty = Seq.empty[(Long, String)].toDF("id", "lang")
+    val vsEmpty = DataChecks.distributionDrift(a, empty, col("lang"))
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(vsEmpty.forall(t => t._3 == 0.0 && !t._2.isNaN))
+    assert(vsEmpty.map(_._4).toSet == Set(0.5))
   }
 }

@@ -100,4 +100,26 @@ class OpsSpec extends SparkTestBase {
     assert(out.columns.toSeq == Seq("id", "k"))
     assert(out.select("id").as[Long].collect().toSeq == Seq(2L, 1L))
   }
+
+  test("resampleForward: aligned grid, forward fill, ties keep-first, sub-step keys vanish") {
+    val obs = Seq(
+      // key "a": obs at 5 and 25 -> grid {10, 20}, both inherit t=5's value
+      ("a", 5L, 1L, 1.5), ("a", 25L, 2L, 2.5),
+      // key "b": one obs exactly ON a multiple -> a single self-filled point
+      ("b", 30L, 3L, 3.5),
+      // key "c": span (11..14) contains no multiple of 10 -> no rows
+      ("c", 11L, 4L, 4.5), ("c", 14L, 5L, 4.6),
+      // key "d": same-instant tie at t=10 -> keep-first by event id
+      ("d", 10L, 7L, 7.5), ("d", 10L, 6L, 6.5))
+      .toDF("k", "ts_us", "eid", "v")
+    val got = operators.Ops.resampleForward(obs, Seq("k"), "ts_us", Seq("v"), "eid", 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      ("a", 10L, 1.5), ("a", 20L, 1.5),
+      ("b", 30L, 3.5),
+      ("d", 10L, 6.5)))
+    intercept[IllegalArgumentException] {
+      operators.Ops.resampleForward(obs, Seq("k"), "ts_us", Seq("v"), "eid", 0L)
+    }
+  }
 }
