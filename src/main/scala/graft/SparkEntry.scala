@@ -1859,6 +1859,37 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("rank"))
     }),
 
+    "compression_quality" -> ((s, dir) => {
+      // deflate-ratio quality signal (RedPajama/Gopher-line gate): DuckDB
+      // ships no deflate, so the query emits provable invariants — every
+      // ratio positive, long docs never expand past the stored-block
+      // overhead, and appending an exact copy of a doc to itself MUST
+      // compress better (the back-reference test: a broken kernel that
+      // ignored its window would fail it on every doc)
+      val docs = Tables.documents(s, dir)
+      val base = TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      val doubled = TextAnalysis.compressionRatio(
+        docs.select(col("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text")),
+        "doc_id", "text")
+        .select(col("doc_id"), col("ratio").as("ratio2"))
+      base.join(doubled, Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("total"),
+          sum(when(col("ratio") <= 0.0, 1L).otherwise(0L)).as("nonpos"),
+          sum(when(col("n_bytes") >= 100 && col("ratio2") >= col("ratio"), 1L)
+            .otherwise(0L)).as("dbl"),
+          sum(when(col("n_bytes") >= 100 && col("ratio") > 1.1, 1L)
+            .otherwise(0L)).as("expand"))
+        .selectExpr(
+          """stack(4,
+            | 'total_docs', CAST(total AS BIGINT),
+            | 'nonpositive_ratio', CAST(nonpos AS BIGINT),
+            | 'doubled_not_better_ge100', CAST(dbl AS BIGINT),
+            | 'expansion_over_1p1_ge100', CAST(expand AS BIGINT)
+            |) AS (chk, n)""".stripMargin)
+    }),
+
     "resample_daily" -> ((s, dir) => {
       // time-series gap fill: every user's value stream resampled to a
       // daily grid with forward fill (sample-and-hold) — grid bounds from
@@ -3851,6 +3882,14 @@ object SparkEntry {
          |${iter(5)}
          |SELECT id AS doc_id, rank FROM r5""".stripMargin
     },
+
+    // deflate runs no place in DuckDB: the invariants state the provable
+    // expected values (see the query comment for why each must hold)
+    "compression_quality" ->
+      """SELECT 'total_docs' AS chk, CAST(count(*) AS BIGINT) AS n FROM documents
+        |UNION ALL SELECT 'nonpositive_ratio', 0
+        |UNION ALL SELECT 'doubled_not_better_ge100', 0
+        |UNION ALL SELECT 'expansion_over_1p1_ge100', 0""".stripMargin,
 
     // replays the per-key grid derivation (first multiple of a day ≥ min,
     // last ≤ max) and the forward fill via DuckDB's own ASOF join, with the

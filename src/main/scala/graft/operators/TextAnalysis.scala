@@ -432,4 +432,42 @@ object TextAnalysis {
       score.as("score"),
       when(score > 0, 1L).otherwise(-1L).as("predicted"))
   }
+
+  /** Per-document DEFLATE compression ratio — the corpus-quality signal the
+    * RedPajama/Gopher-line pipelines gate on: templated/boilerplate text
+    * compresses far below natural prose, token soup barely compresses at
+    * all. Runs as a partition-batched typed transform (one `Deflater` per
+    * partition, reset per row — the [[Multimodal]] pattern, not a row UDF),
+    * so at corpus scale it is an embarrassingly parallel scan-stage pass.
+    *
+    * Returns (id, n_bytes, n_compressed, ratio) with ratio =
+    * compressed/raw over UTF-8 bytes; empty/null text reports (0, 0, 1.0).
+    * Deterministic for a fixed JVM's zlib at the fixed level; correctness
+    * checks are therefore invariant-style (DuckDB ships no deflate).
+    */
+  def compressionRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        val buf = new Array[Byte](16 * 1024)
+        it.map { case (id, text) =>
+          val raw =
+            if (text == null) Array.emptyByteArray
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (raw.isEmpty) (id, 0L, 0L, 1.0)
+          else {
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var comp = 0L
+            while (!deflater.finished()) comp += deflater.deflate(buf)
+            (id, raw.length.toLong, comp, comp.toDouble / raw.length)
+          }
+        }
+      }
+      .toDF(idCol, "n_bytes", "n_compressed", "ratio")
+  }
 }

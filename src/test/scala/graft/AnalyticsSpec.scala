@@ -202,4 +202,26 @@ class AnalyticsSpec extends SparkTestBase {
     assert(observed == expected)
     assert(spark.read.parquet(dir).count() == expected)
   }
+
+  test("compressionRatio separates boilerplate from noise and handles empties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val noisy = (0 until 400).map(_ => rnd.nextPrintableChar()).mkString
+    val docs = Seq(
+      (1L, "lorem ipsum " * 50),  // templated boilerplate
+      (2L, noisy),                // high-entropy text
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L)._3 < 0.2, s"boilerplate compresses hard: ${out(1L)}")
+    assert(out(2L)._3 > out(1L)._3 * 3, "noise compresses far worse than boilerplate")
+    assert(out(1L)._1 == 600L && out(1L)._2 > 0L)
+    assert(out(3L) == ((0L, 0L, 1.0)) && out(4L) == ((0L, 0L, 1.0)))
+    // deterministic across partitionings (one deflater per partition, reset per row)
+    val p13 = graft.operators.TextAnalysis.compressionRatio(docs.repartition(13), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(p13 == out.map { case (k, (a, b, c)) => Seq[Any](k, a, b, c) }.toSet)
+  }
 }
