@@ -504,10 +504,57 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       nlist: Int = 16, iters: Int = 2,
       m: Int = 8, k: Int = 16): (DataFrame, IvfModel, PqModel) = {
-    val init = corpus.orderBy(col(idCol)).limit(nlist)
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k >= 2 && k <= 16, s"k=$k must fit a 4-bit code")
+    val subDim = dim / m
+    val seedCount = math.max(nlist, k)
+    val seedVecs = corpus.orderBy(col(idCol)).limit(seedCount)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
-    val coarse = trainCodebook(corpus, idCol, vecCol, init, iters)
-    val pq = pqTrain(corpus, idCol, vecCol, dim, m, k, iters)
+    require(seedVecs.length == seedCount, s"corpus has < $seedCount vectors")
+    // JOINT Lloyd: the coarse quantizer and all m subspace codebooks update
+    // from ONE aggregation per iteration — the per-row assignments are m+1
+    // broadcast-codebook projections in the scan stage, and the update keys
+    // (quantizer, cell, dim) never interact, so the result is bitwise the
+    // one separate training produces at half the corpus passes. At 100 TB
+    // the corpus passes ARE the build cost; the codebooks stay driver-sized.
+    var coarse: Array[Array[Float]] = Array.tabulate(nlist)(c => seedVecs(c).clone())
+    var books: Array[Array[Array[Float]]] =
+      Array.tabulate(m, k)((s, c) => seedVecs(c).slice(s * subDim, (s + 1) * subDim))
+    var it = 0
+    while (it < iters) {
+      val cidCols = (0 until m).map(s => VectorExpressions
+        .nearestCentroid(slice(col(vecCol), s * subDim + 1, subDim), books(s))
+        .as(s"__cid$s")) :+
+        VectorExpressions.nearestCentroid(col(vecCol), coarse).as("__cidFull")
+      val subEntries = for { s <- 0 until m; d <- 0 until subDim } yield struct(
+        lit(s).as("s"), col(s"__cid$s").as("cid"), lit(d).as("d"),
+        element_at(col(vecCol), s * subDim + d + 1).as("x"))
+      val coarseEntries = (0 until dim).map(d => struct(
+        lit(m).as("s"), col("__cidFull").as("cid"), lit(d).as("d"),
+        element_at(col(vecCol), d + 1).as("x")))
+      val rows = Ops.spread(corpus.select(col(vecCol)))
+        .select(col(vecCol) +: cidCols: _*)
+        .select(explode(array(subEntries ++ coarseEntries: _*)).as("e"))
+        .select(col("e.s"), col("e.cid"), col("e.d"), col("e.x"))
+        .groupBy(col("s"), col("cid"), col("d"))
+        .agg(sum(floor(col("x").cast("double") * lit(FixedPoint))).as("qsum"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val nextBooks = books.map(_.map(_.clone()))
+      val nextCoarse = coarse.map(_.clone())
+      rows.foreach { r =>
+        val s = r.getInt(0); val cid = r.getInt(1); val d = r.getInt(2)
+        val mean = ((r.getLong(3).toDouble / r.getLong(4)) / FixedPoint).toFloat
+        if (s >= 0 && s < m && cid >= 0 && cid < k && d >= 0 && d < subDim)
+          nextBooks(s)(cid)(d) = mean
+        else if (s == m && cid >= 0 && cid < nlist && d >= 0 && d < dim)
+          nextCoarse(cid)(d) = mean
+      }
+      books = nextBooks
+      coarse = nextCoarse
+      it += 1
+    }
+    val pq = PqModel(m, k, subDim, books)
     val index = Ops.spread(corpus.select(col(idCol), col(vecCol)))
       .select(col(idCol),
         VectorExpressions.nearestCentroid(col(vecCol), coarse).as("centroid_id"),
