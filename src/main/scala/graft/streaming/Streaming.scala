@@ -720,6 +720,56 @@ object Streaming {
     n
   }
 
+  // ------------------------------------------------------- drift monitoring
+
+  /** Continuous ingestion drift monitoring: every micro-batch's bucket
+    * distribution compared against a reference snapshot
+    * ([[graft.operators.DataChecks.distributionDrift]]), one metrics row
+    * `(batch_id, n_rows, tvd)` appended per non-empty batch. The metrics
+    * table is what an operator alerts on — a crawl source going bad shows
+    * up as a TVD step long before a correctness check can fire, and the
+    * fixed-point TVD is deterministic, so replayed batches append the same
+    * number. The reference is re-planned per batch (a refreshed snapshot
+    * table is picked up without restarting the query).
+    */
+  def driftMonitorStream(
+      stream: DataFrame,
+      reference: DataFrame,
+      bucketExpr: org.apache.spark.sql.Column,
+      metricsDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        driftMonitorBatch(batch, batchId, reference, bucketExpr, metricsDir): Unit
+      }
+      .start()
+
+  /** One monitoring micro-batch (the foreachBatch body): returns the TVD,
+    * or None for an empty batch (nothing is appended — an empty batch has
+    * no distribution, and "drift 0.5 against nothing" would page someone
+    * for an idle source).
+    */
+  def driftMonitorBatch(
+      batch: DataFrame,
+      batchId: Long,
+      reference: DataFrame,
+      bucketExpr: org.apache.spark.sql.Column,
+      metricsDir: String): Option[Double] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val counted = Checkpointing.materialize(
+      graft.operators.DataChecks.distributionDrift(reference, batch, bucketExpr)
+        .select(col("count_b"), col("tvd")))
+    val n = counted.agg(coalesce(sum(col("count_b")), lit(0L))).head().getLong(0)
+    if (n == 0) None
+    else {
+      val tvd = counted.select(col("tvd")).head().getDouble(0)
+      Seq((batchId, n, tvd)).toDF("batch_id", "n_rows", "tvd")
+        .write.mode("append").parquet(metricsDir)
+      Some(tvd)
+    }
+  }
+
   // ---------------------------------------------------------- streaming PIT
 
   /** A dimension-version record on the update stream. */

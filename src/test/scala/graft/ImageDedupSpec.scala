@@ -118,6 +118,24 @@ class ImageDedupSpec extends SparkTestBase {
     assert(Multimodal.audioFingerprints(broken).count() == 0)
   }
 
+  test("degenerate media: 1x1 images and 0-sample WAVs fingerprint to flat hashes") {
+    // 1×1 image: every 9×8 resample cell is the same pixel → zero gradient
+    // everywhere → dHash 0 (not a crash, not a partial hash)
+    val one = MediaCodecs.DecodedImage(1, 1, Array[Byte](10, 20, 30))
+    assert(Multimodal.dHash64(one) == 0L)
+    // 0-sample WAV: every energy window is empty (0) → fingerprint 0
+    assert(Multimodal.audioFingerprint64(Array.emptyShortArray) == 0L)
+    val silent = MediaCodecs.encodeWav(8000, Array.emptyShortArray)
+    val (_, decoded) = MediaCodecs.decodeWavSamples(silent)
+    assert(decoded.isEmpty && Multimodal.audioFingerprint64(decoded) == 0L)
+    // flat-hash floods meet the hammingDedup contract, not a quadratic
+    // surprise: identical zero hashes collapse to the min id
+    val flat = (0L until 100L).map((_, 0L)).toDF("id", "fp")
+    val kept = Dedup.hammingDedup(flat, "id", "fp", maxHamming = 2, bands = 8)
+      .select("id").as[Long].collect().toSeq
+    assert(kept == Seq(0L))
+  }
+
   test("hammingDedup rejects configurations that break the pigeonhole guarantee") {
     val df = Seq((1L, 0L)).toDF("id", "fp")
     intercept[IllegalArgumentException] {

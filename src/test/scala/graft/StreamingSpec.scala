@@ -736,6 +736,28 @@ class StreamingSpec extends SparkTestBase {
       Seq((1000L, 0x7777000077770000L)))
   }
 
+  test("driftMonitorBatch appends one deterministic TVD row per non-empty batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString + "/metrics"
+    val ref = (Seq.fill(6)("en") ++ Seq.fill(2)("de")).zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }.toDF("id", "lang")
+    // batch 0 mirrors the reference mix exactly -> TVD 0
+    val b0 = (Seq.fill(3)("en") ++ Seq.fill(1)("de")).zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }.toDF("id", "lang")
+    assert(Streaming.driftMonitorBatch(b0, 0L, ref, col("lang"), dir) == Some(0.0))
+    // batch 1 is disjoint from the reference -> the whole mass moved:
+    // TVD = 0.5*(|0.75-0| + |0.25-0| + |0-1|) = 1.0, exactly
+    val b1 = Seq((10L, "fr"), (11L, "fr")).toDF("id", "lang")
+    val t1 = Streaming.driftMonitorBatch(b1, 1L, ref, col("lang"), dir)
+    assert(t1 == Some(1.0))
+    // empty batch: no row appended, no "drift against nothing" page
+    assert(Streaming.driftMonitorBatch(
+      Seq.empty[(Long, String)].toDF("id", "lang"), 2L, ref, col("lang"), dir).isEmpty)
+    val rows = spark.read.parquet(dir).as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(rows.map(r => (r._1, r._2)) == Seq((0L, 4L), (1L, 2L)))
+    // replay determinism: the same batch appends the same number
+    assert(Streaming.driftMonitorBatch(b1, 3L, ref, col("lang"), dir) == t1)
+  }
+
   test("asOfEnrichStream matches the batch as-of join under out-of-order arrival") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
