@@ -963,9 +963,13 @@ object Dedup {
     // its representative and verifies at cosine 1 ≥ any threshold — same
     // survivors, bounded pair volume under duplicate floods
     val reps = distinctContent(df, idCol, vecCol)
-    val assigned = reps.select(
+    // materialized once: five consumers read the assignment (sizes, both
+    // sides of the small-cluster pair join, the guarded path, the final
+    // label join) and each would otherwise replay the distinct-content
+    // shuffle AND the nearest-centroid projection from scratch
+    val assigned = Checkpointing.materialize(reps.select(
       col(idCol), col(vecCol),
-      VectorExpressions.nearestCentroid(col(vecCol), cents).as("centroid_id"))
+      VectorExpressions.nearestCentroid(col(vecCol), cents).as("centroid_id")))
     // cluster sizes: at most nlist rows — broadcast back onto the assignment
     val sizes = assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("__csize"))
     val flagged = assigned.join(broadcast(sizes), Seq("centroid_id"))
@@ -1002,7 +1006,10 @@ object Dedup {
       .select(col(idCol))
 
     val drops = dropsSmall.unionByName(dropsBig).distinct()
-    df.join(reps.join(drops, Seq(idCol), "left_anti").select(col(idCol)),
+    // survivors resolve against the materialized assignment (same id set as
+    // reps) — going back through reps would replay the distinct-content
+    // shuffle a sixth time
+    df.join(assigned.join(drops, Seq(idCol), "left_anti").select(col(idCol)),
       Seq(idCol), "left_semi")
       .join(assigned.select(col(idCol), col("centroid_id")), Seq(idCol), "left")
   }

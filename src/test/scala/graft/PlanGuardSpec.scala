@@ -210,7 +210,9 @@ class PlanGuardSpec extends SparkTestBase {
       "scan-stage, the LM census aggregates the corpus explode ONCE and derives " +
       "the prefix marginal from the distinct-bigram table); the visible plan is " +
       "segment dedup + packing over the checkpointed survivors"),
-    "semantic_dedup" -> (7, "distributed Lloyd (assign+update) + cluster pair verify"),
+    "semantic_dedup" -> (5, "distributed Lloyd (assign+update) + cluster pair " +
+      "verify; the assignment (with its distinct-content shuffle) checkpoints " +
+      "once for its five consumers"),
     "kmeans_clusters" -> (2, "spread guard + ONE profile agg; codebook join broadcasts"),
     "cluster_balanced_sample" -> (2, "spread guard + ONE cluster-key window exchange"),
     "knn_classify" -> (2, "spread guard + query-id TopKAgg exchange; label join and " +
