@@ -685,6 +685,9 @@ object Streaming {
     * equi-join + exact `bit_count` confirm — the same pigeonhole-exact
     * construction as [[graft.operators.Dedup.hammingDedup]]), then the
     * admitted fingerprints append. Returns the admitted count.
+    * Long-running streams accrete one sidecar file per non-empty batch;
+    * fold [[CorpusCompaction]] over the sidecar dir on the same cadence as
+    * any other append-only corpus table.
     */
   def ingestFingerprintBatch(
       batch: DataFrame,
@@ -827,10 +830,20 @@ object Streaming {
     *  - keys with buffered facts but no new input still flush on time via
     *    an event-time timeout pinned to the earliest buffered fact.
     */
+  /** `stateTtlMicros`: with None (default) a key that stops receiving
+    * traffic retains its newest dim version forever — correct, and the
+    * usual choice when any key can come back. On key spaces that churn
+    * (session ids, request ids) that is a state leak: a TTL drops a QUIET
+    * key's retained version once the watermark is `ttl` past it. Facts are
+    * never TTL'd — only the already-superseded-at-watermark version
+    * history a dead key would otherwise pin.
+    */
   def asOfEnrichStream(
       events: Dataset[AsOfEvent],
       updates: Dataset[AsOfUpdate],
-      watermarkDelay: String = "10 minutes"): Dataset[AsOfEnriched] = {
+      watermarkDelay: String = "10 minutes",
+      stateTtlMicros: Option[Long] = None): Dataset[AsOfEnriched] = {
+    require(stateTtlMicros.forall(_ > 0), "stateTtlMicros must be positive")
     val spark = events.sparkSession
     import spark.implicits._
     val taggedEvents = events.map(e =>
@@ -865,15 +878,24 @@ object Streaming {
           // at-or-before wm still serves future facts, older ones cannot
           val lastCovered = dimsSorted.lastIndexWhere(_._1 <= wm)
           val prunedDims = if (lastCovered <= 0) dimsSorted else dimsSorted.drop(lastCovered)
-          if (prunedDims.isEmpty && keep.isEmpty) {
+          val ttlExpired = state.hasTimedOut && rows.isEmpty && keep.isEmpty &&
+            emit.isEmpty && stateTtlMicros.isDefined
+          if ((prunedDims.isEmpty && keep.isEmpty) || ttlExpired) {
+            // nothing left to serve — or a TTL wake-up found the key still
+            // quiet, so its retained version drops
             if (state.exists) state.remove()
           } else {
             state.update(AsOfState(prunedDims, keep))
             // flush guarantee for quiet keys: wake when the watermark passes
             // the earliest buffered fact (strictly > current wm by the
-            // partition above; +1ms covers the micro→milli truncation)
+            // partition above; +1ms covers the micro→milli truncation).
+            // With only a retained version left, the TTL (if any) schedules
+            // the expiry check instead.
             if (keep.nonEmpty)
               state.setTimeoutTimestamp(keep.map(_._2).min / 1000L + 1L)
+            else
+              stateTtlMicros.foreach(ttl =>
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl / 1000L + 1L))
           }
           out.iterator
       }

@@ -821,6 +821,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("asOfEnrichStream stateTtl drops a dead key's retained version") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val minute = 60L * 1000000
+    val events = MemoryStream[Streaming.AsOfEvent]
+    val updates = MemoryStream[Streaming.AsOfUpdate]
+    val q = Streaming.asOfEnrichStream(events.toDS(), updates.toDS(), "10 minutes",
+      stateTtlMicros = Some(30 * minute))
+      .writeStream.outputMode("append").format("memory").queryName("asof_ttl").start()
+    try {
+      updates.addData(Streaming.AsOfUpdate(5, 10 * minute, "v"))
+      q.processAllAvailable()
+      // other-key traffic drives the watermark 40 minutes past the retained
+      // version — beyond the 30-minute TTL, so key 5's state drops
+      events.addData(Streaming.AsOfEvent(901, 9, 60 * minute, 0.0))
+      q.processAllAvailable()
+      // a much-later fact for key 5 now finds NO version (without the TTL
+      // the quiet-key test above proves it would have matched)
+      events.addData(Streaming.AsOfEvent(902, 5, 70 * minute, 1.0))
+      q.processAllAvailable()
+      events.addData(Streaming.AsOfEvent(903, 9, 200 * minute, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_ttl").as[Streaming.AsOfEnriched]
+        .collect().filter(_.key == 5L).toSeq
+      assert(got == Seq(
+        Streaming.AsOfEnriched(902, 5, 70 * minute, 1.0, None, None)))
+    } finally q.stop()
+  }
+
   test("asOfEnrichStream flushes quiet keys by event-time timeout and emits exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
