@@ -252,6 +252,56 @@ object PipelineConfig {
         }
     }
 
+    // drift gate — distribution drift vs a reference snapshot as a RUN
+    // gate (DataChecks.distributionDrift): a crawl slice whose bucket mix
+    // moved more than `maxTvd` of total-variation distance from the
+    // reference vetoes the sink (`fail`) or logs (`warn`). Empty input
+    // skips the check — no distribution to judge, and a drift gate must
+    // not page on an idle source. Same eager-parse posture as
+    // expectations: a bad mode, a missing field, an out-of-range bound or
+    // an unparseable bucket expression is a config error NOW.
+    val driftFn: Option[DataFrame => Unit] = (cfg \ "drift") match {
+      case JNothing => None
+      case dc =>
+        val refPath = (dc \ "referencePath").extractOpt[String].getOrElse(
+          throw new graft.GraftConfigError("drift section needs 'referencePath'"))
+        val bucketStr = (dc \ "bucketExpr").extractOpt[String].getOrElse(
+          throw new graft.GraftConfigError("drift section needs 'bucketExpr'"))
+        try spark.sessionState.sqlParser.parseExpression(bucketStr)
+        catch {
+          case e: Exception => throw new graft.GraftConfigError(
+            s"drift has an unparseable bucketExpr '$bucketStr'", e)
+        }
+        val maxTvd = (dc \ "maxTvd").extractOpt[Double].getOrElse(
+          throw new graft.GraftConfigError("drift section needs 'maxTvd'"))
+        if (maxTvd < 0.0 || maxTvd > 1.0) throw new graft.GraftConfigError(
+          s"drift.maxTvd must be in [0, 1] (got $maxTvd)")
+        val failMode = (dc \ "mode").extractOrElse[String]("fail") match {
+          case "fail" => true
+          case "warn" => false
+          case other => throw new graft.GraftConfigError(
+            s"drift.mode '$other' (expected fail|warn)")
+        }
+        Some { df =>
+          import org.apache.spark.sql.functions.{coalesce, col, expr, lit, max, sum}
+          val reference = spark.read.parquet(refPath)
+          val agg = graft.operators.DataChecks
+            .distributionDrift(reference, df, expr(bucketStr))
+            .agg(coalesce(sum(col("count_b")), lit(0L)).as("n"),
+              max(col("tvd")).as("tvd"))
+            .head()
+          if (agg.getLong(0) > 0 && agg.getDouble(1) > maxTvd) {
+            val msg = f"drift gate: TVD ${agg.getDouble(1)}%.4f > $maxTvd vs $refPath"
+            if (failMode) throw new graft.GraftDataError(msg)
+            else Pipeline.log.warn(s"[drift] $msg")
+          }
+        }
+    }
+    val combinedGate: Option[DataFrame => Unit] = (gateFn, driftFn) match {
+      case (Some(a), Some(b)) => Some { df => a(df); b(df) }
+      case (a, b) => a.orElse(b)
+    }
+
     // advisor gate: same hard-gate posture as the sink registry — an
     // unknown mode is a config error at parse time, not a silent default
     val advisorMode = (cfg \ "advisor" \ "mode").extractOpt[String] match {
@@ -269,6 +319,6 @@ object PipelineConfig {
       sink = sinkFn,
       checkpoint = checkpointFn,
       advisorMode = advisorMode,
-      gate = gateFn)
+      gate = combinedGate)
   }
 }

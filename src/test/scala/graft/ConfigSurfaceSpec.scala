@@ -203,6 +203,56 @@ class ConfigSurfaceSpec extends SparkTestBase {
     assert(Files.exists(java.nio.file.Paths.get(s"$root/ckpt_out_warn")))
   }
 
+  test("drift gate: fail vetoes the sink past maxTvd; warn and in-bound runs land") {
+    val root = Files.createTempDirectory("graft-driftcfg").toString
+    // reference mix: 3 en / 1 de — the input collapses to all-fr (TVD 1.0)
+    (Seq.fill(3)("en") ++ Seq.fill(1)("de")).zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }.toDF("id", "lang")
+      .write.parquet(s"$root/ref")
+    Seq((10L, "fr"), (11L, "fr")).toDF("id", "lang").write.parquet(s"$root/src")
+    def cfg(mode: String, maxTvd: Double, out: String) =
+      s"""{
+         |  "source": {"type": "parquet", "path": "$root/src"},
+         |  "drift": {"referencePath": "$root/ref", "bucketExpr": "lang",
+         |            "maxTvd": $maxTvd, "mode": "$mode"},
+         |  "sink": {"type": "parquet", "options": {"path": "$root/$out"}}
+         |}""".stripMargin
+    val e = intercept[GraftDataError] {
+      PipelineConfig.fromJson(spark, cfg("fail", 0.2, "out_fail")).run(spark)
+    }
+    assert(e.getMessage.contains("TVD") && e.getMessage.contains("0.2"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/out_fail")))
+    // warn: drifted but the run proceeds
+    PipelineConfig.fromJson(spark, cfg("warn", 0.2, "out_warn")).run(spark)
+    assert(spark.read.parquet(s"$root/out_warn").count() == 2)
+    // in-bound: the same gate passes a tolerant threshold
+    PipelineConfig.fromJson(spark, cfg("fail", 1.0, "out_ok")).run(spark)
+    assert(spark.read.parquet(s"$root/out_ok").count() == 2)
+  }
+
+  test("drift misconfigurations are typed parse-time errors") {
+    def base(body: String) =
+      s"""{"source": {"type": "parquet", "path": "/tmp/x"}, "drift": $body}"""
+    intercept[GraftConfigError] { // missing referencePath
+      PipelineConfig.fromJson(spark, base("""{"bucketExpr": "lang", "maxTvd": 0.2}"""))
+    }
+    intercept[GraftConfigError] { // missing maxTvd
+      PipelineConfig.fromJson(spark, base("""{"referencePath": "/tmp/r", "bucketExpr": "lang"}"""))
+    }
+    intercept[GraftConfigError] { // out-of-range bound
+      PipelineConfig.fromJson(spark,
+        base("""{"referencePath": "/tmp/r", "bucketExpr": "lang", "maxTvd": 1.5}"""))
+    }
+    intercept[GraftConfigError] { // unparseable bucket expression
+      PipelineConfig.fromJson(spark,
+        base("""{"referencePath": "/tmp/r", "bucketExpr": "> > no (", "maxTvd": 0.2}"""))
+    }
+    intercept[GraftConfigError] { // unknown mode
+      PipelineConfig.fromJson(spark,
+        base("""{"referencePath": "/tmp/r", "bucketExpr": "lang", "maxTvd": 0.2, "mode": "loud"}"""))
+    }
+  }
+
   test("expectations misconfigurations are typed parse-time errors") {
     def base(body: String) =
       s"""{"source": {"type": "parquet", "path": "/tmp/x"}, "expectations": $body}"""
