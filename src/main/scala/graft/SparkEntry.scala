@@ -1117,6 +1117,16 @@ object SparkEntry {
         shiftright(col("afp"), b * 8).bitwiseAND(lit(255L)).as(s"b$b")): _*)
     }),
 
+    "video_fingerprint" -> ((s, dir) => {
+      // the trio's third modality: per-clip fingerprint = majority vote
+      // over the sampled frames' dHashes (robust to a few re-encoded
+      // frames, integer-exact). Same 8-byte band emission; same
+      // hammingDedup downstream as images and audio
+      val f = Multimodal.videoFingerprints(Multimodal.mediaFromDocuments(s, dir))
+      f.select(col("media_id") +: (0 until 8).map(b =>
+        shiftright(col("vfp"), b * 8).bitwiseAND(lit(255L)).as(s"b$b")): _*)
+    }),
+
     "image_dedup" -> ((s, dir) => {
       // image near-dup removal, end to end: real-decode dHash fingerprints,
       // then EXACT hamming-ball dedup (8-band pigeonhole LSH — zero false
@@ -3129,6 +3139,33 @@ object SparkEntry {
          |SELECT doc_id AS media_id,
          |$bandCols
          |FROM b GROUP BY doc_id""".stripMargin
+    },
+
+    // replays frame sampling (src = j·n/3) → per-frame dHash bits →
+    // per-bit majority vote, all from the frame-pixel closed form
+    "video_fingerprint" -> {
+      val bandCols = (0 until 8).map(k =>
+        s" CAST(COALESCE(SUM(CASE WHEN y = $k THEN bit << x END), 0) AS BIGINT) AS b$k")
+        .mkString(",\n")
+      s"""WITH m AS (
+         |  SELECT doc_id, 3 + doc_id % 7 AS n, 4 + doc_id % 6 AS w, 4 + doc_id % 5 AS h
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |g AS (
+         |  SELECT doc_id, j.j AS j, x.x AS x, y.y AS y,
+         |    list_sum(list_transform(range(0, 3), ch ->
+         |      (doc_id*31 + ((j.j*n)//3)*101 + (((y.y*h//8)*w + (x.x*w//9))*3 + ch)*17) % 256)) AS gray
+         |  FROM m, (VALUES (0), (1), (2)) j(j), range(0, 9) x(x), range(0, 8) y(y)),
+         |b AS (
+         |  SELECT l.doc_id, l.j AS j, l.x AS x, l.y AS y,
+         |    CASE WHEN r.gray > l.gray THEN 1 ELSE 0 END AS bit
+         |  FROM g l JOIN g r ON r.doc_id = l.doc_id AND r.j = l.j AND r.y = l.y AND r.x = l.x + 1
+         |  WHERE l.x < 8),
+         |v AS (
+         |  SELECT doc_id, x, y, CASE WHEN SUM(bit) * 2 > 3 THEN 1 ELSE 0 END AS bit
+         |  FROM b GROUP BY doc_id, x, y)
+         |SELECT doc_id AS media_id,
+         |$bandCols
+         |FROM v GROUP BY doc_id""".stripMargin
     },
 
     // replays decode → 9×8 NN resample → grayscale → gradient-sign bits

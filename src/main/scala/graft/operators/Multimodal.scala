@@ -263,6 +263,45 @@ object Multimodal {
       }.toDF("media_id", "afp")
   }
 
+  /** 64-bit video fingerprint: majority vote per bit over the dHashes of
+    * `framesPerClip` evenly-sampled frames (src = j·n/framesPerClip — the
+    * [[sampleFrames]] mapping, so only the sampled frames ever decode).
+    * The vote makes the fingerprint robust to a few re-encoded/replaced
+    * frames while staying integer-exact for oracle replay; near-dup
+    * detection over it is the same [[graft.operators.Dedup.hammingDedup]]
+    * as images and audio — one dedup kernel, three modalities.
+    */
+  private[graft] def videoFingerprint64(
+      v: MediaCodecs.DecodedVideo, framesPerClip: Int = 3): Long = {
+    val hashes = (0 until framesPerClip)
+      .map(j => dHash64(v.frame(j * v.nFrames / framesPerClip)))
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      val votes = hashes.count(h => ((h >>> bit) & 1L) == 1L)
+      if (votes * 2 > framesPerClip) out |= 1L << bit
+      bit += 1
+    }
+    out
+  }
+
+  /** Per-clip video fingerprints: decode AVI payloads and emit
+    * `(media_id, vfp)` — scan-stage flatMap like [[imageDHash]], malformed
+    * clips contribute no rows.
+    */
+  def videoFingerprints(media: DataFrame, framesPerClip: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "video")
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        if (payload == null || !MediaCodecs.looksLikeAvi(payload)) Nil
+        else try {
+          (id, videoFingerprint64(MediaCodecs.decodeAvi(payload), framesPerClip)) :: Nil
+        } catch { case _: MediaDecodeException => Nil }
+      }.toDF("media_id", "vfp")
+  }
+
   /** Per-image perceptual fingerprints: decode image payloads and emit
     * `(media_id, dhash)`. Runs 1→{0,1} inside the scan stage (flatMap, no
     * shuffle); non-image rows and malformed payloads contribute no rows —
@@ -329,7 +368,7 @@ object Multimodal {
     else MediaCodecs.encodePpm(w, h, rgb)
   }
 
-  private[operators] def synthVideo(docId: Long): Array[Byte] = {
+  private[graft] def synthVideo(docId: Long): Array[Byte] = {
     val n = (3 + docId % 7).toInt
     val w = (4 + docId % 6).toInt
     val h = (4 + docId % 5).toInt

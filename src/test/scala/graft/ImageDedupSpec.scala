@@ -118,6 +118,26 @@ class ImageDedupSpec extends SparkTestBase {
     assert(Multimodal.audioFingerprints(broken).count() == 0)
   }
 
+  test("videoFingerprint64 is the per-bit majority of the sampled frames' dHashes") {
+    (2L until 300L by 3L).foreach { id => // doc_id % 3 == 2: the video docs
+      val v = MediaCodecs.decodeAvi(Multimodal.synthVideo(id))
+      val frameHashes = (0 until 3).map(j => Multimodal.dHash64(v.frame(j * v.nFrames / 3)))
+      val expected = (0 until 64).foldLeft(0L) { (acc, bit) =>
+        if (frameHashes.count(h => ((h >>> bit) & 1L) == 1L) >= 2) acc | (1L << bit) else acc
+      }
+      assert(Multimodal.videoFingerprint64(v) == expected, s"doc_id=$id")
+    }
+    // end-to-end through the media frame: only video rows, junk skipped
+    val media = Multimodal.mediaFromDocuments(spark, sfDir)
+    val got = Multimodal.videoFingerprints(media).as[(Long, Long)].collect().toMap
+    val videoIds = media.filter(col("modality") === "video")
+      .select("media_id").as[Long].collect().toSet
+    assert(got.keySet == videoIds)
+    val broken = Seq((1L, "video", Array[Byte]('R', 'I', 'F', 'F')))
+      .toDF("media_id", "modality", "payload")
+    assert(Multimodal.videoFingerprints(broken).count() == 0)
+  }
+
   test("degenerate media: 1x1 images and 0-sample WAVs fingerprint to flat hashes") {
     // 1×1 image: every 9×8 resample cell is the same pixel → zero gradient
     // everywhere → dHash 0 (not a crash, not a partial hash)
