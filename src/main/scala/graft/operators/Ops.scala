@@ -232,6 +232,18 @@ object Ops {
     * join ([[Joins.asOfJoin]] — union + one keyed window, one shuffle).
     * Same-instant observation ties break by `tieBreak` keep-first, the
     * as-of contract.
+    *
+    * `maxStepsPerKey` hard-caps the per-key grid the same way
+    * [[Joins.intervalOverlapJoin]] caps its bucket explode: one key
+    * spanning years at a fine step is a silent task OOM, and that decision
+    * must be the caller's. Overflow raises executor-side with the key's
+    * actual grid size in the message.
+    *
+    * The first grid point is the smallest multiple of `stepMicros` that is
+    * ≥ the key's min timestamp, computed with FLOOR-division semantics so
+    * pre-epoch (negative) timestamps land on the correct multiple —
+    * `x - pmod(x, step)` floors for any sign, where Spark's `DIV` would
+    * truncate toward zero and skip a grid point.
     */
   def resampleForward(
       df: DataFrame,
@@ -239,15 +251,28 @@ object Ops {
       tsMicrosCol: String,
       payload: Seq[String],
       tieBreak: String,
-      stepMicros: Long): DataFrame = {
+      stepMicros: Long,
+      maxStepsPerKey: Int = 1 << 20): DataFrame = {
     require(stepMicros > 0, s"stepMicros must be positive (got $stepMicros)")
+    require(maxStepsPerKey > 0, s"maxStepsPerKey must be positive (got $maxStepsPerKey)")
     val bounds = df.groupBy(keys.map(col): _*)
       .agg(min(col(tsMicrosCol)).as("__mn"), max(col(tsMicrosCol)).as("__mx"))
-    val first = expr(s"((__mn + ${stepMicros - 1}) DIV $stepMicros) * $stepMicros")
+    val x = s"(__mn + ${stepMicros - 1})"
+    val firstSql = s"($x - pmod($x, $stepMicros))"
+    val first = expr(firstSql)
+    // __mx >= first whenever the branch below takes it, so the difference
+    // is non-negative and truncating DIV equals floor division
+    val steps = expr(s"(__mx - $firstSql) DIV $stepMicros + 1")
     val grid = bounds
       .select(keys.map(col) :+ explode(
         when(first <= col("__mx"),
-          sequence(first, col("__mx"), lit(stepMicros)))
+          when(steps > maxStepsPerKey,
+            raise_error(concat(
+              lit("resampleForward: a key's grid has "),
+              steps.cast("long").cast("string"),
+              lit(s" points at stepMicros=$stepMicros, over maxStepsPerKey=" +
+                s"$maxStepsPerKey — coarsen the step or pre-split the key"))))
+            .otherwise(sequence(first, col("__mx"), lit(stepMicros))))
           .otherwise(array().cast("array<long>"))).as(tsMicrosCol): _*)
     Joins.asOfJoin(grid, df, keys, tsMicrosCol, tsMicrosCol, payload, tieBreak)
   }

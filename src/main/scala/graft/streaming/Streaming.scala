@@ -825,7 +825,8 @@ object Streaming {
     *    against [[graft.operators.Joins.asOfJoin]]);
     *  - state per key is O(versions-in-flight + facts-in-flight): eviction
     *    keeps exactly the still-matchable suffix of the version history.
-    *    Same-instant versions tie-break to the greatest value
+    *    Same-instant versions tie-break to the SMALLEST value — the batch
+    *    as-of keep-first tiebreak, so parity holds through version ties
     *    (deterministic under any arrival order).
     *  - keys with buffered facts but no new input still flush on time via
     *    an event-time timeout pinned to the earliest buffered fact.
@@ -866,9 +867,13 @@ object Streaming {
             else evs = (r.eventId, r.tsMicros, r.payload) :: evs
           }
           val wm = state.getCurrentWatermarkMs() * 1000L
-          // (ts, value) order makes the same-instant tie-break (max value)
-          // independent of arrival interleaving
-          val dimsSorted = dims.distinct.sortBy(identity)
+          // same-instant versions collapse to the SMALLEST value — the
+          // batch as-of keep-first tiebreak ([[graft.operators.Joins
+          // .asOfJoin]]) — so the match is arrival-order independent AND
+          // row-identical to the batch path through version ties
+          val dimsSorted = dims.distinct.groupBy(_._1)
+            .map { case (ts, vs) => (ts, vs.map(_._2).min) }
+            .toList.sortBy(_._1)
           val (emit, keep) = evs.partition(_._2 <= wm)
           val out = emit.sortBy(e => (e._2, e._1)).map { case (id, ts, pay) =>
             val matched = dimsSorted.takeWhile(_._1 <= ts).lastOption

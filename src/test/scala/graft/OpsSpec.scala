@@ -122,4 +122,32 @@ class OpsSpec extends SparkTestBase {
       operators.Ops.resampleForward(obs, Seq("k"), "ts_us", Seq("v"), "eid", 0L)
     }
   }
+
+  test("resampleForward: pre-epoch timestamps use floor-division grid alignment") {
+    // mn=-15, step=10: the first multiple ≥ -15 is -10; truncating DIV
+    // would have produced 0 and silently dropped the -10 grid point
+    val obs = Seq(("a", -15L, 1L, 1.5), ("a", 12L, 2L, 2.5))
+      .toDF("k", "ts_us", "eid", "v")
+    val got = operators.Ops.resampleForward(obs, Seq("k"), "ts_us", Seq("v"), "eid", 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("a", -10L, 1.5), ("a", 0L, 1.5), ("a", 10L, 1.5)))
+  }
+
+  test("resampleForward: maxStepsPerKey guard raises instead of exploding one key") {
+    // one key spanning 1000 steps with a cap of 100: the guard must fire
+    // executor-side with the actual grid size, not OOM the task
+    val obs = Seq(("a", 0L, 1L, 1.5), ("a", 10000L, 2L, 2.5))
+      .toDF("k", "ts_us", "eid", "v")
+    val ex = intercept[Exception] {
+      operators.Ops.resampleForward(
+        obs, Seq("k"), "ts_us", Seq("v"), "eid", 10L, maxStepsPerKey = 100)
+        .collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("maxStepsPerKey"), s"unexpected error: $ex")
+    // at the default cap the same frame is fine
+    assert(operators.Ops.resampleForward(
+      obs, Seq("k"), "ts_us", Seq("v"), "eid", 10L).count() == 1001L)
+  }
 }

@@ -781,15 +781,22 @@ class StreamingSpec extends SparkTestBase {
       // batch 2: an out-of-order version (t=8m, BEFORE buffered fact 101)
       // arrives within the allowed lateness, alongside later traffic that
       // pushes the watermark to 25m — fact 101 then emits and must pick v8
-      // over v1; fact 103 emits with no preceding version; 102 (35m) stays
+      // over v1; fact 103 emits with no preceding version; 102 (35m) stays.
+      // "a5" is a SAME-INSTANT tie with batch-1's "w5" on key 2, arriving a
+      // batch later — fact 104 must enrich with the smallest value ("a5"),
+      // the batch as-of keep-first tiebreak, despite "w5" arriving first
       updates.addData(
         Streaming.AsOfUpdate(1, 8 * minute, "v8"),
-        Streaming.AsOfUpdate(1, 30 * minute, "v30"))
-      events.addData(Streaming.AsOfEvent(102, 1, 35 * minute, 2.0))
+        Streaming.AsOfUpdate(1, 30 * minute, "v30"),
+        Streaming.AsOfUpdate(2, 5 * minute, "a5"))
+      events.addData(
+        Streaming.AsOfEvent(102, 1, 35 * minute, 2.0),
+        Streaming.AsOfEvent(104, 2, 20 * minute, 4.0))
       q.processAllAvailable()
       val mid = spark.table("asof_enriched").as[Streaming.AsOfEnriched].collect().toSet
       assert(mid == Set(
         Streaming.AsOfEnriched(101, 1, 10 * minute, 1.0, Some("v8"), Some(8 * minute)),
+        Streaming.AsOfEnriched(104, 2, 20 * minute, 4.0, Some("a5"), Some(5 * minute)),
         Streaming.AsOfEnriched(103, 2, 3 * minute, 3.0, None, None)))
 
       // batch 3: far-future traffic on an unused key pushes the watermark
@@ -802,15 +809,17 @@ class StreamingSpec extends SparkTestBase {
       assert(got == Set(
         Streaming.AsOfEnriched(101, 1, 10 * minute, 1.0, Some("v8"), Some(8 * minute)),
         Streaming.AsOfEnriched(102, 1, 35 * minute, 2.0, Some("v30"), Some(30 * minute)),
+        Streaming.AsOfEnriched(104, 2, 20 * minute, 4.0, Some("a5"), Some(5 * minute)),
         Streaming.AsOfEnriched(103, 2, 3 * minute, 3.0, None, None)))
 
       // parity: the matched subset equals the BATCH as-of join over the
-      // same rows (inner semantics — batch drops no-version facts)
+      // same rows (inner semantics — batch drops no-version facts),
+      // INCLUDING the same-instant version tie on (key 2, t=5m)
       val dimDf = Seq((1L, 1 * minute, "v1"), (1L, 30 * minute, "v30"),
-        (2L, 5 * minute, "w5"), (1L, 8 * minute, "v8"))
+        (2L, 5 * minute, "w5"), (1L, 8 * minute, "v8"), (2L, 5 * minute, "a5"))
         .toDF("key", "dim_ts", "dim_value")
       val evDf = Seq((101L, 1L, 10 * minute, 1.0), (102L, 1L, 35 * minute, 2.0),
-        (103L, 2L, 3 * minute, 3.0))
+        (103L, 2L, 3 * minute, 3.0), (104L, 2L, 20 * minute, 4.0))
         .toDF("event_id", "key", "ev_ts", "payload")
       val batch = graft.operators.Joins.asOfJoin(evDf, dimDf, Seq("key"),
         "ev_ts", "dim_ts", Seq("dim_value"), "dim_value")
