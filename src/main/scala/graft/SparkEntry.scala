@@ -467,6 +467,50 @@ object SparkEntry {
           col("o_totalprice"), col("total_qty"))
     }),
 
+    "q4_exists_late" -> ((s, dir) => {
+      // TPC-H Q4 shape, DECLARED as a correlated EXISTS (not hand-lowered
+      // to a semi join): orders in a quarter having at least one line item
+      // shipped 60+ days after the order date. The point is exercising
+      // Catalyst's subquery decorrelation — RewritePredicateSubquery must
+      // turn the EXISTS into a LEFT SEMI join on l_orderkey with the
+      // correlated date predicate as the join condition, never a per-row
+      // re-scan or a nested loop (PlanGuardSpec pins the exchange count and
+      // the no-nested-loop invariant). The quarter filter pushes to the
+      // orders parquet scan, so the semi join probes from ~1/24 of orders.
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM graft_orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1996-04-01'
+          |  AND EXISTS (SELECT 1 FROM graft_lineitem
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate >= o_orderdate + INTERVAL '60' DAY)
+          |GROUP BY o_orderpriority""".stripMargin)
+    }),
+
+    "q17_small_quantity" -> ((s, dir) => {
+      // TPC-H Q17 shape, DECLARED as a correlated scalar subquery: revenue
+      // from line items whose quantity is under 20% of the per-part
+      // average. Decorrelation must rewrite the scalar subquery into one
+      // aggregate over lineitem grouped by l_partkey joined back on the
+      // part key — ONE extra pass over the fact table, not one per outer
+      // row. Sums are exact decimals cast to double at the edge;
+      // l_quantity is integral so the double avg is order-independent
+      // (integer-valued partial sums are exact in IEEE double).
+      Tables.part(s, dir).createOrReplaceTempView("graft_part")
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+          |         AS avg_yearly
+          |FROM graft_lineitem JOIN graft_part ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#23' AND p_size < 15
+          |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+          |                    FROM graft_lineitem l2
+          |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+    }),
+
     "broadcast_join_agg" -> ((s, dir) =>
       Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -2384,6 +2428,25 @@ object SparkEntry {
         |  o_totalprice, total_qty
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q4_exists_late" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q17_small_quantity" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |         AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23' AND p_size < 15
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
 
     "broadcast_join_agg" ->
       """SELECT r_name, count(*) AS n_customers,

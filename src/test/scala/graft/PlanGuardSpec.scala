@@ -280,6 +280,13 @@ class PlanGuardSpec extends SparkTestBase {
       "the bucket-bounded weight table rides the closure as a literal lookup " +
       "array, so scoring moves zero bytes (training materializes behind the " +
       "classifier_train checkpoint)"),
+    "q4_exists_late" -> (1, "the DECLARED EXISTS decorrelates to a LeftSemi " +
+      "join (broadcast at this sf) carrying the correlated date predicate " +
+      "as its join condition; only the priority-agg exchange remains — the " +
+      "pin is the proof decorrelation ran, not a per-outer-row re-scan"),
+    "q17_small_quantity" -> (2, "the correlated scalar avg decorrelates to " +
+      "ONE per-part aggregate pass over lineitem (its exchange) joined back " +
+      "broadcast + the single-group final agg exchange"),
     "minhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "simhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "ngram_jaccard_dedup_docs" -> (8, "exact-collapse + shingle joins + CC + invariants")
