@@ -52,6 +52,71 @@ class AqeSpec extends SparkTestBase {
     }
   }
 
+  /** Flatten a (possibly adaptive) executed plan INCLUDING query-stage
+    * subtrees — `collect` on an AdaptiveSparkPlanExec sees only the
+    * wrapper, and materialized stages hide their subtree behind
+    * QueryStageExec, so node assertions under AQE need this walk.
+    */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+  }
+
+  test("AQE keeps planning the native as-of join: node survives, exchange count holds") {
+    // the custom AsOfJoinExec must not be re-shaped away or wrapped in
+    // extra exchanges when AQE re-plans: the final adaptive plan keeps
+    // exactly one native node and the same 3 shuffles the AQE-off pin
+    // records (two co-partitioned key exchanges + the tiebreak pre-dedup)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    withConf(aqeOn :+ ("spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k"): _*) {
+      val df = SparkEntry.queries("asof_join_native")(spark, sfDir)
+      df.collect()
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val native = nodes.collect { case e: graft.plans.AsOfJoinExec => e }
+      assert(native.size == 1,
+        s"AsOfJoinExec fell out of the plan under AQE:\n${df.queryExecution.executedPlan}")
+      val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 3,
+        s"AQE changed the as-of exchange count to ${shuffles.size} (pinned 3):\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
+
+  test("AQE adds no exchange to the native as-of join on bucketed inputs") {
+    // the pre-paid-shuffle contract must hold under runtime re-planning
+    // too: both sides bucketed on the key, AQE ON — still zero shuffles
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val events = graft.sources.Sources.events(spark, sfDir)
+    val l = events.select(col("event_id"), col("user_id"), col("ts"))
+    val r = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_event_id"), col("value").as("purchase_value"))
+    graft.sinks.Sinks.writeBucketed(l, "graft_aqe_asof_l", Seq("user_id"), 8)
+    graft.sinks.Sinks.writeBucketed(r, "graft_aqe_asof_r", Seq("user_id"), 8)
+    try withConf(aqeOn: _*) {
+      val out = Joins.asOfJoinNative(
+        spark.table("graft_aqe_asof_l"), spark.table("graft_aqe_asof_r"),
+        Seq("user_id"), "ts", "ts",
+        Seq("purchase_event_id", "purchase_value"), "purchase_event_id")
+      assert(out.count() > 0)
+      val nodes = flatten(out.queryExecution.executedPlan)
+      assert(nodes.exists(_.isInstanceOf[graft.plans.AsOfJoinExec]),
+        s"native node missing under AQE:\n${out.queryExecution.executedPlan}")
+      val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"bucketed as-of gained ${shuffles.size} exchange(s) under AQE:\n" +
+          out.queryExecution.executedPlan)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_aqe_asof_l")
+      spark.sql("DROP TABLE IF EXISTS graft_aqe_asof_r")
+    }
+  }
+
   test("AQE skew-join splits the hot partition of a sort-merge join") {
     withConf(aqeOn ++ Seq(
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
