@@ -3,13 +3,15 @@ package graft
 /** Benchmark main: runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR`, prints one JSON line with per-query wall seconds.
   *
-  * Methodology: warm-then-measure. Each query executes twice and the second
-  * execution is reported — the first pays one-time whole-stage-codegen
-  * (janino) compilation and JIT warmup that a long-lived cluster amortizes
-  * across thousands of runs; the second is the steady-state latency of the
-  * plan itself. Scans are warmed once up front (file listing + parquet
-  * footer cache). Single-shot numbers at this scale are dominated by
-  * compiler noise, not by the plan under test.
+  * Methodology: warm, then two full interleaved passes. A warm pass pays
+  * one-time whole-stage-codegen (janino) compilation and JIT warmup that a
+  * long-lived cluster amortizes across thousands of runs; then the whole
+  * suite is measured TWICE, round-robin, and each query reports the min of
+  * its two passes. Round-robin matters: the rig shows multi-minute slow
+  * windows, and back-to-back samples of one query share the window while
+  * suite-separated samples give each query one clean shot — per-query min
+  * recovers the honest floor. Scans are warmed once up front (file listing
+  * + parquet footer cache).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,13 +37,20 @@ object Bench {
     }
     def combine(a: Double, b: Double): Double =
       if (a < 0 || b < 0) -1.0 else math.min(a, b)
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      once(name, fn) // warm: codegen compile + JIT
-      // min of two measured runs: the rig shows multi-second scheduler noise
-      // bursts; a single sample regularly inflates a 0.3s plan to 4s
-      name -> combine(once(name, fn), once(name, fn))
+    // warm pass: codegen compile + JIT for every plan
+    qs.foreach { case (name, fn) => once(name, fn) }
+    // two full INTERLEAVED measured passes, round-robin across the suite,
+    // min per query across passes. Back-to-back samples of the same query
+    // share any multi-minute rig-slow window (r10 recorded the whole suite
+    // ~16% slow that way); separating the samples by a full suite pass
+    // makes a slow window cost each query at most ONE of its two samples,
+    // so the per-query min recovers the honest floor.
+    val passA = qs.map { case (name, fn) => name -> once(name, fn) }
+    val passB = qs.map { case (name, fn) => name -> once(name, fn) }
+    val firstPass = passA.zip(passB).map { case ((name, a), (_, b)) =>
+      name -> combine(a, b)
     }
     // outlier re-measurement: a noise burst can span BOTH measured runs
     // (r3 recorded 13.45s for a 0.5s plan). Any query slower than 3x the
