@@ -1034,13 +1034,17 @@ object SparkEntry {
       // product quantization, the storage-side ANN endgame: 8 subspaces × 16
       // centroids trained jointly (one aggregation per Lloyd iteration),
       // corpus encoded to ONE long per vector (32× smaller than float32),
-      // query scored by ADC table lookups over the codes alone. Training,
-      // encoding and the lookup-sum are all fixed-point/sequential-order
-      // deterministic, so the oracle replays every step bitwise
+      // query scored by ADC table lookups over the codes alone. Training
+      // runs on the deterministic HALF-corpus sample (the 100 TB practice:
+      // codebooks train on a ~1M-vector sample, encoding covers every
+      // vector); training, encoding and the lookup-sum are all
+      // fixed-point/sequential-order deterministic, so the oracle replays
+      // every step — including the unit-hash sample — bitwise
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      val model = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64)
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64,
+        trainSampleFraction = 0.5)
       val codes = Similarity.pqEncode(emb, "vec_id", "embedding", model)
       Similarity.pqTopK(codes, "vec_id", "pq_code", model, q, k = 10)
     }),
@@ -1053,7 +1057,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      val (index, ivf, pq) = Similarity.ivfPqIndex(emb, "vec_id", "embedding", dim = 64)
+      // both quantizers train on the deterministic half-corpus sample; the
+      // index stamp still covers every vector
+      val (index, ivf, pq) = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+        dim = 64, trainSampleFraction = 0.5)
       Similarity.ivfPqTopK(index, ivf, pq, "vec_id", q, k = 10, nprobe = 4)
     }),
 
@@ -1065,7 +1072,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      val model = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64)
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64,
+        trainSampleFraction = 0.5)
       val codes = Similarity.pqEncode(emb, "vec_id", "embedding", model)
       Similarity.pqTopKRefined(codes, emb, "vec_id", "pq_code", "embedding",
         model, q, k = 10, shortlist = 50)
@@ -2178,17 +2186,25 @@ object SparkEntry {
   /** The PQ replay's CTE chain (everything through `adc(vec_id,
     * adc_score)`), shared by the pq_ann_* and ivfpq oracles.
     */
-  private def sqlPqCtes(m: Int = 8, subDim: Int = 8, k: Int = 16): String = {
+  private def sqlPqCtes(m: Int = 8, subDim: Int = 8, k: Int = 16,
+      trainFraction: Double = 1.0, sampleSalt: Long = 0L): String = {
+    // trainFraction < 1 mirrors pqTrain's deterministic training sample:
+    // the svt (training) views filter by the same unit hash the Scala side
+    // uses, while the final af assignment still covers every vector
+    val trainWhere =
+      if (trainFraction >= 1.0) ""
+      else s" WHERE ${sqlUnitHash("vec_id", sampleSalt)} < $trainFraction"
     val perSub = (0 until m).map { s =>
       val lo = s * subDim + 1; val hi = (s + 1) * subDim
       s"""sv$s AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
+         |svt$s AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings$trainWhere),
          |init$s AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
          |         list_transform(sv, x -> CAST(x AS DOUBLE)) AS cv
-         |  FROM sv$s ORDER BY vec_id LIMIT $k),
-         |${sqlPqAssign(s"a1_$s", s"sv$s", s"init$s")},
+         |  FROM svt$s ORDER BY vec_id LIMIT $k),
+         |${sqlPqAssign(s"a1_$s", s"svt$s", s"init$s")},
          |${sqlPqUpdate(s"c1_$s", s"a1_$s", s"init$s", subDim)},
-         |${sqlPqAssign(s"a2_$s", s"sv$s", s"c1_$s")},
+         |${sqlPqAssign(s"a2_$s", s"svt$s", s"c1_$s")},
          |${sqlPqUpdate(s"c2_$s", s"a2_$s", s"c1_$s", subDim)},
          |${sqlPqAssign(s"af$s", s"sv$s", s"c2_$s")}""".stripMargin
     }.mkString(",\n")
@@ -2213,8 +2229,9 @@ object SparkEntry {
        |  FROM scored GROUP BY vec_id)""".stripMargin
   }
 
-  private def sqlPqOracle(refine: Boolean = false): String = {
-    s"""WITH ${sqlPqCtes()}
+  private def sqlPqOracle(refine: Boolean = false,
+      trainFraction: Double = 1.0, sampleSalt: Long = 0L): String = {
+    s"""WITH ${sqlPqCtes(trainFraction = trainFraction, sampleSalt = sampleSalt)}
        |${
          if (refine)
            s""", short AS (
@@ -2233,9 +2250,13 @@ object SparkEntry {
     * ranks coarse centroids exactly as `IvfModel.nearestLists`, and the
     * final top-10 is ADC over the probed lists only.
     */
-  private def sqlIvfPqOracle(nprobe: Int = 4): String =
-    s"""WITH ${sqlPqCtes()},
-       |$sqlKmeansAssignAll,
+  private def sqlIvfPqOracle(nprobe: Int = 4,
+      trainFraction: Double = 1.0, sampleSalt: Long = 0L): String = {
+    val trainWhere =
+      if (trainFraction >= 1.0) ""
+      else s" WHERE ${sqlUnitHash("vec_id", sampleSalt)} < $trainFraction"
+    s"""WITH ${sqlPqCtes(trainFraction = trainFraction, sampleSalt = sampleSalt)},
+       |${sqlKmeansAssignAll(trainWhere)},
        |probes AS (
        |  SELECT cidx FROM (
        |    SELECT c.cidx, row_number() OVER (
@@ -2245,19 +2266,25 @@ object SparkEntry {
        |FROM afull a JOIN adc ON adc.vec_id = a.vec_id
        |WHERE a.cidx IN (SELECT cidx FROM probes)
        |ORDER BY adc_score DESC, a.vec_id LIMIT 10""".stripMargin
+  }
 
   /** Two Lloyd iterations from first-16-by-id seeding + full-corpus
     * assignment — the exact [[operators.Similarity.trainCodebook]] mirror;
     * ends with `afull(vec_id, embedding, cidx)` over every vector.
+    * `trainWhere` (a " WHERE ..." suffix or "") restricts SEEDING and
+    * TRAINING to the deterministic sample, mirroring the Scala
+    * `trainSampleFraction` knob; the final assignment always covers the
+    * whole corpus.
     */
-  private def sqlKmeansAssignAll: String =
-    s"""init AS (
+  private def sqlKmeansAssignAll(trainWhere: String = ""): String =
+    s"""trainkm AS (SELECT vec_id, embedding FROM embeddings$trainWhere),
+       |init AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-       |  FROM embeddings ORDER BY vec_id LIMIT 16),
-       |${sqlKmAssign("a1", "embeddings", "init")},
+       |  FROM trainkm ORDER BY vec_id LIMIT 16),
+       |${sqlKmAssign("a1", "trainkm", "init")},
        |${sqlKmUpdate("c1", "a1", "init")},
-       |${sqlKmAssign("a2", "embeddings", "c1")},
+       |${sqlKmAssign("a2", "trainkm", "c1")},
        |${sqlKmUpdate("c2", "a2", "c1")},
        |${sqlKmAssign("afull", "embeddings", "c2")}""".stripMargin
 
@@ -3365,12 +3392,12 @@ object SparkEntry {
 
     // the full PQ lifecycle replay: 8 per-subspace Lloyd codebooks, final
     // slice assignments, driver-identical ADC lookup table, sequential sum
-    "pq_ann_topk" -> sqlPqOracle(),
+    "pq_ann_topk" -> sqlPqOracle(trainFraction = 0.5),
     // the same replay continued through the refine: ADC top-50 shortlist,
     // exact float-dot rerank over only the shortlisted vectors
-    "pq_ann_refined" -> sqlPqOracle(refine = true),
+    "pq_ann_refined" -> sqlPqOracle(refine = true, trainFraction = 0.5),
     // coarse chain + PQ chain composed; probes ranked as IvfModel.nearestLists
-    "ivfpq_topk" -> sqlIvfPqOracle(),
+    "ivfpq_topk" -> sqlIvfPqOracle(trainFraction = 0.5),
 
     "ivf_topk" ->
       // mirrors the DISTRIBUTED k-means codebook build EXACTLY (Similarity
@@ -3384,7 +3411,7 @@ object SparkEntry {
       // clusters keep the previous centroid, each iteration's centroids
       // round to REAL; then assignment over the full table + nprobe probe
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |$sqlKmeansAssignAll,
+         |${sqlKmeansAssignAll()},
          |probes AS (
          |  SELECT cidx FROM (
          |    SELECT c.cidx, row_number() OVER (
@@ -3399,7 +3426,7 @@ object SparkEntry {
       // replay the distributed k-means (see sqlKmeansAssignAll) then prune
       // WITHIN clusters only: any vector cosine-similar (>= 0.95) to a
       // smaller id in its own cluster drops — SemDeDup's candidate scoping
-      s"""WITH $sqlKmeansAssignAll,
+      s"""WITH ${sqlKmeansAssignAll()},
          |drops AS (
          |  SELECT DISTINCT r.vec_id
          |  FROM afull l JOIN afull r
@@ -3413,7 +3440,7 @@ object SparkEntry {
       // replay the distributed Lloyd (sqlKmeansAssignAll), then profile each
       // cluster: the mean cosine accumulates the same fixed-point longs as
       // the Spark side, so the profile compares bitwise
-      s"""WITH $sqlKmeansAssignAll
+      s"""WITH ${sqlKmeansAssignAll()}
          |SELECT CAST(a.cidx AS BIGINT) AS centroid_id,
          |  count(*) AS n_vectors,
          |  (CAST(sum(CAST(floor(${sqlCos("a.embedding", "c.cv")} * 1048576.0) AS BIGINT)) AS DOUBLE)
@@ -3422,7 +3449,7 @@ object SparkEntry {
          |GROUP BY a.cidx""".stripMargin,
 
     "cluster_balanced_sample" ->
-      s"""WITH $sqlKmeansAssignAll
+      s"""WITH ${sqlKmeansAssignAll()}
          |SELECT vec_id, CAST(cidx AS BIGINT) AS centroid_id FROM (
          |  SELECT vec_id, cidx,
          |    row_number() OVER (PARTITION BY cidx

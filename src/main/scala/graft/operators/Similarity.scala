@@ -221,13 +221,16 @@ object Similarity {
     cents
   }
 
-  /** Build the IVF index. The codebook is k-means-trained on the FULL corpus
-    * by [[trainCodebook]] (distributed assignment + aggregation; the
+  /** Build the IVF index. The codebook is k-means-trained by
+    * [[trainCodebook]] (distributed assignment + aggregation; the
     * nlist-sized codebook is the only driver-side data, so the build scales
-    * to any corpus and any nlist the driver can hold a codebook for).
-    * Seeding is the first `nlist` vectors by id — deterministic with no
-    * `count()` pre-pass; Lloyd over the whole corpus corrects the seeding
-    * bias (the recall gate in SimilaritySpec holds it to account).
+    * to any corpus and any nlist the driver can hold a codebook for) —
+    * over the full corpus by default, or a deterministic [[trainSample]]
+    * when `trainSampleFraction` < 1 (the corpus-scale regime; assignment
+    * below still stamps every vector).
+    * Seeding is the first `nlist` TRAINING vectors by id — deterministic
+    * with no `count()` pre-pass; Lloyd corrects the seeding bias (the
+    * recall gate in SimilaritySpec holds it to account).
     * Every corpus vector is then tagged with its nearest centroid via the
     * codegen'd [[VectorExpressions.NearestCentroid]] projection — NO join,
     * NO shuffle; at cluster scale the assignment is a single map stage and
@@ -236,10 +239,13 @@ object Similarity {
     */
   def ivfIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int = 2): (DataFrame, IvfModel) = {
-    val init = corpus.orderBy(col(idCol)).limit(nlist)
+      nlist: Int, iters: Int = 2,
+      trainSampleFraction: Double = 1.0, sampleSalt: Long = 0L)
+      : (DataFrame, IvfModel) = {
+    val train = trainSample(corpus, idCol, trainSampleFraction, sampleSalt)
+    val init = train.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
-    val centroids = trainCodebook(corpus, idCol, vecCol, init, iters)
+    val centroids = trainCodebook(train, idCol, vecCol, init, iters)
     val model = IvfModel(centroids)
     val assignments = Ops.spread(corpus.select(col(idCol), col(vecCol))).select(
       col(idCol), col(vecCol),
@@ -380,6 +386,25 @@ object Similarity {
   final case class PqModel(m: Int, k: Int, subDim: Int,
       codebooks: Array[Array[Array[Float]]])
 
+  /** Deterministic quantizer-training sample: keep ~`fraction` of the
+    * corpus by the same [[Sampling.unitHash]] filter the sampling operators
+    * use, so an oracle (or a re-run on another cluster) replays the
+    * IDENTICAL training set bit-for-bit — no shuffle, no count pre-pass,
+    * the filter rides the scan stage. This is the standard quantizer
+    * practice at corpus scale (FAISS trains codebooks on ~1M-vector
+    * samples): codebook quality needs a representative sample, not every
+    * vector, while each Lloyd iteration otherwise pays a FULL corpus pass.
+    * `fraction >= 1.0` returns the corpus untouched (the small-corpus
+    * default).
+    */
+  private def trainSample(
+      corpus: DataFrame, idCol: String, fraction: Double, salt: Long): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"trainSampleFraction must be in (0, 1] (got $fraction)")
+    if (fraction >= 1.0) corpus
+    else corpus.filter(Sampling.unitHash(col(idCol), salt) < fraction)
+  }
+
   /** Train a product quantizer — the storage-side ANN path past IVF: at
     * 100 TB the float corpus itself is the cost, and PQ stores 8 BYTES per
     * 64-dim vector (32× smaller than float32), with query-time scoring done
@@ -396,17 +421,23 @@ object Similarity {
     * (fixed-point long sums → bitwise-identical codebooks at any
     * parallelism; assignment = argmax cosine, lowest index on ties; empty
     * cells keep the previous centroid; centroids round to float).
-    * Seeding: subspace slices of the first `k` vectors by id.
+    * Seeding: subspace slices of the first `k` TRAINING vectors by id.
+    *
+    * `trainSampleFraction` < 1 trains on a deterministic [[trainSample]]
+    * of the corpus (seeding included) — at 100 TB the codebooks train on a
+    * ~1M-vector sample while encoding still covers every vector.
     */
   def pqTrain(
       corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int = 8, k: Int = 16, iters: Int = 2): PqModel = {
+      dim: Int, m: Int = 8, k: Int = 16, iters: Int = 2,
+      trainSampleFraction: Double = 1.0, sampleSalt: Long = 0L): PqModel = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(k >= 2 && k <= 16, s"k=$k must fit a 4-bit code")
     val subDim = dim / m
-    val seedVecs = corpus.orderBy(col(idCol)).limit(k)
+    val train = trainSample(corpus, idCol, trainSampleFraction, sampleSalt)
+    val seedVecs = train.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
-    require(seedVecs.length == k, s"corpus has < $k vectors")
+    require(seedVecs.length == k, s"training sample has < $k vectors")
     var books: Array[Array[Array[Float]]] =
       Array.tabulate(m, k)((s, c) => seedVecs(c).slice(s * subDim, (s + 1) * subDim))
     var it = 0
@@ -417,7 +448,7 @@ object Similarity {
       val entries = for { s <- 0 until m; d <- 0 until subDim } yield struct(
         lit(s).as("s"), col(s"__cid$s").as("cid"), lit(d).as("d"),
         element_at(col(vecCol), s * subDim + d + 1).as("x"))
-      val rows = Ops.spread(corpus.select(col(vecCol)))
+      val rows = Ops.spread(train.select(col(vecCol)))
         .select(col(vecCol) +: cidCols: _*)
         .select(explode(array(entries: _*)).as("e"))
         .select(col("e.s"), col("e.cid"), col("e.d"), col("e.x"))
@@ -503,14 +534,19 @@ object Similarity {
   def ivfPqIndex(
       corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       nlist: Int = 16, iters: Int = 2,
-      m: Int = 8, k: Int = 16): (DataFrame, IvfModel, PqModel) = {
+      m: Int = 8, k: Int = 16,
+      trainSampleFraction: Double = 1.0, sampleSalt: Long = 0L)
+      : (DataFrame, IvfModel, PqModel) = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(k >= 2 && k <= 16, s"k=$k must fit a 4-bit code")
     val subDim = dim / m
+    // both quantizers train (and seed) on the deterministic sample; the
+    // index stamp below still covers EVERY corpus vector
+    val train = trainSample(corpus, idCol, trainSampleFraction, sampleSalt)
     val seedCount = math.max(nlist, k)
-    val seedVecs = corpus.orderBy(col(idCol)).limit(seedCount)
+    val seedVecs = train.orderBy(col(idCol)).limit(seedCount)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
-    require(seedVecs.length == seedCount, s"corpus has < $seedCount vectors")
+    require(seedVecs.length == seedCount, s"training sample has < $seedCount vectors")
     // JOINT Lloyd: the coarse quantizer and all m subspace codebooks update
     // from ONE aggregation per iteration — the per-row assignments are m+1
     // broadcast-codebook projections in the scan stage, and the update keys
@@ -532,7 +568,7 @@ object Similarity {
       val coarseEntries = (0 until dim).map(d => struct(
         lit(m).as("s"), col("__cidFull").as("cid"), lit(d).as("d"),
         element_at(col(vecCol), d + 1).as("x")))
-      val rows = Ops.spread(corpus.select(col(vecCol)))
+      val rows = Ops.spread(train.select(col(vecCol)))
         .select(col(vecCol) +: cidCols: _*)
         .select(explode(array(subEntries ++ coarseEntries: _*)).as("e"))
         .select(col("e.s"), col("e.cid"), col("e.d"), col("e.x"))

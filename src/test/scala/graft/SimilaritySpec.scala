@@ -441,6 +441,58 @@ class SimilaritySpec extends SparkTestBase {
     assert(narrow.nonEmpty && narrow.forall(id => probed.contains(listOf(id))))
   }
 
+  test("sample-trained quantizers keep recall: PQ refined and IVF, half-corpus training") {
+    // the 100 TB training regime: codebooks see only the deterministic
+    // unit-hash half of the corpus, encoding/assignment covers every
+    // vector — recall on clustered data must hold anyway, and the sampled
+    // model must differ from nothing-trained while staying deterministic
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val points = (0L until 400L).map { i =>
+      val c = centers((i % 16).toInt)
+      (i, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    }
+    val emb = points.toDF("vec_id", "embedding")
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding", dim = dim,
+      m = 4, k = 16, trainSampleFraction = 0.5, sampleSalt = 3L)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+    val refinedRecalls = Seq(0L, 42L, 137L, 233L).map { qid =>
+      val q = emb.filter($"vec_id" === qid).select("embedding").head().getSeq[Float](0).toArray
+      val exact = Similarity.bruteForceDotTopK(emb, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val refined = Similarity.pqTopKRefined(codes, emb, "vec_id", "pq_code",
+        "embedding", model, q, k = 10, shortlist = 50)
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(refined).size / 10.0
+    }
+    assert(refinedRecalls.sum / refinedRecalls.size >= 0.9,
+      s"sample-trained refined recall@10: $refinedRecalls")
+
+    val (assignments, ivf) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nlist = 16, trainSampleFraction = 0.5, sampleSalt = 3L)
+    val ivfRecalls = Seq(0L, 5L, 42L, 137L).map { qid =>
+      val q = emb.filter($"vec_id" === qid).select("embedding").head().getSeq[Float](0).toArray
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val approx = Similarity.ivfTopK(assignments, ivf, "vec_id", "embedding",
+        q, k = 10, nprobe = 4).collect().map(_.getLong(0)).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    assert(ivfRecalls.sum / ivfRecalls.size >= 0.9,
+      s"sample-trained IVF recall@10: $ivfRecalls")
+
+    // the sample is deterministic: training twice gives the same codebooks
+    val model2 = Similarity.pqTrain(emb, "vec_id", "embedding", dim = dim,
+      m = 4, k = 16, trainSampleFraction = 0.5, sampleSalt = 3L)
+    assert(model.codebooks.flatten.flatten.toSeq == model2.codebooks.flatten.flatten.toSeq)
+    // and a fraction that cannot seed 16 centroids raises, not silently shrinks
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(emb, "vec_id", "embedding", dim = dim, m = 4, k = 16,
+        trainSampleFraction = 0.01)
+    }
+  }
+
   test("pqTrain rejects codes that cannot pack and dims that cannot split") {
     val emb = (0L until 20L).map(i => (i, Seq.fill(16)(i.toFloat))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
