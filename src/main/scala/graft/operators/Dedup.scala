@@ -1099,6 +1099,54 @@ object Dedup {
   def bandProbeKeysFromSig(sig: Column, numHashes: Int, bands: Int): Column =
     transform(bandKeys(sig, numHashes, bands), (b, i) => xxhash64(i, b))
 
+  /** Exact corpus band-key probe TABLE for [[incrementalMinhash]] — the
+    * past-driver-memory form of the band bloom: `keys` holds one row per
+    * corpus [[bandProbeKeys]] key (BIGINT `__k`, plus an int `__shard` =
+    * `pmod(__k, nShards)` partition column when persisted). The probe
+    * broadcasts the BATCH's keys into an equi-join against this table —
+    * pruned to the batch's shard set — so no key-set-sized object ever
+    * reaches the driver or a task binary, and the corpus side is scanned,
+    * never shuffled. Unlike the bloom the probe is exact: the candidate
+    * set is the true band-collision set.
+    */
+  final case class BandKeyTable(keys: DataFrame, nShards: Int)
+
+  /** The corpus's band probe keys in [[BandKeyTable]] layout (`__shard`,
+    * `__k`) — ONE corpus featurization pass; callers persist the result
+    * partitioned by `__shard` (see
+    * [[graft.streaming.KeyTableSidecar.appendKeys]]) or pass it in-memory.
+    */
+  def corpusBandKeys(
+      corpus: DataFrame, textCol: String,
+      n: Int, numHashes: Int, bands: Int, seed: Long, nShards: Int): DataFrame =
+    corpus
+      .select(explode(bandProbeKeys(col(textCol), n, numHashes, bands, seed)).as("__k"))
+      .select(pmod(col("__k"), lit(nShards.toLong)).cast("int").as("__shard"), col("__k"))
+
+  /** Ids of `batchFeat` rows (schema `idCol`, `__sig_a`) having at least
+    * one band key present in `table` — the table-probe analog of the bloom
+    * `exists(mightContain)` filter. The batch keys BROADCAST; the table is
+    * scanned pruned to the batch's shard set (collected from the batch
+    * side — bounded by nShards) and never shuffled.
+    */
+  private[graft] def bandTableCandidateIds(
+      batchFeat: DataFrame, idCol: String,
+      numHashes: Int, bands: Int, table: BandKeyTable): DataFrame = {
+    val batchKeys = batchFeat.select(
+      col(idCol),
+      explode(bandProbeKeysFromSig(col("__sig_a"), numHashes, bands)).as("__k"))
+    val shards = batchKeys
+      .select(pmod(col("__k"), lit(table.nShards.toLong)).cast("int").as("__s"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned =
+      if (table.keys.columns.contains("__shard"))
+        table.keys.filter(col("__shard").isin(shards: _*))
+      else table.keys
+    pruned.select(col("__k"))
+      .join(broadcast(batchKeys), Seq("__k"))
+      .select(col(idCol)).distinct()
+  }
+
   /** Incremental NEAR-duplicate ingestion gate: admit only the batch rows
     * that are neither near-duplicates of the accumulated corpus nor of an
     * earlier-id row in the same batch — the MinHash analog of
@@ -1121,6 +1169,13 @@ object Dedup {
     * when nothing is flagged. When no prebuilt bloom is passed, one corpus
     * pass builds it (the batch-job form; expect `corpusRows × bands` keys).
     *
+    * `bandKeyTable` is the past-driver-memory probe: above the sidecar
+    * byte budget a useful-FPR bloom cannot ship as a plan literal, so the
+    * probe becomes a broadcast-batch-keys equi-join against the persisted
+    * sharded key table ([[BandKeyTable]]) -- same admissions (the table is
+    * exact where the bloom over-flags), no driver-side key state. Takes
+    * precedence over `bandBloom` when both are set.
+    *
     * Returns the admitted batch rows with the caller's full columns.
     */
   def incrementalMinhash(
@@ -1134,9 +1189,10 @@ object Dedup {
       bands: Int = 16,
       seed: Long = 42L,
       bandBloom: Option[Array[Byte]] = None,
-      expectedCorpusBandKeys: Long = 1000000L): DataFrame = {
+      expectedCorpusBandKeys: Long = 1000000L,
+      bandKeyTable: Option[BandKeyTable] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    if (bandBloom.isEmpty && corpus.isEmpty)
+    if (bandBloom.isEmpty && bandKeyTable.isEmpty && corpus.isEmpty)
       return ngramJaccard(batch, idCol, textCol, n, threshold, numHashes, bands, seed)
     // ONE batch featurization pass — (exact-dup digest, distinct gram
     // hashes, minhash signature) per row, materialized. Previously the
@@ -1180,23 +1236,36 @@ object Dedup {
     // materialized (id, grams, signature) frame feeds BOTH the bloom build
     // and the reject join below; without it the corpus would be tokenized +
     // minhashed twice (the dominant cost of the batch-job form).
-    val corpFeat = bandBloom.map(_ => (null: DataFrame)).getOrElse(
-      nearDupFeatures(corpus, idCol, textCol, n, numHashes, seed)
-        .transform(Checkpointing.materialize))
-    val bloom = bandBloom.getOrElse {
-      corpFeat.select(explode(
-        bandProbeKeysFromSig(col("__sig"), numHashes, bands)).as("__k"))
-        .agg(graft.functions.SketchFunctions.bloomFilterAgg(
-          col("__k"), expectedCorpusBandKeys).as("bf"))
-        .head().getAs[Array[Byte]]("bf")
-    }
+    val corpFeat =
+      if (bandBloom.isDefined || bandKeyTable.isDefined) (null: DataFrame)
+      else nearDupFeatures(corpus, idCol, textCol, n, numHashes, seed)
+        .transform(Checkpointing.materialize)
     // batch-sized materialization: the candidate split, the emptiness probe
-    // and the final anti-join all reuse it — and when the bloom flags
+    // and the final anti-join all reuse it — and when the probe flags
     // nothing, the corpus is NEVER touched (the steady-state cost model)
-    val flagged = batchKeptFeat.withColumn("__cand",
-      exists(bandProbeKeysFromSig(col("__sig_a"), numHashes, bands),
-        k => graft.functions.SketchFunctions.mightContain(lit(bloom), k)))
-      .transform(Checkpointing.materialize)
+    val flagged = bandKeyTable match {
+      case Some(table) =>
+        // table probe: the batch's keys broadcast into the sharded key
+        // table (pruned, never shuffled); the tiny hit-id set broadcasts
+        // back onto the batch — nothing key-set-sized in the driver
+        val candIds = bandTableCandidateIds(batchKeptFeat, idCol, numHashes, bands, table)
+          .withColumn("__cand", lit(true))
+        batchKeptFeat.join(broadcast(candIds), Seq(idCol), "left")
+          .withColumn("__cand", coalesce(col("__cand"), lit(false)))
+          .transform(Checkpointing.materialize)
+      case None =>
+        val bloom = bandBloom.getOrElse {
+          corpFeat.select(explode(
+            bandProbeKeysFromSig(col("__sig"), numHashes, bands)).as("__k"))
+            .agg(graft.functions.SketchFunctions.bloomFilterAgg(
+              col("__k"), expectedCorpusBandKeys).as("bf"))
+            .head().getAs[Array[Byte]]("bf")
+        }
+        batchKeptFeat.withColumn("__cand",
+          exists(bandProbeKeysFromSig(col("__sig_a"), numHashes, bands),
+            k => graft.functions.SketchFunctions.mightContain(lit(bloom), k)))
+          .transform(Checkpointing.materialize)
+    }
     val candidates = flagged.filter(col("__cand"))
       .select(col(idCol).as("__ca"), col("__g_a"), col("__sig_a"))
     val admittedIds =

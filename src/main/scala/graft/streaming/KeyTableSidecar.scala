@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Metadata for a persisted key-TABLE sidecar ([[KeyTableSidecar]]):
+  * shard modulus (probe compatibility — shard sets are only comparable at
+  * the same modulus), total key count (cost accounting), and the same
+  * corpus data-file-name stamp [[BloomSidecar]] uses for staleness
+  * detection (corpus advanced without a sidecar swap ⇒ crash window ⇒
+  * rebuild rather than trust).
+  */
+final case class KeyTableMeta(nShards: Int, keyCount: Long, filesStamp: String)
+
+/** The DRIVER-MEMORY-UNBOUNDED sidecar for continuous dedup ingestion: a
+  * hash-sharded parquet table of 64-bit probe keys, persisted inside the
+  * corpus directory, replacing the single-byte-array bloom
+  * ([[BloomSidecar]]) once a useful-FPR bloom would outgrow
+  * `spark.graft.sidecar.maxBytes`.
+  *
+  * Why a table: the bloom is a PLAN LITERAL — it ships with every task
+  * binary and lives whole in the driver, so its size budget is megabytes.
+  * At a 100 TB corpus the band-key population is corpusRows × bands and a
+  * useful-FPR bloom is tens of GB. The table form never materializes the
+  * key set anywhere: the batch's keys (micro-batch-small by construction)
+  * BROADCAST into an equi-join against the persisted table, pruned to the
+  * shards the batch's keys hash into — the corpus-side key table is
+  * scanned (pruned), never shuffled, and nothing key-set-sized ever
+  * reaches the driver. The probe is EXACT (a key set, not a filter), so
+  * the candidate set it yields is the true band-collision set — strictly
+  * smaller than what a saturating bloom would flag.
+  *
+  * Layout: `<corpus>/_bands_table/__shard=<s>/part-*.parquet`, one BIGINT
+  * column `__k`, shard = `pmod(__k, nShards)`. The underscore-prefixed
+  * directory is invisible to Spark's file index (corpus reads are
+  * unaffected) while the `=`-bearing shard directories inside it stay
+  * visible to the explicit sidecar read. Appends are plain partitioned
+  * parquet appends; the meta file swaps in AFTER the corpus and key
+  * appends (same crash ordering as the bloom sidecar: a crash in the
+  * window leaves the stamp stale, forcing a rebuild — the table never
+  * under-covers the corpus it gates).
+  */
+object KeyTableSidecar {
+
+  private val Magic = 0x474b5431 // "GKT1"
+
+  /** Band-key table of the near-dup ingestion gate (keys from
+    * [[graft.operators.Dedup.bandProbeKeys]]).
+    */
+  val BandName = "_bands_table"
+
+  /** Session conf: byte budget above which ingestion gates switch from the
+    * bloom sidecar to this table form. The bloom is a plan literal, so the
+    * budget bounds driver + per-task-binary memory.
+    */
+  val MaxBytesKey = "spark.graft.sidecar.maxBytes"
+  val DefaultMaxBytes: Long = 64L * 1024 * 1024
+
+  def maxBytes(spark: SparkSession): Long =
+    spark.conf.getOption(MaxBytesKey).map(_.toLong).getOrElse(DefaultMaxBytes)
+
+  /** Estimated serialized size of a bloom sized for `keys` items at the
+    * aggregate's default FPR (~3% ⇒ ~7.3 bits/key) — the mode-switch
+    * estimate; exactness is not needed to pick a storage format.
+    */
+  def estimatedBloomBytes(keys: Long): Long = keys * 92L / 100L + 64L
+
+  def dir(corpusDir: Path, name: String = BandName): Path = {
+    require(name.startsWith("_"),
+      "sidecar names must be underscore-prefixed (invisible to Spark's file index)")
+    new Path(corpusDir, name)
+  }
+
+  private def metaPath(corpusDir: Path, name: String): Path =
+    new Path(corpusDir, name + ".meta")
+
+  /** Load the meta; None when absent or unreadable (degrades to a rebuild,
+    * never a failed batch).
+    */
+  def readMeta(fs: FileSystem, corpusDir: Path, name: String = BandName): Option[KeyTableMeta] = {
+    val p = metaPath(corpusDir, name)
+    if (!fs.exists(p)) None
+    else
+      try {
+        val in = new java.io.DataInputStream(fs.open(p))
+        try {
+          require(in.readInt() == Magic, "bad key-table meta magic")
+          Some(KeyTableMeta(in.readInt(), in.readLong(), in.readUTF()))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Staging write + rename swap (same torn-read protection as the bloom
+    * sidecar's writer).
+    */
+  def writeMeta(fs: FileSystem, corpusDir: Path, meta: KeyTableMeta, name: String = BandName): Unit = {
+    val p = metaPath(corpusDir, name)
+    val staging = new Path(corpusDir, name + ".meta.staging")
+    val out = new java.io.DataOutputStream(fs.create(staging, true))
+    try {
+      out.writeInt(Magic)
+      out.writeInt(meta.nShards)
+      out.writeLong(meta.keyCount)
+      out.writeUTF(meta.filesStamp)
+    } finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(staging, p)
+  }
+
+  /** Append `keys` (one BIGINT column named `__k`) to the sharded table —
+    * a plain partitioned parquet append, executor-side end to end.
+    */
+  def appendKeys(keys: DataFrame, corpusDir: Path, nShards: Int, name: String = BandName): Unit =
+    keys
+      .select(pmod(col("__k"), lit(nShards.toLong)).cast("int").as("__shard"), col("__k"))
+      .write.mode("append").partitionBy("__shard")
+      .parquet(dir(corpusDir, name).toString)
+
+  /** Drop any existing table and write `keys` fresh (rebuild path). The
+    * caller writes the meta AFTER, so a crash mid-rebuild leaves a stale
+    * stamp and the next batch rebuilds again.
+    */
+  def rebuild(fs: FileSystem, keys: DataFrame, corpusDir: Path, nShards: Int,
+      name: String = BandName): Unit = {
+    val d = dir(corpusDir, name)
+    if (fs.exists(d)) fs.delete(d, true)
+    appendKeys(keys, corpusDir, nShards, name)
+  }
+
+  /** The persisted table as a DataFrame (`__shard` recovered as a
+    * partition column, so an `isin` filter on it prunes whole shard
+    * directories at planning time).
+    */
+  def load(spark: SparkSession, corpusDir: Path, name: String = BandName): DataFrame =
+    spark.read.parquet(dir(corpusDir, name).toString)
+
+  /** Delete table + meta (mode switch back to bloom, or teardown). */
+  def delete(fs: FileSystem, corpusDir: Path, name: String = BandName): Unit = {
+    val d = dir(corpusDir, name)
+    if (fs.exists(d)) fs.delete(d, true)
+    val m = metaPath(corpusDir, name)
+    if (fs.exists(m)) fs.delete(m, false)
+  }
+}

@@ -514,6 +514,20 @@ object Streaming {
     * crash-safety ordering (append BEFORE sidecar swap; a crash in the
     * window leaves the stamp stale, forcing a rebuild — the bloom never
     * under-covers the corpus) are identical to the exact gate's.
+    *
+    * TWO sidecar forms, chosen by a byte budget (`sidecarMaxBytes`,
+    * defaulting to session conf `spark.graft.sidecar.maxBytes`, 64 MB):
+    * the bloom is a plan literal — it lives whole in the driver and ships
+    * with every task binary, so past the budget (corpusRows × bands keys at
+    * a useful FPR) the gate uses the [[KeyTableSidecar]] instead: a
+    * hash-sharded persisted key table probed by BROADCASTING the batch's
+    * band keys into a shard-pruned equi-join — exact (strictly fewer
+    * candidates than a saturating bloom), with no key-set-sized state
+    * anywhere. The switch happens at first build, at a stale-stamp rebuild,
+    * or when a saturation rebuild's doubled capacity would blow the budget;
+    * a fresh table sidecar always wins over a fresh bloom. Admissions are
+    * identical through either form (the probe only selects WHICH rows pay
+    * the exact confirm join).
     */
   def ingestNearDupBatch(
       batch: DataFrame,
@@ -527,44 +541,85 @@ object Streaming {
       seed: Long = 42L,
       expectedCorpusBandKeys: Long = 1000000L,
       maxSmallFiles: Int = 8,
-      minFileBytes: Long = 32L * 1024 * 1024): IngestStats = {
+      minFileBytes: Long = 32L * 1024 * 1024,
+      nShards: Int = 64,
+      sidecarMaxBytes: Option[Long] = None): IngestStats = {
     val spark = batch.sparkSession
     val target = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val Dedup = graft.operators.Dedup
     val probeKeys = Dedup.bandProbeKeys(col(textCol), n, numHashes, bands, seed)
+    val budget = sidecarMaxBytes.getOrElse(KeyTableSidecar.maxBytes(spark))
     def bloomOver(df: DataFrame, expected: Long): Array[Byte] =
       df.select(explode(probeKeys).as("__k"))
         .agg(graft.functions.SketchFunctions.bloomFilterAgg(col("__k"), expected))
         .head().getAs[Array[Byte]](0)
+    def keysOver(df: DataFrame): DataFrame =
+      df.select(explode(probeKeys).as("__k"))
+    def overBudget(keyCount: Long): Boolean =
+      KeyTableSidecar.estimatedBloomBytes(
+        math.max(expectedCorpusBandKeys, 2 * keyCount)) > budget
 
-    if (!fs.exists(target)) {
-      val survivors = Dedup
+    // gate the within-batch-deduped survivors against the corpus via the
+    // TABLE sidecar: batch keys broadcast into the shard-pruned key table,
+    // the (tiny) hit-id set selects candidates, only candidates pay the
+    // banded corpus confirm. `scans0`/`rebuilt` carry the cost of a
+    // sidecar rebuild that already happened in the caller.
+    def tableBatch(meta: KeyTableMeta, rebuilt: Boolean, scans0: Int): IngestStats = {
+      var scans = scans0
+      val kept = Dedup
         .ngramJaccard(batch, idCol, textCol, n, threshold, numHashes, bands, seed)
         .transform(Checkpointing.materialize)
+      val batchKeys = kept.select(col(idCol), explode(probeKeys).as("__k"))
+      val shards = batchKeys
+        .select(pmod(col("__k"), lit(meta.nShards.toLong)).cast("int").as("__s"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val candIds = KeyTableSidecar.load(spark, target)
+        .filter(col("__shard").isin(shards: _*))
+        .select(col("__k"))
+        .join(broadcast(batchKeys), Seq("__k"))
+        .select(col(idCol)).distinct()
+      val candidates = kept.join(broadcast(candIds), Seq(idCol), "left_semi")
+      val survivors = (if (candidates.isEmpty) kept
+      else {
+        scans += 1 // the confirm join reads the corpus once
+        kept.join(
+          Dedup.nearDupRejects(spark.read.parquet(corpusDir), candidates,
+            idCol, textCol, n, threshold, numHashes, bands, seed),
+          Seq(idCol), "left_anti")
+      }).transform(Checkpointing.materialize)
       val cnt = survivors.count()
       if (cnt > 0) {
         survivors.write.mode("append").parquet(corpusDir)
-        val expected = math.max(expectedCorpusBandKeys, 2 * cnt * bands)
-        BloomSidecar.write(fs, target,
-          BloomSidecar(expected, cnt * bands,
-            BloomSidecar.filesStamp(fs, target), bloomOver(survivors, expected)),
-          BloomSidecar.BandName)
+        // compact BEFORE stamping (stamp must record post-compaction names);
+        // compaction preserves content, so the key table is untouched
+        CorpusCompaction.compact(spark, fs, target, maxSmallFiles, minFileBytes)
+        KeyTableSidecar.appendKeys(keysOver(survivors), target, meta.nShards)
+        KeyTableSidecar.writeMeta(fs, target,
+          KeyTableMeta(meta.nShards, meta.keyCount + cnt * bands,
+            BloomSidecar.filesStamp(fs, target)))
       }
-      IngestStats(cnt, corpusScans = 0, rebuiltBloom = false, saturatedRebuild = false)
-    } else {
-      CorpusCompaction.recover(fs, target)
-      val loaded = BloomSidecar.read(fs, target, BloomSidecar.BandName)
-        .filter(_.filesStamp == BloomSidecar.filesStamp(fs, target))
-      var scans = 0
-      val sidecar = loaded.getOrElse {
-        scans += 1
-        val corpus = spark.read.parquet(corpusDir)
-        val keyCnt = corpus.count() * bands
-        val expected = math.max(expectedCorpusBandKeys, 2 * keyCnt)
-        BloomSidecar(expected, keyCnt,
-          BloomSidecar.filesStamp(fs, target), bloomOver(corpus, expected))
-      }
+      IngestStats(cnt, scans, rebuiltBloom = rebuilt, saturatedRebuild = false)
+    }
+
+    // rebuild the table sidecar from the corpus (one corpus scan), retiring
+    // any bloom sidecar; meta swaps in LAST so a crash mid-rebuild leaves a
+    // stale stamp and the next batch rebuilds again
+    def rebuildTable(corpus: DataFrame, keyCount: Long): KeyTableMeta = {
+      KeyTableSidecar.rebuild(fs, keysOver(corpus), target, nShards)
+      val meta = KeyTableMeta(nShards, keyCount, BloomSidecar.filesStamp(fs, target))
+      KeyTableSidecar.writeMeta(fs, target, meta)
+      val bloomPath = BloomSidecar.path(target, BloomSidecar.BandName)
+      if (fs.exists(bloomPath)) fs.delete(bloomPath, false)
+      meta
+    }
+
+    // gate via the BLOOM sidecar (the small-corpus fast path); on
+    // saturation the capacity doubles — unless the doubled filter would
+    // outgrow the byte budget, in which case the gate SWITCHES to the table
+    // sidecar (the bloom cannot ship as a plan literal past that size)
+    def bloomBatch(sidecar: BloomSidecar, rebuilt: Boolean, scans0: Int): IngestStats = {
+      var scans = scans0
       val flagged = Dedup
         .ngramJaccard(batch, idCol, textCol, n, threshold, numHashes, bands, seed)
         .withColumn("__cand", exists(probeKeys,
@@ -584,23 +639,84 @@ object Streaming {
       if (cnt > 0) {
         survivors.write.mode("append").parquet(corpusDir)
         val mergedCount = sidecar.insertedCount + cnt * bands
-        val (capacity, bloomBytes) =
-          if (mergedCount > sidecar.expectedItems) {
-            saturated = true; scans += 1
-            val corpus = spark.read.parquet(corpusDir)
-            val cap = math.max(2 * mergedCount, expectedCorpusBandKeys)
-            (cap, bloomOver(corpus, cap))
-          } else
-            (sidecar.expectedItems, BloomSidecar.merge(sidecar.bloom,
-              bloomOver(survivors, sidecar.expectedItems)))
-        CorpusCompaction.compact(spark, fs, target, maxSmallFiles, minFileBytes)
-        BloomSidecar.write(fs, target,
-          BloomSidecar(capacity, mergedCount,
-            BloomSidecar.filesStamp(fs, target), bloomBytes),
-          BloomSidecar.BandName)
+        if (mergedCount > sidecar.expectedItems && overBudget(mergedCount)) {
+          // capacity outgrown AND the doubled bloom would blow the byte
+          // budget: switch to the table sidecar from the post-append corpus
+          saturated = true; scans += 1
+          CorpusCompaction.compact(spark, fs, target, maxSmallFiles, minFileBytes)
+          rebuildTable(spark.read.parquet(corpusDir), mergedCount)
+        } else {
+          val (capacity, bloomBytes) =
+            if (mergedCount > sidecar.expectedItems) {
+              // capacity outgrown: rebuild at double size from the corpus
+              // (which now includes this batch) -- amortized O(log corpus)
+              saturated = true; scans += 1
+              val corpus = spark.read.parquet(corpusDir)
+              val cap = math.max(2 * mergedCount, expectedCorpusBandKeys)
+              (cap, bloomOver(corpus, cap))
+            } else
+              (sidecar.expectedItems, BloomSidecar.merge(sidecar.bloom,
+                bloomOver(survivors, sidecar.expectedItems)))
+          CorpusCompaction.compact(spark, fs, target, maxSmallFiles, minFileBytes)
+          BloomSidecar.write(fs, target,
+            BloomSidecar(capacity, mergedCount,
+              BloomSidecar.filesStamp(fs, target), bloomBytes),
+            BloomSidecar.BandName)
+        }
       }
-      IngestStats(cnt, scans, rebuiltBloom = loaded.isEmpty, saturatedRebuild = saturated)
+      IngestStats(cnt, scans, rebuiltBloom = rebuilt, saturatedRebuild = saturated)
     }
+
+    if (!fs.exists(target)) {
+      val survivors = Dedup
+        .ngramJaccard(batch, idCol, textCol, n, threshold, numHashes, bands, seed)
+        .transform(Checkpointing.materialize)
+      val cnt = survivors.count()
+      if (cnt > 0) {
+        survivors.write.mode("append").parquet(corpusDir)
+        val keyCnt = cnt * bands
+        if (overBudget(keyCnt)) {
+          KeyTableSidecar.appendKeys(keysOver(survivors), target, nShards)
+          KeyTableSidecar.writeMeta(fs, target,
+            KeyTableMeta(nShards, keyCnt, BloomSidecar.filesStamp(fs, target)))
+        } else {
+          val expected = math.max(expectedCorpusBandKeys, 2 * keyCnt)
+          BloomSidecar.write(fs, target,
+            BloomSidecar(expected, keyCnt,
+              BloomSidecar.filesStamp(fs, target), bloomOver(survivors, expected)),
+            BloomSidecar.BandName)
+        }
+      }
+      IngestStats(cnt, corpusScans = 0, rebuiltBloom = false, saturatedRebuild = false)
+    } else {
+      CorpusCompaction.recover(fs, target)
+      val stamp = BloomSidecar.filesStamp(fs, target)
+      val tableMeta = KeyTableSidecar.readMeta(fs, target).filter(_.filesStamp == stamp)
+      tableMeta match {
+        case Some(meta) => tableBatch(meta, rebuilt = false, scans0 = 0)
+        case None =>
+          val loaded = BloomSidecar.read(fs, target, BloomSidecar.BandName)
+            .filter(_.filesStamp == stamp)
+          loaded match {
+            case None =>
+              // neither sidecar is fresh: ONE corpus scan rebuilds whichever
+              // form fits the byte budget
+              val corpus = spark.read.parquet(corpusDir)
+              val keyCnt = corpus.count() * bands
+              if (overBudget(keyCnt)) {
+                val meta = rebuildTable(corpus, keyCnt)
+                tableBatch(meta, rebuilt = true, scans0 = 1)
+              } else {
+                val expected = math.max(expectedCorpusBandKeys, 2 * keyCnt)
+                val sidecar = BloomSidecar(expected, keyCnt, stamp,
+                  bloomOver(corpus, expected))
+                bloomBatch(sidecar, rebuilt = true, scans0 = 1)
+              }
+            case Some(sidecar) => bloomBatch(sidecar, rebuilt = false, scans0 = 0)
+          }
+      }
+    }
+
   }
 
   /** Stream-static enrichment join: each micro-batch joins against the

@@ -273,6 +273,48 @@ class DedupSpec extends SparkTestBase {
     assert(exactAdmitted.contains(11L), "premise: the exact gate admits the re-crawl")
   }
 
+  test("incrementalMinhash table probe admits exactly what the bloom probe admits") {
+    // the past-driver-memory sidecar form: the probe is a shard-pruned
+    // equi-join against an exact band-key table instead of a lit() bloom.
+    // Admissions must be identical — the probe only chooses WHICH rows pay
+    // the confirm join, and the table's exact key set is a superset-free
+    // version of what the bloom flags
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val corpus = Seq((1L, words("a", 40)), (2L, words("c", 40))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, words("a", 40)),            // exact clone of corpus
+      (11L, words("a", 39) + " zz"),    // near-dup of corpus
+      (12L, words("b", 40)),            // fresh
+      (13L, words("b", 40)),            // within-batch dup of 12
+      (14L, words("c", 38) + " q1 q2")  // near-dup of corpus doc 2
+    ).toDF("doc_id", "text")
+    val viaBloom = Dedup.incrementalMinhash(corpus, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val table = Dedup.BandKeyTable(
+      Dedup.corpusBandKeys(corpus, "text", n = 3, numHashes = 64, bands = 16,
+        seed = 42L, nShards = 8), nShards = 8)
+    val viaTable = Dedup.incrementalMinhash(corpus, batch, "doc_id", "text",
+      bandKeyTable = Some(table))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaTable == viaBloom, s"table $viaTable != bloom $viaBloom")
+    assert(viaTable == Set(12L))
+
+    // and on the real documents fixture: a mod-5 corpus/batch split must
+    // gate identically through both probe forms
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val corpusDocs = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batchDocs = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val fixtureBloom = Dedup.incrementalMinhash(corpusDocs, batchDocs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val fixtureTable = Dedup.incrementalMinhash(corpusDocs, batchDocs, "doc_id", "text",
+      bandKeyTable = Some(Dedup.BandKeyTable(
+        Dedup.corpusBandKeys(corpusDocs, "text", n = 3, numHashes = 64,
+          bands = 16, seed = 42L, nShards = 16), nShards = 16)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(fixtureTable == fixtureBloom)
+    assert(fixtureTable.nonEmpty, "fixture batch must admit something")
+  }
+
   test("incrementalMinhash with an empty corpus keeps the within-batch near-dup dedup") {
     def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

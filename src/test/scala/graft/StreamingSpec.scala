@@ -405,6 +405,78 @@ class StreamingSpec extends SparkTestBase {
       Set(1L, 2L, 4L, 5L))
   }
 
+  test("ingestNearDupBatch table sidecar: same gate past the bloom's byte budget, replay-idempotent") {
+    import graft.streaming.{BloomSidecar, KeyTableSidecar}
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val corpus = java.nio.file.Files.createTempDirectory("graft-ingest-ndt").toString + "/corpus"
+    val target = new org.apache.hadoop.fs.Path(corpus)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tiny = Some(0L) // every bloom is over budget -> table form from batch one
+    val first = Seq((1L, words("a", 40)), (2L, words("b", 40))).toDF("doc_id", "text")
+    val s1 = Streaming.ingestNearDupBatch(first, corpus, "doc_id", "text",
+      sidecarMaxBytes = tiny)
+    assert(s1.admitted == 2 && s1.corpusScans == 0)
+    // the table sidecar exists (fresh stamp), the bloom was never written
+    assert(KeyTableSidecar.readMeta(fs, target).exists(
+      _.filesStamp == BloomSidecar.filesStamp(fs, target)))
+    assert(BloomSidecar.read(fs, target, BloomSidecar.BandName).isEmpty)
+    // at-least-once replay: nothing lands twice, no corpus read needed for
+    // the decision beyond the confirm join the exact clones trigger
+    val s2 = Streaming.ingestNearDupBatch(first, corpus, "doc_id", "text",
+      sidecarMaxBytes = tiny)
+    assert(s2.admitted == 0, s"replay must admit nothing: $s2")
+    // near-dup re-crawl rejected: exactly one confirm scan
+    val s3 = Streaming.ingestNearDupBatch(
+      Seq((3L, words("a", 39) + " zz")).toDF("doc_id", "text"), corpus, "doc_id", "text",
+      sidecarMaxBytes = tiny)
+    assert(s3.admitted == 0 && s3.corpusScans == 1, s"re-crawl must be rejected: $s3")
+    // fresh doc: the key-table probe flags nothing -> admitted with ZERO
+    // corpus reads (the steady-state cost model, same as the bloom's)
+    val s4 = Streaming.ingestNearDupBatch(
+      Seq((4L, words("c", 40))).toDF("doc_id", "text"), corpus, "doc_id", "text",
+      sidecarMaxBytes = tiny)
+    assert(s4.admitted == 1 && s4.corpusScans == 0 && !s4.rebuiltBloom, s"fresh: $s4")
+    // a deleted table sidecar degrades to ONE rebuild scan, then recovers
+    KeyTableSidecar.delete(fs, target)
+    val s5 = Streaming.ingestNearDupBatch(
+      Seq((5L, words("d", 40))).toDF("doc_id", "text"), corpus, "doc_id", "text",
+      sidecarMaxBytes = tiny)
+    assert(s5.admitted == 1 && s5.rebuiltBloom && s5.corpusScans == 1, s"rebuild: $s5")
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L, 5L))
+  }
+
+  test("ingestNearDupBatch migrates bloom -> table when saturation outgrows the byte budget") {
+    import graft.streaming.{BloomSidecar, KeyTableSidecar}
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val corpus = java.nio.file.Files.createTempDirectory("graft-ingest-ndm").toString + "/corpus"
+    val target = new org.apache.hadoop.fs.Path(corpus)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // capacity 64 keys = 2 docs x 16 bands x 2: the bloom form fits at
+    // first, saturates on the third admitted pair
+    def ingest(docs: Seq[(Long, String)], budget: Long) =
+      Streaming.ingestNearDupBatch(docs.toDF("doc_id", "text"), corpus, "doc_id", "text",
+        expectedCorpusBandKeys = 64L, sidecarMaxBytes = Some(budget))
+    val big = 64L * 1024 * 1024
+    ingest(Seq((1L, words("a", 40)), (2L, words("b", 40))), big)
+    assert(BloomSidecar.read(fs, target, BloomSidecar.BandName).isDefined, "bloom form first")
+    ingest(Seq((3L, words("c", 40)), (4L, words("d", 40))), big) // merged = capacity, no switch
+    assert(BloomSidecar.read(fs, target, BloomSidecar.BandName).isDefined)
+    assert(KeyTableSidecar.readMeta(fs, target).isEmpty)
+    // third pair saturates; the tiny budget blocks the doubled bloom -> switch
+    val s = ingest(Seq((5L, words("e", 40)), (6L, words("f", 40))), 10L)
+    assert(s.admitted == 2 && s.saturatedRebuild, s"switch batch: $s")
+    assert(BloomSidecar.read(fs, target, BloomSidecar.BandName).isEmpty, "bloom retired")
+    val meta = KeyTableSidecar.readMeta(fs, target)
+    assert(meta.exists(_.filesStamp == BloomSidecar.filesStamp(fs, target)), s"table fresh: $meta")
+    // the migrated table gates exactly like the bloom did: clone rejected,
+    // fresh admitted with zero corpus reads
+    val s2 = ingest(Seq((7L, words("a", 40)), (8L, words("g", 40))), 10L)
+    assert(s2.admitted == 1 && !s2.rebuiltBloom, s"post-switch gate: $s2")
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L, 5L, 6L, 8L))
+  }
+
   test("ingestNearDupStream grows a near-dup-free corpus across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
