@@ -591,12 +591,23 @@ object Similarity {
       it += 1
     }
     val pq = PqModel(m, k, subDim, books)
-    val index = Ops.spread(corpus.select(col(idCol), col(vecCol)))
-      .select(col(idCol),
-        VectorExpressions.nearestCentroid(col(vecCol), coarse).as("centroid_id"),
-        packedCodes(vecCol, pq).as("pq_code"))
-    (index, IvfModel(coarse), pq)
+    val ivf = IvfModel(coarse)
+    (ivfPqEncode(corpus, idCol, vecCol, ivf, pq), ivf, pq)
   }
+
+  /** Stamp `(id, centroid_id, pq_code)` against PRE-TRAINED quantizers —
+    * the incremental-ingestion encoder: the same projection [[ivfPqIndex]]
+    * ends with, so an index built batchwise and one accreted batch-by-batch
+    * under the same models agree bitwise. A pure map stage: both codebooks
+    * broadcast in the closure, no join, no shuffle.
+    */
+  def ivfPqEncode(
+      df: DataFrame, idCol: String, vecCol: String,
+      ivf: IvfModel, pq: PqModel): DataFrame =
+    Ops.spread(df.select(col(idCol), col(vecCol)))
+      .select(col(idCol),
+        VectorExpressions.nearestCentroid(col(vecCol), ivf.centroids).as("centroid_id"),
+        packedCodes(vecCol, pq).as("pq_code"))
 
   /** IVF-PQ probe: rank coarse centroids against the query on the driver,
     * ADC-score ONLY the vectors in the `nprobe` nearest lists (a partition-

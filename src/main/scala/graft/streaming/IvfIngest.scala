@@ -78,6 +78,47 @@ object IvfIngest {
     fs.rename(staging, p)
   }
 
+  private val PqMagic = 0x47505142 // "GPQB"
+
+  def pqCodebookPath(indexDir: Path): Path = new Path(indexDir, "_pq_codebook")
+
+  /** Load the persisted PQ codebooks; None when absent (first batch trains). */
+  def readPqCodebook(fs: FileSystem, indexDir: Path): Option[Similarity.PqModel] = {
+    val p = pqCodebookPath(indexDir)
+    if (!fs.exists(p)) None
+    else {
+      val in = new java.io.DataInputStream(fs.open(p))
+      try {
+        require(in.readInt() == PqMagic, "bad PQ codebook magic")
+        val m = in.readInt(); val k = in.readInt(); val subDim = in.readInt()
+        val books = Array.fill(m, k) {
+          val v = new Array[Float](subDim)
+          var i = 0
+          while (i < subDim) { v(i) = java.lang.Float.intBitsToFloat(in.readInt()); i += 1 }
+          v
+        }
+        Some(Similarity.PqModel(m, k, subDim, books))
+      } finally in.close()
+    }
+  }
+
+  /** Staging write + rename swap, raw float bits (exact round-trip) — the
+    * PQ analog of [[writeCodebook]].
+    */
+  def writePqCodebook(fs: FileSystem, indexDir: Path, model: Similarity.PqModel): Unit = {
+    val staging = new Path(indexDir, "_pq_codebook.staging")
+    val out = new java.io.DataOutputStream(fs.create(staging, true))
+    try {
+      out.writeInt(PqMagic)
+      out.writeInt(model.m); out.writeInt(model.k); out.writeInt(model.subDim)
+      model.codebooks.foreach(_.foreach(_.foreach(x =>
+        out.writeInt(java.lang.Float.floatToIntBits(x)))))
+    } finally out.close()
+    val p = pqCodebookPath(indexDir)
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(staging, p)
+  }
+
   /** Per-batch outcome so callers (and StreamingSpec) can assert the cost
     * model: `trainedCodebook` is true only on the bootstrap batch.
     */
@@ -126,6 +167,131 @@ object IvfIngest {
     if (n > 0)
       assigned.write.mode("append").partitionBy("centroid_id").parquet(indexDir)
     IvfIngestStats(n, trained)
+  }
+
+  /** One IVF-PQ ingestion micro-batch — [[ingestBatch]]'s discipline for
+    * the 8-byte-code index ([[Similarity.ivfPqIndex]]'s layout): the
+    * bootstrap batch jointly trains the coarse quantizer AND the PQ
+    * codebooks (both persist as sidecars, codebooks-before-data crash
+    * ordering); every later batch stamps `(id, centroid_id, pq_code)`
+    * against the persisted models via [[Similarity.ivfPqEncode]] — a pure
+    * map stage, appended only into the partitions the batch lands in. The
+    * index a stream accretes is BITWISE the one a batch build under the
+    * same models produces (spec-pinned), because the encoder is the same
+    * projection. At 100 TB this is the index you keep ingestion-fresh: the
+    * stored row is 12 bytes however wide the floats were, and the raw
+    * vectors live in the corpus store, not the index (which is why
+    * [[refreshPq]] takes the raw vectors — codes are lossy and cannot
+    * retrain themselves).
+    */
+  def ingestPqBatch(
+      batch: DataFrame,
+      indexDir: String,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nlist: Int = 16,
+      iters: Int = 2,
+      m: Int = 8,
+      k: Int = 16): IvfIngestStats = {
+    val spark = batch.sparkSession
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRefresh(fs, dir)
+
+    val (ivf, pq, trained) =
+      (readCodebook(fs, dir), readPqCodebook(fs, dir)) match {
+        case (Some(iv), Some(p)) => (iv, p, false)
+        case _ =>
+          // bootstrap: one joint training pass over the batch (the
+          // batch-build trainer, so codebooks match a batch build bitwise)
+          val (_, iv, p) = Similarity.ivfPqIndex(batch, idCol, vecCol, dim,
+            nlist, iters, m, k)
+          (iv, p, true)
+      }
+    if (trained) {
+      // codebooks FIRST, then data (see [[ingestBatch]]'s ordering note) —
+      // both sidecars must land before any row is assigned under them
+      writeCodebook(fs, dir, ivf)
+      writePqCodebook(fs, dir, pq)
+    }
+    val n = batch.count()
+    if (n > 0)
+      Similarity.ivfPqEncode(batch, idCol, vecCol, ivf, pq)
+        .write.mode("append").partitionBy("centroid_id").parquet(indexDir)
+    IvfIngestStats(n, trained)
+  }
+
+  /** Continuous IVF-PQ form: every micro-batch of the embedding stream is
+    * PQ-encoded and landed in the partitioned code index.
+    */
+  def ingestPqStream(
+      embeddings: DataFrame,
+      indexDir: String,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nlist: Int = 16): StreamingQuery =
+    embeddings.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestPqBatch(batch, indexDir, idCol, vecCol, dim, nlist): Unit
+      }
+      .start()
+
+  /** Probe the ingested IVF-PQ index with the persisted models: partition
+    * pruning to the nprobe nearest lists, ADC over the 8-byte codes inside
+    * them — the probe reads nprobe/nlist of the files and never a float.
+    */
+  def probePq(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      idCol: String,
+      query: Array[Float],
+      kTop: Int,
+      nprobe: Int): DataFrame = {
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRefresh(fs, dir)
+    val ivf = readCodebook(fs, dir).getOrElse(
+      throw new graft.GraftDataError(s"no codebook sidecar under $indexDir"))
+    val pq = readPqCodebook(fs, dir).getOrElse(
+      throw new graft.GraftDataError(s"no PQ codebook sidecar under $indexDir"))
+    Similarity.ivfPqTopK(spark.read.parquet(indexDir), ivf, pq, idCol,
+      query, kTop, nprobe)
+  }
+
+  /** Retrain BOTH quantizers against the raw vectors (the index stores
+    * lossy 8-byte codes, so codebook rot is fixed from the corpus store,
+    * not the index) and rewrite the code index under the new models — the
+    * same staged-swap marker discipline as [[refresh]]: everything builds
+    * under `_refresh`, the COMPLETE marker makes it the copy of record,
+    * and [[recoverRefresh]] rolls a crashed swap forward from any entry
+    * point. Both codebook sidecars travel with their lists.
+    */
+  def refreshPq(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      rawVectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nlist: Int = 16,
+      iters: Int = 2,
+      m: Int = 8,
+      k: Int = 16): Unit = {
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRefresh(fs, dir)
+    val staging = stagingPath(dir)
+    val (index, ivf, pq) = Similarity.ivfPqIndex(rawVectors, idCol, vecCol, dim,
+      nlist, iters, m, k)
+    index.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(new Path(staging, "data").toString)
+    writeCodebook(fs, staging, ivf)
+    writePqCodebook(fs, staging, pq)
+    fs.create(new Path(staging, CompleteMarker), true).close()
+    completeRefresh(fs, dir)
   }
 
   /** Continuous form: every micro-batch of the embedding stream lands in
@@ -269,11 +435,14 @@ object IvfIngest {
       if (!name.startsWith("_") && !name.startsWith("."))
         fs.rename(st.getPath, new Path(dir, name))
     }
-    val stagedCb = codebookPath(staging)
-    if (fs.exists(stagedCb)) {
-      val cb = codebookPath(dir)
-      if (fs.exists(cb)) fs.delete(cb, false)
-      fs.rename(stagedCb, cb)
+    // both codebook sidecars swap by the same staged-copy-presence rule
+    Seq(codebookPath _, pqCodebookPath _).foreach { pathOf =>
+      val staged = pathOf(staging)
+      if (fs.exists(staged)) {
+        val top = pathOf(dir)
+        if (fs.exists(top)) fs.delete(top, false)
+        fs.rename(staged, top)
+      }
     }
     fs.delete(staging, true)
   }

@@ -600,6 +600,50 @@ class StreamingSpec extends SparkTestBase {
     assert(top.collect().map(_.getLong(0)).contains(150L))
   }
 
+  test("ingestPqBatch accretes bitwise the IVF-PQ index a batch build produces") {
+    import graft.streaming.IvfIngest
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-ing").toString + "/index"
+    val emb = Tables.embeddings(spark, sfDir)
+    val b1 = emb.filter($"vec_id" < 200)
+    val b2 = emb.filter($"vec_id" >= 200 && $"vec_id" < 350)
+    val b3 = emb.filter($"vec_id" >= 350)
+    val s1 = IvfIngest.ingestPqBatch(b1, dir, "vec_id", "embedding", dim = 64)
+    assert(s1.trainedCodebook && s1.appended == b1.count())
+    val s2 = IvfIngest.ingestPqBatch(b2, dir, "vec_id", "embedding", dim = 64)
+    val s3 = IvfIngest.ingestPqBatch(b3, dir, "vec_id", "embedding", dim = 64)
+    assert(!s2.trainedCodebook && !s3.trainedCodebook,
+      "later batches must encode against the persisted codebooks")
+    // reference: a batch build whose models come from the SAME training
+    // corpus the bootstrap saw (b1), encoding the full vector set — the
+    // accreted index must match it row-for-row (12-byte rows, no floats)
+    val (_, ivf, pq) = Similarity.ivfPqIndex(b1, "vec_id", "embedding", dim = 64)
+    val ref = Similarity.ivfPqEncode(emb, "vec_id", "embedding", ivf, pq)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = spark.read.parquet(dir)
+      .select($"vec_id", $"centroid_id".cast("int"), $"pq_code")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == ref, "accreted index must equal the batch-built index bitwise")
+    // and the probe through the persisted sidecars equals the in-memory one
+    val q = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0).toArray
+    val want = Similarity.ivfPqTopK(
+      Similarity.ivfPqEncode(emb, "vec_id", "embedding", ivf, pq),
+      ivf, pq, "vec_id", q, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probed = IvfIngest.probePq(spark, dir, "vec_id", q, kTop = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probed == want)
+    // codebook rot: refreshPq retrains from the RAW vectors (codes are
+    // lossy) and the swapped index equals a full-corpus batch build
+    IvfIngest.refreshPq(spark, dir, emb, "vec_id", "embedding", dim = 64)
+    val (fullIdx, fIvf, fPq) = Similarity.ivfPqIndex(emb, "vec_id", "embedding", dim = 64)
+    val wantFull = Similarity.ivfPqTopK(fullIdx, fIvf, fPq, "vec_id", q, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val gotFull = IvfIngest.probePq(spark, dir, "vec_id", q, kTop = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotFull == wantFull, "refreshed index must equal the full batch build")
+  }
+
   test("IvfIngest assigns a duplicated vector to the same list in any batch") {
     import graft.streaming.IvfIngest
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf2").toString + "/index"
