@@ -1072,6 +1072,42 @@ object Dedup {
     definitelyNew.unionByName(confirmed).drop("__might")
   }
 
+  /** [[incrementalExact]] with a PREBUILT corpus content-key TABLE — the
+    * past-driver-memory probe form of [[incrementalExactPruned]]: the
+    * batch's [[contentBloomKey]]s broadcast into a shard-pruned equi-join
+    * against the persisted key table ([[KeyTable]], one key per corpus
+    * row) instead of probing a plan-literal bloom. The probe is exact, so
+    * only true content-hash collisions pay the digest confirm anti-join;
+    * admissions are identical to the bloom form.
+    */
+  def incrementalExactTable(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      contentCols: Seq[String],
+      keyTable: KeyTable): DataFrame = {
+    val digest = contentDigest(contentCols)
+    val withinDeduped = exact(batch, idCol, contentCols)
+    val candIds = tableCandidateIds(
+      withinDeduped.select(col(idCol), contentBloomKey(contentCols).as("__k")),
+      idCol, keyTable)
+    val definitelyNew = withinDeduped.join(broadcast(candIds), Seq(idCol), "left_anti")
+    val confirmed = withinDeduped.join(broadcast(candIds), Seq(idCol), "left_semi")
+      .withColumn("__digest", digest)
+      .join(corpus.select(digest.as("__digest")), Seq("__digest"), "left_anti")
+      .drop("__digest")
+    definitelyNew.unionByName(confirmed)
+  }
+
+  /** The corpus's content keys in [[KeyTable]] layout (`__shard`, `__k`) —
+    * one key per row; callers persist via
+    * [[graft.streaming.KeyTableSidecar.appendKeys]] or pass in-memory.
+    */
+  def corpusContentKeys(
+      corpus: DataFrame, contentCols: Seq[String], nShards: Int): DataFrame =
+    corpus.select(contentBloomKey(contentCols).as("__k"))
+      .select(pmod(col("__k"), lit(nShards.toLong)).cast("int").as("__shard"), col("__k"))
+
   /** The 64-bit bloom key over the content columns — shared by the
     * incremental gate and the ingest sidecar so filters built in either
     * place probe identically.
@@ -1109,9 +1145,9 @@ object Dedup {
     * never shuffled. Unlike the bloom the probe is exact: the candidate
     * set is the true band-collision set.
     */
-  final case class BandKeyTable(keys: DataFrame, nShards: Int)
+  final case class KeyTable(keys: DataFrame, nShards: Int)
 
-  /** The corpus's band probe keys in [[BandKeyTable]] layout (`__shard`,
+  /** The corpus's band probe keys in [[KeyTable]] layout (`__shard`,
     * `__k`) — ONE corpus featurization pass; callers persist the result
     * partitioned by `__shard` (see
     * [[graft.streaming.KeyTableSidecar.appendKeys]]) or pass it in-memory.
@@ -1131,10 +1167,20 @@ object Dedup {
     */
   private[graft] def bandTableCandidateIds(
       batchFeat: DataFrame, idCol: String,
-      numHashes: Int, bands: Int, table: BandKeyTable): DataFrame = {
-    val batchKeys = batchFeat.select(
-      col(idCol),
-      explode(bandProbeKeysFromSig(col("__sig_a"), numHashes, bands)).as("__k"))
+      numHashes: Int, bands: Int, table: KeyTable): DataFrame =
+    tableCandidateIds(
+      batchFeat.select(
+        col(idCol),
+        explode(bandProbeKeysFromSig(col("__sig_a"), numHashes, bands)).as("__k")),
+      idCol, table)
+
+  /** The generic key-table probe: ids of `batchKeys` rows (`idCol`, BIGINT
+    * `__k`) whose key exists in `table` — shard-pruned scan of the corpus
+    * key table, batch side broadcast, tiny distinct-id output. Shared by
+    * the band probe above and the exact content-key gate.
+    */
+  private[graft] def tableCandidateIds(
+      batchKeys: DataFrame, idCol: String, table: KeyTable): DataFrame = {
     val shards = batchKeys
       .select(pmod(col("__k"), lit(table.nShards.toLong)).cast("int").as("__s"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -1172,7 +1218,7 @@ object Dedup {
     * `bandKeyTable` is the past-driver-memory probe: above the sidecar
     * byte budget a useful-FPR bloom cannot ship as a plan literal, so the
     * probe becomes a broadcast-batch-keys equi-join against the persisted
-    * sharded key table ([[BandKeyTable]]) -- same admissions (the table is
+    * sharded key table ([[KeyTable]]) -- same admissions (the table is
     * exact where the bloom over-flags), no driver-side key state. Takes
     * precedence over `bandBloom` when both are set.
     *
@@ -1190,7 +1236,7 @@ object Dedup {
       seed: Long = 42L,
       bandBloom: Option[Array[Byte]] = None,
       expectedCorpusBandKeys: Long = 1000000L,
-      bandKeyTable: Option[BandKeyTable] = None): DataFrame = {
+      bandKeyTable: Option[KeyTable] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     if (bandBloom.isEmpty && bandKeyTable.isEmpty && corpus.isEmpty)
       return ngramJaccard(batch, idCol, textCol, n, threshold, numHashes, bands, seed)

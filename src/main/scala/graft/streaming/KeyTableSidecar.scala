@@ -50,6 +50,11 @@ object KeyTableSidecar {
     */
   val BandName = "_bands_table"
 
+  /** Content-key table of the exact ingestion gate (keys from
+    * [[graft.operators.Dedup.contentBloomKey]], one per corpus row).
+    */
+  val ContentName = "_content_table"
+
   /** Session conf: byte budget above which ingestion gates switch from the
     * bloom sidecar to this table form. The bloom is a plan literal, so the
     * budget bounds driver + per-task-binary memory.

@@ -381,6 +381,14 @@ object Streaming {
     * bloom therefore never under-covers the corpus it gates (a false
     * negative would admit a duplicate; a false positive only costs the
     * confirm join).
+    *
+    * TWO sidecar forms under a byte budget (`sidecarMaxBytes` /
+    * `spark.graft.sidecar.maxBytes`), exactly as in [[ingestNearDupBatch]]:
+    * past the budget the content-key bloom (a plan literal, one key per
+    * corpus row — driver-unshippable at extreme corpus sizes) becomes the
+    * persisted sharded [[KeyTableSidecar]] probed by broadcasting the
+    * batch's content keys into a shard-pruned equi-join. The table probe
+    * is exact, so only true 64-bit-hash collisions pay the digest confirm.
     */
   def ingestBatch(
       batch: DataFrame,
@@ -389,49 +397,70 @@ object Streaming {
       contentCols: Seq[String],
       expectedCorpusItems: Long = 1000000L,
       maxSmallFiles: Int = 8,
-      minFileBytes: Long = 32L * 1024 * 1024): IngestStats = {
+      minFileBytes: Long = 32L * 1024 * 1024,
+      nShards: Int = 64,
+      sidecarMaxBytes: Option[Long] = None): IngestStats = {
     val spark = batch.sparkSession
     val target = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bloomKey = graft.operators.Dedup.contentBloomKey(contentCols)
+    val Dedup = graft.operators.Dedup
+    val bloomKey = Dedup.contentBloomKey(contentCols)
+    val budget = sidecarMaxBytes.getOrElse(KeyTableSidecar.maxBytes(spark))
+    val TableName = KeyTableSidecar.ContentName
+    def keysOver(df: DataFrame): DataFrame = df.select(bloomKey.as("__k"))
+    def overBudget(keyCount: Long): Boolean =
+      KeyTableSidecar.estimatedBloomBytes(
+        math.max(expectedCorpusItems, 2 * keyCount)) > budget
 
-    if (!fs.exists(target)) {
-      val survivors = graft.operators.Dedup.exact(batch, idCol, contentCols)
+    // gate through the TABLE sidecar (the past-driver-memory form): the
+    // batch's content keys broadcast into the shard-pruned key table; only
+    // true hash collisions pay the digest confirm anti-join
+    def tableBatch(meta: KeyTableMeta, rebuilt: Boolean, scans0: Int): IngestStats = {
+      var scans = scans0
+      val kept = Dedup.exact(batch, idCol, contentCols)
         .transform(Checkpointing.materialize)
+      val candIds = Dedup.tableCandidateIds(
+        kept.select(col(idCol), bloomKey.as("__k")), idCol,
+        Dedup.KeyTable(KeyTableSidecar.load(spark, target, TableName), meta.nShards))
+      val candidates = kept.join(broadcast(candIds), Seq(idCol), "left_semi")
+      val definitelyNew = kept.join(broadcast(candIds), Seq(idCol), "left_anti")
+      val survivors = (if (candidates.isEmpty) kept
+      else {
+        scans += 1 // exact confirmation reads the corpus digests once
+        val digest = Dedup.contentDigest(contentCols)
+        val confirmed = candidates.withColumn("__digest", digest)
+          .join(spark.read.parquet(corpusDir).select(digest.as("__digest")),
+            Seq("__digest"), "left_anti")
+          .drop("__digest")
+        definitelyNew.unionByName(confirmed)
+      }).transform(Checkpointing.materialize)
       val n = survivors.count()
       if (n > 0) {
         survivors.write.mode("append").parquet(corpusDir)
-        val expected = math.max(expectedCorpusItems, 2 * n)
-        val bf = survivors.agg(
-          graft.functions.SketchFunctions.bloomFilterAgg(bloomKey, expected))
-          .head().getAs[Array[Byte]](0)
-        BloomSidecar.write(fs, target,
-          BloomSidecar(expected, n, BloomSidecar.filesStamp(fs, target), bf))
+        CorpusCompaction.compact(spark, fs, target, maxSmallFiles, minFileBytes)
+        KeyTableSidecar.appendKeys(keysOver(survivors), target, meta.nShards, TableName)
+        KeyTableSidecar.writeMeta(fs, target,
+          KeyTableMeta(meta.nShards, meta.keyCount + n,
+            BloomSidecar.filesStamp(fs, target)), TableName)
       }
-      IngestStats(n, corpusScans = 0, rebuiltBloom = false, saturatedRebuild = false)
-    } else {
-      // finish any compaction commit a crash interrupted BEFORE trusting the
-      // corpus: mid-commit, retired rows exist only in the staging dir
-      CorpusCompaction.recover(fs, target)
-      // load the sidecar; a missing or stale one (file count moved without a
-      // sidecar swap — crash window) costs ONE corpus scan to rebuild
-      val loaded = BloomSidecar.read(fs, target)
-        .filter(_.filesStamp == BloomSidecar.filesStamp(fs, target))
-      var scans = 0
-      val sidecar = loaded.getOrElse {
-        scans += 1
-        val corpus = spark.read.parquet(corpusDir)
-        val cnt = corpus.count()
-        val expected = math.max(expectedCorpusItems, 2 * cnt)
-        val bf = corpus.agg(
-          graft.functions.SketchFunctions.bloomFilterAgg(bloomKey, expected))
-          .head().getAs[Array[Byte]](0)
-        BloomSidecar(expected, cnt, BloomSidecar.filesStamp(fs, target), bf)
-      }
-      // gate: within-batch dedup, then the bloom prune in the batch's own
-      // scan stage. Checkpoint the flagged frame once — the split, the
-      // emptiness probe, and the append all reuse it.
-      val flagged = graft.operators.Dedup.exact(batch, idCol, contentCols)
+      IngestStats(n, scans, rebuiltBloom = rebuilt, saturatedRebuild = false)
+    }
+
+    def rebuildTable(corpus: DataFrame, keyCount: Long): KeyTableMeta = {
+      KeyTableSidecar.rebuild(fs, keysOver(corpus), target, nShards, TableName)
+      val meta = KeyTableMeta(nShards, keyCount, BloomSidecar.filesStamp(fs, target))
+      KeyTableSidecar.writeMeta(fs, target, meta, TableName)
+      val bloomPath = BloomSidecar.path(target)
+      if (fs.exists(bloomPath)) fs.delete(bloomPath, false)
+      meta
+    }
+
+    // gate through the BLOOM sidecar (the small-corpus fast path); a
+    // saturation rebuild whose doubled capacity would blow the byte budget
+    // switches to the table sidecar instead
+    def bloomBatch(sidecar: BloomSidecar, rebuilt: Boolean, scans0: Int): IngestStats = {
+      var scans = scans0
+      val flagged = Dedup.exact(batch, idCol, contentCols)
         .withColumn("__might", graft.functions.SketchFunctions
           .mightContain(lit(sidecar.bloom), bloomKey))
         .transform(Checkpointing.materialize)
@@ -440,7 +469,7 @@ object Streaming {
       val survivors = (if (candidates.isEmpty) definitelyNew
       else {
         scans += 1 // exact confirmation reads the corpus digests once
-        val digest = graft.operators.Dedup.contentDigest(contentCols)
+        val digest = Dedup.contentDigest(contentCols)
         val confirmed = candidates.withColumn("__digest", digest)
           .join(spark.read.parquet(corpusDir).select(digest.as("__digest")),
             Seq("__digest"), "left_anti")
@@ -452,33 +481,92 @@ object Streaming {
       if (n > 0) {
         survivors.write.mode("append").parquet(corpusDir)
         val mergedCount = sidecar.insertedCount + n
-        val (capacity, bloomBytes) =
-          if (mergedCount > sidecar.expectedItems) {
-            // capacity outgrown: rebuild at double size from the corpus
-            // (which now includes this batch) — amortized O(log corpus)
-            saturated = true; scans += 1
-            val corpus = spark.read.parquet(corpusDir)
-            val cap = math.max(2 * mergedCount, expectedCorpusItems)
-            (cap, corpus.agg(
-              graft.functions.SketchFunctions.bloomFilterAgg(bloomKey, cap))
-              .head().getAs[Array[Byte]](0))
-          } else {
-            val batchBf = survivors.agg(
-              graft.functions.SketchFunctions
-                .bloomFilterAgg(bloomKey, sidecar.expectedItems))
-              .head().getAs[Array[Byte]](0)
-            (sidecar.expectedItems, BloomSidecar.merge(sidecar.bloom, batchBf))
-          }
-        // bound the file count BEFORE stamping the sidecar: the stamp must
-        // record the post-compaction count or the next batch would read it
-        // as a crash and pay a needless rebuild. Compaction preserves
-        // content, so the bloom itself is untouched.
-        CorpusCompaction.compact(spark, fs, target, maxSmallFiles, minFileBytes)
-        BloomSidecar.write(fs, target,
-          BloomSidecar(capacity, mergedCount,
-            BloomSidecar.filesStamp(fs, target), bloomBytes))
+        if (mergedCount > sidecar.expectedItems && overBudget(mergedCount)) {
+          saturated = true; scans += 1
+          CorpusCompaction.compact(spark, fs, target, maxSmallFiles, minFileBytes)
+          rebuildTable(spark.read.parquet(corpusDir), mergedCount)
+        } else {
+          val (capacity, bloomBytes) =
+            if (mergedCount > sidecar.expectedItems) {
+              // capacity outgrown: rebuild at double size from the corpus
+              // (which now includes this batch) -- amortized O(log corpus)
+              saturated = true; scans += 1
+              val corpus = spark.read.parquet(corpusDir)
+              val cap = math.max(2 * mergedCount, expectedCorpusItems)
+              (cap, corpus.agg(
+                graft.functions.SketchFunctions.bloomFilterAgg(bloomKey, cap))
+                .head().getAs[Array[Byte]](0))
+            } else {
+              val batchBf = survivors.agg(
+                graft.functions.SketchFunctions
+                  .bloomFilterAgg(bloomKey, sidecar.expectedItems))
+                .head().getAs[Array[Byte]](0)
+              (sidecar.expectedItems, BloomSidecar.merge(sidecar.bloom, batchBf))
+            }
+          // bound the file count BEFORE stamping the sidecar: the stamp must
+          // record the post-compaction count or the next batch would read it
+          // as a crash and pay a needless rebuild. Compaction preserves
+          // content, so the bloom itself is untouched.
+          CorpusCompaction.compact(spark, fs, target, maxSmallFiles, minFileBytes)
+          BloomSidecar.write(fs, target,
+            BloomSidecar(capacity, mergedCount,
+              BloomSidecar.filesStamp(fs, target), bloomBytes))
+        }
       }
-      IngestStats(n, scans, rebuiltBloom = loaded.isEmpty, saturatedRebuild = saturated)
+      IngestStats(n, scans, rebuiltBloom = rebuilt, saturatedRebuild = saturated)
+    }
+
+    if (!fs.exists(target)) {
+      val survivors = Dedup.exact(batch, idCol, contentCols)
+        .transform(Checkpointing.materialize)
+      val n = survivors.count()
+      if (n > 0) {
+        survivors.write.mode("append").parquet(corpusDir)
+        if (overBudget(n)) {
+          KeyTableSidecar.appendKeys(keysOver(survivors), target, nShards, TableName)
+          KeyTableSidecar.writeMeta(fs, target,
+            KeyTableMeta(nShards, n, BloomSidecar.filesStamp(fs, target)), TableName)
+        } else {
+          val expected = math.max(expectedCorpusItems, 2 * n)
+          val bf = survivors.agg(
+            graft.functions.SketchFunctions.bloomFilterAgg(bloomKey, expected))
+            .head().getAs[Array[Byte]](0)
+          BloomSidecar.write(fs, target,
+            BloomSidecar(expected, n, BloomSidecar.filesStamp(fs, target), bf))
+        }
+      }
+      IngestStats(n, corpusScans = 0, rebuiltBloom = false, saturatedRebuild = false)
+    } else {
+      // finish any compaction commit a crash interrupted BEFORE trusting the
+      // corpus: mid-commit, retired rows exist only in the staging dir
+      CorpusCompaction.recover(fs, target)
+      val stamp = BloomSidecar.filesStamp(fs, target)
+      val tableMeta = KeyTableSidecar.readMeta(fs, target, TableName)
+        .filter(_.filesStamp == stamp)
+      tableMeta match {
+        case Some(meta) => tableBatch(meta, rebuilt = false, scans0 = 0)
+        case None =>
+          val loaded = BloomSidecar.read(fs, target).filter(_.filesStamp == stamp)
+          loaded match {
+            case None =>
+              // neither sidecar is fresh: ONE corpus scan rebuilds whichever
+              // form fits the byte budget
+              val corpus = spark.read.parquet(corpusDir)
+              val cnt = corpus.count()
+              if (overBudget(cnt)) {
+                val meta = rebuildTable(corpus, cnt)
+                tableBatch(meta, rebuilt = true, scans0 = 1)
+              } else {
+                val expected = math.max(expectedCorpusItems, 2 * cnt)
+                val bf = corpus.agg(
+                  graft.functions.SketchFunctions.bloomFilterAgg(bloomKey, expected))
+                  .head().getAs[Array[Byte]](0)
+                bloomBatch(BloomSidecar(expected, cnt, stamp, bf),
+                  rebuilt = true, scans0 = 1)
+              }
+            case Some(sidecar) => bloomBatch(sidecar, rebuilt = false, scans0 = 0)
+          }
+      }
     }
   }
 

@@ -253,6 +253,23 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Seq(5L, 7L))
   }
 
+  test("incrementalExactTable admits exactly what the bloom-pruned exact gate admits") {
+    val corpus = Seq((1L, "seen one"), (2L, "seen two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "brand new"),
+      (12L, "brand new"),  // within-batch dup of 11
+      (13L, "seen two")    // exact dup of corpus
+    ).toDF("doc_id", "text")
+    val viaBloom = Dedup.incrementalExact(corpus, batch, "doc_id", Seq("text"))
+      .select("doc_id").as[Long].collect().toSet
+    val table = Dedup.KeyTable(
+      Dedup.corpusContentKeys(corpus, Seq("text"), nShards = 8), nShards = 8)
+    val viaTable = Dedup.incrementalExactTable(corpus, batch, "doc_id", Seq("text"), table)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaTable == viaBloom && viaTable == Set(11L),
+      s"table $viaTable, bloom $viaBloom")
+  }
+
   test("incrementalMinhash rejects near-dups of the corpus that the exact gate admits") {
     def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
     val base = words("a", 40)
@@ -290,7 +307,7 @@ class DedupSpec extends SparkTestBase {
     ).toDF("doc_id", "text")
     val viaBloom = Dedup.incrementalMinhash(corpus, batch, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
-    val table = Dedup.BandKeyTable(
+    val table = Dedup.KeyTable(
       Dedup.corpusBandKeys(corpus, "text", n = 3, numHashes = 64, bands = 16,
         seed = 42L, nShards = 8), nShards = 8)
     val viaTable = Dedup.incrementalMinhash(corpus, batch, "doc_id", "text",
@@ -307,7 +324,7 @@ class DedupSpec extends SparkTestBase {
     val fixtureBloom = Dedup.incrementalMinhash(corpusDocs, batchDocs, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
     val fixtureTable = Dedup.incrementalMinhash(corpusDocs, batchDocs, "doc_id", "text",
-      bandKeyTable = Some(Dedup.BandKeyTable(
+      bandKeyTable = Some(Dedup.KeyTable(
         Dedup.corpusBandKeys(corpusDocs, "text", n = 3, numHashes = 64,
           bands = 16, seed = 42L, nShards = 16), nShards = 16)))
       .select("doc_id").as[Long].collect().toSet

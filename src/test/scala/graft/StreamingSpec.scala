@@ -405,6 +405,39 @@ class StreamingSpec extends SparkTestBase {
       Set(1L, 2L, 4L, 5L))
   }
 
+  test("ingestBatch table sidecar: the exact gate past the bloom's byte budget") {
+    import graft.streaming.{BloomSidecar, KeyTableSidecar}
+    val corpus = java.nio.file.Files.createTempDirectory("graft-ingest-ct").toString + "/corpus"
+    val target = new org.apache.hadoop.fs.Path(corpus)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tiny = Some(0L) // every bloom is over budget -> content-key table form
+    val first = Seq((1L, "seen one"), (2L, "seen two")).toDF("doc_id", "text")
+    val s1 = Streaming.ingestBatch(first, corpus, "doc_id", Seq("text"),
+      sidecarMaxBytes = tiny)
+    assert(s1.admitted == 2 && s1.corpusScans == 0)
+    assert(KeyTableSidecar.readMeta(fs, target, KeyTableSidecar.ContentName).exists(
+      _.filesStamp == BloomSidecar.filesStamp(fs, target)))
+    assert(BloomSidecar.read(fs, target).isEmpty, "bloom never written")
+    // replay: exact clones collide in the key table, the digest confirm
+    // rejects them — nothing lands twice
+    val s2 = Streaming.ingestBatch(first, corpus, "doc_id", Seq("text"),
+      sidecarMaxBytes = tiny)
+    assert(s2.admitted == 0 && s2.corpusScans == 1, s"replay: $s2")
+    // fresh content: the exact key probe flags nothing -> zero corpus reads
+    val s3 = Streaming.ingestBatch(
+      Seq((3L, "brand new")).toDF("doc_id", "text"), corpus, "doc_id", Seq("text"),
+      sidecarMaxBytes = tiny)
+    assert(s3.admitted == 1 && s3.corpusScans == 0 && !s3.rebuiltBloom, s"fresh: $s3")
+    // stale table degrades to ONE rebuild scan, then recovers
+    KeyTableSidecar.delete(fs, target, KeyTableSidecar.ContentName)
+    val s4 = Streaming.ingestBatch(
+      Seq((4L, "newer still")).toDF("doc_id", "text"), corpus, "doc_id", Seq("text"),
+      sidecarMaxBytes = tiny)
+    assert(s4.admitted == 1 && s4.rebuiltBloom && s4.corpusScans == 1, s"rebuild: $s4")
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+  }
+
   test("ingestNearDupBatch table sidecar: same gate past the bloom's byte budget, replay-idempotent") {
     import graft.streaming.{BloomSidecar, KeyTableSidecar}
     def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
