@@ -913,6 +913,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    "incremental_dedup_table" -> ((s, dir) => {
+      // the SAME ingestion gate through the past-driver-memory probe: the
+      // corpus content keys live in a sharded KeyTable and the batch's keys
+      // broadcast into a shard-pruned equi-join instead of probing a
+      // plan-literal bloom — admissions identical (the probe is exact), so
+      // the oracle is identical too
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      Dedup.incrementalExactTable(corpus, batch, "doc_id", Seq("text"),
+        Dedup.KeyTable(Dedup.corpusContentKeys(corpus, Seq("text"), nShards = 16),
+          nShards = 16))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     "incremental_minhash_dedup" -> ((s, dir) => {
       // NEAR-dup ingestion gate (the exact gate's re-crawl hole closed):
       // band-key bloom probe prunes the batch, (band, bucket) equi-join +
@@ -3032,6 +3047,18 @@ object SparkEntry {
     // the bloom filter only PRUNES; the exact confirm makes the result equal
     // to the plain batch-minus-corpus anti-join this oracle states
     "incremental_dedup" ->
+      """WITH batch AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 7 = 0),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY md5(text))
+        |SELECT b.doc_id, b.lang FROM batch b JOIN keep k ON b.doc_id = k.doc_id
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id % 7 <> 0 AND md5(c.text) = md5(b.text))""".stripMargin,
+
+    // identical admissions through the exact key-table probe (the table
+    // only selects which rows pay the confirm join), so the oracle is the
+    // same batch-minus-corpus anti-join
+    "incremental_dedup_table" ->
       """WITH batch AS (
         |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 7 = 0),
         |keep AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY md5(text))

@@ -114,6 +114,7 @@ class PlanGuardSpec extends SparkTestBase {
     "epoch_upsample" -> "fractional-epoch hash gate — scan-stage by contract",
     "upsert_orders" -> "mod-gate splits base/delta from one table in the fixture",
     "incremental_dedup" -> "mod-gate splits corpus/batch from one table in the fixture",
+    "incremental_dedup_table" -> "mod-gate splits corpus/batch from one table in the fixture",
     "incremental_minhash_dedup" -> "mod-gate splits corpus/batch from one table in the fixture",
     "drift_report" -> "mod-gate splits corpus/batch from one table in the fixture",
     "semantic_contamination" -> "mod-gate carves the eval slice from one table in the fixture",
