@@ -511,6 +511,59 @@ object SparkEntry {
           |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
     }),
 
+    "q21_waiting_supplier" -> ((s, dir) => {
+      // TPC-H Q21 shape, DECLARED with BOTH polarities of correlated
+      // existence on one key: line items late-shipped into failed orders,
+      // where ANOTHER supplier shipped into the same order (EXISTS) but no
+      // other supplier was also late (NOT EXISTS, itself containing a
+      // join). Decorrelation must lower the pair to a LeftSemi and a
+      // LeftAnti join on l_orderkey — the NOT EXISTS branch is the one
+      // that silently goes per-row-re-scan on engines without full
+      // decorrelation. Plan-pinned; ties in the count break by name.
+      Tables.supplier(s, dir).createOrReplaceTempView("graft_supplier")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT s_name, count(*) AS numwait
+          |FROM graft_supplier
+          |JOIN graft_lineitem l1 ON l1.l_suppkey = s_suppkey
+          |JOIN graft_orders o ON o.o_orderkey = l1.l_orderkey
+          |WHERE o.o_orderstatus = 'F'
+          |  AND l1.l_shipdate >= o.o_orderdate + INTERVAL '60' DAY
+          |  AND EXISTS (SELECT 1 FROM graft_lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM graft_lineitem l3
+          |                  JOIN graft_orders o3 ON o3.o_orderkey = l3.l_orderkey
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_shipdate >= o3.o_orderdate + INTERVAL '60' DAY)
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)
+    }),
+
+    "q22_idle_balance" -> ((s, dir) => {
+      // TPC-H Q22 shape: an UNCORRELATED scalar subquery (the
+      // above-average balance threshold — planned once as a subquery
+      // result, broadcast into the scan filter, never per-row) composed
+      // with a correlated NOT EXISTS (no pending order — decorrelates to a
+      // LeftAnti join). The threshold is an exact decimal sum cast to
+      // double divided by the count, so both engines compute the identical
+      // IEEE double and the filter boundary cannot drift.
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      s.sql(
+        """SELECT c_nationkey, count(*) AS numcust,
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+          |FROM graft_customer
+          |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          |                          / count(*)
+          |                   FROM graft_customer WHERE c_acctbal > 0.0)
+          |  AND NOT EXISTS (SELECT 1 FROM graft_orders
+          |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+          |GROUP BY c_nationkey""".stripMargin)
+    }),
+
     "broadcast_join_agg" -> ((s, dir) =>
       Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -2470,6 +2523,35 @@ object SparkEntry {
         |  o_totalprice, total_qty
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate >= o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
+    "q22_idle_balance" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |                          / count(*)
+        |                   FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |GROUP BY c_nationkey""".stripMargin,
 
     "q4_exists_late" ->
       """SELECT o_orderpriority, count(*) AS order_count

@@ -115,6 +115,10 @@ class PlanGuardSpec extends SparkTestBase {
     "upsert_orders" -> "mod-gate splits base/delta from one table in the fixture",
     "incremental_dedup" -> "mod-gate splits corpus/batch from one table in the fixture",
     "incremental_dedup_table" -> "mod-gate splits corpus/batch from one table in the fixture",
+    "q22_idle_balance" -> ("the balance threshold is a scalar-subquery " +
+      "runtime predicate: the executed plan DOES push it (PushedFilters " +
+      "shows GreaterThan(c_acctbal, ScalarSubquery)); the advisor's static " +
+      "pass cannot resolve subquery results, so it over-reports here"),
     "incremental_minhash_dedup" -> "mod-gate splits corpus/batch from one table in the fixture",
     "drift_report" -> "mod-gate splits corpus/batch from one table in the fixture",
     "semantic_contamination" -> "mod-gate carves the eval slice from one table in the fixture",
@@ -288,6 +292,14 @@ class PlanGuardSpec extends SparkTestBase {
     "q17_small_quantity" -> (2, "the correlated scalar avg decorrelates to " +
       "ONE per-part aggregate pass over lineitem (its exchange) joined back " +
       "broadcast + the single-group final agg exchange"),
+    "q21_waiting_supplier" -> (3, "both correlated polarities decorrelate: " +
+      "EXISTS to a LeftSemi (broadcast at this sf), NOT EXISTS to a " +
+      "LeftAnti sort-merge on l_orderkey (its two key exchanges) + the " +
+      "supplier-agg exchange; top-k is TakeOrderedAndProject"),
+    "q22_idle_balance" -> (1, "the uncorrelated scalar threshold computes " +
+      "once and pushes INTO the parquet scan as a runtime predicate; NOT " +
+      "EXISTS decorrelates to a LeftAnti broadcast join — only the " +
+      "nation-agg exchange remains"),
     "minhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "simhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "ngram_jaccard_dedup_docs" -> (8, "exact-collapse + shingle joins + CC + invariants")
