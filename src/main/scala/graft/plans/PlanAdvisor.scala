@@ -100,14 +100,25 @@ object PlanAdvisor {
     * computation (hash, cast chains, arithmetic) cannot skip row groups.
     * Conservative = may flag a pushable exotic leaf, never the reverse;
     * acceptable for an Advisory.
+    *
+    * An executed uncorrelated scalar subquery counts as a value: Spark
+    * evaluates it once before the scan runs and substitutes the result
+    * into the pushed predicate (the plan shows e.g.
+    * `PushedFilters: [GreaterThan(c_acctbal, ScalarSubquery#n)]`), so a
+    * threshold-from-a-subquery filter DOES skip row groups at runtime.
     */
+  private def isRuntimeScalar(e: Expression): Boolean =
+    e.isInstanceOf[org.apache.spark.sql.execution.ScalarSubquery]
+
   private def sourceTranslatable(e: Expression): Boolean = e match {
     case And(l, r) => sourceTranslatable(l) && sourceTranslatable(r)
     case Or(l, r) => sourceTranslatable(l) && sourceTranslatable(r)
     case Not(c) => sourceTranslatable(c)
     case b: BinaryComparison =>
-      (b.left.isInstanceOf[AttributeReference] && b.right.foldable) ||
-        (b.right.isInstanceOf[AttributeReference] && b.left.foldable)
+      (b.left.isInstanceOf[AttributeReference] &&
+        (b.right.foldable || isRuntimeScalar(b.right))) ||
+        (b.right.isInstanceOf[AttributeReference] &&
+          (b.left.foldable || isRuntimeScalar(b.left)))
     case In(_: AttributeReference, list) => list.forall(_.foldable)
     case InSet(_: AttributeReference, _) => true
     // null guards over ANY expression are exempt, not just over bare

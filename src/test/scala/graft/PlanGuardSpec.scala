@@ -115,10 +115,6 @@ class PlanGuardSpec extends SparkTestBase {
     "upsert_orders" -> "mod-gate splits base/delta from one table in the fixture",
     "incremental_dedup" -> "mod-gate splits corpus/batch from one table in the fixture",
     "incremental_dedup_table" -> "mod-gate splits corpus/batch from one table in the fixture",
-    "q22_idle_balance" -> ("the balance threshold is a scalar-subquery " +
-      "runtime predicate: the executed plan DOES push it (PushedFilters " +
-      "shows GreaterThan(c_acctbal, ScalarSubquery)); the advisor's static " +
-      "pass cannot resolve subquery results, so it over-reports here"),
     "incremental_minhash_dedup" -> "mod-gate splits corpus/batch from one table in the fixture",
     "drift_report" -> "mod-gate splits corpus/batch from one table in the fixture",
     "semantic_contamination" -> "mod-gate carves the eval slice from one table in the fixture",
