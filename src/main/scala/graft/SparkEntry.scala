@@ -1317,6 +1317,29 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(20)),
 
+    "pii_census" -> ((s, dir) => {
+      // PII redaction census: the fixture text carries no PII by
+      // construction, so deterministic synthetic contacts derived from
+      // doc_id are appended first (both engines replay the injection
+      // exactly); the scrubber must count every planted item on the
+      // original text and redact it — per-type counts + scrubbed text,
+      // one scan stage, zero shuffles, RE2-safe patterns so Java regex
+      // and DuckDB agree span-for-span
+      val seeded = Tables.documents(s, dir)
+        .select(col("doc_id"), concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com ip 10.0."),
+          pmod(col("doc_id"), lit(256L)).cast("string"), lit("."),
+          pmod(col("doc_id"), lit(250L)).cast("string"),
+          lit(" ssn 123-45-67"),
+          (pmod(col("doc_id"), lit(90L)) + lit(10L)).cast("string"),
+          lit(" tel 555-867-5309")).as("text"))
+      operators.TextAnalysis.piiScrub(seeded, "text")
+        .select(col("doc_id"), col("pii_email"), col("pii_ipv4"),
+          col("pii_ssn"), col("pii_phone"), col("text").as("scrubbed"))
+    }),
+
     "quality_filter" -> ((s, dir) =>
       // the canonical training-data gate: keep documents passing quality
       // thresholds; runs entirely in the scan stage
@@ -3759,6 +3782,31 @@ object SparkEntry {
          |  FROM (SELECT $sqlToks AS toks FROM documents) t0) t1
          |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
 
+    // replays the seeded injection and the ordered redaction chain; the
+    // patterns are the RE2-safe subset where Java regex and DuckDB match
+    // span-for-span, and counts run on the pre-redaction text
+    "pii_census" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+      val phone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@mail.example.com ip 10.0.'
+         |         || (doc_id % 256) || '.' || (doc_id % 250)
+         |         || ' ssn 123-45-67' || (doc_id % 90 + 10)
+         |         || ' tel 555-867-5309' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS pii_email,
+         |  CAST(len(regexp_extract_all(text, '$ipv4')) AS BIGINT) AS pii_ipv4,
+         |  CAST(len(regexp_extract_all(text, '$ssn')) AS BIGINT) AS pii_ssn,
+         |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS pii_phone,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    text, '$email', '[PII]', 'g'), '$ipv4', '[PII]', 'g'),
+         |    '$ssn', '[PII]', 'g'), '$phone', '[PII]', 'g') AS scrubbed
+         |FROM seeded""".stripMargin
+    },
     "quality_filter" ->
       s"""SELECT doc_id, n_tokens, stopword_ratio FROM (
          |  SELECT doc_id,

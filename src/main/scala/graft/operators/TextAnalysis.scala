@@ -22,6 +22,45 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** PII patterns the scrubber redacts, in application order. Deliberately
+    * RE2-safe syntax (char classes, bounded repeats, `\b` — no lookaround,
+    * no backreferences) so the same pattern string runs identically under
+    * Java regex (Spark) and RE2 (DuckDB, the oracle): leftmost match +
+    * greedy quantifiers agree between the two engines on this subset.
+    * Order matters and is part of the contract: emails first (their local
+    * part could otherwise be half-eaten by a digit rule), then IPs, then
+    * SSN-shaped, then US-phone-shaped (3-2-4 and 3-3-4 grouping cannot
+    * overlap, but both contain digit runs an earlier rule must not split).
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "ssn" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+    "phone" -> "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b")
+
+  /** PII scrubbing — the redaction pass every shareable training corpus
+    * runs: per-type occurrence counts (on the ORIGINAL text) plus the text
+    * with every match replaced by `replacement`, applied per [[piiPatterns]]
+    * order. Pure Column algebra over codegen'd `regexp_count` /
+    * `regexp_replace` — one scan stage, zero shuffle, zero UDFs; at 100 TB
+    * the scrub rides the same pass as any other per-document gate, and the
+    * per-type counts aggregate into the corpus PII census for free.
+    */
+  def piiScrub(
+      df: DataFrame,
+      textCol: String,
+      replacement: String = "[PII]"): DataFrame = {
+    val counts = piiPatterns.map { case (name, pat) =>
+      regexp_count(col(textCol), lit(pat)).cast("long").as(s"pii_$name")
+    }
+    val scrubbed = piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat)) =>
+      regexp_replace(c, lit(pat), lit(replacement))
+    }
+    df.withColumns(
+      (piiPatterns.map { case (name, _) => s"pii_$name" } :+ textCol)
+        .zip(counts :+ scrubbed).toMap)
+  }
+
   /** BPE-ish subword count estimate: word tokens plus an extra token per 4
     * chars of long words (the usual "~4 chars/token" heuristic), computed
     * without any model — deterministic and cheap.

@@ -61,6 +61,30 @@ class AnalyticsSpec extends SparkTestBase {
     assert(math.abs(rank.toDouble / sortedPrices.length - 0.5) < 0.01, s"$approxMedian vs $exactMedian")
   }
 
+  test("piiScrub counts on the original text and redacts every pattern in order") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org or admin@x.io, host 192.168.0.1"),
+      (2L, "ssn 123-45-6789 then call 555-123-4567 twice: 555-123-4567"),
+      (3L, "no pii here at all"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(rows, "text")
+      .select("doc_id", "pii_email", "pii_ipv4", "pii_ssn", "pii_phone", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.get(1), r.get(2), r.get(3), r.get(4), r.get(5))).toMap
+    assert(out(1L) == ((2L, 1L, 0L, 0L,
+      "mail me at [PII] or [PII], host [PII]")))
+    // the phone (3-3-4) must NOT be eaten by the SSN rule (3-2-4), and
+    // repeated matches all redact
+    assert(out(2L) == ((0L, 0L, 1L, 2L,
+      "ssn [PII] then call [PII] twice: [PII]")))
+    assert(out(3L) == ((0L, 0L, 0L, 0L, "no pii here at all")))
+    // null text: counts and text stay null, never a crash
+    assert(out(4L) == ((null, null, null, null, null)))
+  }
+
   test("tfidf minDf knob drops rare terms and cuts the ranking candidate set") {
     import graft.operators.TextAnalysis
     // the knob cuts the tf-join-df candidate stage (the per-doc top-k
