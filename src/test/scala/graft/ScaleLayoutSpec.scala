@@ -37,6 +37,29 @@ class ScaleLayoutSpec extends SparkTestBase {
       s"partition filters missing from plan:\n$plan")
   }
 
+  test("dynamic partition pruning fires when the partition filter is only known at runtime") {
+    // the 100 TB star-join behavior nothing static can replace: the fact
+    // table is partitioned by a dim-derived key, the dim filter is on a
+    // NON-key attribute, so the set of fact partitions to read is only
+    // knowable after the dim side is evaluated — DPP must inject a
+    // dynamicpruning subquery into the fact scan's partition filters
+    // instead of reading every partition
+    val dir = Files.createTempDirectory("graft-dpp").toString + "/events"
+    val ev = Sources.events(spark, sfDir).drop("ts_ns")
+    Sinks.writePartitioned(ev, dir, Seq("event_type"))
+    // dim: one row per event_type with an attribute; the filter on the
+    // attribute selects types the fact scan cannot know statically
+    val dim = ev.select($"event_type").distinct()
+      .withColumn("is_rare", $"event_type".isin("error", "refund"))
+    val fact = spark.read.parquet(dir)
+    val joined = fact.join(dim.filter($"is_rare"), Seq("event_type"))
+    val expected = ev.join(dim.filter($"is_rare"), Seq("event_type")).count()
+    assert(joined.count() == expected && expected > 0)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic-pruning subquery in the fact scan's partition filters:\n$plan")
+  }
+
   test("ORC sink roundtrips the frame") {
     val dir = Files.createTempDirectory("graft-orc").toString + "/orders"
     val o = Tables.orders(spark, sfDir)
