@@ -95,6 +95,37 @@ class StressScaleSpec extends SparkTestBase {
     }
   }
 
+  stress("resampleForward guard stops a years-spanning key at a fine step; bounded grids fly") {
+    import graft.operators.Ops
+    // one key observed twice, 3 YEARS apart, resampled at a 1-second step:
+    // ~94.6M grid points for a single key — the silent task OOM the
+    // maxStepsPerKey guard exists to stop. The error must carry the
+    // actual grid size, executor-side, before any explode materializes.
+    val threeYears = 3L * 365 * 86400L * 1000000L
+    val pathological = Seq(("k", 0L, 1L, 1.0), ("k", threeYears, 2L, 2.0))
+      .toDF("k", "ts_us", "eid", "v")
+    val ex = intercept[Exception] {
+      Ops.resampleForward(pathological, Seq("k"), "ts_us", Seq("v"), "eid",
+        stepMicros = 1000000L).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("maxStepsPerKey"), s"guard must fire: $ex")
+    // the same span at a DAY step is ~1096 points — well under the cap;
+    // and a deliberately raised cap handles a 500k-point single-key grid
+    val (dayGrid, _) = timed(Ops.resampleForward(
+      pathological, Seq("k"), "ts_us", Seq("v"), "eid",
+      stepMicros = 86400L * 1000000L).count())
+    assert(dayGrid == 1096L)
+    val wide = Seq(("w", 0L, 1L, 1.0), ("w", 500000L * 1000L, 2L, 2.0))
+      .toDF("k", "ts_us", "eid", "v")
+    val (n, secs) = timed(Ops.resampleForward(
+      wide, Seq("k"), "ts_us", Seq("v"), "eid",
+      stepMicros = 1000L, maxStepsPerKey = 1 << 20).count())
+    assert(n == 500001L)
+    assert(secs < 60.0, s"500k-point single-key grid took ${secs}s")
+  }
+
   stress("minhash LSH stays sub-quadratic under a 10k identical-document flood") {
     // 10k copies of one doc + 10k distinct docs. The flood lands whole in
     // every one of its (band, bucket) cells; the keep-rule is a window min
