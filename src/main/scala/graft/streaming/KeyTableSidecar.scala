@@ -63,7 +63,17 @@ object KeyTableSidecar {
   val DefaultMaxBytes: Long = 64L * 1024 * 1024
 
   def maxBytes(spark: SparkSession): Long =
-    spark.conf.getOption(MaxBytesKey).map(_.toLong).getOrElse(DefaultMaxBytes)
+    spark.conf.getOption(MaxBytesKey).map { v =>
+      val n =
+        try v.toLong
+        catch {
+          case _: NumberFormatException => throw new graft.GraftConfigError(
+            s"$MaxBytesKey must be a byte count, got '$v'")
+        }
+      if (n <= 0) throw new graft.GraftConfigError(
+        s"$MaxBytesKey must be positive, got $n")
+      n
+    }.getOrElse(DefaultMaxBytes)
 
   /** Estimated serialized size of a bloom sized for `keys` items at the
     * aggregate's default FPR (~3% ⇒ ~7.3 bits/key) — the mode-switch
