@@ -150,6 +150,39 @@ object KeyTableSidecar {
   def load(spark: SparkSession, corpusDir: Path, name: String = BandName): DataFrame =
     spark.read.parquet(dir(corpusDir, name).toString)
 
+  /** Bound each shard's file count: a shard that accretes more than
+    * `maxFilesPerShard` part files (one tiny file per touched shard per
+    * micro-batch) is rewritten as one file. Crash-safe by ADD-THEN-DELETE:
+    * the union of the old files is appended INTO the shard directory
+    * first, and only then are exactly those old files deleted — a crash at
+    * any point leaves the shard with every key still present (possibly
+    * duplicated, which the probe's semi-join + distinct absorbs), never
+    * missing. Under-coverage is the one failure this sidecar must never
+    * have (a lost key admits a duplicate); duplicate keys only cost probe
+    * work. Content-preserving, so the meta (stamped by CORPUS files, not
+    * table files) stays valid across compactions.
+    */
+  def compact(
+      spark: SparkSession, fs: FileSystem, corpusDir: Path,
+      name: String = BandName, maxFilesPerShard: Int = 16): Unit = {
+    val d = dir(corpusDir, name)
+    if (!fs.exists(d)) return
+    fs.listStatus(d).foreach { sh =>
+      if (sh.isDirectory && sh.getPath.getName.contains("=")) {
+        val old = fs.listStatus(sh.getPath).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        if (old.length > maxFilesPerShard) {
+          spark.read.parquet(old.map(_.getPath.toString): _*)
+            .coalesce(1)
+            .write.mode("append").parquet(sh.getPath.toString)
+          old.foreach(st => fs.delete(st.getPath, false))
+        }
+      }
+    }
+  }
+
   /** Delete table + meta (mode switch back to bloom, or teardown). */
   def delete(fs: FileSystem, corpusDir: Path, name: String = BandName): Unit = {
     val d = dir(corpusDir, name)

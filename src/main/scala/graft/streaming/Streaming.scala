@@ -439,6 +439,10 @@ object Streaming {
         survivors.write.mode("append").parquet(corpusDir)
         CorpusCompaction.compact(spark, fs, target, maxSmallFiles, minFileBytes)
         KeyTableSidecar.appendKeys(keysOver(survivors), target, meta.nShards, TableName)
+        // bound the key table's per-shard file count too (one tiny file per
+        // touched shard per batch otherwise accretes forever); add-then-
+        // delete, so a crash can only duplicate keys, never lose one
+        KeyTableSidecar.compact(spark, fs, target, TableName, maxSmallFiles)
         KeyTableSidecar.writeMeta(fs, target,
           KeyTableMeta(meta.nShards, meta.keyCount + n,
             BloomSidecar.filesStamp(fs, target)), TableName)
@@ -683,6 +687,9 @@ object Streaming {
         // compaction preserves content, so the key table is untouched
         CorpusCompaction.compact(spark, fs, target, maxSmallFiles, minFileBytes)
         KeyTableSidecar.appendKeys(keysOver(survivors), target, meta.nShards)
+        // same file-count bound as the content table: add-then-delete
+        // compaction can only duplicate keys, never lose one
+        KeyTableSidecar.compact(spark, fs, target, maxFilesPerShard = maxSmallFiles)
         KeyTableSidecar.writeMeta(fs, target,
           KeyTableMeta(meta.nShards, meta.keyCount + cnt * bands,
             BloomSidecar.filesStamp(fs, target)))

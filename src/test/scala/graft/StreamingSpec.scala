@@ -479,6 +479,47 @@ class StreamingSpec extends SparkTestBase {
       Set(1L, 2L, 4L, 5L))
   }
 
+  test("KeyTableSidecar compaction bounds per-shard files and never loses a key") {
+    import graft.streaming.KeyTableSidecar
+    val corpus = java.nio.file.Files.createTempDirectory("graft-ktc").toString + "/corpus"
+    val target = new org.apache.hadoop.fs.Path(corpus)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(target)
+    // 20 appends of 8 keys each over 4 shards: every shard accretes ~20
+    // tiny part files (one per append)
+    (0 until 20).foreach { i =>
+      KeyTableSidecar.appendKeys(
+        spark.range(i * 8L, i * 8L + 8L).select(col("id").as("__k")),
+        target, nShards = 4)
+    }
+    val before = KeyTableSidecar.load(spark, target)
+      .select("__k").as[Long].collect().sorted.toSeq
+    assert(before == (0L until 160L).toSeq)
+    def shardFiles(): Map[String, Int] = fs
+      .listStatus(KeyTableSidecar.dir(target))
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(sh => sh.getPath.getName -> fs.listStatus(sh.getPath).count { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }).toMap
+    assert(shardFiles().values.max > 4, "premise: appends accrete files")
+    KeyTableSidecar.compact(spark, fs, target, maxFilesPerShard = 2)
+    assert(shardFiles().values.max <= 2,
+      s"compaction must bound per-shard files: ${shardFiles()}")
+    val after = KeyTableSidecar.load(spark, target)
+      .select("__k").as[Long].collect().sorted.toSeq
+    assert(after == before, "compaction is content-preserving")
+    // duplicate keys (the crash-mid-compaction residue) survive compaction
+    // as duplicates — the probe's distinct absorbs them; nothing is lost
+    KeyTableSidecar.appendKeys(
+      spark.range(0L, 8L).select(col("id").as("__k")), target, nShards = 4)
+    KeyTableSidecar.compact(spark, fs, target, maxFilesPerShard = 1)
+    val withDups = KeyTableSidecar.load(spark, target)
+      .select("__k").as[Long].collect().sorted.toSeq
+    assert(withDups.distinct == (0L until 160L).toSeq)
+    assert(withDups.size == 168)
+  }
+
   test("ingestNearDupBatch migrates bloom -> table when saturation outgrows the byte budget") {
     import graft.streaming.{BloomSidecar, KeyTableSidecar}
     def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
