@@ -1178,9 +1178,19 @@ object Dedup {
     * `__k`) whose key exists in `table` — shard-pruned scan of the corpus
     * key table, batch side broadcast, tiny distinct-id output. Shared by
     * the band probe above and the exact content-key gate.
+    *
+    * The broadcast is forced only while the batch's key count is under
+    * `maxBroadcastKeys` (the designed micro-batch regime, where the corpus
+    * key table is scanned and NEVER shuffled). An oversized batch — a
+    * backfill replay, a catch-up burst — degrades to a planner-chosen
+    * equi-join instead of a forced multi-GB broadcast: the key table
+    * shuffles once on `__k`, which is graceful, where an OOM'd broadcast
+    * is not. Counting the batch keys is one cheap job over the caller's
+    * already-materialized batch frame.
     */
   private[graft] def tableCandidateIds(
-      batchKeys: DataFrame, idCol: String, table: KeyTable): DataFrame = {
+      batchKeys: DataFrame, idCol: String, table: KeyTable,
+      maxBroadcastKeys: Long = 4L << 20): DataFrame = {
     val shards = batchKeys
       .select(pmod(col("__k"), lit(table.nShards.toLong)).cast("int").as("__s"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -1188,8 +1198,10 @@ object Dedup {
       if (table.keys.columns.contains("__shard"))
         table.keys.filter(col("__shard").isin(shards: _*))
       else table.keys
+    val probeSide =
+      if (batchKeys.count() <= maxBroadcastKeys) broadcast(batchKeys) else batchKeys
     pruned.select(col("__k"))
-      .join(broadcast(batchKeys), Seq("__k"))
+      .join(probeSide, Seq("__k"))
       .select(col(idCol)).distinct()
   }
 

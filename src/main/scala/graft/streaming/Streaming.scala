@@ -662,15 +662,9 @@ object Streaming {
       val kept = Dedup
         .ngramJaccard(batch, idCol, textCol, n, threshold, numHashes, bands, seed)
         .transform(Checkpointing.materialize)
-      val batchKeys = kept.select(col(idCol), explode(probeKeys).as("__k"))
-      val shards = batchKeys
-        .select(pmod(col("__k"), lit(meta.nShards.toLong)).cast("int").as("__s"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      val candIds = KeyTableSidecar.load(spark, target)
-        .filter(col("__shard").isin(shards: _*))
-        .select(col("__k"))
-        .join(broadcast(batchKeys), Seq("__k"))
-        .select(col(idCol)).distinct()
+      val candIds = Dedup.tableCandidateIds(
+        kept.select(col(idCol), explode(probeKeys).as("__k")), idCol,
+        Dedup.KeyTable(KeyTableSidecar.load(spark, target), meta.nShards))
       val candidates = kept.join(broadcast(candIds), Seq(idCol), "left_semi")
       val survivors = (if (candidates.isEmpty) kept
       else {
