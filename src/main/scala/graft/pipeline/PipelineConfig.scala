@@ -189,6 +189,20 @@ object PipelineConfig {
         })
     }
 
+    // PII scrub as a declared pipeline step ([[operators.TextAnalysis
+    // .piiScrub]]): redacts after dedup (digests must see the original
+    // bytes — scrubbing first would collide docs differing only in PII)
+    // and before any sink. Misconfig fails at parse time.
+    (cfg \ "scrub") match {
+      case JNothing => ()
+      case sc =>
+        val textCol = (sc \ "textCol").extractOpt[String].getOrElse(
+          throw new graft.GraftConfigError("scrub section needs 'textCol'"))
+        val replacement = (sc \ "replacement").extractOrElse[String]("[PII]")
+        transforms += ((df: DataFrame) =>
+          graft.operators.TextAnalysis.piiScrub(df, textCol, replacement))
+    }
+
     val sinkFn: Option[DataFrame => Unit] = (cfg \ "sink") match {
       case JNothing => None
       case sc =>

@@ -284,6 +284,31 @@ class ConfigSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("PII scrub is a declared pipeline step, after dedup, misconfig typed") {
+    val root = Files.createTempDirectory("graft-scrubcfg").toString
+    Seq(
+      (1L, "mail a@b.io please"),
+      (2L, "mail a@b.io please"), // exact dup of 1 — dedup must see raw bytes
+      (3L, "ip 10.0.0.1 here")
+    ).toDF("doc_id", "text").write.parquet(s"$root/src")
+    val cfg =
+      s"""{
+         |  "source": {"type": "parquet", "path": "$root/src"},
+         |  "dedup": {"strategy": "exact", "id": "doc_id", "contentColumns": ["text"]},
+         |  "scrub": {"textCol": "text", "replacement": "<X>"}
+         |}""".stripMargin
+    val out = PipelineConfig.fromJson(spark, cfg).run(spark).get
+      .select("doc_id", "text", "pii_email", "pii_ipv4")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(1L, 3L), "exact dedup ran on the ORIGINAL text first")
+    assert(out(1L) == (("mail <X> please", 1L, 0L)))
+    assert(out(3L) == (("ip <X> here", 0L, 1L)))
+    intercept[graft.GraftConfigError] {
+      PipelineConfig.fromJson(spark,
+        s"""{"source": {"type": "parquet", "path": "$root/src"}, "scrub": {}}""")
+    }
+  }
+
   test("segment dedup strategy is selectable from config") {
     val root = Files.createTempDirectory("graft-segcfg").toString
     Seq(
