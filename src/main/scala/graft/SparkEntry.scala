@@ -564,6 +564,21 @@ object SparkEntry {
           |GROUP BY c_nationkey""".stripMargin)
     }),
 
+    "not_in_null_aware" -> ((s, dir) => {
+      // the declared NOT IN subquery — the null-semantics trap a plain
+      // anti-join rewrite gets wrong (one NULL in the subquery empties the
+      // whole result): Spark must plan the NULL-AWARE anti join variant
+      // (plan-pinned), which degenerates to the fast anti join only after
+      // proving the build side null-free. Same data as anti_join, so the
+      // two formulations cross-check each other's row sets.
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      s.sql(
+        """SELECT c_custkey, c_name FROM graft_customer
+          |WHERE c_custkey NOT IN (SELECT o_custkey FROM graft_orders
+          |                        WHERE o_orderstatus = 'P')""".stripMargin)
+    }),
+
     "broadcast_join_agg" -> ((s, dir) =>
       Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -2575,6 +2590,11 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |GROUP BY c_nationkey""".stripMargin,
+
+    "not_in_null_aware" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderstatus = 'P')""".stripMargin,
 
     "q4_exists_late" ->
       """SELECT o_orderpriority, count(*) AS order_count

@@ -169,6 +169,32 @@ class JoinsSpec extends SparkTestBase {
     assert(raised.count() == 2, "normal session + year-long outlier both overlap the probe")
   }
 
+  test("NOT IN plans the null-aware anti join and keeps NULL-in-subquery semantics") {
+    // the fast LeftAnti rewrite is WRONG for NOT IN when the subquery can
+    // yield NULL (SQL three-valued logic: one NULL empties the result);
+    // Spark must plan BroadcastHashJoin's null-aware variant
+    val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try SparkEntry.queries("not_in_null_aware")(spark, sfDir)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+    val bhj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.exists(_.isNullAwareAntiJoin),
+      s"NOT IN must plan the null-aware anti join:\n$plan")
+    // the trap itself, pinned on a fixture where it bites
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("nn_l")
+    Seq(Option(1L), None).toDF("k").createOrReplaceTempView("nn_r")
+    assert(spark.sql(
+      "SELECT * FROM nn_l WHERE k NOT IN (SELECT k FROM nn_r)").count() == 0,
+      "one NULL in the subquery must empty a NOT IN result")
+    assert(spark.sql(
+      "SELECT * FROM nn_l WHERE k NOT IN (SELECT k FROM nn_r WHERE k IS NOT NULL)")
+      .count() == 1)
+  }
+
   test("bucketed temporal joins reject inputs that carry the reserved temp columns") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val l = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 7L))
