@@ -1332,6 +1332,19 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(20)),
 
+    "text_corpus_roundtrip" -> ((s, dir) => {
+      // raw-text corpus exchange: 40 documents written as one plain .txt
+      // file each (id in the directory name), read back through the text
+      // source with partition discovery — the oracle states the fixed
+      // point (the original rows), so the filesystem round-trip itself is
+      // what's under test. Newline-bearing docs are rejected at write
+      // (line-oriented contract), not silently split.
+      val out = s"/tmp/graft_textcorpus/${new java.io.File(dir).getName}"
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 40)
+      graft.sinks.Sinks.writeTextCorpus(docs, out, "doc_id", "text")
+      Sources.textCorpus(s, out, "doc_id", "text")
+    }),
+
     "pii_census" -> ((s, dir) => {
       // PII redaction census: the fixture text carries no PII by
       // construction, so deterministic synthetic contacts derived from
@@ -3801,6 +3814,11 @@ object SparkEntry {
          |                END) AS bigram
          |  FROM (SELECT $sqlToks AS toks FROM documents) t0) t1
          |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+
+    // the round-trip's fixed point: what went to the text files must come
+    // back, byte-identical — no file access needed in the oracle
+    "text_corpus_roundtrip" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id < 40",
 
     // replays the seeded injection and the ordered redaction chain; the
     // patterns are the RE2-safe subset where Java regex and DuckDB match

@@ -109,6 +109,26 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Raw-text corpus layout: one `<idCol>=<value>/part-*.txt` directory per
+    * document, each file holding the document body verbatim — the exchange
+    * format for tools that want plain files (tokenizer training, manual
+    * inspection, external scoring), readable back by
+    * [[graft.sources.Sources.textCorpus]] with the id recovered from the
+    * directory name. LINE-ORIENTED contract: a body containing a newline
+    * would read back as multiple rows, so it is rejected executor-side
+    * rather than silently corrupting the round-trip. `repartition` on the
+    * id keeps it one file per document.
+    */
+  def writeTextCorpus(df: DataFrame, path: String, idCol: String, textCol: String): Unit =
+    df.select(
+      when(col(textCol).contains("\n"),
+        raise_error(concat(lit("writeTextCorpus: document "), col(idCol).cast("string"),
+          lit(" contains a newline — the line-oriented text format cannot round-trip it"))))
+        .otherwise(col(textCol)).as("value"),
+      col(idCol))
+      .repartition(col(idCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(idCol).text(path)
+
   /** Bucketed table write: co-locates rows by key so joins and aggregations
     * between tables bucketed on the same key by the same count plan WITHOUT
     * a shuffle — pre-paying the exchange once at write time, the right trade

@@ -97,6 +97,17 @@ object Sources {
     }
   }
 
+  /** Read a raw-text corpus written by
+    * [[graft.sinks.Sinks.writeTextCorpus]]: partition discovery recovers
+    * the document id from the `<idCol>=<value>` directory names, the file
+    * bodies stream as the text column — files-based parallelism, no
+    * central listing beyond Spark's own file index.
+    */
+  def textCorpus(spark: SparkSession, path: String, idCol: String, textCol: String): DataFrame =
+    spark.read.text(path)
+      .select(org.apache.spark.sql.functions.col(idCol).cast("long").as(idCol),
+        org.apache.spark.sql.functions.col("value").as(textCol))
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // Defensive: a driver-created session may lack the nanosAsLong conf
     // (it is runtime-settable); without it the NANOS column is unreadable.

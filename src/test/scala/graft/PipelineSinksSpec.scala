@@ -199,6 +199,35 @@ class PipelineSinksSpec extends SparkTestBase {
     assert(got.count(_.head == 0L) == 2, "second write must append")
   }
 
+  test("text corpus round-trips one file per doc and rejects newline bodies typed") {
+    import graft.sinks.Sinks
+    import graft.sources.Sources
+    val dir = java.nio.file.Files.createTempDirectory("graft-textc").toString + "/corpus"
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon"))
+      .toDF("doc_id", "text")
+    Sinks.writeTextCorpus(docs, dir, "doc_id", "text")
+    val back = Sources.textCorpus(spark, dir, "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon")))
+    // one data file per document (repartition on the id)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val perDoc = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.startsWith("doc_id="))
+      .map(d => fs.listStatus(d.getPath).count(st =>
+        st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")))
+    assert(perDoc.toSeq == Seq(1, 1, 1))
+    // a newline body fails the write with the offending id, never splits
+    val ex = intercept[Exception] {
+      Sinks.writeTextCorpus(Seq((9L, "two\nlines")).toDF("doc_id", "text"),
+        dir + "2", "doc_id", "text")
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("newline") && msg.contains("9"), s"unexpected: $ex")
+  }
+
   test("jdbcUpsert DO UPDATE round-trips insert+update through a live database") {
     val db = "graft_k2"
     derbyExec(db, """CREATE TABLE "t" ("id" BIGINT PRIMARY KEY, "v" VARCHAR(20), "n" BIGINT)""")
