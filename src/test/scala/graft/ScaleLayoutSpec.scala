@@ -60,6 +60,47 @@ class ScaleLayoutSpec extends SparkTestBase {
       s"no dynamic-pruning subquery in the fact scan's partition filters:\n$plan")
   }
 
+  test("runtime bloom-filter join pruning injects a probe into the big side's scan") {
+    // the non-partitioned complement of DPP: a selective dim joined to a
+    // large fact on a NON-partition column cannot prune directories, but
+    // Spark's runtime bloom filter (built from the dim's join keys) must
+    // land in the fact scan's filters so row groups still skip. Thresholds
+    // lowered to the test scale; the assertion is the mechanism, which is
+    // size-independent.
+    val dir = Files.createTempDirectory("graft-rbf").toString
+    Sources.events(spark, sfDir).drop("ts_ns").write.parquet(s"$dir/fact")
+    Sources.events(spark, sfDir).select($"user_id").distinct()
+      .filter($"user_id" % 97 === 0)
+      .write.parquet(s"$dir/dim")
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      // broadcast off: with a broadcast join Spark may prefer its own
+      // broadcast-side filtering; the bloom path is the shuffled-join one
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.read.parquet(s"$dir/fact")
+      // InjectRuntimeFilter only fires when the creation side carries a
+      // LIKELY-SELECTIVE predicate in the QUERY (a literal comparison —
+      // pre-filtering the files at write time is invisible to the rule)
+      val dim = spark.read.parquet(s"$dir/dim").filter($"user_id" >= 0)
+      val joined = fact.join(dim, Seq("user_id"))
+      val expected = Sources.events(spark, sfDir).drop("ts_ns")
+        .filter($"user_id" % 97 === 0).count()
+      assert(joined.count() == expected && expected > 0)
+      val plan = joined.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("bloomfilter") || plan.contains("might_contain"),
+        s"no runtime bloom probe reached the fact side:\n$plan")
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("ORC sink roundtrips the frame") {
     val dir = Files.createTempDirectory("graft-orc").toString + "/orders"
     val o = Tables.orders(spark, sfDir)
