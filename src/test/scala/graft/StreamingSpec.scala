@@ -79,6 +79,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("custom-state operators run on the RocksDB state store with identical results") {
+    // the state backend a long-running 100 TB deployment actually uses:
+    // the default HDFS-backed store caps keyed state at executor memory,
+    // RocksDB spills it to local disk. The custom flatMapGroupsWithState
+    // ladder (sessionize here, the as-of enrichment by extension) must
+    // produce byte-identical output on it — state (de)serialization,
+    // timeouts and eviction all route through the provider.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val minute = 60L * 1000000
+    val input = MemoryStream[Streaming.SessionEvent]
+    val q = Streaming.sessionize(input.toDS(), gapMicros = 30 * minute)
+      .writeStream.outputMode("append").format("memory").queryName("rocks_sessions").start()
+    try {
+      input.addData(
+        Streaming.SessionEvent(1, 0, 1.0), Streaming.SessionEvent(1, 10 * minute, 2.0),
+        Streaming.SessionEvent(2, 0, 5.0))
+      q.processAllAvailable()
+      assert(spark.table("rocks_sessions").count() == 0, "open sessions stay in RocksDB state")
+      input.addData(Streaming.SessionEvent(1, 120 * minute, 3.0))
+      q.processAllAvailable()
+      val got = spark.table("rocks_sessions").as[Streaming.Session].collect().toSet
+      assert(got == Set(Streaming.Session(1, 0, 10 * minute, 2, 3.0)),
+        "RocksDB-backed run must match the default-store run row for row")
+      // the provider actually engaged (not silently fallen back)
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally {
+      q.stop()
+      saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("upsertStream merges each micro-batch into the parquet target (ON CONFLICT DO UPDATE)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
