@@ -856,6 +856,22 @@ object Streaming {
   def dedupStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermarkDelay).dropDuplicates("event_id", "ts")
 
+  /** [[dedupStream]] for AT-LEAST-ONCE redelivery where the retry carries a
+    * DIFFERENT event time (a re-ingested record restamped by the collector):
+    * `dropDuplicates` must include the watermark column in its key, so a
+    * restamped clone sails through it; `dropDuplicatesWithinWatermark`
+    * dedups on the business key alone while the watermark still bounds the
+    * id-memory state — the duplicate is dropped as long as it arrives
+    * within the delay of the original. The right form whenever the event id
+    * is the identity and the timestamp is transport metadata.
+    */
+  def dedupStreamWithinWatermark(
+      events: DataFrame,
+      keys: Seq[String] = Seq("event_id"),
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
   // ------------------------------------------------- multimodal dedup ingest
 
   /** Continuous MULTIMODAL dedup ingestion: perceptual fingerprints

@@ -886,6 +886,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupStreamWithinWatermark drops a restamped redelivery the classic form misses") {
+    // redelivery with a DIFFERENT event time: dropDuplicates(event_id, ts)
+    // is defeated (the ts differs), dropDuplicatesWithinWatermark on the
+    // id alone is not — as long as the clone lands within the delay
+    val staged = java.nio.file.Files.createTempDirectory("graft-stream4").toString + "/events"
+    val ev = Sources.events(spark, sfDir).drop("ts_ns").limit(100)
+    val restamped = ev.withColumn("ts", col("ts") + expr("INTERVAL 1 MINUTE"))
+    ev.unionAll(restamped).write.parquet(staged)
+    val q = Streaming.runFileStream(
+      spark, staged, ev.schema, Streaming.dedupStreamWithinWatermark(_),
+      queryName = "dedup_wm_stream", outputMode = OutputMode.Append())
+    try {
+      assert(spark.table("dedup_wm_stream").count() == 100,
+        "each id must emit once despite the restamped clone")
+      // premise: the classic form admits the restamped clones
+      val q2 = Streaming.runFileStream(
+        spark, staged, ev.schema, Streaming.dedupStream(_),
+        queryName = "dedup_classic_stream", outputMode = OutputMode.Append())
+      try assert(spark.table("dedup_classic_stream").count() == 200)
+      finally q2.stop()
+    } finally q.stop()
+  }
+
   test("scd2 stream: versions open and close as change batches arrive") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
