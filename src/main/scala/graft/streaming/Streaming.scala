@@ -98,35 +98,8 @@ object Streaming {
             state.remove()
             flushed.iterator
           } else {
-            // micro-batch group input is unordered; sessionization needs time order
-            val sorted = rows.toIndexedSeq.sortBy(_.tsMicros)
-            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-            var open = state.getOption
-            sorted.foreach { e =>
-              open = open match {
-                case Some(s) if e.tsMicros < s.start_micros - gapMicros =>
-                  // cross-batch late arrival more than a gap BEFORE the open
-                  // session: it can never merge, so it forms its own
-                  // single-event closed session (best effort — earlier
-                  // batches' sessions are already emitted) and the open
-                  // session is untouched
-                  closed += Session(uid, e.tsMicros, e.tsMicros, 1L, e.value)
-                  Some(s)
-                case Some(s) if e.tsMicros - s.end_micros < gapMicros =>
-                  // a late cross-batch event may land INSIDE the open span
-                  // (or within the gap before its start): widen with min/max
-                  // so the session never moves backwards
-                  Some(s.copy(
-                    start_micros = math.min(s.start_micros, e.tsMicros),
-                    end_micros = math.max(s.end_micros, e.tsMicros),
-                    n_events = s.n_events + 1, sum_value = s.sum_value + e.value))
-                case Some(s) =>
-                  closed += s
-                  Some(Session(uid, e.tsMicros, e.tsMicros, 1L, e.value))
-                case None =>
-                  Some(Session(uid, e.tsMicros, e.tsMicros, 1L, e.value))
-              }
-            }
+            val (closed, open) =
+              mergeSessionEvents(uid, gapMicros, state.getOption, rows.toSeq)
             open.foreach { s =>
               state.update(s)
               flushAfterMs.foreach(state.setTimeoutDuration)
@@ -134,6 +107,85 @@ object Streaming {
             closed.iterator
           }
       }
+  }
+
+  /** The sessionization merge kernel, shared by [[sessionize]]
+    * (flatMapGroupsWithState) and [[sessionizeTws]] (transformWithState) so
+    * the two APIs cannot drift: fold the batch's events (sorted — group
+    * input is unordered) into the open session, emitting closed ones.
+    */
+  private[streaming] def mergeSessionEvents(
+      uid: Long,
+      gapMicros: Long,
+      open0: Option[Session],
+      events: Seq[SessionEvent]): (Seq[Session], Option[Session]) = {
+    val sorted = events.sortBy(_.tsMicros)
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var open = open0
+    sorted.foreach { e =>
+      open = open match {
+        case Some(s) if e.tsMicros < s.start_micros - gapMicros =>
+          // cross-batch late arrival more than a gap BEFORE the open
+          // session: it can never merge, so it forms its own
+          // single-event closed session (best effort — earlier
+          // batches' sessions are already emitted) and the open
+          // session is untouched
+          closed += Session(uid, e.tsMicros, e.tsMicros, 1L, e.value)
+          Some(s)
+        case Some(s) if e.tsMicros - s.end_micros < gapMicros =>
+          // a late cross-batch event may land INSIDE the open span
+          // (or within the gap before its start): widen with min/max
+          // so the session never moves backwards
+          Some(s.copy(
+            start_micros = math.min(s.start_micros, e.tsMicros),
+            end_micros = math.max(s.end_micros, e.tsMicros),
+            n_events = s.n_events + 1, sum_value = s.sum_value + e.value))
+        case Some(s) =>
+          closed += s
+          Some(Session(uid, e.tsMicros, e.tsMicros, 1L, e.value))
+        case None =>
+          Some(Session(uid, e.tsMicros, e.tsMicros, 1L, e.value))
+      }
+    }
+    (closed.toSeq, open)
+  }
+
+  /** [[sessionize]] re-expressed on Spark 4's `transformWithState` — the
+    * arbitrary-stateful-processing API that supersedes
+    * flatMapGroupsWithState: TYPED per-key state handles (a
+    * `ValueState[Session]` here, list/map state and per-state TTLs in
+    * general) instead of one opaque state blob, explicit timers, and a
+    * hard requirement on the RocksDB state store — the disk-backed backend
+    * a 100 TB deployment runs anyway. The merge logic is the SAME kernel
+    * as [[sessionize]] ([[mergeSessionEvents]]), and the parity spec pins
+    * both APIs row-identical on the same stream.
+    */
+  final class SessionProcessor(gapMicros: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, Session] {
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[Session] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[Session]("open",
+        org.apache.spark.sql.Encoders.product[Session],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[SessionEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Session] = {
+      val open0 = if (open.exists()) Some(open.get()) else None
+      val (closed, stillOpen) = mergeSessionEvents(uid, gapMicros, open0, rows.toSeq)
+      stillOpen match {
+        case Some(s) => open.update(s)
+        case None => open.clear()
+      }
+      closed.iterator
+    }
+  }
+
+  def sessionizeTws(events: Dataset[SessionEvent], gapMicros: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMicros),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
   /** Streaming upsert sink via foreachBatch: each micro-batch is merged into

@@ -79,6 +79,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionizeTws (transformWithState) matches sessionize row for row") {
+    // the new arbitrary-stateful-processing API must agree with the
+    // flatMapGroupsWithState form on the same stream — shared merge kernel,
+    // different state plumbing (typed ValueState, RocksDB-only)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val minute = 60L * 1000000
+    val input = MemoryStream[Streaming.SessionEvent]
+    val q = Streaming.sessionizeTws(input.toDS(), gapMicros = 30 * minute)
+      .writeStream.outputMode("append").format("memory").queryName("tws_sessions").start()
+    try {
+      input.addData(
+        Streaming.SessionEvent(1, 0, 1.0), Streaming.SessionEvent(1, 10 * minute, 2.0),
+        Streaming.SessionEvent(2, 0, 5.0))
+      q.processAllAvailable()
+      assert(spark.table("tws_sessions").count() == 0, "open sessions live in typed state")
+      // batch 2: user 1 closes; a LATE user-2 event inside the open span widens it
+      input.addData(
+        Streaming.SessionEvent(1, 120 * minute, 3.0),
+        Streaming.SessionEvent(2, 5 * minute, 1.0))
+      q.processAllAvailable()
+      // batch 3: user 2 closes
+      input.addData(Streaming.SessionEvent(2, 200 * minute, 9.0))
+      q.processAllAvailable()
+      val got = spark.table("tws_sessions").as[Streaming.Session].collect().toSet
+      assert(got == Set(
+        Streaming.Session(1, 0, 10 * minute, 2, 3.0),
+        Streaming.Session(2, 0, 5 * minute, 2, 6.0)),
+        s"transformWithState sessionization diverged: $got")
+    } finally {
+      q.stop()
+      saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("custom-state operators run on the RocksDB state store with identical results") {
     // the state backend a long-running 100 TB deployment actually uses:
     // the default HDFS-backed store caps keyed state at executor memory,
