@@ -564,6 +564,29 @@ object SparkEntry {
           |GROUP BY c_nationkey""".stripMargin)
     }),
 
+    "q11_value_share" -> ((s, dir) => {
+      // TPC-H Q11 shape: HAVING against a GLOBAL-aggregate scalar — the
+      // one threshold placement q22 doesn't cover (there the scalar
+      // filters the scan; here it filters an aggregate's output, so the
+      // plan is two independent aggregation passes over lineitem, the
+      // single-row one broadcast into the post-agg filter). Sums are exact
+      // decimals; the threshold multiplies AFTER the cast to double so
+      // both engines compute the identical IEEE value.
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT l_partkey,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          |           * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+          |FROM graft_lineitem
+          |GROUP BY l_partkey
+          |HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          |                * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) >
+          |  (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          |                   * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.0007
+          |   FROM graft_lineitem)
+          |ORDER BY value DESC, l_partkey LIMIT 50""".stripMargin)
+    }),
+
     "not_in_null_aware" -> ((s, dir) => {
       // the declared NOT IN subquery — the null-semantics trap a plain
       // anti-join rewrite gets wrong (one NULL in the subquery empties the
@@ -2603,6 +2626,19 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |GROUP BY c_nationkey""".stripMargin,
+
+    "q11_value_share" ->
+      """SELECT l_partkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) >
+        |  (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                   * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.0007
+        |   FROM lineitem)
+        |ORDER BY value DESC, l_partkey LIMIT 50""".stripMargin,
 
     "not_in_null_aware" ->
       """SELECT c_custkey, c_name FROM customer
