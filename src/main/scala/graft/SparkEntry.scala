@@ -1355,6 +1355,18 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(20)),
 
+    "pseudonymize_users" -> ((s, dir) => {
+      // keyed pseudonymization: user ids replaced by stable md5-derived
+      // tokens (same value + salt => same token), then aggregated BY TOKEN
+      // — proving the join/group-by property anonymized analytics needs;
+      // the oracle re-derives the same tokens from the salt
+      val ev = operators.TextAnalysis.pseudonymize(
+        Sources.events(s, dir).select(col("event_id"), col("user_id"), col("value")),
+        Seq("user_id"), salt = "r11")
+      ev.groupBy(col("user_id").as("user_token"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+    }),
+
     "text_corpus_roundtrip" -> ((s, dir) => {
       // raw-text corpus exchange: 40 documents written as one plain .txt
       // file each (id in the directory name), read back through the text
@@ -3850,6 +3862,12 @@ object SparkEntry {
          |                END) AS bigram
          |  FROM (SELECT $sqlToks AS toks FROM documents) t0) t1
          |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+
+    "pseudonymize_users" ->
+      """SELECT substr(md5(user_id || 'r11'), 1, 16) AS user_token,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     // the round-trip's fixed point: what went to the text files must come
     // back, byte-identical — no file access needed in the oracle

@@ -38,6 +38,25 @@ object TextAnalysis {
     "ssn" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
     "phone" -> "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b")
 
+  /** Keyed pseudonymization — the companion to [[piiScrub]] for STRUCTURED
+    * identifiers: each value in `cols` is replaced by a stable token,
+    * `md5(value || salt)` truncated to 16 hex chars. Same value + same salt
+    * ⇒ same token (joins and group-bys on the pseudonym still work, the
+    * property anonymized analytics needs); different salt ⇒ unlinkable
+    * tokens, so per-release salts prevent cross-dataset joins. NULLs stay
+    * NULL. One scan-stage projection, zero shuffles; md5 (not xxhash) so
+    * any SQL engine can replay or re-derive the mapping given the salt.
+    * This is pseudonymization, not anonymization — whoever holds the salt
+    * can rebuild the mapping by hashing candidate values.
+    */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize needs at least one column")
+    require(salt.nonEmpty, "an empty salt makes tokens trivially re-derivable")
+    df.withColumns(cols.map { c =>
+      c -> substring(md5(concat(col(c).cast("string"), lit(salt))), 1, 16)
+    }.toMap)
+  }
+
   /** PII scrubbing — the redaction pass every shareable training corpus
     * runs: per-type occurrence counts (on the ORIGINAL text) plus the text
     * with every match replaced by `replacement`, applied per [[piiPatterns]]

@@ -61,6 +61,28 @@ class AnalyticsSpec extends SparkTestBase {
     assert(math.abs(rank.toDouble / sortedPrices.length - 0.5) < 0.01, s"$approxMedian vs $exactMedian")
   }
 
+  test("pseudonymize: stable within a salt, unlinkable across salts, NULL passthrough") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val rows = Seq((Some(7L), "a"), (Some(7L), "b"), (Some(9L), "c"),
+      (None: Option[Long], "d")).toDF("uid", "v")
+    val t1 = TextAnalysis.pseudonymize(rows, Seq("uid"), "s1")
+      .select("uid", "v").as[(Option[String], String)].collect()
+      .map { case (tok, v) => v -> tok }.toMap
+    // same value + same salt -> same token; distinct values -> distinct
+    assert(t1("a") == t1("b") && t1("a") != t1("c"))
+    assert(t1("a").get.length == 16)
+    assert(t1("d").isEmpty, "NULL ids stay NULL")
+    // a different salt yields unlinkable tokens
+    val t2 = TextAnalysis.pseudonymize(rows, Seq("uid"), "s2")
+      .select("uid", "v").as[(Option[String], String)].collect()
+      .map { case (tok, v) => v -> tok }.toMap
+    assert(t2("a") != t1("a"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.pseudonymize(rows, Seq("uid"), "")
+    }
+  }
+
   test("piiScrub counts on the original text and redacts every pattern in order") {
     import graft.operators.TextAnalysis
     import spark.implicits._
