@@ -203,6 +203,21 @@ object PipelineConfig {
           graft.operators.TextAnalysis.piiScrub(df, textCol, replacement))
     }
 
+    // keyed pseudonymization as a declared step ([[operators.TextAnalysis
+    // .pseudonymize]]): like scrub, AFTER dedup (tokens must not feed the
+    // digests) and before any sink. The salt is required — an accidental
+    // empty salt is a parse-time error, not a weakly-tokenized release.
+    (cfg \ "pseudonymize") match {
+      case JNothing => ()
+      case pc =>
+        val cols = (pc \ "cols").extractOpt[Seq[String]].filter(_.nonEmpty).getOrElse(
+          throw new graft.GraftConfigError("pseudonymize section needs non-empty 'cols'"))
+        val salt = (pc \ "salt").extractOpt[String].filter(_.nonEmpty).getOrElse(
+          throw new graft.GraftConfigError("pseudonymize section needs a non-empty 'salt'"))
+        transforms += ((df: DataFrame) =>
+          graft.operators.TextAnalysis.pseudonymize(df, cols, salt))
+    }
+
     val sinkFn: Option[DataFrame => Unit] = (cfg \ "sink") match {
       case JNothing => None
       case sc =>

@@ -309,6 +309,29 @@ class ConfigSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("pseudonymize pipeline step tokenizes ids after dedup; misconfig typed") {
+    val root = Files.createTempDirectory("graft-pseucfg").toString
+    Seq((7L, "x"), (7L, "x"), (9L, "y")).toDF("uid", "text")
+      .write.parquet(s"$root/src")
+    val cfg =
+      s"""{
+         |  "source": {"type": "parquet", "path": "$root/src"},
+         |  "dedup": {"strategy": "exact", "id": "uid", "contentColumns": ["text"]},
+         |  "pseudonymize": {"cols": ["uid"], "salt": "k1"}
+         |}""".stripMargin
+    val out = PipelineConfig.fromJson(spark, cfg).run(spark).get
+      .select("uid", "text").as[(String, String)].collect().toMap.map(_.swap)
+    assert(out.keySet == Set("x", "y"), "dedup ran on raw ids first")
+    assert(out("x").length == 16 && out("x") != out("y"))
+    Seq("""{"cols": [], "salt": "k"}""", """{"cols": ["uid"], "salt": ""}""",
+      """{"cols": ["uid"]}""").foreach { bad =>
+      intercept[graft.GraftConfigError] {
+        PipelineConfig.fromJson(spark,
+          s"""{"source": {"type": "parquet", "path": "$root/src"}, "pseudonymize": $bad}""")
+      }
+    }
+  }
+
   test("segment dedup strategy is selectable from config") {
     val root = Files.createTempDirectory("graft-segcfg").toString
     Seq(
