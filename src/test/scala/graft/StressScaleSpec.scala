@@ -156,6 +156,40 @@ class StressScaleSpec extends SparkTestBase {
     assert(secs < 180.0, f"flood handling took $secs%.1fs — precompose likely regressed")
   }
 
+  stress("key-table ingestion gate holds the flat cost model over a 30k-doc corpus") {
+    // the past-driver-memory sidecar at volume: a 30k-doc corpus accreted
+    // in one batch through the TABLE form (budget 0 forces it), then the
+    // steady-state contract under load — a fresh 1k-doc batch admits with
+    // ZERO corpus scans (the probe reads only the sharded key table), a 1k
+    // re-crawl batch rejects everything via ONE confirm scan, and a replay
+    // admits nothing. Wall-time bounds catch a probe that silently went
+    // corpus-shaped.
+    import graft.streaming.Streaming
+    val corpus = java.nio.file.Files.createTempDirectory("graft-ktstress").toString + "/corpus"
+    val tiny = Some(0L)
+    val base = spark.range(30000L)
+      .select($"id".as("doc_id"),
+        concat_ws(" ", (1 to 30).map(j => concat(lit(s"a"), $"id", lit(s"w$j"))): _*).as("text"))
+    val (s1, t1) = timed(Streaming.ingestNearDupBatch(base, corpus, "doc_id", "text",
+      sidecarMaxBytes = tiny))
+    info(f"30k bootstrap through the table sidecar in $t1%.1fs")
+    assert(s1.admitted == 30000L && s1.corpusScans == 0)
+    // fresh batch: zero corpus scans, bounded time
+    val fresh = spark.range(100000L, 101000L)
+      .select($"id".as("doc_id"),
+        concat_ws(" ", (1 to 30).map(j => concat(lit(s"b"), $"id", lit(s"w$j"))): _*).as("text"))
+    val (s2, t2) = timed(Streaming.ingestNearDupBatch(fresh, corpus, "doc_id", "text",
+      sidecarMaxBytes = tiny))
+    info(f"fresh 1k batch gated in $t2%.1fs")
+    assert(s2.admitted == 1000L && s2.corpusScans == 0, s"fresh batch: $s2")
+    assert(t2 < 60.0, f"steady-state batch took $t2%.1fs — probe may have gone corpus-shaped")
+    // replay of the fresh batch: exact clones, nothing lands twice
+    val (s3, _) = timed(Streaming.ingestNearDupBatch(fresh, corpus, "doc_id", "text",
+      sidecarMaxBytes = tiny))
+    assert(s3.admitted == 0L, s"replay: $s3")
+    assert(spark.read.parquet(corpus).count() == 31000L)
+  }
+
   stress("segment dedup stays linear under a 20k boilerplate flood") {
     // 20k docs sharing one boilerplate segment + a unique tail. The
     // keep-first rule is a window min per segment (linear in occurrence
