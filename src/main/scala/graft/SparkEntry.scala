@@ -1378,6 +1378,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 40)
       graft.sinks.Sinks.writeTextCorpus(docs, out, "doc_id", "text")
       Sources.textCorpus(s, out, "doc_id", "text")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     }),
 
     "pii_census" -> ((s, dir) => {

@@ -1088,9 +1088,13 @@ object Dedup {
       keyTable: KeyTable): DataFrame = {
     val digest = contentDigest(contentCols)
     val withinDeduped = exact(batch, idCol, contentCols)
+      .transform(Checkpointing.materialize)
+    // materialized: candIds feeds both the anti (definitely-new) and semi
+    // (confirm) splits; withinDeduped feeds those plus the key derivation
     val candIds = tableCandidateIds(
       withinDeduped.select(col(idCol), contentBloomKey(contentCols).as("__k")),
       idCol, keyTable)
+      .transform(Checkpointing.materialize)
     val definitelyNew = withinDeduped.join(broadcast(candIds), Seq(idCol), "left_anti")
     val confirmed = withinDeduped.join(broadcast(candIds), Seq(idCol), "left_semi")
       .withColumn("__digest", digest)

@@ -245,6 +245,10 @@ object Similarity {
     val train = trainSample(corpus, idCol, trainSampleFraction, sampleSalt)
     val init = train.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    // same fail-fast as the PQ trainers: a sample that cannot seed nlist
+    // centroids must raise, not silently build an under-sized codebook the
+    // caller's nprobe/recall expectations were tuned against
+    require(init.length == nlist, s"training sample has ${init.length} < $nlist vectors")
     val centroids = trainCodebook(train, idCol, vecCol, init, iters)
     val model = IvfModel(centroids)
     val assignments = Ops.spread(corpus.select(col(idCol), col(vecCol))).select(

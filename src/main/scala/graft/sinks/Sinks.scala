@@ -114,16 +114,18 @@ object Sinks {
     * format for tools that want plain files (tokenizer training, manual
     * inspection, external scoring), readable back by
     * [[graft.sources.Sources.textCorpus]] with the id recovered from the
-    * directory name. LINE-ORIENTED contract: a body containing a newline
-    * would read back as multiple rows, so it is rejected executor-side
-    * rather than silently corrupting the round-trip. `repartition` on the
+    * directory name. LINE-ORIENTED contract: a body containing a line
+    * break would read back as multiple rows — and Hadoop's line reader
+    * splits on LF, CR, and CRLF alike, so a lone carriage return corrupts
+    * the round-trip exactly like a newline — so both are rejected
+    * executor-side rather than silently splitting. `repartition` on the
     * id keeps it one file per document.
     */
   def writeTextCorpus(df: DataFrame, path: String, idCol: String, textCol: String): Unit =
     df.select(
-      when(col(textCol).contains("\n"),
+      when(col(textCol).contains("\n") || col(textCol).contains("\r"),
         raise_error(concat(lit("writeTextCorpus: document "), col(idCol).cast("string"),
-          lit(" contains a newline — the line-oriented text format cannot round-trip it"))))
+          lit(" contains a line break — the line-oriented text format cannot round-trip it"))))
         .otherwise(col(textCol)).as("value"),
       col(idCol))
       .repartition(col(idCol))

@@ -99,13 +99,15 @@ object Sources {
 
   /** Read a raw-text corpus written by
     * [[graft.sinks.Sinks.writeTextCorpus]]: partition discovery recovers
-    * the document id from the `<idCol>=<value>` directory names, the file
-    * bodies stream as the text column — files-based parallelism, no
-    * central listing beyond Spark's own file index.
+    * the document id from the `<idCol>=<value>` directory names (keeping
+    * whatever type discovery infers — numeric dirs come back numeric,
+    * string ids come back strings; callers cast if they need a specific
+    * type), the file bodies stream as the text column — files-based
+    * parallelism, no central listing beyond Spark's own file index.
     */
   def textCorpus(spark: SparkSession, path: String, idCol: String, textCol: String): DataFrame =
     spark.read.text(path)
-      .select(org.apache.spark.sql.functions.col(idCol).cast("long").as(idCol),
+      .select(org.apache.spark.sql.functions.col(idCol),
         org.apache.spark.sql.functions.col("value").as(textCol))
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {

@@ -471,9 +471,13 @@ object Streaming {
       var scans = scans0
       val kept = Dedup.exact(batch, idCol, contentCols)
         .transform(Checkpointing.materialize)
+      // materialized: the tiny hit-id set feeds the semi and anti splits
+      // AND the emptiness probe — without this the shard-pruned key-table
+      // join re-executes once per consumer
       val candIds = Dedup.tableCandidateIds(
         kept.select(col(idCol), bloomKey.as("__k")), idCol,
         Dedup.KeyTable(KeyTableSidecar.load(spark, target, TableName), meta.nShards))
+        .transform(Checkpointing.materialize)
       val candidates = kept.join(broadcast(candIds), Seq(idCol), "left_semi")
       val definitelyNew = kept.join(broadcast(candIds), Seq(idCol), "left_anti")
       val survivors = (if (candidates.isEmpty) kept
@@ -714,9 +718,12 @@ object Streaming {
       val kept = Dedup
         .ngramJaccard(batch, idCol, textCol, n, threshold, numHashes, bands, seed)
         .transform(Checkpointing.materialize)
+      // materialized: the semi-join split, the emptiness probe and the
+      // anti-join resolution all reuse the tiny hit-id set
       val candIds = Dedup.tableCandidateIds(
         kept.select(col(idCol), explode(probeKeys).as("__k")), idCol,
         Dedup.KeyTable(KeyTableSidecar.load(spark, target), meta.nShards))
+        .transform(Checkpointing.materialize)
       val candidates = kept.join(broadcast(candIds), Seq(idCol), "left_semi")
       val survivors = (if (candidates.isEmpty) kept
       else {

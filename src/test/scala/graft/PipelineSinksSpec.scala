@@ -218,14 +218,24 @@ class PipelineSinksSpec extends SparkTestBase {
         st.isFile && !st.getPath.getName.startsWith("_") &&
           !st.getPath.getName.startsWith(".")))
     assert(perDoc.toSeq == Seq(1, 1, 1))
-    // a newline body fails the write with the offending id, never splits
-    val ex = intercept[Exception] {
-      Sinks.writeTextCorpus(Seq((9L, "two\nlines")).toDF("doc_id", "text"),
-        dir + "2", "doc_id", "text")
+    // a line-break body fails the write with the offending id, never
+    // splits — including a LONE CARRIAGE RETURN, which Hadoop's line
+    // reader also treats as a row boundary
+    Seq("two\nlines" -> "LF", "two\rlines" -> "CR").foreach { case (body, label) =>
+      val ex = intercept[Exception] {
+        Sinks.writeTextCorpus(Seq((9L, body)).toDF("doc_id", "text"),
+          dir + label, "doc_id", "text")
+      }
+      val msg = Option(ex.getMessage).getOrElse("") +
+        Option(ex.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("line break") && msg.contains("9"), s"$label: $ex")
     }
-    val msg = Option(ex.getMessage).getOrElse("") +
-      Option(ex.getCause).map(_.getMessage).getOrElse("")
-    assert(msg.contains("newline") && msg.contains("9"), s"unexpected: $ex")
+    // string ids round-trip with their discovered type intact (no forced cast)
+    val sdir = java.nio.file.Files.createTempDirectory("graft-textcs").toString + "/corpus"
+    Sinks.writeTextCorpus(Seq(("abc", "hello"), ("xyz", "world")).toDF("k", "text"),
+      sdir, "k", "text")
+    assert(Sources.textCorpus(spark, sdir, "k", "text")
+      .as[(String, String)].collect().toSet == Set(("abc", "hello"), ("xyz", "world")))
   }
 
   test("jdbcUpsert DO UPDATE round-trips insert+update through a live database") {
