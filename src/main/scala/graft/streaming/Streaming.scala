@@ -442,6 +442,90 @@ object Streaming {
     * batch's content keys into a shard-pruned equi-join. The table probe
     * is exact, so only true 64-bit-hash collisions pay the digest confirm.
     */
+  /** Shared sidecar plumbing for the continuous ingestion gates
+    * ([[ingestBatch]] content keys, [[ingestNearDupBatch]] band keys): the
+    * bloom-vs-table byte-budget policy, the table rebuild (with bloom
+    * retirement), the key-append + meta-swap tail, and the stale-stamp
+    * dispatch live HERE once, so the two gates cannot drift on the crash
+    * ordering or the mode rule. Each gate supplies only its key
+    * derivation, sizing, and batch bodies.
+    */
+  private final case class SidecarGate(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path,
+      corpusDir: String,
+      tableName: String,
+      bloomName: String,
+      nShards: Int,
+      budget: Long,
+      minExpectedKeys: Long,
+      keysOver: DataFrame => DataFrame,
+      corpusKeyCount: DataFrame => Long,
+      buildBloomBytes: (DataFrame, Long) => Array[Byte]) {
+
+    def overBudget(keyCount: Long): Boolean =
+      KeyTableSidecar.estimatedBloomBytes(
+        math.max(minExpectedKeys, 2 * keyCount)) > budget
+
+    /** Rebuild the table sidecar from the corpus (one corpus scan),
+      * retiring any bloom sidecar; meta swaps in LAST so a crash
+      * mid-rebuild leaves a stale stamp and the next batch rebuilds again.
+      */
+    def rebuildTable(corpus: DataFrame, keyCount: Long): KeyTableMeta = {
+      KeyTableSidecar.rebuild(fs, keysOver(corpus), target, nShards, tableName)
+      val meta = KeyTableMeta(nShards, keyCount, BloomSidecar.filesStamp(fs, target))
+      KeyTableSidecar.writeMeta(fs, target, meta, tableName)
+      val bloomPath = BloomSidecar.path(target, bloomName)
+      if (fs.exists(bloomPath)) fs.delete(bloomPath, false)
+      meta
+    }
+
+    /** The table-mode append tail (post-corpus-append, post-corpus-
+      * compaction): append the admitted keys, bound the table's per-shard
+      * file count (add-then-delete — a crash can only duplicate keys,
+      * never lose one), then swap the meta with the post-compaction stamp.
+      */
+    def appendTableKeys(survivors: DataFrame, meta: KeyTableMeta, newKeys: Long,
+        maxSmallFiles: Int): Unit = {
+      KeyTableSidecar.appendKeys(keysOver(survivors), target, meta.nShards, tableName)
+      KeyTableSidecar.compact(spark, fs, target, tableName, maxSmallFiles)
+      KeyTableSidecar.writeMeta(fs, target,
+        KeyTableMeta(meta.nShards, meta.keyCount + newKeys,
+          BloomSidecar.filesStamp(fs, target)), tableName)
+    }
+
+    /** Stale-stamp dispatch: a fresh table sidecar beats a fresh bloom
+      * beats a one-corpus-scan rebuild of whichever form fits the budget.
+      */
+    def dispatch(
+        tableBatch: (KeyTableMeta, Boolean, Int) => IngestStats,
+        bloomBatch: (BloomSidecar, Boolean, Int) => IngestStats): IngestStats = {
+      // finish any compaction commit a crash interrupted BEFORE trusting
+      // the corpus: mid-commit, retired rows exist only in the staging dir
+      CorpusCompaction.recover(fs, target)
+      val stamp = BloomSidecar.filesStamp(fs, target)
+      KeyTableSidecar.readMeta(fs, target, tableName).filter(_.filesStamp == stamp) match {
+        case Some(meta) => tableBatch(meta, false, 0)
+        case None =>
+          BloomSidecar.read(fs, target, bloomName).filter(_.filesStamp == stamp) match {
+            case Some(sidecar) => bloomBatch(sidecar, false, 0)
+            case None =>
+              // neither sidecar is fresh: ONE corpus scan rebuilds
+              // whichever form fits the byte budget
+              val corpus = spark.read.parquet(corpusDir)
+              val keyCnt = corpusKeyCount(corpus)
+              if (overBudget(keyCnt)) tableBatch(rebuildTable(corpus, keyCnt), true, 1)
+              else {
+                val expected = math.max(minExpectedKeys, 2 * keyCnt)
+                bloomBatch(BloomSidecar(expected, keyCnt, stamp,
+                  buildBloomBytes(corpus, expected)), true, 1)
+              }
+          }
+      }
+    }
+  }
+
   def ingestBatch(
       batch: DataFrame,
       corpusDir: String,
@@ -459,10 +543,15 @@ object Streaming {
     val bloomKey = Dedup.contentBloomKey(contentCols)
     val budget = sidecarMaxBytes.getOrElse(KeyTableSidecar.maxBytes(spark))
     val TableName = KeyTableSidecar.ContentName
+    val gate = SidecarGate(spark, fs, target, corpusDir,
+      tableName = TableName, bloomName = BloomSidecar.ContentName,
+      nShards = nShards, budget = budget, minExpectedKeys = expectedCorpusItems,
+      keysOver = df => df.select(bloomKey.as("__k")),
+      corpusKeyCount = _.count(),
+      buildBloomBytes = (corpus, expected) => corpus
+        .agg(graft.functions.SketchFunctions.bloomFilterAgg(bloomKey, expected))
+        .head().getAs[Array[Byte]](0))
     def keysOver(df: DataFrame): DataFrame = df.select(bloomKey.as("__k"))
-    def overBudget(keyCount: Long): Boolean =
-      KeyTableSidecar.estimatedBloomBytes(
-        math.max(expectedCorpusItems, 2 * keyCount)) > budget
 
     // gate through the TABLE sidecar (the past-driver-memory form): the
     // batch's content keys broadcast into the shard-pruned key table; only
@@ -494,25 +583,9 @@ object Streaming {
       if (n > 0) {
         survivors.write.mode("append").parquet(corpusDir)
         CorpusCompaction.compact(spark, fs, target, maxSmallFiles, minFileBytes)
-        KeyTableSidecar.appendKeys(keysOver(survivors), target, meta.nShards, TableName)
-        // bound the key table's per-shard file count too (one tiny file per
-        // touched shard per batch otherwise accretes forever); add-then-
-        // delete, so a crash can only duplicate keys, never lose one
-        KeyTableSidecar.compact(spark, fs, target, TableName, maxSmallFiles)
-        KeyTableSidecar.writeMeta(fs, target,
-          KeyTableMeta(meta.nShards, meta.keyCount + n,
-            BloomSidecar.filesStamp(fs, target)), TableName)
+        gate.appendTableKeys(survivors, meta, newKeys = n, maxSmallFiles)
       }
       IngestStats(n, scans, rebuiltBloom = rebuilt, saturatedRebuild = false)
-    }
-
-    def rebuildTable(corpus: DataFrame, keyCount: Long): KeyTableMeta = {
-      KeyTableSidecar.rebuild(fs, keysOver(corpus), target, nShards, TableName)
-      val meta = KeyTableMeta(nShards, keyCount, BloomSidecar.filesStamp(fs, target))
-      KeyTableSidecar.writeMeta(fs, target, meta, TableName)
-      val bloomPath = BloomSidecar.path(target)
-      if (fs.exists(bloomPath)) fs.delete(bloomPath, false)
-      meta
     }
 
     // gate through the BLOOM sidecar (the small-corpus fast path); a
@@ -541,10 +614,10 @@ object Streaming {
       if (n > 0) {
         survivors.write.mode("append").parquet(corpusDir)
         val mergedCount = sidecar.insertedCount + n
-        if (mergedCount > sidecar.expectedItems && overBudget(mergedCount)) {
+        if (mergedCount > sidecar.expectedItems && gate.overBudget(mergedCount)) {
           saturated = true; scans += 1
           CorpusCompaction.compact(spark, fs, target, maxSmallFiles, minFileBytes)
-          rebuildTable(spark.read.parquet(corpusDir), mergedCount)
+          gate.rebuildTable(spark.read.parquet(corpusDir), mergedCount)
         } else {
           val (capacity, bloomBytes) =
             if (mergedCount > sidecar.expectedItems) {
@@ -582,7 +655,7 @@ object Streaming {
       val n = survivors.count()
       if (n > 0) {
         survivors.write.mode("append").parquet(corpusDir)
-        if (overBudget(n)) {
+        if (gate.overBudget(n)) {
           KeyTableSidecar.appendKeys(keysOver(survivors), target, nShards, TableName)
           KeyTableSidecar.writeMeta(fs, target,
             KeyTableMeta(nShards, n, BloomSidecar.filesStamp(fs, target)), TableName)
@@ -597,36 +670,7 @@ object Streaming {
       }
       IngestStats(n, corpusScans = 0, rebuiltBloom = false, saturatedRebuild = false)
     } else {
-      // finish any compaction commit a crash interrupted BEFORE trusting the
-      // corpus: mid-commit, retired rows exist only in the staging dir
-      CorpusCompaction.recover(fs, target)
-      val stamp = BloomSidecar.filesStamp(fs, target)
-      val tableMeta = KeyTableSidecar.readMeta(fs, target, TableName)
-        .filter(_.filesStamp == stamp)
-      tableMeta match {
-        case Some(meta) => tableBatch(meta, rebuilt = false, scans0 = 0)
-        case None =>
-          val loaded = BloomSidecar.read(fs, target).filter(_.filesStamp == stamp)
-          loaded match {
-            case None =>
-              // neither sidecar is fresh: ONE corpus scan rebuilds whichever
-              // form fits the byte budget
-              val corpus = spark.read.parquet(corpusDir)
-              val cnt = corpus.count()
-              if (overBudget(cnt)) {
-                val meta = rebuildTable(corpus, cnt)
-                tableBatch(meta, rebuilt = true, scans0 = 1)
-              } else {
-                val expected = math.max(expectedCorpusItems, 2 * cnt)
-                val bf = corpus.agg(
-                  graft.functions.SketchFunctions.bloomFilterAgg(bloomKey, expected))
-                  .head().getAs[Array[Byte]](0)
-                bloomBatch(BloomSidecar(expected, cnt, stamp, bf),
-                  rebuilt = true, scans0 = 1)
-              }
-            case Some(sidecar) => bloomBatch(sidecar, rebuilt = false, scans0 = 0)
-          }
-      }
+      gate.dispatch(tableBatch, bloomBatch)
     }
   }
 
@@ -704,9 +748,12 @@ object Streaming {
         .head().getAs[Array[Byte]](0)
     def keysOver(df: DataFrame): DataFrame =
       df.select(explode(probeKeys).as("__k"))
-    def overBudget(keyCount: Long): Boolean =
-      KeyTableSidecar.estimatedBloomBytes(
-        math.max(expectedCorpusBandKeys, 2 * keyCount)) > budget
+    val gate = SidecarGate(spark, fs, target, corpusDir,
+      tableName = KeyTableSidecar.BandName, bloomName = BloomSidecar.BandName,
+      nShards = nShards, budget = budget, minExpectedKeys = expectedCorpusBandKeys,
+      keysOver = keysOver,
+      corpusKeyCount = _.count() * bands,
+      buildBloomBytes = (corpus, expected) => bloomOver(corpus, expected))
 
     // gate the within-batch-deduped survivors against the corpus via the
     // TABLE sidecar: batch keys broadcast into the shard-pruned key table,
@@ -739,27 +786,9 @@ object Streaming {
         // compact BEFORE stamping (stamp must record post-compaction names);
         // compaction preserves content, so the key table is untouched
         CorpusCompaction.compact(spark, fs, target, maxSmallFiles, minFileBytes)
-        KeyTableSidecar.appendKeys(keysOver(survivors), target, meta.nShards)
-        // same file-count bound as the content table: add-then-delete
-        // compaction can only duplicate keys, never lose one
-        KeyTableSidecar.compact(spark, fs, target, maxFilesPerShard = maxSmallFiles)
-        KeyTableSidecar.writeMeta(fs, target,
-          KeyTableMeta(meta.nShards, meta.keyCount + cnt * bands,
-            BloomSidecar.filesStamp(fs, target)))
+        gate.appendTableKeys(survivors, meta, newKeys = cnt * bands, maxSmallFiles)
       }
       IngestStats(cnt, scans, rebuiltBloom = rebuilt, saturatedRebuild = false)
-    }
-
-    // rebuild the table sidecar from the corpus (one corpus scan), retiring
-    // any bloom sidecar; meta swaps in LAST so a crash mid-rebuild leaves a
-    // stale stamp and the next batch rebuilds again
-    def rebuildTable(corpus: DataFrame, keyCount: Long): KeyTableMeta = {
-      KeyTableSidecar.rebuild(fs, keysOver(corpus), target, nShards)
-      val meta = KeyTableMeta(nShards, keyCount, BloomSidecar.filesStamp(fs, target))
-      KeyTableSidecar.writeMeta(fs, target, meta)
-      val bloomPath = BloomSidecar.path(target, BloomSidecar.BandName)
-      if (fs.exists(bloomPath)) fs.delete(bloomPath, false)
-      meta
     }
 
     // gate via the BLOOM sidecar (the small-corpus fast path); on
@@ -787,12 +816,12 @@ object Streaming {
       if (cnt > 0) {
         survivors.write.mode("append").parquet(corpusDir)
         val mergedCount = sidecar.insertedCount + cnt * bands
-        if (mergedCount > sidecar.expectedItems && overBudget(mergedCount)) {
+        if (mergedCount > sidecar.expectedItems && gate.overBudget(mergedCount)) {
           // capacity outgrown AND the doubled bloom would blow the byte
           // budget: switch to the table sidecar from the post-append corpus
           saturated = true; scans += 1
           CorpusCompaction.compact(spark, fs, target, maxSmallFiles, minFileBytes)
-          rebuildTable(spark.read.parquet(corpusDir), mergedCount)
+          gate.rebuildTable(spark.read.parquet(corpusDir), mergedCount)
         } else {
           val (capacity, bloomBytes) =
             if (mergedCount > sidecar.expectedItems) {
@@ -823,7 +852,7 @@ object Streaming {
       if (cnt > 0) {
         survivors.write.mode("append").parquet(corpusDir)
         val keyCnt = cnt * bands
-        if (overBudget(keyCnt)) {
+        if (gate.overBudget(keyCnt)) {
           KeyTableSidecar.appendKeys(keysOver(survivors), target, nShards)
           KeyTableSidecar.writeMeta(fs, target,
             KeyTableMeta(nShards, keyCnt, BloomSidecar.filesStamp(fs, target)))
@@ -837,34 +866,8 @@ object Streaming {
       }
       IngestStats(cnt, corpusScans = 0, rebuiltBloom = false, saturatedRebuild = false)
     } else {
-      CorpusCompaction.recover(fs, target)
-      val stamp = BloomSidecar.filesStamp(fs, target)
-      val tableMeta = KeyTableSidecar.readMeta(fs, target).filter(_.filesStamp == stamp)
-      tableMeta match {
-        case Some(meta) => tableBatch(meta, rebuilt = false, scans0 = 0)
-        case None =>
-          val loaded = BloomSidecar.read(fs, target, BloomSidecar.BandName)
-            .filter(_.filesStamp == stamp)
-          loaded match {
-            case None =>
-              // neither sidecar is fresh: ONE corpus scan rebuilds whichever
-              // form fits the byte budget
-              val corpus = spark.read.parquet(corpusDir)
-              val keyCnt = corpus.count() * bands
-              if (overBudget(keyCnt)) {
-                val meta = rebuildTable(corpus, keyCnt)
-                tableBatch(meta, rebuilt = true, scans0 = 1)
-              } else {
-                val expected = math.max(expectedCorpusBandKeys, 2 * keyCnt)
-                val sidecar = BloomSidecar(expected, keyCnt, stamp,
-                  bloomOver(corpus, expected))
-                bloomBatch(sidecar, rebuilt = true, scans0 = 1)
-              }
-            case Some(sidecar) => bloomBatch(sidecar, rebuilt = false, scans0 = 0)
-          }
-      }
+      gate.dispatch(tableBatch, bloomBatch)
     }
-
   }
 
   /** Stream-static enrichment join: each micro-batch joins against the
