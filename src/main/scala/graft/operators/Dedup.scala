@@ -1309,10 +1309,14 @@ object Dedup {
       case Some(table) =>
         // table probe: the batch's keys broadcast into the sharded key
         // table (pruned, never shuffled); the tiny hit-id set broadcasts
-        // back onto the batch — nothing key-set-sized in the driver
-        val candIds = bandTableCandidateIds(batchKeptFeat, idCol, numHashes, bands, table)
+        // back onto the batch — nothing key-set-sized in the driver.
+        // batchKeptFeat materializes FIRST: the probe's shard collect, key
+        // count and equi-join would otherwise each re-run the within-batch
+        // LSH self-join it sits on (the bloom path pays that join once)
+        val probeFeat = batchKeptFeat.transform(Checkpointing.materialize)
+        val candIds = bandTableCandidateIds(probeFeat, idCol, numHashes, bands, table)
           .withColumn("__cand", lit(true))
-        batchKeptFeat.join(broadcast(candIds), Seq(idCol), "left")
+        probeFeat.join(broadcast(candIds), Seq(idCol), "left")
           .withColumn("__cand", coalesce(col("__cand"), lit(false)))
           .transform(Checkpointing.materialize)
       case None =>

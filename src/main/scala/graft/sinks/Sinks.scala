@@ -123,9 +123,12 @@ object Sinks {
     */
   def writeTextCorpus(df: DataFrame, path: String, idCol: String, textCol: String): Unit =
     df.select(
-      when(col(textCol).contains("\n") || col(textCol).contains("\r"),
+      when(col(textCol).isNull,
         raise_error(concat(lit("writeTextCorpus: document "), col(idCol).cast("string"),
-          lit(" contains a line break — the line-oriented text format cannot round-trip it"))))
+          lit(" has NULL text — the text format has no NULL (it would round-trip as \"\")"))))
+        .when(col(textCol).contains("\n") || col(textCol).contains("\r"),
+          raise_error(concat(lit("writeTextCorpus: document "), col(idCol).cast("string"),
+            lit(" contains a line break — the line-oriented text format cannot round-trip it"))))
         .otherwise(col(textCol)).as("value"),
       col(idCol))
       .repartition(col(idCol))

@@ -202,7 +202,21 @@ object IvfIngest {
     val (ivf, pq, trained) =
       (readCodebook(fs, dir), readPqCodebook(fs, dir)) match {
         case (Some(iv), Some(p)) => (iv, p, false)
-        case _ =>
+        case (cb, pcb) =>
+          // exactly one sidecar present WITH data already assigned under
+          // it: retraining here would swap the live quantizer out from
+          // under existing rows (or mix a float IVF index with pq_code
+          // rows) — fail fast instead. With NO data files the partial
+          // state is just a crashed bootstrap: retrain safely.
+          val hasData = fs.exists(dir) && fs.listStatus(dir).exists { st =>
+            st.isDirectory && st.getPath.getName.startsWith("centroid_id=")
+          }
+          if ((cb.isDefined || pcb.isDefined) && hasData)
+            throw new graft.GraftDataError(
+              s"$indexDir has index data with a partial codebook pair " +
+                s"(coarse=${cb.isDefined}, pq=${pcb.isDefined}) — this is " +
+                "either a foreign index (plain-IVF) or a corrupt state; " +
+                "refusing to retrain over assigned rows")
           // bootstrap: one joint training pass over the batch (the
           // batch-build trainer, so codebooks match a batch build bitwise)
           val (_, iv, p) = Similarity.ivfPqIndex(batch, idCol, vecCol, dim,
@@ -231,11 +245,14 @@ object IvfIngest {
       idCol: String,
       vecCol: String,
       dim: Int,
-      nlist: Int = 16): StreamingQuery =
+      nlist: Int = 16,
+      iters: Int = 2,
+      m: Int = 8,
+      k: Int = 16): StreamingQuery =
     embeddings.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestPqBatch(batch, indexDir, idCol, vecCol, dim, nlist): Unit
+        ingestPqBatch(batch, indexDir, idCol, vecCol, dim, nlist, iters, m, k): Unit
       }
       .start()
 

@@ -129,6 +129,12 @@ object KeyTableSidecar {
   def appendKeys(keys: DataFrame, corpusDir: Path, nShards: Int, name: String = BandName): Unit =
     keys
       .select(pmod(col("__k"), lit(nShards.toLong)).cast("int").as("__shard"), col("__k"))
+      // ONE file per touched shard per batch: without the repartition,
+      // partitionBy fans out up to one file per (input partition x shard)
+      // per append, pushing every shard past the compaction bound after a
+      // single wide batch and turning the per-batch compact into a
+      // whole-table rewrite
+      .repartition(col("__shard"))
       .write.mode("append").partitionBy("__shard")
       .parquet(dir(corpusDir, name).toString)
 
@@ -183,11 +189,17 @@ object KeyTableSidecar {
     }
   }
 
-  /** Delete table + meta (mode switch back to bloom, or teardown). */
+  /** Delete table + meta (mode switch back to bloom, or teardown). META
+    * FIRST: the stamp only covers corpus files, so a crash after deleting
+    * the table but before the meta would leave a fresh-looking meta
+    * pointing at a missing table — every subsequent batch would fail on
+    * the load instead of rebuilding. Meta-first, the crash window leaves
+    * an orphan table directory that the next rebuild simply overwrites.
+    */
   def delete(fs: FileSystem, corpusDir: Path, name: String = BandName): Unit = {
-    val d = dir(corpusDir, name)
-    if (fs.exists(d)) fs.delete(d, true)
     val m = metaPath(corpusDir, name)
     if (fs.exists(m)) fs.delete(m, false)
+    val d = dir(corpusDir, name)
+    if (fs.exists(d)) fs.delete(d, true)
   }
 }

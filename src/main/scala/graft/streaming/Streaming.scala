@@ -551,7 +551,6 @@ object Streaming {
       buildBloomBytes = (corpus, expected) => corpus
         .agg(graft.functions.SketchFunctions.bloomFilterAgg(bloomKey, expected))
         .head().getAs[Array[Byte]](0))
-    def keysOver(df: DataFrame): DataFrame = df.select(bloomKey.as("__k"))
 
     // gate through the TABLE sidecar (the past-driver-memory form): the
     // batch's content keys broadcast into the shard-pruned key table; only
@@ -656,7 +655,7 @@ object Streaming {
       if (n > 0) {
         survivors.write.mode("append").parquet(corpusDir)
         if (gate.overBudget(n)) {
-          KeyTableSidecar.appendKeys(keysOver(survivors), target, nShards, TableName)
+          KeyTableSidecar.appendKeys(gate.keysOver(survivors), target, nShards, TableName)
           KeyTableSidecar.writeMeta(fs, target,
             KeyTableMeta(nShards, n, BloomSidecar.filesStamp(fs, target)), TableName)
         } else {
@@ -853,7 +852,7 @@ object Streaming {
         survivors.write.mode("append").parquet(corpusDir)
         val keyCnt = cnt * bands
         if (gate.overBudget(keyCnt)) {
-          KeyTableSidecar.appendKeys(keysOver(survivors), target, nShards)
+          KeyTableSidecar.appendKeys(gate.keysOver(survivors), target, nShards)
           KeyTableSidecar.writeMeta(fs, target,
             KeyTableMeta(nShards, keyCnt, BloomSidecar.filesStamp(fs, target)))
         } else {

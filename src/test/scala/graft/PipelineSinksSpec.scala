@@ -230,6 +230,15 @@ class PipelineSinksSpec extends SparkTestBase {
         Option(ex.getCause).map(_.getMessage).getOrElse("")
       assert(msg.contains("line break") && msg.contains("9"), s"$label: $ex")
     }
+    // NULL text is rejected typed (the text format has no NULL — it would
+    // silently round-trip as "")
+    val exN = intercept[Exception] {
+      Sinks.writeTextCorpus(Seq((8L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+        dir + "N", "doc_id", "text")
+    }
+    val msgN = Option(exN.getMessage).getOrElse("") +
+      Option(exN.getCause).map(_.getMessage).getOrElse("")
+    assert(msgN.contains("NULL") && msgN.contains("8"), s"null: $exN")
     // string ids round-trip with their discovered type intact (no forced cast)
     val sdir = java.nio.file.Files.createTempDirectory("graft-textcs").toString + "/corpus"
     Sinks.writeTextCorpus(Seq(("abc", "hello"), ("xyz", "world")).toDF("k", "text"),
