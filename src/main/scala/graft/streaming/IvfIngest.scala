@@ -131,6 +131,17 @@ object IvfIngest {
     * unchanged — bitwise-stable assignment across batches, which is what
     * keeps one vector's duplicates in one directory.
     */
+  /** True when the index directory already holds assigned list data —
+    * the state under which retraining a codebook is never safe (rows were
+    * assigned under the quantizer being replaced). Both ingest paths
+    * bootstrap codebooks-before-data, so data-without-codebook can only
+    * mean a foreign or corrupt index.
+    */
+  private def assignedDataExists(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      st.isDirectory && st.getPath.getName.startsWith("centroid_id=")
+    }
+
   def ingestBatch(
       batch: DataFrame,
       indexDir: String,
@@ -146,6 +157,12 @@ object IvfIngest {
     val (model, trained) = readCodebook(fs, dir) match {
       case Some(m) => (m, false)
       case None =>
+        // same retrain-over-assigned-rows guard as the PQ path: a
+        // populated index with no codebook sidecar is foreign or corrupt
+        if (assignedDataExists(fs, dir))
+          throw new graft.GraftDataError(
+            s"$indexDir has assigned index data but no codebook sidecar — " +
+              "refusing to retrain over rows assigned under another quantizer")
         val init = batch.orderBy(col(idCol)).limit(nlist)
           .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
         require(init.nonEmpty, "cannot bootstrap a codebook from an empty batch")
@@ -203,20 +220,19 @@ object IvfIngest {
       (readCodebook(fs, dir), readPqCodebook(fs, dir)) match {
         case (Some(iv), Some(p)) => (iv, p, false)
         case (cb, pcb) =>
-          // exactly one sidecar present WITH data already assigned under
-          // it: retraining here would swap the live quantizer out from
-          // under existing rows (or mix a float IVF index with pq_code
-          // rows) — fail fast instead. With NO data files the partial
-          // state is just a crashed bootstrap: retrain safely.
-          val hasData = fs.exists(dir) && fs.listStatus(dir).exists { st =>
-            st.isDirectory && st.getPath.getName.startsWith("centroid_id=")
-          }
-          if ((cb.isDefined || pcb.isDefined) && hasData)
+          // data already assigned without BOTH codebooks present:
+          // retraining would swap the quantizer out from under existing
+          // rows (or mix a float IVF index with pq_code rows) — fail
+          // fast. The bootstrap writes both codebooks BEFORE any data, so
+          // legitimate state never has data with a missing codebook; a
+          // codebook-only partial state (crashed bootstrap, no data) still
+          // retrains safely.
+          if (assignedDataExists(fs, dir))
             throw new graft.GraftDataError(
-              s"$indexDir has index data with a partial codebook pair " +
-                s"(coarse=${cb.isDefined}, pq=${pcb.isDefined}) — this is " +
-                "either a foreign index (plain-IVF) or a corrupt state; " +
-                "refusing to retrain over assigned rows")
+              s"$indexDir has assigned index data but not the full codebook " +
+                s"pair (coarse=${cb.isDefined}, pq=${pcb.isDefined}) — a " +
+                "foreign index (plain-IVF or batch-built) or a corrupt " +
+                "state; refusing to retrain over assigned rows")
           // bootstrap: one joint training pass over the batch (the
           // batch-build trainer, so codebooks match a batch build bitwise)
           val (_, iv, p) = Similarity.ivfPqIndex(batch, idCol, vecCol, dim,

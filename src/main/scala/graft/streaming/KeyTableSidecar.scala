@@ -126,17 +126,30 @@ object KeyTableSidecar {
   /** Append `keys` (one BIGINT column named `__k`) to the sharded table —
     * a plain partitioned parquet append, executor-side end to end.
     */
-  def appendKeys(keys: DataFrame, corpusDir: Path, nShards: Int, name: String = BandName): Unit =
-    keys
+  /** `subSplits` bounds the files-per-shard of one write: micro-batch
+    * appends use 1 (one file per touched shard — without the repartition,
+    * partitionBy fans out up to one file per input partition per shard,
+    * pushing every shard past the compaction bound after a single wide
+    * batch); a full-table [[rebuild]] uses more, because hash-clustering
+    * purely on `__shard` would funnel a multi-billion-key rebuild through
+    * nShards tasks writing one monolithic file each.
+    */
+  def appendKeys(keys: DataFrame, corpusDir: Path, nShards: Int, name: String = BandName,
+      subSplits: Int = 1): Unit = {
+    require(subSplits >= 1, "subSplits must be positive")
+    val sharded = keys
       .select(pmod(col("__k"), lit(nShards.toLong)).cast("int").as("__shard"), col("__k"))
-      // ONE file per touched shard per batch: without the repartition,
-      // partitionBy fans out up to one file per (input partition x shard)
-      // per append, pushing every shard past the compaction bound after a
-      // single wide batch and turning the per-batch compact into a
-      // whole-table rewrite
-      .repartition(col("__shard"))
+    val clustered =
+      if (subSplits == 1) sharded.repartition(col("__shard"))
+      else sharded.repartition(col("__shard"),
+        // fold before the multiply: 2^31 x 2654435761 < 2^63, so the salt
+        // never overflows Int64 (ANSI mode would error on wraparound)
+        pmod(pmod(col("__k"), lit(2147483648L)) * lit(2654435761L),
+          lit(subSplits.toLong)))
+    clustered
       .write.mode("append").partitionBy("__shard")
       .parquet(dir(corpusDir, name).toString)
+  }
 
   /** Drop any existing table and write `keys` fresh (rebuild path). The
     * caller writes the meta AFTER, so a crash mid-rebuild leaves a stale
@@ -146,7 +159,10 @@ object KeyTableSidecar {
       name: String = BandName): Unit = {
     val d = dir(corpusDir, name)
     if (fs.exists(d)) fs.delete(d, true)
-    appendKeys(keys, corpusDir, nShards, name)
+    // a rebuild writes the WHOLE key set once: spread each shard over
+    // several writers (files stay within the compaction bound) instead of
+    // the per-append one-file-per-shard clustering
+    appendKeys(keys, corpusDir, nShards, name, subSplits = 8)
   }
 
   /** The persisted table as a DataFrame (`__shard` recovered as a

@@ -793,6 +793,24 @@ class StreamingSpec extends SparkTestBase {
     assert(gotFull == wantFull, "refreshed index must equal the full batch build")
   }
 
+  test("ingest refuses to retrain over a foreign index (data without codebooks)") {
+    import graft.streaming.IvfIngest
+    import graft.operators.Similarity
+    // a batch-built IVF index has assigned centroid_id= data but NO
+    // codebook sidecars; both ingest paths must fail fast rather than
+    // retrain a new quantizer over rows assigned under another one
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-foreign").toString + "/index"
+    val emb = Tables.embeddings(spark, sfDir).filter($"vec_id" < 100)
+    val (assignments, _) = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 4)
+    Similarity.writeIvfIndex(assignments, dir)
+    intercept[graft.GraftDataError] {
+      IvfIngest.ingestBatch(emb, dir, "vec_id", "embedding", nlist = 4)
+    }
+    intercept[graft.GraftDataError] {
+      IvfIngest.ingestPqBatch(emb, dir, "vec_id", "embedding", dim = 64)
+    }
+  }
+
   test("IvfIngest assigns a duplicated vector to the same list in any batch") {
     import graft.streaming.IvfIngest
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf2").toString + "/index"
