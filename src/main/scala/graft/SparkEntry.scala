@@ -602,6 +602,90 @@ object SparkEntry {
           |                        WHERE o_orderstatus = 'P')""".stripMargin)
     }),
 
+    "q20_nested_in_suppliers" -> ((s, dir) => {
+      // TPC-H Q20 shape, DECLARED as NESTED correlation — the hardest
+      // decorrelation in TPC-H: an IN whose subquery ITSELF contains both
+      // another IN (the part-name gate) and a correlated scalar aggregate
+      // (the per-(part,supplier) average) that references the MIDDLE
+      // query's columns, not the outermost. Catalyst must decorrelate
+      // inside-out — the scalar avg becomes ONE grouped aggregate over
+      // lineitem joined back on (l_partkey, l_suppkey), the inner IN a
+      // LeftSemi against part, the outer IN a LeftSemi probing supplier —
+      // never a per-supplier or per-lineitem re-scan (plan-pinned: no
+      // nested loop, pinned exchange count). Adapted to the fixture's
+      // schema (no partsupp table): the excess-stock predicate reads
+      // "shipped more than half the part+supplier's own average quantity".
+      // l_quantity is integral so the double avg is order-independent.
+      Tables.supplier(s, dir).createOrReplaceTempView("graft_supplier")
+      Tables.part(s, dir).createOrReplaceTempView("graft_part")
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT s_suppkey, s_name
+          |FROM graft_supplier
+          |WHERE s_suppkey IN (
+          |  SELECT l1.l_suppkey FROM graft_lineitem l1
+          |  WHERE l1.l_partkey IN (SELECT p_partkey FROM graft_part
+          |                         WHERE p_name LIKE 'large%')
+          |    AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+          |    AND l1.l_shipdate < TIMESTAMP '1998-01-01'
+          |    AND l1.l_quantity > (SELECT 0.5 * avg(l2.l_quantity)
+          |                         FROM graft_lineitem l2
+          |                         WHERE l2.l_partkey = l1.l_partkey
+          |                           AND l2.l_suppkey = l1.l_suppkey))""".stripMargin)
+    }),
+
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      // TPC-H Q19 shape: a DISJUNCTIVE OR-of-ANDs predicate over an
+      // equi-join, each branch constraining BOTH sides. The whole
+      // disjunction is not separable, so the naive plan filters only
+      // post-join and scans both tables in full; the optimizer must run
+      // CNF extraction (PushExtraPredicateThroughJoin) to derive each
+      // side's branch-union — (brand/size OR ...) to the part scan,
+      // (quantity/flag OR ...) to the lineitem scan — as PushedFilters
+      // while keeping p_partkey = l_partkey as the equi-key (plan-pinned:
+      // both scans carry a pushed Or, join stays equi). Adapted to the
+      // fixture's columns (no p_container/l_shipmode): brand+size on the
+      // part side, quantity+flag/status on the lineitem side.
+      Tables.part(s, dir).createOrReplaceTempView("graft_part")
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_items
+          |FROM graft_lineitem JOIN graft_part ON p_partkey = l_partkey
+          |WHERE
+          |  (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+          |     AND l_quantity BETWEEN 1 AND 20 AND l_returnflag = 'N')
+          |  OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+          |     AND l_quantity BETWEEN 10 AND 30 AND l_linestatus = 'O')
+          |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
+          |     AND l_quantity BETWEEN 20 AND 40)""".stripMargin)
+    }),
+
+    "q13_order_distribution" -> ((s, dir) => {
+      // TPC-H Q13 shape: LEFT OUTER join aggregation with a filter in the
+      // ON clause — the null-preserving placement trap. The priority
+      // filter must stay a right-side scan predicate (pushed to the
+      // orders parquet scan), NEVER migrate above the join as a WHERE —
+      // that would drop order-less customers and silently turn the outer
+      // join inner. The double aggregation (orders per customer, then
+      // customers per order-count) is the classic skew shape: the first
+      // groupBy keys on c_custkey (uniform), the second collapses onto
+      // ~40 distinct counts — partial map-side aggregation absorbs the
+      // skew before the tiny exchange. Plan-pinned: join stays LeftOuter,
+      // orders scan carries the pushed priority filter.
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      s.sql(
+        """SELECT c_count, count(*) AS custdist
+          |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          |      FROM graft_customer LEFT OUTER JOIN graft_orders
+          |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          |      GROUP BY c_custkey) c_orders
+          |GROUP BY c_count""".stripMargin)
+    }),
+
     "broadcast_join_agg" -> ((s, dir) =>
       Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -2676,6 +2760,42 @@ object SparkEntry {
         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
         |                    FROM lineitem l2
         |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q20_nested_in_suppliers" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l1.l_suppkey FROM lineitem l1
+        |  WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_name LIKE 'large%')
+        |    AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l1.l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND l1.l_quantity > (SELECT 0.5 * avg(l2.l_quantity)
+        |                         FROM lineitem l2
+        |                         WHERE l2.l_partkey = l1.l_partkey
+        |                           AND l2.l_suppkey = l1.l_suppkey))""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE
+        |  (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |     AND l_quantity BETWEEN 1 AND 20 AND l_returnflag = 'N')
+        |  OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+        |     AND l_quantity BETWEEN 10 AND 30 AND l_linestatus = 'O')
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
+        |     AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count""".stripMargin,
 
     "broadcast_join_agg" ->
       """SELECT r_name, count(*) AS n_customers,

@@ -296,6 +296,19 @@ class PlanGuardSpec extends SparkTestBase {
       "once and pushes INTO the parquet scan as a runtime predicate; NOT " +
       "EXISTS decorrelates to a LeftAnti broadcast join — only the " +
       "nation-agg exchange remains"),
+    "q20_nested_in_suppliers" -> (1, "the NESTED correlation decorrelates " +
+      "inside-out: the correlated scalar avg becomes ONE grouped aggregate " +
+      "over lineitem (its exchange — the only one) joined back Inner, the " +
+      "part-name IN a LeftSemi, the outer IN a LeftSemi probing supplier; " +
+      "a failed decorrelation would plan per-row re-scans instead"),
+    "q19_disjunctive_revenue" -> (1, "CNF extraction pushes each side's " +
+      "branch-union into its parquet scan, the equi-key survives as a " +
+      "broadcast hash join with the residual disjunction as the join " +
+      "condition — only the single-group agg exchange remains"),
+    "q13_order_distribution" -> (2, "per-custkey count exchange + the " +
+      "distribution exchange; both aggs partial map-side, so the ~40-value " +
+      "c_count skew collapses before its exchange; the ON-clause filter " +
+      "stays a right-side scan predicate under the preserved LeftOuter"),
     "minhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "simhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "ngram_jaccard_dedup_docs" -> (8, "exact-collapse + shingle joins + CC + invariants")
@@ -352,6 +365,84 @@ class PlanGuardSpec extends SparkTestBase {
       s"$n plans ${offenders(n)} without auto-broadcast — at scale this " +
         "join goes quadratic; give it equi-keys or a reasoned allowlist entry"
     }.mkString("; "))
+  }
+
+  // plan with AQE off: AdaptiveSparkPlanExec hides its inner plan from
+  // collect(), so shape assertions need the static physical plan
+  private def staticPlan(name: String): org.apache.spark.sql.execution.SparkPlan = {
+    val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
+  test("q19: CNF extraction pushes each side's branch-union into its scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = staticPlan("q19_disjunctive_revenue")
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 2, s"expected part + lineitem scans, got ${scans.size}")
+    def pushedOr(s: FileSourceScanExec): Seq[String] =
+      s.metadata.get("PushedFilters").toSeq.filter(_.contains("Or("))
+    val partScan = scans.find(_.metadata("Location").contains("part.parquet"))
+    val lineScan = scans.find(_.metadata("Location").contains("lineitem.parquet"))
+    assert(partScan.exists(s => pushedOr(s).exists(f =>
+      f.contains("p_brand") && f.contains("p_size"))),
+      "part scan must carry the pushed brand/size branch-union — " +
+        s"got ${partScan.map(_.metadata("PushedFilters"))}")
+    assert(lineScan.exists(s => pushedOr(s).exists(f =>
+      f.contains("l_quantity"))),
+      "lineitem scan must carry the pushed quantity branch-union — " +
+        s"got ${lineScan.map(_.metadata("PushedFilters"))}")
+    // the equi-key survives CNF extraction: a hash join on the part key,
+    // not a nested loop evaluating the disjunction per pair
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    val equi = plan.collect {
+      case j: BroadcastHashJoinExec => j.leftKeys ++ j.rightKeys
+      case j: SortMergeJoinExec => j.leftKeys ++ j.rightKeys
+      case j: ShuffledHashJoinExec => j.leftKeys ++ j.rightKeys
+    }.flatten
+    assert(equi.exists(_.references.toSeq.exists(_.name == "l_partkey")),
+      "join must keep p_partkey = l_partkey as its equi-key")
+  }
+
+  test("q13: the ON-clause filter stays below the preserved outer join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.execution.joins.HashJoin
+    val plan = staticPlan("q13_order_distribution")
+    // the join survives as LEFT OUTER — a WHERE-placement bug (filter
+    // migrating above the join) lets Catalyst rewrite it inner and drop
+    // every order-less customer
+    val outer = plan.collect {
+      case j: HashJoin if j.joinType == LeftOuter => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType == LeftOuter => j
+    }
+    assert(outer.nonEmpty, s"LeftOuter join must survive:\n${plan.treeString.take(1500)}")
+    // and the priority filter reaches the ORDERS scan as a pushed predicate
+    val ordersScan = plan.collect { case s: FileSourceScanExec
+      if s.metadata("Location").contains("orders.parquet") => s }
+    assert(ordersScan.exists(_.metadata.get("PushedFilters")
+      .exists(f => f.contains("o_orderpriority") && f.contains("Not"))),
+      "orders scan must carry the pushed NOT-urgent predicate — " +
+        s"got ${ordersScan.map(_.metadata("PushedFilters"))}")
+  }
+
+  test("q20: the nested correlation fully decorrelates (semi joins + one grouped agg)") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.joins.HashJoin
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val plan = staticPlan("q20_nested_in_suppliers")
+    val semis = plan.collect { case j: HashJoin if j.joinType == LeftSemi => j }
+    assert(semis.size >= 2,
+      s"both INs must lower to semi joins, got ${semis.size}:\n${plan.treeString.take(1500)}")
+    // the correlated scalar avg became a grouped aggregate keyed by BOTH
+    // correlation columns — one pass over lineitem, not per-outer-row
+    val aggKeyed = plan.collect { case a: HashAggregateExec
+      if a.groupingExpressions.size == 2 => a }
+    assert(aggKeyed.nonEmpty,
+      "the scalar avg must decorrelate to a (l_partkey, l_suppkey)-grouped aggregate")
   }
 
   test("the allowlists only name real queries") {
