@@ -1457,8 +1457,10 @@ object SparkEntry {
       // source with partition discovery — the oracle states the fixed
       // point (the original rows), so the filesystem round-trip itself is
       // what's under test. Newline-bearing docs are rejected at write
-      // (line-oriented contract), not silently split.
-      val out = s"/tmp/graft_textcorpus/${new java.io.File(dir).getName}"
+      // (line-oriented contract), not silently split. Run-scoped dir (same
+      // rationale as json_sink_roundtrip): a fixed path would let two
+      // concurrent runs clobber each other mid-read and never clean up.
+      val out = scratchDir("graft_textcorpus") + "/corpus"
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 40)
       graft.sinks.Sinks.writeTextCorpus(docs, out, "doc_id", "text")
       Sources.textCorpus(s, out, "doc_id", "text")

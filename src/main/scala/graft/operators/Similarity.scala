@@ -236,6 +236,15 @@ object Similarity {
     * NO shuffle; at cluster scale the assignment is a single map stage and
     * the index is written `partitionBy("centroid_id")` so probes prune to
     * nprobe/nlist of the files.
+    *
+    * MINIMUM-CORPUS CONTRACT (shared with the streaming bootstrap,
+    * [[graft.streaming.IvfIngest.ingestBatch]]): the training set — the
+    * full corpus, or the sample when `trainSampleFraction` < 1 — must hold
+    * at least `nlist` vectors, or the build raises rather than silently
+    * fitting an under-sized codebook the caller's nprobe/recall tuning
+    * assumed had `nlist` lists. The streaming side is stricter still (a
+    * min-bootstrap-rows gate, default 8×nlist), because its bootstrap
+    * codebook is fixed for the index's life; a batch build is re-runnable.
     */
   def ivfIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -245,10 +254,16 @@ object Similarity {
     val train = trainSample(corpus, idCol, trainSampleFraction, sampleSalt)
     val init = train.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
-    // same fail-fast as the PQ trainers: a sample that cannot seed nlist
-    // centroids must raise, not silently build an under-sized codebook the
-    // caller's nprobe/recall expectations were tuned against
-    require(init.length == nlist, s"training sample has ${init.length} < $nlist vectors")
+    // the minimum-corpus contract (see Scaladoc): a training set that
+    // cannot seed nlist centroids must raise, not silently build an
+    // under-sized codebook the caller's nprobe/recall expectations were
+    // tuned against. At fraction < 1 the fix is a larger fraction; at
+    // fraction = 1 the corpus itself is below nlist — shrink nlist.
+    require(init.length == nlist,
+      if (trainSampleFraction < 1.0)
+        s"training sample has ${init.length} < $nlist vectors — raise " +
+          s"trainSampleFraction (= $trainSampleFraction) or lower nlist"
+      else s"corpus has ${init.length} < $nlist vectors — lower nlist")
     val centroids = trainCodebook(train, idCol, vecCol, init, iters)
     val model = IvfModel(centroids)
     val assignments = Ops.spread(corpus.select(col(idCol), col(vecCol))).select(

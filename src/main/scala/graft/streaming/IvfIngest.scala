@@ -37,18 +37,34 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   */
 object IvfIngest {
 
-  private val Magic = 0x47435642 // "GCVB"
+  private val Magic = 0x47435642   // "GCVB" — v1, no training census
+  private val MagicV2 = 0x47435643 // v2: + rowsAtTraining (staleness governance)
 
   def codebookPath(indexDir: Path): Path = new Path(indexDir, "_codebook")
 
+  /** The coarse codebook plus its training census: how many rows the
+    * quantizer was fitted over. The census is what the growth-ratio
+    * staleness trigger compares the live index against — a codebook
+    * trained on the bootstrap batch alone goes stale as the corpus grows
+    * past it, and nothing else records how much data it ever saw.
+    * `rowsAtTraining == -1` marks a pre-census (v1) sidecar.
+    */
+  final case class CodebookSidecar(model: Similarity.IvfModel, rowsAtTraining: Long)
+
   /** Load the persisted codebook; None when absent (first batch trains). */
-  def readCodebook(fs: FileSystem, indexDir: Path): Option[Similarity.IvfModel] = {
+  def readCodebook(fs: FileSystem, indexDir: Path): Option[Similarity.IvfModel] =
+    readCodebookInfo(fs, indexDir).map(_.model)
+
+  /** Codebook + training census (see [[CodebookSidecar]]). */
+  def readCodebookInfo(fs: FileSystem, indexDir: Path): Option[CodebookSidecar] = {
     val p = codebookPath(indexDir)
     if (!fs.exists(p)) None
     else {
       val in = new java.io.DataInputStream(fs.open(p))
       try {
-        require(in.readInt() == Magic, "bad codebook magic")
+        val magic = in.readInt()
+        require(magic == Magic || magic == MagicV2, "bad codebook magic")
+        val rows = if (magic == MagicV2) in.readLong() else -1L
         val nlist = in.readInt(); val dim = in.readInt()
         val cents = Array.fill(nlist) {
           val v = new Array[Float](dim)
@@ -56,19 +72,22 @@ object IvfIngest {
           while (i < dim) { v(i) = java.lang.Float.intBitsToFloat(in.readInt()); i += 1 }
           v
         }
-        Some(Similarity.IvfModel(cents))
+        Some(CodebookSidecar(Similarity.IvfModel(cents), rows))
       } finally in.close()
     }
   }
 
   /** Staging write + rename swap (see [[BloomSidecar.write]]): readers never
     * see a torn codebook; a crash mid-swap leaves the previous one.
+    * `rowsAtTraining` is the training census the staleness trigger reads.
     */
-  def writeCodebook(fs: FileSystem, indexDir: Path, model: Similarity.IvfModel): Unit = {
+  def writeCodebook(fs: FileSystem, indexDir: Path, model: Similarity.IvfModel,
+      rowsAtTraining: Long = -1L): Unit = {
     val staging = new Path(indexDir, "_codebook.staging")
     val out = new java.io.DataOutputStream(fs.create(staging, true))
     try {
-      out.writeInt(Magic)
+      out.writeInt(MagicV2)
+      out.writeLong(rowsAtTraining)
       out.writeInt(model.centroids.length)
       out.writeInt(model.centroids.headOption.map(_.length).getOrElse(0))
       model.centroids.foreach(_.foreach(x => out.writeInt(java.lang.Float.floatToIntBits(x))))
@@ -142,18 +161,50 @@ object IvfIngest {
       st.isDirectory && st.getPath.getName.startsWith("centroid_id=")
     }
 
+  /** Resolve the min-bootstrap-rows gate: a negative request means the
+    * default of 8 vectors per centroid — below that Lloyd fits noise, and
+    * an unrepresentative bootstrap codebook is FIXED for the index's whole
+    * life (later batches only assign under it). Callers that genuinely
+    * want a tiny index (tests, bounded corpora) pass an explicit bound.
+    * The floor is nlist either way: k-means cannot seed nlist centroids
+    * from fewer vectors — the same minimum-corpus contract as the batch
+    * builders ([[Similarity.ivfIndex]]/[[Similarity.ivfPqIndex]]).
+    */
+  private def resolveMinBootstrap(minBootstrapRows: Long, nlist: Int): Long =
+    math.max(nlist.toLong, if (minBootstrapRows < 0) 8L * nlist else minBootstrapRows)
+
+  private def gateBootstrap(n: Long, minRows: Long, nlist: Int, indexDir: String): Unit =
+    if (n < minRows)
+      throw new graft.GraftDataError(
+        s"refusing to bootstrap $indexDir from $n rows (< $minRows minimum " +
+          s"for nlist=$nlist): a codebook trained on an unrepresentative " +
+          "first micro-batch mis-shapes every later assignment; accumulate " +
+          "more rows or pass an explicit minBootstrapRows")
+
   def ingestBatch(
       batch: DataFrame,
       indexDir: String,
       idCol: String,
       vecCol: String,
       nlist: Int = 16,
-      iters: Int = 2): IvfIngestStats = {
+      iters: Int = 2,
+      minBootstrapRows: Long = -1L): IvfIngestStats = {
     val spark = batch.sparkSession
     val dir = new Path(indexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverRefresh(fs, dir) // finish an interrupted refresh before pairing codebook+lists
 
+    // symmetric with ingestPqBatch's refusal of a plain-IVF index: a
+    // `_pq_codebook` sidecar means the lists hold 12-byte pq_code rows —
+    // appending (id, vec, centroid_id) float rows among them is exactly
+    // the index corruption the PQ path's error warns about, so fail at
+    // WRITE time, not when a probe trips over the mixed schema
+    if (fs.exists(pqCodebookPath(dir)))
+      throw new graft.GraftDataError(
+        s"$indexDir is an IVF-PQ index (has a _pq_codebook sidecar) — " +
+          "use ingestPqBatch; ingestBatch would mix float-vector rows into pq_code lists")
+
+    val n = batch.count()
     val (model, trained) = readCodebook(fs, dir) match {
       case Some(m) => (m, false)
       case None =>
@@ -163,6 +214,7 @@ object IvfIngest {
           throw new graft.GraftDataError(
             s"$indexDir has assigned index data but no codebook sidecar — " +
               "refusing to retrain over rows assigned under another quantizer")
+        gateBootstrap(n, resolveMinBootstrap(minBootstrapRows, nlist), nlist, indexDir)
         val init = batch.orderBy(col(idCol)).limit(nlist)
           .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
         require(init.nonEmpty, "cannot bootstrap a codebook from an empty batch")
@@ -179,8 +231,7 @@ object IvfIngest {
     // batch appends under it and nothing orphans. The reverse order would
     // strand partitions assigned under a codebook that was never persisted,
     // and the retrained replacement would assign differently.
-    if (trained) writeCodebook(fs, dir, model)
-    val n = batch.count()
+    if (trained) writeCodebook(fs, dir, model, rowsAtTraining = n)
     if (n > 0)
       assigned.write.mode("append").partitionBy("centroid_id").parquet(indexDir)
     IvfIngestStats(n, trained)
@@ -210,12 +261,14 @@ object IvfIngest {
       nlist: Int = 16,
       iters: Int = 2,
       m: Int = 8,
-      k: Int = 16): IvfIngestStats = {
+      k: Int = 16,
+      minBootstrapRows: Long = -1L): IvfIngestStats = {
     val spark = batch.sparkSession
     val dir = new Path(indexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverRefresh(fs, dir)
 
+    val n = batch.count()
     val (ivf, pq, trained) =
       (readCodebook(fs, dir), readPqCodebook(fs, dir)) match {
         case (Some(iv), Some(p)) => (iv, p, false)
@@ -233,6 +286,7 @@ object IvfIngest {
                 s"pair (coarse=${cb.isDefined}, pq=${pcb.isDefined}) — a " +
                 "foreign index (plain-IVF or batch-built) or a corrupt " +
                 "state; refusing to retrain over assigned rows")
+          gateBootstrap(n, resolveMinBootstrap(minBootstrapRows, nlist), nlist, indexDir)
           // bootstrap: one joint training pass over the batch (the
           // batch-build trainer, so codebooks match a batch build bitwise)
           val (_, iv, p) = Similarity.ivfPqIndex(batch, idCol, vecCol, dim,
@@ -242,10 +296,9 @@ object IvfIngest {
     if (trained) {
       // codebooks FIRST, then data (see [[ingestBatch]]'s ordering note) —
       // both sidecars must land before any row is assigned under them
-      writeCodebook(fs, dir, ivf)
+      writeCodebook(fs, dir, ivf, rowsAtTraining = n)
       writePqCodebook(fs, dir, pq)
     }
-    val n = batch.count()
     if (n > 0)
       Similarity.ivfPqEncode(batch, idCol, vecCol, ivf, pq)
         .write.mode("append").partitionBy("centroid_id").parquet(indexDir)
@@ -264,11 +317,13 @@ object IvfIngest {
       nlist: Int = 16,
       iters: Int = 2,
       m: Int = 8,
-      k: Int = 16): StreamingQuery =
+      k: Int = 16,
+      minBootstrapRows: Long = -1L): StreamingQuery =
     embeddings.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestPqBatch(batch, indexDir, idCol, vecCol, dim, nlist, iters, m, k): Unit
+        ingestPqBatch(batch, indexDir, idCol, vecCol, dim, nlist, iters, m, k,
+          minBootstrapRows): Unit
       }
       .start()
 
@@ -321,10 +376,67 @@ object IvfIngest {
       nlist, iters, m, k)
     index.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(new Path(staging, "data").toString)
-    writeCodebook(fs, staging, ivf)
+    // the new census travels with the new quantizer: staleness resets to
+    // "trained over everything the refresh saw"
+    writeCodebook(fs, staging, ivf, rowsAtTraining = rawVectors.count())
     writePqCodebook(fs, staging, pq)
     fs.create(new Path(staging, CompleteMarker), true).close()
     completeRefresh(fs, dir)
+  }
+
+  /** Growth-ratio staleness report for an ingested index: how far the live
+    * index has grown past the codebook's training census. The trigger a
+    * maintenance loop (or [[refreshPqIfStale]]) reads: `stale` is true when
+    * `rowsNow > growthRatio × rowsAtTraining` — the quantizer was fitted on
+    * less than 1/growthRatio of the data it now serves, the regime where
+    * bootstrap-batch codebooks quietly cost recall. Complements
+    * [[listSizes]] (distribution-shift skew) with a pure volume trigger
+    * that needs no list statistics. Costs one count over the index (footer
+    * metadata at parquet, not a data scan) — an explicit maintenance probe,
+    * not a per-batch tax. None when the index has no codebook; a v1
+    * (pre-census) sidecar reports `rowsAtTraining = -1` and is always
+    * considered stale — its training volume is unknown, so the safe reading
+    * is "retrain".
+    */
+  final case class IndexStaleness(rowsAtTraining: Long, rowsNow: Long, stale: Boolean)
+
+  def staleness(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      growthRatio: Double = 4.0): Option[IndexStaleness] = {
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRefresh(fs, dir)
+    readCodebookInfo(fs, dir).map { info =>
+      val now =
+        if (assignedDataExists(fs, dir)) spark.read.parquet(indexDir).count() else 0L
+      val stale = info.rowsAtTraining < 0 ||
+        now > growthRatio * info.rowsAtTraining
+      IndexStaleness(info.rowsAtTraining, now, stale)
+    }
+  }
+
+  /** Run the staged-swap [[refreshPq]] iff the growth trigger fires —
+    * the auto-maintenance form: call it from the ingestion driver's
+    * maintenance tick with the corpus store's raw vectors. Returns the
+    * staleness report that made the decision (None = no index yet).
+    */
+  def refreshPqIfStale(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      rawVectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nlist: Int = 16,
+      iters: Int = 2,
+      m: Int = 8,
+      k: Int = 16,
+      growthRatio: Double = 4.0): Option[IndexStaleness] = {
+    val report = staleness(spark, indexDir, growthRatio)
+    if (report.exists(_.stale))
+      refreshPq(spark, indexDir, rawVectors, idCol, vecCol, dim, nlist, iters, m, k)
+    report
   }
 
   /** Continuous form: every micro-batch of the embedding stream lands in
@@ -335,11 +447,13 @@ object IvfIngest {
       indexDir: String,
       idCol: String,
       vecCol: String,
-      nlist: Int = 16): StreamingQuery =
+      nlist: Int = 16,
+      minBootstrapRows: Long = -1L): StreamingQuery =
     embeddings.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch, indexDir, idCol, vecCol, nlist): Unit
+        ingestBatch(batch, indexDir, idCol, vecCol, nlist,
+          minBootstrapRows = minBootstrapRows): Unit
       }
       .start()
 
@@ -411,7 +525,9 @@ object IvfIngest {
     // until the marker lands; everything below builds inside staging
     reassigned.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(new Path(staging, "data").toString)
-    writeCodebook(fs, staging, model) // the NEW quantizer travels WITH its lists
+    // the NEW quantizer travels WITH its lists; census = the full index it
+    // retrained over, so the staleness clock restarts
+    writeCodebook(fs, staging, model, rowsAtTraining = current.count())
     fs.create(new Path(staging, CompleteMarker), true).close()
     completeRefresh(fs, dir)
   }

@@ -811,6 +811,93 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("ingestBatch refuses an IVF-PQ index (would mix float rows into pq_code lists)") {
+    import graft.streaming.IvfIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-mixed").toString + "/index"
+    val emb = Tables.embeddings(spark, sfDir).filter($"vec_id" < 200)
+    IvfIngest.ingestPqBatch(emb, dir, "vec_id", "embedding", dim = 64): Unit
+    // the PQ index shares the `_codebook` sidecar, so without the guard
+    // ingestBatch would happily append (id, vec, centroid_id) float rows
+    // among the 12-byte pq_code rows — the exact corruption ingestPqBatch's
+    // own foreign-index error warns about, silently, at write time
+    val e = intercept[graft.GraftDataError] {
+      IvfIngest.ingestBatch(emb, dir, "vec_id", "embedding", nlist = 4)
+    }
+    assert(e.getMessage.contains("IVF-PQ"))
+    // and nothing was appended: the index still holds only pq_code rows
+    assert(spark.read.parquet(dir).columns.toSet == Set("vec_id", "pq_code", "centroid_id"))
+  }
+
+  test("ingest refuses to bootstrap from an unrepresentative first micro-batch") {
+    import graft.streaming.IvfIngest
+    val emb = Tables.embeddings(spark, sfDir)
+    // default gate: 8×nlist rows — a 20-row first batch with nlist=16 must
+    // raise the typed error instead of fixing a noise-fitted codebook for
+    // the index's whole life
+    val d1 = java.nio.file.Files.createTempDirectory("graft-ivf-boot").toString + "/index"
+    val tiny = emb.filter($"vec_id" < 20)
+    val e = intercept[graft.GraftDataError] {
+      IvfIngest.ingestBatch(tiny, d1, "vec_id", "embedding", nlist = 16)
+    }
+    assert(e.getMessage.contains("refusing to bootstrap"))
+    // the refusal is clean: no codebook, no data — the next (bigger) batch
+    // bootstraps normally
+    val fs = new org.apache.hadoop.fs.Path(d1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(IvfIngest.readCodebook(fs, new org.apache.hadoop.fs.Path(d1)).isEmpty)
+    val ok = IvfIngest.ingestBatch(emb.filter($"vec_id" < 200), d1,
+      "vec_id", "embedding", nlist = 16)
+    assert(ok.trainedCodebook)
+    // PQ path gates identically; an explicit bound overrides the default
+    val d2 = java.nio.file.Files.createTempDirectory("graft-pq-boot").toString + "/index"
+    intercept[graft.GraftDataError] {
+      IvfIngest.ingestPqBatch(tiny, d2, "vec_id", "embedding", dim = 64)
+    }
+    IvfIngest.ingestPqBatch(tiny, d2, "vec_id", "embedding", dim = 64,
+      nlist = 16, minBootstrapRows = 16): Unit
+    // but never below nlist — k-means cannot seed 16 centroids from 8 rows
+    val d3 = java.nio.file.Files.createTempDirectory("graft-pq-boot2").toString + "/index"
+    intercept[graft.GraftDataError] {
+      IvfIngest.ingestPqBatch(emb.filter($"vec_id" < 8), d3, "vec_id", "embedding",
+        dim = 64, nlist = 16, minBootstrapRows = 1)
+    }
+  }
+
+  test("growth-ratio staleness trigger fires past the training census and refresh resets it") {
+    import graft.streaming.IvfIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stale").toString + "/index"
+    val emb = Tables.embeddings(spark, sfDir)
+    val n1 = emb.filter($"vec_id" < 150).count()
+    IvfIngest.ingestPqBatch(emb.filter($"vec_id" < 150), dir, "vec_id", "embedding",
+      dim = 64): Unit
+    // census persisted with the codebook: trained over the bootstrap batch
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val info = IvfIngest.readCodebookInfo(fs, new org.apache.hadoop.fs.Path(dir)).get
+    assert(info.rowsAtTraining == n1)
+    // fresh right after bootstrap (rowsNow == census)
+    assert(IvfIngest.staleness(spark, dir, growthRatio = 2.0).exists(!_.stale))
+    // append past 2× the census without retraining → the trigger fires
+    IvfIngest.ingestPqBatch(emb.filter($"vec_id" >= 150), dir, "vec_id", "embedding",
+      dim = 64): Unit
+    val total = emb.count()
+    assume(total > 2 * n1, s"fixture must grow past the ratio ($total vs $n1)")
+    val rep = IvfIngest.staleness(spark, dir, growthRatio = 2.0).get
+    assert(rep.stale && rep.rowsNow == total && rep.rowsAtTraining == n1)
+    // ...but not at a lax ratio
+    assert(IvfIngest.staleness(spark, dir, growthRatio = 1000.0).exists(!_.stale))
+    // auto-maintenance: refreshPqIfStale retrains over the raw vectors,
+    // resets the census clock, and the refreshed index answers probes
+    val ran = IvfIngest.refreshPqIfStale(spark, dir, emb, "vec_id", "embedding",
+      dim = 64, growthRatio = 2.0)
+    assert(ran.exists(_.stale))
+    val after = IvfIngest.staleness(spark, dir, growthRatio = 2.0).get
+    assert(!after.stale && after.rowsAtTraining == total)
+    // and a second ifStale call is a no-op (fresh → no rewrite)
+    assert(IvfIngest.refreshPqIfStale(spark, dir, emb, "vec_id", "embedding",
+      dim = 64, growthRatio = 2.0).exists(!_.stale))
+  }
+
   test("IvfIngest assigns a duplicated vector to the same list in any batch") {
     import graft.streaming.IvfIngest
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf2").toString + "/index"
