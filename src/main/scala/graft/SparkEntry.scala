@@ -1452,17 +1452,19 @@ object SparkEntry {
     }),
 
     "text_corpus_roundtrip" -> ((s, dir) => {
-      // raw-text corpus exchange: 40 documents written as one plain .txt
-      // file each (id in the directory name), read back through the text
-      // source with partition discovery — the oracle states the fixed
-      // point (the original rows), so the filesystem round-trip itself is
-      // what's under test. Newline-bearing docs are rejected at write
+      // raw-text corpus exchange THROUGH THE SHARDED LAYOUT (the 100 TB
+      // form): 40 documents written as one plain <id>.txt file each under
+      // shard=pmod(xxhash64(id), 8)/ — directory count bounded by nShards,
+      // id recovered from the file name via input_file_name() — read back
+      // and compared against the oracle's fixed point (the original
+      // rows), so the executor-side write + filename round-trip is what's
+      // under test. Newline-bearing docs are rejected at write
       // (line-oriented contract), not silently split. Run-scoped dir (same
       // rationale as json_sink_roundtrip): a fixed path would let two
       // concurrent runs clobber each other mid-read and never clean up.
       val out = scratchDir("graft_textcorpus") + "/corpus"
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 40)
-      graft.sinks.Sinks.writeTextCorpus(docs, out, "doc_id", "text")
+      graft.sinks.Sinks.writeTextCorpus(docs, out, "doc_id", "text", nShards = 8)
       Sources.textCorpus(s, out, "doc_id", "text")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     }),

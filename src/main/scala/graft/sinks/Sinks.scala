@@ -109,20 +109,37 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
-  /** Raw-text corpus layout: one `<idCol>=<value>/part-*.txt` directory per
-    * document, each file holding the document body verbatim — the exchange
-    * format for tools that want plain files (tokenizer training, manual
-    * inspection, external scoring), readable back by
-    * [[graft.sources.Sources.textCorpus]] with the id recovered from the
-    * directory name. LINE-ORIENTED contract: a body containing a line
-    * break would read back as multiple rows — and Hadoop's line reader
-    * splits on LF, CR, and CRLF alike, so a lone carriage return corrupts
-    * the round-trip exactly like a newline — so both are rejected
-    * executor-side rather than silently splitting. `repartition` on the
-    * id keeps it one file per document.
+  /** Raw-text corpus layout — the exchange format for tools that want one
+    * plain `.txt` file per document (tokenizer training, manual inspection,
+    * external scoring), readable back by
+    * [[graft.sources.Sources.textCorpus]]. Two layouts:
+    *
+    *   - `nShards <= 0` (small-corpus option): one `<idCol>=<value>/
+    *     part-*.txt` directory per document, id recovered by partition
+    *     discovery. Human-friendly, but one DIRECTORY per document — at
+    *     corpus scale that is a filesystem-metadata killer (100M docs =
+    *     100M directories, and every planning-time listing walks them).
+    *   - `nShards > 0` (the scale layout): `shard=pmod(xxhash64(id),
+    *     nShards)/<id>.txt` — directory count bounded by nShards however
+    *     large the corpus, one FILE per document, id recovered from the
+    *     file name (`input_file_name()` on read). File names carry the id
+    *     verbatim when it is filesystem-safe (`[A-Za-z0-9._-]`, no leading
+    *     `=` or `.`), hex-encoded behind a `=` marker otherwise — an
+    *     escaping that survives Hadoop `Path` URI normalization (no `%`,
+    *     which Path re-encodes ambiguously). Files are written by the
+    *     EXECUTORS (repartitioned by shard, so a shard's files are created
+    *     by one task); deterministic names make a replay overwrite, never
+    *     duplicate.
+    *
+    * LINE-ORIENTED contract (both layouts): a body containing a line break
+    * would read back as multiple rows — and Hadoop's line reader splits on
+    * LF, CR, and CRLF alike, so a lone carriage return corrupts the
+    * round-trip exactly like a newline — so both are rejected
+    * executor-side rather than silently splitting.
     */
-  def writeTextCorpus(df: DataFrame, path: String, idCol: String, textCol: String): Unit =
-    df.select(
+  def writeTextCorpus(df: DataFrame, path: String, idCol: String, textCol: String,
+      nShards: Int = 0): Unit = {
+    val checked = df.select(
       when(col(textCol).isNull,
         raise_error(concat(lit("writeTextCorpus: document "), col(idCol).cast("string"),
           lit(" has NULL text — the text format has no NULL (it would round-trip as \"\")"))))
@@ -131,8 +148,38 @@ object Sinks {
             lit(" contains a line break — the line-oriented text format cannot round-trip it"))))
         .otherwise(col(textCol)).as("value"),
       col(idCol))
-      .repartition(col(idCol))
-      .write.mode(SaveMode.Overwrite).partitionBy(idCol).text(path)
+    if (nShards <= 0)
+      checked
+        .repartition(col(idCol))
+        .write.mode(SaveMode.Overwrite).partitionBy(idCol).text(path)
+    else {
+      val spark = df.sparkSession
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true) // SaveMode.Overwrite parity
+      val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+      checked
+        .select(col("value"), col(idCol).cast("string").as("__id"),
+          pmod(xxhash64(col(idCol).cast("string")), lit(nShards.toLong)).as("__shard"))
+        .repartition(nShards, col("__shard"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          if (rows.hasNext) {
+            // Path is not Serializable — rebuild from the string inside
+            val taskRoot = new org.apache.hadoop.fs.Path(path)
+            val fs = taskRoot.getFileSystem(conf.value)
+            rows.foreach { r =>
+              val name = TextCorpusLayout.fileName(r.getString(1))
+              val out = fs.create(
+                new org.apache.hadoop.fs.Path(taskRoot, s"shard=${r.getLong(2)}/$name"), true)
+              try {
+                out.write(r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                out.write('\n') // the text-source line terminator ("" stays one row)
+              } finally out.close()
+            }
+          }
+        }
+    }
+  }
 
   /** Bucketed table write: co-locates rows by key so joins and aggregations
     * between tables bucketed on the same key by the same count plan WITHOUT

@@ -97,18 +97,40 @@ object Sources {
     }
   }
 
-  /** Read a raw-text corpus written by
-    * [[graft.sinks.Sinks.writeTextCorpus]]: partition discovery recovers
-    * the document id from the `<idCol>=<value>` directory names (keeping
-    * whatever type discovery infers — numeric dirs come back numeric,
-    * string ids come back strings; callers cast if they need a specific
-    * type), the file bodies stream as the text column — files-based
-    * parallelism, no central listing beyond Spark's own file index.
+  /** Read a raw-text corpus written by [[graft.sinks.Sinks.writeTextCorpus]],
+    * auto-detecting the layout from the top-level directory names (one
+    * driver-side listing — the same cost Spark's own partition discovery
+    * pays):
+    *
+    *   - sharded (`shard=N` dirs): the id is recovered from the FILE NAME
+    *     via `input_file_name()` + [[graft.sinks.TextCorpusLayout]]'s
+    *     expression-only decode — no per-document directories, so the
+    *     file-index listing is nShards directories however large the
+    *     corpus. Ids come back as strings (the file name has no type);
+    *     callers cast.
+    *   - flat (`<idCol>=value` dirs — the small-corpus layout): partition
+    *     discovery recovers the id from the directory name, keeping
+    *     whatever type discovery infers.
+    *
+    * Both paths are files-based parallelism (small files bundled up to
+    * `maxPartitionBytes` per task), no central state beyond the file index.
     */
-  def textCorpus(spark: SparkSession, path: String, idCol: String, textCol: String): DataFrame =
-    spark.read.text(path)
-      .select(org.apache.spark.sql.functions.col(idCol),
-        org.apache.spark.sql.functions.col("value").as(textCol))
+  def textCorpus(spark: SparkSession, path: String, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sharded = fs.exists(root) && fs.listStatus(root).exists { st =>
+      st.isDirectory && st.getPath.getName.startsWith("shard=")
+    }
+    if (sharded)
+      spark.read.text(path)
+        .select(
+          graft.sinks.TextCorpusLayout.idFromFilePath(input_file_name()).as(idCol),
+          col("value").as(textCol))
+    else
+      spark.read.text(path)
+        .select(col(idCol), col("value").as(textCol))
+  }
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // Defensive: a driver-created session may lack the nanosAsLong conf

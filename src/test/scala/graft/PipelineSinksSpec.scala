@@ -247,6 +247,56 @@ class PipelineSinksSpec extends SparkTestBase {
       .as[(String, String)].collect().toSet == Set(("abc", "hello"), ("xyz", "world")))
   }
 
+  test("sharded text corpus bounds directories at nShards and round-trips hostile ids") {
+    import graft.sinks.{Sinks, TextCorpusLayout}
+    import graft.sources.Sources
+    val dir = java.nio.file.Files.createTempDirectory("graft-textsh").toString + "/corpus"
+    // ids that exercise every branch of the file-name scheme: plain
+    // numerics/slugs (verbatim), spaces / slashes / unicode / '%' / '='
+    // / a leading dot / the empty string (hex-marker escaping) — '%'
+    // matters because Hadoop Path URI-normalizes it, the reason the
+    // escaping is NOT percent-encoding
+    val hostile = Seq("7", "doc-a_B.9", "has space", "a/b\\c", "naïve→é",
+      "100%", "k=v", ".hidden", "", "=already")
+    val docs = hostile.zipWithIndex
+      .map { case (id, i) => (id, s"body number $i") }.toDF("k", "text")
+    Sinks.writeTextCorpus(docs, dir, "k", "text", nShards = 4)
+    // byte-identical round-trip, ids included
+    val back = Sources.textCorpus(spark, dir, "k", "text")
+      .as[(String, String)].collect().toSet
+    assert(back == hostile.zipWithIndex
+      .map { case (id, i) => (id, s"body number $i") }.toSet)
+    // directory count is bounded by nShards (the whole point: no
+    // per-document directories), every data file is a doc's .txt
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val top = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => !st.getPath.getName.startsWith("_"))
+    assert(top.forall(st => st.isDirectory && st.getPath.getName.startsWith("shard=")))
+    assert(top.length <= 4, s"got ${top.length} top-level dirs for 10 docs")
+    val files = top.flatMap(d => fs.listStatus(d.getPath)).map(_.getPath.getName)
+    assert(files.length == hostile.size && files.forall(_.endsWith(".txt")))
+    // safe ids stay human-readable in the listing; hostile ones are marked
+    assert(files.contains("7.txt") && files.contains("doc-a_B.9.txt"))
+    assert(files.count(_.startsWith("=")) ==
+      hostile.count(id => TextCorpusLayout.fileName(id).startsWith("=")))
+    // deterministic names: a replay overwrites in place, never duplicates
+    Sinks.writeTextCorpus(docs, dir, "k", "text", nShards = 4)
+    assert(Sources.textCorpus(spark, dir, "k", "text").count() == hostile.size.toLong)
+    // the shard assignment is the documented function of the id — a reader
+    // can locate one document's file without listing the corpus
+    val shardOf = docs.select($"k",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64($"k"),
+        org.apache.spark.sql.functions.lit(4L)).as("s"))
+      .as[(String, Long)].collect().toMap
+    hostile.foreach { id =>
+      val p = new org.apache.hadoop.fs.Path(
+        dir, s"shard=${shardOf(id)}/${TextCorpusLayout.fileName(id)}")
+      assert(fs.exists(p), s"doc '$id' not at its computed shard path $p")
+    }
+  }
+
   test("jdbcUpsert DO UPDATE round-trips insert+update through a live database") {
     val db = "graft_k2"
     derbyExec(db, """CREATE TABLE "t" ("id" BIGINT PRIMARY KEY, "v" VARCHAR(20), "n" BIGINT)""")
