@@ -134,19 +134,24 @@ object KeyTableSidecar {
     * purely on `__shard` would funnel a multi-billion-key rebuild through
     * nShards tasks writing one monolithic file each.
     */
+  /** Cluster a (`__shard`, `__k`) frame so a partitioned write emits at
+    * most `subSplits` files per shard — shared by [[appendKeys]] and
+    * [[compact]].
+    */
+  private def clusterByShard(sharded: DataFrame, subSplits: Int): DataFrame =
+    if (subSplits == 1) sharded.repartition(col("__shard"))
+    else sharded.repartition(col("__shard"),
+      // fold before the multiply: 2^31 x 2654435761 < 2^63, so the salt
+      // never overflows Int64 (ANSI mode would error on wraparound)
+      pmod(pmod(col("__k"), lit(2147483648L)) * lit(2654435761L),
+        lit(subSplits.toLong)))
+
   def appendKeys(keys: DataFrame, corpusDir: Path, nShards: Int, name: String = BandName,
       subSplits: Int = 1): Unit = {
     require(subSplits >= 1, "subSplits must be positive")
     val sharded = keys
       .select(pmod(col("__k"), lit(nShards.toLong)).cast("int").as("__shard"), col("__k"))
-    val clustered =
-      if (subSplits == 1) sharded.repartition(col("__shard"))
-      else sharded.repartition(col("__shard"),
-        // fold before the multiply: 2^31 x 2654435761 < 2^63, so the salt
-        // never overflows Int64 (ANSI mode would error on wraparound)
-        pmod(pmod(col("__k"), lit(2147483648L)) * lit(2654435761L),
-          lit(subSplits.toLong)))
-    clustered
+    clusterByShard(sharded, subSplits)
       .write.mode("append").partitionBy("__shard")
       .parquet(dir(corpusDir, name).toString)
   }
@@ -174,35 +179,63 @@ object KeyTableSidecar {
 
   /** Bound each shard's file count: a shard that accretes more than
     * `maxFilesPerShard` part files (one tiny file per touched shard per
-    * micro-batch) is rewritten as one file. Crash-safe by ADD-THEN-DELETE:
-    * the union of the old files is appended INTO the shard directory
-    * first, and only then are exactly those old files deleted — a crash at
-    * any point leaves the shard with every key still present (possibly
-    * duplicated, which the probe's semi-join + distinct absorbs), never
-    * missing. Under-coverage is the one failure this sidecar must never
-    * have (a lost key admits a duplicate); duplicate keys only cost probe
-    * work. Content-preserving, so the meta (stamped by CORPUS files, not
-    * table files) stays valid across compactions.
+    * micro-batch) has its SMALL tier — files under `tierBytes` — rewritten
+    * compacted. Two scale properties:
+    *
+    *   - ONE job for the whole table: every over-bound shard's small files
+    *     are read in a single Spark job (`__shard` recovered from the path
+    *     via basePath) and written back `partitionBy("__shard")` — the
+    *     compaction parallelizes across shards AND across a big shard's
+    *     bytes (input files bundle up to `maxPartitionBytes` per task, so
+    *     a shard whose small tier outgrows one task splits naturally),
+    *     instead of the previous one-serial-`coalesce(1)`-job-per-shard
+    *     driver loop.
+    *   - SIZE-TIERED: files that already reached `tierBytes` are left
+    *     alone forever. Without the tier, every compaction rewrote the
+    *     shard's entire history — O(shard-bytes) each time, quadratic
+    *     cumulative cost over a long stream; with it, a key's bytes are
+    *     rewritten only until its file graduates from the small tier.
+    *
+    * Crash-safe by ADD-THEN-DELETE: the union of the old small files is
+    * appended INTO the shard directories first, and only then are exactly
+    * those old files deleted — a crash at any point leaves every key still
+    * present (possibly duplicated, which the probe's semi-join + distinct
+    * absorbs), never missing. Under-coverage is the one failure this
+    * sidecar must never have (a lost key admits a duplicate); duplicate
+    * keys only cost probe work. Content-preserving, so the meta (stamped
+    * by CORPUS files, not table files) stays valid across compactions.
     */
   def compact(
       spark: SparkSession, fs: FileSystem, corpusDir: Path,
-      name: String = BandName, maxFilesPerShard: Int = 16): Unit = {
+      name: String = BandName, maxFilesPerShard: Int = 16,
+      tierBytes: Long = 64L << 20): Unit = {
     val d = dir(corpusDir, name)
     if (!fs.exists(d)) return
-    fs.listStatus(d).foreach { sh =>
+    val smallTiers = fs.listStatus(d).toSeq.flatMap { sh =>
       if (sh.isDirectory && sh.getPath.getName.contains("=")) {
-        val old = fs.listStatus(sh.getPath).filter { st =>
+        val data = fs.listStatus(sh.getPath).filter { st =>
           val n = st.getPath.getName
           st.isFile && !n.startsWith("_") && !n.startsWith(".")
         }
-        if (old.length > maxFilesPerShard) {
-          spark.read.parquet(old.map(_.getPath.toString): _*)
-            .coalesce(1)
-            .write.mode("append").parquet(sh.getPath.toString)
-          old.foreach(st => fs.delete(st.getPath, false))
-        }
-      }
+        val small = data.filter(_.getLen < tierBytes)
+        // the bound is on total files, but only the small tier rewrites —
+        // and only when merging actually reduces the count
+        if (data.length > maxFilesPerShard && small.length > 1) small.toSeq
+        else Nil
+      } else Nil
     }
+    if (smallTiers.isEmpty) return
+    // per-shard output file budget: ~tierBytes per file, derived from the
+    // biggest shard's small-tier bytes — a shard whose tier outgrew one
+    // file rewrites across several tasks (the appendKeys subSplits salt)
+    val maxShardBytes = smallTiers.groupBy(_.getPath.getParent).values
+      .map(_.map(_.getLen).sum).max
+    val subSplits = math.max(1L, (maxShardBytes + tierBytes - 1) / tierBytes).toInt
+    val merged = spark.read.option("basePath", d.toString)
+      .parquet(smallTiers.map(_.getPath.toString): _*)
+    clusterByShard(merged, subSplits)
+      .write.mode("append").partitionBy("__shard").parquet(d.toString)
+    smallTiers.foreach(st => fs.delete(st.getPath, false))
   }
 
   /** Delete table + meta (mode switch back to bloom, or teardown). META

@@ -595,6 +595,81 @@ class StreamingSpec extends SparkTestBase {
     assert(withDups.size == 168)
   }
 
+  test("compact merges every over-bound shard in ONE job pass, size-tiered") {
+    import graft.streaming.KeyTableSidecar
+    val corpus = java.nio.file.Files.createTempDirectory("graft-ktc1p").toString + "/corpus"
+    val target = new org.apache.hadoop.fs.Path(corpus)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(target)
+    // 12 appends of 800 keys over 8 shards: EVERY shard goes over-bound
+    // (~12 files), and each shard's merged tier (~1200 keys) will dwarf a
+    // later per-append file (~4 keys) — a clear size-tier separation
+    (0 until 12).foreach { i =>
+      KeyTableSidecar.appendKeys(
+        spark.range(i * 800L, i * 800L + 800L).select(col("id").as("__k")),
+        target, nShards = 8)
+    }
+    val d = KeyTableSidecar.dir(target)
+    def shardFiles(): Map[String, Seq[org.apache.hadoop.fs.FileStatus]] = fs
+      .listStatus(d)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(sh => sh.getPath.getName -> fs.listStatus(sh.getPath).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }).toMap
+    assert(shardFiles().size == 8 && shardFiles().values.forall(_.length > 4),
+      "premise: all 8 shards over-bound")
+    // count Spark jobs across the whole compaction: the previous
+    // implementation ran one coalesce(1) job PER SHARD (8 here, plus
+    // their listings); the one-pass form is one read+write over every
+    // over-bound shard's small tier (+ a parallel-listing job and AQE's
+    // stage materialization at most)
+    spark.sparkContext.setJobGroup("ktc-compact-1p", "one-pass compaction")
+    try KeyTableSidecar.compact(spark, fs, target, maxFilesPerShard = 4)
+    finally spark.sparkContext.clearJobGroup()
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("ktc-compact-1p").length
+    assert(jobs <= 4,
+      s"compaction must be one pass over all shards, ran $jobs jobs for 8 shards")
+    assert(shardFiles().values.forall(_.length == 1),
+      s"merged: ${shardFiles().view.mapValues(_.length).toMap}")
+    assert(KeyTableSidecar.load(spark, target).select("__k").as[Long]
+      .collect().sorted.toSeq == (0L until 9600L).toSeq)
+    // SIZE TIER: the merged files are now the large tier — pick tierBytes
+    // at their size so further compactions must leave them alone
+    val tier = shardFiles().values.flatten.map(_.getLen).min
+    val largeBefore = shardFiles().values.flatten
+      .map(st => st.getPath.toString -> st.getModificationTime).toMap
+    (0 until 6).foreach { i =>
+      KeyTableSidecar.appendKeys(
+        spark.range(10000L + i * 32L, 10000L + i * 32L + 32L).select(col("id").as("__k")),
+        target, nShards = 8)
+    }
+    KeyTableSidecar.compact(spark, fs, target, maxFilesPerShard = 4, tierBytes = tier)
+    val afterTier = shardFiles()
+    assert(afterTier.values.forall(_.length == 2),
+      s"small tier merges to one file, large tier untouched: ${afterTier.view.mapValues(_.length).toMap}")
+    largeBefore.foreach { case (p, mtime) =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(p))
+      assert(st.getModificationTime == mtime, s"large-tier file rewritten: $p")
+    }
+    // CRASH WINDOW: replay the add phase without the delete (the crash) —
+    // every key must still be present (duplicated, never lost), and the
+    // next compact converges back to the bound
+    val small = shardFiles().values.flatten.filter(_.getLen < tier).toSeq
+    assert(small.nonEmpty)
+    spark.read.option("basePath", d.toString)
+      .parquet(small.map(_.getPath.toString): _*)
+      .write.mode("append").partitionBy("__shard").parquet(d.toString)
+    val crashed = KeyTableSidecar.load(spark, target).select("__k").as[Long].collect().toSeq
+    val want = ((0L until 9600L) ++ (10000L until 10192L)).toSet
+    assert(crashed.toSet == want, "crash window must never lose a key")
+    assert(crashed.size > want.size, "premise: the crash left duplicates")
+    KeyTableSidecar.compact(spark, fs, target, maxFilesPerShard = 2, tierBytes = tier)
+    assert(KeyTableSidecar.load(spark, target).select("__k").as[Long]
+      .collect().toSet == want)
+    assert(shardFiles().values.forall(_.length <= 2))
+  }
+
   test("ingestNearDupBatch migrates bloom -> table when saturation outgrows the byte budget") {
     import graft.streaming.{BloomSidecar, KeyTableSidecar}
     def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
