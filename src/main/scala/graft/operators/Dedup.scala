@@ -1189,21 +1189,26 @@ object Dedup {
     * backfill replay, a catch-up burst — degrades to a planner-chosen
     * equi-join instead of a forced multi-GB broadcast: the key table
     * shuffles once on `__k`, which is graceful, where an OOM'd broadcast
-    * is not. Counting the batch keys is one cheap job over the caller's
-    * already-materialized batch frame.
+    * is not. The key count rides the SAME job that collects the batch's
+    * shard set (a per-shard count aggregate, ≤ nShards rows to the
+    * driver) — the steady state pays ONE job here, not a shard collect
+    * plus a separate count.
     */
   private[graft] def tableCandidateIds(
       batchKeys: DataFrame, idCol: String, table: KeyTable,
       maxBroadcastKeys: Long = 4L << 20): DataFrame = {
-    val shards = batchKeys
-      .select(pmod(col("__k"), lit(table.nShards.toLong)).cast("int").as("__s"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val shardCounts = batchKeys
+      .groupBy(pmod(col("__k"), lit(table.nShards.toLong)).cast("int").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+    val shards = shardCounts.map(_.getInt(0)).toSeq
+    val nKeys = shardCounts.map(_.getLong(1)).sum
     val pruned =
       if (table.keys.columns.contains("__shard"))
         table.keys.filter(col("__shard").isin(shards: _*))
       else table.keys
     val probeSide =
-      if (batchKeys.count() <= maxBroadcastKeys) broadcast(batchKeys) else batchKeys
+      if (nKeys <= maxBroadcastKeys) broadcast(batchKeys) else batchKeys
     pruned.select(col("__k"))
       .join(probeSide, Seq("__k"))
       .select(col(idCol)).distinct()

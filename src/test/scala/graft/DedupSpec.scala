@@ -270,6 +270,47 @@ class DedupSpec extends SparkTestBase {
       s"table $viaTable, bloom $viaBloom")
   }
 
+  test("table probe degrades past maxBroadcastKeys to a planner join, admissions identical") {
+    // an oversized batch (backfill replay, catch-up burst) must NOT force
+    // a multi-GB broadcast of its key set — past the bound the probe
+    // leaves the join shape to the planner. The hit-id set must be
+    // identical either way: the bound changes the JOIN STRATEGY, never
+    // the admissions.
+    val corpus = spark.range(0L, 200L)
+      .select($"id".as("doc_id"), concat(lit("doc "), $"id").as("text"))
+    val table = Dedup.KeyTable(
+      Dedup.corpusContentKeys(corpus, Seq("text"), nShards = 8), nShards = 8)
+    val batchKeys = spark.range(100L, 400L)
+      .select($"id".as("doc_id"), concat(lit("doc "), $"id").as("text"))
+      .select($"doc_id", Dedup.contentBloomKey(Seq("text")).as("__k"))
+    def hits(maxKeys: Long): (Set[Long], Boolean) = {
+      val df = Dedup.tableCandidateIds(batchKeys, "doc_id", table,
+        maxBroadcastKeys = maxKeys)
+      val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      val forced = try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        // a FORCED broadcast survives even with auto-broadcast off — that
+        // is exactly what must NOT happen past the bound
+        val savedB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          Dedup.tableCandidateIds(batchKeys, "doc_id", table, maxBroadcastKeys = maxKeys)
+            .queryExecution.executedPlan.collect {
+              case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+            }.nonEmpty
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedB)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+      (df.select("doc_id").as[Long].collect().toSet, forced)
+    }
+    val (small, forcedSmall) = hits(maxKeys = 4L << 20)
+    val (big, forcedBig) = hits(maxKeys = 10L) // 300 keys >> 10
+    assert(forcedSmall, "micro-batch regime must force the broadcast probe")
+    assert(!forcedBig,
+      "past maxBroadcastKeys the probe must leave the join to the planner")
+    assert(small == big && small == (100L until 200L).toSet,
+      s"admissions must not depend on the join strategy: ${small.size} vs ${big.size}")
+  }
+
   test("incrementalMinhash rejects near-dups of the corpus that the exact gate admits") {
     def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
     val base = words("a", 40)
