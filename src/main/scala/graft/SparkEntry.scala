@@ -2003,6 +2003,44 @@ object SparkEntry {
         .withColumnsRenamed(Map("group" -> "lang", "id" -> "doc_id"))
     }),
 
+    "curation_pipeline_v4" -> ((s, dir) => {
+      // the governance pipeline END-TO-END, DECLARED through PipelineConfig
+      // (every stage a config section, assembled into ONE lazy plan):
+      // classifier + LM gates -> PII scrub -> pseudonymize(source) ->
+      // segment dedup over the SCRUBBED text -> greedy packing by the
+      // pseudonymized source token. The scrub and pseudonymize steps are
+      // pure projections that FUSE into the gate joins' output stage (no
+      // exchange of their own — plan-pinned); the gated+scrubbed frame
+      // materializes once (gates.materialize) because segment dedup
+      // consumes it on both sides of its resolution join. Deterministic
+      // synthetic PII is seeded first (the fixture text has none), exposed
+      // to the pipeline as a catalog view — both engines replay the
+      // injection exactly, and the scrub turns it into shared boilerplate
+      // the segment dedup then strips keep-first: the stages genuinely
+      // interact, which is what the composed oracle certifies.
+      val seeded = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com ssn 123-45-67"),
+          (pmod(col("doc_id"), lit(90L)) + lit(10L)).cast("string")).as("text"))
+      seeded.createOrReplaceTempView("graft_v4_docs")
+      val cfg = """{
+        "source": {"type": "view", "name": "graft_v4_docs"},
+        "gates": {"classifierMinMargin": 0.0, "lmMinAvgBigramP": 0.033,
+                  "materialize": true},
+        "scrub": {"textCol": "text", "phase": "beforeDedup"},
+        "pseudonymize": {"cols": ["source"], "salt": "r12", "phase": "beforeDedup"},
+        "dedup": {"strategy": "segment", "id": "doc_id", "text": "text",
+                  "segTokens": 10, "carry": ["source"]},
+        "packing": {"group": "source", "id": "doc_id",
+                    "tokensFrom": "dedup_text", "budget": 256}
+      }"""
+      pipeline.PipelineConfig.fromJson(s, cfg).plan(s).get
+        .select(col("source").as("src_token"), col("doc_id"),
+          col("n_tokens"), col("bin_id"))
+    }),
+
     "json_sink_roundtrip" -> ((s, dir) => {
       // C3 write half: rows pass through the NDJSON sink and come back
       // bit-identical (doubles survive via shortest-round-trip formatting);
@@ -3290,6 +3328,85 @@ object SparkEntry {
          |    CASE WHEN p.acc + d2.n_tokens > 256 THEN d2.n_tokens ELSE p.acc + d2.n_tokens END
          |  FROM p JOIN d2 ON d2.lang = p.lang AND d2.rn = p.rn + 1)
          |SELECT lang, doc_id, n_tokens, bin_id FROM p""".stripMargin,
+
+    // v4 replay, the full declared-pipeline composition: the seeded PII
+    // injection, the classifier gate over the SEEDED text, the LM census
+    // over the classifier-gated subset (the declared pipeline gates
+    // sequentially — each census sees only prior survivors), the ordered
+    // 4-pattern scrub, the pseudonymized source token, segment dedup over
+    // the SCRUBBED tokens, and the greedy packing recursion by src_token
+    "curation_pipeline_v4" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+      val phone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+      s"""WITH RECURSIVE
+         |seeded AS (
+         |  SELECT doc_id, source,
+         |    text || ' contact user' || doc_id || '@mail.example.com ssn 123-45-67'
+         |         || (doc_id % 90 + 10) AS text
+         |  FROM documents),
+         |ce AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+         |       FROM seeded),
+         |cw AS (
+         |  SELECT doc_id,
+         |    CAST(floor((((('0x' || substr(md5(tok), 1, 8))::BIGINT % 1001) - 500) / 500.0) * 1048576.0) AS BIGINT) AS qw
+         |  FROM ce),
+         |cs AS (SELECT doc_id, count(*) AS n, sum(qw) AS q FROM cw GROUP BY doc_id),
+         |cls AS (SELECT doc_id FROM cs WHERE (CAST(q AS DOUBLE) / n) / 1048576.0 + 0.0 > 0.0),
+         |lt AS (SELECT s.doc_id, regexp_extract_all(lower(s.text), '[a-z0-9]+') AS toks
+         |       FROM seeded s JOIN cls ON s.doc_id = cls.doc_id),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+         |    i -> toks[i+1] || ' ' || toks[i+2])) AS g
+         |  FROM lt),
+         |c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+         |c1 AS (SELECT split_part(g, ' ', 1) AS w, count(*) AS c1 FROM bg GROUP BY 1),
+         |lp AS (
+         |  SELECT b.doc_id, CAST(floor((CAST(c2.c2 AS DOUBLE) / c1.c1) * 1048576.0) AS BIGINT) AS q
+         |  FROM bg b JOIN c2 ON b.g = c2.g JOIN c1 ON split_part(b.g, ' ', 1) = c1.w),
+         |ls AS (SELECT doc_id, count(*) AS n, sum(q) AS qs FROM lp GROUP BY doc_id),
+         |lmv AS (SELECT doc_id FROM ls WHERE (CAST(qs AS DOUBLE) / n) / 1048576.0 >= 0.033),
+         |gated AS (
+         |  SELECT s.doc_id, substr(md5(s.source || 'r12'), 1, 16) AS src_token,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      s.text, '$email', '[PII]', 'g'), '$ipv4', '[PII]', 'g'),
+         |      '$ssn', '[PII]', 'g'), '$phone', '[PII]', 'g') AS scrubbed
+         |  FROM seeded s JOIN cls ON s.doc_id = cls.doc_id
+         |  JOIN lmv ON s.doc_id = lmv.doc_id),
+         |gt AS (SELECT doc_id, regexp_extract_all(lower(scrubbed), '[a-z0-9]+') AS toks
+         |       FROM gated),
+         |ge AS (
+         |  SELECT doc_id, CAST(u['i'] AS INT) AS seg_idx, u['seg'] AS seg FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, greatest(1, (len(toks)+9)//10)),
+         |      i -> {'i': i, 'seg': array_to_string(toks[i*10+1 : i*10+10], ' ')})) AS u
+         |    FROM gt) t1),
+         |gk AS (
+         |  SELECT doc_id, seg_idx, seg,
+         |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+         |  FROM ge),
+         |gr AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(seg, ' ' ORDER BY seg_idx) AS dedup_text
+         |  FROM gk WHERE rn = 1 GROUP BY doc_id),
+         |surv AS (
+         |  SELECT g.src_token, g.doc_id,
+         |    CAST(len(regexp_extract_all(lower(COALESCE(gr.dedup_text, '')), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+         |  FROM gated g LEFT JOIN gr ON g.doc_id = gr.doc_id),
+         |d2 AS (
+         |  SELECT src_token, doc_id, n_tokens,
+         |    row_number() OVER (PARTITION BY src_token ORDER BY doc_id) AS rn
+         |  FROM surv),
+         |p(src_token, rn, doc_id, n_tokens, bin_id, acc) AS (
+         |  SELECT src_token, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+         |  FROM d2 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d2.src_token, d2.rn, d2.doc_id, d2.n_tokens,
+         |    CASE WHEN p.acc + d2.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |    CASE WHEN p.acc + d2.n_tokens > 256 THEN d2.n_tokens ELSE p.acc + d2.n_tokens END
+         |  FROM p JOIN d2 ON d2.src_token = p.src_token AND d2.rn = p.rn + 1)
+         |SELECT src_token, doc_id, n_tokens, bin_id FROM p""".stripMargin
+    },
 
     // batch-perceptron iteration replay (3 unrolled iterations): integer
     // weights, exact integer margins, batch-synchronous updates — w1 is the

@@ -584,11 +584,15 @@ object Dedup {
     * Segment keys are strings of bounded length (`segTokens` tokens), so the
     * shuffle record size is bounded regardless of document size.
     *
-    * Returns (id, n_segs, n_kept, dedup_text): total segments, surviving
-    * segments, and the document reassembled from survivors in order (empty
-    * when every segment was seen earlier).
+    * Returns (id, [carryCols,] n_segs, n_kept, dedup_text): total segments,
+    * surviving segments, and the document reassembled from survivors in
+    * order (empty when every segment was seen earlier). `carryCols` ride
+    * the per-document resolution side for free — the alternative (a
+    * re-join with the input after the fact) would add a third consumer of
+    * the input plan, a full re-execution when it is not checkpointed.
     */
-  def segmentDedup(df: DataFrame, idCol: String, textCol: String, segTokens: Int = 10): DataFrame = {
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String, segTokens: Int = 10,
+      carryCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = TextAnalysis.tokens(col(textCol))
     val segs = TextAnalysis.tokenChunks(toks, size = segTokens, stride = segTokens)
@@ -617,11 +621,11 @@ object Dedup {
           " ").as("dedup_text"))
     // resolve against the full input: a document whose every segment was
     // seen earlier has no survivor rows but must still appear (empty text)
-    df.select(col(idCol), size(segs).cast("long").as("n_segs"))
+    df.select(col(idCol) +: carryCols.map(col) :+ size(segs).cast("long").as("n_segs"): _*)
       .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), col("n_segs"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+      .select(col(idCol) +: carryCols.map(col) :+ col("n_segs") :+
+        coalesce(col("n_kept"), lit(0L)).as("n_kept") :+
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"): _*)
   }
 
   /** Duplicated-span statistics (the hashed-window approximation of exact

@@ -104,6 +104,7 @@ object PipelineConfig {
           types = (sourceCfg \ "types").extractOrElse[Map[String, String]](Map.empty).toSeq
             .map { case (c, t) => TypeSpec(c, t) })
       case "jsonlines" => Sources.JsonLinesSource((sourceCfg \ "path").extract[String])
+      case "view" => Sources.ViewSource((sourceCfg \ "name").extract[String])
       case other => throw new graft.GraftConfigError(s"Unknown source type: $other")
     }
 
@@ -152,6 +153,70 @@ object PipelineConfig {
         }
     }
 
+    // model-quality gates as declared steps, BEFORE dedup: each gate is a
+    // semi-join against a score computed from the frame itself
+    // (classifierScore / bigramLmScore — both full-corpus passes over the
+    // engine's canonical (doc_id, text) schema). `materialize: true`
+    // checkpoints the gated survivors — the right call whenever a
+    // downstream stage consumes its input more than once (segment dedup's
+    // resolution join, packing after a re-join): without it every consumer
+    // re-executes the gates, full-corpus scans at 100 TB.
+    (cfg \ "gates") match {
+      case JNothing => ()
+      case g =>
+        (g \ "classifierMinMargin").extractOpt[Double].foreach { m =>
+          transforms += ((df: DataFrame) => df.join(
+            graft.operators.TextAnalysis.classifierScore(df)
+              .filter(org.apache.spark.sql.functions.col("margin") > m)
+              .select("doc_id"),
+            Seq("doc_id"), "left_semi"))
+        }
+        (g \ "lmMinAvgBigramP").extractOpt[Double].foreach { m =>
+          transforms += ((df: DataFrame) => df.join(
+            graft.operators.TextAnalysis.bigramLmScore(df)
+              .filter(org.apache.spark.sql.functions.col("avg_bigram_p") >= m)
+              .select("doc_id"),
+            Seq("doc_id"), "left_semi"))
+        }
+        if ((g \ "materialize").extractOrElse[Boolean](false))
+          transforms += ((df: DataFrame) => graft.Checkpointing.materialize(df))
+    }
+
+    // scrub/pseudonymize phase: both default to AFTER dedup (digest-based
+    // dedup must see the original bytes — scrubbing first would collide
+    // docs differing only in PII, and tokens must not feed the digests),
+    // but a SEGMENT-dedup pipeline legitimately scrubs first (redacted
+    // boilerplate dedups away with everything else), declared per-section
+    // with `"phase": "beforeDedup"`.
+    def phaseOf(section: JValue, label: String): String =
+      (section \ "phase").extractOrElse[String]("afterDedup") match {
+        case p @ ("beforeDedup" | "afterDedup") => p
+        case other => throw new graft.GraftConfigError(
+          s"$label.phase must be beforeDedup|afterDedup, got '$other'")
+      }
+    val scrubStep: Option[(String, DataFrame => DataFrame)] = (cfg \ "scrub") match {
+      case JNothing => None
+      case sc =>
+        val textCol = (sc \ "textCol").extractOpt[String].getOrElse(
+          throw new graft.GraftConfigError("scrub section needs 'textCol'"))
+        val replacement = (sc \ "replacement").extractOrElse[String]("[PII]")
+        Some(phaseOf(sc, "scrub") -> ((df: DataFrame) =>
+          graft.operators.TextAnalysis.piiScrub(df, textCol, replacement)))
+    }
+    val pseudoStep: Option[(String, DataFrame => DataFrame)] = (cfg \ "pseudonymize") match {
+      case JNothing => None
+      case pc =>
+        val cols = (pc \ "cols").extractOpt[Seq[String]].filter(_.nonEmpty).getOrElse(
+          throw new graft.GraftConfigError("pseudonymize section needs non-empty 'cols'"))
+        val salt = (pc \ "salt").extractOpt[String].filter(_.nonEmpty).getOrElse(
+          throw new graft.GraftConfigError("pseudonymize section needs a non-empty 'salt'"))
+        Some(phaseOf(pc, "pseudonymize") -> ((df: DataFrame) =>
+          graft.operators.TextAnalysis.pseudonymize(df, cols, salt)))
+    }
+    Seq(scrubStep, pseudoStep).flatten.collect {
+      case ("beforeDedup", fn) => transforms += fn
+    }
+
     (cfg \ "dedup") match {
       case JNothing => ()
       case d =>
@@ -183,39 +248,37 @@ object PipelineConfig {
           case "segment" =>
             val (id, text) = (field("id"), field("text"))
             val segTokens = (d \ "segTokens").extractOrElse[Int](10)
-            (df: DataFrame) => graft.operators.Dedup.segmentDedup(df, id, text, segTokens)
+            val carry = (d \ "carry").extractOrElse[Seq[String]](Nil)
+            (df: DataFrame) =>
+              graft.operators.Dedup.segmentDedup(df, id, text, segTokens, carry)
           case other => throw new graft.GraftConfigError(
             s"Unknown dedup strategy '$other' (expected keepFirst|exact|minhash|simhash|ngram_jaccard|segment)")
         })
     }
 
-    // PII scrub as a declared pipeline step ([[operators.TextAnalysis
-    // .piiScrub]]): redacts after dedup (digests must see the original
-    // bytes — scrubbing first would collide docs differing only in PII)
-    // and before any sink. Misconfig fails at parse time.
-    (cfg \ "scrub") match {
-      case JNothing => ()
-      case sc =>
-        val textCol = (sc \ "textCol").extractOpt[String].getOrElse(
-          throw new graft.GraftConfigError("scrub section needs 'textCol'"))
-        val replacement = (sc \ "replacement").extractOrElse[String]("[PII]")
-        transforms += ((df: DataFrame) =>
-          graft.operators.TextAnalysis.piiScrub(df, textCol, replacement))
+    // the default-phase (afterDedup) PII steps land here — see the phase
+    // note above the dedup section
+    Seq(scrubStep, pseudoStep).flatten.collect {
+      case ("afterDedup", fn) => transforms += fn
     }
 
-    // keyed pseudonymization as a declared step ([[operators.TextAnalysis
-    // .pseudonymize]]): like scrub, AFTER dedup (tokens must not feed the
-    // digests) and before any sink. The salt is required — an accidental
-    // empty salt is a parse-time error, not a weakly-tokenized release.
-    (cfg \ "pseudonymize") match {
+    // greedy sequence packing as the terminal reshape ([[operators.Packing
+    // .packGreedy]]): groups by `group`, packs documents (ordered by id)
+    // into budget-bounded bins of `tokensFrom` token counts. Output schema
+    // is (group, id, n_tokens, bin_id) renamed back to the declared names.
+    (cfg \ "packing") match {
       case JNothing => ()
-      case pc =>
-        val cols = (pc \ "cols").extractOpt[Seq[String]].filter(_.nonEmpty).getOrElse(
-          throw new graft.GraftConfigError("pseudonymize section needs non-empty 'cols'"))
-        val salt = (pc \ "salt").extractOpt[String].filter(_.nonEmpty).getOrElse(
-          throw new graft.GraftConfigError("pseudonymize section needs a non-empty 'salt'"))
+      case pk =>
+        def pfield(name: String): String = (pk \ name).extractOpt[String].getOrElse(
+          throw new graft.GraftConfigError(s"packing section needs '$name'"))
+        val (group, id, tokensFrom) = (pfield("group"), pfield("id"), pfield("tokensFrom"))
+        val budget = (pk \ "budget").extractOpt[Long].getOrElse(
+          throw new graft.GraftConfigError("packing section needs 'budget'"))
         transforms += ((df: DataFrame) =>
-          graft.operators.TextAnalysis.pseudonymize(df, cols, salt))
+          graft.operators.Packing.packGreedy(df, group, id,
+            graft.operators.TextAnalysis.tokenCount(
+              org.apache.spark.sql.functions.col(tokensFrom)), budget)
+            .withColumnsRenamed(Map("group" -> group, "id" -> id)))
     }
 
     val sinkFn: Option[DataFrame => Unit] = (cfg \ "sink") match {

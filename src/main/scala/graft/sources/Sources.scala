@@ -51,11 +51,26 @@ object Sources {
     def load(spark: SparkSession): DataFrame = spark.read.json(path)
   }
 
+  /** Catalog-backed source: a registered view or table — the pipeline form
+    * for composing over an already-planned relation (an upstream stage's
+    * output, a lakehouse table) instead of files. Stays one lazy plan: the
+    * view's logical plan inlines into the pipeline's. Existence is a
+    * catalog lookup, not a filesystem probe.
+    */
+  final case class ViewSource(name: String) extends Source {
+    def path: String = name
+    def load(spark: SparkSession): DataFrame = spark.table(name)
+  }
+
   /** S2 — existence probe + failOnMissing gate. Returns None (skip, keep
     * checkpoint) when missing and failOnMissing=false, throws when true.
     */
   def open(spark: SparkSession, source: Source, failOnMissing: Boolean): Option[DataFrame] = {
-    if (exists(spark, source.path)) Some(source.load(spark))
+    val present = source match {
+      case ViewSource(name) => spark.catalog.tableExists(name)
+      case s => exists(spark, s.path)
+    }
+    if (present) Some(source.load(spark))
     else if (failOnMissing)
       throw new java.io.FileNotFoundException(s"Source does not exist: ${source.path}")
     else None

@@ -332,6 +332,89 @@ class ConfigSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("scrub/pseudonymize phase, gates, packing and view sources compose in config") {
+    // the declared governance shape (curation_pipeline_v4's skeleton): a
+    // catalog-view source, phase=beforeDedup scrub (so segment dedup sees
+    // the REDACTED text — shared redaction boilerplate dedups away),
+    // pseudonymize riding segment dedup's carry, packing as the terminal
+    // reshape
+    Seq(
+      (1L, "s1", "mail a@b.io one two three four five six seven eight"),
+      (2L, "s1", "mail c@d.io one two three four five six seven eight"),
+      (3L, "s2", "totally different words in this document body here pal")
+    ).toDF("doc_id", "src", "text").createOrReplaceTempView("graft_cfg_v4")
+    val cfg =
+      """{
+        |  "source": {"type": "view", "name": "graft_cfg_v4"},
+        |  "scrub": {"textCol": "text", "phase": "beforeDedup"},
+        |  "pseudonymize": {"cols": ["src"], "salt": "k2", "phase": "beforeDedup"},
+        |  "dedup": {"strategy": "segment", "id": "doc_id", "text": "text",
+        |            "segTokens": 10, "carry": ["src"]},
+        |  "packing": {"group": "src", "id": "doc_id", "tokensFrom": "dedup_text",
+        |              "budget": 100}
+        |}""".stripMargin
+    val out = PipelineConfig.fromJson(spark, cfg).plan(spark).get
+      .select("src", "doc_id", "n_tokens", "bin_id")
+      .collect().map(r => r.getLong(1) -> (r.getString(0), r.getLong(2), r.getLong(3))).toMap
+    // scrub BEFORE dedup: docs 1 and 2 differ only in the redacted email,
+    // so their scrubbed first segments are IDENTICAL — doc 2 loses its
+    // whole (single) segment to keep-first and packs at 0 tokens
+    assert(out(1L)._2 == 10L, s"doc 1 keeps its segment: $out")
+    assert(out(2L)._2 == 0L, s"doc 2's redacted text must dedup away entirely: $out")
+    assert(out(3L)._2 == 9L, s"doc 3 (9 words) keeps its only segment: $out")
+    // pseudonymize rode the carry: groups are 16-hex tokens, not raw srcs
+    val tokens = out.values.map(_._1).toSet
+    assert(tokens.size == 2 && tokens.forall(t => t.length == 16 && t != "s1" && t != "s2"))
+    // bad phase and missing packing fields are parse-time errors
+    intercept[graft.GraftConfigError] {
+      PipelineConfig.fromJson(spark,
+        """{"source": {"type": "view", "name": "graft_cfg_v4"},
+          | "scrub": {"textCol": "text", "phase": "sideways"}}""".stripMargin)
+    }
+    intercept[graft.GraftConfigError] {
+      PipelineConfig.fromJson(spark,
+        """{"source": {"type": "view", "name": "graft_cfg_v4"},
+          | "packing": {"group": "src", "id": "doc_id"}}""".stripMargin)
+    }
+    // a view source honors failOnMissing like a file source
+    intercept[java.io.FileNotFoundException] {
+      PipelineConfig.fromJson(spark,
+        """{"source": {"type": "view", "name": "graft_no_such_view"}}""")
+        .plan(spark)
+    }
+    assert(PipelineConfig.fromJson(spark,
+      """{"source": {"type": "view", "name": "graft_no_such_view"},
+        | "failOnMissing": false}""".stripMargin).plan(spark).isEmpty)
+  }
+
+  test("declared model gates filter and materialize from config") {
+    // classifier + LM gates as config sections over the canonical
+    // (doc_id, text) schema; materialize checkpoints the survivors
+    Tables.documents(spark, sfDir).createOrReplaceTempView("graft_cfg_gates")
+    val cfg =
+      """{
+        |  "source": {"type": "view", "name": "graft_cfg_gates"},
+        |  "gates": {"classifierMinMargin": 0.0, "lmMinAvgBigramP": 0.033,
+        |            "materialize": true}
+        |}""".stripMargin
+    val gated = PipelineConfig.fromJson(spark, cfg).plan(spark).get
+    // must equal the hand-composed sequential gating (LM census over the
+    // classifier survivors — the declared pipeline gates in order)
+    val docs = Tables.documents(spark, sfDir)
+    val cls = graft.operators.TextAnalysis.classifierScore(docs)
+      .filter(col("margin") > 0.0).select("doc_id")
+    val afterCls = docs.join(cls, Seq("doc_id"), "left_semi")
+    val lm = graft.operators.TextAnalysis.bigramLmScore(afterCls)
+      .filter(col("avg_bigram_p") >= 0.033).select("doc_id")
+    val want = afterCls.join(lm, Seq("doc_id"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated.select("doc_id").as[Long].collect().toSet == want)
+    // the materialized plan is lineage-truncated (no parquet scan above it)
+    assert(gated.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }.nonEmpty, "materialize must checkpoint the gated frame")
+  }
+
   test("segment dedup strategy is selectable from config") {
     val root = Files.createTempDirectory("graft-segcfg").toString
     Seq(

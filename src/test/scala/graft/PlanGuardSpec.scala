@@ -271,6 +271,11 @@ class PlanGuardSpec extends SparkTestBase {
     "curation_pipeline_v3" -> (4, "gates checkpoint once (see v2); span " +
       "excision's keep-first window/interval aggs (census fused into the " +
       "window) + packing; lang rides carryCols — no re-join"),
+    "curation_pipeline_v4" -> (4, "the DECLARED pipeline: gates + scrub + " +
+      "pseudonymize all fuse into the stage behind the checkpoint (the PII " +
+      "steps are projections — zero exchanges of their own); after it, " +
+      "segment dedup's spread + keep-first window + doc regroup and the " +
+      "packing repartition; src_token rides segmentDedup's carryCols"),
     "incremental_minhash_dedup" -> (11, "within-batch LSH dedup + banded corpus " +
       "confirm + the invariants' independent exact recomputations (digest " +
       "joins + full gram-hash inverted index)"),
