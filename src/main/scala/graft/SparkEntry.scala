@@ -686,6 +686,133 @@ object SparkEntry {
           |GROUP BY c_count""".stripMargin)
     }),
 
+    "q2_min_cost_shipment" -> ((s, dir) => {
+      // TPC-H Q2 shape: a correlated scalar subquery whose body is ITSELF
+      // A JOIN — the variant the decorrelation family lacked (q17's scalar
+      // is single-table). For each small part, the shipments priced at
+      // that part's minimum among completed orders; the min must
+      // decorrelate to ONE (lineitem JOIN orders) aggregate grouped by
+      // partkey and joined back — not a per-part re-execution of the join.
+      // Q2's signature tie semantics apply: every row AT the minimum
+      // returns. Equality compares STORED doubles (min picks one of them,
+      // no arithmetic), so the boundary cannot drift between engines.
+      Tables.part(s, dir).createOrReplaceTempView("graft_part")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT p_partkey, p_name, l.l_suppkey, l.l_extendedprice AS min_price
+          |FROM graft_part
+          |JOIN graft_lineitem l ON p_partkey = l.l_partkey
+          |JOIN graft_orders o ON o.o_orderkey = l.l_orderkey
+          |WHERE p_size < 10 AND o.o_orderstatus = 'F'
+          |  AND l.l_extendedprice = (
+          |    SELECT min(l2.l_extendedprice)
+          |    FROM graft_lineitem l2
+          |    JOIN graft_orders o2 ON o2.o_orderkey = l2.l_orderkey
+          |    WHERE l2.l_partkey = p_partkey AND o2.o_orderstatus = 'F')""".stripMargin)
+    }),
+
+    "q15_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15 shape: a named aggregate (the revenue view) consumed
+      // TWICE — once as the join input, once inside an uncorrelated scalar
+      // MAX over it — with tie-preserving equality against the scalar.
+      // The optimizer question is what happens to the doubly-referenced
+      // CTE: the scalar branch computes once (subquery result broadcast
+      // into the filter), and revenue itself must stay ONE aggregation
+      // shape per reference, never a per-row re-aggregation. Revenue is
+      // the exact decimal sum cast to double, so both engines compute the
+      // identical IEEE value and the max-equality boundary is exact.
+      Tables.supplier(s, dir).createOrReplaceTempView("graft_supplier")
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+          |      AS total_revenue
+          |  FROM graft_lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |    AND l_shipdate < TIMESTAMP '1996-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_revenue
+          |FROM graft_supplier JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin)
+    }),
+
+    "q14_promo_share" -> ((s, dir) => {
+      // TPC-H Q14 shape: a ratio of a CONDITIONAL sum to the total sum over
+      // the same join — the optimizer must fuse both sums into ONE
+      // aggregate pass over one (lineitem x part-broadcast) join, never a
+      // second scan per numerator, and the shipdate range must reach the
+      // lineitem scan as PushedFilters. Both sums are exact decimal
+      // arithmetic cast to double only at the end, so the final division
+      // is one IEEE op on identical operands in both engines.
+      Tables.part(s, dir).createOrReplaceTempView("graft_part")
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT
+          |  CAST(100 AS DOUBLE)
+          |    * CAST(sum(CASE WHEN p_type = 'PROMO'
+          |          THEN CAST(l_extendedprice AS DECIMAL(18,2))
+          |               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+          |          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+          |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          |               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+          |    AS promo_share,
+          |  count(*) AS n_items
+          |FROM graft_lineitem JOIN graft_part ON l_partkey = p_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1996-03-01'""".stripMargin)
+    }),
+
+    "q7_volume_pairs" -> ((s, dir) => {
+      // TPC-H Q7 shape: a DISJUNCTIVE predicate over a PAIR of dimension
+      // copies — (n1=A AND n2=B) OR (n1=B AND n2=A) — plus grouping on an
+      // expression (year of shipdate). CNF extraction must derive each
+      // nation copy's branch-union (n_name IN (A,B)) and push it into that
+      // scan, while the residual pair disjunction survives post-join; a
+      // failed extraction scans both nation copies in full and filters
+      // only after the 4-way join.
+      Tables.nation(s, dir).createOrReplaceTempView("graft_nation")
+      Tables.supplier(s, dir).createOrReplaceTempView("graft_supplier")
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT supp_nation, cust_nation, l_year,
+          |  CAST(sum(vol) AS DOUBLE) AS revenue, count(*) AS n_items
+          |FROM (
+          |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |    year(l_shipdate) AS l_year,
+          |    CAST(l_extendedprice AS DECIMAL(18,2))
+          |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol
+          |  FROM graft_lineitem
+          |  JOIN graft_orders ON o_orderkey = l_orderkey
+          |  JOIN graft_customer ON c_custkey = o_custkey
+          |  JOIN graft_supplier ON s_suppkey = l_suppkey
+          |  JOIN graft_nation n1 ON s_nationkey = n1.n_nationkey
+          |  JOIN graft_nation n2 ON c_nationkey = n2.n_nationkey
+          |  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+          |) pairs
+          |GROUP BY supp_nation, cust_nation, l_year""".stripMargin)
+    }),
+
+    "multi_distinct_agg" -> ((s, dir) =>
+      // Two count(DISTINCT) over DIFFERENT columns plus plain aggregates in
+      // one GROUP BY — the classic Expand-rewrite shape: the planner must
+      // rewrite to ONE scan feeding an Expand (one projection per distinct
+      // group + one for the plain aggs), never one scan-and-join per
+      // distinct column. count(*) must survive the rewrite (it counts only
+      // the non-distinct projection's rows).
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))),
+
     "broadcast_join_agg" -> ((s, dir) =>
       Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -2838,6 +2965,75 @@ object SparkEntry {
         |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
         |      GROUP BY c_custkey) c_orders
         |GROUP BY c_count""".stripMargin,
+
+    "q2_min_cost_shipment" ->
+      """SELECT p_partkey, p_name, l.l_suppkey, l.l_extendedprice AS min_price
+        |FROM part
+        |JOIN lineitem l ON p_partkey = l.l_partkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE p_size < 10 AND o.o_orderstatus = 'F'
+        |  AND l.l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice)
+        |    FROM lineitem l2
+        |    JOIN orders o2 ON o2.o_orderkey = l2.l_orderkey
+        |    WHERE l2.l_partkey = p_partkey AND o2.o_orderstatus = 'F')""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT
+        |  CAST(100 AS DOUBLE)
+        |    * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |          THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS promo_share,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-03-01'""".stripMargin,
+
+    "q7_volume_pairs" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(vol) AS DOUBLE) AS revenue, count(*) AS n_items
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INT) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        |) pairs
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "multi_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin,
 
     "broadcast_join_agg" ->
       """SELECT r_name, count(*) AS n_customers,

@@ -314,6 +314,28 @@ class PlanGuardSpec extends SparkTestBase {
       "distribution exchange; both aggs partial map-side, so the ~40-value " +
       "c_count skew collapses before its exchange; the ON-clause filter " +
       "stays a right-side scan predicate under the preserved LeftOuter"),
+    "q2_min_cost_shipment" -> (3, "the join-bodied correlated scalar " +
+      "decorrelates to ONE (lineitem x orders-broadcast) min aggregate " +
+      "grouped by partkey (its exchange) joined back sort-merge on " +
+      "(partkey, price=min) — the other two exchanges are that join's " +
+      "keys; ties at the minimum all survive, never a per-part re-join"),
+    "q15_top_supplier" -> (1, "the twice-referenced revenue aggregate " +
+      "plans ONE exchange in the main branch; the uncorrelated scalar MAX " +
+      "is its own subquery plan whose single-row result broadcasts into " +
+      "the post-agg filter — never a per-row re-aggregation"),
+    "q14_promo_share" -> (1, "both the conditional and total sums fuse " +
+      "into ONE aggregate pass over one (lineitem x part-broadcast) join " +
+      "— the single-group agg exchange is the only one; a second scan per " +
+      "numerator would double it"),
+    "q7_volume_pairs" -> (1, "every dim broadcasts at this sf, CNF " +
+      "extraction pushes the (symmetric) branch-union into the nation " +
+      "scan and the second copy REUSES the broadcast exchange, so the " +
+      "pair-grouped agg exchange is the only one; a failed extraction " +
+      "post-join-filters full nation scans"),
+    "multi_distinct_agg" -> (2, "the Expand rewrite: one scan feeding " +
+      "Expand (one projection per distinct group + one plain), the " +
+      "(flag, col, gid) partial-agg exchange, then the flag-level final " +
+      "exchange — never a scan-and-join per distinct column"),
     "minhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "simhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "ngram_jaccard_dedup_docs" -> (8, "exact-collapse + shingle joins + CC + invariants")
@@ -448,6 +470,46 @@ class PlanGuardSpec extends SparkTestBase {
       if a.groupingExpressions.size == 2 => a }
     assert(aggKeyed.nonEmpty,
       "the scalar avg must decorrelate to a (l_partkey, l_suppkey)-grouped aggregate")
+  }
+
+  test("q7: each nation copy's branch-union pushes into its own scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = staticPlan("q7_volume_pairs")
+    // CNF extraction derives n_name IN (A, B) for BOTH nation copies; each
+    // must reach its parquet scan as a pushed Or/In over n_name
+    val nationScans = plan.collect { case s: FileSourceScanExec
+      if s.metadata("Location").contains("nation.parquet") => s }
+    assert(nationScans.nonEmpty, "the nation scan disappeared")
+    nationScans.foreach { s =>
+      val pushed = s.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("n_name") && (pushed.contains("Or(") || pushed.contains("In(")),
+        s"each nation copy must carry its pushed branch-union — got $pushed")
+    }
+    // the pair predicate is symmetric, so CNF gives BOTH copies the same
+    // branch-union — the planner proves the two nation subplans identical
+    // and REUSES one broadcast exchange instead of scanning twice. Accept
+    // either shape, but a single scan must come with the reuse node.
+    if (nationScans.size == 1) {
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      assert(plan.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+        "one nation scan without a ReusedExchange means a copy lost its scan")
+    }
+  }
+
+  test("multi-distinct: the Expand rewrite plans one scan, never a join per distinct") {
+    import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec}
+    val plan = staticPlan("multi_distinct_agg")
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"one lineitem scan must feed every distinct group, got ${scans.size}")
+    val expands = plan.collect { case e: ExpandExec => e }
+    assert(expands.size == 1, s"the rewrite plans exactly one Expand, got ${expands.size}")
+    // one projection per distinct column + one for the plain aggregates
+    assert(expands.head.projections.size == 3,
+      s"Expand must carry 3 projections (2 distinct groups + plain), " +
+        s"got ${expands.head.projections.size}")
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "the rewrite must not plan any join")
   }
 
   test("the allowlists only name real queries") {
