@@ -865,6 +865,22 @@ object SparkEntry {
           count(lit(1)).as("cnt"),
           decSum(col("l_quantity")).as("sum_qty"))),
 
+    "rollup_multi_distinct" -> ((s, dir) =>
+      // the COMPOSITION of the two Expand-lowered shapes: ROLLUP (one
+      // Expand, a tuple per grouping set) under TWO count(DISTINCT) over
+      // different columns (a second Expand, a projection per distinct
+      // group + one plain). The planner must stack the rewrites over ONE
+      // scan — the naive plan re-aggregates per grouping set per distinct
+      // column (6 passes). The 3x3 row multiplication between the Expands
+      // is the declared cost of the shape; both partial aggs absorb it
+      // map-side before their exchange.
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_totalprice")).as("n_prices"),
+          count(lit(1)).as("n_orders"))),
+
     "topk_orders" -> ((s, dir) =>
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -3074,6 +3090,13 @@ object SparkEntry {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
+    "rollup_multi_distinct" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  count(DISTINCT o_totalprice) AS n_prices,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
@@ -3457,8 +3480,8 @@ object SparkEntry {
          |  FROM d2 WHERE rn = 1
          |  UNION ALL
          |  SELECT d2.lang, d2.rn, d2.doc_id, d2.n_tokens,
-         |    CASE WHEN p.acc + d2.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
-         |    CASE WHEN p.acc + d2.n_tokens > 256 THEN d2.n_tokens ELSE p.acc + d2.n_tokens END
+         |    CASE WHEN p.acc > 0 AND p.acc + d2.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |    CASE WHEN p.acc > 0 AND p.acc + d2.n_tokens > 256 THEN d2.n_tokens ELSE p.acc + d2.n_tokens END
          |  FROM p JOIN d2 ON d2.lang = p.lang AND d2.rn = p.rn + 1)
          |SELECT lang, doc_id, n_tokens, bin_id FROM p""".stripMargin,
 
@@ -3520,8 +3543,8 @@ object SparkEntry {
          |  FROM d2 WHERE rn = 1
          |  UNION ALL
          |  SELECT d2.lang, d2.rn, d2.doc_id, d2.n_tokens,
-         |    CASE WHEN p.acc + d2.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
-         |    CASE WHEN p.acc + d2.n_tokens > 256 THEN d2.n_tokens ELSE p.acc + d2.n_tokens END
+         |    CASE WHEN p.acc > 0 AND p.acc + d2.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |    CASE WHEN p.acc > 0 AND p.acc + d2.n_tokens > 256 THEN d2.n_tokens ELSE p.acc + d2.n_tokens END
          |  FROM p JOIN d2 ON d2.lang = p.lang AND d2.rn = p.rn + 1)
          |SELECT lang, doc_id, n_tokens, bin_id FROM p""".stripMargin,
 
@@ -3598,8 +3621,8 @@ object SparkEntry {
          |  FROM d2 WHERE rn = 1
          |  UNION ALL
          |  SELECT d2.src_token, d2.rn, d2.doc_id, d2.n_tokens,
-         |    CASE WHEN p.acc + d2.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
-         |    CASE WHEN p.acc + d2.n_tokens > 256 THEN d2.n_tokens ELSE p.acc + d2.n_tokens END
+         |    CASE WHEN p.acc > 0 AND p.acc + d2.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |    CASE WHEN p.acc > 0 AND p.acc + d2.n_tokens > 256 THEN d2.n_tokens ELSE p.acc + d2.n_tokens END
          |  FROM p JOIN d2 ON d2.src_token = p.src_token AND d2.rn = p.rn + 1)
          |SELECT src_token, doc_id, n_tokens, bin_id FROM p""".stripMargin
     },
@@ -3717,8 +3740,8 @@ object SparkEntry {
          |  FROM d WHERE rn = 1
          |  UNION ALL
          |  SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
-         |    CASE WHEN p.acc + d.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
-         |    CASE WHEN p.acc + d.n_tokens > 256 THEN d.n_tokens ELSE p.acc + d.n_tokens END
+         |    CASE WHEN p.acc > 0 AND p.acc + d.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |    CASE WHEN p.acc > 0 AND p.acc + d.n_tokens > 256 THEN d.n_tokens ELSE p.acc + d.n_tokens END
          |  FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
          |SELECT lang, doc_id, n_tokens, bin_id FROM p""".stripMargin,
 

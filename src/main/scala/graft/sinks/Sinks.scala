@@ -140,9 +140,12 @@ object Sinks {
   def writeTextCorpus(df: DataFrame, path: String, idCol: String, textCol: String,
       nShards: Int = 0): Unit = {
     val checked = df.select(
-      when(col(textCol).isNull,
-        raise_error(concat(lit("writeTextCorpus: document "), col(idCol).cast("string"),
-          lit(" has NULL text — the text format has no NULL (it would round-trip as \"\")"))))
+      when(col(idCol).isNull,
+        raise_error(lit("writeTextCorpus: a document has NULL id — the " +
+          "file name IS the id, so a NULL id has no file name")))
+        .when(col(textCol).isNull,
+          raise_error(concat(lit("writeTextCorpus: document "), col(idCol).cast("string"),
+            lit(" has NULL text — the text format has no NULL (it would round-trip as \"\")"))))
         .when(col(textCol).contains("\n") || col(textCol).contains("\r"),
           raise_error(concat(lit("writeTextCorpus: document "), col(idCol).cast("string"),
             lit(" contains a line break — the line-oriented text format cannot round-trip it"))))
@@ -156,19 +159,42 @@ object Sinks {
       val spark = df.sparkSession
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(root)) fs.delete(root, true) // SaveMode.Overwrite parity
+      // Commit protocol: executors write into a staging sibling; the
+      // finished staging tree swaps in with two renames. A crash mid-JOB
+      // leaves the previous corpus untouched (stale staging is deleted on
+      // the next run); the unprotected window shrinks from the whole write
+      // to the two metadata renames.
+      val staging = new org.apache.hadoop.fs.Path(
+        root.getParent, root.getName + ".__staging__")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      fs.mkdirs(staging) // empty input still publishes an empty corpus
+      val stagingStr = staging.toString
       val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
       checked
         .select(col("value"), col(idCol).cast("string").as("__id"),
           pmod(xxhash64(col(idCol).cast("string")), lit(nShards.toLong)).as("__shard"))
         .repartition(nShards, col("__shard"))
+        // a shard's rows land in ONE task; sorting them makes duplicate ids
+        // adjacent so the writer rejects them in O(1) memory (the flat
+        // layout surfaced duplicates as two part files; deterministic
+        // per-id file names would silently clobber instead)
+        .sortWithinPartitions(col("__id"))
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
           if (rows.hasNext) {
             // Path is not Serializable — rebuild from the string inside
-            val taskRoot = new org.apache.hadoop.fs.Path(path)
+            val taskRoot = new org.apache.hadoop.fs.Path(stagingStr)
             val fs = taskRoot.getFileSystem(conf.value)
+            var prevId: String = null
             rows.foreach { r =>
-              val name = TextCorpusLayout.fileName(r.getString(1))
+              val id = r.getString(1)
+              if (id == prevId)
+                throw new graft.GraftDataError(
+                  s"writeTextCorpus: duplicate document id '$id' — one file " +
+                    "per id cannot hold two documents; dedup before writing")
+              prevId = id
+              val name = TextCorpusLayout.fileName(id)
+              // overwrite=true: a RETRIED task legitimately re-creates the
+              // files its failed attempt already wrote
               val out = fs.create(
                 new org.apache.hadoop.fs.Path(taskRoot, s"shard=${r.getLong(2)}/$name"), true)
               try {
@@ -178,6 +204,13 @@ object Sinks {
             }
           }
         }
+      // job succeeded: mark and swap (Spark's FileIndex hides _SUCCESS from
+      // readers; external tools get a completeness marker)
+      fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), true).close()
+      if (fs.exists(root)) fs.delete(root, true) // SaveMode.Overwrite parity
+      if (!fs.rename(staging, root))
+        throw new graft.GraftDataError(
+          s"writeTextCorpus: publishing rename $staging -> $root failed")
     }
   }
 

@@ -19,6 +19,11 @@ object Sources {
   sealed trait Source {
     def path: String
     def load(spark: SparkSession): DataFrame
+    /** Existence probe for [[open]]'s failOnMissing gate. Filesystem by
+      * default; subtypes whose identity is not a path (catalog views,
+      * future JDBC tables) override with their own lookup.
+      */
+    def exists(spark: SparkSession): Boolean = Sources.exists(spark, path)
   }
 
   /** S1-analog primary scan: columnar, partitioned, pushdown-friendly. */
@@ -60,17 +65,14 @@ object Sources {
   final case class ViewSource(name: String) extends Source {
     def path: String = name
     def load(spark: SparkSession): DataFrame = spark.table(name)
+    override def exists(spark: SparkSession): Boolean = spark.catalog.tableExists(name)
   }
 
   /** S2 — existence probe + failOnMissing gate. Returns None (skip, keep
     * checkpoint) when missing and failOnMissing=false, throws when true.
     */
   def open(spark: SparkSession, source: Source, failOnMissing: Boolean): Option[DataFrame] = {
-    val present = source match {
-      case ViewSource(name) => spark.catalog.tableExists(name)
-      case s => exists(spark, s.path)
-    }
-    if (present) Some(source.load(spark))
+    if (source.exists(spark)) Some(source.load(spark))
     else if (failOnMissing)
       throw new java.io.FileNotFoundException(s"Source does not exist: ${source.path}")
     else None
@@ -134,9 +136,19 @@ object Sources {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sharded = fs.exists(root) && fs.listStatus(root).exists { st =>
-      st.isDirectory && st.getPath.getName.startsWith("shard=")
-    }
+    val subdirs = if (fs.exists(root))
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName) else Array.empty[String]
+    // an EMPTY published corpus (writeTextCorpus of zero docs) has no
+    // layout directories at all — neither branch below could even name its
+    // columns, so answer it here, typed (sharded ids are strings anyway;
+    // flat discovery has nothing to infer from)
+    if (subdirs.isEmpty && fs.exists(root))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(textCol, org.apache.spark.sql.types.StringType))))
+    val sharded = subdirs.exists(_.startsWith("shard="))
     if (sharded)
       spark.read.text(path)
         .select(

@@ -123,17 +123,6 @@ object KeyTableSidecar {
     fs.rename(staging, p)
   }
 
-  /** Append `keys` (one BIGINT column named `__k`) to the sharded table —
-    * a plain partitioned parquet append, executor-side end to end.
-    */
-  /** `subSplits` bounds the files-per-shard of one write: micro-batch
-    * appends use 1 (one file per touched shard — without the repartition,
-    * partitionBy fans out up to one file per input partition per shard,
-    * pushing every shard past the compaction bound after a single wide
-    * batch); a full-table [[rebuild]] uses more, because hash-clustering
-    * purely on `__shard` would funnel a multi-billion-key rebuild through
-    * nShards tasks writing one monolithic file each.
-    */
   /** Cluster a (`__shard`, `__k`) frame so a partitioned write emits at
     * most `subSplits` files per shard — shared by [[appendKeys]] and
     * [[compact]].
@@ -146,6 +135,16 @@ object KeyTableSidecar {
       pmod(pmod(col("__k"), lit(2147483648L)) * lit(2654435761L),
         lit(subSplits.toLong)))
 
+  /** Append `keys` (one BIGINT column named `__k`) to the sharded table —
+    * a plain partitioned parquet append, executor-side end to end.
+    * `subSplits` bounds the files-per-shard of one write: micro-batch
+    * appends use 1 (one file per touched shard — without the repartition,
+    * partitionBy fans out up to one file per input partition per shard,
+    * pushing every shard past the compaction bound after a single wide
+    * batch); a full-table [[rebuild]] uses more, because hash-clustering
+    * purely on `__shard` would funnel a multi-billion-key rebuild through
+    * nShards tasks writing one monolithic file each.
+    */
   def appendKeys(keys: DataFrame, corpusDir: Path, nShards: Int, name: String = BandName,
       subSplits: Int = 1): Unit = {
     require(subSplits >= 1, "subSplits must be positive")

@@ -297,6 +297,47 @@ class PipelineSinksSpec extends SparkTestBase {
     }
   }
 
+  test("sharded text corpus write is transactional and rejects NULL/duplicate ids typed") {
+    import graft.sinks.Sinks
+    import graft.sources.Sources
+    val dir = java.nio.file.Files.createTempDirectory("graft-texttx").toString + "/corpus"
+    val good = Seq(("a", "first"), ("b", "second")).toDF("k", "text")
+    Sinks.writeTextCorpus(good, dir, "k", "text", nShards = 4)
+    // a FAILED overwrite (line-break body) must leave the previous corpus
+    // fully readable — the staging swap publishes nothing on failure
+    intercept[Exception] {
+      Sinks.writeTextCorpus(Seq(("a", "ok"), ("c", "bad\nbody")).toDF("k", "text"),
+        dir, "k", "text", nShards = 4)
+    }
+    assert(Sources.textCorpus(spark, dir, "k", "text")
+      .as[(String, String)].collect().toSet == Set(("a", "first"), ("b", "second")),
+      "failed write must not disturb the published corpus")
+    // completeness marker for external tools (hidden from Spark readers)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+    // a NULL id has no file name — typed rejection, corpus untouched
+    val exNull = intercept[Exception] {
+      Sinks.writeTextCorpus(Seq((null.asInstanceOf[String], "x")).toDF("k", "text"),
+        dir, "k", "text", nShards = 4)
+    }
+    assert((Option(exNull.getMessage).getOrElse("") +
+      Option(exNull.getCause).map(_.getMessage).getOrElse("")).contains("NULL id"))
+    // duplicate ids would silently clobber one file — typed rejection
+    val exDup = intercept[Exception] {
+      Sinks.writeTextCorpus(Seq(("d", "one"), ("d", "two")).toDF("k", "text"),
+        dir, "k", "text", nShards = 4)
+    }
+    assert((Option(exDup.getMessage).getOrElse("") +
+      Option(exDup.getCause).map(_.getMessage).getOrElse("")).contains("duplicate document id"))
+    assert(Sources.textCorpus(spark, dir, "k", "text").count() == 2,
+      "both rejected writes must leave the published corpus intact")
+    // an EMPTY write publishes an empty, readable corpus (not a missing dir)
+    Sinks.writeTextCorpus(good.limit(0), dir, "k", "text", nShards = 4)
+    val empty = Sources.textCorpus(spark, dir, "k", "text")
+    assert(empty.columns.toSeq == Seq("k", "text") && empty.count() == 0)
+  }
+
   test("jdbcUpsert DO UPDATE round-trips insert+update through a live database") {
     val db = "graft_k2"
     derbyExec(db, """CREATE TABLE "t" ("id" BIGINT PRIMARY KEY, "v" VARCHAR(20), "n" BIGINT)""")

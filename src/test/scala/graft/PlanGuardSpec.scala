@@ -336,6 +336,10 @@ class PlanGuardSpec extends SparkTestBase {
       "Expand (one projection per distinct group + one plain), the " +
       "(flag, col, gid) partial-agg exchange, then the flag-level final " +
       "exchange — never a scan-and-join per distinct column"),
+    "rollup_multi_distinct" -> (2, "the stacked Expand rewrites (rollup's " +
+      "grouping-set tuples x the distinct groups) still plan ONE scan and " +
+      "the same two agg exchanges as the flat multi-distinct — never a " +
+      "re-aggregation per grouping set per distinct column"),
     "minhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "simhash_dedup_docs" -> (8, "exact-collapse + banded bucket joins + CC + invariants"),
     "ngram_jaccard_dedup_docs" -> (8, "exact-collapse + shingle joins + CC + invariants")
@@ -507,6 +511,22 @@ class PlanGuardSpec extends SparkTestBase {
     assert(expands.head.projections.size == 3,
       s"Expand must carry 3 projections (2 distinct groups + plain), " +
         s"got ${expands.head.projections.size}")
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "the rewrite must not plan any join")
+  }
+
+  test("rollup x multi-distinct: the stacked Expands share one scan") {
+    import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec}
+    val plan = staticPlan("rollup_multi_distinct")
+    assert(plan.collect { case s: FileSourceScanExec => s }.size == 1,
+      "one orders scan must feed every (grouping set x distinct group) pair")
+    val expands = plan.collect { case e: ExpandExec => e }
+    assert(expands.size == 2,
+      s"rollup + distinct rewrite stack exactly two Expands, got ${expands.size}")
+    assert(expands.map(_.projections.size).sorted == Seq(3, 3),
+      "3 grouping-set tuples x (2 distinct groups + plain) — got " +
+        expands.map(_.projections.size).mkString(","))
     assert(plan.collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }.isEmpty, "the rewrite must not plan any join")
