@@ -160,13 +160,22 @@ object Sinks {
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // Commit protocol: executors write into a staging sibling; the
-      // finished staging tree swaps in with two renames. A crash mid-JOB
-      // leaves the previous corpus untouched (stale staging is deleted on
-      // the next run); the unprotected window shrinks from the whole write
-      // to the two metadata renames.
+      // finished staging tree swaps in with TWO METADATA RENAMES (old
+      // corpus aside, staging in) — never a delete in the publish path, so
+      // no crash point destroys the published corpus before its
+      // replacement is live (a crash between the renames leaves BOTH trees
+      // intact under their sibling names; a concurrent reader in that
+      // instant sees a missing path, the honest signal for a swap in
+      // flight). The O(files) recursive delete of the old tree happens
+      // only AFTER the new corpus is published. Stale leftovers of a
+      // crashed run (staging, the set-aside old tree) are cleaned here, at
+      // the start of the next run.
       val staging = new org.apache.hadoop.fs.Path(
         root.getParent, root.getName + ".__staging__")
+      val retired = new org.apache.hadoop.fs.Path(
+        root.getParent, root.getName + ".__old__")
       if (fs.exists(staging)) fs.delete(staging, true)
+      if (fs.exists(retired)) fs.delete(retired, true)
       fs.mkdirs(staging) // empty input still publishes an empty corpus
       val stagingStr = staging.toString
       val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
@@ -184,6 +193,10 @@ object Sinks {
             // Path is not Serializable — rebuild from the string inside
             val taskRoot = new org.apache.hadoop.fs.Path(stagingStr)
             val fs = taskRoot.getFileSystem(conf.value)
+            val attempt = org.apache.spark.TaskContext.get() match {
+              case null => "driver" // direct calls in local tests
+              case tc => tc.taskAttemptId().toString
+            }
             var prevId: String = null
             rows.foreach { r =>
               val id = r.getString(1)
@@ -193,24 +206,46 @@ object Sinks {
                     "per id cannot hold two documents; dedup before writing")
               prevId = id
               val name = TextCorpusLayout.fileName(id)
-              // overwrite=true: a RETRIED task legitimately re-creates the
-              // files its failed attempt already wrote
-              val out = fs.create(
-                new org.apache.hadoop.fs.Path(taskRoot, s"shard=${r.getLong(2)}/$name"), true)
+              val dst = new org.apache.hadoop.fs.Path(taskRoot, s"shard=${r.getLong(2)}/$name")
+              // Attempt isolation: write a dot-prefixed attempt-unique temp
+              // (hidden from readers), then rename into place — the final
+              // name is never opened for write, so a zombie or speculative
+              // attempt can never leave it truncated. Every attempt of a
+              // task produces identical bytes (deterministic input order),
+              // so whichever attempt's rename lands, the file is complete
+              // and correct; a failed rename onto an existing identical
+              // file (HDFS semantics) is success.
+              val tmp = new org.apache.hadoop.fs.Path(
+                taskRoot, s"shard=${r.getLong(2)}/.$name.$attempt.tmp")
+              val out = fs.create(tmp, true)
               try {
                 out.write(r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
                 out.write('\n') // the text-source line terminator ("" stays one row)
               } finally out.close()
+              if (!fs.rename(tmp, dst)) {
+                if (!fs.exists(dst))
+                  throw new graft.GraftDataError(
+                    s"writeTextCorpus: publishing rename $tmp -> $dst failed")
+                fs.delete(tmp, false) // another attempt already published it
+              }
             }
           }
         }
-      // job succeeded: mark and swap (Spark's FileIndex hides _SUCCESS from
-      // readers; external tools get a completeness marker)
+      // job succeeded: mark completeness (Spark's FileIndex hides _SUCCESS
+      // from readers; external tools get a marker), then the two-rename
+      // swap — the previous corpus goes ASIDE, not away, until the new one
+      // is live
       fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), true).close()
-      if (fs.exists(root)) fs.delete(root, true) // SaveMode.Overwrite parity
-      if (!fs.rename(staging, root))
+      if (fs.exists(root) && !fs.rename(root, retired))
+        throw new graft.GraftDataError(
+          s"writeTextCorpus: set-aside rename $root -> $retired failed")
+      if (!fs.rename(staging, root)) {
+        // restore the old corpus before surfacing the failure
+        if (fs.exists(retired)) fs.rename(retired, root)
         throw new graft.GraftDataError(
           s"writeTextCorpus: publishing rename $staging -> $root failed")
+      }
+      fs.delete(retired, true) // the only O(files) step runs post-publish
     }
   }
 

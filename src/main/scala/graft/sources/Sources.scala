@@ -136,19 +136,30 @@ object Sources {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val subdirs = if (fs.exists(root))
-      fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName) else Array.empty[String]
-    // an EMPTY published corpus (writeTextCorpus of zero docs) has no
-    // layout directories at all — neither branch below could even name its
-    // columns, so answer it here, typed (sharded ids are strings anyway;
-    // flat discovery has nothing to infer from)
-    if (subdirs.isEmpty && fs.exists(root))
+    val statuses = if (fs.exists(root))
+      fs.listStatus(root) else Array.empty[org.apache.hadoop.fs.FileStatus]
+    // an EMPTY published corpus (writeTextCorpus of zero docs) is a root
+    // holding ONLY the _SUCCESS marker — neither branch below could even
+    // name its columns, so answer it here, typed. The marker requirement
+    // keeps this narrow: a wrong path, a plain file, or a damaged root
+    // still falls through to the loud resolution failure below. The id
+    // comes back as StringType — an empty layout carries no type evidence
+    // (sharded ids are strings always; flat discovery has nothing to
+    // infer from), so callers casting must tolerate the cast-from-empty.
+    val visible = statuses.filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (statuses.nonEmpty && visible.isEmpty &&
+        statuses.exists(_.getPath.getName == "_SUCCESS"))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField(textCol, org.apache.spark.sql.types.StringType))))
-    val sharded = subdirs.exists(_.startsWith("shard="))
+    val sharded = statuses.exists { st =>
+      st.isDirectory && st.getPath.getName.startsWith("shard=")
+    }
     if (sharded)
       spark.read.text(path)
         .select(

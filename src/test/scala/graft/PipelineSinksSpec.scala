@@ -336,6 +336,17 @@ class PipelineSinksSpec extends SparkTestBase {
     Sinks.writeTextCorpus(good.limit(0), dir, "k", "text", nShards = 4)
     val empty = Sources.textCorpus(spark, dir, "k", "text")
     assert(empty.columns.toSeq == Seq("k", "text") && empty.count() == 0)
+    // ...but the typed-empty answer is gated on the _SUCCESS marker: a
+    // mere existing directory that is NOT a published corpus fails loud
+    val bogus = java.nio.file.Files.createTempDirectory("graft-bogus").toString
+    intercept[Exception] {
+      Sources.textCorpus(spark, bogus, "k", "text").collect()
+    }
+    // no publish-protocol leftovers beside the corpus after a clean write
+    val parent = new org.apache.hadoop.fs.Path(dir).getParent
+    val leftovers = fs.listStatus(parent).map(_.getPath.getName)
+      .filter(n => n.contains("__staging__") || n.contains("__old__"))
+    assert(leftovers.isEmpty, s"publish left $leftovers")
   }
 
   test("jdbcUpsert DO UPDATE round-trips insert+update through a live database") {
