@@ -798,6 +798,183 @@ object SparkEntry {
           |GROUP BY supp_nation, cust_nation, l_year""".stripMargin)
     }),
 
+    "q6_forecast_revenue" -> ((s, dir) => {
+      // TPC-H Q6 shape: the pure pushdown showcase — no join at all, a
+      // conjunctive range filter on three columns and one global sum. The
+      // plan contract is maximal pushdown: ALL THREE predicates reach the
+      // parquet scan as PushedFilters (date range, discount band, quantity
+      // cap), so at 100 TB the scan skips row groups on statistics and the
+      // whole query is scan → partial sum → ONE single-row exchange. The
+      // discount band compares STORED doubles against the same literals in
+      // both engines — no arithmetic, no boundary drift.
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          |           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_items
+          |FROM graft_lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  AND l_discount BETWEEN 0.05 AND 0.07
+          |  AND l_quantity < 24""".stripMargin)
+    }),
+
+    "q8_market_share" -> ((s, dir) => {
+      // TPC-H Q8 shape: one nation's share of regional revenue by year — a
+      // conditional-sum/total-sum ratio (like q14) sitting on TOP of the
+      // largest join tree in TPC-H: lineitem ⋈ part (type gate) ⋈ orders
+      // (date range) ⋈ customer ⋈ nation ⋈ region (market filter, CUSTOMER
+      // side) ⋈ supplier ⋈ nation (share nation, SUPPLIER side). The plan
+      // contract: every dimension broadcasts, both sums fuse into ONE
+      // aggregate pass per year, and the region/type/date gates push to
+      // their scans — the fact row never traverses more than one exchange.
+      // Volumes are exact decimals; the division is one IEEE op at the end.
+      Tables.part(s, dir).createOrReplaceTempView("graft_part")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      Tables.supplier(s, dir).createOrReplaceTempView("graft_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("graft_nation")
+      Tables.region(s, dir).createOrReplaceTempView("graft_region")
+      s.sql(
+        """SELECT o_year,
+          |  CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol
+          |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+          |    / CAST(sum(vol) AS DOUBLE) AS mkt_share,
+          |  count(*) AS n_items
+          |FROM (
+          |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          |    CAST(l_extendedprice AS DECIMAL(18,2))
+          |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+          |    n2.n_name AS supp_nation
+          |  FROM graft_lineitem
+          |  JOIN graft_part ON p_partkey = l_partkey
+          |  JOIN graft_orders ON o_orderkey = l_orderkey
+          |  JOIN graft_customer ON c_custkey = o_custkey
+          |  JOIN graft_nation n1 ON c_nationkey = n1.n_nationkey
+          |  JOIN graft_region ON n1.n_regionkey = r_regionkey
+          |  JOIN graft_supplier ON s_suppkey = l_suppkey
+          |  JOIN graft_nation n2 ON s_nationkey = n2.n_nationkey
+          |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+          |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |    AND o_orderdate < TIMESTAMP '1998-01-01'
+          |) shares
+          |GROUP BY o_year""".stripMargin)
+    }),
+
+    "q9_profit_by_nation" -> ((s, dir) => {
+      // TPC-H Q9 shape: profit by (supplier nation, year) over parts
+      // matched by an infix LIKE — the two traps are the '%widget%'
+      // predicate (no prefix, so no range: it must still reach the part
+      // scan as a pushed StringContains, never a post-join filter) and the
+      // grouping skew (every nation × year pair funnels through the agg —
+      // partial map-side aggregation absorbs it before the exchange).
+      // Profit = revenue − imputed cost (no partsupp in the fixture:
+      // 10% of retail price × quantity), all exact decimal arithmetic —
+      // DECIMAL(12,2) operands keep the three-factor product's inferred
+      // precision under both engines' 38-digit cap — cast to double after
+      // the sum.
+      Tables.part(s, dir).createOrReplaceTempView("graft_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("graft_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("graft_nation")
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT nation, o_year,
+          |  CAST(sum(profit) AS DOUBLE) AS sum_profit, count(*) AS n_items
+          |FROM (
+          |  SELECT n_name AS nation,
+          |    CAST(year(l_shipdate) AS INT) AS o_year,
+          |    CAST(l_extendedprice AS DECIMAL(12,2))
+          |      * (1 - CAST(l_discount AS DECIMAL(12,2)))
+          |    - CAST(p_retailprice AS DECIMAL(12,2))
+          |      * CAST(l_quantity AS DECIMAL(12,2))
+          |      * CAST(0.1 AS DECIMAL(2,1)) AS profit
+          |  FROM graft_lineitem
+          |  JOIN graft_part ON p_partkey = l_partkey
+          |  JOIN graft_supplier ON s_suppkey = l_suppkey
+          |  JOIN graft_nation ON s_nationkey = n_nationkey
+          |  WHERE p_name LIKE '%widget%'
+          |) profits
+          |GROUP BY nation, o_year""".stripMargin)
+    }),
+
+    "q10_returned_items" -> ((s, dir) => {
+      // TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+      // quarter — a grouped aggregate keyed on the customer's FULL
+      // attribute tuple (key + name + balance + nation) with ORDER BY a
+      // sum + LIMIT. The plan contract: the returnflag filter pushes to
+      // the lineitem scan and the date range to orders; dims broadcast so
+      // the only data-sized exchange is the customer-grouped agg; the
+      // LIMIT plans TakeOrderedAndProject (never a global sort of every
+      // customer). Tie-break on c_custkey makes the cut deterministic.
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      Tables.nation(s, dir).createOrReplaceTempView("graft_nation")
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+          |    AS revenue,
+          |  c_acctbal, n_name, count(*) AS n_items
+          |FROM graft_customer
+          |JOIN graft_orders ON c_custkey = o_custkey
+          |JOIN graft_lineitem ON l_orderkey = o_orderkey
+          |JOIN graft_nation ON c_nationkey = n_nationkey
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1996-04-01'
+          |  AND l_returnflag = 'R'
+          |GROUP BY c_custkey, c_name, c_acctbal, n_name
+          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+    }),
+
+    "q12_priority_lines" -> ((s, dir) => {
+      // TPC-H Q12 shape: dual CASE-conditional counts over a fact-fact
+      // join — per line category (returnflag stands in for the fixture's
+      // missing shipmode), how many lines belong to critical-priority
+      // orders vs not. The trap: BOTH conditional sums read o_orderpriority,
+      // so a naive plan joins twice or scans orders twice; the contract is
+      // ONE join, ONE aggregate pass, with the date range pushed to the
+      // lineitem scan. Counts are exact integers — no float drift at all.
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT l_returnflag,
+          |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |      THEN 1 END) AS high_line_count,
+          |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          |      THEN 1 END) AS low_line_count
+          |FROM graft_orders JOIN graft_lineitem ON o_orderkey = l_orderkey
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |GROUP BY l_returnflag""".stripMargin)
+    }),
+
+    "q16_supplier_relation" -> ((s, dir) => {
+      // TPC-H Q16 shape: supplier count per part profile — a
+      // count(DISTINCT) whose distinct column arrives through a join
+      // (lineitem is the part↔supplier relation; the fixture has no
+      // partsupp), gated by a NEGATED IN-list + NOT LIKE on the part side
+      // and a NOT IN subquery excluding flagged suppliers. The NOT IN is
+      // the null-aware anti join (same family as not_in_null_aware) but
+      // feeding an Expand-rewritten distinct aggregate — the composition
+      // neither pin covers alone. p_size IN (...) pushes to the part scan
+      // as an In filter.
+      Tables.part(s, dir).createOrReplaceTempView("graft_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("graft_supplier")
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT p_brand, p_type, p_size,
+          |  count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM graft_lineitem JOIN graft_part ON p_partkey = l_partkey
+          |WHERE p_brand <> 'Brand#21'
+          |  AND p_type NOT LIKE 'SMALL%'
+          |  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36, 45)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM graft_supplier
+          |                        WHERE s_name LIKE '%3%')
+          |GROUP BY p_brand, p_type, p_size""".stripMargin)
+    }),
+
     "multi_distinct_agg" -> ((s, dir) =>
       // Two count(DISTINCT) over DIFFERENT columns plus plain aggregates in
       // one GROUP BY — the classic Expand-rewrite shape: the planner must
@@ -3041,6 +3218,99 @@ object SparkEntry {
         |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
         |) pairs
         |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol
+        |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(sum(vol) AS DOUBLE) AS mkt_share,
+        |  count(*) AS n_items
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |) shares
+        |GROUP BY o_year""".stripMargin,
+
+    "q9_profit_by_nation" ->
+      """SELECT nation, o_year,
+        |  CAST(sum(profit) AS DOUBLE) AS sum_profit, count(*) AS n_items
+        |FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(year(l_shipdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |    - CAST(p_retailprice AS DECIMAL(12,2))
+        |      * CAST(l_quantity AS DECIMAL(12,2))
+        |      * CAST(0.1 AS DECIMAL(2,1)) AS profit
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%widget%'
+        |) profits
+        |GROUP BY nation, o_year""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  c_acctbal, n_name, count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q12_priority_lines" ->
+      """SELECT l_returnflag,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q16_supplier_relation" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#21'
+        |  AND p_type NOT LIKE 'SMALL%'
+        |  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_name LIKE '%3%')
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
 
     "multi_distinct_agg" ->
       """SELECT l_returnflag,

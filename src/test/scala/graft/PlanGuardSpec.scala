@@ -332,6 +332,28 @@ class PlanGuardSpec extends SparkTestBase {
       "scan and the second copy REUSES the broadcast exchange, so the " +
       "pair-grouped agg exchange is the only one; a failed extraction " +
       "post-join-filters full nation scans"),
+    "q6_forecast_revenue" -> (1, "no join at all: all three range " +
+      "predicates push to the lineitem scan, so the plan is scan → " +
+      "partial sum → the single-row final-agg exchange — nothing else"),
+    "q8_market_share" -> (1, "every dimension (part, orders-as-dim, " +
+      "customer, both nation copies, region, supplier) broadcasts at this " +
+      "sf and both CASE sums fuse into ONE aggregate pass — the per-year " +
+      "agg exchange is the only one"),
+    "q9_profit_by_nation" -> (1, "the infix LIKE pushes to the part scan " +
+      "as StringContains, dims broadcast, and the (nation, year) agg " +
+      "partial map-side — its exchange is the only one"),
+    "q10_returned_items" -> (1, "returnflag pushes to lineitem, the date " +
+      "range to orders, dims broadcast; the customer-tuple agg exchange " +
+      "is the only one — the LIMIT is TakeOrderedAndProject, never a " +
+      "global sort exchange"),
+    "q12_priority_lines" -> (1, "both conditional counts fuse into ONE " +
+      "aggregate pass over ONE orders⋈lineitem join (orders broadcasts " +
+      "at this sf) — a scan per conditional would double the exchanges"),
+    "q16_supplier_relation" -> (2, "the NOT IN plans the null-aware anti " +
+      "broadcast join, part broadcasts, and the single count(DISTINCT " +
+      "l_suppkey) lowers to the two-level aggregate — dedup on " +
+      "(profile, suppkey) + count per profile, one exchange each, no " +
+      "Expand needed and never a re-aggregation per profile"),
     "multi_distinct_agg" -> (2, "the Expand rewrite: one scan feeding " +
       "Expand (one projection per distinct group + one plain), the " +
       "(flag, col, gid) partial-agg exchange, then the flag-level final " +
@@ -498,6 +520,62 @@ class PlanGuardSpec extends SparkTestBase {
       assert(plan.collect { case r: ReusedExchangeExec => r }.nonEmpty,
         "one nation scan without a ReusedExchange means a copy lost its scan")
     }
+  }
+
+  test("q6: all three predicates reach the lineitem scan as PushedFilters") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = staticPlan("q6_forecast_revenue")
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"q6 is a single-scan query, got ${scans.size}")
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    for (col <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(col),
+        s"$col must reach the scan as a pushed predicate — got $pushed")
+    // and the projection prunes: three referenced columns, nothing else
+    val read = scans.head.metadata.getOrElse("ReadSchema", "")
+    assert(!read.contains("l_orderkey") && !read.contains("l_tax"),
+      s"scan must prune to the referenced columns — got $read")
+  }
+
+  test("q9: the infix LIKE pushes to the part scan as a contains filter") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = staticPlan("q9_profit_by_nation")
+    val partScan = plan.collect { case s: FileSourceScanExec
+      if s.metadata("Location").contains("part.parquet") => s }
+    assert(partScan.exists(_.metadata.get("PushedFilters")
+      .exists(f => f.contains("p_name") && f.contains("Contains"))),
+      "'%widget%' must reach the part scan as StringContains — got " +
+        s"${partScan.map(_.metadata("PushedFilters"))}")
+  }
+
+  test("q10: the revenue LIMIT plans TakeOrderedAndProject, never a global sort") {
+    import org.apache.spark.sql.execution.{TakeOrderedAndProjectExec, SortExec}
+    val plan = staticPlan("q10_returned_items")
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"expected TakeOrderedAndProject:\n${plan.treeString.take(1200)}")
+    assert(plan.collect { case s: SortExec if s.global => s }.isEmpty,
+      "a global sort under a LIMIT 20 means the top-k rewrite was lost")
+  }
+
+  test("q16: the NOT IN plans null-aware, feeding the two-level distinct rewrite") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val plan = staticPlan("q16_supplier_relation")
+    val naaj = plan.collect { case j: BroadcastHashJoinExec
+      if j.joinType == LeftAnti && j.isNullAwareAntiJoin => j }
+    assert(naaj.nonEmpty,
+      s"the NOT IN must plan the null-aware anti join:\n${plan.treeString.take(1200)}")
+    // a SINGLE count(DISTINCT) with no sibling aggregates needs no Expand:
+    // the rewrite is the two-level aggregate — dedup on (profile, suppkey),
+    // then count per profile. Pin both levels so a regression to a
+    // per-profile re-scan (or a pointless Expand) shows up as a key-width
+    // change.
+    val groupWidths = plan.collect { case a: HashAggregateExec =>
+      a.groupingExpressions.size }.distinct.sorted
+    assert(groupWidths == Seq(3, 4),
+      s"expected the (profile+suppkey=4)-then-(profile=3) two-level " +
+        s"distinct rewrite, got grouping widths $groupWidths")
   }
 
   test("multi-distinct: the Expand rewrite plans one scan, never a join per distinct") {
