@@ -174,6 +174,18 @@ object Sinks {
         root.getParent, root.getName + ".__staging__")
       val retired = new org.apache.hadoop.fs.Path(
         root.getParent, root.getName + ".__old__")
+      // crash RECOVERY before any cleanup: a prior run that died between
+      // the two publish renames left root MISSING while the replacement
+      // and/or the set-aside old corpus survive under the sibling names —
+      // those are the ONLY copies, so roll the swap forward (staging
+      // carries _SUCCESS: it is a complete corpus) or back (it does not:
+      // restore the old one) rather than deleting them.
+      if (!fs.exists(root)) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
+          fs.rename(staging, root)
+        else if (fs.exists(retired))
+          fs.rename(retired, root)
+      }
       if (fs.exists(staging)) fs.delete(staging, true)
       if (fs.exists(retired)) fs.delete(retired, true)
       fs.mkdirs(staging) // empty input still publishes an empty corpus
@@ -230,6 +242,22 @@ object Sinks {
               }
             }
           }
+        }
+      // sweep orphaned attempt temps before the completeness marker: a
+      // lost executor or killed speculative attempt dies between create
+      // and rename, and its dot-file — invisible to Spark's reader but NOT
+      // to the external `cat shard=N/*` tools this layout exists for —
+      // would otherwise be published into the live corpus forever. One
+      // task per shard keeps the O(files) listing off the driver.
+      spark.sparkContext.parallelize(0 until nShards, math.min(nShards, 32))
+        .foreach { shard =>
+          val shardDir = new org.apache.hadoop.fs.Path(stagingStr, s"shard=$shard")
+          val fs = shardDir.getFileSystem(conf.value)
+          if (fs.exists(shardDir))
+            fs.listStatus(shardDir).foreach { st =>
+              val n = st.getPath.getName
+              if (n.startsWith(".") && n.endsWith(".tmp")) fs.delete(st.getPath, false)
+            }
         }
       // job succeeded: mark completeness (Spark's FileIndex hides _SUCCESS
       // from readers; external tools get a marker), then the two-rename

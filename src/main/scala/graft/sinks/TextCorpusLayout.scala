@@ -13,20 +13,24 @@ import org.apache.spark.sql.functions._
   * `%`, making percent-escaping ambiguous — the reason this is NOT
   * URL-encoding). Scheme:
   *
-  *   - ids matching `[A-Za-z0-9_-][A-Za-z0-9._-]*` are used verbatim —
-  *     the common case (numeric ids, uuids, slugs) stays human-readable.
-  *     A leading `.` is excluded (hidden files — Spark's file index skips
-  *     them); `=` never appears in the safe set.
+  *   - ids matching `[a-z0-9_-][a-z0-9._-]*` are used verbatim — the
+  *     common case (numeric ids, lowercase uuids, slugs) stays
+  *     human-readable. A leading `.` is excluded (hidden files — Spark's
+  *     file index skips them); `=` never appears in the safe set; and
+  *     UPPERCASE is excluded so the scheme stays injective after case
+  *     folding — corpora get copied to case-insensitive filesystems
+  *     (macOS/Windows inspection copies), where verbatim `Doc1.txt` and
+  *     `doc1.txt` would silently collapse into one file.
   *   - anything else (including the empty id) becomes `=<hex of UTF-8
   *     bytes>` — `=` marks the encoding, and hex `[0-9a-f]` is safe under
-  *     every filesystem and URI rule.
+  *     every filesystem, URI rule, and case folding.
   *
   * Decode is expression-only (`when`/`unhex`/`decode` — codegen'd, no
   * UDF), so the reader stays inside the scan stage's whole-stage codegen.
   */
 object TextCorpusLayout {
 
-  private val Safe = "[A-Za-z0-9_-][A-Za-z0-9._-]*".r
+  private val Safe = "[a-z0-9_-][a-z0-9._-]*".r
 
   /** File name for a document id (JVM side — the executor writer). */
   def fileName(id: String): String = id match {

@@ -371,6 +371,17 @@ object IvfIngest {
     val dir = new Path(indexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverRefresh(fs, dir)
+    // format guard, symmetric with ingestBatch/ingestPqBatch: an EXISTING
+    // index without the _pq_codebook sidecar is a plain-IVF index whose
+    // lists hold float-vector rows — "refreshing" it would silently
+    // rewrite it as 12-byte pq_codes, crashing every probe that expects
+    // the embedding column. Only a fresh dir or a real IVF-PQ index may
+    // pass (the staged swap then replaces like with like).
+    if (readCodebook(fs, dir).isDefined && !fs.exists(pqCodebookPath(dir)))
+      throw new graft.GraftDataError(
+        s"$indexDir is a plain-IVF index (no _pq_codebook sidecar) — " +
+          "refreshPq would rewrite its float-vector lists as pq_codes; " +
+          "rebuild deliberately via ivfPqIndex + a new directory instead")
     val staging = stagingPath(dir)
     val (index, ivf, pq) = Similarity.ivfPqIndex(rawVectors, idCol, vecCol, dim,
       nlist, iters, m, k)

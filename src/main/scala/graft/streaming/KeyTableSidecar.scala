@@ -130,10 +130,13 @@ object KeyTableSidecar {
   private def clusterByShard(sharded: DataFrame, subSplits: Int): DataFrame =
     if (subSplits == 1) sharded.repartition(col("__shard"))
     else sharded.repartition(col("__shard"),
-      // fold before the multiply: 2^31 x 2654435761 < 2^63, so the salt
-      // never overflows Int64 (ANSI mode would error on wraparound)
-      pmod(pmod(col("__k"), lit(2147483648L)) * lit(2654435761L),
-        lit(subSplits.toLong)))
+      // the salt must mix ALL bits: a shard's keys share their low bits
+      // by construction (shard = k mod nShards), so any low-bit-only salt
+      // (e.g. k * odd-constant mod subSplits) COLLAPSES to one value
+      // whenever subSplits shares a factor with nShards — silently
+      // un-splitting the write. xxhash64 has full avalanche and never
+      // overflows under ANSI mode.
+      pmod(xxhash64(col("__k")), lit(subSplits.toLong)))
 
   /** Append `keys` (one BIGINT column named `__k`) to the sharded table —
     * a plain partitioned parquet append, executor-side end to end.
@@ -224,15 +227,28 @@ object KeyTableSidecar {
       } else Nil
     }
     if (smallTiers.isEmpty) return
-    // per-shard output file budget: ~tierBytes per file, derived from the
-    // biggest shard's small-tier bytes — a shard whose tier outgrew one
-    // file rewrites across several tasks (the appendKeys subSplits salt)
-    val maxShardBytes = smallTiers.groupBy(_.getPath.getParent).values
-      .map(_.map(_.getLen).sum).max
-    val subSplits = math.max(1L, (maxShardBytes + tierBytes - 1) / tierBytes).toInt
+    // per-SHARD output file budget: ~tierBytes per file from that shard's
+    // OWN small-tier bytes. A global budget derived from the biggest shard
+    // would fragment every cold shard into as many files as the hottest
+    // one needs — under skew a 17-tiny-file shard would rewrite into 16
+    // files instead of 1 and never converge below maxFilesPerShard. The
+    // per-shard salt modulus rides a broadcast map literal, so the whole
+    // compaction is still ONE job.
+    val splitsByShard: Map[Int, Long] = smallTiers
+      .groupBy(_.getPath.getParent.getName.split("=", 2)(1).toInt)
+      .map { case (shard, files) =>
+        val bytes = files.map(_.getLen).sum
+        shard -> math.max(1L, (bytes + tierBytes - 1) / tierBytes)
+      }
+    val splitsLookup = map(splitsByShard.toSeq.flatMap { case (shard, n) =>
+      Seq(lit(shard), lit(n)) }: _*)
     val merged = spark.read.option("basePath", d.toString)
       .parquet(smallTiers.map(_.getPath.toString): _*)
-    clusterByShard(merged, subSplits)
+    merged.repartition(col("__shard"),
+      // same full-avalanche salt as clusterByShard (see the collapse
+      // caveat there), with the modulus looked up per shard
+      pmod(xxhash64(col("__k")),
+        element_at(splitsLookup, col("__shard").cast("int"))))
       .write.mode("append").partitionBy("__shard").parquet(d.toString)
     smallTiers.foreach(st => fs.delete(st.getPath, false))
   }

@@ -255,9 +255,12 @@ class PipelineSinksSpec extends SparkTestBase {
     // numerics/slugs (verbatim), spaces / slashes / unicode / '%' / '='
     // / a leading dot / the empty string (hex-marker escaping) — '%'
     // matters because Hadoop Path URI-normalizes it, the reason the
-    // escaping is NOT percent-encoding
-    val hostile = Seq("7", "doc-a_B.9", "has space", "a/b\\c", "naïve→é",
-      "100%", "k=v", ".hidden", "", "=already")
+    // escaping is NOT percent-encoding. "Doc1"/"doc1" is the
+    // case-collision pair: uppercase hex-encodes, so the two ids keep
+    // distinct file names even after a copy to a case-INSENSITIVE
+    // filesystem (macOS/Windows inspection copies)
+    val hostile = Seq("7", "doc-a_b.9", "has space", "a/b\\c", "naïve→é",
+      "100%", "k=v", ".hidden", "", "=already", "Doc1", "doc1")
     val docs = hostile.zipWithIndex
       .map { case (id, i) => (id, s"body number $i") }.toDF("k", "text")
     Sinks.writeTextCorpus(docs, dir, "k", "text", nShards = 4)
@@ -277,9 +280,13 @@ class PipelineSinksSpec extends SparkTestBase {
     val files = top.flatMap(d => fs.listStatus(d.getPath)).map(_.getPath.getName)
     assert(files.length == hostile.size && files.forall(_.endsWith(".txt")))
     // safe ids stay human-readable in the listing; hostile ones are marked
-    assert(files.contains("7.txt") && files.contains("doc-a_B.9.txt"))
+    assert(files.contains("7.txt") && files.contains("doc-a_b.9.txt"))
     assert(files.count(_.startsWith("=")) ==
       hostile.count(id => TextCorpusLayout.fileName(id).startsWith("=")))
+    // the case pair maps to names distinct even after lowercasing — the
+    // injectivity that survives a case-insensitive filesystem
+    assert(files.map(_.toLowerCase).distinct.length == files.length,
+      s"case-folded collision among $files")
     // deterministic names: a replay overwrites in place, never duplicates
     Sinks.writeTextCorpus(docs, dir, "k", "text", nShards = 4)
     assert(Sources.textCorpus(spark, dir, "k", "text").count() == hostile.size.toLong)
@@ -347,6 +354,51 @@ class PipelineSinksSpec extends SparkTestBase {
     val leftovers = fs.listStatus(parent).map(_.getPath.getName)
       .filter(n => n.contains("__staging__") || n.contains("__old__"))
     assert(leftovers.isEmpty, s"publish left $leftovers")
+  }
+
+  test("corpus publish crash windows roll FORWARD or BACK, never orphan the only copy") {
+    import graft.sinks.Sinks
+    import graft.sources.Sources
+    val base = java.nio.file.Files.createTempDirectory("graft-textcrash").toString
+    val dir = base + "/corpus"
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val staging = new org.apache.hadoop.fs.Path(base, "corpus.__staging__")
+    val retired = new org.apache.hadoop.fs.Path(base, "corpus.__old__")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bad = Seq(("x", "bad\nbody")).toDF("k", "text") // always fails pre-swap
+    def readBack(): Set[(String, String)] =
+      Sources.textCorpus(spark, dir, "k", "text").as[(String, String)].collect().toSet
+
+    // CRASH BETWEEN THE TWO PUBLISH RENAMES, staging complete: root is
+    // missing; the set-aside v1 and the finished v2 (with _SUCCESS) are
+    // the only copies anywhere. The next run must roll the swap FORWARD —
+    // deleting "stale leftovers" here would destroy all data. (v2 is
+    // written to a scratch path and renamed into the staging name so the
+    // crash state is built without tripping the writer's own recovery.)
+    Sinks.writeTextCorpus(Seq(("a", "v1")).toDF("k", "text"), dir, "k", "text", nShards = 2)
+    Sinks.writeTextCorpus(Seq(("a", "v2"), ("b", "v2")).toDF("k", "text"),
+      base + "/v2", "k", "text", nShards = 2)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(base, "v2"), staging))
+    assert(fs.rename(root, retired))
+    intercept[Exception] { // this run fails pre-swap — only recovery acts
+      Sinks.writeTextCorpus(bad, dir, "k", "text", nShards = 2)
+    }
+    assert(readBack() == Set("a" -> "v2", "b" -> "v2"),
+      "complete staging must roll forward, not be deleted")
+    assert(!fs.exists(retired), "the superseded v1 is cleaned after recovery")
+
+    // CRASH AFTER THE SET-ASIDE RENAME with an INCOMPLETE staging (no
+    // _SUCCESS): the set-aside old corpus is the only complete copy — the
+    // next run must roll BACK to it.
+    assert(fs.rename(root, retired))
+    if (fs.exists(staging)) fs.delete(staging, true) // the failed run's partial tree
+    fs.mkdirs(new org.apache.hadoop.fs.Path(staging, "shard=0"))
+    intercept[Exception] {
+      Sinks.writeTextCorpus(bad, dir, "k", "text", nShards = 2)
+    }
+    assert(readBack() == Set("a" -> "v2", "b" -> "v2"),
+      "incomplete staging must roll back to the set-aside corpus")
+    assert(!fs.exists(retired), "the set-aside name is free again after rollback")
   }
 
   test("jdbcUpsert DO UPDATE round-trips insert+update through a live database") {

@@ -670,6 +670,56 @@ class StreamingSpec extends SparkTestBase {
     assert(shardFiles().values.forall(_.length <= 2))
   }
 
+  test("compact sizes each shard's rewrite from its OWN small tier (skew-proof)") {
+    import graft.streaming.KeyTableSidecar
+    // hot shard 0 accumulates real bytes (needs several output files);
+    // cold shard 1 accumulates many TINY files. A global file budget
+    // derived from the hot shard would salt the cold shard's rewrite
+    // across that many files — it could come out of compaction with MORE
+    // files than it went in with and never converge below the bound. The
+    // per-shard modulus merges the cold shard to exactly ONE file.
+    val corpus = java.nio.file.Files.createTempDirectory("graft-ktcskew").toString + "/corpus"
+    val target = new org.apache.hadoop.fs.Path(corpus)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(target)
+    (0 until 17).foreach { i =>
+      val hot = spark.range(2000L).select((col("id") * 2 + i * 4000L).as("__k"))
+      val cold = spark.range(4L).select((col("id") * 2 + i * 8L + 1L).as("__k"))
+      KeyTableSidecar.appendKeys(hot.union(cold), target, nShards = 2)
+    }
+    val d = KeyTableSidecar.dir(target)
+    def files(shard: Int): Seq[org.apache.hadoop.fs.FileStatus] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(d, s"__shard=$shard")).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    assert(files(0).length == 17 && files(1).length == 17, "premise: both over-bound")
+    // tierBytes between one hot file and the hot total: the hot shard's
+    // own budget is ~4 output files, the cold shard's (tiny bytes) is 1
+    val hotBytes = files(0).map(_.getLen).sum
+    val tier = hotBytes / 4
+    assert(files(0).forall(_.getLen < tier) && files(1).map(_.getLen).sum < tier,
+      "premise: everything is small-tier and the cold shard fits one file")
+    val before = KeyTableSidecar.load(spark, target).select("__k").as[Long].collect().toSet
+    // AQE off for the pin: at test size it coalesces every post-shuffle
+    // partition into one task regardless of the salt, masking exactly the
+    // budget split this test exists to observe (at real scale its 64MB
+    // advisory target aligns with tierBytes and preserves the split)
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      KeyTableSidecar.compact(spark, fs, target, maxFilesPerShard = 8, tierBytes = tier)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    assert(files(1).length == 1,
+      s"cold shard must merge to ONE file, got ${files(1).length}")
+    val hotAfter = files(0).length
+    assert(hotAfter >= 2 && hotAfter <= 6,
+      s"hot shard rewrites across its own ~4-file budget, got $hotAfter")
+    assert(KeyTableSidecar.load(spark, target).select("__k").as[Long]
+      .collect().toSet == before, "compaction is content-preserving")
+  }
+
   test("ingestNearDupBatch migrates bloom -> table when saturation outgrows the byte budget") {
     import graft.streaming.{BloomSidecar, KeyTableSidecar}
     def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
@@ -901,6 +951,24 @@ class StreamingSpec extends SparkTestBase {
     assert(e.getMessage.contains("IVF-PQ"))
     // and nothing was appended: the index still holds only pq_code rows
     assert(spark.read.parquet(dir).columns.toSet == Set("vec_id", "pq_code", "centroid_id"))
+    // the MIRROR image: refreshPq pointed at a plain-IVF index would
+    // rewrite its float-vector lists as pq_codes — the same corruption
+    // from the maintenance side. Both the direct call and the stale-check
+    // auto form must refuse, leaving the index untouched.
+    val plainDir = java.nio.file.Files.createTempDirectory("graft-ivf-plain").toString + "/index"
+    IvfIngest.ingestBatch(emb, plainDir, "vec_id", "embedding", nlist = 4): Unit
+    val e2 = intercept[graft.GraftDataError] {
+      IvfIngest.refreshPq(spark, plainDir, emb, "vec_id", "embedding", dim = 64)
+    }
+    assert(e2.getMessage.contains("plain-IVF"))
+    intercept[graft.GraftDataError] {
+      // growthRatio 0.5 makes the unchanged index count as stale, proving
+      // the refusal comes from the format guard, not a lucky fresh census
+      IvfIngest.refreshPqIfStale(spark, plainDir, emb, "vec_id", "embedding",
+        dim = 64, growthRatio = 0.5)
+    }
+    assert(spark.read.parquet(plainDir).columns.toSet ==
+      Set("vec_id", "embedding", "centroid_id"))
   }
 
   test("ingest refuses to bootstrap from an unrepresentative first micro-batch") {
