@@ -123,10 +123,12 @@ object Sinks {
     *     nShards)/<id>.txt` — directory count bounded by nShards however
     *     large the corpus, one FILE per document, id recovered from the
     *     file name (`input_file_name()` on read). File names carry the id
-    *     verbatim when it is filesystem-safe (`[A-Za-z0-9._-]`, no leading
-    *     `=` or `.`), hex-encoded behind a `=` marker otherwise — an
-    *     escaping that survives Hadoop `Path` URI normalization (no `%`,
-    *     which Path re-encodes ambiguously). Files are written by the
+    *     verbatim when it is filesystem-safe (`[a-z0-9._-]`, no leading
+    *     `=` or `.`, no UPPERCASE — see [[TextCorpusLayout]]: the scheme
+    *     must stay injective on case-insensitive filesystems), hex-encoded
+    *     behind a `=` marker otherwise — an escaping that survives Hadoop
+    *     `Path` URI normalization (no `%`, which Path re-encodes
+    *     ambiguously). Files are written by the
     *     EXECUTORS (repartitioned by shard, so a shard's files are created
     *     by one task); deterministic names make a replay overwrite, never
     *     duplicate.
@@ -181,10 +183,18 @@ object Sinks {
       // carries _SUCCESS: it is a complete corpus) or back (it does not:
       // restore the old one) rather than deleting them.
       if (!fs.exists(root)) {
-        if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
-          fs.rename(staging, root)
-        else if (fs.exists(retired))
-          fs.rename(retired, root)
+        // a FAILED recovery rename must throw, never fall through: the
+        // cleanup deletes right below would destroy the sole surviving
+        // copy the recovery just failed to restore
+        if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+          if (!fs.rename(staging, root))
+            throw new graft.GraftDataError(
+              s"writeTextCorpus: roll-forward rename $staging -> $root failed")
+        } else if (fs.exists(retired)) {
+          if (!fs.rename(retired, root))
+            throw new graft.GraftDataError(
+              s"writeTextCorpus: roll-back rename $retired -> $root failed")
+        }
       }
       if (fs.exists(staging)) fs.delete(staging, true)
       if (fs.exists(retired)) fs.delete(retired, true)

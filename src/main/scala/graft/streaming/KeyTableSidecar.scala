@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Metadata for a persisted key-TABLE sidecar ([[KeyTableSidecar]]):
@@ -42,6 +42,8 @@ final case class KeyTableMeta(nShards: Int, keyCount: Long, filesStamp: String)
   * under-covers the corpus it gates).
   */
 object KeyTableSidecar {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private val Magic = 0x474b5431 // "GKT1"
 
@@ -124,19 +126,21 @@ object KeyTableSidecar {
   }
 
   /** Cluster a (`__shard`, `__k`) frame so a partitioned write emits at
-    * most `subSplits` files per shard — shared by [[appendKeys]] and
-    * [[compact]].
+    * most `subSplits`-per-shard files — shared by [[appendKeys]] (constant
+    * modulus) and [[compact]] (per-shard modulus looked up by `__shard`).
+    * The salt must mix ALL bits: a shard's keys share their low bits by
+    * construction (shard = k mod nShards), so any low-bit-only salt (e.g.
+    * k * odd-constant mod subSplits) COLLAPSES to one value whenever
+    * subSplits shares a factor with nShards — silently un-splitting the
+    * write. xxhash64 has full avalanche and never overflows under ANSI
+    * mode.
     */
+  private def clusterByShard(sharded: DataFrame, subSplits: Column): DataFrame =
+    sharded.repartition(col("__shard"), pmod(xxhash64(col("__k")), subSplits))
+
   private def clusterByShard(sharded: DataFrame, subSplits: Int): DataFrame =
     if (subSplits == 1) sharded.repartition(col("__shard"))
-    else sharded.repartition(col("__shard"),
-      // the salt must mix ALL bits: a shard's keys share their low bits
-      // by construction (shard = k mod nShards), so any low-bit-only salt
-      // (e.g. k * odd-constant mod subSplits) COLLAPSES to one value
-      // whenever subSplits shares a factor with nShards — silently
-      // un-splitting the write. xxhash64 has full avalanche and never
-      // overflows under ANSI mode.
-      pmod(xxhash64(col("__k")), lit(subSplits.toLong)))
+    else clusterByShard(sharded, lit(subSplits.toLong))
 
   /** Append `keys` (one BIGINT column named `__k`) to the sharded table —
     * a plain partitioned parquet append, executor-side end to end.
@@ -234,7 +238,14 @@ object KeyTableSidecar {
     // files instead of 1 and never converge below maxFilesPerShard. The
     // per-shard salt modulus rides a broadcast map literal, so the whole
     // compaction is still ONE job.
-    val splitsByShard: Map[Int, Long] = smallTiers
+    // shard ids parse from the partition dir names; a NON-numeric dir
+    // (a null-keyed append's __HIVE_DEFAULT_PARTITION__, or a foreign
+    // tree) is left uncompacted rather than crashing every future
+    // compaction of the healthy shards
+    val (parsed, alien) = smallTiers.partition(
+      _.getPath.getParent.getName.split("=", 2)(1).forall(_.isDigit))
+    if (parsed.isEmpty) return
+    val splitsByShard: Map[Int, Long] = parsed
       .groupBy(_.getPath.getParent.getName.split("=", 2)(1).toInt)
       .map { case (shard, files) =>
         val bytes = files.map(_.getLen).sum
@@ -243,14 +254,12 @@ object KeyTableSidecar {
     val splitsLookup = map(splitsByShard.toSeq.flatMap { case (shard, n) =>
       Seq(lit(shard), lit(n)) }: _*)
     val merged = spark.read.option("basePath", d.toString)
-      .parquet(smallTiers.map(_.getPath.toString): _*)
-    merged.repartition(col("__shard"),
-      // same full-avalanche salt as clusterByShard (see the collapse
-      // caveat there), with the modulus looked up per shard
-      pmod(xxhash64(col("__k")),
-        element_at(splitsLookup, col("__shard").cast("int"))))
+      .parquet(parsed.map(_.getPath.toString): _*)
+    clusterByShard(merged, element_at(splitsLookup, col("__shard").cast("int")))
       .write.mode("append").partitionBy("__shard").parquet(d.toString)
-    smallTiers.foreach(st => fs.delete(st.getPath, false))
+    parsed.foreach(st => fs.delete(st.getPath, false))
+    alien.foreach(st => log.warn(
+      s"compact: skipping non-numeric shard file ${st.getPath}"))
   }
 
   /** Delete table + meta (mode switch back to bloom, or teardown). META

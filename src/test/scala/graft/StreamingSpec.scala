@@ -718,6 +718,23 @@ class StreamingSpec extends SparkTestBase {
       s"hot shard rewrites across its own ~4-file budget, got $hotAfter")
     assert(KeyTableSidecar.load(spark, target).select("__k").as[Long]
       .collect().toSet == before, "compaction is content-preserving")
+    // a NON-numeric partition dir (a null-keyed append's
+    // __HIVE_DEFAULT_PARTITION__, or a foreign tree) must not crash the
+    // per-shard budget parse — it is skipped, healthy shards still compact
+    val alien = new org.apache.hadoop.fs.Path(d, "__shard=__HIVE_DEFAULT_PARTITION__")
+    fs.mkdirs(alien)
+    (0 until 9).foreach { i =>
+      val f = fs.create(new org.apache.hadoop.fs.Path(alien, s"junk-$i.parquet"), true)
+      f.write(1); f.close()
+    }
+    (0 until 9).foreach { i => // push the cold shard back over the bound
+      KeyTableSidecar.appendKeys(
+        spark.range(1L).select(lit(100001L + i * 2).as("__k")), target, nShards = 2)
+    }
+    KeyTableSidecar.compact(spark, fs, target, maxFilesPerShard = 8, tierBytes = tier)
+    assert(files(1).length <= 2,
+      s"healthy shards must still compact beside an alien dir, got ${files(1).length}")
+    assert(fs.listStatus(alien).length == 9, "the alien dir is left untouched")
   }
 
   test("ingestNearDupBatch migrates bloom -> table when saturation outgrows the byte budget") {
