@@ -283,7 +283,23 @@ object Sinks {
         throw new graft.GraftDataError(
           s"writeTextCorpus: publishing rename $staging -> $root failed")
       }
-      fs.delete(retired, true) // the only O(files) step runs post-publish
+      // the retired tree's delete is the only O(files) step and it runs
+      // post-publish (readers are already on the new corpus) — but a
+      // 100M-file tree recursively deleted from the DRIVER is still a
+      // single-actor metadata storm, so the per-shard bulk distributes
+      // like the tmp sweep; the driver then removes the near-empty
+      // remainder (the marker + the root, or a whole flat-layout tree,
+      // which is the documented small-corpus case).
+      if (fs.exists(retired)) {
+        val retiredStr = retired.toString
+        spark.sparkContext.parallelize(0 until nShards, math.min(nShards, 32))
+          .foreach { shard =>
+            val p = new org.apache.hadoop.fs.Path(retiredStr, s"shard=$shard")
+            val fs = p.getFileSystem(conf.value)
+            if (fs.exists(p)) fs.delete(p, true): Unit
+          }
+        fs.delete(retired, true)
+      }
     }
   }
 
