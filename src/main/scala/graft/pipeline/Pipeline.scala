@@ -19,7 +19,8 @@ final case class Pipeline(
     sink: Option[DataFrame => Unit] = None,
     checkpoint: Option[() => Unit] = None,
     advisorMode: Pipeline.AdvisorMode = Pipeline.AdvisorOff,
-    gate: Option[DataFrame => Unit] = None) {
+    gate: Option[DataFrame => Unit] = None,
+    observedGate: Option[DataFrame => (DataFrame, () => Unit)] = None) {
 
   /** Build the logical plan without running it. None = source missing + skip.
     * With an advisor mode set, the assembled plan is inspected by
@@ -46,11 +47,20 @@ final case class Pipeline(
     * (and only then) the checkpoint. Returns the planned DataFrame when the
     * source existed.
     *
-    * The gate runs BEFORE the sink — a failed expectation
+    * The EAGER gate runs BEFORE the sink — a failed expectation
     * ([[graft.GraftDataError]] from the config's `expectations` section)
     * stops both the sink and the checkpoint, so bad data never lands AND
     * the watermark never advances past it. Unlike the plan-time advisor,
-    * the gate executes (one aggregation pass over the data).
+    * the gate executes (one aggregation pass over the data — at corpus
+    * scale, a second full scan per run).
+    *
+    * The OBSERVED gate (`expectations.scan: "fused"`) removes that second
+    * scan: it instruments the plan with `Dataset.observe` metrics that the
+    * SINK's own action collects, and its verdict thunk runs after the sink
+    * returns — so a violation throws AFTER the sink action but BEFORE the
+    * checkpoint. Bad data may have been written (pair with a staged or
+    * versioned sink if that matters), but the watermark never advances
+    * past it.
     *
     * A checkpoint may only advance past data that was actually PROCESSED:
     * with no sink configured, the plan is still executed (count) before the
@@ -60,10 +70,17 @@ final case class Pipeline(
   def run(spark: SparkSession): Option[DataFrame] =
     plan(spark).map { df =>
       gate.foreach(g => g(df))
-      sink match {
-        case Some(s) => s(df)
-        case None => if (checkpoint.isDefined) df.count()
+      val (toRun, verdict) = observedGate match {
+        case Some(attach) => attach(df)
+        case None => (df, () => ())
       }
+      sink match {
+        case Some(s) => s(toRun)
+        case None =>
+          // an observed gate needs SOME action to collect its metrics
+          if (checkpoint.isDefined || observedGate.isDefined) toRun.count(): Unit
+      }
+      verdict() // throws before the watermark can advance
       checkpoint.foreach(_())
       df
     }

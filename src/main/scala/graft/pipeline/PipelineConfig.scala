@@ -301,9 +301,15 @@ object PipelineConfig {
     // every check is an SQL expression counted in ONE pass over the
     // assembled plan (DataChecks.expectationReport); `fail` vetoes the sink
     // and the checkpoint with GraftDataError, `warn` logs and proceeds.
-    // Parse eagerly: an empty check list, a bad mode, or an unparseable
+    // `scan` picks WHICH pass pays for the counting: "pre" (default,
+    // reference posture — its own aggregation job before the sink, bad
+    // data never lands) or "fused" (Dataset.observe metrics collected by
+    // the sink's own action — zero extra scans per run; the verdict
+    // arrives after the sink but still before the checkpoint). Parse
+    // eagerly: an empty check list, a bad mode, or an unparseable
     // expression is a config error NOW, not a surprise mid-run.
-    val gateFn: Option[DataFrame => Unit] = (cfg \ "expectations") match {
+    val expectSection: Option[(Boolean, Boolean,
+        Seq[graft.operators.DataChecks.Expectation])] = (cfg \ "expectations") match {
       case JNothing => None
       case ec =>
         val failMode = (ec \ "mode").extractOrElse[String]("fail") match {
@@ -311,6 +317,12 @@ object PipelineConfig {
           case "warn" => false
           case other => throw new graft.GraftConfigError(
             s"expectations.mode '$other' (expected fail|warn)")
+        }
+        val fusedScan = (ec \ "scan").extractOrElse[String]("pre") match {
+          case "pre" => false
+          case "fused" => true
+          case other => throw new graft.GraftConfigError(
+            s"expectations.scan '$other' (expected pre|fused)")
         }
         val checks = (ec \ "checks").extractOrElse[Seq[JValue]](Nil).map { c =>
           val name = (c \ "name").extractOpt[String].getOrElse(
@@ -330,19 +342,30 @@ object PipelineConfig {
         }
         if (checks.isEmpty) throw new graft.GraftConfigError(
           "expectations section needs a non-empty 'checks' list")
-        Some { df =>
-          val failed = graft.operators.DataChecks.expectationReport(df, checks)
-            .filter(org.apache.spark.sql.functions.col("passed") === 0L)
-            .collect() // |checks| rows at most — never data-sized
-          if (failed.nonEmpty) {
-            val msg = failed.map(r =>
-              s"${r.getString(0)}: ${r.getLong(1)} of ${r.getLong(2)} rows violate")
-              .mkString("; ")
-            if (failMode) throw new graft.GraftDataError(s"expectations failed: $msg")
-            else Pipeline.log.warn(s"[expectations] $msg")
-          }
-        }
+        Some((failMode, fusedScan, checks))
     }
+    def verdict(failMode: Boolean, failed: Seq[(String, Long, Long)]): Unit =
+      if (failed.nonEmpty) {
+        val msg = failed.map { case (n, v, t) => s"$n: $v of $t rows violate" }
+          .mkString("; ")
+        if (failMode) throw new graft.GraftDataError(s"expectations failed: $msg")
+        else Pipeline.log.warn(s"[expectations] $msg")
+      }
+    val gateFn: Option[DataFrame => Unit] = expectSection.collect {
+      case (failMode, false, checks) => df =>
+        val failed = graft.operators.DataChecks.expectationReport(df, checks)
+          .filter(org.apache.spark.sql.functions.col("passed") === 0L)
+          .collect() // |checks| rows at most — never data-sized
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        verdict(failMode, failed)
+    }
+    val observedFn: Option[DataFrame => (DataFrame, () => Unit)] =
+      expectSection.collect {
+        case (failMode, true, checks) => df =>
+          val (instrumented, results) =
+            graft.operators.DataChecks.observedExpectations(df, checks)
+          (instrumented, () => verdict(failMode, results().filter(_._2 > 0L)))
+      }
 
     // drift gate — distribution drift vs a reference snapshot as a RUN
     // gate (DataChecks.distributionDrift): a crawl slice whose bucket mix
@@ -411,6 +434,7 @@ object PipelineConfig {
       sink = sinkFn,
       checkpoint = checkpointFn,
       advisorMode = advisorMode,
-      gate = combinedGate)
+      gate = combinedGate,
+      observedGate = observedFn)
   }
 }

@@ -203,6 +203,69 @@ class ConfigSurfaceSpec extends SparkTestBase {
     assert(Files.exists(java.nio.file.Paths.get(s"$root/ckpt_out_warn")))
   }
 
+  test("fused expectations ride the sink's own job: zero extra scans, verdict before checkpoint") {
+    val root = Files.createTempDirectory("graft-fusedgate").toString
+    Seq((1L, 10.0), (2L, -5.0)).toDF("id", "price").write.parquet(s"$root/src")
+    def cfg(mode: String, scan: String, expr: String, out: String) =
+      s"""{
+         |  "source": {"type": "parquet", "path": "$root/src"},
+         |  "expectations": {"mode": "$mode", "scan": "$scan", "checks": [
+         |    {"name": "price_check", "expr": "$expr"}]},
+         |  "sink": {"type": "parquet", "options": {"path": "$root/$out"}},
+         |  "checkpoint": {"path": "$root/ckpt_$out", "values": {"w": "1"}}
+         |}""".stripMargin
+    def jobs(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try { body; spark.sparkContext.statusTracker.getJobIdsForGroup(group).length }
+      finally spark.sparkContext.clearJobGroup()
+    }
+    // the fusion pin: a passing fused-gate run spends EXACTLY as many
+    // Spark jobs as the same pipeline with no gate at all (the observe
+    // metrics ride the sink's job as accumulators); the eager gate pays
+    // at least one extra aggregation pass — at corpus scale, a second
+    // full scan per run
+    val nPlain = jobs("fg-plain") {
+      PipelineConfig.fromJson(spark,
+        s"""{"source": {"type": "parquet", "path": "$root/src"},
+           | "sink": {"type": "parquet", "options": {"path": "$root/out_plain"}},
+           | "checkpoint": {"path": "$root/ckpt_plain", "values": {"w": "1"}}}""".stripMargin)
+        .run(spark): Unit
+    }
+    val nFused = jobs("fg-fused") {
+      PipelineConfig.fromJson(spark,
+        cfg("fail", "fused", "price IS NOT NULL", "out_fused")).run(spark): Unit
+    }
+    val nEager = jobs("fg-eager") {
+      PipelineConfig.fromJson(spark,
+        cfg("fail", "pre", "price IS NOT NULL", "out_eager")).run(spark): Unit
+    }
+    assert(nFused == nPlain, s"fused gate must add zero jobs: $nFused vs $nPlain")
+    assert(nEager > nFused, s"the eager gate pays an extra pass: $nEager vs $nFused")
+    assert(spark.read.parquet(s"$root/out_fused").count() == 2)
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/ckpt_out_fused")))
+    // violated + fail: the verdict lands AFTER the sink action (the output
+    // exists — the documented trade for the saved scan) but BEFORE the
+    // checkpoint, so the watermark never advances past bad data
+    val e = intercept[GraftDataError] {
+      PipelineConfig.fromJson(spark, cfg("fail", "fused", "price > 0", "out_viol")).run(spark)
+    }
+    assert(e.getMessage.contains("price_check") && e.getMessage.contains("1 of 2"))
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/out_viol")),
+      "the fused verdict arrives after the sink by design")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/ckpt_out_viol")),
+      "a fused violation must still hold the watermark")
+    // violated + warn: logs and proceeds, checkpoint lands
+    PipelineConfig.fromJson(spark, cfg("warn", "fused", "price > 0", "out_warn2")).run(spark)
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/ckpt_out_warn2")))
+    // unknown scan value is a parse-time config error
+    intercept[GraftConfigError] {
+      PipelineConfig.fromJson(spark,
+        s"""{"source": {"type": "parquet", "path": "/tmp/x"},
+           | "expectations": {"scan": "sideways",
+           |   "checks": [{"name": "a", "expr": "1=1"}]}}""".stripMargin)
+    }
+  }
+
   test("drift gate: fail vetoes the sink past maxTvd; warn and in-bound runs land") {
     val root = Files.createTempDirectory("graft-driftcfg").toString
     // reference mix: 3 en / 1 de — the input collapses to all-fr (TVD 1.0)
