@@ -19,6 +19,17 @@ object DataChecks {
     */
   final case class Expectation(name: String, holds: Column)
 
+  /** The shared violation counters — one conditional sum per check plus the
+    * row total, index-aliased (`__v_i`, `__total`). BOTH scan modes build
+    * their aggregates here, so the "pre" and "fused" gates can never
+    * diverge on what counts as a violation.
+    */
+  private def violationAggs(checks: Seq[Expectation]): Seq[Column] =
+    checks.zipWithIndex.map { case (c, i) =>
+      sum(when(coalesce(c.holds, lit(false)), lit(0L)).otherwise(lit(1L)))
+        .as(s"__v_$i")
+    } :+ count(lit(1)).as("__total")
+
   /** Evaluate every expectation in ONE aggregation over one scan — adding a
     * check never adds a pass. Returns one row per expectation:
     * (check, violations, total, passed) with `passed` = no violations.
@@ -34,10 +45,7 @@ object DataChecks {
     // name containing a dot/backtick would break col() resolution at run
     // time, and duplicate names would be ambiguous. The name travels only
     // inside the output literal, where any string is safe.
-    val aggs = checks.zipWithIndex.map { case (c, i) =>
-      sum(when(coalesce(c.holds, lit(false)), lit(0L)).otherwise(lit(1L)))
-        .as(s"__v_$i")
-    } :+ count(lit(1)).as("__total")
+    val aggs = violationAggs(checks)
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // reshape the ONE aggregated row to long form by exploding a
     // literal-width struct array — NOT a per-check union of selects, which
@@ -74,12 +82,7 @@ object DataChecks {
       : (DataFrame, () => Seq[(String, Long, Long)]) = {
     require(checks.nonEmpty, "at least one expectation")
     val obs = org.apache.spark.sql.Observation("graft_expectations")
-    // same index-aliased conditional sums as the eager report (names stay
-    // inside the result tuples, never in column space)
-    val aggs = checks.zipWithIndex.map { case (c, i) =>
-      sum(when(coalesce(c.holds, lit(false)), lit(0L)).otherwise(lit(1L)))
-        .as(s"__v_$i")
-    } :+ count(lit(1)).as("__total")
+    val aggs = violationAggs(checks)
     val results = () => {
       val row = obs.get // blocks until the first action on the frame finishes
       def asLong(v: Any): Long = v match {

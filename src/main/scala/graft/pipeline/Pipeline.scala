@@ -20,7 +20,11 @@ final case class Pipeline(
     checkpoint: Option[() => Unit] = None,
     advisorMode: Pipeline.AdvisorMode = Pipeline.AdvisorOff,
     gate: Option[DataFrame => Unit] = None,
-    observedGate: Option[DataFrame => (DataFrame, () => Unit)] = None) {
+    observedGate: Option[DataFrame => (DataFrame, () => Unit)] = None,
+    stagedSink: Option[DataFrame => () => Unit] = None) {
+
+  require(sink.isEmpty || stagedSink.isEmpty,
+    "a pipeline takes sink OR stagedSink, not both")
 
   /** Build the logical plan without running it. None = source missing + skip.
     * With an advisor mode set, the assembled plan is inspected by
@@ -58,9 +62,12 @@ final case class Pipeline(
     * scan: it instruments the plan with `Dataset.observe` metrics that the
     * SINK's own action collects, and its verdict thunk runs after the sink
     * returns — so a violation throws AFTER the sink action but BEFORE the
-    * checkpoint. Bad data may have been written (pair with a staged or
-    * versioned sink if that matters), but the watermark never advances
-    * past it.
+    * checkpoint; the watermark never advances past it. With a plain sink,
+    * bad data has been written by then. A STAGED sink closes even that: it
+    * writes in its call and returns a publish thunk, which run() invokes
+    * only after the verdict passes — so a violating run never becomes
+    * visible to readers (the versioned sink stages this way: the run
+    * directory lands, `latest` repoints only post-verdict).
     *
     * A checkpoint may only advance past data that was actually PROCESSED:
     * with no sink configured, the plan is still executed (count) before the
@@ -74,13 +81,16 @@ final case class Pipeline(
         case Some(attach) => attach(df)
         case None => (df, () => ())
       }
-      sink match {
-        case Some(s) => s(toRun)
-        case None =>
+      val publish: () => Unit = (sink, stagedSink) match {
+        case (Some(s), _) => s(toRun); () => ()
+        case (_, Some(s)) => s(toRun)
+        case _ =>
           // an observed gate needs SOME action to collect its metrics
           if (checkpoint.isDefined || observedGate.isDefined) toRun.count(): Unit
+          () => ()
       }
-      verdict() // throws before the watermark can advance
+      verdict() // throws before anything can become visible or advance
+      publish()
       checkpoint.foreach(_())
       df
     }

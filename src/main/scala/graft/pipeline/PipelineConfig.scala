@@ -281,12 +281,11 @@ object PipelineConfig {
             .withColumnsRenamed(Map("group" -> group, "id" -> id)))
     }
 
-    val sinkFn: Option[DataFrame => Unit] = (cfg \ "sink") match {
+    val sinkSection: Option[(String, Map[String, String])] = (cfg \ "sink") match {
       case JNothing => None
-      case sc =>
-        val name = (sc \ "type").extract[String]
-        val opts = (sc \ "options").extractOrElse[Map[String, String]](Map.empty)
-        Some(df => sink(name)(df, opts))
+      case sc => Some((
+        (sc \ "type").extract[String],
+        (sc \ "options").extractOrElse[Map[String, String]](Map.empty)))
     }
 
     val checkpointFn: Option[() => Unit] = (cfg \ "checkpoint") match {
@@ -366,6 +365,21 @@ object PipelineConfig {
             graft.operators.DataChecks.observedExpectations(df, checks)
           (instrumented, () => verdict(failMode, results().filter(_._2 > 0L)))
       }
+    // sink resolution: under a FUSED gate the versioned sink goes two-phase
+    // (write the run directory in the sink call — the gate's metrics ride
+    // that action — and repoint `latest` only after the verdict passes), so
+    // a violating run never becomes reader-visible; every other pairing
+    // keeps the one-phase registry form and the documented
+    // verdict-after-write trade.
+    val (sinkFn, stagedFn): (Option[DataFrame => Unit],
+        Option[DataFrame => () => Unit]) = sinkSection match {
+      case None => (None, None)
+      case Some(("versioned", opts)) if observedFn.isDefined =>
+        (None, Some((df: DataFrame) => Sinks.writeVersionedStaged(
+          df, req(opts, "path", "versioned"), req(opts, "runId", "versioned"))))
+      case Some((name, opts)) =>
+        (Some((df: DataFrame) => sink(name)(df, opts)), None)
+    }
 
     // drift gate — distribution drift vs a reference snapshot as a RUN
     // gate (DataChecks.distributionDrift): a crawl slice whose bucket mix
@@ -435,6 +449,7 @@ object PipelineConfig {
       checkpoint = checkpointFn,
       advisorMode = advisorMode,
       gate = combinedGate,
-      observedGate = observedFn)
+      observedGate = observedFn,
+      stagedSink = stagedFn)
   }
 }

@@ -286,18 +286,21 @@ object Sinks {
       // the retired tree's delete is the only O(files) step and it runs
       // post-publish (readers are already on the new corpus) — but a
       // 100M-file tree recursively deleted from the DRIVER is still a
-      // single-actor metadata storm, so the per-shard bulk distributes
-      // like the tmp sweep; the driver then removes the near-empty
-      // remainder (the marker + the root, or a whole flat-layout tree,
-      // which is the documented small-corpus case).
+      // single-actor metadata storm, so the bulk distributes: one task per
+      // CHILD OF THE RETIRED TREE ITSELF (its own shard dirs — the
+      // previous run's shard count, which need not match this run's), then
+      // the driver removes the near-empty remainder. A flat-layout retired
+      // tree lists one child per document — that layout is the documented
+      // small-corpus option.
       if (fs.exists(retired)) {
-        val retiredStr = retired.toString
-        spark.sparkContext.parallelize(0 until nShards, math.min(nShards, 32))
-          .foreach { shard =>
-            val p = new org.apache.hadoop.fs.Path(retiredStr, s"shard=$shard")
-            val fs = p.getFileSystem(conf.value)
-            if (fs.exists(p)) fs.delete(p, true): Unit
-          }
+        val children = fs.listStatus(retired).map(_.getPath.toString).toSeq
+        if (children.nonEmpty)
+          spark.sparkContext
+            .parallelize(children, math.min(children.length, 32))
+            .foreach { c =>
+              val p = new org.apache.hadoop.fs.Path(c)
+              p.getFileSystem(conf.value).delete(p, true): Unit
+            }
         fs.delete(retired, true)
       }
     }
@@ -321,11 +324,25 @@ object Sinks {
     * atomically repointed (rewritten) at it.
     */
   def writeVersioned(df: DataFrame, baseDir: String, runId: String): (String, String) = {
+    writeVersionedStaged(df, baseDir, runId)()
+    (s"$baseDir/$runId", s"$baseDir/latest")
+  }
+
+  /** Two-phase form of [[writeVersioned]]: the CALL writes the run-stamped
+    * directory (a fused gate's observe metrics ride this action); the
+    * returned thunk repoints `latest`. A fused-gate pipeline runs its
+    * verdict BETWEEN the phases, so a violating run's data exists under its
+    * run id (forensics) but `latest` — the alias readers follow — never
+    * serves it. This is the sink that makes the fused gate's saved scan
+    * free of the bad-data-visible trade.
+    */
+  def writeVersionedStaged(df: DataFrame, baseDir: String, runId: String): () => Unit = {
     val runPath = s"$baseDir/$runId"
     df.write.mode(SaveMode.ErrorIfExists).parquet(runPath)
-    val latest = s"$baseDir/latest"
-    df.sparkSession.read.parquet(runPath).write.mode(SaveMode.Overwrite).parquet(latest)
-    (runPath, latest)
+    () => {
+      val latest = s"$baseDir/latest"
+      df.sparkSession.read.parquet(runPath).write.mode(SaveMode.Overwrite).parquet(latest)
+    }
   }
 
   /** K2 — upsert emulation over parquet (no transactional store in the bench

@@ -264,6 +264,31 @@ class ConfigSurfaceSpec extends SparkTestBase {
            | "expectations": {"scan": "sideways",
            |   "checks": [{"name": "a", "expr": "1=1"}]}}""".stripMargin)
     }
+    // fused + VERSIONED closes even the bad-data-visible trade: the sink
+    // goes two-phase, so a violating run's directory lands (forensics) but
+    // `latest` — the alias readers follow — never repoints at it
+    def vcfg(expr: String, runId: String) =
+      s"""{
+         |  "source": {"type": "parquet", "path": "$root/src"},
+         |  "expectations": {"mode": "fail", "scan": "fused", "checks": [
+         |    {"name": "price_check", "expr": "$expr"}]},
+         |  "sink": {"type": "versioned",
+         |    "options": {"path": "$root/ver", "runId": "$runId"}},
+         |  "checkpoint": {"path": "$root/ckpt_$runId", "values": {"w": "1"}}
+         |}""".stripMargin
+    PipelineConfig.fromJson(spark, vcfg("price IS NOT NULL", "run1")).run(spark)
+    assert(spark.read.parquet(s"$root/ver/latest").count() == 2)
+    def latestFiles(): Set[String] = new java.io.File(s"$root/ver/latest")
+      .listFiles().map(_.getName).toSet
+    val latestBefore = latestFiles()
+    intercept[GraftDataError] {
+      PipelineConfig.fromJson(spark, vcfg("price > 0", "run2")).run(spark)
+    }
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/ver/run2")),
+      "the violating run directory still lands, for forensics")
+    assert(latestFiles() == latestBefore,
+      "latest must not repoint at a violating run — the repoint is post-verdict")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/ckpt_run2")))
   }
 
   test("drift gate: fail vetoes the sink past maxTvd; warn and in-bound runs land") {
