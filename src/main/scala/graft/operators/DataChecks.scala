@@ -190,6 +190,63 @@ object DataChecks {
       .drop("__k")
   }
 
+  /** Fused-scan form of the drift gate: the REFERENCE snapshot's bucket
+    * census is collected up front (|buckets| rows — the categorical regime
+    * the gate targets), then one observe counter per reference bucket plus
+    * the row total ride the sink's own action; unseen input buckets are
+    * the remainder (total − Σ counters). Returns the instrumented frame
+    * and a thunk yielding the TVD (None = empty input, which skips the
+    * check like the eager gate).
+    *
+    * The TVD replays [[distributionDrift]]'s fixed-point fold on the
+    * driver — same shares, same per-bucket floor at 2^30 — with ONE
+    * deviation: the eager pass floors each unseen input bucket's share
+    * separately while the fused pass floors their lumped sum, so fused
+    * TVD ≥ eager TVD by less than #unseen-buckets/2^31 — the fused gate
+    * can only be (negligibly) more conservative. Refuses (typed) past
+    * `maxBuckets` reference buckets: observe metrics are per-task
+    * accumulators, so a high-cardinality bucket expression belongs on the
+    * eager scan.
+    */
+  def observedDrift(df: DataFrame, reference: DataFrame, bucketExpr: Column,
+      maxBuckets: Int = 512): (DataFrame, () => Option[Double]) = {
+    val refCensus = reference.groupBy(bucketExpr.as("bucket")).count().collect()
+    if (refCensus.length > maxBuckets)
+      throw new graft.GraftDataError(
+        s"drift scan 'fused' observed ${refCensus.length} reference buckets " +
+          s"(max $maxBuckets) — use scan 'pre' for high-cardinality bucket " +
+          "expressions")
+    val refTotal = refCensus.map(_.getLong(1)).sum
+    val obs = org.apache.spark.sql.Observation("graft_drift")
+    val counters = refCensus.zipWithIndex.map { case (r, i) =>
+      val hit = r.get(0) match {
+        case null => bucketExpr.isNull
+        case v => bucketExpr <=> lit(v)
+      }
+      count(when(hit, 1)).as(s"__b_$i")
+    } :+ count(lit(1)).as("__total")
+    val results = () => {
+      val row = obs.get
+      def asLong(x: Any): Long = x match { case l: Long => l; case _ => 0L }
+      val total = asLong(row("__total"))
+      if (total == 0L) None
+      else {
+        var q = 0L
+        var seen = 0L
+        refCensus.zipWithIndex.foreach { case (r, i) =>
+          val cb = asLong(row(s"__b_$i")); seen += cb
+          val sa = if (refTotal > 0) r.getLong(1).toDouble / refTotal else 0.0
+          val sb = cb.toDouble / total
+          q += math.floor(math.abs(sa - sb) * DriftFp).toLong
+        }
+        val other = total - seen
+        if (other > 0) q += math.floor((other.toDouble / total) * DriftFp).toLong
+        Some(0.5 * (q / DriftFp))
+      }
+    }
+    (df.observe(obs, counters.head, counters.tail: _*), results)
+  }
+
   def robustOutliers(
       df: DataFrame, groupCol: String, valueCol: String, k: Double = 3.0): DataFrame = {
     val vals = df.select(col(groupCol), col(valueCol)).filter(col(valueCol).isNotNull)

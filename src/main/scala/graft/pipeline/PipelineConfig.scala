@@ -365,6 +365,100 @@ object PipelineConfig {
             graft.operators.DataChecks.observedExpectations(df, checks)
           (instrumented, () => verdict(failMode, results().filter(_._2 > 0L)))
       }
+    // drift gate — distribution drift vs a reference snapshot as a RUN
+    // gate (DataChecks.distributionDrift): a crawl slice whose bucket mix
+    // moved more than `maxTvd` of total-variation distance from the
+    // reference vetoes the sink (`fail`) or logs (`warn`). Empty input
+    // skips the check — no distribution to judge, and a drift gate must
+    // not page on an idle source. Same eager-parse posture as
+    // expectations: a bad mode, a missing field, an out-of-range bound or
+    // an unparseable bucket expression is a config error NOW. `scan`
+    // mirrors expectations.scan: "pre" (default — its own pass over the
+    // input before the sink) or "fused" (per-reference-bucket observe
+    // counters ride the sink's action; only the |buckets|-row reference
+    // census is read eagerly).
+    val driftSection: Option[(Boolean, Boolean, String, String, Double)] =
+      (cfg \ "drift") match {
+        case JNothing => None
+        case dc =>
+          val refPath = (dc \ "referencePath").extractOpt[String].getOrElse(
+            throw new graft.GraftConfigError("drift section needs 'referencePath'"))
+          val bucketStr = (dc \ "bucketExpr").extractOpt[String].getOrElse(
+            throw new graft.GraftConfigError("drift section needs 'bucketExpr'"))
+          try spark.sessionState.sqlParser.parseExpression(bucketStr)
+          catch {
+            case e: Exception => throw new graft.GraftConfigError(
+              s"drift has an unparseable bucketExpr '$bucketStr'", e)
+          }
+          val maxTvd = (dc \ "maxTvd").extractOpt[Double].getOrElse(
+            throw new graft.GraftConfigError("drift section needs 'maxTvd'"))
+          if (maxTvd < 0.0 || maxTvd > 1.0) throw new graft.GraftConfigError(
+            s"drift.maxTvd must be in [0, 1] (got $maxTvd)")
+          val failMode = (dc \ "mode").extractOrElse[String]("fail") match {
+            case "fail" => true
+            case "warn" => false
+            case other => throw new graft.GraftConfigError(
+              s"drift.mode '$other' (expected fail|warn)")
+          }
+          val fused = (dc \ "scan").extractOrElse[String]("pre") match {
+            case "pre" => false
+            case "fused" => true
+            case other => throw new graft.GraftConfigError(
+              s"drift.scan '$other' (expected pre|fused)")
+          }
+          Some((failMode, fused, refPath, bucketStr, maxTvd))
+      }
+    def driftVerdict(failMode: Boolean, tvd: Double, maxTvd: Double,
+        refPath: String): Unit =
+      if (tvd > maxTvd) {
+        val msg = f"drift gate: TVD $tvd%.4f > $maxTvd vs $refPath"
+        if (failMode) throw new graft.GraftDataError(msg)
+        else Pipeline.log.warn(s"[drift] $msg")
+      }
+    val driftFn: Option[DataFrame => Unit] = driftSection.collect {
+      case (failMode, false, refPath, bucketStr, maxTvd) => df =>
+        import org.apache.spark.sql.functions.{coalesce, col, expr, lit, max, sum}
+        val reference = spark.read.parquet(refPath)
+        val agg = graft.operators.DataChecks
+          .distributionDrift(reference, df, expr(bucketStr))
+          .agg(coalesce(sum(col("count_b")), lit(0L)).as("n"),
+            max(col("tvd")).as("tvd"))
+          .head()
+        if (agg.getLong(0) > 0) driftVerdict(failMode, agg.getDouble(1), maxTvd, refPath)
+    }
+    // fused drift: the reference census is bounded (the gate's categorical
+    // regime — observedDrift refuses high cardinality, typed), so its
+    // per-bucket counters ride the sink's action exactly like the fused
+    // expectations — zero extra passes over the INPUT; only the |buckets|-
+    // row reference snapshot is read eagerly at attach time.
+    val driftObservedFn: Option[DataFrame => (DataFrame, () => Unit)] =
+      driftSection.collect {
+        case (failMode, true, refPath, bucketStr, maxTvd) => df =>
+          import org.apache.spark.sql.functions.expr
+          val (instrumented, tvdThunk) = graft.operators.DataChecks
+            .observedDrift(df, spark.read.parquet(refPath), expr(bucketStr))
+          (instrumented,
+            () => tvdThunk().foreach(driftVerdict(failMode, _, maxTvd, refPath)))
+      }
+    val combinedGate: Option[DataFrame => Unit] = (gateFn, driftFn) match {
+      case (Some(a), Some(b)) => Some { df => a(df); b(df) }
+      case (a, b) => a.orElse(b)
+    }
+    // both fused gates may instrument one plan (distinct Observation
+    // names): attachers stack, verdicts run in declaration order
+    val observedCombined: Option[DataFrame => (DataFrame, () => Unit)] =
+      Seq(observedFn, driftObservedFn).flatten match {
+        case Seq() => None
+        case Seq(one) => Some(one)
+        case many => Some { df =>
+          val (finalDf, verdicts) =
+            many.foldLeft((df, Vector.empty[() => Unit])) { case ((d, vs), att) =>
+              val (d2, v) = att(d); (d2, vs :+ v)
+            }
+          (finalDf, () => verdicts.foreach(_()))
+        }
+      }
+
     // sink resolution: under a FUSED gate the versioned sink goes two-phase
     // (write the run directory in the sink call — the gate's metrics ride
     // that action — and repoint `latest` only after the verdict passes), so
@@ -374,61 +468,11 @@ object PipelineConfig {
     val (sinkFn, stagedFn): (Option[DataFrame => Unit],
         Option[DataFrame => () => Unit]) = sinkSection match {
       case None => (None, None)
-      case Some(("versioned", opts)) if observedFn.isDefined =>
+      case Some(("versioned", opts)) if observedCombined.isDefined =>
         (None, Some((df: DataFrame) => Sinks.writeVersionedStaged(
           df, req(opts, "path", "versioned"), req(opts, "runId", "versioned"))))
       case Some((name, opts)) =>
         (Some((df: DataFrame) => sink(name)(df, opts)), None)
-    }
-
-    // drift gate — distribution drift vs a reference snapshot as a RUN
-    // gate (DataChecks.distributionDrift): a crawl slice whose bucket mix
-    // moved more than `maxTvd` of total-variation distance from the
-    // reference vetoes the sink (`fail`) or logs (`warn`). Empty input
-    // skips the check — no distribution to judge, and a drift gate must
-    // not page on an idle source. Same eager-parse posture as
-    // expectations: a bad mode, a missing field, an out-of-range bound or
-    // an unparseable bucket expression is a config error NOW.
-    val driftFn: Option[DataFrame => Unit] = (cfg \ "drift") match {
-      case JNothing => None
-      case dc =>
-        val refPath = (dc \ "referencePath").extractOpt[String].getOrElse(
-          throw new graft.GraftConfigError("drift section needs 'referencePath'"))
-        val bucketStr = (dc \ "bucketExpr").extractOpt[String].getOrElse(
-          throw new graft.GraftConfigError("drift section needs 'bucketExpr'"))
-        try spark.sessionState.sqlParser.parseExpression(bucketStr)
-        catch {
-          case e: Exception => throw new graft.GraftConfigError(
-            s"drift has an unparseable bucketExpr '$bucketStr'", e)
-        }
-        val maxTvd = (dc \ "maxTvd").extractOpt[Double].getOrElse(
-          throw new graft.GraftConfigError("drift section needs 'maxTvd'"))
-        if (maxTvd < 0.0 || maxTvd > 1.0) throw new graft.GraftConfigError(
-          s"drift.maxTvd must be in [0, 1] (got $maxTvd)")
-        val failMode = (dc \ "mode").extractOrElse[String]("fail") match {
-          case "fail" => true
-          case "warn" => false
-          case other => throw new graft.GraftConfigError(
-            s"drift.mode '$other' (expected fail|warn)")
-        }
-        Some { df =>
-          import org.apache.spark.sql.functions.{coalesce, col, expr, lit, max, sum}
-          val reference = spark.read.parquet(refPath)
-          val agg = graft.operators.DataChecks
-            .distributionDrift(reference, df, expr(bucketStr))
-            .agg(coalesce(sum(col("count_b")), lit(0L)).as("n"),
-              max(col("tvd")).as("tvd"))
-            .head()
-          if (agg.getLong(0) > 0 && agg.getDouble(1) > maxTvd) {
-            val msg = f"drift gate: TVD ${agg.getDouble(1)}%.4f > $maxTvd vs $refPath"
-            if (failMode) throw new graft.GraftDataError(msg)
-            else Pipeline.log.warn(s"[drift] $msg")
-          }
-        }
-    }
-    val combinedGate: Option[DataFrame => Unit] = (gateFn, driftFn) match {
-      case (Some(a), Some(b)) => Some { df => a(df); b(df) }
-      case (a, b) => a.orElse(b)
     }
 
     // advisor gate: same hard-gate posture as the sink registry — an
@@ -449,7 +493,7 @@ object PipelineConfig {
       checkpoint = checkpointFn,
       advisorMode = advisorMode,
       gate = combinedGate,
-      observedGate = observedFn,
+      observedGate = observedCombined,
       stagedSink = stagedFn)
   }
 }

@@ -291,6 +291,67 @@ class ConfigSurfaceSpec extends SparkTestBase {
     assert(!Files.exists(java.nio.file.Paths.get(s"$root/ckpt_run2")))
   }
 
+  test("fused drift rides the sink's job with exact fixed-point TVD parity") {
+    val root = Files.createTempDirectory("graft-fuseddrift").toString
+    (Seq.fill(3)("en") ++ Seq.fill(1)("de")).zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }.toDF("id", "lang")
+      .write.parquet(s"$root/ref")
+    // partial drift: ref 3en/1de vs input 2en/1de/1fr — shares move
+    // en .75→.5, de .25→.25, fr 0→.25 → TVD = 0.25, exercising both the
+    // per-reference-bucket counters and the unseen-bucket remainder
+    Seq((10L, "en"), (11L, "en"), (12L, "de"), (13L, "fr"))
+      .toDF("id", "lang").write.parquet(s"$root/src")
+    def cfg(scan: String, maxTvd: Double, out: String) =
+      s"""{
+         |  "source": {"type": "parquet", "path": "$root/src"},
+         |  "drift": {"referencePath": "$root/ref", "bucketExpr": "lang",
+         |    "maxTvd": $maxTvd, "scan": "$scan"},
+         |  "sink": {"type": "parquet", "options": {"path": "$root/$out"}},
+         |  "checkpoint": {"path": "$root/ckpt_$out", "values": {"w": "1"}}
+         |}""".stripMargin
+    def jobs(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try { body; spark.sparkContext.statusTracker.getJobIdsForGroup(group).length }
+      finally spark.sparkContext.clearJobGroup()
+    }
+    // in-bound on both scans: sink + checkpoint land; the fused run pays
+    // only the |buckets|-row reference census, never a second pass over
+    // the INPUT, so it spends strictly fewer jobs than the eager gate
+    val nFused = jobs("fd-fused") {
+      PipelineConfig.fromJson(spark, cfg("fused", 0.5, "out_f")).run(spark): Unit
+    }
+    val nEager = jobs("fd-eager") {
+      PipelineConfig.fromJson(spark, cfg("pre", 0.5, "out_e")).run(spark): Unit
+    }
+    assert(nEager > nFused, s"eager drift re-scans the input: $nEager vs $nFused")
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/ckpt_out_f")))
+    // violation: BOTH scans must report the IDENTICAL fixed-point TVD —
+    // the fused fold replays the eager one bucket for bucket
+    def tvdOf(m: String): String = m.split("TVD ")(1).split(" >")(0)
+    val eEager = intercept[GraftDataError] {
+      PipelineConfig.fromJson(spark, cfg("pre", 0.1, "out_ve")).run(spark)
+    }
+    val eFused = intercept[GraftDataError] {
+      PipelineConfig.fromJson(spark, cfg("fused", 0.1, "out_vf")).run(spark)
+    }
+    assert(tvdOf(eEager.getMessage) == "0.2500" &&
+      tvdOf(eFused.getMessage) == tvdOf(eEager.getMessage),
+      s"TVD parity: eager '${eEager.getMessage}' fused '${eFused.getMessage}'")
+    // the fused verdict lands after the sink, still before the checkpoint
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/out_vf")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/ckpt_out_vf")))
+    // a high-cardinality bucket expression is refused, typed, pointing at
+    // the eager scan — observe counters are per-task accumulator state
+    spark.range(600).selectExpr("id", "cast(id as string) as lang")
+      .write.parquet(s"$root/bigref")
+    val eBig = intercept[GraftDataError] {
+      PipelineConfig.fromJson(spark,
+        cfg("fused", 0.5, "out_big").replace(s"$root/ref", s"$root/bigref"))
+        .run(spark)
+    }
+    assert(eBig.getMessage.contains("reference buckets"))
+  }
+
   test("drift gate: fail vetoes the sink past maxTvd; warn and in-bound runs land") {
     val root = Files.createTempDirectory("graft-driftcfg").toString
     // reference mix: 3 en / 1 de — the input collapses to all-fr (TVD 1.0)
