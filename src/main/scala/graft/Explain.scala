@@ -10,10 +10,17 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = GraftSession.get("graft-explain")
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val qs = SparkEntry.queries
+    val names = if (args.nonEmpty) args.toSeq else qs.keys.toSeq.sorted
+    val unknown = names.filterNot(qs.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")} — " +
+        s"known: ${qs.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     names.foreach { n =>
       println(s"===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      qs(n)(spark, sfDir).explain("formatted")
     }
   }
 }

@@ -210,18 +210,31 @@ object DataChecks {
     */
   def observedDrift(df: DataFrame, reference: DataFrame, bucketExpr: Column,
       maxBuckets: Int = 512): (DataFrame, () => Option[Double]) = {
-    val refCensus = reference.groupBy(bucketExpr.as("bucket")).count().collect()
+    // the cardinality guard must fire BEFORE the census lands on the
+    // driver — limit to one past the bound, so a runaway bucketExpr is
+    // refused from maxBuckets+1 collected rows, never millions
+    val refCensus = reference.groupBy(bucketExpr.as("bucket")).count()
+      .limit(maxBuckets + 1).collect()
     if (refCensus.length > maxBuckets)
       throw new graft.GraftDataError(
-        s"drift scan 'fused' observed ${refCensus.length} reference buckets " +
-          s"(max $maxBuckets) — use scan 'pre' for high-cardinality bucket " +
-          "expressions")
+        s"drift scan 'fused' observed over $maxBuckets reference buckets — " +
+          "use scan 'pre' for high-cardinality bucket expressions")
     val refTotal = refCensus.map(_.getLong(1)).sum
     val obs = org.apache.spark.sql.Observation("graft_drift")
     val counters = refCensus.zipWithIndex.map { case (r, i) =>
       val hit = r.get(0) match {
         case null => bucketExpr.isNull
-        case v => bucketExpr <=> lit(v)
+        case v =>
+          // lit() covers the categorical regime (strings, numbers, dates);
+          // a struct/map-valued bucketExpr has no literal form — refuse
+          // typed, pointing at the scan that handles it
+          try bucketExpr <=> lit(v)
+          catch {
+            case e: Exception => throw new graft.GraftDataError(
+              s"drift scan 'fused' cannot express a reference bucket of " +
+                s"type ${v.getClass.getSimpleName} as a literal — use " +
+                "scan 'pre' for structured bucket expressions", e)
+          }
       }
       count(when(hit, 1)).as(s"__b_$i")
     } :+ count(lit(1)).as("__total")

@@ -307,22 +307,25 @@ object PipelineConfig {
     // arrives after the sink but still before the checkpoint). Parse
     // eagerly: an empty check list, a bad mode, or an unparseable
     // expression is a config error NOW, not a surprise mid-run.
+    // shared enum parsing for the gated sections — one place defines what
+    // `mode` and `scan` accept, so the two gates can never diverge
+    def parseChoice(section: JValue, field: String, default: String,
+        label: String, choices: Seq[String]): String =
+      (section \ field).extractOrElse[String](default) match {
+        case c if choices.contains(c) => c
+        case other => throw new graft.GraftConfigError(
+          s"$label.$field '$other' (expected ${choices.mkString("|")})")
+      }
+    def parseFailMode(section: JValue, label: String): Boolean =
+      parseChoice(section, "mode", "fail", label, Seq("fail", "warn")) == "fail"
+    def parseFusedScan(section: JValue, label: String): Boolean =
+      parseChoice(section, "scan", "pre", label, Seq("pre", "fused")) == "fused"
     val expectSection: Option[(Boolean, Boolean,
         Seq[graft.operators.DataChecks.Expectation])] = (cfg \ "expectations") match {
       case JNothing => None
       case ec =>
-        val failMode = (ec \ "mode").extractOrElse[String]("fail") match {
-          case "fail" => true
-          case "warn" => false
-          case other => throw new graft.GraftConfigError(
-            s"expectations.mode '$other' (expected fail|warn)")
-        }
-        val fusedScan = (ec \ "scan").extractOrElse[String]("pre") match {
-          case "pre" => false
-          case "fused" => true
-          case other => throw new graft.GraftConfigError(
-            s"expectations.scan '$other' (expected pre|fused)")
-        }
+        val failMode = parseFailMode(ec, "expectations")
+        val fusedScan = parseFusedScan(ec, "expectations")
         val checks = (ec \ "checks").extractOrElse[Seq[JValue]](Nil).map { c =>
           val name = (c \ "name").extractOpt[String].getOrElse(
             throw new graft.GraftConfigError("each expectation needs a 'name'"))
@@ -394,19 +397,8 @@ object PipelineConfig {
             throw new graft.GraftConfigError("drift section needs 'maxTvd'"))
           if (maxTvd < 0.0 || maxTvd > 1.0) throw new graft.GraftConfigError(
             s"drift.maxTvd must be in [0, 1] (got $maxTvd)")
-          val failMode = (dc \ "mode").extractOrElse[String]("fail") match {
-            case "fail" => true
-            case "warn" => false
-            case other => throw new graft.GraftConfigError(
-              s"drift.mode '$other' (expected fail|warn)")
-          }
-          val fused = (dc \ "scan").extractOrElse[String]("pre") match {
-            case "pre" => false
-            case "fused" => true
-            case other => throw new graft.GraftConfigError(
-              s"drift.scan '$other' (expected pre|fused)")
-          }
-          Some((failMode, fused, refPath, bucketStr, maxTvd))
+          Some((parseFailMode(dc, "drift"), parseFusedScan(dc, "drift"),
+            refPath, bucketStr, maxTvd))
       }
     def driftVerdict(failMode: Boolean, tvd: Double, maxTvd: Double,
         refPath: String): Unit =
