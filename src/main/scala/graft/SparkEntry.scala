@@ -1878,6 +1878,32 @@ object SparkEntry {
       // conditional probability per doc, all-rational arithmetic
       TextAnalysis.bigramLmScore(Tables.documents(s, dir))),
 
+    "ccnet_buckets" -> ((s, dir) => {
+      // CCNet-style head/middle/tail: per language, ntile(3) on the bigram
+      // LM score (head = most LM-like), profiled per (lang, bucket) with
+      // order-free sums — docs counted, bigrams summed, and the score mass
+      // as per-doc fixed-point floor(avg·2^30) longs (the per-doc avg is one
+      // deterministic IEEE divide, so the fixed-point sum is engine-exact).
+      // Scale: the LM join is corpus-sized; the window is one shuffle on
+      // lang; the profile collapses to ≤ 3·|langs| rows with map-side
+      // partials
+      val docs = Tables.documents(s, dir)
+      val scored = TextAnalysis.bigramLmScore(docs)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("avg_bigram_p").desc, col("doc_id").asc)
+      docs.select(col("doc_id"), col("lang"))
+        .join(scored, Seq("doc_id"))
+        .withColumn("__t", ntile(3).over(w))
+        .withColumn("bucket",
+          when(col("__t") === 1, "head")
+            .when(col("__t") === 2, "middle").otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("sum_bigrams"),
+          sum(floor(col("avg_bigram_p") * lit(1073741824.0)).cast("long"))
+            .as("fp_score_sum"))
+    }),
+
     "pii_scrub" -> ((s, dir) => {
       // email -> URL -> number, in that order (later passes see earlier
       // placeholders, which contain no scrubbable characters)
@@ -2018,6 +2044,15 @@ object SparkEntry {
       Sampling.stratifiedSample(
         Tables.documents(s, dir), "lang", "doc_id", k = 20, salt = 3)
         .select(col("doc_id"), col("lang"))),
+
+    "domain_cap" -> ((s, dir) =>
+      // per-source cap, BEST first (Gopher/CCNet-style domain capping): at
+      // most 10 docs per source by descending length — via the skew-proof
+      // two-phase window (salted local top-n, then a bounded global rank),
+      // so a mega-domain never lands on a single sort task
+      Sampling.cappedPerKey(Tables.documents(s, dir), "source", "doc_id",
+        Seq(col("n_chars").desc), n = 10, subSplits = 8)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
 
     "token_budget_select" -> ((s, dir) =>
       // token-budget selection: per language, best-first (longest docs) until
@@ -3961,6 +3996,39 @@ object SparkEntry {
          |      ELSE 0.0 END AS avg_bigram_p
          |FROM t LEFT JOIN s ON t.doc_id = s.doc_id""".stripMargin,
 
+    // the lm_score replay feeding ntile(3) per language; bucket profiles
+    // sum exact longs (fixed-point floor(avg*2^30) — the avg is one
+    // deterministic IEEE divide, identical in both engines)
+    "ccnet_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+         |    i -> toks[i+1] || ' ' || toks[i+2])) AS g
+         |  FROM t),
+         |c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+         |c1 AS (SELECT split_part(g, ' ', 1) AS w, count(*) AS c1 FROM bg GROUP BY 1),
+         |p AS (
+         |  SELECT b.doc_id,
+         |    CAST(floor((CAST(c2.c2 AS DOUBLE) / c1.c1) * 1048576.0) AS BIGINT) AS q
+         |  FROM bg b JOIN c2 ON b.g = c2.g JOIN c1 ON split_part(b.g, ' ', 1) = c1.w),
+         |s AS (SELECT doc_id, count(*) AS n_bigrams, sum(q) AS qs FROM p GROUP BY doc_id),
+         |sc AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |    CASE WHEN s.n_bigrams > 0 THEN (CAST(s.qs AS DOUBLE) / s.n_bigrams) / 1048576.0
+         |         ELSE 0.0 END AS avg_bigram_p
+         |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
+         |b AS (
+         |  SELECT lang, n_bigrams, avg_bigram_p,
+         |    ntile(3) OVER (PARTITION BY lang ORDER BY avg_bigram_p DESC, doc_id) AS t
+         |  FROM sc)
+         |SELECT lang,
+         |  CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+         |  CAST(sum(CAST(floor(avg_bigram_p * 1073741824.0) AS BIGINT)) AS BIGINT) AS fp_score_sum
+         |FROM b GROUP BY 1, 2""".stripMargin,
+
     // the bloom filter only PRUNES; the exact confirm makes the result equal
     // to the plain batch-minus-corpus anti-join this oracle states
     "incremental_dedup" ->
@@ -4082,6 +4150,14 @@ object SparkEntry {
          |  SELECT doc_id, lang, row_number() OVER (
          |    PARTITION BY lang ORDER BY ${sqlUnitHash("doc_id", 3)}, doc_id) AS rn
          |  FROM documents) t WHERE rn <= 20""".stripMargin,
+
+    // the two-phase salted window is exact, so the oracle is the classic
+    // single-window per-source top-n it replaces
+    "domain_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) t WHERE rn <= 10""".stripMargin,
 
     "token_budget_select" ->
       s"""SELECT doc_id, lang, n_chars FROM (

@@ -320,4 +320,57 @@ object Sampling {
     */
   def shuffleOrder(df: DataFrame, idCol: String, salt: Long = 0L): DataFrame =
     df.orderBy(unitHash(col(idCol), salt).asc, col(idCol).asc)
+
+  /** Skew-proof per-key cap: keep the top `n` rows per key under the
+    * caller's quality order (domain capping — "at most N documents per
+    * domain, best first", the crawl-curation step that stops one boilerplate
+    * mill from owning the corpus; cf. the per-source caps in the public
+    * Gopher/CCNet data recipes).
+    *
+    * [[stratifiedSample]] draws UNIFORMLY per stratum; this keeps the BEST
+    * per key — and unlike the single-window shape shared by the other
+    * per-group operators here, it survives the mega-key. Two exact window
+    * passes:
+    *
+    *  1. rank within (key, split) where split = xxhash64(id) mod
+    *     `subSplits`, keep `n` — a key that floods one reducer in the
+    *     single-window plan spreads over `subSplits` sort tasks, each
+    *     sorting ~1/subSplits of the group;
+    *  2. rank within key over the survivors — now every group is ≤
+    *     subSplits·n rows, so the second sort is bounded no matter how
+    *     large the original key was.
+    *
+    * Exact by construction: the order (orderCols, id) is TOTAL, and every
+    * row of the true per-key top-n is also in the top-n of its own split
+    * (dropping other-split rows only improves a row's local rank), so pass
+    * 1 never discards a final survivor. The split hash must be xxhash64,
+    * not a multiplicative fold: a low-bit salt collapses to one split
+    * whenever the key was itself assigned by `mod` (the partition-collapse
+    * failure [[graft.sinks.Sinks]]' clusterByShard documents).
+    *
+    * Scale shape: two shuffles — (key, split) then key — both with bounded
+    * sort sizes; nothing corpus-sized moves after pass 1's filter. At
+    * `subSplits = 1` the plan degenerates to the classic single window
+    * (pass 2 re-ranks pass 1's output of exactly the answer).
+    */
+  def cappedPerKey(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      orderCols: Seq[Column],
+      n: Int,
+      subSplits: Int = 32): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(subSplits > 0, "subSplits must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val order = orderCols :+ col(idCol).asc
+    val split = pmod(xxhash64(col(idCol)), lit(subSplits.toLong))
+    val local = Window.partitionBy(col(keyCol), split).orderBy(order: _*)
+    val global = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    df.withColumn("__lrn", row_number().over(local))
+      .filter(col("__lrn") <= n)
+      .withColumn("__rn", row_number().over(global))
+      .filter(col("__rn") <= n)
+      .drop("__lrn", "__rn")
+  }
 }

@@ -108,6 +108,40 @@ class SamplingSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     assert(global.isEmpty, "window must be partitioned by the stratum")
   }
 
+  test("cappedPerKey equals the single-window top-n at every subSplits") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id".asc)
+    val reference = docs
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 10)
+      .select($"doc_id").as[Long].collect().toSet
+    for (splits <- Seq(1, 3, 8, 32)) {
+      val got = Sampling.cappedPerKey(docs, "source", "doc_id",
+        Seq($"n_chars".desc), n = 10, subSplits = splits)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(got == reference, s"subSplits=$splits must be exact")
+    }
+  }
+
+  test("cappedPerKey survives a mega-key and plans only partitioned windows") {
+    // one key owns 500 rows, the other 3 — the shape that floods a single
+    // sort task in the classic window plan
+    val rows = (1L to 500L).map(i => ("hot", i, i % 97)) ++
+      Seq(("cold", 501L, 1L), ("cold", 502L, 2L), ("cold", 503L, 3L))
+    val df = rows.toDF("k", "id", "q")
+    val out = Sampling.cappedPerKey(df, "k", "id", Seq($"q".desc), n = 4, subSplits = 5)
+    val byKey = out.collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    assert(byKey("cold").map(_._2).toSet == Set(501L, 502L, 503L),
+      "an under-cap key passes through whole")
+    // exact per-key top-4 under (q desc, id asc): q=96 at ids 96,193,290,387
+    assert(byKey("hot").map(_._2).toSet == Set(96L, 193L, 290L, 387L))
+    val windows = out.queryExecution.sparkPlan.collect { case wx: WindowExec => wx }
+    assert(windows.length == 2, "two exact window passes")
+    assert(windows.forall(_.partitionSpec.nonEmpty), "never a global window")
+    // the local pass partitions by (key, split) — the mega-key spreads
+    assert(windows.exists(_.partitionSpec.length == 2),
+      "pass 1 must partition by the salted split as well as the key")
+  }
+
   test("tokenBudgetSelect takes the greedy best-first prefix within budget") {
     val rows = Seq(
       ("a", 1L, 10.0, 400L), ("a", 2L, 9.0, 400L), ("a", 3L, 8.0, 300L),
