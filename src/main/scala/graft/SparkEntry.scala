@@ -2171,6 +2171,31 @@ object SparkEntry {
       // Zipf-tail shuffle cut with minDf >= 2 is asserted in AnalyticsSpec
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), k = 3)),
 
+    "rolling_distinct_users" -> ((s, dir) => {
+      // MERGEABLE sketch partials — the aggregate-once-merge-many pattern
+      // incremental rollups live on at 100 TB: one corpus-sized pass builds
+      // a per-day Datasketches HLL partial, then every 7-day window unions
+      // KB-sized sketches (a |days|x7 broadcast join — the merge never
+      // rescans events). The exact rolling distinct rides the same day grid
+      // to pin the envelope per window
+      val ev = Sources.events(s, dir).select(to_date(col("ts")).as("eday"), col("user_id"))
+      val byDay = ev.groupBy(col("eday").as("day"))
+        .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+      val days = byDay.select(col("day"))
+      val est = days.alias("d").join(broadcast(byDay.alias("p")),
+          col("p.day").between(date_sub(col("d.day"), 6), col("d.day")))
+        .groupBy(col("d.day").as("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("p.sk"))).as("est"))
+      val exact = days.alias("d2").join(ev,
+          col("eday").between(date_sub(col("d2.day"), 6), col("d2.day")))
+        .groupBy(col("d2.day").as("day"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(est, Seq("day"))
+        .select(col("day").cast("string").as("day"), col("exact_users"),
+          when(abs(col("est") - col("exact_users")) <= col("exact_users") * lit(0.05),
+            lit(1L)).otherwise(lit(0L)).as("within_5pct"))
+    }),
+
     "approx_distinct" -> ((s, dir) => {
       // sketch-based distinct (HLL++) for the 100 TB path where exact
       // countDistinct's shuffle is unaffordable; the oracle pins the exact
@@ -4910,6 +4935,19 @@ object SparkEntry {
     "approx_distinct" ->
       """SELECT 'exact_custkeys' AS chk, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n FROM orders
         |UNION ALL SELECT 'approx_within_5pct', 1""".stripMargin,
+
+    // the exact rolling distinct is replayed on the same day grid; the HLL
+    // union's envelope is the stated invariant (lgK=14 ≈ 0.8% rse — 5% is
+    // a >6-sigma bound)
+    "rolling_distinct_users" ->
+      """WITH days AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS eday, user_id FROM events)
+        |SELECT CAST(d.day AS VARCHAR) AS day,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_users,
+        |  CAST(1 AS BIGINT) AS within_5pct
+        |FROM days d JOIN e ON e.eday BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        |GROUP BY d.day""".stripMargin,
 
     "bloom_prune_check" ->
       """SELECT 'orders_total' AS chk, CAST(count(*) AS BIGINT) AS n FROM orders
