@@ -1540,6 +1540,23 @@ object SparkEntry {
       Similarity.ivfTopK(assignments, model, "vec_id", "embedding", q, k = 10, nprobe = 4)
     }),
 
+    "index_purge_roundtrip" -> ((s, dir) => {
+      // the right-to-be-forgotten maintenance path END-TO-END: build the
+      // partitioned IVF layout in scratch, tombstone vec_id % 13, purge —
+      // discovery reads one column, the rewrite touches only the lists
+      // holding a tombstone, the swap is metadata — then read the layout
+      // back. Survivors must equal the Lloyd-assignment replay minus the
+      // tombstones, which is exactly what the oracle states
+      val emb = Tables.embeddings(s, dir)
+      val out = scratchDir("graft_purge") + "/index"
+      val (assignments, _) = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+      Similarity.writeIvfIndex(assignments, out)
+      val tomb = emb.select(col("vec_id")).filter(pmod(col("vec_id"), lit(13)) === 0)
+      graft.streaming.IvfIngest.purge(s, out, tomb, "vec_id"): Unit
+      s.read.parquet(out).select(col("vec_id").cast("long").as("vec_id"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    }),
+
     "pq_ann_topk" -> ((s, dir) => {
       // product quantization, the storage-side ANN endgame: 8 subspaces × 16
       // centroids trained jointly (one aggregation per Lloyd iteration),
@@ -4466,6 +4483,14 @@ object SparkEntry {
          |FROM afull a, q
          |WHERE a.cidx IN (SELECT cidx FROM probes)
          |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    // the purged layout read back must be the Lloyd replay minus the
+    // tombstoned ids — the whole maintenance path (discovery, pruned
+    // rewrite, metadata swap) collapses to this set difference
+    "index_purge_roundtrip" ->
+      s"""WITH ${sqlKmeansAssignAll()}
+         |SELECT vec_id, CAST(cidx AS BIGINT) AS centroid_id
+         |FROM afull WHERE vec_id % 13 <> 0""".stripMargin,
 
     "semantic_dedup" ->
       // replay the distributed k-means (see sqlKmeansAssignAll) then prune

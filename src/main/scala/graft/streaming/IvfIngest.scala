@@ -556,10 +556,15 @@ object IvfIngest {
     */
   def recoverRefresh(fs: FileSystem, dir: Path): Unit = {
     val staging = stagingPath(dir)
-    if (!fs.exists(staging)) return
-    if (fs.exists(new Path(staging, CompleteMarker)) ||
-      fs.exists(new Path(staging, ClearedMarker))) completeRefresh(fs, dir)
-    else fs.delete(staging, true)
+    if (fs.exists(staging)) {
+      if (fs.exists(new Path(staging, CompleteMarker)) ||
+        fs.exists(new Path(staging, ClearedMarker))) completeRefresh(fs, dir)
+      else fs.delete(staging, true)
+    }
+    // every entry point that finishes a crashed refresh also finishes a
+    // crashed purge — single-maintainer discipline means at most one of
+    // the two stagings can exist
+    recoverPurge(fs, dir)
   }
 
   /** Marker-tracked swap phases, each idempotent so a crash inside any of
@@ -603,6 +608,132 @@ object IvfIngest {
         if (fs.exists(top)) fs.delete(top, false)
         fs.rename(staged, top)
       }
+    }
+    fs.delete(staging, true)
+  }
+
+  /** What [[purge]] did: which inverted lists were rewritten, which of them
+    * came out empty (their partition directory is gone), and how many index
+    * rows the tombstones removed.
+    */
+  case class PurgeReport(
+      affectedLists: Seq[Long], emptiedLists: Seq[Long], rowsRemoved: Long)
+
+  /** Tombstone purge — the right-to-be-forgotten maintenance action: remove
+    * every index row whose id appears in `tombstones`, REWRITING ONLY THE
+    * INVERTED LISTS THAT HOLD ONE. Works unchanged on plain-IVF (float
+    * vectors) and IVF-PQ (pq_code) layouts — the purge is id-based and
+    * never touches the payload columns or either codebook (deletion does
+    * not retrain; staleness accounting is [[refreshPqIfStale]]'s job).
+    *
+    * Scale shape, in order:
+    *  1. DISCOVERY reads two columns of the index — the id column and
+    *     `centroid_id`, which is the partition VALUE, not file data — so
+    *     finding the affected lists costs a column-pruned scan, not an
+    *     index read (`ReadSchema` is the id alone);
+    *  2. the REWRITE scans only `centroid_id IN (affected)` — partition
+    *     pruning bounds it to the lists actually holding tombstoned rows
+    *     (nprobe-style: a purge of k ids touches ≤ k of nlist lists);
+    *  3. the swap is metadata: survivors build under `_purge/data`, a
+    *     marker carrying the affected-list census makes them durable, and
+    *     the promote replaces just those partition directories. A list
+    *     whose every row was tombstoned has NO staged dir — the marker's
+    *     census is what tells recovery to delete it anyway.
+    *
+    * Crash safety follows [[refresh]]'s marker discipline exactly (crash
+    * before the marker: old index intact, staging discarded; after: any
+    * entry point rolls the swap forward via [[recoverPurge]]). Re-running
+    * a finished purge is a no-op (discovery finds no affected lists).
+    */
+  def purge(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      tombstones: org.apache.spark.sql.DataFrame,
+      idCol: String): PurgeReport = {
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRefresh(fs, dir) // finishes a crashed refresh AND a crashed purge
+    val ids = tombstones.select(col(idCol)).na.drop().distinct()
+    val index = spark.read.parquet(indexDir)
+    // partition discovery may infer centroid_id as INT — keep the native
+    // values for the isin filter (a cast around the partition column would
+    // defeat the pruning this operator exists for)
+    val affectedRaw: Seq[Any] = index.select(col(idCol), col("centroid_id"))
+      .join(ids, Seq(idCol), "left_semi")
+      .select(col("centroid_id")).distinct()
+      .collect().map(_.get(0)).toIndexedSeq
+    val affected = affectedRaw.map(_.asInstanceOf[Number].longValue).sorted
+    if (affected.isEmpty) return PurgeReport(Nil, Nil, 0L)
+    val scoped = index.filter(col("centroid_id").isin(affectedRaw: _*))
+    val rowsRemoved = scoped.join(ids, Seq(idCol), "left_semi").count()
+    val survivors = scoped.join(ids, Seq(idCol), "left_anti")
+      .select(index.columns.map(col).toIndexedSeq: _*)
+    val staging = purgeStagingPath(dir)
+    fs.delete(staging, true) // a dead partial from a pre-marker crash
+    survivors.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(new Path(staging, "data").toString)
+    val emptied = {
+      val data = new Path(staging, "data")
+      affected.filterNot(k => fs.exists(new Path(data, s"centroid_id=$k")))
+    }
+    val out = fs.create(new Path(staging, PurgeCompleteMarker), true)
+    out.write(affected.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    completePurge(fs, dir)
+    PurgeReport(affected, emptied, rowsRemoved)
+  }
+
+  private val PurgeCompleteMarker = "_PURGE_COMPLETE"
+  private val PurgeClearedMarker = "_PURGE_CLEARED"
+
+  private def purgeStagingPath(dir: Path) = new Path(dir, "_purge")
+
+  /** Recover an interrupted [[purge]]: marker present → the staged
+    * survivors are the copy of record, roll the partition swap forward;
+    * no marker → dead partial build over a still-intact index, discard.
+    */
+  def recoverPurge(fs: FileSystem, dir: Path): Unit = {
+    val staging = purgeStagingPath(dir)
+    if (!fs.exists(staging)) return
+    if (fs.exists(new Path(staging, PurgeCompleteMarker)) ||
+      fs.exists(new Path(staging, PurgeClearedMarker))) completePurge(fs, dir)
+    else fs.delete(staging, true)
+  }
+
+  /** [[completeRefresh]]'s phase discipline scoped to the marker's census:
+    * CLEAR deletes exactly the listed partition dirs (marker renames to
+    * CLEARED — the transition that stops a re-entry from deleting
+    * already-promoted lists), PROMOTE moves the staged dirs up (an emptied
+    * list has none — its delete in CLEAR was the whole operation), then
+    * staging drops.
+    */
+  private def completePurge(fs: FileSystem, dir: Path): Unit = {
+    val staging = purgeStagingPath(dir)
+    val completeM = new Path(staging, PurgeCompleteMarker)
+    val clearedM = new Path(staging, PurgeClearedMarker)
+    if (!fs.exists(clearedM)) {
+      val census = {
+        val in = fs.open(completeM)
+        val bytes = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+          buf.toByteArray
+        } finally in.close()
+        new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty).map(_.toLong)
+      }
+      census.foreach { k =>
+        fs.delete(new Path(dir, s"centroid_id=$k"), true)
+      }
+      if (!fs.rename(completeM, clearedM))
+        throw new graft.GraftDataError(s"purge recovery: marker rename failed under $staging")
+    }
+    val data = new Path(staging, "data")
+    if (fs.exists(data)) fs.listStatus(data).foreach { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        if (!fs.rename(st.getPath, new Path(dir, name)))
+          throw new graft.GraftDataError(
+            s"purge recovery: promote of $name failed under $dir")
     }
     fs.delete(staging, true)
   }

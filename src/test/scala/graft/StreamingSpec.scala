@@ -1023,6 +1023,88 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("purge rewrites only the lists holding tombstones and deletes emptied ones") {
+    import graft.streaming.IvfIngest
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-purge").toString + "/index"
+    val emb = Tables.embeddings(spark, sfDir)
+    IvfIngest.ingestBatch(emb.filter($"vec_id" < 300), dir, "vec_id", "embedding",
+      nlist = 8): Unit
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val byList = spark.read.parquet(dir)
+      .select($"vec_id".cast("long"), $"centroid_id".cast("long"))
+      .as[(Long, Long)].collect().groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSet }
+    val allIds = byList.values.flatten.toSet
+    // empty out the smallest list entirely; nibble two ids off another
+    val emptiedList = byList.minBy { case (k, v) => (v.size, k) }._1
+    val partialList = byList.keys.filter(_ != emptiedList).min
+    val tomb = byList(emptiedList) ++ byList(partialList).toSeq.sorted.take(2)
+    // snapshot the untouched lists' physical files: purge must not rewrite them
+    def snapshot(): Map[String, Seq[(String, Long, Long)]] =
+      byList.keys.filterNot(k => k == emptiedList || k == partialList).map { k =>
+        val d = new Path(dir, s"centroid_id=$k")
+        s"centroid_id=$k" -> fs.listStatus(d).map(st =>
+          (st.getPath.getName, st.getLen, st.getModificationTime)).toSeq.sortBy(_._1)
+      }.toMap
+    val before = snapshot()
+    val report = IvfIngest.purge(spark, dir, tomb.toSeq.toDF("vec_id"), "vec_id")
+    assert(report.affectedLists.toSet == Set(emptiedList, partialList))
+    assert(report.emptiedLists == Seq(emptiedList))
+    assert(report.rowsRemoved == tomb.size)
+    assert(!fs.exists(new Path(dir, s"centroid_id=$emptiedList")),
+      "a fully-tombstoned list's partition directory must disappear")
+    assert(snapshot() == before, "unaffected lists must stay bit-identical")
+    val left = spark.read.parquet(dir).select($"vec_id".cast("long"))
+      .as[Long].collect().toSet
+    assert(left == allIds -- tomb)
+    // probing with a purged vector's own embedding never returns it
+    val victim = tomb.head
+    val q = emb.filter($"vec_id" === victim).select("embedding").head().getSeq[Float](0).toArray
+    val top = IvfIngest.probe(spark, dir, "vec_id", "embedding", q, k = 10, nprobe = 8)
+    assert(!top.collect().map(_.getLong(0)).contains(victim))
+    // purge is idempotent: a re-run finds nothing to do
+    val again = IvfIngest.purge(spark, dir, tomb.toSeq.toDF("vec_id"), "vec_id")
+    assert(again.affectedLists.isEmpty && again.rowsRemoved == 0L)
+    // and it refuses nothing on the PQ layout: same id-based path
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-purge-pq").toString + "/index"
+    IvfIngest.ingestPqBatch(emb.filter($"vec_id" < 200), pqDir, "vec_id", "embedding",
+      dim = 64): Unit
+    val pqBefore = spark.read.parquet(pqDir).count()
+    val pqReport = IvfIngest.purge(spark, pqDir,
+      Seq(3L, 77L, 123L).toDF("vec_id"), "vec_id")
+    assert(pqReport.rowsRemoved == 3L)
+    assert(spark.read.parquet(pqDir).count() == pqBefore - 3)
+  }
+
+  test("a crashed purge rolls forward from the marker at the next entry point") {
+    import graft.streaming.IvfIngest
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-purge-crash").toString + "/index"
+    val emb = Tables.embeddings(spark, sfDir)
+    IvfIngest.ingestBatch(emb.filter($"vec_id" < 200), dir, "vec_id", "embedding",
+      nlist = 4): Unit
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index = spark.read.parquet(dir)
+    val target = index.select($"centroid_id".cast("long")).as[Long].head()
+    val survivors = index.filter($"centroid_id" === target && pmod($"vec_id", lit(2)) === 0)
+    val keep = survivors.select($"vec_id".cast("long")).as[Long].collect().toSet
+    val others = index.filter($"centroid_id" =!= target)
+      .select($"vec_id".cast("long")).as[Long].collect().toSet
+    // stage the post-purge copy of record by hand and crash BEFORE the swap:
+    // data + marker are durable, the old partition dir still holds every row
+    val staging = new Path(dir, "_purge")
+    survivors.select(index.columns.map(col).toIndexedSeq: _*)
+      .write.partitionBy("centroid_id").parquet(new Path(staging, "data").toString)
+    val out = fs.create(new Path(staging, "_PURGE_COMPLETE"), true)
+    out.write(target.toString.getBytes("UTF-8")); out.close()
+    // any entry point finishes the swap — a probe is enough
+    val q = emb.filter($"vec_id" === 10).select("embedding").head().getSeq[Float](0).toArray
+    IvfIngest.probe(spark, dir, "vec_id", "embedding", q, k = 3, nprobe = 4): Unit
+    assert(!fs.exists(staging), "recovery must consume the staging")
+    val after = spark.read.parquet(dir).select($"vec_id".cast("long")).as[Long].collect().toSet
+    assert(after == keep ++ others, "the staged survivors replace the listed partition")
+  }
+
   test("growth-ratio staleness trigger fires past the training census and refresh resets it") {
     import graft.streaming.IvfIngest
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stale").toString + "/index"
