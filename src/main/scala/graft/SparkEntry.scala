@@ -1423,6 +1423,24 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    "corpus_purge_roundtrip" -> ((s, dir) => {
+      // the GDPR path over the real gated corpus: ingest one batch through
+      // the table-form exact gate (within-batch dedup keeps the smallest id
+      // per content), purge the doc_id % 14 tombstones — manifest-committed
+      // data rewrite, shard-pruned key deletion, meta re-stamp — and read
+      // the corpus back. What survives is pure set algebra the oracle
+      // restates
+      val corpus = scratchDir("graft_gdpr") + "/corpus"
+      val batch = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+      graft.streaming.Streaming.ingestBatch(batch, corpus, "doc_id", Seq("text"),
+        sidecarMaxBytes = Some(0L)): Unit
+      val tomb = batch.select(col("doc_id")).filter(pmod(col("doc_id"), lit(14)) === 0)
+      graft.streaming.Streaming.purgeCorpus(s, corpus, tomb, "doc_id", Seq("text")): Unit
+      s.read.parquet(corpus).select(col("doc_id"), col("lang"))
+    }),
+
     "incremental_minhash_dedup" -> ((s, dir) => {
       // NEAR-dup ingestion gate (the exact gate's re-crawl hole closed):
       // band-key bloom probe prunes the batch, (band, bucket) equi-join +
@@ -4093,6 +4111,16 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM documents c
         |  WHERE c.doc_id % 7 <> 0 AND md5(c.text) = md5(b.text))""".stripMargin,
+
+    // gated admission (keep-first per content) minus the tombstones — the
+    // purge's manifest rewrite, key deletion and re-stamp all collapse to
+    // this set difference
+    "corpus_purge_roundtrip" ->
+      """WITH batch AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 7 = 0),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY md5(text))
+        |SELECT b.doc_id, b.lang FROM batch b JOIN keep k ON b.doc_id = k.doc_id
+        |WHERE b.doc_id % 14 <> 0""".stripMargin,
 
     // near-dup gate invariants: the LSH pruning uses xxhash kernels DuckDB
     // cannot replay, so the oracle states each check's guaranteed value as

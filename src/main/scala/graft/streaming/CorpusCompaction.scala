@@ -80,6 +80,45 @@ object CorpusCompaction {
     }
   }
 
+  /** Whole-data rewrite under the SAME manifest roll-forward commit as
+    * [[compact]]: read every data file, apply `transform`, stage the
+    * result, then retire the originals atomically-enough (the manifest is
+    * the commit point; [[recover]] finishes a crashed commit). The
+    * sidecar dirs (underscore-prefixed) are untouched — which is the whole
+    * reason this is not a directory swap. Unlike compaction this is a
+    * corpus-sized pass; it exists for the rare explicit maintenance
+    * actions (tombstone purges) — batch them.
+    *
+    * Returns false (and does nothing) on an empty corpus. Callers that
+    * derive state from the PRE-rewrite corpus must materialize it first:
+    * the commit deletes the files a lazy plan would re-read.
+    */
+  def rewrite(
+      spark: SparkSession,
+      fs: FileSystem,
+      corpusDir: Path)(transform: org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.DataFrame): Boolean = {
+    recover(fs, corpusDir)
+    val files = fs.listStatus(corpusDir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (files.isEmpty) false
+    else {
+      val staging = stagingDir(corpusDir)
+      fs.delete(staging, true)
+      val dataDir = new Path(staging, "data")
+      transform(spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*))
+        .write.mode("overwrite").parquet(dataDir.toString)
+      val man = fs.create(manifestPath(corpusDir), true)
+      try man.write(files.map(_.getPath.getName).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally man.close()
+      commit(fs, corpusDir)
+      true
+    }
+  }
+
   private def commit(fs: FileSystem, corpusDir: Path): Unit = {
     val staging = stagingDir(corpusDir)
     val man = manifestPath(corpusDir)

@@ -183,6 +183,59 @@ object KeyTableSidecar {
   def load(spark: SparkSession, corpusDir: Path, name: String = BandName): DataFrame =
     spark.read.parquet(dir(corpusDir, name).toString)
 
+  /** Remove `keys` (one BIGINT column `__k`) from the table, rewriting
+    * ONLY the shards they hash into — the affected set derives from the
+    * keys themselves (shard = k mod nShards), so discovery costs nothing
+    * and the rewrite prunes to the touched shard directories. Returns the
+    * number of key rows removed (append-replay duplicates of a key all
+    * leave together).
+    *
+    * Crash safety rides the caller's meta ordering, not markers: the
+    * stages here are write-survivors-then-swap-dirs, and a crash at any
+    * point leaves some shards old and some rewritten — which is FINE,
+    * because the gate's meta (with its fresh corpus stamp) only swaps in
+    * after this returns; until then readers see a stale stamp and fall
+    * back to a one-scan rebuild. Note the correctness asymmetry with
+    * [[compact]]: compaction must never LOSE a key; a purge must never
+    * UNDER-delete one whose content left the corpus — the caller
+    * guarantees the key set it passes has no surviving holder (a key a
+    * survivor still produces must NOT be in `keys`: the gate admits
+    * probe-negative rows without the exact confirm, so over-deletion
+    * re-admits duplicate content).
+    */
+  def purgeKeys(spark: SparkSession, fs: FileSystem, corpusDir: Path,
+      keys: DataFrame, nShards: Int, name: String = BandName): Long = {
+    val d = dir(corpusDir, name)
+    if (!fs.exists(d)) return 0L
+    val wanted = keys.select(col("__k")).na.drop().distinct()
+    val affected = wanted
+      .select(pmod(col("__k"), lit(nShards.toLong)).cast("int").as("__shard"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val present = affected.filter(s => fs.exists(new Path(d, s"__shard=$s")))
+    if (present.isEmpty) return 0L
+    val table = load(spark, corpusDir, name)
+    val scoped = table.filter(col("__shard").isin(present.map(Int.box): _*))
+    val removed = scoped.join(wanted, Seq("__k"), "left_semi").count()
+    if (removed == 0L) return 0L
+    val staging = new Path(d, "_purge_stage")
+    fs.delete(staging, true)
+    // same spread policy as a rebuild: a big shard rewrites across
+    // several tasks, not one monolithic coalesce
+    clusterByShard(scoped.join(wanted, Seq("__k"), "left_anti")
+      .select(col("__shard"), col("__k")), subSplits = 8)
+      .write.partitionBy("__shard").parquet(new Path(staging, "data").toString)
+    present.foreach { s =>
+      val top = new Path(d, s"__shard=$s")
+      fs.delete(top, true)
+      val staged = new Path(new Path(staging, "data"), s"__shard=$s")
+      if (fs.exists(staged) && !fs.rename(staged, top))
+        throw new graft.GraftDataError(
+          s"key purge: promote of __shard=$s failed under $d")
+    }
+    fs.delete(staging, true)
+    removed
+  }
+
   /** Bound each shard's file count: a shard that accretes more than
     * `maxFilesPerShard` part files (one tiny file per touched shard per
     * micro-batch) has its SMALL tier — files under `tierBytes` — rewritten

@@ -673,6 +673,93 @@ object Streaming {
     }
   }
 
+  /** What [[purgeCorpus]] did, for callers and specs: corpus rows removed,
+    * content keys deleted from the table sidecar (0 when the gate runs in
+    * bloom mode), and whether a bloom sidecar was retired.
+    */
+  final case class CorpusPurgeStats(
+      rowsRemoved: Long, keysDeleted: Long, bloomRetired: Boolean)
+
+  /** Tombstone purge of a continuously-ingested corpus — the
+    * right-to-be-forgotten action over [[ingestBatch]]'s whole state:
+    *
+    *  1. the corpus data files rewrite minus the tombstoned ids under
+    *     [[CorpusCompaction.rewrite]]'s manifest roll-forward (the sidecar
+    *     dirs inside the corpus are untouched — this is NOT a directory
+    *     swap);
+    *  2. the content-key TABLE sidecar drops exactly the keys that leave
+    *     WITH the tombstoned rows, via [[KeyTableSidecar.purgeKeys]]'
+    *     shard-pruned rewrite, and its meta re-stamps against the
+    *     rewritten corpus — so the gate stays LIVE across the purge (the
+    *     next batch pays no rebuild scan). The key set is computed
+    *     precisely: a key a surviving duplicate still produces is KEPT,
+    *     because the gate admits probe-negative rows without the exact
+    *     confirm — over-deleting would re-admit content the corpus still
+    *     holds;
+    *  3. a content BLOOM sidecar is retired instead (blooms cannot
+    *     delete) — the next batch's stale-stamp dispatch rebuilds
+    *     whichever form fits the budget from the purged corpus. This
+    *     asymmetry is the operational argument for the table form beyond
+    *     driver-memory limits: it is also the only GDPR-capable one.
+    *
+    * Any OTHER gate's sidecars over the same corpus (the near-dup band
+    * keys, the fingerprint gate) self-heal the same way the bloom does:
+    * their metas stamp the corpus files, the rewrite changes the stamp,
+    * the next batch rebuilds in one scan.
+    *
+    * Scale shape: one corpus-sized read feeding both the survivor rewrite
+    * and the two key aggregations (the leaving-key set is
+    * removed-minus-survivor-held, with the survivor side pruned to the
+    * removed keys by a broadcast semi-join), then metadata-sized swaps.
+    * Corpus-sized, so batch tombstones — GDPR queues flush on a cadence,
+    * not per request.
+    */
+  def purgeCorpus(
+      spark: SparkSession,
+      corpusDir: String,
+      tombstones: DataFrame,
+      idCol: String,
+      contentCols: Seq[String]): CorpusPurgeStats = {
+    val target = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CorpusCompaction.recover(fs, target)
+    val Dedup = graft.operators.Dedup
+    val key = Dedup.contentBloomKey(contentCols)
+    val ids = tombstones.select(col(idCol)).na.drop().distinct()
+      .transform(Checkpointing.materialize)
+    val corpus = spark.read.parquet(corpusDir)
+    // every pre-rewrite derivation materializes BEFORE the rewrite retires
+    // the files a lazy plan would try to re-read
+    val removedKeys = corpus.join(ids, Seq(idCol), "left_semi")
+      .select(key.as("__k")).distinct()
+      .transform(Checkpointing.materialize)
+    val stillHeld = corpus.join(ids, Seq(idCol), "left_anti")
+      .select(key.as("__k"))
+      .join(broadcast(removedKeys), Seq("__k"), "left_semi").distinct()
+    val leaving = removedKeys.join(stillHeld, Seq("__k"), "left_anti")
+      .transform(Checkpointing.materialize)
+    val rowsRemoved = corpus.join(ids, Seq(idCol), "left_semi").count()
+    if (rowsRemoved == 0L) return CorpusPurgeStats(0L, 0L, bloomRetired = false)
+    CorpusCompaction.rewrite(spark, fs, target)(
+      _.join(ids, Seq(idCol), "left_anti")): Unit
+    val TableName = KeyTableSidecar.ContentName
+    val keysDeleted = KeyTableSidecar.readMeta(fs, target, TableName) match {
+      case Some(meta) =>
+        val n = KeyTableSidecar.purgeKeys(spark, fs, target, leaving,
+          meta.nShards, TableName)
+        // fresh stamp LAST: only now is the purged table the live gate
+        KeyTableSidecar.writeMeta(fs, target,
+          KeyTableMeta(meta.nShards, math.max(0L, meta.keyCount - n),
+            BloomSidecar.filesStamp(fs, target)), TableName)
+        n
+      case None => 0L
+    }
+    val bloomPath = BloomSidecar.path(target, BloomSidecar.ContentName)
+    val bloomRetired = fs.exists(bloomPath)
+    if (bloomRetired) fs.delete(bloomPath, false)
+    CorpusPurgeStats(rowsRemoved, keysDeleted, bloomRetired)
+  }
+
   /** Continuous NEAR-duplicate ingestion: [[ingestDedupStream]]'s exact gate
     * upgraded to MinHash-LSH — a re-crawled page with one changed byte is an
     * exact-gate miss but a near-dup hit, so an ingestion pipeline that only

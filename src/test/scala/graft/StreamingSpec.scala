@@ -513,6 +513,58 @@ class StreamingSpec extends SparkTestBase {
       Set(1L, 2L, 3L, 4L))
   }
 
+  test("purgeCorpus forgets tombstoned docs and keeps the table gate live across the purge") {
+    import graft.streaming.{BloomSidecar, KeyTableSidecar}
+    val corpus = java.nio.file.Files.createTempDirectory("graft-gdpr").toString + "/corpus"
+    val tiny = Some(0L) // content-key table form from batch one
+    Streaming.ingestBatch(
+      Seq((1L, "erase me"), (2L, "keep me"), (3L, "shared text")).toDF("doc_id", "text"),
+      corpus, "doc_id", Seq("text"), sidecarMaxBytes = tiny): Unit
+    Streaming.ingestBatch(Seq((4L, "also stays")).toDF("doc_id", "text"),
+      corpus, "doc_id", Seq("text"), sidecarMaxBytes = tiny): Unit
+    val stats = Streaming.purgeCorpus(spark, corpus,
+      Seq(1L, 3L).toDF("doc_id"), "doc_id", Seq("text"))
+    assert(stats.rowsRemoved == 2 && stats.keysDeleted == 2 && !stats.bloomRetired, s"$stats")
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet ==
+      Set(2L, 4L))
+    // the shard-pruned key purge + meta re-stamp kept the gate LIVE: the
+    // next batch pays no rebuild scan
+    val s3 = Streaming.ingestBatch(Seq((5L, "fresh thing")).toDF("doc_id", "text"),
+      corpus, "doc_id", Seq("text"), sidecarMaxBytes = tiny)
+    assert(s3.admitted == 1 && s3.corpusScans == 0 && !s3.rebuiltBloom, s"live gate: $s3")
+    // the GDPR property: forgotten content is re-admittable...
+    val s4 = Streaming.ingestBatch(Seq((6L, "erase me")).toDF("doc_id", "text"),
+      corpus, "doc_id", Seq("text"), sidecarMaxBytes = tiny)
+    assert(s4.admitted == 1, s"forgotten content must re-admit: $s4")
+    // ...while surviving content still gates
+    val s5 = Streaming.ingestBatch(Seq((7L, "keep me")).toDF("doc_id", "text"),
+      corpus, "doc_id", Seq("text"), sidecarMaxBytes = tiny)
+    assert(s5.admitted == 0, s"surviving content must still gate: $s5")
+    // purging ids that are not there is a no-op
+    val noop = Streaming.purgeCorpus(spark, corpus,
+      Seq(99L).toDF("doc_id"), "doc_id", Seq("text"))
+    assert(noop == Streaming.CorpusPurgeStats(0L, 0L, bloomRetired = false))
+
+    // bloom-mode corpus: blooms cannot delete, so the purge retires the
+    // sidecar and the next batch rebuilds from the purged corpus
+    val corpus2 = java.nio.file.Files.createTempDirectory("graft-gdpr-b").toString + "/corpus"
+    Streaming.ingestBatch(
+      Seq((1L, "erase me"), (2L, "keep me")).toDF("doc_id", "text"),
+      corpus2, "doc_id", Seq("text")): Unit
+    val target2 = new org.apache.hadoop.fs.Path(corpus2)
+    val fs2 = target2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(BloomSidecar.read(fs2, target2, BloomSidecar.ContentName).isDefined)
+    val stats2 = Streaming.purgeCorpus(spark, corpus2,
+      Seq(1L).toDF("doc_id"), "doc_id", Seq("text"))
+    assert(stats2 == Streaming.CorpusPurgeStats(1L, 0L, bloomRetired = true), s"$stats2")
+    val r1 = Streaming.ingestBatch(Seq((3L, "erase me")).toDF("doc_id", "text"),
+      corpus2, "doc_id", Seq("text"))
+    assert(r1.admitted == 1 && r1.rebuiltBloom && r1.corpusScans == 1,
+      s"bloom mode degrades to one rebuild scan then re-admits: $r1")
+    assert(spark.read.parquet(corpus2).select("doc_id").as[Long].collect().toSet ==
+      Set(2L, 3L))
+  }
+
   test("ingestNearDupBatch table sidecar: same gate past the bloom's byte budget, replay-idempotent") {
     import graft.streaming.{BloomSidecar, KeyTableSidecar}
     def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
