@@ -306,6 +306,50 @@ object Sinks {
     }
   }
 
+  /** Delete tombstoned documents from the published SHARDED text-corpus
+    * layout. In a file-per-document exchange format, deletion IS metadata:
+    * each id maps to exactly one `shard=pmod(xxhash64(id), nShards)/<name>`
+    * path ([[TextCorpusLayout.fileName]]), so a purge of k tombstones
+    * unlinks k files and no byte of any surviving document moves —
+    * contrast the parquet corpus, where a purge is a data rewrite under
+    * the compaction manifest ([[graft.streaming.Streaming.purgeCorpus]]).
+    * Executor-side: ids group by shard (bounded task count), each task
+    * unlinks its shard's files. `nShards` must be the count the corpus
+    * was WRITTEN with — any other modulus looks for files in the wrong
+    * shard dirs and silently deletes nothing.
+    *
+    * Runs against the published root in place: every delete is a point
+    * operation on one file, any prefix of them is a valid corpus, and a
+    * re-run finishes the rest — absent ids count out rather than error
+    * (idempotent replay). Returns the number of files actually removed.
+    */
+  def purgeTextCorpus(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String, nShards: Int): Long = {
+    require(nShards > 0, "the sharded layout is the purgeable one (nShards > 0)")
+    val rootStr = new org.apache.hadoop.fs.Path(path).toString
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val targets = ids.select(col(idCol).cast("string").as("__id")).na.drop().distinct()
+      .select(col("__id"),
+        pmod(xxhash64(col("__id")), lit(nShards.toLong)).as("__shard"))
+      .repartition(math.min(nShards, 64), col("__shard"))
+    val removedPerTask = targets.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val root = new org.apache.hadoop.fs.Path(rootStr)
+        val fs = root.getFileSystem(conf.value)
+        var n = 0L
+        it.foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(root,
+            s"shard=${r.getLong(1)}/${TextCorpusLayout.fileName(r.getString(0))}")
+          if (fs.delete(p, false)) n += 1
+        }
+        Iterator.single(n)
+      }
+    }(org.apache.spark.sql.Encoders.scalaLong)
+    removedPerTask.toDF("n")
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+  }
+
   /** Bucketed table write: co-locates rows by key so joins and aggregations
     * between tables bucketed on the same key by the same count plan WITHOUT
     * a shuffle — pre-paying the exchange once at write time, the right trade

@@ -356,6 +356,37 @@ class PipelineSinksSpec extends SparkTestBase {
     assert(leftovers.isEmpty, s"publish left $leftovers")
   }
 
+  test("sharded text corpus purge unlinks exactly the tombstoned files, metadata-only") {
+    import graft.sinks.{Sinks, TextCorpusLayout}
+    import graft.sources.Sources
+    val dir = java.nio.file.Files.createTempDirectory("graft-textpurge").toString + "/corpus"
+    val ids = Seq("a", "b", "Doc1", "has space", "keep.me", "7")
+    val docs = ids.map(id => (id, s"body of $id")).toDF("k", "text")
+    Sinks.writeTextCorpus(docs, dir, "k", "text", nShards = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileStats(): Map[String, (Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+        .flatMap(d => fs.listStatus(d.getPath))
+        .map(st => st.getPath.toString -> (st.getLen, st.getModificationTime)).toMap
+    val before = fileStats()
+    // tombstone a safe id, a hex-encoded one, and an absent one
+    val removed = Sinks.purgeTextCorpus(spark, dir,
+      Seq("b", "has space", "ghost").toDF("k"), "k", nShards = 4)
+    assert(removed == 2L, s"two of the three tombstones exist: $removed")
+    assert(Sources.textCorpus(spark, dir, "k", "text")
+      .as[(String, String)].collect().map(_._1).toSet ==
+      Set("a", "Doc1", "keep.me", "7"))
+    // metadata-only: every surviving file is untouched (same length, mtime)
+    val gone = Set("b", "has space").map(TextCorpusLayout.fileName)
+    assert(fileStats() == before.filterNot { case (p, _) =>
+      gone.exists(p.endsWith) })
+    // idempotent replay: nothing left to remove
+    assert(Sinks.purgeTextCorpus(spark, dir,
+      Seq("b", "ghost").toDF("k"), "k", nShards = 4) == 0L)
+  }
+
   test("corpus publish crash windows roll FORWARD or BACK, never orphan the only copy") {
     import graft.sinks.Sinks
     import graft.sources.Sources
