@@ -2210,20 +2210,25 @@ object SparkEntry {
       // MERGEABLE sketch partials — the aggregate-once-merge-many pattern
       // incremental rollups live on at 100 TB: one corpus-sized pass builds
       // a per-day Datasketches HLL partial, then every 7-day window unions
-      // KB-sized sketches (a |days|x7 broadcast join — the merge never
-      // rescans events). The exact rolling distinct rides the same day grid
-      // to pin the envelope per window
+      // KB-sized sketches — the merge never rescans events. Both rails use
+      // the bounded-expansion rewrite (a day serves exactly the <=7 window
+      // anchors in [day, day+6], emitted via explode(sequence) and
+      // EQUI-joined to the day grid) instead of a BETWEEN range join: the
+      // range form plans a cartesian/nested-loop, the expansion is a plain
+      // hash shuffle with a fixed 7x fanout on KB-sized partials
       val ev = Sources.events(s, dir).select(to_date(col("ts")).as("eday"), col("user_id"))
       val byDay = ev.groupBy(col("eday").as("day"))
         .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
-      val days = byDay.select(col("day"))
-      val est = days.alias("d").join(broadcast(byDay.alias("p")),
-          col("p.day").between(date_sub(col("d.day"), 6), col("d.day")))
-        .groupBy(col("d.day").as("day"))
-        .agg(hll_sketch_estimate(hll_union_agg(col("p.sk"))).as("est"))
-      val exact = days.alias("d2").join(ev,
-          col("eday").between(date_sub(col("d2.day"), 6), col("d2.day")))
-        .groupBy(col("d2.day").as("day"))
+      val days = byDay.select(col("day").as("wday"))
+      val est = byDay
+        .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"), col("sk"))
+        .join(days, "wday") // keep only anchors that are real event days
+        .groupBy(col("wday").as("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev
+        .select(explode(sequence(col("eday"), date_add(col("eday"), 6))).as("wday"), col("user_id"))
+        .join(days, "wday")
+        .groupBy(col("wday").as("day"))
         .agg(countDistinct(col("user_id")).as("exact_users"))
       exact.join(est, Seq("day"))
         .select(col("day").cast("string").as("day"), col("exact_users"),
