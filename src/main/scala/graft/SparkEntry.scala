@@ -2735,6 +2735,51 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("value"))
         .write.parquet(s"$root/v2")
       s.read.option("mergeSchema", "true").parquet(s"$root/v1", s"$root/v2")
+    }),
+
+    "bm25_topk" -> ((s, dir) => {
+      // batch keyword retrieval: BM25 top-10 per query over the document
+      // corpus. The corpus-side work is one tokenize+explode semi-joined
+      // to the broadcast query-term dictionary before any shuffle; scoring
+      // uses the log-free rational idf so the DuckDB oracle matches to the
+      // bit (see Retrieval Scaladoc)
+      import s.implicits._
+      val queries = Seq(
+        (0L, "spark join performance"),
+        (1L, "window agg order"),
+        (2L, "hash table scan")).toDF("query_id", "qtext")
+      operators.Retrieval.bm25TopK(
+        Tables.documents(s, dir), "doc_id", "text", queries, k = 10)
+    }),
+
+    "hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: BM25 keyword ranks fused with brute-force cosine
+      // ranks by reciprocal-rank fusion (1/(60+rank) each side). Both
+      // inputs are k-sized ranked lists, so the fusion join is trivially
+      // broadcast at any corpus scale; doc 7's own text+embedding is the
+      // query, so both rails share one ground truth
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val qtext = docs.filter(col("doc_id") === 7)
+        .select(col("text")).head().getString(0)
+      val bm = operators.Retrieval.bm25TopK(
+          docs, "doc_id", "text",
+          Seq((0L, qtext)).toDF("query_id", "qtext"), k = 30)
+        .select(col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val cos = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, k = 30)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      operators.Retrieval.rrfFuse(bm, cos)
+        .select(col("doc_id"),
+          coalesce(col("rank_a"), lit(0L)).cast("long").as("bm25_rank"),
+          coalesce(col("rank_b"), lit(0L)).cast("long").as("cos_rank"),
+          col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
     })
   )
 
@@ -2766,6 +2811,43 @@ object SparkEntry {
   /** Word-token list, mirroring [[TextAnalysis.tokens]]. */
   private val sqlToks: String =
     "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  /** BM25 CTE chain mirroring [[operators.Retrieval.bm25TopK]] shape for
+    * shape (rational idf, k1=1.2, b=0.75): yields `ranked(query_id, doc_id,
+    * score, rank)`. `qSource` must be a CTE body producing
+    * `(query_id, qtext)`. Every double op (sub/add/mul/div) appears in the
+    * same association order as the Spark expression, and the per-(query,
+    * doc) term sum is `list_sum(list(s ORDER BY term))` — the sequential
+    * fold the Spark side replays via `aggregate(sort_array(...))`.
+    */
+  private def sqlBm25(qSource: String): String =
+    s"""q AS ($qSource),
+       |btoks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+       |blens AS (SELECT doc_id, len(t) AS dl FROM btoks),
+       |bn AS (SELECT count(*) AS n_docs,
+       |  CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl FROM btoks),
+       |bqt AS (SELECT DISTINCT query_id,
+       |  unnest(regexp_extract_all(lower(qtext), '[a-z0-9]+')) AS term FROM q),
+       |bpost AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS term FROM btoks) p
+       |  JOIN (SELECT DISTINCT term FROM bqt) d USING (term)
+       |  GROUP BY doc_id, term),
+       |bdfs AS (SELECT term, count(*) AS df FROM bpost GROUP BY term),
+       |bscored AS (
+       |  SELECT bqt.query_id, bpost.doc_id, bpost.term,
+       |    ((CAST(bn.n_docs - bdfs.df AS DOUBLE) + 0.5) /
+       |      (CAST(bdfs.df AS DOUBLE) + 0.5)) *
+       |    ((CAST(bpost.tf AS DOUBLE) * (1.2 + 1.0)) /
+       |      (CAST(bpost.tf AS DOUBLE) +
+       |        1.2 * (1.0 - 0.75 + 0.75 * (CAST(blens.dl AS DOUBLE) / bn.avgdl)))) AS s
+       |  FROM bpost JOIN bqt USING (term) JOIN bdfs USING (term)
+       |    JOIN blens USING (doc_id), bn),
+       |bsummed AS (SELECT query_id, doc_id,
+       |  list_sum(list(s ORDER BY term)) AS score FROM bscored GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, doc_id, score,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS rank FROM bsummed)""".stripMargin
 
   /** Shared rare-shingle candidate space (mirrors
     * [[operators.Dedup]]'s `rareShinglePostings`): 5-token shingles with
@@ -5297,6 +5379,34 @@ object SparkEntry {
         |  min(m.mad) AS mad,
         |  CAST(sum(CASE WHEN d.dv > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad m ON m.g = d.g
-        |GROUP BY d.g""".stripMargin
+        |GROUP BY d.g""".stripMargin,
+
+    "bm25_topk" ->
+      s"""WITH ${sqlBm25(
+             """SELECT * FROM (VALUES (0, 'spark join performance'),
+               |  (1, 'window agg order'), (2, 'hash table scan'))
+               |  AS v(query_id, qtext)""".stripMargin)}
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |  CAST(rank AS BIGINT) AS rank, score
+         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "hybrid_rrf" ->
+      s"""WITH ${sqlBm25(
+             "SELECT 0 AS query_id, text AS qtext FROM documents WHERE doc_id = 7")},
+         |bmr AS (SELECT doc_id, rank FROM ranked WHERE rank <= 30),
+         |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),
+         |cosr AS (
+         |  SELECT vec_id AS doc_id,
+         |    row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+         |  FROM (SELECT e.vec_id, ${sqlCos("e.embedding", "qv.v")} AS score
+         |        FROM embeddings e, qv
+         |        ORDER BY score DESC, e.vec_id LIMIT 30) t)
+         |SELECT COALESCE(bmr.doc_id, cosr.doc_id) AS doc_id,
+         |  CAST(COALESCE(bmr.rank, 0) AS BIGINT) AS bm25_rank,
+         |  CAST(COALESCE(cosr.rank, 0) AS BIGINT) AS cos_rank,
+         |  COALESCE(1.0 / (60.0 + CAST(bmr.rank AS DOUBLE)), 0.0) +
+         |    COALESCE(1.0 / (60.0 + CAST(cosr.rank AS DOUBLE)), 0.0) AS rrf
+         |FROM bmr FULL OUTER JOIN cosr ON bmr.doc_id = cosr.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   )
 }
