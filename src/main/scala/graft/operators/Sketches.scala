@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct sketches: the mergeable sketch family
+  * that — unlike HLL — supports SET INTERSECTION estimates, the "audience
+  * overlap" question (how many users are in segment A AND segment B)
+  * that exact `count(distinct)` answers only with a full co-shuffle of
+  * both segments.
+  *
+  * Hash space: `xxhash64 >>> 11` — a uniform 53-bit non-negative long, so
+  * ordering is plain signed-long order and `h * 2^-53` is an exact double
+  * in [0, 1). A sketch is the k smallest distinct hash values, ascending.
+  *
+  * Scale shape: the aggregator's buffer is bounded (≤ 4k longs), so the
+  * map-side partial reduces every partition to ≤ k values BEFORE the
+  * shuffle; merging two sketches is `k smallest of the union` — partials
+  * combine associatively anywhere in the tree, and the final k-long
+  * sketches are driver-sized by construction (that is the point of a
+  * sketch: the 100 TB scan produces KB of mergeable state).
+  *
+  * Estimators (Beyer et al., "On Synopses for Distinct-Value Estimation
+  * Under Multiset Operations", SIGMOD'07):
+  *   - distinct:  n < k  → exact n;  else  (k-1) / u_k
+  *   - union:     estimate of `k smallest of A ∪ B`
+  *   - intersect: (|{h ∈ merged : h ∈ A ∧ h ∈ B}| / |merged|) · union_est
+  */
+object Sketches {
+
+  /** The 53-bit KMV hash of a column (uniform non-negative long). */
+  def kmvHash(c: Column): Column = shiftrightunsigned(xxhash64(c), 11)
+
+  /** Bounded k-minimum-values aggregator over already-hashed longs.
+    * Deduping inside `best` keeps the sketch a SET under hash collisions
+    * and duplicate inputs, which multiset KMV estimation requires.
+    */
+  class MinKAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    private def best(xs: Seq[Long]): Seq[Long] = xs.distinct.sorted.take(k)
+    override def zero: Seq[Long] = Vector.empty
+    override def reduce(buf: Seq[Long], h: Long): Seq[Long] = {
+      val appended = buf :+ h
+      if (appended.length > 4 * k) best(appended) else appended
+    }
+    override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] = best(b1 ++ b2)
+    override def finish(buf: Seq[Long]): Seq[Long] = best(buf)
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Per-group KMV sketch of `keyCol`: `(group, kmv array<long> asc)`.
+    * One shuffle (the groupBy), k-bounded partials on the map side.
+    */
+  def sketch(df: DataFrame, groupCol: String, keyCol: String, k: Int): DataFrame = {
+    val minK = udaf(new MinKAgg(k), Encoders.scalaLong)
+    df.groupBy(col(groupCol))
+      .agg(minK(kmvHash(col(keyCol))).as("kmv"))
+  }
+
+  private val TwoPow53 = (1L << 53).toDouble
+
+  /** Distinct estimate from a sketch (exact below saturation). */
+  def estimate(hs: Seq[Long], k: Int): Double =
+    if (hs.size < k) hs.size.toDouble
+    else (k - 1).toDouble / (hs.last.toDouble / TwoPow53)
+
+  // ----- in-plan forms over sketch array columns (built-ins only, so the
+  // ----- whole estimate pipeline stays one lazy codegen'd plan; these must
+  // ----- stay bitwise-equal to the driver-side Seq forms above/below,
+  // ----- which SketchesSpec pins)
+
+  /** In-plan [[estimate]]: a sketch column (array<long> asc) → double. */
+  def estimateCol(s: Column, k: Int): Column =
+    when(size(s) < k, size(s).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / (get(s, lit(k - 1)).cast("double") / lit(TwoPow53)))
+
+  /** In-plan [[merge]]: k smallest of the deduped union of two sketches. */
+  def mergeCol(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** In-plan union-cardinality estimate of two sketches of the same k. */
+  def unionEstCol(a: Column, b: Column, k: Int): Column =
+    estimateCol(mergeCol(a, b, k), k)
+
+  /** In-plan intersection-cardinality estimate (Beyer et al. ratio form):
+    * the fraction of the merged sketch present in BOTH inputs, scaled by
+    * the union estimate. Exact when neither sketch is saturated.
+    */
+  def intersectEstCol(a: Column, b: Column, k: Int): Column = {
+    val m = mergeCol(a, b, k)
+    val matches = size(array_intersect(m, array_intersect(a, b)))
+    when(size(m) === 0, lit(0.0))
+      .otherwise(matches.cast("double") / size(m).cast("double") * estimateCol(m, k))
+  }
+
+  /** Merge two sketches: k smallest of the deduped union. */
+  def merge(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  /** (union_est, intersection_est) for two sketches of the same k. */
+  def overlap(a: Seq[Long], b: Seq[Long], k: Int): (Double, Double) = {
+    val m = merge(a, b, k)
+    val unionEst = estimate(m, k)
+    if (m.isEmpty) return (0.0, 0.0)
+    val aSet = a.toSet
+    val bSet = b.toSet
+    val matches = m.count(h => aSet(h) && bSet(h))
+    (unionEst, matches.toDouble / m.size * unionEst)
+  }
+}

@@ -21,6 +21,7 @@ class PlanGuardSpec extends SparkTestBase {
     "vocab_coverage" -> "1-row vocab-size scalar broadcast",
     "dsir_select" -> "1-row bucket-totals scalar crossed into the <=1024-row model",
     "bloom_prune_check" -> "1-row invariant frames unioned with the counts",
+    "kmv_overlap" -> "two 1-row global aggregates (exact counts x sketch estimates) crossed",
     "token_fingerprint" -> "1-row invariant frames unioned with the counts",
     "minhash_dedup_docs" -> "dedupInvariants 1-row check frames",
     "simhash_dedup_docs" -> "dedupInvariants 1-row check frames",
@@ -43,7 +44,10 @@ class PlanGuardSpec extends SparkTestBase {
   // stated. Exact in both directions, like the cartesian list.
   private val globalWindowAllowed: Map[String, String] = Map(
     "vocab_coverage" -> ("rank/cumsum window runs AFTER a limit(50) " +
-      "(TakeOrderedAndProject), so its input is <=50 rows by construction")
+      "(TakeOrderedAndProject), so its input is <=50 rows by construction"),
+    "hybrid_rrf" -> ("the cosine-rail rank window runs AFTER " +
+      "bruteForceTopK's TakeOrderedAndProject(k=30), so its input is " +
+      "<=30 rows by construction")
   )
 
   // The three sweeps below drive graft.plans.PlanAdvisor — the library's
@@ -122,6 +126,10 @@ class PlanGuardSpec extends SparkTestBase {
     "quality_filter" -> "quality scores are computed FROM the decoded text",
     "curation_pipeline" -> "composed quality + token gates over the decoded text",
     "doc_chunks" -> "non-empty-token gate over the decoded text",
+    "bm25_topk" -> ("size(tokens(text)) > 0 is Catalyst's own " +
+      "InferFiltersFromGenerate gate ahead of the postings explode — " +
+      "computed FROM the decoded text, and row-reducing, not a loss"),
+    "hybrid_rrf" -> "same inferred non-empty-token gate on the BM25 rail",
     "ivf_topk" -> ("in-memory probe filters on the computed centroid; the " +
       "persisted-index path (writeIvfIndex) turns the same filter into " +
       "partition pruning — ScaleLayoutSpec asserts it"),

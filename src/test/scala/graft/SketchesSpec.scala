@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) sketches: exactness below saturation, the
+  * estimator algebra, bitwise agreement between the driver-side and
+  * in-plan forms, the bounded-buffer scale contract, and the shipped
+  * query's envelope on the fixture.
+  */
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("sketch of an unsaturated column IS its distinct hash set (estimate exact)") {
+    val df = Seq.tabulate(200)(i => ("g", s"u${i % 37}")).toDF("g", "k")
+    val sk = Sketches.sketch(df, "g", "k", 64).head().getSeq[Long](1)
+    assert(sk.size == 37, "37 distinct keys < k=64 → sketch holds all hashes")
+    assert(sk == sk.distinct.sorted, "sketch is a sorted set")
+    assert(Sketches.estimate(sk, 64) == 37.0)
+  }
+
+  test("merge is the k smallest of the deduped union; overlap exact when unsaturated") {
+    val a = Seq(1L, 3L, 5L, 9L)
+    val b = Seq(3L, 4L, 9L, 11L)
+    assert(Sketches.merge(a, b, 4) == Seq(1L, 3L, 4L, 5L))
+    // both unsaturated at k=16 → union and intersection are EXACT counts
+    val (u, i) = Sketches.overlap(a, b, 16)
+    assert(u == 6.0 && i == 2.0)
+  }
+
+  test("saturated estimate tracks cardinality within the stated envelope") {
+    val k = 128
+    val df = Seq.tabulate(20000)(i => ("g", s"user_$i")).toDF("g", "k")
+    val sk = Sketches.sketch(df, "g", "k", k).head().getSeq[Long](1)
+    assert(sk.size == k, "20k distinct ≫ k → saturated")
+    val est = Sketches.estimate(sk, k)
+    // rse = 1/sqrt(k-2) ≈ 8.9%; 30% ≈ 3.4σ — the same bound the oracle states
+    assert(math.abs(est - 20000.0) <= 0.30 * 20000.0, s"est=$est")
+  }
+
+  test("MinKAgg buffer never exceeds 4k entries (map-side partials stay bounded)") {
+    val agg = new Sketches.MinKAgg(8)
+    var buf = agg.zero
+    (1 to 1000).foreach { i => buf = agg.reduce(buf, i.toLong * 2654435761L) }
+    assert(buf.size <= 32, s"buffer grew to ${buf.size} > 4k")
+    assert(agg.finish(buf).size == 8)
+  }
+
+  test("in-plan Column estimators agree bitwise with the driver-side Seq forms") {
+    val k = 32
+    val df = Seq.tabulate(5000)(i => (if (i % 3 == 0) "a" else "b", s"id_${i % 977}"))
+      .toDF("g", "k")
+    val sk = Sketches.sketch(df, "g", "k", k)
+    val pair = sk.agg(
+      first(when(col("g") === "a", col("kmv")), ignoreNulls = true).as("a"),
+      first(when(col("g") === "b", col("kmv")), ignoreNulls = true).as("b"))
+    val row = pair.select(
+      Sketches.estimateCol(col("a"), k).as("ea"),
+      Sketches.estimateCol(col("b"), k).as("eb"),
+      Sketches.unionEstCol(col("a"), col("b"), k).as("eu"),
+      Sketches.intersectEstCol(col("a"), col("b"), k).as("ei"),
+      col("a"), col("b")).head()
+    val a = row.getSeq[Long](4); val b = row.getSeq[Long](5)
+    val (u, i) = Sketches.overlap(a, b, k)
+    assert(row.getDouble(0) == Sketches.estimate(a, k))
+    assert(row.getDouble(1) == Sketches.estimate(b, k))
+    assert(row.getDouble(2) == u)
+    assert(row.getDouble(3) == i)
+  }
+
+  test("kmv_overlap: every envelope flag holds and exacts match a recount") {
+    val got = SparkEntry.queries("kmv_overlap")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 7)
+    got.filter(_._1.endsWith("_within_30pct")).foreach { case (chk, n) =>
+      assert(n == 1L, s"$chk failed the envelope")
+    }
+    val seg = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "view") && col("value") > 120)
+      .select(col("event_type").as("seg"), col("user_id")).distinct()
+    assert(got("exact_purchase") == seg.filter($"seg" === "purchase").count())
+    assert(got("exact_view") == seg.filter($"seg" === "view").count())
+    assert(got("exact_overlap") ==
+      seg.groupBy("user_id").agg(countDistinct("seg").as("n")).filter($"n" === 2).count())
+  }
+}
