@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * retrieval-based decontamination, hybrid keyword+vector ranking).
   *
   * Scale shape (the 100 TB contract):
-  *   - The ONLY full-corpus work is tokenize + explode. The very next step
+  *   - The full-corpus work is exactly two scan-stage passes: the 1-row
+  *     stats aggregate (N, avgdl) and tokenize + explode, which carries
+  *     each doc's length alongside its terms. The very next step
   *     semi-joins the postings to a BROADCAST query-term dictionary, so
-  *     every aggregation (tf, df, score-sum) runs on the matched slice —
-  *     |query terms| × avg postings list, not the corpus.
+  *     every aggregation (tf, df, score-sum) and every join runs on the
+  *     matched slice — |query terms| × avg postings list, not the corpus.
   *   - Corpus-level constants (N, avgdl) come from one 1-row aggregate of
   *     the doc-length projection; they travel into the score expression as
   *     literals, not a join.
@@ -65,11 +67,15 @@ object Retrieval {
       .distinct()
     val qdict = qterms.select(col("term")).distinct()
 
+    // dl rides the explode projection (constant per doc, first() under the
+    // per-(doc, term) grouping), so the matched slice carries its own
+    // lengths — no corpus-sized lens join, no second tokenize subtree
     val postings = toks
-      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
       .join(broadcast(qdict), Seq("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
 
     // df per matched term: postings are unique on (doc, term) so a count
     // is the document frequency; the result is |matched terms| rows —
@@ -80,7 +86,6 @@ object Retrieval {
     val scoredLit = postings
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfs), Seq("term"))
-      .join(lens, Seq("doc_id"))
       .select(
         col("query_id"), col("doc_id"), col("term"),
         ((((lit(nDocs) - col("df")).cast("double") + lit(0.5)) /

@@ -676,6 +676,18 @@ object IvfIngest {
       val data = new Path(staging, "data")
       affected.filterNot(k => fs.exists(new Path(data, s"centroid_id=$k")))
     }
+    val listsTotal = fs.listStatus(dir)
+      .count(_.getPath.getName.startsWith("centroid_id="))
+    if (emptied.size == listsTotal) {
+      // tombstones covered EVERY row of EVERY list — the census would
+      // delete every centroid_id dir and promote nothing, leaving a
+      // directory parquet inference refuses to read. Stage one ZERO-ROW
+      // list (schema-only file, partition column carried by the dir name
+      // as always) so the swapped-in index stays a readable, empty index.
+      survivors.drop("centroid_id").limit(0).write.mode("overwrite")
+        .parquet(new Path(new Path(staging, "data"),
+          s"centroid_id=${affected.head}").toString)
+    }
     val out = fs.create(new Path(staging, PurgeCompleteMarker), true)
     out.write(affected.mkString("\n").getBytes("UTF-8"))
     out.close()

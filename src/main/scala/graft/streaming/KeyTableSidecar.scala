@@ -178,10 +178,14 @@ object KeyTableSidecar {
 
   /** The persisted table as a DataFrame (`__shard` recovered as a
     * partition column, so an `isin` filter on it prunes whole shard
-    * directories at planning time).
+    * directories at planning time). The schema is EXPLICIT, not inferred:
+    * a table every key of which was purged has zero shard directories
+    * left, and inference over the empty directory would throw ("unable to
+    * infer schema") on what is a perfectly valid — empty — gate state.
     */
   def load(spark: SparkSession, corpusDir: Path, name: String = BandName): DataFrame =
-    spark.read.parquet(dir(corpusDir, name).toString)
+    spark.read.schema("__k BIGINT, __shard INT")
+      .parquet(dir(corpusDir, name).toString)
 
   /** Remove `keys` (one BIGINT column `__k`) from the table, rewriting
     * ONLY the shards they hash into — the affected set derives from the

@@ -728,6 +728,11 @@ object Streaming {
     val ids = tombstones.select(col(idCol)).na.drop().distinct()
       .transform(Checkpointing.materialize)
     val corpus = spark.read.parquet(corpusDir)
+    // cheapest test first: the no-op purge (tombstoned ids absent from the
+    // corpus — the idempotent-replay case) pays ONE semi-join count and
+    // returns before any key derivation materializes
+    val rowsRemoved = corpus.join(ids, Seq(idCol), "left_semi").count()
+    if (rowsRemoved == 0L) return CorpusPurgeStats(0L, 0L, bloomRetired = false)
     // every pre-rewrite derivation materializes BEFORE the rewrite retires
     // the files a lazy plan would try to re-read
     val removedKeys = corpus.join(ids, Seq(idCol), "left_semi")
@@ -738,8 +743,6 @@ object Streaming {
       .join(broadcast(removedKeys), Seq("__k"), "left_semi").distinct()
     val leaving = removedKeys.join(stillHeld, Seq("__k"), "left_anti")
       .transform(Checkpointing.materialize)
-    val rowsRemoved = corpus.join(ids, Seq(idCol), "left_semi").count()
-    if (rowsRemoved == 0L) return CorpusPurgeStats(0L, 0L, bloomRetired = false)
     CorpusCompaction.rewrite(spark, fs, target)(
       _.join(ids, Seq(idCol), "left_anti")): Unit
     val TableName = KeyTableSidecar.ContentName

@@ -1075,6 +1075,55 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("purgeCorpus of EVERY doc leaves a live, readable, empty table gate") {
+    import graft.streaming.KeyTableSidecar
+    val corpus = java.nio.file.Files.createTempDirectory("graft-gdpr-all").toString + "/corpus"
+    val tiny = Some(0L) // content-key table form from batch one
+    Streaming.ingestBatch(
+      Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text"),
+      corpus, "doc_id", Seq("text"), sidecarMaxBytes = tiny): Unit
+    val stats = Streaming.purgeCorpus(spark, corpus,
+      Seq(1L, 2L, 3L).toDF("doc_id"), "doc_id", Seq("text"))
+    assert(stats.rowsRemoved == 3 && stats.keysDeleted == 3, s"$stats")
+    // the corpus and the key table both read back as EMPTY, not unreadable
+    assert(spark.read.parquet(corpus).count() == 0L)
+    val target = new org.apache.hadoop.fs.Path(corpus)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(KeyTableSidecar.load(spark, target, KeyTableSidecar.ContentName).count() == 0L)
+    // the re-stamped gate is LIVE over the empty table: the next batch is
+    // admitted with no rebuild scan, and gating resumes from it
+    val s2 = Streaming.ingestBatch(Seq((4L, "one")).toDF("doc_id", "text"),
+      corpus, "doc_id", Seq("text"), sidecarMaxBytes = tiny)
+    assert(s2.admitted == 1 && s2.corpusScans == 0 && !s2.rebuiltBloom,
+      s"gate over the emptied table: $s2")
+    val s3 = Streaming.ingestBatch(Seq((5L, "one")).toDF("doc_id", "text"),
+      corpus, "doc_id", Seq("text"), sidecarMaxBytes = tiny)
+    assert(s3.admitted == 0, s"gating must resume after the full purge: $s3")
+  }
+
+  test("IvfIngest.purge of EVERY vector leaves a readable empty index that re-ingests") {
+    import graft.streaming.IvfIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft-purge-all").toString + "/index"
+    val emb = Tables.embeddings(spark, sfDir)
+    IvfIngest.ingestBatch(emb.filter($"vec_id" < 200), dir, "vec_id", "embedding",
+      nlist = 4): Unit
+    val all = spark.read.parquet(dir).select($"vec_id".cast("long")).as[Long].collect().toSet
+    val report = IvfIngest.purge(spark, dir, all.toSeq.toDF("vec_id"), "vec_id")
+    assert(report.rowsRemoved == all.size.toLong)
+    // the index directory survives as a readable, EMPTY index
+    assert(spark.read.parquet(dir).count() == 0L)
+    val q = emb.filter($"vec_id" === 7).select("embedding").head().getSeq[Float](0).toArray
+    assert(IvfIngest.probe(spark, dir, "vec_id", "embedding", q, k = 5, nprobe = 4)
+      .collect().isEmpty)
+    // and the retained codebook keeps ingesting: the next batch lands and probes
+    IvfIngest.ingestBatch(emb.filter($"vec_id" >= 200 && $"vec_id" < 300),
+      dir, "vec_id", "embedding", nlist = 4): Unit
+    assert(spark.read.parquet(dir).select($"vec_id".cast("long")).as[Long]
+      .collect().toSet.forall(id => id >= 200 && id < 300))
+    assert(IvfIngest.probe(spark, dir, "vec_id", "embedding", q, k = 5, nprobe = 4)
+      .count() == 5L)
+  }
+
   test("purge rewrites only the lists holding tombstones and deletes emptied ones") {
     import graft.streaming.IvfIngest
     import org.apache.hadoop.fs.Path
