@@ -2358,6 +2358,42 @@ object SparkEntry {
           |) AS (chk, n)""".stripMargin)
     }),
 
+    "kmv_matrix" -> ((s, dir) => {
+      // the audience MATRIX: pairwise user overlap across S value-band
+      // segments from one grouped scan — S sketches of k longs self-crossed
+      // (S²-bounded, never data-sized), where the exact answer pays a
+      // co-shuffle per pair. Envelope calibration (KmvProbe/MatrixProbe):
+      // this fixture's user-id hash draw sits ~2.7σ high, so the flags
+      // state 30% for union (observed ≤17%) and 40% for intersection
+      // (observed ≤26.5%) — deterministic for fixed data, headroom for a
+      // regenerated fixture
+      import graft.operators.Sketches
+      val k = 128
+      // the band gate rides the RAW column (value < 250 ⟺ floor(value/50)
+      // <= 4 for every double), so it pushes into the parquet scan
+      val segs = Tables.events(s, dir)
+        .filter(col("value") < 250)
+        .select(floor(col("value") / lit(50.0)).cast("long").as("seg"), col("user_id"))
+      val m = Sketches.overlapMatrix(
+        Sketches.sketch(segs, "seg", "user_id", k), "seg", k)
+      val du = segs.distinct()
+      val sizes = du.groupBy(col("seg")).agg(count(lit(1)).as("sz"))
+      val exact = du.as("x").join(du.as("y"), "user_id")
+        .filter(col("x.seg") < col("y.seg"))
+        .groupBy(col("x.seg").as("seg_a"), col("y.seg").as("seg_b"))
+        .agg(count(lit(1)).as("exact_common"))
+        .join(sizes.select(col("seg").as("seg_a"), col("sz").as("sz_a")), Seq("seg_a"))
+        .join(sizes.select(col("seg").as("seg_b"), col("sz").as("sz_b")), Seq("seg_b"))
+      m.join(exact, Seq("seg_a", "seg_b"))
+        .select(col("seg_a"), col("seg_b"), col("exact_common"),
+          when(abs(col("est_union") - (col("sz_a") + col("sz_b") - col("exact_common")))
+            <= lit(0.30) * (col("sz_a") + col("sz_b") - col("exact_common")), lit(1L))
+            .otherwise(lit(0L)).as("union_within_30pct"),
+          when(abs(col("est_intersect") - col("exact_common"))
+            <= lit(0.40) * col("exact_common"), lit(1L))
+            .otherwise(lit(0L)).as("intersect_within_40pct"))
+    }),
+
     "unpivot_metrics" -> ((s, dir) =>
       // wide→long melt: the schema-reshape primitive feature pipelines use
       // before per-metric aggregation; stays a narrow 1→3 projection
@@ -3835,6 +3871,20 @@ object SparkEntry {
         |UNION ALL SELECT 'view_within_30pct', 1
         |UNION ALL SELECT 'union_within_30pct', 1
         |UNION ALL SELECT 'overlap_within_30pct', 1""".stripMargin,
+
+    // exact pairwise overlaps replayed; the per-pair envelope flags are the
+    // stated invariant (see the query's calibration comment)
+    "kmv_matrix" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(floor(value/50) AS BIGINT) AS seg, user_id
+        |  FROM events WHERE value < 250),
+        |sz AS (SELECT seg, count(*) AS sz FROM du GROUP BY seg),
+        |p AS (SELECT a.seg AS seg_a, b.seg AS seg_b, count(*) AS exact_common
+        |      FROM du a JOIN du b USING (user_id) WHERE a.seg < b.seg GROUP BY 1, 2)
+        |SELECT seg_a, seg_b, CAST(exact_common AS BIGINT) AS exact_common,
+        |  CAST(1 AS BIGINT) AS union_within_30pct,
+        |  CAST(1 AS BIGINT) AS intersect_within_40pct
+        |FROM p""".stripMargin,
 
     "exact_dedup_docs" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",

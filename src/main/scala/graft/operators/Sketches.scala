@@ -100,6 +100,25 @@ object Sketches {
   def merge(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] =
     (a ++ b).distinct.sorted.take(k)
 
+  /** Pairwise overlap matrix over a per-group sketch table (the output of
+    * [[sketch]]): one row per unordered group pair `(seg_a < seg_b)` with
+    * per-side, union, and intersection cardinality estimates. The join is
+    * a |groups|²-bounded self-cross of the SKETCH table — S rows of k
+    * longs, never the underlying data — so an S-segment audience matrix
+    * over a 100 TB corpus costs one grouped scan plus an S²·k driver-scale
+    * comparison, where the exact answer would pay S² co-shuffles.
+    */
+  def overlapMatrix(sketches: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val a = sketches.select(col(groupCol).as("seg_a"), col("kmv").as("__ka"))
+    val b = sketches.select(col(groupCol).as("seg_b"), col("kmv").as("__kb"))
+    a.join(b, col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"),
+        estimateCol(col("__ka"), k).as("est_a"),
+        estimateCol(col("__kb"), k).as("est_b"),
+        unionEstCol(col("__ka"), col("__kb"), k).as("est_union"),
+        intersectEstCol(col("__ka"), col("__kb"), k).as("est_intersect"))
+  }
+
   /** (union_est, intersection_est) for two sketches of the same k. */
   def overlap(a: Seq[Long], b: Seq[Long], k: Int): (Double, Double) = {
     val m = merge(a, b, k)

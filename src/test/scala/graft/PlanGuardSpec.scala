@@ -22,6 +22,8 @@ class PlanGuardSpec extends SparkTestBase {
     "dsir_select" -> "1-row bucket-totals scalar crossed into the <=1024-row model",
     "bloom_prune_check" -> "1-row invariant frames unioned with the counts",
     "kmv_overlap" -> "two 1-row global aggregates (exact counts x sketch estimates) crossed",
+    "kmv_matrix" -> ("the |segments|-row sketch table self-crossed on seg_a < seg_b — " +
+      "S² pairs of k-long arrays, bounded by the segment census, never data-sized"),
     "token_fingerprint" -> "1-row invariant frames unioned with the counts",
     "minhash_dedup_docs" -> "dedupInvariants 1-row check frames",
     "simhash_dedup_docs" -> "dedupInvariants 1-row check frames",

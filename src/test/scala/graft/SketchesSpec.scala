@@ -68,6 +68,29 @@ class SketchesSpec extends SparkTestBase {
     assert(row.getDouble(3) == i)
   }
 
+  test("overlapMatrix emits one row per unordered pair with the estimator algebra") {
+    val df = Seq.tabulate(300)(i => (s"g${i % 3}", s"u${i % 50}")).toDF("g", "k")
+    val sk = Sketches.sketch(df, "g", "k", 64)
+    val m = Sketches.overlapMatrix(sk, "g", 64).collect()
+    assert(m.length == 3, "3 groups -> 3 unordered pairs")
+    m.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "seg_a < seg_b ordering")
+      // every user lands in every group (i mod 3 cycles across a user's 6
+      // occurrences), and 50 distinct users < k=64 -> estimates are exact
+      assert(r.getAs[Double]("est_intersect") == 50.0, r.toString)
+      assert(r.getAs[Double]("est_union") == 50.0, r.toString)
+    }
+  }
+
+  test("kmv_matrix: every envelope flag holds on the fixture") {
+    val got = SparkEntry.queries("kmv_matrix")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("union_within_30pct") == 1L, r.toString)
+      assert(r.getAs[Long]("intersect_within_40pct") == 1L, r.toString)
+    }
+  }
+
   test("kmv_overlap: every envelope flag holds and exacts match a recount") {
     val got = SparkEntry.queries("kmv_overlap")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
