@@ -2358,6 +2358,22 @@ object SparkEntry {
           |) AS (chk, n)""".stripMargin)
     }),
 
+    "k_anonymity" -> ((s, dir) => {
+      // release-side anonymity census: class size (k-anonymity) and
+      // banded-sensitive diversity (l-diversity) per quasi-identifier
+      // class. One groupBy, classes-sized output; the companion
+      // suppressBelowK transform is one window-count shuffle end to end
+      // (AnonymitySpec pins their parity)
+      import graft.operators.Anonymity
+      Anonymity.census(Tables.customer(s, dir),
+          Seq("c_nationkey", "c_mktsegment"),
+          Anonymity.band(col("c_acctbal"), 2000.0).cast("long"))
+        .select(col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_mktsegment"), col("class_size"), col("l_diversity"),
+          when(col("class_size") >= 10, lit(1L)).otherwise(lit(0L))
+            .as("releasable_k10"))
+    }),
+
     "kmv_matrix" -> ((s, dir) => {
       // the audience MATRIX: pairwise user overlap across S value-band
       // segments from one grouped scan — S sketches of k longs self-crossed
@@ -3871,6 +3887,13 @@ object SparkEntry {
         |UNION ALL SELECT 'view_within_30pct', 1
         |UNION ALL SELECT 'union_within_30pct', 1
         |UNION ALL SELECT 'overlap_within_30pct', 1""".stripMargin,
+
+    "k_anonymity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT CAST(floor(c_acctbal/2000)*2000 AS BIGINT)) AS BIGINT) AS l_diversity,
+        |  CAST(CASE WHEN count(*) >= 10 THEN 1 ELSE 0 END AS BIGINT) AS releasable_k10
+        |FROM customer GROUP BY 1, 2""".stripMargin,
 
     // exact pairwise overlaps replayed; the per-pair envelope flags are the
     // stated invariant (see the query's calibration comment)
