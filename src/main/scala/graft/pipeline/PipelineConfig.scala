@@ -262,6 +262,24 @@ object PipelineConfig {
       case ("afterDedup", fn) => transforms += fn
     }
 
+    // release-side k-anonymity suppression as a declared step (always after
+    // dedup and the PII steps: suppression reasons about the RELEASED
+    // quasi-identifier values): the surviving frame is k-anonymous on the
+    // declared QI set by construction — one window-count shuffle, see
+    // [[graft.operators.Anonymity.suppressBelowK]]
+    (cfg \ "kAnonymity") match {
+      case JNothing => ()
+      case ka =>
+        val quasi = (ka \ "quasiCols").extractOpt[Seq[String]].filter(_.nonEmpty).getOrElse(
+          throw new graft.GraftConfigError("kAnonymity section needs non-empty 'quasiCols'"))
+        val k = (ka \ "k").extractOpt[Int].getOrElse(
+          throw new graft.GraftConfigError("kAnonymity section needs integer 'k'"))
+        if (k < 1) throw new graft.GraftConfigError(
+          s"kAnonymity.k must be >= 1, got $k")
+        transforms += ((df: DataFrame) =>
+          graft.operators.Anonymity.suppressBelowK(df, quasi, k))
+    }
+
     // greedy sequence packing as the terminal reshape ([[operators.Packing
     // .packGreedy]]): groups by `group`, packs documents (ordered by id)
     // into budget-bounded bins of `tokensFrom` token counts. Output schema

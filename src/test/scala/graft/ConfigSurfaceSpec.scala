@@ -481,6 +481,34 @@ class ConfigSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("kAnonymity is a declared suppression step after the PII steps; misconfig typed") {
+    val root = Files.createTempDirectory("graft-kanoncfg").toString
+    // three (lang, domain) classes: sizes 3, 2, 1 — k=2 suppresses the singleton
+    Seq(
+      (1L, "en", "news"), (2L, "en", "news"), (3L, "en", "news"),
+      (4L, "en", "blog"), (5L, "en", "blog"),
+      (6L, "fr", "news")
+    ).toDF("doc_id", "lang", "domain").write.parquet(s"$root/src")
+    val cfg =
+      s"""{
+         |  "source": {"type": "parquet", "path": "$root/src"},
+         |  "pseudonymize": {"cols": ["doc_id"], "salt": "k1"},
+         |  "kAnonymity": {"quasiCols": ["lang", "domain"], "k": 2}
+         |}""".stripMargin
+    val out = PipelineConfig.fromJson(spark, cfg).run(spark).get
+      .select("doc_id", "lang", "domain").collect()
+    assert(out.length == 5, "the singleton (fr, news) class must be suppressed")
+    assert(out.forall(_.getString(0).length == 16), "pseudonymize ran before suppression")
+    assert(!out.exists(r => r.getString(1) == "fr"))
+    Seq("""{"quasiCols": [], "k": 2}""", """{"quasiCols": ["lang"]}""",
+      """{"quasiCols": ["lang"], "k": 0}""").foreach { bad =>
+      intercept[graft.GraftConfigError] {
+        PipelineConfig.fromJson(spark,
+          s"""{"source": {"type": "parquet", "path": "$root/src"}, "kAnonymity": $bad}""")
+      }
+    }
+  }
+
   test("scrub/pseudonymize phase, gates, packing and view sources compose in config") {
     // the declared governance shape (curation_pipeline_v4's skeleton): a
     // catalog-view source, phase=beforeDedup scrub (so segment dedup sees
