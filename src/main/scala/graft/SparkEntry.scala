@@ -2358,6 +2358,39 @@ object SparkEntry {
           |) AS (chk, n)""".stripMargin)
     }),
 
+    "kmv_stream_state" -> ((s, dir) => {
+      // the continuous audience-sketch maintainer driven end to end: three
+      // user-disjoint micro-batches merge into the persisted per-segment
+      // state, batch 1 REDELIVERED on top (at-least-once). The stated
+      // invariants: the final state equals the one-shot batch sketch
+      // BITWISE (k-smallest-of-union is associative, commutative and
+      // idempotent — redelivery merges as a no-op), and each segment's
+      // estimate lands inside the calibrated envelope; exact counts are
+      // DuckDB-replayed
+      import graft.operators.Sketches
+      import graft.streaming.KmvSegments
+      val k = 128
+      val segs = Tables.events(s, dir)
+        .filter(col("value") < 250)
+        .select(floor(col("value") / lit(50.0)).cast("long").as("seg"), col("user_id"))
+      val stateDir = scratchDir("graft_kmvstate") + "/state"
+      Seq(0, 1, 2, 1).zipWithIndex.foreach { case (m, i) => // 1 redelivered
+        KmvSegments.mergeBatch(segs.filter(pmod(col("user_id"), lit(3)) === m),
+          stateDir, "seg", "user_id", k, batchId = i.toLong): Unit
+      }
+      val st = KmvSegments.state(s, stateDir).get
+      val whole = Sketches.sketch(segs, "seg", "user_id", k)
+      val exact = segs.distinct().groupBy(col("seg")).agg(count(lit(1)).as("exact_users"))
+      st.join(whole.withColumnRenamed("kmv", "__whole"), Seq("seg"))
+        .join(exact, Seq("seg"))
+        .select(col("seg"), col("exact_users"),
+          when(col("kmv") === col("__whole"), lit(1L)).otherwise(lit(0L))
+            .as("state_matches_batch_build"),
+          when(abs(Sketches.estimateCol(col("kmv"), k) - col("exact_users"))
+            <= lit(0.30) * col("exact_users"), lit(1L)).otherwise(lit(0L))
+            .as("est_within_30pct"))
+    }),
+
     "k_anonymity" -> ((s, dir) => {
       // release-side anonymity census: class size (k-anonymity) and
       // banded-sensitive diversity (l-diversity) per quasi-identifier
@@ -3887,6 +3920,17 @@ object SparkEntry {
         |UNION ALL SELECT 'view_within_30pct', 1
         |UNION ALL SELECT 'union_within_30pct', 1
         |UNION ALL SELECT 'overlap_within_30pct', 1""".stripMargin,
+
+    // exact per-segment distincts replayed; the bitwise state-vs-batch
+    // equality and the envelope are the stated invariants
+    "kmv_stream_state" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(floor(value/50) AS BIGINT) AS seg, user_id
+        |  FROM events WHERE value < 250)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS exact_users,
+        |  CAST(1 AS BIGINT) AS state_matches_batch_build,
+        |  CAST(1 AS BIGINT) AS est_within_30pct
+        |FROM du GROUP BY seg""".stripMargin,
 
     "k_anonymity" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,

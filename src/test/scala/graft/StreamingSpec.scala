@@ -1075,6 +1075,62 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("KmvSegments: any batch split and any redelivery converge to the one-shot state") {
+    import graft.streaming.KmvSegments
+    import graft.operators.Sketches
+    val k = 32
+    val data = Seq.tabulate(600)(i => (s"s${i % 4}", i.toLong % 97)).toDF("seg", "uid")
+    val whole = Sketches.sketch(data, "seg", "uid", k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    def runSplits(dir: String,
+        splits: Seq[org.apache.spark.sql.DataFrame]): Map[String, Seq[Long]] = {
+      splits.zipWithIndex.foreach { case (b, i) =>
+        KmvSegments.mergeBatch(b, dir, "seg", "uid", k, i.toLong): Unit
+      }
+      KmvSegments.state(spark, dir).get
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    }
+    val d1 = java.nio.file.Files.createTempDirectory("graft-kmv1").toString + "/st"
+    val byMod = Seq(0L, 1L, 2L).map(m => data.filter($"uid" % 3 === m))
+    assert(runSplits(d1, byMod) == whole, "mod-3 split must equal the one-shot build")
+    val d2 = java.nio.file.Files.createTempDirectory("graft-kmv2").toString + "/st"
+    val byHalf = Seq(data.filter($"uid" < 50), data.filter($"uid" >= 50))
+    // redeliver BOTH batches on top: idempotent merges, same state
+    assert(runSplits(d2, byHalf ++ byHalf) == whole,
+      "range split + full redelivery must equal the one-shot build")
+    // superseded version dirs are swept: only the live one remains
+    val fs = new org.apache.hadoop.fs.Path(d2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = fs.listStatus(new org.apache.hadoop.fs.Path(d2))
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+    assert(vs.toSeq == Seq("v3"), s"stale versions left: ${vs.mkString(",")}")
+  }
+
+  test("KmvSegments.stream maintains live state across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.KmvSegments
+    import graft.operators.Sketches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmvstream").toString + "/st"
+    val input = MemoryStream[(String, Long)]
+    val q = KmvSegments.stream(
+      input.toDF().toDF("seg", "uid"), dir, "seg", "uid", k = 16)
+    try {
+      input.addData(Seq.tabulate(40)(i => (s"g${i % 2}", i.toLong)): _*)
+      q.processAllAvailable()
+      val afterOne = KmvSegments.state(spark, dir).get.count()
+      assert(afterOne == 2L)
+      input.addData(Seq.tabulate(40)(i => (s"g${i % 4}", 1000L + i)): _*)
+      q.processAllAvailable()
+      val st = KmvSegments.state(spark, dir).get
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(st.keySet == Set("g0", "g1", "g2", "g3"))
+      // g0 saw 20 + 10 distinct uids across the two batches, sketch bounded at k
+      assert(st("g0").size == 16)
+      assert(st("g2").size == 10, "g2 only exists in batch two (10 distinct uids)")
+    } finally q.stop()
+  }
+
   test("purgeCorpus of EVERY doc leaves a live, readable, empty table gate") {
     import graft.streaming.KeyTableSidecar
     val corpus = java.nio.file.Files.createTempDirectory("graft-gdpr-all").toString + "/corpus"
