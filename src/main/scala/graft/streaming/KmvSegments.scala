@@ -29,6 +29,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   * two leaves the pointer on the PREVIOUS state — the redelivered batch
   * re-merges idempotently. Superseded version dirs are deleted after the
   * swap; a crash in that window leaves an orphan dir no pointer names.
+  * SINGLE-WRITER, like every sidecar here: one stream owns a state dir
+  * (foreachBatch serializes its merges); concurrent writers would lose
+  * updates at the pointer swap. An out-of-order redelivery may regress
+  * the version NAME, never the content — the re-merge is a superset of
+  * the state it read.
   */
 object KmvSegments {
 
