@@ -40,6 +40,8 @@ object Anonymity {
   def withClassSize(df: DataFrame, quasiCols: Seq[String],
       sizeCol: String = "class_size"): DataFrame = {
     require(quasiCols.nonEmpty, "k-anonymity needs at least one quasi-identifier")
+    require(!df.columns.contains(sizeCol),
+      s"withClassSize would clobber the existing column '$sizeCol' — pass a free sizeCol")
     df.withColumn(sizeCol,
       count(lit(1)).over(Window.partitionBy(quasiCols.map(col): _*)))
   }
@@ -51,7 +53,9 @@ object Anonymity {
     */
   def suppressBelowK(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    val sz = "__kanon_class_size"
+    // collision-free temp name: never clobber (or later drop) caller data
+    val sz = Iterator.iterate("__kanon_class_size")(_ + "_")
+      .dropWhile(df.columns.contains).next()
     withClassSize(df, quasiCols, sz).filter(col(sz) >= k).drop(sz)
   }
 

@@ -37,6 +37,18 @@ class AnonymitySpec extends SparkTestBase {
     assert(viaWindow.exceptAll(viaCensus).isEmpty && viaCensus.exceptAll(viaWindow).isEmpty)
   }
 
+  test("class-size columns never clobber caller data") {
+    val withIt = cust.withColumn("class_size", lit(42))
+    intercept[IllegalArgumentException] {
+      Anonymity.withClassSize(withIt, qi)
+    }
+    // suppressBelowK picks a collision-free temp name instead
+    val trap = cust.withColumn("__kanon_class_size", lit(-1))
+    val out = Anonymity.suppressBelowK(trap, Seq("c_mktsegment"), 1)
+    assert(out.columns.contains("__kanon_class_size"), "caller column must survive")
+    assert(out.select("__kanon_class_size").distinct().head().getInt(0) == -1)
+  }
+
   test("band generalizes negatives onto the floor grid") {
     val got = Seq(-1.0, -2000.0, -2000.5, 0.0, 1999.9, 2000.0)
       .toDF("x").select(Anonymity.band($"x", 2000.0).as("b"))

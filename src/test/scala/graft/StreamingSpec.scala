@@ -1098,12 +1098,44 @@ class StreamingSpec extends SparkTestBase {
     // redeliver BOTH batches on top: idempotent merges, same state
     assert(runSplits(d2, byHalf ++ byHalf) == whole,
       "range split + full redelivery must equal the one-shot build")
-    // superseded version dirs are swept: only the live one remains
+    // superseded versions sweep, EXCEPT the one-merge reader grace window
     val fs = new org.apache.hadoop.fs.Path(d2)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = fs.listStatus(new org.apache.hadoop.fs.Path(d2))
-      .map(_.getPath.getName).filter(_.startsWith("v"))
-    assert(vs.toSeq == Seq("v3"), s"stale versions left: ${vs.mkString(",")}")
+      .map(_.getPath.getName).filter(_.startsWith("v")).sorted
+    assert(vs.toSeq == Seq("v2", "v3"), s"expected live + grace, got: ${vs.mkString(",")}")
+  }
+
+  test("KmvSegments: committed-batchId redelivery skips; a mid-swap crash recovers") {
+    import graft.streaming.KmvSegments
+    import org.apache.hadoop.fs.Path
+    val dirS = java.nio.file.Files.createTempDirectory("graft-kmvcrash").toString + "/st"
+    val b0 = Seq(("a", 1L), ("a", 2L), ("b", 9L)).toDF("seg", "uid")
+    KmvSegments.mergeBatch(b0, dirS, "seg", "uid", 16, batchId = 0L): Unit
+    val s0 = KmvSegments.state(spark, dirS).get
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // SAME batchId redelivered: the pointer is its commit record — the
+    // merge skips (no read-and-overwrite of its own version path) and the
+    // state is untouched, even for a DIFFERENT payload
+    KmvSegments.mergeBatch(Seq(("c", 5L)).toDF("seg", "uid"),
+      dirS, "seg", "uid", 16, batchId = 0L): Unit
+    val s0b = KmvSegments.state(spark, dirS).get
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(s0b == s0, "a committed batchId must merge as a no-op")
+    // crash inside the pointer swap window (pointer deleted, rename never
+    // ran): state() falls back to the highest complete version, and the
+    // next merge rebuilds the pointer on top of it
+    val fs = new Path(dirS).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(dirS, "current"), false))
+    val recovered = KmvSegments.state(spark, dirS).get
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(recovered == s0, "pointer loss must fall back, not reset the state")
+    KmvSegments.mergeBatch(Seq(("b", 10L)).toDF("seg", "uid"),
+      dirS, "seg", "uid", 16, batchId = 1L): Unit
+    val s1 = KmvSegments.state(spark, dirS).get
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(s1("a") == s0("a") && s1("b").size == 2,
+      "post-recovery merge must extend the recovered state")
   }
 
   test("KmvSegments.stream maintains live state across micro-batches") {
