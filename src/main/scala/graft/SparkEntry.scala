@@ -2407,6 +2407,21 @@ object SparkEntry {
             .as("releasable_k10"))
     }),
 
+    "leakage_safe_split" -> ((s, dir) => {
+      // decontamination-grade train/holdout split: the side is decided by
+      // the unit hash of each doc's DUPLICATE-CLUSTER representative
+      // (md5-exact clusters, min doc_id), so no cluster ever spans both
+      // sides — a row-level split would leak a training doc's duplicate
+      // into the holdout and measure memorization. Assignment is RNG-free
+      // and DuckDB-replayed bit-for-bit (sqlUnitHash mirror)
+      import graft.operators.Sampling
+      val h = Tables.documents(s, dir).select(col("doc_id"), md5(col("text")).as("__h"))
+      val reps = h.groupBy(col("__h")).agg(min(col("doc_id")).as("rep"))
+      Sampling.groupSplit(h.join(reps, Seq("__h")), "rep",
+          holdoutFrac = 0.2, salt = 7L)
+        .select(col("doc_id"), col("rep"), col("split"))
+    }),
+
     "kmv_matrix" -> ((s, dir) => {
       // the audience MATRIX: pairwise user overlap across S value-band
       // segments from one grouped scan — S sketches of k longs self-crossed
@@ -3938,6 +3953,14 @@ object SparkEntry {
         |  CAST(count(DISTINCT CAST(floor(c_acctbal/2000)*2000 AS BIGINT)) AS BIGINT) AS l_diversity,
         |  CAST(CASE WHEN count(*) >= 10 THEN 1 ELSE 0 END AS BIGINT) AS releasable_k10
         |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    "leakage_safe_split" ->
+      s"""WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
+         |r AS (SELECT hh, min(doc_id) AS rep FROM h GROUP BY hh)
+         |SELECT h.doc_id, r.rep,
+         |  CASE WHEN ${sqlUnitHash("r.rep", 7L)} < 0.2
+         |    THEN 'holdout' ELSE 'train' END AS split
+         |FROM h JOIN r USING (hh)""".stripMargin,
 
     // exact pairwise overlaps replayed; the per-pair envelope flags are the
     // stated invariant (see the query's calibration comment)

@@ -373,4 +373,28 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__lrn", "__rn")
   }
+
+  /** Group-leakage-safe train/holdout split: the side is decided by the
+    * UNIT HASH OF THE GROUP KEY, so every row of a group — a duplicate
+    * cluster's members, one user's sessions, one document's chunks — lands
+    * on ONE side. A row-level split leaks correlated rows into the
+    * holdout (a near-dup of a training doc in the eval set measures
+    * memorization, not generalization); splitting by the cluster
+    * representative is the decontamination-grade form.
+    *
+    * Scale shape: whatever produced the group key (an exact-dup min-id, a
+    * CC representative) plus ONE scan-stage Column decision — no extra
+    * shuffle, no RNG (retried tasks agree, and DuckDB replays the
+    * assignment bit-for-bit via the sqlUnitHash mirror).
+    */
+  def groupSplit(df: DataFrame, groupCol: String, holdoutFrac: Double,
+      salt: Long = 0L, splitCol: String = "split"): DataFrame = {
+    require(holdoutFrac > 0.0 && holdoutFrac < 1.0,
+      s"holdoutFrac must be in (0, 1), got $holdoutFrac")
+    require(!df.columns.contains(splitCol),
+      s"groupSplit would clobber the existing column '$splitCol' — pass a free splitCol")
+    df.withColumn(splitCol,
+      when(unitHash(col(groupCol), salt) < holdoutFrac, lit("holdout"))
+        .otherwise(lit("train")))
+  }
 }

@@ -256,4 +256,37 @@ class SamplingSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     // ids below the fold boundary hash exactly as the unfolded original form
     assert(got(1L) == ((1L + salt) * 2654435761L % 4294967296L).toDouble / 4294967296.0)
   }
+
+  test("groupSplit never lets a group span both sides and composes with dedup CC") {
+    // synthetic near-dup clusters: docs 0-2 one cluster, 3-4 another, 5-9
+    // singletons; the group key is each doc's cluster representative
+    val rep = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L) ++
+      (5L to 9L).map(i => i -> i).toMap
+    val df = rep.toSeq.toDF("doc_id", "rep")
+    val split = Sampling.groupSplit(df, "rep", holdoutFrac = 0.4, salt = 3L)
+    val sidesPerGroup = split.groupBy("rep")
+      .agg(countDistinct($"split").as("sides"))
+      .select(max($"sides")).head().getLong(0)
+    assert(sidesPerGroup == 1L, "a group spanned both sides")
+    // the decision matches the unit hash row for row (RNG-free, replayable)
+    split.collect().foreach { r =>
+      val u = ((r.getLong(1) + 3L) * 2654435761L % 4294967296L).toDouble / 4294967296.0
+      assert(r.getString(2) == (if (u < 0.4) "holdout" else "train"), r.toString)
+    }
+    // both sides non-empty at this frac/salt, and the clobber guard holds
+    assert(split.select("split").distinct().count() == 2L)
+    intercept[IllegalArgumentException] {
+      Sampling.groupSplit(df.withColumn("split", lit("x")), "rep", 0.4)
+    }
+    intercept[IllegalArgumentException] { Sampling.groupSplit(df, "rep", 1.0) }
+  }
+
+  test("leakage_safe_split: no md5 cluster spans sides; duplicates ride their rep") {
+    val out = SparkEntry.queries("leakage_safe_split")(spark, sfDir)
+    val spanning = out.groupBy("rep").agg(countDistinct($"split").as("s"))
+      .filter($"s" > 1).count()
+    assert(spanning == 0L)
+    assert(out.count() == Tables.documents(spark, sfDir).count(),
+      "every doc must be assigned")
+  }
 }
