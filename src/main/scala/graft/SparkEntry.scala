@@ -2315,6 +2315,35 @@ object SparkEntry {
         .toDF("chk", "n")
     }),
 
+    "heavy_hitters" -> ((s, dir) => {
+      // Misra-Gries heavy hitters: count-min (freq_sketch_check) answers
+      // probes for KNOWN keys; this sketch FINDS the frequent tokens with
+      // <= capacity counters per partial — KB-sized state off every
+      // partition of a 100 TB token stream, where the exact answer is a
+      // vocabulary-sized shuffle. The summary CONTENT may depend on merge
+      // order, so the query states the three order-independent guarantees
+      // over the (deterministic, <= capacity-sized) guaranteed-HH set:
+      // every token with count > N/(cap+1) is present, never overcounted,
+      // undercounted by at most N/(cap+1). Exact counts DuckDB-replayed
+      import s.implicits._
+      val cap = 64
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val sk: Map[String, Long] = toks.as[String]
+        .select(new graft.operators.Sketches.MisraGriesAgg(cap).toColumn).head()
+      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      val n = counts.agg(sum(col("exact_cnt"))).head().getLong(0)
+      val thresh = n.toDouble / (cap + 1)
+      // the guaranteed-HH set is <= cap rows by pigeonhole — bounded collect
+      counts.filter(col("exact_cnt") > lit(thresh)).collect().toSeq.map { r =>
+        val t = r.getString(0); val c = r.getLong(1)
+        val est = sk.getOrElse(t, 0L)
+        (t, c,
+          if (est > 0L) 1L else 0L,
+          if (est <= c && (c - est).toDouble <= thresh) 1L else 0L)
+      }.toDF("token", "exact_cnt", "in_sketch", "underest_within_bound")
+    }),
+
     "kmv_overlap" -> ((s, dir) => {
       // KMV (k-minimum-values) distinct sketches: the mergeable family that
       // — unlike HLL — supports SET-INTERSECTION estimates, the "audience
@@ -3915,6 +3944,17 @@ object SparkEntry {
          |UNION ALL SELECT 'exact_data', CAST(count(*) AS BIGINT) FROM t WHERE tok = 'data'
          |UNION ALL SELECT 'sketch_underestimates', 0
          |UNION ALL SELECT 'sketch_over_envelope', 0""".stripMargin,
+
+    // the guaranteed-heavy-hitter set and its exact counts replayed; the
+    // sketch's order-independent guarantees are the stated flags
+    "heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($sqlToks) AS tok FROM documents),
+         |n AS (SELECT count(*) AS n FROM t),
+         |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok)
+         |SELECT tok AS token, CAST(cnt AS BIGINT) AS exact_cnt,
+         |  CAST(1 AS BIGINT) AS in_sketch,
+         |  CAST(1 AS BIGINT) AS underest_within_bound
+         |FROM c WHERE cnt > (SELECT n FROM n) / 65.0""".stripMargin,
 
     // exact segment cardinalities replayed; the KMV envelope flags are the
     // stated invariant (k=128 → rse ≈ 8.9%, 30% is a >3-sigma bound)

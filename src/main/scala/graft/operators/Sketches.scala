@@ -100,6 +100,46 @@ object Sketches {
   def merge(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] =
     (a ++ b).distinct.sorted.take(k)
 
+  /** Misra-Gries heavy-hitters summary: the sketch that FINDS the frequent
+    * items with bounded state, where count-min only answers probes for
+    * keys you already know. State is at most `capacity` (key, counter)
+    * pairs per partial; merging sums counters then subtracts the
+    * (capacity+1)-th largest from all (Agarwal et al., "Mergeable
+    * Summaries", PODS'12), so the distributed aggregation carries KB-sized
+    * partials off every partition of a 100 TB token stream.
+    *
+    * Guarantees (for ANY merge order — the summary CONTENT may depend on
+    * how partials combined, the guarantees never do):
+    *   - estimate(k) <= true(k): counters only ever under-count;
+    *   - true(k) - estimate(k) <= N / (capacity + 1), N the stream length;
+    *   - hence every item with true(k) > N / (capacity + 1) SURVIVES.
+    * Queries must state these (deterministic) properties, not the summary
+    * content.
+    */
+  class MisraGriesAgg(capacity: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(capacity >= 1, "capacity must be positive")
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(m: Map[String, Long], key: String): Map[String, Long] =
+      if (m.contains(key)) m.updated(key, m(key) + 1L)
+      else if (m.size < capacity) m.updated(key, 1L)
+      else m.flatMap { case (k, v) => if (v > 1L) Some(k -> (v - 1L)) else None }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val s = (a.keySet ++ b.keySet).iterator
+        .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+      if (s.size <= capacity) s
+      else {
+        val cut = s.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+        s.flatMap { case (k, v) => if (v > cut) Some(k -> (v - cut)) else None }
+      }
+    }
+    override def finish(m: Map[String, Long]): Map[String, Long] = m
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
   /** Pairwise overlap matrix over a per-group sketch table (the output of
     * [[sketch]]): one row per unordered group pair `(seg_a < seg_b)` with
     * per-side, union, and intersection cardinality estimates. The join is

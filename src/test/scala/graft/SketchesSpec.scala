@@ -68,6 +68,37 @@ class SketchesSpec extends SparkTestBase {
     assert(row.getDouble(3) == i)
   }
 
+  test("MisraGries guarantees hold on a skewed stream for any partitioning") {
+    import graft.operators.Sketches
+    val cap = 8
+    // zipf-ish: token i appears ~1000/i times; heavy head, long tail
+    val items = (1 to 60).flatMap(i => Seq.fill(1000 / i)(s"t$i"))
+    val n = items.size.toLong
+    val bound = n.toDouble / (cap + 1)
+    val exact = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    for (parts <- Seq(1, 4, 17)) {
+      val sk = items.toDS().repartition(parts)
+        .select(new Sketches.MisraGriesAgg(cap).toColumn).head()
+      assert(sk.size <= cap, s"state ${sk.size} > $cap at parts=$parts")
+      sk.foreach { case (k, est) =>
+        assert(est <= exact(k), s"overcount of $k at parts=$parts")
+      }
+      exact.foreach { case (k, c) =>
+        val est = sk.getOrElse(k, 0L)
+        assert((c - est).toDouble <= bound, s"$k under by ${c - est} > $bound at parts=$parts")
+        if (c > bound) assert(sk.contains(k), s"guaranteed HH $k missing at parts=$parts")
+      }
+    }
+  }
+
+  test("MisraGries merge sums then cuts at the (capacity+1)-th largest") {
+    import graft.operators.Sketches
+    val agg = new Sketches.MisraGriesAgg(2)
+    val merged = agg.merge(Map("a" -> 10L, "b" -> 4L), Map("b" -> 3L, "c" -> 5L))
+    // summed: a=10 b=7 c=5; cut = 3rd largest = 5 -> a=5, b=2, c drops
+    assert(merged == Map("a" -> 5L, "b" -> 2L))
+  }
+
   test("overlapMatrix emits one row per unordered pair with the estimator algebra") {
     val df = Seq.tabulate(300)(i => (s"g${i % 3}", s"u${i % 50}")).toDF("g", "k")
     val sk = Sketches.sketch(df, "g", "k", 64)
