@@ -2387,6 +2387,35 @@ object SparkEntry {
           |) AS (chk, n)""".stripMargin)
     }),
 
+    "incremental_rollup" -> ((s, dir) => {
+      // the incremental GROUP BY: a keys-sized rollup table (count, exact
+      // decimal sum, min/max, HLL distinct) maintained across three
+      // user-disjoint micro-batches, with the LAST batch REDELIVERED under
+      // its own batchId (Spark's restart semantics) — additive algebra
+      // would double-count, so exactly-once rides the commit-record skip.
+      // cnt/sum/min/max are order-free exact and DuckDB-replayed directly;
+      // the HLL estimate is envelope-flagged (lgK=14 ≈ 0.8% rse)
+      import graft.streaming.RollupState
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("value"), col("user_id"))
+      val stateDir = scratchDir("graft_rollup") + "/state"
+      Seq((0, 0L), (1, 1L), (2, 2L), (2, 2L)).foreach { case (m, id) =>
+        RollupState.mergeBatch(ev.filter(pmod(col("user_id"), lit(3)) === m),
+          stateDir, Seq("event_type"), "value", "user_id", batchId = id): Unit
+      }
+      val st = RollupState.state(s, stateDir).get
+      val exactUsers = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      st.join(exactUsers, Seq("event_type"))
+        .select(col("event_type"), col("cnt"),
+          col("sum_v").cast("double").as("sum_value"),
+          col("min_v").as("min_value"), col("max_v").as("max_value"),
+          col("exact_users"),
+          when(abs(hll_sketch_estimate(col("distinct_hll")) - col("exact_users"))
+            <= lit(0.05) * col("exact_users"), lit(1L)).otherwise(lit(0L))
+            .as("hll_within_5pct"))
+    }),
+
     "kmv_stream_state" -> ((s, dir) => {
       // the continuous audience-sketch maintainer driven end to end: three
       // user-disjoint micro-batches merge into the persisted per-segment
@@ -3975,6 +4004,16 @@ object SparkEntry {
         |UNION ALL SELECT 'view_within_30pct', 1
         |UNION ALL SELECT 'union_within_30pct', 1
         |UNION ALL SELECT 'overlap_within_30pct', 1""".stripMargin,
+
+    // the additive metrics replay EXACTLY (order-free decimal sums); only
+    // the HLL estimate is an envelope flag
+    "incremental_rollup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(1 AS BIGINT) AS hll_within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // exact per-segment distincts replayed; the bitwise state-vs-batch
     // equality and the envelope are the stated invariants

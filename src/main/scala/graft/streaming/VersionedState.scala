@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared versioned-state scaffolding for the continuous batch-merge
+  * maintainers ([[KmvSegments]], [[RollupState]]): a state directory holds
+  * `v<batchId>` parquet versions and a `current` pointer file naming the
+  * live one.
+  *
+  * The pointer doubles as each batch's COMMIT RECORD: [[isCommitted]] lets
+  * a maintainer skip a redelivered batchId whose version is already live —
+  * which is what makes NON-idempotent merge algebras (additive rollups)
+  * exactly-once under at-least-once delivery, and keeps every maintainer
+  * from reading and overwriting its own version path.
+  *
+  * Crash discipline (hand-verified windows):
+  *   - version write completes (with `_SUCCESS`) BEFORE the pointer moves;
+  *   - the pointer swap is staging + rename; rename cannot overwrite, so
+  *     the old pointer is deleted first — a crash inside that window
+  *     leaves no pointer, and [[read]] falls back to the highest
+  *     `_SUCCESS`-complete version on disk (the batch in flight never
+  *     wrote its streaming commit, so it redelivers onto that base);
+  *   - superseded versions sweep AFTER the swap, except the immediately
+  *     retired one — a one-merge grace window for readers whose plan still
+  *     pins it. SINGLE-WRITER per state dir, like every sidecar here.
+  */
+object VersionedState {
+
+  private def pointerPath(stateDir: Path) = new Path(stateDir, "current")
+
+  def versionName(batchId: Long): String = s"v$batchId"
+
+  def fileSystem(spark: SparkSession, stateDir: String): (FileSystem, Path) = {
+    val dir = new Path(stateDir)
+    (dir.getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
+  }
+
+  /** The live state frame, or None before the first commit. */
+  def read(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val (fs, dir) = fileSystem(spark, stateDir)
+    liveVersion(fs, dir).map(v => spark.read.parquet(new Path(dir, v).toString))
+  }
+
+  /** Has `batchId` already committed? (Its version is the live one.) */
+  def isCommitted(spark: SparkSession, stateDir: String, batchId: Long): Boolean = {
+    val (fs, dir) = fileSystem(spark, stateDir)
+    liveVersion(fs, dir).contains(versionName(batchId))
+  }
+
+  def liveVersion(fs: FileSystem, dir: Path): Option[String] =
+    currentVersion(fs, dir).orElse(latestCompleteVersion(fs, dir))
+
+  private def currentVersion(fs: FileSystem, dir: Path): Option[String] = {
+    val p = pointerPath(dir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toByteArray
+      } finally in.close()
+      Some(new String(bytes, "UTF-8").trim)
+    }
+  }
+
+  /** Crash recovery: the `v<N>` dir with the highest N that finished its
+    * write (`_SUCCESS` present). A dir mid-write at the crash has no
+    * `_SUCCESS` and is skipped.
+    */
+  private def latestCompleteVersion(fs: FileSystem, dir: Path): Option[String] = {
+    if (!fs.exists(dir)) return None
+    val ids = fs.listStatus(dir).map(_.getPath.getName).collect {
+      case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+        fs.exists(new Path(new Path(dir, n), "_SUCCESS")) => n.drop(1).toLong
+    }
+    if (ids.isEmpty) None else Some(s"v${ids.max}")
+  }
+
+  /** Write `merged` as `v<batchId>`, swap the pointer onto it, sweep
+    * superseded versions (keeping the one-merge grace version), and return
+    * the committed frame. `coalesceTo` bounds the version's file count —
+    * pass the state's natural parallelism (1 for segments-sized state).
+    */
+  def commit(merged: DataFrame, stateDir: String, batchId: Long,
+      coalesceTo: Int = 1): DataFrame = {
+    val spark = merged.sparkSession
+    val (fs, dir) = fileSystem(spark, stateDir)
+    val vName = versionName(batchId)
+    val vPath = new Path(dir, vName)
+    val live = liveVersion(fs, dir)
+    require(!live.contains(vName),
+      s"batch $batchId is already the live version — callers gate on isCommitted")
+    merged.coalesce(coalesceTo).write.mode("overwrite").parquet(vPath.toString)
+    val staging = new Path(dir, "current.staging")
+    val out = fs.create(staging, true)
+    try out.write(vName.getBytes("UTF-8")) finally out.close()
+    val p = pointerPath(dir)
+    // rename cannot overwrite -> delete first; a crash inside this window
+    // leaves no pointer and read() recovers via latestCompleteVersion
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(staging, p))
+      throw new graft.GraftDataError(s"versioned state: pointer swap failed under $dir")
+    val keep = Set(vName) ++ live
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit) && !keep(n))
+      .foreach(v => fs.delete(new Path(dir, v), true))
+    spark.read.parquet(vPath.toString)
+  }
+}

@@ -1163,6 +1163,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("RollupState merges to the one-shot aggregate; a redelivered batchId cannot double-count") {
+    import graft.streaming.RollupState
+    val df = Seq(
+      ("a", 10.0, 1L), ("a", 2.5, 2L), ("a", 2.5, 1L),
+      ("b", -3.0, 3L), ("b", 7.0, 3L), ("c", 0.0, 4L)
+    ).toDF("k", "v", "u")
+    val dirS = java.nio.file.Files.createTempDirectory("graft-rollup").toString + "/st"
+    // two batches split by user, then batch 1 REDELIVERED under its own id
+    Seq((Seq(1L, 2L), 0L), (Seq(3L, 4L), 1L), (Seq(3L, 4L), 1L)).foreach { case (us, id) =>
+      RollupState.mergeBatch(df.filter($"u".isin(us: _*)), dirS,
+        Seq("k"), "v", "u", batchId = id): Unit
+    }
+    val got = RollupState.state(spark, dirS).get
+      .select($"k", $"cnt", $"sum_v".cast("double"), $"min_v", $"max_v",
+        hll_sketch_estimate($"distinct_hll").as("du"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    val want = df.groupBy($"k").agg(
+        count(lit(1)), sum($"v".cast("decimal(18,2)")).cast("double"),
+        min($"v"), max($"v"), countDistinct($"u"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    // cnt/sum/min/max order-free exact; HLL exact at these cardinalities
+    assert(got == want, s"got $got, want $want")
+  }
+
   test("purgeCorpus of EVERY doc leaves a live, readable, empty table gate") {
     import graft.streaming.KeyTableSidecar
     val corpus = java.nio.file.Files.createTempDirectory("graft-gdpr-all").toString + "/corpus"
