@@ -2331,7 +2331,11 @@ object SparkEntry {
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
       val sk: Map[String, Long] = toks.as[String]
         .select(new graft.operators.Sketches.MisraGriesAgg(cap).toColumn).head()
-      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      // materialized: the vocab-sized count table serves N, the threshold
+      // filter AND the collect from one tokenization pass (without it each
+      // consumer re-runs the corpus scan + explode)
+      val counts = Checkpointing.materialize(
+        toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt")))
       val n = counts.agg(sum(col("exact_cnt"))).head().getLong(0)
       val thresh = n.toDouble / (cap + 1)
       // the guaranteed-HH set is <= cap rows by pigeonhole — bounded collect

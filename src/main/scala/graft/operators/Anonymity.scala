@@ -40,7 +40,9 @@ object Anonymity {
   def withClassSize(df: DataFrame, quasiCols: Seq[String],
       sizeCol: String = "class_size"): DataFrame = {
     require(quasiCols.nonEmpty, "k-anonymity needs at least one quasi-identifier")
-    require(!df.columns.contains(sizeCol),
+    // case-insensitive: withColumn resolves names case-insensitively under
+    // the default spark.sql.caseSensitive=false, so "Class_Size" would clobber
+    require(!df.columns.exists(_.equalsIgnoreCase(sizeCol)),
       s"withClassSize would clobber the existing column '$sizeCol' — pass a free sizeCol")
     df.withColumn(sizeCol,
       count(lit(1)).over(Window.partitionBy(quasiCols.map(col): _*)))
@@ -55,7 +57,7 @@ object Anonymity {
     require(k >= 1, s"k must be positive, got $k")
     // collision-free temp name: never clobber (or later drop) caller data
     val sz = Iterator.iterate("__kanon_class_size")(_ + "_")
-      .dropWhile(df.columns.contains).next()
+      .dropWhile(n => df.columns.exists(_.equalsIgnoreCase(n))).next()
     withClassSize(df, quasiCols, sz).filter(col(sz) >= k).drop(sz)
   }
 

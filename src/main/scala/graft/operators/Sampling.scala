@@ -391,7 +391,9 @@ object Sampling {
       salt: Long = 0L, splitCol: String = "split"): DataFrame = {
     require(holdoutFrac > 0.0 && holdoutFrac < 1.0,
       s"holdoutFrac must be in (0, 1), got $holdoutFrac")
-    require(!df.columns.contains(splitCol),
+    // case-insensitive: withColumn resolves names case-insensitively under
+    // the default spark.sql.caseSensitive=false, so "Split" would clobber
+    require(!df.columns.exists(_.equalsIgnoreCase(splitCol)),
       s"groupSplit would clobber the existing column '$splitCol' — pass a free splitCol")
     df.withColumn(splitCol,
       when(unitHash(col(groupCol), salt) < holdoutFrac, lit("holdout"))
