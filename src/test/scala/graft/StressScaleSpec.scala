@@ -393,4 +393,48 @@ class StressScaleSpec extends SparkTestBase {
     assert(diffs.isEmpty,
       s"partitioning-dependent results from: ${diffs.mkString(", ")}")
   }
+
+  stress("continuous maintainers stay bounded-state and flat-cost over 40 micro-batches") {
+    // the 100 TB claim of the versioned-state maintainers: per-merge cost
+    // and on-disk state depend on |keys| (and k), NEVER on how much stream
+    // has flowed. 40 batches of 25k rows each; 8 segments; KMV k=128.
+    import graft.streaming.{KmvSegments, RollupState}
+    val kmvDir = java.nio.file.Files.createTempDirectory("graft-kmv-stress").toString + "/st"
+    val ruDir = java.nio.file.Files.createTempDirectory("graft-ru-stress").toString + "/st"
+    def batchDf(b: Int) = spark.range(b * 25000L, (b + 1) * 25000L)
+      .select(pmod($"id", lit(8)).as("seg"), $"id".as("uid"),
+        ($"id" % 1000).cast("double").as("v"))
+    val times = (0 until 40).map { b =>
+      val df = batchDf(b)
+      val (_, tK) = timed(KmvSegments.mergeBatch(df, kmvDir, "seg", "uid", 128, b.toLong))
+      val (_, tR) = timed(RollupState.mergeBatch(df, ruDir, Seq("seg"), "v", "uid", b.toLong))
+      tK + tR
+    }
+    def median5(xs: Seq[Double]): Double = xs.sorted.apply(2)
+    val early = median5(times.slice(2, 7)) // skip warm-up/JIT batches
+    val late = median5(times.takeRight(5))
+    assert(late <= early * 3.0,
+      f"per-merge cost grew with stream length: early=$early%.2fs late=$late%.2fs")
+    // state stays keys-sized and k-bounded after 1M streamed rows
+    val kmvState = KmvSegments.state(spark, kmvDir).get.collect()
+    assert(kmvState.length == 8 && kmvState.forall(_.getSeq[Long](1).size <= 128))
+    val ru = RollupState.state(spark, ruDir).get
+      .select($"seg", $"cnt", $"sum_v".cast("double"), $"min_v", $"max_v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val want = (0 until 40).map(batchDf).reduce(_ union _)
+      .groupBy($"seg").agg(count(lit(1)),
+        sum($"v".cast("decimal(18,2)")).cast("double"), min($"v"), max($"v"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(ru == want, "40-batch rollup must equal the one-shot aggregate")
+    // on-disk footprint: exactly one live version (plus the grace one)
+    for (d <- Seq(kmvDir, ruDir)) {
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val vs = fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .map(_.getPath.getName).count(_.startsWith("v"))
+      assert(vs <= 2, s"version dirs accrete under $d: $vs")
+    }
+  }
 }
