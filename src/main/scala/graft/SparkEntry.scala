@@ -2348,6 +2348,33 @@ object SparkEntry {
       }.toDF("token", "exact_cnt", "in_sketch", "underest_within_bound")
     }),
 
+    "heavy_hitters_by_lang" -> ((s, dir) => {
+      // the GROUPED form of heavy_hitters, fully in-plan: one Misra-Gries
+      // summary per language (a udaf partial per partition per group, so
+      // the shuffle carries |langs| x cap counters), probed with map
+      // functions — no driver collect anywhere. Same order-independent
+      // guarantees, stated per (lang, token) over the guaranteed-HH set
+      import org.apache.spark.sql.Encoders
+      val cap = 32
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val mg = udaf(new graft.operators.Sketches.MisraGriesAgg(cap), Encoders.STRING)
+      val sks = toks.groupBy(col("lang")).agg(mg(col("token")).as("sk"))
+      val counts = Checkpointing.materialize(
+        toks.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("exact_cnt")))
+      val ns = counts.groupBy(col("lang")).agg(sum(col("exact_cnt")).as("n"))
+      val bound = col("n").cast("double") / lit((cap + 1).toDouble)
+      val est = coalesce(element_at(col("sk"), col("token")), lit(0L))
+      counts.join(ns, Seq("lang"))
+        .filter(col("exact_cnt") > bound)
+        .join(broadcast(sks), Seq("lang"))
+        .select(col("lang"), col("token"), col("exact_cnt"),
+          when(est > 0L, lit(1L)).otherwise(lit(0L)).as("in_sketch"),
+          when(est <= col("exact_cnt") &&
+            (col("exact_cnt") - est).cast("double") <= bound, lit(1L))
+            .otherwise(lit(0L)).as("underest_within_bound"))
+    }),
+
     "kmv_overlap" -> ((s, dir) => {
       // KMV (k-minimum-values) distinct sketches: the mergeable family that
       // — unlike HLL — supports SET-INTERSECTION estimates, the "audience
@@ -3988,6 +4015,15 @@ object SparkEntry {
          |  CAST(1 AS BIGINT) AS in_sketch,
          |  CAST(1 AS BIGINT) AS underest_within_bound
          |FROM c WHERE cnt > (SELECT n FROM n) / 65.0""".stripMargin,
+
+    "heavy_hitters_by_lang" ->
+      s"""WITH t AS (SELECT lang, unnest($sqlToks) AS tok FROM documents),
+         |n AS (SELECT lang, count(*) AS n FROM t GROUP BY lang),
+         |c AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY lang, tok)
+         |SELECT c.lang, tok AS token, CAST(cnt AS BIGINT) AS exact_cnt,
+         |  CAST(1 AS BIGINT) AS in_sketch,
+         |  CAST(1 AS BIGINT) AS underest_within_bound
+         |FROM c JOIN n USING (lang) WHERE cnt > n / 33.0""".stripMargin,
 
     // exact segment cardinalities replayed; the KMV envelope flags are the
     // stated invariant (k=128 → rse ≈ 8.9%, 30% is a >3-sigma bound)
