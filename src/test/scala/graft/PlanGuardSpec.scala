@@ -210,12 +210,25 @@ class PlanGuardSpec extends SparkTestBase {
       "ts sorted descending (the mirrored forward merge)"),
     "funnel_conversion" -> (2, "user-key exchange reused by 3 windows; tiny final agg"),
     "retention_cohorts" -> (2, "user-key exchange + cohort-grid agg"),
+    "leakage_safe_split" -> (1, "one digest-keyed rep aggregation; the " +
+      "classes-sized rep table broadcasts back at this sf"),
+    "k_anonymity" -> (2, "the census countDistinct plans the two-level " +
+      "aggregate: (QI keys + sensitive) then QI keys"),
+    "heavy_hitters_by_lang" -> (2, "one lang-keyed sketch agg + one " +
+      "(lang, token) count agg; the materialized count table serves N, " +
+      "the threshold filter and the probe join without new exchanges"),
     // multi-stage pipelines: each number is the audited stage count
     "segment_dedup" -> (3, "segment-key agg (2-phase) + doc-id regroup"),
     "duplicate_spans" -> (3, "spread probe + ONE fingerprint-keyed exchange " +
       "(count-over-window doubles as the dup census — no groupBy, no " +
       "semi-join, no second window explode) + doc-keyed coverage window"),
     "embed_dedup" -> (4, "LSH bucket join + component resolution + survivor semi-join"),
+    "kmv_overlap" -> (4, "one seg-keyed sketch agg + the exact rail's " +
+      "(seg,user) distinct, user regroup and 1-row global agg; the two " +
+      "1-row frames cross via broadcast"),
+    "kmv_matrix" -> (6, "seg sketch agg + the exact rail (pair self-join " +
+      "over the distinct (seg,user) frame, pair agg, size agg); the S-row " +
+      "matrix self-cross adds none"),
     "tfidf_top_terms" -> (5, "term df agg, doc tf agg, join, per-doc top-k window"),
     "curation_pipeline_v2" -> (4, "gates checkpoint once (classifier is pure " +
       "scan-stage, the LM census aggregates the corpus explode ONCE and derives " +
