@@ -594,6 +594,18 @@ object Dedup {
   def segmentDedup(df: DataFrame, idCol: String, textCol: String, segTokens: Int = 10,
       carryCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // clobber guard (case-insensitive, like withClassSize/groupSplit —
+    // resolution is case-insensitive under default caseSensitive=false):
+    // a carry column named like an output would analyze ambiguous or
+    // silently shadow the produced column
+    val produced = Seq(idCol, "n_segs", "n_kept", "dedup_text")
+    carryCols.foreach { c =>
+      require(!produced.exists(_.equalsIgnoreCase(c)),
+        s"segmentDedup: carry column '$c' collides with an output column " +
+          s"(${produced.mkString(", ")}) — rename it before the call")
+    }
+    require(carryCols.map(_.toLowerCase).distinct.size == carryCols.size,
+      s"segmentDedup: carryCols repeats a column: ${carryCols.mkString(", ")}")
     val toks = TextAnalysis.tokens(col(textCol))
     val segs = TextAnalysis.tokenChunks(toks, size = segTokens, stride = segTokens)
     // spread first: a single-file scan is one partition, which would

@@ -56,6 +56,13 @@ object Retrieval {
     val statsRow = lens.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl")).head()
     val nDocs = statsRow.getLong(0)
+    // empty corpus: sum(dl) aggregates to NULL (getLong would NPE) and
+    // avgdl would divide by zero — the correct answer is simply no matches
+    if (nDocs == 0L)
+      return queries.select(col("query_id")).limit(0)
+        .withColumn("doc_id", lit(null).cast(docs.schema(idCol).dataType))
+        .withColumn("rank", lit(null).cast("long"))
+        .withColumn("score", lit(null).cast("double"))
     val avgdl = statsRow.getLong(1).toDouble / nDocs
 
     // (query_id, term) pairs and the distinct term dictionary — both tiny,

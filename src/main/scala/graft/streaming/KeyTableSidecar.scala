@@ -194,12 +194,16 @@ object KeyTableSidecar {
     * number of key rows removed (append-replay duplicates of a key all
     * leave together).
     *
-    * Crash safety rides the caller's meta ordering, not markers: the
-    * stages here are write-survivors-then-swap-dirs, and a crash at any
-    * point leaves some shards old and some rewritten — which is FINE,
-    * because the gate's meta (with its fresh corpus stamp) only swaps in
-    * after this returns; until then readers see a stale stamp and fall
-    * back to a one-scan rebuild. Note the correctness asymmetry with
+    * Crash safety: the gate's meta is INVALIDATED (deleted) here, before
+    * any shard directory is touched — so a crash at any point (including
+    * inside a shard's delete-then-promote window, which can momentarily
+    * drop that shard's surviving keys) leaves NO trusted stamp, and the
+    * next reader falls back to a one-scan rebuild rather than trusting a
+    * table that may under-cover. Callers that purge the corpus too
+    * ([[graft.streaming.Streaming.purgeCorpus]]) write a fresh meta AFTER
+    * this returns, restoring the fast path; a standalone purgeKeys leaves
+    * the gate in rebuild mode, which is correct, just slower, until the
+    * next stamp. Note the correctness asymmetry with
     * [[compact]]: compaction must never LOSE a key; a purge must never
     * UNDER-delete one whose content left the corpus — the caller
     * guarantees the key set it passes has no surviving holder (a key a
@@ -221,6 +225,11 @@ object KeyTableSidecar {
     val scoped = table.filter(col("__shard").isin(present.map(Int.box): _*))
     val removed = scoped.join(wanted, Seq("__k"), "left_semi").count()
     if (removed == 0L) return 0L
+    // invalidate BEFORE mutating shard dirs (see Scaladoc): lost key ⇒
+    // duplicate content admitted is the one forbidden failure, and the
+    // missing stamp turns every crash window below into a rebuild instead
+    val mp = metaPath(corpusDir, name)
+    if (fs.exists(mp)) fs.delete(mp, false)
     val staging = new Path(d, "_purge_stage")
     fs.delete(staging, true)
     // same spread policy as a rebuild: a big shard rewrites across

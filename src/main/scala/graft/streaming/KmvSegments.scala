@@ -54,9 +54,13 @@ object KmvSegments {
     val merged = state(spark, stateDir) match {
       case None => partial
       case Some(prev) =>
-        prev.withColumnRenamed("kmv", "__prev")
-          .join(partial.withColumnRenamed("kmv", "__new"), Seq("seg"), "full_outer")
-          .select(col("seg"),
+        // null-safe on seg: a NULL segment is a group like any other, and
+        // a USING join would re-append it un-merged every batch (split
+        // sketches that never union) — join with <=> and coalesce seg out
+        prev.withColumnsRenamed(Map("kmv" -> "__prev", "seg" -> "__pseg"))
+          .join(partial.withColumnRenamed("kmv", "__new"),
+            col("__pseg") <=> col("seg"), "full_outer")
+          .select(coalesce(col("__pseg"), col("seg")).as("seg"),
             Sketches.mergeCol(
               coalesce(col("__prev"), empty), coalesce(col("__new"), empty), k).as("kmv"))
     }

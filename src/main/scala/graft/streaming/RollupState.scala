@@ -62,8 +62,16 @@ object RollupState {
       case Some(prev) =>
         val a = prev.columns.filterNot(keyCols.contains)
           .foldLeft(prev)((d, c) => d.withColumnRenamed(c, s"__a_$c"))
-        val b = a.join(p, keyCols, "full_outer")
-        b.select(keyCols.map(col) ++ Seq(
+        // NULL keys are groups too (groupBy emits them) and must keep
+        // merging into ONE state row: a plain USING join's EqualTo never
+        // matches NULL, so every batch would append a fresh null-key row
+        // with split cnt/sum. Join null-safely (<=>) and coalesce the key
+        // columns back out — for the null-key group both sides are null
+        // and the coalesce correctly stays null.
+        val ak = keyCols.foldLeft(a)((d, c) => d.withColumnRenamed(c, s"__k_$c"))
+        val b = ak.join(p,
+          keyCols.map(c => col(s"__k_$c") <=> col(c)).reduce(_ && _), "full_outer")
+        b.select(keyCols.map(c => coalesce(col(s"__k_$c"), col(c)).as(c)) ++ Seq(
           (coalesce(col("__a_cnt"), lit(0L)) + coalesce(col("cnt"), lit(0L))).as("cnt"),
           (coalesce(col("__a_sum_v"), lit(0).cast(SumType)) +
             coalesce(col("sum_v"), lit(0).cast(SumType))).cast(SumType).as("sum_v"),

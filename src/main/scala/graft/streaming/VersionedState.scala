@@ -18,9 +18,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - version write completes (with `_SUCCESS`) BEFORE the pointer moves;
   *   - the pointer swap is staging + rename; rename cannot overwrite, so
   *     the old pointer is deleted first — a crash inside that window
-  *     leaves no pointer, and [[read]] falls back to the highest
-  *     `_SUCCESS`-complete version on disk (the batch in flight never
-  *     wrote its streaming commit, so it redelivers onto that base);
+  *     leaves no pointer, and [[read]] falls back to the most recently
+  *     WRITTEN `_SUCCESS`-complete version on disk (recency by mtime, not
+  *     version number — names may regress across checkpoint loss; the
+  *     batch in flight never wrote its streaming commit, so it redelivers
+  *     onto that base);
   *   - superseded versions sweep AFTER the swap, except the immediately
   *     retired one — a one-merge grace window for readers whose plan still
   *     pins it. SINGLE-WRITER per state dir, like every sidecar here.
@@ -65,17 +67,27 @@ object VersionedState {
     }
   }
 
-  /** Crash recovery: the `v<N>` dir with the highest N that finished its
-    * write (`_SUCCESS` present). A dir mid-write at the crash has no
-    * `_SUCCESS` and is skipped.
+  /** Crash recovery: the MOST RECENTLY WRITTEN `_SUCCESS`-complete version
+    * (a dir mid-write at the crash has no `_SUCCESS` and is skipped).
+    *
+    * Recency is the `_SUCCESS` modification time, NOT the parsed batchId:
+    * version names may REGRESS (a restart without a checkpoint re-numbers
+    * from the source's beginning — [[KmvSegments]] documents "the version
+    * name may regress, never the content"), and after such a regression
+    * the numerically-higher dir is the content-OLDER one. batchId only
+    * tie-breaks writes that land within one timestamp granule, where the
+    * later write of a single-writer dir did get the higher id.
     */
   private def latestCompleteVersion(fs: FileSystem, dir: Path): Option[String] = {
     if (!fs.exists(dir)) return None
     val ids = fs.listStatus(dir).map(_.getPath.getName).collect {
-      case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
-        fs.exists(new Path(new Path(dir, n), "_SUCCESS")) => n.drop(1).toLong
+      case n if n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
+        (n, new Path(new Path(dir, n), "_SUCCESS"))
+    }.collect {
+      case (n, s) if fs.exists(s) =>
+        (fs.getFileStatus(s).getModificationTime, n.drop(1).toLong)
     }
-    if (ids.isEmpty) None else Some(s"v${ids.max}")
+    if (ids.isEmpty) None else Some(s"v${ids.max._2}")
   }
 
   /** Write `merged` as `v<batchId>`, swap the pointer onto it, sweep

@@ -186,6 +186,23 @@ class DedupSpec extends SparkTestBase {
       (2L, 1L, 0L, "")))
   }
 
+  test("segmentDedup rejects carry columns that collide with its outputs") {
+    val segDocs = Seq((0L, "a b c", "en")).toDF("doc_id", "text", "lang")
+    // produced names (any case — resolution is case-insensitive) and
+    // repeats must fail fast, not clobber or analyze ambiguous
+    Seq(Seq("N_SEGS"), Seq("n_kept"), Seq("dedup_text"), Seq("doc_id"),
+        Seq("lang", "LANG")).foreach { bad =>
+      intercept[IllegalArgumentException] {
+        Dedup.segmentDedup(segDocs, "doc_id", "text", segTokens = 3, carryCols = bad)
+      }
+    }
+    // a legitimate carry still rides through
+    val out = Dedup.segmentDedup(segDocs, "doc_id", "text", segTokens = 3,
+        carryCols = Seq("lang"))
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+    assert(out == Seq((0L, "en", 1L, 1L, "a b c")))
+  }
+
   test("segmentDedup on disjoint docs is the identity (normalized text)") {
     val segDocs = Seq(
       (0L, "one two three four five six"),

@@ -49,6 +49,15 @@ class RetrievalSpec extends SparkTestBase {
     assert(Retrieval.bm25TopK(corpus, "doc_id", "text", q, k = 5).count() == 0)
   }
 
+  test("bm25TopK on an empty corpus returns empty with the contract schema") {
+    val q = Seq((0L, "spark join")).toDF("query_id", "qtext")
+    val out = Retrieval.bm25TopK(corpus.limit(0), "doc_id", "text", q, k = 5)
+    // sum(dl) is NULL and avgdl is 0/0 on an empty corpus — the guard must
+    // return no matches, not throw
+    assert(out.columns.toSeq == Seq("query_id", "doc_id", "rank", "score"))
+    assert(out.count() == 0L)
+  }
+
   test("bm25TopK caps at k per query and serves multiple queries in one pass") {
     val q = Seq((0L, "spark"), (1L, "order")).toDF("query_id", "qtext")
     val out = Retrieval.bm25TopK(corpus, "doc_id", "text", q, k = 2)

@@ -1189,6 +1189,80 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want, s"got $got, want $want")
   }
 
+  test("maintainers merge a NULL key into ONE state row, like any other group") {
+    import graft.streaming.{KmvSegments, RollupState}
+    // groupBy emits a null-key group; a plain USING merge join would
+    // re-append it un-merged every batch (EqualTo never matches NULL)
+    val dirR = java.nio.file.Files.createTempDirectory("graft-rollnull").toString + "/st"
+    RollupState.mergeBatch(Seq((Some("a"), 1.0, 1L), (None, 2.0, 2L)).toDF("k", "v", "u"),
+      dirR, Seq("k"), "v", "u", batchId = 0L): Unit
+    RollupState.mergeBatch(Seq((Option.empty[String], 3.0, 3L)).toDF("k", "v", "u"),
+      dirR, Seq("k"), "v", "u", batchId = 1L): Unit
+    val rows = RollupState.state(spark, dirR).get
+      .select($"k", $"cnt", $"sum_v".cast("double"), $"min_v", $"max_v").collect()
+    assert(rows.length == 2, s"one row per key INCLUDING null, got ${rows.toSeq}")
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert((nullRow.getLong(1), nullRow.getDouble(2), nullRow.getDouble(3),
+      nullRow.getDouble(4)) == ((2L, 5.0, 2.0, 3.0)))
+    val dirK = java.nio.file.Files.createTempDirectory("graft-kmvnull").toString + "/st"
+    KmvSegments.mergeBatch(Seq((Some("s"), 1L), (None, 2L)).toDF("seg", "uid"),
+      dirK, "seg", "uid", 16, batchId = 0L): Unit
+    KmvSegments.mergeBatch(Seq((Option.empty[String], 9L)).toDF("seg", "uid"),
+      dirK, "seg", "uid", 16, batchId = 1L): Unit
+    val segs = KmvSegments.state(spark, dirK).get.collect()
+      .map(r => Option(r.getString(0)) -> r.getSeq[Long](1)).toMap
+    assert(segs.size == 2 && segs(None).size == 2,
+      s"null segment must keep ONE merged sketch: $segs")
+  }
+
+  test("crash fallback recovers CONTENT recency, not version-number order") {
+    import graft.streaming.KmvSegments
+    import org.apache.hadoop.fs.Path
+    val dirS = java.nio.file.Files.createTempDirectory("graft-vsregress").toString + "/st"
+    // an earlier run's numbering reached batchId 7...
+    KmvSegments.mergeBatch(Seq(("a", 1L)).toDF("seg", "uid"),
+      dirS, "seg", "uid", 16, batchId = 7L): Unit
+    // ...then a restart WITHOUT a checkpoint regresses the numbering to 0;
+    // the content extends (idempotent merge), the version NAME goes down
+    KmvSegments.mergeBatch(Seq(("a", 2L), ("b", 3L)).toDF("seg", "uid"),
+      dirS, "seg", "uid", 16, batchId = 0L): Unit
+    // crash inside the pointer-swap window: v0 (live content) and v7 (the
+    // grace version) are both on disk and v7 has the HIGHER number
+    val fs = new Path(dirS).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(dirS, "current"), false))
+    val rec = KmvSegments.state(spark, dirS).get.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(rec.keySet == Set("a", "b") && rec("a").size == 2,
+      s"fallback must pick the most recently WRITTEN version, got $rec")
+  }
+
+  test("purgeKeys invalidates the gate meta before touching shard dirs") {
+    import graft.streaming.{KeyTableMeta, KeyTableSidecar}
+    val corpus = java.nio.file.Files.createTempDirectory("graft-ktpurge").toString + "/corpus"
+    val target = new org.apache.hadoop.fs.Path(corpus)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(target)
+    KeyTableSidecar.appendKeys(
+      spark.range(0L, 16L).select(col("id").as("__k")), target, nShards = 4)
+    KeyTableSidecar.writeMeta(fs, target, KeyTableMeta(4, 16L, "stamp-live"))
+    val n = KeyTableSidecar.purgeKeys(spark, fs, target,
+      Seq(3L, 7L).toDF("__k"), nShards = 4)
+    assert(n == 2L)
+    // the stamp must be GONE: a crash mid-rewrite may drop a whole shard,
+    // and a surviving trusted stamp would admit duplicate content — the
+    // caller re-stamps after (purgeCorpus does)
+    assert(KeyTableSidecar.readMeta(fs, target).isEmpty,
+      "purgeKeys must invalidate the meta itself")
+    val left = KeyTableSidecar.load(spark, target)
+      .select("__k").as[Long].collect().sorted.toSeq
+    assert(left == (0L until 16L).filterNot(Set(3L, 7L)).toSeq)
+    // a NO-OP purge (keys absent) must not invalidate a fresh stamp
+    KeyTableSidecar.writeMeta(fs, target, KeyTableMeta(4, 14L, "stamp-live2"))
+    assert(KeyTableSidecar.purgeKeys(spark, fs, target,
+      Seq(999L).toDF("__k"), nShards = 4) == 0L)
+    assert(KeyTableSidecar.readMeta(fs, target).exists(_.filesStamp == "stamp-live2"))
+  }
+
   test("purgeCorpus of EVERY doc leaves a live, readable, empty table gate") {
     import graft.streaming.KeyTableSidecar
     val corpus = java.nio.file.Files.createTempDirectory("graft-gdpr-all").toString + "/corpus"
