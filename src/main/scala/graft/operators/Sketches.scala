@@ -116,26 +116,66 @@ object Sketches {
     * Queries must state these (deterministic) properties, not the summary
     * content.
     */
+  /** Buffer: (main summary, pending batch). Reduce is AMORTIZED O(1) at
+    * any capacity: a non-resident arrival lands in `pending` (a plain
+    * exact count map, bounded at `capacity` distinct keys) instead of
+    * paying the classic per-arrival decrement-all scan; when `pending`
+    * fills, ONE [[cutMerge]] pass folds it into `main` — O(capacity)
+    * every >= capacity arrivals. Every mutation is therefore a
+    * mergeable-summaries merge (PODS'12): increments are real arrivals,
+    * decrements happen only inside the cut, so the three guarantees in
+    * the class doc hold for any arrival order and any flush schedule
+    * (the summary CONTENT differs from the per-arrival-decrement form —
+    * already non-contractual).
+    */
   class MisraGriesAgg(capacity: Int)
-      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+      extends Aggregator[String, (Map[String, Long], Map[String, Long]), Map[String, Long]] {
     require(capacity >= 1, "capacity must be positive")
-    override def zero: Map[String, Long] = Map.empty
-    override def reduce(m: Map[String, Long], key: String): Map[String, Long] =
-      if (m.contains(key)) m.updated(key, m(key) + 1L)
-      else if (m.size < capacity) m.updated(key, 1L)
-      else m.flatMap { case (k, v) => if (v > 1L) Some(k -> (v - 1L)) else None }
-    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      val s = (a.keySet ++ b.keySet).iterator
-        .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+
+    /** Sum two summaries; if over capacity, subtract the (capacity+1)-th
+      * largest counter from all and drop the non-positive (Agarwal et al.
+      * merge — the cut destroys >= (capacity+1)·cut mass, which is what
+      * bounds the total undercount by N/(capacity+1)).
+      */
+    private def cutMerge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      // fold the smaller side into the larger (persistent-map sharing);
+      // primitive sort for the cut selection — this runs once per
+      // >= capacity arrivals, but its constant still shows at scan speed
+      val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+      val s = small.foldLeft(big) { case (m, (k, v)) =>
+        m.updated(k, m.getOrElse(k, 0L) + v)
+      }
       if (s.size <= capacity) s
       else {
-        val cut = s.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+        val arr = new Array[Long](s.size)
+        var i = 0
+        s.valuesIterator.foreach { v => arr(i) = v; i += 1 }
+        java.util.Arrays.sort(arr)
+        val cut = arr(arr.length - capacity - 1) // (capacity+1)-th largest
         s.flatMap { case (k, v) => if (v > cut) Some(k -> (v - cut)) else None }
       }
     }
-    override def finish(m: Map[String, Long]): Map[String, Long] = m
-    override def bufferEncoder: Encoder[Map[String, Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+
+    override def zero: (Map[String, Long], Map[String, Long]) = (Map.empty, Map.empty)
+    override def reduce(buf: (Map[String, Long], Map[String, Long]),
+        key: String): (Map[String, Long], Map[String, Long]) = {
+      val (main, pending) = buf
+      if (main.contains(key)) (main.updated(key, main(key) + 1L), pending)
+      else if (pending.isEmpty && main.size < capacity) (main.updated(key, 1L), pending)
+      else {
+        val p = pending.updated(key, pending.getOrElse(key, 0L) + 1L)
+        if (p.size >= capacity) (cutMerge(main, p), Map.empty) else (main, p)
+      }
+    }
+    override def merge(a: (Map[String, Long], Map[String, Long]),
+        b: (Map[String, Long], Map[String, Long])): (Map[String, Long], Map[String, Long]) =
+      (cutMerge(cutMerge(a._1, a._2), cutMerge(b._1, b._2)), Map.empty)
+    override def finish(buf: (Map[String, Long], Map[String, Long])): Map[String, Long] =
+      cutMerge(buf._1, buf._2)
+    override def bufferEncoder: Encoder[(Map[String, Long], Map[String, Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Map[String, Long], Map[String, Long])]()
     override def outputEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }

@@ -94,9 +94,37 @@ class SketchesSpec extends SparkTestBase {
   test("MisraGries merge sums then cuts at the (capacity+1)-th largest") {
     import graft.operators.Sketches
     val agg = new Sketches.MisraGriesAgg(2)
-    val merged = agg.merge(Map("a" -> 10L, "b" -> 4L), Map("b" -> 3L, "c" -> 5L))
+    val merged = agg.merge(
+      (Map("a" -> 10L, "b" -> 4L), Map.empty),
+      (Map("b" -> 3L, "c" -> 5L), Map.empty))
     // summed: a=10 b=7 c=5; cut = 3rd largest = 5 -> a=5, b=2, c drops
-    assert(merged == Map("a" -> 5L, "b" -> 2L))
+    assert(agg.finish(merged) == Map("a" -> 5L, "b" -> 2L))
+  }
+
+  test("MisraGries guarantees hold at capacity 1024 with the amortized reduce") {
+    import graft.operators.Sketches
+    // the amortized pending-batch reduce must keep the three guarantees at
+    // a vocabulary-sketch capacity, where the old per-arrival
+    // decrement-all scan paid O(cap) per non-resident row
+    val cap = 1024
+    val items = (1 to 4000).flatMap(i => Seq.fill(4000 / i)(s"t$i"))
+    val n = items.size.toLong
+    val bound = n.toDouble / (cap + 1)
+    val exact = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val agg = new Sketches.MisraGriesAgg(cap)
+    // driver-side fold + a 3-way partial merge: both paths through the buffer
+    val whole = agg.finish(items.foldLeft(agg.zero)(agg.reduce))
+    val parts = items.grouped(items.size / 3 + 1).toSeq
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+    val merged = agg.finish(parts.reduce(agg.merge))
+    for (sk <- Seq(whole, merged)) {
+      assert(sk.size <= cap)
+      sk.foreach { case (k, est) => assert(est <= exact(k), s"overcount of $k") }
+      exact.foreach { case (k, c) =>
+        assert((c - sk.getOrElse(k, 0L)).toDouble <= bound, s"$k under by too much")
+        if (c > bound) assert(sk.contains(k), s"guaranteed HH $k missing")
+      }
+    }
   }
 
   test("overlapMatrix emits one row per unordered pair with the estimator algebra") {
