@@ -12,6 +12,12 @@ package graft
   * suite-separated samples give each query one clean shot — per-query min
   * recovers the honest floor. Scans are warmed once up front (file listing
   * + parquet footer cache).
+  *
+  * Rig calibration: a fixed CPU-bound probe (no IO, no shuffle) runs at
+  * start, middle, and end; its three timings land in the JSON
+  * (`calibration` / `cal`). Cross-round comparisons divide per-query times
+  * by the rounds' calibration medians, so rig drift is a measured ratio,
+  * not a narrative.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,6 +43,25 @@ object Bench {
     }
     def combine(a: Double, b: Double): Double =
       if (a < 0 || b < 0) -1.0 else math.min(a, b)
+    // CPU-bound calibration probe: fixed size, no IO, no shuffle — one
+    // codegen'd hash+sum over the session's local threads. Sampled at
+    // bench start/middle/end so cross-round per-query comparisons can be
+    // stated as measured calibration ratios (rig fast/slow TODAY) instead
+    // of attributing uniform drift to the rig by narrative. The hash sum
+    // is cast to double before aggregating (ANSI mode would error on
+    // 64-bit overflow of a raw long sum).
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 1000L * 1000 * 1000, 1L, 32)
+          .select(sum(xxhash64(col("id")).cast("double"))).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(one(), one()) // min-of-two: a sample is a floor, not a draw
+    }
+    calibrate() // pay the probe's own codegen + JIT before the first sample
+    val calStart = calibrate()
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // warm pass: codegen compile + JIT for every plan
@@ -48,6 +73,7 @@ object Bench {
     // makes a slow window cost each query at most ONE of its two samples,
     // so the per-query min recovers the honest floor.
     val passA = qs.map { case (name, fn) => name -> once(name, fn) }
+    val calMid = calibrate()
     val passB = qs.map { case (name, fn) => name -> once(name, fn) }
     val firstPass = passA.zip(passB).map { case ((name, a), (_, b)) =>
       name -> combine(a, b)
@@ -68,9 +94,11 @@ object Bench {
     // failure sentinels must never be summed in (they'd make a broken run
     // read as a speedup). Failures are counted explicitly and fail the
     // process, so a round artifact can't record a partial run as rc:0.
+    val calEnd = calibrate()
     val ok = results.filter(_._2 >= 0)
     val nFailed = results.size - ok.size
     val total = ok.map(_._2).sum
+    val cal = s"""{"start":$calStart,"mid":$calMid,"end":$calEnd}"""
     // Full precision, every query → BENCH_DETAIL.json (committed artifact).
     // The harness keeps only the last ~2000 chars of stdout, which a
     // ~95-query map overflows, so the stdout line carries the suite total
@@ -80,11 +108,11 @@ object Bench {
       .mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailFile),
-      s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${ok.size},"n_failed":$nFailed,"queries":$detail,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${ok.size},"n_failed":$nFailed,"calibration":$cal,"queries":$detail,"sf":"$sfDir"}""".getBytes("UTF-8"))
     def fmt(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","detail":"$detailFile","n":${results.size},"n_ok":${ok.size},"n_failed":$nFailed,"sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","detail":"$detailFile","n":${results.size},"n_ok":${ok.size},"n_failed":$nFailed,"cal":[${fmt(calStart)},${fmt(calMid)},${fmt(calEnd)}],"sf":"$sfDir","queries":{"""
     val tailStr = "}}"
     val budget = 1900 - head.length - tailStr.length
     val entries = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
