@@ -2984,6 +2984,28 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", queries, k = 10)
     }),
 
+    "bm25_index_topk" -> ((s, dir) => {
+      // the PERSISTED form of bm25_topk: the corpus is tokenized once at
+      // ingest into a term-sharded postings table + batches-sized stats
+      // sidecar; the query then reads postings pruned to its own terms
+      // (shard-directory pruning + pushed term IN filter) and never the
+      // corpus. Ingested here in two batches to exercise the incremental
+      // path; scoring shares bm25_topk's Column shapes, so the result —
+      // and the oracle — are bitwise THE SAME
+      import s.implicits._
+      val idx = scratchDir("graft_bm25idx") + "/index"
+      val docs = Tables.documents(s, dir)
+      streaming.Bm25Index.ingestBatch(
+        docs.filter(col("doc_id") % 2 === 0), idx, "doc_id", "text", batchId = 0L)
+      streaming.Bm25Index.ingestBatch(
+        docs.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text", batchId = 1L)
+      val queries = Seq(
+        (0L, "spark join performance"),
+        (1L, "window agg order"),
+        (2L, "hash table scan")).toDF("query_id", "qtext")
+      streaming.Bm25Index.topK(s, idx, queries, k = 10)
+    }),
+
     "hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: BM25 keyword ranks fused with brute-force cosine
       // ranks by reciprocal-rank fusion (1/(60+rank) each side). Both
@@ -5704,6 +5726,17 @@ object SparkEntry {
         |GROUP BY d.g""".stripMargin,
 
     "bm25_topk" ->
+      s"""WITH ${sqlBm25(
+             """SELECT * FROM (VALUES (0, 'spark join performance'),
+               |  (1, 'window agg order'), (2, 'hash table scan'))
+               |  AS v(query_id, qtext)""".stripMargin)}
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |  CAST(rank AS BIGINT) AS rank, score
+         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // the persisted-index path scores with the same Column shapes as
+    // bm25_topk, so the SAME oracle applies bitwise
+    "bm25_index_topk" ->
       s"""WITH ${sqlBm25(
              """SELECT * FROM (VALUES (0, 'spark join performance'),
                |  (1, 'window agg order'), (2, 'hash table scan'))

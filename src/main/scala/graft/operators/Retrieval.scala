@@ -84,6 +84,21 @@ object Retrieval {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
 
+    scoreAndRank(postings, qterms, nDocs, avgdl, k, k1, b)
+  }
+
+  /** The BM25 scoring tail shared by the ad-hoc two-pass form
+    * ([[bm25TopK]]) and the persisted-index form
+    * ([[graft.streaming.Bm25Index]]): identical Column shapes, so the two
+    * paths produce BITWISE-equal scores from the same `(term, doc_id, tf,
+    * dl)` postings slice and corpus constants.
+    *
+    * @param postings matched-slice postings, unique on (doc_id, term)
+    * @param qterms   distinct (query_id, term) pairs — tiny, broadcast
+    */
+  private[graft] def scoreAndRank(
+      postings: DataFrame, qterms: DataFrame, nDocs: Long, avgdl: Double,
+      k: Int, k1: Double, b: Double): DataFrame = {
     // df per matched term: postings are unique on (doc, term) so a count
     // is the document frequency; the result is |matched terms| rows —
     // broadcast it back onto the postings

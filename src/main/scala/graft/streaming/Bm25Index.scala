@@ -1,0 +1,217 @@
+package graft.streaming
+
+import graft.operators.{Retrieval, TextAnalysis}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+/** Persisted, incrementally-maintained BM25 inverted index — the
+  * [[IvfIngest]] analog for text. [[graft.operators.Retrieval.bm25TopK]]
+  * re-tokenizes the corpus and re-derives its constants on EVERY call —
+  * the right shape for one ad-hoc batch, the wrong one for repeated
+  * retrieval (decontamination sweeps against many eval sets, query-aware
+  * corpus selection): at 100 TB every sweep would pay a corpus scan. This
+  * index pays the tokenize ONCE per ingested batch; queries then probe a
+  * `(term, doc_id, tf, dl)` postings table pruned to the query's terms,
+  * never the corpus.
+  *
+  * Layout under `indexDir`:
+  *   - `postings/__tshard=<s>/part-*.parquet` — postings rows
+  *     `(term, doc_id, tf, dl, __b)`, shard = `pmod(xxhash64(term),
+  *     nShards)`, appended per batch ([[KeyTableSidecar]]'s layout trick:
+  *     the shard is a PARTITION VALUE, so a query's term set prunes whole
+  *     shard directories at planning time, and the `term IN (...)` filter
+  *     pushes to parquet row groups within them).
+  *   - `_stats/b<batchId>/` — one row `(n_docs, total_dl)` per batch;
+  *     query-time corpus constants are the SUM of these (batches-sized,
+  *     never corpus-sized).
+  *   - `_batches/b<batchId>` — per-batch commit marker (skip record).
+  *   - `_meta` — the shard modulus, fixed at the first batch (postings
+  *     sharded under different moduli would not be co-prunable).
+  *
+  * Exactly-once under at-least-once delivery WITHOUT a rewrite: postings
+  * rows carry their `__b` batch id, so a redelivered or crash-torn append
+  * duplicates whole rows bitwise, and the query path's slice-sized
+  * `distinct` absorbs them (the marker is only a skip optimization). The
+  * crash window between the postings append and the stats write leaves
+  * stats one batch behind postings until the redelivery lands — same
+  * single-writer at-least-once discipline as every sidecar here.
+  *
+  * Scoring is [[Retrieval.scoreAndRank]] — the SAME Column shapes as the
+  * ad-hoc form, so [[topK]] is bitwise-equal to [[Retrieval.bm25TopK]]
+  * over the corpus the batches ingested (the spec pins it).
+  */
+object Bm25Index {
+
+  val DefaultShards = 64
+
+  private val Magic = 0x42493235 // "BI25"
+
+  private def postingsDir(dir: Path) = new Path(dir, "postings")
+  private def statsDir(dir: Path) = new Path(dir, "_stats")
+  private def batchesDir(dir: Path) = new Path(dir, "_batches")
+  private def metaPath(dir: Path) = new Path(dir, "_meta")
+
+  private def fileSystem(spark: SparkSession, indexDir: String): (FileSystem, Path) = {
+    val dir = new Path(indexDir)
+    (dir.getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
+  }
+
+  private def readMeta(fs: FileSystem, dir: Path): Option[Int] = {
+    val p = metaPath(dir)
+    if (!fs.exists(p)) None
+    else {
+      val in = new java.io.DataInputStream(fs.open(p))
+      try {
+        if (in.readInt() != Magic)
+          throw new graft.GraftDataError(s"$p is not a BM25 index meta")
+        Some(in.readInt())
+      } finally in.close()
+    }
+  }
+
+  private def writeMeta(fs: FileSystem, dir: Path, nShards: Int): Unit = {
+    val staging = new Path(dir, "_meta.staging")
+    val out = new java.io.DataOutputStream(fs.create(staging, true))
+    try { out.writeInt(Magic); out.writeInt(nShards) } finally out.close()
+    val p = metaPath(dir)
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(staging, p)
+  }
+
+  /** Ingest one batch of `(idCol, textCol)` documents. A committed
+    * batchId skips (marker); a crash-torn or redelivered append is
+    * absorbed read-side (see class doc). `subSplits` bounds the
+    * files-per-shard of one append: micro-batches use 1; a one-shot
+    * [[build]] spreads each shard over several writers.
+    */
+  def ingestBatch(docs: DataFrame, indexDir: String, idCol: String, textCol: String,
+      batchId: Long, nShards: Int = DefaultShards, subSplits: Int = 1): Unit = {
+    require(nShards >= 1 && subSplits >= 1, "nShards and subSplits must be positive")
+    val spark = docs.sparkSession
+    val (fs, dir) = fileSystem(spark, indexDir)
+    // the modulus is an index constant: the first batch fixes it, later
+    // batches must ingest under it (a parameter mismatch fails fast
+    // rather than silently splitting terms across incompatible shards)
+    val mod = readMeta(fs, dir) match {
+      case Some(m) =>
+        if (m != nShards && nShards != DefaultShards)
+          throw new graft.GraftDataError(
+            s"BM25 index at $indexDir is sharded mod $m; cannot ingest mod $nShards")
+        m
+      case None =>
+        fs.mkdirs(dir)
+        writeMeta(fs, dir, nShards)
+        nShards
+    }
+    val marker = new Path(batchesDir(dir), s"b$batchId")
+    if (fs.exists(marker)) return
+    val toks = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val postings = toks
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        lit(batchId).as("__b"),
+        pmod(xxhash64(col("term")), lit(mod.toLong)).cast("int").as("__tshard"))
+    // one file per touched shard per micro-batch (without the clustering,
+    // partitionBy fans out one file per input partition per shard); the
+    // salt mixes all bits so subSplits never collapses (see
+    // KeyTableSidecar.clusterByShard)
+    val clustered =
+      if (subSplits == 1) postings.repartition(col("__tshard"))
+      else postings.repartition(col("__tshard"),
+        pmod(xxhash64(col("doc_id")), lit(subSplits.toLong)))
+    clustered
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("append").partitionBy("__tshard")
+      .parquet(postingsDir(dir).toString)
+    val stats = toks.select(size(col("toks")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("total_dl"))
+    stats.coalesce(1).write.mode("overwrite")
+      .parquet(new Path(statsDir(dir), s"b$batchId").toString)
+    fs.mkdirs(batchesDir(dir))
+    val m = fs.create(marker, true)
+    m.close()
+  }
+
+  /** One-shot build: a single ingest of the whole corpus, spread over
+    * several writers per shard.
+    */
+  def build(docs: DataFrame, indexDir: String, idCol: String, textCol: String,
+      nShards: Int = DefaultShards): Unit =
+    ingestBatch(docs, indexDir, idCol, textCol, batchId = 0L, nShards, subSplits = 8)
+
+  /** The stream form; `checkpointDir` keeps batchIds stable across
+    * restarts so the marker skip sees redeliveries.
+    */
+  def stream(docs: DataFrame, indexDir: String, idCol: String, textCol: String,
+      nShards: Int = DefaultShards,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, indexDir, idCol, textCol, batchId, nShards)
+      }
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** BM25 top-k per query against the persisted index: bitwise-equal to
+    * [[Retrieval.bm25TopK]] over the ingested corpus, but the plan reads
+    * POSTINGS pruned to the query's terms — shard-directory pruning at
+    * planning time plus a pushed `term IN (...)` row-group filter — plus
+    * the batches-sized stats sidecar. The corpus is never touched.
+    */
+  def topK(spark: SparkSession, indexDir: String, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (fs, dir) = fileSystem(spark, indexDir)
+    val mod = readMeta(fs, dir).getOrElse(
+      throw new graft.GraftDataError(s"no BM25 index at $indexDir"))
+    val sDir = statsDir(dir)
+    val statDirs =
+      if (!fs.exists(sDir)) Array.empty[String]
+      else fs.listStatus(sDir).filter(_.isDirectory).map(_.getPath.toString)
+    def emptyResult: DataFrame = queries.select(col("query_id")).limit(0)
+      .withColumn("doc_id", lit(null).cast("long"))
+      .withColumn("rank", lit(null).cast("long"))
+      .withColumn("score", lit(null).cast("double"))
+    if (statDirs.isEmpty) return emptyResult
+    val statsRow = spark.read.parquet(statDirs.toIndexedSeq: _*)
+      .agg(coalesce(sum(col("n_docs")), lit(0L)),
+        coalesce(sum(col("total_dl")), lit(0L))).head()
+    val nDocs = statsRow.getLong(0)
+    if (nDocs == 0L) return emptyResult
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+
+    val qterms = queries.select(
+        col("query_id"),
+        explode(TextAnalysis.tokens(col("qtext"))).as("term"))
+      .distinct()
+    // queries are SMALL by the same contract as bm25TopK (they broadcast);
+    // the term list is collected to drive planning-time pruning: the
+    // shard set prunes whole directories, the IN list pushes to parquet
+    val terms = qterms.select(col("term")).distinct()
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    if (terms.isEmpty) return emptyResult
+    val shards = qterms.select(
+        pmod(xxhash64(col("term")), lit(mod.toLong)).cast("int").as("s"))
+      .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
+
+    // explicit schema: a fully-purged index may have zero shard dirs, and
+    // inference over an empty partitioned dir throws (KeyTableSidecar
+    // lesson); __tshard is recovered as the partition column
+    val postings = spark.read
+      .schema("term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, __b BIGINT, __tshard INT")
+      .parquet(postingsDir(dir).toString)
+      .filter(col("__tshard").isin(shards.map(Int.box): _*))
+      .filter(col("term").isin(terms: _*))
+      // redelivery/crash-residue rows are bitwise duplicates (same __b):
+      // a slice-sized distinct restores unique (doc, term) postings
+      .distinct()
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    Retrieval.scoreAndRank(postings, qterms, nDocs, avgdl, k, k1, b)
+  }
+}

@@ -633,6 +633,28 @@ class PlanGuardSpec extends SparkTestBase {
     }.isEmpty, "the rewrite must not plan any join")
   }
 
+  test("bm25_index_topk: query time probes pruned postings, never the corpus") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = staticPlan("bm25_index_topk")
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "the index query must read the postings table")
+    // every file scan in the QUERY plan is the postings layout — the
+    // corpus parquet never appears (that is the point of persisting)
+    scans.foreach { s =>
+      val loc = s.metadata("Location")
+      assert(loc.contains("postings"), s"non-postings scan in the plan: $loc")
+      assert(!loc.contains("documents.parquet"), "the query must never rescan the corpus")
+    }
+    // the query's term set prunes shard DIRECTORIES at planning time...
+    assert(scans.exists(_.metadata.get("PartitionFilters").exists(_.contains("__tshard"))),
+      s"expected __tshard partition pruning, got " +
+        scans.map(_.metadata.get("PartitionFilters")).mkString(","))
+    // ...and pushes term IN (...) into parquet row groups within them
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains("In(term"))),
+      s"expected a pushed term IN filter, got " +
+        scans.map(_.metadata.get("PushedFilters")).mkString(","))
+  }
+
   test("the allowlists only name real queries") {
     val known = SparkEntry.queries.keySet
     val stale = (crossAllowed.keySet ++ udfAllowed.keySet ++

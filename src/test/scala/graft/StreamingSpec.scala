@@ -1189,6 +1189,51 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want, s"got $got, want $want")
   }
 
+  test("Bm25Index: batch-ingested topK equals the ad-hoc BM25 bitwise") {
+    import graft.streaming.Bm25Index
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (1L, "spark spark spark join"), (2L, "spark join join window"),
+      (3L, "window order order order"), (4L, "spark"),
+      (5L, "the quick brown fox")).toDF("doc_id", "text")
+    val queries = Seq((0L, "spark join"), (1L, "order fox")).toDF("query_id", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val adHoc = rows(Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 10))
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+    val idx = root + "/idx"
+    // three increments must converge to the one-shot corpus, score-bitwise
+    Bm25Index.ingestBatch(docs.filter($"doc_id" <= 2), idx, "doc_id", "text", batchId = 0L)
+    Bm25Index.ingestBatch(docs.filter($"doc_id" === 3), idx, "doc_id", "text", batchId = 1L)
+    Bm25Index.ingestBatch(docs.filter($"doc_id" >= 4), idx, "doc_id", "text", batchId = 2L)
+    assert(rows(Bm25Index.topK(spark, idx, queries, k = 10)) == adHoc,
+      "incremental index must score bitwise like the ad-hoc two-pass form")
+    // committed-batchId redelivery skips outright — even a different payload
+    Bm25Index.ingestBatch(Seq((99L, "spark noise")).toDF("doc_id", "text"),
+      idx, "doc_id", "text", batchId = 1L)
+    assert(rows(Bm25Index.topK(spark, idx, queries, k = 10)) == adHoc)
+    // crash-torn append: the marker never landed, the batch redelivers and
+    // re-appends bitwise-duplicate rows — the query-side distinct absorbs
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(idx, "_batches/b2"), false))
+    Bm25Index.ingestBatch(docs.filter($"doc_id" >= 4), idx, "doc_id", "text", batchId = 2L)
+    assert(rows(Bm25Index.topK(spark, idx, queries, k = 10)) == adHoc,
+      "redelivered rows must dedupe read-side, not double tf/df")
+    // one-shot build, same answer; modulus is fixed at creation
+    val idx2 = root + "/idx2"
+    Bm25Index.build(docs, idx2, "doc_id", "text", nShards = 8)
+    assert(rows(Bm25Index.topK(spark, idx2, queries, k = 10)) == adHoc)
+    intercept[graft.GraftDataError] {
+      Bm25Index.ingestBatch(docs, idx2, "doc_id", "text", batchId = 9L, nShards = 16)
+    }
+    // no index / no matching terms degrade typed or empty, never NPE
+    intercept[graft.GraftDataError] { Bm25Index.topK(spark, root + "/nope", queries, 5) }
+    assert(Bm25Index.topK(spark, idx,
+      Seq((0L, "zzz qqq")).toDF("query_id", "qtext"), 5).count() == 0L)
+  }
+
   test("maintainers merge a NULL key into ONE state row, like any other group") {
     import graft.streaming.{KmvSegments, RollupState}
     // groupBy emits a null-key group; a plain USING merge join would
