@@ -1441,6 +1441,48 @@ object SparkEntry {
       s.read.parquet(corpus).select(col("doc_id"), col("lang"))
     }),
 
+    "gdpr_tombstone_log" -> ((s, dir) => {
+      // batched right-to-be-forgotten: two purge requests APPEND to the
+      // KB-scale tombstone log (no corpus read), the compliant view hides
+      // them immediately via an ids-sized anti-join, a below-threshold
+      // flush is a no-op that keeps the log, and the real flush pays ONE
+      // corpus rewrite for both requests and retires the log. The emitted
+      // flags pin each of those contracts; the per-lang compliant counts
+      // are the same set algebra as corpus_purge_roundtrip's
+      import s.implicits._
+      val Tomb = graft.streaming.TombstoneLog
+      val corpus = scratchDir("graft_tomblog") + "/corpus"
+      val batch = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+      graft.streaming.Streaming.ingestBatch(batch, corpus, "doc_id", Seq("text"),
+        sidecarMaxBytes = Some(0L)): Unit
+      Tomb.requestPurge(corpus,
+        batch.filter(pmod(col("doc_id"), lit(15)) === 0).select(col("doc_id")),
+        "doc_id"): Unit
+      Tomb.requestPurge(corpus,
+        batch.filter(pmod(col("doc_id"), lit(20)) === 0).select(col("doc_id")),
+        "doc_id"): Unit
+      // read-side compliance BEFORE any rewrite; materialized because the
+      // flush below retires the very files this plan reads
+      val pre = Checkpointing.materialize(
+        Tomb.readCompliant(s, corpus, "doc_id")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_compliant")))
+      val held = Tomb.flushPurge(s, corpus, "doc_id", Seq("text"),
+        minPending = 1000000L).isEmpty // threshold not met -> log kept
+      val flushed = Tomb.flushPurge(s, corpus, "doc_id", Seq("text"))
+      val retired = flushed.exists(_._2 == 2) && // both requests, one rewrite
+        graft.streaming.TombstoneLog.pending(s, corpus, "doc_id").count() == 0L
+      val after = s.read.parquet(corpus).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_after"))
+      pre.join(after, Seq("lang"), "left")
+        .select(col("lang"), col("n_compliant"),
+          lit(if (held) 1L else 0L).as("held_below_threshold"),
+          when(coalesce(col("n_after"), lit(0L)) === col("n_compliant"), lit(1L))
+            .otherwise(lit(0L)).as("post_purge_matches"),
+          lit(if (retired) 1L else 0L).as("log_retired"))
+    }),
+
     "incremental_minhash_dedup" -> ((s, dir) => {
       // NEAR-dup ingestion gate (the exact gate's re-crawl hole closed):
       // band-key bloom probe prunes the batch, (band, bucket) equi-join +
@@ -4552,6 +4594,23 @@ object SparkEntry {
         |keep AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY md5(text))
         |SELECT b.doc_id, b.lang FROM batch b JOIN keep k ON b.doc_id = k.doc_id
         |WHERE b.doc_id % 14 <> 0""".stripMargin,
+
+    // the tombstone-log path: per-lang compliant counts are gated
+    // admission minus the UNION of the two pending requests (same set
+    // algebra as corpus_purge_roundtrip); the queue-contract flags
+    // (below-threshold hold, one-rewrite flush, log retire) are
+    // engine-verified and stated as literals
+    "gdpr_tombstone_log" ->
+      """WITH batch AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY md5(text))
+        |SELECT b.lang, CAST(count(*) AS BIGINT) AS n_compliant,
+        |  CAST(1 AS BIGINT) AS held_below_threshold,
+        |  CAST(1 AS BIGINT) AS post_purge_matches,
+        |  CAST(1 AS BIGINT) AS log_retired
+        |FROM batch b JOIN keep k ON b.doc_id = k.doc_id
+        |WHERE NOT (b.doc_id % 15 = 0 OR b.doc_id % 20 = 0)
+        |GROUP BY b.lang""".stripMargin,
 
     // near-dup gate invariants: the LSH pruning uses xxhash kernels DuckDB
     // cannot replay, so the oracle states each check's guaranteed value as

@@ -87,7 +87,8 @@ object CorpusCompaction {
     * sidecar dirs (underscore-prefixed) are untouched — which is the whole
     * reason this is not a directory swap. Unlike compaction this is a
     * corpus-sized pass; it exists for the rare explicit maintenance
-    * actions (tombstone purges) — batch them.
+    * actions (tombstone purges) — batch them ([[TombstoneLog]] is the
+    * queue that enforces the batching).
     *
     * Returns false (and does nothing) on an empty corpus. Callers that
     * derive state from the PRE-rewrite corpus must materialize it first:

@@ -712,7 +712,9 @@ object Streaming {
     * removed-minus-survivor-held, with the survivor side pruned to the
     * removed keys by a broadcast semi-join), then metadata-sized swaps.
     * Corpus-sized, so batch tombstones — GDPR queues flush on a cadence,
-    * not per request.
+    * not per request: [[TombstoneLog]] provides exactly that queue
+    * (KB-scale request appends, read-side compliance via anti-join, one
+    * flush here per N requests).
     */
   def purgeCorpus(
       spark: SparkSession,
