@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.util.UUID
+
 import graft.Checkpointing
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -19,14 +21,27 @@ import org.apache.spark.sql.functions._
   * so downstream consumers can honor a request the moment it lands while
   * the physical rewrite waits for its batch.
   *
-  * Layout: `<corpus>/_tombstones/t<n>/` — one tiny parquet dir per
-  * request (underscore-prefixed parent: invisible to corpus reads), `n`
-  * monotonic. A request dir is live once its `_SUCCESS` lands; a
-  * crash-torn request has none and is ignored (the requester retries).
+  * Layout: `<corpus>/_tombstones/t<millis>-<nonce>/` — one tiny parquet
+  * dir per request (underscore-prefixed parent: invisible to corpus
+  * reads). Entry names are allocated collision-free (epoch millis plus a
+  * random nonce), so concurrent requesters never clobber each other; no
+  * counter, no list-then-max race. A request dir is live once its
+  * `_SUCCESS` lands; a crash-torn request has none and is ignored (the
+  * requester retries).
+  *
+  * Concurrency contract: requesters may append at ANY time, including
+  * while the single maintainer's [[flushPurge]] is mid-rewrite. The flush
+  * retires EXACTLY the request dirs whose ids it read — never a request
+  * that landed after the snapshot (it stays pending for the next flush),
+  * and torn dirs are swept only once they are older than `tornGraceMs`
+  * AND still `_SUCCESS`-less at sweep time (a write racing the sweep
+  * either completes — and is then a live pending request — or is retried
+  * by its requester).
   *
   * Crash windows (single MAINTAINER per corpus, like every sidecar here;
   * requests themselves are just appends):
-  *   - crash mid-request: no `_SUCCESS` → invisible; swept at next flush;
+  *   - crash mid-request: no `_SUCCESS` → invisible; age-gated sweep at a
+  *     later flush;
   *   - crash between the purge and the log retire: the log survives, the
   *     next flush re-purges (the purge's no-op fast path — tombstoned ids
   *     already absent — makes this one cheap semi-join) and then retires;
@@ -37,6 +52,11 @@ object TombstoneLog {
 
   val DirName = "_tombstones"
 
+  /** Torn (no-`_SUCCESS`) request dirs younger than this are left alone
+    * by the flush sweep: they may be mid-write by a live requester.
+    */
+  val DefaultTornGraceMs: Long = 15L * 60L * 1000L
+
   private def logDir(corpusDir: Path) = new Path(corpusDir, DirName)
 
   private def fileSystem(spark: SparkSession, corpusDir: String): (FileSystem, Path) = {
@@ -44,36 +64,34 @@ object TombstoneLog {
     (dir.getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
   }
 
-  private def entryName(n: Long) = s"t$n"
-
   private def allEntries(fs: FileSystem, corpusDir: Path): Seq[Path] = {
     val d = logDir(corpusDir)
     if (!fs.exists(d)) Nil
     else fs.listStatus(d).map(_.getPath).toSeq
-      .filter(p => p.getName.length > 1 && p.getName.startsWith("t") &&
-        p.getName.drop(1).forall(_.isDigit))
+      .filter(p => p.getName.length > 1 && p.getName.startsWith("t"))
   }
 
   private def completeEntries(fs: FileSystem, corpusDir: Path): Seq[Path] =
     allEntries(fs, corpusDir)
       .filter(p => fs.exists(new Path(p, "_SUCCESS")))
-      .sortBy(_.getName.drop(1).toLong)
+      .map(p => (fs.getFileStatus(p).getModificationTime, p.getName, p))
+      .sortBy(t => (t._1, t._2)).map(_._3)
 
   /** Append one purge request: a KB-scale parquet write of the distinct
-    * non-null ids — NEVER a corpus read. Returns the entry name.
+    * non-null ids — NEVER a corpus read (the ids frame is written as
+    * given; no corpus file is opened). Returns the entry name. Safe to
+    * call concurrently with other requesters AND with a running
+    * [[flushPurge]]: the name is unique by construction and the entry
+    * only becomes visible once its `_SUCCESS` lands.
     */
   def requestPurge(corpusDir: String, ids: DataFrame, idCol: String): String = {
     val spark = ids.sparkSession
     val (fs, dir) = fileSystem(spark, corpusDir)
     val d = logDir(dir)
     fs.mkdirs(d)
-    // next = max over ALL entries (complete or torn) so a crashed write's
-    // number is never reused under a reader's feet
-    val next = allEntries(fs, dir)
-      .map(_.getName.drop(1).toLong).foldLeft(-1L)(math.max) + 1L
-    val name = entryName(next)
+    val name = s"t${System.currentTimeMillis()}-${UUID.randomUUID().toString.take(8)}"
     ids.select(col(idCol)).na.drop().distinct().coalesce(1)
-      .write.mode("overwrite").parquet(new Path(d, name).toString)
+      .write.mode("error").parquet(new Path(d, name).toString)
     name
   }
 
@@ -99,16 +117,31 @@ object TombstoneLog {
       .join(broadcast(pending(spark, corpusDir, idCol)), Seq(idCol), "left_anti")
 
   /** Flush the log: ONE [[Streaming.purgeCorpus]] for every pending
-    * request, then retire exactly the request dirs that were read (plus
-    * torn leftovers). Triggers: pending distinct ids >= `minPending`, OR
-    * the oldest pending request is older than `maxAgeMs` (mtime-based).
-    * Returns None (log kept, nothing touched) when neither fires or the
-    * log is empty; otherwise the purge stats and the number of requests
-    * retired.
+    * request, then retire EXACTLY the request dirs whose ids were read.
+    * A request landing after the snapshot — even one completing while the
+    * corpus rewrite runs — is untouched and stays pending for the next
+    * flush. Torn (`_SUCCESS`-less) dirs are swept only when older than
+    * `tornGraceMs` and still torn at sweep time. Triggers: pending
+    * distinct ids >= `minPending`, OR the oldest pending request is older
+    * than `maxAgeMs` (mtime-based). Returns None (log kept, nothing
+    * touched) when neither fires or the log is empty; otherwise the purge
+    * stats and the number of requests retired.
     */
   def flushPurge(spark: SparkSession, corpusDir: String, idCol: String,
       contentCols: Seq[String], minPending: Long = 1L,
-      maxAgeMs: Long = Long.MaxValue): Option[(Streaming.CorpusPurgeStats, Int)] = {
+      maxAgeMs: Long = Long.MaxValue,
+      tornGraceMs: Long = DefaultTornGraceMs): Option[(Streaming.CorpusPurgeStats, Int)] =
+    flushPurgeHooked(spark, corpusDir, idCol, contentCols, minPending, maxAgeMs,
+      tornGraceMs, () => ())
+
+  /** [[flushPurge]] with a test seam: `afterPurge` runs between the corpus
+    * rewrite and the log retire — exactly the window where a concurrent
+    * request can land — so the retire-set contract is spec-pinnable.
+    */
+  private[graft] def flushPurgeHooked(spark: SparkSession, corpusDir: String,
+      idCol: String, contentCols: Seq[String], minPending: Long,
+      maxAgeMs: Long, tornGraceMs: Long,
+      afterPurge: () => Unit): Option[(Streaming.CorpusPurgeStats, Int)] = {
     val (fs, dir) = fileSystem(spark, corpusDir)
     val entries = completeEntries(fs, dir)
     if (entries.isEmpty) return None
@@ -116,14 +149,25 @@ object TombstoneLog {
       .select(col(idCol)).distinct()
       .transform(Checkpointing.materialize)
     val n = ids.count()
+    val now = System.currentTimeMillis()
     val oldest = entries.map(e => fs.getFileStatus(e).getModificationTime).min
-    val due = n >= minPending || (System.currentTimeMillis() - oldest) >= maxAgeMs
+    val due = n >= minPending || (now - oldest) >= maxAgeMs
     if (!due) return None
     val stats = Streaming.purgeCorpus(spark, corpusDir, ids, idCol, contentCols)
-    // retire AFTER the purge: a crash above leaves the log intact and the
-    // re-flush idempotent. Torn (no-_SUCCESS) leftovers sweep here too.
-    val retire = entries ++ (allEntries(fs, dir).toSet -- entries.toSet)
-    retire.foreach(e => fs.delete(e, true))
+    afterPurge()
+    // Retire AFTER the purge (a crash above leaves the log intact and the
+    // re-flush idempotent) and retire ONLY the snapshot: anything that
+    // landed since — complete or mid-write — was not purged and must
+    // survive. Torn leftovers sweep only past the grace age, re-checking
+    // completeness at sweep time so a write that just finished is kept.
+    entries.foreach(e => fs.delete(e, true))
+    val retiredSet = entries.map(_.getName).toSet
+    allEntries(fs, dir)
+      .filter(p => !retiredSet.contains(p.getName))
+      .filter(p => !fs.exists(new Path(p, "_SUCCESS")))
+      .filter(p => (now - fs.getFileStatus(p).getModificationTime) >= tornGraceMs)
+      .filter(p => !fs.exists(new Path(p, "_SUCCESS")))
+      .foreach(p => fs.delete(p, true))
     Some((stats, entries.size))
   }
 }

@@ -1854,4 +1854,104 @@ class StreamingSpec extends SparkTestBase {
       assert(spark.table("asof_quiet").count() == 1)
     } finally q.stop()
   }
+
+  // ---- TombstoneLog: batched GDPR queue ------------------------------------
+
+  private def tombCorpus(prefix: String, docs: (Long, String)*): String = {
+    val corpus = java.nio.file.Files.createTempDirectory(prefix).toString + "/corpus"
+    Streaming.ingestBatch(docs.toDF("doc_id", "text"), corpus, "doc_id", Seq("text"),
+      sidecarMaxBytes = Some(0L)): Unit
+    corpus
+  }
+
+  test("tombstone log: append is corpus-blind, torn requests invisible, duplicates purged once") {
+    import graft.streaming.TombstoneLog
+    val corpus = tombCorpus("graft-tomb1",
+      1L -> "erase a", 2L -> "keep b", 3L -> "erase c", 4L -> "keep d")
+    // APPEND-COST PIN: requestPurge must never open the corpus. Poison the
+    // corpus dir with a garbage .parquet — any corpus read would throw.
+    val poison = new java.io.File(corpus, "zzz_poison.parquet")
+    java.nio.file.Files.write(poison.toPath, "not parquet".getBytes)
+    val n1 = TombstoneLog.requestPurge(corpus, Seq(1L, 3L).toDF("doc_id"), "doc_id")
+    val n2 = TombstoneLog.requestPurge(corpus, Seq(3L, 1L).toDF("doc_id"), "doc_id")
+    assert(n1 != n2, "entry names must be collision-free")
+    assert(poison.delete())
+    // a torn request (no _SUCCESS) is invisible to pending and to the flush
+    val tornDir = new java.io.File(s"$corpus/${TombstoneLog.DirName}/t999-torn")
+    assert(tornDir.mkdirs())
+    java.nio.file.Files.write(new java.io.File(tornDir, "part-0.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    assert(TombstoneLog.pending(spark, corpus, "doc_id")
+      .as[Long].collect().toSet == Set(1L, 3L))
+    // cross-request duplicate ids purge ONCE: rowsRemoved counts each doc once
+    val Some((stats, retired)) =
+      TombstoneLog.flushPurge(spark, corpus, "doc_id", Seq("text"))
+    assert(stats.rowsRemoved == 2L && retired == 2, s"$stats retired=$retired")
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet ==
+      Set(2L, 4L))
+    // the young torn dir survived the default grace; with grace 0 it sweeps
+    assert(tornDir.exists(), "torn dir younger than the grace must survive")
+    TombstoneLog.requestPurge(corpus, Seq(2L).toDF("doc_id"), "doc_id"): Unit
+    TombstoneLog.flushPurge(spark, corpus, "doc_id", Seq("text"), tornGraceMs = 0L): Unit
+    assert(!tornDir.exists(), "aged torn dir sweeps once past the grace")
+    assert(TombstoneLog.pending(spark, corpus, "doc_id").count() == 0L)
+  }
+
+  test("tombstone log: request landing mid-flush survives the retire and stays pending") {
+    import graft.streaming.TombstoneLog
+    val corpus = tombCorpus("graft-tomb2",
+      1L -> "erase a", 2L -> "keep b", 5L -> "late erase")
+    TombstoneLog.requestPurge(corpus, Seq(1L).toDF("doc_id"), "doc_id"): Unit
+    // the race the retire-set contract exists for: a requester appends
+    // BETWEEN the corpus rewrite and the log retire
+    val got = TombstoneLog.flushPurgeHooked(spark, corpus, "doc_id", Seq("text"),
+      minPending = 1L, maxAgeMs = Long.MaxValue,
+      tornGraceMs = TombstoneLog.DefaultTornGraceMs,
+      afterPurge = () =>
+        TombstoneLog.requestPurge(corpus, Seq(5L).toDF("doc_id"), "doc_id"): Unit)
+    assert(got.exists(_._2 == 1), s"only the snapshot request retires: $got")
+    // the late request was NOT purged, was NOT retired, and is still pending
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet ==
+      Set(2L, 5L), "late request's doc must survive the first flush")
+    assert(TombstoneLog.pending(spark, corpus, "doc_id")
+      .as[Long].collect().toSet == Set(5L), "late request must stay pending")
+    // the read-side view hides it immediately; the next flush purges it
+    assert(TombstoneLog.readCompliant(spark, corpus, "doc_id")
+      .select("doc_id").as[Long].collect().toSet == Set(2L))
+    val second = TombstoneLog.flushPurge(spark, corpus, "doc_id", Seq("text"))
+    assert(second.exists(t => t._1.rowsRemoved == 1L && t._2 == 1), s"$second")
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet ==
+      Set(2L))
+  }
+
+  test("tombstone log: crash between purge and retire re-flushes idempotently with log intact") {
+    import graft.streaming.TombstoneLog
+    val corpus = tombCorpus("graft-tomb3", 1L -> "erase a", 2L -> "keep b")
+    TombstoneLog.requestPurge(corpus, Seq(1L).toDF("doc_id"), "doc_id"): Unit
+    // simulate the crash window: the purge ran, the retire never did
+    Streaming.purgeCorpus(spark, corpus,
+      TombstoneLog.pending(spark, corpus, "doc_id"), "doc_id", Seq("text")): Unit
+    assert(TombstoneLog.pending(spark, corpus, "doc_id").count() == 1L,
+      "log must survive a crash after the purge")
+    // re-flush: the purge is a no-op (ids already absent), the log retires
+    val got = TombstoneLog.flushPurge(spark, corpus, "doc_id", Seq("text"))
+    assert(got.exists(t => t._1.rowsRemoved == 0L && t._2 == 1), s"$got")
+    assert(TombstoneLog.pending(spark, corpus, "doc_id").count() == 0L)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet ==
+      Set(2L))
+  }
+
+  test("tombstone log: below-threshold and age triggers") {
+    import graft.streaming.TombstoneLog
+    val corpus = tombCorpus("graft-tomb4", 1L -> "erase a", 2L -> "keep b")
+    TombstoneLog.requestPurge(corpus, Seq(1L).toDF("doc_id"), "doc_id"): Unit
+    // neither trigger fires -> None, log untouched
+    assert(TombstoneLog.flushPurge(spark, corpus, "doc_id", Seq("text"),
+      minPending = 100L).isEmpty)
+    assert(TombstoneLog.pending(spark, corpus, "doc_id").count() == 1L)
+    // the age trigger alone fires even below the count threshold
+    val got = TombstoneLog.flushPurge(spark, corpus, "doc_id", Seq("text"),
+      minPending = 100L, maxAgeMs = 0L)
+    assert(got.exists(_._2 == 1), s"$got")
+  }
 }
