@@ -2522,6 +2522,44 @@ object SparkEntry {
             .as("est_within_30pct"))
     }),
 
+    "hh_stream_state" -> ((s, dir) => {
+      // continuous heavy hitters: per-lang Misra-Gries summaries (plus the
+      // exact per-lang stream length) maintained across three doc-disjoint
+      // micro-batches, with the LAST batch REDELIVERED under its own
+      // batchId — counter addition would inflate counts AND n_tokens, so
+      // exactly-once rides the commit-record skip, pinned by the
+      // n_matches_exact flag. The cross-batch merge is the same PODS'12
+      // cut-merge as the batch udaf, so the probe states the identical
+      // order-independent guarantees over the guaranteed-HH set, with N
+      // the TOTAL stream length; exact counts DuckDB-replayed
+      val cap = 32
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val stateDir = scratchDir("graft_hhstate") + "/state"
+      Seq((0, 0L), (1, 1L), (2, 2L), (2, 2L)).foreach { case (m, id) =>
+        graft.streaming.HeavyHittersState.mergeBatch(
+          toks.filter(pmod(col("doc_id"), lit(3)) === m).drop("doc_id"),
+          stateDir, "lang", "token", cap, batchId = id): Unit
+      }
+      val st = graft.streaming.HeavyHittersState.state(s, stateDir).get
+      val counts = Checkpointing.materialize(
+        toks.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("exact_cnt")))
+      val ns = counts.groupBy(col("lang")).agg(sum(col("exact_cnt")).as("n"))
+      val bound = col("n").cast("double") / lit((cap + 1).toDouble)
+      val est = coalesce(element_at(col("hh"), col("token")), lit(0L))
+      counts.join(ns, Seq("lang"))
+        .filter(col("exact_cnt") > bound)
+        .join(broadcast(st.withColumnRenamed("group", "lang")), Seq("lang"))
+        .select(col("lang"), col("token"), col("exact_cnt"),
+          when(est > 0L, lit(1L)).otherwise(lit(0L)).as("in_sketch"),
+          when(est <= col("exact_cnt") &&
+            (col("exact_cnt") - est).cast("double") <= bound, lit(1L))
+            .otherwise(lit(0L)).as("underest_within_bound"),
+          when(col("n_tokens") === col("n"), lit(1L)).otherwise(lit(0L))
+            .as("n_matches_exact"))
+    }),
+
     "k_anonymity" -> ((s, dir) => {
       // release-side anonymity census: class size (k-anonymity) and
       // banded-sensitive diversity (l-diversity) per quasi-identifier
@@ -4129,6 +4167,18 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS state_matches_batch_build,
         |  CAST(1 AS BIGINT) AS est_within_30pct
         |FROM du GROUP BY seg""".stripMargin,
+
+    // exact counts replayed; the MG guarantee flags and the exactly-once
+    // n_tokens equality are the stated invariants of the maintainer
+    "hh_stream_state" ->
+      s"""WITH t AS (SELECT lang, unnest($sqlToks) AS tok FROM documents),
+         |n AS (SELECT lang, count(*) AS n FROM t GROUP BY lang),
+         |c AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY lang, tok)
+         |SELECT c.lang, tok AS token, CAST(cnt AS BIGINT) AS exact_cnt,
+         |  CAST(1 AS BIGINT) AS in_sketch,
+         |  CAST(1 AS BIGINT) AS underest_within_bound,
+         |  CAST(1 AS BIGINT) AS n_matches_exact
+         |FROM c JOIN n USING (lang) WHERE cnt > n / 33.0""".stripMargin,
 
     "k_anonymity" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,

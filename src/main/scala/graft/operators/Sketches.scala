@@ -128,35 +128,42 @@ object Sketches {
     * (the summary CONTENT differs from the per-arrival-decrement form —
     * already non-contractual).
     */
+  /** Sum two Misra-Gries summaries; if over capacity, subtract the
+    * (capacity+1)-th largest counter from all and drop the non-positive
+    * (Agarwal et al. merge — the cut destroys >= (capacity+1)·cut mass,
+    * which is what bounds the total undercount by N/(capacity+1)).
+    * Shared by [[MisraGriesAgg]] and the continuous
+    * [[graft.streaming.HeavyHittersState]] maintainer, whose cross-batch
+    * merges must be THIS algebra for the guarantees to survive batching.
+    */
+  def mgCutMerge(a: Map[String, Long], b: Map[String, Long],
+      capacity: Int): Map[String, Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    // fold the smaller side into the larger (persistent-map sharing);
+    // primitive sort for the cut selection — this runs once per
+    // >= capacity arrivals, but its constant still shows at scan speed
+    val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+    val s = small.foldLeft(big) { case (m, (k, v)) =>
+      m.updated(k, m.getOrElse(k, 0L) + v)
+    }
+    if (s.size <= capacity) s
+    else {
+      val arr = new Array[Long](s.size)
+      var i = 0
+      s.valuesIterator.foreach { v => arr(i) = v; i += 1 }
+      java.util.Arrays.sort(arr)
+      val cut = arr(arr.length - capacity - 1) // (capacity+1)-th largest
+      s.flatMap { case (k, v) => if (v > cut) Some(k -> (v - cut)) else None }
+    }
+  }
+
   class MisraGriesAgg(capacity: Int)
       extends Aggregator[String, (Map[String, Long], Map[String, Long]), Map[String, Long]] {
     require(capacity >= 1, "capacity must be positive")
 
-    /** Sum two summaries; if over capacity, subtract the (capacity+1)-th
-      * largest counter from all and drop the non-positive (Agarwal et al.
-      * merge — the cut destroys >= (capacity+1)·cut mass, which is what
-      * bounds the total undercount by N/(capacity+1)).
-      */
-    private def cutMerge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      if (a.isEmpty) return b
-      if (b.isEmpty) return a
-      // fold the smaller side into the larger (persistent-map sharing);
-      // primitive sort for the cut selection — this runs once per
-      // >= capacity arrivals, but its constant still shows at scan speed
-      val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
-      val s = small.foldLeft(big) { case (m, (k, v)) =>
-        m.updated(k, m.getOrElse(k, 0L) + v)
-      }
-      if (s.size <= capacity) s
-      else {
-        val arr = new Array[Long](s.size)
-        var i = 0
-        s.valuesIterator.foreach { v => arr(i) = v; i += 1 }
-        java.util.Arrays.sort(arr)
-        val cut = arr(arr.length - capacity - 1) // (capacity+1)-th largest
-        s.flatMap { case (k, v) => if (v > cut) Some(k -> (v - cut)) else None }
-      }
-    }
+    private def cutMerge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      mgCutMerge(a, b, capacity)
 
     override def zero: (Map[String, Long], Map[String, Long]) = (Map.empty, Map.empty)
     override def reduce(buf: (Map[String, Long], Map[String, Long]),

@@ -1855,6 +1855,49 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("heavy-hitters maintainer keeps the MG guarantees across batches and skips redeliveries") {
+    import graft.streaming.HeavyHittersState
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-hh-state").toString + "/st"
+    val cap = 8
+    // zipf-ish stream over two named groups plus a NULL group (a group
+    // like any other — the null-safe state join must keep merging it)
+    val items = (1 to 60).flatMap(i => Seq.fill(1000 / i)(s"t$i"))
+    val rows = items.zipWithIndex.map { case (t, i) =>
+      (if (i % 5 == 0) null else s"g${i % 2}", t, i % 3)
+    }
+    val df = rows.toDF("grp", "token", "b")
+    (0 to 2).foreach { b =>
+      HeavyHittersState.mergeBatch(df.filter($"b" === b).drop("b"),
+        stateDir, "grp", "token", cap, b.toLong): Unit
+    }
+    def snapshot() = HeavyHittersState.state(spark, stateDir).get
+      .as[(Option[String], Map[String, Long], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val committed = snapshot()
+    // at-least-once: batch 2 redelivered under its own batchId must SKIP —
+    // counter addition would otherwise inflate counts and n_tokens
+    HeavyHittersState.mergeBatch(df.filter($"b" === 2).drop("b"),
+      stateDir, "grp", "token", cap, batchId = 2L): Unit
+    assert(snapshot() == committed, "redelivered batch must not re-merge")
+    // the three order-independent guarantees, per group, N = group total
+    val exact = rows.groupBy(_._1).map { case (g, rs) =>
+      Option(g) -> rs.groupBy(_._2).map { case (t, v) => t -> v.size.toLong }
+    }
+    assert(committed.keySet == exact.keySet)
+    exact.foreach { case (g, ex) =>
+      val (sk, nTok) = committed(g)
+      val n = ex.values.sum
+      val bound = n.toDouble / (cap + 1)
+      assert(nTok == n, s"group $g n_tokens $nTok != exact $n (exactly-once broken)")
+      assert(sk.size <= cap, s"group $g state ${sk.size} > $cap")
+      sk.foreach { case (k, est) => assert(est <= ex(k), s"overcount of $k in $g") }
+      ex.foreach { case (k, c) =>
+        assert((c - sk.getOrElse(k, 0L)).toDouble <= bound, s"$g/$k under by > $bound")
+        if (c > bound) assert(sk.contains(k), s"guaranteed HH $g/$k missing")
+      }
+    }
+  }
+
   // ---- TombstoneLog: batched GDPR queue ------------------------------------
 
   private def tombCorpus(prefix: String, docs: (Long, String)*): String = {

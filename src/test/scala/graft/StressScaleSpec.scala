@@ -398,17 +398,24 @@ class StressScaleSpec extends SparkTestBase {
     // the 100 TB claim of the versioned-state maintainers: per-merge cost
     // and on-disk state depend on |keys| (and k), NEVER on how much stream
     // has flowed. 40 batches of 25k rows each; 8 segments; KMV k=128.
-    import graft.streaming.{KmvSegments, RollupState}
+    import graft.streaming.{HeavyHittersState, KmvSegments, RollupState}
     val kmvDir = java.nio.file.Files.createTempDirectory("graft-kmv-stress").toString + "/st"
     val ruDir = java.nio.file.Files.createTempDirectory("graft-ru-stress").toString + "/st"
+    val hhDir = java.nio.file.Files.createTempDirectory("graft-hh-stress").toString + "/st"
+    val hhCap = 64
     def batchDf(b: Int) = spark.range(b * 25000L, (b + 1) * 25000L)
       .select(pmod($"id", lit(8)).as("seg"), $"id".as("uid"),
-        ($"id" % 1000).cast("double").as("v"))
+        ($"id" % 1000).cast("double").as("v"),
+        // skewed token stream: half the mass on 8 hot tokens, the tail
+        // over ~1k distinct — the MG maintainer must stay cap-bounded
+        when(pmod($"id", lit(16)) < 8, concat(lit("hot"), pmod($"id", lit(8))))
+          .otherwise(concat(lit("t"), pmod($"id", lit(997)))).as("tok"))
     val times = (0 until 40).map { b =>
       val df = batchDf(b)
       val (_, tK) = timed(KmvSegments.mergeBatch(df, kmvDir, "seg", "uid", 128, b.toLong))
       val (_, tR) = timed(RollupState.mergeBatch(df, ruDir, Seq("seg"), "v", "uid", b.toLong))
-      tK + tR
+      val (_, tH) = timed(HeavyHittersState.mergeBatch(df, hhDir, "seg", "tok", hhCap, b.toLong))
+      tK + tR + tH
     }
     // window MINIMA, not medians: this rig's scheduler-noise bursts (see
     // the salted-join case above) inflate several CONSECUTIVE ~1s merges
@@ -432,8 +439,19 @@ class StressScaleSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
     assert(ru == want, "40-batch rollup must equal the one-shot aggregate")
+    // HH state: 8 groups, <= cap counters each, n_tokens exactly additive
+    // after 1M streamed rows — and the guaranteed hot tokens all survive
+    val hh = HeavyHittersState.state(spark, hhDir).get
+      .as[(Long, Map[String, Long], Long)].collect()
+    assert(hh.length == 8 && hh.forall(_._2.size <= hhCap))
+    assert(hh.map(_._3).sum == 1000000L, "n_tokens must be exactly additive")
+    // each seg's hot token carries 1/2 of its 125k rows — far above
+    // N_seg/(cap+1) ≈ 1923 — so the guarantee forces it into the summary
+    hh.foreach { case (seg, sk, _) =>
+      assert(sk.contains(s"hot$seg"), s"guaranteed HH hot$seg missing from seg $seg")
+    }
     // on-disk footprint: exactly one live version (plus the grace one)
-    for (d <- Seq(kmvDir, ruDir)) {
+    for (d <- Seq(kmvDir, ruDir, hhDir)) {
       val fs = new org.apache.hadoop.fs.Path(d)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val vs = fs.listStatus(new org.apache.hadoop.fs.Path(d))
