@@ -2560,6 +2560,25 @@ object SparkEntry {
             .as("n_matches_exact"))
     }),
 
+    "dp_census" -> ((s, dir) => {
+      // seeded ε-DP census release (ε = ln 2): per-class counts carry
+      // two-sided geometric noise (Ghosh et al. STOC'09 — the
+      // utility-optimal mechanism for sensitivity-1 integer counts;
+      // disjoint classes compose in parallel, so the whole table is ε-DP).
+      // The noise is a pure function of (classId, salt) via unitHash, and
+      // its inverse CDF uses only IEEE-exact arithmetic — so DuckDB
+      // replays every noisy count BITWISE while outsiders without the
+      // salt face calibrated geometric noise
+      import graft.operators.{Anonymity, Privacy}
+      val cust = Tables.customer(s, dir)
+        .select(col("c_nationkey").cast("long").as("c_nationkey"),
+          Anonymity.band(col("c_acctbal"), 2000.0).cast("long").as("bal_band"))
+      // injective over classes: bands span ±10k, far under the 1M spacing
+      val classId = col("c_nationkey") * lit(1000000L) + col("bal_band") + lit(500000L)
+      Privacy.dpCensus(cust, Seq("c_nationkey", "bal_band"), classId,
+        salt = 1009L, j = 1)
+    }),
+
     "k_anonymity" -> ((s, dir) => {
       // release-side anonymity census: class size (k-anonymity) and
       // banded-sensitive diversity (l-diversity) per quasi-identifier
@@ -4179,6 +4198,26 @@ object SparkEntry {
          |  CAST(1 AS BIGINT) AS underest_within_bound,
          |  CAST(1 AS BIGINT) AS n_matches_exact
          |FROM c JOIN n USING (lang) WHERE cnt > n / 33.0""".stripMargin,
+
+    // the seeded geometric mechanism replays EXACTLY: unitHash mirrors
+    // bitwise (sqlUnitHash) and every CDF boundary below is the identical
+    // double (shortest-roundtrip literals of Privacy.magnitudeBoundaries —
+    // only IEEE-exact ops on both sides, no transcendentals)
+    "dp_census" -> {
+      val mag = graft.operators.Privacy.magnitudeBoundaries(1, 48)
+        .map(c => s"(CASE WHEN w >= $c THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH g AS (SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         |  CAST(floor(c_acctbal/2000)*2000 AS BIGINT) AS bal_band, count(*) AS n
+         |  FROM customer GROUP BY 1, 2),
+         |u AS (SELECT *,
+         |  ${sqlUnitHash("(c_nationkey*1000000 + bal_band + 500000)", 1009L)} AS u
+         |  FROM g),
+         |wt AS (SELECT *, abs(u*2.0 - 1.0) AS w FROM u)
+         |SELECT c_nationkey, bal_band,
+         |  CAST(n + (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END) * ($mag) AS BIGINT)
+         |    AS noisy_count
+         |FROM wt""".stripMargin
+    },
 
     "k_anonymity" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,

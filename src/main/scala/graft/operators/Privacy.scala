@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Seeded differential privacy for released aggregates — the third rung of
+  * the release ladder after scrubbing (direct identifiers) and
+  * k-anonymity/l-diversity ([[Anonymity]], quasi-identifiers): a census
+  * whose per-class counts carry calibrated noise, so no single row's
+  * presence is inferable from the release even WITH arbitrary side
+  * knowledge.
+  *
+  * Mechanism: the geometric mechanism (Ghosh, Roughgarden, Sundararajan,
+  * "Universally utility-maximizing privacy mechanisms", STOC'09) — the
+  * discrete analogue of Laplace, and the utility-optimal ε-DP mechanism
+  * for integer counts. Noise Z is two-sided geometric with
+  * α = 2^-j (so ε = j·ln 2 per count; j=1 ≈ 0.693):
+  * P(Z = z) = ((1-α)/(1+α))·α^|z|. Counts over DISJOINT classes compose in
+  * parallel, so the whole census is ε-DP, not ε·|classes|.
+  *
+  * SEEDED: the uniform driving each class's noise is
+  * [[Sampling.unitHash]](classId, salt) — a keyed deterministic hash — so
+  * the release is REPLAYABLE: re-running the census (backfill, audit,
+  * cross-engine check) reproduces the identical noisy counts, and the
+  * DuckDB oracle replays them bit-for-bit. Privacy holds against readers
+  * WITHOUT the salt (the keyed-hash-as-PRF assumption every seeded-noise
+  * release makes; hold the salt like a credential — anyone with it can
+  * subtract the noise). Noise is a pure function of (classId, salt): it
+  * never reads the data, so neighboring datasets differ by exactly the
+  * count delta — the sensitivity-1 calibration is what the spec pins.
+  *
+  * BITWISE cross-engine determinism is why the inverse CDF below avoids
+  * transcendentals: α = 2^-j keeps every CDF boundary an IEEE-exact
+  * scaling of one correctly-rounded constant (additions, multiplies,
+  * divides and comparisons are correctly rounded in BOTH engines by IEEE
+  * 754; only log/exp are not), so Spark and any SQL mirror agree on every
+  * noise draw exactly — no tolerance, no last-ulp coin flips.
+  */
+object Privacy {
+
+  /** The seeded per-class uniform in [0, 1): [[Sampling.unitHash]] of the
+    * class id under the release's secret salt.
+    */
+  def seededUniform(classId: Column, salt: Long): Column =
+    Sampling.unitHash(classId, salt)
+
+  /** CDF boundaries of the noise MAGNITUDE: w >= boundary(m) adds 1 to
+    * |Z|. boundary(m) = 1 - (2α/(1+α))·α^m with α = 2^-j — one
+    * correctly-rounded base constant scaled by exact powers of two.
+    * Exposed so the SQL oracle can restate the identical doubles.
+    */
+  def magnitudeBoundaries(j: Int, maxMagnitude: Int): Seq[Double] = {
+    require(j >= 1, s"j must be >= 1 (epsilon = j*ln2), got $j")
+    require(maxMagnitude >= 1, s"maxMagnitude must be >= 1, got $maxMagnitude")
+    val alpha = math.pow(0.5, j) // exact
+    val base = 2.0 * alpha / (1.0 + alpha) // one correctly-rounded divide
+    (0 until maxMagnitude).map(m => 1.0 - base * math.pow(0.5, j.toLong * m))
+  }
+
+  /** Two-sided geometric noise from a uniform: sign from the top bit,
+    * magnitude from the indicator-sum inverse CDF over
+    * [[magnitudeBoundaries]]. `maxMagnitude` truncates the tail — at the
+    * default 48 the excess mass is below the 2^-31 resolution of the
+    * seeded uniform itself, i.e. unreachable (the uniform carries 31
+    * random bits, so boundaries within 2^-31 of 1.0 never fire).
+    */
+  def geometricNoise(u: Column, j: Int = 1, maxMagnitude: Int = 48): Column = {
+    val s = when(u >= lit(0.5), lit(1L)).otherwise(lit(-1L))
+    val w = abs(u * lit(2.0) - lit(1.0))
+    val m = magnitudeBoundaries(j, maxMagnitude)
+      .map(c => when(w >= lit(c), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    s * m
+  }
+
+  /** The ε-DP census release: one row per quasi-identifier class with its
+    * NOISY count (never the true one) — the class-size report
+    * [[Anonymity.census]] produces, releasable without k-suppression
+    * because the noise, not the class size, carries the privacy.
+    *
+    * `classIdOf` must be a deterministic LONG function of the QI columns
+    * alone (it is evaluated on the grouped result) and injective across
+    * classes — two classes sharing an id would share a noise draw, a
+    * correlation the composition argument does not cover. Scale shape:
+    * one partial-aggregating groupBy; the noise is a scan-stage
+    * expression over the classes-sized output, so the release costs
+    * exactly what the raw census costs.
+    */
+  def dpCensus(df: DataFrame, quasiCols: Seq[String], classIdOf: Column,
+      salt: Long, j: Int = 1): DataFrame = {
+    require(quasiCols.nonEmpty, "dpCensus needs at least one quasi-identifier")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__true_count"))
+      .select(quasiCols.map(col) :+
+        (col("__true_count") +
+          geometricNoise(seededUniform(classIdOf.cast("long"), salt), j))
+          .as("noisy_count"): _*)
+  }
+}

@@ -280,6 +280,33 @@ object PipelineConfig {
           graft.operators.Anonymity.suppressBelowK(df, quasi, k))
     }
 
+    // seeded ε-DP census as a declared release step (beside kAnonymity —
+    // suppression bounds linkage, the noisy census bounds inference): the
+    // frame becomes the classes-sized noisy-count table, ε = j·ln2, noise
+    // a pure keyed-hash function so reruns replay bitwise
+    // ([[graft.operators.Privacy.dpCensus]]). `classId` names a LONG
+    // column injective over QI classes; `salt` is the release secret.
+    (cfg \ "dpCensus") match {
+      case JNothing => ()
+      case dp =>
+        val quasi = (dp \ "quasiCols").extractOpt[Seq[String]].filter(_.nonEmpty).getOrElse(
+          throw new graft.GraftConfigError("dpCensus section needs non-empty 'quasiCols'"))
+        val classId = (dp \ "classId").extractOpt[String].getOrElse(
+          throw new graft.GraftConfigError(
+            "dpCensus section needs 'classId' (a LONG column injective over QI classes)"))
+        if (!quasi.contains(classId)) throw new graft.GraftConfigError(
+          s"dpCensus.classId '$classId' must be one of quasiCols — noise must be a " +
+            "function of the released class alone")
+        val salt = (dp \ "salt").extractOpt[Long].getOrElse(
+          throw new graft.GraftConfigError("dpCensus section needs integer 'salt'"))
+        val j = (dp \ "j").extractOrElse[Int](1)
+        if (j < 1) throw new graft.GraftConfigError(
+          s"dpCensus.j must be >= 1 (epsilon = j*ln2), got $j")
+        transforms += ((df: DataFrame) =>
+          graft.operators.Privacy.dpCensus(df, quasi,
+            org.apache.spark.sql.functions.col(classId), salt, j))
+    }
+
     // greedy sequence packing as the terminal reshape ([[operators.Packing
     // .packGreedy]]): groups by `group`, packs documents (ordered by id)
     // into budget-bounded bins of `tokensFrom` token counts. Output schema

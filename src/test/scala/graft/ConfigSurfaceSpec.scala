@@ -509,6 +509,34 @@ class ConfigSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("dpCensus is a declared release step beside kAnonymity; misconfig typed") {
+    val root = Files.createTempDirectory("graft-dpcfg").toString
+    Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L), (6L, 30L))
+      .toDF("doc_id", "cls").write.parquet(s"$root/src")
+    val cfg =
+      s"""{
+         |  "source": {"type": "parquet", "path": "$root/src"},
+         |  "dpCensus": {"quasiCols": ["cls"], "classId": "cls", "salt": 42}
+         |}""".stripMargin
+    val out = PipelineConfig.fromJson(spark, cfg).run(spark).get
+    assert(out.columns.toSeq == Seq("cls", "noisy_count"),
+      "the frame becomes the noisy census — true counts never released")
+    assert(out.count() == 3)
+    // replayable: the declared step reruns to the identical release
+    val again = PipelineConfig.fromJson(spark, cfg).run(spark).get
+    assert(out.collect().toSet == again.collect().toSet)
+    Seq("""{"quasiCols": [], "classId": "cls", "salt": 1}""",
+      """{"quasiCols": ["cls"], "salt": 1}""",
+      """{"quasiCols": ["cls"], "classId": "cls"}""",
+      """{"quasiCols": ["cls"], "classId": "doc_id", "salt": 1}""",
+      """{"quasiCols": ["cls"], "classId": "cls", "salt": 1, "j": 0}""").foreach { bad =>
+      intercept[graft.GraftConfigError] {
+        PipelineConfig.fromJson(spark,
+          s"""{"source": {"type": "parquet", "path": "$root/src"}, "dpCensus": $bad}""")
+      }
+    }
+  }
+
   test("scrub/pseudonymize phase, gates, packing and view sources compose in config") {
     // the declared governance shape (curation_pipeline_v4's skeleton): a
     // catalog-view source, phase=beforeDedup scrub (so segment dedup sees

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Privacy
+import org.apache.spark.sql.functions._
+
+class PrivacySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("magnitude boundaries are IEEE-exact scalings of one rounded constant") {
+    // the cross-engine contract: boundary(m) must be reproducible from
+    // arithmetic alone. alpha = 2^-j is exact; base rounds once; each
+    // further boundary scales base by an exact power of two
+    val b1 = Privacy.magnitudeBoundaries(1, 4)
+    val base1 = 2.0 * 0.5 / 1.5
+    assert(b1 == Seq(1.0 - base1, 1.0 - base1 * 0.5, 1.0 - base1 * 0.25,
+      1.0 - base1 * 0.125))
+    val b2 = Privacy.magnitudeBoundaries(2, 3)
+    val base2 = 2.0 * 0.25 / 1.25
+    assert(b2 == Seq(1.0 - base2, 1.0 - base2 * 0.25, 1.0 - base2 * 0.0625))
+    // boundaries are strictly increasing toward 1 (the CDF is proper)
+    assert(b1.zip(b1.tail).forall { case (a, b) => a < b } && b1.forall(_ < 1.0))
+  }
+
+  test("geometric noise matches the two-sided geometric law on a dense uniform grid") {
+    // drive the inverse CDF with u = (i + 0.5)/2^16 — an exact grid whose
+    // empirical masses converge to the law at 2^-16 resolution.
+    // P(Z=0) = (1-a)/(1+a); successive magnitudes decay by exactly a
+    val grid = 1 << 16
+    for (j <- Seq(1, 2)) {
+      val alpha = math.pow(0.5, j)
+      val freq = spark.range(grid)
+        .select(Privacy.geometricNoise(
+          ($"id".cast("double") + lit(0.5)) / lit(grid.toDouble), j).as("z"))
+        .groupBy($"z").count().as[(Long, Long)].collect().toMap
+      def p(z: Long) = freq.getOrElse(z, 0L).toDouble / grid
+      val p0 = (1 - alpha) / (1 + alpha)
+      assert(math.abs(p(0L) - p0) < 2e-4, s"j=$j P(0)=${p(0L)} want $p0")
+      for (m <- 1L to 4L) {
+        // symmetry and the alpha decay, both within grid resolution
+        assert(math.abs(p(m) - p(-m)) < 2e-4, s"j=$j asymmetric at $m")
+        val want = p0 * math.pow(alpha, m.toDouble)
+        assert(math.abs(p(m) - want) < 2e-4, s"j=$j P($m)=${p(m)} want $want")
+      }
+    }
+  }
+
+  test("noise is a pure keyed function: replayable, data-blind, sensitivity-1 exposed") {
+    // two censuses over NEIGHBORING datasets (one extra row in class 7):
+    // every class's noise is identical — the releases differ by exactly 1
+    // on the touched class and nowhere else. That is the sensitivity-1
+    // calibration: the mechanism never reads the data, so a row's whole
+    // influence on the release is the ±1 it contributes to its own count
+    val base = (0L until 400L).map(i => (i % 20, i))
+    val d1 = base.toDF("cls", "x")
+    val d2 = (base :+ ((7L, 9999L))).toDF("cls", "x")
+    def release(df: org.apache.spark.sql.DataFrame) =
+      Privacy.dpCensus(df, Seq("cls"), col("cls"), salt = 42L)
+        .as[(Long, Long)].collect().toMap
+    val (r1, r2) = (release(d1), release(d2))
+    assert(r1.keySet == r2.keySet)
+    r1.foreach { case (c, n) =>
+      assert(r2(c) - n == (if (c == 7L) 1L else 0L), s"class $c leaked data into noise")
+    }
+    // replayable: the identical release on a rerun
+    assert(release(d1) == r1)
+    // and the noise is genuinely there: some class deviates from its true
+    // count (all-zero noise would mean the seeding collapsed)
+    val truth = d1.groupBy("cls").count().as[(Long, Long)].collect().toMap
+    assert(r1.exists { case (c, n) => n != truth(c) }, "no class drew nonzero noise")
+    // a different salt redraws (not a function of class id alone)
+    val r3 = Privacy.dpCensus(d1, Seq("cls"), col("cls"), salt = 43L)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 != r1, "salt must key the draw")
+  }
+
+  test("dpCensus releases only noisy counts, classes-sized, with grouped-column classId") {
+    val df = (0L until 300L).map(i => (i % 3, s"seg${i % 2}", i)).toDF("k", "seg", "x")
+    val out = Privacy.dpCensus(df, Seq("k", "seg"),
+      col("k") * lit(10L) + length(col("seg")), salt = 7L)
+    assert(out.columns.toSeq == Seq("k", "seg", "noisy_count"))
+    assert(out.count() == 6L)
+  }
+}
