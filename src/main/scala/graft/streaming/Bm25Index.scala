@@ -23,9 +23,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   *     the shard is a PARTITION VALUE, so a query's term set prunes whole
   *     shard directories at planning time, and the `term IN (...)` filter
   *     pushes to parquet row groups within them).
-  *   - `_stats/b<batchId>/` — one row `(n_docs, total_dl)` per batch;
-  *     query-time corpus constants are the SUM of these (batches-sized,
-  *     never corpus-sized).
+  *   - `_stats/b<batchId>/` — one row `(n_docs, total_dl, __b)` per
+  *     batch; query-time corpus constants SUM the __b-distinct rows
+  *     (batches-sized, never corpus-sized). [[compact]] folds the
+  *     accreting per-batch dirs into one — rows keep their per-batch
+  *     identity, so the fold's crash window only leaves bitwise
+  *     duplicates the same distinct absorbs.
   *   - `_batches/b<batchId>` — per-batch commit marker (skip record).
   *   - `_meta` — the shard modulus, fixed at the first batch (postings
   *     sharded under different moduli would not be co-prunable).
@@ -85,6 +88,13 @@ object Bm25Index {
     * absorbed read-side (see class doc). `subSplits` bounds the
     * files-per-shard of one append: micro-batches use 1; a one-shot
     * [[build]] spreads each shard over several writers.
+    *
+    * CONTRACT: batches must PARTITION the corpus. Re-ingesting a document
+    * under a DIFFERENT batchId is not a redelivery — its rows differ in
+    * `__b`, so the read-side distinct keeps both, tf/df and the stats
+    * sidecar count it twice, and every score involving it skews. Only a
+    * re-ingest under the SAME batchId is absorbed (marker skip when the
+    * batch committed, bitwise-duplicate rows when it tore).
     */
   def ingestBatch(docs: DataFrame, indexDir: String, idCol: String, textCol: String,
       batchId: Long, nShards: Int = DefaultShards, subSplits: Int = 1): Unit = {
@@ -131,6 +141,7 @@ object Bm25Index {
       .parquet(postingsDir(dir).toString)
     val stats = toks.select(size(col("toks")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("total_dl"))
+      .withColumn("__b", lit(batchId))
     stats.coalesce(1).write.mode("overwrite")
       .parquet(new Path(statsDir(dir), s"b$batchId").toString)
     fs.mkdirs(batchesDir(dir))
@@ -138,25 +149,132 @@ object Bm25Index {
     m.close()
   }
 
+  private def committedMarkers(fs: FileSystem, dir: Path): Seq[String] = {
+    val b = batchesDir(dir)
+    if (!fs.exists(b)) Nil else fs.listStatus(b).map(_.getPath.getName).toSeq
+  }
+
   /** One-shot build: a single ingest of the whole corpus, spread over
-    * several writers per shard.
+    * several writers per shard. Commits under the RESERVED batchId -1, so
+    * a later stream's ids (0, 1, …) can never collide with the build
+    * marker; one-shot means exactly that — an index with any committed
+    * batch refuses a build rather than double-counting the overlap.
     */
   def build(docs: DataFrame, indexDir: String, idCol: String, textCol: String,
-      nShards: Int = DefaultShards): Unit =
-    ingestBatch(docs, indexDir, idCol, textCol, batchId = 0L, nShards, subSplits = 8)
+      nShards: Int = DefaultShards): Unit = {
+    val (fs, dir) = fileSystem(docs.sparkSession, indexDir)
+    if (committedMarkers(fs, dir).nonEmpty)
+      throw new graft.GraftDataError(
+        s"build() is one-shot: the index at $indexDir already has committed " +
+          "batches — continue with ingestBatch/stream instead")
+    ingestBatch(docs, indexDir, idCol, textCol, batchId = -1L, nShards, subSplits = 8)
+  }
 
   /** The stream form; `checkpointDir` keeps batchIds stable across
-    * restarts so the marker skip sees redeliveries.
+    * restarts so the marker skip sees redeliveries. Starting a stream
+    * whose batchIds would RE-NUMBER from 0 against an index that already
+    * holds committed stream batches (no checkpoint at all, or a fresh
+    * checkpoint after the markers landed) fails fast: the marker skip
+    * would otherwise silently discard whole micro-batches of new
+    * documents. A [[build]]'s reserved -1 marker never collides.
     */
   def stream(docs: DataFrame, indexDir: String, idCol: String, textCol: String,
       nShards: Int = DefaultShards,
       checkpointDir: Option[String] = None): StreamingQuery = {
+    val spark = docs.sparkSession
+    val (fs, dir) = fileSystem(spark, indexDir)
+    val streamMarkers = committedMarkers(fs, dir).filter(n => n != "b-1")
+    checkpointDir match {
+      case None =>
+        if (streamMarkers.nonEmpty) throw new graft.GraftDataError(
+          s"stream() without a checkpoint numbers batches from 0, but the index at " +
+            s"$indexDir already has committed batches (${streamMarkers.sorted.take(3).mkString(", ")}…) " +
+            "whose markers would silently swallow the new micro-batches — pass checkpointDir")
+      case Some(c) =>
+        val cp = new Path(c)
+        val cpFs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fresh = !cpFs.exists(cp) || cpFs.listStatus(cp).isEmpty
+        if (fresh && streamMarkers.nonEmpty) throw new graft.GraftDataError(
+          s"fresh checkpoint at $c against the already-ingested index at $indexDir: " +
+            "batchIds would re-number from 0 into existing markers — resume the " +
+            "original checkpoint, or point the stream at a new index")
+    }
     val w = docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, indexDir, idCol, textCol, batchId, nShards)
       }
     checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** Compact the index's on-disk bookkeeping — the maintenance pass that
+    * keeps a long-lived index O(1)-shaped instead of one-dir-per-batch
+    * forever. Two size-tiered folds, both crash-safe by the same
+    * bitwise-duplicate argument the ingest path already relies on:
+    *
+    *   - STATS: when more than `maxStatsDirs` per-batch dirs accreted,
+    *     rewrite all `__b`-stamped rows into ONE `c<stamp>` dir, then
+    *     sweep the sources. Rows keep their per-batch identity, so a
+    *     crash between the fold and the sweep leaves bitwise duplicates
+    *     the query-side distinct absorbs.
+    *   - POSTINGS: per shard, when the file count exceeds
+    *     `maxFilesPerShard`, merge the sub-`tierBytes` tier into
+    *     ~tierBytes files ([[KeyTableSidecar.compact]]'s size-tiered
+    *     discipline, per-shard output budget so cold shards converge to
+    *     one file under skew), dropping `__b`-duplicate redelivery
+    *     residue within the rewritten tier. Values are copied unchanged,
+    *     so the append-then-sweep crash window again only duplicates
+    *     rows bitwise.
+    *
+    * Query results are unchanged across a compaction (spec-pinned).
+    * SINGLE MAINTAINER per index, like every sidecar here.
+    */
+  def compact(spark: SparkSession, indexDir: String, maxStatsDirs: Int = 8,
+      maxFilesPerShard: Int = 16, tierBytes: Long = 64L << 20): Unit = {
+    val (fs, dir) = fileSystem(spark, indexDir)
+    val sDir = statsDir(dir)
+    if (fs.exists(sDir)) {
+      val dirs = fs.listStatus(sDir)
+        .filter(st => st.isDirectory &&
+          fs.exists(new Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath)
+      if (dirs.length > maxStatsDirs) {
+        val folded = spark.read.parquet(dirs.map(_.toString).toIndexedSeq: _*).distinct()
+        val name = s"c${System.currentTimeMillis()}-${
+          java.util.UUID.randomUUID().toString.take(8)}"
+        folded.coalesce(1).write.mode("error")
+          .parquet(new Path(sDir, name).toString)
+        dirs.foreach(p => fs.delete(p, true))
+      }
+    }
+    val pDir = postingsDir(dir)
+    if (!fs.exists(pDir)) return
+    val small = fs.listStatus(pDir).toSeq.flatMap { sh =>
+      if (sh.isDirectory && sh.getPath.getName.startsWith("__tshard=")) {
+        val data = fs.listStatus(sh.getPath).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        val sm = data.filter(_.getLen < tierBytes)
+        if (data.length > maxFilesPerShard && sm.length > 1) sm.toSeq else Nil
+      } else Nil
+    }
+    if (small.isEmpty) return
+    val splitsLookup = map(small
+      .groupBy(_.getPath.getParent.getName.split("=", 2)(1).toInt)
+      .toSeq.flatMap { case (shard, files) =>
+        val bytes = files.map(_.getLen).sum
+        Seq(lit(shard), lit(math.max(1L, (bytes + tierBytes - 1) / tierBytes)))
+      }: _*)
+    spark.read.option("basePath", pDir.toString)
+      .schema("term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, __b BIGINT, __tshard INT")
+      .parquet(small.map(_.getPath.toString): _*)
+      .distinct() // __b-duplicate redelivery residue retires with the tier
+      .repartition(col("__tshard"),
+        pmod(xxhash64(col("doc_id")), element_at(splitsLookup, col("__tshard"))))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("append").partitionBy("__tshard").parquet(pDir.toString)
+    small.foreach(st => fs.delete(st.getPath, false))
   }
 
   /** BM25 top-k per query against the persisted index: bitwise-equal to
@@ -171,15 +289,21 @@ object Bm25Index {
     val mod = readMeta(fs, dir).getOrElse(
       throw new graft.GraftDataError(s"no BM25 index at $indexDir"))
     val sDir = statsDir(dir)
+    // _SUCCESS-complete dirs only (a torn stats write or mid-flight
+    // compaction fold is invisible, exactly like every sidecar read here)
     val statDirs =
       if (!fs.exists(sDir)) Array.empty[String]
-      else fs.listStatus(sDir).filter(_.isDirectory).map(_.getPath.toString)
+      else fs.listStatus(sDir)
+        .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
     def emptyResult: DataFrame = queries.select(col("query_id")).limit(0)
       .withColumn("doc_id", lit(null).cast("long"))
       .withColumn("rank", lit(null).cast("long"))
       .withColumn("score", lit(null).cast("double"))
     if (statDirs.isEmpty) return emptyResult
-    val statsRow = spark.read.parquet(statDirs.toIndexedSeq: _*)
+    // rows are __b-stamped: compaction-fold crash residue duplicates them
+    // bitwise, and the distinct restores one row per committed batch
+    val statsRow = spark.read.parquet(statDirs.toIndexedSeq: _*).distinct()
       .agg(coalesce(sum(col("n_docs")), lit(0L)),
         coalesce(sum(col("total_dl")), lit(0L))).head()
     val nDocs = statsRow.getLong(0)

@@ -19,10 +19,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - the pointer swap is staging + rename; rename cannot overwrite, so
   *     the old pointer is deleted first — a crash inside that window
   *     leaves no pointer, and [[read]] falls back to the most recently
-  *     WRITTEN `_SUCCESS`-complete version on disk (recency by mtime, not
-  *     version number — names may regress across checkpoint loss; the
-  *     batch in flight never wrote its streaming commit, so it redelivers
-  *     onto that base);
+  *     WRITTEN `_SUCCESS`-complete version on disk (recency by the
+  *     monotonic `_seq` stamp, not version number or mtime — names may
+  *     regress across checkpoint loss, mtime granules can swallow the
+  *     regression; the batch in flight never wrote its streaming commit,
+  *     so it redelivers onto that base);
   *   - superseded versions sweep AFTER the swap, except the immediately
   *     retired one — a one-merge grace window for readers whose plan still
   *     pins it. SINGLE-WRITER per state dir, like every sidecar here.
@@ -70,24 +71,52 @@ object VersionedState {
   /** Crash recovery: the MOST RECENTLY WRITTEN `_SUCCESS`-complete version
     * (a dir mid-write at the crash has no `_SUCCESS` and is skipped).
     *
-    * Recency is the `_SUCCESS` modification time, NOT the parsed batchId:
-    * version names may REGRESS (a restart without a checkpoint re-numbers
-    * from the source's beginning — [[KmvSegments]] documents "the version
-    * name may regress, never the content"), and after such a regression
-    * the numerically-higher dir is the content-OLDER one. batchId only
-    * tie-breaks writes that land within one timestamp granule, where the
-    * later write of a single-writer dir did get the higher id.
+    * Recency is the version's `_seq` stamp — a monotonic per-state-dir
+    * counter [[commit]] writes after the parquet lands — NOT the parsed
+    * batchId and not the filesystem mtime: version names may REGRESS (a
+    * restart without a checkpoint re-numbers from the source's beginning —
+    * [[KmvSegments]] documents "the version name may regress, never the
+    * content"), and within one mtime granule of such a regression the
+    * numerically-higher dir is the content-OLDER one, so neither name nor
+    * mtime alone can order it. `(mtime, batchId)` remains the fallback for
+    * a version whose crash window closed between `_SUCCESS` and `_seq` —
+    * picking an older seq-stamped version there is SAFE: that batch never
+    * wrote its streaming commit, so it redelivers onto the base it read.
     */
   private def latestCompleteVersion(fs: FileSystem, dir: Path): Option[String] = {
     if (!fs.exists(dir)) return None
-    val ids = fs.listStatus(dir).map(_.getPath.getName).collect {
+    val ranked = fs.listStatus(dir).map(_.getPath.getName).collect {
       case n if n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
         (n, new Path(new Path(dir, n), "_SUCCESS"))
     }.collect {
       case (n, s) if fs.exists(s) =>
-        (fs.getFileStatus(s).getModificationTime, n.drop(1).toLong)
+        (readSeq(fs, new Path(dir, n)),
+          (fs.getFileStatus(s).getModificationTime, n.drop(1).toLong), n)
     }
-    if (ids.isEmpty) None else Some(s"v${ids.max._2}")
+    if (ranked.isEmpty) None
+    else {
+      val stamped = ranked.filter(_._1.isDefined)
+      val pick =
+        if (stamped.nonEmpty) stamped.maxBy(t => (t._1.get, t._2))
+        else ranked.maxBy(_._2)
+      Some(pick._3)
+    }
+  }
+
+  private def seqPath(vPath: Path) = new Path(vPath, "_seq")
+
+  private def readSeq(fs: FileSystem, vPath: Path): Option[Long] = {
+    val p = seqPath(vPath)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toByteArray
+      } finally in.close()
+      scala.util.Try(new String(bytes, "UTF-8").trim.toLong).toOption
+    }
   }
 
   /** Write `merged` as `v<batchId>`, swap the pointer onto it, sweep
@@ -105,6 +134,18 @@ object VersionedState {
     require(!live.contains(vName),
       s"batch $batchId is already the live version — callers gate on isCommitted")
     merged.coalesce(coalesceTo).write.mode("overwrite").parquet(vPath.toString)
+    // the monotonic write stamp latestCompleteVersion recovers by: max over
+    // the (<= 2) surviving versions' seqs, plus one. Written AFTER the
+    // parquet commit — a crash in between leaves a version recoverable by
+    // the (mtime, batchId) fallback, which is safe there (see Scaladoc)
+    val nextSeq = fs.listStatus(dir).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit) && n != vName
+      }
+      .flatMap(p => readSeq(fs, p)).foldLeft(0L)(math.max) + 1L
+    val so = fs.create(seqPath(vPath), true)
+    try so.write(nextSeq.toString.getBytes("UTF-8")) finally so.close()
     val staging = new Path(dir, "current.staging")
     val out = fs.create(staging, true)
     try out.write(vName.getBytes("UTF-8")) finally out.close()

@@ -1234,6 +1234,95 @@ class StreamingSpec extends SparkTestBase {
       Seq((0L, "zzz qqq")).toDF("query_id", "qtext"), 5).count() == 0L)
   }
 
+  test("Bm25Index.compact folds stats to O(1) dirs and merges postings tiers, results unchanged") {
+    import graft.streaming.Bm25Index
+    import org.apache.hadoop.fs.Path
+    val idx = java.nio.file.Files.createTempDirectory("graft-bm25cpt").toString + "/idx"
+    val docs = (0L until 24L).map(i => (i, s"tok${i % 5} tok${i % 7} common word"))
+    docs.grouped(2).zipWithIndex.foreach { case (g, b) =>
+      Bm25Index.ingestBatch(g.toDF("doc_id", "text"), idx, "doc_id", "text",
+        batchId = b.toLong, nShards = 4)
+    }
+    val queries = Seq((0L, "tok1 common"), (1L, "tok3 word")).toDF("query_id", "qtext")
+    def rows() = Bm25Index.topK(spark, idx, queries, k = 24).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3, t._2)).toSeq
+    val before = rows()
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def statsDirs() = fs.listStatus(new Path(idx, "_stats")).count(_.isDirectory)
+    def shardFiles() = fs.listStatus(new Path(idx, "postings")).toSeq
+      .filter(_.getPath.getName.startsWith("__tshard="))
+      .map(sh => fs.listStatus(sh.getPath)
+        .count(st => st.isFile && !st.getPath.getName.startsWith("_")))
+    assert(statsDirs() == 12, "one stats dir per batch before the fold")
+    assert(shardFiles().exists(_ >= 12), "per-batch appends accrete shard files")
+    Bm25Index.compact(spark, idx, maxStatsDirs = 4, maxFilesPerShard = 2)
+    assert(statsDirs() == 1, s"stats must fold to ONE dir, got ${statsDirs()}")
+    assert(shardFiles().forall(_ <= 2),
+      s"small tiers must merge to the byte budget, got ${shardFiles()}")
+    assert(rows() == before, "compaction must not change any score")
+    // crash window between fold and sweep: a leftover source dir only
+    // duplicates __b-stamped rows bitwise — the read-side distinct absorbs
+    val cDir = fs.listStatus(new Path(idx, "_stats"))
+      .filter(_.isDirectory).map(_.getPath).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, cDir, fs,
+      new Path(idx, "_stats/b0"), false, spark.sparkContext.hadoopConfiguration)
+    assert(rows() == before, "duplicate stats rows must dedupe read-side")
+    // idempotent: a re-run under the same thresholds is a no-op
+    Bm25Index.compact(spark, idx, maxStatsDirs = 4, maxFilesPerShard = 2)
+    assert(rows() == before)
+  }
+
+  test("Bm25Index build/stream refuse the marker collisions that would drop batches") {
+    import graft.streaming.Bm25Index
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25grd").toString
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    // build commits under the reserved -1: stream ids never collide, and
+    // ingestBatch(0) is a NEW batch, not a skipped redelivery of the build
+    val idx = root + "/idx"
+    Bm25Index.build(docs, idx, "doc_id", "text", nShards = 4)
+    Bm25Index.ingestBatch(Seq((3L, "gamma delta")).toDF("doc_id", "text"),
+      idx, "doc_id", "text", batchId = 0L)
+    val q = Seq((0L, "gamma")).toDF("query_id", "qtext")
+    assert(Bm25Index.topK(spark, idx, q, 10).count() == 2L,
+      "the post-build batch 0 must ingest, not skip against the build marker")
+    // one-shot: a second build refuses instead of double-counting
+    intercept[graft.GraftDataError] { Bm25Index.build(docs, idx, "doc_id", "text", 4) }
+    // no checkpoint + committed stream batches -> batchIds restart at 0
+    // and the marker skip would swallow micro-batches: refuse
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    intercept[graft.GraftDataError] {
+      Bm25Index.stream(streamDf, idx, "doc_id", "text", nShards = 4)
+    }
+    // fresh checkpoint against committed stream markers: same trap, refused
+    intercept[graft.GraftDataError] {
+      Bm25Index.stream(streamDf, idx, "doc_id", "text", nShards = 4,
+        checkpointDir = Some(root + "/cp-fresh"))
+    }
+    // a build-only index is safe to stream onto (reserved -1 never collides)
+    val idx2 = root + "/idx2"
+    Bm25Index.build(docs, idx2, "doc_id", "text", nShards = 4)
+    val sq = Bm25Index.stream(streamDf, idx2, "doc_id", "text", nShards = 4,
+      checkpointDir = Some(root + "/cp2"))
+    try {
+      mem.addData((3L, "gamma delta"))
+      sq.processAllAvailable()
+      assert(Bm25Index.topK(spark, idx2, q, 10).count() == 2L)
+    } finally sq.stop()
+    // resuming the SAME checkpoint is the supported restart path
+    val sq2 = Bm25Index.stream(streamDf, idx2, "doc_id", "text", nShards = 4,
+      checkpointDir = Some(root + "/cp2"))
+    try {
+      mem.addData((4L, "epsilon zeta"))
+      sq2.processAllAvailable()
+      assert(Bm25Index.topK(spark, idx2,
+        Seq((0L, "epsilon")).toDF("query_id", "qtext"), 10).count() == 1L)
+    } finally sq2.stop()
+  }
+
   test("maintainers merge a NULL key into ONE state row, like any other group") {
     import graft.streaming.{KmvSegments, RollupState}
     // groupBy emits a null-key group; a plain USING merge join would
@@ -1279,6 +1368,24 @@ class StreamingSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     assert(rec.keySet == Set("a", "b") && rec("a").size == 2,
       s"fallback must pick the most recently WRITTEN version, got $rec")
+    // the one-granule trap: force BOTH _SUCCESS mtimes equal — inside one
+    // timestamp granule the mtime tie-break would fall to the batchId,
+    // which after the regression points at the content-OLDER v7. The
+    // monotonic _seq stamp must still order v0 (content-newer) on top
+    val t = System.currentTimeMillis()
+    for (v <- Seq("v0", "v7"))
+      fs.setTimes(new Path(dirS, s"$v/_SUCCESS"), t, -1)
+    val rec2 = KmvSegments.state(spark, dirS).get.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(rec2 == rec,
+      s"equal-mtime regression must recover by the _seq stamp, got $rec2")
+    // a version whose crash closed between _SUCCESS and _seq falls back to
+    // (mtime, batchId) only among the unstamped — an existing stamp wins
+    assert(fs.delete(new Path(dirS, "v0/_seq"), false))
+    val rec3 = KmvSegments.state(spark, dirS).get.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(rec3("a").size == 1,
+      "the stamped base must win over the seq-less in-flight version")
   }
 
   test("purgeKeys invalidates the gate meta before touching shard dirs") {
