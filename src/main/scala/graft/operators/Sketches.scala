@@ -158,31 +158,74 @@ object Sketches {
     }
   }
 
+  /** Mutable aggregation buffer for [[MisraGriesAgg]]. Spark keeps a typed
+    * Aggregator's buffer as a live OBJECT between `reduce` calls within a
+    * partition (serialization happens only at the shuffle boundary), so
+    * the per-arrival path mutates two open hash maps in place instead of
+    * rebuilding persistent-map paths — that allocation churn was a 2×
+    * constant on every scan-speed arrival, dominating at small capacities
+    * where the cut itself is cheap.
+    */
+  final class MGBuffer(
+      val main: scala.collection.mutable.HashMap[String, Long],
+      val pending: scala.collection.mutable.HashMap[String, Long])
+    extends Serializable
+
   class MisraGriesAgg(capacity: Int)
-      extends Aggregator[String, (Map[String, Long], Map[String, Long]), Map[String, Long]] {
+      extends Aggregator[String, MGBuffer, Map[String, Long]] {
     require(capacity >= 1, "capacity must be positive")
 
-    private def cutMerge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-      mgCutMerge(a, b, capacity)
-
-    override def zero: (Map[String, Long], Map[String, Long]) = (Map.empty, Map.empty)
-    override def reduce(buf: (Map[String, Long], Map[String, Long]),
-        key: String): (Map[String, Long], Map[String, Long]) = {
-      val (main, pending) = buf
-      if (main.contains(key)) (main.updated(key, main(key) + 1L), pending)
-      else if (pending.isEmpty && main.size < capacity) (main.updated(key, 1L), pending)
-      else {
-        val p = pending.updated(key, pending.getOrElse(key, 0L) + 1L)
-        if (p.size >= capacity) (cutMerge(main, p), Map.empty) else (main, p)
+    /** In-place form of [[mgCutMerge]]: add `from` into `acc`, and if over
+      * capacity subtract the (capacity+1)-th largest counter from all and
+      * drop the non-positive — the same Agarwal et al. merge, so every
+      * guarantee argument carries over unchanged.
+      */
+    private def cutMergeInto(acc: scala.collection.mutable.HashMap[String, Long],
+        from: scala.collection.Map[String, Long]): Unit = {
+      from.foreach { case (k, v) =>
+        val c = acc.getOrElse(k, 0L)
+        acc.update(k, c + v)
+      }
+      if (acc.size > capacity) {
+        val arr = new Array[Long](acc.size)
+        var i = 0
+        acc.valuesIterator.foreach { v => arr(i) = v; i += 1 }
+        java.util.Arrays.sort(arr)
+        val cut = arr(arr.length - capacity - 1) // (capacity+1)-th largest
+        acc.filterInPlace((_, v) => v > cut)
+        acc.mapValuesInPlace((_, v) => v - cut)
       }
     }
-    override def merge(a: (Map[String, Long], Map[String, Long]),
-        b: (Map[String, Long], Map[String, Long])): (Map[String, Long], Map[String, Long]) =
-      (cutMerge(cutMerge(a._1, a._2), cutMerge(b._1, b._2)), Map.empty)
-    override def finish(buf: (Map[String, Long], Map[String, Long])): Map[String, Long] =
-      cutMerge(buf._1, buf._2)
-    override def bufferEncoder: Encoder[(Map[String, Long], Map[String, Long])] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Map[String, Long], Map[String, Long])]()
+
+    override def zero: MGBuffer = new MGBuffer(
+      scala.collection.mutable.HashMap.empty, scala.collection.mutable.HashMap.empty)
+    override def reduce(buf: MGBuffer, key: String): MGBuffer = {
+      val c = buf.main.getOrElse(key, 0L)
+      if (c > 0L) buf.main.update(key, c + 1L)
+      else if (buf.pending.isEmpty && buf.main.size < capacity)
+        buf.main.update(key, 1L)
+      else {
+        buf.pending.update(key, buf.pending.getOrElse(key, 0L) + 1L)
+        if (buf.pending.size >= capacity) {
+          cutMergeInto(buf.main, buf.pending)
+          buf.pending.clear()
+        }
+      }
+      buf
+    }
+    override def merge(a: MGBuffer, b: MGBuffer): MGBuffer = {
+      cutMergeInto(a.main, a.pending); a.pending.clear()
+      cutMergeInto(b.main, b.pending)
+      cutMergeInto(a.main, b.main)
+      a
+    }
+    override def finish(buf: MGBuffer): Map[String, Long] = {
+      cutMergeInto(buf.main, buf.pending); buf.pending.clear()
+      buf.main.toMap
+    }
+    // opaque binary buffer: it crosses the wire only at the shuffle,
+    // carrying <= 2*capacity counters
+    override def bufferEncoder: Encoder[MGBuffer] = Encoders.kryo[MGBuffer]
     override def outputEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }

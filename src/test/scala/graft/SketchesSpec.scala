@@ -93,12 +93,18 @@ class SketchesSpec extends SparkTestBase {
 
   test("MisraGries merge sums then cuts at the (capacity+1)-th largest") {
     import graft.operators.Sketches
+    import scala.collection.mutable.{HashMap => MHash}
     val agg = new Sketches.MisraGriesAgg(2)
     val merged = agg.merge(
-      (Map("a" -> 10L, "b" -> 4L), Map.empty),
-      (Map("b" -> 3L, "c" -> 5L), Map.empty))
+      new Sketches.MGBuffer(MHash("a" -> 10L, "b" -> 4L), MHash.empty),
+      new Sketches.MGBuffer(MHash("b" -> 3L, "c" -> 5L), MHash.empty))
     // summed: a=10 b=7 c=5; cut = 3rd largest = 5 -> a=5, b=2, c drops
     assert(agg.finish(merged) == Map("a" -> 5L, "b" -> 2L))
+    // the mutable aggregator path and the shared immutable algebra
+    // (HeavyHittersState's cross-batch merge) are the SAME cut
+    assert(Sketches.mgCutMerge(
+      Map("a" -> 10L, "b" -> 4L), Map("b" -> 3L, "c" -> 5L), 2) ==
+      Map("a" -> 5L, "b" -> 2L))
   }
 
   test("MisraGries guarantees hold at capacity 1024 with the amortized reduce") {
