@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 /** Seeded differential privacy for released aggregates — the third rung of
   * the release ladder after scrubbing (direct identifiers) and
   * k-anonymity/l-diversity ([[Anonymity]], quasi-identifiers): a census
-  * whose per-class counts carry calibrated noise, so no single row's
-  * presence is inferable from the release even WITH arbitrary side
-  * knowledge.
+  * whose per-class counts carry calibrated noise, so a single row's
+  * presence moves the release by at most one noised count — inference
+  * bounded by ε regardless of side knowledge, PROVIDED the released class
+  * set is data-independent (pass [[dpCensus]]'s `domain`; see its doc for
+  * what the observed-classes-only form still leaks).
   *
   * Mechanism: the geometric mechanism (Ghosh, Roughgarden, Sundararajan,
   * "Universally utility-maximizing privacy mechanisms", STOC'09) — the
@@ -81,19 +83,42 @@ object Privacy {
     * `classIdOf` must be a deterministic LONG function of the QI columns
     * alone (it is evaluated on the grouped result) and injective across
     * classes — two classes sharing an id would share a noise draw, a
-    * correlation the composition argument does not cover. Scale shape:
-    * one partial-aggregating groupBy; the noise is a scan-stage
-    * expression over the classes-sized output, so the release costs
-    * exactly what the raw census costs.
+    * correlation the composition argument does not cover.
+    *
+    * WHICH classes appear in the release:
+    *   - `domain = Some(d)`: exactly d's distinct QI tuples — the sound
+    *     shape when the class DOMAIN is public but membership is not.
+    *     Classes with no data release a noised ZERO, so a unique
+    *     individual's class is present either way and only the ±1 count
+    *     delta (noised) distinguishes the neighbors. Classes observed in
+    *     the data but absent from d are NOT released.
+    *   - `domain = None`: observed classes only. Then the release is ε-DP
+    *     for the COUNTS given class presence — the row set itself leaks
+    *     that each released class is non-empty, which for a
+    *     unique-per-person class discloses presence exactly. Use this
+    *     form only when the realized class set is itself public (e.g.
+    *     coarse public bands); otherwise pass the domain.
+    *
+    * Scale shape: one partial-aggregating groupBy (plus, with a domain, a
+    * classes-sized left join); the noise is a scan-stage expression over
+    * the classes-sized output, so the release costs what the raw census
+    * costs.
     */
   def dpCensus(df: DataFrame, quasiCols: Seq[String], classIdOf: Column,
-      salt: Long, j: Int = 1): DataFrame = {
+      salt: Long, j: Int = 1, domain: Option[DataFrame] = None): DataFrame = {
     require(quasiCols.nonEmpty, "dpCensus needs at least one quasi-identifier")
-    df.groupBy(quasiCols.map(col): _*)
+    val counts = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("__true_count"))
-      .select(quasiCols.map(col) :+
-        (col("__true_count") +
-          geometricNoise(seededUniform(classIdOf.cast("long"), salt), j))
-          .as("noisy_count"): _*)
+    val based = domain match {
+      case None => counts
+      case Some(d) =>
+        d.select(quasiCols.map(col): _*).distinct()
+          .join(counts, quasiCols, "left")
+          .na.fill(0L, Seq("__true_count"))
+    }
+    based.select(quasiCols.map(col) :+
+      (col("__true_count") +
+        geometricNoise(seededUniform(classIdOf.cast("long"), salt), j))
+        .as("noisy_count"): _*)
   }
 }

@@ -100,34 +100,6 @@ object Sketches {
   def merge(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] =
     (a ++ b).distinct.sorted.take(k)
 
-  /** Misra-Gries heavy-hitters summary: the sketch that FINDS the frequent
-    * items with bounded state, where count-min only answers probes for
-    * keys you already know. State is at most `capacity` (key, counter)
-    * pairs per partial; merging sums counters then subtracts the
-    * (capacity+1)-th largest from all (Agarwal et al., "Mergeable
-    * Summaries", PODS'12), so the distributed aggregation carries KB-sized
-    * partials off every partition of a 100 TB token stream.
-    *
-    * Guarantees (for ANY merge order — the summary CONTENT may depend on
-    * how partials combined, the guarantees never do):
-    *   - estimate(k) <= true(k): counters only ever under-count;
-    *   - true(k) - estimate(k) <= N / (capacity + 1), N the stream length;
-    *   - hence every item with true(k) > N / (capacity + 1) SURVIVES.
-    * Queries must state these (deterministic) properties, not the summary
-    * content.
-    */
-  /** Buffer: (main summary, pending batch). Reduce is AMORTIZED O(1) at
-    * any capacity: a non-resident arrival lands in `pending` (a plain
-    * exact count map, bounded at `capacity` distinct keys) instead of
-    * paying the classic per-arrival decrement-all scan; when `pending`
-    * fills, ONE [[cutMerge]] pass folds it into `main` — O(capacity)
-    * every >= capacity arrivals. Every mutation is therefore a
-    * mergeable-summaries merge (PODS'12): increments are real arrivals,
-    * decrements happen only inside the cut, so the three guarantees in
-    * the class doc hold for any arrival order and any flush schedule
-    * (the summary CONTENT differs from the per-arrival-decrement form —
-    * already non-contractual).
-    */
   /** Sum two Misra-Gries summaries; if over capacity, subtract the
     * (capacity+1)-th largest counter from all and drop the non-positive
     * (Agarwal et al. merge — the cut destroys >= (capacity+1)·cut mass,
@@ -158,19 +130,46 @@ object Sketches {
     }
   }
 
-  /** Mutable aggregation buffer for [[MisraGriesAgg]]. Spark keeps a typed
-    * Aggregator's buffer as a live OBJECT between `reduce` calls within a
-    * partition (serialization happens only at the shuffle boundary), so
-    * the per-arrival path mutates two open hash maps in place instead of
-    * rebuilding persistent-map paths — that allocation churn was a 2×
-    * constant on every scan-speed arrival, dominating at small capacities
-    * where the cut itself is cheap.
+  /** Mutable aggregation buffer for [[MisraGriesAgg]]: `main` is the
+    * summary, `pending` an exact count map of recent non-resident
+    * arrivals, bounded at `capacity` distinct keys. Reduce is AMORTIZED
+    * O(1) at any capacity: a non-resident arrival lands in `pending`
+    * instead of paying the classic per-arrival decrement-all scan; when
+    * `pending` fills, ONE cut-merge pass folds it into `main` —
+    * O(capacity) every >= capacity arrivals. Every mutation is therefore
+    * a mergeable-summaries merge (PODS'12): increments are real arrivals,
+    * decrements happen only inside the cut, so the aggregator's
+    * guarantees hold for any arrival order and any flush schedule.
+    *
+    * Mutable because Spark keeps a typed Aggregator's buffer as a live
+    * OBJECT between `reduce` calls within a partition (serialization
+    * happens only at the shuffle boundary): the per-arrival path mutates
+    * two open hash maps in place instead of rebuilding persistent-map
+    * paths — that allocation churn was a 2× constant on every scan-speed
+    * arrival, dominating at small capacities where the cut itself is
+    * cheap.
     */
   final class MGBuffer(
       val main: scala.collection.mutable.HashMap[String, Long],
       val pending: scala.collection.mutable.HashMap[String, Long])
     extends Serializable
 
+  /** Misra-Gries heavy-hitters summary: the sketch that FINDS the frequent
+    * items with bounded state, where count-min only answers probes for
+    * keys you already know. State is at most `capacity` (key, counter)
+    * pairs per partial; merging sums counters then subtracts the
+    * (capacity+1)-th largest from all (Agarwal et al., "Mergeable
+    * Summaries", PODS'12), so the distributed aggregation carries KB-sized
+    * partials off every partition of a 100 TB token stream.
+    *
+    * Guarantees (for ANY merge order — the summary CONTENT may depend on
+    * how partials combined, the guarantees never do):
+    *   - estimate(k) <= true(k): counters only ever under-count;
+    *   - true(k) - estimate(k) <= N / (capacity + 1), N the stream length;
+    *   - hence every item with true(k) > N / (capacity + 1) SURVIVES.
+    * Queries must state these (deterministic) properties, not the summary
+    * content.
+    */
   class MisraGriesAgg(capacity: Int)
       extends Aggregator[String, MGBuffer, Map[String, Long]] {
     require(capacity >= 1, "capacity must be positive")

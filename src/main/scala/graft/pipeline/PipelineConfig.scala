@@ -284,8 +284,10 @@ object PipelineConfig {
     // suppression bounds linkage, the noisy census bounds inference): the
     // frame becomes the classes-sized noisy-count table, ε = j·ln2, noise
     // a pure keyed-hash function so reruns replay bitwise
-    // ([[graft.operators.Privacy.dpCensus]]). `classId` names a LONG
-    // column injective over QI classes; `salt` is the release secret.
+    // ([[graft.operators.Privacy.dpCensus]]). `classId` is a SQL
+    // expression over the quasiCols, LONG-valued and injective across
+    // classes (e.g. "c_nationkey*1000000 + bal_band"); `salt` is the
+    // release secret.
     (cfg \ "dpCensus") match {
       case JNothing => ()
       case dp =>
@@ -293,10 +295,26 @@ object PipelineConfig {
           throw new graft.GraftConfigError("dpCensus section needs non-empty 'quasiCols'"))
         val classId = (dp \ "classId").extractOpt[String].getOrElse(
           throw new graft.GraftConfigError(
-            "dpCensus section needs 'classId' (a LONG column injective over QI classes)"))
-        if (!quasi.contains(classId)) throw new graft.GraftConfigError(
-          s"dpCensus.classId '$classId' must be one of quasiCols — noise must be a " +
-            "function of the released class alone")
+            "dpCensus section needs 'classId' (a LONG expression over quasiCols, " +
+              "injective across classes)"))
+        // noise must be a function of the RELEASED class alone: every
+        // column the expression touches must be a quasi column. Checked at
+        // parse time — an out-of-class reference would otherwise surface
+        // as an analysis error deep inside the run (or worse, resolve to
+        // a data column and key the noise on it)
+        val refs =
+          try spark.sessionState.sqlParser.parseExpression(classId).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+          } catch {
+            case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+              throw new graft.GraftConfigError(
+                s"dpCensus.classId does not parse as an expression: ${e.getMessage}")
+          }
+        val quasiLower = quasi.map(_.toLowerCase).toSet
+        val outside = refs.filterNot(r => quasiLower.contains(r.toLowerCase)).distinct
+        if (outside.nonEmpty) throw new graft.GraftConfigError(
+          s"dpCensus.classId references ${outside.mkString(", ")} outside quasiCols — " +
+            "noise must be a function of the released class alone")
         val salt = (dp \ "salt").extractOpt[Long].getOrElse(
           throw new graft.GraftConfigError("dpCensus section needs integer 'salt'"))
         val j = (dp \ "j").extractOrElse[Int](1)
@@ -304,7 +322,7 @@ object PipelineConfig {
           s"dpCensus.j must be >= 1 (epsilon = j*ln2), got $j")
         transforms += ((df: DataFrame) =>
           graft.operators.Privacy.dpCensus(df, quasi,
-            org.apache.spark.sql.functions.col(classId), salt, j))
+            org.apache.spark.sql.functions.expr(classId), salt, j))
     }
 
     // greedy sequence packing as the terminal reshape ([[operators.Packing

@@ -226,7 +226,15 @@ object Bm25Index {
     *     so the append-then-sweep crash window again only duplicates
     *     rows bitwise.
     *
-    * Query results are unchanged across a compaction (spec-pinned).
+    * Query results are unchanged ACROSS a compaction — any [[topK]]
+    * planned before or after sees identical scores (spec-pinned). A topK
+    * racing the sweep itself may fail fast (its plan pinned a file the
+    * sweep removed — FileNotFoundException, retry) but can never read a
+    * wrong answer: until the sweep, old and new rows coexist as bitwise
+    * duplicates the read-side distinct absorbs. Unlike [[VersionedState]]
+    * (whose state is probed continuously in-plan and therefore keeps a
+    * grace version), compaction is rare maintenance — availability-only
+    * on the race, run it from the index's single maintainer.
     * SINGLE MAINTAINER per index, like every sidecar here.
     */
   def compact(spark: SparkSession, indexDir: String, maxStatsDirs: Int = 8,
@@ -239,7 +247,12 @@ object Bm25Index {
           fs.exists(new Path(st.getPath, "_SUCCESS")))
         .map(_.getPath)
       if (dirs.length > maxStatsDirs) {
-        val folded = spark.read.parquet(dirs.map(_.toString).toIndexedSeq: _*).distinct()
+        val raw = spark.read.parquet(dirs.map(_.toString).toIndexedSeq: _*)
+        if (!raw.columns.contains("__b"))
+          throw new graft.GraftDataError(
+            s"stats sidecar at $sDir predates the __b batch stamp — rebuild the " +
+              "index before compacting (the fold would collapse equal-sized batches)")
+        val folded = raw.distinct()
         val name = s"c${System.currentTimeMillis()}-${
           java.util.UUID.randomUUID().toString.take(8)}"
         folded.coalesce(1).write.mode("error")
@@ -303,7 +316,12 @@ object Bm25Index {
     if (statDirs.isEmpty) return emptyResult
     // rows are __b-stamped: compaction-fold crash residue duplicates them
     // bitwise, and the distinct restores one row per committed batch
-    val statsRow = spark.read.parquet(statDirs.toIndexedSeq: _*).distinct()
+    val statsDf = spark.read.parquet(statDirs.toIndexedSeq: _*)
+    if (!statsDf.columns.contains("__b"))
+      throw new graft.GraftDataError(
+        s"stats sidecar at $sDir predates the __b batch stamp — rebuild the index " +
+          "(a distinct over unstamped rows would collapse equal-sized batches)")
+    val statsRow = statsDf.distinct()
       .agg(coalesce(sum(col("n_docs")), lit(0L)),
         coalesce(sum(col("total_dl")), lit(0L))).head()
     val nDocs = statsRow.getLong(0)

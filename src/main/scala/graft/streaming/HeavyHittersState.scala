@@ -77,11 +77,15 @@ object HeavyHittersState {
 
   /** The stream form; `checkpointDir` keeps batchIds stable across
     * restarts, which the exactly-once skip depends on (same contract as
-    * [[RollupState.stream]]).
+    * [[RollupState.stream]]). Starting against already-committed state
+    * with re-numbering batchIds (no checkpoint, or a fresh one) fails
+    * fast — see [[VersionedState.requireStreamSafe]].
     */
   def stream(tokens: DataFrame, stateDir: String, groupCol: String,
       tokenCol: String, capacity: Int,
       checkpointDir: Option[String] = None): StreamingQuery = {
+    VersionedState.requireStreamSafe(tokens.sparkSession, stateDir,
+      checkpointDir, "HeavyHittersState")
     val w = tokens.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -83,11 +83,16 @@ object RollupState {
   }
 
   /** The stream form; `checkpointDir` keeps batchIds stable across
-    * restarts, which the exactly-once skip depends on.
+    * restarts, which the exactly-once skip depends on. Starting against
+    * already-committed state with re-numbering batchIds (no checkpoint,
+    * or a fresh one) fails fast — see
+    * [[VersionedState.requireStreamSafe]].
     */
   def stream(events: DataFrame, stateDir: String, keyCols: Seq[String],
       valueCol: String, distinctCol: String,
       checkpointDir: Option[String] = None): StreamingQuery = {
+    VersionedState.requireStreamSafe(events.sparkSession, stateDir,
+      checkpointDir, "RollupState")
     val w = events.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -32,11 +32,16 @@ import org.apache.spark.sql.functions._
   * Concurrency contract: requesters may append at ANY time, including
   * while the single maintainer's [[flushPurge]] is mid-rewrite. The flush
   * retires EXACTLY the request dirs whose ids it read — never a request
-  * that landed after the snapshot (it stays pending for the next flush),
-  * and torn dirs are swept only once they are older than `tornGraceMs`
-  * AND still `_SUCCESS`-less at sweep time (a write racing the sweep
-  * either completes — and is then a live pending request — or is retried
-  * by its requester).
+  * that landed after the snapshot (it stays pending for the next flush).
+  * Torn dirs are swept only once they are older than `tornGraceMs` AND
+  * still `_SUCCESS`-less immediately before the delete. REQUESTER
+  * DURABILITY: that check-then-delete pair is not atomic, so a write
+  * whose commit stalls PAST the grace age must not be assumed durable —
+  * a requester whose [[requestPurge]] took longer than `tornGraceMs`
+  * (or errored) re-verifies via [[pending]] and re-requests if absent;
+  * within the grace age a completed append is never swept. Size
+  * `tornGraceMs` comfortably above any realistic write stall (the
+  * default is 15 minutes for a KB-scale write).
   *
   * Crash windows (single MAINTAINER per corpus, like every sidecar here;
   * requests themselves are just appends):
@@ -164,10 +169,16 @@ object TombstoneLog {
     val retiredSet = entries.map(_.getName).toSet
     allEntries(fs, dir)
       .filter(p => !retiredSet.contains(p.getName))
-      .filter(p => !fs.exists(new Path(p, "_SUCCESS")))
       .filter(p => (now - fs.getFileStatus(p).getModificationTime) >= tornGraceMs)
-      .filter(p => !fs.exists(new Path(p, "_SUCCESS")))
-      .foreach(p => fs.delete(p, true))
+      .foreach { p =>
+        // completeness re-checked immediately before each delete: a write
+        // that finished during the flush is a live request and stays. The
+        // check-then-delete pair is not atomic — the residual window is
+        // a _SUCCESS landing in the microseconds between them, which the
+        // requester durability contract (class doc) makes the requester's
+        // to detect, not silently ours to lose
+        if (!fs.exists(new Path(p, "_SUCCESS"))) fs.delete(p, true)
+      }
     Some((stats, entries.size))
   }
 }

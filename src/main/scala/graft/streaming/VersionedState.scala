@@ -119,6 +119,36 @@ object VersionedState {
     }
   }
 
+  /** Fail fast when a foreachBatch stream's batchIds would RE-NUMBER from
+    * 0 against state that already committed versions — the trap for every
+    * NON-idempotent merge algebra ([[RollupState]], the heavy-hitters
+    * maintainer): a renumbered batch whose id matches the live version
+    * SKIPS (silently dropping its data), and one that does not re-merges
+    * already-counted data. Starting is safe only when the state is empty
+    * or the checkpoint is the (non-fresh) one the state was built under.
+    * Idempotent algebras ([[KmvSegments]]) need no such gate — a replayed
+    * batch merges as a no-op.
+    */
+  def requireStreamSafe(spark: SparkSession, stateDir: String,
+      checkpointDir: Option[String], what: String): Unit = {
+    val (fs, dir) = fileSystem(spark, stateDir)
+    if (liveVersion(fs, dir).isEmpty) return
+    checkpointDir match {
+      case None => throw new graft.GraftDataError(
+        s"$what.stream() without a checkpoint numbers batches from 0, but the state " +
+          s"at $stateDir already committed versions — the commit-record skip would " +
+          "silently drop (or re-merge) micro-batches; pass checkpointDir")
+      case Some(c) =>
+        val cp = new Path(c)
+        val cpFs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!cpFs.exists(cp) || cpFs.listStatus(cp).isEmpty)
+          throw new graft.GraftDataError(
+            s"fresh checkpoint at $c against already-committed state at $stateDir: " +
+              "batchIds would re-number from 0 into the commit records — resume the " +
+              "original checkpoint, or start from an empty state dir")
+    }
+  }
+
   /** Write `merged` as `v<batchId>`, swap the pointer onto it, sweep
     * superseded versions (keeping the one-merge grace version), and return
     * the committed frame. `coalesceTo` bounds the version's file count —

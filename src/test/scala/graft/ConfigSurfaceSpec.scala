@@ -511,8 +511,9 @@ class ConfigSurfaceSpec extends SparkTestBase {
 
   test("dpCensus is a declared release step beside kAnonymity; misconfig typed") {
     val root = Files.createTempDirectory("graft-dpcfg").toString
-    Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L), (6L, 30L))
-      .toDF("doc_id", "cls").write.parquet(s"$root/src")
+    Seq((1L, 10L, 1L), (2L, 10L, 1L), (3L, 10L, 2L), (4L, 20L, 1L),
+      (5L, 20L, 2L), (6L, 30L, 1L))
+      .toDF("doc_id", "cls", "grp").write.parquet(s"$root/src")
     val cfg =
       s"""{
          |  "source": {"type": "parquet", "path": "$root/src"},
@@ -525,10 +526,23 @@ class ConfigSurfaceSpec extends SparkTestBase {
     // replayable: the declared step reruns to the identical release
     val again = PipelineConfig.fromJson(spark, cfg).run(spark).get
     assert(out.collect().toSet == again.collect().toSet)
+    // a multi-column QI set declares a composite INJECTIVE id as an
+    // expression over the quasi columns (a bare member column would give
+    // classes sharing it the same noise draw)
+    val cfg2 =
+      s"""{
+         |  "source": {"type": "parquet", "path": "$root/src"},
+         |  "dpCensus": {"quasiCols": ["cls", "grp"],
+         |               "classId": "cls*100 + grp", "salt": 42}
+         |}""".stripMargin
+    val out2 = PipelineConfig.fromJson(spark, cfg2).run(spark).get
+    assert(out2.columns.toSeq == Seq("cls", "grp", "noisy_count") && out2.count() == 5)
     Seq("""{"quasiCols": [], "classId": "cls", "salt": 1}""",
       """{"quasiCols": ["cls"], "salt": 1}""",
       """{"quasiCols": ["cls"], "classId": "cls"}""",
       """{"quasiCols": ["cls"], "classId": "doc_id", "salt": 1}""",
+      """{"quasiCols": ["cls"], "classId": "cls + doc_id", "salt": 1}""",
+      """{"quasiCols": ["cls"], "classId": "(cls", "salt": 1}""",
       """{"quasiCols": ["cls"], "classId": "cls", "salt": 1, "j": 0}""").foreach { bad =>
       intercept[graft.GraftConfigError] {
         PipelineConfig.fromJson(spark,

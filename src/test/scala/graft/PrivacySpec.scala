@@ -73,6 +73,28 @@ class PrivacySpec extends SparkTestBase {
     assert(r3 != r1, "salt must key the draw")
   }
 
+  test("domain-based release keeps the row set data-independent and noises empty classes") {
+    val domain = (0L until 25L).toDF("cls") // classes 20..24 never observed
+    val d1 = (0L until 400L).map(i => (i % 20, i)).toDF("cls", "x")
+    def release(df: org.apache.spark.sql.DataFrame) =
+      Privacy.dpCensus(df, Seq("cls"), col("cls"), salt = 42L, domain = Some(domain))
+        .as[(Long, Long)].collect().toMap
+    val r1 = release(d1)
+    assert(r1.keySet == (0L until 25L).toSet,
+      "the released classes are exactly the domain — empty ones included")
+    // the presence leak the domain closes: remove EVERY row of class 19
+    // (the unique-individual scenario) — the row set must not change, and
+    // the released count moves by exactly the (noised-identically) delta
+    val r2 = release(d1.filter($"cls" =!= 19L))
+    assert(r2.keySet == r1.keySet, "membership must not show in the row set")
+    assert(r1(19L) - r2(19L) == 20L,
+      "same class, same noise draw: the release difference is the count delta")
+    (r1 - 19L).foreach { case (c, n) => assert(r2(c) == n, s"class $c moved") }
+    // an empty class releases geometric noise around zero — negative
+    // counts are a legitimate DP release value, never clamped server-side
+    assert((20L until 25L).exists(c => r1(c) != 0L), "empty classes must be noised")
+  }
+
   test("dpCensus releases only noisy counts, classes-sized, with grouped-column classId") {
     val df = (0L until 300L).map(i => (i % 3, s"seg${i % 2}", i)).toDF("k", "seg", "x")
     val out = Privacy.dpCensus(df, Seq("k", "seg"),

@@ -2005,6 +2005,55 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("non-idempotent maintainers refuse streams whose batchIds would renumber into state") {
+    import graft.streaming.{HeavyHittersState, RollupState}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("graft-vsguard").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val memH = MemoryStream[(String, String)]
+    val dfH = memH.toDF().toDF("grp", "token")
+    // committed state + renumbering ids (no checkpoint / fresh checkpoint):
+    // batch 0 would skip against v0 (data silently dropped) or re-merge —
+    // both fail fast instead
+    val dirH = root + "/hh"
+    HeavyHittersState.mergeBatch(Seq(("en", "a")).toDF("grp", "token"),
+      dirH, "grp", "token", 8, batchId = 0L): Unit
+    intercept[graft.GraftDataError] {
+      HeavyHittersState.stream(dfH, dirH, "grp", "token", 8)
+    }
+    intercept[graft.GraftDataError] {
+      HeavyHittersState.stream(dfH, dirH, "grp", "token", 8,
+        checkpointDir = Some(root + "/cp-fresh"))
+    }
+    val memR = MemoryStream[(String, Double, Long)]
+    val dfR = memR.toDF().toDF("k", "v", "u")
+    val dirR = root + "/ru"
+    RollupState.mergeBatch(Seq(("a", 1.0, 1L)).toDF("k", "v", "u"),
+      dirR, Seq("k"), "v", "u", batchId = 0L): Unit
+    intercept[graft.GraftDataError] {
+      RollupState.stream(dfR, dirR, Seq("k"), "v", "u")
+    }
+    // empty state starts fine, and resuming the SAME checkpoint is the
+    // supported restart path
+    val dirH2 = root + "/hh2"
+    val cp = root + "/cp"
+    val q = HeavyHittersState.stream(dfH, dirH2, "grp", "token", 8,
+      checkpointDir = Some(cp))
+    try {
+      memH.addData(("en", "x"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val q2 = HeavyHittersState.stream(dfH, dirH2, "grp", "token", 8,
+      checkpointDir = Some(cp))
+    try {
+      memH.addData(("en", "x"))
+      q2.processAllAvailable()
+      val st = HeavyHittersState.state(spark, dirH2).get
+        .as[(String, Map[String, Long], Long)].collect()
+      assert(st.toSeq == Seq(("en", Map("x" -> 2L), 2L)), s"got ${st.toSeq}")
+    } finally q2.stop()
+  }
+
   // ---- TombstoneLog: batched GDPR queue ------------------------------------
 
   private def tombCorpus(prefix: String, docs: (Long, String)*): String = {
