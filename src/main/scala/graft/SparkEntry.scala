@@ -3105,6 +3105,40 @@ object SparkEntry {
       streaming.Bm25Index.topK(s, idx, queries, k = 10)
     }),
 
+    "bm25_index_purge" -> ((s, dir) => {
+      // GDPR for the retrieval index: purging the CORPUS alone leaves a
+      // doc's postings probeable forever. Bm25Index.purge writes one
+      // atomic (doc_id, dl) tombstone sidecar — no postings rewrite — and
+      // topK is compliant immediately: masked postings plus corrected
+      // constants score BITWISE like an index never holding the purged
+      // docs, which is exactly the oracle (ad-hoc BM25 over the filtered
+      // corpus). The deferred vacuum then removes the rows physically;
+      // the per-row flag pins that not one bit moves across it
+      import s.implicits._
+      val idx = scratchDir("graft_bm25prg") + "/index"
+      val docs = Tables.documents(s, dir)
+      streaming.Bm25Index.ingestBatch(
+        docs.filter(col("doc_id") % 2 === 0), idx, "doc_id", "text", batchId = 0L)
+      streaming.Bm25Index.ingestBatch(
+        docs.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text", batchId = 1L)
+      streaming.Bm25Index.purge(s, idx,
+        docs.select(col("doc_id")).filter(pmod(col("doc_id"), lit(9)) === 0),
+        "doc_id"): Unit
+      val queries = Seq(
+        (0L, "spark join performance"),
+        (1L, "window agg order"),
+        (2L, "hash table scan")).toDF("query_id", "qtext")
+      val logical = Checkpointing.materialize(
+        streaming.Bm25Index.topK(s, idx, queries, k = 10))
+      streaming.Bm25Index.vacuum(s, idx): Unit
+      val physical = streaming.Bm25Index.topK(s, idx, queries, k = 10)
+        .withColumnsRenamed(Map("rank" -> "__r2", "score" -> "__s2"))
+      logical.join(physical, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"), col("rank"), col("score"),
+          when(col("rank") === col("__r2") && col("score") === col("__s2"), lit(1L))
+            .otherwise(lit(0L)).as("vacuum_matches"))
+    }),
+
     "hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: BM25 keyword ranks fused with brute-force cosine
       // ranks by reciprocal-rank fusion (1/(60+rank) each side). Both
@@ -3173,9 +3207,9 @@ object SparkEntry {
     * doc) term sum is `list_sum(list(s ORDER BY term))` — the sequential
     * fold the Spark side replays via `aggregate(sort_array(...))`.
     */
-  private def sqlBm25(qSource: String): String =
+  private def sqlBm25(qSource: String, docSource: String = "documents"): String =
     s"""q AS ($qSource),
-       |btoks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+       |btoks AS (SELECT doc_id, $sqlToks AS t FROM $docSource),
        |blens AS (SELECT doc_id, len(t) AS dl FROM btoks),
        |bn AS (SELECT count(*) AS n_docs,
        |  CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl FROM btoks),
@@ -5891,6 +5925,20 @@ object SparkEntry {
                |  AS v(query_id, qtext)""".stripMargin)}
          |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
          |  CAST(rank AS BIGINT) AS rank, score
+         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // the logical purge is bitwise a rebuild without the docs, so the
+    // oracle is the plain BM25 mirror over the FILTERED corpus; the
+    // vacuum-parity flag is the stated invariant
+    "bm25_index_purge" ->
+      s"""WITH ${sqlBm25(
+             """SELECT * FROM (VALUES (0, 'spark join performance'),
+               |  (1, 'window agg order'), (2, 'hash table scan'))
+               |  AS v(query_id, qtext)""".stripMargin,
+             "(SELECT * FROM documents WHERE doc_id % 9 != 0)")}
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |  CAST(rank AS BIGINT) AS rank, score,
+         |  CAST(1 AS BIGINT) AS vacuum_matches
          |FROM ranked WHERE rank <= 10""".stripMargin,
 
     "hybrid_rrf" ->

@@ -30,6 +30,10 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   *     identity, so the fold's crash window only leaves bitwise
   *     duplicates the same distinct absorbs.
   *   - `_batches/b<batchId>` — per-batch commit marker (skip record).
+  *   - `_deleted/d<stamp>-<nonce>/` — permanent `(doc_id, dl)` purge
+  *     tombstones ([[purge]]): the query-time mask AND the corpus-constant
+  *     correction in one atomic dir; [[vacuum]] physically removes the
+  *     masked postings, [[compact]] folds the dirs.
   *   - `_meta` — the shard modulus, fixed at the first batch (postings
   *     sharded under different moduli would not be co-prunable).
   *
@@ -55,6 +59,34 @@ object Bm25Index {
   private def statsDir(dir: Path) = new Path(dir, "_stats")
   private def batchesDir(dir: Path) = new Path(dir, "_batches")
   private def metaPath(dir: Path) = new Path(dir, "_meta")
+  private def deletedDir(dir: Path) = new Path(dir, "_deleted")
+
+  private val PostingsSchema =
+    "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, __b BIGINT, __tshard INT"
+
+  private def readPostings(spark: SparkSession, dir: Path): DataFrame =
+    spark.read.schema(PostingsSchema).parquet(postingsDir(dir).toString)
+
+  /** The tombstone sidecar: one `(doc_id, dl)` row per logically-deleted
+    * doc (complete dirs only), distinct. PERMANENT — it is both the
+    * query-time mask and the corpus-constants correction record, which is
+    * what makes a purge a single atomic dir write (no paired stats row,
+    * no retire step, no crash window). It retains only the opaque id and
+    * a length — no content — and stays ids-sized.
+    */
+  private def readDeleted(spark: SparkSession, fs: FileSystem, dir: Path): DataFrame = {
+    val d = deletedDir(dir)
+    val dirs =
+      if (!fs.exists(d)) Array.empty[String]
+      else fs.listStatus(d)
+        .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+    if (dirs.isEmpty)
+      spark.range(0).select(col("id").as("doc_id"), col("id").as("dl"))
+    else
+      spark.read.schema("doc_id BIGINT, dl BIGINT")
+        .parquet(dirs.toIndexedSeq: _*).distinct()
+  }
 
   private def fileSystem(spark: SparkSession, indexDir: String): (FileSystem, Path) = {
     val dir = new Path(indexDir)
@@ -260,6 +292,25 @@ object Bm25Index {
         dirs.foreach(p => fs.delete(p, true))
       }
     }
+    // the permanent purge-tombstone sidecar folds the same way: rows are
+    // keyed (doc_id, dl), so crash residue is bitwise-duplicate and the
+    // read-side distinct absorbs it
+    val dDir = deletedDir(dir)
+    if (fs.exists(dDir)) {
+      val dirs = fs.listStatus(dDir)
+        .filter(st => st.isDirectory &&
+          fs.exists(new Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath)
+      if (dirs.length > maxStatsDirs) {
+        val folded = spark.read.schema("doc_id BIGINT, dl BIGINT")
+          .parquet(dirs.map(_.toString).toIndexedSeq: _*).distinct()
+        val name = s"c${System.currentTimeMillis()}-${
+          java.util.UUID.randomUUID().toString.take(8)}"
+        folded.coalesce(1).write.mode("error")
+          .parquet(new Path(dDir, name).toString)
+        dirs.foreach(p => fs.delete(p, true))
+      }
+    }
     val pDir = postingsDir(dir)
     if (!fs.exists(pDir)) return
     val small = fs.listStatus(pDir).toSeq.flatMap { sh =>
@@ -280,7 +331,7 @@ object Bm25Index {
         Seq(lit(shard), lit(math.max(1L, (bytes + tierBytes - 1) / tierBytes)))
       }: _*)
     spark.read.option("basePath", pDir.toString)
-      .schema("term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, __b BIGINT, __tshard INT")
+      .schema(PostingsSchema)
       .parquet(small.map(_.getPath.toString): _*)
       .distinct() // __b-duplicate redelivery residue retires with the tier
       .repartition(col("__tshard"),
@@ -288,6 +339,133 @@ object Bm25Index {
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("append").partitionBy("__tshard").parquet(pDir.toString)
     small.foreach(st => fs.delete(st.getPath, false))
+  }
+
+  /** Logical right-to-be-forgotten for the INDEX — the [[TombstoneLog]]
+    * philosophy applied to retrieval: forgetting a doc from the corpus
+    * alone leaves its postings probeable forever. `purge` writes ONE
+    * atomic KB-scale sidecar dir of `(doc_id, dl)` tombstones — costing a
+    * single doc-pruned postings scan (broadcast semi-join recovers each
+    * purged doc's `dl`), never the corpus. [[topK]] is compliant
+    * IMMEDIATELY: it anti-joins the ids-sized tombstone set and corrects
+    * the corpus constants from the same rows, making every score BITWISE
+    * equal to an index built without those docs (df re-counts on the
+    * filtered slice; n_docs/avgdl corrections are exact long sums —
+    * spec-pinned). Physical removal is [[vacuum]]'s deferred batched
+    * rewrite; the tombstones themselves are PERMANENT (see
+    * [[readDeleted]]) — which is also why a purged doc_id is dead forever
+    * for this index: never re-ingest a new document under one.
+    *
+    * Ids already purged, or absent from the index, are skipped — a
+    * re-purge is a no-op, never a double-correction. Returns the number
+    * of docs newly purged. Single maintainer per index, like every
+    * sidecar here.
+    */
+  def purge(spark: SparkSession, indexDir: String, ids: DataFrame,
+      idCol: String): Long = {
+    val (fs, dir) = fileSystem(spark, indexDir)
+    readMeta(fs, dir).getOrElse(
+      throw new graft.GraftDataError(s"no BM25 index at $indexDir"))
+    if (!fs.exists(postingsDir(dir))) return 0L
+    val del = ids.select(col(idCol).cast("long").as("doc_id")).na.drop().distinct()
+      .join(broadcast(readDeleted(spark, fs, dir).select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    // one postings pass: each present purged doc's (id, dl), once
+    // (distinct absorbs redelivery residue; one dl per doc by the
+    // batches-partition-the-corpus contract)
+    val tombstones = readPostings(spark, dir)
+      .join(broadcast(del), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("dl")).distinct()
+      .transform(graft.Checkpointing.materialize)
+    val nPurged = tombstones.count()
+    if (nPurged == 0L) return 0L
+    val name = s"d${System.currentTimeMillis()}-${
+      java.util.UUID.randomUUID().toString.take(8)}"
+    tombstones.coalesce(1).write.mode("error")
+      .parquet(new Path(deletedDir(dir), name).toString)
+    nPurged
+  }
+
+  /** Physically remove logically-deleted postings: ONE full postings
+    * rewrite for every purge since the last vacuum — the same
+    * batch-the-rewrites discipline as [[TombstoneLog.flushPurge]], for
+    * the index's own data. Fires when at least `minDeleted` tombstones
+    * exist; returns the tombstone count it vacuumed against (0 = held).
+    *
+    * Crash discipline: new shard files append BEFORE the old files delete
+    * — a crash in between leaves bitwise-duplicate rows the read-side
+    * distinct absorbs, and the purged docs stay masked by the permanent
+    * tombstone sidecar either way, so a vacuum can crash ANYWHERE and the
+    * index stays correct; the next vacuum idempotently re-runs. Because
+    * the tombstones (not stats rows) carry the constants correction,
+    * nothing about scoring moves across a vacuum (spec-pinned).
+    */
+  def vacuum(spark: SparkSession, indexDir: String, minDeleted: Long = 1L,
+      tierBytes: Long = 64L << 20): Long = {
+    val (fs, dir) = fileSystem(spark, indexDir)
+    val deleted = readDeleted(spark, fs, dir).select(col("doc_id"))
+      .transform(graft.Checkpointing.materialize)
+    val n = deleted.count()
+    // the high-water marker makes vacuum INCREMENTAL against the permanent
+    // sidecar: only tombstones beyond the last vacuumed count trigger a
+    // rewrite (the distinct row count is monotonic and fold-stable). A
+    // crash between the rewrite and the marker write just re-runs — the
+    // rewrite is idempotent
+    val pending = n - readVacuumMark(fs, dir)
+    if (pending < minDeleted) return 0L
+    val pDir = postingsDir(dir)
+    if (!fs.exists(pDir)) { writeVacuumMark(fs, dir, n); return pending }
+    val oldFiles = fs.listStatus(pDir).toSeq.flatMap { sh =>
+      if (sh.isDirectory && sh.getPath.getName.startsWith("__tshard="))
+        fs.listStatus(sh.getPath).filter { st =>
+          val nm = st.getPath.getName
+          st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+        }.toSeq
+      else Nil
+    }
+    if (oldFiles.isEmpty) { writeVacuumMark(fs, dir, n); return pending }
+    val splitsLookup = map(oldFiles
+      .groupBy(_.getPath.getParent.getName.split("=", 2)(1).toInt)
+      .toSeq.flatMap { case (shard, files) =>
+        val bytes = files.map(_.getLen).sum
+        Seq(lit(shard), lit(math.max(1L, (bytes + tierBytes - 1) / tierBytes)))
+      }: _*)
+    spark.read.option("basePath", pDir.toString)
+      .schema(PostingsSchema)
+      .parquet(oldFiles.map(_.getPath.toString): _*)
+      .join(broadcast(deleted), Seq("doc_id"), "left_anti")
+      .distinct()
+      .repartition(col("__tshard"),
+        pmod(xxhash64(col("doc_id")), element_at(splitsLookup, col("__tshard"))))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("append").partitionBy("__tshard").parquet(pDir.toString)
+    oldFiles.foreach(st => fs.delete(st.getPath, false))
+    writeVacuumMark(fs, dir, n)
+    pending
+  }
+
+  private def vacuumMarkPath(dir: Path) = new Path(deletedDir(dir), "_vacuumed")
+
+  private def readVacuumMark(fs: FileSystem, dir: Path): Long = {
+    val p = vacuumMarkPath(dir)
+    if (!fs.exists(p)) return 0L
+    val in = fs.open(p)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+      buf.toByteArray
+    } finally in.close()
+    scala.util.Try(new String(bytes, "UTF-8").trim.toLong).getOrElse(0L)
+  }
+
+  private def writeVacuumMark(fs: FileSystem, dir: Path, n: Long): Unit = {
+    val staging = new Path(deletedDir(dir), "_vacuumed.staging")
+    val out = fs.create(staging, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    val p = vacuumMarkPath(dir)
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(staging, p))
+      throw new graft.GraftDataError(s"vacuum mark swap failed under $dir")
   }
 
   /** BM25 top-k per query against the persisted index: bitwise-equal to
@@ -324,9 +502,19 @@ object Bm25Index {
     val statsRow = statsDf.distinct()
       .agg(coalesce(sum(col("n_docs")), lit(0L)),
         coalesce(sum(col("total_dl")), lit(0L))).head()
-    val nDocs = statsRow.getLong(0)
+    // purge tombstones: mask the postings AND correct the corpus constants
+    // from the same (doc_id, dl) rows — exact long sums, so the scores are
+    // bitwise those of an index never holding the purged docs
+    val dDir = deletedDir(dir)
+    val hasTombstones = fs.exists(dDir) && fs.listStatus(dDir)
+      .exists(st => st.isDirectory && fs.exists(new Path(st.getPath, "_SUCCESS")))
+    val tombstones =
+      if (hasTombstones) Some(readDeleted(spark, fs, dir)) else None
+    val delRow = tombstones.map(
+      _.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head())
+    val nDocs = statsRow.getLong(0) - delRow.fold(0L)(_.getLong(0))
     if (nDocs == 0L) return emptyResult
-    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    val avgdl = (statsRow.getLong(1) - delRow.fold(0L)(_.getLong(1))).toDouble / nDocs
 
     val qterms = queries.select(
         col("query_id"),
@@ -345,11 +533,15 @@ object Bm25Index {
     // explicit schema: a fully-purged index may have zero shard dirs, and
     // inference over an empty partitioned dir throws (KeyTableSidecar
     // lesson); __tshard is recovered as the partition column
-    val postings = spark.read
-      .schema("term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, __b BIGINT, __tshard INT")
-      .parquet(postingsDir(dir).toString)
+    val sliced = readPostings(spark, dir)
       .filter(col("__tshard").isin(shards.map(Int.box): _*))
       .filter(col("term").isin(terms: _*))
+    // purged docs mask out via the ids-sized broadcast anti-join — read-
+    // side compliance the moment a purge lands, ahead of the vacuum; the
+    // no-tombstone plan is untouched
+    val masked = tombstones.fold(sliced)(t =>
+      sliced.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
+    val postings = masked
       // redelivery/crash-residue rows are bitwise duplicates (same __b):
       // a slice-sized distinct restores unique (doc, term) postings
       .distinct()

@@ -1273,6 +1273,69 @@ class StreamingSpec extends SparkTestBase {
     assert(rows() == before)
   }
 
+  test("Bm25Index purge: immediate compliance, bitwise-filtered scores, incremental vacuum") {
+    import graft.streaming.Bm25Index
+    import graft.operators.Retrieval
+    import org.apache.hadoop.fs.Path
+    val docs = Seq(
+      (1L, "spark spark spark join"), (2L, "spark join join window"),
+      (3L, "window order order order"), (4L, "spark"),
+      (5L, "the quick brown fox")).toDF("doc_id", "text")
+    val queries = Seq((0L, "spark join"), (1L, "order fox")).toDF("query_id", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3, t._2)).toSeq
+    val idx = java.nio.file.Files.createTempDirectory("graft-bm25prg").toString + "/idx"
+    Bm25Index.ingestBatch(docs.filter($"doc_id" <= 3), idx, "doc_id", "text",
+      batchId = 0L, nShards = 8)
+    Bm25Index.ingestBatch(docs.filter($"doc_id" >= 4), idx, "doc_id", "text",
+      batchId = 1L, nShards = 8)
+    // purge docs 1 and 3 (id 99 is absent -> skipped): the logical delete
+    // must make every score BITWISE the ad-hoc BM25 over the corpus that
+    // never held them — df, n_docs and avgdl all corrected
+    assert(Bm25Index.purge(spark, idx,
+      Seq(1L, 3L, 99L).toDF("doc_id"), "doc_id") == 2L)
+    val want = rows(Retrieval.bm25TopK(
+      docs.filter(!$"doc_id".isin(1L, 3L)), "doc_id", "text", queries, k = 10))
+    assert(rows(Bm25Index.topK(spark, idx, queries, k = 10)) == want,
+      "purged index must score bitwise like a rebuild without the docs")
+    assert(!rows(Bm25Index.topK(spark, idx, queries, 10)).exists(
+      r => r._2 == 1L || r._2 == 3L), "purged docs must never be returned")
+    // a re-purge is a no-op, never a double correction
+    assert(Bm25Index.purge(spark, idx, Seq(1L, 3L).toDF("doc_id"), "doc_id") == 0L)
+    assert(rows(Bm25Index.topK(spark, idx, queries, k = 10)) == want)
+    // vacuum physically removes the masked postings, scores unchanged; the
+    // tombstones are permanent (they carry the constants correction)
+    assert(Bm25Index.vacuum(spark, idx) == 2L)
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val physical = spark.read
+      .schema("term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, __b BIGINT, __tshard INT")
+      .parquet(s"$idx/postings")
+    assert(physical.filter($"doc_id".isin(1L, 3L)).count() == 0L,
+      "vacuum must remove every purged posting physically")
+    assert(fs.exists(new Path(idx, "_deleted")), "tombstones are permanent")
+    assert(rows(Bm25Index.topK(spark, idx, queries, k = 10)) == want)
+    // incremental: with nothing newly purged, a re-vacuum holds (no rewrite)
+    val filesBefore = physical.inputFiles.toSet
+    assert(Bm25Index.vacuum(spark, idx) == 0L)
+    assert(spark.read.schema(physical.schema).parquet(s"$idx/postings")
+      .inputFiles.toSet == filesBefore, "held vacuum must not rewrite")
+    // ...and the next purge+vacuum only counts the new tombstones
+    assert(Bm25Index.purge(spark, idx, Seq(4L).toDF("doc_id"), "doc_id") == 1L)
+    assert(rows(Bm25Index.topK(spark, idx, queries, k = 10)) ==
+      rows(Retrieval.bm25TopK(
+        docs.filter(!$"doc_id".isin(1L, 3L, 4L)), "doc_id", "text", queries, k = 10)))
+    assert(Bm25Index.vacuum(spark, idx) == 1L)
+    // compaction folds the tombstone dirs too, results unchanged
+    Bm25Index.purge(spark, idx, Seq(5L).toDF("doc_id"), "doc_id"): Unit
+    Bm25Index.compact(spark, idx, maxStatsDirs = 1)
+    assert(fs.listStatus(new Path(idx, "_deleted"))
+      .count(_.isDirectory) == 1, "tombstone dirs must fold")
+    assert(rows(Bm25Index.topK(spark, idx, queries, k = 10)) ==
+      rows(Retrieval.bm25TopK(
+        docs.filter($"doc_id" === 2L), "doc_id", "text", queries, k = 10)))
+  }
+
   test("Bm25Index build/stream refuse the marker collisions that would drop batches") {
     import graft.streaming.Bm25Index
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
