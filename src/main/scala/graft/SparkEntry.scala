@@ -2390,6 +2390,35 @@ object SparkEntry {
       }.toDF("token", "exact_cnt", "in_sketch", "underest_within_bound")
     }),
 
+    "heavy_tokens_by_bytes" -> ((s, dir) => {
+      // WEIGHTED Misra-Gries: which token strings carry the most BYTES of
+      // the corpus — the tokenizer/compression-budget question frequency
+      // alone misses (a rare long token can outweigh a frequent short
+      // one). Same bounded state and cut; the guarantees hold verbatim
+      // with W = TOTAL BYTES in place of the stream length. Exact masses
+      // DuckDB-replayed; the guaranteed-heavy set is <= cap by pigeonhole
+      import s.implicits._
+      val cap = 64
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .select(col("token"), length(col("token")).cast("long").as("w"))
+      val mgw = udaf(new graft.operators.Sketches.MisraGriesWeightedAgg(cap),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(String, Long)]())
+      val sk: Map[String, Long] =
+        toks.agg(mgw(col("token"), col("w"))).head().getMap[String, Long](0).toMap
+      val masses = Checkpointing.materialize(
+        toks.groupBy(col("token")).agg(sum(col("w")).as("mass")))
+      val wTot = masses.agg(sum(col("mass"))).head().getLong(0)
+      val thresh = wTot.toDouble / (cap + 1)
+      masses.filter(col("mass") > lit(thresh)).collect().toSeq.map { r =>
+        val t = r.getString(0); val m = r.getLong(1)
+        val est = sk.getOrElse(t, 0L)
+        (t, m,
+          if (est > 0L) 1L else 0L,
+          if (est <= m && (m - est).toDouble <= thresh) 1L else 0L)
+      }.toDF("token", "mass", "in_sketch", "underest_within_bound")
+    }),
+
     "heavy_hitters_by_lang" -> ((s, dir) => {
       // the GROUPED form of heavy_hitters, fully in-plan: one Misra-Gries
       // summary per language (a udaf partial per partition per group, so
@@ -4170,6 +4199,19 @@ object SparkEntry {
          |  CAST(1 AS BIGINT) AS in_sketch,
          |  CAST(1 AS BIGINT) AS underest_within_bound
          |FROM c WHERE cnt > (SELECT n FROM n) / 65.0""".stripMargin,
+
+    // exact byte masses replayed; the weighted MG guarantee flags are the
+    // stated invariant (W = total bytes; tokens are [a-z0-9]+ so Spark
+    // length == DuckDB len, both in characters == bytes here)
+    "heavy_tokens_by_bytes" ->
+      s"""WITH t AS (SELECT unnest($sqlToks) AS tok FROM documents),
+         |m AS (SELECT tok, CAST(sum(len(tok)) AS BIGINT) AS mass
+         |      FROM t GROUP BY tok),
+         |w AS (SELECT CAST(sum(mass) AS DOUBLE) AS wtot FROM m)
+         |SELECT tok AS token, mass,
+         |  CAST(1 AS BIGINT) AS in_sketch,
+         |  CAST(1 AS BIGINT) AS underest_within_bound
+         |FROM m, w WHERE mass > wtot / 65.0""".stripMargin,
 
     "heavy_hitters_by_lang" ->
       s"""WITH t AS (SELECT lang, unnest($sqlToks) AS tok FROM documents),

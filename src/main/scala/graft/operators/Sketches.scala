@@ -170,31 +170,36 @@ object Sketches {
     * Queries must state these (deterministic) properties, not the summary
     * content.
     */
+  /** In-place form of [[mgCutMerge]]: add `from` into `acc`, and if over
+    * capacity subtract the (capacity+1)-th largest counter from all and
+    * drop the non-positive — the same Agarwal et al. merge, so every
+    * guarantee argument carries over unchanged. Shared by the unweighted
+    * and weighted aggregators.
+    */
+  private def mgCutMergeInto(acc: scala.collection.mutable.HashMap[String, Long],
+      from: scala.collection.Map[String, Long], capacity: Int): Unit = {
+    from.foreach { case (k, v) =>
+      val c = acc.getOrElse(k, 0L)
+      acc.update(k, c + v)
+    }
+    if (acc.size > capacity) {
+      val arr = new Array[Long](acc.size)
+      var i = 0
+      acc.valuesIterator.foreach { v => arr(i) = v; i += 1 }
+      java.util.Arrays.sort(arr)
+      val cut = arr(arr.length - capacity - 1) // (capacity+1)-th largest
+      acc.filterInPlace((_, v) => v > cut)
+      acc.mapValuesInPlace((_, v) => v - cut)
+    }
+  }
+
   class MisraGriesAgg(capacity: Int)
       extends Aggregator[String, MGBuffer, Map[String, Long]] {
     require(capacity >= 1, "capacity must be positive")
 
-    /** In-place form of [[mgCutMerge]]: add `from` into `acc`, and if over
-      * capacity subtract the (capacity+1)-th largest counter from all and
-      * drop the non-positive — the same Agarwal et al. merge, so every
-      * guarantee argument carries over unchanged.
-      */
     private def cutMergeInto(acc: scala.collection.mutable.HashMap[String, Long],
-        from: scala.collection.Map[String, Long]): Unit = {
-      from.foreach { case (k, v) =>
-        val c = acc.getOrElse(k, 0L)
-        acc.update(k, c + v)
-      }
-      if (acc.size > capacity) {
-        val arr = new Array[Long](acc.size)
-        var i = 0
-        acc.valuesIterator.foreach { v => arr(i) = v; i += 1 }
-        java.util.Arrays.sort(arr)
-        val cut = arr(arr.length - capacity - 1) // (capacity+1)-th largest
-        acc.filterInPlace((_, v) => v > cut)
-        acc.mapValuesInPlace((_, v) => v - cut)
-      }
-    }
+        from: scala.collection.Map[String, Long]): Unit =
+      mgCutMergeInto(acc, from, capacity)
 
     override def zero: MGBuffer = new MGBuffer(
       scala.collection.mutable.HashMap.empty, scala.collection.mutable.HashMap.empty)
@@ -224,6 +229,59 @@ object Sketches {
     }
     // opaque binary buffer: it crosses the wire only at the shuffle,
     // carrying <= 2*capacity counters
+    override def bufferEncoder: Encoder[MGBuffer] = Encoders.kryo[MGBuffer]
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** WEIGHTED Misra-Gries: each arrival carries a non-negative long
+    * weight, and the summary answers "which items carry the most MASS" —
+    * bytes per token, tokens per domain, cost per key — where the
+    * unweighted form only answers "which occur most often". The merge is
+    * the identical Agarwal cut (it is weight-agnostic: a weight-w arrival
+    * is indistinguishable from w unit arrivals), so the guarantees hold
+    * verbatim with W = TOTAL WEIGHT in place of the stream length:
+    *   - estimate(k) <= true_mass(k);
+    *   - true_mass(k) - estimate(k) <= W / (capacity + 1);
+    *   - every item with true_mass(k) > W / (capacity + 1) SURVIVES.
+    * With all weights 1 the buffer evolution is bit-identical to
+    * [[MisraGriesAgg]] (spec-pinned). Arrivals with weight <= 0
+    * contribute nothing and are ignored. Amortization is unchanged — the
+    * pending batch is bounded in KEYS, so reduce stays O(1) regardless of
+    * the weights' magnitudes.
+    */
+  class MisraGriesWeightedAgg(capacity: Int)
+      extends Aggregator[(String, Long), MGBuffer, Map[String, Long]] {
+    require(capacity >= 1, "capacity must be positive")
+
+    override def zero: MGBuffer = new MGBuffer(
+      scala.collection.mutable.HashMap.empty, scala.collection.mutable.HashMap.empty)
+    override def reduce(buf: MGBuffer, arrival: (String, Long)): MGBuffer = {
+      val (key, w) = arrival
+      if (w <= 0L) return buf
+      val c = buf.main.getOrElse(key, 0L)
+      if (c > 0L) buf.main.update(key, c + w)
+      else if (buf.pending.isEmpty && buf.main.size < capacity)
+        buf.main.update(key, w)
+      else {
+        buf.pending.update(key, buf.pending.getOrElse(key, 0L) + w)
+        if (buf.pending.size >= capacity) {
+          mgCutMergeInto(buf.main, buf.pending, capacity)
+          buf.pending.clear()
+        }
+      }
+      buf
+    }
+    override def merge(a: MGBuffer, b: MGBuffer): MGBuffer = {
+      mgCutMergeInto(a.main, a.pending, capacity); a.pending.clear()
+      mgCutMergeInto(b.main, b.pending, capacity)
+      mgCutMergeInto(a.main, b.main, capacity)
+      a
+    }
+    override def finish(buf: MGBuffer): Map[String, Long] = {
+      mgCutMergeInto(buf.main, buf.pending, capacity); buf.pending.clear()
+      buf.main.toMap
+    }
     override def bufferEncoder: Encoder[MGBuffer] = Encoders.kryo[MGBuffer]
     override def outputEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()

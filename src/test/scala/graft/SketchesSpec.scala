@@ -107,6 +107,41 @@ class SketchesSpec extends SparkTestBase {
       Map("a" -> 5L, "b" -> 2L))
   }
 
+  test("weighted MisraGries: mass guarantees for any partitioning; unit weights = unweighted") {
+    import graft.operators.Sketches
+    val cap = 8
+    // skewed MASS, not frequency: item i arrives 60/i times with weight
+    // i*3 — the mass ranking differs from the count ranking
+    val items = (1 to 40).flatMap(i => Seq.fill(60 / i)((s"t$i", i * 3L)))
+    val wTot = items.map(_._2).sum
+    val bound = wTot.toDouble / (cap + 1)
+    val exact = items.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    for (parts <- Seq(1, 4, 17)) {
+      val sk = items.toDF("k", "w").repartition(parts).as[(String, Long)]
+        .select(new Sketches.MisraGriesWeightedAgg(cap).toColumn).head()
+      assert(sk.size <= cap, s"state ${sk.size} > $cap at parts=$parts")
+      sk.foreach { case (k, est) =>
+        assert(est <= exact(k), s"mass overcount of $k at parts=$parts")
+      }
+      exact.foreach { case (k, m) =>
+        val est = sk.getOrElse(k, 0L)
+        assert((m - est).toDouble <= bound, s"$k under by ${m - est} > $bound")
+        if (m > bound) assert(sk.contains(k), s"guaranteed-heavy $k missing")
+      }
+    }
+    // unit weights: buffer evolution is bit-identical to the unweighted form
+    val agg = new Sketches.MisraGriesAgg(3)
+    val aggW = new Sketches.MisraGriesWeightedAgg(3)
+    val stream = Seq("a", "b", "a", "c", "d", "b", "e", "a", "f", "c")
+    val plain = agg.finish(stream.foldLeft(agg.zero)(agg.reduce))
+    val unit = aggW.finish(stream.map(_ -> 1L).foldLeft(aggW.zero)(aggW.reduce))
+    assert(plain == unit)
+    // non-positive weights contribute nothing
+    val z = aggW.finish(Seq(("a", 5L), ("b", 0L), ("c", -7L))
+      .foldLeft(aggW.zero)(aggW.reduce))
+    assert(z == Map("a" -> 5L))
+  }
+
   test("MisraGries guarantees hold at capacity 1024 with the amortized reduce") {
     import graft.operators.Sketches
     // the amortized pending-batch reduce must keep the three guarantees at
