@@ -2608,6 +2608,21 @@ object SparkEntry {
         salt = 1009L, j = 1)
     }),
 
+    "dp_revenue" -> ((s, dir) => {
+      // the ε-DP SUM release beside dp_census's count: per-line-number
+      // revenue with each row clipped to [0, 60k] (bounding one order
+      // line's influence) and quantized to 100-currency units, so
+      // ε = j·ln2·600. The same seeded geometric noise and the same
+      // IEEE-exact algebra (clip/divide/floor are correctly rounded) make
+      // the release DuckDB-replayable bitwise
+      import graft.operators.Privacy
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_linenumber").cast("long").as("line_no"),
+          col("l_extendedprice"))
+      Privacy.dpSum(li, Seq("line_no"), "l_extendedprice", clipHi = 60000.0,
+        classIdOf = col("line_no"), salt = 2027L, j = 1, unit = 100.0)
+    }),
+
     "k_anonymity" -> ((s, dir) => {
       // release-side anonymity census: class size (k-anonymity) and
       // banded-sensitive diversity (l-diversity) per quasi-identifier
@@ -4292,6 +4307,23 @@ object SparkEntry {
          |SELECT c_nationkey, bal_band,
          |  CAST(n + (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END) * ($mag) AS BIGINT)
          |    AS noisy_count
+         |FROM wt""".stripMargin
+    },
+
+    // same seeded replay as dp_census: clip/divide/floor are IEEE-exact in
+    // both engines, the boundaries are the identical doubles
+    "dp_revenue" -> {
+      val mag = graft.operators.Privacy.magnitudeBoundaries(1, 48)
+        .map(c => s"(CASE WHEN w >= $c THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH g AS (SELECT CAST(l_linenumber AS BIGINT) AS line_no,
+         |  CAST(sum(CAST(floor(least(greatest(l_extendedprice, 0.0), 60000.0)
+         |    / 100.0) AS BIGINT)) AS BIGINT) AS n
+         |  FROM lineitem GROUP BY 1),
+         |u AS (SELECT *, ${sqlUnitHash("line_no", 2027L)} AS u FROM g),
+         |wt AS (SELECT *, abs(u*2.0 - 1.0) AS w FROM u)
+         |SELECT line_no,
+         |  CAST(n + (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END) * ($mag) AS BIGINT)
+         |    AS noisy_sum
          |FROM wt""".stripMargin
     },
 

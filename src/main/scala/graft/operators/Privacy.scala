@@ -43,6 +43,11 @@ object Privacy {
   /** The seeded per-class uniform in [0, 1): [[Sampling.unitHash]] of the
     * class id under the release's secret salt.
     */
+  /** NOTE: every RELEASE needs its own salt — two releases sharing
+    * (classId, salt) share their noise draws (e.g. a [[dpCensus]] and a
+    * [[dpSum]] over the same classes), a correlation the parallel-
+    * composition argument does not cover.
+    */
   def seededUniform(classId: Column, salt: Long): Column =
     Sampling.unitHash(classId, salt)
 
@@ -120,5 +125,49 @@ object Privacy {
       (col("__true_count") +
         geometricNoise(seededUniform(classIdOf.cast("long"), salt), j))
         .as("noisy_count"): _*)
+  }
+
+  /** The ε-DP SUM release — the other workhorse beside the census: each
+    * row's value is CLIPPED to [0, clipHi] (bounding one row's influence
+    * — without the clip a single outlier row determines the sum and no
+    * finite noise hides it), quantized to `unit`-sized steps, and the
+    * per-class quantized sums carry the same seeded geometric noise.
+    *
+    * Privacy accounting: a row changes its class's quantized sum by at
+    * most Δ = floor(clipHi / unit), and the geometric mechanism at
+    * α = 2^-j is (j·Δ·ln2)-DP for sensitivity-Δ integer queries — so
+    * ε = j·ln2·floor(clipHi/unit). The `unit` knob trades resolution for
+    * ε: unit = clipHi gives the sensitivity-1 count-like release, unit = 1
+    * the full-resolution one at clipHi× the budget. Disjoint classes
+    * compose in parallel; `domain` has exactly [[dpCensus]]'s semantics
+    * and caveat. The released column is `noisy_sum`, in UNITS (multiply by
+    * `unit` to read magnitudes — done consumer-side so the release stays
+    * an integer the noise algebra is exact over).
+    *
+    * Determinism: clip (min/max), the divide and floor are all IEEE
+    * correctly-rounded, so any SQL mirror computing the same expressions
+    * replays the release bitwise, exactly like the census.
+    */
+  def dpSum(df: DataFrame, quasiCols: Seq[String], valueCol: String,
+      clipHi: Double, classIdOf: Column, salt: Long, j: Int = 1,
+      unit: Double = 1.0, domain: Option[DataFrame] = None): DataFrame = {
+    require(quasiCols.nonEmpty, "dpSum needs at least one quasi-identifier")
+    require(clipHi > 0 && unit > 0 && unit <= clipHi,
+      s"need 0 < unit <= clipHi, got unit=$unit clipHi=$clipHi")
+    val q = floor(least(greatest(col(valueCol), lit(0.0)), lit(clipHi)) / lit(unit))
+      .cast("long")
+    val sums = df.groupBy(quasiCols.map(col): _*)
+      .agg(coalesce(sum(q), lit(0L)).as("__true_sum"))
+    val based = domain match {
+      case None => sums
+      case Some(d) =>
+        d.select(quasiCols.map(col): _*).distinct()
+          .join(sums, quasiCols, "left")
+          .na.fill(0L, Seq("__true_sum"))
+    }
+    based.select(quasiCols.map(col) :+
+      (col("__true_sum") +
+        geometricNoise(seededUniform(classIdOf.cast("long"), salt), j))
+        .as("noisy_sum"): _*)
   }
 }
