@@ -2611,8 +2611,10 @@ object SparkEntry {
     "dp_revenue" -> ((s, dir) => {
       // the ε-DP SUM release beside dp_census's count: per-line-number
       // revenue with each row clipped to [0, 60k] (bounding one order
-      // line's influence) and quantized to 100-currency units, so
-      // ε = j·ln2·600. The same seeded geometric noise and the same
+      // line's influence), quantized to 100-currency units, and the class
+      // sum BUCKETED by the per-row max (600 units ≈ clipHi) so one row
+      // moves the release by at most one noise step — ε = ln 2, like the
+      // census, not ln2·600. The same seeded geometric noise and the same
       // IEEE-exact algebra (clip/divide/floor are correctly rounded) make
       // the release DuckDB-replayable bitwise
       import graft.operators.Privacy
@@ -4316,8 +4318,8 @@ object SparkEntry {
       val mag = graft.operators.Privacy.magnitudeBoundaries(1, 48)
         .map(c => s"(CASE WHEN w >= $c THEN 1 ELSE 0 END)").mkString(" + ")
       s"""WITH g AS (SELECT CAST(l_linenumber AS BIGINT) AS line_no,
-         |  CAST(sum(CAST(floor(least(greatest(l_extendedprice, 0.0), 60000.0)
-         |    / 100.0) AS BIGINT)) AS BIGINT) AS n
+         |  CAST(floor(CAST(sum(CAST(floor(least(greatest(l_extendedprice, 0.0),
+         |    60000.0) / 100.0) AS BIGINT)) AS DOUBLE) / 600.0) AS BIGINT) AS n
          |  FROM lineitem GROUP BY 1),
          |u AS (SELECT *, ${sqlUnitHash("line_no", 2027L)} AS u FROM g),
          |wt AS (SELECT *, abs(u*2.0 - 1.0) AS w FROM u)

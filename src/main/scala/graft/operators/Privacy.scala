@@ -42,11 +42,11 @@ object Privacy {
 
   /** The seeded per-class uniform in [0, 1): [[Sampling.unitHash]] of the
     * class id under the release's secret salt.
-    */
-  /** NOTE: every RELEASE needs its own salt — two releases sharing
-    * (classId, salt) share their noise draws (e.g. a [[dpCensus]] and a
-    * [[dpSum]] over the same classes), a correlation the parallel-
-    * composition argument does not cover.
+    *
+    * @note every RELEASE needs its own salt — two releases sharing
+    *       (classId, salt) share their noise draws (e.g. a [[dpCensus]]
+    *       and a [[dpSum]] over the same classes), a correlation the
+    *       parallel-composition argument does not cover.
     */
   def seededUniform(classId: Column, salt: Long): Column =
     Sampling.unitHash(classId, salt)
@@ -61,7 +61,7 @@ object Privacy {
     require(maxMagnitude >= 1, s"maxMagnitude must be >= 1, got $maxMagnitude")
     val alpha = math.pow(0.5, j) // exact
     val base = 2.0 * alpha / (1.0 + alpha) // one correctly-rounded divide
-    (0 until maxMagnitude).map(m => 1.0 - base * math.pow(0.5, j.toLong * m))
+    (0 until maxMagnitude).map(m => 1.0 - base * math.pow(0.5, (j.toLong * m).toDouble))
   }
 
   /** Two-sided geometric noise from a uniform: sign from the top bit,
@@ -127,24 +127,30 @@ object Privacy {
         .as("noisy_count"): _*)
   }
 
-  /** The ε-DP SUM release — the other workhorse beside the census: each
-    * row's value is CLIPPED to [0, clipHi] (bounding one row's influence
-    * — without the clip a single outlier row determines the sum and no
-    * finite noise hides it), quantized to `unit`-sized steps, and the
-    * per-class quantized sums carry the same seeded geometric noise.
+  /** The ε-DP SUM release — the other workhorse beside the census. Three
+    * steps keep one row's influence at EXACTLY ONE noise step, so ε stays
+    * j·ln2 like the census instead of silently scaling with the value
+    * range (noise calibrated for sensitivity 1 hides nothing about a
+    * sensitivity-600 sum):
     *
-    * Privacy accounting: a row changes its class's quantized sum by at
-    * most Δ = floor(clipHi / unit), and the geometric mechanism at
-    * α = 2^-j is (j·Δ·ln2)-DP for sensitivity-Δ integer queries — so
-    * ε = j·ln2·floor(clipHi/unit). The `unit` knob trades resolution for
-    * ε: unit = clipHi gives the sensitivity-1 count-like release, unit = 1
-    * the full-resolution one at clipHi× the budget. Disjoint classes
-    * compose in parallel; `domain` has exactly [[dpCensus]]'s semantics
-    * and caveat. The released column is `noisy_sum`, in UNITS (multiply by
-    * `unit` to read magnitudes — done consumer-side so the release stays
-    * an integer the noise algebra is exact over).
+    *   1. CLIP each value to [0, clipHi] — without it a single outlier
+    *      row determines the sum and no finite noise hides it;
+    *   2. quantize per row to `unit`-sized steps (integers the noise
+    *      algebra is exact over): q = floor(clip(v)/unit), so one row
+    *      moves the class sum by at most M = floor(clipHi/unit);
+    *   3. BUCKET the class sum by that same M — floor(Σq / M) moves by
+    *      at most 1 when any one row changes — and add the sensitivity-1
+    *      geometric noise to the bucketed sum.
     *
-    * Determinism: clip (min/max), the divide and floor are all IEEE
+    * The released `noisy_sum` is therefore in buckets of M·unit ≈ clipHi
+    * value-units (multiply back consumer-side): clipHi-sized granularity
+    * is the inherent price of ε = j·ln2 — the same order as Laplace
+    * (clipHi/ε) noise at ε ≈ 0.7 — and is RELATIVELY precise exactly when
+    * sums aggregate many rows. `unit` only tunes the per-row rounding
+    * inside a bucket, never ε. Disjoint classes compose in parallel;
+    * `domain` has exactly [[dpCensus]]'s semantics and caveat.
+    *
+    * Determinism: clip (min/max), the divides and floors are all IEEE
     * correctly-rounded, so any SQL mirror computing the same expressions
     * replays the release bitwise, exactly like the census.
     */
@@ -154,6 +160,7 @@ object Privacy {
     require(quasiCols.nonEmpty, "dpSum needs at least one quasi-identifier")
     require(clipHi > 0 && unit > 0 && unit <= clipHi,
       s"need 0 < unit <= clipHi, got unit=$unit clipHi=$clipHi")
+    val m = math.floor(clipHi / unit).toLong // per-row max, in units
     val q = floor(least(greatest(col(valueCol), lit(0.0)), lit(clipHi)) / lit(unit))
       .cast("long")
     val sums = df.groupBy(quasiCols.map(col): _*)
@@ -166,7 +173,7 @@ object Privacy {
           .na.fill(0L, Seq("__true_sum"))
     }
     based.select(quasiCols.map(col) :+
-      (col("__true_sum") +
+      (floor(col("__true_sum") / lit(m)).cast("long") +
         geometricNoise(seededUniform(classIdOf.cast("long"), salt), j))
         .as("noisy_sum"): _*)
   }

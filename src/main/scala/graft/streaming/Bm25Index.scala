@@ -30,6 +30,9 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   *     identity, so the fold's crash window only leaves bitwise
   *     duplicates the same distinct absorbs.
   *   - `_batches/b<batchId>` — per-batch commit marker (skip record).
+  *   - `_doclens/b<batchId>/` — `(doc_id, dl, __b)` per ingested doc:
+  *     docs-count-sized, so [[purge]] recovers its targets' lengths
+  *     without touching the corpus-scale postings; folds like `_stats`.
   *   - `_deleted/d<stamp>-<nonce>/` — permanent `(doc_id, dl)` purge
   *     tombstones ([[purge]]): the query-time mask AND the corpus-constant
   *     correction in one atomic dir; [[vacuum]] physically removes the
@@ -60,6 +63,77 @@ object Bm25Index {
   private def batchesDir(dir: Path) = new Path(dir, "_batches")
   private def metaPath(dir: Path) = new Path(dir, "_meta")
   private def deletedDir(dir: Path) = new Path(dir, "_deleted")
+  private def doclensDir(dir: Path) = new Path(dir, "_doclens")
+
+  /** `_SUCCESS`-complete child dirs of a sidecar parent (a torn write or
+    * mid-flight fold is invisible, like every sidecar read here).
+    */
+  private def completeDirs(fs: FileSystem, parent: Path): Seq[Path] =
+    if (!fs.exists(parent)) Nil
+    else fs.listStatus(parent)
+      .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath).toSeq
+
+  /** Fold a sidecar's per-batch dirs into one `c<stamp>-<nonce>` dir when
+    * more than `maxDirs` accreted. Rows keep their identity (every
+    * sidecar here stamps rows so cross-dir duplicates are bitwise), so
+    * the crash window between the fold write and the source sweep only
+    * leaves duplicates the read-side distinct absorbs.
+    */
+  private def foldSidecar(spark: SparkSession, fs: FileSystem, parent: Path,
+      schema: Option[String], maxDirs: Int)(validate: DataFrame => Unit): Unit = {
+    val dirs = completeDirs(fs, parent)
+    if (dirs.length <= maxDirs) return
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    val raw = reader.parquet(dirs.map(_.toString).toIndexedSeq: _*)
+    validate(raw)
+    val name = s"c${System.currentTimeMillis()}-${
+      java.util.UUID.randomUUID().toString.take(8)}"
+    raw.distinct().coalesce(1).write.mode("error")
+      .parquet(new Path(parent, name).toString)
+    dirs.foreach(p => fs.delete(p, true))
+  }
+
+  /** The data files of every postings shard dir. */
+  private def shardDataFiles(fs: FileSystem,
+      pDir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(pDir)) Nil
+    else fs.listStatus(pDir).toSeq.flatMap { sh =>
+      if (sh.isDirectory && sh.getPath.getName.startsWith("__tshard="))
+        fs.listStatus(sh.getPath).filter { st =>
+          val nm = st.getPath.getName
+          st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+        }.toSeq
+      else Nil
+    }
+
+  /** Append-then-sweep rewrite of a postings file set: the transformed
+    * rows land as new ~tierBytes files (per-shard output budget, so cold
+    * shards converge to one file under skew) BEFORE the sources delete —
+    * a crash in between leaves bitwise-duplicate rows the read-side
+    * distinct absorbs. Shared by [[compact]]'s small-tier merge and
+    * [[vacuum]]'s anti-join rewrite so the crash discipline lives once.
+    */
+  private def rewritePostingsFiles(spark: SparkSession, fs: FileSystem,
+      pDir: Path, files: Seq[org.apache.hadoop.fs.FileStatus], tierBytes: Long)(
+      transform: DataFrame => DataFrame): Unit = {
+    if (files.isEmpty) return
+    val splitsLookup = map(files
+      .groupBy(_.getPath.getParent.getName.split("=", 2)(1).toInt)
+      .toSeq.flatMap { case (shard, fl) =>
+        val bytes = fl.map(_.getLen).sum
+        Seq(lit(shard), lit(math.max(1L, (bytes + tierBytes - 1) / tierBytes)))
+      }: _*)
+    transform(spark.read.option("basePath", pDir.toString)
+        .schema(PostingsSchema)
+        .parquet(files.map(_.getPath.toString): _*))
+      .distinct() // __b-duplicate redelivery residue retires with the tier
+      .repartition(col("__tshard"),
+        pmod(xxhash64(col("doc_id")), element_at(splitsLookup, col("__tshard"))))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("append").partitionBy("__tshard").parquet(pDir.toString)
+    files.foreach(st => fs.delete(st.getPath, false))
+  }
 
   private val PostingsSchema =
     "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, __b BIGINT, __tshard INT"
@@ -75,17 +149,12 @@ object Bm25Index {
     * a length — no content — and stays ids-sized.
     */
   private def readDeleted(spark: SparkSession, fs: FileSystem, dir: Path): DataFrame = {
-    val d = deletedDir(dir)
-    val dirs =
-      if (!fs.exists(d)) Array.empty[String]
-      else fs.listStatus(d)
-        .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, "_SUCCESS")))
-        .map(_.getPath.toString)
+    val dirs = completeDirs(fs, deletedDir(dir)).map(_.toString)
     if (dirs.isEmpty)
       spark.range(0).select(col("id").as("doc_id"), col("id").as("dl"))
     else
       spark.read.schema("doc_id BIGINT, dl BIGINT")
-        .parquet(dirs.toIndexedSeq: _*).distinct()
+        .parquet(dirs: _*).distinct()
   }
 
   private def fileSystem(spark: SparkSession, indexDir: String): (FileSystem, Path) = {
@@ -176,6 +245,12 @@ object Bm25Index {
       .withColumn("__b", lit(batchId))
     stats.coalesce(1).write.mode("overwrite")
       .parquet(new Path(statsDir(dir), s"b$batchId").toString)
+    // the doc-length sidecar: docs-count-sized (16 bytes/doc), so a purge
+    // recovers its targets' dl from here instead of scanning the
+    // corpus-scale postings table
+    toks.select(col("doc_id"), size(col("toks")).as("dl"), lit(batchId).as("__b"))
+      .coalesce(subSplits).write.mode("overwrite")
+      .parquet(new Path(doclensDir(dir), s"b$batchId").toString)
     fs.mkdirs(batchesDir(dir))
     val m = fs.create(marker, true)
     m.close()
@@ -272,81 +347,35 @@ object Bm25Index {
   def compact(spark: SparkSession, indexDir: String, maxStatsDirs: Int = 8,
       maxFilesPerShard: Int = 16, tierBytes: Long = 64L << 20): Unit = {
     val (fs, dir) = fileSystem(spark, indexDir)
-    val sDir = statsDir(dir)
-    if (fs.exists(sDir)) {
-      val dirs = fs.listStatus(sDir)
-        .filter(st => st.isDirectory &&
-          fs.exists(new Path(st.getPath, "_SUCCESS")))
-        .map(_.getPath)
-      if (dirs.length > maxStatsDirs) {
-        val raw = spark.read.parquet(dirs.map(_.toString).toIndexedSeq: _*)
-        if (!raw.columns.contains("__b"))
-          throw new graft.GraftDataError(
-            s"stats sidecar at $sDir predates the __b batch stamp — rebuild the " +
-              "index before compacting (the fold would collapse equal-sized batches)")
-        val folded = raw.distinct()
-        val name = s"c${System.currentTimeMillis()}-${
-          java.util.UUID.randomUUID().toString.take(8)}"
-        folded.coalesce(1).write.mode("error")
-          .parquet(new Path(sDir, name).toString)
-        dirs.foreach(p => fs.delete(p, true))
-      }
+    foldSidecar(spark, fs, statsDir(dir), None, maxStatsDirs) { raw =>
+      if (!raw.columns.contains("__b"))
+        throw new graft.GraftDataError(
+          s"stats sidecar at ${statsDir(dir)} predates the __b batch stamp — " +
+            "rebuild the index before compacting (the fold would collapse " +
+            "equal-sized batches)")
     }
-    // the permanent purge-tombstone sidecar folds the same way: rows are
-    // keyed (doc_id, dl), so crash residue is bitwise-duplicate and the
-    // read-side distinct absorbs it
-    val dDir = deletedDir(dir)
-    if (fs.exists(dDir)) {
-      val dirs = fs.listStatus(dDir)
-        .filter(st => st.isDirectory &&
-          fs.exists(new Path(st.getPath, "_SUCCESS")))
-        .map(_.getPath)
-      if (dirs.length > maxStatsDirs) {
-        val folded = spark.read.schema("doc_id BIGINT, dl BIGINT")
-          .parquet(dirs.map(_.toString).toIndexedSeq: _*).distinct()
-        val name = s"c${System.currentTimeMillis()}-${
-          java.util.UUID.randomUUID().toString.take(8)}"
-        folded.coalesce(1).write.mode("error")
-          .parquet(new Path(dDir, name).toString)
-        dirs.foreach(p => fs.delete(p, true))
-      }
-    }
+    // the permanent purge-tombstone and doc-length sidecars fold the same
+    // way: rows keep their keys, so crash residue is bitwise-duplicate
+    foldSidecar(spark, fs, deletedDir(dir),
+      Some("doc_id BIGINT, dl BIGINT"), maxStatsDirs)(_ => ())
+    foldSidecar(spark, fs, doclensDir(dir),
+      Some("doc_id BIGINT, dl BIGINT, __b BIGINT"), maxStatsDirs)(_ => ())
     val pDir = postingsDir(dir)
-    if (!fs.exists(pDir)) return
-    val small = fs.listStatus(pDir).toSeq.flatMap { sh =>
-      if (sh.isDirectory && sh.getPath.getName.startsWith("__tshard=")) {
-        val data = fs.listStatus(sh.getPath).filter { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }
-        val sm = data.filter(_.getLen < tierBytes)
-        if (data.length > maxFilesPerShard && sm.length > 1) sm.toSeq else Nil
-      } else Nil
+    val byShard = shardDataFiles(fs, pDir).groupBy(_.getPath.getParent.getName)
+    val small = byShard.values.toSeq.flatMap { data =>
+      val sm = data.filter(_.getLen < tierBytes)
+      if (data.length > maxFilesPerShard && sm.length > 1) sm else Nil
     }
-    if (small.isEmpty) return
-    val splitsLookup = map(small
-      .groupBy(_.getPath.getParent.getName.split("=", 2)(1).toInt)
-      .toSeq.flatMap { case (shard, files) =>
-        val bytes = files.map(_.getLen).sum
-        Seq(lit(shard), lit(math.max(1L, (bytes + tierBytes - 1) / tierBytes)))
-      }: _*)
-    spark.read.option("basePath", pDir.toString)
-      .schema(PostingsSchema)
-      .parquet(small.map(_.getPath.toString): _*)
-      .distinct() // __b-duplicate redelivery residue retires with the tier
-      .repartition(col("__tshard"),
-        pmod(xxhash64(col("doc_id")), element_at(splitsLookup, col("__tshard"))))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("append").partitionBy("__tshard").parquet(pDir.toString)
-    small.foreach(st => fs.delete(st.getPath, false))
+    rewritePostingsFiles(spark, fs, pDir, small, tierBytes)(identity)
   }
 
   /** Logical right-to-be-forgotten for the INDEX — the [[TombstoneLog]]
     * philosophy applied to retrieval: forgetting a doc from the corpus
     * alone leaves its postings probeable forever. `purge` writes ONE
-    * atomic KB-scale sidecar dir of `(doc_id, dl)` tombstones — costing a
-    * single doc-pruned postings scan (broadcast semi-join recovers each
-    * purged doc's `dl`), never the corpus. [[topK]] is compliant
+    * atomic KB-scale sidecar dir of `(doc_id, dl)` tombstones — costing
+    * one scan of the docs-count-sized `_doclens` sidecar (two columns,
+    * broadcast semi-join), never the corpus-scale postings table.
+    * [[topK]] is compliant
     * IMMEDIATELY: it anti-joins the ids-sized tombstone set and corrects
     * the corpus constants from the same rows, making every score BITWISE
     * equal to an index built without those docs (df re-counts on the
@@ -366,14 +395,18 @@ object Bm25Index {
     val (fs, dir) = fileSystem(spark, indexDir)
     readMeta(fs, dir).getOrElse(
       throw new graft.GraftDataError(s"no BM25 index at $indexDir"))
-    if (!fs.exists(postingsDir(dir))) return 0L
+    val lensDirs = completeDirs(fs, doclensDir(dir))
+    if (lensDirs.isEmpty) return 0L
     val del = ids.select(col(idCol).cast("long").as("doc_id")).na.drop().distinct()
       .join(broadcast(readDeleted(spark, fs, dir).select(col("doc_id"))),
         Seq("doc_id"), "left_anti")
-    // one postings pass: each present purged doc's (id, dl), once
+    // one doc-length-sidecar pass — docs-count-sized, two columns, never
+    // the corpus-scale postings: each present purged doc's (id, dl), once
     // (distinct absorbs redelivery residue; one dl per doc by the
     // batches-partition-the-corpus contract)
-    val tombstones = readPostings(spark, dir)
+    val tombstones = spark.read
+      .schema("doc_id BIGINT, dl BIGINT, __b BIGINT")
+      .parquet(lensDirs.map(_.toString): _*)
       .join(broadcast(del), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("dl")).distinct()
       .transform(graft.Checkpointing.materialize)
@@ -414,32 +447,8 @@ object Bm25Index {
     val pending = n - readVacuumMark(fs, dir)
     if (pending < minDeleted) return 0L
     val pDir = postingsDir(dir)
-    if (!fs.exists(pDir)) { writeVacuumMark(fs, dir, n); return pending }
-    val oldFiles = fs.listStatus(pDir).toSeq.flatMap { sh =>
-      if (sh.isDirectory && sh.getPath.getName.startsWith("__tshard="))
-        fs.listStatus(sh.getPath).filter { st =>
-          val nm = st.getPath.getName
-          st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
-        }.toSeq
-      else Nil
-    }
-    if (oldFiles.isEmpty) { writeVacuumMark(fs, dir, n); return pending }
-    val splitsLookup = map(oldFiles
-      .groupBy(_.getPath.getParent.getName.split("=", 2)(1).toInt)
-      .toSeq.flatMap { case (shard, files) =>
-        val bytes = files.map(_.getLen).sum
-        Seq(lit(shard), lit(math.max(1L, (bytes + tierBytes - 1) / tierBytes)))
-      }: _*)
-    spark.read.option("basePath", pDir.toString)
-      .schema(PostingsSchema)
-      .parquet(oldFiles.map(_.getPath.toString): _*)
-      .join(broadcast(deleted), Seq("doc_id"), "left_anti")
-      .distinct()
-      .repartition(col("__tshard"),
-        pmod(xxhash64(col("doc_id")), element_at(splitsLookup, col("__tshard"))))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("append").partitionBy("__tshard").parquet(pDir.toString)
-    oldFiles.foreach(st => fs.delete(st.getPath, false))
+    rewritePostingsFiles(spark, fs, pDir, shardDataFiles(fs, pDir), tierBytes)(
+      _.join(broadcast(deleted), Seq("doc_id"), "left_anti"))
     writeVacuumMark(fs, dir, n)
     pending
   }
@@ -480,13 +489,7 @@ object Bm25Index {
     val mod = readMeta(fs, dir).getOrElse(
       throw new graft.GraftDataError(s"no BM25 index at $indexDir"))
     val sDir = statsDir(dir)
-    // _SUCCESS-complete dirs only (a torn stats write or mid-flight
-    // compaction fold is invisible, exactly like every sidecar read here)
-    val statDirs =
-      if (!fs.exists(sDir)) Array.empty[String]
-      else fs.listStatus(sDir)
-        .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, "_SUCCESS")))
-        .map(_.getPath.toString)
+    val statDirs = completeDirs(fs, sDir).map(_.toString)
     def emptyResult: DataFrame = queries.select(col("query_id")).limit(0)
       .withColumn("doc_id", lit(null).cast("long"))
       .withColumn("rank", lit(null).cast("long"))
@@ -505,15 +508,18 @@ object Bm25Index {
     // purge tombstones: mask the postings AND correct the corpus constants
     // from the same (doc_id, dl) rows — exact long sums, so the scores are
     // bitwise those of an index never holding the purged docs
-    val dDir = deletedDir(dir)
-    val hasTombstones = fs.exists(dDir) && fs.listStatus(dDir)
-      .exists(st => st.isDirectory && fs.exists(new Path(st.getPath, "_SUCCESS")))
     val tombstones =
-      if (hasTombstones) Some(readDeleted(spark, fs, dir)) else None
+      if (completeDirs(fs, deletedDir(dir)).nonEmpty)
+        Some(readDeleted(spark, fs, dir))
+      else None
     val delRow = tombstones.map(
       _.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head())
+    // <= 0, not == 0: a purge can tombstone docs from the documented
+    // postings-landed/stats-pending crash window, driving the corrected
+    // count below zero until the batch redelivers — degrade empty, never
+    // feed a negative nDocs/avgdl into the scoring formula
     val nDocs = statsRow.getLong(0) - delRow.fold(0L)(_.getLong(0))
-    if (nDocs == 0L) return emptyResult
+    if (nDocs <= 0L) return emptyResult
     val avgdl = (statsRow.getLong(1) - delRow.fold(0L)(_.getLong(1))).toDouble / nDocs
 
     val qterms = queries.select(

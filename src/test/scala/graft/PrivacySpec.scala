@@ -95,10 +95,12 @@ class PrivacySpec extends SparkTestBase {
     assert((20L until 25L).exists(c => r1(c) != 0L), "empty classes must be noised")
   }
 
-  test("dpSum: clip bounds a row's influence to floor(clipHi/unit), noise data-blind") {
+  test("dpSum: one row moves the bucketed release by at most one noise step") {
     // neighboring datasets: one extra row with a HUGE value — the clip
-    // must cap its influence at floor(clipHi/unit) = 50, and the noise
-    // (keyed by class alone) must not move
+    // caps its sum influence at M = floor(clipHi/unit) = 50 units, and
+    // the M-sized sum bucketing turns that into EXACTLY one step of the
+    // sensitivity-1 noise scale (that is the eps = j*ln2 accounting; the
+    // noise itself, keyed by class alone, must not move)
     val base = (0L until 200L).map(i => (i % 10, (i % 97).toDouble * 3.0))
     val d1 = base.toDF("cls", "v")
     val d2 = (base :+ ((4L, 1e12))).toDF("cls", "v")
@@ -108,18 +110,19 @@ class PrivacySpec extends SparkTestBase {
     val (r1, r2) = (release(d1), release(d2))
     assert(r1.keySet == r2.keySet)
     r1.foreach { case (c, n) =>
-      assert(r2(c) - n == (if (c == 4L) 50L else 0L),
-        s"class $c: influence must clip to floor(clipHi/unit)")
+      assert(r2(c) - n == (if (c == 4L) 1L else 0L),
+        s"class $c: a max row must move the bucketed release by exactly 1")
     }
     // negative values clip to zero; replayable
     val r3 = release(d1.withColumn("v", -col("v")))
     assert(r3.keySet == r1.keySet)
     assert(release(d1) == r1)
-    // the release carries real noise relative to the exact quantized sums
+    // the release carries real noise relative to the exact bucketed sums
     val truth = d1.select(col("cls"),
         floor(least(greatest(col("v"), lit(0.0)), lit(500.0)) / lit(10.0))
           .cast("long").as("q"))
-      .groupBy("cls").agg(sum("q")).as[(Long, Long)].collect().toMap
+      .groupBy("cls").agg(floor(sum("q") / lit(50L)).cast("long"))
+      .as[(Long, Long)].collect().toMap
     assert(r1.exists { case (c, n) => n != truth(c) }, "no class drew nonzero noise")
   }
 
