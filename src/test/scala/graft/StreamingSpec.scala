@@ -1334,6 +1334,19 @@ class StreamingSpec extends SparkTestBase {
     assert(rows(Bm25Index.topK(spark, idx, queries, k = 10)) ==
       rows(Retrieval.bm25TopK(
         docs.filter($"doc_id" === 2L), "doc_id", "text", queries, k = 10)))
+    // PURGE-COST PIN: purge reads only the docs-count-sized _doclens
+    // sidecar, never the corpus-scale postings. Poison the postings with a
+    // garbage parquet — any postings read would throw
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-bm25blind").toString + "/idx"
+    Bm25Index.ingestBatch(docs.filter($"doc_id" <= 2), idx2, "doc_id", "text",
+      batchId = 0L, nShards = 4)
+    val someShard = new java.io.File(s"$idx2/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__tshard=")).head
+    java.nio.file.Files.write(
+      new java.io.File(someShard, "zzz_poison.parquet").toPath,
+      "not parquet".getBytes)
+    assert(Bm25Index.purge(spark, idx2, Seq(1L).toDF("doc_id"), "doc_id") == 1L,
+      "purge must be postings-blind")
   }
 
   test("Bm25Index build/stream refuse the marker collisions that would drop batches") {
