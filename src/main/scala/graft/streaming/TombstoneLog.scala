@@ -131,13 +131,25 @@ object TombstoneLog {
     * than `maxAgeMs` (mtime-based). Returns None (log kept, nothing
     * touched) when neither fires or the log is empty; otherwise the purge
     * stats and the number of requests retired.
+    *
+    * `alsoPurge` is the DOWNSTREAM-STORES hook: derived stores holding
+    * the same ids (a [[Bm25Index]], an [[IvfIngest]] index) must forget
+    * them in the SAME flush, but the ids retire with the log — capturing
+    * them afterward is impossible, and capturing [[pending]] beforehand
+    * races new requests. The hook receives the exact materialized
+    * distinct-ids frame the corpus purge used, AFTER the corpus rewrite
+    * and BEFORE the retire — so a crash (or a throw) inside it leaves the
+    * log intact and the next flush idempotently redoes BOTH sides (the
+    * corpus re-purge is a no-op semi-join; [[Bm25Index.purge]] skips
+    * already-tombstoned ids by contract).
     */
   def flushPurge(spark: SparkSession, corpusDir: String, idCol: String,
       contentCols: Seq[String], minPending: Long = 1L,
       maxAgeMs: Long = Long.MaxValue,
-      tornGraceMs: Long = DefaultTornGraceMs): Option[(Streaming.CorpusPurgeStats, Int)] =
+      tornGraceMs: Long = DefaultTornGraceMs,
+      alsoPurge: DataFrame => Unit = _ => ()): Option[(Streaming.CorpusPurgeStats, Int)] =
     flushPurgeHooked(spark, corpusDir, idCol, contentCols, minPending, maxAgeMs,
-      tornGraceMs, () => ())
+      tornGraceMs, () => (), alsoPurge)
 
   /** [[flushPurge]] with a test seam: `afterPurge` runs between the corpus
     * rewrite and the log retire — exactly the window where a concurrent
@@ -146,7 +158,8 @@ object TombstoneLog {
   private[graft] def flushPurgeHooked(spark: SparkSession, corpusDir: String,
       idCol: String, contentCols: Seq[String], minPending: Long,
       maxAgeMs: Long, tornGraceMs: Long,
-      afterPurge: () => Unit): Option[(Streaming.CorpusPurgeStats, Int)] = {
+      afterPurge: () => Unit,
+      alsoPurge: DataFrame => Unit = _ => ()): Option[(Streaming.CorpusPurgeStats, Int)] = {
     val (fs, dir) = fileSystem(spark, corpusDir)
     val entries = completeEntries(fs, dir)
     if (entries.isEmpty) return None
@@ -159,6 +172,10 @@ object TombstoneLog {
     val due = n >= minPending || (now - oldest) >= maxAgeMs
     if (!due) return None
     val stats = Streaming.purgeCorpus(spark, corpusDir, ids, idCol, contentCols)
+    // downstream stores forget the same batch inside the crash-safe window
+    // (see flushPurge doc): a throw here keeps the log, the re-flush
+    // idempotently redoes both sides
+    alsoPurge(ids)
     afterPurge()
     // Retire AFTER the purge (a crash above leaves the log intact and the
     // re-flush idempotent) and retire ONLY the snapshot: anything that

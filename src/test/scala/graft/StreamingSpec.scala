@@ -2216,6 +2216,39 @@ class StreamingSpec extends SparkTestBase {
       Set(2L))
   }
 
+  test("tombstone log: alsoPurge forgets downstream stores in the same crash-safe flush") {
+    import graft.streaming.{Bm25Index, TombstoneLog}
+    val corpus = tombCorpus("graft-tomb5",
+      1L -> "erase alpha", 2L -> "keep beta", 3L -> "erase gamma")
+    // a derived retrieval index over the same docs
+    val idx = java.nio.file.Files.createTempDirectory("graft-tomb5idx").toString + "/idx"
+    Bm25Index.ingestBatch(Seq((1L, "erase alpha"), (2L, "keep beta"),
+      (3L, "erase gamma")).toDF("doc_id", "text"), idx, "doc_id", "text",
+      batchId = 0L, nShards = 4)
+    TombstoneLog.requestPurge(corpus, Seq(1L).toDF("doc_id"), "doc_id"): Unit
+    TombstoneLog.requestPurge(corpus, Seq(3L).toDF("doc_id"), "doc_id"): Unit
+    // a FAILING downstream purge keeps the log: the re-flush redoes both
+    intercept[RuntimeException] {
+      TombstoneLog.flushPurge(spark, corpus, "doc_id", Seq("text"),
+        alsoPurge = _ => throw new RuntimeException("index store down"))
+    }
+    assert(TombstoneLog.pending(spark, corpus, "doc_id").count() == 2L,
+      "a failed downstream purge must keep the log for the re-flush")
+    // the re-flush purges corpus AND index with the SAME batched ids
+    var purged = -1L
+    val got = TombstoneLog.flushPurge(spark, corpus, "doc_id", Seq("text"),
+      alsoPurge = ids => purged = Bm25Index.purge(spark, idx, ids, "doc_id"))
+    assert(got.exists(_._2 == 2), s"$got")
+    assert(purged == 2L, "the index must forget the same batch")
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet ==
+      Set(2L))
+    val q = Seq((0L, "alpha gamma beta")).toDF("query_id", "qtext")
+    assert(Bm25Index.topK(spark, idx, q, 10).select("doc_id")
+      .as[Long].collect().toSeq == Seq(2L),
+      "the index must be compliant after the composed flush")
+    assert(TombstoneLog.pending(spark, corpus, "doc_id").count() == 0L)
+  }
+
   test("tombstone log: below-threshold and age triggers") {
     import graft.streaming.TombstoneLog
     val corpus = tombCorpus("graft-tomb4", 1L -> "erase a", 2L -> "keep b")
