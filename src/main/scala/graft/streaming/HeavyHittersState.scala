@@ -75,6 +75,36 @@ object HeavyHittersState {
     VersionedState.commit(merged, stateDir, batchId, coalesceTo = 1)
   }
 
+  /** The dashboard read: the live state exploded to one row per
+    * (group, token) with its estimate, the group's stream length, the
+    * guarantee threshold n_tokens/(capacity+1), and the per-group rank —
+    * top `k` per group by estimate (token-lexicographic tiebreak, so the
+    * view is deterministic GIVEN a state). Summary CONTENT is
+    * merge-order-dependent (class doc), so consumers rank and threshold,
+    * never diff exact estimates across differently-batched runs; rows at
+    * `est > threshold` are the guaranteed heavy hitters. State is
+    * groups×capacity-sized, so this is a driver-cheap view, no corpus
+    * read anywhere.
+    */
+  def topK(spark: SparkSession, stateDir: String, k: Int,
+      capacity: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val st = state(spark, stateDir).getOrElse(
+      throw new graft.GraftDataError(s"no heavy-hitters state at $stateDir"))
+    val exploded = st.select(col("group"), col("n_tokens"),
+        explode(col("hh")).as(Seq("token", "est")))
+      .withColumn("threshold",
+        col("n_tokens").cast("double") / lit((capacity + 1).toDouble))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("est").desc, col("token"))
+    exploded
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("group"), col("token"), col("est"), col("rank"),
+        col("n_tokens"), col("threshold"),
+        (col("est").cast("double") > col("threshold")).as("guaranteed"))
+  }
+
   /** The stream form; `checkpointDir` keeps batchIds stable across
     * restarts, which the exactly-once skip depends on (same contract as
     * [[RollupState.stream]]). Starting against already-committed state

@@ -2081,6 +2081,45 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("heavy-hitters topK view ranks deterministically and certifies true heavy hitters") {
+    import graft.streaming.HeavyHittersState
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-hh-topk").toString + "/st"
+    val cap = 8
+    val items = (1 to 60).flatMap(i => Seq.fill(1000 / i)(s"t$i"))
+    val rows = items.zipWithIndex.map { case (t, i) => (s"g${i % 2}", t, i % 3) }
+    (0 to 2).foreach { b =>
+      HeavyHittersState.mergeBatch(rows.filter(_._3 == b).toDF("grp", "token", "b")
+        .drop("b"), stateDir, "grp", "token", cap, b.toLong): Unit
+    }
+    val view = HeavyHittersState.topK(spark, stateDir, k = 5, capacity = cap)
+      .as[(String, String, Long, Long, Long, Double, Boolean)].collect()
+      .groupBy(_._1)
+    val stateMaps = HeavyHittersState.state(spark, stateDir).get
+      .as[(String, Map[String, Long], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val exact = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.groupBy(_._2).map { case (t, v) => t -> v.size.toLong }
+    }
+    view.foreach { case (g, vs) =>
+      val (sk, n) = stateMaps(g)
+      assert(vs.length <= 5 && vs.map(_._4).sorted.toSeq == (1L to vs.length).toSeq,
+        s"$g: contiguous ranks")
+      // ranks follow (est desc, token) over the state map, estimates verbatim
+      val want = sk.toSeq.sortBy { case (t, e) => (-e, t) }.take(5)
+      assert(vs.sortBy(_._4).map(v => (v._2, v._3)).toSeq == want, s"$g: order")
+      assert(vs.forall(_._5 == n))
+      // certification is SOUND: est > threshold implies true > threshold
+      // (estimates never overcount), checked against exact counts
+      vs.filter(_._7).foreach { v =>
+        assert(exact(g)(v._2) > v._6, s"$g/${v._2}: certified but not truly heavy")
+      }
+      assert(vs.exists(_._7), s"$g: the zipf head must certify")
+    }
+    intercept[graft.GraftDataError] {
+      HeavyHittersState.topK(spark, stateDir + "-nope", 5, cap)
+    }
+  }
+
   test("non-idempotent maintainers refuse streams whose batchIds would renumber into state") {
     import graft.streaming.{HeavyHittersState, RollupState}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
