@@ -2625,6 +2625,24 @@ object SparkEntry {
         classIdOf = col("line_no"), salt = 2027L, j = 1, unit = 100.0)
     }),
 
+    "dp_median" -> ((s, dir) => {
+      // the ε-DP MEDIAN beside dp_census/dp_revenue — a different
+      // mechanism CLASS: medians have unbounded output-perturbation
+      // sensitivity, so the EXPONENTIAL mechanism samples a grid bin with
+      // probability exponential in its rank-error utility (ε = 2·ln2).
+      // Every arithmetic step is IEEE-exact or sequentially-ordered
+      // (powers of two, ordered prefix sums), so DuckDB replays the
+      // sampled bin bitwise — a seeded exponential mechanism, not just
+      // seeded noise addition
+      import graft.operators.Privacy
+      val cust = Tables.customer(s, dir)
+        .select(col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_acctbal"))
+      Privacy.dpMedian(cust, Seq("c_nationkey"), "c_acctbal",
+        lo = -1000.0, hi = 10000.0, bins = 110,
+        classIdOf = col("c_nationkey"), salt = 40961L, j = 1)
+    }),
+
     "k_anonymity" -> ((s, dir) => {
       // release-side anonymity census: class size (k-anonymity) and
       // banded-sensitive diversity (l-diversity) per quasi-identifier
@@ -4328,6 +4346,42 @@ object SparkEntry {
          |    AS noisy_sum
          |FROM wt""".stripMargin
     },
+
+    // the exponential mechanism replays bitwise: integer rank errors,
+    // exact power-of-two weights (per-class min subtracted — a constant
+    // factor), SEQUENTIAL prefix sums via ordered list_sum slices (DuckDB
+    // window sums use a segment tree whose addition order differs), and
+    // the same seeded uniform scaled by the last prefix
+    "dp_median" ->
+      s"""WITH src AS (SELECT CAST(c_nationkey AS BIGINT) AS k, c_acctbal AS v
+         |  FROM customer),
+         |cls AS (SELECT DISTINCT k FROM src),
+         |grid AS (SELECT k, b FROM cls
+         |  CROSS JOIN (SELECT unnest(range(0, 110)) AS b)),
+         |h AS (SELECT k,
+         |  CAST(least(greatest(floor((v - (-1000.0)) / 100.0), 0.0), 109.0)
+         |    AS BIGINT) AS b,
+         |  count(*) AS h FROM src GROUP BY 1, 2),
+         |f AS (SELECT grid.k, grid.b, COALESCE(h.h, 0) AS h
+         |  FROM grid LEFT JOIN h ON grid.k = h.k AND grid.b = h.b),
+         |mm AS (SELECT k, b, h,
+         |  COALESCE(sum(h) OVER (PARTITION BY k ORDER BY b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+         |  sum(h) OVER (PARTITION BY k) AS n FROM f),
+         |me AS (SELECT k, b, abs(2*below + h - n) AS m FROM mm),
+         |w AS (SELECT k, b,
+         |  pow(2.0, CAST(-(m - min(m) OVER (PARTITION BY k)) AS DOUBLE)) AS w
+         |  FROM me),
+         |lw AS (SELECT k, list(w ORDER BY b) AS ws FROM w GROUP BY k),
+         |p AS (SELECT k, ws, list_sum(ws) AS tot,
+         |  ${sqlUnitHash("k", 40961L)} AS u FROM lw),
+         |e AS (SELECT k, u, tot, unnest(range(1, 111)) AS i, ws FROM p),
+         |pp AS (SELECT k, i, list_sum(ws[1:CAST(i AS INT)]) AS cum, u, tot FROM e),
+         |sel AS (SELECT k, min(i) - 1 AS mb FROM pp
+         |  WHERE cum > u * tot GROUP BY k)
+         |SELECT k AS c_nationkey, CAST(mb AS BIGINT) AS median_bin,
+         |  -1000.0 + (CAST(mb AS DOUBLE) + 0.5) * 100.0 AS dp_median
+         |FROM sel""".stripMargin,
 
     "k_anonymity" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,

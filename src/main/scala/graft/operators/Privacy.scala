@@ -177,4 +177,95 @@ object Privacy {
         geometricNoise(seededUniform(classIdOf.cast("long"), salt), j))
         .as("noisy_sum"): _*)
   }
+
+  /** The ε-DP MEDIAN release — the third workhorse, and a different
+    * mechanism CLASS: medians have unbounded output-perturbation
+    * sensitivity (one row can move a median arbitrarily far), so noise on
+    * the value cannot work; the EXPONENTIAL mechanism (McSherry & Talwar,
+    * FOCS'07) samples an output with probability exponential in its
+    * UTILITY instead. Candidates are the `bins` INTERVALS of a
+    * DATA-INDEPENDENT grid over [lo, hi) (grid choice must not read the
+    * data — that is part of the privacy statement); the utility of bin b
+    * is −|2·cntBelow(b) + h_b − n|: the doubled rank error of calling
+    * bin b the median, with the bin's own h_b values straddling it (a
+    * class concentrated in one bin scores that bin 0, where a pure
+    * edge-rank utility degenerates to a flat vector). Adding or removing
+    * one row landing in bin γ moves 2·cntBelow(b) + h_b − n by
+    * 2·[γ<b] + [γ=b] − 1 ∈ {−1, +1} for EVERY b, so the utility has
+    * sensitivity 1 and weights w_b = α^|2·cntBelow(b)+h_b−n| with
+    * α = 2^−j realize the mechanism at ε = 2·j·ln2 (exp(ε·u/2) with
+    * ε/2 = j·ln2). Values outside [lo, hi) clamp into the edge bins
+    * (part of the released query's definition, like [[dpSum]]'s clip).
+    *
+    * BITWISE cross-engine replay, like the rest of this module, by
+    * arithmetic choice: weights are exact powers of two after subtracting
+    * each class's minimum rank error (a per-class constant factor that
+    * cannot change the sampled distribution), the cumulative weights
+    * accumulate in bin order (sequential left-to-right additions — the
+    * same order a SQL mirror's ordered prefix `list_sum` uses), and the
+    * pick compares the seeded uniform scaled by the total against those
+    * prefixes. One honesty note: weights more than ~1074/j rank-error
+    * levels above the per-class best underflow to exact zero in double
+    * precision — formally an (ε, δ) relaxation with δ below 2^−1000,
+    * stated here so the claim is exact rather than approximately exact.
+    *
+    * Output: one row per class with `median_bin` (the sampled grid index)
+    * and `dp_median` (the bin's CENTER, lo + (bin + 0.5)·(hi−lo)/bins).
+    * `domain` has [[dpCensus]]'s semantics and caveat; an empty class's
+    * utilities are all −n = 0, so it releases a uniform draw over the
+    * grid — pure noise, as it must.
+    */
+  def dpMedian(df: DataFrame, quasiCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double, bins: Int, classIdOf: Column, salt: Long,
+      j: Int = 1, domain: Option[DataFrame] = None): DataFrame = {
+    require(quasiCols.nonEmpty, "dpMedian needs at least one quasi-identifier")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    require(bins >= 2 && bins <= 4096, s"bins must be in [2, 4096], got $bins")
+    require(j >= 1, s"j must be >= 1 (epsilon = 2*j*ln2), got $j")
+    val spark = df.sparkSession
+    val width = (hi - lo) / bins
+    val binOf = least(greatest(
+      floor((col(valueCol) - lit(lo)) / lit(width)), lit(0.0)), lit((bins - 1).toDouble))
+      .cast("long")
+    val hist = df.groupBy(quasiCols.map(col) :+ binOf.as("__bin"): _*)
+      .agg(count(lit(1)).as("__h"))
+    val classes = domain.fold(hist.select(quasiCols.map(col): _*).distinct())(
+      _.select(quasiCols.map(col): _*).distinct())
+    val grid = classes.crossJoin(
+      spark.range(bins.toLong).select(col("id").as("__bin")))
+    val cls = quasiCols.map(col)
+    import org.apache.spark.sql.expressions.Window
+    val byBin = Window.partitionBy(cls: _*).orderBy(col("__bin"))
+    val full = grid.join(hist, quasiCols :+ "__bin", "left")
+      .na.fill(0L, Seq("__h"))
+      .withColumn("__below",
+        coalesce(sum(col("__h")).over(byBin.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("__n", sum(col("__h")).over(Window.partitionBy(cls: _*)))
+      .withColumn("__m",
+        abs(lit(2L) * col("__below") + col("__h") - col("__n")))
+    val weighted = full
+      .withColumn("__mmin", min(col("__m")).over(Window.partitionBy(cls: _*)))
+      // exact powers of two: the per-class constant alpha^-mmin scaling
+      // cannot change the sampled distribution
+      .withColumn("__w", pow(lit(2.0), (lit(-j.toLong) * (col("__m") - col("__mmin")))
+        .cast("double")))
+      // sequential in-order prefix sums — the accumulation order a SQL
+      // mirror's ordered list_sum reproduces bitwise
+      .withColumn("__cum",
+        sum(col("__w")).over(byBin.rowsBetween(Window.unboundedPreceding, 0)))
+      // order-free total: cum is nondecreasing (weights >= 0), so the
+      // class total is max(cum) == the last prefix — never an unordered
+      // double sum whose accumulation order a shuffle could vary
+      .withColumn("__tot", max(col("__cum")).over(Window.partitionBy(cls: _*)))
+    val u = seededUniform(classIdOf.cast("long"), salt)
+    weighted
+      .filter(col("__cum") > u * col("__tot"))
+      .withColumn("__r", row_number().over(byBin))
+      .filter(col("__r") === 1)
+      .select(quasiCols.map(col) :+
+        col("__bin").as("median_bin") :+
+        (lit(lo) + (col("__bin").cast("double") + lit(0.5)) * lit(width))
+          .as("dp_median"): _*)
+  }
 }

@@ -126,6 +126,49 @@ class PrivacySpec extends SparkTestBase {
     assert(r1.exists { case (c, n) => n != truth(c) }, "no class drew nonzero noise")
   }
 
+  test("dpMedian: exponential-mechanism utility, point-mass certainty, bounded drift") {
+    // 1) utility-definition pin on a hand-computed fixture: values 1,2,3
+    //    over grid [0,5) bins=5 -> below=[0,0,1,2,3], h=[0,1,1,1,0],
+    //    m=|2*below+h-n|=[3,2,0,2,3], weights 2^-m'=[1/8,1/4,1,1/4,1/8],
+    //    cum=[.125,.375,1.375,1.625,1.75]; pick = first cum > u*1.75
+    val salt = 5L
+    val d1 = Seq((0L, 1.0), (0L, 2.0), (0L, 3.0)).toDF("cls", "v")
+    val got = Privacy.dpMedian(d1, Seq("cls"), "v", lo = 0.0, hi = 5.0,
+      bins = 5, classIdOf = col("cls"), salt = salt)
+      .as[(Long, Long, Double)].collect().head
+    val u = (((0L % 2147483648L + salt) % 2147483648L) * 2654435761L %
+      4294967296L).toDouble / 4294967296.0
+    val cum = Seq(0.125, 0.375, 1.375, 1.625, 1.75)
+    val wantBin = cum.indexWhere(_ > u * 1.75).toLong
+    assert(got == ((0L, wantBin, wantBin + 0.5)), s"got $got want bin $wantBin")
+    // 2) a point-mass class releases ITS bin with certainty: every other
+    //    bin's weight is 2^-(2*2000) = exact zero (underflow), any salt
+    for (s <- Seq(1L, 99L, 12345L)) {
+      val pm = (0L until 2000L).map(i => (1L, 7.3)).toDF("cls", "v")
+      val r = Privacy.dpMedian(pm, Seq("cls"), "v", 0.0, 10.0, 10,
+        col("cls"), salt = s).as[(Long, Long, Double)].collect().head
+      assert(r._2 == 7L, s"salt $s: point mass must release its own bin, got $r")
+    }
+    // 3) bounded drift on a uniform class: 100 values per bin over bins
+    //    0..29 (n=3000) -> the two rank-straddling bins carry all the
+    //    mass (neighbors are 2^-200 down); any salt lands in {14, 15}
+    val uni = (0L until 3000L).map(i => (2L, (i % 30).toDouble + 0.5))
+      .toDF("cls", "v")
+    for (s <- Seq(1L, 99L, 12345L)) {
+      val r = Privacy.dpMedian(uni, Seq("cls"), "v", 0.0, 30.0, 30,
+        col("cls"), salt = s).as[(Long, Long, Double)].collect().head
+      assert(r._2 == 14L || r._2 == 15L, s"salt $s: drifted to bin ${r._2}")
+    }
+    // 4) replayable, classes-sized, domain rows for unobserved classes
+    val again = Privacy.dpMedian(d1, Seq("cls"), "v", 0.0, 5.0, 5, col("cls"), salt)
+      .as[(Long, Long, Double)].collect().head
+    assert(again == got)
+    val dom = Privacy.dpMedian(d1, Seq("cls"), "v", 0.0, 5.0, 5, col("cls"), salt,
+      domain = Some(Seq(0L, 9L).toDF("cls"))).as[(Long, Long, Double)].collect()
+    assert(dom.length == 2 && dom.forall(r => r._2 >= 0L && r._2 < 5L),
+      "an unobserved domain class must release a (uniform) draw, not vanish")
+  }
+
   test("dpCensus releases only noisy counts, classes-sized, with grouped-column classId") {
     val df = (0L until 300L).map(i => (i % 3, s"seg${i % 2}", i)).toDF("k", "seg", "x")
     val out = Privacy.dpCensus(df, Seq("k", "seg"),
