@@ -2643,6 +2643,23 @@ object SparkEntry {
         classIdOf = col("c_nationkey"), salt = 40961L, j = 1)
     }),
 
+    "dp_p90" -> ((s, dir) => {
+      // the exponential mechanism at an ARBITRARY rational rank: dp_median
+      // generalized to q = 9/10 via the b-scaled integer utility
+      // -|10*below + 9*h - 9*n| (sensitivity max(a, b-a) = 9, so this
+      // release pays eps = 18*j*ln2 — the honest price of an extreme
+      // quantile, stated rather than hidden behind a quantized q). The
+      // same bitwise ladder as dp_median: integer utilities, exact
+      // power-of-two weights, ordered prefix sums, one seeded uniform
+      import graft.operators.Privacy
+      val cust = Tables.customer(s, dir)
+        .select(col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_acctbal"))
+      Privacy.dpQuantile(cust, Seq("c_nationkey"), "c_acctbal", a = 9, b = 10,
+        lo = -1000.0, hi = 10000.0, bins = 110,
+        classIdOf = col("c_nationkey"), salt = 52501L, j = 1)
+    }),
+
     "k_anonymity" -> ((s, dir) => {
       // release-side anonymity census: class size (k-anonymity) and
       // banded-sensitive diversity (l-diversity) per quasi-identifier
@@ -4381,6 +4398,41 @@ object SparkEntry {
          |  WHERE cum > u * tot GROUP BY k)
          |SELECT k AS c_nationkey, CAST(mb AS BIGINT) AS median_bin,
          |  -1000.0 + (CAST(mb AS DOUBLE) + 0.5) * 100.0 AS dp_median
+         |FROM sel""".stripMargin,
+
+    // dp_median's replay at q = 9/10: the only changes are the b-scaled
+    // integer utility (10*below + 9*h - 9*n — still exact integers) and
+    // the release's own salt; the power-of-two weights, ordered list_sum
+    // prefixes and seeded-uniform pick are identical
+    "dp_p90" ->
+      s"""WITH src AS (SELECT CAST(c_nationkey AS BIGINT) AS k, c_acctbal AS v
+         |  FROM customer),
+         |cls AS (SELECT DISTINCT k FROM src),
+         |grid AS (SELECT k, b FROM cls
+         |  CROSS JOIN (SELECT unnest(range(0, 110)) AS b)),
+         |h AS (SELECT k,
+         |  CAST(least(greatest(floor((v - (-1000.0)) / 100.0), 0.0), 109.0)
+         |    AS BIGINT) AS b,
+         |  count(*) AS h FROM src GROUP BY 1, 2),
+         |f AS (SELECT grid.k, grid.b, COALESCE(h.h, 0) AS h
+         |  FROM grid LEFT JOIN h ON grid.k = h.k AND grid.b = h.b),
+         |mm AS (SELECT k, b, h,
+         |  COALESCE(sum(h) OVER (PARTITION BY k ORDER BY b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+         |  sum(h) OVER (PARTITION BY k) AS n FROM f),
+         |me AS (SELECT k, b, abs(10*below + 9*h - 9*n) AS m FROM mm),
+         |w AS (SELECT k, b,
+         |  pow(2.0, CAST(-(m - min(m) OVER (PARTITION BY k)) AS DOUBLE)) AS w
+         |  FROM me),
+         |lw AS (SELECT k, list(w ORDER BY b) AS ws FROM w GROUP BY k),
+         |p AS (SELECT k, ws, list_sum(ws) AS tot,
+         |  ${sqlUnitHash("k", 52501L)} AS u FROM lw),
+         |e AS (SELECT k, u, tot, unnest(range(1, 111)) AS i, ws FROM p),
+         |pp AS (SELECT k, i, list_sum(ws[1:CAST(i AS INT)]) AS cum, u, tot FROM e),
+         |sel AS (SELECT k, min(i) - 1 AS mb FROM pp
+         |  WHERE cum > u * tot GROUP BY k)
+         |SELECT k AS c_nationkey, CAST(mb AS BIGINT) AS quantile_bin,
+         |  -1000.0 + (CAST(mb AS DOUBLE) + 0.5) * 100.0 AS dp_quantile
          |FROM sel""".stripMargin,
 
     "k_anonymity" ->

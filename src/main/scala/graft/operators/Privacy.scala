@@ -46,10 +46,52 @@ object Privacy {
     * @note every RELEASE needs its own salt — two releases sharing
     *       (classId, salt) share their noise draws (e.g. a [[dpCensus]]
     *       and a [[dpSum]] over the same classes), a correlation the
-    *       parallel-composition argument does not cover.
+    *       parallel-composition argument does not cover. Declared pipeline
+    *       steps reject a shared salt at parse time
+    *       ([[graft.pipeline.PipelineConfig]]); direct callers own it.
     */
   def seededUniform(classId: Column, salt: Long): Column =
     Sampling.unitHash(classId, salt)
+
+  /** The classId hardening every release shares, evaluated over the
+    * CLASSES-sized frame (one row per released class — never a data pass):
+    *
+    *   - a NULL id FAILS the job. A NULL quasi value survives the groupBy
+    *     as its own class, propagates NULL through any classIdOf
+    *     arithmetic, and a NULL uniform would evaluate the inverse-CDF
+    *     indicators to their otherwise-branches — magnitude 0, noise 0,
+    *     the EXACT count released with no error. Callers with legitimate
+    *     NULL quasi values filter or coalesce them explicitly, so the
+    *     release's domain is a stated decision rather than an accident;
+    *   - a COLLISION fails the job. Two classes sharing an id share a
+    *     noise draw, voiding the parallel-composition argument the
+    *     whole-release ε claim rests on — and it is easy to get wrong
+    *     (length-of-string "discriminators", under-spaced multipliers).
+    *     The check is a classes-sized window count per id: > 1 means two
+    *     distinct class rows mapped together.
+    *
+    * Returns the frame with a validated `__cid` LONG column; both raises
+    * fire at action time inside the release plan, so no extra pass over
+    * the data and no extra action.
+    */
+  private def withCheckedClassId(classes: DataFrame, classIdOf: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    classes
+      .withColumn("__cid", when(classIdOf.cast("long").isNull,
+        raise_error(lit("dp release: classId is NULL for some class — a NULL " +
+          "quasi value (or NULL-yielding classIdOf) would silently zero the " +
+          "noise and release the exact value; filter or coalesce NULL quasi " +
+          "values before the release")).cast("long"))
+        .otherwise(classIdOf.cast("long")))
+      .withColumn("__cid_n", count(lit(1)).over(Window.partitionBy(col("__cid"))))
+      .withColumn("__cid", when(col("__cid_n") > 1L,
+        raise_error(lit("dp release: classIdOf is not injective — two classes " +
+          "share a class id and would share one noise draw, voiding the " +
+          "parallel-composition argument; space the ids (e.g. multiply the " +
+          "outer key past the inner key's range)")).cast("long"))
+        .otherwise(col("__cid")))
+      .drop("__cid_n")
+  }
 
   /** CDF boundaries of the noise MAGNITUDE: w >= boundary(m) adds 1 to
     * |Z|. boundary(m) = 1 - (2α/(1+α))·α^m with α = 2^-j — one
@@ -121,9 +163,9 @@ object Privacy {
           .join(counts, quasiCols, "left")
           .na.fill(0L, Seq("__true_count"))
     }
-    based.select(quasiCols.map(col) :+
+    withCheckedClassId(based, classIdOf).select(quasiCols.map(col) :+
       (col("__true_count") +
-        geometricNoise(seededUniform(classIdOf.cast("long"), salt), j))
+        geometricNoise(seededUniform(col("__cid"), salt), j))
         .as("noisy_count"): _*)
   }
 
@@ -172,9 +214,9 @@ object Privacy {
           .join(sums, quasiCols, "left")
           .na.fill(0L, Seq("__true_sum"))
     }
-    based.select(quasiCols.map(col) :+
+    withCheckedClassId(based, classIdOf).select(quasiCols.map(col) :+
       (floor(col("__true_sum") / lit(m)).cast("long") +
-        geometricNoise(seededUniform(classIdOf.cast("long"), salt), j))
+        geometricNoise(seededUniform(col("__cid"), salt), j))
         .as("noisy_sum"): _*)
   }
 
@@ -183,53 +225,89 @@ object Privacy {
     * sensitivity (one row can move a median arbitrarily far), so noise on
     * the value cannot work; the EXPONENTIAL mechanism (McSherry & Talwar,
     * FOCS'07) samples an output with probability exponential in its
-    * UTILITY instead. Candidates are the `bins` INTERVALS of a
-    * DATA-INDEPENDENT grid over [lo, hi) (grid choice must not read the
-    * data — that is part of the privacy statement); the utility of bin b
-    * is −|2·cntBelow(b) + h_b − n|: the doubled rank error of calling
-    * bin b the median, with the bin's own h_b values straddling it (a
-    * class concentrated in one bin scores that bin 0, where a pure
-    * edge-rank utility degenerates to a flat vector). Adding or removing
-    * one row landing in bin γ moves 2·cntBelow(b) + h_b − n by
-    * 2·[γ<b] + [γ=b] − 1 ∈ {−1, +1} for EVERY b, so the utility has
-    * sensitivity 1 and weights w_b = α^|2·cntBelow(b)+h_b−n| with
-    * α = 2^−j realize the mechanism at ε = 2·j·ln2 (exp(ε·u/2) with
-    * ε/2 = j·ln2). Values outside [lo, hi) clamp into the edge bins
-    * (part of the released query's definition, like [[dpSum]]'s clip).
-    *
-    * BITWISE cross-engine replay, like the rest of this module, by
-    * arithmetic choice: weights are exact powers of two after subtracting
-    * each class's minimum rank error (a per-class constant factor that
-    * cannot change the sampled distribution), the cumulative weights
-    * accumulate in bin order (sequential left-to-right additions — the
-    * same order a SQL mirror's ordered prefix `list_sum` uses), and the
-    * pick compares the seeded uniform scaled by the total against those
-    * prefixes. One honesty note: weights more than ~1074/j rank-error
-    * levels above the per-class best underflow to exact zero in double
-    * precision — formally an (ε, δ) relaxation with δ below 2^−1000,
-    * stated here so the claim is exact rather than approximately exact.
+    * UTILITY instead. The median is [[dpQuantile]] at q = 1/2 — utility
+    * −|2·cntBelow(b) + h_b − n|, sensitivity 1 (the per-row delta is in
+    * {−1, 0, +1}: 0 when the added row lands in bin b itself), ε = 2·j·ln2
+    * — see [[dpQuantile]] for the mechanism, the bitwise-replay contract
+    * and the grid semantics.
     *
     * Output: one row per class with `median_bin` (the sampled grid index)
     * and `dp_median` (the bin's CENTER, lo + (bin + 0.5)·(hi−lo)/bins).
-    * `domain` has [[dpCensus]]'s semantics and caveat; an empty class's
-    * utilities are all −n = 0, so it releases a uniform draw over the
-    * grid — pure noise, as it must.
     */
   def dpMedian(df: DataFrame, quasiCols: Seq[String], valueCol: String,
       lo: Double, hi: Double, bins: Int, classIdOf: Column, salt: Long,
-      j: Int = 1, domain: Option[DataFrame] = None): DataFrame = {
-    require(quasiCols.nonEmpty, "dpMedian needs at least one quasi-identifier")
+      j: Int = 1, domain: Option[DataFrame] = None): DataFrame =
+    dpQuantile(df, quasiCols, valueCol, 1, 2, lo, hi, bins, classIdOf, salt,
+      j, domain)
+      .withColumnsRenamed(Map("quantile_bin" -> "median_bin",
+        "dp_quantile" -> "dp_median"))
+
+  /** The ε-DP QUANTILE release at rational q = a/b — [[dpMedian]]'s
+    * exponential mechanism generalized to any rank. Candidates are the
+    * `bins` INTERVALS of a DATA-INDEPENDENT grid over [lo, hi) (grid
+    * choice must not read the data — that is part of the privacy
+    * statement); the utility of bin β is the INTEGER rank error scaled by
+    * b: −|b·cntBelow(β) + a·h_β − a·n|, which scores 0 when the class's
+    * q-quantile rank falls across bin β (a point-mass class scores its own
+    * bin −|a·n − a·n| = 0 — the a·h_β straddle term is what keeps point
+    * masses from degenerating to a flat utility, exactly as in the
+    * median's +h). At a=1, b=2 this is bitwise the median's utility.
+    *
+    * SENSITIVITY: adding or removing one row landing in bin γ moves
+    * b·cntBelow(β) + a·h_β − a·n by b·[γ<β] + a·[γ=β] − a, which is in
+    * {−a, 0, b−a} — so the utility's sensitivity is Δ = max(a, b−a) and
+    * the exact-power-of-two weights w_β = 2^(−j·m_β) realize the
+    * mechanism at ε = 2·Δ·j·ln2 (exp(ε·u/(2Δ)) with ε/(2Δ) = j·ln2).
+    * The privacy cost of an extreme quantile is real, not an artifact:
+    * p90 (a=9, b=10) costs Δ=9, i.e. ε = 18·j·ln2 — state it, don't hide
+    * it (an implementation quantizing q to keep Δ=1 would be answering a
+    * different query). Keep a/b in lowest terms: a common factor g
+    * multiplies every utility by g, silently scaling ε by g — the
+    * constructor rejects non-reduced fractions rather than reducing
+    * silently, so the declared (a, b) is always the ε that's paid.
+    * Values outside [lo, hi) clamp into the edge bins (part of the
+    * released query's definition, like [[dpSum]]'s clip).
+    *
+    * BITWISE cross-engine replay, like the rest of this module, by
+    * arithmetic choice: utilities are exact integers, weights are exact
+    * powers of two after subtracting each class's minimum rank error (a
+    * per-class constant factor that cannot change the sampled
+    * distribution), the cumulative weights accumulate in bin order
+    * (sequential left-to-right additions — the same order a SQL mirror's
+    * ordered prefix `list_sum` uses), and the pick compares the seeded
+    * uniform scaled by the total against those prefixes. One honesty
+    * note: weights more than ~1074/j rank-error levels above the
+    * per-class best underflow to exact zero in double precision —
+    * formally an (ε, δ) relaxation with δ below 2^−1000, stated here so
+    * the claim is exact rather than approximately exact.
+    *
+    * Output: one row per class with `quantile_bin` (the sampled grid
+    * index) and `dp_quantile` (the bin's CENTER). `domain` has
+    * [[dpCensus]]'s semantics and caveat; an empty class's utilities are
+    * all 0, so it releases a uniform draw over the grid — pure noise, as
+    * it must. Scale shape: one histogram groupBy, then every window is
+    * over the classes×bins grid — release-sized, never data-sized.
+    */
+  def dpQuantile(df: DataFrame, quasiCols: Seq[String], valueCol: String,
+      a: Int, b: Int, lo: Double, hi: Double, bins: Int, classIdOf: Column,
+      salt: Long, j: Int = 1, domain: Option[DataFrame] = None): DataFrame = {
+    require(quasiCols.nonEmpty, "dpQuantile needs at least one quasi-identifier")
+    require(a >= 1 && b >= 2 && a < b, s"need 1 <= a < b (q = a/b in (0,1)), got $a/$b")
+    require(BigInt(a).gcd(BigInt(b)) == 1,
+      s"q must be in lowest terms (a common factor scales epsilon silently), got $a/$b")
     require(lo < hi, s"need lo < hi, got [$lo, $hi)")
     require(bins >= 2 && bins <= 4096, s"bins must be in [2, 4096], got $bins")
-    require(j >= 1, s"j must be >= 1 (epsilon = 2*j*ln2), got $j")
+    require(j >= 1, s"j must be >= 1 (epsilon = 2*max(a,b-a)*j*ln2), got $j")
     val width = (hi - lo) / bins
     val binOf = least(greatest(
       floor((col(valueCol) - lit(lo)) / lit(width)), lit(0.0)), lit((bins - 1).toDouble))
       .cast("long")
     val hist = df.groupBy(quasiCols.map(col) :+ binOf.as("__bin"): _*)
       .agg(count(lit(1)).as("__h"))
-    val classes = domain.fold(hist.select(quasiCols.map(col): _*).distinct())(
-      _.select(quasiCols.map(col): _*).distinct())
+    val classes = withCheckedClassId(
+      domain.fold(hist.select(quasiCols.map(col): _*).distinct())(
+        _.select(quasiCols.map(col): _*).distinct()),
+      classIdOf)
     // the candidate grid per class via a generator, not a cross join: a
     // classes-sized frame fans out to classes x bins in the scan stage,
     // with no cartesian plan node for a planner (or PlanGuard) to flag
@@ -245,7 +323,8 @@ object Privacy {
           lit(0L)))
       .withColumn("__n", sum(col("__h")).over(Window.partitionBy(cls: _*)))
       .withColumn("__m",
-        abs(lit(2L) * col("__below") + col("__h") - col("__n")))
+        abs(lit(b.toLong) * col("__below") + lit(a.toLong) * col("__h") -
+          lit(a.toLong) * col("__n")))
     val weighted = full
       .withColumn("__mmin", min(col("__m")).over(Window.partitionBy(cls: _*)))
       // exact powers of two: the per-class constant alpha^-mmin scaling
@@ -260,14 +339,14 @@ object Privacy {
       // class total is max(cum) == the last prefix — never an unordered
       // double sum whose accumulation order a shuffle could vary
       .withColumn("__tot", max(col("__cum")).over(Window.partitionBy(cls: _*)))
-    val u = seededUniform(classIdOf.cast("long"), salt)
+    val u = seededUniform(col("__cid"), salt)
     weighted
       .filter(col("__cum") > u * col("__tot"))
       .withColumn("__r", row_number().over(byBin))
       .filter(col("__r") === 1)
       .select(quasiCols.map(col) :+
-        col("__bin").as("median_bin") :+
+        col("__bin").as("quantile_bin") :+
         (lit(lo) + (col("__bin").cast("double") + lit(0.5)) * lit(width))
-          .as("dp_median"): _*)
+          .as("dp_quantile"): _*)
   }
 }

@@ -396,7 +396,20 @@ object Bm25Index {
     readMeta(fs, dir).getOrElse(
       throw new graft.GraftDataError(s"no BM25 index at $indexDir"))
     val lensDirs = completeDirs(fs, doclensDir(dir))
-    if (lensDirs.isEmpty) return 0L
+    if (lensDirs.isEmpty) {
+      // fail fast, never silently no-op: an index with committed batches
+      // but no complete _doclens dirs (a pre-sidecar build, or doclens torn
+      // in the crash window) CANNOT honor a right-to-be-forgotten request —
+      // returning 0 would leave the postings probeable while the caller
+      // believes the purge ran. Mirrors the __b-stamp guard on the stats
+      // path; 0 is only for a genuinely empty index.
+      if (committedMarkers(fs, dir).nonEmpty)
+        throw new graft.GraftDataError(
+          s"BM25 index at $indexDir has committed batches but no complete " +
+            "_doclens sidecar — purge cannot size the tombstones; rebuild " +
+            "the index before purging")
+      return 0L
+    }
     val del = ids.select(col(idCol).cast("long").as("doc_id")).na.drop().distinct()
       .join(broadcast(readDeleted(spark, fs, dir).select(col("doc_id"))),
         Seq("doc_id"), "left_anti")

@@ -172,8 +172,112 @@ class PrivacySpec extends SparkTestBase {
   test("dpCensus releases only noisy counts, classes-sized, with grouped-column classId") {
     val df = (0L until 300L).map(i => (i % 3, s"seg${i % 2}", i)).toDF("k", "seg", "x")
     val out = Privacy.dpCensus(df, Seq("k", "seg"),
-      col("k") * lit(10L) + length(col("seg")), salt = 7L)
+      col("k") * lit(10L) + substring(col("seg"), 4, 1).cast("long"), salt = 7L)
     assert(out.columns.toSeq == Seq("k", "seg", "noisy_count"))
     assert(out.count() == 6L)
+  }
+
+  test("a NULL classId fails the release instead of silently zeroing the noise") {
+    // a NULL quasi value survives the groupBy as its own class and
+    // propagates NULL through the classId arithmetic; a NULL uniform would
+    // evaluate every inverse-CDF indicator to its otherwise-branch —
+    // noise 0, the EXACT count released. The hardened release throws
+    val withNull = Seq(Some(1L), Some(1L), Some(2L), None)
+      .zipWithIndex.map { case (c, i) => (c, i.toLong) }.toDF("cls", "x")
+    val eCensus = intercept[Exception] {
+      Privacy.dpCensus(withNull, Seq("cls"), col("cls"), salt = 3L).collect()
+    }
+    assert(eCensus.getMessage.contains("NULL"), eCensus.getMessage)
+    val eSum = intercept[Exception] {
+      Privacy.dpSum(withNull, Seq("cls"), "x", clipHi = 10.0,
+        classIdOf = col("cls"), salt = 3L).collect()
+    }
+    assert(eSum.getMessage.contains("NULL"), eSum.getMessage)
+    // dpMedian previously DROPPED the NULL class (the NULL uniform fails
+    // the sampling filter for every bin) — equally silent, now equally fatal
+    val eMed = intercept[Exception] {
+      Privacy.dpMedian(withNull.withColumn("v", col("x").cast("double")),
+        Seq("cls"), "v", 0.0, 10.0, 5, col("cls"), salt = 3L).collect()
+    }
+    assert(eMed.getMessage.contains("NULL"), eMed.getMessage)
+  }
+
+  test("a non-injective classIdOf fails the release instead of sharing draws") {
+    // two classes mapping to one id would share a noise draw, voiding the
+    // parallel-composition argument — and it is an easy bug (this fixture
+    // is the spec's own former classId: length('seg0') == length('seg1'))
+    val df = (0L until 60L).map(i => (i % 3, s"seg${i % 2}", i)).toDF("k", "seg", "x")
+    val collide = col("k") * lit(10L) + length(col("seg"))
+    val e = intercept[Exception] {
+      Privacy.dpCensus(df, Seq("k", "seg"), collide, salt = 7L).collect()
+    }
+    assert(e.getMessage.contains("injective"), e.getMessage)
+    val eq = intercept[Exception] {
+      Privacy.dpQuantile(df.withColumn("v", col("x").cast("double")),
+        Seq("k", "seg"), "v", 1, 2, 0.0, 60.0, 6, collide, salt = 7L).collect()
+    }
+    assert(eq.getMessage.contains("injective"), eq.getMessage)
+    // the injective form of the same shape passes
+    val ok = Privacy.dpCensus(df, Seq("k", "seg"),
+      col("k") * lit(10L) + substring(col("seg"), 4, 1).cast("long"), salt = 7L)
+    assert(ok.count() == 6L)
+  }
+
+  test("dpQuantile: median at q=1/2, point-mass certainty, rank targeting, lowest terms") {
+    // q = 1/2 is BITWISE the median: same integer utilities (2*below+h-n),
+    // same weights, same draw
+    val d1 = Seq((0L, 1.0), (0L, 2.0), (0L, 3.0)).toDF("cls", "v")
+    val med = Privacy.dpMedian(d1, Seq("cls"), "v", 0.0, 5.0, 5, col("cls"), 5L)
+      .as[(Long, Long, Double)].collect().head
+    val q12 = Privacy.dpQuantile(d1, Seq("cls"), "v", 1, 2, 0.0, 5.0, 5,
+      col("cls"), 5L).as[(Long, Long, Double)].collect().head
+    assert(q12 == med)
+    // a point-mass class releases ITS bin with certainty at ANY q: the
+    // containing bin's utility is |a*n - a*n| = 0, every other bin is
+    // >= a*n or (b-a)*n rank-error levels down (underflow-exact zero)
+    val pm = (0L until 2000L).map(_ => (1L, 7.3)).toDF("cls", "v")
+    for ((a, b) <- Seq((1, 4), (9, 10), (1, 2)); s <- Seq(1L, 99L)) {
+      val r = Privacy.dpQuantile(pm, Seq("cls"), "v", a, b, 0.0, 10.0, 10,
+        col("cls"), salt = s).as[(Long, Long, Double)].collect().head
+      assert(r._2 == 7L, s"q=$a/$b salt $s: point mass must release its own bin, got $r")
+    }
+    // rank targeting on a uniform class: 100 values per bin over bins
+    // 0..29 (n=3000), q=9/10 -> target rank 2700; bin 26 scores
+    // |10*2600+9*100-9*3000| = 100, every other bin >= 900 -> 2^-800 down,
+    // so any salt releases bin 26 (the p90 bin, as it should)
+    val uni = (0L until 3000L).map(i => (2L, (i % 30).toDouble + 0.5))
+      .toDF("cls", "v")
+    for (s <- Seq(1L, 99L, 12345L)) {
+      val r = Privacy.dpQuantile(uni, Seq("cls"), "v", 9, 10, 0.0, 30.0, 30,
+        col("cls"), salt = s).as[(Long, Long, Double)].collect().head
+      assert(r._2 == 26L, s"salt $s: p90 drifted to bin ${r._2}")
+    }
+    // non-reduced q is a silent epsilon scaling -> rejected, not reduced
+    val e = intercept[IllegalArgumentException] {
+      Privacy.dpQuantile(d1, Seq("cls"), "v", 2, 4, 0.0, 5.0, 5, col("cls"), 5L)
+    }
+    assert(e.getMessage.contains("lowest terms"))
+  }
+
+  test("dpQuantile: one row moves every bin's utility by at most max(a, b-a)") {
+    // the sensitivity pin, stated on the utility itself: recompute the
+    // integer m-vector for neighboring datasets (one row added in a middle
+    // bin) and check |delta m| <= max(a, b-a) for EVERY bin — the premise
+    // the 2*Delta*j*ln2 epsilon accounting rests on
+    def mVector(rows: Seq[Double], a: Int, b: Int): Seq[Long] = {
+      val bins = 10
+      val h = (0 until bins).map(i => rows.count(v => v.toInt == i).toLong)
+      val below = h.scanLeft(0L)(_ + _).init
+      val n = rows.size.toLong
+      (0 until bins).map(i => math.abs(b * below(i) + a * h(i) - a * n))
+    }
+    val base = (0 until 200).map(i => (i % 10).toDouble + 0.5)
+    for ((a, b) <- Seq((1, 2), (9, 10), (1, 4), (3, 5))) {
+      val m1 = mVector(base, a, b)
+      val m2 = mVector(base :+ 4.5, a, b)
+      val deltas = m1.zip(m2).map { case (x, y) => math.abs(x - y) }
+      assert(deltas.max <= math.max(a, b - a).toLong,
+        s"q=$a/$b: utility moved by ${deltas.max} > Delta=${math.max(a, b - a)}")
+    }
   }
 }

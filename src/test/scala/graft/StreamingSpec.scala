@@ -1273,6 +1273,25 @@ class StreamingSpec extends SparkTestBase {
     assert(rows() == before)
   }
 
+  test("Bm25Index purge fails fast when committed batches have no doclens sidecar") {
+    // the compliance-critical path must never silently no-op: an index
+    // with committed batches but no complete _doclens dirs (pre-sidecar
+    // build, or doclens torn in the crash window) cannot size the
+    // tombstones — purge throws "rebuild", mirroring the stats __b guard,
+    // instead of returning 0 while the postings stay probeable
+    import graft.streaming.Bm25Index
+    import org.apache.hadoop.fs.Path
+    val docs = Seq((1L, "spark join"), (2L, "window order")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-bm25nodl").toString + "/idx"
+    Bm25Index.ingestBatch(docs, idx, "doc_id", "text", batchId = 0L, nShards = 4)
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(idx, "_doclens"), true))
+    val e = intercept[graft.GraftDataError] {
+      Bm25Index.purge(spark, idx, Seq(1L).toDF("doc_id"), "doc_id")
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
   test("Bm25Index purge: immediate compliance, bitwise-filtered scores, incremental vacuum") {
     import graft.streaming.Bm25Index
     import graft.operators.Retrieval
