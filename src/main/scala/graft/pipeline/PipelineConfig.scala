@@ -280,48 +280,107 @@ object PipelineConfig {
           graft.operators.Anonymity.suppressBelowK(df, quasi, k))
     }
 
-    // seeded ε-DP census as a declared release step (beside kAnonymity —
-    // suppression bounds linkage, the noisy census bounds inference): the
-    // frame becomes the classes-sized noisy-count table, ε = j·ln2, noise
-    // a pure keyed-hash function so reruns replay bitwise
-    // ([[graft.operators.Privacy.dpCensus]]). `classId` is a SQL
-    // expression over the quasiCols, LONG-valued and injective across
-    // classes (e.g. "c_nationkey*1000000 + bal_band"); `salt` is the
-    // release secret.
+    // --- seeded ε-DP releases as declared steps (beside kAnonymity —
+    // suppression bounds linkage, the noisy releases bound inference).
+    // Each replaces the frame with its classes-sized noisy table
+    // ([[graft.operators.Privacy]].dpCensus / dpSum / dpMedian). Sections
+    // apply in the order census → sum → median; a later step over an
+    // earlier release is DP post-processing (e.g. a coarse dpSum of fine
+    // noisy counts) and costs no extra ε on the raw data. Shared
+    // contract, enforced at PARSE time so a broken release never runs:
+    // `classId` must parse and reference only quasiCols (noise must be a
+    // function of the released class alone — an out-of-class reference
+    // would otherwise key the noise on a data column); `salt` is the
+    // release secret and must be UNIQUE across the config's DP steps —
+    // two releases sharing (classId, salt) share their noise draws, the
+    // correlation [[graft.operators.Privacy.seededUniform]] warns about,
+    // here a typed error instead of a Scaladoc caveat.
+    val dpSaltsSeen = scala.collection.mutable.HashMap.empty[Long, String]
+    def parseDpCommon(dp: JValue, label: String, epsNote: String)
+        : (Seq[String], String, Long, Int) = {
+      val quasi = (dp \ "quasiCols").extractOpt[Seq[String]].filter(_.nonEmpty).getOrElse(
+        throw new graft.GraftConfigError(s"$label section needs non-empty 'quasiCols'"))
+      val classId = (dp \ "classId").extractOpt[String].getOrElse(
+        throw new graft.GraftConfigError(
+          s"$label section needs 'classId' (a LONG expression over quasiCols, " +
+            "injective across classes)"))
+      val refs =
+        try spark.sessionState.sqlParser.parseExpression(classId).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+        } catch {
+          case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+            throw new graft.GraftConfigError(
+              s"$label.classId does not parse as an expression: ${e.getMessage}")
+        }
+      val quasiLower = quasi.map(_.toLowerCase).toSet
+      val outside = refs.filterNot(r => quasiLower.contains(r.toLowerCase)).distinct
+      if (outside.nonEmpty) throw new graft.GraftConfigError(
+        s"$label.classId references ${outside.mkString(", ")} outside quasiCols — " +
+          "noise must be a function of the released class alone")
+      val salt = (dp \ "salt").extractOpt[Long].getOrElse(
+        throw new graft.GraftConfigError(s"$label section needs integer 'salt'"))
+      dpSaltsSeen.put(salt, label).foreach(prev => throw new graft.GraftConfigError(
+        s"$label.salt duplicates $prev.salt ($salt): two DP releases sharing a " +
+          "salt share their noise draws — a correlation the parallel-composition " +
+          "argument does not cover; give every release its own salt"))
+      val j = (dp \ "j").extractOrElse[Int](1)
+      if (j < 1) throw new graft.GraftConfigError(
+        s"$label.j must be >= 1 (epsilon = $epsNote), got $j")
+      (quasi, classId, salt, j)
+    }
+    def dpStr(dp: JValue, label: String, name: String): String =
+      (dp \ name).extractOpt[String].filter(_.nonEmpty).getOrElse(
+        throw new graft.GraftConfigError(s"$label section needs non-empty '$name'"))
+    def dpNum(dp: JValue, label: String, name: String): Double =
+      (dp \ name).extractOpt[Double].getOrElse(
+        throw new graft.GraftConfigError(s"$label section needs numeric '$name'"))
+
     (cfg \ "dpCensus") match {
       case JNothing => ()
       case dp =>
-        val quasi = (dp \ "quasiCols").extractOpt[Seq[String]].filter(_.nonEmpty).getOrElse(
-          throw new graft.GraftConfigError("dpCensus section needs non-empty 'quasiCols'"))
-        val classId = (dp \ "classId").extractOpt[String].getOrElse(
-          throw new graft.GraftConfigError(
-            "dpCensus section needs 'classId' (a LONG expression over quasiCols, " +
-              "injective across classes)"))
-        // noise must be a function of the RELEASED class alone: every
-        // column the expression touches must be a quasi column. Checked at
-        // parse time — an out-of-class reference would otherwise surface
-        // as an analysis error deep inside the run (or worse, resolve to
-        // a data column and key the noise on it)
-        val refs =
-          try spark.sessionState.sqlParser.parseExpression(classId).collect {
-            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
-          } catch {
-            case e: org.apache.spark.sql.catalyst.parser.ParseException =>
-              throw new graft.GraftConfigError(
-                s"dpCensus.classId does not parse as an expression: ${e.getMessage}")
-          }
-        val quasiLower = quasi.map(_.toLowerCase).toSet
-        val outside = refs.filterNot(r => quasiLower.contains(r.toLowerCase)).distinct
-        if (outside.nonEmpty) throw new graft.GraftConfigError(
-          s"dpCensus.classId references ${outside.mkString(", ")} outside quasiCols — " +
-            "noise must be a function of the released class alone")
-        val salt = (dp \ "salt").extractOpt[Long].getOrElse(
-          throw new graft.GraftConfigError("dpCensus section needs integer 'salt'"))
-        val j = (dp \ "j").extractOrElse[Int](1)
-        if (j < 1) throw new graft.GraftConfigError(
-          s"dpCensus.j must be >= 1 (epsilon = j*ln2), got $j")
+        val (quasi, classId, salt, j) = parseDpCommon(dp, "dpCensus", "j*ln2")
         transforms += ((df: DataFrame) =>
           graft.operators.Privacy.dpCensus(df, quasi,
+            org.apache.spark.sql.functions.expr(classId), salt, j))
+    }
+
+    // the ε-DP sum release: clip to [0, clipHi], per-row quantize by
+    // `unit`, bucket the class sum by floor(clipHi/unit) — the full
+    // sensitivity story lives on [[graft.operators.Privacy.dpSum]];
+    // clip/unit sanity is a parse-time gate here, not a mid-run require
+    (cfg \ "dpSum") match {
+      case JNothing => ()
+      case dp =>
+        val (quasi, classId, salt, j) = parseDpCommon(dp, "dpSum", "j*ln2")
+        val valueCol = dpStr(dp, "dpSum", "valueCol")
+        val clipHi = dpNum(dp, "dpSum", "clipHi")
+        val unit = (dp \ "unit").extractOrElse[Double](1.0)
+        if (!(clipHi > 0 && unit > 0 && unit <= clipHi))
+          throw new graft.GraftConfigError(
+            s"dpSum needs 0 < unit <= clipHi, got unit=$unit clipHi=$clipHi")
+        transforms += ((df: DataFrame) =>
+          graft.operators.Privacy.dpSum(df, quasi, valueCol, clipHi,
+            org.apache.spark.sql.functions.expr(classId), salt, j, unit))
+    }
+
+    // the ε-DP median release: exponential mechanism over a declared
+    // data-independent grid [lo, hi) × bins — the grid is part of the
+    // privacy statement, so it is config, never inferred from the data
+    (cfg \ "dpMedian") match {
+      case JNothing => ()
+      case dp =>
+        val (quasi, classId, salt, j) = parseDpCommon(dp, "dpMedian", "2*j*ln2")
+        val valueCol = dpStr(dp, "dpMedian", "valueCol")
+        val lo = dpNum(dp, "dpMedian", "lo")
+        val hi = dpNum(dp, "dpMedian", "hi")
+        if (!(lo < hi)) throw new graft.GraftConfigError(
+          s"dpMedian needs lo < hi, got [$lo, $hi)")
+        val bins = (dp \ "bins").extractOpt[Int].getOrElse(
+          throw new graft.GraftConfigError("dpMedian section needs integer 'bins'"))
+        if (bins < 2 || bins > 4096) throw new graft.GraftConfigError(
+          s"dpMedian.bins must be in [2, 4096], got $bins")
+        transforms += ((df: DataFrame) =>
+          graft.operators.Privacy.dpMedian(df, quasi, valueCol, lo, hi, bins,
             org.apache.spark.sql.functions.expr(classId), salt, j))
     }
 

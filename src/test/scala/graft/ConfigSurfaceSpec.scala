@@ -551,6 +551,64 @@ class ConfigSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("dpSum and dpMedian are declared release steps; sanity + salt-clash typed") {
+    val root = Files.createTempDirectory("graft-dpcfg2").toString
+    Seq((1L, 10L, 5.0), (2L, 10L, 7.0), (3L, 20L, 100.0), (4L, 20L, 3.0),
+      (5L, 30L, 9.0)).toDF("doc_id", "cls", "v").write.parquet(s"$root/src")
+    def src = s""""source": {"type": "parquet", "path": "$root/src"}"""
+    val sumOut = PipelineConfig.fromJson(spark,
+      s"""{$src, "dpSum": {"quasiCols": ["cls"], "classId": "cls", "salt": 7,
+         |  "valueCol": "v", "clipHi": 50.0, "unit": 10.0}}""".stripMargin)
+      .run(spark).get
+    assert(sumOut.columns.toSeq == Seq("cls", "noisy_sum") && sumOut.count() == 3)
+    val medOut = PipelineConfig.fromJson(spark,
+      s"""{$src, "dpMedian": {"quasiCols": ["cls"], "classId": "cls", "salt": 8,
+         |  "valueCol": "v", "lo": 0.0, "hi": 100.0, "bins": 10}}""".stripMargin)
+      .run(spark).get
+    assert(medOut.columns.toSeq == Seq("cls", "median_bin", "dp_median") &&
+      medOut.count() == 3)
+    // census -> sum chaining is DP post-processing: the sum step consumes
+    // the census's own released column, each step under its own salt
+    val chained = PipelineConfig.fromJson(spark,
+      s"""{$src,
+         |  "dpCensus": {"quasiCols": ["cls"], "classId": "cls", "salt": 7},
+         |  "dpSum": {"quasiCols": ["cls"], "classId": "cls", "salt": 9,
+         |    "valueCol": "noisy_count", "clipHi": 10.0}}""".stripMargin)
+      .run(spark).get
+    assert(chained.columns.toSeq == Seq("cls", "noisy_sum"))
+    // the salt-clash rejection: two DP releases sharing a salt share
+    // their noise draws — a typed parse-time error, not a Scaladoc caveat
+    val eSalt = intercept[graft.GraftConfigError] {
+      PipelineConfig.fromJson(spark,
+        s"""{$src,
+           |  "dpCensus": {"quasiCols": ["cls"], "classId": "cls", "salt": 7},
+           |  "dpSum": {"quasiCols": ["cls"], "classId": "cls", "salt": 7,
+           |    "valueCol": "noisy_count", "clipHi": 10.0}}""".stripMargin)
+    }
+    assert(eSalt.getMessage.contains("salt"), eSalt.getMessage)
+    // per-step sanity gates fire at parse, before anything runs
+    Seq(
+      s""""dpSum": {"quasiCols": ["cls"], "classId": "cls", "salt": 1,
+         |  "valueCol": "v", "clipHi": 0.0}""".stripMargin,
+      s""""dpSum": {"quasiCols": ["cls"], "classId": "cls", "salt": 1,
+         |  "valueCol": "v", "clipHi": 10.0, "unit": 20.0}""".stripMargin,
+      s""""dpSum": {"quasiCols": ["cls"], "classId": "cls", "salt": 1,
+         |  "clipHi": 10.0}""".stripMargin,
+      s""""dpMedian": {"quasiCols": ["cls"], "classId": "cls", "salt": 1,
+         |  "valueCol": "v", "lo": 5.0, "hi": 5.0, "bins": 10}""".stripMargin,
+      s""""dpMedian": {"quasiCols": ["cls"], "classId": "cls", "salt": 1,
+         |  "valueCol": "v", "lo": 0.0, "hi": 5.0, "bins": 1}""".stripMargin,
+      s""""dpMedian": {"quasiCols": ["cls"], "classId": "cls", "salt": 1,
+         |  "valueCol": "v", "lo": 0.0, "bins": 10}""".stripMargin,
+      s""""dpMedian": {"quasiCols": ["cls"], "classId": "doc_id", "salt": 1,
+         |  "valueCol": "v", "lo": 0.0, "hi": 5.0, "bins": 10}""".stripMargin
+    ).foreach { bad =>
+      intercept[graft.GraftConfigError] {
+        PipelineConfig.fromJson(spark, s"{$src, $bad}")
+      }
+    }
+  }
+
   test("scrub/pseudonymize phase, gates, packing and view sources compose in config") {
     // the declared governance shape (curation_pipeline_v4's skeleton): a
     // catalog-view source, phase=beforeDedup scrub (so segment dedup sees
