@@ -1483,6 +1483,69 @@ object SparkEntry {
           lit(if (retired) 1L else 0L).as("log_retired"))
     }),
 
+    "gdpr_composed_flush" -> ((s, dir) => {
+      // the tombstone log's whole reason to exist, driven end to end: ONE
+      // crash-safe flush in which the corpus AND its BM25 index forget the
+      // SAME batched ids. alsoPurge receives the exact materialized id
+      // frame the corpus rewrite used — after the rewrite, before the log
+      // retire — so a crash (or throw) anywhere leaves the log intact and
+      // the re-flush idempotently redoes both sides. The oracle restates
+      // both: per-lang compliant counts are gated admission minus the two
+      // requests' union, and the post-flush topK is the plain BM25 mirror
+      // over that same surviving set (the purged index scores BITWISE
+      // like one never holding the docs). both_sides_forgot pins that the
+      // index purged exactly the admitted∩requested docs and the corpus
+      // holds none of them
+      import s.implicits._
+      val Tomb = graft.streaming.TombstoneLog
+      val root = scratchDir("graft_composed")
+      val corpus = root + "/corpus"
+      val idx = root + "/index"
+      val batch = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+      graft.streaming.Streaming.ingestBatch(batch, corpus, "doc_id", Seq("text"),
+        sidecarMaxBytes = Some(0L)): Unit
+      // the index holds exactly the gated corpus; materialized because the
+      // flush below rewrites the very files this frame reads
+      val admitted = Checkpointing.materialize(s.read.parquet(corpus))
+      streaming.Bm25Index.ingestBatch(
+        admitted.select(col("doc_id"), col("text")), idx, "doc_id", "text",
+        batchId = 0L)
+      val purgePred = pmod(col("doc_id"), lit(8)) === 0 ||
+        pmod(col("doc_id"), lit(12)) === 0
+      Tomb.requestPurge(corpus,
+        batch.filter(pmod(col("doc_id"), lit(8)) === 0).select(col("doc_id")),
+        "doc_id"): Unit
+      Tomb.requestPurge(corpus,
+        batch.filter(pmod(col("doc_id"), lit(12)) === 0).select(col("doc_id")),
+        "doc_id"): Unit
+      var idxPurged = -1L
+      val flushed = Tomb.flushPurge(s, corpus, "doc_id", Seq("text"),
+        alsoPurge = ids => idxPurged = streaming.Bm25Index.purge(s, idx, ids, "doc_id"))
+      val retired = flushed.exists(_._2 == 2) && // both requests, one flush
+        Tomb.pending(s, corpus, "doc_id").count() == 0L
+      val expected = admitted.filter(purgePred).count()
+      val corpusClean = s.read.parquet(corpus).filter(purgePred).count() == 0L
+      val bothForgot = idxPurged == expected && expected > 0L && corpusClean
+      val queries = Seq(
+        (0L, "spark join performance"),
+        (1L, "window agg order"),
+        (2L, "hash table scan")).toDF("query_id", "qtext")
+      val corpusSide = s.read.parquet(corpus).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_compliant"))
+        .select(lit("corpus").as("kind"), col("lang"), col("n_compliant"),
+          lit(null).cast("long").as("query_id"), lit(null).cast("long").as("doc_id"),
+          lit(null).cast("long").as("rank"), lit(null).cast("double").as("score"))
+      val indexSide = streaming.Bm25Index.topK(s, idx, queries, k = 10)
+        .select(lit("topk").as("kind"), lit(null).cast("string").as("lang"),
+          lit(null).cast("long").as("n_compliant"),
+          col("query_id"), col("doc_id"), col("rank"), col("score"))
+      corpusSide.unionByName(indexSide)
+        .withColumn("log_retired", lit(if (retired) 1L else 0L))
+        .withColumn("both_sides_forgot", lit(if (bothForgot) 1L else 0L))
+    }),
+
     "incremental_minhash_dedup" -> ((s, dir) => {
       // NEAR-dup ingestion gate (the exact gate's re-crawl hole closed):
       // band-key bloom probe prunes the batch, (band, bucket) equi-join +
@@ -2587,6 +2650,33 @@ object SparkEntry {
             .otherwise(lit(0L)).as("underest_within_bound"),
           when(col("n_tokens") === col("n"), lit(1L)).otherwise(lit(0L))
             .as("n_matches_exact"))
+    }),
+
+    "hh_dashboard" -> ((s, dir) => {
+      // the CONSUMER API over the heavy-hitters state: the topK ranked
+      // view (rank, threshold, soundness-certified guaranteed flag), not
+      // the raw state map hh_stream_state probes. The token domain here —
+      // first token char, <= 36 keys per lang — sits under the capacity,
+      // so the Misra-Gries summaries are EXACT whatever the batch split
+      // or merge order, and EVERY column of the view replays bitwise in
+      // DuckDB, guaranteed flag included (est > n/(cap+1) on exact
+      // counts). The sketch-regime guarantees at real vocabulary scale
+      // stay pinned by hh_stream_state
+      val cap = 64
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("lang"), col("doc_id"), substring(col("tok"), 1, 1).as("token"))
+      val stateDir = scratchDir("graft_hhdash") + "/state"
+      Seq((0, 0L), (1, 1L)).foreach { case (m, id) =>
+        graft.streaming.HeavyHittersState.mergeBatch(
+          toks.filter(pmod(col("doc_id"), lit(2)) === m).drop("doc_id"),
+          stateDir, "lang", "token", cap, batchId = id): Unit
+      }
+      graft.streaming.HeavyHittersState.topK(s, stateDir, k = 5, capacity = cap)
+        .select(col("group").as("lang"), col("token"), col("est"), col("rank"),
+          col("n_tokens"), col("threshold"),
+          col("guaranteed").cast("long").as("guaranteed"))
     }),
 
     "dp_census" -> ((s, dir) => {
@@ -4327,6 +4417,27 @@ object SparkEntry {
          |  CAST(1 AS BIGINT) AS n_matches_exact
          |FROM c JOIN n USING (lang) WHERE cnt > n / 33.0""".stripMargin,
 
+    // the topK view replays FULLY: the first-char domain keeps the MG
+    // summaries exact, so est/rank/threshold/guaranteed are all plain
+    // exact-count arithmetic (IEEE divides, row_number with the same
+    // est-desc token-asc order)
+    "hh_dashboard" ->
+      s"""WITH t0 AS (SELECT lang, unnest($sqlToks) AS tok FROM documents),
+         |t AS (SELECT lang, substr(tok, 1, 1) AS token FROM t0),
+         |c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS est
+         |  FROM t GROUP BY 1, 2),
+         |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens
+         |  FROM t GROUP BY lang),
+         |r AS (SELECT c.lang, token, est,
+         |  CAST(row_number() OVER (PARTITION BY c.lang
+         |    ORDER BY est DESC, token) AS BIGINT) AS rank, n_tokens
+         |  FROM c JOIN n USING (lang))
+         |SELECT lang, token, est, rank, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / 65.0 AS threshold,
+         |  CAST(CASE WHEN CAST(est AS DOUBLE) > CAST(n_tokens AS DOUBLE) / 65.0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS guaranteed
+         |FROM r WHERE rank <= 5""".stripMargin,
+
     // the seeded geometric mechanism replays EXACTLY: unitHash mirrors
     // bitwise (sqlUnitHash) and every CDF boundary below is the identical
     // double (shortest-roundtrip literals of Privacy.magnitudeBoundaries —
@@ -4916,6 +5027,35 @@ object SparkEntry {
         |FROM batch b JOIN keep k ON b.doc_id = k.doc_id
         |WHERE NOT (b.doc_id % 15 = 0 OR b.doc_id % 20 = 0)
         |GROUP BY b.lang""".stripMargin,
+
+    // the composed flush: both sides restate from the same surviving set —
+    // gated admission minus the requests' union. The corpus rows are the
+    // per-lang set algebra; the topk rows are the plain BM25 mirror over
+    // that set (the purged index is bitwise an index never holding the
+    // docs); the queue/composition flags are engine-verified literals
+    "gdpr_composed_flush" ->
+      s"""WITH batch AS (
+         |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 0),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY md5(text)),
+         |adm AS (SELECT b.doc_id, b.lang, b.text
+         |  FROM batch b JOIN keep k ON b.doc_id = k.doc_id),
+         |surv AS (SELECT * FROM adm
+         |  WHERE NOT (doc_id % 8 = 0 OR doc_id % 12 = 0)),
+         |${sqlBm25(
+             """SELECT * FROM (VALUES (0, 'spark join performance'),
+               |  (1, 'window agg order'), (2, 'hash table scan'))
+               |  AS v(query_id, qtext)""".stripMargin,
+             "surv")}
+         |SELECT 'corpus' AS kind, lang, CAST(count(*) AS BIGINT) AS n_compliant,
+         |  CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS doc_id,
+         |  CAST(NULL AS BIGINT) AS rank, CAST(NULL AS DOUBLE) AS score,
+         |  CAST(1 AS BIGINT) AS log_retired, CAST(1 AS BIGINT) AS both_sides_forgot
+         |FROM surv GROUP BY lang
+         |UNION ALL
+         |SELECT 'topk', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+         |  CAST(query_id AS BIGINT), doc_id, CAST(rank AS BIGINT), score,
+         |  CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+         |FROM ranked WHERE rank <= 10""".stripMargin,
 
     // near-dup gate invariants: the LSH pruning uses xxhash kernels DuckDB
     // cannot replay, so the oracle states each check's guaranteed value as

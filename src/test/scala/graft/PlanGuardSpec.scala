@@ -132,6 +132,9 @@ class PlanGuardSpec extends SparkTestBase {
       "InferFiltersFromGenerate gate ahead of the postings explode — " +
       "computed FROM the decoded text, and row-reducing, not a loss"),
     "hybrid_rrf" -> "same inferred non-empty-token gate on the BM25 rail",
+    "hh_dashboard" -> ("size(hh) > 0 is Catalyst's InferFiltersFromGenerate " +
+      "gate ahead of the state-map explode — and the scan it rides is the " +
+      "groups×capacity-sized state sidecar, never a corpus"),
     "ivf_topk" -> ("in-memory probe filters on the computed centroid; the " +
       "persisted-index path (writeIvfIndex) turns the same filter into " +
       "partition pruning — ScaleLayoutSpec asserts it"),
