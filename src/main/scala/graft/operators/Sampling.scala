@@ -238,12 +238,16 @@ object Sampling {
     *    by q. One IEEE divide per row — the deterministic, exactly-
     *    verifiable stand-in for Gumbel-top-k (which needs two logs).
     *
-    * Scale shape: ONE bucket-keyed shuffle builds the model (target and raw
-    * counts in the same aggregation — `buckets` rows out, so the totals
-    * cross-join and the ratio lookup both broadcast); one doc-keyed shuffle
-    * aggregates scores (map-side partials absorb the bigram explode); the
-    * top-k is orderBy+limit = TakeOrderedAndProject, distributed with no
-    * global exchange. Nothing corpus-sized moves except those two shuffles.
+    * Scale shape: ONE bucket-keyed shuffle builds the model (target and
+    * raw counts in the same aggregation — `buckets` rows out, so the
+    * totals cross-join and the ratio lookup both broadcast); one doc-keyed
+    * shuffle aggregates scores, with the bigram explode absorbed by
+    * map-side partials. The explode is an OUTER explode, so zero-bigram
+    * docs ride the same scoring pass (null bucket → no ratio → neutral
+    * 1.0) — no third corpus-sized pass or docs×scores join to re-admit
+    * them. The top-k is orderBy+limit = TakeOrderedAndProject,
+    * distributed with no global exchange. Nothing corpus-sized moves
+    * except those two shuffles.
     */
   def importanceResample(
       docs: DataFrame,
@@ -259,8 +263,13 @@ object Sampling {
     val grams = when(size(TextAnalysis.tokens(col(textCol))) >= 2,
       TextAnalysis.wordShingles(col(textCol), 2))
       .otherwise(array().cast("array<string>"))
+    // OUTER explode: a zero-bigram doc keeps one row with a NULL gram
+    // (md5(NULL) is NULL, so its bucket is NULL) — it must still compete
+    // in the priority sampling at the neutral score, and carrying it here
+    // is what lets the scoring pass below cover EVERY doc without a third
+    // corpus-sized join to re-admit the empties
     val occ = docs
-      .select(col(idCol), targetPred.as("__tgt"), explode(grams).as("__g"))
+      .select(col(idCol), targetPred.as("__tgt"), explode_outer(grams).as("__g"))
       .select(col(idCol), col("__tgt"),
         (conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long") % buckets).as("__b"))
     // one aggregation carries BOTH distributions: rc = raw occurrences,
@@ -269,7 +278,7 @@ object Sampling {
     // trained artifact, same posture as the k-means codebook): without it,
     // the totals aggregation re-derives this lineage and the plan scans the
     // corpus TWICE — the exact duplicate-scan bug the checkpoint removes
-    val counts = occ.groupBy(col("__b")).agg(
+    val counts = occ.filter(col("__b").isNotNull).groupBy(col("__b")).agg(
       count(lit(1)).as("__rc"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tc"))
       .transform(Checkpointing.materialize)
@@ -283,23 +292,26 @@ object Sampling {
           ((col("__tc") + 1L).cast("double") / (col("__ttot") + lit(buckets.toLong)).cast("double")) /
             ((col("__rc") + 1L).cast("double") / (col("__rtot") + lit(buckets.toLong)).cast("double")) *
             lit(Fp)).cast("long").as("__qr"))
+    // LEFT join keeps the null-bucket (zero-bigram) rows: every observed
+    // bucket has a ratio row, so a real bigram never misses, and the empty
+    // doc's count(__qr) = 0 routes it to the neutral 1.0 below — the
+    // scoring pass covers the whole corpus in one doc-keyed shuffle whose
+    // map-side partials absorb the explode
     val scored = occ
-      .join(broadcast(ratios), Seq("__b"))
+      .join(broadcast(ratios), Seq("__b"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("__qr")).as("__qs"))
+      .agg(count(col("__qr")).as("n_bigrams"), sum(col("__qr")).as("__qs"))
       .select(col(idCol), col("n_bigrams"),
-        ((col("__qs").cast("double") / col("n_bigrams")) / lit(Fp)).as("score"))
+        when(col("n_bigrams") === 0L, lit(1.0))
+          .otherwise((col("__qs").cast("double") / col("n_bigrams")) / lit(Fp))
+          .as("score"))
     // same folded Knuth hash as unitHash (overflow-free at any id), +1 so
     // the divisor is never zero
     val u = (pmod(
       pmod(pmod(col(idCol), lit(2147483648L)) + lit(salt), lit(2147483648L)) * lit(2654435761L),
       lit(4294967296L)) + 1L)
       .cast("double") / lit(4294967296.0)
-    docs.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("score"), lit(1.0)).as("score"))
+    scored
       .withColumn("priority", col("score") / u)
       .orderBy(col("priority").desc, col(idCol).asc)
       .limit(k)
