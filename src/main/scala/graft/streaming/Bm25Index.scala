@@ -410,6 +410,35 @@ object Bm25Index {
             "the index before purging")
       return 0L
     }
+    val lens = spark.read
+      .schema("doc_id BIGINT, dl BIGINT, __b BIGINT")
+      .parquet(lensDirs.map(_.toString): _*)
+    // COVERAGE, not mere non-emptiness: a pre-sidecar index that later
+    // ingests one covered batch would otherwise slip past the guard above
+    // and silently under-purge the uncovered batches' docs. Every
+    // committed batch that ingested docs (stats n_docs > 0 — an EMPTY
+    // micro-batch legitimately leaves no doclens rows) must appear among
+    // the doclens __b stamps; dir names can't carry this after a
+    // compaction fold, the row stamps do. Cost: one distinct over the
+    // docs-count-sized sidecar purge scans anyway, plus the batches-sized
+    // stats read — compliance is worth a second sidecar pass.
+    val coveredB = lens.select(col("__b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val statDirsP = completeDirs(fs, statsDir(dir)).map(_.toString)
+    val statsDfP = if (statDirsP.isEmpty) None
+      else Some(spark.read.parquet(statDirsP.toIndexedSeq: _*))
+    if (!statsDfP.exists(_.columns.contains("__b")))
+      throw new graft.GraftDataError(
+        s"BM25 index at $indexDir predates the __b batch stamp — purge " +
+          "cannot prove doclens coverage; rebuild the index before purging")
+    val needB = statsDfP.get.distinct().filter(col("n_docs") > 0L)
+      .select(col("__b")).collect().map(_.getLong(0)).toSet
+    val uncovered = needB -- coveredB
+    if (uncovered.nonEmpty)
+      throw new graft.GraftDataError(
+        s"BM25 index at $indexDir: _doclens sidecar does not cover committed " +
+          s"batch(es) ${uncovered.toSeq.sorted.mkString(", ")} — purge cannot " +
+          "size those docs' tombstones; rebuild the index before purging")
     val del = ids.select(col(idCol).cast("long").as("doc_id")).na.drop().distinct()
       .join(broadcast(readDeleted(spark, fs, dir).select(col("doc_id"))),
         Seq("doc_id"), "left_anti")
@@ -417,9 +446,7 @@ object Bm25Index {
     // the corpus-scale postings: each present purged doc's (id, dl), once
     // (distinct absorbs redelivery residue; one dl per doc by the
     // batches-partition-the-corpus contract)
-    val tombstones = spark.read
-      .schema("doc_id BIGINT, dl BIGINT, __b BIGINT")
-      .parquet(lensDirs.map(_.toString): _*)
+    val tombstones = lens
       .join(broadcast(del), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("dl")).distinct()
       .transform(graft.Checkpointing.materialize)

@@ -1290,6 +1290,23 @@ class StreamingSpec extends SparkTestBase {
       Bm25Index.purge(spark, idx, Seq(1L).toDF("doc_id"), "doc_id")
     }
     assert(e.getMessage.contains("rebuild"), e.getMessage)
+    // PARTIAL coverage is the sneakier hole: one covered batch must not
+    // vouch for the uncovered ones — the pre-sidecar batch's docs would
+    // silently escape the purge while its caller retires the request
+    val more = Seq((3L, "quick brown fox"), (4L, "lazy dog sleeps")).toDF("doc_id", "text")
+    Bm25Index.ingestBatch(more, idx, "doc_id", "text", batchId = 1L, nShards = 4)
+    val e2 = intercept[graft.GraftDataError] {
+      Bm25Index.purge(spark, idx, Seq(1L).toDF("doc_id"), "doc_id")
+    }
+    assert(e2.getMessage.contains("cover") && e2.getMessage.contains("0"), e2.getMessage)
+    // an EMPTY committed batch leaves no doclens rows by design and must
+    // NOT trip the coverage check: rebuild covered, append an empty batch,
+    // purge proceeds
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-bm25cov").toString + "/idx"
+    Bm25Index.ingestBatch(docs, idx2, "doc_id", "text", batchId = 0L, nShards = 4)
+    Bm25Index.ingestBatch(docs.filter($"doc_id" < 0L), idx2, "doc_id", "text",
+      batchId = 1L, nShards = 4)
+    assert(Bm25Index.purge(spark, idx2, Seq(1L).toDF("doc_id"), "doc_id") == 1L)
   }
 
   test("Bm25Index purge: immediate compliance, bitwise-filtered scores, incremental vacuum") {
