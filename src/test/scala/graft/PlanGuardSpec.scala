@@ -264,10 +264,11 @@ class PlanGuardSpec extends SparkTestBase {
     "drift_report" -> (3, "ONE bucket-keyed count aggregation + the two 1-row " +
       "scalar re-attach aggs (totals, fixed-point TVD); the data is scanned " +
       "once and shuffled once"),
-    "dsir_select" -> (3, "per-doc score agg + docs-side exchange for the all-docs " +
-      "left join + the trivial 1024-row totals collapse; the corpus-sized bucket " +
-      "agg runs ONCE inside the model checkpoint, model/totals broadcast, " +
-      "top-k is TakeOrdered"),
+    "dsir_select" -> (2, "per-doc score agg + the trivial 1024-row totals " +
+      "collapse; the outer explode carries zero-bigram docs through the " +
+      "scoring pass so the old all-docs left join (and its docs-side " +
+      "exchange) is gone, the corpus-sized bucket agg runs ONCE inside the " +
+      "model checkpoint, model/totals broadcast, top-k is TakeOrdered"),
     "containment_dedup" -> (7, "spread guard + shingle-df agg + df-cut join + pair agg " +
       "+ denominator agg + best-containment agg + survivor resolution"),
     "doc_pagerank" -> (7, "one destination-keyed contribution agg per iteration (×5) " +
