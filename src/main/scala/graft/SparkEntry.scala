@@ -1502,23 +1502,26 @@ object SparkEntry {
       val corpus = root + "/corpus"
       val idx = root + "/index"
       val batch = Tables.documents(s, dir)
-        .filter(pmod(col("doc_id"), lit(4)) === 0)
+        .filter(pmod(col("doc_id"), lit(6)) === 0)
         .select(col("doc_id"), col("lang"), col("text"))
       graft.streaming.Streaming.ingestBatch(batch, corpus, "doc_id", Seq("text"),
         sidecarMaxBytes = Some(0L)): Unit
       // the index holds exactly the gated corpus; materialized because the
       // flush below rewrites the very files this frame reads
       val admitted = Checkpointing.materialize(s.read.parquet(corpus))
+      // 16 shards, not the 64 default: shard count never touches scores
+      // (bm25_index_purge exercises the default), and this query's cost
+      // should be the composed-flush semantics, not postings fan-out
       streaming.Bm25Index.ingestBatch(
         admitted.select(col("doc_id"), col("text")), idx, "doc_id", "text",
-        batchId = 0L)
-      val purgePred = pmod(col("doc_id"), lit(8)) === 0 ||
-        pmod(col("doc_id"), lit(12)) === 0
-      Tomb.requestPurge(corpus,
-        batch.filter(pmod(col("doc_id"), lit(8)) === 0).select(col("doc_id")),
-        "doc_id"): Unit
+        batchId = 0L, nShards = 16)
+      val purgePred = pmod(col("doc_id"), lit(12)) === 0 ||
+        pmod(col("doc_id"), lit(18)) === 0
       Tomb.requestPurge(corpus,
         batch.filter(pmod(col("doc_id"), lit(12)) === 0).select(col("doc_id")),
+        "doc_id"): Unit
+      Tomb.requestPurge(corpus,
+        batch.filter(pmod(col("doc_id"), lit(18)) === 0).select(col("doc_id")),
         "doc_id"): Unit
       var idxPurged = -1L
       val flushed = Tomb.flushPurge(s, corpus, "doc_id", Seq("text"),
@@ -5035,12 +5038,12 @@ object SparkEntry {
     // docs); the queue/composition flags are engine-verified literals
     "gdpr_composed_flush" ->
       s"""WITH batch AS (
-         |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 0),
+         |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 6 = 0),
          |keep AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY md5(text)),
          |adm AS (SELECT b.doc_id, b.lang, b.text
          |  FROM batch b JOIN keep k ON b.doc_id = k.doc_id),
          |surv AS (SELECT * FROM adm
-         |  WHERE NOT (doc_id % 8 = 0 OR doc_id % 12 = 0)),
+         |  WHERE NOT (doc_id % 12 = 0 OR doc_id % 18 = 0)),
          |${sqlBm25(
              """SELECT * FROM (VALUES (0, 'spark join performance'),
                |  (1, 'window agg order'), (2, 'hash table scan'))
