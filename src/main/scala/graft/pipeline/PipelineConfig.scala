@@ -384,6 +384,38 @@ object PipelineConfig {
             org.apache.spark.sql.functions.expr(classId), salt, j))
     }
 
+    // the ε-DP quantile release at declared rational q = a/b — dpMedian's
+    // generalization; a and b are config so the ε actually paid
+    // (2·max(a, b−a)·j·ln2) is visible in the declaration, and the
+    // lowest-terms gate fires at parse, not mid-run
+    (cfg \ "dpQuantile") match {
+      case JNothing => ()
+      case dp =>
+        val (quasi, classId, salt, j) = parseDpCommon(dp, "dpQuantile",
+          "2*max(a,b-a)*j*ln2")
+        val valueCol = dpStr(dp, "dpQuantile", "valueCol")
+        val a = (dp \ "a").extractOpt[Int].getOrElse(
+          throw new graft.GraftConfigError("dpQuantile section needs integer 'a'"))
+        val b = (dp \ "b").extractOpt[Int].getOrElse(
+          throw new graft.GraftConfigError("dpQuantile section needs integer 'b'"))
+        if (!(a >= 1 && b >= 2 && a < b)) throw new graft.GraftConfigError(
+          s"dpQuantile needs 1 <= a < b (q = a/b in (0,1)), got $a/$b")
+        if (BigInt(a).gcd(BigInt(b)) != 1) throw new graft.GraftConfigError(
+          s"dpQuantile.q must be in lowest terms (a common factor scales " +
+            s"epsilon silently), got $a/$b")
+        val lo = dpNum(dp, "dpQuantile", "lo")
+        val hi = dpNum(dp, "dpQuantile", "hi")
+        if (!(lo < hi)) throw new graft.GraftConfigError(
+          s"dpQuantile needs lo < hi, got [$lo, $hi)")
+        val bins = (dp \ "bins").extractOpt[Int].getOrElse(
+          throw new graft.GraftConfigError("dpQuantile section needs integer 'bins'"))
+        if (bins < 2 || bins > 4096) throw new graft.GraftConfigError(
+          s"dpQuantile.bins must be in [2, 4096], got $bins")
+        transforms += ((df: DataFrame) =>
+          graft.operators.Privacy.dpQuantile(df, quasi, valueCol, a, b, lo, hi,
+            bins, org.apache.spark.sql.functions.expr(classId), salt, j))
+    }
+
     // greedy sequence packing as the terminal reshape ([[operators.Packing
     // .packGreedy]]): groups by `group`, packs documents (ordered by id)
     // into budget-bounded bins of `tokensFrom` token counts. Output schema

@@ -586,8 +586,26 @@ class ConfigSurfaceSpec extends SparkTestBase {
            |    "valueCol": "noisy_count", "clipHi": 10.0}}""".stripMargin)
     }
     assert(eSalt.getMessage.contains("salt"), eSalt.getMessage)
+    // dpQuantile declares a and b so the declared config names the epsilon
+    // actually paid (2*max(a,b-a)*j*ln2)
+    val qOut = PipelineConfig.fromJson(spark,
+      s"""{$src, "dpQuantile": {"quasiCols": ["cls"], "classId": "cls", "salt": 12,
+         |  "valueCol": "v", "a": 9, "b": 10, "lo": 0.0, "hi": 100.0,
+         |  "bins": 10}}""".stripMargin)
+      .run(spark).get
+    assert(qOut.columns.toSeq == Seq("cls", "quantile_bin", "dp_quantile") &&
+      qOut.count() == 3)
     // per-step sanity gates fire at parse, before anything runs
     Seq(
+      s""""dpQuantile": {"quasiCols": ["cls"], "classId": "cls", "salt": 1,
+         |  "valueCol": "v", "a": 2, "b": 4, "lo": 0.0, "hi": 10.0,
+         |  "bins": 10}""".stripMargin,
+      s""""dpQuantile": {"quasiCols": ["cls"], "classId": "cls", "salt": 1,
+         |  "valueCol": "v", "a": 3, "b": 2, "lo": 0.0, "hi": 10.0,
+         |  "bins": 10}""".stripMargin,
+      s""""dpQuantile": {"quasiCols": ["cls"], "classId": "cls", "salt": 1,
+         |  "valueCol": "v", "b": 2, "lo": 0.0, "hi": 10.0,
+         |  "bins": 10}""".stripMargin,
       s""""dpSum": {"quasiCols": ["cls"], "classId": "cls", "salt": 1,
          |  "valueCol": "v", "clipHi": 0.0}""".stripMargin,
       s""""dpSum": {"quasiCols": ["cls"], "classId": "cls", "salt": 1,
