@@ -283,10 +283,11 @@ object PipelineConfig {
     // --- seeded ε-DP releases as declared steps (beside kAnonymity —
     // suppression bounds linkage, the noisy releases bound inference).
     // Each replaces the frame with its classes-sized noisy table
-    // ([[graft.operators.Privacy]].dpCensus / dpSum / dpMedian). Sections
-    // apply in the order census → sum → median; a later step over an
-    // earlier release is DP post-processing (e.g. a coarse dpSum of fine
-    // noisy counts) and costs no extra ε on the raw data. Shared
+    // ([[graft.operators.Privacy]].dpCensus / dpSum / dpMedian /
+    // dpQuantile). Sections apply in the order census → sum → median →
+    // quantile; a later step over an earlier release is DP post-processing
+    // (e.g. a coarse dpSum of fine noisy counts) and costs no extra ε on
+    // the raw data. Shared
     // contract, enforced at PARSE time so a broken release never runs:
     // `classId` must parse and reference only quasiCols (noise must be a
     // function of the released class alone — an out-of-class reference
@@ -334,6 +335,20 @@ object PipelineConfig {
     def dpNum(dp: JValue, label: String, name: String): Double =
       (dp \ name).extractOpt[Double].getOrElse(
         throw new graft.GraftConfigError(s"$label section needs numeric '$name'"))
+    // the shared grid contract of the exponential-mechanism steps: the
+    // data-independent [lo, hi) × bins candidate grid is config, never
+    // inferred from the data (grid choice is part of the privacy statement)
+    def dpGrid(dp: JValue, label: String): (Double, Double, Int) = {
+      val lo = dpNum(dp, label, "lo")
+      val hi = dpNum(dp, label, "hi")
+      if (!(lo < hi)) throw new graft.GraftConfigError(
+        s"$label needs lo < hi, got [$lo, $hi)")
+      val bins = (dp \ "bins").extractOpt[Int].getOrElse(
+        throw new graft.GraftConfigError(s"$label section needs integer 'bins'"))
+      if (bins < 2 || bins > 4096) throw new graft.GraftConfigError(
+        s"$label.bins must be in [2, 4096], got $bins")
+      (lo, hi, bins)
+    }
 
     (cfg \ "dpCensus") match {
       case JNothing => ()
@@ -371,14 +386,7 @@ object PipelineConfig {
       case dp =>
         val (quasi, classId, salt, j) = parseDpCommon(dp, "dpMedian", "2*j*ln2")
         val valueCol = dpStr(dp, "dpMedian", "valueCol")
-        val lo = dpNum(dp, "dpMedian", "lo")
-        val hi = dpNum(dp, "dpMedian", "hi")
-        if (!(lo < hi)) throw new graft.GraftConfigError(
-          s"dpMedian needs lo < hi, got [$lo, $hi)")
-        val bins = (dp \ "bins").extractOpt[Int].getOrElse(
-          throw new graft.GraftConfigError("dpMedian section needs integer 'bins'"))
-        if (bins < 2 || bins > 4096) throw new graft.GraftConfigError(
-          s"dpMedian.bins must be in [2, 4096], got $bins")
+        val (lo, hi, bins) = dpGrid(dp, "dpMedian")
         transforms += ((df: DataFrame) =>
           graft.operators.Privacy.dpMedian(df, quasi, valueCol, lo, hi, bins,
             org.apache.spark.sql.functions.expr(classId), salt, j))
@@ -403,14 +411,7 @@ object PipelineConfig {
         if (BigInt(a).gcd(BigInt(b)) != 1) throw new graft.GraftConfigError(
           s"dpQuantile.q must be in lowest terms (a common factor scales " +
             s"epsilon silently), got $a/$b")
-        val lo = dpNum(dp, "dpQuantile", "lo")
-        val hi = dpNum(dp, "dpQuantile", "hi")
-        if (!(lo < hi)) throw new graft.GraftConfigError(
-          s"dpQuantile needs lo < hi, got [$lo, $hi)")
-        val bins = (dp \ "bins").extractOpt[Int].getOrElse(
-          throw new graft.GraftConfigError("dpQuantile section needs integer 'bins'"))
-        if (bins < 2 || bins > 4096) throw new graft.GraftConfigError(
-          s"dpQuantile.bins must be in [2, 4096], got $bins")
+        val (lo, hi, bins) = dpGrid(dp, "dpQuantile")
         transforms += ((df: DataFrame) =>
           graft.operators.Privacy.dpQuantile(df, quasi, valueCol, a, b, lo, hi,
             bins, org.apache.spark.sql.functions.expr(classId), salt, j))

@@ -415,13 +415,22 @@ object Bm25Index {
       .parquet(lensDirs.map(_.toString): _*)
     // COVERAGE, not mere non-emptiness: a pre-sidecar index that later
     // ingests one covered batch would otherwise slip past the guard above
-    // and silently under-purge the uncovered batches' docs. Every
-    // committed batch that ingested docs (stats n_docs > 0 — an EMPTY
+    // and silently under-purge the uncovered batches' docs. Every batch
+    // that reached the STATS write with docs (n_docs > 0 — an EMPTY
     // micro-batch legitimately leaves no doclens rows) must appear among
     // the doclens __b stamps; dir names can't carry this after a
-    // compaction fold, the row stamps do. Cost: one distinct over the
-    // docs-count-sized sidecar purge scans anyway, plus the batches-sized
-    // stats read — compliance is worth a second sidecar pass.
+    // compaction fold, the row stamps do — and the net deliberately
+    // includes TORN batches (stats written, marker not), whose postings
+    // the read-side distinct already serves. The one window this guard
+    // cannot see is a batch torn BEFORE its stats write (postings landed,
+    // nothing else): that batch is the ingest crash-discipline's to
+    // finish — redelivery under the same batchId rewrites stats+doclens —
+    // and an ABANDONED stream in that state leaves the index torn, which
+    // no sidecar can prove from here (detecting it would price a
+    // corpus-scale postings scan into every purge). Cost as shipped: one
+    // distinct over the docs-count-sized sidecar purge scans anyway, plus
+    // the batches-sized stats read — compliance is worth a second
+    // sidecar pass.
     val coveredB = lens.select(col("__b")).distinct()
       .collect().map(_.getLong(0)).toSet
     val statDirsP = completeDirs(fs, statsDir(dir)).map(_.toString)
@@ -436,9 +445,10 @@ object Bm25Index {
     val uncovered = needB -- coveredB
     if (uncovered.nonEmpty)
       throw new graft.GraftDataError(
-        s"BM25 index at $indexDir: _doclens sidecar does not cover committed " +
-          s"batch(es) ${uncovered.toSeq.sorted.mkString(", ")} — purge cannot " +
-          "size those docs' tombstones; rebuild the index before purging")
+        s"BM25 index at $indexDir: _doclens sidecar does not cover " +
+          s"stats-recorded batch(es) ${uncovered.toSeq.sorted.mkString(", ")} — " +
+          "purge cannot size those docs' tombstones; rebuild the index " +
+          "before purging")
     val del = ids.select(col(idCol).cast("long").as("doc_id")).na.drop().distinct()
       .join(broadcast(readDeleted(spark, fs, dir).select(col("doc_id"))),
         Seq("doc_id"), "left_anti")
