@@ -1483,6 +1483,32 @@ object SparkEntry {
           lit(if (retired) 1L else 0L).as("log_retired"))
     }),
 
+    "bm25_fsck" -> ((s, dir) => {
+      // the index integrity report: one row per batch seen anywhere
+      // (postings __b stamps, stats, doclens, commit markers) with the
+      // health verdict — the maintenance action that pays the postings
+      // one-column scan ONCE to see the torn shape purge's coverage guard
+      // cannot (a batch abandoned between its postings and stats writes).
+      // On a healthy two-batch index every flag is true and n_docs
+      // replays exactly in DuckDB
+      val idx = scratchDir("graft_bm25fsck") + "/index"
+      val docs = Tables.documents(s, dir)
+      streaming.Bm25Index.ingestBatch(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0), idx, "doc_id", "text",
+        batchId = 0L, nShards = 8)
+      streaming.Bm25Index.ingestBatch(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 5), idx, "doc_id", "text",
+        batchId = 1L, nShards = 8)
+      streaming.Bm25Index.fsck(s, idx)
+        .select(col("batch_id"),
+          col("committed").cast("long").as("committed"),
+          col("in_postings").cast("long").as("in_postings"),
+          col("in_stats").cast("long").as("in_stats"),
+          col("in_doclens").cast("long").as("in_doclens"),
+          col("n_docs"),
+          col("ok").cast("long").as("ok"))
+    }),
+
     "gdpr_composed_flush" -> ((s, dir) => {
       // the tombstone log's whole reason to exist, driven end to end: ONE
       // crash-safe flush in which the corpus AND its BM25 index forget the
@@ -5030,6 +5056,22 @@ object SparkEntry {
         |FROM batch b JOIN keep k ON b.doc_id = k.doc_id
         |WHERE NOT (b.doc_id % 15 = 0 OR b.doc_id % 20 = 0)
         |GROUP BY b.lang""".stripMargin,
+
+    // a healthy index's report is all-true flags with exact per-batch doc
+    // counts — the torn shapes are spec territory (StreamingSpec), the
+    // healthy contract is the oracle's
+    "bm25_fsck" ->
+      """SELECT CAST(0 AS BIGINT) AS batch_id, CAST(1 AS BIGINT) AS committed,
+        |  CAST(1 AS BIGINT) AS in_postings, CAST(1 AS BIGINT) AS in_stats,
+        |  CAST(1 AS BIGINT) AS in_doclens,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 10 = 0)
+        |    AS n_docs,
+        |  CAST(1 AS BIGINT) AS ok
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        |  CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 10 = 5),
+        |  CAST(1 AS BIGINT)""".stripMargin,
 
     // the composed flush: both sides restate from the same surviving set —
     // gated admission minus the requests' union. The corpus rows are the

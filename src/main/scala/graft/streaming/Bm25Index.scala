@@ -427,7 +427,8 @@ object Bm25Index {
     // finish — redelivery under the same batchId rewrites stats+doclens —
     // and an ABANDONED stream in that state leaves the index torn, which
     // no sidecar can prove from here (detecting it would price a
-    // corpus-scale postings scan into every purge). Cost as shipped: one
+    // corpus-scale postings scan into every purge; [[fsck]] pays that
+    // scan once, on the maintainer's schedule). Cost as shipped: one
     // distinct over the docs-count-sized sidecar purge scans anyway, plus
     // the batches-sized stats read — compliance is worth a second
     // sidecar pass.
@@ -603,5 +604,64 @@ object Bm25Index {
       .distinct()
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     Retrieval.scoreAndRank(postings, qterms, nDocs, avgdl, k, k1, b)
+  }
+
+  /** Integrity report: one row per batch id observed ANYWHERE in the
+    * index (postings `__b` stamps, stats rows, doclens rows, commit
+    * markers) with where it was seen and whether the batch is healthy —
+    * `ok` = committed AND stats-recorded AND (empty, or covered by both
+    * postings and doclens). This is the maintenance-time answer to the
+    * one window [[purge]]'s coverage guard cannot see (a batch torn
+    * before its stats write whose stream was then abandoned): detecting
+    * it needs the postings `__b` stamps, and THIS action pays that scan
+    * — column-pruned to the one `__b` column — once, on the maintainer's
+    * schedule, instead of pricing it into every purge request. Run it
+    * after recovering an interrupted stream, or before trusting an index
+    * of unknown provenance with right-to-be-forgotten traffic; any
+    * non-`ok` row means redeliver that batch (same batchId — the ingest
+    * crash discipline completes it idempotently) or rebuild.
+    *
+    * Cost: one postings scan of one column + the batches-sized sidecar
+    * reads; the report itself is batches-sized. Read-only — never
+    * repairs, so it is safe to run beside a live maintainer.
+    */
+  def fsck(spark: SparkSession, indexDir: String): DataFrame = {
+    val (fs, dir) = fileSystem(spark, indexDir)
+    readMeta(fs, dir).getOrElse(
+      throw new graft.GraftDataError(s"no BM25 index at $indexDir"))
+    import spark.implicits._
+    val postB: Set[Long] =
+      if (shardDataFiles(fs, postingsDir(dir)).isEmpty) Set.empty
+      else spark.read.parquet(postingsDir(dir).toString)
+        .select(col("__b")).distinct().collect().map(_.getLong(0)).toSet
+    val statRows: Map[Long, Long] = {
+      val dirs = completeDirs(fs, statsDir(dir)).map(_.toString)
+      if (dirs.isEmpty) Map.empty
+      else {
+        val df = spark.read.parquet(dirs.toIndexedSeq: _*)
+        if (!df.columns.contains("__b"))
+          throw new graft.GraftDataError(
+            s"stats sidecar at ${statsDir(dir)} predates the __b batch stamp — " +
+              "rebuild the index (fsck cannot attribute unstamped stats rows)")
+        df.distinct().select(col("__b"), col("n_docs")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+    }
+    val lensB: Set[Long] = {
+      val dirs = completeDirs(fs, doclensDir(dir)).map(_.toString)
+      if (dirs.isEmpty) Set.empty
+      else spark.read.schema("doc_id BIGINT, dl BIGINT, __b BIGINT")
+        .parquet(dirs.toIndexedSeq: _*)
+        .select(col("__b")).distinct().collect().map(_.getLong(0)).toSet
+    }
+    val committed = committedMarkers(fs, dir).map(_.stripPrefix("b").toLong).toSet
+    (postB ++ statRows.keySet ++ lensB ++ committed).toSeq.sorted.map { b =>
+      val nDocs = statRows.getOrElse(b, -1L) // -1 = no stats row
+      val ok = committed.contains(b) && statRows.contains(b) &&
+        (nDocs == 0L || (postB.contains(b) && lensB.contains(b)))
+      (b, committed.contains(b), postB.contains(b), statRows.contains(b),
+        lensB.contains(b), nDocs, ok)
+    }.toDF("batch_id", "committed", "in_postings", "in_stats", "in_doclens",
+      "n_docs", "ok")
   }
 }

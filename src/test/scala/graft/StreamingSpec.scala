@@ -1309,6 +1309,39 @@ class StreamingSpec extends SparkTestBase {
     assert(Bm25Index.purge(spark, idx2, Seq(1L).toDF("doc_id"), "doc_id") == 1L)
   }
 
+  test("Bm25Index fsck reports every torn shape the purge guard cannot see") {
+    // the maintenance-time postings-__b scan: healthy batches (including
+    // a committed EMPTY one) report ok; a lost doclens sidecar and an
+    // uncommitted postings-only batch (stats+doclens+marker gone — the
+    // abandoned mid-crash stream) both surface as non-ok rows naming
+    // exactly where the batch was and wasn't seen
+    import graft.streaming.Bm25Index
+    import org.apache.hadoop.fs.Path
+    val docs = Seq((1L, "spark join"), (2L, "window order")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-bm25fsck").toString + "/idx"
+    Bm25Index.ingestBatch(docs, idx, "doc_id", "text", batchId = 0L, nShards = 4)
+    Bm25Index.ingestBatch(docs.filter($"doc_id" < 0L), idx, "doc_id", "text",
+      batchId = 1L, nShards = 4) // committed empty batch
+    def report() = Bm25Index.fsck(spark, idx).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getLong(5), r.getBoolean(6)))).toMap
+    val healthy = report()
+    assert(healthy(0L) == ((true, true, true, true, 2L, true)), healthy.toString)
+    assert(healthy(1L) == ((true, false, true, false, 0L, true)),
+      "a committed empty batch is healthy with no postings or doclens rows")
+    // lost doclens: batch 0 flips to non-ok, seen everywhere but there
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(idx, "_doclens"), true))
+    val torn = report()
+    assert(torn(0L) == ((true, true, true, false, 2L, false)), torn.toString)
+    // abandoned mid-crash stream: postings landed, nothing else — fsck is
+    // the ONLY component that can see this shape (purge's guard cannot)
+    assert(fs.delete(new Path(idx, "_stats/b0"), true))
+    assert(fs.delete(new Path(idx, "_batches/b0"), true))
+    val orphan = report()
+    assert(orphan(0L) == ((false, true, false, false, -1L, false)), orphan.toString)
+  }
+
   test("Bm25Index purge: immediate compliance, bitwise-filtered scores, incremental vacuum") {
     import graft.streaming.Bm25Index
     import graft.operators.Retrieval
