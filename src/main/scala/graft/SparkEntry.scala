@@ -307,6 +307,46 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"))
         .orderBy(col("event_id"))),
 
+    "zonemap_skipping" -> ((s, dir) => {
+      // zone-map FILE skipping end-to-end (graft.sources.v2.ZoneMap): the
+      // events table lands in the connector as 8 append commits of
+      // contiguous event_id slabs — the realistic many-appends-over-time
+      // shape, each commit's per-file min/max riding its manifest into the
+      // _zonemap sidecar. The narrow id window is then planned with
+      // file-level skipping BEFORE any footer read; the engine-verified
+      // flag pins that exactly the slab files intersecting the window
+      // survived and every other file was refuted from statistics alone
+      // (at 100 TB this is the difference between O(files) and O(matching
+      // files) planning metadata reads). Oracle: the same window on the
+      // source table, flag stated TRUE.
+      val out = scratchDir("graft_zonemap") + "/t"
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val n = ev.count()
+      val slabs = 8
+      def slabBounds(i: Int): (Long, Long) =
+        (i.toLong * n / slabs, if (i == slabs - 1) n else (i + 1).toLong * n / slabs)
+      (0 until slabs).foreach { i =>
+        val (lo, hi) = slabBounds(i)
+        ev.filter(col("event_id") >= lo && col("event_id") < hi)
+          .coalesce(1).write.format("graft-parquet").mode("append").save(out)
+      }
+      val (loW, hiW) = (100L, 160L)
+      val back = s.read.format("graft-parquet").load(out)
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val (total, pruned) = graft.sources.v2.ZoneMap.pruneReport(
+        outPath.getFileSystem(s.sparkContext.hadoopConfiguration), outPath,
+        Array(org.apache.spark.sql.sources.GreaterThanOrEqual("event_id", loW),
+          org.apache.spark.sql.sources.LessThan("event_id", hiW)),
+        back.schema)
+      val expectScanned = (0 until slabs).count { i =>
+        val (lo, hi) = slabBounds(i); lo < hiW && hi > loW
+      }
+      val ok = total == slabs && pruned == slabs - expectScanned && expectScanned <= 2
+      back.filter(col("event_id") >= loW && col("event_id") < hiW)
+        .withColumn("zm_pruned_ok", lit(ok))
+    }),
+
     "dedup_keep_first" -> ((s, dir) =>
       Ops.dedupKeepFirst(DedupSpec(Seq("user_id"), Seq("ts"), Some(col("event_id"))))(
         Sources.events(s, dir))
@@ -3692,6 +3732,10 @@ object SparkEntry {
     "events_scan_v2" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
+
+    "zonemap_skipping" ->
+      """SELECT event_id, user_id, event_type, value, TRUE AS zm_pruned_ok
+        |FROM events WHERE event_id >= 100 AND event_id < 160""".stripMargin,
 
     "dedup_keep_first" ->
       """SELECT user_id, event_id, value FROM (

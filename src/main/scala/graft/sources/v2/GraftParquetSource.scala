@@ -134,14 +134,26 @@ final case class GraftScan(
     val p = new Path(path)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
-    val files =
+    val listed =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
       else Array(p)
+    // zone-map FILE skipping before any footer read: a file whose committed
+    // min/max/null statistics refute the pushed conjunction plans zero
+    // partitions and costs zero metadata round-trips (the 100 TB planning
+    // bottleneck — see ZoneMap). Files without an entry scan un-pruned.
+    val files =
+      if (filters.isEmpty) listed
+      else {
+        val zm = ZoneMap.load(fs, p)
+        if (zm.isEmpty) listed
+        else listed.filter(f =>
+          zm.get(f.getName).forall(ZoneMap.mayMatchAll(filters, _, full)))
+      }
     // one partition per row group: tile each file into contiguous byte
     // ranges cut at row-group starting offsets (footer metadata — one
-    // driver-side footer read per file; a production connector would cache
-    // these in a metadata store)
+    // driver-side footer read per surviving file; a production connector
+    // would cache these in a metadata store)
     files.sortBy(_.toString).flatMap { f =>
       val len = fs.getFileStatus(f).getLen
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
@@ -194,8 +206,11 @@ object GraftScan {
     shapeOk && refs(f).forall(primitive)
   }
 
-  /** Total order across the numeric value classes Spark puts in Filters. */
-  private def cmp(field: Any, value: Any): Option[Int] = (field, value) match {
+  /** Total order across the numeric value classes Spark puts in Filters.
+    * Shared with [[ZoneMap]] so statistics pruning and record-level
+    * evaluation can never disagree on ordering.
+    */
+  private[v2] def cmp(field: Any, value: Any): Option[Int] = (field, value) match {
     case (a: String, b: String) => Some(a.compareTo(b))
     case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(a, b))
     case (a: Number, b: Number) =>

@@ -60,23 +60,60 @@ object GraftParquetWrite {
       }
     }
 
-  private[v2] def commitFiles(fs: FileSystem, table: Path, staging: Path, names: Seq[String]): Unit = {
+  private[v2] def commitFiles(fs: FileSystem, table: Path, staging: Path,
+      entries: Seq[(String, ZoneMap.FileStats)]): Unit =
+    commitLines(fs, table, staging,
+      entries.map { case (n, s) => s"$n\t${ZoneMap.encode(s)}" })
+
+  /** Manifest line format — three shapes, one per maintenance need:
+    *   - `fileName\t<zone-map json>`: add with statistics (every writer
+    *     commit since the zone map landed);
+    *   - `fileName`: add without statistics (pre-zone-map manifests stay
+    *     replayable — the file simply scans un-pruned);
+    *   - `~fileName`: REMOVE a committed file ([[GraftTableOptimize]]'s
+    *     swap) — unambiguous because writer-produced names always start
+    *     with `part-`.
+    * The manifest write is the commit point; the stats ride it so a crash
+    * anywhere after this write still produces the zone-map sidecar when
+    * recover() replays the roll-forward.
+    */
+  private[v2] def commitLines(fs: FileSystem, table: Path, staging: Path,
+      lines: Seq[String]): Unit = {
     val man = fs.create(manifestPath(staging), true)
-    try man.write(names.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try man.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally man.close()
     commit(fs, table, staging)
   }
 
   private def commit(fs: FileSystem, table: Path, staging: Path): Unit = {
     val in = fs.open(manifestPath(staging))
-    val names =
+    val lines =
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
       finally in.close()
-    names.foreach { n =>
+    val (removalLines, addLines) = lines.partition(_.startsWith("~"))
+    val adds: Seq[(String, Option[ZoneMap.FileStats])] = addLines.map { line =>
+      val cut = line.indexOf('\t')
+      if (cut < 0) (line, None)
+      else (line.substring(0, cut), Some(ZoneMap.decode(line.substring(cut + 1))))
+    }
+    // adds before removals: a replayed swap must never pass through a state
+    // with the rows missing (duplicates inside the crash window are the
+    // maintenance contract's to exclude — see GraftTableOptimize)
+    adds.foreach { case (n, _) =>
       val from = new Path(staging, n)
       if (fs.exists(from)) fs.rename(from, new Path(table, n))
     }
+    removalLines.foreach { r =>
+      fs.delete(new Path(table, r.substring(1)), false) // idempotent-by-absence
+    }
+    // sidecar BEFORE the staging delete: a crash between the two replays
+    // this commit (manifest still present) and overwrites the same
+    // zm-<queryId> idempotently; a crash before it replays the same way.
+    // File names are queryId-unique, so the entry can never describe a
+    // different file than the one just renamed.
+    ZoneMap.write(fs, table, staging.getName.stripPrefix(StagingPrefix),
+      adds.collect { case (n, Some(s)) => (n, s) })
     fs.delete(staging, true)
   }
 
@@ -133,8 +170,8 @@ final case class GraftBatchWrite(path: String, queryId: String, schema: StructTy
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = withFs { (fs, table) =>
-    val names = messages.collect { case GraftCommitMessage(name) => name }.toSeq
-    GraftParquetWrite.commitFiles(fs, table, GraftParquetWrite.stagingDir(table, queryId), names)
+    val entries = messages.collect { case GraftCommitMessage(name, stats) => (name, stats) }.toSeq
+    GraftParquetWrite.commitFiles(fs, table, GraftParquetWrite.stagingDir(table, queryId), entries)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = withFs { (fs, table) =>
@@ -142,7 +179,8 @@ final case class GraftBatchWrite(path: String, queryId: String, schema: StructTy
   }
 }
 
-final case class GraftCommitMessage(fileName: String) extends WriterCommitMessage
+final case class GraftCommitMessage(fileName: String, stats: ZoneMap.FileStats)
+    extends WriterCommitMessage
 
 final case class GraftWriterFactory(path: String, queryId: String, schema: StructType)
     extends DataWriterFactory {
@@ -163,6 +201,9 @@ final class GraftDataWriter(
     new Path(GraftParquetWrite.stagingDir(new Path(path), queryId), fileName)
   private val msgType = GraftParquetWrite.toMessageType(schema)
   private val factory = new SimpleGroupFactory(msgType)
+  // zone-map statistics ride along for free: the task sees every row it
+  // writes, so min/max/null-count cost one comparison per column per row
+  private val stats = new ZoneMap.Collector(schema)
 
   private val writer: ParquetWriter[Group] = {
     val conf = new Configuration()
@@ -170,6 +211,7 @@ final class GraftDataWriter(
   }
 
   override def write(row: InternalRow): Unit = {
+    stats.observe(row)
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
@@ -193,7 +235,7 @@ final class GraftDataWriter(
 
   override def commit(): WriterCommitMessage = {
     writer.close()
-    GraftCommitMessage(fileName)
+    GraftCommitMessage(fileName, stats.result)
   }
 
   override def abort(): Unit = {

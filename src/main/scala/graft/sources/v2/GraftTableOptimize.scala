@@ -1,0 +1,142 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** OPTIMIZE for graft-parquet tables: bin-pack small committed files toward
+  * `targetBytes`, crash-anywhere-safely, and fold the per-commit `_zonemap`
+  * sidecars to one file.
+  *
+  * Why this exists: the connector's append model (one staged commit per
+  * write job, one file per task) is the right durability unit, but a table
+  * fed by many incremental appends accumulates many small files — at 100 TB
+  * the planner pays a footer read per file and tasks go IO-bound on open
+  * costs (the classic small-file problem). OPTIMIZE is the standard
+  * amortized answer: rewrite the small tail into ~targetBytes files, leave
+  * the already-big files alone.
+  *
+  * Protocol — the SAME manifest roll-forward as every write
+  * ([[GraftParquetWrite]]), extended with removal lines:
+  *
+  *  1. the packed replacement files are written (distributed, through the
+  *     connector itself, so their zone-map stats are collected on the way)
+  *     into a standalone mini-table INSIDE the staging dir — underscore
+  *     prefix keeps all of it invisible to readers;
+  *  2. the driver moves the packed files to the staging root under
+  *     optimize-unique names and writes the staging manifest: one
+  *     `name\t<stats json>` add line per packed file plus one `~name`
+  *     removal line per consumed small file (data file names always start
+  *     with `part-`, so `~` is unambiguous) — the manifest write is the
+  *     commit point;
+  *  3. roll-forward: adds rename in, removals delete, the zone-map entry
+  *     for the adds is written, staging drops. Replay after a crash
+  *     anywhere converges: renames are idempotent-by-absence, deletes are
+  *     idempotent-by-absence, the sidecar write overwrites its own file.
+  *  4. sidecar fold: one `zm-optfold-<id>` carrying every SURVIVING file's
+  *     entry is written, then the superseded zm files drop. Both windows
+  *     are safe: duplicate entries agree (names are never reused) and a
+  *     stale entry names a file the listing no longer returns.
+  *
+  * Contract: single writer, maintenance window — like
+  * [[graft.streaming.Bm25Index.compact]], OPTIMIZE assumes no concurrent
+  * reader mid-swap (a reader racing step 3 can see a packed file and a
+  * not-yet-deleted source together). Crash recovery restores exactness
+  * before the next read: every write job and OPTIMIZE itself run
+  * [[GraftParquetWrite.recover]] first.
+  */
+object GraftTableOptimize {
+
+  final case class OptimizeReport(
+      filesBefore: Int, filesAfter: Int, filesRewritten: Int,
+      bytesRewritten: Long, zmSidecarsBefore: Int, zmSidecarsAfter: Int)
+
+  /** Rewrite committed files smaller than `smallBytes` into ~targetBytes
+    * packed files. No-op (beyond recovery + sidecar folding) when fewer
+    * than `minGroup` small files exist — one small file gains nothing from
+    * a rewrite.
+    */
+  def optimize(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024, smallBytes: Long = 32L * 1024 * 1024,
+      minGroup: Int = 2): OptimizeReport = {
+    require(targetBytes > 0 && smallBytes > 0 && smallBytes <= targetBytes,
+      s"need 0 < smallBytes <= targetBytes, got $smallBytes/$targetBytes")
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(table), s"no table at $path")
+    GraftParquetWrite.recover(fs, table)
+
+    def dataFiles() = fs.listStatus(table)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles()
+    val small = before.filter(_.getLen < smallBytes)
+    val zmBefore = zmFiles(fs, table).length
+
+    if (small.length < minGroup) {
+      val folded = foldSidecars(fs, table)
+      return OptimizeReport(before.length, before.length, 0, 0L, zmBefore, folded)
+    }
+
+    // optimize-unique id: names must never collide with a past or future
+    // commit's (write names embed Spark queryIds; this embeds time + nonce,
+    // the TombstoneLog discipline)
+    val optId = s"opt-${System.currentTimeMillis()}-${(math.abs(scala.util.Random.nextLong()) % 0xFFFFFF).toHexString}"
+    val staging = GraftParquetWrite.stagingDir(table, optId)
+    fs.mkdirs(staging)
+
+    // 1. distributed packed write THROUGH the connector into a mini-table
+    //    inside staging: stats ride along exactly like a normal write
+    val packedDir = new Path(staging, "packed")
+    val bytes = small.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
+      .coalesce(nOut)
+      .write.format("graft-parquet").mode("append").save(packedDir.toString)
+
+    // 2. move packed files up under final names; manifest = adds + removals
+    val packedStats = ZoneMap.load(fs, packedDir)
+    val moved = fs.listStatus(packedDir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.map { case (st, i) =>
+        val finalName = s"part-$optId-$i.parquet"
+        val to = new Path(staging, finalName)
+        require(fs.rename(st.getPath, to), s"stage move failed for ${st.getPath}")
+        (finalName, packedStats.get(st.getPath.getName))
+      }.toSeq
+    val lines =
+      moved.map { case (n, s) => s.map(st => s"$n\t${ZoneMap.encode(st)}").getOrElse(n) } ++
+        small.map(st => s"~${st.getPath.getName}")
+    fs.delete(packedDir, true) // drop the mini-table scaffolding pre-commit
+
+    // 3. commit point + roll-forward (idempotent on replay via recover)
+    GraftParquetWrite.commitLines(fs, table, staging, lines)
+
+    // 4. fold the sidecars down to one
+    val zmAfter = foldSidecars(fs, table)
+    OptimizeReport(before.length, dataFiles().length, small.length, bytes, zmBefore, zmAfter)
+  }
+
+  private def zmFiles(fs: FileSystem, table: Path): Array[Path] = {
+    val d = ZoneMap.dir(table)
+    if (!fs.exists(d)) Array.empty
+    else fs.listStatus(d).map(_.getPath).filter(_.getName.startsWith("zm-"))
+  }
+
+  /** Rewrite the zone-map sidecar set as ONE file holding every surviving
+    * data file's entry, then drop the superseded files. Crash windows are
+    * benign in both orders: a duplicate entry agrees with itself (file
+    * names are never reused) and a stale entry names a file the listing
+    * no longer returns. Returns the sidecar count after folding.
+    */
+  def foldSidecars(fs: FileSystem, table: Path): Int = {
+    val olds = zmFiles(fs, table)
+    if (olds.length <= 1) return olds.length
+    val live = fs.listStatus(table)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    val entries = ZoneMap.load(fs, table).filter { case (n, _) => live.contains(n) }
+    val foldName = s"optfold-${System.currentTimeMillis()}-${(math.abs(scala.util.Random.nextLong()) % 0xFFFFFF).toHexString}"
+    if (entries.nonEmpty) ZoneMap.write(fs, table, foldName, entries.toSeq.sortBy(_._1))
+    olds.foreach(p => fs.delete(p, false))
+    zmFiles(fs, table).length
+  }
+}

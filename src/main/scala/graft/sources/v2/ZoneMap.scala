@@ -1,0 +1,275 @@
+package graft.sources.v2
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Planning-time FILE skipping for the `graft-parquet` connector: per-file
+  * min/max/null-count zone maps, collected for free while each task writes
+  * its rows and carried crash-safely through the staged-commit manifest
+  * (the manifest line format is `fileName\t<stats json>`; the manifest is
+  * already the commit point, so a replayed roll-forward replays the zone-map
+  * write too — see [[GraftParquetWrite]]).
+  *
+  * Why this matters at 100 TB: [[GraftScan.planInputPartitions]] reads one
+  * parquet FOOTER per file to tile row groups. Row-group skipping via
+  * parquet statistics only helps after that footer read; on a 100k-file
+  * table the planner pays 100k metadata round-trips per query. The zone map
+  * is the Delta/Iceberg data-skipping move re-expressed on this connector:
+  * the driver folds `_zonemap/zm-*` (one small line-file per commit,
+  * O(commits) reads, compactable) and drops every file whose statistics
+  * PROVE the pushed conjunction empty — those files cost zero footer reads,
+  * zero partitions, zero tasks.
+  *
+  * Semantics contract: pruning must agree with the record-level evaluator
+  * ([[GraftScan.eval]]) — a file is skipped only when NO row in it could
+  * satisfy every pushed filter. All comparisons go through the same
+  * [[GraftScan.cmp]] total order the evaluator uses, so the two can never
+  * disagree on ordering. Conservatism rules:
+  *
+  *   - a file with no zone-map entry (written before this feature, or a
+  *     torn sidecar line) is always scanned;
+  *   - a column with NaN values suppresses pruning on that column entirely
+  *     (`nan` flag; NaN's ordering vs min/max would otherwise need
+  *     per-filter-shape case analysis — the Delta approach);
+  *   - a column absent from the entry is always may-match;
+  *   - min/max absent with `nulls == rows` means the column is entirely
+  *     NULL in that file, which REFUTES any comparison filter (SQL
+  *     three-valued logic: `x < v` is never true for NULL x).
+  *
+  * The sidecar is advisory for liveness but load-bearing for correctness in
+  * one direction only: an entry must never describe different content than
+  * the file it names. File names are queryId-unique and never reused
+  * ([[GraftDataWriter]]), so a stale entry can only name a file that no
+  * longer exists — harmless, the file listing drives the scan.
+  */
+object ZoneMap {
+
+  val DirName = "_zonemap"
+
+  /** Per-column statistics of one committed file. `min`/`max` are the
+    * column's native values rendered to strings (Long/Int/Boolean exact;
+    * Double/Float via shortest-round-trip `toString`, re-parsed bitwise;
+    * Strings verbatim — JSON escaping keeps tabs/newlines out of the
+    * line format). Absent when the column is entirely NULL in the file.
+    */
+  final case class ColStats(min: Option[String], max: Option[String], nulls: Long, nan: Boolean)
+
+  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+
+  // ---------------------------------------------------------------- encode
+
+  def encode(s: FileStats): String = {
+    val cols = JObject(s.cols.toList.sortBy(_._1).map { case (name, c) =>
+      name -> JObject(List(
+        "min" -> c.min.map(JString(_): JValue).getOrElse(JNothing),
+        "max" -> c.max.map(JString(_): JValue).getOrElse(JNothing),
+        "nulls" -> JLong(c.nulls),
+        "nan" -> JBool(c.nan)).filterNot(_._2 == JNothing))
+    })
+    JsonMethods.compact(JsonMethods.render(JObject("rows" -> JLong(s.rows), "cols" -> cols)))
+  }
+
+  def decode(json: String): FileStats = {
+    val v = JsonMethods.parse(json)
+    val rows = (v \ "rows") match {
+      case JLong(n) => n
+      case JInt(n) => n.toLong
+      case other => throw new graft.GraftDataError(s"zonemap entry missing rows: $other")
+    }
+    val cols = (v \ "cols") match {
+      case JObject(fields) => fields.map { case (name, cv) =>
+        def str(k: String) = (cv \ k) match { case JString(x) => Some(x); case _ => None }
+        def lng(k: String) = (cv \ k) match {
+          case JLong(x) => x; case JInt(x) => x.toLong; case _ => 0L
+        }
+        val nan = (cv \ "nan") match { case JBool(b) => b; case _ => false }
+        name -> ColStats(str("min"), str("max"), lng("nulls"), nan)
+      }.toMap
+      case _ => Map.empty[String, ColStats]
+    }
+    FileStats(rows, cols)
+  }
+
+  // ------------------------------------------------------------- collector
+
+  /** Streaming min/max/null collector the data writer drives once per row —
+    * one comparison per column per row, no allocation on the hot path.
+    * Restricted to the connector's primitive type set (enforced at plan
+    * time by [[GraftParquetWrite.toMessageType]]).
+    */
+  final class Collector(schema: StructType) {
+    private val n = schema.length
+    private val mins = new Array[Any](n)
+    private val maxs = new Array[Any](n)
+    private val nulls = new Array[Long](n)
+    private val nans = new Array[Boolean](n)
+    private var rows = 0L
+
+    def observe(row: InternalRow): Unit = {
+      var i = 0
+      while (i < n) {
+        if (row.isNullAt(i)) nulls(i) += 1
+        else {
+          val v: Any = schema(i).dataType match {
+            case LongType => row.getLong(i)
+            case IntegerType => row.getInt(i)
+            case DoubleType =>
+              val d = row.getDouble(i)
+              if (java.lang.Double.isNaN(d)) { nans(i) = true; null } else d
+            case FloatType =>
+              val f = row.getFloat(i)
+              if (java.lang.Float.isNaN(f)) { nans(i) = true; null } else f
+            case BooleanType => row.getBoolean(i)
+            case StringType => row.getUTF8String(i).toString
+            case other => throw new graft.GraftConfigError(
+              s"unreachable: '${schema(i).name}' ($other) was gated at plan time")
+          }
+          if (v != null) {
+            if (mins(i) == null || GraftScan.cmp(v, mins(i)).exists(_ < 0)) mins(i) = v
+            if (maxs(i) == null || GraftScan.cmp(v, maxs(i)).exists(_ > 0)) maxs(i) = v
+          }
+        }
+        i += 1
+      }
+      rows += 1
+    }
+
+    def result: FileStats = FileStats(rows, schema.fields.zipWithIndex.map { case (f, i) =>
+      f.name -> ColStats(
+        Option(mins(i)).map(_.toString), Option(maxs(i)).map(_.toString), nulls(i), nans(i))
+    }.toMap)
+  }
+
+  // --------------------------------------------------------------- pruning
+
+  /** Parse a stored bound back into the comparison domain of the table
+    * schema's column type (the domain [[GraftScan.cmp]] orders). Double and
+    * Float round-trip bitwise through `toString`/`parse` for every non-NaN
+    * value (Java shortest-round-trip contract); NaN never reaches storage.
+    */
+  private def parseBound(s: String, dt: DataType): Option[Any] =
+    scala.util.Try[Any](dt match {
+      case LongType => java.lang.Long.parseLong(s)
+      case IntegerType => java.lang.Integer.parseInt(s)
+      case DoubleType => java.lang.Double.parseDouble(s)
+      case FloatType => java.lang.Float.parseFloat(s)
+      case BooleanType => java.lang.Boolean.parseBoolean(s)
+      case StringType => s
+      case other => throw new graft.GraftDataError(s"no bound domain for $other")
+    }).toOption // a corrupt bound must stay may-match, never fail the plan
+
+  /** True iff SOME row of a file with these statistics could satisfy the
+    * filter — the may-match test. Returning true when unsure is the safe
+    * direction; returning false is a proof of emptiness.
+    */
+  def mayMatch(f: Filter, stats: FileStats, schema: StructType): Boolean = {
+    def col(a: String): Option[ColStats] = stats.cols.get(a)
+    def dtOf(a: String): Option[DataType] = schema.fields.find(_.name == a).map(_.dataType)
+    // bounds usable for comparison pruning: None = cannot prune on this
+    // column (no entry, NaN-poisoned, or unparseable); Some(None) = the
+    // column is entirely NULL here, so every comparison is refuted
+    def bounds(a: String): Option[Option[(Any, Any)]] = col(a).flatMap { c =>
+      if (c.nan) None
+      else if (c.min.isEmpty || c.max.isEmpty) {
+        // no non-null value was observed: all rows NULL (or the file is
+        // empty) — comparisons cannot match; guard with the null count so
+        // a malformed entry stays conservative
+        if (c.nulls == stats.rows) Some(None) else None
+      } else dtOf(a).flatMap(dt =>
+        parseBound(c.min.get, dt).zip(parseBound(c.max.get, dt))).map(b => Some(b))
+    }
+    def cmpMay(a: String, test: ((Any, Any)) => Boolean): Boolean = bounds(a) match {
+      case None => true // unknown: may match
+      case Some(None) => false // all NULL: comparison refuted
+      case Some(Some(b)) => test(b)
+    }
+    // a cross-type cmp miss (None) must stay may-match in BOTH polarities
+    def lt(x: Any, y: Any) = GraftScan.cmp(x, y).forall(_ < 0)
+    def le(x: Any, y: Any) = GraftScan.cmp(x, y).forall(_ <= 0)
+    f match {
+      case IsNull(a) => col(a).forall(_.nulls > 0)
+      case IsNotNull(a) => col(a).forall(c => c.nulls < stats.rows)
+      case EqualTo(a, v) => cmpMay(a, { case (mn, mx) => le(mn, v) && le(v, mx) })
+      case GreaterThan(a, v) => cmpMay(a, { case (_, mx) => lt(v, mx) })
+      case GreaterThanOrEqual(a, v) => cmpMay(a, { case (_, mx) => le(v, mx) })
+      case LessThan(a, v) => cmpMay(a, { case (mn, _) => lt(mn, v) })
+      case LessThanOrEqual(a, v) => cmpMay(a, { case (mn, _) => le(mn, v) })
+      case In(a, vs) => cmpMay(a, { case (mn, mx) => vs.exists(v => le(mn, v) && le(v, mx)) })
+      case _ => true // unreachable: evaluable() gates acceptance
+    }
+  }
+
+  /** May the file match the whole pushed CONJUNCTION? One refuted conjunct
+    * refutes the file.
+    */
+  def mayMatchAll(filters: Array[Filter], stats: FileStats, schema: StructType): Boolean =
+    filters.forall(mayMatch(_, stats, schema))
+
+  // --------------------------------------------------------------- sidecar
+
+  def dir(table: Path): Path = new Path(table, DirName)
+
+  /** One sidecar file per commit, named by the commit's queryId so a
+    * replayed roll-forward overwrites its own entry idempotently.
+    */
+  def write(fs: FileSystem, table: Path, commitId: String,
+      entries: Seq[(String, FileStats)]): Unit =
+    if (entries.nonEmpty) {
+      val out = fs.create(new Path(dir(table), s"zm-$commitId"), true)
+      try out.write(entries.map { case (n, s) => s"$n\t${encode(s)}" }
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+  /** Fold every commit's sidecar into fileName → stats. Torn or malformed
+    * lines are dropped (their files simply scan un-pruned); file names are
+    * never reused, so later commits cannot shadow earlier ones.
+    */
+  def load(fs: FileSystem, table: Path): Map[String, FileStats] = {
+    val d = dir(table)
+    if (!fs.exists(d)) Map.empty
+    else {
+      val acc = mutable.Map.empty[String, FileStats]
+      fs.listStatus(d).map(_.getPath).filter(_.getName.startsWith("zm-")).sortBy(_.getName)
+        .foreach { p =>
+          val in = fs.open(p)
+          val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+          text.split('\n').foreach { line =>
+            val cut = line.indexOf('\t')
+            if (cut > 0) {
+              try acc.put(line.substring(0, cut), decode(line.substring(cut + 1)))
+              catch { case _: Exception => () } // torn line: scan un-pruned
+            }
+          }
+        }
+      acc.toMap
+    }
+  }
+
+  /** Planner-grade prune report for a table + pushed conjunction, the same
+    * decision [[GraftScan.planInputPartitions]] makes — public so a caller
+    * (or an oracle query's engine-verified flag) can pin that skipping
+    * actually happened without reaching into the scan.
+    * Returns (totalDataFiles, prunedDataFiles).
+    */
+  def pruneReport(fs: FileSystem, table: Path, filters: Array[Filter],
+      schema: StructType): (Int, Int) = {
+    val files =
+      if (fs.getFileStatus(table).isDirectory)
+        fs.listStatus(table).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      else Array(table)
+    val zm = load(fs, table)
+    val pruned = files.count(f =>
+      zm.get(f.getName).exists(st => !mayMatchAll(filters, st, schema)))
+    (files.length, pruned)
+  }
+}

@@ -1,0 +1,338 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+import graft.sources.v2.{GraftScan, ZoneMap}
+
+/** Zone-map file skipping on the graft-parquet connector: statistics
+  * collection, the may-match algebra's conservatism, sidecar crash
+  * semantics, and the planner actually dropping refuted files.
+  */
+class ZoneMapSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def freshTable(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  // ------------------------------------------------------------- encoding
+
+  test("zone-map stats JSON round-trips, including control chars in string bounds") {
+    val s = ZoneMap.FileStats(7L, Map(
+      "id" -> ZoneMap.ColStats(Some("3"), Some("99"), 1L, nan = false),
+      "txt" -> ZoneMap.ColStats(Some("a\tb\nc"), Some("z\"quote"), 0L, nan = false),
+      "score" -> ZoneMap.ColStats(None, None, 7L, nan = false),
+      "f" -> ZoneMap.ColStats(Some("1.5"), Some("2.5"), 0L, nan = true)))
+    val line = ZoneMap.encode(s)
+    assert(!line.contains('\t') && !line.contains('\n'),
+      s"encoded stats must stay line/tab-format-safe: $line")
+    assert(ZoneMap.decode(line) == s)
+  }
+
+  test("double bounds round-trip bitwise through the string encoding") {
+    val values = Seq(1.0 / 3.0, -0.0, Double.MinPositiveValue, 1.7976931348623157e308, 42.0)
+    values.foreach { d =>
+      val s = ZoneMap.FileStats(1L, Map("v" -> ZoneMap.ColStats(
+        Some(d.toString), Some(d.toString), 0L, nan = false)))
+      val back = ZoneMap.decode(ZoneMap.encode(s)).cols("v").min.get
+      assert(java.lang.Double.doubleToRawLongBits(java.lang.Double.parseDouble(back)) ==
+        java.lang.Double.doubleToRawLongBits(d), s"$d must survive bitwise")
+    }
+  }
+
+  // -------------------------------------------------------- mayMatch algebra
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  private def st(min: String, max: String, nulls: Long = 0, rows: Long = 10,
+      nan: Boolean = false) =
+    ZoneMap.FileStats(rows, Map("id" -> ZoneMap.ColStats(
+      Option(min), Option(max), nulls, nan)))
+
+  test("comparison filters prune outside [min,max] and keep overlaps") {
+    val s = st("10", "20")
+    def may(f: Filter) = ZoneMap.mayMatch(f, s, schema)
+    assert(!may(EqualTo("id", 9L)) && may(EqualTo("id", 10L)) &&
+      may(EqualTo("id", 15L)) && may(EqualTo("id", 20L)) && !may(EqualTo("id", 21L)))
+    assert(!may(GreaterThan("id", 20L)) && may(GreaterThan("id", 19L)))
+    assert(may(GreaterThanOrEqual("id", 20L)) && !may(GreaterThanOrEqual("id", 21L)))
+    assert(!may(LessThan("id", 10L)) && may(LessThan("id", 11L)))
+    assert(may(LessThanOrEqual("id", 10L)) && !may(LessThanOrEqual("id", 9L)))
+    assert(!may(In("id", Array(1L, 5L, 25L))) && may(In("id", Array(1L, 12L))))
+    // cross-numeric widening: an Int literal against a Long column still prunes
+    assert(!may(EqualTo("id", 9)) && may(EqualTo("id", 15)))
+  }
+
+  test("null-count logic: IsNull/IsNotNull prune exactly, all-NULL refutes comparisons") {
+    val noNulls = st("10", "20", nulls = 0)
+    val allNull = ZoneMap.FileStats(10L, Map("id" -> ZoneMap.ColStats(None, None, 10L, nan = false)))
+    val mixed = st("10", "20", nulls = 3)
+    assert(!ZoneMap.mayMatch(IsNull("id"), noNulls, schema))
+    assert(ZoneMap.mayMatch(IsNull("id"), mixed, schema))
+    assert(ZoneMap.mayMatch(IsNull("id"), allNull, schema))
+    assert(!ZoneMap.mayMatch(IsNotNull("id"), allNull, schema))
+    assert(ZoneMap.mayMatch(IsNotNull("id"), mixed, schema))
+    // SQL three-valued logic: a comparison is never true on an all-NULL column
+    assert(!ZoneMap.mayMatch(EqualTo("id", 15L), allNull, schema))
+    assert(!ZoneMap.mayMatch(GreaterThan("id", 0L), allNull, schema))
+  }
+
+  test("conservatism: NaN poisoning, missing columns, and unknown filters never prune") {
+    val nanPoisoned = st("10", "20", nan = true)
+    assert(ZoneMap.mayMatch(EqualTo("id", 999L), nanPoisoned, schema),
+      "a NaN-bearing column must not prune (NaN ordering vs bounds is shape-specific)")
+    val s = st("10", "20")
+    assert(ZoneMap.mayMatch(EqualTo("name", "zzz"), s, schema),
+      "a column with no stats entry must stay may-match")
+    assert(ZoneMap.mayMatch(StringStartsWith("id", "1"), s, schema),
+      "a filter shape outside the algebra must stay may-match")
+    // empty file: everything is refuted (no row can match anything)
+    val empty = ZoneMap.FileStats(0L, Map("id" -> ZoneMap.ColStats(None, None, 0L, nan = false)))
+    assert(!ZoneMap.mayMatch(EqualTo("id", 1L), empty, schema))
+    assert(!ZoneMap.mayMatch(IsNull("id"), empty, schema))
+    assert(!ZoneMap.mayMatch(IsNotNull("id"), empty, schema))
+  }
+
+  test("pruning agrees with record-level eval on randomized files (no false drops)") {
+    val rnd = new scala.util.Random(421337L)
+    val sch = StructType(Seq(StructField("x", LongType), StructField("s", StringType)))
+    (1 to 200).foreach { _ =>
+      // a random small file: values + nulls; build its true stats
+      val xs = Seq.fill(1 + rnd.nextInt(6))(
+        if (rnd.nextInt(4) == 0) null else java.lang.Long.valueOf(rnd.nextInt(30).toLong))
+      val nonNull = xs.filter(_ != null).map(_.asInstanceOf[Long])
+      val stats = ZoneMap.FileStats(xs.size.toLong, Map("x" -> ZoneMap.ColStats(
+        if (nonNull.isEmpty) None else Some(nonNull.min.toString),
+        if (nonNull.isEmpty) None else Some(nonNull.max.toString),
+        xs.count(_ == null).toLong, nan = false)))
+      val v = rnd.nextInt(30).toLong
+      val fs: Seq[Filter] = Seq(EqualTo("x", v), GreaterThan("x", v), LessThan("x", v),
+        GreaterThanOrEqual("x", v), LessThanOrEqual("x", v), IsNull("x"), IsNotNull("x"),
+        In("x", Array(v, v + 3)))
+      fs.foreach { f =>
+        val anyRowMatches = xs.exists(x =>
+          GraftScan.eval(f, name => if (name == "x") x else null))
+        if (anyRowMatches)
+          assert(ZoneMap.mayMatch(f, stats, sch),
+            s"$f matched a row of $xs but the zone map pruned the file")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ end-to-end
+
+  test("connector writes collect stats into the sidecar and the scan prunes files") {
+    val dir = freshTable("graft-zm-e2e")
+    // three commits with disjoint id ranges → three sidecar entries
+    def slab(lo: Long) = spark.range(lo, lo + 100)
+      .select(col("id"), concat(lit("n-"), col("id")).as("name"),
+        (col("id") * 0.5).as("score"))
+    slab(0).coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    slab(100).coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    slab(200).coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val fs = fsOf(dir)
+    val zm = ZoneMap.load(fs, new Path(dir))
+    assert(zm.size == 3, s"three committed files must have three entries, got ${zm.keySet}")
+    zm.values.foreach(s => assert(s.rows == 100L))
+    // a narrow id predicate proves two of three files empty
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    val filters: Array[Filter] = Array(GreaterThanOrEqual("id", 120L), LessThan("id", 150L))
+    val (total, pruned) = ZoneMap.pruneReport(fs, new Path(dir), filters, sch)
+    assert(total == 3 && pruned == 2, s"expected 2/3 files pruned, got $pruned/$total")
+    // the planner plans only the surviving file's row groups
+    val df = spark.read.format("graft-parquet").load(dir)
+      .filter(col("id") >= 120L && col("id") < 150L)
+    assert(df.rdd.getNumPartitions == 1,
+      s"pruned plan must touch one file, planned ${df.rdd.getNumPartitions} partitions")
+    // and the result is exactly right
+    assert(df.select("id").as[Long].collect().sorted.toSeq == (120L until 150L))
+    // a filter NO file can satisfy plans zero partitions
+    val none = spark.read.format("graft-parquet").load(dir).filter(col("id") === 999L)
+    assert(none.rdd.getNumPartitions == 0 && none.count() == 0)
+  }
+
+  test("string and double bounds prune; NaN columns opt out end-to-end") {
+    val dir = freshTable("graft-zm-types")
+    Seq(("apple", 1.0), ("banana", 2.0)).toDF("w", "v")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    Seq(("melon", Double.NaN), ("pear", 4.0)).toDF("w", "v")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val fs = fsOf(dir)
+    val zm = ZoneMap.load(fs, new Path(dir))
+    assert(zm.size == 2)
+    val sch = StructType(Seq(StructField("w", StringType), StructField("v", DoubleType)))
+    // string range refutes the first file for w >= 'm'
+    val (t1, p1) = ZoneMap.pruneReport(fs, new Path(dir), Array(GreaterThanOrEqual("w", "m")), sch)
+    assert(t1 == 2 && p1 == 1)
+    // the NaN-bearing file never prunes on v, the clean one does
+    val (_, p2) = ZoneMap.pruneReport(fs, new Path(dir), Array(GreaterThan("v", 100.0)), sch)
+    assert(p2 == 1, "only the NaN-free file may prune on v")
+    // results stay exact under Spark's NaN-greatest ordering either way
+    val got = spark.read.format("graft-parquet").load(dir)
+      .filter(col("v") > 100.0).select("w").as[String].collect().toSet
+    assert(got == Set("melon"), s"NaN > 100.0 under Spark ordering; got $got")
+  }
+
+  test("a manifest without stats (pre-zone-map commit) rolls forward and scans un-pruned") {
+    val dir = freshTable("graft-zm-compat")
+    val table = new Path(dir)
+    val fs = fsOf(dir)
+    // stage an old-format commit by hand: data file + bare-name manifest
+    import graft.sources.v2.GraftParquetWrite
+    val staging = GraftParquetWrite.stagingDir(table, "oldq")
+    fs.mkdirs(staging)
+    Seq((1L, "a")).toDF("id", "name").coalesce(1).write.parquet(staging.toString + "/tmp")
+    val part = fs.listStatus(new Path(staging, "tmp"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.rename(part, new Path(staging, "part-oldq-0-0.parquet"))
+    fs.delete(new Path(staging, "tmp"), true)
+    val man = fs.create(new Path(staging, "manifest"), true)
+    try man.write("part-oldq-0-0.parquet".getBytes("UTF-8")) finally man.close()
+    GraftParquetWrite.recover(fs, table)
+    assert(!fs.exists(staging))
+    assert(ZoneMap.load(fs, table).isEmpty, "a bare-name manifest adds no zone-map entry")
+    // the un-entried file is always scanned, even under a refutable filter
+    val df = spark.read.format("graft-parquet").load(dir).filter(col("id") === 1L)
+    assert(df.count() == 1)
+  }
+
+  test("optimize bin-packs small files, folds sidecars, preserves rows and pruning") {
+    import graft.sources.v2.GraftTableOptimize
+    val dir = freshTable("graft-zm-opt")
+    // ten tiny append commits (the incremental-feed shape)
+    (0 until 10).foreach { i =>
+      spark.range(i * 50L, (i + 1) * 50L)
+        .select(col("id"), concat(lit("n-"), col("id")).as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val fs = fsOf(dir)
+    assert(ZoneMap.load(fs, new Path(dir)).size == 10)
+    val rep = GraftTableOptimize.optimize(spark, dir,
+      targetBytes = 1L << 20, smallBytes = 1L << 20)
+    assert(rep.filesBefore == 10 && rep.filesRewritten == 10 && rep.filesAfter == 1,
+      s"ten tiny files must pack to one, got $rep")
+    assert(rep.zmSidecarsAfter == 1, s"sidecars must fold to one, got $rep")
+    // rows exact, stats correct, pruning still proves emptiness
+    val back = spark.read.format("graft-parquet").load(dir)
+    assert(back.count() == 500 &&
+      back.select(org.apache.spark.sql.functions.sum("id")).head().getLong(0) == 500L * 499 / 2)
+    val zm = ZoneMap.load(fs, new Path(dir))
+    assert(zm.size == 1 && zm.values.head.rows == 500L)
+    val c = zm.values.head.cols("id")
+    assert(c.min.contains("0") && c.max.contains("499"))
+    assert(spark.read.format("graft-parquet").load(dir)
+      .filter(col("id") === 9999L).rdd.getNumPartitions == 0,
+      "a refuted filter still plans zero partitions after optimize")
+    // a second optimize is a no-op beyond recovery (one big file left)
+    val rep2 = GraftTableOptimize.optimize(spark, dir,
+      targetBytes = 1L << 20, smallBytes = 1L << 20)
+    assert(rep2.filesRewritten == 0 && rep2.filesAfter == 1)
+  }
+
+  test("optimize respects smallBytes: big files stay in place") {
+    import graft.sources.v2.GraftTableOptimize
+    val dir = freshTable("graft-zm-optbig")
+    spark.range(0, 1000).select(col("id"), concat(lit("x"), col("id")).as("name"))
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    Seq((5000L, "a")).toDF("id", "name")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    Seq((5001L, "b")).toDF("id", "name")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val fs = fsOf(dir)
+    val bigName = fs.listStatus(new Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .maxBy(_.getLen).getPath.getName
+    val bigLen = fs.listStatus(new Path(dir)).filter(_.getPath.getName == bigName).head.getLen
+    // threshold below the big file's size: only the two tiny commits pack
+    val rep = GraftTableOptimize.optimize(spark, dir,
+      targetBytes = 1L << 20, smallBytes = bigLen)
+    assert(rep.filesRewritten == 2 && rep.filesAfter == 2, s"got $rep")
+    assert(fs.exists(new Path(dir, bigName)), "the big file must not be touched")
+    val back = spark.read.format("graft-parquet").load(dir)
+    assert(back.count() == 1002)
+  }
+
+  test("an interrupted optimize swap replays to exactness from its manifest") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    val dir = freshTable("graft-zm-optcrash")
+    val table = new Path(dir)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    Seq((3L, "c")).toDF("id", "name")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val fs = fsOf(dir)
+    val olds = fs.listStatus(table)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSeq
+    // stage the swap by hand up to the commit point, then "crash": a packed
+    // replacement file + a manifest with its add and both removals
+    val staging = GraftParquetWrite.stagingDir(table, "optcrashq")
+    fs.mkdirs(staging)
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+      .coalesce(1).write.parquet(staging.toString + "/tmp")
+    val part = fs.listStatus(new Path(staging, "tmp"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val packedName = "part-optcrashq-0.parquet"
+    fs.rename(part, new Path(staging, packedName))
+    fs.delete(new Path(staging, "tmp"), true)
+    val stats = ZoneMap.FileStats(3L, Map(
+      "id" -> ZoneMap.ColStats(Some("1"), Some("3"), 0L, nan = false)))
+    val man = fs.create(new Path(staging, "manifest"), true)
+    try man.write((s"$packedName\t${ZoneMap.encode(stats)}" +:
+      olds.map("~" + _)).mkString("\n").getBytes("UTF-8"))
+    finally man.close()
+    // recovery completes the swap: adds in, removals out, sidecar written
+    GraftParquetWrite.recover(fs, table)
+    assert(!fs.exists(staging))
+    olds.foreach(n => assert(!fs.exists(new Path(dir, n)), s"$n must be removed"))
+    assert(fs.exists(new Path(dir, packedName)))
+    import spark.implicits._
+    assert(spark.read.format("graft-parquet").load(dir)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(ZoneMap.load(fs, table).get(packedName).contains(stats))
+    // replaying the SAME manifest again (second crash before staging drop)
+    // converges to the identical state
+    fs.mkdirs(staging)
+    val man2 = fs.create(new Path(staging, "manifest"), true)
+    try man2.write((s"$packedName\t${ZoneMap.encode(stats)}" +:
+      olds.map("~" + _)).mkString("\n").getBytes("UTF-8"))
+    finally man2.close()
+    GraftParquetWrite.recover(fs, table)
+    assert(spark.read.format("graft-parquet").load(dir).count() == 3)
+    // the fold keeps only surviving files' entries
+    GraftTableOptimize.foldSidecars(fs, table)
+    assert(ZoneMap.load(fs, table).keySet == Set(packedName))
+  }
+
+  test("a replayed roll-forward rewrites the same sidecar entry idempotently") {
+    val dir = freshTable("graft-zm-replay")
+    val table = new Path(dir)
+    val fs = fsOf(dir)
+    Seq((5L, "x"), (9L, "y")).toDF("id", "name")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val before = ZoneMap.load(fs, table)
+    assert(before.size == 1)
+    val name = before.keySet.head
+    // simulate the crash window: the commit completed (file renamed, sidecar
+    // written) but the staging delete did not happen — recover() replays
+    val queryId = name.stripPrefix("part-").split('-').dropRight(2).mkString("-")
+    val staging = graft.sources.v2.GraftParquetWrite.stagingDir(table, queryId)
+    fs.mkdirs(staging)
+    val man = fs.create(new Path(staging, "manifest"), true)
+    try man.write(s"$name\t${ZoneMap.encode(before(name))}".getBytes("UTF-8"))
+    finally man.close()
+    graft.sources.v2.GraftParquetWrite.recover(fs, table)
+    assert(!fs.exists(staging))
+    val after = ZoneMap.load(fs, table)
+    assert(after == before, "replaying the commit must not change the zone map")
+    assert(spark.read.format("graft-parquet").load(dir).count() == 2)
+  }
+}
