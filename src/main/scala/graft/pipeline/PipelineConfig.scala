@@ -297,6 +297,14 @@ object PipelineConfig {
     // correlation [[graft.operators.Privacy.seededUniform]] warns about,
     // here a typed error instead of a Scaladoc caveat.
     val dpSaltsSeen = scala.collection.mutable.HashMap.empty[Long, String]
+    // the ε accountant: every declared DP step records the ε it pays, and a
+    // declared `privacyBudget.epsilonMax` caps the SUM at parse time —
+    // worst-case sequential composition (Dwork-Roth Thm 3.16; summing is an
+    // upper bound here since a later step over an earlier release is
+    // post-processing and pays nothing on the raw data). The gate makes the
+    // total privacy cost of a config a declaration the parser enforces, not
+    // an audit someone runs later.
+    val dpEpsSpent = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def parseDpCommon(dp: JValue, label: String, epsNote: String)
         : (Seq[String], String, Long, Int) = {
       val quasi = (dp \ "quasiCols").extractOpt[Seq[String]].filter(_.nonEmpty).getOrElse(
@@ -354,6 +362,7 @@ object PipelineConfig {
       case JNothing => ()
       case dp =>
         val (quasi, classId, salt, j) = parseDpCommon(dp, "dpCensus", "j*ln2")
+        dpEpsSpent += (("dpCensus", j * math.log(2.0)))
         transforms += ((df: DataFrame) =>
           graft.operators.Privacy.dpCensus(df, quasi,
             org.apache.spark.sql.functions.expr(classId), salt, j))
@@ -373,6 +382,7 @@ object PipelineConfig {
         if (!(clipHi > 0 && unit > 0 && unit <= clipHi))
           throw new graft.GraftConfigError(
             s"dpSum needs 0 < unit <= clipHi, got unit=$unit clipHi=$clipHi")
+        dpEpsSpent += (("dpSum", j * math.log(2.0)))
         transforms += ((df: DataFrame) =>
           graft.operators.Privacy.dpSum(df, quasi, valueCol, clipHi,
             org.apache.spark.sql.functions.expr(classId), salt, j, unit))
@@ -387,6 +397,7 @@ object PipelineConfig {
         val (quasi, classId, salt, j) = parseDpCommon(dp, "dpMedian", "2*j*ln2")
         val valueCol = dpStr(dp, "dpMedian", "valueCol")
         val (lo, hi, bins) = dpGrid(dp, "dpMedian")
+        dpEpsSpent += (("dpMedian", 2.0 * j * math.log(2.0)))
         transforms += ((df: DataFrame) =>
           graft.operators.Privacy.dpMedian(df, quasi, valueCol, lo, hi, bins,
             org.apache.spark.sql.functions.expr(classId), salt, j))
@@ -412,9 +423,29 @@ object PipelineConfig {
           s"dpQuantile.q must be in lowest terms (a common factor scales " +
             s"epsilon silently), got $a/$b")
         val (lo, hi, bins) = dpGrid(dp, "dpQuantile")
+        dpEpsSpent += (("dpQuantile", 2.0 * math.max(a, b - a) * j * math.log(2.0)))
         transforms += ((df: DataFrame) =>
           graft.operators.Privacy.dpQuantile(df, quasi, valueCol, a, b, lo, hi,
             bins, org.apache.spark.sql.functions.expr(classId), salt, j))
+    }
+
+    // the budget gate itself — after every DP section has recorded its ε
+    (cfg \ "privacyBudget") match {
+      case JNothing => ()
+      case pb =>
+        val epsMax = (pb \ "epsilonMax").extractOpt[Double].getOrElse(
+          throw new graft.GraftConfigError(
+            "privacyBudget section needs numeric 'epsilonMax'"))
+        if (!(epsMax > 0)) throw new graft.GraftConfigError(
+          s"privacyBudget.epsilonMax must be > 0, got $epsMax")
+        val spent = dpEpsSpent.map(_._2).sum
+        // 1e-9 slack: a user stating the budget as a rounded decimal of
+        // k*ln2 must not be rejected over float summation order
+        if (spent - epsMax > 1e-9) throw new graft.GraftConfigError(
+          s"privacy budget exceeded: declared DP steps pay epsilon = $spent " +
+            s"(${dpEpsSpent.map { case (n, e) => f"$n=$e%.4f" }.mkString(" + ")}) " +
+            s"under sequential composition, but privacyBudget.epsilonMax = $epsMax; " +
+            "raise the budget, lower a step's j, or drop a release")
     }
 
     // greedy sequence packing as the terminal reshape ([[operators.Packing

@@ -627,6 +627,56 @@ class ConfigSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("privacyBudget caps the summed epsilon of declared DP steps at parse time") {
+    val root = Files.createTempDirectory("graft-dpbudget").toString
+    Seq((1L, 10L, 5.0), (2L, 10L, 7.0), (3L, 20L, 3.0))
+      .toDF("doc_id", "cls", "v").write.parquet(s"$root/src")
+    def src = s""""source": {"type": "parquet", "path": "$root/src"}"""
+    def census(salt: Int) =
+      s""""dpCensus": {"quasiCols": ["cls"], "classId": "cls", "salt": $salt}"""
+    // under budget: census + sum pay 2*ln2 ~ 1.3863
+    val ok = PipelineConfig.fromJson(spark,
+      s"""{$src, ${census(1)}, "privacyBudget": {"epsilonMax": 1.4},
+         |  "dpSum": {"quasiCols": ["cls"], "classId": "cls", "salt": 2,
+         |    "valueCol": "noisy_count", "clipHi": 10.0}}""".stripMargin)
+      .run(spark).get
+    assert(ok.columns.toSeq == Seq("cls", "noisy_sum"))
+    // the boundary is inclusive: a budget stated as the exact 2*ln2 double
+    // must not be rejected over float summation order
+    PipelineConfig.fromJson(spark,
+      s"""{$src, ${census(1)}, "privacyBudget": {"epsilonMax": 1.3862943611198906},
+         |  "dpSum": {"quasiCols": ["cls"], "classId": "cls", "salt": 2,
+         |    "valueCol": "noisy_count", "clipHi": 10.0}}""".stripMargin)
+    // over budget: census + median pay 3*ln2 ~ 2.079 > 2.0 — typed, named
+    val over = intercept[graft.GraftConfigError] {
+      PipelineConfig.fromJson(spark,
+        s"""{$src, ${census(1)}, "privacyBudget": {"epsilonMax": 2.0},
+           |  "dpMedian": {"quasiCols": ["cls"], "classId": "cls", "salt": 2,
+           |    "valueCol": "v", "lo": 0.0, "hi": 10.0, "bins": 10}}""".stripMargin)
+    }
+    assert(over.getMessage.contains("privacy budget exceeded") &&
+      over.getMessage.contains("dpMedian"), over.getMessage)
+    // dpQuantile's asymmetric cost is accounted: q=9/10 pays 2*9*ln2 ~ 12.477
+    def quant =
+      s""""dpQuantile": {"quasiCols": ["cls"], "classId": "cls", "salt": 3,
+         |  "valueCol": "v", "a": 9, "b": 10, "lo": 0.0, "hi": 10.0,
+         |  "bins": 10}""".stripMargin
+    intercept[graft.GraftConfigError] {
+      PipelineConfig.fromJson(spark,
+        s"""{$src, $quant, "privacyBudget": {"epsilonMax": 12.0}}""")
+    }
+    PipelineConfig.fromJson(spark,
+      s"""{$src, $quant, "privacyBudget": {"epsilonMax": 12.5}}""")
+    // a budget with no DP steps is vacuously satisfied; a malformed budget
+    // is typed at parse
+    PipelineConfig.fromJson(spark, s"""{$src, "privacyBudget": {"epsilonMax": 0.1}}""")
+    Seq("""{"epsilonMax": 0.0}""", """{"epsilonMax": -1.0}""", """{}""").foreach { bad =>
+      intercept[graft.GraftConfigError] {
+        PipelineConfig.fromJson(spark, s"""{$src, "privacyBudget": $bad}""")
+      }
+    }
+  }
+
   test("scrub/pseudonymize phase, gates, packing and view sources compose in config") {
     // the declared governance shape (curation_pipeline_v4's skeleton): a
     // catalog-view source, phase=beforeDedup scrub (so segment dedup sees
