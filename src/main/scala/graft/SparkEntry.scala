@@ -347,6 +347,37 @@ object SparkEntry {
         .withColumn("zm_pruned_ok", lit(ok))
     }),
 
+    "metadata_agg" -> ((s, dir) => {
+      // metadata-only aggregation (graft.sources.v2.GraftScan
+      // .answerFromMetadata): COUNT(*)/COUNT(col)/MIN/MAX over a connector
+      // table answer from the zone-map sidecar alone — the plan is ONE
+      // single-row partition, zero data files opened (at 100 TB: a count
+      // over a petabyte table costs O(commits) sidecar reads, not a scan).
+      // The flag pins that the planned scan really carries the pushed
+      // metadata answer. Oracle: the same aggregates on the source table.
+      val out = scratchDir("graft_metadata_agg") + "/t"
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.format("graft-parquet").mode("append").save(out)
+      val agged = s.read.format("graft-parquet").load(out)
+        .agg(count(lit(1)).as("n_rows"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"), min(col("event_type")).as("min_type"),
+          max(col("event_type")).as("max_type"), count(col("value")).as("n_value"))
+      // AQE hides the inner plan from collect: walk wrapper + stage subtrees
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
+        case other => other.children.flatMap(flatten)
+      })
+      val metaOnly = flatten(agged.queryExecution.executedPlan).collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[graft.sources.v2.GraftScan].agg.isDefined
+      }.getOrElse(false)
+      agged.withColumn("meta_only", lit(metaOnly))
+    }),
+
     "dedup_keep_first" -> ((s, dir) =>
       Ops.dedupKeepFirst(DedupSpec(Seq("user_id"), Seq("ts"), Some(col("event_id"))))(
         Sources.events(s, dir))
@@ -3736,6 +3767,11 @@ object SparkEntry {
     "zonemap_skipping" ->
       """SELECT event_id, user_id, event_type, value, TRUE AS zm_pruned_ok
         |FROM events WHERE event_id >= 100 AND event_id < 160""".stripMargin,
+
+    "metadata_agg" ->
+      """SELECT count(*) AS n_rows, min(event_id) AS min_id, max(event_id) AS max_id,
+        |  min(event_type) AS min_type, max(event_type) AS max_type,
+        |  count(value) AS n_value, TRUE AS meta_only FROM events""".stripMargin,
 
     "dedup_keep_first" ->
       """SELECT user_id, event_id, value FROM (

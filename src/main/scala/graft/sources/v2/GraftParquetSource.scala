@@ -105,9 +105,11 @@ final case class GraftParquetTable(path: String, tableSchema: StructType)
 }
 
 final class GraftScanBuilder(path: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var agg: Option[GraftAggResult] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition(GraftScan.evaluable(_, full))
@@ -118,19 +120,51 @@ final class GraftScanBuilder(path: String, full: StructType)
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = GraftScan(path, full, required, pushed)
+  // metadata-only aggregate answering: COUNT(*) / COUNT(col) / MIN / MAX
+  // with no grouping and no filters are read entirely from the zone-map
+  // sidecar — zero data files opened. Spark probes supportCompletePushDown
+  // first and calls pushAggregation on acceptance; both answer from one
+  // cached attempt so the two can never disagree. Partial pushdown is
+  // deliberately unsupported (a per-partition metadata answer has no
+  // advantage — either the sidecar answers exactly or the scan runs).
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (agg.isEmpty) agg = GraftScan.answerFromMetadata(path, full, pushed, aggregation)
+    agg.isDefined
+  }
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    supportCompletePushDown(aggregation)
+
+  override def build(): Scan = GraftScan(path, full, required, pushed, agg)
 }
 
+/** A completely-pushed aggregation answered from table metadata: the
+  * result schema Spark's planner adopts and the single result row's values
+  * (internal representation — UTF8String for strings).
+  */
+final case class GraftAggResult(schema: StructType, values: Seq[Any], description: String)
+
 final case class GraftScan(
-    path: String, full: StructType, required: StructType, filters: Array[Filter])
+    path: String, full: StructType, required: StructType, filters: Array[Filter],
+    agg: Option[GraftAggResult] = None)
     extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
-  override def description(): String =
-    s"GraftScan path=$path, pushed=[${filters.mkString(", ")}], read=[${required.fieldNames.mkString(", ")}]"
+  override def description(): String = agg match {
+    case Some(a) => s"GraftScan path=$path, metadata-only aggregation=[${a.description}]"
+    case None =>
+      s"GraftScan path=$path, pushed=[${filters.mkString(", ")}], read=[${required.fieldNames.mkString(", ")}]"
+  }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    agg match {
+      case Some(a) => Array(GraftAggPartition(a.values))
+      case None => planFilePartitions()
+    }
+
+  private def planFilePartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
@@ -170,6 +204,9 @@ final case class GraftScan(
     GraftReaderFactory(required, filters)
 }
 
+/** The one-row partition of a completely-pushed aggregation. */
+final case class GraftAggPartition(values: Seq[Any]) extends InputPartition
+
 /** One row-group slice of one file: the byte range [start, end) the reader
   * opens with `withFileRange`.
   */
@@ -178,13 +215,128 @@ final case class GraftFilePartition(file: String, start: Long, end: Long)
 
 final case class GraftReaderFactory(required: StructType, filters: Array[Filter])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftFilePartition]
-    new GraftPartitionReader(p.file, p.start, p.end, required, filters)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case GraftAggPartition(values) => new PartitionReader[InternalRow] {
+        private var served = false
+        override def next(): Boolean = if (served) false else { served = true; true }
+        override def get(): InternalRow = new GenericInternalRow(values.toArray)
+        override def close(): Unit = ()
+      }
+      case p: GraftFilePartition =>
+        new GraftPartitionReader(p.file, p.start, p.end, required, filters)
+    }
 }
 
 object GraftScan {
+
+  /** Try to answer a pushed aggregation ENTIRELY from the zone-map sidecar
+    * — the 100 TB degenerate-scan killer: `COUNT(*)` / `COUNT(col)` /
+    * `MIN(col)` / `MAX(col)` over a whole table opens zero data files and
+    * plans one single-row partition. Sound only when nothing narrows the
+    * statistics' scope, so the answer is declined (→ normal scan) unless
+    * ALL of:
+    *
+    *   - no pushed filters and no grouping (file-level stats cannot see
+    *     inside a file);
+    *   - every committed data file has a zone-map entry (a pre-zone-map
+    *     file would make counts lie);
+    *   - for MIN/MAX: the column is NaN-free in every file (the collector
+    *     drops NaN from bounds, and Spark orders NaN greatest — a NaN-
+    *     bearing file means the true MAX is NaN, which the stats cannot
+    *     say) and every stored bound parses.
+    *
+    * COUNT semantics match Spark exactly: COUNT(*) counts rows, COUNT(col)
+    * counts non-null rows (rows − nulls per entry, both exact). MIN/MAX
+    * over zero non-null values is NULL.
+    */
+  def answerFromMetadata(path: String, schema: StructType, pushedFilters: Array[Filter],
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[GraftAggResult] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (pushedFilters.nonEmpty || aggregation.groupByExpressions.nonEmpty) return None
+    val p = new Path(path)
+    val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      else Array(p)
+    val zm = ZoneMap.load(fs, p)
+    val entries = files.map(f => zm.get(f.getName))
+    if (entries.exists(_.isEmpty)) return None // un-entried file: counts would lie
+    val stats = entries.flatten.toSeq
+
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          schema.fields.find(_.name == nr.fieldNames()(0))
+        case _ => None
+      }
+    // per-file (colStats, fileRows), present for EVERY file or not at all
+    def perFile(f: StructField): Option[Seq[(ZoneMap.ColStats, Long)]] = {
+      val per = stats.map(s => s.cols.get(f.name).map(c => (c, s.rows)))
+      if (per.exists(_.isEmpty)) None else Some(per.flatten)
+    }
+    def toInternal(v: Any): Any = v match {
+      case s: String => UTF8String.fromString(s)
+      case other => other
+    }
+    def extreme(col: org.apache.spark.sql.connector.expressions.Expression, isMin: Boolean)
+        : Option[(StructField, Any)] =
+      fieldOf(col).flatMap { f =>
+        perFile(f).flatMap { per =>
+          if (per.exists(_._1.nan)) None // true extreme could be NaN
+          else {
+            val boundOf = (c: ZoneMap.ColStats) => if (isMin) c.min else c.max
+            // all-NULL files contribute nothing; a present-but-unparseable
+            // bound declines the whole answer (never guess)
+            val parsed = per.map { case (c, _) =>
+              boundOf(c) match {
+                case None => Right(None) // no non-null values in this file
+                case Some(s) => ZoneMap.parseBound(s, f.dataType) match {
+                  case Some(v) => Right(Some(v))
+                  case None => Left(())
+                }
+              }
+            }
+            if (parsed.exists(_.isLeft)) None
+            else {
+              val vals = parsed.collect { case Right(Some(v)) => v }
+              val res =
+                if (vals.isEmpty) null
+                else vals.reduce((a, b) =>
+                  if (cmp(a, b).exists(c => if (isMin) c <= 0 else c >= 0)) a else b)
+              val tag = if (isMin) "min" else "max"
+              Some((StructField(s"${tag}_${f.name}", f.dataType, nullable = true),
+                toInternal(res)))
+            }
+          }
+        }
+      }
+    val answered: Seq[Option[(StructField, Any)]] =
+      aggregation.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some((StructField("count_star", LongType, nullable = false),
+            stats.map(_.rows).sum))
+        case c: Count if !c.isDistinct =>
+          fieldOf(c.column).flatMap(f => perFile(f).map(per =>
+            (StructField(s"count_${f.name}", LongType, nullable = false),
+              per.map { case (cs, rows) => rows - cs.nulls }.sum)))
+        case m: Min => extreme(m.column, isMin = true)
+        case m: Max => extreme(m.column, isMin = false)
+        case _ => None // SUM/AVG/distinct: not representable in file stats
+      }
+    if (answered.exists(_.isEmpty)) None
+    else {
+      val fields = answered.flatten
+      Some(GraftAggResult(
+        StructType(fields.map(_._1)), fields.map(_._2),
+        aggregation.aggregateExpressions.mkString(", ") + s" over ${files.length} files"))
+    }
+  }
+
   /** Columns a filter references. */
   private def refs(f: Filter): Array[String] = f.references
 

@@ -54,12 +54,25 @@ object GraftTableOptimize {
     * packed files. No-op (beyond recovery + sidecar folding) when fewer
     * than `minGroup` small files exist — one small file gains nothing from
     * a rewrite.
+    *
+    * `clusterBy` additionally RANGE-CLUSTERS the rewrite (sampled range
+    * partitioning + an intra-file sort on the same key): each packed file
+    * then carries a tight, near-disjoint min/max interval on the key, so
+    * zone-map pruning works even when the original appends interleaved key
+    * ranges and every file's [min,max] spanned the whole domain. This is
+    * the data-layout half of data skipping (Delta's OPTIMIZE ZORDER niche;
+    * here honest lexicographic range clustering, not bit-interleaving —
+    * multi-column keys cluster by the leading column first). Clustering
+    * forces one shuffle of the rewritten tail; plain packing stays
+    * shuffle-free via coalesce.
     */
   def optimize(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024, smallBytes: Long = 32L * 1024 * 1024,
-      minGroup: Int = 2): OptimizeReport = {
-    require(targetBytes > 0 && smallBytes > 0 && smallBytes <= targetBytes,
-      s"need 0 < smallBytes <= targetBytes, got $smallBytes/$targetBytes")
+      minGroup: Int = 2, clusterBy: Seq[String] = Nil): OptimizeReport = {
+    // smallBytes may exceed targetBytes: "rewrite everything toward a
+    // smaller target" is the re-layout form a clusterBy pass wants
+    require(targetBytes > 0 && smallBytes > 0,
+      s"need positive smallBytes/targetBytes, got $smallBytes/$targetBytes")
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(table), s"no table at $path")
@@ -88,9 +101,14 @@ object GraftTableOptimize {
     val packedDir = new Path(staging, "packed")
     val bytes = small.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
-      .coalesce(nOut)
-      .write.format("graft-parquet").mode("append").save(packedDir.toString)
+    val tail = spark.read.parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
+    val shaped =
+      if (clusterBy.isEmpty) tail.coalesce(nOut)
+      else {
+        val keys = clusterBy.map(org.apache.spark.sql.functions.col)
+        tail.repartitionByRange(nOut, keys: _*).sortWithinPartitions(keys: _*)
+      }
+    shaped.write.format("graft-parquet").mode("append").save(packedDir.toString)
 
     // 2. move packed files up under final names; manifest = adds + removals
     val packedStats = ZoneMap.load(fs, packedDir)

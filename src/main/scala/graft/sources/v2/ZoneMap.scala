@@ -156,7 +156,7 @@ object ZoneMap {
     * Float round-trip bitwise through `toString`/`parse` for every non-NaN
     * value (Java shortest-round-trip contract); NaN never reaches storage.
     */
-  private def parseBound(s: String, dt: DataType): Option[Any] =
+  private[v2] def parseBound(s: String, dt: DataType): Option[Any] =
     scala.util.Try[Any](dt match {
       case LongType => java.lang.Long.parseLong(s)
       case IntegerType => java.lang.Integer.parseInt(s)

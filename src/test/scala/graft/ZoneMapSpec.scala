@@ -260,6 +260,132 @@ class ZoneMapSpec extends SparkTestBase {
     assert(back.count() == 1002)
   }
 
+  test("optimize clusterBy creates skipping power appends interleaved away") {
+    import graft.sources.v2.GraftTableOptimize
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    val dir = freshTable("graft-zm-cluster")
+    // four commits of INTERLEAVED ids (id % 4): every file spans the whole
+    // domain, so file stats refute nothing
+    (0 until 4).foreach { r =>
+      spark.range(0, 400).filter(col("id") % 4 === r)
+        .select(col("id"), concat(lit("n-"), col("id")).as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val fs = fsOf(dir)
+    val table = new Path(dir)
+    val sch = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val window: Array[org.apache.spark.sql.sources.Filter] =
+      Array(GreaterThanOrEqual("id", 100L), LessThan("id", 140L))
+    val (t0, p0) = ZoneMap.pruneReport(fs, table, window, sch)
+    assert(t0 == 4 && p0 == 0, s"interleaved files must refute nothing, got $p0/$t0")
+    // range-clustered rewrite: aim for ~3 packed files
+    val bytes = fs.listStatus(table)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val rep = GraftTableOptimize.optimize(spark, dir,
+      targetBytes = math.max(1L, bytes / 3), smallBytes = bytes, clusterBy = Seq("id"))
+    assert(rep.filesRewritten == 4 && rep.filesAfter >= 2, s"got $rep")
+    val (t1, p1) = ZoneMap.pruneReport(fs, table, window, sch)
+    assert(t1 == rep.filesAfter && p1 >= t1 - 2 && p1 > 0,
+      s"clustered files must prove the window empty almost everywhere, got $p1/$t1")
+    // rows exact before and after
+    import spark.implicits._
+    assert(spark.read.format("graft-parquet").load(dir)
+      .filter(col("id") >= 100L && col("id") < 140L)
+      .select("id").as[Long].collect().sorted.toSeq == (100L until 140L))
+    assert(spark.read.format("graft-parquet").load(dir).count() == 400)
+  }
+
+  // ------------------------------------------------- aggregate pushdown
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): graft.sources.v2.GraftScan = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // AQE hides the inner plan from collect; walk wrapper + stage subtrees
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    flatten(df.queryExecution.executedPlan)
+      .collectFirst { case b: BatchScanExec => b.scan }
+      .getOrElse(fail("no connector scan planned")).asInstanceOf[graft.sources.v2.GraftScan]
+  }
+
+  test("COUNT/MIN/MAX answer from the zone map alone: one row, zero files opened") {
+    val dir = freshTable("graft-zm-agg")
+    Seq((1L, "banana", java.lang.Double.valueOf(2.5)),
+      (2L, "apple", null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "name", "v")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    Seq((5L, "cherry", java.lang.Double.valueOf(-1.0)))
+      .toDF("id", "name", "v")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val agged = spark.read.format("graft-parquet").load(dir)
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"),
+        count(col("v")).as("nv"), min("name").as("nm"), max("v").as("vx"))
+    assert(scanOf(agged).agg.isDefined, "aggregation must push to the metadata answer")
+    assert(agged.rdd.getNumPartitions == 1)
+    val row = agged.head()
+    assert(row.getLong(0) == 3 && row.getLong(1) == 1L && row.getLong(2) == 5L &&
+      row.getLong(3) == 2 && row.getString(4) == "apple" && row.getDouble(5) == 2.5,
+      s"metadata answer wrong: $row")
+    // an all-NULL column answers NULL min/max from metadata
+    val dir2 = freshTable("graft-zm-aggnull")
+    Seq((1L, null.asInstanceOf[java.lang.Double]), (2L, null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "v").coalesce(1).write.format("graft-parquet").mode("append").save(dir2)
+    val nulls = spark.read.format("graft-parquet").load(dir2)
+      .agg(min("v").as("lo"), count(col("v")).as("nv"))
+    assert(scanOf(nulls).agg.isDefined)
+    val nr = nulls.head()
+    assert(nr.isNullAt(0) && nr.getLong(1) == 0, s"got $nr")
+  }
+
+  test("aggregate pushdown declines soundly: filters, groupBy, NaN, un-entried files") {
+    val dir = freshTable("graft-zm-aggdecline")
+    Seq((1L, 1.0), (2L, Double.NaN)).toDF("id", "v")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    Seq((7L, 3.0)).toDF("id", "v")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val base = spark.read.format("graft-parquet").load(dir)
+    // a filter blocks the metadata answer (stats cannot see inside files)
+    val filtered = base.filter(col("id") >= 2L).agg(count(lit(1)).as("n"))
+    assert(scanOf(filtered).agg.isEmpty, "filters must decline the metadata answer")
+    assert(filtered.head().getLong(0) == 2)
+    // grouping blocks it
+    val grouped = base.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    assert(scanOf(grouped).agg.isEmpty)
+    assert(grouped.count() == 3)
+    // a NaN-bearing double column declines MAX (the true max IS NaN) but
+    // the normal scan still answers correctly under Spark's NaN ordering
+    val nanMax = base.agg(max("v").as("vx"))
+    assert(scanOf(nanMax).agg.isEmpty, "NaN must decline the metadata extreme")
+    assert(nanMax.head().getDouble(0).isNaN)
+    // COUNT alone also declines here only if asked WITH the NaN extreme;
+    // by itself it still answers (counts don't involve bounds)
+    val justCount = base.agg(count(lit(1)).as("n"))
+    assert(scanOf(justCount).agg.isDefined)
+    assert(justCount.head().getLong(0) == 3)
+    // a file without a zone-map entry declines everything
+    val dir2 = freshTable("graft-zm-aggcompat")
+    import graft.sources.v2.GraftParquetWrite
+    val table2 = new Path(dir2)
+    val fs2 = fsOf(dir2)
+    val staging = GraftParquetWrite.stagingDir(table2, "oldagg")
+    fs2.mkdirs(staging)
+    Seq((1L, 5.0)).toDF("id", "v").coalesce(1).write.parquet(staging.toString + "/tmp")
+    val part = fs2.listStatus(new Path(staging, "tmp"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs2.rename(part, new Path(staging, "part-oldagg-0-0.parquet"))
+    fs2.delete(new Path(staging, "tmp"), true)
+    val man = fs2.create(new Path(staging, "manifest"), true)
+    try man.write("part-oldagg-0-0.parquet".getBytes("UTF-8")) finally man.close()
+    GraftParquetWrite.recover(fs2, table2)
+    val noEntry = spark.read.format("graft-parquet").load(dir2).agg(count(lit(1)).as("n"))
+    assert(scanOf(noEntry).agg.isEmpty, "an un-entried file must decline metadata counts")
+    assert(noEntry.head().getLong(0) == 1)
+  }
+
   test("an interrupted optimize swap replays to exactness from its manifest") {
     import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
     val dir = freshTable("graft-zm-optcrash")
