@@ -148,7 +148,7 @@ final case class GraftAggResult(schema: StructType, values: Seq[Any], descriptio
 final case class GraftScan(
     path: String, full: StructType, required: StructType, filters: Array[Filter],
     agg: Option[GraftAggResult] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
@@ -158,38 +158,65 @@ final case class GraftScan(
       s"GraftScan path=$path, pushed=[${filters.mkString(", ")}], read=[${required.fieldNames.mkString(", ")}]"
   }
 
+  /** The files the pushed conjunction cannot refute, with the zone map (the
+    * shared planning substrate of partition planning and statistics).
+    * Zone-map FILE skipping happens here, before any footer read: a file
+    * whose committed min/max/null statistics refute the conjunction plans
+    * zero partitions and costs zero metadata round-trips (the 100 TB
+    * planning bottleneck — see [[ZoneMap]]). Files without an entry scan
+    * un-pruned.
+    */
+  private def survivingFiles(): (Seq[org.apache.hadoop.fs.FileStatus], Map[String, ZoneMap.FileStats]) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    val listed =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      else Array(fs.getFileStatus(p))
+    val zm = ZoneMap.load(fs, p)
+    val files =
+      if (filters.isEmpty || zm.isEmpty) listed
+      else listed.filter(st =>
+        zm.get(st.getPath.getName).forall(ZoneMap.mayMatchAll(filters, _, full)))
+    (files.toSeq, zm)
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
     agg match {
       case Some(a) => Array(GraftAggPartition(a.values))
       case None => planFilePartitions()
     }
 
+  /** Planning-time statistics so Catalyst can size joins: byte size is the
+    * SURVIVING files' on-disk sum (what Spark's own file scans report) and
+    * the row count is the zone-map sum when every survivor carries an
+    * entry — both upper bounds once per-record filters apply, which is the
+    * conservative direction for broadcast decisions. The payoff at scale:
+    * a zone-map-pruned slice of a huge table becomes broadcast-eligible
+    * instead of defaulting to sizeInBytes=MAX and a shuffle join.
+    */
+  override def estimateStatistics(): Statistics = agg match {
+    case Some(_) => GraftStats(java.util.OptionalLong.of(256L), java.util.OptionalLong.of(1L))
+    case None =>
+      val (files, zm) = survivingFiles()
+      val entries = files.map(st => zm.get(st.getPath.getName))
+      val rows =
+        if (entries.forall(_.isDefined)) // empty table → exact 0
+          java.util.OptionalLong.of(entries.flatten.map(_.rows).sum)
+        else java.util.OptionalLong.empty()
+      GraftStats(java.util.OptionalLong.of(files.map(_.getLen).sum), rows)
+  }
+
   private def planFilePartitions(): Array[InputPartition] = {
-    val p = new Path(path)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val fs = p.getFileSystem(conf)
-    val listed =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
-      else Array(p)
-    // zone-map FILE skipping before any footer read: a file whose committed
-    // min/max/null statistics refute the pushed conjunction plans zero
-    // partitions and costs zero metadata round-trips (the 100 TB planning
-    // bottleneck — see ZoneMap). Files without an entry scan un-pruned.
-    val files =
-      if (filters.isEmpty) listed
-      else {
-        val zm = ZoneMap.load(fs, p)
-        if (zm.isEmpty) listed
-        else listed.filter(f =>
-          zm.get(f.getName).forall(ZoneMap.mayMatchAll(filters, _, full)))
-      }
+    val (files, _) = survivingFiles()
     // one partition per row group: tile each file into contiguous byte
     // ranges cut at row-group starting offsets (footer metadata — one
     // driver-side footer read per surviving file; a production connector
     // would cache these in a metadata store)
-    files.sortBy(_.toString).flatMap { f =>
-      val len = fs.getFileStatus(f).getLen
+    files.sortBy(_.getPath.toString).flatMap { st =>
+      val f = st.getPath
+      val len = st.getLen
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       val starts =
         try reader.getFooter.getBlocks.asScala.map(_.getStartingPos).toSeq
@@ -197,7 +224,7 @@ final case class GraftScan(
       (starts :+ len).sliding(2).collect {
         case Seq(s, e) => GraftFilePartition(f.toString, s, e): InputPartition
       }.toSeq
-    }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -206,6 +233,13 @@ final case class GraftScan(
 
 /** The one-row partition of a completely-pushed aggregation. */
 final case class GraftAggPartition(values: Seq[Any]) extends InputPartition
+
+/** Planning statistics ([[GraftScan.estimateStatistics]]). */
+final case class GraftStats(size: java.util.OptionalLong, rows: java.util.OptionalLong)
+    extends Statistics {
+  override def sizeInBytes(): java.util.OptionalLong = size
+  override def numRows(): java.util.OptionalLong = rows
+}
 
 /** One row-group slice of one file: the byte range [start, end) the reader
   * opens with `withFileRange`.

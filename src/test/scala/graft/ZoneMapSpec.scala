@@ -386,6 +386,45 @@ class ZoneMapSpec extends SparkTestBase {
     assert(noEntry.head().getLong(0) == 1)
   }
 
+  test("scan statistics report pruned bytes/rows and make the slice broadcast-eligible") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val dir = freshTable("graft-zm-stats")
+    def slab(lo: Long) = spark.range(lo, lo + 1000)
+      .select(col("id"), concat(lit("n-"), col("id")).as("name"))
+    slab(0).coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    slab(1000).coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    slab(2000).coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    // a one-slab window: statistics must see ONE surviving file
+    val sliced = spark.read.format("graft-parquet").load(dir)
+      .filter(col("id") >= 1100L && col("id") < 1200L)
+    val stats = scanOf(sliced).estimateStatistics()
+    assert(stats.numRows().getAsLong == 1000L,
+      s"rows must be the surviving slab's exact count, got ${stats.numRows()}")
+    val fs = fsOf(dir)
+    val oneFile = fs.listStatus(new Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).map(_.getLen).min
+    assert(stats.sizeInBytes().getAsLong <= oneFile * 2,
+      s"bytes must be one slab's file, got ${stats.sizeInBytes()} vs file $oneFile")
+    // unfiltered: exact total rows from the sidecar
+    val all = scanOf(spark.read.format("graft-parquet").load(dir)).estimateStatistics()
+    assert(all.numRows().getAsLong == 3000L)
+    // the pruned slice joins BROADCAST against a big probe side with no
+    // hint: the reported size is what makes the v2 relation eligible
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    val probe = spark.range(0, 200000).select(col("id"), (col("id") % 7).as("k"))
+    val joined = probe.join(sliced, "id")
+    assert(joined.count() == 100)
+    val bhj = flatten(joined.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(bhj, "the statistics-sized pruned slice must plan a broadcast join")
+  }
+
   test("an interrupted optimize swap replays to exactness from its manifest") {
     import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
     val dir = freshTable("graft-zm-optcrash")
