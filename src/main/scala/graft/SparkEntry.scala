@@ -378,6 +378,65 @@ object SparkEntry {
       agged.withColumn("meta_only", lit(metaOnly))
     }),
 
+    "dpp_join" -> ((s, dir) => {
+      // runtime file pruning at the join seam (SupportsRuntimeV2Filtering):
+      // a slab-committed fact table joins a tiny parquet dim filtered on a
+      // NON-key attribute, so nothing is statically inferable — at execute
+      // time Spark broadcasts the dim, hands the fact scan the join keys as
+      // an IN predicate, and the zone map drops every slab file outside the
+      // hot range. The 100 TB star-join shape: the fact scan reads the
+      // matching slabs, not the table. Flag pins that the seam actually
+      // received runtime filters in the executed plan. Oracle: the same
+      // join restated statically.
+      import s.implicits._
+      val root = scratchDir("graft_dpp")
+      val factDir = s"$root/fact"
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val n = ev.count()
+      val slabs = 8
+      (0 until slabs).foreach { i =>
+        val lo = i.toLong * n / slabs
+        val hi = if (i == slabs - 1) n else (i + 1).toLong * n / slabs
+        ev.filter(col("event_id") >= lo && col("event_id") < hi)
+          .coalesce(1).write.format("graft-parquet").mode("append").save(factDir)
+      }
+      // dim: the hot keys plus cold outliers — tiny by construction so it
+      // broadcasts under the lowered threshold while the fact does not
+      val dimDir = s"$root/dim"
+      ev.filter(col("event_id") >= 100L && col("event_id") < 160L)
+        .select(col("event_id").as("k"), lit("hot").as("attr"))
+        .union(Seq((0L, "cold"), (1L, "cold")).toDF("k", "attr"))
+        .coalesce(1).write.parquet(dimDir)
+      val fact = s.read.format("graft-parquet").load(factDir)
+      def hotJoin = {
+        val dimF = s.read.parquet(dimDir).filter(col("attr") === "hot")
+        fact.join(dimF, fact("event_id") === dimF("k"))
+          .select(col("event_id"), col("user_id"), col("value"))
+      }
+      // the probe run: execute the join under a threshold that broadcasts
+      // the dim but not the fact, then read the seam off the EXECUTED plan
+      val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val fired =
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
+          val probe = hotJoin
+          probe.collect()
+          def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+              : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              flatten(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
+            case other => other.children.flatMap(flatten)
+          })
+          flatten(probe.queryExecution.executedPlan).collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.scan.asInstanceOf[graft.sources.v2.GraftScan].runtimePruning.nonEmpty
+          }.getOrElse(false)
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      hotJoin.withColumn("dpp_fired", lit(fired))
+    }),
+
     "dedup_keep_first" -> ((s, dir) =>
       Ops.dedupKeepFirst(DedupSpec(Seq("user_id"), Seq("ts"), Some(col("event_id"))))(
         Sources.events(s, dir))
@@ -3772,6 +3831,13 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, min(event_id) AS min_id, max(event_id) AS max_id,
         |  min(event_type) AS min_type, max(event_type) AS max_type,
         |  count(value) AS n_value, TRUE AS meta_only FROM events""".stripMargin,
+
+    "dpp_join" ->
+      """SELECT e.event_id, e.user_id, e.value, TRUE AS dpp_fired
+        |FROM events e
+        |JOIN (SELECT event_id AS k FROM events
+        |      WHERE event_id >= 100 AND event_id < 160) d
+        |  ON e.event_id = d.k""".stripMargin,
 
     "dedup_keep_first" ->
       """SELECT user_id, event_id, value FROM (

@@ -148,7 +148,36 @@ final case class GraftAggResult(schema: StructType, values: Seq[Any], descriptio
 final case class GraftScan(
     path: String, full: StructType, required: StructType, filters: Array[Filter],
     agg: Option[GraftAggResult] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+
+  // runtime (join-time) filters — the DSv2 dynamic-pruning seam: Spark
+  // evaluates the dim side of a selective join first (broadcast reuse) and
+  // hands the fact scan the join keys as IN predicates BEFORE
+  // planInputPartitions. Against the zone map that turns a star join's
+  // fact scan into "only the files whose key range intersects the dim
+  // slice" with zero extra IO — at 100 TB the difference between scanning
+  // the fact table and scanning the matching slabs. Filters arrive by
+  // mutation per the interface contract; they are used for FILE pruning
+  // only (the join itself re-checks every surviving record, so pruning is
+  // the only sound use — per-record evaluation would be redundant work).
+  @transient private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only the scan's OUTPUT columns: Spark resolves these against the
+    // pruned relation, and a projected-away column would fail analysis
+    if (agg.isDefined) Array.empty
+    else required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val v1 = predicates.flatMap(GraftScan.predicateToV1)
+    runtimeFilters = runtimeFilters ++ v1.filter(GraftScan.evaluable(_, full))
+  }
+
+  /** The runtime filters received so far (read-only observability). */
+  def runtimePruning: Array[Filter] = runtimeFilters
+
+  /** Filters effective for FILE pruning: pushed ∪ runtime. */
+  private def pruningFilters: Array[Filter] = filters ++ runtimeFilters
 
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
@@ -174,10 +203,11 @@ final case class GraftScan(
         fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       else Array(fs.getFileStatus(p))
     val zm = ZoneMap.load(fs, p)
+    val effective = pruningFilters
     val files =
-      if (filters.isEmpty || zm.isEmpty) listed
+      if (effective.isEmpty || zm.isEmpty) listed
       else listed.filter(st =>
-        zm.get(st.getPath.getName).forall(ZoneMap.mayMatchAll(filters, _, full)))
+        zm.get(st.getPath.getName).forall(ZoneMap.mayMatchAll(effective, _, full)))
     (files.toSeq, zm)
   }
 
@@ -368,6 +398,53 @@ object GraftScan {
       Some(GraftAggResult(
         StructType(fields.map(_._1)), fields.map(_._2),
         aggregation.aggregateExpressions.mkString(", ") + s" over ${files.length} files"))
+    }
+  }
+
+  /** V2 runtime Predicate → v1 Filter for the shapes dynamic pruning sends
+    * (IN from the dim side's join keys; comparisons/null-tests for
+    * completeness). Literal values arrive in INTERNAL representation
+    * (UTF8String for strings) and convert to the external domain
+    * [[eval]]/[[ZoneMap.mayMatch]] compare in. Anything unconvertible maps
+    * to None — the scan simply prunes less, never wrongly.
+    */
+  def predicateToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[Filter] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal, NamedReference}
+    def ref(e: V2Expr): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    def external(v: Any): Any = v match {
+      case u: UTF8String => u.toString
+      case other => other
+    }
+    def lit(e: V2Expr): Option[Any] = e match {
+      case l: Literal[_] => Some(external(l.value))
+      case _ => None
+    }
+    val ch = p.children()
+    def binary(mk: (String, Any) => Filter, flipped: (String, Any) => Filter): Option[Filter] =
+      if (ch.length != 2) None
+      else (ref(ch(0)), lit(ch(1)), ref(ch(1)), lit(ch(0))) match {
+        case (Some(a), Some(v), _, _) => Some(mk(a, v))
+        case (_, _, Some(a), Some(v)) => Some(flipped(a, v))
+        case _ => None
+      }
+    p.name() match {
+      case "IN" if ch.length >= 2 =>
+        ref(ch(0)).flatMap { a =>
+          val vs = ch.tail.map(lit)
+          if (vs.exists(_.isEmpty)) None else Some(In(a, vs.flatten))
+        }
+      case "=" => binary(EqualTo, EqualTo)
+      case ">" => binary(GreaterThan, LessThan)
+      case ">=" => binary(GreaterThanOrEqual, LessThanOrEqual)
+      case "<" => binary(LessThan, GreaterThan)
+      case "<=" => binary(LessThanOrEqual, GreaterThanOrEqual)
+      case "IS_NULL" if ch.length == 1 => ref(ch(0)).map(IsNull)
+      case "IS_NOT_NULL" if ch.length == 1 => ref(ch(0)).map(IsNotNull)
+      case _ => None
     }
   }
 

@@ -425,6 +425,57 @@ class ZoneMapSpec extends SparkTestBase {
     assert(bhj, "the statistics-sized pruned slice must plan a broadcast join")
   }
 
+  test("runtime IN filters prune files: direct seam + hint-free dynamic pruning join") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val dir = freshTable("graft-zm-dpp")
+    def slab(lo: Long) = spark.range(lo, lo + 1000)
+      .select(col("id"), concat(lit("n-"), col("id")).as("name"))
+    slab(0).coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    slab(1000).coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    slab(2000).coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val sch = spark.read.format("graft-parquet").load(dir).schema
+    // direct seam: an IN predicate on the join key drops refuted files
+    val scan = graft.sources.v2.GraftScan(dir, sch, sch, Array.empty)
+    val before = scan.planInputPartitions().length
+    scan.filter(Array(new Predicate("IN",
+      Array[org.apache.spark.sql.connector.expressions.Expression](
+        Expressions.column("id"), Expressions.literal(150L), Expressions.literal(151L)))))
+    assert(scan.runtimePruning.length == 1)
+    val after = scan.planInputPartitions().length
+    assert(before == 3 && after == 1,
+      s"the IN slice lives in one slab: $before -> $after partitions")
+    // an unconvertible predicate is dropped, never misapplied
+    val scan2 = graft.sources.v2.GraftScan(dir, sch, sch, Array.empty)
+    scan2.filter(Array(new Predicate("STARTS_WITH",
+      Array[org.apache.spark.sql.connector.expressions.Expression](
+        Expressions.column("name"), Expressions.literal("n-1")))))
+    assert(scan2.runtimePruning.isEmpty && scan2.planInputPartitions().length == 3)
+    // end-to-end: a selective broadcast dim side hands the fact scan its
+    // join keys with NO hint. The dim filter is on a NON-key attribute
+    // (a key-range filter would let constraint propagation push STATIC
+    // bounds and make dynamic pruning moot), and the broadcast threshold
+    // sits between dim and fact so the fact stays the probe side.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
+    try {
+      val fact = spark.read.format("graft-parquet").load(dir)
+      // parquet-backed dim: a local Seq folds its Filter away at plan time
+      // and the pruning rule then sees no selective predicate
+      val dimDir = java.nio.file.Files.createTempDirectory("graft-zm-dppdim").toString + "/d"
+      ((1100L until 1150L).map(i => (i, "hot")) ++
+        Seq((2500L, "cold"), (42L, "cold"))).toDF("k", "attr").write.parquet(dimDir)
+      val dimF = spark.read.parquet(dimDir).filter(col("attr") === "hot")
+      val joined = fact.join(dimF, fact("id") === dimF("k"))
+      // collect() executes THIS queryExecution (count() would plan a fresh
+      // one whose scan instance never runs, and the seam fires at execute)
+      assert(joined.collect().length == 50)
+      val factScan = scanOf(joined)
+      assert(factScan.runtimePruning.nonEmpty,
+        "dynamic pruning must reach the connector's runtime-filter seam")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("an interrupted optimize swap replays to exactness from its manifest") {
     import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
     val dir = freshTable("graft-zm-optcrash")
