@@ -363,15 +363,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), min(col("event_id")).as("min_id"),
           max(col("event_id")).as("max_id"), min(col("event_type")).as("min_type"),
           max(col("event_type")).as("max_type"), count(col("value")).as("n_value"))
-      // AQE hides the inner plan from collect: walk wrapper + stage subtrees
-      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          flatten(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
-        case other => other.children.flatMap(flatten)
-      })
-      val metaOnly = flatten(agged.queryExecution.executedPlan).collectFirst {
+      val metaOnly = graft.plans.PlanWalk.flatten(agged.queryExecution.executedPlan).collectFirst {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
           b.scan.asInstanceOf[graft.sources.v2.GraftScan].agg.isDefined
       }.getOrElse(false)
@@ -422,14 +414,7 @@ object SparkEntry {
           s.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
           val probe = hotJoin
           probe.collect()
-          def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-              : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
-            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-              flatten(a.executedPlan)
-            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
-            case other => other.children.flatMap(flatten)
-          })
-          flatten(probe.queryExecution.executedPlan).collectFirst {
+          graft.plans.PlanWalk.flatten(probe.queryExecution.executedPlan).collectFirst {
             case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
               b.scan.asInstanceOf[graft.sources.v2.GraftScan].runtimePruning.nonEmpty
           }.getOrElse(false)

@@ -195,20 +195,30 @@ final case class GraftScan(
     * planning bottleneck — see [[ZoneMap]]). Files without an entry scan
     * un-pruned.
     */
-  private def survivingFiles(): (Seq[org.apache.hadoop.fs.FileStatus], Map[String, ZoneMap.FileStats]) = {
+  // the listing and sidecar are read ONCE per scan: Catalyst may ask for
+  // statistics several times and BatchScanExec re-plans partitions when
+  // runtime filters arrive — only the (cheap, in-memory) filter application
+  // recomputes. Sound under the single-writer contract: the table does not
+  // change under a running query.
+  @transient private lazy val tableBase
+      : (Seq[org.apache.hadoop.fs.FileStatus], Map[String, ZoneMap.FileStats]) = {
     val p = new Path(path)
     val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
     val listed =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       else Array(fs.getFileStatus(p))
-    val zm = ZoneMap.load(fs, p)
+    (listed.toSeq, ZoneMap.load(fs, p))
+  }
+
+  private def survivingFiles(): (Seq[org.apache.hadoop.fs.FileStatus], Map[String, ZoneMap.FileStats]) = {
+    val (listed, zm) = tableBase
     val effective = pruningFilters
     val files =
       if (effective.isEmpty || zm.isEmpty) listed
       else listed.filter(st =>
         zm.get(st.getPath.getName).forall(ZoneMap.mayMatchAll(effective, _, full)))
-    (files.toSeq, zm)
+    (files, zm)
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -469,12 +479,40 @@ object GraftScan {
     shapeOk && refs(f).forall(primitive)
   }
 
+  /** Code-point (== UTF-8 binary) string order: what Spark's UTF8String,
+    * parquet's Binary statistics, and DuckDB's memcmp collation all use.
+    * Plain String.compareTo is UTF-16 code-UNIT order, which disagrees for
+    * supplementary characters vs BMP chars in [U+E000, U+FFFF] — comparing
+    * that way would make pushed string filters, zone-map pruning, and
+    * metadata MIN/MAX answers diverge from an un-pushed Spark scan on
+    * astral-plane data. Implemented as the standard surrogate fix-up
+    * (compare UTF-16 units, remapping the [0xD800, 0xFFFF] band so
+    * surrogates sort above remapped BMP chars) — no allocation per compare.
+    */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c1 = a.charAt(i)
+      val c2 = b.charAt(i)
+      if (c1 != c2) {
+        return if (c1 >= 0xD800 && c2 >= 0xD800) {
+          def fix(c: Char): Int = if (c >= 0xE000) c - 0x800 else c + 0x2000
+          fix(c1) - fix(c2)
+        } else c1 - c2
+      }
+      i += 1
+    }
+    a.length - b.length
+  }
+
   /** Total order across the numeric value classes Spark puts in Filters.
-    * Shared with [[ZoneMap]] so statistics pruning and record-level
-    * evaluation can never disagree on ordering.
+    * Shared with [[ZoneMap]] and [[answerFromMetadata]] so statistics
+    * pruning, metadata aggregates, and record-level evaluation can never
+    * disagree on ordering.
     */
   private[v2] def cmp(field: Any, value: Any): Option[Int] = (field, value) match {
-    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: String, b: String) => Some(utf8Cmp(a, b))
     case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(a, b))
     case (a: Number, b: Number) =>
       (a, b) match {

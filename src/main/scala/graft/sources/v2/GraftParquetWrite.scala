@@ -79,9 +79,17 @@ object GraftParquetWrite {
     */
   private[v2] def commitLines(fs: FileSystem, table: Path, staging: Path,
       lines: Seq[String]): Unit = {
-    val man = fs.create(manifestPath(staging), true)
+    // temp + rename makes the commit point ATOMIC: create+write+close is
+    // not, and a torn manifest is no longer just a lost append now that
+    // removal lines exist — half a swap manifest would rename the packed
+    // files in while deleting only some sources (duplicate rows forever).
+    // A crash mid-write leaves manifest.tmp, which recover() treats as
+    // no-commit-point: staging is discarded whole.
+    val tmp = new Path(staging, "manifest.tmp")
+    val man = fs.create(tmp, true)
     try man.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally man.close()
+    require(fs.rename(tmp, manifestPath(staging)), s"manifest publish failed in $staging")
     commit(fs, table, staging)
   }
 
@@ -95,7 +103,11 @@ object GraftParquetWrite {
     val adds: Seq[(String, Option[ZoneMap.FileStats])] = addLines.map { line =>
       val cut = line.indexOf('\t')
       if (cut < 0) (line, None)
-      else (line.substring(0, cut), Some(ZoneMap.decode(line.substring(cut + 1))))
+      // a stats blob that does not decode (FS corruption — the atomic
+      // rename above keeps torn manifests out) degrades to a stats-less
+      // add: the file commits and scans un-pruned, the table never wedges
+      else (line.substring(0, cut),
+        scala.util.Try(ZoneMap.decode(line.substring(cut + 1))).toOption)
     }
     // adds before removals: a replayed swap must never pass through a state
     // with the rows missing (duplicates inside the crash window are the

@@ -101,51 +101,97 @@ object ZoneMap {
 
   // ------------------------------------------------------------- collector
 
-  /** Streaming min/max/null collector the data writer drives once per row —
-    * one comparison per column per row, no allocation on the hot path.
-    * Restricted to the connector's primitive type set (enforced at plan
-    * time by [[GraftParquetWrite.toMessageType]]).
+  /** Streaming min/max/null collector the data writer drives once per row.
+    * Each column gets a TYPED updater closure resolved once at
+    * construction: scalars track primitive extremes (no per-cell boxing or
+    * dataType match), strings compare the row's UTF8String view directly
+    * (binary order — the same code-point order [[GraftScan.cmp]] uses) and
+    * clone only when a new extreme is retained (the view aliases a reused
+    * row buffer). Restricted to the connector's primitive type set
+    * (enforced at plan time by [[GraftParquetWrite.toMessageType]]).
     */
   final class Collector(schema: StructType) {
     private val n = schema.length
-    private val mins = new Array[Any](n)
-    private val maxs = new Array[Any](n)
     private val nulls = new Array[Long](n)
-    private val nans = new Array[Boolean](n)
     private var rows = 0L
+
+    // per-column (updater, finisher): finisher renders (min, max, nan)
+    private val cols: Array[(InternalRow => Unit, () => (Option[String], Option[String], Boolean))] =
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        f.dataType match {
+          case LongType =>
+            var mn = Long.MaxValue; var mx = Long.MinValue; var seen = false
+            ((row: InternalRow) => {
+              val v = row.getLong(i); seen = true
+              if (v < mn) mn = v; if (v > mx) mx = v
+            }, () => (if (seen) Some(mn.toString) else None,
+              if (seen) Some(mx.toString) else None, false))
+          case IntegerType =>
+            var mn = Int.MaxValue; var mx = Int.MinValue; var seen = false
+            ((row: InternalRow) => {
+              val v = row.getInt(i); seen = true
+              if (v < mn) mn = v; if (v > mx) mx = v
+            }, () => (if (seen) Some(mn.toString) else None,
+              if (seen) Some(mx.toString) else None, false))
+          case DoubleType =>
+            var mn = Double.MaxValue; var mx = Double.MinValue; var seen = false; var nan = false
+            ((row: InternalRow) => {
+              val v = row.getDouble(i)
+              if (java.lang.Double.isNaN(v)) nan = true
+              else {
+                seen = true
+                // compare via Double.compare semantics (-0.0 < 0.0), like cmp
+                if (java.lang.Double.compare(v, mn) < 0) mn = v
+                if (java.lang.Double.compare(v, mx) > 0) mx = v
+              }
+            }, () => (if (seen) Some(mn.toString) else None,
+              if (seen) Some(mx.toString) else None, nan))
+          case FloatType =>
+            var mn = Float.MaxValue; var mx = Float.MinValue; var seen = false; var nan = false
+            ((row: InternalRow) => {
+              val v = row.getFloat(i)
+              if (java.lang.Float.isNaN(v)) nan = true
+              else {
+                seen = true
+                if (java.lang.Float.compare(v, mn) < 0) mn = v
+                if (java.lang.Float.compare(v, mx) > 0) mx = v
+              }
+            }, () => (if (seen) Some(mn.toString) else None,
+              if (seen) Some(mx.toString) else None, nan))
+          case BooleanType =>
+            var seenT = false; var seenF = false
+            ((row: InternalRow) => {
+              if (row.getBoolean(i)) seenT = true else seenF = true
+            }, () => {
+              val mn = if (seenF) Some("false") else if (seenT) Some("true") else None
+              val mx = if (seenT) Some("true") else if (seenF) Some("false") else None
+              (mn, mx, false)
+            })
+          case StringType =>
+            var mn: org.apache.spark.unsafe.types.UTF8String = null
+            var mx: org.apache.spark.unsafe.types.UTF8String = null
+            ((row: InternalRow) => {
+              val v = row.getUTF8String(i) // a VIEW into a reused buffer
+              if (mn == null || v.compareTo(mn) < 0) mn = v.clone()
+              if (mx == null || v.compareTo(mx) > 0) mx = v.clone()
+            }, () => (Option(mn).map(_.toString), Option(mx).map(_.toString), false))
+          case other => throw new graft.GraftConfigError(
+            s"unreachable: '${f.name}' ($other) was gated at plan time")
+        }
+      }
 
     def observe(row: InternalRow): Unit = {
       var i = 0
       while (i < n) {
-        if (row.isNullAt(i)) nulls(i) += 1
-        else {
-          val v: Any = schema(i).dataType match {
-            case LongType => row.getLong(i)
-            case IntegerType => row.getInt(i)
-            case DoubleType =>
-              val d = row.getDouble(i)
-              if (java.lang.Double.isNaN(d)) { nans(i) = true; null } else d
-            case FloatType =>
-              val f = row.getFloat(i)
-              if (java.lang.Float.isNaN(f)) { nans(i) = true; null } else f
-            case BooleanType => row.getBoolean(i)
-            case StringType => row.getUTF8String(i).toString
-            case other => throw new graft.GraftConfigError(
-              s"unreachable: '${schema(i).name}' ($other) was gated at plan time")
-          }
-          if (v != null) {
-            if (mins(i) == null || GraftScan.cmp(v, mins(i)).exists(_ < 0)) mins(i) = v
-            if (maxs(i) == null || GraftScan.cmp(v, maxs(i)).exists(_ > 0)) maxs(i) = v
-          }
-        }
+        if (row.isNullAt(i)) nulls(i) += 1 else cols(i)._1(row)
         i += 1
       }
       rows += 1
     }
 
     def result: FileStats = FileStats(rows, schema.fields.zipWithIndex.map { case (f, i) =>
-      f.name -> ColStats(
-        Option(mins(i)).map(_.toString), Option(maxs(i)).map(_.toString), nulls(i), nans(i))
+      val (mn, mx, nan) = cols(i)._2()
+      f.name -> ColStats(mn, mx, nulls(i), nan)
     }.toMap)
   }
 

@@ -52,20 +52,10 @@ class AqeSpec extends SparkTestBase {
     }
   }
 
-  /** Flatten a (possibly adaptive) executed plan INCLUDING query-stage
-    * subtrees — `collect` on an AdaptiveSparkPlanExec sees only the
-    * wrapper, and materialized stages hide their subtree behind
-    * QueryStageExec, so node assertions under AQE need this walk.
-    */
+  /** The shared adaptive-plan walk ([[graft.plans.PlanWalk]]). */
   private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    p +: (p match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case q: QueryStageExec => flatten(q.plan)
-      case other => other.children.flatMap(flatten)
-    })
-  }
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    graft.plans.PlanWalk.flatten(p)
 
   test("AQE keeps planning the native as-of join: node survives, exchange count holds") {
     // the custom AsOfJoinExec must not be re-shaped away or wrapped in

@@ -298,16 +298,8 @@ class ZoneMapSpec extends SparkTestBase {
   // ------------------------------------------------- aggregate pushdown
 
   private def scanOf(df: org.apache.spark.sql.DataFrame): graft.sources.v2.GraftScan = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-    // AQE hides the inner plan from collect; walk wrapper + stage subtrees
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case q: QueryStageExec => flatten(q.plan)
-      case other => other.children.flatMap(flatten)
-    })
-    flatten(df.queryExecution.executedPlan)
+    graft.plans.PlanWalk.flatten(df.queryExecution.executedPlan)
       .collectFirst { case b: BatchScanExec => b.scan }
       .getOrElse(fail("no connector scan planned")).asInstanceOf[graft.sources.v2.GraftScan]
   }
@@ -387,8 +379,6 @@ class ZoneMapSpec extends SparkTestBase {
   }
 
   test("scan statistics report pruned bytes/rows and make the slice broadcast-eligible") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val dir = freshTable("graft-zm-stats")
     def slab(lo: Long) = spark.range(lo, lo + 1000)
@@ -412,15 +402,10 @@ class ZoneMapSpec extends SparkTestBase {
     assert(all.numRows().getAsLong == 3000L)
     // the pruned slice joins BROADCAST against a big probe side with no
     // hint: the reported size is what makes the v2 relation eligible
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case q: QueryStageExec => flatten(q.plan)
-      case other => other.children.flatMap(flatten)
-    })
     val probe = spark.range(0, 200000).select(col("id"), (col("id") % 7).as("k"))
     val joined = probe.join(sliced, "id")
     assert(joined.count() == 100)
-    val bhj = flatten(joined.queryExecution.executedPlan)
+    val bhj = graft.plans.PlanWalk.flatten(joined.queryExecution.executedPlan)
       .exists(_.isInstanceOf[BroadcastHashJoinExec])
     assert(bhj, "the statistics-sized pruned slice must plan a broadcast join")
   }
@@ -526,6 +511,57 @@ class ZoneMapSpec extends SparkTestBase {
     // the fold keeps only surviving files' entries
     GraftTableOptimize.foldSidecars(fs, table)
     assert(ZoneMap.load(fs, table).keySet == Set(packedName))
+  }
+
+  test("string ordering is code-point (UTF-8 binary): astral plane agrees with Spark") {
+    // U+10000 (surrogate pair) sorts ABOVE U+FFFF in code-point order but
+    // BELOW it in UTF-16 code-unit order — the divergence that would make
+    // pushed filters / metadata extremes disagree with an un-pushed scan
+    val astral = new String(Character.toChars(0x10000))
+    val bmpMax = "￿"
+    assert(astral.compareTo(bmpMax) < 0, "sanity: UTF-16 unit order disagrees here")
+    val dir = freshTable("graft-zm-utf8")
+    Seq(Tuple1(bmpMax), Tuple1(astral), Tuple1("plain")).toDF("w")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val back = spark.read.format("graft-parquet").load(dir)
+    // metadata MAX answers the same value Spark's own aggregation computes
+    val metaMax = back.agg(max("w").as("mx"))
+    assert(scanOf(metaMax).agg.isDefined)
+    val sparkMax = spark.read.parquet(
+      fsOf(dir).listStatus(new Path(dir))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .head.getPath.toString).agg(max("w")).head().getString(0)
+    assert(metaMax.head().getString(0) == sparkMax && sparkMax == astral,
+      s"metadata max must be the astral char, got ${metaMax.head()}")
+    // a pushed record-level comparison agrees with Spark semantics too
+    val got = back.filter(col("w") > lit(bmpMax)).collect().map(_.getString(0)).toSeq
+    assert(got == Seq(astral), s"w > U+FFFF must keep only U+10000, got $got")
+  }
+
+  test("a torn stats blob degrades to a stats-less add; the table never wedges") {
+    import graft.sources.v2.GraftParquetWrite
+    val dir = freshTable("graft-zm-tornstats")
+    val table = new Path(dir)
+    val fs = fsOf(dir)
+    val staging = GraftParquetWrite.stagingDir(table, "tornq")
+    fs.mkdirs(staging)
+    Seq((1L, "a")).toDF("id", "name").coalesce(1).write.parquet(staging.toString + "/tmp")
+    val part = fs.listStatus(new Path(staging, "tmp"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.rename(part, new Path(staging, "part-tornq-0-0.parquet"))
+    fs.delete(new Path(staging, "tmp"), true)
+    val man = fs.create(new Path(staging, "manifest"), true)
+    try man.write("part-tornq-0-0.parquet\t{\"rows\":1,\"co".getBytes("UTF-8"))
+    finally man.close()
+    // recovery completes: the file commits, no zone-map entry, scan works
+    GraftParquetWrite.recover(fs, table)
+    assert(!fs.exists(staging))
+    assert(spark.read.format("graft-parquet").load(dir).count() == 1)
+    assert(ZoneMap.load(fs, table).isEmpty)
+    // and the next NORMAL write (which runs recover first) also succeeds
+    Seq((2L, "b")).toDF("id", "name")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    assert(spark.read.format("graft-parquet").load(dir).count() == 2)
   }
 
   test("a replayed roll-forward rewrites the same sidecar entry idempotently") {
