@@ -459,4 +459,53 @@ class StressScaleSpec extends SparkTestBase {
       assert(vs <= 2, s"version dirs accrete under $d: $vs")
     }
   }
+
+  stress("zone-map stack at 96 commits: pruning exact, optimize folds, aggregates hold") {
+    import graft.sources.v2.{GraftTableOptimize, ZoneMap}
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    // the incremental-feed shape the skipping stack exists for: 96 small
+    // append commits of contiguous slabs (500 rows each), then a narrow
+    // window, the metadata COUNT, OPTIMIZE, and the same checks again
+    val dir = java.nio.file.Files.createTempDirectory("graft-zm-stress").toString + "/t"
+    val slabRows = 500L
+    val commits = 96
+    (0 until commits).foreach { i =>
+      spark.range(i * slabRows, (i + 1) * slabRows)
+        .select($"id", concat(lit("doc-"), $"id").as("name"), ($"id" % 97).cast("double").as("v"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ZoneMap.load(fs, table).size == commits)
+    val sch = spark.read.format("graft-parquet").load(dir).schema
+    // a one-slab window refutes 95 of 96 files from the sidecar alone
+    val window: Array[org.apache.spark.sql.sources.Filter] =
+      Array(GreaterThanOrEqual("id", 10100L), LessThan("id", 10400L))
+    val (t0, p0) = ZoneMap.pruneReport(fs, table, window, sch)
+    assert(t0 == commits && p0 == commits - 1, s"expected ${commits - 1}/$commits pruned, got $p0/$t0")
+    val (_, tPlan) = timed {
+      val df = spark.read.format("graft-parquet").load(dir)
+        .filter($"id" >= 10100L && $"id" < 10400L)
+      assert(df.rdd.getNumPartitions == 1)
+      assert(df.count() == 300)
+    }
+    // metadata aggregates answer over all 96 entries
+    val agged = spark.read.format("graft-parquet").load(dir)
+      .agg(count(lit(1)).as("n"), min($"id").as("lo"), max($"id").as("hi"))
+    val row = agged.head()
+    assert(row.getLong(0) == commits * slabRows && row.getLong(1) == 0L &&
+      row.getLong(2) == commits * slabRows - 1)
+    // OPTIMIZE: 96 files bin-pack, sidecars fold to one, everything re-checks
+    val rep = GraftTableOptimize.optimize(spark, dir,
+      targetBytes = 8L * 1024 * 1024, smallBytes = 8L * 1024 * 1024)
+    assert(rep.filesRewritten == commits && rep.filesAfter < 8 && rep.zmSidecarsAfter == 1,
+      s"optimize must collapse the tail: $rep")
+    val back = spark.read.format("graft-parquet").load(dir)
+    assert(back.count() == commits * slabRows)
+    assert(back.filter($"id" >= 10100L && $"id" < 10400L).count() == 300)
+    val row2 = back.agg(count(lit(1)), min($"id"), max($"id")).head()
+    assert(row2.getLong(0) == commits * slabRows && row2.getLong(1) == 0L &&
+      row2.getLong(2) == commits * slabRows - 1)
+    info(f"window scan over 96 commits: $tPlan%.2fs (1 of 96 files planned)")
+  }
 }
