@@ -422,6 +422,28 @@ object SparkEntry {
       hotJoin.withColumn("dpp_fired", lit(fired))
     }),
 
+    "stream_table_ingest" -> ((s, dir) => {
+      // exactly-once streaming append into the zone-mapped table
+      // (graft.streaming.TableIngest): three micro-batches land through the
+      // connector's manifest commit, each leaving a !b<id> marker
+      // atomically with its data; batch 1 is DELIVERED TWICE and the
+      // marker absorbs the redelivery — a duplicate would double batch 1's
+      // rows and fail the oracle hash. The flag additionally pins that the
+      // duplicate was detected (returned false) rather than coincidentally
+      // absent. Oracle: the slices partition events, so the table is
+      // exactly the source.
+      val out = scratchDir("graft_stream_ingest") + "/t"
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"))
+      def slice(r: Int) = ev.filter(pmod(col("event_id"), lit(3)) === r)
+      val w0 = graft.streaming.TableIngest.ingestBatch(slice(0), out, 0L)
+      val w1 = graft.streaming.TableIngest.ingestBatch(slice(1), out, 1L)
+      val dup = graft.streaming.TableIngest.ingestBatch(slice(1), out, 1L)
+      val w2 = graft.streaming.TableIngest.ingestBatch(slice(2), out, 2L)
+      s.read.format("graft-parquet").load(out)
+        .withColumn("dedup_ok", lit(w0 && w1 && w2 && !dup))
+    }),
+
     "dedup_keep_first" -> ((s, dir) =>
       Ops.dedupKeepFirst(DedupSpec(Seq("user_id"), Seq("ts"), Some(col("event_id"))))(
         Sources.events(s, dir))
@@ -3823,6 +3845,9 @@ object SparkEntry {
         |JOIN (SELECT event_id AS k FROM events
         |      WHERE event_id >= 100 AND event_id < 160) d
         |  ON e.event_id = d.k""".stripMargin,
+
+    "stream_table_ingest" ->
+      """SELECT event_id, user_id, value, TRUE AS dedup_ok FROM events""",
 
     "dedup_keep_first" ->
       """SELECT user_id, event_id, value FROM (

@@ -60,22 +60,22 @@ object GraftParquetWrite {
       }
     }
 
-  private[v2] def commitFiles(fs: FileSystem, table: Path, staging: Path,
-      entries: Seq[(String, ZoneMap.FileStats)]): Unit =
-    commitLines(fs, table, staging,
-      entries.map { case (n, s) => s"$n\t${ZoneMap.encode(s)}" })
-
-  /** Manifest line format — three shapes, one per maintenance need:
+  /** Manifest line format — four shapes, one per maintenance need:
     *   - `fileName\t<zone-map json>`: add with statistics (every writer
     *     commit since the zone map landed);
     *   - `fileName`: add without statistics (pre-zone-map manifests stay
     *     replayable — the file simply scans un-pruned);
     *   - `~fileName`: REMOVE a committed file ([[GraftTableOptimize]]'s
-    *     swap) — unambiguous because writer-produced names always start
-    *     with `part-`.
-    * The manifest write is the commit point; the stats ride it so a crash
-    * anywhere after this write still produces the zone-map sidecar when
-    * recover() replays the roll-forward.
+    *     swap);
+    *   - `!marker`: create `_commits/marker` as part of the roll-forward —
+    *     the exactly-once receipt [[graft.streaming.TableIngest]] keys
+    *     batch dedup on. Riding the manifest is what makes it crash-safe:
+    *     a marker written as a separate step after the commit would leave
+    *     a window where the data landed but a redelivered batch cannot
+    *     see that it did.
+    * Prefixes are unambiguous: writer-produced file names always start
+    * with `part-`. The manifest write is the commit point; everything else
+    * replays from it.
     */
   private[v2] def commitLines(fs: FileSystem, table: Path, staging: Path,
       lines: Seq[String]): Unit = {
@@ -99,7 +99,8 @@ object GraftParquetWrite {
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
       finally in.close()
-    val (removalLines, addLines) = lines.partition(_.startsWith("~"))
+    val (markerLines, rest) = lines.partition(_.startsWith("!"))
+    val (removalLines, addLines) = rest.partition(_.startsWith("~"))
     val adds: Seq[(String, Option[ZoneMap.FileStats])] = addLines.map { line =>
       val cut = line.indexOf('\t')
       if (cut < 0) (line, None)
@@ -126,8 +127,15 @@ object GraftParquetWrite {
     // different file than the one just renamed.
     ZoneMap.write(fs, table, staging.getName.stripPrefix(StagingPrefix),
       adds.collect { case (n, Some(s)) => (n, s) })
+    markerLines.foreach { m =>
+      fs.create(new Path(new Path(table, "_commits"), m.substring(1)), true).close()
+    }
     fs.delete(staging, true)
   }
+
+  /** Has `marker` been committed (its `!marker` manifest rolled forward)? */
+  def markerExists(fs: FileSystem, table: Path, marker: String): Boolean =
+    fs.exists(new Path(new Path(table, "_commits"), marker))
 
   /** Spark schema → parquet message type, restricted to the primitive
     * columns the reader evaluates ([[GraftScan.evaluable]]'s type set) so
@@ -158,12 +166,17 @@ final case class GraftWriteBuilder(path: String, info: LogicalWriteInfo) extends
     override def toBatch: BatchWrite = {
       // fail at plan time on an unwritable schema, not per-task
       GraftParquetWrite.toMessageType(info.schema())
-      GraftBatchWrite(path, info.queryId(), info.schema())
+      // optional exactly-once receipt: `.option("graft.commitMarker", m)`
+      // adds a `!m` manifest line, so _commits/m appears atomically with
+      // the data (TableIngest keys streaming batch dedup on it)
+      GraftBatchWrite(path, info.queryId(), info.schema(),
+        Option(info.options().get("graft.commitMarker")).filter(_.nonEmpty))
     }
   }
 }
 
-final case class GraftBatchWrite(path: String, queryId: String, schema: StructType)
+final case class GraftBatchWrite(path: String, queryId: String, schema: StructType,
+    commitMarker: Option[String] = None)
     extends BatchWrite {
 
   private def withFs[T](body: (FileSystem, Path) => T): T = {
@@ -183,7 +196,9 @@ final case class GraftBatchWrite(path: String, queryId: String, schema: StructTy
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = withFs { (fs, table) =>
     val entries = messages.collect { case GraftCommitMessage(name, stats) => (name, stats) }.toSeq
-    GraftParquetWrite.commitFiles(fs, table, GraftParquetWrite.stagingDir(table, queryId), entries)
+    val lines = entries.map { case (n, s) => s"$n\t${ZoneMap.encode(s)}" } ++
+      commitMarker.map("!" + _)
+    GraftParquetWrite.commitLines(fs, table, GraftParquetWrite.stagingDir(table, queryId), lines)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = withFs { (fs, table) =>

@@ -564,6 +564,74 @@ class ZoneMapSpec extends SparkTestBase {
     assert(spark.read.format("graft-parquet").load(dir).count() == 2)
   }
 
+  // ------------------------------------------- exactly-once table ingest
+
+  test("ingestBatch is exactly-once: duplicate ids skip, crash windows replay to one copy") {
+    import graft.sources.v2.GraftParquetWrite
+    import graft.streaming.TableIngest
+    val dir = freshTable("graft-zm-ingest")
+    def batchDf(lo: Long) = spark.range(lo, lo + 10)
+      .select(col("id"), concat(lit("r-"), col("id")).as("name"))
+    assert(TableIngest.ingestBatch(batchDf(0).coalesce(1), dir, 0L))
+    assert(TableIngest.ingestBatch(batchDf(10).coalesce(1), dir, 1L))
+    // duplicate delivery of batch 1: skipped, rows unchanged
+    assert(!TableIngest.ingestBatch(batchDf(10).coalesce(1), dir, 1L))
+    val fs = fsOf(dir)
+    assert(spark.read.format("graft-parquet").load(dir).count() == 20)
+    assert(ZoneMap.load(fs, new Path(dir)).size == 2, "one sidecar entry per batch")
+    // crash AFTER the commit point of batch 2, BEFORE roll-forward: stage
+    // data + manifest with the !marker line by hand, then redeliver
+    val table = new Path(dir)
+    val staging = GraftParquetWrite.stagingDir(table, "crashb2")
+    fs.mkdirs(staging)
+    batchDf(20).coalesce(1).write.parquet(staging.toString + "/tmp")
+    val part = fs.listStatus(new Path(staging, "tmp"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.rename(part, new Path(staging, "part-crashb2-0-0.parquet"))
+    fs.delete(new Path(staging, "tmp"), true)
+    val man = fs.create(new Path(staging, "manifest"), true)
+    try man.write("part-crashb2-0-0.parquet\n!b2".getBytes("UTF-8")) finally man.close()
+    // the marker is NOT yet visible (roll-forward pending)...
+    assert(!GraftParquetWrite.markerExists(fs, table, "b2"))
+    // ...but the redelivered batch recovers first, sees it, and skips
+    assert(!TableIngest.ingestBatch(batchDf(20).coalesce(1), dir, 2L),
+      "recovery must complete the interrupted commit and absorb the redelivery")
+    assert(spark.read.format("graft-parquet").load(dir).count() == 30,
+      "batch 2's rows land exactly once")
+    assert(GraftParquetWrite.markerExists(fs, table, "b2"))
+    // marker pruning below a high-water mark
+    assert(TableIngest.pruneMarkers(spark, dir, keepFrom = 2L) == 2)
+    assert(GraftParquetWrite.markerExists(fs, table, "b2") &&
+      !GraftParquetWrite.markerExists(fs, table, "b0"))
+  }
+
+  test("ingestTableStream lands each micro-batch once and survives a checkpointed restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.TableIngest
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = freshTable("graft-zm-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-zm-streamck").toString
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "a"), (2L, "b"))
+    val q1 = TableIngest.ingestTableStream(
+      input.toDF().toDF("id", "name"), dir, ckpt)
+    q1.awaitTermination()
+    assert(spark.read.format("graft-parquet").load(dir).count() == 2)
+    // restart from the same checkpoint with new data: only the new batch lands
+    input.addData((3L, "c"))
+    val q2 = TableIngest.ingestTableStream(
+      input.toDF().toDF("id", "name"), dir, ckpt)
+    q2.awaitTermination()
+    import spark.implicits._
+    assert(spark.read.format("graft-parquet").load(dir)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // the continuously-fed table still answers from metadata
+    val agged = spark.read.format("graft-parquet").load(dir)
+      .agg(count(lit(1)).as("n"), max(col("id")).as("hi"))
+    assert(scanOf(agged).agg.isDefined)
+    assert(agged.head().getLong(0) == 3 && agged.head().getLong(1) == 3L)
+  }
+
   test("a replayed roll-forward rewrites the same sidecar entry idempotently") {
     val dir = freshTable("graft-zm-replay")
     val table = new Path(dir)
