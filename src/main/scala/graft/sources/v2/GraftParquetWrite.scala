@@ -36,6 +36,15 @@ import org.apache.spark.sql.types._
   * at the next write job — renames are idempotent-by-absence (a file already
   * moved is skipped), so replaying the roll-forward neither loses nor
   * duplicates rows.
+  *
+  * Non-goal: snapshot isolation / time-travel. Current state is derived
+  * from the directory LISTING (manifests are consumed, not retained), which
+  * keeps reads zero-indirection and every maintenance action idempotent by
+  * file-name uniqueness. AS-OF reads would move the source of truth into a
+  * retained commit log and make OPTIMIZE's removals logical until a vacuum
+  * — a different design point than this connector's listing-is-truth
+  * contract, stated here so nobody mistakes the `_commits` receipts (batch
+  * idempotence markers, [[graft.streaming.TableIngest]]) for a log.
   */
 object GraftParquetWrite {
 

@@ -133,6 +133,43 @@ object GraftTableOptimize {
     OptimizeReport(before.length, dataFiles().length, small.length, bytes, zmBefore, zmAfter)
   }
 
+  /** Table health report — the maintenance scan an operator runs before
+    * trusting a table that crashed mid-anything (the
+    * [[graft.streaming.Bm25Index.fsck]] discipline applied here). Read-only;
+    * every condition it reports is one recover()/optimize()/write away from
+    * clean, and `sidecarCoverage < 1.0` only costs pruning, never rows.
+    */
+  final case class FsckReport(
+      dataFiles: Int, dataBytes: Long,
+      sidecarEntries: Int, sidecarCoverage: Double, staleSidecarEntries: Int,
+      zmSidecarFiles: Int, commitMarkers: Int,
+      stagingCommitted: Int, stagingGarbage: Int) {
+    def healthy: Boolean = stagingCommitted == 0 && stagingGarbage == 0
+  }
+
+  def fsck(spark: SparkSession, path: String): FsckReport = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(table), s"no table at $path")
+    val st = fs.listStatus(table)
+    val data = st.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val dataNames = data.map(_.getPath.getName).toSet
+    val zm = ZoneMap.load(fs, table)
+    val covered = dataNames.count(zm.contains)
+    val staging = st.filter(s => s.isDirectory && s.getPath.getName.startsWith("_write_"))
+    val (committed, garbage) = staging.partition(s =>
+      fs.exists(new Path(s.getPath, "manifest")))
+    val commitsDir = new Path(table, "_commits")
+    val markers = if (fs.exists(commitsDir)) fs.listStatus(commitsDir).length else 0
+    FsckReport(
+      dataFiles = data.length, dataBytes = data.map(_.getLen).sum,
+      sidecarEntries = zm.size,
+      sidecarCoverage = if (data.isEmpty) 1.0 else covered.toDouble / data.length,
+      staleSidecarEntries = zm.keysIterator.count(!dataNames.contains(_)),
+      zmSidecarFiles = zmFiles(fs, table).length, commitMarkers = markers,
+      stagingCommitted = committed.length, stagingGarbage = garbage.length)
+  }
+
   private def zmFiles(fs: FileSystem, table: Path): Array[Path] = {
     val d = ZoneMap.dir(table)
     if (!fs.exists(d)) Array.empty

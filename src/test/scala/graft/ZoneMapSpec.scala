@@ -564,6 +564,41 @@ class ZoneMapSpec extends SparkTestBase {
     assert(spark.read.format("graft-parquet").load(dir).count() == 2)
   }
 
+  test("fsck reports coverage, stale entries, receipts, and pending staging truthfully") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    import graft.streaming.TableIngest
+    val dir = freshTable("graft-zm-fsck")
+    TableIngest.ingestBatch(
+      spark.range(0, 10).select(col("id"), lit("x").as("name")).coalesce(1), dir, 0L)
+    TableIngest.ingestBatch(
+      spark.range(10, 20).select(col("id"), lit("y").as("name")).coalesce(1), dir, 1L)
+    val clean = GraftTableOptimize.fsck(spark, dir)
+    assert(clean.healthy && clean.dataFiles == 2 && clean.sidecarEntries == 2 &&
+      clean.sidecarCoverage == 1.0 && clean.staleSidecarEntries == 0 &&
+      clean.commitMarkers == 2, s"got $clean")
+    val fs = fsOf(dir)
+    val table = new Path(dir)
+    // manufacture every unhealthy condition at once: a garbage staging dir,
+    // a committed-but-unrolled one, and a stale sidecar entry (delete a
+    // data file out from under its stats)
+    fs.mkdirs(GraftParquetWrite.stagingDir(table, "dead"))
+    val pend = GraftParquetWrite.stagingDir(table, "pend")
+    fs.mkdirs(pend)
+    val man = fs.create(new Path(pend, "manifest"), true)
+    try man.write("part-pend-0-0.parquet".getBytes("UTF-8")) finally man.close()
+    val victim = fs.listStatus(table)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.delete(victim, false)
+    val dirty = GraftTableOptimize.fsck(spark, dir)
+    assert(!dirty.healthy && dirty.stagingGarbage == 1 && dirty.stagingCommitted == 1 &&
+      dirty.dataFiles == 1 && dirty.staleSidecarEntries == 1, s"got $dirty")
+    // one recover + optimize-fold away from clean again
+    GraftParquetWrite.recover(fs, table)
+    GraftTableOptimize.foldSidecars(fs, table)
+    val after = GraftTableOptimize.fsck(spark, dir)
+    assert(after.healthy && after.staleSidecarEntries == 0, s"got $after")
+  }
+
   // ------------------------------------------- exactly-once table ingest
 
   test("ingestBatch is exactly-once: duplicate ids skip, crash windows replay to one copy") {
