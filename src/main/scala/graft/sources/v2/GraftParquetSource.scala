@@ -26,10 +26,11 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** A minimal DataSourceV2 connector proving S1's pushdown contract end-to-end
-  * (the offline stand-in for the reference's Elasticsearch scroll scan,
-  * `elasticsearch_service.py:63-87`, where the query DSL carries filters and
-  * `_source` carries the projection INTO the store):
+/** The `graft-parquet` DataSourceV2 connector: S1's pushdown contract
+  * end-to-end (the offline stand-in for the reference's Elasticsearch scroll
+  * scan, `elasticsearch_service.py:63-87`, where the query DSL carries
+  * filters and `_source` carries the projection INTO the store), grown into
+  * the full data-skipping stack a 100 TB table needs:
   *
   *   - `SupportsPushDownRequiredColumns` — the pruned schema becomes the
   *     parquet read projection (`parquet.read.schema`), so unread columns are
@@ -38,6 +39,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *     columns are accepted, compiled to parquet `FilterApi` predicates
   *     (row-group + page skipping via min/max stats), and re-checked
   *     per-record; everything else is rejected back to Spark.
+  *   - FILE-level skipping from the [[ZoneMap]] sidecar: committed per-file
+  *     min/max/null statistics refute whole files against the pushed
+  *     conjunction BEFORE any footer read.
+  *   - `SupportsPushDownAggregates` — COUNT(*)/COUNT(col)/MIN/MAX with no
+  *     grouping and no filters answer from the sidecar alone (one single-row
+  *     partition, zero data files opened) with sound declines.
+  *   - `SupportsReportStatistics` — exact pruned byte/row statistics, so a
+  *     narrow slice of a huge table is broadcast-eligible.
+  *   - `SupportsRuntimeV2Filtering` — selective joins hand the scan their
+  *     keys at execute time; the zone map drops the fact files outside the
+  *     key slice (the DSv2 dynamic-pruning seam).
   *   - One `InputPartition` per parquet ROW GROUP (the ES sliced-scroll
   *     analog, at the granularity that matters): a 100 TB table is multi-GB
   *     files, and file-granularity partitions would cap parallelism at the
@@ -48,9 +60,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *     contiguous tiling puts every midpoint in exactly one range (no row
   *     group read twice or dropped).
   *
-  * Registered as `graft-parquet` via META-INF/services. Executors read with a
-  * fresh Hadoop `Configuration` (local/posix filesystems); a cluster deploy
-  * would broadcast the driver conf.
+  * All ordering flows through one comparator ([[GraftScan.cmp]], code-point
+  * string collation), so record evaluation, zone-map pruning, and metadata
+  * aggregates can never disagree. Registered as `graft-parquet` via
+  * META-INF/services. Executors read with a fresh Hadoop `Configuration`
+  * (local/posix filesystems); a cluster deploy would broadcast the driver
+  * conf.
   */
 class GraftParquetSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-parquet"
@@ -110,6 +125,10 @@ final class GraftScanBuilder(path: String, full: StructType)
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var agg: Option[GraftAggResult] = None
+  // the aggregation the cached attempt answered — Spark pushes once per
+  // builder today, but a second, DIFFERENT aggregation must recompute, not
+  // serve the first answer
+  private var aggFor: Option[String] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition(GraftScan.evaluable(_, full))
@@ -129,7 +148,11 @@ final class GraftScanBuilder(path: String, full: StructType)
   // advantage — either the sidecar answers exactly or the scan runs).
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (agg.isEmpty) agg = GraftScan.answerFromMetadata(path, full, pushed, aggregation)
+    val key = aggregation.toString
+    if (!aggFor.contains(key)) {
+      agg = GraftScan.answerFromMetadata(path, full, pushed, aggregation)
+      aggFor = Some(key)
+    }
     agg.isDefined
   }
   override def pushAggregation(
