@@ -227,11 +227,7 @@ final case class GraftScan(
       : (Seq[org.apache.hadoop.fs.FileStatus], Map[String, ZoneMap.FileStats]) = {
     val p = new Path(path)
     val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-    val listed =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      else Array(fs.getFileStatus(p))
-    (listed.toSeq, ZoneMap.load(fs, p))
+    (GraftParquetWrite.listDataFiles(fs, p), ZoneMap.load(fs, p))
   }
 
   private def survivingFiles(): (Seq[org.apache.hadoop.fs.FileStatus], Map[String, ZoneMap.FileStats]) = {
@@ -356,12 +352,9 @@ object GraftScan {
     val p = new Path(path)
     val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
-      else Array(p)
+    val files = GraftParquetWrite.listDataFiles(fs, p)
     val zm = ZoneMap.load(fs, p)
-    val entries = files.map(f => zm.get(f.getName))
+    val entries = files.map(f => zm.get(f.getPath.getName))
     if (entries.exists(_.isEmpty)) return None // un-entried file: counts would lie
     val stats = entries.flatten.toSeq
 

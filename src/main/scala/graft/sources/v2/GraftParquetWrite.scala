@@ -88,6 +88,20 @@ object GraftParquetWrite {
     */
   private[v2] def commitLines(fs: FileSystem, table: Path, staging: Path,
       lines: Seq[String]): Unit = {
+    // single-writer tripwire: every staged ADD must still exist before the
+    // commit point lands. If a concurrent writer's recover() swept this
+    // staging dir as garbage (the contract violation — e.g. a stream batch
+    // racing an OPTIMIZE), publishing the manifest anyway would replay the
+    // removal lines with the adds skipped-by-absence: committed rows
+    // deleted, every step reporting success. Failing here loses only this
+    // attempt's work.
+    lines.filterNot(l => l.startsWith("~") || l.startsWith("!")).foreach { l =>
+      val cut = l.indexOf('\t')
+      val name = if (cut < 0) l else l.substring(0, cut)
+      require(fs.exists(new Path(staging, name)),
+        s"staged file $name vanished before the commit point — a concurrent " +
+          "writer broke the single-writer contract; this commit is aborted intact")
+    }
     // temp + rename makes the commit point ATOMIC: create+write+close is
     // not, and a torn manifest is no longer just a lost append now that
     // removal lines exist — half a swap manifest would rename the packed
@@ -145,6 +159,17 @@ object GraftParquetWrite {
   /** Has `marker` been committed (its `!marker` manifest rolled forward)? */
   def markerExists(fs: FileSystem, table: Path, marker: String): Boolean =
     fs.exists(new Path(new Path(table, "_commits"), marker))
+
+  /** The table's committed data files — THE definition of table membership
+    * (directories, sidecars, staging and receipts excluded), shared by the
+    * scan, the metadata aggregates, OPTIMIZE, fsck, and the prune report so
+    * they can never disagree about what is in the table.
+    */
+  def listDataFiles(fs: FileSystem, table: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (fs.getFileStatus(table).isDirectory)
+      fs.listStatus(table)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).toSeq
+    else Seq(fs.getFileStatus(table))
 
   /** Spark schema → parquet message type, restricted to the primitive
     * columns the reader evaluates ([[GraftScan.evaluable]]'s type set) so

@@ -78,8 +78,7 @@ object GraftTableOptimize {
     require(fs.exists(table), s"no table at $path")
     GraftParquetWrite.recover(fs, table)
 
-    def dataFiles() = fs.listStatus(table)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    def dataFiles() = GraftParquetWrite.listDataFiles(fs, table)
     val before = dataFiles()
     val small = before.filter(_.getLen < smallBytes)
     val zmBefore = zmFiles(fs, table).length
@@ -152,7 +151,7 @@ object GraftTableOptimize {
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(table), s"no table at $path")
     val st = fs.listStatus(table)
-    val data = st.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val data = GraftParquetWrite.listDataFiles(fs, table)
     val dataNames = data.map(_.getPath.getName).toSet
     val zm = ZoneMap.load(fs, table)
     val covered = dataNames.count(zm.contains)
@@ -185,9 +184,7 @@ object GraftTableOptimize {
   def foldSidecars(fs: FileSystem, table: Path): Int = {
     val olds = zmFiles(fs, table)
     if (olds.length <= 1) return olds.length
-    val live = fs.listStatus(table)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.getName).toSet
+    val live = GraftParquetWrite.listDataFiles(fs, table).map(_.getPath.getName).toSet
     val entries = ZoneMap.load(fs, table).filter { case (n, _) => live.contains(n) }
     val foldName = s"optfold-${System.currentTimeMillis()}-${(math.abs(scala.util.Random.nextLong()) % 0xFFFFFF).toHexString}"
     if (entries.nonEmpty) ZoneMap.write(fs, table, foldName, entries.toSeq.sortBy(_._1))

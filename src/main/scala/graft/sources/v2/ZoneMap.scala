@@ -134,25 +134,29 @@ object ZoneMap {
             }, () => (if (seen) Some(mn.toString) else None,
               if (seen) Some(mx.toString) else None, false))
           case DoubleType =>
-            var mn = Double.MaxValue; var mx = Double.MinValue; var seen = false; var nan = false
+            // first value ASSIGNS rather than comparing against a sentinel:
+            // ±Infinity lies outside [-MaxValue, MaxValue], so a sentinel
+            // init would silently never record an infinite extreme and the
+            // metadata MIN/MAX answer would be wrong
+            var mn = 0.0; var mx = 0.0; var seen = false; var nan = false
             ((row: InternalRow) => {
               val v = row.getDouble(i)
               if (java.lang.Double.isNaN(v)) nan = true
+              else if (!seen) { seen = true; mn = v; mx = v }
               else {
-                seen = true
-                // compare via Double.compare semantics (-0.0 < 0.0), like cmp
+                // Double.compare semantics (-0.0 < 0.0), like cmp
                 if (java.lang.Double.compare(v, mn) < 0) mn = v
                 if (java.lang.Double.compare(v, mx) > 0) mx = v
               }
             }, () => (if (seen) Some(mn.toString) else None,
               if (seen) Some(mx.toString) else None, nan))
           case FloatType =>
-            var mn = Float.MaxValue; var mx = Float.MinValue; var seen = false; var nan = false
+            var mn = 0.0f; var mx = 0.0f; var seen = false; var nan = false
             ((row: InternalRow) => {
               val v = row.getFloat(i)
               if (java.lang.Float.isNaN(v)) nan = true
+              else if (!seen) { seen = true; mn = v; mx = v }
               else {
-                seen = true
                 if (java.lang.Float.compare(v, mn) < 0) mn = v
                 if (java.lang.Float.compare(v, mx) > 0) mx = v
               }
@@ -309,13 +313,10 @@ object ZoneMap {
     */
   def pruneReport(fs: FileSystem, table: Path, filters: Array[Filter],
       schema: StructType): (Int, Int) = {
-    val files =
-      if (fs.getFileStatus(table).isDirectory)
-        fs.listStatus(table).map(_.getPath).filter(_.getName.endsWith(".parquet"))
-      else Array(table)
+    val files = GraftParquetWrite.listDataFiles(fs, table)
     val zm = load(fs, table)
     val pruned = files.count(f =>
-      zm.get(f.getName).exists(st => !mayMatchAll(filters, st, schema)))
+      zm.get(f.getPath.getName).exists(st => !mayMatchAll(filters, st, schema)))
     (files.length, pruned)
   }
 }

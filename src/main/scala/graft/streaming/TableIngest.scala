@@ -38,14 +38,32 @@ import graft.sources.v2.GraftParquetWrite
   */
 object TableIngest {
 
+  /** Stable identity of one ingestion LINEAGE, derived from the checkpoint
+    * path: the same checkpoint across restarts keeps one lineage (markers
+    * dedupe batch redeliveries exactly-once), while a NEW checkpoint over
+    * the same table is a new lineage whose batch 0 must not collide with
+    * the old stream's batch 0 — Spark renumbers from zero, and a shared
+    * namespace would silently DROP the new stream's early batches. A new
+    * lineage re-ingesting rows is visible and intentional (a backfill);
+    * silent drops are neither.
+    */
+  def lineageOf(checkpoint: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpoint.getBytes("UTF-8"))
+    d.take(6).map(b => f"$b%02x").mkString
+  }
+
   /** Idempotently append one micro-batch. Returns true if the batch wrote,
     * false if its marker showed it already committed (duplicate delivery).
+    * `lineage` namespaces the marker (see [[lineageOf]]); callers driving
+    * batches by hand outside any stream may leave it empty.
     */
-  def ingestBatch(batch: DataFrame, tableDir: String, batchId: Long): Boolean = {
+  def ingestBatch(batch: DataFrame, tableDir: String, batchId: Long,
+      lineage: String = ""): Boolean = {
     val spark = batch.sparkSession
     val table = new Path(tableDir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = s"b$batchId"
+    val marker = markerName(lineage, batchId)
     // recovery FIRST: an interrupted predecessor may hold this very
     // batch's commit point — completing it writes the marker we test
     if (fs.exists(table)) GraftParquetWrite.recover(fs, table)
@@ -58,33 +76,48 @@ object TableIngest {
     }
   }
 
+  private def markerName(lineage: String, batchId: Long): String =
+    if (lineage.isEmpty) s"b$batchId" else s"$lineage-b$batchId"
+
   /** Wire a streaming frame into the table: one idempotent connector
-    * commit per micro-batch.
+    * commit per micro-batch, markers namespaced by the checkpoint's
+    * lineage.
+    *
+    * Maintenance contract: [[graft.sources.v2.GraftTableOptimize]] runs
+    * against this table require the stream PAUSED (the connector's
+    * single-writer maintenance window — ingestBatch's recover() would
+    * discard an optimize's staging mid-swap). The commit protocol fails
+    * loudly rather than losing rows if the contract is broken, but pausing
+    * is the supported shape.
     */
   def ingestTableStream(df: DataFrame, tableDir: String, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val lineage = lineageOf(checkpoint)
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, tableDir, batchId): Unit
+        ingestBatch(batch, tableDir, batchId, lineage): Unit
       }
       .start()
+  }
 
-  /** Drop markers for batch ids below `keepFrom`. The checkpoint can only
-    * redeliver the last uncommitted batch, so ids below (highWater −
-    * retention) are dead weight; callers typically pass
+  /** Drop one lineage's markers for batch ids below `keepFrom`. The
+    * checkpoint can only redeliver the last uncommitted batch, so ids
+    * below (highWater − retention) are dead weight; callers typically pass
     * `latestBatchId − 100`.
     */
   def pruneMarkers(spark: org.apache.spark.sql.SparkSession, tableDir: String,
-      keepFrom: Long): Int = {
+      keepFrom: Long, lineage: String = ""): Int = {
     val dir = new Path(new Path(tableDir), "_commits")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = markerName(lineage, 0L).dropRight(1) // "b" or "<lineage>-b"
     if (!fs.exists(dir)) 0
     else {
       val dead = fs.listStatus(dir).map(_.getPath).filter { p =>
-        p.getName.startsWith("b") &&
-          scala.util.Try(p.getName.drop(1).toLong).toOption.exists(_ < keepFrom)
+        p.getName.startsWith(prefix) &&
+          scala.util.Try(p.getName.drop(prefix.length).toLong).toOption
+            .exists(_ < keepFrom)
       }
       dead.foreach(fs.delete(_, false))
       dead.length

@@ -667,6 +667,48 @@ class ZoneMapSpec extends SparkTestBase {
     assert(agged.head().getLong(0) == 3 && agged.head().getLong(1) == 3L)
   }
 
+  test("infinite extremes are recorded: metadata MIN/MAX agree with Spark on ±Infinity") {
+    val dir = freshTable("graft-zm-inf")
+    Seq(Tuple2(1L, Double.PositiveInfinity), Tuple2(2L, Double.PositiveInfinity))
+      .toDF("id", "v").coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    Seq(Tuple2(3L, Double.NegativeInfinity), Tuple2(4L, 5.0))
+      .toDF("id", "v").coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val agged = spark.read.format("graft-parquet").load(dir)
+      .agg(min("v").as("lo"), max("v").as("hi"))
+    assert(scanOf(agged).agg.isDefined, "infinities are orderable — must answer from metadata")
+    val row = agged.head()
+    assert(row.getDouble(0).isNegInfinity && row.getDouble(1).isPosInfinity,
+      s"metadata extremes must be the infinities, got $row")
+    // and pruning comparisons handle them: v > 10 keeps only the +Inf file
+    import org.apache.spark.sql.sources.GreaterThan
+    val sch = StructType(Seq(StructField("id", LongType), StructField("v", DoubleType)))
+    val (t, p) = ZoneMap.pruneReport(fsOf(dir), new Path(dir), Array(GreaterThan("v", 10.0)), sch)
+    assert(t == 2 && p == 1, s"the all-negative file must prune: $p/$t")
+  }
+
+  test("a new checkpoint is a new lineage: re-ingestion is visible, never a silent drop") {
+    import graft.streaming.TableIngest
+    val dir = freshTable("graft-zm-lineage")
+    val df = spark.range(0, 5).select(col("id"), lit("x").as("name"))
+    // lineage A commits batches 0 and 1
+    assert(TableIngest.ingestBatch(df.coalesce(1), dir, 0L, lineage = "aaa"))
+    assert(TableIngest.ingestBatch(df.coalesce(1), dir, 1L, lineage = "aaa"))
+    assert(!TableIngest.ingestBatch(df.coalesce(1), dir, 1L, lineage = "aaa"))
+    // a NEW lineage's batch 0 must not collide with A's batch 0: it writes
+    // (rows re-land, visibly) rather than being swallowed by a's marker
+    assert(TableIngest.ingestBatch(df.coalesce(1), dir, 0L, lineage = "bbb"),
+      "a fresh checkpoint's batch 0 must not be dropped by an old stream's marker")
+    assert(spark.read.format("graft-parquet").load(dir).count() == 15)
+    // pruning is lineage-scoped
+    assert(TableIngest.pruneMarkers(spark, dir, keepFrom = 2L, lineage = "aaa") == 2)
+    import graft.sources.v2.GraftParquetWrite
+    val fs = fsOf(dir)
+    assert(GraftParquetWrite.markerExists(fs, new Path(dir), "bbb-b0"),
+      "pruning lineage aaa must not touch bbb's markers")
+    // distinct checkpoints derive distinct lineages
+    assert(TableIngest.lineageOf("/ck/one") != TableIngest.lineageOf("/ck/two"))
+  }
+
   test("a replayed roll-forward rewrites the same sidecar entry idempotently") {
     val dir = freshTable("graft-zm-replay")
     val table = new Path(dir)
