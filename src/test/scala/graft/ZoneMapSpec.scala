@@ -513,6 +513,37 @@ class ZoneMapSpec extends SparkTestBase {
     assert(ZoneMap.load(fs, table).keySet == Set(packedName))
   }
 
+  test("collation property: the evaluator's string order equals UTF8String binary order") {
+    import org.apache.spark.sql.sources.{GreaterThan, LessThan, EqualTo}
+    import org.apache.spark.unsafe.types.UTF8String
+    // randomized strings biased into the bands where UTF-16 unit order and
+    // code-point order diverge: BMP [0xE000,0xFFFF] vs supplementary chars
+    val rnd = new scala.util.Random(157_000L)
+    def randomString(): String = {
+      val sb = new java.lang.StringBuilder
+      (0 until rnd.nextInt(5)).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => sb.append(('a' + rnd.nextInt(26)).toChar)
+          case 1 => sb.append((0xE000 + rnd.nextInt(0x2000)).toChar)
+          case 2 => sb.appendCodePoint(0x10000 + rnd.nextInt(0x10000))
+          case _ => sb.append((1 + rnd.nextInt(0xD7FF)).toChar)
+        }
+      }
+      sb.toString
+    }
+    (1 to 2000).foreach { _ =>
+      val (a, b) = (randomString(), randomString())
+      val truth = UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+      def ev(f: org.apache.spark.sql.sources.Filter) =
+        GraftScan.eval(f, name => if (name == "x") a else null)
+      assert(ev(GreaterThan("x", b)) == (truth > 0),
+        s"'$a' > '$b': evaluator disagrees with UTF8String (truth $truth)")
+      assert(ev(LessThan("x", b)) == (truth < 0),
+        s"'$a' < '$b': evaluator disagrees with UTF8String (truth $truth)")
+      assert(ev(EqualTo("x", b)) == (truth == 0))
+    }
+  }
+
   test("string ordering is code-point (UTF-8 binary): astral plane agrees with Spark") {
     // U+10000 (surrogate pair) sorts ABOVE U+FFFF in code-point order but
     // BELOW it in UTF-16 code-unit order — the divergence that would make
