@@ -141,6 +141,36 @@ object Bm25Index {
   private def readPostings(spark: SparkSession, dir: Path): DataFrame =
     spark.read.schema(PostingsSchema).parquet(postingsDir(dir).toString)
 
+  private val DoclensSchema = "doc_id BIGINT, dl BIGINT, __b BIGINT"
+
+  /** Stats sidecar rows (complete dirs only) with the `__b` stamp REQUIRED
+    * — None when no complete dirs exist. THE one guard site for the
+    * pre-stamp shape (it was previously copy-pasted across topK / purge /
+    * fsck with drifting messages); `action` names the caller's verb.
+    */
+  private def readStampedStats(spark: SparkSession, fs: FileSystem, dir: Path,
+      action: String): Option[DataFrame] = {
+    val dirs = completeDirs(fs, statsDir(dir)).map(_.toString)
+    if (dirs.isEmpty) None
+    else {
+      val df = spark.read.parquet(dirs.toIndexedSeq: _*)
+      if (!df.columns.contains("__b"))
+        throw new graft.GraftDataError(
+          s"stats sidecar at ${statsDir(dir)} predates the __b batch stamp — " +
+            s"rebuild the index before $action (a distinct over unstamped " +
+            "rows would collapse equal-sized batches)")
+      Some(df)
+    }
+  }
+
+  /** Doclens sidecar rows (complete dirs only) — None when none exist. */
+  private def readStampedDoclens(spark: SparkSession, fs: FileSystem, dir: Path)
+      : Option[DataFrame] = {
+    val dirs = completeDirs(fs, doclensDir(dir)).map(_.toString)
+    if (dirs.isEmpty) None
+    else Some(spark.read.schema(DoclensSchema).parquet(dirs.toIndexedSeq: _*))
+  }
+
   /** The tombstone sidecar: one `(doc_id, dl)` row per logically-deleted
     * doc (complete dirs only), distinct. PERMANENT — it is both the
     * query-time mask and the corpus-constants correction record, which is
@@ -359,7 +389,7 @@ object Bm25Index {
     foldSidecar(spark, fs, deletedDir(dir),
       Some("doc_id BIGINT, dl BIGINT"), maxStatsDirs)(_ => ())
     foldSidecar(spark, fs, doclensDir(dir),
-      Some("doc_id BIGINT, dl BIGINT, __b BIGINT"), maxStatsDirs)(_ => ())
+      Some(DoclensSchema), maxStatsDirs)(_ => ())
     val pDir = postingsDir(dir)
     val byShard = shardDataFiles(fs, pDir).groupBy(_.getPath.getParent.getName)
     val small = byShard.values.toSeq.flatMap { data =>
@@ -411,7 +441,7 @@ object Bm25Index {
       return 0L
     }
     val lens = spark.read
-      .schema("doc_id BIGINT, dl BIGINT, __b BIGINT")
+      .schema(DoclensSchema)
       .parquet(lensDirs.map(_.toString): _*)
     // COVERAGE, not mere non-emptiness: a pre-sidecar index that later
     // ingests one covered batch would otherwise slip past the guard above
@@ -434,15 +464,18 @@ object Bm25Index {
     // sidecar pass.
     val coveredB = lens.select(col("__b")).distinct()
       .collect().map(_.getLong(0)).toSet
-    val statDirsP = completeDirs(fs, statsDir(dir)).map(_.toString)
-    val statsDfP = if (statDirsP.isEmpty) None
-      else Some(spark.read.parquet(statDirsP.toIndexedSeq: _*))
-    if (!statsDfP.exists(_.columns.contains("__b")))
-      throw new graft.GraftDataError(
-        s"BM25 index at $indexDir predates the __b batch stamp — purge " +
-          "cannot prove doclens coverage; rebuild the index before purging")
-    val needB = statsDfP.get.distinct().filter(col("n_docs") > 0L)
-      .select(col("__b")).collect().map(_.getLong(0)).toSet
+    val needB = readStampedStats(spark, fs, dir, "purging") match {
+      case Some(df) => df.distinct().filter(col("n_docs") > 0L)
+        .select(col("__b")).collect().map(_.getLong(0)).toSet
+      case None =>
+        // doclens exists but stats does not: a differently-torn index —
+        // name THAT shape, not the pre-stamp one (the old shared message
+        // misdiagnosed this case as "predates the __b stamp")
+        throw new graft.GraftDataError(
+          s"BM25 index at $indexDir has doclens rows but no complete _stats " +
+            "sidecar — purge cannot prove batch coverage; rebuild the index " +
+            "before purging")
+    }
     val uncovered = needB -- coveredB
     if (uncovered.nonEmpty)
       throw new graft.GraftDataError(
@@ -539,21 +572,15 @@ object Bm25Index {
     val (fs, dir) = fileSystem(spark, indexDir)
     val mod = readMeta(fs, dir).getOrElse(
       throw new graft.GraftDataError(s"no BM25 index at $indexDir"))
-    val sDir = statsDir(dir)
-    val statDirs = completeDirs(fs, sDir).map(_.toString)
     def emptyResult: DataFrame = queries.select(col("query_id")).limit(0)
       .withColumn("doc_id", lit(null).cast("long"))
       .withColumn("rank", lit(null).cast("long"))
       .withColumn("score", lit(null).cast("double"))
-    if (statDirs.isEmpty) return emptyResult
     // rows are __b-stamped: compaction-fold crash residue duplicates them
     // bitwise, and the distinct restores one row per committed batch
-    val statsDf = spark.read.parquet(statDirs.toIndexedSeq: _*)
-    if (!statsDf.columns.contains("__b"))
-      throw new graft.GraftDataError(
-        s"stats sidecar at $sDir predates the __b batch stamp — rebuild the index " +
-          "(a distinct over unstamped rows would collapse equal-sized batches)")
-    val statsRow = statsDf.distinct()
+    val statsDfOpt = readStampedStats(spark, fs, dir, "querying")
+    if (statsDfOpt.isEmpty) return emptyResult
+    val statsRow = statsDfOpt.get.distinct()
       .agg(coalesce(sum(col("n_docs")), lit(0L)),
         coalesce(sum(col("total_dl")), lit(0L))).head()
     // purge tombstones: mask the postings AND correct the corpus constants
@@ -609,21 +636,33 @@ object Bm25Index {
   /** Integrity report: one row per batch id observed ANYWHERE in the
     * index (postings `__b` stamps, stats rows, doclens rows, commit
     * markers) with where it was seen and whether the batch is healthy —
-    * `ok` = committed AND stats-recorded AND (empty, or covered by both
-    * postings and doclens). This is the maintenance-time answer to the
-    * one window [[purge]]'s coverage guard cannot see (a batch torn
-    * before its stats write whose stream was then abandoned): detecting
-    * it needs the postings `__b` stamps, and THIS action pays that scan
-    * — column-pruned to the one `__b` column — once, on the maintainer's
-    * schedule, instead of pricing it into every purge request. Run it
-    * after recovering an interrupted stream, or before trusting an index
-    * of unknown provenance with right-to-be-forgotten traffic; any
-    * non-`ok` row means redeliver that batch (same batchId — the ingest
-    * crash discipline completes it idempotently) or rebuild.
+    * `ok` = committed AND stats-recorded AND (empty, or doclens-covered
+    * with its postings either present or PROVABLY absent for a reason:
+    * every doc of the batch is tokenless (dl = 0) or tombstoned. A fully
+    * purged-and-vacuumed batch, or one whose docs all tokenize empty, is
+    * healthy with zero postings rows — flagging it would send the
+    * maintainer chasing a non-problem). This is the maintenance-time
+    * answer to the one window [[purge]]'s coverage guard cannot see (a
+    * batch torn before its stats write whose stream was then abandoned):
+    * detecting it needs the postings `__b` stamps, and THIS action pays
+    * that scan — column-pruned to the one `__b` column — once, on the
+    * maintainer's schedule, instead of pricing it into every purge
+    * request. Run it after recovering an interrupted stream, or before
+    * trusting an index of unknown provenance with right-to-be-forgotten
+    * traffic.
     *
-    * Cost: one postings scan of one column + the batches-sized sidecar
-    * reads; the report itself is batches-sized. Read-only — never
-    * repairs, so it is safe to run beside a live maintainer.
+    * Remedy for a non-`ok` row: if the batch is NOT committed (torn
+    * mid-ingest), redeliver it under the same batchId — the ingest crash
+    * discipline completes it idempotently. If it IS committed but a
+    * sidecar was lost after the fact, redelivery is a NO-OP behind the
+    * commit marker — delete the batch's `_commits` marker first (the
+    * redelivered writes are duplicate-absorbed like any crash residue)
+    * or rebuild the index.
+    *
+    * Cost: one postings scan of one column, the batches-sized sidecar
+    * reads, plus one doclens∖tombstones anti-join ONLY when some batch's
+    * postings are missing (the absence-explanation pass). Read-only —
+    * never repairs, so it is safe to run beside a live maintainer.
     */
   def fsck(spark: SparkSession, indexDir: String): DataFrame = {
     val (fs, dir) = fileSystem(spark, indexDir)
@@ -634,31 +673,36 @@ object Bm25Index {
       if (shardDataFiles(fs, postingsDir(dir)).isEmpty) Set.empty
       else spark.read.parquet(postingsDir(dir).toString)
         .select(col("__b")).distinct().collect().map(_.getLong(0)).toSet
-    val statRows: Map[Long, Long] = {
-      val dirs = completeDirs(fs, statsDir(dir)).map(_.toString)
-      if (dirs.isEmpty) Map.empty
-      else {
-        val df = spark.read.parquet(dirs.toIndexedSeq: _*)
-        if (!df.columns.contains("__b"))
-          throw new graft.GraftDataError(
-            s"stats sidecar at ${statsDir(dir)} predates the __b batch stamp — " +
-              "rebuild the index (fsck cannot attribute unstamped stats rows)")
-        df.distinct().select(col("__b"), col("n_docs")).collect()
+    val statRows: Map[Long, Long] =
+      readStampedStats(spark, fs, dir, "running fsck") match {
+        case None => Map.empty
+        case Some(df) => df.distinct().select(col("__b"), col("n_docs")).collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
       }
+    val lensOpt = readStampedDoclens(spark, fs, dir)
+    val lensB: Set[Long] = lensOpt.fold(Set.empty[Long])(
+      _.select(col("__b")).distinct().collect().map(_.getLong(0)).toSet)
+    // per batch: docs that SHOULD have postings (dl > 0, not tombstoned) —
+    // zero means postings absence is legitimate, not damage. Only computed
+    // when some batch actually needs the explanation.
+    val needExplaining = statRows.exists { case (b, n) =>
+      n > 0L && lensB.contains(b) && !postB.contains(b)
     }
-    val lensB: Set[Long] = {
-      val dirs = completeDirs(fs, doclensDir(dir)).map(_.toString)
-      if (dirs.isEmpty) Set.empty
-      else spark.read.schema("doc_id BIGINT, dl BIGINT, __b BIGINT")
-        .parquet(dirs.toIndexedSeq: _*)
-        .select(col("__b")).distinct().collect().map(_.getLong(0)).toSet
-    }
+    val unexplained: Map[Long, Long] =
+      if (!needExplaining) Map.empty
+      else lensOpt.fold(Map.empty[Long, Long]) { lens =>
+        lens.distinct().filter(col("dl") > 0L)
+          .join(broadcast(readDeleted(spark, fs, dir).select(col("doc_id"))),
+            Seq("doc_id"), "left_anti")
+          .groupBy(col("__b")).count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
     val committed = committedMarkers(fs, dir).map(_.stripPrefix("b").toLong).toSet
     (postB ++ statRows.keySet ++ lensB ++ committed).toSeq.sorted.map { b =>
       val nDocs = statRows.getOrElse(b, -1L) // -1 = no stats row
       val ok = committed.contains(b) && statRows.contains(b) &&
-        (nDocs == 0L || (postB.contains(b) && lensB.contains(b)))
+        (nDocs == 0L || (lensB.contains(b) &&
+          (postB.contains(b) || unexplained.getOrElse(b, 0L) == 0L)))
       (b, committed.contains(b), postB.contains(b), statRows.contains(b),
         lensB.contains(b), nDocs, ok)
     }.toDF("batch_id", "committed", "in_postings", "in_stats", "in_doclens",

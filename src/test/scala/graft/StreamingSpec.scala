@@ -1342,6 +1342,47 @@ class StreamingSpec extends SparkTestBase {
     assert(orphan(0L) == ((false, true, false, false, -1L, false)), orphan.toString)
   }
 
+  test("Bm25Index fsck: legitimate postings absence is healthy; real damage is not") {
+    // the verdict a maintainer acts on must not cry wolf: a batch whose
+    // postings are PROVABLY absent for a reason — every doc purged (and
+    // vacuumed away) or tokenless — is ok; a batch with live docs and no
+    // postings is damage. And the documented remedy for committed-but-
+    // damaged batches (drop the marker, redeliver) actually heals.
+    import graft.streaming.Bm25Index
+    import org.apache.hadoop.fs.Path
+    val idx = java.nio.file.Files.createTempDirectory("graft-bm25fsck2").toString + "/idx"
+    def okOf() = Bm25Index.fsck(spark, idx).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    // batch 0: normal docs; batch 1: all docs tokenless (no postings ever)
+    Bm25Index.ingestBatch(Seq((1L, "spark join"), (2L, "fox")).toDF("doc_id", "text"),
+      idx, "doc_id", "text", batchId = 0L, nShards = 4)
+    Bm25Index.ingestBatch(Seq((3L, ""), (4L, "   ")).toDF("doc_id", "text"),
+      idx, "doc_id", "text", batchId = 1L, nShards = 4)
+    assert(okOf() == Map(0L -> true, 1L -> true),
+      "a committed all-tokenless batch is healthy with zero postings rows")
+    // purge ALL of batch 0 and vacuum: its postings vanish physically,
+    // but the tombstones explain the absence — still healthy
+    assert(Bm25Index.purge(spark, idx, Seq(1L, 2L).toDF("doc_id"), "doc_id") == 2L)
+    assert(Bm25Index.vacuum(spark, idx) == 2L)
+    assert(okOf() == Map(0L -> true, 1L -> true),
+      "a fully purged-and-vacuumed batch is healthy, not torn")
+    // REAL damage: a third batch with live docs whose postings are lost
+    Bm25Index.ingestBatch(Seq((9L, "window order")).toDF("doc_id", "text"),
+      idx, "doc_id", "text", batchId = 2L, nShards = 4)
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // batches 0/1 hold no postings rows anymore (vacuumed / tokenless), so
+    // deleting the postings tree is exactly "batch 2's postings lost"
+    assert(fs.delete(new Path(idx, "postings"), true))
+    assert(okOf()(2L) == false, "live docs with no postings must stay non-ok")
+    assert(okOf()(0L) && okOf()(1L),
+      "the explained-absence batches must stay healthy through the damage")
+    // the documented remedy: drop the marker, redeliver the SAME batch
+    assert(fs.delete(new Path(idx, "_batches/b2"), false))
+    Bm25Index.ingestBatch(Seq((9L, "window order")).toDF("doc_id", "text"),
+      idx, "doc_id", "text", batchId = 2L, nShards = 4)
+    assert(okOf()(2L) == true, "marker-drop + redelivery must heal the batch")
+  }
+
   test("Bm25Index purge: immediate compliance, bitwise-filtered scores, incremental vacuum") {
     import graft.streaming.Bm25Index
     import graft.operators.Retrieval
