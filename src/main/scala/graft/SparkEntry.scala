@@ -422,6 +422,54 @@ object SparkEntry {
       hotJoin.withColumn("dpp_fired", lit(fired))
     }),
 
+    "optimize_roundtrip" -> ((s, dir) => {
+      // OPTIMIZE end-to-end under the oracle (graft.sources.v2
+      // .GraftTableOptimize): a small-file storm of 12 INTERLEAVED commits
+      // (event_id % 12) gives every file a whole-domain [min,max], so the
+      // zone map can refute nothing. The range-clustered rewrite
+      // (repartitionByRange + intra-file sort on event_id) re-lays the SAME
+      // rows into near-disjoint slabs: afterwards the window is proven
+      // empty in all but <=2 files, the swap's removal-line manifest
+      // retired every small file, sidecars and the commit log each folded
+      // to one, and fsck certifies membership (nothing missing, nothing
+      // unlogged). Row content is pinned identical by the oracle hash on
+      // the window; the flag pins the maintenance semantics. The 100 TB
+      // point: OPTIMIZE is the amortized answer to a streaming table's
+      // small-file tail, and this drives its most dangerous path —
+      // deleting committed files via removal lines — under the oracle.
+      val out = scratchDir("graft_optimize") + "/t"
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val n = ev.count()
+      val commits = 12
+      (0 until commits).foreach { r =>
+        ev.filter(pmod(col("event_id"), lit(commits)) === r)
+          .coalesce(1).write.format("graft-parquet").mode("append").save(out)
+      }
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val back0 = s.read.format("graft-parquet").load(out)
+      val window: Array[org.apache.spark.sql.sources.Filter] = Array(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("event_id", 100L),
+        org.apache.spark.sql.sources.LessThan("event_id", 160L))
+      val (t0, p0) = graft.sources.v2.ZoneMap.pruneReport(fs, outPath, window, back0.schema)
+      val bytes = graft.sources.v2.GraftParquetWrite.listDataFiles(fs, outPath).map(_.getLen).sum
+      val rep = graft.sources.v2.GraftTableOptimize.optimize(s, out,
+        targetBytes = math.max(1L, bytes / 6), smallBytes = bytes + 1,
+        clusterBy = Seq("event_id"))
+      val back = s.read.format("graft-parquet").load(out)
+      val (t1, p1) = graft.sources.v2.ZoneMap.pruneReport(fs, outPath, window, back.schema)
+      val fsckRep = graft.sources.v2.GraftTableOptimize.fsck(s, out)
+      val ok = t0 == commits && p0 == 0 &&
+        rep.filesRewritten == commits && rep.filesAfter >= 2 &&
+        t1 == rep.filesAfter && p1 >= t1 - 2 && p1 > 0 &&
+        rep.zmSidecarsAfter == 1 && rep.logRecordsAfter == 1 &&
+        fsckRep.healthy && fsckRep.missingDataFiles == 0 &&
+        fsckRep.unloggedDataFiles == 0 && back.count() == n
+      back.filter(col("event_id") >= 100L && col("event_id") < 160L)
+        .withColumn("opt_ok", lit(ok))
+    }),
+
     "stream_table_ingest" -> ((s, dir) => {
       // exactly-once streaming append into the zone-mapped table
       // (graft.streaming.TableIngest): three micro-batches land through the
@@ -3845,6 +3893,10 @@ object SparkEntry {
         |JOIN (SELECT event_id AS k FROM events
         |      WHERE event_id >= 100 AND event_id < 160) d
         |  ON e.event_id = d.k""".stripMargin,
+
+    "optimize_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value, TRUE AS opt_ok
+        |FROM events WHERE event_id >= 100 AND event_id < 160""".stripMargin,
 
     "stream_table_ingest" ->
       """SELECT event_id, user_id, value, TRUE AS dedup_ok FROM events""",

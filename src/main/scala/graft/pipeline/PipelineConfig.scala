@@ -42,6 +42,22 @@ object PipelineConfig {
     "versioned" -> ((df, o) => {
       Sinks.writeVersioned(df, req(o, "path", "versioned"), req(o, "runId", "versioned")); ()
     }),
+    "graft_table" -> ((df, o) => {
+      // the zone-mapped connector table as a declared sink: a staged-commit
+      // append (crash-safe manifest, zone-map sidecar, commit-log
+      // membership — graft.sources.v2.GraftParquetSource), optionally
+      // carrying an exactly-once commitMarker and an inline post-write
+      // OPTIMIZE (clusterBy = comma-separated keys) so a scheduled
+      // pipeline's small-file tail bin-packs as part of the run
+      val path = req(o, "path", "graft_table")
+      val w = df.write.format("graft-parquet").mode("append")
+      o.get("commitMarker").filter(_.nonEmpty)
+        .fold(w)(m => w.option("graft.commitMarker", m)).save(path)
+      o.get("clusterBy").filter(_.nonEmpty).foreach { keys =>
+        graft.sources.v2.GraftTableOptimize.optimize(df.sparkSession, path,
+          clusterBy = keys.split(",").map(_.trim).toSeq): Unit
+      }
+    }),
     "jdbc" -> ((df, o) =>
       Sinks.jdbcWrite(df, req(o, "url", "jdbc"), req(o, "table", "jdbc"), o - "url" - "table")),
     "jdbc_upsert" -> ((df, o) =>

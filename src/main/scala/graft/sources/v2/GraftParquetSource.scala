@@ -127,8 +127,15 @@ final class GraftScanBuilder(path: String, full: StructType)
   private var agg: Option[GraftAggResult] = None
   // the aggregation the cached attempt answered — Spark pushes once per
   // builder today, but a second, DIFFERENT aggregation must recompute, not
-  // serve the first answer
+  // serve the first answer. Keyed STRUCTURALLY (describe() of every agg +
+  // group expression): Aggregation has no toString override, so an
+  // identity-based key would degenerate to per-object caching
   private var aggFor: Option[String] = None
+
+  private def aggKey(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): String =
+    aggregation.aggregateExpressions.map(_.describe).mkString("agg[", ",", "]") +
+      aggregation.groupByExpressions.map(_.describe).mkString("by[", ",", "]")
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition(GraftScan.evaluable(_, full))
@@ -148,7 +155,7 @@ final class GraftScanBuilder(path: String, full: StructType)
   // advantage — either the sidecar answers exactly or the scan runs).
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val key = aggregation.toString
+    val key = aggKey(aggregation)
     if (!aggFor.contains(key)) {
       agg = GraftScan.answerFromMetadata(path, full, pushed, aggregation)
       aggFor = Some(key)
@@ -227,6 +234,10 @@ final case class GraftScan(
       : (Seq[org.apache.hadoop.fs.FileStatus], Map[String, ZoneMap.FileStats]) = {
     val p = new Path(path)
     val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    // complete any published-but-unrolled commit BEFORE resolving
+    // membership: a pure-reader session after a writer crash heals the
+    // table instead of serving (or failing on) a torn state
+    GraftParquetWrite.healPublished(fs, p)
     (GraftParquetWrite.listDataFiles(fs, p), ZoneMap.load(fs, p))
   }
 
@@ -352,6 +363,7 @@ object GraftScan {
     val p = new Path(path)
     val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
+    GraftParquetWrite.healPublished(fs, p) // the metadata answer must not miss a published commit
     val files = GraftParquetWrite.listDataFiles(fs, p)
     val zm = ZoneMap.load(fs, p)
     val entries = files.map(f => zm.get(f.getPath.getName))

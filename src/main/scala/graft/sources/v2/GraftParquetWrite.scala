@@ -35,25 +35,37 @@ import org.apache.spark.sql.types._
   * discards; a crash after (2) is completed by [[GraftParquetWrite.recover]]
   * at the next write job — renames are idempotent-by-absence (a file already
   * moved is skipped), so replaying the roll-forward neither loses nor
-  * duplicates rows.
+  * duplicates rows. The read path runs the safe half of recovery itself
+  * ([[healPublished]]): a published-but-unrolled commit is completed before
+  * membership is resolved, so a pure-reader session never serves a torn
+  * table indefinitely.
   *
-  * Non-goal: snapshot isolation / time-travel. Current state is derived
-  * from the directory LISTING (manifests are consumed, not retained), which
-  * keeps reads zero-indirection and every maintenance action idempotent by
-  * file-name uniqueness. AS-OF reads would move the source of truth into a
-  * retained commit log and make OPTIMIZE's removals logical until a vacuum
-  * — a different design point than this connector's listing-is-truth
-  * contract, stated here so nobody mistakes the `_commits` receipts (batch
-  * idempotence markers, [[graft.streaming.TableIngest]]) for a log.
+  * Membership is MANIFEST-DERIVED: every roll-forward retains a compact
+  * record under `_log/` (adds with lengths, removals), and
+  * [[listDataFiles]] folds those records instead of listing the directory.
+  * At 100 TB on an object store that turns query planning from O(files)
+  * paginated LIST calls into O(commits) small reads — the same argument the
+  * zone map already won for footer reads — and it closes the
+  * reader-races-OPTIMIZE window: removal lines are published to the log
+  * only after the packed adds are physically present, and removed files are
+  * physically deleted only after the record that retires them has landed,
+  * so a log-resolving reader never references a missing file. The directory
+  * listing survives as the LEGACY membership (plain parquet directories and
+  * pre-log tables bootstrap into the log at their next commit) and as
+  * fsck's cross-check. Non-goal: snapshot isolation / time-travel — records
+  * are folded by [[GraftTableOptimize.foldLog]], not retained as history.
   */
 object GraftParquetWrite {
 
-  private val StagingPrefix = "_write_"
+  // shared with fsck ([[GraftTableOptimize.fsck]]) so a renamed staging
+  // prefix or manifest name can never make fsck report a damaged table
+  // as healthy
+  private[v2] val StagingPrefix = "_write_"
 
   def stagingDir(table: Path, queryId: String): Path =
     new Path(table, StagingPrefix + queryId)
 
-  private def manifestPath(staging: Path): Path = new Path(staging, "manifest")
+  private[v2] def manifestPath(staging: Path): Path = new Path(staging, "manifest")
 
   /** Complete interrupted commits (manifest present) and discard incomplete
     * staging writes (no manifest). Idempotent; runs at the start of every
@@ -140,6 +152,13 @@ object GraftParquetWrite {
       val from = new Path(staging, n)
       if (fs.exists(from)) fs.rename(from, new Path(table, n))
     }
+    // membership record between the physical adds and the physical
+    // removals: a log-resolving reader in either window sees a complete
+    // table (old membership while removal files still exist, new
+    // membership once the record lands) — never a reference to a file
+    // that is not on disk
+    appendLogRecord(fs, table, staging,
+      adds.map(_._1), removalLines.map(_.substring(1)))
     removalLines.foreach { r =>
       fs.delete(new Path(table, r.substring(1)), false) // idempotent-by-absence
     }
@@ -156,19 +175,144 @@ object GraftParquetWrite {
     fs.delete(staging, true)
   }
 
+  /** Reader-side recovery: complete PUBLISHED commits (manifest present)
+    * left in staging by a crashed writer. Unlike [[recover]] it never
+    * deletes an unmanifested staging dir — that may belong to a LIVE
+    * writer mid-stage; completing a published commit is safe under the
+    * single-writer contract because its writer has passed the commit point
+    * and every roll-forward step is idempotent. A staging dir that
+    * vanishes mid-heal was completed concurrently — not an error.
+    */
+  def healPublished(fs: FileSystem, table: Path): Unit =
+    if (fs.exists(table) && fs.getFileStatus(table).isDirectory) {
+      fs.listStatus(table).filter { st =>
+        st.isDirectory && st.getPath.getName.startsWith(StagingPrefix)
+      }.foreach { st =>
+        try { if (fs.exists(manifestPath(st.getPath))) commit(fs, table, st.getPath) }
+        catch { case _: java.io.FileNotFoundException => () }
+      }
+    }
+
   /** Has `marker` been committed (its `!marker` manifest rolled forward)? */
   def markerExists(fs: FileSystem, table: Path, marker: String): Boolean =
     fs.exists(new Path(new Path(table, "_commits"), marker))
 
+  // ------------------------------------------------------------ commit log
+
+  /** Retained membership log: one record per roll-forward under `_log/`,
+    * named `c-<seq>-<commitId>` (seq zero-padded for fold ordering;
+    * commitId = the staging dir's queryId, so a replayed commit finds its
+    * own record and skips). Line format: `fileName\tlength` per add —
+    * length is load-bearing, the scan tiles row-group ranges up to it and
+    * statistics sum it — and `~fileName` per removal. Membership is
+    * adds − removals in ANY order: file names are never reused, so a
+    * removed name can never be re-added.
+    */
+  private[v2] val LogDirName = "_log"
+
+  def logDir(table: Path): Path = new Path(table, LogDirName)
+
+  private[v2] def logRecordFiles(fs: FileSystem, table: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val d = logDir(table)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).filter(st => st.isFile && st.getPath.getName.startsWith("c-")).toSeq
+  }
+
+  private[v2] def logSeqOf(name: String): Long =
+    name.stripPrefix("c-").takeWhile(_.isDigit).toLong
+
+  private[v2] def logIdOf(name: String): String = {
+    val rest = name.stripPrefix("c-")
+    rest.substring(rest.indexOf('-') + 1)
+  }
+
+  /** fileName → length for every committed member, or None when the table
+    * carries no log (legacy tables and plain parquet directories — the
+    * caller falls back to the directory listing).
+    */
+  private[v2] def logMembership(fs: FileSystem, table: Path): Option[Map[String, Long]] = {
+    val recs = logRecordFiles(fs, table)
+    if (recs.isEmpty) None
+    else {
+      val adds = scala.collection.mutable.Map.empty[String, Long]
+      val removed = scala.collection.mutable.Set.empty[String]
+      recs.foreach { st =>
+        val in = fs.open(st.getPath)
+        val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+        text.split('\n').map(_.trim).filter(_.nonEmpty).foreach { line =>
+          if (line.startsWith("~")) removed += line.substring(1)
+          else {
+            val cut = line.indexOf('\t')
+            // the record was published by an atomic rename, so a malformed
+            // line is real FS corruption — failing the plan loudly beats
+            // silently planning a torn scan with a wrong file length
+            require(cut > 0, s"corrupt log record ${st.getPath}: '$line'")
+            adds.put(line.substring(0, cut), line.substring(cut + 1).trim.toLong)
+          }
+        }
+      }
+      Some(adds.filterNot { case (n, _) => removed(n) }.toMap)
+    }
+  }
+
+  /** Publish this commit's membership delta, idempotently by commitId.
+    * Runs inside the roll-forward AFTER adds are physically in the table
+    * (lengths are read off the landed files) and BEFORE removals are
+    * physically deleted, so log-resolved membership never references a
+    * missing file. The FIRST record of a pre-log table snapshots the
+    * existing directory listing (minus this commit's removals), so the log
+    * is complete from its first record on.
+    */
+  private def appendLogRecord(fs: FileSystem, table: Path, staging: Path,
+      adds: Seq[String], removes: Seq[String]): Unit = {
+    val commitId = staging.getName.stripPrefix(StagingPrefix)
+    val recs = logRecordFiles(fs, table)
+    if (recs.exists(st => logIdOf(st.getPath.getName) == commitId)) return // replayed commit
+    val seq = if (recs.isEmpty) 0L else recs.map(st => logSeqOf(st.getPath.getName)).max + 1L
+    def lenOf(n: String): Long = fs.getFileStatus(new Path(table, n)).getLen
+    val lines: Seq[String] =
+      if (recs.isEmpty) {
+        val gone = removes.toSet
+        listByDirectory(fs, table).map(_.getPath.getName).filterNot(gone)
+          .sorted.map(n => s"$n\t${lenOf(n)}")
+      } else adds.sorted.map(n => s"$n\t${lenOf(n)}") ++ removes.sorted.map("~" + _)
+    fs.mkdirs(logDir(table))
+    // temp + rename: the record's appearance is atomic; tmp lives in the
+    // staging dir, which the roll-forward deletes anyway
+    val tmp = new Path(staging, s"logrec-${System.nanoTime()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new Path(logDir(table), f"c-$seq%012d-$commitId")
+    if (!fs.rename(tmp, target))
+      // a concurrent heal of the same published commit can win the rename
+      require(fs.exists(target), s"log record publish failed for $target")
+  }
+
+  /** Raw directory listing of data files — the LEGACY membership (tables
+    * without a `_log`) and fsck's physical cross-check against the log.
+    */
+  private[v2] def listByDirectory(fs: FileSystem, table: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(table)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).toSeq
+
   /** The table's committed data files — THE definition of table membership
     * (directories, sidecars, staging and receipts excluded), shared by the
     * scan, the metadata aggregates, OPTIMIZE, fsck, and the prune report so
-    * they can never disagree about what is in the table.
+    * they can never disagree about what is in the table. Resolved from the
+    * commit log when the table has one (O(commits) small reads, lengths
+    * exact because data files are immutable); the directory listing is the
+    * fallback for plain parquet directories and pre-log tables.
     */
   def listDataFiles(fs: FileSystem, table: Path): Seq[org.apache.hadoop.fs.FileStatus] =
     if (fs.getFileStatus(table).isDirectory)
-      fs.listStatus(table)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).toSeq
+      logMembership(fs, table) match {
+        case Some(members) =>
+          members.toSeq.sortBy(_._1).map { case (n, len) =>
+            new org.apache.hadoop.fs.FileStatus(len, false, 1, 0L, 0L, new Path(table, n))
+          }
+        case None => listByDirectory(fs, table)
+      }
     else Seq(fs.getFileStatus(table))
 
   /** Spark schema → parquet message type, restricted to the primitive

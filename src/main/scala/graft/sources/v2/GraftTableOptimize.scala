@@ -48,7 +48,8 @@ object GraftTableOptimize {
 
   final case class OptimizeReport(
       filesBefore: Int, filesAfter: Int, filesRewritten: Int,
-      bytesRewritten: Long, zmSidecarsBefore: Int, zmSidecarsAfter: Int)
+      bytesRewritten: Long, zmSidecarsBefore: Int, zmSidecarsAfter: Int,
+      logRecordsBefore: Int, logRecordsAfter: Int)
 
   /** Rewrite committed files smaller than `smallBytes` into ~targetBytes
     * packed files. No-op (beyond recovery + sidecar folding) when fewer
@@ -82,10 +83,13 @@ object GraftTableOptimize {
     val before = dataFiles()
     val small = before.filter(_.getLen < smallBytes)
     val zmBefore = zmFiles(fs, table).length
+    val logBefore = GraftParquetWrite.logRecordFiles(fs, table).length
 
     if (small.length < minGroup) {
       val folded = foldSidecars(fs, table)
-      return OptimizeReport(before.length, before.length, 0, 0L, zmBefore, folded)
+      val logAfter = foldLog(fs, table)
+      return OptimizeReport(before.length, before.length, 0, 0L, zmBefore, folded,
+        logBefore, logAfter)
     }
 
     // optimize-unique id: names must never collide with a past or future
@@ -127,9 +131,11 @@ object GraftTableOptimize {
     // 3. commit point + roll-forward (idempotent on replay via recover)
     GraftParquetWrite.commitLines(fs, table, staging, lines)
 
-    // 4. fold the sidecars down to one
+    // 4. fold the sidecars down to one, and the commit log to one snapshot
     val zmAfter = foldSidecars(fs, table)
-    OptimizeReport(before.length, dataFiles().length, small.length, bytes, zmBefore, zmAfter)
+    val logAfter = foldLog(fs, table)
+    OptimizeReport(before.length, dataFiles().length, small.length, bytes, zmBefore, zmAfter,
+      logBefore, logAfter)
   }
 
   /** Table health report — the maintenance scan an operator runs before
@@ -142,8 +148,12 @@ object GraftTableOptimize {
       dataFiles: Int, dataBytes: Long,
       sidecarEntries: Int, sidecarCoverage: Double, staleSidecarEntries: Int,
       zmSidecarFiles: Int, commitMarkers: Int,
-      stagingCommitted: Int, stagingGarbage: Int) {
-    def healthy: Boolean = stagingCommitted == 0 && stagingGarbage == 0
+      stagingCommitted: Int, stagingGarbage: Int,
+      logRecords: Int, missingDataFiles: Int, unloggedDataFiles: Int) {
+    // a member the disk no longer holds is DATA LOSS, not a maintenance
+    // backlog — no recover()/optimize() can restore it, so it fails health
+    def healthy: Boolean =
+      stagingCommitted == 0 && stagingGarbage == 0 && missingDataFiles == 0
   }
 
   def fsck(spark: SparkSession, path: String): FsckReport = {
@@ -153,11 +163,17 @@ object GraftTableOptimize {
     val st = fs.listStatus(table)
     val data = GraftParquetWrite.listDataFiles(fs, table)
     val dataNames = data.map(_.getPath.getName).toSet
+    // the physical cross-check the log demoted the listing to: membership
+    // says what SHOULD be on disk, the listing says what IS
+    val listed =
+      (if (fs.getFileStatus(table).isDirectory) GraftParquetWrite.listByDirectory(fs, table)
+       else Seq(fs.getFileStatus(table))).map(_.getPath.getName).toSet
     val zm = ZoneMap.load(fs, table)
     val covered = dataNames.count(zm.contains)
-    val staging = st.filter(s => s.isDirectory && s.getPath.getName.startsWith("_write_"))
+    val staging = st.filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(GraftParquetWrite.StagingPrefix))
     val (committed, garbage) = staging.partition(s =>
-      fs.exists(new Path(s.getPath, "manifest")))
+      fs.exists(GraftParquetWrite.manifestPath(s.getPath)))
     val commitsDir = new Path(table, "_commits")
     val markers = if (fs.exists(commitsDir)) fs.listStatus(commitsDir).length else 0
     FsckReport(
@@ -166,7 +182,10 @@ object GraftTableOptimize {
       sidecarCoverage = if (data.isEmpty) 1.0 else covered.toDouble / data.length,
       staleSidecarEntries = zm.keysIterator.count(!dataNames.contains(_)),
       zmSidecarFiles = zmFiles(fs, table).length, commitMarkers = markers,
-      stagingCommitted = committed.length, stagingGarbage = garbage.length)
+      stagingCommitted = committed.length, stagingGarbage = garbage.length,
+      logRecords = GraftParquetWrite.logRecordFiles(fs, table).length,
+      missingDataFiles = dataNames.count(!listed.contains(_)),
+      unloggedDataFiles = listed.count(!dataNames.contains(_)))
   }
 
   private def zmFiles(fs: FileSystem, table: Path): Array[Path] = {
@@ -190,5 +209,36 @@ object GraftTableOptimize {
     if (entries.nonEmpty) ZoneMap.write(fs, table, foldName, entries.toSeq.sortBy(_._1))
     olds.foreach(p => fs.delete(p, false))
     zmFiles(fs, table).length
+  }
+
+  /** Compact the commit log to ONE snapshot record so a long-lived table's
+    * planning cost stays O(1) instead of O(commits). Crash-safe in both
+    * windows: once the snapshot lands, every superseded add agrees with it
+    * (names are never reused) and every superseded removal names a
+    * non-member (subtracting it is a no-op); superseded records are then
+    * deleted OLDEST-FIRST, so an add line can never outlive the newer
+    * removal line that retires it (a removal's add is always in an older
+    * record). Returns the record count after folding.
+    */
+  def foldLog(fs: FileSystem, table: Path): Int = {
+    val recs = GraftParquetWrite.logRecordFiles(fs, table)
+      .sortBy(st => GraftParquetWrite.logSeqOf(st.getPath.getName))
+    if (recs.length <= 1) return recs.length
+    val members = GraftParquetWrite.logMembership(fs, table).getOrElse(Map.empty)
+    val seq = GraftParquetWrite.logSeqOf(recs.last.getPath.getName) + 1L
+    val id = s"logfold-${System.currentTimeMillis()}-${(math.abs(scala.util.Random.nextLong()) % 0xFFFFFF).toHexString}"
+    val d = GraftParquetWrite.logDir(table)
+    // temp + rename inside _log (a name outside the `c-` record namespace
+    // is invisible to readers): the snapshot's appearance is atomic
+    val tmp = new Path(d, s"fold-${System.nanoTime()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(members.toSeq.sortBy(_._1)
+      .map { case (n, len) => s"$n\t$len" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, new Path(d, f"c-$seq%012d-$id")),
+      s"log fold publish failed in $d")
+    recs.foreach(st => fs.delete(st.getPath, false)) // oldest-first
+    GraftParquetWrite.logRecordFiles(fs, table).length
   }
 }

@@ -88,8 +88,13 @@ object ZoneMap {
     val cols = (v \ "cols") match {
       case JObject(fields) => fields.map { case (name, cv) =>
         def str(k: String) = (cv \ k) match { case JString(x) => Some(x); case _ => None }
+        // an absent/malformed null count is UNDECODABLE, not zero: nulls=0
+        // would wrongly refute IsNull and prune a file that may hold nulls —
+        // throwing drops the line and the file scans un-pruned (the same
+        // conservative handling as a missing `rows`)
         def lng(k: String) = (cv \ k) match {
-          case JLong(x) => x; case JInt(x) => x.toLong; case _ => 0L
+          case JLong(x) => x; case JInt(x) => x.toLong
+          case other => throw new graft.GraftDataError(s"zonemap entry missing $k: $other")
         }
         val nan = (cv \ "nan") match { case JBool(b) => b; case _ => false }
         name -> ColStats(str("min"), str("max"), lng("nulls"), nan)

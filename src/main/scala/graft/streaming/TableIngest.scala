@@ -50,16 +50,31 @@ object TableIngest {
   def lineageOf(checkpoint: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")
       .digest(checkpoint.getBytes("UTF-8"))
-    d.take(6).map(b => f"$b%02x").mkString
+    // 16 hex chars (64 bits): two colliding lineages would share a marker
+    // namespace and silently cross-dedupe each other's batches — the exact
+    // drop this digest exists to prevent, so the prefix is sized where
+    // collisions are negligible, not merely unlikely
+    d.take(8).map(b => f"$b%02x").mkString
   }
+
+  /** How often [[ingestBatch]] self-prunes markers (every Nth batch). */
+  private val PruneEvery = 16L
 
   /** Idempotently append one micro-batch. Returns true if the batch wrote,
     * false if its marker showed it already committed (duplicate delivery).
     * `lineage` namespaces the marker (see [[lineageOf]]); callers driving
     * batches by hand outside any stream may leave it empty.
+    *
+    * Marker retention is SELF-MAINTAINING: every [[PruneEvery]]th batch
+    * drops this lineage's markers below `batchId - retainMarkers`, so a
+    * year-long stream never accrues unbounded empty marker files. Safe at
+    * any positive retention because the checkpoint can only redeliver the
+    * LAST uncommitted batch — an id `retainMarkers` below the high-water
+    * mark can never be offered again. Pass `retainMarkers = 0` to disable
+    * (callers replaying batches by hand outside a checkpointed stream).
     */
   def ingestBatch(batch: DataFrame, tableDir: String, batchId: Long,
-      lineage: String = ""): Boolean = {
+      lineage: String = "", retainMarkers: Int = 100): Boolean = {
     val spark = batch.sparkSession
     val table = new Path(tableDir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -72,6 +87,8 @@ object TableIngest {
       batch.write.format("graft-parquet")
         .option("graft.commitMarker", marker)
         .mode("append").save(tableDir)
+      if (retainMarkers > 0 && batchId > retainMarkers && batchId % PruneEvery == 0)
+        pruneMarkers(spark, tableDir, keepFrom = batchId - retainMarkers, lineage): Unit
       true
     }
   }

@@ -57,12 +57,45 @@ class ConfigSurfaceSpec extends SparkTestBase {
   }
 
   test("registry carries the full sink surface including the jdbc cluster forms") {
-    assert(Set("parquet", "tsv", "json", "orc", "versioned", "jdbc", "jdbc_upsert")
-      .subsetOf(PipelineConfig.sinkRegistry.keySet))
+    assert(Set("parquet", "tsv", "json", "orc", "versioned", "jdbc", "jdbc_upsert",
+      "graft_table").subsetOf(PipelineConfig.sinkRegistry.keySet))
     // the jdbc builders resolve (they are not executable in this env — no
     // database — but the strategy lookup and option plumbing must work)
     assert(PipelineConfig.sink("jdbc") != null)
     assert(PipelineConfig.sink("jdbc_upsert") != null)
+  }
+
+  test("graft_table sink: declared appends land in the connector table, marker + clusterBy") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-tablesink").toString
+    val srcDir = s"$root/src"
+    spark.range(0, 200).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .write.parquet(srcDir)
+    val table = s"$root/table"
+    def cfg(marker: String) =
+      s"""{
+         |  "source": {"type": "parquet", "path": "$srcDir"},
+         |  "sink": {"type": "graft_table",
+         |           "options": {"path": "$table", "commitMarker": "$marker",
+         |                       "clusterBy": "k"}}
+         |}""".stripMargin
+    PipelineConfig.fromJson(spark, cfg("run1")).run(spark)
+    assert(spark.read.format("graft-parquet").load(table).count() == 200)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the declared marker committed atomically with the data, and the
+    // inline OPTIMIZE left a certified table
+    assert(graft.sources.v2.GraftParquetWrite.markerExists(
+      fs, new org.apache.hadoop.fs.Path(table), "run1"))
+    assert(graft.sources.v2.GraftTableOptimize.fsck(spark, table).healthy)
+    // a second run appends (the connector's append-only contract)
+    PipelineConfig.fromJson(spark, cfg("run2")).run(spark)
+    assert(spark.read.format("graft-parquet").load(table).count() == 400)
+    // the path option is required, typed
+    intercept[GraftConfigError] {
+      PipelineConfig.sink("graft_table")(
+        spark.range(1).toDF("k"), Map("clusterBy" -> "k"))
+    }
   }
 
   test("F9: malformed query timestamps are a config error at parse time, not a runtime crash") {

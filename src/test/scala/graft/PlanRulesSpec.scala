@@ -312,8 +312,7 @@ class PlanRulesSpec extends SparkTestBase {
       .write.format("graft-parquet").mode("append").save(dir)
     val table = new Path(dir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // simulate a crash AFTER the commit point (manifest written) but BEFORE
-    // the roll-forward: stage a data file + manifest by hand
+    // simulate a crash BEFORE the commit point: staged data, no manifest
     val staging = GraftParquetWrite.stagingDir(table, "crashq")
     fs.mkdirs(staging)
     val staged = new Path(staging, "part-crashq-0-0.parquet")
@@ -322,16 +321,23 @@ class PlanRulesSpec extends SparkTestBase {
       .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
     fs.rename(part, staged)
     fs.delete(new Path(staging, "tmp"), true)
+    // pre-commit-point data is invisible to readers (underscore staging
+    // dir), and a reader never sweeps an unpublished stage
+    assert(spark.read.format("graft-parquet").load(dir).count() == 2)
+    assert(fs.exists(staged))
+    // now the crash lands AFTER the commit point (manifest published): the
+    // commit IS committed — the very next read completes the roll-forward
     val man = fs.create(new Path(staging, "manifest"), true)
     try man.write("part-crashq-0-0.parquet".getBytes("UTF-8")) finally man.close()
-    // uncommitted data is invisible to readers (underscore staging dir)
-    assert(spark.read.format("graft-parquet").load(dir).count() == 2)
-    // and a crash BEFORE the commit point (no manifest) is garbage to discard
+    assert(spark.read.format("graft-parquet").load(dir).count() == 3,
+      "a published commit must be healed by the read, not stay torn")
+    assert(!fs.exists(staging))
+    // a crash BEFORE the commit point (no manifest) is garbage the next
+    // WRITE job discards (readers must leave a possibly-live stage alone)
     val dead = GraftParquetWrite.stagingDir(table, "deadq")
     fs.mkdirs(dead)
-    // the next write job recovers BOTH: rolls the manifest forward, drops the dead dir
     Seq((4L, "d")).toDF("id", "name").write.format("graft-parquet").mode("append").save(dir)
-    assert(!fs.exists(staging) && !fs.exists(dead))
+    assert(!fs.exists(dead))
     assert(spark.read.format("graft-parquet").load(dir)
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }

@@ -220,6 +220,8 @@ class ZoneMapSpec extends SparkTestBase {
     assert(rep.filesBefore == 10 && rep.filesRewritten == 10 && rep.filesAfter == 1,
       s"ten tiny files must pack to one, got $rep")
     assert(rep.zmSidecarsAfter == 1, s"sidecars must fold to one, got $rep")
+    assert(rep.logRecordsBefore == 10 && rep.logRecordsAfter == 1,
+      s"the commit log must fold to one snapshot, got $rep")
     // rows exact, stats correct, pruning still proves emptiness
     val back = spark.read.format("graft-parquet").load(dir)
     assert(back.count() == 500 &&
@@ -596,7 +598,7 @@ class ZoneMapSpec extends SparkTestBase {
   }
 
   test("fsck reports coverage, stale entries, receipts, and pending staging truthfully") {
-    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize, ZoneMap => ZM}
     import graft.streaming.TableIngest
     val dir = freshTable("graft-zm-fsck")
     TableIngest.ingestBatch(
@@ -606,28 +608,131 @@ class ZoneMapSpec extends SparkTestBase {
     val clean = GraftTableOptimize.fsck(spark, dir)
     assert(clean.healthy && clean.dataFiles == 2 && clean.sidecarEntries == 2 &&
       clean.sidecarCoverage == 1.0 && clean.staleSidecarEntries == 0 &&
-      clean.commitMarkers == 2, s"got $clean")
+      clean.commitMarkers == 2 && clean.logRecords == 2 &&
+      clean.missingDataFiles == 0 && clean.unloggedDataFiles == 0, s"got $clean")
     val fs = fsOf(dir)
     val table = new Path(dir)
-    // manufacture every unhealthy condition at once: a garbage staging dir,
-    // a committed-but-unrolled one, and a stale sidecar entry (delete a
-    // data file out from under its stats)
+    // manufacture maintenance-backlog conditions at once: a garbage staging
+    // dir, a committed-but-unrolled one (with a REAL staged file), and a
+    // stale sidecar entry naming a file that was never committed
     fs.mkdirs(GraftParquetWrite.stagingDir(table, "dead"))
     val pend = GraftParquetWrite.stagingDir(table, "pend")
     fs.mkdirs(pend)
+    spark.range(20, 25).select(col("id"), lit("z").as("name"))
+      .coalesce(1).write.parquet(pend.toString + "/tmp")
+    val pendPart = fs.listStatus(new Path(pend, "tmp"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.rename(pendPart, new Path(pend, "part-pend-0-0.parquet"))
+    fs.delete(new Path(pend, "tmp"), true)
     val man = fs.create(new Path(pend, "manifest"), true)
     try man.write("part-pend-0-0.parquet".getBytes("UTF-8")) finally man.close()
-    val victim = fs.listStatus(table)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).head.getPath
-    fs.delete(victim, false)
+    ZM.write(fs, table, "stalezm", Seq(("part-ghost-0-0.parquet",
+      ZM.FileStats(1L, Map("id" -> ZM.ColStats(Some("1"), Some("1"), 0L, nan = false))))))
     val dirty = GraftTableOptimize.fsck(spark, dir)
     assert(!dirty.healthy && dirty.stagingGarbage == 1 && dirty.stagingCommitted == 1 &&
-      dirty.dataFiles == 1 && dirty.staleSidecarEntries == 1, s"got $dirty")
-    // one recover + optimize-fold away from clean again
+      dirty.dataFiles == 2 && dirty.staleSidecarEntries == 1, s"got $dirty")
+    // one recover + fold away from clean again (the pending commit lands)
     GraftParquetWrite.recover(fs, table)
     GraftTableOptimize.foldSidecars(fs, table)
     val after = GraftTableOptimize.fsck(spark, dir)
-    assert(after.healthy && after.staleSidecarEntries == 0, s"got $after")
+    assert(after.healthy && after.staleSidecarEntries == 0 && after.dataFiles == 3 &&
+      after.missingDataFiles == 0, s"got $after")
+    assert(spark.read.format("graft-parquet").load(dir).count() == 25)
+  }
+
+  test("fsck reports physical drift against the log: lost members and alien files") {
+    import graft.sources.v2.GraftTableOptimize
+    val dir = freshTable("graft-zm-fsckdrift")
+    Seq((1L, "a")).toDF("id", "name")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    Seq((2L, "b")).toDF("id", "name")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val fs = fsOf(dir)
+    val table = new Path(dir)
+    // an ALIEN parquet file dropped into the directory outside any commit:
+    // membership ignores it (the scan never reads it), fsck reports it
+    Seq((99L, "alien")).toDF("id", "name").coalesce(1)
+      .write.parquet(table.toString + "/alien")
+    val alienPart = fs.listStatus(new Path(table, "alien"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.rename(alienPart, new Path(table, "part-alien-0-0.parquet"))
+    fs.delete(new Path(table, "alien"), true)
+    assert(spark.read.format("graft-parquet").load(dir).count() == 2,
+      "an uncommitted file must be invisible to the scan")
+    val drift = GraftTableOptimize.fsck(spark, dir)
+    assert(drift.healthy && drift.unloggedDataFiles == 1 && drift.missingDataFiles == 0,
+      s"got $drift")
+    // a MEMBER deleted out from under the log is data loss: permanently
+    // unhealthy — no recover() can restore bytes that are gone
+    val member = graft.sources.v2.GraftParquetWrite
+      .listDataFiles(fs, table).head.getPath
+    fs.delete(member, false)
+    val loss = GraftTableOptimize.fsck(spark, dir)
+    assert(!loss.healthy && loss.missingDataFiles == 1, s"got $loss")
+  }
+
+  // -------------------------------------------------- commit-log membership
+
+  test("a pure READ heals a published-but-unrolled commit before resolving membership") {
+    import graft.sources.v2.GraftParquetWrite
+    val dir = freshTable("graft-zm-readheal")
+    val table = new Path(dir)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val fs = fsOf(dir)
+    // stage a commit up to its commit point (manifest published), then
+    // "crash": no writer ever comes back, only readers
+    val staging = GraftParquetWrite.stagingDir(table, "healq")
+    fs.mkdirs(staging)
+    Seq((3L, "c")).toDF("id", "name").coalesce(1).write.parquet(staging.toString + "/tmp")
+    val part = fs.listStatus(new Path(staging, "tmp"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.rename(part, new Path(staging, "part-healq-0-0.parquet"))
+    fs.delete(new Path(staging, "tmp"), true)
+    val man = fs.create(new Path(staging, "manifest"), true)
+    try man.write("part-healq-0-0.parquet".getBytes("UTF-8")) finally man.close()
+    // the read completes the commit and serves the full table
+    assert(spark.read.format("graft-parquet").load(dir)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L),
+      "a reader must heal the published commit, not serve a torn table")
+    assert(!fs.exists(staging), "the healed staging dir must be gone")
+    // an UNMANIFESTED staging dir (a possibly-live writer) is left alone
+    val live = GraftParquetWrite.stagingDir(table, "liveq")
+    fs.mkdirs(live)
+    assert(spark.read.format("graft-parquet").load(dir).count() == 3)
+    assert(fs.exists(live), "reader-side healing must never sweep an unpublished stage")
+  }
+
+  test("commit log folds to one snapshot with identical membership and lengths") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    val dir = freshTable("graft-zm-logfold")
+    val table = new Path(dir)
+    (0 until 5).foreach { i =>
+      spark.range(i * 10L, (i + 1) * 10L).select(col("id"), lit("x").as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val fs = fsOf(dir)
+    val before = GraftParquetWrite.listDataFiles(fs, table)
+      .map(st => (st.getPath.getName, st.getLen)).sortBy(_._1)
+    assert(before.size == 5)
+    assert(GraftTableOptimize.foldLog(fs, table) == 1, "five records must fold to one")
+    val after = GraftParquetWrite.listDataFiles(fs, table)
+      .map(st => (st.getPath.getName, st.getLen)).sortBy(_._1)
+    assert(after == before, "folding must preserve membership and lengths exactly")
+    assert(spark.read.format("graft-parquet").load(dir).count() == 50)
+    // the lengths the log carries equal the physical file sizes
+    after.foreach { case (n, len) =>
+      assert(fs.getFileStatus(new Path(table, n)).getLen == len,
+        s"logged length of $n must match disk")
+    }
+  }
+
+  test("a zone-map entry without a null count is undecodable, never nulls=0") {
+    // nulls=0 would wrongly refute IsNull and prune a file that may hold
+    // nulls — the decode must throw so the line drops and the file scans
+    intercept[graft.GraftDataError] {
+      ZoneMap.decode("""{"rows":5,"cols":{"x":{"min":"1","max":"2","nan":false}}}""")
+    }
   }
 
   // ------------------------------------------- exactly-once table ingest
@@ -669,6 +774,30 @@ class ZoneMapSpec extends SparkTestBase {
     assert(TableIngest.pruneMarkers(spark, dir, keepFrom = 2L) == 2)
     assert(GraftParquetWrite.markerExists(fs, table, "b2") &&
       !GraftParquetWrite.markerExists(fs, table, "b0"))
+  }
+
+  test("marker retention is self-maintaining: a long batch flood stays bounded, dedup holds") {
+    import graft.sources.v2.GraftParquetWrite
+    import graft.streaming.TableIngest
+    val dir = freshTable("graft-zm-markerprune")
+    val df = spark.range(0, 2).select(col("id"), lit("x").as("name")).coalesce(1)
+    (0L until 40L).foreach { b =>
+      assert(TableIngest.ingestBatch(df, dir, b, lineage = "ll", retainMarkers = 10))
+    }
+    val fs = fsOf(dir)
+    val commits = new Path(new Path(dir), "_commits")
+    val markers = fs.listStatus(commits).map(_.getPath.getName)
+      .filter(_.startsWith("ll-b")).toSeq
+    // prunes fired at batch 16 (keepFrom 6) and 32 (keepFrom 22): only
+    // ids 22..39 survive — bounded, not 40-and-growing
+    assert(markers.length == 18, s"markers must stay bounded, got ${markers.length}")
+    assert(!GraftParquetWrite.markerExists(fs, new Path(dir), "ll-b0"))
+    assert(GraftParquetWrite.markerExists(fs, new Path(dir), "ll-b39"))
+    // redelivery dedup still works at the retention edge
+    assert(!TableIngest.ingestBatch(df, dir, 39L, lineage = "ll", retainMarkers = 10))
+    assert(!TableIngest.ingestBatch(df, dir, 22L, lineage = "ll", retainMarkers = 10))
+    assert(spark.read.format("graft-parquet").load(dir).count() == 80,
+      "every batch must land exactly once")
   }
 
   test("ingestTableStream lands each micro-batch once and survives a checkpointed restart") {
