@@ -61,15 +61,24 @@ object GraftTableOptimize {
     * then carries a tight, near-disjoint min/max interval on the key, so
     * zone-map pruning works even when the original appends interleaved key
     * ranges and every file's [min,max] spanned the whole domain. This is
-    * the data-layout half of data skipping (Delta's OPTIMIZE ZORDER niche;
-    * here honest lexicographic range clustering, not bit-interleaving —
-    * multi-column keys cluster by the leading column first). Clustering
-    * forces one shuffle of the rewritten tail; plain packing stays
-    * shuffle-free via coalesce.
+    * the data-layout half of data skipping. Lexicographic range clustering
+    * is honest about multi-column keys: it clusters by the LEADING column
+    * and the second key's per-file span stays wide — for two independently
+    * selective dimensions use `zOrderBy` instead, which quantile-buckets
+    * both columns, interleaves the bucket indices into a Morton key
+    * (the [[graft.sinks.Sinks.writeZOrdered]] kernel, codegen'd), and
+    * clusters on that: every packed file then covers a tight BOX, so the
+    * zone map prunes predicates on either column or both. Either
+    * clustering forces one shuffle of the rewritten tail (z-order adds two
+    * driver-side quantile sketches); plain packing stays shuffle-free via
+    * coalesce.
     */
   def optimize(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024, smallBytes: Long = 32L * 1024 * 1024,
-      minGroup: Int = 2, clusterBy: Seq[String] = Nil): OptimizeReport = {
+      minGroup: Int = 2, clusterBy: Seq[String] = Nil,
+      zOrderBy: Option[(String, String)] = None, zBits: Int = 8): OptimizeReport = {
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "clusterBy and zOrderBy are alternative layouts — pass one")
     // smallBytes may exceed targetBytes: "rewrite everything toward a
     // smaller target" is the re-layout form a clusterBy pass wants
     require(targetBytes > 0 && smallBytes > 0,
@@ -105,12 +114,26 @@ object GraftTableOptimize {
     val bytes = small.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tail = spark.read.parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
-    val shaped =
-      if (clusterBy.isEmpty) tail.coalesce(nOut)
-      else {
-        val keys = clusterBy.map(org.apache.spark.sql.functions.col)
-        tail.repartitionByRange(nOut, keys: _*).sortWithinPartitions(keys: _*)
-      }
+    import org.apache.spark.sql.functions.col
+    val shaped = zOrderBy match {
+      case Some((a, b)) =>
+        val cuts = (1 until (1 << zBits)).map(_.toDouble / (1 << zBits)).toArray
+        val Array(boundsA, boundsB) = tail.stat.approxQuantile(Array(a, b), cuts, 0.001)
+        val z = graft.functions.HashExpressions.zOrderKey(
+          graft.functions.HashExpressions.bucketIndex(col(a).cast("double"), boundsA).cast("long"),
+          graft.functions.HashExpressions.bucketIndex(col(b).cast("double"), boundsB).cast("long"),
+          zBits)
+        tail.withColumn("__zkey", z)
+          .repartitionByRange(nOut, col("__zkey"))
+          .sortWithinPartitions(col("__zkey"))
+          .drop("__zkey")
+      case None =>
+        if (clusterBy.isEmpty) tail.coalesce(nOut)
+        else {
+          val keys = clusterBy.map(col)
+          tail.repartitionByRange(nOut, keys: _*).sortWithinPartitions(keys: _*)
+        }
+    }
     shaped.write.format("graft-parquet").mode("append").save(packedDir.toString)
 
     // 2. move packed files up under final names; manifest = adds + removals

@@ -297,6 +297,51 @@ class ZoneMapSpec extends SparkTestBase {
     assert(spark.read.format("graft-parquet").load(dir).count() == 400)
   }
 
+  test("zOrderBy optimize: box queries prune on BOTH dimensions at once") {
+    import graft.sources.v2.GraftTableOptimize
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    val dir = freshTable("graft-zm-zorder")
+    // a 64x64 grid in 4 interleaved commits: every file spans BOTH domains,
+    // so no single-column clustering could make the second key prune
+    (0 until 4).foreach { r =>
+      spark.range(0, 4096).filter(col("id") % 4 === r)
+        .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val fs = fsOf(dir)
+    val table = new Path(dir)
+    val sch = StructType(Seq(StructField("x", LongType), StructField("y", LongType)))
+    val box: Array[org.apache.spark.sql.sources.Filter] = Array(
+      GreaterThanOrEqual("x", 0L), LessThan("x", 8L),
+      GreaterThanOrEqual("y", 0L), LessThan("y", 8L))
+    val (t0, p0) = ZoneMap.pruneReport(fs, table, box, sch)
+    assert(t0 == 4 && p0 == 0, s"interleaved commits must refute nothing: $p0/$t0")
+    val bytes = graft.sources.v2.GraftParquetWrite.listDataFiles(fs, table).map(_.getLen).sum
+    val rep = GraftTableOptimize.optimize(spark, dir,
+      targetBytes = math.max(1L, bytes / 16), smallBytes = bytes + 1,
+      zOrderBy = Some(("x", "y")))
+    assert(rep.filesRewritten == 4 && rep.filesAfter >= 8, s"got $rep")
+    // the corner box lives in ~one Morton quadrant: almost every file refuted
+    val (t1, p1) = ZoneMap.pruneReport(fs, table, box, sch)
+    assert(p1 >= t1 - 3 && p1 > 0, s"the box must prune almost everywhere: $p1/$t1")
+    // and EACH single dimension prunes — what leading-column lexicographic
+    // clustering cannot give the second key
+    val (_, px) = ZoneMap.pruneReport(fs, table,
+      Array(GreaterThanOrEqual("x", 0L), LessThan("x", 8L)), sch)
+    val (_, py) = ZoneMap.pruneReport(fs, table,
+      Array(GreaterThanOrEqual("y", 0L), LessThan("y", 8L)), sch)
+    assert(px > 0 && py > 0, s"both dimensions must prune alone: x=$px y=$py")
+    // rows exact after the swap
+    assert(spark.read.format("graft-parquet").load(dir).count() == 4096)
+    assert(spark.read.format("graft-parquet").load(dir)
+      .filter(col("x") < 8 && col("y") < 8).count() == 64)
+    // the two layouts are alternatives, typed
+    intercept[IllegalArgumentException] {
+      GraftTableOptimize.optimize(spark, dir, clusterBy = Seq("x"),
+        zOrderBy = Some(("x", "y")))
+    }
+  }
+
   // ------------------------------------------------- aggregate pushdown
 
   private def scanOf(df: org.apache.spark.sql.DataFrame): graft.sources.v2.GraftScan = {
