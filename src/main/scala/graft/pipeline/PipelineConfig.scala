@@ -50,12 +50,24 @@ object PipelineConfig {
       // OPTIMIZE (clusterBy = comma-separated keys) so a scheduled
       // pipeline's small-file tail bin-packs as part of the run
       val path = req(o, "path", "graft_table")
-      val w = df.write.format("graft-parquet").mode("append")
-      o.get("commitMarker").filter(_.nonEmpty)
-        .fold(w)(m => w.option("graft.commitMarker", m)).save(path)
-      o.get("clusterBy").filter(_.nonEmpty).foreach { keys =>
-        graft.sources.v2.GraftTableOptimize.optimize(df.sparkSession, path,
-          clusterBy = keys.split(",").map(_.trim).toSeq): Unit
+      val marker = o.get("commitMarker").filter(_.nonEmpty)
+      // commitMarker is the dedup KEY, not just a receipt: a re-run of the
+      // same declared pipeline (scheduler retry after a crash between the
+      // commit and the scheduler's own bookkeeping) must skip, not append
+      // twice — the TableIngest.ingestBatch discipline
+      val skip = marker.exists { m =>
+        val table = new org.apache.hadoop.fs.Path(path)
+        val fs = table.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        if (fs.exists(table)) graft.sources.v2.GraftParquetWrite.recover(fs, table)
+        graft.sources.v2.GraftParquetWrite.markerExists(fs, table, m)
+      }
+      if (!skip) {
+        val w = df.write.format("graft-parquet").mode("append")
+        marker.fold(w)(m => w.option("graft.commitMarker", m)).save(path)
+        o.get("clusterBy").filter(_.nonEmpty).foreach { keys =>
+          graft.sources.v2.GraftTableOptimize.optimize(df.sparkSession, path,
+            clusterBy = keys.split(",").map(_.trim).toSeq): Unit
+        }
       }
     }),
     "jdbc" -> ((df, o) =>

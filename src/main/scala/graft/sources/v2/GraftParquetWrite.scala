@@ -73,13 +73,21 @@ object GraftParquetWrite {
     */
   def recover(fs: FileSystem, table: Path): Unit =
     if (fs.exists(table)) {
-      fs.listStatus(table).filter { st =>
-        st.isDirectory && st.getPath.getName.startsWith(StagingPrefix)
-      }.foreach { st =>
+      stagingDirs(fs, table).foreach { st =>
         if (fs.exists(manifestPath(st.getPath))) commit(fs, table, st.getPath)
         else fs.delete(st.getPath, true)
       }
     }
+
+  /** Staging dirs by PREFIX-scoped glob, not a full directory listing: on
+    * an object store `_write_*` is an O(matches) prefixed LIST, so the
+    * recovery probe on every scan/write stays O(staging dirs ≈ 0), never
+    * O(data files) — the same economics the commit log gives membership.
+    */
+  private def stagingDirs(fs: FileSystem, table: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val matched = fs.globStatus(new Path(table, StagingPrefix + "*"))
+    if (matched == null) Seq.empty else matched.filter(_.isDirectory).toSeq
+  }
 
   /** Manifest line format — four shapes, one per maintenance need:
     *   - `fileName\t<zone-map json>`: add with statistics (every writer
@@ -129,7 +137,19 @@ object GraftParquetWrite {
   }
 
   private def commit(fs: FileSystem, table: Path, staging: Path): Unit = {
-    val in = fs.open(manifestPath(staging))
+    // a published commit may be replayed CONCURRENTLY by the writer's own
+    // roll-forward and a reader's healPublished — every step below is
+    // idempotent, but whoever finishes first deletes the staging dir. A
+    // manifest that vanished together with its staging dir means the other
+    // replayer completed the commit: success, not failure (failing the
+    // write job here would push an application into a duplicate retry of
+    // rows that actually landed).
+    val in =
+      try fs.open(manifestPath(staging))
+      catch {
+        case e: java.io.FileNotFoundException =>
+          if (!fs.exists(staging)) return else throw e
+      }
     val lines =
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
@@ -185,9 +205,7 @@ object GraftParquetWrite {
     */
   def healPublished(fs: FileSystem, table: Path): Unit =
     if (fs.exists(table) && fs.getFileStatus(table).isDirectory) {
-      fs.listStatus(table).filter { st =>
-        st.isDirectory && st.getPath.getName.startsWith(StagingPrefix)
-      }.foreach { st =>
+      stagingDirs(fs, table).foreach { st =>
         try { if (fs.exists(manifestPath(st.getPath))) commit(fs, table, st.getPath) }
         catch { case _: java.io.FileNotFoundException => () }
       }
@@ -231,6 +249,22 @@ object GraftParquetWrite {
     * caller falls back to the directory listing).
     */
   private[v2] def logMembership(fs: FileSystem, table: Path): Option[Map[String, Long]] = {
+    // a reader can list records just before a concurrent foldLog deletes
+    // the superseded ones: re-list and re-read (the fold's snapshot carries
+    // the same membership). Bounded retries — if records keep vanishing
+    // without a fold snapshot appearing, that is real damage, fail loudly.
+    var attempt = 0
+    while (true) {
+      try return logMembershipOnce(fs, table)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1; if (attempt > 3) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def logMembershipOnce(fs: FileSystem, table: Path): Option[Map[String, Long]] = {
     val recs = logRecordFiles(fs, table)
     if (recs.isEmpty) None
     else {
@@ -272,9 +306,13 @@ object GraftParquetWrite {
     def lenOf(n: String): Long = fs.getFileStatus(new Path(table, n)).getLen
     val lines: Seq[String] =
       if (recs.isEmpty) {
+        // bootstrap: lengths come off the listing itself — no per-file
+        // re-stat round-trips on a large legacy table
         val gone = removes.toSet
-        listByDirectory(fs, table).map(_.getPath.getName).filterNot(gone)
-          .sorted.map(n => s"$n\t${lenOf(n)}")
+        listByDirectory(fs, table)
+          .filterNot(st => gone(st.getPath.getName))
+          .map(st => (st.getPath.getName, st.getLen)).sortBy(_._1)
+          .map { case (n, len) => s"$n\t$len" }
       } else adds.sorted.map(n => s"$n\t${lenOf(n)}") ++ removes.sorted.map("~" + _)
     fs.mkdirs(logDir(table))
     // temp + rename: the record's appearance is atomic; tmp lives in the

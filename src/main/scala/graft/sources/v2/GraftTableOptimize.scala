@@ -187,10 +187,10 @@ object GraftTableOptimize {
     val data = GraftParquetWrite.listDataFiles(fs, table)
     val dataNames = data.map(_.getPath.getName).toSet
     // the physical cross-check the log demoted the listing to: membership
-    // says what SHOULD be on disk, the listing says what IS
-    val listed =
-      (if (fs.getFileStatus(table).isDirectory) GraftParquetWrite.listByDirectory(fs, table)
-       else Seq(fs.getFileStatus(table))).map(_.getPath.getName).toSet
+    // says what SHOULD be on disk, the listing (already in hand as `st` —
+    // fsck is the one caller that legitimately pays it) says what IS
+    val listed = st.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
     val zm = ZoneMap.load(fs, table)
     val covered = dataNames.count(zm.contains)
     val staging = st.filter(s =>

@@ -82,7 +82,12 @@ object TableIngest {
     // recovery FIRST: an interrupted predecessor may hold this very
     // batch's commit point — completing it writes the marker we test
     if (fs.exists(table)) GraftParquetWrite.recover(fs, table)
-    if (GraftParquetWrite.markerExists(fs, table, marker)) false
+    // upgrade shim: lineages were 12 hex chars before widening to 16; both
+    // are prefixes of the same SHA-256, so a batch committed under the old
+    // namespace still dedupes (one extra exists() per batch, nothing more)
+    val legacyHit = lineage.length == 16 &&
+      GraftParquetWrite.markerExists(fs, table, markerName(lineage.take(12), batchId))
+    if (legacyHit || GraftParquetWrite.markerExists(fs, table, marker)) false
     else {
       batch.write.format("graft-parquet")
         .option("graft.commitMarker", marker)

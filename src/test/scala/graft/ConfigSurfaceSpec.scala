@@ -88,7 +88,11 @@ class ConfigSurfaceSpec extends SparkTestBase {
     assert(graft.sources.v2.GraftParquetWrite.markerExists(
       fs, new org.apache.hadoop.fs.Path(table), "run1"))
     assert(graft.sources.v2.GraftTableOptimize.fsck(spark, table).healthy)
-    // a second run appends (the connector's append-only contract)
+    // a RETRY of the same declared run (same marker) must skip, not append
+    PipelineConfig.fromJson(spark, cfg("run1")).run(spark)
+    assert(spark.read.format("graft-parquet").load(table).count() == 200,
+      "the commitMarker is the dedup key: a scheduler retry must not double rows")
+    // a second run with a new marker appends (the append-only contract)
     PipelineConfig.fromJson(spark, cfg("run2")).run(spark)
     assert(spark.read.format("graft-parquet").load(table).count() == 400)
     // the path option is required, typed

@@ -500,6 +500,8 @@ class StressScaleSpec extends SparkTestBase {
       targetBytes = 8L * 1024 * 1024, smallBytes = 8L * 1024 * 1024)
     assert(rep.filesRewritten == commits && rep.filesAfter < 8 && rep.zmSidecarsAfter == 1,
       s"optimize must collapse the tail: $rep")
+    assert(rep.logRecordsBefore == commits && rep.logRecordsAfter == 1,
+      s"96 commit-log records must fold to one snapshot: $rep")
     val back = spark.read.format("graft-parquet").load(dir)
     assert(back.count() == commits * slabRows)
     assert(back.filter($"id" >= 10100L && $"id" < 10400L).count() == 300)

@@ -912,6 +912,14 @@ class ZoneMapSpec extends SparkTestBase {
       "pruning lineage aaa must not touch bbb's markers")
     // distinct checkpoints derive distinct lineages
     assert(TableIngest.lineageOf("/ck/one") != TableIngest.lineageOf("/ck/two"))
+    // upgrade shim: a batch committed under the pre-widening 12-hex
+    // namespace still dedupes a redelivery under the 16-hex one (both are
+    // prefixes of the same digest)
+    val full = TableIngest.lineageOf("/ck/one")
+    assert(full.length == 16)
+    assert(TableIngest.ingestBatch(df.coalesce(1), dir, 7L, lineage = full.take(12)))
+    assert(!TableIngest.ingestBatch(df.coalesce(1), dir, 7L, lineage = full),
+      "a legacy-namespace marker must absorb the redelivery after the widening")
   }
 
   test("a replayed roll-forward rewrites the same sidecar entry idempotently") {
