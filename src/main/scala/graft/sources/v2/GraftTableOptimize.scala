@@ -234,6 +234,34 @@ object GraftTableOptimize {
     zmFiles(fs, table).length
   }
 
+  /** Delete data files the membership log does not know — the physical
+    * garbage fsck reports as `unloggedDataFiles` (alien drops, leftovers
+    * of pre-log tooling). Runs recovery first, so a file whose commit is
+    * merely unrolled is completed, never collected; after that, an
+    * unlogged `.parquet` older than `graceMs` (modification time — the
+    * grace absorbs clock skew and any in-flight rename) is garbage by
+    * definition: committed files are in the log, uncommitted files live
+    * under `_write_` staging. No-op on tables without a log (membership
+    * IS the listing there, so nothing can be unlogged). Returns the
+    * number of files deleted.
+    */
+  def vacuum(spark: SparkSession, path: String,
+      graceMs: Long = 24L * 3600 * 1000): Int = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(table), s"no table at $path")
+    GraftParquetWrite.recover(fs, table)
+    if (GraftParquetWrite.logRecordFiles(fs, table).isEmpty) return 0
+    val members = GraftParquetWrite.listDataFiles(fs, table)
+      .map(_.getPath.getName).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val dead = GraftParquetWrite.listByDirectory(fs, table).filter { st =>
+      !members.contains(st.getPath.getName) && st.getModificationTime < cutoff
+    }
+    dead.foreach(st => fs.delete(st.getPath, false))
+    dead.length
+  }
+
   /** Compact the commit log to ONE snapshot record so a long-lived table's
     * planning cost stays O(1) instead of O(commits). Crash-safe in both
     * windows: once the snapshot lands, every superseded add agrees with it

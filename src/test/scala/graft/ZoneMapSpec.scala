@@ -718,6 +718,44 @@ class ZoneMapSpec extends SparkTestBase {
 
   // -------------------------------------------------- commit-log membership
 
+  test("vacuum collects unlogged garbage after the grace, never a member or a pending commit") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    val dir = freshTable("graft-zm-vacuum")
+    val table = new Path(dir)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val fs = fsOf(dir)
+    // an alien file outside any commit
+    Seq((99L, "alien")).toDF("id", "name").coalesce(1)
+      .write.parquet(table.toString + "/alien")
+    val alienPart = fs.listStatus(new Path(table, "alien"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.rename(alienPart, new Path(table, "part-alien-0-0.parquet"))
+    fs.delete(new Path(table, "alien"), true)
+    assert(GraftTableOptimize.fsck(spark, dir).unloggedDataFiles == 1)
+    // inside the grace: nothing collected
+    assert(GraftTableOptimize.vacuum(spark, dir) == 0)
+    // past the grace: the alien goes, members stay, reads are unchanged
+    assert(GraftTableOptimize.vacuum(spark, dir, graceMs = 0L) == 1)
+    assert(!fs.exists(new Path(table, "part-alien-0-0.parquet")))
+    assert(GraftTableOptimize.fsck(spark, dir).unloggedDataFiles == 0)
+    assert(spark.read.format("graft-parquet").load(dir).count() == 2)
+    // a PUBLISHED-but-unrolled commit is completed by vacuum's recovery,
+    // not collected as garbage
+    val staging = GraftParquetWrite.stagingDir(table, "vacq")
+    fs.mkdirs(staging)
+    Seq((3L, "c")).toDF("id", "name").coalesce(1).write.parquet(staging.toString + "/tmp")
+    val part = fs.listStatus(new Path(staging, "tmp"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.rename(part, new Path(staging, "part-vacq-0-0.parquet"))
+    fs.delete(new Path(staging, "tmp"), true)
+    val man = fs.create(new Path(staging, "manifest"), true)
+    try man.write("part-vacq-0-0.parquet".getBytes("UTF-8")) finally man.close()
+    assert(GraftTableOptimize.vacuum(spark, dir, graceMs = 0L) == 0,
+      "recovery must land the pending commit; its file is a member, not garbage")
+    assert(spark.read.format("graft-parquet").load(dir).count() == 3)
+  }
+
   test("a pure READ heals a published-but-unrolled commit before resolving membership") {
     import graft.sources.v2.GraftParquetWrite
     val dir = freshTable("graft-zm-readheal")
