@@ -492,6 +492,34 @@ object SparkEntry {
         .withColumn("dedup_ok", lit(w0 && w1 && w2 && !dup))
     }),
 
+    "table_time_travel" -> ((s, dir) => {
+      // snapshot (AS-OF) read on the connector's commit log: three ingest
+      // batches land append-only; the snapshot handle captured after batch
+      // 1 (GraftParquetWrite.currentSeq) is read back with
+      // option("graft.asOfSeq") and must contain EXACTLY the first two
+      // slices — the files batch 1 saw, bit-for-bit, regardless of what
+      // landed since. This is the reproducible-training-corpus primitive:
+      // "train on the corpus as of batch N" stays answerable while the
+      // table keeps ingesting. The flag pins that the live table really
+      // moved past the snapshot (all three slices, a strictly higher seq)
+      // so the oracle hash is proving time travel, not a stalled table.
+      val out = scratchDir("graft_timetravel") + "/t"
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"))
+      def slice(r: Int) = ev.filter(pmod(col("event_id"), lit(3)) === r)
+      graft.streaming.TableIngest.ingestBatch(slice(0), out, 0L)
+      graft.streaming.TableIngest.ingestBatch(slice(1), out, 1L)
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val snap = graft.sources.v2.GraftParquetWrite.currentSeq(fs, outPath).get
+      graft.streaming.TableIngest.ingestBatch(slice(2), out, 2L)
+      val live = s.read.format("graft-parquet").load(out)
+      val ok = live.count() == ev.count() &&
+        graft.sources.v2.GraftParquetWrite.currentSeq(fs, outPath).exists(_ > snap)
+      s.read.format("graft-parquet").option("graft.asOfSeq", snap.toString).load(out)
+        .withColumn("tt_ok", lit(ok))
+    }),
+
     "dedup_keep_first" -> ((s, dir) =>
       Ops.dedupKeepFirst(DedupSpec(Seq("user_id"), Seq("ts"), Some(col("event_id"))))(
         Sources.events(s, dir))
@@ -3900,6 +3928,10 @@ object SparkEntry {
 
     "stream_table_ingest" ->
       """SELECT event_id, user_id, value, TRUE AS dedup_ok FROM events""",
+
+    "table_time_travel" ->
+      """SELECT event_id, user_id, value, TRUE AS tt_ok
+        |FROM events WHERE event_id % 3 < 2""".stripMargin,
 
     "dedup_keep_first" ->
       """SELECT user_id, event_id, value FROM (

@@ -106,8 +106,20 @@ final case class GraftParquetTable(path: String, tableSchema: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, tableSchema)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // snapshot (AS-OF) read: `.option("graft.asOfSeq", seq)` resolves
+    // membership at commit-log sequence `seq` (GraftParquetWrite.currentSeq
+    // hands the caller the handle) — the reproducible-corpus primitive for
+    // a continuously-ingested table: "the exact files batch N saw"
+    val asOf = Option(options.get("graft.asOfSeq")).map { s =>
+      try java.lang.Long.parseLong(s.trim)
+      catch {
+        case _: NumberFormatException => throw new graft.GraftConfigError(
+          s"graft.asOfSeq must be a long commit-log sequence (got '$s')")
+      }
+    }
+    new GraftScanBuilder(path, tableSchema, asOf)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // structural match (names + types, nullability-insensitive — writing a
     // non-nullable column into a nullable parquet field is always safe)
@@ -119,7 +131,8 @@ final case class GraftParquetTable(path: String, tableSchema: StructType)
   }
 }
 
-final class GraftScanBuilder(path: String, full: StructType)
+final class GraftScanBuilder(path: String, full: StructType,
+    asOfSeq: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var required: StructType = full
@@ -155,6 +168,10 @@ final class GraftScanBuilder(path: String, full: StructType)
   // advantage — either the sidecar answers exactly or the scan runs).
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    // snapshot reads decline the metadata answer: answerFromMetadata sums
+    // CURRENT membership, and a folded sidecar may no longer carry every
+    // historical file's entry — the normal scan answers exactly instead
+    if (asOfSeq.isDefined) return false
     val key = aggKey(aggregation)
     if (!aggFor.contains(key)) {
       agg = GraftScan.answerFromMetadata(path, full, pushed, aggregation)
@@ -166,7 +183,7 @@ final class GraftScanBuilder(path: String, full: StructType)
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     supportCompletePushDown(aggregation)
 
-  override def build(): Scan = GraftScan(path, full, required, pushed, agg)
+  override def build(): Scan = GraftScan(path, full, required, pushed, agg, asOfSeq)
 }
 
 /** A completely-pushed aggregation answered from table metadata: the
@@ -177,7 +194,7 @@ final case class GraftAggResult(schema: StructType, values: Seq[Any], descriptio
 
 final case class GraftScan(
     path: String, full: StructType, required: StructType, filters: Array[Filter],
-    agg: Option[GraftAggResult] = None)
+    agg: Option[GraftAggResult] = None, asOfSeq: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering {
 
   // runtime (join-time) filters — the DSv2 dynamic-pruning seam: Spark
@@ -214,7 +231,9 @@ final case class GraftScan(
   override def description(): String = agg match {
     case Some(a) => s"GraftScan path=$path, metadata-only aggregation=[${a.description}]"
     case None =>
-      s"GraftScan path=$path, pushed=[${filters.mkString(", ")}], read=[${required.fieldNames.mkString(", ")}]"
+      s"GraftScan path=$path, pushed=[${filters.mkString(", ")}], " +
+        s"read=[${required.fieldNames.mkString(", ")}]" +
+        asOfSeq.map(s => s", asOfSeq=$s").getOrElse("")
   }
 
   /** The files the pushed conjunction cannot refute, with the zone map (the
@@ -238,7 +257,7 @@ final case class GraftScan(
     // membership: a pure-reader session after a writer crash heals the
     // table instead of serving (or failing on) a torn state
     GraftParquetWrite.healPublished(fs, p)
-    (GraftParquetWrite.listDataFiles(fs, p), ZoneMap.load(fs, p))
+    (GraftParquetWrite.listDataFiles(fs, p, asOfSeq), ZoneMap.load(fs, p))
   }
 
   private def survivingFiles(): (Seq[org.apache.hadoop.fs.FileStatus], Map[String, ZoneMap.FileStats]) = {

@@ -248,14 +248,15 @@ object GraftParquetWrite {
     * carries no log (legacy tables and plain parquet directories — the
     * caller falls back to the directory listing).
     */
-  private[v2] def logMembership(fs: FileSystem, table: Path): Option[Map[String, Long]] = {
+  private[v2] def logMembership(fs: FileSystem, table: Path,
+      asOfSeq: Option[Long] = None): Option[Map[String, Long]] = {
     // a reader can list records just before a concurrent foldLog deletes
     // the superseded ones: re-list and re-read (the fold's snapshot carries
     // the same membership). Bounded retries — if records keep vanishing
     // without a fold snapshot appearing, that is real damage, fail loudly.
     var attempt = 0
     while (true) {
-      try return logMembershipOnce(fs, table)
+      try return logMembershipOnce(fs, table, asOfSeq)
       catch {
         case e: java.io.FileNotFoundException =>
           attempt += 1; if (attempt > 3) throw e
@@ -264,8 +265,30 @@ object GraftParquetWrite {
     throw new IllegalStateException("unreachable")
   }
 
-  private def logMembershipOnce(fs: FileSystem, table: Path): Option[Map[String, Long]] = {
+  /** Highest committed log sequence — the snapshot handle an AS-OF read
+    * names (`option("graft.asOfSeq", seq)`); None on tables without a log.
+    */
+  def currentSeq(fs: FileSystem, table: Path): Option[Long] = {
     val recs = logRecordFiles(fs, table)
+    if (recs.isEmpty) None
+    else Some(recs.map(st => logSeqOf(st.getPath.getName)).max)
+  }
+
+  private def logMembershipOnce(fs: FileSystem, table: Path,
+      asOfSeq: Option[Long]): Option[Map[String, Long]] = {
+    val all = logRecordFiles(fs, table)
+    val recs = asOfSeq match {
+      case None => all
+      case Some(seq) =>
+        // history exists only back to the last fold (foldLog renumbers):
+        // an unreachable snapshot must fail loudly, never read as empty
+        require(all.nonEmpty, s"no commit log at $table — nothing to time-travel")
+        val kept = all.filter(st => logSeqOf(st.getPath.getName) <= seq)
+        require(kept.nonEmpty,
+          s"snapshot seq<=$seq is not available at $table (folded away or before first commit; " +
+            s"earliest retained seq is ${all.map(st => logSeqOf(st.getPath.getName)).min})")
+        kept
+    }
     if (recs.isEmpty) None
     else {
       val adds = scala.collection.mutable.Map.empty[String, Long]
@@ -343,12 +366,25 @@ object GraftParquetWrite {
     * fallback for plain parquet directories and pre-log tables.
     */
   def listDataFiles(fs: FileSystem, table: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    listDataFiles(fs, table, None)
+
+  /** Membership, optionally AS OF a log sequence (snapshot read): only the
+    * records with seq <= asOfSeq contribute. Exact and free on append-only
+    * tables (every historical file still exists); a snapshot whose files
+    * OPTIMIZE/vacuum physically retired fails loudly at read time (missing
+    * file), and one folded out of the log fails at plan time — snapshots
+    * are durable between maintenance windows, not across them.
+    */
+  def listDataFiles(fs: FileSystem, table: Path,
+      asOfSeq: Option[Long]): Seq[org.apache.hadoop.fs.FileStatus] =
     if (fs.getFileStatus(table).isDirectory)
-      logMembership(fs, table) match {
+      logMembership(fs, table, asOfSeq) match {
         case Some(members) =>
           members.toSeq.sortBy(_._1).map { case (n, len) =>
             new org.apache.hadoop.fs.FileStatus(len, false, 1, 0L, 0L, new Path(table, n))
           }
+        // None is only reachable without asOfSeq: a log-less table under
+        // an AS-OF request already failed inside logMembership
         case None => listByDirectory(fs, table)
       }
     else Seq(fs.getFileStatus(table))

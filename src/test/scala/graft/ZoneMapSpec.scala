@@ -718,6 +718,53 @@ class ZoneMapSpec extends SparkTestBase {
 
   // -------------------------------------------------- commit-log membership
 
+  test("AS-OF reads resolve membership at a log sequence; retired history fails loudly") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    val dir = freshTable("graft-zm-asof")
+    val table = new Path(dir)
+    val fs = fsOf(dir)
+    def seqNow(): Long = GraftParquetWrite.currentSeq(fs, table).get
+    (0 until 3).foreach { i =>
+      spark.range(i * 10L, (i + 1) * 10L).select(col("id"), lit(s"c$i").as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val s1 = seqNow() - 1 // after the second commit
+    def asOf(seq: Long) = spark.read.format("graft-parquet")
+      .option("graft.asOfSeq", seq.toString).load(dir)
+    // snapshots are exact on the append-only table
+    assert(asOf(0L).select("id").as[Long].collect().sorted.toSeq == (0L until 10L))
+    assert(asOf(s1).count() == 20)
+    assert(spark.read.format("graft-parquet").load(dir).count() == 30)
+    // snapshot + pushdown compose (zone-map pruning inside the snapshot)
+    assert(asOf(s1).filter(col("id") >= 10L && col("id") < 15L)
+      .select("id").as[Long].collect().sorted.toSeq == (10L until 15L))
+    // a snapshot never sees a LATER commit's files even under a filter
+    assert(asOf(s1).filter(col("id") >= 20L).count() == 0)
+    // aggregates on a snapshot decline the metadata answer but stay exact
+    val agged = asOf(s1).agg(count(lit(1)).as("n"), max(col("id")).as("hi"))
+    assert(scanOf(agged).agg.isEmpty, "AS-OF must decline the metadata aggregate")
+    assert(agged.head().getLong(0) == 20 && agged.head().getLong(1) == 19L)
+    // junk option is a typed config error
+    intercept[graft.GraftConfigError] {
+      spark.read.format("graft-parquet").option("graft.asOfSeq", "banana").load(dir).count()
+    }
+    // a log-less table cannot time-travel
+    val plainDir = freshTable("graft-zm-asofplain")
+    spark.range(0, 5).toDF("id").write.parquet(plainDir)
+    intercept[Exception] {
+      spark.read.format("graft-parquet").option("graft.asOfSeq", "0").load(plainDir).count()
+    }
+    // OPTIMIZE folds history: pre-fold sequences fail loudly, never read empty
+    val rep = GraftTableOptimize.optimize(spark, dir,
+      targetBytes = 1L << 20, smallBytes = 1L << 20)
+    assert(rep.filesRewritten == 3 && rep.logRecordsAfter == 1)
+    val folded = intercept[Exception] { asOf(s1).count() }
+    assert(folded.getMessage.contains("not available"),
+      s"a folded-away snapshot must fail loudly, got: ${folded.getMessage}")
+    // the post-fold snapshot handle still works and reads everything
+    assert(asOf(seqNow()).count() == 30)
+  }
+
   test("vacuum collects unlogged garbage after the grace, never a member or a pending commit") {
     import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
     val dir = freshTable("graft-zm-vacuum")
