@@ -265,8 +265,14 @@ final case class GraftScan(
     val effective = pruningFilters
     val files =
       if (effective.isEmpty || zm.isEmpty) listed
-      else listed.filter(st =>
-        zm.get(st.getPath.getName).forall(ZoneMap.mayMatchAll(effective, _, full)))
+      else {
+        // prepare ONCE per pruning pass: a runtime IN of thousands of dim
+        // keys tests each file in O(log keys), not O(keys) — the planner
+        // stays O(files·log keys) however selective the join gets
+        val prepared = ZoneMap.prepare(effective)
+        listed.filter(st =>
+          zm.get(st.getPath.getName).forall(ZoneMap.mayMatchAllPrepared(prepared, _, full)))
+      }
     (files, zm)
   }
 

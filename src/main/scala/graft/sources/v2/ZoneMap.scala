@@ -222,26 +222,32 @@ object ZoneMap {
       case other => throw new graft.GraftDataError(s"no bound domain for $other")
     }).toOption // a corrupt bound must stay may-match, never fail the plan
 
+  /** Bounds usable for comparison pruning on column `a`: None = cannot
+    * prune on this column (no entry, NaN-poisoned, or unparseable);
+    * Some(None) = the column is entirely NULL here (no non-null value was
+    * observed and the null count covers every row — the guard keeps a
+    * malformed entry conservative), so every comparison is refuted;
+    * Some(Some((min, max))) = the comparison domain. Shared by
+    * [[mayMatch]] and the prepared-IN fast path so they can never
+    * disagree.
+    */
+  private[v2] def colBounds(a: String, stats: FileStats, schema: StructType)
+      : Option[Option[(Any, Any)]] =
+    stats.cols.get(a).flatMap { c =>
+      if (c.nan) None
+      else if (c.min.isEmpty || c.max.isEmpty) {
+        if (c.nulls == stats.rows) Some(None) else None
+      } else schema.fields.find(_.name == a).map(_.dataType).flatMap(dt =>
+        parseBound(c.min.get, dt).zip(parseBound(c.max.get, dt))).map(b => Some(b))
+    }
+
   /** True iff SOME row of a file with these statistics could satisfy the
     * filter — the may-match test. Returning true when unsure is the safe
     * direction; returning false is a proof of emptiness.
     */
   def mayMatch(f: Filter, stats: FileStats, schema: StructType): Boolean = {
     def col(a: String): Option[ColStats] = stats.cols.get(a)
-    def dtOf(a: String): Option[DataType] = schema.fields.find(_.name == a).map(_.dataType)
-    // bounds usable for comparison pruning: None = cannot prune on this
-    // column (no entry, NaN-poisoned, or unparseable); Some(None) = the
-    // column is entirely NULL here, so every comparison is refuted
-    def bounds(a: String): Option[Option[(Any, Any)]] = col(a).flatMap { c =>
-      if (c.nan) None
-      else if (c.min.isEmpty || c.max.isEmpty) {
-        // no non-null value was observed: all rows NULL (or the file is
-        // empty) — comparisons cannot match; guard with the null count so
-        // a malformed entry stays conservative
-        if (c.nulls == stats.rows) Some(None) else None
-      } else dtOf(a).flatMap(dt =>
-        parseBound(c.min.get, dt).zip(parseBound(c.max.get, dt))).map(b => Some(b))
-    }
+    def bounds(a: String): Option[Option[(Any, Any)]] = colBounds(a, stats, schema)
     def cmpMay(a: String, test: ((Any, Any)) => Boolean): Boolean = bounds(a) match {
       case None => true // unknown: may match
       case Some(None) => false // all NULL: comparison refuted
@@ -268,6 +274,73 @@ object ZoneMap {
     */
   def mayMatchAll(filters: Array[Filter], stats: FileStats, schema: StructType): Boolean =
     filters.forall(mayMatch(_, stats, schema))
+
+  // -------------------------------------------------- prepared IN pruning
+
+  /** A filter pre-processed for repeated per-file testing. The runtime
+    * join-filter seam can hand the scan an IN of THOUSANDS of dim keys;
+    * the naive test is O(files × keys) driver work at plan time — at
+    * 100 TB (1e5 keys × 1e5 files) that is minutes of planning. Sorting
+    * each large IN once (under the SAME total order [[GraftScan.cmp]]
+    * everything else uses) turns the per-file test into two binary
+    * searches: "is any value inside [min, max]?".
+    */
+  sealed trait Prepared
+  private final case class PlainP(f: Filter) extends Prepared
+  private final case class SortedIn(attr: String, values: Array[Any]) extends Prepared
+
+  private val PrepareThreshold = 16
+
+  def prepare(filters: Array[Filter]): Array[Prepared] =
+    filters.map {
+      case f @ In(a, vs) if vs.length > PrepareThreshold =>
+        // sortable only if every pair is cmp-comparable; one incomparable
+        // pair (mixed runtime classes) falls back to the linear form,
+        // whose cross-type semantics are already conservative
+        try {
+          val sorted = vs.clone()
+          java.util.Arrays.sort(sorted.asInstanceOf[Array[Object]],
+            new java.util.Comparator[Object] {
+              def compare(x: Object, y: Object): Int =
+                GraftScan.cmp(x, y).getOrElse(throw new IllegalArgumentException("mixed"))
+            })
+          SortedIn(a, sorted)
+        } catch { case _: IllegalArgumentException => PlainP(f) }
+      case f => PlainP(f)
+    }
+
+  /** Same decision as [[mayMatch]] on the underlying filter (the property
+    * ZoneMapSpec pins over randomized inputs), O(log keys) for a prepared
+    * IN. Any incomparable pair met during the search degrades to
+    * may-match — the conservative direction, matching the linear form's
+    * cross-type behavior.
+    */
+  def mayMatchPrepared(p: Prepared, stats: FileStats, schema: StructType): Boolean = p match {
+    case PlainP(f) => mayMatch(f, stats, schema)
+    case SortedIn(a, sorted) => colBounds(a, stats, schema) match {
+      case None => true // unknown: may match
+      case Some(None) => false // all NULL: IN refuted
+      case Some(Some((mn, mx))) =>
+        // leftmost value >= min, then test it against max
+        var lo = 0
+        var hi = sorted.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          GraftScan.cmp(sorted(mid), mn) match {
+            case None => return true
+            case Some(c) => if (c < 0) lo = mid + 1 else hi = mid
+          }
+        }
+        lo < sorted.length && (GraftScan.cmp(sorted(lo), mx) match {
+          case None => true
+          case Some(c) => c <= 0
+        })
+    }
+  }
+
+  def mayMatchAllPrepared(prepared: Array[Prepared], stats: FileStats,
+      schema: StructType): Boolean =
+    prepared.forall(mayMatchPrepared(_, stats, schema))
 
   // --------------------------------------------------------------- sidecar
 

@@ -495,6 +495,13 @@ class StressScaleSpec extends SparkTestBase {
     val row = agged.head()
     assert(row.getLong(0) == commits * slabRows && row.getLong(1) == 0L &&
       row.getLong(2) == commits * slabRows - 1)
+    // AS-OF at mid-flood: the snapshot handle after commit 48 reads exactly
+    // the first 48 slabs while the live table holds all 96
+    val midSeq = 47L // commits write log seqs 0..95
+    val asOf = spark.read.format("graft-parquet")
+      .option("graft.asOfSeq", midSeq.toString).load(dir)
+    assert(asOf.count() == 48 * slabRows, "snapshot must hold the first 48 commits exactly")
+    assert(asOf.agg(max($"id")).head().getLong(0) == 48 * slabRows - 1)
     // OPTIMIZE: 96 files bin-pack, sidecars fold to one, everything re-checks
     val rep = GraftTableOptimize.optimize(spark, dir,
       targetBytes = 8L * 1024 * 1024, smallBytes = 8L * 1024 * 1024)

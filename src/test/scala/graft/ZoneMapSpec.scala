@@ -126,6 +126,58 @@ class ZoneMapSpec extends SparkTestBase {
     }
   }
 
+  test("prepared IN pruning decides exactly like the linear form (randomized property)") {
+    val rnd = new scala.util.Random(991_337L)
+    val sch = StructType(Seq(StructField("x", LongType), StructField("s", StringType),
+      StructField("d", DoubleType)))
+    def statsFor(col: String, mn: Option[String], mx: Option[String], nulls: Long, rows: Long,
+        nan: Boolean = false) =
+      ZoneMap.FileStats(rows, Map(col -> ZoneMap.ColStats(mn, mx, nulls, nan)))
+    (1 to 500).foreach { _ =>
+      // a random large IN (always above the prepare threshold) + a random
+      // stats entry, over longs, strings, or doubles
+      val (attr, vs, st) = rnd.nextInt(3) match {
+        case 0 =>
+          val vs: Array[Any] = Array.fill(17 + rnd.nextInt(40))(rnd.nextInt(200).toLong: Any)
+          val (a, b) = (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)
+          ("x", vs, statsFor("x", Some(math.min(a, b).toString), Some(math.max(a, b).toString),
+            rnd.nextInt(3).toLong, 10L))
+        case 1 =>
+          def w() = ('a' + rnd.nextInt(6)).toChar.toString * (1 + rnd.nextInt(3))
+          val vs: Array[Any] = Array.fill(17 + rnd.nextInt(40))(w(): Any)
+          val (a, b) = (w(), w())
+          val (lo, hi) = if (a <= b) (a, b) else (b, a)
+          ("s", vs, statsFor("s", Some(lo), Some(hi), 0L, 10L))
+        case _ =>
+          val vs: Array[Any] = Array.fill(17 + rnd.nextInt(40))(
+            (rnd.nextInt(100) / 4.0 - 10.0): Any)
+          val (a, b) = (rnd.nextInt(100) / 4.0 - 10.0, rnd.nextInt(100) / 4.0 - 10.0)
+          ("d", vs, statsFor("d", Some(math.min(a, b).toString), Some(math.max(a, b).toString),
+            0L, 10L, nan = rnd.nextInt(8) == 0))
+      }
+      // occasionally: all-NULL file and missing-column cases
+      val cases = Seq(st,
+        statsFor(attr, None, None, 10L, 10L), // all NULL: refutes IN
+        ZoneMap.FileStats(10L, Map.empty)) // no entry for the column
+      cases.foreach { s =>
+        val f = In(attr, vs)
+        val naive = ZoneMap.mayMatch(f, s, sch)
+        val prepared = ZoneMap.prepare(Array(f))
+        assert(prepared.length == 1)
+        val fast = ZoneMap.mayMatchPrepared(prepared(0), s, sch)
+        assert(fast == naive,
+          s"prepared IN diverged: attr=$attr vs=${vs.take(6).mkString(",")}.. stats=$s " +
+            s"naive=$naive fast=$fast")
+      }
+    }
+    // a mixed-type IN falls back to the linear form rather than mis-sorting
+    val mixed: Array[Any] = (Array.fill(20)(1L: Any) :+ ("zz": Any))
+    val p = ZoneMap.prepare(Array(In("x", mixed)))
+    val s10 = statsFor("x", Some("5"), Some("6"), 0L, 10L)
+    assert(ZoneMap.mayMatchPrepared(p(0), s10, sch) ==
+      ZoneMap.mayMatch(In("x", mixed), s10, sch))
+  }
+
   // ------------------------------------------------------------ end-to-end
 
   test("connector writes collect stats into the sidecar and the scan prunes files") {
