@@ -64,10 +64,13 @@ object PipelineConfig {
       if (!skip) {
         val w = df.write.format("graft-parquet").mode("append")
         marker.fold(w)(m => w.option("graft.commitMarker", m)).save(path)
-        o.get("clusterBy").filter(_.nonEmpty).foreach { keys =>
-          graft.sources.v2.GraftTableOptimize.optimize(df.sparkSession, path,
-            clusterBy = keys.split(",").map(_.trim).toSeq): Unit
-        }
+      }
+      // OPTIMIZE runs OUTSIDE the dedup skip: it is idempotent maintenance,
+      // and a crash between the append commit and the optimize would
+      // otherwise leave the small-file tail un-packed on every retry
+      o.get("clusterBy").filter(_.nonEmpty).foreach { keys =>
+        graft.sources.v2.GraftTableOptimize.optimize(df.sparkSession, path,
+          clusterBy = keys.split(",").map(_.trim).toSeq): Unit
       }
     }),
     "jdbc" -> ((df, o) =>

@@ -260,16 +260,28 @@ final case class GraftScan(
     (GraftParquetWrite.listDataFiles(fs, p, asOfSeq), ZoneMap.load(fs, p))
   }
 
+  // prepared ONCE per runtime-filter state (keyed on the runtimeFilters
+  // array reference, which filter() replaces): Catalyst asks for
+  // statistics several times and BatchScanExec re-plans partitions when
+  // runtime filters arrive — the multi-thousand-key IN sort must not
+  // re-run on each ask
+  @transient private var preparedFor: Array[Filter] = _
+  @transient private var preparedCache: Array[ZoneMap.Prepared] = _
+  private def preparedPruning(): Array[ZoneMap.Prepared] = {
+    val rf = runtimeFilters
+    if (preparedFor ne rf) { preparedCache = ZoneMap.prepare(filters ++ rf); preparedFor = rf }
+    preparedCache
+  }
+
   private def survivingFiles(): (Seq[org.apache.hadoop.fs.FileStatus], Map[String, ZoneMap.FileStats]) = {
     val (listed, zm) = tableBase
-    val effective = pruningFilters
     val files =
-      if (effective.isEmpty || zm.isEmpty) listed
+      if (pruningFilters.isEmpty || zm.isEmpty) listed
       else {
-        // prepare ONCE per pruning pass: a runtime IN of thousands of dim
-        // keys tests each file in O(log keys), not O(keys) — the planner
-        // stays O(files·log keys) however selective the join gets
-        val prepared = ZoneMap.prepare(effective)
+        // a runtime IN of thousands of dim keys tests each file in
+        // O(log keys), not O(keys) — the planner stays O(files·log keys)
+        // however selective the join gets
+        val prepared = preparedPruning()
         listed.filter(st =>
           zm.get(st.getPath.getName).forall(ZoneMap.mayMatchAllPrepared(prepared, _, full)))
       }

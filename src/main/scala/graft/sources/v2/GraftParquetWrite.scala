@@ -83,11 +83,19 @@ object GraftParquetWrite {
     * an object store `_write_*` is an O(matches) prefixed LIST, so the
     * recovery probe on every scan/write stays O(staging dirs ≈ 0), never
     * O(data files) — the same economics the commit log gives membership.
+    * The TABLE path itself is glob-escaped: a literal `[1]` or `*` in a
+    * directory name must stay literal, or recovery would silently find
+    * nothing there (the pattern applies only to the `_write_*` child).
     */
   private def stagingDirs(fs: FileSystem, table: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
-    val matched = fs.globStatus(new Path(table, StagingPrefix + "*"))
+    val matched = fs.globStatus(new Path(globEscape(table.toString), StagingPrefix + "*"))
     if (matched == null) Seq.empty else matched.filter(_.isDirectory).toSeq
   }
+
+  private def globEscape(s: String): String =
+    s.flatMap { c =>
+      if ("*?[]{}\\".indexOf(c) >= 0) s"\\$c" else c.toString
+    }
 
   /** Manifest line format — four shapes, one per maintenance need:
     *   - `fileName\t<zone-map json>`: add with statistics (every writer
@@ -140,16 +148,15 @@ object GraftParquetWrite {
     // a published commit may be replayed CONCURRENTLY by the writer's own
     // roll-forward and a reader's healPublished — every step below is
     // idempotent, but whoever finishes first deletes the staging dir. A
-    // manifest that vanished together with its staging dir means the other
-    // replayer completed the commit: success, not failure (failing the
+    // vanished manifest means the other replayer completed the commit and
+    // reached its staging delete (nothing else ever removes a manifest;
+    // the recursive delete may still be mid-flight, so the staging dir's
+    // own existence proves nothing): success, not failure — failing the
     // write job here would push an application into a duplicate retry of
-    // rows that actually landed).
+    // rows that actually landed.
     val in =
       try fs.open(manifestPath(staging))
-      catch {
-        case e: java.io.FileNotFoundException =>
-          if (!fs.exists(staging)) return else throw e
-      }
+      catch { case _: java.io.FileNotFoundException => return }
     val lines =
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
@@ -281,12 +288,20 @@ object GraftParquetWrite {
       case None => all
       case Some(seq) =>
         // history exists only back to the last fold (foldLog renumbers):
-        // an unreachable snapshot must fail loudly, never read as empty
+        // an unreachable snapshot must fail loudly, never read as empty —
+        // and a seq ABOVE the highest commit is equally invalid (a handle
+        // from the wrong table, or a typo): accepting it would read
+        // current membership today and a DIFFERENT corpus after more
+        // ingest, silently breaking the reproducibility contract
         require(all.nonEmpty, s"no commit log at $table — nothing to time-travel")
+        val seqs = all.map(st => logSeqOf(st.getPath.getName))
+        require(seq <= seqs.max,
+          s"snapshot seq=$seq is beyond this table's history (highest committed seq is " +
+            s"${seqs.max}) — not a handle this table ever issued")
         val kept = all.filter(st => logSeqOf(st.getPath.getName) <= seq)
         require(kept.nonEmpty,
           s"snapshot seq<=$seq is not available at $table (folded away or before first commit; " +
-            s"earliest retained seq is ${all.map(st => logSeqOf(st.getPath.getName)).min})")
+            s"earliest retained seq is ${seqs.min})")
         kept
     }
     if (recs.isEmpty) None

@@ -293,19 +293,23 @@ object ZoneMap {
 
   def prepare(filters: Array[Filter]): Array[Prepared] =
     filters.map {
-      case f @ In(a, vs) if vs.length > PrepareThreshold =>
-        // sortable only if every pair is cmp-comparable; one incomparable
-        // pair (mixed runtime classes) falls back to the linear form,
-        // whose cross-type semantics are already conservative
-        try {
-          val sorted = vs.clone()
-          java.util.Arrays.sort(sorted.asInstanceOf[Array[Object]],
-            new java.util.Comparator[Object] {
-              def compare(x: Object, y: Object): Int =
-                GraftScan.cmp(x, y).getOrElse(throw new IllegalArgumentException("mixed"))
-            })
-          SortedIn(a, sorted)
-        } catch { case _: IllegalArgumentException => PlainP(f) }
+      case f @ In(a, vs) if vs.length > PrepareThreshold &&
+          // sortable only when every value is non-null and of ONE runtime
+          // class: within a class cmp is a genuine total order, while a
+          // numeric MIX (Long with Double) is pairwise comparable but
+          // INTRANSITIVE above 2^53 (the Double path loses precision) —
+          // TimSort only sometimes detects a broken comparator, and a
+          // silently mis-sorted array would make the binary search wrongly
+          // refute files. Mixed/null sets keep the linear form.
+          vs.forall(_ != null) && vs.iterator.map(_.getClass).distinct.size == 1 =>
+        val sorted = vs.clone()
+        java.util.Arrays.sort(sorted.asInstanceOf[Array[Object]],
+          new java.util.Comparator[Object] {
+            def compare(x: Object, y: Object): Int =
+              GraftScan.cmp(x, y).getOrElse(
+                throw new IllegalStateException(s"incomparable within one class: $x vs $y"))
+          })
+        SortedIn(a, sorted)
       case f => PlainP(f)
     }
 

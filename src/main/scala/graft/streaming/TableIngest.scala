@@ -72,9 +72,17 @@ object TableIngest {
     * LAST uncommitted batch — an id `retainMarkers` below the high-water
     * mark can never be offered again. Pass `retainMarkers = 0` to disable
     * (callers replaying batches by hand outside a checkpointed stream).
+    *
+    * `legacyLineageDedup` is the ONE-RESTART upgrade shim for checkpoints
+    * that committed markers under the pre-widening 12-hex namespace: it
+    * additionally consults `take(12)`-prefixed markers (both are prefixes
+    * of the same digest). OFF by default and meant to be turned off again
+    * after the upgrade restart — leaving it on permanently would narrow
+    * the dedup namespace back to the 48 bits the widening escaped.
     */
   def ingestBatch(batch: DataFrame, tableDir: String, batchId: Long,
-      lineage: String = "", retainMarkers: Int = 100): Boolean = {
+      lineage: String = "", retainMarkers: Int = 100,
+      legacyLineageDedup: Boolean = false): Boolean = {
     val spark = batch.sparkSession
     val table = new Path(tableDir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -82,10 +90,7 @@ object TableIngest {
     // recovery FIRST: an interrupted predecessor may hold this very
     // batch's commit point — completing it writes the marker we test
     if (fs.exists(table)) GraftParquetWrite.recover(fs, table)
-    // upgrade shim: lineages were 12 hex chars before widening to 16; both
-    // are prefixes of the same SHA-256, so a batch committed under the old
-    // namespace still dedupes (one extra exists() per batch, nothing more)
-    val legacyHit = lineage.length == 16 &&
+    val legacyHit = legacyLineageDedup && lineage.length == 16 &&
       GraftParquetWrite.markerExists(fs, table, markerName(lineage.take(12), batchId))
     if (legacyHit || GraftParquetWrite.markerExists(fs, table, marker)) false
     else {
@@ -113,13 +118,15 @@ object TableIngest {
     * is the supported shape.
     */
   def ingestTableStream(df: DataFrame, tableDir: String, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      legacyLineageDedup: Boolean = false): StreamingQuery = {
     val lineage = lineageOf(checkpoint)
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, tableDir, batchId, lineage): Unit
+        ingestBatch(batch, tableDir, batchId, lineage,
+          legacyLineageDedup = legacyLineageDedup): Unit
       }
       .start()
   }

@@ -176,6 +176,22 @@ class ZoneMapSpec extends SparkTestBase {
     val s10 = statsFor("x", Some("5"), Some("6"), 0L, 10L)
     assert(ZoneMap.mayMatchPrepared(p(0), s10, sch) ==
       ZoneMap.mayMatch(In("x", mixed), s10, sch))
+    // a NUMERIC mix (Long with Double) must also fall back: pairwise
+    // comparable but intransitive above 2^53 — sorting it would be unsound
+    val big = (1L << 53)
+    val numericMix: Array[Any] =
+      (Array[Any](big + 1L, big.toDouble, big) ++ Array.fill(18)(0L: Any))
+    val pn = ZoneMap.prepare(Array(In("x", numericMix)))
+    val sBig = statsFor("x", Some((big + 1L).toString), Some((big + 1L).toString), 0L, 10L)
+    assert(ZoneMap.mayMatchPrepared(pn(0), sBig, sch) ==
+      ZoneMap.mayMatch(In("x", numericMix), sBig, sch))
+    assert(ZoneMap.mayMatchPrepared(pn(0), sBig, sch),
+      s"the file holding ${big + 1L} must stay may-match under the mixed IN")
+    // a null-bearing IN also keeps the linear form
+    val withNull: Array[Any] = (Array.fill(20)(1L: Any) :+ (null: Any))
+    val pz = ZoneMap.prepare(Array(In("x", withNull)))
+    assert(ZoneMap.mayMatchPrepared(pz(0), s10, sch) ==
+      ZoneMap.mayMatch(In("x", withNull), s10, sch))
   }
 
   // ------------------------------------------------------------ end-to-end
@@ -800,6 +816,11 @@ class ZoneMapSpec extends SparkTestBase {
     intercept[graft.GraftConfigError] {
       spark.read.format("graft-parquet").option("graft.asOfSeq", "banana").load(dir).count()
     }
+    // a seq the table never issued fails loudly rather than silently
+    // reading current membership (it would change meaning after more ingest)
+    val beyond = intercept[Exception] { asOf(9999L).count() }
+    assert(beyond.getMessage.contains("beyond"),
+      s"an above-history snapshot must be rejected, got: ${beyond.getMessage}")
     // a log-less table cannot time-travel
     val plainDir = freshTable("graft-zm-asofplain")
     spark.range(0, 5).toDF("id").write.parquet(plainDir)
@@ -883,6 +904,30 @@ class ZoneMapSpec extends SparkTestBase {
     fs.mkdirs(live)
     assert(spark.read.format("graft-parquet").load(dir).count() == 3)
     assert(fs.exists(live), "reader-side healing must never sweep an unpublished stage")
+  }
+
+  test("recovery finds staging under table paths containing glob metacharacters") {
+    import graft.sources.v2.GraftParquetWrite
+    // a literal '[1]' and '*' in directory names must stay literal: the
+    // prefix-scoped staging glob escapes the table path, or recovery would
+    // silently find nothing and a published commit would never land
+    val base = java.nio.file.Files.createTempDirectory("graft-zm-glob").toString
+    val dir = base + "/run[1]/t*bl"
+    val table = new Path(dir)
+    val fs = fsOf(base)
+    val staging = GraftParquetWrite.stagingDir(table, "globq")
+    fs.mkdirs(staging)
+    val neutral = base + "/neutral"
+    Seq((1L, "a")).toDF("id", "name").coalesce(1).write.parquet(neutral)
+    val part = fs.listStatus(new Path(neutral))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.rename(part, new Path(staging, "part-globq-0-0.parquet"))
+    val man = fs.create(new Path(staging, "manifest"), true)
+    try man.write("part-globq-0-0.parquet".getBytes("UTF-8")) finally man.close()
+    GraftParquetWrite.recover(fs, table)
+    assert(!fs.exists(staging), "the published commit must be found and completed")
+    val members = GraftParquetWrite.listDataFiles(fs, table).map(_.getPath.getName)
+    assert(members == Seq("part-globq-0-0.parquet"), s"got $members")
   }
 
   test("commit log folds to one snapshot with identical membership and lengths") {
@@ -1049,14 +1094,18 @@ class ZoneMapSpec extends SparkTestBase {
       "pruning lineage aaa must not touch bbb's markers")
     // distinct checkpoints derive distinct lineages
     assert(TableIngest.lineageOf("/ck/one") != TableIngest.lineageOf("/ck/two"))
-    // upgrade shim: a batch committed under the pre-widening 12-hex
-    // namespace still dedupes a redelivery under the 16-hex one (both are
-    // prefixes of the same digest)
+    // upgrade shim (OPT-IN): a batch committed under the pre-widening
+    // 12-hex namespace dedupes a redelivery under the 16-hex one only when
+    // legacyLineageDedup is on — permanently on would narrow the namespace
+    // back to the 48 bits the widening escaped
     val full = TableIngest.lineageOf("/ck/one")
     assert(full.length == 16)
     assert(TableIngest.ingestBatch(df.coalesce(1), dir, 7L, lineage = full.take(12)))
-    assert(!TableIngest.ingestBatch(df.coalesce(1), dir, 7L, lineage = full),
-      "a legacy-namespace marker must absorb the redelivery after the widening")
+    assert(!TableIngest.ingestBatch(df.coalesce(1), dir, 7L, lineage = full,
+      legacyLineageDedup = true),
+      "with the shim on, a legacy-namespace marker must absorb the redelivery")
+    assert(TableIngest.ingestBatch(df.coalesce(1), dir, 8L, lineage = full),
+      "the shim must not block fresh batches")
   }
 
   test("a replayed roll-forward rewrites the same sidecar entry idempotently") {
