@@ -456,7 +456,7 @@ object SparkEntry {
       val bytes = graft.sources.v2.GraftParquetWrite.listDataFiles(fs, outPath).map(_.getLen).sum
       val rep = graft.sources.v2.GraftTableOptimize.optimize(s, out,
         targetBytes = math.max(1L, bytes / 6), smallBytes = bytes + 1,
-        clusterBy = Seq("event_id"))
+        clusterBy = Seq("event_id"), retainLog = 0)
       val back = s.read.format("graft-parquet").load(out)
       val (t1, p1) = graft.sources.v2.ZoneMap.pruneReport(fs, outPath, window, back.schema)
       val fsckRep = graft.sources.v2.GraftTableOptimize.fsck(s, out)

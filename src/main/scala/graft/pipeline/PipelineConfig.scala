@@ -67,7 +67,10 @@ object PipelineConfig {
       }
       // OPTIMIZE runs OUTSIDE the dedup skip: it is idempotent maintenance,
       // and a crash between the append commit and the optimize would
-      // otherwise leave the small-file tail un-packed on every retry
+      // otherwise leave the small-file tail un-packed on every retry.
+      // Default log retention applies, so AS-OF handles issued against
+      // this table SURVIVE routine scheduled runs instead of being retired
+      // by every fold — snapshots die only past the retention horizon
       o.get("clusterBy").filter(_.nonEmpty).foreach { keys =>
         graft.sources.v2.GraftTableOptimize.optimize(df.sparkSession, path,
           clusterBy = keys.split(",").map(_.trim).toSeq): Unit

@@ -255,8 +255,10 @@ final case class GraftScan(
     val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
     // complete any published-but-unrolled commit BEFORE resolving
     // membership: a pure-reader session after a writer crash heals the
-    // table instead of serving (or failing on) a torn state
-    GraftParquetWrite.healPublished(fs, p)
+    // table instead of serving (or failing on) a torn state. Best-effort —
+    // a reader with read-only credentials falls back to current log
+    // membership (consistent; the log excludes the unrolled commit)
+    GraftParquetWrite.healQuietly(fs, p)
     (GraftParquetWrite.listDataFiles(fs, p, asOfSeq), ZoneMap.load(fs, p))
   }
 
@@ -400,7 +402,7 @@ object GraftScan {
     val p = new Path(path)
     val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
-    GraftParquetWrite.healPublished(fs, p) // the metadata answer must not miss a published commit
+    GraftParquetWrite.healQuietly(fs, p) // the metadata answer must not miss a published commit
     val files = GraftParquetWrite.listDataFiles(fs, p)
     val zm = ZoneMap.load(fs, p)
     val entries = files.map(f => zm.get(f.getPath.getName))

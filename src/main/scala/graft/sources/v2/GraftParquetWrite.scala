@@ -52,8 +52,15 @@ import org.apache.spark.sql.types._
   * so a log-resolving reader never references a missing file. The directory
   * listing survives as the LEGACY membership (plain parquet directories and
   * pre-log tables bootstrap into the log at their next commit) and as
-  * fsck's cross-check. Non-goal: snapshot isolation / time-travel — records
-  * are folded by [[GraftTableOptimize.foldLog]], not retained as history.
+  * fsck's cross-check.
+  *
+  * Snapshots are RETENTION-AWARE: removals are logical (the retiring record
+  * publishes, the bytes stay), [[GraftTableOptimize.foldLog]] keeps the
+  * newest records as history instead of collapsing all of it, and physical
+  * deletion belongs to [[GraftTableOptimize.vacuum]], which collects only
+  * files no retained record references — so an AS-OF handle survives
+  * routine OPTIMIZE runs and dies loudly (never silently) once maintenance
+  * retires its history past the retention horizon.
   */
 object GraftParquetWrite {
 
@@ -179,16 +186,16 @@ object GraftParquetWrite {
       val from = new Path(staging, n)
       if (fs.exists(from)) fs.rename(from, new Path(table, n))
     }
-    // membership record between the physical adds and the physical
-    // removals: a log-resolving reader in either window sees a complete
-    // table (old membership while removal files still exist, new
-    // membership once the record lands) — never a reference to a file
-    // that is not on disk
+    // membership record after the physical adds: a log-resolving reader in
+    // either window sees a complete table (old membership before the record
+    // lands, new membership after) — never a reference to a missing file.
+    // Removals are LOGICAL: the record retires the file from membership but
+    // the bytes stay on disk, so an AS-OF snapshot issued before the swap
+    // still reads them — physical deletion is retention policy, owned by
+    // [[GraftTableOptimize.vacuum]] (and OPTIMIZE's inline reclaim once the
+    // retiring records themselves fold away).
     appendLogRecord(fs, table, staging,
       adds.map(_._1), removalLines.map(_.substring(1)))
-    removalLines.foreach { r =>
-      fs.delete(new Path(table, r.substring(1)), false) // idempotent-by-absence
-    }
     // sidecar BEFORE the staging delete: a crash between the two replays
     // this commit (manifest still present) and overwrites the same
     // zm-<queryId> idempotently; a crash before it replays the same way.
@@ -218,6 +225,23 @@ object GraftParquetWrite {
       }
     }
 
+  /** Read-path healing: best-effort [[healPublished]]. A pure reader may
+    * hold read-only credentials, and healing MUTATES the table (renames,
+    * log appends); the log already excludes an unrolled commit, so current
+    * log membership is consistent — healing is a freshness improvement
+    * there, not a consistency requirement. A heal that fails (permissions,
+    * transient IO) logs a warning and the scan proceeds on current
+    * membership; write jobs keep the hard-failing [[recover]].
+    */
+  def healQuietly(fs: FileSystem, table: Path): Unit =
+    try healPublished(fs, table)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"read-side heal of $table failed (${e.getMessage}); " +
+            "proceeding on current log membership")
+    }
+
   /** Has `marker` been committed (its `!marker` manifest rolled forward)? */
   def markerExists(fs: FileSystem, table: Path, marker: String): Boolean =
     fs.exists(new Path(new Path(table, "_commits"), marker))
@@ -237,13 +261,13 @@ object GraftParquetWrite {
 
   def logDir(table: Path): Path = new Path(table, LogDirName)
 
-  private[v2] def logRecordFiles(fs: FileSystem, table: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+  def logRecordFiles(fs: FileSystem, table: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     val d = logDir(table)
     if (!fs.exists(d)) Seq.empty
     else fs.listStatus(d).filter(st => st.isFile && st.getPath.getName.startsWith("c-")).toSeq
   }
 
-  private[v2] def logSeqOf(name: String): Long =
+  def logSeqOf(name: String): Long =
     name.stripPrefix("c-").takeWhile(_.isDigit).toLong
 
   private[v2] def logIdOf(name: String): String = {
@@ -309,9 +333,7 @@ object GraftParquetWrite {
       val adds = scala.collection.mutable.Map.empty[String, Long]
       val removed = scala.collection.mutable.Set.empty[String]
       recs.foreach { st =>
-        val in = fs.open(st.getPath)
-        val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-        text.split('\n').map(_.trim).filter(_.nonEmpty).foreach { line =>
+        recordLines(fs, st.getPath).foreach { line =>
           if (line.startsWith("~")) removed += line.substring(1)
           else {
             val cut = line.indexOf('\t')
@@ -327,19 +349,64 @@ object GraftParquetWrite {
     }
   }
 
-  /** Publish this commit's membership delta, idempotently by commitId.
-    * Runs inside the roll-forward AFTER adds are physically in the table
-    * (lengths are read off the landed files) and BEFORE removals are
-    * physically deleted, so log-resolved membership never references a
-    * missing file. The FIRST record of a pre-log table snapshots the
-    * existing directory listing (minus this commit's removals), so the log
-    * is complete from its first record on.
+  private[v2] def recordLines(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    text.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Every file name some RETAINED log record still references as an add —
+    * the reachability set of the table's surviving snapshots. A file in
+    * this set may be retired from CURRENT membership yet still readable
+    * through `graft.asOfSeq`; a `.parquet` on disk that is in neither
+    * current membership nor this set is unreferenced by every reachable
+    * snapshot and safe to reclaim ([[GraftTableOptimize.vacuum]]).
+    */
+  def logReferencedFiles(fs: FileSystem, table: Path): Set[String] =
+    logRecordFiles(fs, table).iterator.flatMap { st =>
+      recordLines(fs, st.getPath).iterator.collect {
+        case line if !line.startsWith("~") =>
+          val cut = line.indexOf('\t')
+          if (cut < 0) line else line.substring(0, cut)
+      }
+    }.toSet
+
+  /** Single-writer tripwire on the log itself: after a record publishes,
+    * its sequence must be held by exactly one record. Two concurrent
+    * committers (the contract violation) can both compute `max + 1` and
+    * publish DIFFERENT deltas under the same seq — membership would still
+    * fold consistently, but AS-OF ordering at that seq becomes silently
+    * ambiguous. Failing the commit loudly here loses only this attempt's
+    * work; the crash residue of a retention fold (its base snapshot
+    * briefly shares the seq of the newest record it folded) is excluded
+    * by name, because that duplicate is membership-identical by
+    * construction and the next fold clears it.
+    */
+  def verifySeqUnique(fs: FileSystem, table: Path, seq: Long, name: String): Unit = {
+    val peers = logRecordFiles(fs, table).map(_.getPath.getName)
+      .filter(n => n != name && logSeqOf(n) == seq && !logIdOf(n).startsWith("logbase-"))
+    require(peers.isEmpty,
+      s"commit-log sequence collision at $table: seq=$seq is held by $name and " +
+        s"${peers.mkString(", ")} — two writers broke the single-writer contract; " +
+        "this commit is aborted loudly rather than leaving AS-OF ordering ambiguous")
+  }
+
+  /** Publish this commit's membership delta, idempotently by commitId, and
+    * return the sequence it holds (the existing record's on replay). Runs
+    * inside the roll-forward AFTER adds are physically in the table
+    * (lengths are read off the landed files); removed files stay on disk
+    * (logical removal), so log-resolved membership — current or AS-OF —
+    * never references a missing file. The FIRST record of a pre-log table
+    * snapshots the existing directory listing (minus this commit's
+    * removals), so the log is complete from its first record on.
     */
   private def appendLogRecord(fs: FileSystem, table: Path, staging: Path,
-      adds: Seq[String], removes: Seq[String]): Unit = {
+      adds: Seq[String], removes: Seq[String]): Long = {
     val commitId = staging.getName.stripPrefix(StagingPrefix)
     val recs = logRecordFiles(fs, table)
-    if (recs.exists(st => logIdOf(st.getPath.getName) == commitId)) return // replayed commit
+    recs.find(st => logIdOf(st.getPath.getName) == commitId).foreach { existing =>
+      return logSeqOf(existing.getPath.getName) // replayed commit
+    }
     val seq = if (recs.isEmpty) 0L else recs.map(st => logSeqOf(st.getPath.getName)).max + 1L
     def lenOf(n: String): Long = fs.getFileStatus(new Path(table, n)).getLen
     val lines: Seq[String] =
@@ -359,10 +426,17 @@ object GraftParquetWrite {
     val out = fs.create(tmp, true)
     try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val target = new Path(logDir(table), f"c-$seq%012d-$commitId")
+    val name = f"c-$seq%012d-$commitId"
+    val target = new Path(logDir(table), name)
     if (!fs.rename(tmp, target))
       // a concurrent heal of the same published commit can win the rename
       require(fs.exists(target), s"log record publish failed for $target")
+    // collision tripwire: retract our record before failing, so a RETRY of
+    // this write job replays the roll-forward and re-appends at a fresh,
+    // unambiguous sequence (the renames are already idempotent)
+    try verifySeqUnique(fs, table, seq, name)
+    catch { case e: IllegalArgumentException => fs.delete(target, false); throw e }
+    seq
   }
 
   /** Raw directory listing of data files — the LEGACY membership (tables
@@ -385,10 +459,11 @@ object GraftParquetWrite {
 
   /** Membership, optionally AS OF a log sequence (snapshot read): only the
     * records with seq <= asOfSeq contribute. Exact and free on append-only
-    * tables (every historical file still exists); a snapshot whose files
-    * OPTIMIZE/vacuum physically retired fails loudly at read time (missing
-    * file), and one folded out of the log fails at plan time — snapshots
-    * are durable between maintenance windows, not across them.
+    * tables (every historical file still exists) — and across OPTIMIZE,
+    * because removals are logical and vacuum never collects a file a
+    * retained record references. A snapshot only dies when foldLog retires
+    * its records past the retention horizon, and then it fails loudly at
+    * plan time ("folded away"), never by dangling file.
     */
   def listDataFiles(fs: FileSystem, table: Path,
       asOfSeq: Option[Long]): Seq[org.apache.hadoop.fs.FileStatus] =

@@ -49,7 +49,7 @@ object GraftTableOptimize {
   final case class OptimizeReport(
       filesBefore: Int, filesAfter: Int, filesRewritten: Int,
       bytesRewritten: Long, zmSidecarsBefore: Int, zmSidecarsAfter: Int,
-      logRecordsBefore: Int, logRecordsAfter: Int)
+      logRecordsBefore: Int, logRecordsAfter: Int, filesReclaimed: Int = 0)
 
   /** Rewrite committed files smaller than `smallBytes` into ~targetBytes
     * packed files. No-op (beyond recovery + sidecar folding) when fewer
@@ -76,7 +76,8 @@ object GraftTableOptimize {
   def optimize(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024, smallBytes: Long = 32L * 1024 * 1024,
       minGroup: Int = 2, clusterBy: Seq[String] = Nil,
-      zOrderBy: Option[(String, String)] = None, zBits: Int = 8): OptimizeReport = {
+      zOrderBy: Option[(String, String)] = None, zBits: Int = 8,
+      retainLog: Int = 8): OptimizeReport = {
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy and zOrderBy are alternative layouts — pass one")
     // smallBytes may exceed targetBytes: "rewrite everything toward a
@@ -96,7 +97,7 @@ object GraftTableOptimize {
 
     if (small.length < minGroup) {
       val folded = foldSidecars(fs, table)
-      val logAfter = foldLog(fs, table)
+      val logAfter = foldLog(fs, table, retainLog)
       return OptimizeReport(before.length, before.length, 0, 0L, zmBefore, folded,
         logBefore, logAfter)
     }
@@ -151,14 +152,28 @@ object GraftTableOptimize {
         small.map(st => s"~${st.getPath.getName}")
     fs.delete(packedDir, true) // drop the mini-table scaffolding pre-commit
 
-    // 3. commit point + roll-forward (idempotent on replay via recover)
+    // 3. commit point + roll-forward (idempotent on replay via recover).
+    //    The removals are LOGICAL: the retired small files stay on disk so
+    //    AS-OF snapshots issued before this swap keep reading them.
     GraftParquetWrite.commitLines(fs, table, staging, lines)
 
-    // 4. fold the sidecars down to one, and the commit log to one snapshot
+    // 4. fold the sidecars down to one, and the commit log down to a base
+    //    snapshot plus the newest `retainLog` records — the retained tail
+    //    is the AS-OF history that survives this maintenance run
     val zmAfter = foldSidecars(fs, table)
-    val logAfter = foldLog(fs, table)
+    val logAfter = foldLog(fs, table, retainLog)
+    // 5. inline reclaim of THIS run's retired files once no retained record
+    //    references them: with retainLog > 0 the swap record itself is
+    //    retained, so nothing is reclaimed here (vacuum owns it after later
+    //    folds age the record out); with retainLog = 0 the fold collapsed
+    //    all history and the retired bytes go immediately — the
+    //    fold-everything contract. Only files this run retired are
+    //    touched; foreign unlogged files stay vacuum's (grace-gated) job.
+    val referenced = GraftParquetWrite.logReferencedFiles(fs, table)
+    val reclaimed = small.map(_.getPath.getName).filterNot(referenced)
+    reclaimed.foreach(n => fs.delete(new Path(table, n), false))
     OptimizeReport(before.length, dataFiles().length, small.length, bytes, zmBefore, zmAfter,
-      logBefore, logAfter)
+      logBefore, logAfter, reclaimed.length)
   }
 
   /** Table health report — the maintenance scan an operator runs before
@@ -172,7 +187,16 @@ object GraftTableOptimize {
       sidecarEntries: Int, sidecarCoverage: Double, staleSidecarEntries: Int,
       zmSidecarFiles: Int, commitMarkers: Int,
       stagingCommitted: Int, stagingGarbage: Int,
-      logRecords: Int, missingDataFiles: Int, unloggedDataFiles: Int) {
+      logRecords: Int, missingDataFiles: Int, unloggedDataFiles: Int,
+      // files retired from current membership but still referenced by a
+      // retained log record: AS-OF history held on purpose, not garbage —
+      // vacuum must NOT collect these until their records fold away
+      retiredRetained: Int = 0,
+      // log sequences held by more than one (non-fold-base) record: the
+      // residue of two contract-violating concurrent committers. Membership
+      // still folds consistently, but AS-OF ordering at that seq is
+      // ambiguous — reported for the operator, not auto-repairable
+      logSeqCollisions: Int = 0) {
     // a member the disk no longer holds is DATA LOSS, not a maintenance
     // backlog — no recover()/optimize() can restore it, so it fails health
     def healthy: Boolean =
@@ -199,6 +223,13 @@ object GraftTableOptimize {
       fs.exists(GraftParquetWrite.manifestPath(s.getPath)))
     val commitsDir = new Path(table, "_commits")
     val markers = if (fs.exists(commitsDir)) fs.listStatus(commitsDir).length else 0
+    val logRecs = GraftParquetWrite.logRecordFiles(fs, table)
+    // the reachability set: adds across every retained record. On-disk
+    // non-members split into retained AS-OF history vs true garbage.
+    val referenced = GraftParquetWrite.logReferencedFiles(fs, table)
+    val collisions = logRecs.map(_.getPath.getName)
+      .filterNot(n => GraftParquetWrite.logIdOf(n).startsWith("logbase-"))
+      .groupBy(GraftParquetWrite.logSeqOf).count(_._2.length > 1)
     FsckReport(
       dataFiles = data.length, dataBytes = data.map(_.getLen).sum,
       sidecarEntries = zm.size,
@@ -206,9 +237,11 @@ object GraftTableOptimize {
       staleSidecarEntries = zm.keysIterator.count(!dataNames.contains(_)),
       zmSidecarFiles = zmFiles(fs, table).length, commitMarkers = markers,
       stagingCommitted = committed.length, stagingGarbage = garbage.length,
-      logRecords = GraftParquetWrite.logRecordFiles(fs, table).length,
+      logRecords = logRecs.length,
       missingDataFiles = dataNames.count(!listed.contains(_)),
-      unloggedDataFiles = listed.count(!dataNames.contains(_)))
+      unloggedDataFiles = listed.count(n => !dataNames.contains(n) && !referenced.contains(n)),
+      retiredRetained = listed.count(n => !dataNames.contains(n) && referenced.contains(n)),
+      logSeqCollisions = collisions)
   }
 
   private def zmFiles(fs: FileSystem, table: Path): Array[Path] = {
@@ -234,62 +267,89 @@ object GraftTableOptimize {
     zmFiles(fs, table).length
   }
 
-  /** Delete data files the membership log does not know — the physical
-    * garbage fsck reports as `unloggedDataFiles` (alien drops, leftovers
-    * of pre-log tooling). Runs recovery first, so a file whose commit is
-    * merely unrolled is completed, never collected; after that, an
-    * unlogged `.parquet` older than `graceMs` (modification time — the
-    * grace absorbs clock skew and any in-flight rename) is garbage by
-    * definition: committed files are in the log, uncommitted files live
-    * under `_write_` staging. No-op on tables without a log (membership
-    * IS the listing there, so nothing can be unlogged). Returns the
-    * number of files deleted.
+  /** Physical garbage collection, snapshot-aware: delete `.parquet` files
+    * no RETAINED log record references — alien drops, leftovers of pre-log
+    * tooling, and files OPTIMIZE retired whose retiring records have since
+    * folded past the retention horizon. A file still referenced by any
+    * retained record (fsck's `retiredRetained`) is AS-OF history and is
+    * never collected, however old — so snapshots inside the retention
+    * window survive vacuum by construction, and one outside it fails
+    * loudly at plan time (its records are gone), never by dangling file.
+    *
+    * Healing (not [[GraftParquetWrite.recover]]) runs first: a published
+    * commit is completed so its pending files get logged before the sweep,
+    * while an UNMANIFESTED staging dir — possibly a live writer mid-stage —
+    * is left alone; vacuum therefore needs no writer lock. `graceMs`
+    * (modification time) additionally absorbs clock skew and any in-flight
+    * rename of files outside staging. No-op on tables without a log
+    * (membership IS the listing there, so nothing can be unreferenced).
+    * Returns the number of files deleted.
     */
   def vacuum(spark: SparkSession, path: String,
       graceMs: Long = 24L * 3600 * 1000): Int = {
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(table), s"no table at $path")
-    GraftParquetWrite.recover(fs, table)
+    GraftParquetWrite.healPublished(fs, table)
     if (GraftParquetWrite.logRecordFiles(fs, table).isEmpty) return 0
-    val members = GraftParquetWrite.listDataFiles(fs, table)
-      .map(_.getPath.getName).toSet
+    val referenced = GraftParquetWrite.logReferencedFiles(fs, table)
     val cutoff = System.currentTimeMillis() - graceMs
     val dead = GraftParquetWrite.listByDirectory(fs, table).filter { st =>
-      !members.contains(st.getPath.getName) && st.getModificationTime < cutoff
+      !referenced.contains(st.getPath.getName) && st.getModificationTime < cutoff
     }
     dead.foreach(st => fs.delete(st.getPath, false))
     dead.length
   }
 
-  /** Compact the commit log to ONE snapshot record so a long-lived table's
-    * planning cost stays O(1) instead of O(commits). Crash-safe in both
-    * windows: once the snapshot lands, every superseded add agrees with it
-    * (names are never reused) and every superseded removal names a
-    * non-member (subtracting it is a no-op); superseded records are then
-    * deleted OLDEST-FIRST, so an add line can never outlive the newer
-    * removal line that retires it (a removal's add is always in an older
-    * record). Returns the record count after folding.
+  /** Compact the commit log so a long-lived table's planning cost stays
+    * O(retain), not O(commits) — RETENTION-AWARE: the newest `retain`
+    * records survive as AS-OF history, everything older collapses into one
+    * base snapshot that keeps the seq of the newest record it absorbed.
+    * Snapshot handles at or above the base seq keep resolving (base +
+    * retained deltas); handles below it fail loudly at plan time ("folded
+    * away"), never read as empty. `retain = 0` is the fold-everything
+    * legacy form: one fresh snapshot at seq max+1, all history retired.
+    *
+    * Crash-safe in both windows: once a snapshot lands, every superseded
+    * add agrees with it (names are never reused) and every superseded
+    * removal names a non-member (subtracting it is a no-op) — a base
+    * briefly sharing its seq with the record it absorbed is membership-
+    * identical by construction (and excluded from the collision tripwire
+    * by its `logbase-` id). Superseded records are then deleted
+    * OLDEST-FIRST, so an add line can never outlive the newer removal line
+    * that retires it (a removal's add is always in an older record).
+    * Returns the record count after folding.
     */
-  def foldLog(fs: FileSystem, table: Path): Int = {
+  def foldLog(fs: FileSystem, table: Path, retain: Int = 0): Int = {
     val recs = GraftParquetWrite.logRecordFiles(fs, table)
       .sortBy(st => GraftParquetWrite.logSeqOf(st.getPath.getName))
-    if (recs.length <= 1) return recs.length
-    val members = GraftParquetWrite.logMembership(fs, table).getOrElse(Map.empty)
-    val seq = GraftParquetWrite.logSeqOf(recs.last.getPath.getName) + 1L
-    val id = s"logfold-${System.currentTimeMillis()}-${(math.abs(scala.util.Random.nextLong()) % 0xFFFFFF).toHexString}"
     val d = GraftParquetWrite.logDir(table)
-    // temp + rename inside _log (a name outside the `c-` record namespace
-    // is invisible to readers): the snapshot's appearance is atomic
-    val tmp = new Path(d, s"fold-${System.nanoTime()}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(members.toSeq.sortBy(_._1)
-      .map { case (n, len) => s"$n\t$len" }.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    require(fs.rename(tmp, new Path(d, f"c-$seq%012d-$id")),
-      s"log fold publish failed in $d")
-    recs.foreach(st => fs.delete(st.getPath, false)) // oldest-first
+    def publish(lines: Seq[String], name: String): Unit = {
+      // temp + rename inside _log (a name outside the `c-` record namespace
+      // is invisible to readers): the snapshot's appearance is atomic
+      val tmp = new Path(d, s"fold-${System.nanoTime()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      require(fs.rename(tmp, new Path(d, name)), s"log fold publish failed in $d")
+    }
+    def memberLines(asOf: Option[Long]): Seq[String] =
+      GraftParquetWrite.logMembership(fs, table, asOf).getOrElse(Map.empty)
+        .toSeq.sortBy(_._1).map { case (n, len) => s"$n\t$len" }
+    def nonce(): String =
+      s"${System.currentTimeMillis()}-${(math.abs(scala.util.Random.nextLong()) % 0xFFFFFF).toHexString}"
+    if (retain <= 0) {
+      if (recs.length <= 1) return recs.length
+      val seq = GraftParquetWrite.logSeqOf(recs.last.getPath.getName) + 1L
+      publish(memberLines(None), f"c-$seq%012d-logfold-${nonce()}")
+      recs.foreach(st => fs.delete(st.getPath, false)) // oldest-first
+    } else {
+      if (recs.length <= retain + 1) return recs.length
+      val folded = recs.dropRight(retain)
+      val baseSeq = GraftParquetWrite.logSeqOf(folded.last.getPath.getName)
+      publish(memberLines(Some(baseSeq)), f"c-$baseSeq%012d-logbase-${nonce()}")
+      folded.foreach(st => fs.delete(st.getPath, false)) // oldest-first
+    }
     GraftParquetWrite.logRecordFiles(fs, table).length
   }
 }

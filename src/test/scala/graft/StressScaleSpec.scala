@@ -502,9 +502,10 @@ class StressScaleSpec extends SparkTestBase {
       .option("graft.asOfSeq", midSeq.toString).load(dir)
     assert(asOf.count() == 48 * slabRows, "snapshot must hold the first 48 commits exactly")
     assert(asOf.agg(max($"id")).head().getLong(0) == 48 * slabRows - 1)
-    // OPTIMIZE: 96 files bin-pack, sidecars fold to one, everything re-checks
+    // OPTIMIZE: 96 files bin-pack, sidecars fold to one, everything
+    // re-checks (retainLog=0 pins the fold-everything legacy form)
     val rep = GraftTableOptimize.optimize(spark, dir,
-      targetBytes = 8L * 1024 * 1024, smallBytes = 8L * 1024 * 1024)
+      targetBytes = 8L * 1024 * 1024, smallBytes = 8L * 1024 * 1024, retainLog = 0)
     assert(rep.filesRewritten == commits && rep.filesAfter < 8 && rep.zmSidecarsAfter == 1,
       s"optimize must collapse the tail: $rep")
     assert(rep.logRecordsBefore == commits && rep.logRecordsAfter == 1,

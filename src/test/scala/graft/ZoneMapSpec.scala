@@ -284,12 +284,14 @@ class ZoneMapSpec extends SparkTestBase {
     val fs = fsOf(dir)
     assert(ZoneMap.load(fs, new Path(dir)).size == 10)
     val rep = GraftTableOptimize.optimize(spark, dir,
-      targetBytes = 1L << 20, smallBytes = 1L << 20)
+      targetBytes = 1L << 20, smallBytes = 1L << 20, retainLog = 0)
     assert(rep.filesBefore == 10 && rep.filesRewritten == 10 && rep.filesAfter == 1,
       s"ten tiny files must pack to one, got $rep")
     assert(rep.zmSidecarsAfter == 1, s"sidecars must fold to one, got $rep")
     assert(rep.logRecordsBefore == 10 && rep.logRecordsAfter == 1,
       s"the commit log must fold to one snapshot, got $rep")
+    assert(rep.filesReclaimed == 10,
+      s"with retainLog=0 the retired files go immediately, got $rep")
     // rows exact, stats correct, pruning still proves emptiness
     val back = spark.read.format("graft-parquet").load(dir)
     assert(back.count() == 500 &&
@@ -605,10 +607,16 @@ class ZoneMapSpec extends SparkTestBase {
     try man.write((s"$packedName\t${ZoneMap.encode(stats)}" +:
       olds.map("~" + _)).mkString("\n").getBytes("UTF-8"))
     finally man.close()
-    // recovery completes the swap: adds in, removals out, sidecar written
+    // recovery completes the swap: adds in, removals LOGICAL (retired from
+    // membership, bytes retained for AS-OF history), sidecar written
     GraftParquetWrite.recover(fs, table)
     assert(!fs.exists(staging))
-    olds.foreach(n => assert(!fs.exists(new Path(dir, n)), s"$n must be removed"))
+    val members = GraftParquetWrite.listDataFiles(fs, table).map(_.getPath.getName)
+    olds.foreach { n =>
+      assert(!members.contains(n), s"$n must leave membership")
+      assert(fs.exists(new Path(dir, n)),
+        s"$n must stay on disk until vacuum — its retiring record is retained")
+    }
     assert(fs.exists(new Path(dir, packedName)))
     import spark.implicits._
     assert(spark.read.format("graft-parquet").load(dir)
@@ -626,6 +634,11 @@ class ZoneMapSpec extends SparkTestBase {
     // the fold keeps only surviving files' entries
     GraftTableOptimize.foldSidecars(fs, table)
     assert(ZoneMap.load(fs, table).keySet == Set(packedName))
+    // retire the history, then vacuum reclaims the retired bytes
+    GraftTableOptimize.foldLog(fs, table, retain = 0)
+    assert(GraftTableOptimize.vacuum(spark, dir, graceMs = 0L) == olds.length)
+    olds.foreach(n => assert(!fs.exists(new Path(dir, n))))
+    assert(spark.read.format("graft-parquet").load(dir).count() == 3)
   }
 
   test("collation property: the evaluator's string order equals UTF8String binary order") {
@@ -827,10 +840,13 @@ class ZoneMapSpec extends SparkTestBase {
     intercept[Exception] {
       spark.read.format("graft-parquet").option("graft.asOfSeq", "0").load(plainDir).count()
     }
-    // OPTIMIZE folds history: pre-fold sequences fail loudly, never read empty
+    // OPTIMIZE with retainLog=0 (fold-everything legacy form) retires all
+    // history: pre-fold sequences fail loudly, never read empty — the
+    // retention contract (snapshots SURVIVING optimize) is pinned separately
     val rep = GraftTableOptimize.optimize(spark, dir,
-      targetBytes = 1L << 20, smallBytes = 1L << 20)
-    assert(rep.filesRewritten == 3 && rep.logRecordsAfter == 1)
+      targetBytes = 1L << 20, smallBytes = 1L << 20, retainLog = 0)
+    assert(rep.filesRewritten == 3 && rep.logRecordsAfter == 1 &&
+      rep.filesReclaimed == 3, s"got $rep")
     val folded = intercept[Exception] { asOf(s1).count() }
     assert(folded.getMessage.contains("not available"),
       s"a folded-away snapshot must fail loudly, got: ${folded.getMessage}")
@@ -952,6 +968,154 @@ class ZoneMapSpec extends SparkTestBase {
       assert(fs.getFileStatus(new Path(table, n)).getLen == len,
         s"logged length of $n must match disk")
     }
+  }
+
+  test("snapshots survive OPTIMIZE under retention; vacuum collects only past the horizon") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    val dir = freshTable("graft-zm-retention")
+    val table = new Path(dir)
+    (0 until 5).foreach { i =>
+      spark.range(i * 10L, (i + 1) * 10L).select(col("id"), lit(s"c$i").as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val fs = fsOf(dir)
+    val snap = GraftParquetWrite.currentSeq(fs, table).get
+    val preFiles = GraftParquetWrite.listDataFiles(fs, table, Some(snap))
+      .map(st => (st.getPath.getName, st.getLen)).sortBy(_._1)
+    // OPTIMIZE with retention: the swap's removals are LOGICAL — retired
+    // small files stay on disk, their retiring record stays in the log
+    val rep = GraftTableOptimize.optimize(spark, dir,
+      targetBytes = 1L << 20, smallBytes = 1L << 20, clusterBy = Seq("id"))
+    assert(rep.filesRewritten == 5 && rep.filesReclaimed == 0, s"got $rep")
+    preFiles.foreach { case (n, _) =>
+      assert(fs.exists(new Path(table, n)), s"retired file $n must stay for the snapshot")
+    }
+    // the pre-OPTIMIZE handle resolves the EXACT original files and rows
+    val asOfFiles = GraftParquetWrite.listDataFiles(fs, table, Some(snap))
+      .map(st => (st.getPath.getName, st.getLen)).sortBy(_._1)
+    assert(asOfFiles == preFiles, "the snapshot must resolve the exact pre-OPTIMIZE files")
+    val snapRead = spark.read.format("graft-parquet")
+      .option("graft.asOfSeq", snap.toString).load(dir)
+    assert(snapRead.count() == 50 &&
+      snapRead.select("id").as[Long].collect().sorted.toSeq == (0L until 50L))
+    // fsck knows the difference between retained history and garbage
+    val health = GraftTableOptimize.fsck(spark, dir)
+    assert(health.healthy && health.retiredRetained == 5 && health.unloggedDataFiles == 0,
+      s"got $health")
+    // vacuum inside the retention window collects NOTHING the snapshot needs
+    assert(GraftTableOptimize.vacuum(spark, dir, graceMs = 0L) == 0,
+      "every retired file is still referenced by a retained record")
+    assert(snapRead.count() == 50)
+    // past the horizon: fold everything, vacuum reclaims, the handle dies
+    // loudly at plan time — never a dangling-file read
+    GraftTableOptimize.foldLog(fs, table, retain = 0)
+    assert(GraftTableOptimize.vacuum(spark, dir, graceMs = 0L) == 5)
+    preFiles.foreach { case (n, _) => assert(!fs.exists(new Path(table, n))) }
+    val gone = intercept[Exception] {
+      spark.read.format("graft-parquet").option("graft.asOfSeq", snap.toString)
+        .load(dir).count()
+    }
+    assert(gone.getMessage.contains("not available"), s"got: ${gone.getMessage}")
+    assert(spark.read.format("graft-parquet").load(dir).count() == 50,
+      "the live table is untouched by snapshot retirement")
+  }
+
+  test("retention fold keeps a base snapshot plus the newest records; seqs stay resolvable") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    val dir = freshTable("graft-zm-retfold")
+    val table = new Path(dir)
+    (0 until 10).foreach { i =>
+      spark.range(i * 10L, (i + 1) * 10L).select(col("id"), lit("x").as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val fs = fsOf(dir)
+    assert(GraftTableOptimize.foldLog(fs, table, retain = 3) == 4,
+      "base snapshot + the 3 newest delta records")
+    def asOf(seq: Long) = spark.read.format("graft-parquet")
+      .option("graft.asOfSeq", seq.toString).load(dir)
+    // the base keeps the seq of the newest record it absorbed (6 of 0..9):
+    // handles at and above it resolve, below it fail loudly
+    assert(asOf(6L).count() == 70)
+    assert(asOf(8L).count() == 90)
+    assert(asOf(9L).count() == 100)
+    val dead = intercept[Exception] { asOf(5L).count() }
+    assert(dead.getMessage.contains("not available"), s"got: ${dead.getMessage}")
+    // idempotent: already within the retention bound, nothing to fold
+    assert(GraftTableOptimize.foldLog(fs, table, retain = 3) == 4)
+    assert(spark.read.format("graft-parquet").load(dir).count() == 100)
+    // appends after a retention fold pick fresh seqs above the tail
+    spark.range(100L, 110L).select(col("id"), lit("x").as("name"))
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    assert(GraftParquetWrite.currentSeq(fs, table).contains(10L))
+    assert(asOf(10L).count() == 110)
+  }
+
+  test("a log-seq collision fails the commit loudly and fsck reports it") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    val dir = freshTable("graft-zm-collide")
+    val table = new Path(dir)
+    (0 until 2).foreach { i =>
+      spark.range(i * 10L, (i + 1) * 10L).select(col("id"), lit("x").as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val fs = fsOf(dir)
+    val mine = GraftParquetWrite.logRecordFiles(fs, table).map(_.getPath.getName)
+      .find(n => GraftParquetWrite.logSeqOf(n) == 1L).get
+    // a second writer's record lands under the SAME seq (the single-writer
+    // contract violation): a removal of a ghost is membership-neutral, so
+    // only the tripwire and fsck can see the ambiguity
+    val evil = new Path(GraftParquetWrite.logDir(table), "c-000000000001-evilwriter")
+    val out = fs.create(evil, true)
+    try out.write("~part-ghost-0-0.parquet".getBytes("UTF-8")) finally out.close()
+    val boom = intercept[IllegalArgumentException] {
+      GraftParquetWrite.verifySeqUnique(fs, table, 1L, mine)
+    }
+    assert(boom.getMessage.contains("collision"), s"got: ${boom.getMessage}")
+    assert(GraftTableOptimize.fsck(spark, dir).logSeqCollisions == 1)
+    // a fold base sharing a seq is NOT a collision (membership-identical
+    // by construction — the benign crash residue of a retention fold)
+    fs.delete(evil, false)
+    val base = new Path(GraftParquetWrite.logDir(table), "c-000000000001-logbase-x")
+    val members = GraftParquetWrite.listDataFiles(fs, table)
+      .map(st => s"${st.getPath.getName}\t${st.getLen}").mkString("\n")
+    val out2 = fs.create(base, true)
+    try out2.write(members.getBytes("UTF-8")) finally out2.close()
+    GraftParquetWrite.verifySeqUnique(fs, table, 1L, mine) // must not throw
+    assert(GraftTableOptimize.fsck(spark, dir).logSeqCollisions == 0)
+    assert(spark.read.format("graft-parquet").load(dir).count() == 20)
+  }
+
+  test("a heal the reader cannot perform degrades to current membership, not a failed read") {
+    import graft.sources.v2.GraftParquetWrite
+    val dir = freshTable("graft-zm-healro")
+    val table = new Path(dir)
+    Seq((1L, "a")).toDF("id", "name")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val fs = fsOf(dir)
+    // a published-but-unrolled commit a READ-ONLY session cannot complete
+    val staging = GraftParquetWrite.stagingDir(table, "roq")
+    fs.mkdirs(staging)
+    Seq((2L, "b")).toDF("id", "name").coalesce(1).write.parquet(staging.toString + "/tmp")
+    val part = fs.listStatus(new Path(staging, "tmp"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.rename(part, new Path(staging, "part-roq-0-0.parquet"))
+    fs.delete(new Path(staging, "tmp"), true)
+    val man = fs.create(new Path(staging, "manifest"), true)
+    try man.write("part-roq-0-0.parquet".getBytes("UTF-8")) finally man.close()
+    // read-only: every mutation fails. healQuietly must swallow it.
+    val roFs = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def rename(src: Path, dst: Path): Boolean =
+        throw new java.io.IOException("read-only session")
+      override def delete(p: Path, recursive: Boolean): Boolean =
+        throw new java.io.IOException("read-only session")
+    }
+    roFs.initialize(java.net.URI.create("file:///"), spark.sparkContext.hadoopConfiguration)
+    GraftParquetWrite.healQuietly(roFs, table) // must not throw
+    // membership resolved through the read-only fs serves the PRE-commit
+    // table consistently (the log excludes the unrolled commit)
+    assert(GraftParquetWrite.listDataFiles(roFs, table).length == 1)
+    // a writable session then heals for real
+    assert(spark.read.format("graft-parquet").load(dir).count() == 2)
   }
 
   test("a zone-map entry without a null count is undecodable, never nulls=0") {
