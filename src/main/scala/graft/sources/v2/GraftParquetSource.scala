@@ -71,17 +71,27 @@ class GraftParquetSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-parquet"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    // one driver-side footer read through Spark's own inference so logical
-    // types (incl. the nanosAsLong mapping) match the native reader exactly.
-    // A missing/empty target (the FIRST write of a table) infers as the
-    // empty schema — the write path takes its real schema from
-    // LogicalWriteInfo, and ACCEPT_ANY_SCHEMA keeps Spark from rejecting
-    // the append against the placeholder.
+    // schema records first: on a table whose log carries schema epochs
+    // ([[GraftParquetWrite.latestSchemaAt]]) the schema is one small read —
+    // current epoch for a live read, the epoch AT the sequence for an
+    // AS-OF read (time travel returns the OLD schema, not the new one
+    // null-padded). Lenient seq parse here: the typed error for junk
+    // belongs to newScanBuilder, which always runs after.
+    // Fallback: one driver-side footer read through Spark's own inference
+    // so logical types (incl. the nanosAsLong mapping) match the native
+    // reader exactly — sound for epoch-less tables, which have a single
+    // schema by construction. A missing/empty target (the FIRST write of a
+    // table) infers as the empty schema — the write path takes its real
+    // schema from LogicalWriteInfo, and ACCEPT_ANY_SCHEMA keeps Spark from
+    // rejecting the append against the placeholder.
     val path = pathOf(options)
     val p = new Path(path)
     val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    val asOf = Option(options.get("graft.asOfSeq"))
+      .flatMap(s => scala.util.Try(java.lang.Long.parseLong(s.trim)).toOption)
     if (!fs.exists(p)) new StructType()
-    else SparkSession.active.read.parquet(path).schema
+    else GraftParquetWrite.latestSchemaAt(fs, p, asOf)
+      .getOrElse(SparkSession.active.read.parquet(path).schema)
   }
 
   override def getTable(
@@ -122,12 +132,31 @@ final case class GraftParquetTable(path: String, tableSchema: StructType)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // structural match (names + types, nullability-insensitive — writing a
-    // non-nullable column into a nullable parquet field is always safe)
+    // non-nullable column into a nullable parquet field is always safe), OR
+    // SCHEMA EVOLUTION: the current schema is a strict prefix of the
+    // write's (new columns appended). The accepting write's manifest
+    // publishes the new epoch; existing files are never rewritten — scans
+    // backfill the new columns as NULL per old file. The epoch's
+    // nullability is WIDENED accordingly: appended columns publish as
+    // nullable (pre-evolution files hold nulls there by construction), and
+    // existing columns keep any nullability the table already admits — a
+    // stricter writer must never flip an epoch to non-nullable over files
+    // that may hold nulls.
     def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
-    require(tableSchema.isEmpty || shape(tableSchema) == shape(info.schema()),
+    val tShape = shape(tableSchema)
+    val wShape = shape(info.schema())
+    val isEvolution = wShape.length > tShape.length && wShape.take(tShape.length) == tShape
+    require(tableSchema.isEmpty || wShape == tShape || isEvolution,
       s"graft-parquet append schema ${info.schema().simpleString} does not match " +
-        s"table schema ${tableSchema.simpleString}")
-    GraftWriteBuilder(path, info)
+        s"table schema ${tableSchema.simpleString} (exact match or appended-column " +
+        "evolution)")
+    val epochSchema =
+      if (tableSchema.isEmpty) info.schema() // first commit: files define it exactly
+      else StructType(info.schema().fields.zipWithIndex.map { case (f, i) =>
+        if (i >= tShape.length) f.copy(nullable = true) // appended: old files read NULL
+        else f.copy(nullable = f.nullable || tableSchema.fields(i).nullable)
+      })
+    GraftWriteBuilder(path, info, epochSchema)
   }
 }
 
@@ -687,8 +716,11 @@ final class GraftPartitionReader(
   private val colIdx: Map[String, Int] = readCols.zipWithIndex.toMap
   private var current: InternalRow = _
 
-  private def value(g: Group, name: String): Any = {
-    val i = colIdx(name)
+  private def value(g: Group, name: String): Any = colIdx.get(name) match {
+    // column absent from this FILE's schema: written before the epoch that
+    // added it — reads as NULL (schema evolution's per-file backfill)
+    case None => null
+    case Some(i) =>
     if (g.getFieldRepetitionCount(i) == 0) null
     else required.find(_.name == name).map(_.dataType) match {
       case Some(LongType) => g.getLong(i, 0)

@@ -117,6 +117,12 @@ object GraftParquetWrite {
     *     a marker written as a separate step after the commit would leave
     *     a window where the data landed but a redelivered batch cannot
     *     see that it did.
+    *   - `@<schema json>`: the writer's Spark schema; the roll-forward
+    *     publishes an `m-<seq>-<commitId>` metadata record when it differs
+    *     from the table's current schema epoch (SCHEMA EVOLUTION — see
+    *     [[latestSchemaAt]]). Riding the manifest makes evolution
+    *     crash-safe the same way the marker is: the new epoch can never be
+    *     lost between the data landing and a separate metadata write.
     * Prefixes are unambiguous: writer-produced file names always start
     * with `part-`. The manifest write is the commit point; everything else
     * replays from it.
@@ -130,7 +136,8 @@ object GraftParquetWrite {
     // removal lines with the adds skipped-by-absence: committed rows
     // deleted, every step reporting success. Failing here loses only this
     // attempt's work.
-    lines.filterNot(l => l.startsWith("~") || l.startsWith("!")).foreach { l =>
+    lines.filterNot(l =>
+      l.startsWith("~") || l.startsWith("!") || l.startsWith("@")).foreach { l =>
       val cut = l.indexOf('\t')
       val name = if (cut < 0) l else l.substring(0, cut)
       require(fs.exists(new Path(staging, name)),
@@ -168,7 +175,8 @@ object GraftParquetWrite {
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
       finally in.close()
-    val (markerLines, rest) = lines.partition(_.startsWith("!"))
+    val (markerLines, rest0) = lines.partition(_.startsWith("!"))
+    val (schemaLines, rest) = rest0.partition(_.startsWith("@"))
     val (removalLines, addLines) = rest.partition(_.startsWith("~"))
     val adds: Seq[(String, Option[ZoneMap.FileStats])] = addLines.map { line =>
       val cut = line.indexOf('\t')
@@ -194,8 +202,14 @@ object GraftParquetWrite {
     // still reads them — physical deletion is retention policy, owned by
     // [[GraftTableOptimize.vacuum]] (and OPTIMIZE's inline reclaim once the
     // retiring records themselves fold away).
-    appendLogRecord(fs, table, staging,
+    val seq = appendLogRecord(fs, table, staging,
       adds.map(_._1), removalLines.map(_.substring(1)))
+    // schema epoch AFTER the membership record (same seq): a reader in the
+    // window between the two serves the previous epoch over the new files —
+    // consistent (the evolved column simply reads as absent) and closed by
+    // replay, since both publications are idempotent by commitId
+    schemaLines.headOption.foreach(sl =>
+      appendSchemaRecord(fs, table, staging, seq, sl.substring(1)))
     // sidecar BEFORE the staging delete: a crash between the two replays
     // this commit (manifest still present) and overwrites the same
     // zm-<queryId> idempotently; a crash before it replays the same way.
@@ -439,6 +453,99 @@ object GraftParquetWrite {
     seq
   }
 
+  // ---------------------------------------------------- schema evolution
+
+  /** Schema metadata records: `m-<seq>-<commitId>` under `_log/`, holding
+    * the Spark schema JSON of the epoch that begins at log sequence `seq`.
+    * Published by the roll-forward from the manifest's `@` line whenever
+    * the writer's schema differs from the table's current epoch, so the
+    * log carries the schema HISTORY alongside membership: a current read
+    * resolves the newest epoch, an AS-OF read resolves the epoch at its
+    * sequence (the old schema, not the new one with nulls). Files older
+    * than an epoch simply lack its new columns — the reader backfills
+    * NULL per file, so evolution is one metadata record, never a rewrite
+    * (the 100 TB point: a years-lived ingest table grows columns for the
+    * price of one small write).
+    */
+  def schemaRecordFiles(fs: FileSystem, table: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val d = logDir(table)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).filter(st => st.isFile && st.getPath.getName.startsWith("m-")).toSeq
+  }
+
+  def schemaSeqOf(name: String): Long =
+    name.stripPrefix("m-").takeWhile(_.isDigit).toLong
+
+  private def schemaIdOf(name: String): String = {
+    val rest = name.stripPrefix("m-")
+    rest.substring(rest.indexOf('-') + 1)
+  }
+
+  /** The table's schema epoch current at `asOfSeq` (or the newest with
+    * None): the highest-seq metadata record at or below the bound. None on
+    * tables that have never published one (pre-evolution tables — the
+    * caller falls back to parquet inference, sound because such a table
+    * has a single epoch by construction).
+    */
+  def latestSchemaAt(fs: FileSystem, table: Path, asOfSeq: Option[Long]): Option[StructType] = {
+    val recs = schemaRecordFiles(fs, table)
+    val eligible = asOfSeq match {
+      case None => recs
+      case Some(s) => recs.filter(st => schemaSeqOf(st.getPath.getName) <= s)
+    }
+    if (eligible.isEmpty) None
+    else {
+      // ties on seq (a replay racing a heal) carry identical JSON by
+      // commitId-idempotence; name order makes the pick deterministic
+      val best = eligible.maxBy(st => (schemaSeqOf(st.getPath.getName), st.getPath.getName))
+      val json = recordLines(fs, best.getPath).mkString("\n")
+      DataType.fromJson(json) match {
+        case st: StructType => Some(st)
+        case other => throw new graft.GraftDataError(
+          s"corrupt schema record ${best.getPath}: expected a struct, got $other")
+      }
+    }
+  }
+
+  /** Publish a schema epoch for this commit, idempotently by commitId and
+    * only when it DIFFERS from the current epoch — identical-schema writes
+    * (the overwhelmingly common case) add nothing, so the schema history
+    * stays O(evolutions), not O(commits).
+    */
+  private def appendSchemaRecord(fs: FileSystem, table: Path, staging: Path,
+      seq: Long, schemaJson: String): Unit = {
+    val commitId = staging.getName.stripPrefix(StagingPrefix)
+    val recs = schemaRecordFiles(fs, table)
+    if (recs.exists(st => schemaIdOf(st.getPath.getName) == commitId)) return // replayed
+    val incoming = DataType.fromJson(schemaJson) match {
+      case st: StructType => st
+      case other => throw new graft.GraftDataError(
+        s"manifest schema line is not a struct: $other")
+    }
+    // nullability is MONOTONE across epochs (the write builder already
+    // widens; re-widening here keeps hand-built manifests sound too): a
+    // column that was ever nullable stays nullable — files from the
+    // permissive epoch may hold nulls forever, and a non-nullable epoch
+    // over them would let Spark miscompile null checks away
+    val prev = latestSchemaAt(fs, table, None)
+    val epoch = prev match {
+      case None => incoming
+      case Some(p) => StructType(incoming.fields.zipWithIndex.map { case (f, i) =>
+        if (i < p.fields.length && p.fields(i).name == f.name)
+          f.copy(nullable = f.nullable || p.fields(i).nullable)
+        else f.copy(nullable = true)
+      })
+    }
+    if (prev.contains(epoch)) return // same epoch
+    val tmp = new Path(staging, s"schemarec-${System.nanoTime()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(epoch.json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new Path(logDir(table), f"m-$seq%012d-$commitId")
+    if (!fs.rename(tmp, target))
+      require(fs.exists(target), s"schema record publish failed for $target")
+  }
+
   /** Raw directory listing of data files — the LEGACY membership (tables
     * without a `_log`) and fsck's physical cross-check against the log.
     */
@@ -503,7 +610,8 @@ object GraftParquetWrite {
   }
 }
 
-final case class GraftWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder {
+final case class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
+    epochSchema: StructType) extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       // fail at plan time on an unwritable schema, not per-task
@@ -512,13 +620,14 @@ final case class GraftWriteBuilder(path: String, info: LogicalWriteInfo) extends
       // adds a `!m` manifest line, so _commits/m appears atomically with
       // the data (TableIngest keys streaming batch dedup on it)
       GraftBatchWrite(path, info.queryId(), info.schema(),
-        Option(info.options().get("graft.commitMarker")).filter(_.nonEmpty))
+        Option(info.options().get("graft.commitMarker")).filter(_.nonEmpty),
+        epochSchema)
     }
   }
 }
 
 final case class GraftBatchWrite(path: String, queryId: String, schema: StructType,
-    commitMarker: Option[String] = None)
+    commitMarker: Option[String] = None, epochSchema: StructType = new StructType())
     extends BatchWrite {
 
   private def withFs[T](body: (FileSystem, Path) => T): T = {
@@ -538,8 +647,13 @@ final case class GraftBatchWrite(path: String, queryId: String, schema: StructTy
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = withFs { (fs, table) =>
     val entries = messages.collect { case GraftCommitMessage(name, stats) => (name, stats) }.toSeq
+    // the (nullability-widened) schema epoch rides every manifest — compact
+    // JSON, one line; the roll-forward publishes a new epoch record only
+    // when it differs from the current one, so steady-state writes cost
+    // nothing extra
+    val epoch = if (epochSchema.isEmpty) schema else epochSchema
     val lines = entries.map { case (n, s) => s"$n\t${ZoneMap.encode(s)}" } ++
-      commitMarker.map("!" + _)
+      commitMarker.map("!" + _) ++ Seq("@" + epoch.json)
     GraftParquetWrite.commitLines(fs, table, GraftParquetWrite.stagingDir(table, queryId), lines)
   }
 

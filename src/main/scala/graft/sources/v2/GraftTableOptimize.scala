@@ -114,7 +114,15 @@ object GraftTableOptimize {
     val packedDir = new Path(staging, "packed")
     val bytes = small.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tail = spark.read.parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
+    // read the tail under the table's CURRENT schema epoch: on an evolved
+    // table the small files span epochs, and a bare parquet read would
+    // adopt one file's schema — dropping the evolved column's values from
+    // newer files in the rewrite. With the explicit schema, pre-evolution
+    // files backfill NULL and every value survives the repack.
+    val curSchema = GraftParquetWrite.latestSchemaAt(fs, table, None)
+    val tailReader = spark.read
+    val tail = curSchema.fold(tailReader)(tailReader.schema)
+      .parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
     import org.apache.spark.sql.functions.col
     val shaped = zOrderBy match {
       case Some((a, b)) =>
@@ -338,17 +346,28 @@ object GraftTableOptimize {
         .toSeq.sortBy(_._1).map { case (n, len) => s"$n\t$len" }
     def nonce(): String =
       s"${System.currentTimeMillis()}-${(math.abs(scala.util.Random.nextLong()) % 0xFFFFFF).toHexString}"
+    // schema epochs below the surviving horizon collapse too: every seq a
+    // reader can still name resolves its epoch through the newest metadata
+    // record at-or-below the horizon, so older ones are dead history
+    def pruneSchemaRecords(horizon: Long): Unit = {
+      val below = GraftParquetWrite.schemaRecordFiles(fs, table)
+        .filter(st => GraftParquetWrite.schemaSeqOf(st.getPath.getName) <= horizon)
+        .sortBy(st => (GraftParquetWrite.schemaSeqOf(st.getPath.getName), st.getPath.getName))
+      if (below.length > 1) below.dropRight(1).foreach(st => fs.delete(st.getPath, false))
+    }
     if (retain <= 0) {
       if (recs.length <= 1) return recs.length
       val seq = GraftParquetWrite.logSeqOf(recs.last.getPath.getName) + 1L
       publish(memberLines(None), f"c-$seq%012d-logfold-${nonce()}")
       recs.foreach(st => fs.delete(st.getPath, false)) // oldest-first
+      pruneSchemaRecords(seq)
     } else {
       if (recs.length <= retain + 1) return recs.length
       val folded = recs.dropRight(retain)
       val baseSeq = GraftParquetWrite.logSeqOf(folded.last.getPath.getName)
       publish(memberLines(Some(baseSeq)), f"c-$baseSeq%012d-logbase-${nonce()}")
       folded.foreach(st => fs.delete(st.getPath, false)) // oldest-first
+      pruneSchemaRecords(baseSeq)
     }
     GraftParquetWrite.logRecordFiles(fs, table).length
   }

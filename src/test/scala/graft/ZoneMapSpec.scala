@@ -1118,6 +1118,83 @@ class ZoneMapSpec extends SparkTestBase {
     assert(spark.read.format("graft-parquet").load(dir).count() == 2)
   }
 
+  test("schema evolution: appended columns backfill NULL per old file; AS-OF reads the old epoch") {
+    import graft.sources.v2.GraftParquetWrite
+    val dir = freshTable("graft-zm-evolve")
+    val table = new Path(dir)
+    val fs = fsOf(dir)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val preSeq = GraftParquetWrite.currentSeq(fs, table).get
+    // identical-schema appends do NOT add schema records
+    Seq((3L, "c")).toDF("id", "name")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    assert(GraftParquetWrite.schemaRecordFiles(fs, table).length == 1,
+      "one epoch record for the unevolved table, however many commits")
+    // EVOLUTION: the same columns plus an appended one — one metadata
+    // record, no rewrite of the existing files
+    Seq((4L, "d", 1.5), (5L, "e", 2.5)).toDF("id", "name", "score")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    assert(GraftParquetWrite.schemaRecordFiles(fs, table).length == 2)
+    val live = spark.read.format("graft-parquet").load(dir)
+    assert(live.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(live.schema("score").nullable, "an evolved column must publish nullable")
+    assert(live.count() == 5)
+    // pre-evolution rows read NULL in the new column; new rows carry values
+    assert(live.filter(col("score").isNull).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    assert(live.filter(col("score") > 2.0).select("id").as[Long].collect().toSeq == Seq(5L))
+    // a pushed filter on the evolved column stays correct over old files
+    // (no parquet predicate compiles there — the column is absent — and
+    // record evaluation sees NULL)
+    assert(live.filter(col("score").isNotNull).count() == 2)
+    // AS-OF before the evolution serves the OLD schema, not a null-padded one
+    val old = spark.read.format("graft-parquet")
+      .option("graft.asOfSeq", preSeq.toString).load(dir)
+    assert(old.schema.fieldNames.toSeq == Seq("id", "name"),
+      s"the old epoch must not know 'score', got ${old.schema.simpleString}")
+    assert(old.count() == 2)
+    // a non-prefix shape still fails loudly (evolution is append-only)
+    val boom = intercept[Exception] {
+      Seq((9L, 9.9)).toDF("id", "wrong")
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    assert(boom.getMessage.contains("does not match"), s"got: ${boom.getMessage}")
+  }
+
+  test("OPTIMIZE across schema epochs repacks under the current epoch without losing values") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    val dir = freshTable("graft-zm-evopt")
+    val table = new Path(dir)
+    val fs = fsOf(dir)
+    (0 until 3).foreach { i =>
+      spark.range(i * 10L, (i + 1) * 10L).select(col("id"), lit(s"c$i").as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    spark.range(30L, 40L)
+      .select(col("id"), lit("c3").as("name"), (col("id") * 2.0).as("score"))
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val rep = GraftTableOptimize.optimize(spark, dir,
+      targetBytes = 1L << 20, smallBytes = 1L << 20, retainLog = 0)
+    assert(rep.filesRewritten == 4 && rep.filesAfter == 1, s"got $rep")
+    val back = spark.read.format("graft-parquet").load(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(back.count() == 40)
+    // the epoch-spanning repack kept every evolved value and every backfill
+    assert(back.filter(col("score").isNotNull).count() == 10,
+      "values of the evolved column must survive the repack")
+    assert(back.filter(col("score").isNull).count() == 30)
+    assert(back.agg(org.apache.spark.sql.functions.sum("score")).head().getDouble(0)
+      == (30L until 40L).map(_ * 2.0).sum)
+    // fold pruned the dead epochs: one schema record remains, and it still
+    // resolves for the surviving snapshot
+    assert(GraftParquetWrite.schemaRecordFiles(fs, table).length == 1)
+    val seqNow = GraftParquetWrite.currentSeq(fs, table).get
+    assert(spark.read.format("graft-parquet")
+      .option("graft.asOfSeq", seqNow.toString).load(dir)
+      .schema.fieldNames.toSeq == Seq("id", "name", "score"))
+  }
+
   test("a zone-map entry without a null count is undecodable, never nulls=0") {
     // nulls=0 would wrongly refute IsNull and prune a file that may hold
     // nulls — the decode must throw so the line drops and the file scans
