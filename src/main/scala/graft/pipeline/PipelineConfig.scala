@@ -138,6 +138,11 @@ object PipelineConfig {
           types = (sourceCfg \ "types").extractOrElse[Map[String, String]](Map.empty).toSeq
             .map { case (c, t) => TypeSpec(c, t) })
       case "jsonlines" => Sources.JsonLinesSource((sourceCfg \ "path").extract[String])
+      // the connector table as a declared source; optional asOfSeq pins the
+      // read to a commit-log snapshot (reproducible-corpus replays)
+      case "graft_table" => Sources.GraftTableSource(
+        (sourceCfg \ "path").extract[String],
+        (sourceCfg \ "asOfSeq").extractOpt[Long])
       case "view" => Sources.ViewSource((sourceCfg \ "name").extract[String])
       case other => throw new graft.GraftConfigError(s"Unknown source type: $other")
     }

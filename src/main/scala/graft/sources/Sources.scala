@@ -56,6 +56,20 @@ object Sources {
     def load(spark: SparkSession): DataFrame = spark.read.json(path)
   }
 
+  /** Connector-table source: a zone-mapped `graft-parquet` table as a
+    * declared pipeline input, optionally pinned to a commit-log sequence
+    * (`asOfSeq` — the snapshot handle [[graft.streaming.TableIngest]]
+    * receipts carry). A pipeline that records the seq its training batch
+    * saw can re-run bit-identically while the table keeps ingesting; a
+    * handle retired past the retention horizon fails loudly at plan time.
+    */
+  final case class GraftTableSource(path: String, asOfSeq: Option[Long] = None) extends Source {
+    def load(spark: SparkSession): DataFrame = {
+      val r = spark.read.format("graft-parquet")
+      asOfSeq.fold(r)(s => r.option("graft.asOfSeq", s.toString)).load(path)
+    }
+  }
+
   /** Catalog-backed source: a registered view or table — the pipeline form
     * for composing over an already-planned relation (an upstream stage's
     * output, a lakehouse table) instead of files. Stays one lazy plan: the

@@ -79,10 +79,19 @@ object TableIngest {
     * of the same digest). OFF by default and meant to be turned off again
     * after the upgrade restart — leaving it on permanently would narrow
     * the dedup namespace back to the 48 bits the widening escaped.
+    *
+    * The COMMIT LOG is self-maintaining on the same tick as the markers:
+    * when the record count exceeds `foldLogOver`, the log folds
+    * retention-aware ([[graft.sources.v2.GraftTableOptimize.foldLog]],
+    * keeping the newest `foldLogOver / 2` records as AS-OF history) — so a
+    * year-long stream plans O(foldLogOver) small log reads instead of
+    * O(batches), without an operator remembering to run OPTIMIZE, and a
+    * snapshot handle taken within the retention tail keeps resolving
+    * across the folds. Pass `foldLogOver = 0` to disable.
     */
   def ingestBatch(batch: DataFrame, tableDir: String, batchId: Long,
       lineage: String = "", retainMarkers: Int = 100,
-      legacyLineageDedup: Boolean = false): Boolean = {
+      legacyLineageDedup: Boolean = false, foldLogOver: Int = 64): Boolean = {
     val spark = batch.sparkSession
     val table = new Path(tableDir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -97,10 +106,42 @@ object TableIngest {
       batch.write.format("graft-parquet")
         .option("graft.commitMarker", marker)
         .mode("append").save(tableDir)
-      if (retainMarkers > 0 && batchId > retainMarkers && batchId % PruneEvery == 0)
-        pruneMarkers(spark, tableDir, keepFrom = batchId - retainMarkers, lineage): Unit
+      if (batchId > 0 && batchId % PruneEvery == 0) {
+        if (retainMarkers > 0 && batchId > retainMarkers)
+          pruneMarkers(spark, tableDir, keepFrom = batchId - retainMarkers, lineage): Unit
+        if (foldLogOver > 0 &&
+            GraftParquetWrite.logRecordFiles(fs, table).length > foldLogOver)
+          graft.sources.v2.GraftTableOptimize.foldLog(fs, table,
+            retain = foldLogOver / 2): Unit
+      }
       true
     }
+  }
+
+  /** One batch's durable receipt: whether it wrote (false = the marker
+    * absorbed a duplicate delivery) and the commit-log sequence current
+    * AFTER the call — the snapshot handle a training job records as
+    * "corpus as of batch N" and replays later via
+    * `option("graft.asOfSeq", seq)`. The seq is read after recovery and
+    * the (idempotent) write, so on both the wrote and the skipped path it
+    * names a state that CONTAINS this batch.
+    */
+  final case class IngestReceipt(wrote: Boolean, seq: Option[Long])
+
+  /** [[ingestBatch]] plus the snapshot handle ([[IngestReceipt]]). */
+  def ingestBatchRecorded(batch: DataFrame, tableDir: String, batchId: Long,
+      lineage: String = "", retainMarkers: Int = 100,
+      legacyLineageDedup: Boolean = false, foldLogOver: Int = 64): IngestReceipt = {
+    val wrote = ingestBatch(batch, tableDir, batchId, lineage, retainMarkers,
+      legacyLineageDedup, foldLogOver)
+    IngestReceipt(wrote, currentSeq(batch.sparkSession, tableDir))
+  }
+
+  /** The table's current commit-log sequence (None before any commit). */
+  def currentSeq(spark: org.apache.spark.sql.SparkSession, tableDir: String): Option[Long] = {
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(table)) None else GraftParquetWrite.currentSeq(fs, table)
   }
 
   private def markerName(lineage: String, batchId: Long): String =

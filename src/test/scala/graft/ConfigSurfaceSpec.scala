@@ -102,6 +102,41 @@ class ConfigSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("graft_table source: declared reads resolve the live table or a pinned asOfSeq snapshot") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-tablesrc").toString
+    val table = s"$root/table"
+    // two ingest batches; the receipt after the first is the snapshot handle
+    val receipt = graft.streaming.TableIngest.ingestBatchRecorded(
+      spark.range(0, 50).select(col("id"), (col("id") % 3).as("v")).coalesce(1), table, 0L)
+    assert(receipt.wrote && receipt.seq.isDefined)
+    graft.streaming.TableIngest.ingestBatch(
+      spark.range(50, 80).select(col("id"), (col("id") % 3).as("v")).coalesce(1), table, 1L)
+    // live declared source sees both batches
+    val liveCfg =
+      s"""{"source": {"type": "graft_table", "path": "$table"}}"""
+    assert(PipelineConfig.fromJson(spark, liveCfg).plan(spark).get.count() == 80)
+    // the pinned source replays exactly what batch 0 saw
+    val snapCfg =
+      s"""{"source": {"type": "graft_table", "path": "$table",
+         |            "asOfSeq": ${receipt.seq.get}}}""".stripMargin
+    val snap = PipelineConfig.fromJson(spark, snapCfg).plan(spark).get
+    assert(snap.count() == 50, "the declared snapshot must read the corpus as of batch 0")
+    // a snapshot the table never issued fails loudly through the declared
+    // surface too
+    val badCfg =
+      s"""{"source": {"type": "graft_table", "path": "$table", "asOfSeq": 999}}"""
+    val boom = intercept[Exception] {
+      PipelineConfig.fromJson(spark, badCfg).plan(spark).get.count()
+    }
+    assert(boom.getMessage.contains("beyond"), s"got: ${boom.getMessage}")
+    // a missing table path gates on the existence probe like every source
+    val missingCfg =
+      s"""{"source": {"type": "graft_table", "path": "$root/nope"}}"""
+    assert(PipelineConfig.fromJson(spark, missingCfg)
+      .copy(failOnMissing = false).plan(spark).isEmpty)
+  }
+
   test("F9: malformed query timestamps are a config error at parse time, not a runtime crash") {
     val cfg =
       s"""{

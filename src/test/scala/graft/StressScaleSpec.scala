@@ -502,6 +502,33 @@ class StressScaleSpec extends SparkTestBase {
       .option("graft.asOfSeq", midSeq.toString).load(dir)
     assert(asOf.count() == 48 * slabRows, "snapshot must hold the first 48 commits exactly")
     assert(asOf.agg(max($"id")).head().getLong(0) == 48 * slabRows - 1)
+    // a 300-batch ingest flood with self-folding: the log never grows
+    // O(batches), and a snapshot held inside the retention tail resolves
+    // across the folds it survived
+    locally {
+      import graft.sources.v2.GraftParquetWrite
+      import graft.streaming.TableIngest
+      val floodDir = java.nio.file.Files.createTempDirectory("graft-stress-selffold")
+        .toString + "/t"
+      val tiny = spark.range(0, 3).select($"id", lit("x").as("name")).coalesce(1)
+      var held: Option[Long] = None
+      (0L until 300L).foreach { b =>
+        val r = TableIngest.ingestBatchRecorded(tiny, floodDir, b, lineage = "fl",
+          retainMarkers = 32, foldLogOver = 24)
+        if (b == 290L) held = r.seq
+      }
+      val floodFs = new org.apache.hadoop.fs.Path(floodDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val recCount = GraftParquetWrite.logRecordFiles(floodFs, new org.apache.hadoop.fs.Path(floodDir)).length
+      assert(recCount <= 24 + 16,
+        s"300 batches must fold to a bounded log, got $recCount records")
+      val snap = spark.read.format("graft-parquet")
+        .option("graft.asOfSeq", held.get.toString).load(floodDir)
+      assert(snap.count() == 291 * 3, "the held snapshot must read batches 0..290 exactly")
+      assert(spark.read.format("graft-parquet").load(floodDir).count() == 300 * 3)
+      val markers = floodFs.listStatus(new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(floodDir), "_commits")).length
+      assert(markers <= 32 + 16, s"markers must stay bounded too, got $markers")
+    }
+
     // OPTIMIZE: 96 files bin-pack, sidecars fold to one, everything
     // re-checks (retainLog=0 pins the fold-everything legacy form)
     val rep = GraftTableOptimize.optimize(spark, dir,

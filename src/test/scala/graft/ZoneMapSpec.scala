@@ -1268,6 +1268,38 @@ class ZoneMapSpec extends SparkTestBase {
       "every batch must land exactly once")
   }
 
+  test("ingest self-folds the commit log: records stay bounded, a recent snapshot survives") {
+    import graft.sources.v2.GraftParquetWrite
+    import graft.streaming.TableIngest
+    val dir = freshTable("graft-zm-selffold")
+    val table = new Path(dir)
+    val fs = fsOf(dir)
+    val df = spark.range(0, 2).select(col("id"), lit("x").as("name")).coalesce(1)
+    var held: Option[Long] = None
+    (0L until 40L).foreach { b =>
+      val r = TableIngest.ingestBatchRecorded(df, dir, b, lineage = "sf",
+        foldLogOver = 8)
+      assert(r.wrote && r.seq.isDefined)
+      if (b == 30L) held = r.seq // a handle taken inside the retention tail
+    }
+    // folds fired on the maintenance ticks (every 16th batch): the log
+    // never grows O(batches)
+    val recs = GraftParquetWrite.logRecordFiles(fs, table).length
+    assert(recs < 40 && recs <= 8 + 16,
+      s"the log must self-fold on the ingest path, got $recs records")
+    // the receipt taken at batch 30 still resolves after the batch-32 fold
+    // (it sits inside the retained tail) and reads exactly batches 0..30
+    val snap = spark.read.format("graft-parquet")
+      .option("graft.asOfSeq", held.get.toString).load(dir)
+    assert(snap.count() == 31 * 2, s"snapshot at batch 30 must hold 31 batches")
+    // an ancient handle died at the fold — loudly, never an empty read
+    val boom = intercept[Exception] {
+      spark.read.format("graft-parquet").option("graft.asOfSeq", "3").load(dir).count()
+    }
+    assert(boom.getMessage.contains("not available"), s"got: ${boom.getMessage}")
+    assert(spark.read.format("graft-parquet").load(dir).count() == 80)
+  }
+
   test("ingestTableStream lands each micro-batch once and survives a checkpointed restart") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.TableIngest
