@@ -520,6 +520,120 @@ object SparkEntry {
         .withColumn("tt_ok", lit(ok))
     }),
 
+    "time_travel_across_optimize" -> ((s, dir) => {
+      // retention-aware maintenance end-to-end (graft.sources.v2
+      // .GraftTableOptimize + the logical-removal commit protocol): a
+      // snapshot handle taken BEFORE an OPTIMIZE keeps reading its exact
+      // corpus afterwards — the swap retires the small files from
+      // membership but leaves the bytes, and the retiring records stay in
+      // the retained log tail — so "train on the corpus as of batch N"
+      // survives routine maintenance, not just append-only quiet. vacuum
+      // inside the retention window collects NOTHING the handle needs.
+      // The result IS the post-OPTIMIZE snapshot read, so the oracle hash
+      // certifies bit-identical time travel across the rewrite. A second,
+      // sacrificial table proves the other half of the contract: history
+      // retired past the horizon (fold-everything + vacuum) kills its
+      // handle LOUDLY at plan time — never an empty or dangling read.
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val n = ev.count()
+      def build(out: String): Unit =
+        (0 until 6).foreach { r =>
+          ev.filter(pmod(col("event_id"), lit(6)) === r)
+            .coalesce(1).write.format("graft-parquet").mode("append").save(out)
+        }
+      def seqOf(out: String): Long =
+        graft.streaming.TableIngest.currentSeq(s, out).get
+      val out1 = scratchDir("graft_ttx") + "/t1"
+      build(out1)
+      val snap1 = seqOf(out1)
+      val rep = graft.sources.v2.GraftTableOptimize.optimize(s, out1,
+        targetBytes = 1L << 30, smallBytes = 1L << 30, clusterBy = Seq("event_id"))
+      val vacInside = graft.sources.v2.GraftTableOptimize.vacuum(s, out1, graceMs = 0L)
+      val snapRead = s.read.format("graft-parquet")
+        .option("graft.asOfSeq", snap1.toString).load(out1)
+      val liveOk = s.read.format("graft-parquet").load(out1).count() == n
+      // the sacrificial table: same construction, history retired
+      val out2 = scratchDir("graft_ttx") + "/t2"
+      build(out2)
+      val snap2 = seqOf(out2)
+      graft.sources.v2.GraftTableOptimize.optimize(s, out2,
+        targetBytes = 1L << 30, smallBytes = 1L << 30, clusterBy = Seq("event_id"))
+      val p2 = new org.apache.hadoop.fs.Path(out2)
+      val fs2 = p2.getFileSystem(s.sparkContext.hadoopConfiguration)
+      graft.sources.v2.GraftTableOptimize.foldLog(fs2, p2, retain = 0)
+      val vacPast = graft.sources.v2.GraftTableOptimize.vacuum(s, out2, graceMs = 0L)
+      val diedLoudly = scala.util.Try(
+        s.read.format("graft-parquet").option("graft.asOfSeq", snap2.toString)
+          .load(out2).count()).failed.toOption
+        .exists(_.getMessage.contains("not available"))
+      val ok = rep.filesRewritten == 6 && rep.filesReclaimed == 0 &&
+        vacInside == 0 && liveOk && vacPast == 6 && diedLoudly
+      snapRead.withColumn("ttx_ok", lit(ok))
+    }),
+
+    "schema_evolution_log" -> ((s, dir) => {
+      // schema evolution through the commit log (graft.sources.v2
+      // .GraftParquetWrite schema epochs): a table ingests under a 3-column
+      // schema, then an append ARRIVES WITH a fourth column — accepted as
+      // an epoch record, no rewrite. The live read serves the union shape
+      // with per-file NULL backfill (old files never wrote the column); the
+      // AS-OF handle from before the evolution serves the OLD 3-column
+      // schema, not a null-padded one. The 100 TB point: a years-lived
+      // ingest table grows a column for the price of one metadata record.
+      // Oracle: the evolved column equals event_type exactly on the evolved
+      // slice and NULL on the pre-evolution slice.
+      val out = scratchDir("graft_evolve") + "/t"
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .drop("event_type")
+        .coalesce(1).write.format("graft-parquet").mode("append").save(out)
+      val preSeq = graft.streaming.TableIngest.currentSeq(s, out).get
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .coalesce(1).write.format("graft-parquet").mode("append").save(out)
+      val live = s.read.format("graft-parquet").load(out)
+      val oldEpoch = s.read.format("graft-parquet")
+        .option("graft.asOfSeq", preSeq.toString).load(out)
+      val ok = live.schema.fieldNames.toSeq ==
+          Seq("event_id", "user_id", "value", "event_type") &&
+        live.schema("event_type").nullable &&
+        oldEpoch.schema.fieldNames.toSeq == Seq("event_id", "user_id", "value") &&
+        oldEpoch.count() == ev.filter(pmod(col("event_id"), lit(2)) === 0).count()
+      live.withColumn("evo_ok", lit(ok))
+    }),
+
+    "pipeline_asof_replay" -> ((s, dir) => {
+      // the recorded-corpus replay loop through the DECLARED surface: three
+      // ingest batches land via TableIngest, each returning an
+      // IngestReceipt whose seq names "the corpus as this batch saw it";
+      // the seq recorded after batch 1 is then handed to a declared
+      // pipeline SOURCE ({"type": "graft_table", "asOfSeq": ...}) and must
+      // replay EXACTLY the first two slices — twice, identically — while
+      // the live declared source sees all three. This is the
+      // training-checkpoint workflow: the job stores one long in its
+      // checkpoint table and re-materializes its corpus bit-for-bit later.
+      val out = scratchDir("graft_replay") + "/t"
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"))
+      def slice(r: Int) = ev.filter(pmod(col("event_id"), lit(3)) === r)
+      val r0 = graft.streaming.TableIngest.ingestBatchRecorded(slice(0), out, 0L)
+      val r1 = graft.streaming.TableIngest.ingestBatchRecorded(slice(1), out, 1L)
+      val r2 = graft.streaming.TableIngest.ingestBatchRecorded(slice(2), out, 2L)
+      val recorded = r1.seq.get
+      def declared(asOf: Option[Long]) = pipeline.PipelineConfig.fromJson(s,
+        s"""{"source": {"type": "graft_table", "path": "$out"${
+          asOf.map(v => s""", "asOfSeq": $v""").getOrElse("")}}}""")
+        .plan(s).get
+      val replayA = declared(Some(recorded))
+      val replayB = declared(Some(recorded))
+      val ok = Seq(r0, r1, r2).forall(r => r.wrote && r.seq.isDefined) &&
+        r0.seq.get < r1.seq.get && r1.seq.get < r2.seq.get &&
+        declared(None).count() == ev.count() &&
+        replayB.count() == replayA.count()
+      replayA.withColumn("replay_ok", lit(ok))
+    }),
+
     "dedup_keep_first" -> ((s, dir) =>
       Ops.dedupKeepFirst(DedupSpec(Seq("user_id"), Seq("ts"), Some(col("event_id"))))(
         Sources.events(s, dir))
@@ -3930,8 +4044,24 @@ object SparkEntry {
       """SELECT event_id, user_id, value, TRUE AS dedup_ok FROM events""",
 
     "table_time_travel" ->
+      // sign-safe modulo, matching the engine side's pmod: SQL % returns
+      // negative remainders for negative ids, pmod never does
       """SELECT event_id, user_id, value, TRUE AS tt_ok
-        |FROM events WHERE event_id % 3 < 2""".stripMargin,
+        |FROM events WHERE ((event_id % 3) + 3) % 3 < 2""".stripMargin,
+
+    "time_travel_across_optimize" ->
+      """SELECT event_id, user_id, event_type, value, TRUE AS ttx_ok
+        |FROM events""".stripMargin,
+
+    "schema_evolution_log" ->
+      """SELECT event_id, user_id, value,
+        |  CASE WHEN ((event_id % 2) + 2) % 2 = 1 THEN event_type ELSE NULL END AS event_type,
+        |  TRUE AS evo_ok
+        |FROM events""".stripMargin,
+
+    "pipeline_asof_replay" ->
+      """SELECT event_id, user_id, value, TRUE AS replay_ok
+        |FROM events WHERE ((event_id % 3) + 3) % 3 < 2""".stripMargin,
 
     "dedup_keep_first" ->
       """SELECT user_id, event_id, value FROM (
