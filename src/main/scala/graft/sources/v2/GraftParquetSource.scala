@@ -90,8 +90,26 @@ class GraftParquetSource extends TableProvider with DataSourceRegister {
     val asOf = Option(options.get("graft.asOfSeq"))
       .flatMap(s => scala.util.Try(java.lang.Long.parseLong(s.trim)).toOption)
     if (!fs.exists(p)) new StructType()
-    else GraftParquetWrite.latestSchemaAt(fs, p, asOf)
-      .getOrElse(SparkSession.active.read.parquet(path).schema)
+    else GraftParquetWrite.latestSchemaAt(fs, p, asOf) match {
+      case Some(st) => st
+      case None => asOf match {
+        // an AS-OF handle from BEFORE the table's first epoch record (a
+        // pre-epoch table that later evolved): the directory now holds
+        // post-evolution files, so whole-directory inference could serve
+        // the evolved schema to a pre-evolution snapshot. The members at
+        // the handle's seq are all pre-evolution by construction (evolved
+        // files commit at-or-after their epoch record's seq), and a
+        // pre-epoch table has ONE schema across them — one member footer
+        // is the epoch. Membership resolution also fails loudly here for
+        // a seq the table never issued, exactly like the scan would.
+        case Some(s) if GraftParquetWrite.logRecordFiles(fs, p).nonEmpty =>
+          val members = GraftParquetWrite.listDataFiles(fs, p, Some(s))
+          if (members.isEmpty) new StructType()
+          else SparkSession.active.read
+            .parquet(members.map(_.getPath.toString).min).schema
+        case _ => SparkSession.active.read.parquet(path).schema
+      }
+    }
   }
 
   override def getTable(

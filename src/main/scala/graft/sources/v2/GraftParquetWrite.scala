@@ -395,6 +395,16 @@ object GraftParquetWrite {
     * briefly shares the seq of the newest record it folded) is excluded
     * by name, because that duplicate is membership-identical by
     * construction and the next fold clears it.
+    *
+    * The SANCTIONED concurrency — reader heals replaying a published
+    * commit alongside the writer's own roll-forward — cannot trip this:
+    * replays of the same commit share a commitId and therefore a record
+    * NAME (the seq race between them resolves at the rename, where the
+    * loser observes the winner's identical record), and a record for a
+    * DIFFERENT pending commit is always serialized before a new append by
+    * the write path's recover() — so same-seq records with different ids
+    * require two live writers, which is exactly what this trap exists to
+    * catch.
     */
   def verifySeqUnique(fs: FileSystem, table: Path, seq: Long, name: String): Unit = {
     val peers = logRecordFiles(fs, table).map(_.getPath.getName)

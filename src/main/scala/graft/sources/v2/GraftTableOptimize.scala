@@ -170,15 +170,21 @@ object GraftTableOptimize {
     //    is the AS-OF history that survives this maintenance run
     val zmAfter = foldSidecars(fs, table)
     val logAfter = foldLog(fs, table, retainLog)
-    // 5. inline reclaim of THIS run's retired files once no retained record
-    //    references them: with retainLog > 0 the swap record itself is
-    //    retained, so nothing is reclaimed here (vacuum owns it after later
-    //    folds age the record out); with retainLog = 0 the fold collapsed
-    //    all history and the retired bytes go immediately — the
-    //    fold-everything contract. Only files this run retired are
-    //    touched; foreign unlogged files stay vacuum's (grace-gated) job.
-    val referenced = GraftParquetWrite.logReferencedFiles(fs, table)
-    val reclaimed = small.map(_.getPath.getName).filterNot(referenced)
+    // 5. inline reclaim of THIS run's retired files, retainLog = 0 only:
+    //    the fold collapsed all history, so the retired bytes go
+    //    immediately — the fold-everything contract. With retainLog > 0
+    //    the swap record itself is retained, so every retired file is
+    //    provably still referenced — skipping the reachability read
+    //    entirely saves O(retained records) small reads per routine run;
+    //    vacuum owns those files once later folds age the record out.
+    //    Only files this run retired are touched; foreign unlogged files
+    //    stay vacuum's (grace-gated) job.
+    val reclaimed =
+      if (retainLog > 0) Seq.empty[String]
+      else {
+        val referenced = GraftParquetWrite.logReferencedFiles(fs, table)
+        small.map(_.getPath.getName).filterNot(referenced)
+      }
     reclaimed.foreach(n => fs.delete(new Path(table, n), false))
     OptimizeReport(before.length, dataFiles().length, small.length, bytes, zmBefore, zmAfter,
       logBefore, logAfter, reclaimed.length)

@@ -1162,6 +1162,36 @@ class ZoneMapSpec extends SparkTestBase {
     assert(boom.getMessage.contains("does not match"), s"got: ${boom.getMessage}")
   }
 
+  test("a pre-epoch table that evolves serves the OLD schema to pre-evolution AS-OF handles") {
+    import graft.sources.v2.GraftParquetWrite
+    val dir = freshTable("graft-zm-preepoch")
+    val table = new Path(dir)
+    val fs = fsOf(dir)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    Seq((3L, "c")).toDF("id", "name")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    // simulate a table created before schema epochs existed: its log has
+    // membership records but no m-records at all
+    GraftParquetWrite.schemaRecordFiles(fs, table)
+      .foreach(st => fs.delete(st.getPath, false))
+    val snap = GraftParquetWrite.currentSeq(fs, table).get
+    // the FIRST epoch record this table ever gets arrives WITH an evolution
+    Seq((4L, "d", 1.5)).toDF("id", "name", "score")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    assert(spark.read.format("graft-parquet").load(dir)
+      .schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    // the pre-evolution handle must NOT see the evolved column: with no
+    // epoch record at-or-below it, the schema comes from a member footer
+    // of the snapshot itself, never from whole-directory inference (which
+    // now holds post-evolution files)
+    val old = spark.read.format("graft-parquet")
+      .option("graft.asOfSeq", snap.toString).load(dir)
+    assert(old.schema.fieldNames.toSeq == Seq("id", "name"),
+      s"pre-epoch snapshot must serve the old shape, got ${old.schema.simpleString}")
+    assert(old.count() == 3)
+  }
+
   test("OPTIMIZE across schema epochs repacks under the current epoch without losing values") {
     import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
     val dir = freshTable("graft-zm-evopt")
