@@ -90,7 +90,15 @@ class GraftParquetSource extends TableProvider with DataSourceRegister {
     val asOf = Option(options.get("graft.asOfSeq"))
       .flatMap(s => scala.util.Try(java.lang.Long.parseLong(s.trim)).toOption)
     if (!fs.exists(p)) new StructType()
-    else GraftParquetWrite.latestSchemaAt(fs, p, asOf) match {
+    else {
+    // heal BEFORE resolving the epoch: an evolving append that crashed
+    // between its membership record and its epoch record is completed
+    // here, so schema resolution and membership can't disagree about the
+    // evolution. Best-effort like every read-path heal — a read-only
+    // session inside that (bounded, next-writer-closes-it) crash window
+    // resolves the previous epoch, which is consistent if stale.
+    GraftParquetWrite.healQuietly(fs, p)
+    GraftParquetWrite.latestSchemaAt(fs, p, asOf) match {
       case Some(st) => st
       case None => asOf match {
         // an AS-OF handle from BEFORE the table's first epoch record (a
@@ -109,6 +117,7 @@ class GraftParquetSource extends TableProvider with DataSourceRegister {
             .parquet(members.map(_.getPath.toString).min).schema
         case _ => SparkSession.active.read.parquet(path).schema
       }
+    }
     }
   }
 

@@ -170,17 +170,22 @@ object GraftTableOptimize {
     //    is the AS-OF history that survives this maintenance run
     val zmAfter = foldSidecars(fs, table)
     val logAfter = foldLog(fs, table, retainLog)
-    // 5. inline reclaim of THIS run's retired files, retainLog = 0 only:
-    //    the fold collapsed all history, so the retired bytes go
-    //    immediately — the fold-everything contract. With retainLog > 0
-    //    the swap record itself is retained, so every retired file is
-    //    provably still referenced — skipping the reachability read
-    //    entirely saves O(retained records) small reads per routine run;
-    //    vacuum owns those files once later folds age the record out.
-    //    Only files this run retired are touched; foreign unlogged files
-    //    stay vacuum's (grace-gated) job.
+    // 5. inline reclaim of THIS run's retired files when no record can
+    //    reference them: with retainLog = 0 the fold collapsed all history
+    //    (the fold-everything contract), and on a BOOTSTRAP run
+    //    (logBefore == 0, a pre-log table) the first record ever written
+    //    is this swap's directory snapshot MINUS its removals — the
+    //    retired files appear in no record at all, so no snapshot can ever
+    //    name them and leaving them would leak the whole retired tail.
+    //    With retainLog > 0 on an already-logged table the swap record
+    //    itself is retained, so every retired file is provably still
+    //    referenced — skipping the reachability read saves O(retained
+    //    records) small reads per routine run; vacuum owns those files
+    //    once later folds age the record out. Only files this run retired
+    //    are touched; foreign unlogged files stay vacuum's (grace-gated)
+    //    job.
     val reclaimed =
-      if (retainLog > 0) Seq.empty[String]
+      if (retainLog > 0 && logBefore > 0) Seq.empty[String]
       else {
         val referenced = GraftParquetWrite.logReferencedFiles(fs, table)
         small.map(_.getPath.getName).filterNot(referenced)
@@ -294,10 +299,14 @@ object GraftTableOptimize {
     * commit is completed so its pending files get logged before the sweep,
     * while an UNMANIFESTED staging dir — possibly a live writer mid-stage —
     * is left alone; vacuum therefore needs no writer lock. `graceMs`
-    * (modification time) additionally absorbs clock skew and any in-flight
-    * rename of files outside staging. No-op on tables without a log
-    * (membership IS the listing there, so nothing can be unreferenced).
-    * Returns the number of files deleted.
+    * (modification time) absorbs clock skew and any in-flight rename of
+    * files outside staging — and for files OPTIMIZE retired, [[foldLog]]
+    * re-stamps the mtime at the fold that unreferences them, so the grace
+    * reads as "unreferenced for at least graceMs": an in-flight AS-OF
+    * reader whose handle a fold just retired keeps its files for the
+    * grace, not zero. No-op on tables without a log (membership IS the
+    * listing there, so nothing can be unreferenced). Returns the number
+    * of files deleted.
     */
   def vacuum(spark: SparkSession, path: String,
       graceMs: Long = 24L * 3600 * 1000): Int = {
@@ -308,8 +317,10 @@ object GraftTableOptimize {
     if (GraftParquetWrite.logRecordFiles(fs, table).isEmpty) return 0
     val referenced = GraftParquetWrite.logReferencedFiles(fs, table)
     val cutoff = System.currentTimeMillis() - graceMs
+    // <=, not <: graceMs = 0 must mean "collect everything unreferenced
+    // now", including a file the fold stamped within this millisecond
     val dead = GraftParquetWrite.listByDirectory(fs, table).filter { st =>
-      !referenced.contains(st.getPath.getName) && st.getModificationTime < cutoff
+      !referenced.contains(st.getPath.getName) && st.getModificationTime <= cutoff
     }
     dead.foreach(st => fs.delete(st.getPath, false))
     dead.length
@@ -361,19 +372,45 @@ object GraftTableOptimize {
         .sortBy(st => (GraftParquetWrite.schemaSeqOf(st.getPath.getName), st.getPath.getName))
       if (below.length > 1) below.dropRight(1).foreach(st => fs.delete(st.getPath, false))
     }
+    // a fold is the moment retired files become UNREFERENCED (their
+    // retiring removal lines drop with the folded records): stamp their
+    // mtime so vacuum's grace counts from retirement, not from when the
+    // bytes were written — "collected only after being unreferenced for
+    // graceMs" is what protects an in-flight AS-OF reader whose handle
+    // this fold just retired. Best-effort: a filesystem without setTimes
+    // degrades to the write-time grace. Reads the removal lines BEFORE the
+    // records are deleted; stamps after, against the post-fold
+    // reachability set.
+    def droppedRemovals(folded: Seq[org.apache.hadoop.fs.FileStatus]): Set[String] =
+      folded.flatMap(st => GraftParquetWrite.recordLines(fs, st.getPath)
+        .collect { case l if l.startsWith("~") => l.substring(1) }).toSet
+    def stampUnreferenced(dropped: Set[String]): Unit =
+      if (dropped.nonEmpty) {
+        val referenced = GraftParquetWrite.logReferencedFiles(fs, table)
+        val now = System.currentTimeMillis()
+        dropped.filterNot(referenced).foreach { n =>
+          val p = new Path(table, n)
+          try { if (fs.exists(p)) fs.setTimes(p, now, -1) }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
     if (retain <= 0) {
       if (recs.length <= 1) return recs.length
+      val dropped = droppedRemovals(recs)
       val seq = GraftParquetWrite.logSeqOf(recs.last.getPath.getName) + 1L
       publish(memberLines(None), f"c-$seq%012d-logfold-${nonce()}")
       recs.foreach(st => fs.delete(st.getPath, false)) // oldest-first
       pruneSchemaRecords(seq)
+      stampUnreferenced(dropped)
     } else {
       if (recs.length <= retain + 1) return recs.length
       val folded = recs.dropRight(retain)
+      val dropped = droppedRemovals(folded)
       val baseSeq = GraftParquetWrite.logSeqOf(folded.last.getPath.getName)
       publish(memberLines(Some(baseSeq)), f"c-$baseSeq%012d-logbase-${nonce()}")
       folded.foreach(st => fs.delete(st.getPath, false)) // oldest-first
       pruneSchemaRecords(baseSeq)
+      stampUnreferenced(dropped)
     }
     GraftParquetWrite.logRecordFiles(fs, table).length
   }

@@ -1009,6 +1009,11 @@ class ZoneMapSpec extends SparkTestBase {
     // past the horizon: fold everything, vacuum reclaims, the handle dies
     // loudly at plan time — never a dangling-file read
     GraftTableOptimize.foldLog(fs, table, retain = 0)
+    // the grace counts from RETIREMENT (the fold re-stamps the files it
+    // unreferences), not from when the bytes were written: a ten-minute
+    // grace protects the just-retired tail even though the files are older
+    assert(GraftTableOptimize.vacuum(spark, dir, graceMs = 600000L) == 0,
+      "files unreferenced by THIS fold must survive a grace-window vacuum")
     assert(GraftTableOptimize.vacuum(spark, dir, graceMs = 0L) == 5)
     preFiles.foreach { case (n, _) => assert(!fs.exists(new Path(table, n))) }
     val gone = intercept[Exception] {
