@@ -215,7 +215,11 @@ object GraftTableOptimize {
       // residue of two contract-violating concurrent committers. Membership
       // still folds consistently, but AS-OF ordering at that seq is
       // ambiguous — reported for the operator, not auto-repairable
-      logSeqCollisions: Int = 0) {
+      logSeqCollisions: Int = 0,
+      // schema epoch records retained in the log (0 = pre-epoch table,
+      // schema comes from parquet inference; >1 = the table has evolved
+      // within the retention horizon)
+      schemaRecords: Int = 0) {
     // a member the disk no longer holds is DATA LOSS, not a maintenance
     // backlog — no recover()/optimize() can restore it, so it fails health
     def healthy: Boolean =
@@ -260,7 +264,8 @@ object GraftTableOptimize {
       missingDataFiles = dataNames.count(!listed.contains(_)),
       unloggedDataFiles = listed.count(n => !dataNames.contains(n) && !referenced.contains(n)),
       retiredRetained = listed.count(n => !dataNames.contains(n) && referenced.contains(n)),
-      logSeqCollisions = collisions)
+      logSeqCollisions = collisions,
+      schemaRecords = GraftParquetWrite.schemaRecordFiles(fs, table).length)
   }
 
   private def zmFiles(fs: FileSystem, table: Path): Array[Path] = {

@@ -998,10 +998,11 @@ class ZoneMapSpec extends SparkTestBase {
       .option("graft.asOfSeq", snap.toString).load(dir)
     assert(snapRead.count() == 50 &&
       snapRead.select("id").as[Long].collect().sorted.toSeq == (0L until 50L))
-    // fsck knows the difference between retained history and garbage
+    // fsck knows the difference between retained history and garbage, and
+    // counts the (single, unevolved) schema epoch
     val health = GraftTableOptimize.fsck(spark, dir)
-    assert(health.healthy && health.retiredRetained == 5 && health.unloggedDataFiles == 0,
-      s"got $health")
+    assert(health.healthy && health.retiredRetained == 5 && health.unloggedDataFiles == 0 &&
+      health.schemaRecords == 1, s"got $health")
     // vacuum inside the retention window collects NOTHING the snapshot needs
     assert(GraftTableOptimize.vacuum(spark, dir, graceMs = 0L) == 0,
       "every retired file is still referenced by a retained record")
