@@ -377,7 +377,14 @@ object GraftParquetWrite {
     * snapshot and safe to reclaim ([[GraftTableOptimize.vacuum]]).
     */
   def logReferencedFiles(fs: FileSystem, table: Path): Set[String] =
-    logRecordFiles(fs, table).iterator.flatMap { st =>
+    logReferencedFiles(fs, logRecordFiles(fs, table))
+
+  /** As above, over records the caller already listed — fsck and other
+    * multi-question probes pay ONE `_log` listing, not one per question.
+    */
+  def logReferencedFiles(fs: FileSystem,
+      records: Seq[org.apache.hadoop.fs.FileStatus]): Set[String] =
+    records.iterator.flatMap { st =>
       recordLines(fs, st.getPath).iterator.collect {
         case line if !line.startsWith("~") =>
           val cut = line.indexOf('\t')

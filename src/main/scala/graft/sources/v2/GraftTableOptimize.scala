@@ -246,10 +246,19 @@ object GraftTableOptimize {
       fs.exists(GraftParquetWrite.manifestPath(s.getPath)))
     val commitsDir = new Path(table, "_commits")
     val markers = if (fs.exists(commitsDir)) fs.listStatus(commitsDir).length else 0
-    val logRecs = GraftParquetWrite.logRecordFiles(fs, table)
+    // ONE _log listing serves every log-derived field (records, schema
+    // epochs, reachability, collisions) — on an object store each listing
+    // is a paid LIST call, and fsck is a diagnostic that should not grow
+    // one per report field
+    val logDirPath = GraftParquetWrite.logDir(table)
+    val logAll =
+      if (!fs.exists(logDirPath)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(logDirPath).filter(_.isFile)
+    val logRecs = logAll.filter(_.getPath.getName.startsWith("c-")).toSeq
+    val schemaRecs = logAll.count(_.getPath.getName.startsWith("m-"))
     // the reachability set: adds across every retained record. On-disk
     // non-members split into retained AS-OF history vs true garbage.
-    val referenced = GraftParquetWrite.logReferencedFiles(fs, table)
+    val referenced = GraftParquetWrite.logReferencedFiles(fs, logRecs)
     val collisions = logRecs.map(_.getPath.getName)
       .filterNot(n => GraftParquetWrite.logIdOf(n).startsWith("logbase-"))
       .groupBy(GraftParquetWrite.logSeqOf).count(_._2.length > 1)
@@ -265,7 +274,7 @@ object GraftTableOptimize {
       unloggedDataFiles = listed.count(n => !dataNames.contains(n) && !referenced.contains(n)),
       retiredRetained = listed.count(n => !dataNames.contains(n) && referenced.contains(n)),
       logSeqCollisions = collisions,
-      schemaRecords = GraftParquetWrite.schemaRecordFiles(fs, table).length)
+      schemaRecords = schemaRecs)
   }
 
   private def zmFiles(fs: FileSystem, table: Path): Array[Path] = {
@@ -382,40 +391,58 @@ object GraftTableOptimize {
     // mtime so vacuum's grace counts from retirement, not from when the
     // bytes were written — "collected only after being unreferenced for
     // graceMs" is what protects an in-flight AS-OF reader whose handle
-    // this fold just retired. Best-effort: a filesystem without setTimes
-    // degrades to the write-time grace. Reads the removal lines BEFORE the
-    // records are deleted; stamps after, against the post-fold
-    // reachability set.
-    def droppedRemovals(folded: Seq[org.apache.hadoop.fs.FileStatus]): Set[String] =
-      folded.flatMap(st => GraftParquetWrite.recordLines(fs, st.getPath)
+    // this fold just retired. Stamping happens BEFORE the folded records
+    // are deleted: a crash (or a concurrent lock-free vacuum) between the
+    // two must find the files either still referenced or already
+    // re-stamped — stamp-after-delete would leave a window where
+    // just-unreferenced files carry their old write-time mtimes and a
+    // grace vacuum collects them instantly. Stamping early is always safe
+    // (vacuum never touches referenced files; a crash pre-delete leaves
+    // them referenced with a newer mtime, which only lengthens the grace).
+    // Post-fold reachability = the snapshot's own adds plus the retained
+    // records' adds, both in hand pre-delete. Best-effort: a filesystem
+    // without setTimes degrades to the write-time grace. The folded
+    // records' lines are read once and shared between the dropped-removal
+    // set and nothing else (membership still folds them via memberLines —
+    // a second read, accepted: folds fire at most every 16th ingest batch).
+    def addNameOf(line: String): Option[String] =
+      if (line.startsWith("~")) None
+      else { val cut = line.indexOf('\t'); Some(if (cut < 0) line else line.substring(0, cut)) }
+    def stampUnreferenced(folded: Seq[org.apache.hadoop.fs.FileStatus],
+        snapshotLines: Seq[String],
+        retained: Seq[org.apache.hadoop.fs.FileStatus]): Unit = {
+      val dropped = folded.flatMap(st => GraftParquetWrite.recordLines(fs, st.getPath)
         .collect { case l if l.startsWith("~") => l.substring(1) }).toSet
-    def stampUnreferenced(dropped: Set[String]): Unit =
       if (dropped.nonEmpty) {
-        val referenced = GraftParquetWrite.logReferencedFiles(fs, table)
+        val referencedAfter = (snapshotLines.flatMap(addNameOf) ++
+          retained.flatMap(st => GraftParquetWrite.recordLines(fs, st.getPath)
+            .flatMap(addNameOf))).toSet
         val now = System.currentTimeMillis()
-        dropped.filterNot(referenced).foreach { n =>
+        dropped.filterNot(referencedAfter).foreach { n =>
           val p = new Path(table, n)
           try { if (fs.exists(p)) fs.setTimes(p, now, -1) }
           catch { case scala.util.control.NonFatal(_) => () }
         }
       }
+    }
     if (retain <= 0) {
       if (recs.length <= 1) return recs.length
-      val dropped = droppedRemovals(recs)
       val seq = GraftParquetWrite.logSeqOf(recs.last.getPath.getName) + 1L
-      publish(memberLines(None), f"c-$seq%012d-logfold-${nonce()}")
+      val snapshot = memberLines(None)
+      publish(snapshot, f"c-$seq%012d-logfold-${nonce()}")
+      stampUnreferenced(recs, snapshot, Nil)
       recs.foreach(st => fs.delete(st.getPath, false)) // oldest-first
       pruneSchemaRecords(seq)
-      stampUnreferenced(dropped)
     } else {
       if (recs.length <= retain + 1) return recs.length
       val folded = recs.dropRight(retain)
-      val dropped = droppedRemovals(folded)
+      val retained = recs.takeRight(retain)
       val baseSeq = GraftParquetWrite.logSeqOf(folded.last.getPath.getName)
-      publish(memberLines(Some(baseSeq)), f"c-$baseSeq%012d-logbase-${nonce()}")
+      val snapshot = memberLines(Some(baseSeq))
+      publish(snapshot, f"c-$baseSeq%012d-logbase-${nonce()}")
+      stampUnreferenced(folded, snapshot, retained)
       folded.foreach(st => fs.delete(st.getPath, false)) // oldest-first
       pruneSchemaRecords(baseSeq)
-      stampUnreferenced(dropped)
     }
     GraftParquetWrite.logRecordFiles(fs, table).length
   }

@@ -1008,11 +1008,17 @@ class ZoneMapSpec extends SparkTestBase {
       "every retired file is still referenced by a retained record")
     assert(snapRead.count() == 50)
     // past the horizon: fold everything, vacuum reclaims, the handle dies
-    // loudly at plan time — never a dangling-file read
+    // loudly at plan time — never a dangling-file read. BACKDATE the
+    // retired files an hour first, so the next assertion can only pass
+    // through the fold's re-stamp — not through a write-time mtime that
+    // happens to be fresh
+    preFiles.foreach { case (n, _) =>
+      fs.setTimes(new Path(table, n), System.currentTimeMillis() - 3600000L, -1)
+    }
     GraftTableOptimize.foldLog(fs, table, retain = 0)
     // the grace counts from RETIREMENT (the fold re-stamps the files it
     // unreferences), not from when the bytes were written: a ten-minute
-    // grace protects the just-retired tail even though the files are older
+    // grace protects the just-retired (hour-old) tail
     assert(GraftTableOptimize.vacuum(spark, dir, graceMs = 600000L) == 0,
       "files unreferenced by THIS fold must survive a grace-window vacuum")
     assert(GraftTableOptimize.vacuum(spark, dir, graceMs = 0L) == 5)
@@ -1024,6 +1030,30 @@ class ZoneMapSpec extends SparkTestBase {
     assert(gone.getMessage.contains("not available"), s"got: ${gone.getMessage}")
     assert(spark.read.format("graft-parquet").load(dir).count() == 50,
       "the live table is untouched by snapshot retirement")
+  }
+
+  test("OPTIMIZE on a pre-log table reclaims its retired tail even under default retention") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    // a LEGACY plain parquet directory: the swap's bootstrap record is the
+    // post-swap listing minus its removals, so the retired small files
+    // appear in NO record — no snapshot can ever name them, and leaving
+    // them to 'retention' would leak the whole tail. The default-retention
+    // run must reclaim them inline.
+    val dir = freshTable("graft-zm-bootreclaim")
+    spark.range(0, 300).selectExpr("id", "concat('n-', id) AS name")
+      .repartition(3).write.parquet(dir)
+    val fs = fsOf(dir)
+    val table = new Path(dir)
+    val smallBefore = GraftParquetWrite.listDataFiles(fs, table).length
+    assert(smallBefore == 3)
+    val rep = GraftTableOptimize.optimize(spark, dir,
+      targetBytes = 1L << 20, smallBytes = 1L << 20) // default retainLog
+    assert(rep.filesRewritten == 3 && rep.filesReclaimed == 3,
+      s"a bootstrap swap's unreferenced tail must reclaim inline, got $rep")
+    val health = GraftTableOptimize.fsck(spark, dir)
+    assert(health.healthy && health.unloggedDataFiles == 0 && health.retiredRetained == 0,
+      s"got $health")
+    assert(spark.read.format("graft-parquet").load(dir).count() == 300)
   }
 
   test("retention fold keeps a base snapshot plus the newest records; seqs stay resolvable") {
