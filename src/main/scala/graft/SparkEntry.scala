@@ -603,6 +603,48 @@ object SparkEntry {
       live.withColumn("evo_ok", lit(ok))
     }),
 
+    "table_delete_where" -> ((s, dir) => {
+      // row-level DELETE on the connector table (graft.sources.v2
+      // .GraftTableOptimize.deleteWhere) — the right-to-be-forgotten
+      // primitive as a pruned swap, never a rebuild: after a clustered
+      // OPTIMIZE, a range delete's candidate discovery (one pushed-down
+      // native scan mapping matching rows to files) touches only the
+      // files whose zone intersects the range — the flag pins
+      // filesRewritten < filesScanned, the pruning proof. purge=true (the
+      // compliance default) physically reclaims the retired bytes and
+      // retires history, because every older snapshot CONTAINS the
+      // forgotten rows; fsck certifies nothing unlogged remains. The
+      // cutoff derives from the data (30% of max id) so the pruning claim
+      // holds at every scale factor; the oracle recomputes it with
+      // integer division.
+      val out = scratchDir("graft_delete") + "/t"
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val commits = 12
+      (0 until commits).foreach { r =>
+        ev.filter(pmod(col("event_id"), lit(commits)) === r)
+          .coalesce(1).write.format("graft-parquet").mode("append").save(out)
+      }
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bytes = graft.sources.v2.GraftParquetWrite.listDataFiles(fs, outPath).map(_.getLen).sum
+      graft.sources.v2.GraftTableOptimize.optimize(s, out,
+        targetBytes = math.max(1L, bytes / 6), smallBytes = bytes + 1,
+        clusterBy = Seq("event_id"), retainLog = 0): Unit
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val cutoff = maxId * 3L / 10L
+      val expected = ev.filter(col("event_id") < cutoff).count()
+      val rep = graft.sources.v2.GraftTableOptimize.deleteWhere(
+        s, out, col("event_id") < cutoff)
+      val back = s.read.format("graft-parquet").load(out)
+      val fsckRep = graft.sources.v2.GraftTableOptimize.fsck(s, out)
+      val ok = rep.rowsDeleted == expected &&
+        rep.filesRewritten > 0 && rep.filesRewritten < rep.filesScanned &&
+        fsckRep.healthy && fsckRep.unloggedDataFiles == 0 &&
+        back.count() == ev.count() - expected
+      back.withColumn("del_ok", lit(ok))
+    }),
+
     "pipeline_asof_replay" -> ((s, dir) => {
       // the recorded-corpus replay loop through the DECLARED surface: three
       // ingest batches land via TableIngest, each returning an
@@ -4062,6 +4104,12 @@ object SparkEntry {
     "pipeline_asof_replay" ->
       """SELECT event_id, user_id, value, TRUE AS replay_ok
         |FROM events WHERE ((event_id % 3) + 3) % 3 < 2""".stripMargin,
+
+    "table_delete_where" ->
+      // // is DuckDB integer division, matching the Scala Long arithmetic
+      """SELECT event_id, user_id, value, TRUE AS del_ok
+        |FROM events
+        |WHERE event_id >= (SELECT (max(event_id) * 3) // 10 FROM events)""".stripMargin,
 
     "dedup_keep_first" ->
       """SELECT user_id, event_id, value FROM (

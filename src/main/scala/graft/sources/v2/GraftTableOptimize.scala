@@ -195,6 +195,106 @@ object GraftTableOptimize {
       logBefore, logAfter, reclaimed.length)
   }
 
+  final case class DeleteReport(
+      filesScanned: Int, filesRewritten: Int, rowsDeleted: Long,
+      filesAfter: Int, purged: Boolean)
+
+  /** DELETE WHERE on a graft-parquet table — the row-level
+    * right-to-be-forgotten primitive, expressed as the same crash-safe
+    * swap OPTIMIZE uses (never a table rebuild):
+    *
+    *  1. candidate discovery is DISTRIBUTED and pruned: one native parquet
+    *     scan with the condition pushed down maps matching rows to their
+    *     files (`input_file_name`), so on a clustered table a range delete
+    *     touches only the files whose zone intersects it — files without a
+    *     match are never rewritten;
+    *  2. survivors of the candidate files rewrite through the connector
+    *     (zone-map stats ride along) into the staging mini-table; the swap
+    *     manifest retires every candidate — SQL semantics: a row deletes
+    *     only where the condition is TRUE (NULL keeps the row);
+    *  3. `purge = true` (the compliance default) then folds the log to one
+    *     snapshot and physically reclaims the retired files: the deleted
+    *     bytes are GONE, and every older AS-OF handle dies loudly at plan
+    *     time — necessarily, because those snapshots CONTAIN the rows
+    *     being forgotten (the [[graft.streaming.TombstoneLog]] argument,
+    *     applied to the table format). `purge = false` is the analytical
+    *     form: history keeps resolving under the retention contract and
+    *     the retired bytes wait for their records to age into vacuum.
+    *
+    * Single-writer maintenance window, like OPTIMIZE. Deleting every row
+    * leaves a readable EMPTY table (the schema epoch record survives the
+    * data files), never a directory inference refuses.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+      condition: org.apache.spark.sql.Column,
+      targetBytes: Long = 128L * 1024 * 1024,
+      purge: Boolean = true, retainLog: Int = 8): DeleteReport = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(table), s"no table at $path")
+    GraftParquetWrite.recover(fs, table)
+    val members = GraftParquetWrite.listDataFiles(fs, table)
+    if (members.isEmpty) return DeleteReport(0, 0, 0L, 0, purge)
+    val cur = GraftParquetWrite.latestSchemaAt(fs, table, None)
+    def readFiles(paths: Seq[String]) = {
+      // explicit current-epoch schema, like OPTIMIZE's tail read: on an
+      // evolved table pre-epoch files backfill NULL instead of steering
+      // the scan's schema
+      val r = spark.read
+      cur.fold(r)(r.schema).parquet(paths: _*)
+    }
+    // 1. candidate files — distinct file names holding >=1 TRUE row. The
+    //    native scan pushes the condition's pushable conjuncts into
+    //    row-group skipping, and a clustered layout prunes here exactly as
+    //    it does for reads.
+    val candNames = readFiles(members.map(_.getPath.toString))
+      .filter(condition)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => { val u = r.getString(0); u.substring(u.lastIndexOf('/') + 1) })
+      .toSet
+    val cands = members.filter(st => candNames.contains(st.getPath.getName))
+    if (cands.isEmpty) return DeleteReport(members.length, 0, 0L, members.length, purge)
+    val candPaths = cands.map(_.getPath.toString)
+    val candRows = readFiles(candPaths).count()
+
+    val delId = s"del-${System.currentTimeMillis()}-${(math.abs(scala.util.Random.nextLong()) % 0xFFFFFF).toHexString}"
+    val staging = GraftParquetWrite.stagingDir(table, delId)
+    fs.mkdirs(staging)
+    // 2. survivors (condition not TRUE — false or NULL) rewrite through
+    //    the connector into the staging mini-table, exactly like OPTIMIZE
+    val packedDir = new Path(staging, "packed")
+    val nOut = math.max(1, math.ceil(cands.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    readFiles(candPaths).filter(not(coalesce(condition, lit(false))))
+      .coalesce(nOut)
+      .write.format("graft-parquet").mode("append").save(packedDir.toString)
+    val packedStats = ZoneMap.load(fs, packedDir)
+    val moved = fs.listStatus(packedDir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.map { case (st, i) =>
+        val finalName = s"part-$delId-$i.parquet"
+        require(fs.rename(st.getPath, new Path(staging, finalName)),
+          s"stage move failed for ${st.getPath}")
+        (finalName, packedStats.get(st.getPath.getName))
+      }.toSeq
+    val survivorRows = moved.flatMap(_._2).map(_.rows).sum
+    val lines =
+      moved.map { case (n, s) => s.map(st => s"$n\t${ZoneMap.encode(st)}").getOrElse(n) } ++
+        cands.map(st => s"~${st.getPath.getName}")
+    fs.delete(packedDir, true)
+    // 3. commit point + roll-forward; then retention policy
+    GraftParquetWrite.commitLines(fs, table, staging, lines)
+    foldSidecars(fs, table): Unit
+    if (purge) {
+      foldLog(fs, table, retain = 0): Unit
+      val referenced = GraftParquetWrite.logReferencedFiles(fs, table)
+      cands.map(_.getPath.getName).filterNot(referenced)
+        .foreach(n => fs.delete(new Path(table, n), false))
+    } else foldLog(fs, table, retainLog): Unit
+    val after = GraftParquetWrite.listDataFiles(fs, table).length
+    DeleteReport(members.length, cands.length, candRows - survivorRows, after, purge)
+  }
+
   /** Table health report — the maintenance scan an operator runs before
     * trusting a table that crashed mid-anything (the
     * [[graft.streaming.Bm25Index.fsck]] discipline applied here). Read-only;

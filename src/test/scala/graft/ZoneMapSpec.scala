@@ -1056,6 +1056,76 @@ class ZoneMapSpec extends SparkTestBase {
     assert(spark.read.format("graft-parquet").load(dir).count() == 300)
   }
 
+  test("deleteWhere rewrites only intersecting files; purge forgets the bytes AND the history") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    val dir = freshTable("graft-zm-delete")
+    val table = new Path(dir)
+    val fs = fsOf(dir)
+    // four commits with DISJOINT id ranges: a clustered layout by
+    // construction, so the range delete can prove file pruning
+    (0 until 4).foreach { i =>
+      spark.range(i * 25L, (i + 1) * 25L).select(col("id"), lit(s"c$i").as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val snap = GraftParquetWrite.currentSeq(fs, table).get
+    val retired = GraftParquetWrite.listDataFiles(fs, table).map(_.getPath.getName)
+      .filterNot { n =>
+        // files 3 and 4 (ids 50..99) must NOT be touched
+        val ids = spark.read.parquet(s"$dir/$n").agg(min(col("id"))).head().getLong(0)
+        ids >= 50L
+      }
+    val rep = GraftTableOptimize.deleteWhere(spark, dir, col("id") < 30L)
+    assert(rep.filesScanned == 4 && rep.filesRewritten == 2 && rep.rowsDeleted == 30L,
+      s"only the two intersecting files rewrite, got $rep")
+    val back = spark.read.format("graft-parquet").load(dir)
+    assert(back.count() == 70 &&
+      back.agg(min(col("id"))).head().getLong(0) == 30L)
+    // purge (the default): the deleted bytes are physically gone and every
+    // pre-delete snapshot dies loudly — those snapshots CONTAIN the rows
+    retired.foreach(n => assert(!fs.exists(new Path(table, n)),
+      s"purged candidate $n must be physically gone"))
+    val health = GraftTableOptimize.fsck(spark, dir)
+    assert(health.healthy && health.unloggedDataFiles == 0 && health.retiredRetained == 0,
+      s"got $health")
+    val dead = intercept[Exception] {
+      spark.read.format("graft-parquet").option("graft.asOfSeq", snap.toString).load(dir).count()
+    }
+    assert(dead.getMessage.contains("not available"), s"got: ${dead.getMessage}")
+    // deleting nothing is a no-op report
+    val noop = GraftTableOptimize.deleteWhere(spark, dir, col("id") > 10000L)
+    assert(noop.filesRewritten == 0 && noop.rowsDeleted == 0L)
+  }
+
+  test("deleteWhere with purge=false keeps history; NULL-condition rows survive; delete-all stays readable") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    val dir = freshTable("graft-zm-delkeep")
+    val table = new Path(dir)
+    val fs = fsOf(dir)
+    Seq((1L, "x"), (2L, "y"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "name").coalesce(1)
+      .write.format("graft-parquet").mode("append").save(dir)
+    Seq((4L, "x")).toDF("id", "name").coalesce(1)
+      .write.format("graft-parquet").mode("append").save(dir)
+    val snap = GraftParquetWrite.currentSeq(fs, table).get
+    val rep = GraftTableOptimize.deleteWhere(spark, dir, col("name") === "x", purge = false)
+    // SQL semantics: only TRUE deletes — the NULL-name row survives
+    assert(rep.rowsDeleted == 2L, s"got $rep")
+    val back = spark.read.format("graft-parquet").load(dir)
+    assert(back.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // history survives the analytical form: the pre-delete snapshot still
+    // reads all four rows (retired bytes retained under the log)
+    assert(spark.read.format("graft-parquet")
+      .option("graft.asOfSeq", snap.toString).load(dir).count() == 4)
+    assert(GraftTableOptimize.vacuum(spark, dir, graceMs = 0L) == 0,
+      "retained history must not vacuum")
+    // delete-all leaves a readable EMPTY table (epoch record carries the
+    // schema past the last data file)
+    val all = GraftTableOptimize.deleteWhere(spark, dir, lit(true))
+    assert(all.rowsDeleted == 2L)
+    val empty = spark.read.format("graft-parquet").load(dir)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "name") && empty.count() == 0)
+  }
+
   test("retention fold keeps a base snapshot plus the newest records; seqs stay resolvable") {
     import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
     val dir = freshTable("graft-zm-retfold")
