@@ -105,24 +105,16 @@ object GraftTableOptimize {
     // optimize-unique id: names must never collide with a past or future
     // commit's (write names embed Spark queryIds; this embeds time + nonce,
     // the TombstoneLog discipline)
-    val optId = s"opt-${System.currentTimeMillis()}-${(math.abs(scala.util.Random.nextLong()) % 0xFFFFFF).toHexString}"
+    val optId = maintenanceId("opt")
     val staging = GraftParquetWrite.stagingDir(table, optId)
     fs.mkdirs(staging)
 
-    // 1. distributed packed write THROUGH the connector into a mini-table
-    //    inside staging: stats ride along exactly like a normal write
-    val packedDir = new Path(staging, "packed")
+    // 1. the tail reads under the CURRENT schema epoch (an epoch-spanning
+    //    repack must not adopt one file's pre-evolution shape) and shapes
+    //    into the declared layout
     val bytes = small.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    // read the tail under the table's CURRENT schema epoch: on an evolved
-    // table the small files span epochs, and a bare parquet read would
-    // adopt one file's schema — dropping the evolved column's values from
-    // newer files in the rewrite. With the explicit schema, pre-evolution
-    // files backfill NULL and every value survives the repack.
-    val curSchema = GraftParquetWrite.latestSchemaAt(fs, table, None)
-    val tailReader = spark.read
-    val tail = curSchema.fold(tailReader)(tailReader.schema)
-      .parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
+    val tail = readUnderCurrentEpoch(spark, fs, table, small.map(_.getPath.toString))
     import org.apache.spark.sql.functions.col
     val shaped = zOrderBy match {
       case Some((a, b)) =>
@@ -143,22 +135,10 @@ object GraftTableOptimize {
           tail.repartitionByRange(nOut, keys: _*).sortWithinPartitions(keys: _*)
         }
     }
-    shaped.write.format("graft-parquet").mode("append").save(packedDir.toString)
-
-    // 2. move packed files up under final names; manifest = adds + removals
-    val packedStats = ZoneMap.load(fs, packedDir)
-    val moved = fs.listStatus(packedDir)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .zipWithIndex.map { case (st, i) =>
-        val finalName = s"part-$optId-$i.parquet"
-        val to = new Path(staging, finalName)
-        require(fs.rename(st.getPath, to), s"stage move failed for ${st.getPath}")
-        (finalName, packedStats.get(st.getPath.getName))
-      }.toSeq
-    val lines =
-      moved.map { case (n, s) => s.map(st => s"$n\t${ZoneMap.encode(st)}").getOrElse(n) } ++
-        small.map(st => s"~${st.getPath.getName}")
-    fs.delete(packedDir, true) // drop the mini-table scaffolding pre-commit
+    // 2. distributed packed write through the connector + move up under
+    //    final names; manifest = adds + removals
+    val moved = stageRewrite(fs, staging, optId, shaped)
+    val lines = addLines(moved) ++ small.map(st => s"~${st.getPath.getName}")
 
     // 3. commit point + roll-forward (idempotent on replay via recover).
     //    The removals are LOGICAL: the retired small files stay on disk so
@@ -195,6 +175,52 @@ object GraftTableOptimize {
       logBefore, logAfter, reclaimed.length)
   }
 
+  /** time+nonce maintenance id (the TombstoneLog discipline): names must
+    * never collide with a past or future commit's.
+    */
+  private def maintenanceId(prefix: String): String =
+    s"$prefix-${System.currentTimeMillis()}-${(math.abs(scala.util.Random.nextLong()) % 0xFFFFFF).toHexString}"
+
+  /** Read table files under the CURRENT schema epoch: on an evolved table
+    * the files span epochs, and a bare parquet read would adopt one file's
+    * schema — dropping the evolved column's values from newer files. With
+    * the explicit schema, pre-epoch files backfill NULL and every value
+    * survives a rewrite.
+    */
+  private def readUnderCurrentEpoch(spark: SparkSession, fs: FileSystem, table: Path,
+      paths: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val cur = GraftParquetWrite.latestSchemaAt(fs, table, None)
+    val r = spark.read
+    cur.fold(r)(r.schema).parquet(paths.toIndexedSeq: _*)
+  }
+
+  /** Shared swap-staging step of OPTIMIZE and DELETE: write `df` through
+    * the connector into the staging mini-table (zone-map stats ride along
+    * like any write), move the packed files up under `part-<id>-<i>`
+    * names, drop the scaffolding, and return (finalName, stats) for the
+    * caller's manifest. One implementation, so the swap protocol can never
+    * diverge between the two maintenance ops.
+    */
+  private def stageRewrite(fs: FileSystem, staging: Path, id: String,
+      df: org.apache.spark.sql.DataFrame): Seq[(String, Option[ZoneMap.FileStats])] = {
+    val packedDir = new Path(staging, "packed")
+    df.write.format("graft-parquet").mode("append").save(packedDir.toString)
+    val packedStats = ZoneMap.load(fs, packedDir)
+    val moved = fs.listStatus(packedDir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.map { case (st, i) =>
+        val finalName = s"part-$id-$i.parquet"
+        require(fs.rename(st.getPath, new Path(staging, finalName)),
+          s"stage move failed for ${st.getPath}")
+        (finalName, packedStats.get(st.getPath.getName))
+      }.toSeq
+    fs.delete(packedDir, true) // drop the mini-table scaffolding pre-commit
+    moved
+  }
+
+  private def addLines(moved: Seq[(String, Option[ZoneMap.FileStats])]): Seq[String] =
+    moved.map { case (n, s) => s.map(st => s"$n\t${ZoneMap.encode(st)}").getOrElse(n) }
+
   final case class DeleteReport(
       filesScanned: Int, filesRewritten: Int, rowsDeleted: Long,
       filesAfter: Int, purged: Boolean)
@@ -203,23 +229,31 @@ object GraftTableOptimize {
     * right-to-be-forgotten primitive, expressed as the same crash-safe
     * swap OPTIMIZE uses (never a table rebuild):
     *
-    *  1. candidate discovery is DISTRIBUTED and pruned: one native parquet
-    *     scan with the condition pushed down maps matching rows to their
-    *     files (`input_file_name`), so on a clustered table a range delete
-    *     touches only the files whose zone intersects it — files without a
-    *     match are never rewritten;
-    *  2. survivors of the candidate files rewrite through the connector
-    *     (zone-map stats ride along) into the staging mini-table; the swap
-    *     manifest retires every candidate — SQL semantics: a row deletes
-    *     only where the condition is TRUE (NULL keeps the row);
+    *  1. candidate discovery is PRUNED TWICE, then distributed: the
+    *     condition's pushable conjuncts test the zone map driver-side
+    *     (files the statistics refute are never even opened — on a
+    *     clustered 100 TB table a range delete's discovery reads only the
+    *     zone-intersecting slabs), and ONE native parquet scan over the
+    *     survivors (condition pushed into row-group skipping) counts the
+    *     TRUE rows per file (`input_file_name`) — exact `rowsDeleted`,
+    *     independent of sidecar health, no second pass;
+    *  2. survivors of the candidate files rewrite through the shared
+    *     [[stageRewrite]] step; the swap manifest retires every candidate
+    *     — SQL semantics: a row deletes only where the condition is TRUE
+    *     (NULL keeps the row);
     *  3. `purge = true` (the compliance default) then folds the log to one
-    *     snapshot and physically reclaims the retired files: the deleted
-    *     bytes are GONE, and every older AS-OF handle dies loudly at plan
-    *     time — necessarily, because those snapshots CONTAIN the rows
-    *     being forgotten (the [[graft.streaming.TombstoneLog]] argument,
-    *     applied to the table format). `purge = false` is the analytical
-    *     form: history keeps resolving under the retention contract and
-    *     the retired bytes wait for their records to age into vacuum.
+    *     snapshot and runs a zero-grace [[vacuum]]: the deleted bytes are
+    *     GONE — including copies inside files EARLIER maintenance retired
+    *     but retained as history — and every older AS-OF handle dies
+    *     loudly at plan time, necessarily, because those snapshots CONTAIN
+    *     the rows being forgotten (the [[graft.streaming.TombstoneLog]]
+    *     argument, applied to the table format). The finalization runs
+    *     even when discovery finds nothing, so a purge interrupted between
+    *     its swap and its sweep CONVERGES on re-run instead of silently
+    *     reporting a completed purge with history intact. `purge = false`
+    *     is the analytical form: history keeps resolving under the
+    *     retention contract and the retired bytes wait for their records
+    *     to age into vacuum.
     *
     * Single-writer maintenance window, like OPTIMIZE. Deleting every row
     * leaves a readable EMPTY table (the schema epoch record survives the
@@ -229,71 +263,80 @@ object GraftTableOptimize {
       condition: org.apache.spark.sql.Column,
       targetBytes: Long = 128L * 1024 * 1024,
       purge: Boolean = true, retainLog: Int = 8): DeleteReport = {
-    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, count, input_file_name, lit, not}
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(table), s"no table at $path")
     GraftParquetWrite.recover(fs, table)
-    val members = GraftParquetWrite.listDataFiles(fs, table)
-    if (members.isEmpty) return DeleteReport(0, 0, 0L, 0, purge)
-    val cur = GraftParquetWrite.latestSchemaAt(fs, table, None)
-    def readFiles(paths: Seq[String]) = {
-      // explicit current-epoch schema, like OPTIMIZE's tail read: on an
-      // evolved table pre-epoch files backfill NULL instead of steering
-      // the scan's schema
-      val r = spark.read
-      cur.fold(r)(r.schema).parquet(paths: _*)
+    // the compliance finalization — shared by every purge exit path so a
+    // re-run converges whatever the previous attempt reached
+    def purgeFinalize(): Unit = {
+      foldLog(fs, table, retain = 0): Unit
+      vacuum(spark, path, graceMs = 0L): Unit
     }
-    // 1. candidate files — distinct file names holding >=1 TRUE row. The
-    //    native scan pushes the condition's pushable conjuncts into
-    //    row-group skipping, and a clustered layout prunes here exactly as
-    //    it does for reads.
-    val candNames = readFiles(members.map(_.getPath.toString))
-      .filter(condition)
-      .select(input_file_name().as("f")).distinct()
-      .collect().map(r => { val u = r.getString(0); u.substring(u.lastIndexOf('/') + 1) })
-      .toSet
-    val cands = members.filter(st => candNames.contains(st.getPath.getName))
-    if (cands.isEmpty) return DeleteReport(members.length, 0, 0L, members.length, purge)
-    val candPaths = cands.map(_.getPath.toString)
-    val candRows = readFiles(candPaths).count()
+    val members = GraftParquetWrite.listDataFiles(fs, table)
+    if (members.isEmpty) {
+      if (purge) purgeFinalize()
+      return DeleteReport(0, 0, 0L, 0, purge)
+    }
+    // 1a. driver-side zone pruning on the condition's pushable conjuncts:
+    //     conservative — files without an entry (or conjuncts that don't
+    //     translate) stay candidates for the scan
+    val zm = ZoneMap.load(fs, table)
+    val pushable = pushableConjuncts(condition)
+    val schema = GraftParquetWrite.latestSchemaAt(fs, table, None)
+      .getOrElse(spark.read.parquet(members.head.getPath.toString).schema)
+    val scanSet =
+      if (pushable.isEmpty || zm.isEmpty) members
+      else members.filter(st =>
+        zm.get(st.getPath.getName).forall(ZoneMap.mayMatchAll(pushable, _, schema)))
+    // 1b. one distributed scan: TRUE rows per file — both the candidate
+    //     set and the exact deleted-row count
+    val trueByFile: Map[String, Long] =
+      if (scanSet.isEmpty) Map.empty
+      else readUnderCurrentEpoch(spark, fs, table, scanSet.map(_.getPath.toString))
+        .filter(condition)
+        .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+        .collect().map { r =>
+          val u = r.getString(0)
+          (u.substring(u.lastIndexOf('/') + 1), r.getLong(1))
+        }.toMap
+    val cands = members.filter(st => trueByFile.contains(st.getPath.getName))
+    if (cands.isEmpty) {
+      if (purge) purgeFinalize()
+      return DeleteReport(members.length, 0, 0L, members.length, purge)
+    }
+    val rowsDeleted = trueByFile.values.sum
 
-    val delId = s"del-${System.currentTimeMillis()}-${(math.abs(scala.util.Random.nextLong()) % 0xFFFFFF).toHexString}"
+    val delId = maintenanceId("del")
     val staging = GraftParquetWrite.stagingDir(table, delId)
     fs.mkdirs(staging)
     // 2. survivors (condition not TRUE — false or NULL) rewrite through
-    //    the connector into the staging mini-table, exactly like OPTIMIZE
-    val packedDir = new Path(staging, "packed")
+    //    the shared staging step, exactly like OPTIMIZE
     val nOut = math.max(1, math.ceil(cands.map(_.getLen).sum.toDouble / targetBytes).toInt)
-    readFiles(candPaths).filter(not(coalesce(condition, lit(false))))
+    val survivors = readUnderCurrentEpoch(spark, fs, table, cands.map(_.getPath.toString))
+      .filter(not(coalesce(condition, lit(false))))
       .coalesce(nOut)
-      .write.format("graft-parquet").mode("append").save(packedDir.toString)
-    val packedStats = ZoneMap.load(fs, packedDir)
-    val moved = fs.listStatus(packedDir)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .zipWithIndex.map { case (st, i) =>
-        val finalName = s"part-$delId-$i.parquet"
-        require(fs.rename(st.getPath, new Path(staging, finalName)),
-          s"stage move failed for ${st.getPath}")
-        (finalName, packedStats.get(st.getPath.getName))
-      }.toSeq
-    val survivorRows = moved.flatMap(_._2).map(_.rows).sum
-    val lines =
-      moved.map { case (n, s) => s.map(st => s"$n\t${ZoneMap.encode(st)}").getOrElse(n) } ++
-        cands.map(st => s"~${st.getPath.getName}")
-    fs.delete(packedDir, true)
+    val moved = stageRewrite(fs, staging, delId, survivors)
+    val lines = addLines(moved) ++ cands.map(st => s"~${st.getPath.getName}")
     // 3. commit point + roll-forward; then retention policy
     GraftParquetWrite.commitLines(fs, table, staging, lines)
     foldSidecars(fs, table): Unit
-    if (purge) {
-      foldLog(fs, table, retain = 0): Unit
-      val referenced = GraftParquetWrite.logReferencedFiles(fs, table)
-      cands.map(_.getPath.getName).filterNot(referenced)
-        .foreach(n => fs.delete(new Path(table, n), false))
-    } else foldLog(fs, table, retainLog): Unit
+    if (purge) purgeFinalize() else foldLog(fs, table, retainLog): Unit
     val after = GraftParquetWrite.listDataFiles(fs, table).length
-    DeleteReport(members.length, cands.length, candRows - survivorRows, after, purge)
+    DeleteReport(members.length, cands.length, rowsDeleted, after, purge)
   }
+
+  /** Best-effort Column → pushable v1 conjuncts for the zone pre-prune:
+    * only shapes the zone map can test translate (attribute-vs-literal
+    * comparisons under AND — [[org.apache.spark.sql.graftbridge
+    * .ColumnBridge.pushableConjuncts]] walks the node tree); anything else
+    * contributes nothing, and the discovery scan simply covers that much
+    * more — conservative, never wrong.
+    */
+  def pushableConjuncts(condition: org.apache.spark.sql.Column)
+      : Array[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.graftbridge.ColumnBridge.pushableConjuncts(condition).toArray
 
   /** Table health report — the maintenance scan an operator runs before
     * trusting a table that crashed mid-anything (the

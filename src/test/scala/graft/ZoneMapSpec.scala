@@ -1096,6 +1096,22 @@ class ZoneMapSpec extends SparkTestBase {
     assert(noop.filesRewritten == 0 && noop.rowsDeleted == 0L)
   }
 
+  test("deleteWhere's condition translator extracts pushable conjuncts conservatively") {
+    import graft.sources.v2.GraftTableOptimize.pushableConjuncts
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan}
+    // AND splits; attribute-vs-literal comparisons translate in both
+    // orientations; non-pushable conjuncts (pmod) contribute nothing
+    val fs = pushableConjuncts(
+      col("id") < 30L && col("name") === "x" && pmod(col("id"), lit(3)) === 1L)
+    assert(fs.toSet == Set[org.apache.spark.sql.sources.Filter](
+      LessThan("id", 30L), EqualTo("name", "x")), s"got ${fs.toSeq}")
+    assert(pushableConjuncts(lit(5L) < col("id")).toSeq == Seq(GreaterThan("id", 5L)))
+    // an OR must NOT decompose into conjuncts — pruning on either branch
+    // alone would wrongly refute files holding the other branch's rows
+    assert(pushableConjuncts(col("id") < 1L || col("id") > 5L).isEmpty)
+    assert(pushableConjuncts(lit(true)).isEmpty)
+  }
+
   test("deleteWhere with purge=false keeps history; NULL-condition rows survive; delete-all stays readable") {
     import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
     val dir = freshTable("graft-zm-delkeep")
