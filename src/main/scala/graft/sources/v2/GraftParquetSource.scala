@@ -633,16 +633,33 @@ object GraftScan {
     * Shared with [[ZoneMap]] and [[answerFromMetadata]] so statistics
     * pruning, metadata aggregates, and record-level evaluation can never
     * disagree on ordering.
+    *
+    * Floating-point semantics match Spark's comparator exactly
+    * (`nanSafeCompareDoubles`): NaN equals NaN and sorts greatest — which
+    * `Double.compare` already gives — and NEGATIVE ZERO EQUALS POSITIVE
+    * ZERO, which `Double.compare` does not (it orders -0.0 < 0.0). The
+    * zeros are normalized before comparing: without this, a pushed
+    * `d = 0.0` would drop -0.0 rows Spark (and DuckDB) would keep, and
+    * the zone map would refute files bounded by -0.0 that genuinely
+    * match — wrong rows on the read path, silently surviving rows on
+    * deleteWhere's pruned discovery. Normalization preserves the total
+    * order (the two zeros merely tie).
     */
+  private def normZero(d: Double): Double = if (d == 0.0d) 0.0d else d
+
   private[v2] def cmp(field: Any, value: Any): Option[Int] = (field, value) match {
     case (a: String, b: String) => Some(utf8Cmp(a, b))
     case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(a, b))
     case (a: Number, b: Number) =>
       (a, b) match {
-        case (x: java.lang.Double, _) => Some(java.lang.Double.compare(x, b.doubleValue()))
-        case (_, y: java.lang.Double) => Some(java.lang.Double.compare(a.doubleValue(), y))
-        case (x: java.lang.Float, _) => Some(java.lang.Double.compare(x.doubleValue(), b.doubleValue()))
-        case (_, y: java.lang.Float) => Some(java.lang.Double.compare(a.doubleValue(), y.doubleValue()))
+        case (x: java.lang.Double, _) =>
+          Some(java.lang.Double.compare(normZero(x), normZero(b.doubleValue())))
+        case (_, y: java.lang.Double) =>
+          Some(java.lang.Double.compare(normZero(a.doubleValue()), normZero(y)))
+        case (x: java.lang.Float, _) =>
+          Some(java.lang.Double.compare(normZero(x.doubleValue()), normZero(b.doubleValue())))
+        case (_, y: java.lang.Float) =>
+          Some(java.lang.Double.compare(normZero(a.doubleValue()), normZero(y.doubleValue())))
         case _ => Some(java.lang.Long.compare(a.longValue(), b.longValue()))
       }
     case _ => None
@@ -687,7 +704,13 @@ object GraftScan {
       (physical(attr), v) match {
         case (Some(INT64), n: Number) => Some(mkLong(FilterApi.longColumn(attr), n.longValue()))
         case (Some(INT32), n: Number) => Some(mkInt(FilterApi.intColumn(attr), n.intValue()))
-        case (Some(DOUBLE), n: Number) => Some(mkDouble(FilterApi.doubleColumn(attr), n.doubleValue()))
+        // a ±0.0 literal does NOT compile: parquet's double comparator is
+        // total-order (-0.0 < 0.0), so its row-group/record filtering
+        // would drop -0.0 rows a Spark-semantics `= 0.0` keeps — the
+        // (zero-normalized) record-level eval stays authoritative and the
+        // file merely scans un-skipped for this one literal shape
+        case (Some(DOUBLE), n: Number) if n.doubleValue() != 0.0d =>
+          Some(mkDouble(FilterApi.doubleColumn(attr), n.doubleValue()))
         case (Some(BINARY), s: String) => Some(mkBinary(FilterApi.binaryColumn(attr), Binary.fromString(s)))
         case _ => None
       }

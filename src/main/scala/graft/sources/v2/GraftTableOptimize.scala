@@ -188,10 +188,17 @@ object GraftTableOptimize {
     * survives a rewrite.
     */
   private def readUnderCurrentEpoch(spark: SparkSession, fs: FileSystem, table: Path,
+      paths: Seq[String]): org.apache.spark.sql.DataFrame =
+    readUnderEpoch(spark, GraftParquetWrite.latestSchemaAt(fs, table, None), paths)
+
+  /** Same, with the epoch already resolved — multi-read callers pay the
+    * `_log` schema lookup once, not per read.
+    */
+  private def readUnderEpoch(spark: SparkSession,
+      epoch: Option[org.apache.spark.sql.types.StructType],
       paths: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val cur = GraftParquetWrite.latestSchemaAt(fs, table, None)
     val r = spark.read
-    cur.fold(r)(r.schema).parquet(paths.toIndexedSeq: _*)
+    epoch.fold(r)(r.schema).parquet(paths.toIndexedSeq: _*)
   }
 
   /** Shared swap-staging step of OPTIMIZE and DELETE: write `df` through
@@ -275,26 +282,42 @@ object GraftTableOptimize {
       vacuum(spark, path, graceMs = 0L): Unit
     }
     val members = GraftParquetWrite.listDataFiles(fs, table)
+    // the schema epoch, resolved ONCE for validation, pruning, and both
+    // reads (each latestSchemaAt is a paid _log listing on an object store)
+    val epoch = GraftParquetWrite.latestSchemaAt(fs, table, None)
+    // validate the condition against the schema BEFORE any destructive
+    // step, on a zero-row frame (no IO): zone pruning can legitimately
+    // empty the scan set, and skipping analysis there would let a
+    // misspelled column slide straight into purgeFinalize's irreversible
+    // history collapse while reporting a successful 0-row purge
+    epoch.orElse(members.headOption.map(st =>
+      spark.read.parquet(st.getPath.toString).schema)).foreach { sch =>
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+        .filter(condition).queryExecution.analyzed: Unit
+    }
     if (members.isEmpty) {
       if (purge) purgeFinalize()
       return DeleteReport(0, 0, 0L, 0, purge)
     }
+    val schema = epoch.getOrElse(spark.read.parquet(members.head.getPath.toString).schema)
     // 1a. driver-side zone pruning on the condition's pushable conjuncts:
     //     conservative — files without an entry (or conjuncts that don't
-    //     translate) stay candidates for the scan
-    val zm = ZoneMap.load(fs, table)
+    //     translate) stay candidates for the scan. The sidecar is read
+    //     only when there is something to test it with.
     val pushable = pushableConjuncts(condition)
-    val schema = GraftParquetWrite.latestSchemaAt(fs, table, None)
-      .getOrElse(spark.read.parquet(members.head.getPath.toString).schema)
     val scanSet =
-      if (pushable.isEmpty || zm.isEmpty) members
-      else members.filter(st =>
-        zm.get(st.getPath.getName).forall(ZoneMap.mayMatchAll(pushable, _, schema)))
+      if (pushable.isEmpty) members
+      else {
+        val zm = ZoneMap.load(fs, table)
+        if (zm.isEmpty) members
+        else members.filter(st =>
+          zm.get(st.getPath.getName).forall(ZoneMap.mayMatchAll(pushable, _, schema)))
+      }
     // 1b. one distributed scan: TRUE rows per file — both the candidate
     //     set and the exact deleted-row count
     val trueByFile: Map[String, Long] =
       if (scanSet.isEmpty) Map.empty
-      else readUnderCurrentEpoch(spark, fs, table, scanSet.map(_.getPath.toString))
+      else readUnderEpoch(spark, epoch, scanSet.map(_.getPath.toString))
         .filter(condition)
         .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
         .collect().map { r =>
@@ -314,7 +337,7 @@ object GraftTableOptimize {
     // 2. survivors (condition not TRUE — false or NULL) rewrite through
     //    the shared staging step, exactly like OPTIMIZE
     val nOut = math.max(1, math.ceil(cands.map(_.getLen).sum.toDouble / targetBytes).toInt)
-    val survivors = readUnderCurrentEpoch(spark, fs, table, cands.map(_.getPath.toString))
+    val survivors = readUnderEpoch(spark, epoch, cands.map(_.getPath.toString))
       .filter(not(coalesce(condition, lit(false))))
       .coalesce(nOut)
     val moved = stageRewrite(fs, staging, delId, survivors)
@@ -437,7 +460,7 @@ object GraftTableOptimize {
     if (olds.length <= 1) return olds.length
     val live = GraftParquetWrite.listDataFiles(fs, table).map(_.getPath.getName).toSet
     val entries = ZoneMap.load(fs, table).filter { case (n, _) => live.contains(n) }
-    val foldName = s"optfold-${System.currentTimeMillis()}-${(math.abs(scala.util.Random.nextLong()) % 0xFFFFFF).toHexString}"
+    val foldName = maintenanceId("optfold")
     if (entries.nonEmpty) ZoneMap.write(fs, table, foldName, entries.toSeq.sortBy(_._1))
     olds.foreach(p => fs.delete(p, false))
     zmFiles(fs, table).length
@@ -518,8 +541,6 @@ object GraftTableOptimize {
     def memberLines(asOf: Option[Long]): Seq[String] =
       GraftParquetWrite.logMembership(fs, table, asOf).getOrElse(Map.empty)
         .toSeq.sortBy(_._1).map { case (n, len) => s"$n\t$len" }
-    def nonce(): String =
-      s"${System.currentTimeMillis()}-${(math.abs(scala.util.Random.nextLong()) % 0xFFFFFF).toHexString}"
     // schema epochs below the surviving horizon collapse too: every seq a
     // reader can still name resolves its epoch through the newest metadata
     // record at-or-below the horizon, so older ones are dead history
@@ -572,7 +593,7 @@ object GraftTableOptimize {
       if (recs.length <= 1) return recs.length
       val seq = GraftParquetWrite.logSeqOf(recs.last.getPath.getName) + 1L
       val snapshot = memberLines(None)
-      publish(snapshot, f"c-$seq%012d-logfold-${nonce()}")
+      publish(snapshot, f"c-$seq%012d-${maintenanceId("logfold")}")
       stampUnreferenced(recs, snapshot, Nil)
       recs.foreach(st => fs.delete(st.getPath, false)) // oldest-first
       pruneSchemaRecords(seq)
@@ -582,7 +603,7 @@ object GraftTableOptimize {
       val retained = recs.takeRight(retain)
       val baseSeq = GraftParquetWrite.logSeqOf(folded.last.getPath.getName)
       val snapshot = memberLines(Some(baseSeq))
-      publish(snapshot, f"c-$baseSeq%012d-logbase-${nonce()}")
+      publish(snapshot, f"c-$baseSeq%012d-${maintenanceId("logbase")}")
       stampUnreferenced(folded, snapshot, retained)
       folded.foreach(st => fs.delete(st.getPath, false)) // oldest-first
       pruneSchemaRecords(baseSeq)

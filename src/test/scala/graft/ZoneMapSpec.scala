@@ -1096,6 +1096,29 @@ class ZoneMapSpec extends SparkTestBase {
     assert(noop.filesRewritten == 0 && noop.rowsDeleted == 0L)
   }
 
+  test("negative zero equals positive zero across eval, pruning, and pruned deletion") {
+    import graft.sources.v2.GraftTableOptimize
+    // Spark's comparator (nanSafeCompareDoubles) and DuckDB both treat
+    // -0.0 = 0.0 as TRUE; raw Double.compare orders them. The shared cmp
+    // normalizes zeros, so a pushed equality neither drops -0.0 rows nor
+    // lets the zone map refute a file bounded by -0.0 — and deleteWhere's
+    // pruned discovery still finds them.
+    val dir = freshTable("graft-zm-negzero")
+    Seq((1L, -0.0), (2L, 1.5)).toDF("id", "v")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val t = spark.read.format("graft-parquet").load(dir)
+    assert(t.filter(col("v") === 0.0).count() == 1,
+      "a pushed v = 0.0 must keep the -0.0 row, like Spark and DuckDB")
+    assert(t.filter(col("v") < 0.0).count() == 0, "and -0.0 is not less than 0.0")
+    val (tot, pruned) = ZoneMap.pruneReport(fsOf(dir), new Path(dir),
+      Array(org.apache.spark.sql.sources.EqualTo("v", 0.0)), t.schema)
+    assert(tot == 1 && pruned == 0, s"the -0.0-bounded file must not refute v = 0.0: $pruned/$tot")
+    val rep = GraftTableOptimize.deleteWhere(spark, dir, col("v") === 0.0)
+    assert(rep.rowsDeleted == 1, s"the pruned discovery must find the -0.0 row, got $rep")
+    assert(spark.read.format("graft-parquet").load(dir)
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("deleteWhere's condition translator extracts pushable conjuncts conservatively") {
     import graft.sources.v2.GraftTableOptimize.pushableConjuncts
     import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan}
