@@ -183,7 +183,16 @@ final case class GraftParquetTable(path: String, tableSchema: StructType)
         if (i >= tShape.length) f.copy(nullable = true) // appended: old files read NULL
         else f.copy(nullable = f.nullable || tableSchema.fields(i).nullable)
       })
-    GraftWriteBuilder(path, info, epochSchema)
+    // the `@` epoch line rides the manifest only when this write would
+    // actually move the epoch (first commit of an empty table, appended
+    // columns, or nullability widening): the comparison happens HERE, at
+    // plan time, against the schema the read path already resolved — a
+    // steady-state append then skips the line and the roll-forward pays no
+    // per-commit schema listing/read at all. Compared on (name, type,
+    // nullable) — metadata differences must not force epoch churn.
+    def epochShape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType, f.nullable))
+    val publishEpoch = tableSchema.isEmpty || epochShape(epochSchema) != epochShape(tableSchema)
+    GraftWriteBuilder(path, info, epochSchema, publishEpoch)
   }
 }
 

@@ -289,6 +289,17 @@ object GraftParquetWrite {
     rest.substring(rest.indexOf('-') + 1)
   }
 
+  /** Is this record a complete history ROOT — a baseline membership folds
+    * can stand on? True for the table's first record (seq 0 snapshots the
+    * whole directory by construction) and for fold snapshots
+    * (`logfold-`/`logbase-` ids). AS-OF resolution requires one at or
+    * below its seq; a rootless suffix of deltas (the residue of an
+    * interrupted fold's oldest-first deletions) is an incomplete corpus.
+    */
+  private[v2] def isHistoryRoot(name: String): Boolean =
+    logSeqOf(name) == 0L ||
+      logIdOf(name).startsWith("logfold-") || logIdOf(name).startsWith("logbase-")
+
   /** fileName → length for every committed member, or None when the table
     * carries no log (legacy tables and plain parquet directories — the
     * caller falls back to the directory listing).
@@ -344,6 +355,23 @@ object GraftParquetWrite {
     }
     if (recs.isEmpty) None
     else {
+      // the resolved set must CONTAIN a valid history root — the table's
+      // first record (seq 0, a complete snapshot by construction) or a
+      // fold snapshot. A fold deletes superseded records oldest-first
+      // AFTER publishing its base, so an interrupted fold can leave a
+      // rootless suffix of deltas below the base seq: a handle resolving
+      // inside that suffix would fold only those deltas and silently serve
+      // an INCOMPLETE corpus — the exact silent-wrong-answer the AS-OF
+      // contract forbids (an intact log always reaches a root through the
+      // base). The same check guards CURRENT membership: a log whose every
+      // root is missing is real damage (lost records), and failing loudly
+      // beats serving the partial table as if it were whole.
+      require(recs.exists(st => isHistoryRoot(st.getPath.getName)),
+        s"commit log at $table has no history root among the " +
+          s"${asOfSeq.fold("retained")(s => s"seq<=$s")} records — an interrupted fold " +
+          "is retiring this handle, or records were lost; refusing to serve an " +
+          "incomplete corpus (re-run the fold to converge, then use a handle at or " +
+          "above the fold base)")
       val adds = scala.collection.mutable.Map.empty[String, Long]
       val removed = scala.collection.mutable.Set.empty[String]
       recs.foreach { st =>
@@ -628,7 +656,7 @@ object GraftParquetWrite {
 }
 
 final case class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
-    epochSchema: StructType) extends WriteBuilder {
+    epochSchema: StructType, publishEpoch: Boolean) extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       // fail at plan time on an unwritable schema, not per-task
@@ -638,13 +666,14 @@ final case class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
       // the data (TableIngest keys streaming batch dedup on it)
       GraftBatchWrite(path, info.queryId(), info.schema(),
         Option(info.options().get("graft.commitMarker")).filter(_.nonEmpty),
-        epochSchema)
+        epochSchema, publishEpoch)
     }
   }
 }
 
 final case class GraftBatchWrite(path: String, queryId: String, schema: StructType,
-    commitMarker: Option[String] = None, epochSchema: StructType = new StructType())
+    commitMarker: Option[String] = None, epochSchema: StructType = new StructType(),
+    publishEpoch: Boolean = true)
     extends BatchWrite {
 
   private def withFs[T](body: (FileSystem, Path) => T): T = {
@@ -664,13 +693,18 @@ final case class GraftBatchWrite(path: String, queryId: String, schema: StructTy
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = withFs { (fs, table) =>
     val entries = messages.collect { case GraftCommitMessage(name, stats) => (name, stats) }.toSeq
-    // the (nullability-widened) schema epoch rides every manifest — compact
-    // JSON, one line; the roll-forward publishes a new epoch record only
-    // when it differs from the current one, so steady-state writes cost
-    // nothing extra
+    // the (nullability-widened) schema epoch rides the manifest only when
+    // the PLAN-TIME comparison saw it differ from the table's resolved
+    // schema (first commit, evolution, or nullability widening): a
+    // steady-state append then pays ZERO schema metadata IO in the
+    // roll-forward — no `_log` re-listing, no epoch-record read per commit
+    // (on an object store those were paid LIST/GET calls on the hot ingest
+    // path). appendSchemaRecord stays idempotent-and-compare-on-publish for
+    // the rare commits that do carry the line.
     val epoch = if (epochSchema.isEmpty) schema else epochSchema
     val lines = entries.map { case (n, s) => s"$n\t${ZoneMap.encode(s)}" } ++
-      commitMarker.map("!" + _) ++ Seq("@" + epoch.json)
+      commitMarker.map("!" + _) ++
+      (if (publishEpoch) Seq("@" + epoch.json) else Nil)
     GraftParquetWrite.commitLines(fs, table, GraftParquetWrite.stagingDir(table, queryId), lines)
   }
 

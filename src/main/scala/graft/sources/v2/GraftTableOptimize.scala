@@ -179,7 +179,9 @@ object GraftTableOptimize {
     * never collide with a past or future commit's.
     */
   private def maintenanceId(prefix: String): String =
-    s"$prefix-${System.currentTimeMillis()}-${(math.abs(scala.util.Random.nextLong()) % 0xFFFFFF).toHexString}"
+    // mask, not abs: math.abs(Long.MinValue) is still negative, which would
+    // produce an oversized negative-hex suffix once in 2^64
+    s"$prefix-${System.currentTimeMillis()}-${(scala.util.Random.nextLong() & 0xFFFFFFL).toHexString}"
 
   /** Read table files under the CURRENT schema epoch: on an evolved table
     * the files span epochs, and a bare parquet read would adopt one file's
@@ -254,10 +256,15 @@ object GraftTableOptimize {
     *     but retained as history — and every older AS-OF handle dies
     *     loudly at plan time, necessarily, because those snapshots CONTAIN
     *     the rows being forgotten (the [[graft.streaming.TombstoneLog]]
-    *     argument, applied to the table format). The finalization runs
-    *     even when discovery finds nothing, so a purge interrupted between
-    *     its swap and its sweep CONVERGES on re-run instead of silently
-    *     reporting a completed purge with history intact. `purge = false`
+    *     argument, applied to the table format). Finalization is gated by
+    *     a `_log/purge-pending` marker written BEFORE the destructive swap
+    *     and cleared after the sweep: a purge interrupted between its swap
+    *     and its sweep still CONVERGES on re-run (the marker survives and
+    *     re-triggers finalization even though discovery now finds zero
+    *     rows), while a genuinely-no-op purge — a predicate value typo
+    *     that matches nothing — touches NO history at all, instead of
+    *     irreversibly collapsing the table's whole AS-OF past as the old
+    *     always-finalize behavior did. `purge = false`
     *     is the analytical form: history keeps resolving under the
     *     retention contract and the retired bytes wait for their records
     *     to age into vacuum.
@@ -269,18 +276,27 @@ object GraftTableOptimize {
   def deleteWhere(spark: SparkSession, path: String,
       condition: org.apache.spark.sql.Column,
       targetBytes: Long = 128L * 1024 * 1024,
-      purge: Boolean = true, retainLog: Int = 8): DeleteReport = {
+      purge: Boolean = true, retainLog: Int = 8,
+      clusterBy: Seq[String] = Nil): DeleteReport = {
     import org.apache.spark.sql.functions.{coalesce, count, input_file_name, lit, not}
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(table), s"no table at $path")
     GraftParquetWrite.recover(fs, table)
-    // the compliance finalization — shared by every purge exit path so a
-    // re-run converges whatever the previous attempt reached
+    // the purge-pending marker: written before the destructive swap,
+    // cleared after the sweep. Its presence is what distinguishes "a purge
+    // was interrupted here — finish it" from "this delete matched nothing
+    // — leave history alone": finalization is irreversible (every AS-OF
+    // handle dies), so it must never ride a harmless no-op call.
+    val pendingMarker = new Path(GraftParquetWrite.logDir(table), "purge-pending")
     def purgeFinalize(): Unit = {
       foldLog(fs, table, retain = 0): Unit
       vacuum(spark, path, graceMs = 0L): Unit
+      if (fs.exists(pendingMarker)) fs.delete(pendingMarker, false): Unit
     }
+    // converge an interrupted purge FIRST, whatever this call's predicate
+    // finds: the marker proves a prior purge passed its swap
+    if (purge && fs.exists(pendingMarker)) purgeFinalize()
     val members = GraftParquetWrite.listDataFiles(fs, table)
     // the schema epoch, resolved ONCE for validation, pruning, and both
     // reads (each latestSchemaAt is a paid _log listing on an object store)
@@ -295,10 +311,7 @@ object GraftTableOptimize {
       spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
         .filter(condition).queryExecution.analyzed: Unit
     }
-    if (members.isEmpty) {
-      if (purge) purgeFinalize()
-      return DeleteReport(0, 0, 0L, 0, purge)
-    }
+    if (members.isEmpty) return DeleteReport(0, 0, 0L, 0, purge)
     val schema = epoch.getOrElse(spark.read.parquet(members.head.getPath.toString).schema)
     // 1a. driver-side zone pruning on the condition's pushable conjuncts:
     //     conservative — files without an entry (or conjuncts that don't
@@ -325,21 +338,34 @@ object GraftTableOptimize {
           (u.substring(u.lastIndexOf('/') + 1), r.getLong(1))
         }.toMap
     val cands = members.filter(st => trueByFile.contains(st.getPath.getName))
-    if (cands.isEmpty) {
-      if (purge) purgeFinalize()
-      return DeleteReport(members.length, 0, 0L, members.length, purge)
-    }
+    // matched nothing: report the no-op without touching history — the
+    // interrupted-purge case was already converged via the marker above
+    if (cands.isEmpty) return DeleteReport(members.length, 0, 0L, members.length, purge)
     val rowsDeleted = trueByFile.values.sum
 
     val delId = maintenanceId("del")
     val staging = GraftParquetWrite.stagingDir(table, delId)
     fs.mkdirs(staging)
+    // the marker lands BEFORE the commit point of the swap: every crash
+    // window after rows start disappearing re-runs into purgeFinalize
+    if (purge) fs.create(pendingMarker, true).close()
     // 2. survivors (condition not TRUE — false or NULL) rewrite through
-    //    the shared staging step, exactly like OPTIMIZE
+    //    the shared staging step, exactly like OPTIMIZE. `clusterBy`
+    //    preserves the table's layout contract through the delete: a
+    //    non-range delete (user_id IN ...) on an event_id-clustered table
+    //    intersects MANY disjoint slabs, and a bare coalesce would merge
+    //    them into wide-zone files — silently degrading range pruning on
+    //    the cluster key until the next OPTIMIZE. Range-repartition + the
+    //    intra-file sort keeps every rewritten file's [min,max] tight.
     val nOut = math.max(1, math.ceil(cands.map(_.getLen).sum.toDouble / targetBytes).toInt)
-    val survivors = readUnderEpoch(spark, epoch, cands.map(_.getPath.toString))
+    val kept = readUnderEpoch(spark, epoch, cands.map(_.getPath.toString))
       .filter(not(coalesce(condition, lit(false))))
-      .coalesce(nOut)
+    val survivors =
+      if (clusterBy.isEmpty) kept.coalesce(nOut)
+      else {
+        val keys = clusterBy.map(org.apache.spark.sql.functions.col)
+        kept.repartitionByRange(nOut, keys: _*).sortWithinPartitions(keys: _*)
+      }
     val moved = stageRewrite(fs, staging, delId, survivors)
     val lines = addLines(moved) ++ cands.map(st => s"~${st.getPath.getName}")
     // 3. commit point + roll-forward; then retention policy
@@ -466,6 +492,55 @@ object GraftTableOptimize {
     zmFiles(fs, table).length
   }
 
+  // ------------------------------------------------- retirement stamping
+
+  /** Durable retirement times: `_log/r-<millis>-<nonce>` records with one
+    * `fileName\tretiredAtMs` line per file a fold just unreferenced.
+    * [[vacuum]]'s grace counts from max(mtime, retiredAt), so the
+    * "unreferenced for at least graceMs" protection survives filesystems
+    * where `setTimes` is unsupported or silently swallowed (S3A throws;
+    * the mtime re-stamp alone would leave fold-retired files carrying
+    * their old write-time mtimes, and a graced vacuum would collect them
+    * instantly — exactly the in-flight-AS-OF-reader window the grace
+    * exists to protect). The record is written BEFORE the fold deletes the
+    * records that unreference the files (protective write before the
+    * destructive one), and vacuum garbage-collects a stamp record once
+    * every file it names has left the disk.
+    */
+  private def writeRetirementRecord(fs: FileSystem, table: Path,
+      names: Iterable[String], nowMs: Long): Unit =
+    if (names.nonEmpty) {
+      val d = GraftParquetWrite.logDir(table)
+      fs.mkdirs(d)
+      val tmp = new Path(d, s"retire-${System.nanoTime()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(names.toSeq.sorted.map(n => s"$n\t$nowMs").mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val target = new Path(d, s"r-$nowMs-${maintenanceId("stamp").split('-').last}")
+      require(fs.rename(tmp, target), s"retirement stamp publish failed in $d")
+    }
+
+  private[graft] def retirementRecordFiles(fs: FileSystem, table: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val d = GraftParquetWrite.logDir(table)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).filter(st => st.isFile && st.getPath.getName.startsWith("r-")).toSeq
+  }
+
+  /** fileName → newest durable retirement stamp. */
+  private def retirementTimes(fs: FileSystem, table: Path): Map[String, Long] =
+    retirementRecordFiles(fs, table).foldLeft(Map.empty[String, Long]) { (acc, st) =>
+      GraftParquetWrite.recordLines(fs, st.getPath).foldLeft(acc) { (m, line) =>
+        val cut = line.indexOf('\t')
+        if (cut <= 0) m
+        else {
+          val n = line.substring(0, cut)
+          val ts = scala.util.Try(line.substring(cut + 1).trim.toLong).getOrElse(0L)
+          m.updated(n, math.max(ts, m.getOrElse(n, 0L)))
+        }
+      }
+    }
+
   /** Physical garbage collection, snapshot-aware: delete `.parquet` files
     * no RETAINED log record references — alien drops, leftovers of pre-log
     * tooling, and files OPTIMIZE retired whose retiring records have since
@@ -479,12 +554,14 @@ object GraftTableOptimize {
     * commit is completed so its pending files get logged before the sweep,
     * while an UNMANIFESTED staging dir — possibly a live writer mid-stage —
     * is left alone; vacuum therefore needs no writer lock. `graceMs`
-    * (modification time) absorbs clock skew and any in-flight rename of
-    * files outside staging — and for files OPTIMIZE retired, [[foldLog]]
-    * re-stamps the mtime at the fold that unreferences them, so the grace
-    * reads as "unreferenced for at least graceMs": an in-flight AS-OF
-    * reader whose handle a fold just retired keeps its files for the
-    * grace, not zero. No-op on tables without a log (membership IS the
+    * absorbs clock skew and any in-flight rename of files outside staging —
+    * and for files OPTIMIZE retired, [[foldLog]] stamps the retirement time
+    * DURABLY (an `r-` record under `_log`, plus a best-effort mtime
+    * re-stamp); the grace tests max(mtime, stamp), so it reads as
+    * "unreferenced for at least graceMs" even on object stores without
+    * setTimes: an in-flight AS-OF reader whose handle a fold just retired
+    * keeps its files for the grace, not zero. No-op on tables without a log
+    * (membership IS the
     * listing there, so nothing can be unreferenced). Returns the number
     * of files deleted.
     */
@@ -496,13 +573,27 @@ object GraftTableOptimize {
     GraftParquetWrite.healPublished(fs, table)
     if (GraftParquetWrite.logRecordFiles(fs, table).isEmpty) return 0
     val referenced = GraftParquetWrite.logReferencedFiles(fs, table)
+    val retiredAt = retirementTimes(fs, table)
     val cutoff = System.currentTimeMillis() - graceMs
+    val listed = GraftParquetWrite.listByDirectory(fs, table)
     // <=, not <: graceMs = 0 must mean "collect everything unreferenced
-    // now", including a file the fold stamped within this millisecond
-    val dead = GraftParquetWrite.listByDirectory(fs, table).filter { st =>
-      !referenced.contains(st.getPath.getName) && st.getModificationTime <= cutoff
+    // now", including a file the fold stamped within this millisecond.
+    // Retirement time = max(mtime, durable stamp): the stamp is what holds
+    // on object stores where the fold's setTimes re-stamp is a no-op.
+    val dead = listed.filter { st =>
+      !referenced.contains(st.getPath.getName) &&
+        math.max(st.getModificationTime,
+          retiredAt.getOrElse(st.getPath.getName, 0L)) <= cutoff
     }
     dead.foreach(st => fs.delete(st.getPath, false))
+    // stamp-record GC off the listing already in hand: a record every one
+    // of whose files has left the disk can never influence a grace again
+    val remaining = listed.map(_.getPath.getName).toSet -- dead.map(_.getPath.getName)
+    retirementRecordFiles(fs, table).foreach { st =>
+      val names = GraftParquetWrite.recordLines(fs, st.getPath)
+        .flatMap { l => val cut = l.indexOf('\t'); if (cut <= 0) None else Some(l.substring(0, cut)) }
+      if (names.forall(n => !remaining.contains(n))) fs.delete(st.getPath, false)
+    }
     dead.length
   }
 
@@ -564,8 +655,11 @@ object GraftTableOptimize {
     // (vacuum never touches referenced files; a crash pre-delete leaves
     // them referenced with a newer mtime, which only lengthens the grace).
     // Post-fold reachability = the snapshot's own adds plus the retained
-    // records' adds, both in hand pre-delete. Best-effort: a filesystem
-    // without setTimes degrades to the write-time grace. The folded
+    // records' adds, both in hand pre-delete. The stamp is DURABLE: an
+    // atomic `r-` record under _log carries fileName→retiredAtMs (vacuum
+    // graces against max(mtime, stamp)), so the protection holds on object
+    // stores where setTimes is unsupported; the mtime re-stamp remains as
+    // a best-effort secondary. The folded
     // records' lines are read once and shared between the dropped-removal
     // set and nothing else (membership still folds them via memberLines —
     // a second read, accepted: folds fire at most every 16th ingest batch).
@@ -582,9 +676,15 @@ object GraftTableOptimize {
           retained.flatMap(st => GraftParquetWrite.recordLines(fs, st.getPath)
             .flatMap(addNameOf))).toSet
         val now = System.currentTimeMillis()
-        dropped.filterNot(referencedAfter).foreach { n =>
-          val p = new Path(table, n)
-          try { if (fs.exists(p)) fs.setTimes(p, now, -1) }
+        val retiring = dropped.filterNot(referencedAfter)
+          .filter(n => fs.exists(new Path(table, n)))
+        // the DURABLE stamp first (one atomic record — the protection that
+        // holds on object stores), then the best-effort mtime re-stamp (a
+        // filesystem without setTimes silently keeps write-time mtimes,
+        // which the durable stamp now outvotes via max())
+        writeRetirementRecord(fs, table, retiring, now)
+        retiring.foreach { n =>
+          try fs.setTimes(new Path(table, n), now, -1)
           catch { case scala.util.control.NonFatal(_) => () }
         }
       }

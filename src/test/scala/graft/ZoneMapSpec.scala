@@ -1032,6 +1032,42 @@ class ZoneMapSpec extends SparkTestBase {
       "the live table is untouched by snapshot retirement")
   }
 
+  test("retirement grace holds without setTimes: the durable stamp outvotes a stale mtime") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    // the object-store scenario: S3A throws on setTimes, so fold-retired
+    // files keep their old write-time mtimes. The durable `r-` stamp under
+    // _log must carry the grace alone — without it, a graced vacuum would
+    // collect the just-retired tail instantly.
+    val dir = freshTable("graft-zm-durablestamp")
+    val table = new Path(dir)
+    (0 until 3).foreach { i =>
+      spark.range(i * 10L, (i + 1) * 10L).select(col("id"), lit("x").as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val fs = fsOf(dir)
+    val rep = GraftTableOptimize.optimize(spark, dir,
+      targetBytes = 1L << 20, smallBytes = 1L << 20, clusterBy = Seq("id"))
+    assert(rep.filesRewritten == 3)
+    val retired = fs.listStatus(table)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSeq
+      .filterNot(GraftParquetWrite.listDataFiles(fs, table).map(_.getPath.getName).toSet)
+    assert(retired.size == 3)
+    GraftTableOptimize.foldLog(fs, table, retain = 0)
+    // simulate setTimes having been a silent no-op: force the mtimes BACK
+    // to an hour ago AFTER the fold's re-stamp
+    retired.foreach(n =>
+      fs.setTimes(new Path(table, n), System.currentTimeMillis() - 3600000L, -1))
+    assert(GraftTableOptimize.vacuum(spark, dir, graceMs = 600000L) == 0,
+      "the durable retirement stamp must protect just-retired files despite stale mtimes")
+    retired.foreach(n => assert(fs.exists(new Path(table, n))))
+    // zero grace collects them, and the spent stamp records GC with them
+    assert(GraftTableOptimize.vacuum(spark, dir, graceMs = 0L) == 3)
+    assert(GraftTableOptimize.retirementRecordFiles(fs, table).isEmpty,
+      "a stamp record whose every file is gone must be collected too")
+    assert(spark.read.format("graft-parquet").load(dir).count() == 30)
+  }
+
   test("OPTIMIZE on a pre-log table reclaims its retired tail even under default retention") {
     import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
     // a LEGACY plain parquet directory: the swap's bootstrap record is the
@@ -1096,6 +1132,42 @@ class ZoneMapSpec extends SparkTestBase {
     assert(noop.filesRewritten == 0 && noop.rowsDeleted == 0L)
   }
 
+  test("a no-op purge delete leaves history intact; the pending marker converges an interrupted one") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    val dir = freshTable("graft-zm-purgenoop")
+    val table = new Path(dir)
+    val fs = fsOf(dir)
+    (0 until 3).foreach { i =>
+      spark.range(i * 10L, (i + 1) * 10L).select(col("id"), lit(s"c$i").as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val snap = GraftParquetWrite.currentSeq(fs, table).get
+    // a predicate value typo that passes schema analysis but matches
+    // nothing: the purge default must NOT collapse the table's AS-OF past
+    val noop = GraftTableOptimize.deleteWhere(spark, dir, col("id") > 99999L)
+    assert(noop.rowsDeleted == 0L && noop.filesRewritten == 0)
+    assert(spark.read.format("graft-parquet")
+      .option("graft.asOfSeq", snap.toString).load(dir).count() == 30,
+      "a no-op purge must leave every snapshot resolvable")
+    assert(GraftParquetWrite.logRecordFiles(fs, table).length == 3,
+      "and the log unfolded")
+    // the interrupted-purge residue: the marker proves a prior purge
+    // passed its swap — the SAME no-op call now converges the finalization
+    val marker = new Path(GraftParquetWrite.logDir(table), "purge-pending")
+    fs.create(marker, true).close()
+    val converge = GraftTableOptimize.deleteWhere(spark, dir, col("id") > 99999L)
+    assert(converge.rowsDeleted == 0L)
+    assert(!fs.exists(marker), "the marker must clear once finalization completes")
+    assert(GraftParquetWrite.logRecordFiles(fs, table).length == 1,
+      "finalization must fold the history")
+    val dead = intercept[Exception] {
+      spark.read.format("graft-parquet").option("graft.asOfSeq", snap.toString)
+        .load(dir).count()
+    }
+    assert(dead.getMessage.contains("not available"), s"got: ${dead.getMessage}")
+    assert(spark.read.format("graft-parquet").load(dir).count() == 30)
+  }
+
   test("negative zero equals positive zero across eval, pruning, and pruned deletion") {
     import graft.sources.v2.GraftTableOptimize
     // Spark's comparator (nanSafeCompareDoubles) and DuckDB both treat
@@ -1117,6 +1189,38 @@ class ZoneMapSpec extends SparkTestBase {
     assert(rep.rowsDeleted == 1, s"the pruned discovery must find the -0.0 row, got $rep")
     assert(spark.read.format("graft-parquet").load(dir)
       .select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("deleteWhere(clusterBy) preserves the clustered layout: pruning stays tight after an IN-list delete") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    val dir = freshTable("graft-zm-delcluster")
+    val table = new Path(dir)
+    val fs = fsOf(dir)
+    // four disjoint id slabs — a clustered layout whose zones a range
+    // query can prune to one file
+    (0 until 4).foreach { i =>
+      spark.range(i * 25L, (i + 1) * 25L).select(col("id"), lit(s"c$i").as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val schema = spark.read.format("graft-parquet").load(dir).schema
+    val window: Array[org.apache.spark.sql.sources.Filter] = Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 10L),
+      org.apache.spark.sql.sources.LessThan("id", 20L))
+    val (t0, p0) = ZoneMap.pruneReport(fs, table, window, schema)
+    assert(t0 == 4 && t0 - p0 == 1, s"pre-delete: the window must plan 1 of 4 files ($p0/$t0)")
+    // an IN-list delete hitting EVERY slab: all four files are candidates,
+    // and a bare coalesce rewrite could merge their disjoint ranges into
+    // wide-zone files — clusterBy must keep the ranges tight instead
+    val bytes = GraftParquetWrite.listDataFiles(fs, table).map(_.getLen).sum
+    val rep = GraftTableOptimize.deleteWhere(spark, dir,
+      col("id").isin(5L, 30L, 55L, 80L),
+      targetBytes = math.max(1L, (bytes + 3) / 4), purge = false,
+      clusterBy = Seq("id"))
+    assert(rep.filesRewritten == 4 && rep.rowsDeleted == 4L, s"got $rep")
+    val (t1, p1) = ZoneMap.pruneReport(fs, table, window, schema)
+    assert(t1 - p1 == 1,
+      s"post-delete: the same window must still plan 1 file, got ${t1 - p1} of $t1")
+    assert(spark.read.format("graft-parquet").load(dir).count() == 96)
   }
 
   test("deleteWhere's condition translator extracts pushable conjuncts conservatively") {
@@ -1193,6 +1297,37 @@ class ZoneMapSpec extends SparkTestBase {
       .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
     assert(GraftParquetWrite.currentSeq(fs, table).contains(10L))
     assert(asOf(10L).count() == 110)
+  }
+
+  test("AS-OF inside an interrupted fold's rootless suffix fails loudly, never incomplete") {
+    import graft.sources.v2.GraftParquetWrite
+    val dir = freshTable("graft-zm-rootless")
+    val table = new Path(dir)
+    (0 until 5).foreach { i =>
+      spark.range(i * 10L, (i + 1) * 10L).select(col("id"), lit("x").as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val fs = fsOf(dir)
+    // simulate the rootless residue (lost/partially-deleted oldest records
+    // with no fold base covering them): delete the two oldest records by
+    // hand — records 2..4 remain, none of them a history root.
+    (0 to 1).foreach { s =>
+      val rec = GraftParquetWrite.logRecordFiles(fs, table)
+        .find(st => GraftParquetWrite.logSeqOf(st.getPath.getName) == s.toLong).get
+      fs.delete(rec.getPath, false)
+    }
+    // a handle at seq 3 folds only records 2..3 — an incomplete corpus the
+    // root check must refuse (before the check this read 20 rows silently)
+    val boom = intercept[Exception] {
+      spark.read.format("graft-parquet").option("graft.asOfSeq", "3").load(dir).count()
+    }
+    assert(boom.getMessage.contains("history root"), s"got: ${boom.getMessage}")
+    // the CURRENT read is equally incomplete here (no base ever published):
+    // the root check refuses that too instead of serving 30 of 50 rows
+    val boom2 = intercept[Exception] {
+      spark.read.format("graft-parquet").load(dir).count()
+    }
+    assert(boom2.getMessage.contains("history root"), s"got: ${boom2.getMessage}")
   }
 
   test("a log-seq collision fails the commit loudly and fsck reports it") {
