@@ -676,6 +676,43 @@ object SparkEntry {
       replayA.withColumn("replay_ok", lit(ok))
     }),
 
+    "concurrent_ingest" -> ((s, dir) => {
+      // optimistic concurrency on the commit log end-to-end: two
+      // barrier-aligned writer jobs append disjoint halves of events to
+      // ONE connector table at the same time. Under the old single-writer
+      // tripwire the loser's whole batch aborted; under the CAS protocol
+      // (GraftParquetWrite.appendLogRecord: collide → retract → re-land at
+      // the next seq, with maintenance swaps conflict-validated) BOTH land
+      // with union membership — the fleet-fed corpus table, which is the
+      // actual 100 TB deployment shape. The flag pins that both jobs
+      // committed their own log record, every file is logged, and fsck
+      // certifies nothing missing; the oracle hash pins that the union is
+      // exactly the source — no row lost to the race, none duplicated.
+      val out = scratchDir("graft_concurrent") + "/t"
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 2).map { t =>
+        new Thread(() => {
+          try {
+            barrier.await()
+            ev.filter(pmod(col("event_id"), lit(2)) === t)
+              .coalesce(1).write.format("graft-parquet").mode("append").save(out)
+          } catch { case e: Throwable => errs.add(e) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val recs = graft.sources.v2.GraftParquetWrite.logRecordFiles(fs, outPath).length
+      val health = graft.sources.v2.GraftTableOptimize.fsck(s, out)
+      val ok = errs.isEmpty && recs == 2 && health.healthy &&
+        health.unloggedDataFiles == 0 && health.missingDataFiles == 0
+      s.read.format("graft-parquet").load(out).withColumn("cc_ok", lit(ok))
+    }),
+
     "dedup_keep_first" -> ((s, dir) =>
       Ops.dedupKeepFirst(DedupSpec(Seq("user_id"), Seq("ts"), Some(col("event_id"))))(
         Sources.events(s, dir))
@@ -4110,6 +4147,9 @@ object SparkEntry {
       """SELECT event_id, user_id, value, TRUE AS del_ok
         |FROM events
         |WHERE event_id >= (SELECT (max(event_id) * 3) // 10 FROM events)""".stripMargin,
+
+    "concurrent_ingest" ->
+      """SELECT event_id, user_id, value, TRUE AS cc_ok FROM events""",
 
     "dedup_keep_first" ->
       """SELECT user_id, event_id, value FROM (

@@ -19,8 +19,13 @@ import org.apache.spark.sql.types._
   * reader proves about pushdown, the writer proves about atomicity.
   *
   * Commit protocol (the [[graft.streaming.CorpusCompaction]] manifest
-  * roll-forward, applied to appends; single writer assumed like every sink
-  * here):
+  * roll-forward, applied to appends). Concurrency contract: APPENDS are
+  * multi-writer-safe — the commit log assigns sequences optimistically
+  * (a bounded CAS loop in [[appendLogRecord]]: collide, retract, retry at
+  * the next seq), so a fleet of ingest jobs can feed one table;
+  * MAINTENANCE (OPTIMIZE / DELETE / folds) still assumes an exclusive
+  * window, and its swaps conflict-validate their removals so a violated
+  * window fails loudly rather than duplicating rows:
   *
   *  1. every task writes its parquet file into `_write_<queryId>/` —
   *     underscore-prefixed, so readers cannot see uncommitted data;
@@ -31,14 +36,14 @@ import org.apache.spark.sql.types._
   *  3. roll-forward: listed files move into the table directory (names are
   *     queryId-unique, so replaying a move can't collide), staging dir drops.
   *
-  * A crash before (2) leaves invisible staging garbage the next write
-  * discards; a crash after (2) is completed by [[GraftParquetWrite.recover]]
-  * at the next write job — renames are idempotent-by-absence (a file already
-  * moved is skipped), so replaying the roll-forward neither loses nor
-  * duplicates rows. The read path runs the safe half of recovery itself
-  * ([[healPublished]]): a published-but-unrolled commit is completed before
-  * membership is resolved, so a pure-reader session never serves a torn
-  * table indefinitely.
+  * A crash before (2) leaves invisible staging garbage that ages into
+  * [[GraftTableOptimize.vacuum]]'s grace-gated sweep (write jobs must NOT
+  * sweep it — it may be a live concurrent appender's stage); a crash after
+  * (2) is completed by [[healPublished]] at the next write job or read —
+  * renames are idempotent-by-absence (a file already moved is skipped), so
+  * replaying the roll-forward neither loses nor duplicates rows. The full
+  * [[recover]] sweep (complete published + discard unmanifested) belongs to
+  * maintenance entry points, which own an exclusive window.
   *
   * Membership is MANIFEST-DERIVED: every roll-forward retains a compact
   * record under `_log/` (adds with lengths, removals), and
@@ -75,8 +80,10 @@ object GraftParquetWrite {
   private[v2] def manifestPath(staging: Path): Path = new Path(staging, "manifest")
 
   /** Complete interrupted commits (manifest present) and discard incomplete
-    * staging writes (no manifest). Idempotent; runs at the start of every
-    * write job, and is public for recovery-on-demand.
+    * staging writes (no manifest). Idempotent. MAINTENANCE-ONLY under the
+    * optimistic-concurrency contract: the discard half would sweep a live
+    * concurrent appender's stage, so write jobs run [[healPublished]]
+    * instead and OPTIMIZE/DELETE (exclusive window) run this.
     */
   def recover(fs: FileSystem, table: Path): Unit =
     if (fs.exists(table)) {
@@ -94,7 +101,7 @@ object GraftParquetWrite {
     * directory name must stay literal, or recovery would silently find
     * nothing there (the pattern applies only to the `_write_*` child).
     */
-  private def stagingDirs(fs: FileSystem, table: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+  private[v2] def stagingDirs(fs: FileSystem, table: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     val matched = fs.globStatus(new Path(globEscape(table.toString), StagingPrefix + "*"))
     if (matched == null) Seq.empty else matched.filter(_.isDirectory).toSeq
   }
@@ -420,35 +427,32 @@ object GraftParquetWrite {
       }
     }.toSet
 
-  /** Single-writer tripwire on the log itself: after a record publishes,
-    * its sequence must be held by exactly one record. Two concurrent
-    * committers (the contract violation) can both compute `max + 1` and
-    * publish DIFFERENT deltas under the same seq — membership would still
-    * fold consistently, but AS-OF ordering at that seq becomes silently
-    * ambiguous. Failing the commit loudly here loses only this attempt's
-    * work; the crash residue of a retention fold (its base snapshot
-    * briefly shares the seq of the newest record it folded) is excluded
-    * by name, because that duplicate is membership-identical by
-    * construction and the next fold clears it.
-    *
-    * The SANCTIONED concurrency — reader heals replaying a published
-    * commit alongside the writer's own roll-forward — cannot trip this:
-    * replays of the same commit share a commitId and therefore a record
-    * NAME (the seq race between them resolves at the rename, where the
-    * loser observes the winner's identical record), and a record for a
-    * DIFFERENT pending commit is always serialized before a new append by
-    * the write path's recover() — so same-seq records with different ids
-    * require two live writers, which is exactly what this trap exists to
-    * catch.
+  /** Test seam for the commit race: invoked between sequence computation
+    * and record publication, where a concurrent committer's record can
+    * appear. Production value is a no-op; specs inject a competing record
+    * here to drive the CAS arbitration deterministically.
     */
-  def verifySeqUnique(fs: FileSystem, table: Path, seq: Long, name: String): Unit = {
-    val peers = logRecordFiles(fs, table).map(_.getPath.getName)
-      .filter(n => n != name && logSeqOf(n) == seq && !logIdOf(n).startsWith("logbase-"))
-    require(peers.isEmpty,
-      s"commit-log sequence collision at $table: seq=$seq is held by $name and " +
-        s"${peers.mkString(", ")} — two writers broke the single-writer contract; " +
-        "this commit is aborted loudly rather than leaving AS-OF ordering ambiguous")
+  private[graft] var raceInjection: () => Unit = () => ()
+
+  /** Does `mine` hold sequence `seq` uncontested (or win the tie)? Peers
+    * exclude fold BASE records (`logbase-` — membership-identical crash
+    * residue of a retention fold, cleared by the next fold); a `logfold-`
+    * snapshot or another commit's record at the same seq is a real peer.
+    * Ties are broken by record NAME (lexicographic minimum wins): both
+    * sides of a race compute the same winner from the same listing.
+    */
+  private def winsAt(names: Seq[String], seq: Long, mine: String): Boolean = {
+    val peers = names.filter(n =>
+      n != mine && logSeqOf(n) == seq && !logIdOf(n).startsWith("logbase-"))
+    peers.isEmpty || peers.forall(mine < _)
   }
+
+  /** How many CAS attempts before declaring pathological contention. Each
+    * retry re-lists the log and lands at a strictly higher sequence, so 16
+    * losses in a row means 16 distinct commits landed during this one —
+    * far beyond any sane concurrency on one table.
+    */
+  private val MaxCommitAttempts = 16
 
   /** Publish this commit's membership delta, idempotently by commitId, and
     * return the sequence it holds (the existing record's on replay). Runs
@@ -458,44 +462,102 @@ object GraftParquetWrite {
     * never references a missing file. The FIRST record of a pre-log table
     * snapshots the existing directory listing (minus this commit's
     * removals), so the log is complete from its first record on.
+    *
+    * CONCURRENCY: optimistic, a bounded CAS loop. Two legal writers can
+    * both compute `max + 1`; after publishing, each re-lists and checks it
+    * holds its sequence uncontested ([[winsAt]]). The loser retracts its
+    * record and retries at a fresh sequence — so a fleet of append jobs
+    * all land, at distinct seqs, with union membership; nobody's batch is
+    * aborted for racing. Conflict validation before each (re)publish: an
+    * APPEND (no removals) is always safe to re-sequence, while a
+    * MAINTENANCE swap must re-prove every file it retires is still a
+    * member — an interleaved swap that already retired one means this
+    * swap's packed adds were built from stale inputs, and re-appending
+    * would duplicate rows; that fails loudly instead.
+    *
+    * Two windows are deliberately tolerated, both benign:
+    *  - a tie that escapes detection (each side listed before the other's
+    *    rename) leaves TWO records at one seq; membership folds them
+    *    commutatively (adds/removes are name-keyed and names are never
+    *    reused), fold order is (seq, name)-deterministic, and an AS-OF at
+    *    that seq includes both — each writer's receipt still names a state
+    *    containing its batch. fsck reports the tie informationally.
+    *  - a retracting loser's delta is VISIBLE between its rename and its
+    *    retract; a reader folding that instant sees rows that re-land at
+    *    the next seq moments later — read-uncommitted of a commit that
+    *    completes, same as seeing any record before its writer returns.
+    *
+    * The sanctioned replay concurrency (reader heals completing a
+    * published commit alongside the writer's own roll-forward) shares a
+    * commitId and therefore a record name: whoever loses the rename
+    * observes the winner's identical record and returns its seq.
     */
   private def appendLogRecord(fs: FileSystem, table: Path, staging: Path,
       adds: Seq[String], removes: Seq[String]): Long = {
     val commitId = staging.getName.stripPrefix(StagingPrefix)
-    val recs = logRecordFiles(fs, table)
-    recs.find(st => logIdOf(st.getPath.getName) == commitId).foreach { existing =>
-      return logSeqOf(existing.getPath.getName) // replayed commit
-    }
-    val seq = if (recs.isEmpty) 0L else recs.map(st => logSeqOf(st.getPath.getName)).max + 1L
     def lenOf(n: String): Long = fs.getFileStatus(new Path(table, n)).getLen
-    val lines: Seq[String] =
-      if (recs.isEmpty) {
-        // bootstrap: lengths come off the listing itself — no per-file
-        // re-stat round-trips on a large legacy table
-        val gone = removes.toSet
-        listByDirectory(fs, table)
-          .filterNot(st => gone(st.getPath.getName))
-          .map(st => (st.getPath.getName, st.getLen)).sortBy(_._1)
-          .map { case (n, len) => s"$n\t$len" }
-      } else adds.sorted.map(n => s"$n\t${lenOf(n)}") ++ removes.sorted.map("~" + _)
-    fs.mkdirs(logDir(table))
-    // temp + rename: the record's appearance is atomic; tmp lives in the
-    // staging dir, which the roll-forward deletes anyway
-    val tmp = new Path(staging, s"logrec-${System.nanoTime()}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val name = f"c-$seq%012d-$commitId"
-    val target = new Path(logDir(table), name)
-    if (!fs.rename(tmp, target))
-      // a concurrent heal of the same published commit can win the rename
-      require(fs.exists(target), s"log record publish failed for $target")
-    // collision tripwire: retract our record before failing, so a RETRY of
-    // this write job replays the roll-forward and re-appends at a fresh,
-    // unambiguous sequence (the renames are already idempotent)
-    try verifySeqUnique(fs, table, seq, name)
-    catch { case e: IllegalArgumentException => fs.delete(target, false); throw e }
-    seq
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      val recs = logRecordFiles(fs, table)
+      val names = recs.map(_.getPath.getName)
+      names.find(n => logIdOf(n) == commitId) match {
+        case Some(existing) =>
+          val seq = logSeqOf(existing)
+          // replayed commit. If it landed as a tie it stays — retracting a
+          // record that may already be folded into a base, or that a
+          // reader already resolved, risks more than the tie costs.
+          return seq
+        case None =>
+          val seq = if (recs.isEmpty) 0L else names.map(logSeqOf).max + 1L
+          val lines: Seq[String] =
+            if (recs.isEmpty) {
+              // bootstrap: lengths come off the listing itself — no
+              // per-file re-stat round-trips on a large legacy table
+              val gone = removes.toSet
+              listByDirectory(fs, table)
+                .filterNot(st => gone(st.getPath.getName))
+                .map(st => (st.getPath.getName, st.getLen)).sortBy(_._1)
+                .map { case (n, len) => s"$n\t$len" }
+            } else adds.sorted.map(n => s"$n\t${lenOf(n)}") ++ removes.sorted.map("~" + _)
+          // maintenance conflict validation: every removal must still be a
+          // member under the log as listed for THIS attempt. Append-only
+          // commits skip (nothing to invalidate); a swap re-proves its
+          // inputs on every retry, paying O(retained records) reads only
+          // on the rare maintenance path.
+          if (removes.nonEmpty && recs.nonEmpty) {
+            val members = logMembership(fs, table).getOrElse(Map.empty)
+            val gone = removes.filterNot(members.contains)
+            require(gone.isEmpty,
+              s"maintenance swap conflict at $table: ${gone.take(3).mkString(", ")}" +
+                s"${if (gone.length > 3) s" (+${gone.length - 3} more)" else ""} " +
+                "already left membership — a concurrent maintenance op retired them, " +
+                "so this swap's packed adds were built from stale inputs; aborting " +
+                "loudly instead of duplicating rows")
+          }
+          fs.mkdirs(logDir(table))
+          raceInjection()
+          // temp + rename: the record's appearance is atomic; tmp lives in
+          // the staging dir, which the roll-forward deletes anyway
+          val tmp = new Path(staging, s"logrec-${System.nanoTime()}.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          val name = f"c-$seq%012d-$commitId"
+          val target = new Path(logDir(table), name)
+          if (!fs.rename(tmp, target))
+            // a concurrent heal of the same published commit can win the rename
+            require(fs.exists(target), s"log record publish failed for $target")
+          // CAS verification: re-list and arbitrate. Winner keeps the seq;
+          // loser retracts and re-sequences on the next lap.
+          if (winsAt(logRecordFiles(fs, table).map(_.getPath.getName), seq, name))
+            return seq
+          fs.delete(target, false)
+      }
+    }
+    throw new IllegalStateException(
+      s"commit-log CAS at $table lost $MaxCommitAttempts consecutive races — " +
+        "pathological contention; retry the write job")
   }
 
   // ---------------------------------------------------- schema evolution
@@ -683,9 +745,13 @@ final case class GraftBatchWrite(path: String, queryId: String, schema: StructTy
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     withFs { (fs, table) =>
-      // single-writer contract: finish any interrupted predecessor BEFORE
-      // staging new data next to its leftovers
-      GraftParquetWrite.recover(fs, table)
+      // complete any PUBLISHED predecessor before staging next to it, but
+      // never sweep an unmanifested staging dir — under optimistic
+      // concurrency it may belong to a LIVE concurrent appender mid-stage
+      // (the old recover() here was how two legal writers killed each
+      // other). Crash garbage without a manifest is invisible to readers
+      // and is reclaimed by maintenance (vacuum past the grace).
+      GraftParquetWrite.healPublished(fs, table)
       fs.mkdirs(GraftParquetWrite.stagingDir(table, queryId))
     }
     GraftWriterFactory(path, queryId, schema)

@@ -404,9 +404,10 @@ object GraftTableOptimize {
       // vacuum must NOT collect these until their records fold away
       retiredRetained: Int = 0,
       // log sequences held by more than one (non-fold-base) record: the
-      // residue of two contract-violating concurrent committers. Membership
-      // still folds consistently, but AS-OF ordering at that seq is
-      // ambiguous — reported for the operator, not auto-repairable
+      // benign residue of an UNOBSERVED commit race (each side listed
+      // before the other's rename, so neither retracted). Membership folds
+      // the tie commutatively and ordering is (seq, name)-deterministic —
+      // informational; the next fold absorbs it
       logSeqCollisions: Int = 0,
       // schema epoch records retained in the log (0 = pre-epoch table,
       // schema comes from parquet inference; >1 = the table has evolved
@@ -594,6 +595,15 @@ object GraftTableOptimize {
         .flatMap { l => val cut = l.indexOf('\t'); if (cut <= 0) None else Some(l.substring(0, cut)) }
       if (names.forall(n => !remaining.contains(n))) fs.delete(st.getPath, false)
     }
+    // unmanifested staging garbage past the grace: the append path no
+    // longer sweeps it at write start (a live concurrent appender may be
+    // mid-stage there), so crashed stagings age into vacuum like retired
+    // files do. A LIVE writer's staging is always younger than any sane
+    // grace; the manifested kind was completed by the heal above.
+    GraftParquetWrite.stagingDirs(fs, table)
+      .filter(st => !fs.exists(GraftParquetWrite.manifestPath(st.getPath)) &&
+        st.getModificationTime <= cutoff)
+      .foreach(st => fs.delete(st.getPath, true))
     dead.length
   }
 
@@ -617,8 +627,11 @@ object GraftTableOptimize {
     * Returns the record count after folding.
     */
   def foldLog(fs: FileSystem, table: Path, retain: Int = 0): Int = {
+    // (seq, name): a same-seq tie — the benign residue of an unobserved
+    // commit race — must split across the retention boundary the same way
+    // on every fold, whatever order the listing returned
     val recs = GraftParquetWrite.logRecordFiles(fs, table)
-      .sortBy(st => GraftParquetWrite.logSeqOf(st.getPath.getName))
+      .sortBy(st => (GraftParquetWrite.logSeqOf(st.getPath.getName), st.getPath.getName))
     val d = GraftParquetWrite.logDir(table)
     def publish(lines: Seq[String], name: String): Unit = {
       // temp + rename inside _log (a name outside the `c-` record namespace

@@ -20,9 +20,9 @@ import graft.sources.v2.GraftParquetWrite
   *     does not exist, the redelivered batch writes again (zero rows of
   *     the aborted attempt are visible);
   *   - crash after the manifest, before roll-forward finishes: the next
-  *     [[ingestBatch]] runs recover() first, which completes the commit
-  *     INCLUDING the marker; the redelivered batch then sees the marker
-  *     and skips;
+  *     [[ingestBatch]] runs healPublished() first, which completes the
+  *     commit INCLUDING the marker; the redelivered batch then sees the
+  *     marker and skips;
   *   - duplicate delivery with no crash: the marker exists, skip.
   *
   * Every batch lands through the ordinary connector write, so the zone-map
@@ -96,9 +96,12 @@ object TableIngest {
     val table = new Path(tableDir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = markerName(lineage, batchId)
-    // recovery FIRST: an interrupted predecessor may hold this very
-    // batch's commit point — completing it writes the marker we test
-    if (fs.exists(table)) GraftParquetWrite.recover(fs, table)
+    // heal FIRST: an interrupted predecessor may hold this very batch's
+    // commit point — completing it writes the marker we test. Healing
+    // (not the full recover sweep) so a CONCURRENT ingest job mid-stage is
+    // never killed: the commit log arbitrates seqs optimistically, and
+    // unmanifested crash garbage ages into vacuum instead.
+    if (fs.exists(table)) GraftParquetWrite.healPublished(fs, table)
     val legacyHit = legacyLineageDedup && lineage.length == 16 &&
       GraftParquetWrite.markerExists(fs, table, markerName(lineage.take(12), batchId))
     if (legacyHit || GraftParquetWrite.markerExists(fs, table, marker)) false
@@ -152,11 +155,13 @@ object TableIngest {
     * lineage.
     *
     * Maintenance contract: [[graft.sources.v2.GraftTableOptimize]] runs
-    * against this table require the stream PAUSED (the connector's
-    * single-writer maintenance window — ingestBatch's recover() would
-    * discard an optimize's staging mid-swap). The commit protocol fails
-    * loudly rather than losing rows if the contract is broken, but pausing
-    * is the supported shape.
+    * against this table require the stream PAUSED (the maintenance window —
+    * an optimize's recover() sweep would discard an in-flight batch's
+    * staging mid-write, and a swap racing appends would retry or abort
+    * under the commit log's conflict validation). Concurrent APPEND jobs
+    * need no window — the log arbitrates their seqs optimistically — but
+    * multi-writer ingest should disable the self-fold tick (foldLogOver=0)
+    * and leave folding to one maintenance owner.
     */
   def ingestTableStream(df: DataFrame, tableDir: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),

@@ -332,14 +332,19 @@ class PlanRulesSpec extends SparkTestBase {
     assert(spark.read.format("graft-parquet").load(dir).count() == 3,
       "a published commit must be healed by the read, not stay torn")
     assert(!fs.exists(staging))
-    // a crash BEFORE the commit point (no manifest) is garbage the next
-    // WRITE job discards (readers must leave a possibly-live stage alone)
+    // a crash BEFORE the commit point (no manifest) is garbage, but under
+    // optimistic concurrency NOBODY sweeps it at write time — it may be a
+    // LIVE concurrent appender's stage. The next write commits cleanly
+    // alongside it; grace-gated vacuum reclaims it once it has aged.
     val dead = GraftParquetWrite.stagingDir(table, "deadq")
     fs.mkdirs(dead)
     Seq((4L, "d")).toDF("id", "name").write.format("graft-parquet").mode("append").save(dir)
-    assert(!fs.exists(dead))
+    assert(fs.exists(dead), "a write must not sweep a possibly-live stage")
     assert(spark.read.format("graft-parquet").load(dir)
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(graft.sources.v2.GraftTableOptimize.fsck(spark, dir).stagingGarbage == 1)
+    graft.sources.v2.GraftTableOptimize.vacuum(spark, dir, graceMs = 0L): Unit
+    assert(!fs.exists(dead), "aged unmanifested staging is vacuum's to reclaim")
   }
 
   test("rule does not fire when ts_ns was projected away below the filter") {

@@ -1330,39 +1330,151 @@ class ZoneMapSpec extends SparkTestBase {
     assert(boom2.getMessage.contains("history root"), s"got: ${boom2.getMessage}")
   }
 
-  test("a log-seq collision fails the commit loudly and fsck reports it") {
+  test("a commit that loses the seq race retracts and lands at the next sequence") {
     import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
-    val dir = freshTable("graft-zm-collide")
+    val dir = freshTable("graft-zm-casloser")
     val table = new Path(dir)
     (0 until 2).foreach { i =>
       spark.range(i * 10L, (i + 1) * 10L).select(col("id"), lit("x").as("name"))
         .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
     }
     val fs = fsOf(dir)
-    val mine = GraftParquetWrite.logRecordFiles(fs, table).map(_.getPath.getName)
-      .find(n => GraftParquetWrite.logSeqOf(n) == 1L).get
-    // a second writer's record lands under the SAME seq (the single-writer
-    // contract violation): a removal of a ghost is membership-neutral, so
-    // only the tripwire and fsck can see the ambiguity
-    val evil = new Path(GraftParquetWrite.logDir(table), "c-000000000001-evilwriter")
-    val out = fs.create(evil, true)
-    try out.write("~part-ghost-0-0.parquet".getBytes("UTF-8")) finally out.close()
-    val boom = intercept[IllegalArgumentException] {
-      GraftParquetWrite.verifySeqUnique(fs, table, 1L, mine)
+    // a competing writer's record appears at the exact seq this commit is
+    // about to take, injected between seq computation and publication — and
+    // with an id ('!' < any hex queryId) that WINS the name tie-break, so
+    // this commit must retract and re-land at the next seq. The competing
+    // delta is a ghost removal: membership-neutral, visible only to the log.
+    var injected = false
+    GraftParquetWrite.raceInjection = () => if (!injected) {
+      injected = true
+      val peer = new Path(GraftParquetWrite.logDir(table), "c-000000000002-!racer")
+      val out = fs.create(peer, true)
+      try out.write("~part-ghost-0-0.parquet".getBytes("UTF-8")) finally out.close()
     }
-    assert(boom.getMessage.contains("collision"), s"got: ${boom.getMessage}")
-    assert(GraftTableOptimize.fsck(spark, dir).logSeqCollisions == 1)
-    // a fold base sharing a seq is NOT a collision (membership-identical
-    // by construction — the benign crash residue of a retention fold)
-    fs.delete(evil, false)
-    val base = new Path(GraftParquetWrite.logDir(table), "c-000000000001-logbase-x")
-    val members = GraftParquetWrite.listDataFiles(fs, table)
-      .map(st => s"${st.getPath.getName}\t${st.getLen}").mkString("\n")
-    val out2 = fs.create(base, true)
-    try out2.write(members.getBytes("UTF-8")) finally out2.close()
-    GraftParquetWrite.verifySeqUnique(fs, table, 1L, mine) // must not throw
+    try {
+      spark.range(20L, 30L).select(col("id"), lit("x").as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    } finally GraftParquetWrite.raceInjection = () => ()
+    assert(injected, "the race must have been injected")
+    assert(GraftParquetWrite.currentSeq(fs, table).contains(3L),
+      "the losing commit must re-land at the NEXT sequence, not abort")
+    assert(GraftTableOptimize.fsck(spark, dir).logSeqCollisions == 0,
+      "an observed race resolves to distinct seqs")
+    assert(spark.read.format("graft-parquet").load(dir).count() == 30,
+      "the racing commit's rows must all land (union membership)")
+    // AS-OF at the contested seq serves the racer's (neutral) delta plus
+    // everything before it; the re-landed commit is only at its final seq
+    assert(spark.read.format("graft-parquet").option("graft.asOfSeq", "2")
+      .load(dir).count() == 20)
+    assert(spark.read.format("graft-parquet").option("graft.asOfSeq", "3")
+      .load(dir).count() == 30)
+  }
+
+  test("an unobserved seq tie is benign: deterministic order, fsck reports it, the fold absorbs it") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    val dir = freshTable("graft-zm-castie")
+    val table = new Path(dir)
+    (0 until 2).foreach { i =>
+      spark.range(i * 10L, (i + 1) * 10L).select(col("id"), lit("x").as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val fs = fsOf(dir)
+    // the competing record's id sorts ABOVE any hex queryId ('z' > 'f'):
+    // this commit wins the tie-break and keeps its seq, while the peer —
+    // a crashed loser that never retracted — stays as a benign tie
+    var injected = false
+    GraftParquetWrite.raceInjection = () => if (!injected) {
+      injected = true
+      val peer = new Path(GraftParquetWrite.logDir(table), "c-000000000002-zzzracer")
+      val out = fs.create(peer, true)
+      try out.write("~part-ghost-0-0.parquet".getBytes("UTF-8")) finally out.close()
+    }
+    try {
+      spark.range(20L, 30L).select(col("id"), lit("x").as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    } finally GraftParquetWrite.raceInjection = () => ()
+    assert(GraftParquetWrite.currentSeq(fs, table).contains(2L),
+      "the tie winner keeps its sequence")
+    assert(GraftTableOptimize.fsck(spark, dir).logSeqCollisions == 1,
+      "the unretracted tie is reported informationally")
+    // membership folds the tie commutatively: every row reads exactly once
+    assert(spark.read.format("graft-parquet").load(dir).count() == 30)
+    assert(spark.read.format("graft-parquet").option("graft.asOfSeq", "2")
+      .load(dir).count() == 30, "AS-OF at the tied seq includes both deltas")
+    // a fold base sharing a seq is NOT a tie (membership-identical crash
+    // residue), and a retention fold absorbs the real tie entirely
+    assert(GraftTableOptimize.foldLog(fs, table, retain = 0) == 1)
     assert(GraftTableOptimize.fsck(spark, dir).logSeqCollisions == 0)
-    assert(spark.read.format("graft-parquet").load(dir).count() == 20)
+    assert(spark.read.format("graft-parquet").load(dir).count() == 30)
+  }
+
+  test("a maintenance swap whose removal target already left membership aborts loudly") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    val dir = freshTable("graft-zm-swapconflict")
+    val table = new Path(dir)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    Seq((3L, "c")).toDF("id", "name")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val fs = fsOf(dir)
+    val victim = GraftParquetWrite.listDataFiles(fs, table).map(_.getPath.getName).min
+    val victimRows = spark.read.parquet(s"$dir/$victim")
+    // first swap legitimately retires the victim (packed replacement with
+    // the same rows, hand-staged like an interrupted OPTIMIZE)
+    def stageSwap(id: String): Path = {
+      val staging = GraftParquetWrite.stagingDir(table, id)
+      fs.mkdirs(staging)
+      victimRows.coalesce(1).write.parquet(staging.toString + "/tmp")
+      val part = fs.listStatus(new Path(staging, "tmp"))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      fs.rename(part, new Path(staging, s"part-$id-0.parquet"))
+      fs.delete(new Path(staging, "tmp"), true)
+      val man = fs.create(new Path(staging, "manifest"), true)
+      try man.write(s"part-$id-0.parquet\n~$victim".getBytes("UTF-8"))
+      finally man.close()
+      staging
+    }
+    stageSwap("swapone")
+    GraftParquetWrite.recover(fs, table)
+    assert(spark.read.format("graft-parquet").load(dir).count() == 3)
+    // a second swap built from STALE inputs retires the same (now-gone)
+    // member: conflict validation must abort it before it can publish —
+    // replaying its packed adds would duplicate the victim's rows
+    stageSwap("swaptwo")
+    val boom = intercept[Exception] { GraftParquetWrite.recover(fs, table) }
+    assert(boom.getMessage.contains("maintenance swap conflict"),
+      s"got: ${boom.getMessage}")
+    assert(spark.read.format("graft-parquet").load(dir).count() == 3,
+      "the conflicted swap must not have changed membership")
+  }
+
+  test("two concurrent appenders both land with union membership") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    val dir = freshTable("graft-zm-concappend")
+    val table = new Path(dir)
+    val fs = fsOf(dir)
+    // barrier-aligned writers maximize real overlap; whatever interleaving
+    // the scheduler picks, BOTH batches must land — the CAS makes a lost
+    // race a retry, never an abort
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          spark.range(t * 100L, (t + 1) * 100L)
+            .select(col("id"), lit(s"w$t").as("name"))
+            .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent appends must both succeed: ${errs.peek()}")
+    assert(spark.read.format("graft-parquet").load(dir).count() == 200,
+      "union membership: neither writer's batch may be lost")
+    val health = GraftTableOptimize.fsck(spark, dir)
+    assert(health.healthy && health.missingDataFiles == 0 && health.unloggedDataFiles == 0,
+      s"got $health")
   }
 
   test("a heal the reader cannot perform degrades to current membership, not a failed read") {
