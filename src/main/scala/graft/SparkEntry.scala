@@ -676,6 +676,85 @@ object SparkEntry {
       replayA.withColumn("replay_ok", lit(ok))
     }),
 
+    "table_update_where" -> ((s, dir) => {
+      // row-level UPDATE as the same pruned swap DELETE uses (graft.sources
+      // .v2.GraftTableOptimize.updateWhere): after a clustered OPTIMIZE, a
+      // range update's pushed-down discovery touches only the files whose
+      // zone intersects the range — the flag pins filesRewritten <
+      // filesScanned. Matched rows rewrite TRANSFORMED (value doubled),
+      // everything else passes through byte-identical; clusterBy keeps the
+      // rewritten slabs' zones tight. The cutoff derives from the data so
+      // the pruning claim holds at every scale factor.
+      val out = scratchDir("graft_update") + "/t"
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val commits = 12
+      (0 until commits).foreach { r =>
+        ev.filter(pmod(col("event_id"), lit(commits)) === r)
+          .coalesce(1).write.format("graft-parquet").mode("append").save(out)
+      }
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bytes = graft.sources.v2.GraftParquetWrite.listDataFiles(fs, outPath).map(_.getLen).sum
+      graft.sources.v2.GraftTableOptimize.optimize(s, out,
+        targetBytes = math.max(1L, bytes / 6), smallBytes = bytes + 1,
+        clusterBy = Seq("event_id"), retainLog = 0): Unit
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val cutoff = maxId * 3L / 10L
+      val expected = ev.filter(col("event_id") < cutoff).count()
+      val rep = graft.sources.v2.GraftTableOptimize.updateWhere(
+        s, out, col("event_id") < cutoff,
+        Seq("value" -> (col("value") * 2.0d)), clusterBy = Seq("event_id"))
+      val back = s.read.format("graft-parquet").load(out)
+      val ok = rep.rowsUpdated == expected &&
+        rep.filesRewritten > 0 && rep.filesRewritten < rep.filesScanned &&
+        back.count() == ev.count()
+      back.withColumn("upd_ok", lit(ok))
+    }),
+
+    "table_merge_upsert" -> ((s, dir) => {
+      // MERGE (K2's keep-last upsert) at the table-format layer (graft
+      // .sources.v2.GraftTableOptimize.merge): a key-unique source both
+      // UPDATES the orders in the low key range (price bumped) and INSERTS
+      // brand-new shifted keys, in ONE atomic swap commit. Discovery is a
+      // single keys-only pushed scan joined against the broadcast source
+      // keys, so only the slabs holding matched keys rewrite — the flag
+      // pins filesRewritten < filesScanned plus the exact update/insert
+      // split; untouched files never rewrite.
+      val out = scratchDir("graft_merge") + "/t"
+      val od = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val commits = 12
+      (0 until commits).foreach { r =>
+        od.filter(pmod(col("o_orderkey"), lit(commits)) === r)
+          .coalesce(1).write.format("graft-parquet").mode("append").save(out)
+      }
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bytes = graft.sources.v2.GraftParquetWrite.listDataFiles(fs, outPath).map(_.getLen).sum
+      graft.sources.v2.GraftTableOptimize.optimize(s, out,
+        targetBytes = math.max(1L, bytes / 6), smallBytes = bytes + 1,
+        clusterBy = Seq("o_orderkey"), retainLog = 0): Unit
+      val maxId = od.agg(max(col("o_orderkey"))).head().getLong(0)
+      val updCut = maxId / 5L
+      val insCut = maxId / 10L
+      val src = od.filter(col("o_orderkey") <= updCut)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 1000.0d).as("o_totalprice"))
+        .union(od.filter(col("o_orderkey") <= insCut)
+          .select((col("o_orderkey") + maxId + 1L).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")))
+      val rep = graft.sources.v2.GraftTableOptimize.merge(
+        s, out, src, Seq("o_orderkey"), clusterBy = Seq("o_orderkey"))
+      val expectedUpd = od.filter(col("o_orderkey") <= updCut).count()
+      val expectedIns = od.filter(col("o_orderkey") <= insCut).count()
+      val back = s.read.format("graft-parquet").load(out)
+      val ok = rep.rowsUpdated == expectedUpd && rep.rowsInserted == expectedIns &&
+        rep.filesRewritten > 0 && rep.filesRewritten < rep.filesScanned &&
+        back.count() == od.count() + expectedIns
+      back.withColumn("mrg_ok", lit(ok))
+    }),
+
     "concurrent_ingest" -> ((s, dir) => {
       // optimistic concurrency on the commit log end-to-end: two
       // barrier-aligned writer jobs append disjoint halves of events to
@@ -4150,6 +4229,27 @@ object SparkEntry {
 
     "concurrent_ingest" ->
       """SELECT event_id, user_id, value, TRUE AS cc_ok FROM events""",
+
+    "table_update_where" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id < (SELECT (max(event_id) * 3) // 10 FROM events)
+        |       THEN value * 2 ELSE value END AS value,
+        |  TRUE AS upd_ok
+        |FROM events""".stripMargin,
+
+    "table_merge_upsert" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey <= (SELECT max(o_orderkey) // 5 FROM orders)
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders) AS o_orderkey,
+        |         o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey <= (SELECT max(o_orderkey) // 10 FROM orders))
+        |SELECT o_orderkey, o_custkey, o_totalprice, TRUE AS mrg_ok FROM src
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, TRUE AS mrg_ok
+        |FROM orders
+        |WHERE o_orderkey > (SELECT max(o_orderkey) // 5 FROM orders)""".stripMargin,
 
     "dedup_keep_first" ->
       """SELECT user_id, event_id, value FROM (

@@ -283,20 +283,9 @@ object GraftTableOptimize {
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(table), s"no table at $path")
     GraftParquetWrite.recover(fs, table)
-    // the purge-pending marker: written before the destructive swap,
-    // cleared after the sweep. Its presence is what distinguishes "a purge
-    // was interrupted here — finish it" from "this delete matched nothing
-    // — leave history alone": finalization is irreversible (every AS-OF
-    // handle dies), so it must never ride a harmless no-op call.
-    val pendingMarker = new Path(GraftParquetWrite.logDir(table), "purge-pending")
-    def purgeFinalize(): Unit = {
-      foldLog(fs, table, retain = 0): Unit
-      vacuum(spark, path, graceMs = 0L): Unit
-      if (fs.exists(pendingMarker)) fs.delete(pendingMarker, false): Unit
-    }
     // converge an interrupted purge FIRST, whatever this call's predicate
     // finds: the marker proves a prior purge passed its swap
-    if (purge && fs.exists(pendingMarker)) purgeFinalize()
+    if (purge && fs.exists(purgePendingMarker(table))) purgeFinalize(spark, fs, path, table)
     val members = GraftParquetWrite.listDataFiles(fs, table)
     // the schema epoch, resolved ONCE for validation, pruning, and both
     // reads (each latestSchemaAt is a paid _log listing on an object store)
@@ -348,7 +337,7 @@ object GraftTableOptimize {
     fs.mkdirs(staging)
     // the marker lands BEFORE the commit point of the swap: every crash
     // window after rows start disappearing re-runs into purgeFinalize
-    if (purge) fs.create(pendingMarker, true).close()
+    if (purge) fs.create(purgePendingMarker(table), true).close()
     // 2. survivors (condition not TRUE — false or NULL) rewrite through
     //    the shared staging step, exactly like OPTIMIZE. `clusterBy`
     //    preserves the table's layout contract through the delete: a
@@ -371,9 +360,277 @@ object GraftTableOptimize {
     // 3. commit point + roll-forward; then retention policy
     GraftParquetWrite.commitLines(fs, table, staging, lines)
     foldSidecars(fs, table): Unit
-    if (purge) purgeFinalize() else foldLog(fs, table, retainLog): Unit
+    if (purge) purgeFinalize(spark, fs, path, table) else foldLog(fs, table, retainLog): Unit
     val after = GraftParquetWrite.listDataFiles(fs, table).length
     DeleteReport(members.length, cands.length, rowsDeleted, after, purge)
+  }
+
+  /** The purge-pending marker: written before a purging op's destructive
+    * swap, cleared after its sweep. Its presence is what distinguishes "a
+    * purge was interrupted here — finish it" from "this call matched
+    * nothing — leave history alone": finalization is irreversible (every
+    * AS-OF handle dies), so it must never ride a harmless no-op call.
+    */
+  private def purgePendingMarker(table: Path): Path =
+    new Path(GraftParquetWrite.logDir(table), "purge-pending")
+
+  /** The compliance finalization: collapse history to one snapshot,
+    * zero-grace vacuum, clear the marker. Shared by every purge exit path
+    * so a re-run converges whatever the previous attempt reached.
+    */
+  private def purgeFinalize(spark: SparkSession, fs: FileSystem,
+      path: String, table: Path): Unit = {
+    foldLog(fs, table, retain = 0): Unit
+    vacuum(spark, path, graceMs = 0L): Unit
+    val m = purgePendingMarker(table)
+    if (fs.exists(m)) fs.delete(m, false): Unit
+  }
+
+  final case class UpdateReport(
+      filesScanned: Int, filesRewritten: Int, rowsUpdated: Long,
+      filesAfter: Int, purged: Boolean)
+
+  /** UPDATE WHERE on a graft-parquet table — [[deleteWhere]]'s pruned
+    * discovery + crash-safe swap with a "rewrite matched rows TRANSFORMED"
+    * branch: `set` maps column names to replacement expressions applied
+    * only where the condition is TRUE (SQL semantics — FALSE and NULL rows
+    * pass through untouched). Discovery is zone-pre-pruned on the
+    * condition's pushable conjuncts and counted by ONE pushed-down scan,
+    * so on a clustered 100 TB table a range update rewrites only the
+    * intersecting slabs — never a table rebuild.
+    *
+    * `purge = true` is the redaction form (scrubbing PII in place must
+    * also forget the PRE-UPDATE values every retained snapshot still
+    * reads): finalization collapses history and vacuums the retired bytes,
+    * gated by the same `purge-pending` marker discipline as deleteWhere —
+    * interrupted purges converge on re-run, no-op updates touch nothing.
+    * The default keeps history: old row versions stay readable AS-OF until
+    * their records age out.
+    *
+    * Single-writer maintenance window, like OPTIMIZE.
+    */
+  def updateWhere(spark: SparkSession, path: String,
+      condition: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)],
+      targetBytes: Long = 128L * 1024 * 1024,
+      purge: Boolean = false, retainLog: Int = 8,
+      clusterBy: Seq[String] = Nil): UpdateReport = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+    require(set.nonEmpty, "updateWhere needs at least one column assignment")
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(table), s"no table at $path")
+    GraftParquetWrite.recover(fs, table)
+    if (purge && fs.exists(purgePendingMarker(table))) purgeFinalize(spark, fs, path, table)
+    val members = GraftParquetWrite.listDataFiles(fs, table)
+    val epoch = GraftParquetWrite.latestSchemaAt(fs, table, None)
+    // validate condition AND assignments against the schema BEFORE any
+    // destructive step, on a zero-row frame (no IO): a misspelled column —
+    // in the predicate or an assignment — must die here, not after the swap
+    epoch.orElse(members.headOption.map(st =>
+      spark.read.parquet(st.getPath.toString).schema)).foreach { sch =>
+      val probe = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+      set.foreach { case (name, _) =>
+        require(sch.fieldNames.contains(name),
+          s"updateWhere assignment targets unknown column '$name' " +
+            s"(schema: ${sch.fieldNames.mkString(", ")})")
+      }
+      applyAssignments(probe.filter(condition), sch, condition, set)
+        .queryExecution.analyzed: Unit
+    }
+    if (members.isEmpty) return UpdateReport(0, 0, 0L, 0, purge)
+    val schema = epoch.getOrElse(spark.read.parquet(members.head.getPath.toString).schema)
+    val pushable = pushableConjuncts(condition)
+    val scanSet =
+      if (pushable.isEmpty) members
+      else {
+        val zm = ZoneMap.load(fs, table)
+        if (zm.isEmpty) members
+        else members.filter(st =>
+          zm.get(st.getPath.getName).forall(ZoneMap.mayMatchAll(pushable, _, schema)))
+      }
+    val trueByFile: Map[String, Long] =
+      if (scanSet.isEmpty) Map.empty
+      else readUnderEpoch(spark, epoch, scanSet.map(_.getPath.toString))
+        .filter(condition)
+        .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+        .collect().map { r =>
+          val u = r.getString(0)
+          (u.substring(u.lastIndexOf('/') + 1), r.getLong(1))
+        }.toMap
+    val cands = members.filter(st => trueByFile.contains(st.getPath.getName))
+    if (cands.isEmpty) return UpdateReport(members.length, 0, 0L, members.length, purge)
+    val rowsUpdated = trueByFile.values.sum
+
+    val updId = maintenanceId("upd")
+    val staging = GraftParquetWrite.stagingDir(table, updId)
+    fs.mkdirs(staging)
+    if (purge) fs.create(purgePendingMarker(table), true).close()
+    // every candidate row rewrites; matched rows carry the assignments
+    // (gated TRUE-only via when), the rest pass through byte-identical
+    val nOut = math.max(1, math.ceil(cands.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    val rewritten = applyAssignments(
+      readUnderEpoch(spark, epoch, cands.map(_.getPath.toString)), schema, condition, set)
+    val shaped =
+      if (clusterBy.isEmpty) rewritten.coalesce(nOut)
+      else {
+        val keys = clusterBy.map(col)
+        rewritten.repartitionByRange(nOut, keys: _*).sortWithinPartitions(keys: _*)
+      }
+    val moved = stageRewrite(fs, staging, updId, shaped)
+    val lines = addLines(moved) ++ cands.map(st => s"~${st.getPath.getName}")
+    GraftParquetWrite.commitLines(fs, table, staging, lines)
+    foldSidecars(fs, table): Unit
+    if (purge) purgeFinalize(spark, fs, path, table) else foldLog(fs, table, retainLog): Unit
+    val after = GraftParquetWrite.listDataFiles(fs, table).length
+    UpdateReport(members.length, cands.length, rowsUpdated, after, purge)
+  }
+
+  /** The UPDATE projection: assigned columns become
+    * `when(cond, expr).otherwise(col)` CAST back to the column's declared
+    * type (an assignment must never smuggle a type change past the epoch),
+    * all other columns pass through. Shared by validation and the rewrite
+    * so they can never diverge.
+    */
+  private def applyAssignments(df: org.apache.spark.sql.DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      condition: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val byName = set.toMap
+    val hit = coalesce(condition, lit(false))
+    df.select(schema.fields.toSeq.map { f =>
+      byName.get(f.name) match {
+        case Some(expr) => when(hit, expr.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+  }
+
+  final case class MergeReport(
+      filesScanned: Int, filesRewritten: Int, rowsUpdated: Long,
+      rowsInserted: Long, filesAfter: Int)
+
+  /** MERGE (upsert) a source frame into a graft-parquet table by key —
+    * K2's keep-last upsert semantics at the table-format layer, expressed
+    * as the same discovery + swap: table rows whose key matches a source
+    * row are REPLACED by it, source rows matching nothing INSERT, table
+    * rows matching nothing are untouched (their files never rewrite).
+    *
+    *  1. the source must be key-unique (two source rows for one key have
+    *     no deterministic winner — fail loudly, the caller picks) and
+    *     column-compatible with the table epoch;
+    *  2. discovery joins ONE pushed keys-only scan of the table against
+    *     the (broadcast) source keys: only files holding a matched key
+    *     become candidates — on a clustered table a key-local source
+    *     touches only its slabs. The same join counts matched table rows
+    *     exactly;
+    *  3. candidates rewrite with matched rows anti-joined away; the source
+    *     (updates + inserts in one frame) lands as adds in the SAME swap
+    *     manifest, so the upsert is one atomic commit point — a crash
+    *     anywhere replays to exactly-once.
+    *
+    * History: replaced row versions stay readable AS-OF under the
+    * retention contract (`retainLog`), like every maintenance swap.
+    * Single-writer maintenance window.
+    */
+  def merge(spark: SparkSession, path: String,
+      source: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024,
+      retainLog: Int = 8, clusterBy: Seq[String] = Nil): MergeReport = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, lit}
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(table), s"no table at $path")
+    GraftParquetWrite.recover(fs, table)
+    val members = GraftParquetWrite.listDataFiles(fs, table)
+    val epoch = GraftParquetWrite.latestSchemaAt(fs, table, None)
+    val schema = epoch.orElse(members.headOption.map(st =>
+      spark.read.parquet(st.getPath.toString).schema))
+      .getOrElse(source.schema)
+    // column compatibility: same names and types (order-free — the source
+    // is re-projected to epoch order), keys present in both
+    val tShape = schema.fields.map(f => (f.name, f.dataType.catalogString)).toSet
+    val sShape = source.schema.fields.map(f => (f.name, f.dataType.catalogString)).toSet
+    require(sShape == tShape,
+      s"merge source schema ${source.schema.simpleString} does not match table " +
+        s"epoch ${schema.map(_.name).mkString("(", ",", ")")} (names+types, any order)")
+    keys.foreach(k => require(schema.fieldNames.contains(k), s"unknown merge key '$k'"))
+    val src = source.select(schema.fieldNames.toSeq.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val srcCount = src.count()
+      if (srcCount == 0)
+        return MergeReport(members.length, 0, 0L, 0L, members.length)
+      // key-unique or no deterministic winner exists
+      val dupKeys = src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).collect()
+      require(dupKeys.isEmpty,
+        s"merge source holds duplicate keys (e.g. ${dupKeys.headOption.mkString}) — " +
+          "keep-last needs an order only the caller can define; dedup the source first")
+      if (members.isEmpty) {
+        // empty table: pure insert through the ordinary swap staging
+        val mrgId = maintenanceId("mrg")
+        val staging = GraftParquetWrite.stagingDir(table, mrgId)
+        fs.mkdirs(staging)
+        val nOut = 1
+        val moved = stageRewrite(fs, staging, mrgId, src.coalesce(nOut))
+        GraftParquetWrite.commitLines(fs, table, staging, addLines(moved))
+        return MergeReport(0, 0, 0L, srcCount,
+          GraftParquetWrite.listDataFiles(fs, table).length)
+      }
+      val srcKeys = src.select(keys.map(col): _*)
+      // discovery: ONE keys-only scan of the table (columnar projection
+      // pushdown) joined against the broadcast source keys — matched rows
+      // per file = the candidate set AND the exact update count. On a
+      // clustered table the scan's runtime join filters prune slabs whose
+      // key zones miss the source entirely.
+      val matchedByFile: Map[String, Long] =
+        readUnderEpoch(spark, epoch, members.map(_.getPath.toString))
+          .select((keys.map(col) :+ input_file_name().as("__f")): _*)
+          .join(broadcast(srcKeys), keys, "left_semi")
+          .groupBy(col("__f")).agg(count(lit(1)).as("n"))
+          .collect().map { r =>
+            val u = r.getString(0)
+            (u.substring(u.lastIndexOf('/') + 1), r.getLong(1))
+          }.toMap
+      val cands = members.filter(st => matchedByFile.contains(st.getPath.getName))
+      val rowsUpdated = matchedByFile.values.sum
+      // inserts = source rows matching NO table key. Matched DISTINCT table
+      // keys == matched source rows (the source is key-unique), computed
+      // with the small side broadcast — the candidate scan is the big side
+      val rowsInserted =
+        if (cands.isEmpty) srcCount
+        else srcCount - readUnderEpoch(spark, epoch, cands.map(_.getPath.toString))
+          .select(keys.map(col): _*)
+          .join(broadcast(srcKeys), keys, "left_semi")
+          .distinct().count()
+      val mrgId = maintenanceId("mrg")
+      val staging = GraftParquetWrite.stagingDir(table, mrgId)
+      fs.mkdirs(staging)
+      val bytes = cands.map(_.getLen).sum + math.max(1L, srcCount * 64L)
+      val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      val survivors =
+        if (cands.isEmpty) src
+        else readUnderEpoch(spark, epoch, cands.map(_.getPath.toString))
+          .join(broadcast(srcKeys), keys, "left_anti")
+          .unionByName(src)
+      val shaped =
+        if (clusterBy.isEmpty) survivors.coalesce(nOut)
+        else {
+          val ckeys = clusterBy.map(col)
+          survivors.repartitionByRange(nOut, ckeys: _*).sortWithinPartitions(ckeys: _*)
+        }
+      val moved = stageRewrite(fs, staging, mrgId, shaped)
+      val lines = addLines(moved) ++ cands.map(st => s"~${st.getPath.getName}")
+      GraftParquetWrite.commitLines(fs, table, staging, lines)
+      foldSidecars(fs, table): Unit
+      foldLog(fs, table, retainLog): Unit
+      MergeReport(members.length, cands.length, rowsUpdated, rowsInserted,
+        GraftParquetWrite.listDataFiles(fs, table).length)
+    } finally src.unpersist(): Unit
   }
 
   /** Best-effort Column → pushable v1 conjuncts for the zone pre-prune:

@@ -1269,6 +1269,125 @@ class ZoneMapSpec extends SparkTestBase {
     assert(empty.schema.fieldNames.toSeq == Seq("id", "name") && empty.count() == 0)
   }
 
+  test("updateWhere rewrites only intersecting files, TRUE-only semantics, history retained") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    val dir = freshTable("graft-zm-update")
+    val table = new Path(dir)
+    val fs = fsOf(dir)
+    // four disjoint id slabs + a NULL-name row inside the updated range
+    (0 until 4).foreach { i =>
+      val names = spark.range(i * 25L, (i + 1) * 25L)
+        .select(col("id"), when(col("id") === 5L, lit(null).cast("string"))
+          .otherwise(concat(lit("n"), col("id"))).as("name"))
+      names.coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val snap = GraftParquetWrite.currentSeq(fs, table).get
+    // a misspelled assignment column dies BEFORE any destructive step
+    val bad = intercept[Exception] {
+      GraftTableOptimize.updateWhere(spark, dir, col("id") < 10L,
+        Seq("nmae" -> lit("x")))
+    }
+    assert(bad.getMessage.contains("unknown column"), s"got: ${bad.getMessage}")
+    // range update: only the first slab intersects; condition is TRUE only
+    // where name is non-null (NULL-condition rows must pass through)
+    val rep = GraftTableOptimize.updateWhere(spark, dir,
+      col("id") < 10L && col("name").isNotNull,
+      Seq("name" -> concat(lit("upd-"), col("name"))))
+    assert(rep.filesScanned == 4 && rep.filesRewritten == 1 && rep.rowsUpdated == 9L,
+      s"only the intersecting slab rewrites, NULL row excluded: $rep")
+    val back = spark.read.format("graft-parquet").load(dir)
+    assert(back.count() == 100)
+    assert(back.filter(col("name").startsWith("upd-")).count() == 9)
+    assert(back.filter(col("id") === 5L).head().isNullAt(1),
+      "the NULL-condition row must pass through untouched")
+    assert(back.filter(col("id") === 50L).head().getString(1) == "n50",
+      "rows outside the range are byte-identical")
+    // default keeps history: the pre-update snapshot reads the OLD values
+    val old = spark.read.format("graft-parquet")
+      .option("graft.asOfSeq", snap.toString).load(dir)
+    assert(old.filter(col("name").startsWith("upd-")).count() == 0 && old.count() == 100)
+    // no-op update: nothing rewrites, nothing folds
+    val noop = GraftTableOptimize.updateWhere(spark, dir, col("id") > 99999L,
+      Seq("name" -> lit("x")))
+    assert(noop.filesRewritten == 0 && noop.rowsUpdated == 0L)
+  }
+
+  test("updateWhere purge=true is the redaction form: pre-update values are forgotten") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    val dir = freshTable("graft-zm-redact")
+    val table = new Path(dir)
+    val fs = fsOf(dir)
+    (0 until 2).foreach { i =>
+      spark.range(i * 10L, (i + 1) * 10L)
+        .select(col("id"), concat(lit("pii-"), col("id")).as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val snap = GraftParquetWrite.currentSeq(fs, table).get
+    val rep = GraftTableOptimize.updateWhere(spark, dir, col("id") < 5L,
+      Seq("name" -> lit("[redacted]")), purge = true)
+    assert(rep.rowsUpdated == 5L && rep.purged)
+    val back = spark.read.format("graft-parquet").load(dir)
+    assert(back.filter(col("name") === "[redacted]").count() == 5 && back.count() == 20)
+    // the pre-update snapshot CONTAINS the redacted values — purge must
+    // have killed it and physically reclaimed the old bytes
+    val dead = intercept[Exception] {
+      spark.read.format("graft-parquet").option("graft.asOfSeq", snap.toString)
+        .load(dir).count()
+    }
+    assert(dead.getMessage.contains("not available"), s"got: ${dead.getMessage}")
+    val health = GraftTableOptimize.fsck(spark, dir)
+    assert(health.healthy && health.retiredRetained == 0 && health.unloggedDataFiles == 0,
+      s"got $health")
+  }
+
+  test("merge upserts by key: matched slabs rewrite, unmatched files untouched, inserts land") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    val dir = freshTable("graft-zm-merge")
+    val table = new Path(dir)
+    val fs = fsOf(dir)
+    (0 until 4).foreach { i =>
+      spark.range(i * 25L, (i + 1) * 25L)
+        .select(col("id"), concat(lit("old-"), col("id")).as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val snap = GraftParquetWrite.currentSeq(fs, table).get
+    // a duplicate-key source has no deterministic winner: fail loudly
+    val dup = intercept[Exception] {
+      GraftTableOptimize.merge(spark, dir,
+        Seq((1L, "a"), (1L, "b")).toDF("id", "name"), Seq("id"))
+    }
+    assert(dup.getMessage.contains("duplicate keys"), s"got: ${dup.getMessage}")
+    // updates hit only slab 0 (ids 0..9); inserts are brand-new keys
+    val src = spark.range(0L, 10L)
+      .select(col("id"), concat(lit("new-"), col("id")).as("name"))
+      .union(spark.range(200L, 205L)
+        .select(col("id"), concat(lit("ins-"), col("id")).as("name")))
+    val rep = GraftTableOptimize.merge(spark, dir, src, Seq("id"))
+    assert(rep.filesScanned == 4 && rep.filesRewritten == 1 &&
+      rep.rowsUpdated == 10L && rep.rowsInserted == 5L,
+      s"only the matched slab rewrites: $rep")
+    val back = spark.read.format("graft-parquet").load(dir)
+    assert(back.count() == 105)
+    assert(back.filter(col("name").startsWith("new-")).count() == 10)
+    assert(back.filter(col("name").startsWith("ins-")).count() == 5)
+    assert(back.filter(col("name").startsWith("old-")).count() == 90)
+    assert(back.filter(col("id") === 3L).head().getString(1) == "new-3")
+    // pre-merge snapshot still reads the old corpus (retention default)
+    assert(spark.read.format("graft-parquet")
+      .option("graft.asOfSeq", snap.toString).load(dir)
+      .filter(col("name").startsWith("old-")).count() == 100)
+    // empty source is a no-op; merge into an EMPTY table is a pure insert
+    val noop = GraftTableOptimize.merge(spark, dir,
+      spark.range(0L, 0L).select(col("id"), lit("x").as("name")), Seq("id"))
+    assert(noop.filesRewritten == 0 && noop.rowsUpdated == 0L && noop.rowsInserted == 0L)
+    val fresh = freshTable("graft-zm-mergefresh")
+    fs.mkdirs(new Path(fresh))
+    val pure = GraftTableOptimize.merge(spark, fresh,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), Seq("id"))
+    assert(pure.rowsInserted == 2L && pure.rowsUpdated == 0L)
+    assert(spark.read.format("graft-parquet").load(fresh).count() == 2)
+  }
+
   test("retention fold keeps a base snapshot plus the newest records; seqs stay resolvable") {
     import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
     val dir = freshTable("graft-zm-retfold")
