@@ -676,6 +676,45 @@ object SparkEntry {
       replayA.withColumn("replay_ok", lit(ok))
     }),
 
+    "table_widening_evolution" -> ((s, dir) => {
+      // TYPE-WIDENING evolution through the commit log (graft.sources.v2):
+      // the table is created under an (int event_id, float value) epoch,
+      // then an append arrives with (long, double) — ids shifted beyond
+      // int range — and is accepted as one epoch record, no rewrite. The
+      // live read serves the WIDE schema with exact per-file upcasts
+      // (i32→i64, f32→f64); a pushed long literal beyond int range must
+      // not wrap into the old files' compiled int predicates (the range
+      // guard); the AS-OF handle from before the widening serves the
+      // NARROW schema. Oracle: DuckDB reproduces the float round-trip with
+      // CAST(CAST(value AS REAL) AS DOUBLE) — identical IEEE rounding.
+      val out = scratchDir("graft_widen") + "/t"
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val shift = 5000000000L
+      val era1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("event_id").cast("int").as("event_id"), col("user_id"),
+          col("value").cast("float").as("value"))
+      val era2 = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select((col("event_id") + shift).as("event_id"), col("user_id"), col("value"))
+      era1.coalesce(1).write.format("graft-parquet").mode("append").save(out)
+      val preSeq = graft.streaming.TableIngest.currentSeq(s, out).get
+      era2.coalesce(1).write.format("graft-parquet").mode("append").save(out)
+      val live = s.read.format("graft-parquet").load(out)
+      val old = s.read.format("graft-parquet")
+        .option("graft.asOfSeq", preSeq.toString).load(out)
+      val n1 = era1.count()
+      val n2 = era2.count()
+      import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+      val ok = live.schema("event_id").dataType == LongType &&
+        live.schema("value").dataType == DoubleType &&
+        old.schema("event_id").dataType == IntegerType &&
+        old.schema("value").dataType == FloatType &&
+        old.count() == n1 &&
+        live.filter(col("event_id") < 3000000000L).count() == n1 &&
+        live.filter(col("event_id") > 3000000000L).count() == n2
+      live.withColumn("wid_ok", lit(ok))
+    }),
+
     "table_update_where" -> ((s, dir) => {
       // row-level UPDATE as the same pruned swap DELETE uses (graft.sources
       // .v2.GraftTableOptimize.updateWhere): after a clustered OPTIMIZE, a
@@ -4229,6 +4268,15 @@ object SparkEntry {
 
     "concurrent_ingest" ->
       """SELECT event_id, user_id, value, TRUE AS cc_ok FROM events""",
+
+    "table_widening_evolution" ->
+      """SELECT CASE WHEN ((event_id % 2) + 2) % 2 = 1 THEN event_id + 5000000000
+        |            ELSE event_id END AS event_id,
+        |  user_id,
+        |  CASE WHEN ((event_id % 2) + 2) % 2 = 0 THEN CAST(CAST(value AS REAL) AS DOUBLE)
+        |       ELSE value END AS value,
+        |  TRUE AS wid_ok
+        |FROM events""".stripMargin,
 
     "table_update_where" ->
       """SELECT event_id, user_id,

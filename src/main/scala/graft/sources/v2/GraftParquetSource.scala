@@ -160,28 +160,55 @@ final case class GraftParquetTable(path: String, tableSchema: StructType)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // structural match (names + types, nullability-insensitive — writing a
     // non-nullable column into a nullable parquet field is always safe), OR
-    // SCHEMA EVOLUTION: the current schema is a strict prefix of the
-    // write's (new columns appended). The accepting write's manifest
-    // publishes the new epoch; existing files are never rewritten — scans
-    // backfill the new columns as NULL per old file. The epoch's
-    // nullability is WIDENED accordingly: appended columns publish as
-    // nullable (pre-evolution files hold nulls there by construction), and
-    // existing columns keep any nullability the table already admits — a
-    // stricter writer must never flip an epoch to non-nullable over files
-    // that may hold nulls.
-    def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
-    val tShape = shape(tableSchema)
-    val wShape = shape(info.schema())
-    val isEvolution = wShape.length > tShape.length && wShape.take(tShape.length) == tShape
-    require(tableSchema.isEmpty || wShape == tShape || isEvolution,
+    // SCHEMA EVOLUTION, two orthogonal forms an append may combine:
+    //   - appended columns: the current schema is a prefix of the write's;
+    //     old files backfill NULL per file, never a rewrite;
+    //   - TYPE WIDENING on existing columns (int→long, float→double): the
+    //     epoch adopts the wider type, old files keep their narrow
+    //     physical encoding and the reader upcasts per file exactly
+    //     (i32→i64 and f32→f64 are value-preserving). Narrowing is
+    //     rejected — the writer casts. A float→double widening marks the
+    //     column with `graft.widenedFrom` metadata in the epoch: pre-
+    //     widening zone-map bounds were rendered from FLOATS, and the
+    //     marker is what tells pruning to hull-parse them and metadata
+    //     extremes to decline (int bounds re-parse exactly — no marker).
+    // The epoch's nullability is WIDENED accordingly: appended columns
+    // publish as nullable (pre-evolution files hold nulls there by
+    // construction), and existing columns keep any nullability the table
+    // already admits — a stricter writer must never flip an epoch to
+    // non-nullable over files that may hold nulls.
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    val tFields = tableSchema.fields
+    val wFields = info.schema().fields
+    val compatible = wFields.length >= tFields.length &&
+      tFields.zip(wFields).forall { case (tf, wf) =>
+        tf.name == wf.name &&
+          (tf.dataType == wf.dataType || widens(tf.dataType, wf.dataType))
+      }
+    require(tableSchema.isEmpty || compatible,
       s"graft-parquet append schema ${info.schema().simpleString} does not match " +
-        s"table schema ${tableSchema.simpleString} (exact match or appended-column " +
-        "evolution)")
+        s"table schema ${tableSchema.simpleString} (exact match, appended-column " +
+        "evolution, or int->long / float->double widening)")
     val epochSchema =
       if (tableSchema.isEmpty) info.schema() // first commit: files define it exactly
-      else StructType(info.schema().fields.zipWithIndex.map { case (f, i) =>
-        if (i >= tShape.length) f.copy(nullable = true) // appended: old files read NULL
-        else f.copy(nullable = f.nullable || tableSchema.fields(i).nullable)
+      else StructType(wFields.zipWithIndex.map { case (f, i) =>
+        if (i >= tFields.length) f.copy(nullable = true) // appended: old files read NULL
+        else {
+          val tf = tFields(i)
+          // epoch metadata carries forward (a widenedFrom marker must
+          // survive later evolutions), gaining the float marker when THIS
+          // write performs the float→double widening
+          val md =
+            if (tf.dataType == FloatType && f.dataType == DoubleType)
+              new MetadataBuilder().withMetadata(tf.metadata)
+                .putString(GraftScan.WidenedFromKey, "float").build()
+            else tf.metadata
+          f.copy(nullable = f.nullable || tf.nullable, metadata = md)
+        }
       })
     // the `@` epoch line rides the manifest only when this write would
     // actually move the epoch (first commit of an empty table, appended
@@ -438,6 +465,18 @@ final case class GraftReaderFactory(required: StructType, filters: Array[Filter]
 
 object GraftScan {
 
+  /** Field-metadata key marking a column whose epoch was WIDENED from
+    * float to double: files (and zone-map bounds) written before the
+    * widening encode floats, so double-exact interpretations of those
+    * bounds are off by up to one float ulp — pruning hull-parses them
+    * ([[ZoneMap.colBounds]]) and metadata extremes decline. int→long needs
+    * no marker: integer bound strings re-parse exactly at either width.
+    */
+  val WidenedFromKey = "graft.widenedFrom"
+
+  private[v2] def widenedFromFloat(f: StructField): Boolean =
+    f.metadata.contains(WidenedFromKey) && f.metadata.getString(WidenedFromKey) == "float"
+
   /** Try to answer a pushed aggregation ENTIRELY from the zone-map sidecar
     * — the 100 TB degenerate-scan killer: `COUNT(*)` / `COUNT(col)` /
     * `MIN(col)` / `MAX(col)` over a whole table opens zero data files and
@@ -491,7 +530,13 @@ object GraftScan {
     }
     def extreme(col: org.apache.spark.sql.connector.expressions.Expression, isMin: Boolean)
         : Option[(StructField, Any)] =
-      fieldOf(col).flatMap { f =>
+      fieldOf(col).filterNot(
+        // a float→double-widened column declines: pre-widening bounds were
+        // rendered from floats, and the exact extreme may differ from
+        // their double re-parse by up to one float ulp — the normal scan
+        // (which upcasts per file exactly) answers instead
+        widenedFromFloat
+      ).flatMap { f =>
         perFile(f).flatMap { per =>
           if (per.exists(_._1.nan)) None // true extreme could be NaN
           else {
@@ -712,7 +757,14 @@ object GraftScan {
         : Option[FilterPredicate] =
       (physical(attr), v) match {
         case (Some(INT64), n: Number) => Some(mkLong(FilterApi.longColumn(attr), n.longValue()))
-        case (Some(INT32), n: Number) => Some(mkInt(FilterApi.intColumn(attr), n.intValue()))
+        // an INT32 file under a widened LONG epoch can meet a long literal
+        // beyond int range: intValue() would WRAP and a compiled range
+        // predicate could drop genuinely-matching rows (x < 3e9 keeps every
+        // int32 row, lt(wrapped negative) keeps almost none). Out-of-range
+        // literals decline compilation; the record-level eval (which
+        // compares at long width) stays authoritative.
+        case (Some(INT32), n: Number) if n.longValue() == n.intValue().toLong =>
+          Some(mkInt(FilterApi.intColumn(attr), n.intValue()))
         // a ±0.0 literal does NOT compile: parquet's double comparator is
         // total-order (-0.0 < 0.0), so its row-group/record filtering
         // would drop -0.0 rows a Spark-semantics `= 0.0` keeps — the
@@ -775,6 +827,9 @@ final class GraftPartitionReader(
   private val colIdx: Map[String, Int] = readCols.zipWithIndex.toMap
   private var current: InternalRow = _
 
+  private def physOf(i: Int): org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName =
+    projection.getType(i).asPrimitiveType().getPrimitiveTypeName
+
   private def value(g: Group, name: String): Any = colIdx.get(name) match {
     // column absent from this FILE's schema: written before the epoch that
     // added it — reads as NULL (schema evolution's per-file backfill)
@@ -782,14 +837,23 @@ final class GraftPartitionReader(
     case Some(i) =>
     if (g.getFieldRepetitionCount(i) == 0) null
     else required.find(_.name == name).map(_.dataType) match {
-      case Some(LongType) => g.getLong(i, 0)
+      // TYPE-WIDENED epochs decode at the file's PHYSICAL width and upcast
+      // (i32→i64, f32→f64 are value-preserving): a file written before an
+      // int→long or float→double evolution serves the wide epoch exactly
+      case Some(LongType) =>
+        if (physOf(i) == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32)
+          g.getInteger(i, 0).toLong
+        else g.getLong(i, 0)
       case Some(IntegerType) => g.getInteger(i, 0)
-      case Some(DoubleType) => g.getDouble(i, 0)
+      case Some(DoubleType) =>
+        if (physOf(i) == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT)
+          g.getFloat(i, 0).toDouble
+        else g.getDouble(i, 0)
       case Some(FloatType) => g.getFloat(i, 0)
       case Some(BooleanType) => g.getBoolean(i, 0)
       case Some(StringType) => g.getString(i, 0)
       case _ => // filter-only column: physical type decides
-        projection.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+        physOf(i) match {
           case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 => g.getLong(i, 0)
           case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 => g.getInteger(i, 0)
           case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE => g.getDouble(i, 0)

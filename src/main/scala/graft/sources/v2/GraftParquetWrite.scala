@@ -633,14 +633,35 @@ object GraftParquetWrite {
     // widens; re-widening here keeps hand-built manifests sound too): a
     // column that was ever nullable stays nullable — files from the
     // permissive epoch may hold nulls forever, and a non-nullable epoch
-    // over them would let Spark miscompile null checks away
+    // over them would let Spark miscompile null checks away. Types may
+    // only WIDEN (int→long, float→double) — a narrowing epoch over wide
+    // files would truncate values, so hand-built manifests die here too.
+    // The float→double marker and any prior field metadata carry forward
+    // (a later epoch must not silently drop the widenedFrom evidence
+    // pruning depends on).
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
     val prev = latestSchemaAt(fs, table, None)
     val epoch = prev match {
       case None => incoming
       case Some(p) => StructType(incoming.fields.zipWithIndex.map { case (f, i) =>
-        if (i < p.fields.length && p.fields(i).name == f.name)
-          f.copy(nullable = f.nullable || p.fields(i).nullable)
-        else f.copy(nullable = true)
+        if (i < p.fields.length && p.fields(i).name == f.name) {
+          val pf = p.fields(i)
+          if (pf.dataType != f.dataType && !widens(pf.dataType, f.dataType))
+            throw new graft.GraftDataError(
+              s"schema epoch may not change '${f.name}' from ${pf.dataType.catalogString} " +
+                s"to ${f.dataType.catalogString} (only int->long / float->double widening)")
+          val md =
+            if (pf.dataType == FloatType && f.dataType == DoubleType)
+              new MetadataBuilder().withMetadata(pf.metadata).withMetadata(f.metadata)
+                .putString(GraftScan.WidenedFromKey, "float").build()
+            else if (f.metadata == Metadata.empty) pf.metadata
+            else f.metadata
+          f.copy(nullable = f.nullable || pf.nullable, metadata = md)
+        } else f.copy(nullable = true)
       })
     }
     if (prev.contains(epoch)) return // same epoch

@@ -237,8 +237,27 @@ object ZoneMap {
       if (c.nan) None
       else if (c.min.isEmpty || c.max.isEmpty) {
         if (c.nulls == stats.rows) Some(None) else None
-      } else schema.fields.find(_.name == a).map(_.dataType).flatMap(dt =>
-        parseBound(c.min.get, dt).zip(parseBound(c.max.get, dt))).map(b => Some(b))
+      } else schema.fields.find(_.name == a).flatMap { f =>
+        // a float→double-WIDENED column (epoch metadata marker): entries
+        // written before the widening rendered FLOAT values, whose double
+        // re-parse is off by up to one float ulp — and we cannot tell
+        // which era wrote an entry. Parse each bound BOTH ways and take
+        // the hull: min of the two interpretations for the lower bound,
+        // max for the upper. The hull always contains the true value
+        // whichever era wrote it, so pruning stays a proof of emptiness
+        // (it merely prunes a hair less around widened bounds).
+        if (f.dataType == DoubleType && GraftScan.widenedFromFloat(f)) {
+          def hull(s: String, lower: Boolean): Option[Any] =
+            parseBound(s, DoubleType).zip(parseBound(s, FloatType)).map {
+              case (d: Double, fl: Float) =>
+                if (lower) math.min(d, fl.toDouble) else math.max(d, fl.toDouble)
+              case (d, _) => d
+            }
+          hull(c.min.get, lower = true).zip(hull(c.max.get, lower = false)).map(b => Some(b))
+        } else
+          parseBound(c.min.get, f.dataType).zip(parseBound(c.max.get, f.dataType))
+            .map(b => Some(b))
+      }
     }
 
   /** True iff SOME row of a file with these statistics could satisfy the

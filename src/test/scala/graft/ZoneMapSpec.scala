@@ -1269,6 +1269,70 @@ class ZoneMapSpec extends SparkTestBase {
     assert(empty.schema.fieldNames.toSeq == Seq("id", "name") && empty.count() == 0)
   }
 
+  test("type widening: int→long and float→double epochs upcast per file, AS-OF serves the narrow schema") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    val dir = freshTable("graft-zm-widen")
+    val table = new Path(dir)
+    val fs = fsOf(dir)
+    // narrow era: INT ids + FLOAT values — including 3.14f, whose double
+    // re-parse of the zone bound ("3.14" → 3.14d) UNDERSTATES the true
+    // value (3.14f as double = 3.1400001...), the hull-pruning case
+    Seq((1, 1.5f), (2, 2.5f), (3, 3.14f)).toDF("id", "v")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val preSeq = GraftParquetWrite.currentSeq(fs, table).get
+    // widened era: LONG beyond int range + DOUBLE
+    Seq((5000000000L, 9.25d)).toDF("id", "v")
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    val live = spark.read.format("graft-parquet").load(dir)
+    assert(live.schema("id").dataType == LongType && live.schema("v").dataType == DoubleType)
+    assert(live.count() == 4)
+    // float upcast is exact per file
+    assert(live.filter(col("id") === 1L).head().getDouble(1) == 1.5d)
+    assert(live.filter(col("id") === 3L).head().getDouble(1) == 3.14f.toDouble)
+    // a pushed long literal beyond int range must not WRAP into the old
+    // files' compiled int predicates (the range guard): x < 3e9 keeps every
+    // narrow-era row
+    assert(live.filter(col("id") < 3000000000L).count() == 3)
+    assert(live.filter(col("id") > 3000000000L).count() == 1)
+    // hull pruning: v > 3.14 matches the 3.14f row (its double value
+    // exceeds 3.14d); an exact-double parse of the float-era bound "3.14"
+    // would wrongly refute the file
+    assert(live.filter(col("v") > 3.14d).count() == 2,
+      "the widened bound hull must keep the 3.14f row reachable")
+    // metadata extremes: the widened DOUBLE column declines (float-era
+    // bounds are not double-exact) and the scan answers exactly; the
+    // widened LONG column still answers from metadata (int bounds re-parse
+    // exactly at long width)
+    val mv = live.agg(max("v").as("mv"))
+    assert(scanOf(mv).agg.isEmpty, "float→double-widened extremes must decline metadata")
+    assert(mv.head().getDouble(0) == 9.25d)
+    val mi = live.agg(max("id").as("mi"))
+    assert(scanOf(mi).agg.isDefined, "int→long extremes stay metadata-answerable")
+    assert(mi.head().getLong(0) == 5000000000L)
+    // AS-OF before the widening serves the NARROW schema and its rows
+    val old = spark.read.format("graft-parquet")
+      .option("graft.asOfSeq", preSeq.toString).load(dir)
+    assert(old.schema("id").dataType == IntegerType && old.schema("v").dataType == FloatType)
+    assert(old.count() == 3)
+    // NARROWING is rejected loudly (the writer casts instead)
+    val boom = intercept[Exception] {
+      Seq((7, 1.0d)).toDF("id", "v")
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    assert(boom.getMessage.contains("widening"), s"got: ${boom.getMessage}")
+    // OPTIMIZE across the widened epochs repacks under the CURRENT epoch
+    // without losing values (old files decode narrow, rewrite wide)
+    val rep = GraftTableOptimize.optimize(spark, dir,
+      targetBytes = 1L << 20, smallBytes = 1L << 20, clusterBy = Seq("id"), retainLog = 0)
+    assert(rep.filesRewritten == 2)
+    val packed = spark.read.format("graft-parquet").load(dir)
+    assert(packed.count() == 4 &&
+      packed.agg(sum(col("id"))).head().getLong(0) == 5000000006L)
+    assert(packed.filter(col("v") > 3.14d).count() == 2,
+      "post-OPTIMIZE the rewritten (double-exact) bounds keep agreeing")
+  }
+
   test("updateWhere rewrites only intersecting files, TRUE-only semantics, history retained") {
     import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
     val dir = freshTable("graft-zm-update")
