@@ -676,6 +676,56 @@ object SparkEntry {
       replayA.withColumn("replay_ok", lit(ok))
     }),
 
+    "sharded_log_fold" -> ((s, dir) => {
+      // manifest tiering end-to-end under the oracle (graft.sources.v2
+      // .GraftTableOptimize.foldLog): a retention fold over more members
+      // than `shardOver` publishes its base as POINTER LINES into
+      // content-addressed shards (`s-<bucket>-<md5>` under _log) instead
+      // of one O(files) record — the seam that otherwise breaks first at
+      // 10M files (a multi-hundred-MB driver read per plan, a full rewrite
+      // per fold). A second fold after two more commits lands on the SAME
+      // shard names for clean buckets (content-addressed reuse), so fold
+      // cost is O(dirty buckets). The flag pins: pointer-only base, shard
+      // reuse >= all-but-two, AS-OF resolving through the tiering; the
+      // oracle hash pins the membership bit-exact.
+      val out = scratchDir("graft_shardfold") + "/t"
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val commits = 12
+      def slice(r: Int) = ev.filter(pmod(col("event_id"), lit(commits)) === r)
+      (0 until 10).foreach(r =>
+        slice(r).coalesce(1).write.format("graft-parquet").mode("append").save(out))
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val logDir = graft.sources.v2.GraftParquetWrite.logDir(outPath)
+      def shards(): Seq[String] = fs.listStatus(logDir)
+        .map(_.getPath.getName).filter(_.startsWith("s-")).toSeq.sorted
+      def baseIsPointers(): Boolean = {
+        val base = graft.sources.v2.GraftParquetWrite.logRecordFiles(fs, outPath)
+          .map(_.getPath.getName).filter(_.contains("logbase-"))
+        base.length == 1 && {
+          val in = fs.open(new org.apache.hadoop.fs.Path(logDir, base.head))
+          val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          val lines = text.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+          lines.nonEmpty && lines.forall(_.startsWith(">"))
+        }
+      }
+      graft.sources.v2.GraftTableOptimize.foldLog(fs, outPath, retain = 2,
+        shardOver = 4, shardTarget = 3): Unit
+      val shards1 = shards()
+      val tiered1 = shards1.nonEmpty && baseIsPointers()
+      (10 until 12).foreach(r =>
+        slice(r).coalesce(1).write.format("graft-parquet").mode("append").save(out))
+      graft.sources.v2.GraftTableOptimize.foldLog(fs, outPath, retain = 2,
+        shardOver = 4, shardTarget = 3): Unit
+      val shards2 = shards()
+      val reused = shards2.intersect(shards1).size >= shards1.size - 2
+      val asOfOk = s.read.format("graft-parquet").option("graft.asOfSeq", "10")
+        .load(out).count() == ev.count() - slice(11).count()
+      val ok = tiered1 && baseIsPointers() && reused && asOfOk
+      s.read.format("graft-parquet").load(out).withColumn("shard_ok", lit(ok))
+    }),
+
     "table_widening_evolution" -> ((s, dir) => {
       // TYPE-WIDENING evolution through the commit log (graft.sources.v2):
       // the table is created under an (int event_id, float value) epoch,
@@ -4268,6 +4318,9 @@ object SparkEntry {
 
     "concurrent_ingest" ->
       """SELECT event_id, user_id, value, TRUE AS cc_ok FROM events""",
+
+    "sharded_log_fold" ->
+      """SELECT event_id, user_id, value, TRUE AS shard_ok FROM events""",
 
     "table_widening_evolution" ->
       """SELECT CASE WHEN ((event_id % 2) + 2) % 2 = 1 THEN event_id + 5000000000

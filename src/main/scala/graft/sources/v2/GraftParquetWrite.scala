@@ -381,19 +381,29 @@ object GraftParquetWrite {
           "above the fold base)")
       val adds = scala.collection.mutable.Map.empty[String, Long]
       val removed = scala.collection.mutable.Set.empty[String]
-      recs.foreach { st =>
-        recordLines(fs, st.getPath).foreach { line =>
+      def fold(source: Path, lines: Seq[String]): Unit =
+        lines.foreach { line =>
           if (line.startsWith("~")) removed += line.substring(1)
-          else {
+          else if (line.startsWith(">")) {
+            // a SHARDED base record: the line points at an immutable,
+            // content-addressed membership shard under _log — the reader
+            // streams shard-by-shard, so a base over millions of files is
+            // never one driver-sized record read or fold rewrite. A shard
+            // deleted by a concurrent fold throws FileNotFoundException,
+            // which the caller's bounded retry absorbs (the new base
+            // carries equivalent membership).
+            val shard = new Path(logDir(table), line.substring(1))
+            fold(shard, recordLines(fs, shard))
+          } else {
             val cut = line.indexOf('\t')
             // the record was published by an atomic rename, so a malformed
             // line is real FS corruption — failing the plan loudly beats
             // silently planning a torn scan with a wrong file length
-            require(cut > 0, s"corrupt log record ${st.getPath}: '$line'")
+            require(cut > 0, s"corrupt log record $source: '$line'")
             adds.put(line.substring(0, cut), line.substring(cut + 1).trim.toLong)
           }
         }
-      }
+      recs.foreach(st => fold(st.getPath, recordLines(fs, st.getPath)))
       Some(adds.filterNot { case (n, _) => removed(n) }.toMap)
     }
   }
@@ -412,20 +422,32 @@ object GraftParquetWrite {
     * snapshot and safe to reclaim ([[GraftTableOptimize.vacuum]]).
     */
   def logReferencedFiles(fs: FileSystem, table: Path): Set[String] =
-    logReferencedFiles(fs, logRecordFiles(fs, table))
+    logReferencedFiles(fs, table, logRecordFiles(fs, table))
 
   /** As above, over records the caller already listed — fsck and other
     * multi-question probes pay ONE `_log` listing, not one per question.
     */
-  def logReferencedFiles(fs: FileSystem,
+  def logReferencedFiles(fs: FileSystem, table: Path,
       records: Seq[org.apache.hadoop.fs.FileStatus]): Set[String] =
-    records.iterator.flatMap { st =>
-      recordLines(fs, st.getPath).iterator.collect {
-        case line if !line.startsWith("~") =>
-          val cut = line.indexOf('\t')
-          if (cut < 0) line else line.substring(0, cut)
+    records.iterator.flatMap(st =>
+      expandAddNames(fs, table, recordLines(fs, st.getPath))).toSet
+
+  /** The ADD file names of a record's lines, with sharded-base pointer
+    * lines (`>shard`) resolved — every reachability question must see
+    * through the tiering or a shard's files would read as unreferenced.
+    */
+  private[v2] def expandAddNames(fs: FileSystem, table: Path,
+      lines: Seq[String]): Iterator[String] =
+    lines.iterator.flatMap { line =>
+      if (line.startsWith("~")) Iterator.empty
+      else if (line.startsWith(">"))
+        expandAddNames(fs, table,
+          recordLines(fs, new Path(logDir(table), line.substring(1))))
+      else {
+        val cut = line.indexOf('\t')
+        Iterator.single(if (cut < 0) line else line.substring(0, cut))
       }
-    }.toSet
+    }
 
   /** Test seam for the commit race: invoked between sequence computation
     * and record publication, where a concurrent committer's record can

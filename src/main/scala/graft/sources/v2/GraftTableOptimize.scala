@@ -708,7 +708,7 @@ object GraftTableOptimize {
     val schemaRecs = logAll.count(_.getPath.getName.startsWith("m-"))
     // the reachability set: adds across every retained record. On-disk
     // non-members split into retained AS-OF history vs true garbage.
-    val referenced = GraftParquetWrite.logReferencedFiles(fs, logRecs)
+    val referenced = GraftParquetWrite.logReferencedFiles(fs, table, logRecs)
     val collisions = logRecs.map(_.getPath.getName)
       .filterNot(n => GraftParquetWrite.logIdOf(n).startsWith("logbase-"))
       .groupBy(GraftParquetWrite.logSeqOf).count(_._2.length > 1)
@@ -883,7 +883,8 @@ object GraftTableOptimize {
     * that retires it (a removal's add is always in an older record).
     * Returns the record count after folding.
     */
-  def foldLog(fs: FileSystem, table: Path, retain: Int = 0): Int = {
+  def foldLog(fs: FileSystem, table: Path, retain: Int = 0,
+      shardOver: Int = 8192, shardTarget: Int = 4096): Int = {
     // (seq, name): a same-seq tie — the benign residue of an unobserved
     // commit race — must split across the retention boundary the same way
     // on every fold, whatever order the listing returned
@@ -902,6 +903,52 @@ object GraftTableOptimize {
     def memberLines(asOf: Option[Long]): Seq[String] =
       GraftParquetWrite.logMembership(fs, table, asOf).getOrElse(Map.empty)
         .toSeq.sortBy(_._1).map { case (n, len) => s"$n\t$len" }
+    // MANIFEST TIERING: a base over more than `shardOver` members is not
+    // one O(files) record — at 10M files that is a multi-hundred-MB
+    // driver-side read per plan and a full rewrite per fold. The members
+    // partition into content-addressed SHARDS (`s-<bucket>-<md5 of
+    // content>` under _log, immutable, published atomically BEFORE any
+    // base references them) and the base carries one `>shard` pointer line
+    // per bucket. Bucketing is a stable hash of the file NAME into a
+    // power-of-two bucket count, so a later fold recomputes identical
+    // content for untouched buckets, lands on the SAME shard name, and
+    // skips the publish — only dirty shards rewrite. Readers stream
+    // shard-by-shard; orphan shards (referenced by no surviving record)
+    // are swept at the end of the fold.
+    def shardify(lines: Seq[String]): Seq[String] =
+      if (lines.length <= shardOver) lines
+      else {
+        val want = math.max(1, (lines.length + shardTarget - 1) / shardTarget)
+        val nBuckets = Integer.highestOneBit(math.max(1, want - 1)) * 2 // next pow2 >= want
+        def nameOf(line: String): String = {
+          val cut = line.indexOf('\t'); if (cut < 0) line else line.substring(0, cut)
+        }
+        // String.hashCode is specified by the JLS — stable across JVMs and
+        // releases, so bucket assignment never shifts under a table
+        lines.groupBy(l => (nameOf(l).hashCode & Int.MaxValue) % nBuckets)
+          .toSeq.sortBy(_._1).map { case (bucket, bucketLines) =>
+            val content = bucketLines.sorted
+            val digest = java.security.MessageDigest.getInstance("MD5")
+              .digest(content.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val fp = digest.take(8).map(b => f"$b%02x").mkString
+            val shardName = f"s-$bucket%05d-$fp"
+            if (!fs.exists(new Path(d, shardName))) publish(content, shardName)
+            ">" + shardName
+          }
+      }
+    // shards referenced by any surviving record, vs every shard on disk:
+    // the difference is dead tiering (previous folds' dirty buckets and
+    // crash leftovers) no reader can reach
+    def sweepOrphanShards(): Unit = {
+      val survivors = GraftParquetWrite.logRecordFiles(fs, table)
+      val referenced = survivors.iterator.flatMap(st =>
+        GraftParquetWrite.recordLines(fs, st.getPath).iterator
+          .collect { case l if l.startsWith(">") => l.substring(1) }).toSet
+      fs.listStatus(d).iterator
+        .filter(st => st.isFile && st.getPath.getName.startsWith("s-") &&
+          !referenced.contains(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
     // schema epochs below the surviving horizon collapse too: every seq a
     // reader can still name resolves its epoch through the newest metadata
     // record at-or-below the horizon, so older ones are dead history
@@ -933,18 +980,16 @@ object GraftTableOptimize {
     // records' lines are read once and shared between the dropped-removal
     // set and nothing else (membership still folds them via memberLines —
     // a second read, accepted: folds fire at most every 16th ingest batch).
-    def addNameOf(line: String): Option[String] =
-      if (line.startsWith("~")) None
-      else { val cut = line.indexOf('\t'); Some(if (cut < 0) line else line.substring(0, cut)) }
     def stampUnreferenced(folded: Seq[org.apache.hadoop.fs.FileStatus],
         snapshotLines: Seq[String],
         retained: Seq[org.apache.hadoop.fs.FileStatus]): Unit = {
       val dropped = folded.flatMap(st => GraftParquetWrite.recordLines(fs, st.getPath)
         .collect { case l if l.startsWith("~") => l.substring(1) }).toSet
       if (dropped.nonEmpty) {
-        val referencedAfter = (snapshotLines.flatMap(addNameOf) ++
-          retained.flatMap(st => GraftParquetWrite.recordLines(fs, st.getPath)
-            .flatMap(addNameOf))).toSet
+        val referencedAfter =
+          (GraftParquetWrite.expandAddNames(fs, table, snapshotLines) ++
+            retained.iterator.flatMap(st => GraftParquetWrite.expandAddNames(fs, table,
+              GraftParquetWrite.recordLines(fs, st.getPath)))).toSet
         val now = System.currentTimeMillis()
         val retiring = dropped.filterNot(referencedAfter)
           .filter(n => fs.exists(new Path(table, n)))
@@ -962,7 +1007,7 @@ object GraftTableOptimize {
     if (retain <= 0) {
       if (recs.length <= 1) return recs.length
       val seq = GraftParquetWrite.logSeqOf(recs.last.getPath.getName) + 1L
-      val snapshot = memberLines(None)
+      val snapshot = shardify(memberLines(None))
       publish(snapshot, f"c-$seq%012d-${maintenanceId("logfold")}")
       stampUnreferenced(recs, snapshot, Nil)
       recs.foreach(st => fs.delete(st.getPath, false)) // oldest-first
@@ -972,12 +1017,13 @@ object GraftTableOptimize {
       val folded = recs.dropRight(retain)
       val retained = recs.takeRight(retain)
       val baseSeq = GraftParquetWrite.logSeqOf(folded.last.getPath.getName)
-      val snapshot = memberLines(Some(baseSeq))
+      val snapshot = shardify(memberLines(Some(baseSeq)))
       publish(snapshot, f"c-$baseSeq%012d-${maintenanceId("logbase")}")
       stampUnreferenced(folded, snapshot, retained)
       folded.foreach(st => fs.delete(st.getPath, false)) // oldest-first
       pruneSchemaRecords(baseSeq)
     }
+    sweepOrphanShards()
     GraftParquetWrite.logRecordFiles(fs, table).length
   }
 }

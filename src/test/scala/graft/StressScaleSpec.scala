@@ -460,6 +460,58 @@ class StressScaleSpec extends SparkTestBase {
     }
   }
 
+  stress("sharded fold: per-fold rewrite stays bounded as commits grow, reads unchanged") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    // the manifest-tiering contract at volume: two retention folds over a
+    // growing table, with the SECOND fold rewriting only the shards whose
+    // buckets the new commits dirtied — the property that keeps fold cost
+    // O(delta), not O(files), at 10M-file scale
+    val dir = java.nio.file.Files.createTempDirectory("graft-stress-shard").toString + "/t"
+    val table = new org.apache.hadoop.fs.Path(dir)
+    (0 until 120).foreach { i =>
+      spark.range(i * 5L, (i + 1) * 5L).select($"id", lit("x").as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = GraftParquetWrite.logDir(table)
+    def shardStats(): Map[String, Long] = fs.listStatus(logDir)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("s-"))
+      .map(st => (st.getPath.getName, st.getLen)).toMap
+    // fold 1: 112 members tier into 16 buckets (shardTarget=8)
+    assert(GraftTableOptimize.foldLog(fs, table, retain = 8,
+      shardOver = 32, shardTarget = 8) == 9)
+    val shards1 = shardStats()
+    assert(shards1.size > 8, s"expected tiered base, got ${shards1.size} shards")
+    // a handle inside the retained tail resolves through the tiered base
+    assert(spark.read.format("graft-parquet")
+      .option("graft.asOfSeq", "115").load(dir).count() == 116 * 5)
+    // grow by 8 commits, fold again at the SAME bucket geometry
+    (120 until 128).foreach { i =>
+      spark.range(i * 5L, (i + 1) * 5L).select($"id", lit("x").as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    assert(GraftTableOptimize.foldLog(fs, table, retain = 8,
+      shardOver = 32, shardTarget = 8) == 9)
+    val shards2 = shardStats()
+    val reused = shards2.keySet.intersect(shards1.keySet)
+    val rewritten = shards2.keySet -- shards1.keySet
+    assert(reused.size >= shards1.size - 8,
+      s"8 new files dirty at most 8 buckets; reused=${reused.size} of ${shards1.size}")
+    assert(rewritten.size <= 8, s"rewritten=${rewritten.size} — fold cost must be O(delta)")
+    val rewrittenBytes = rewritten.toSeq.map(shards2).sum
+    val totalBytes = shards2.values.sum
+    assert(rewrittenBytes < totalBytes,
+      s"per-fold bytes rewritten ($rewrittenBytes) must stay below the full base ($totalBytes)")
+    info(f"fold 2 rewrote ${rewritten.size} of ${shards2.size} shards " +
+      f"($rewrittenBytes of $totalBytes bytes)")
+    // reads and membership are unchanged through both folds
+    assert(spark.read.format("graft-parquet").load(dir).count() == 128 * 5)
+    assert(GraftParquetWrite.listDataFiles(fs, table).length == 128)
+    val health = GraftTableOptimize.fsck(spark, dir)
+    assert(health.healthy && health.missingDataFiles == 0 && health.unloggedDataFiles == 0,
+      s"got $health")
+  }
+
   stress("zone-map stack at 96 commits: pruning exact, optimize folds, aggregates hold") {
     import graft.sources.v2.{GraftTableOptimize, ZoneMap}
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}

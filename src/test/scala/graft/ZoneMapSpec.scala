@@ -1482,6 +1482,72 @@ class ZoneMapSpec extends SparkTestBase {
     assert(asOf(10L).count() == 110)
   }
 
+  test("sharded fold base: membership tiers into content-addressed shards, clean shards reuse") {
+    import graft.sources.v2.{GraftParquetWrite, GraftTableOptimize}
+    val dir = freshTable("graft-zm-shard")
+    val table = new Path(dir)
+    val fs = fsOf(dir)
+    val logDir = GraftParquetWrite.logDir(table)
+    (0 until 10).foreach { i =>
+      spark.range(i * 10L, (i + 1) * 10L).select(col("id"), lit("x").as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    val before = GraftParquetWrite.listDataFiles(fs, table)
+      .map(st => (st.getPath.getName, st.getLen)).sortBy(_._1)
+    // 8 members fold into the base (retain=2) — above shardOver=4, so the
+    // base record is POINTERS into shards, never one O(files) blob
+    assert(GraftTableOptimize.foldLog(fs, table, retain = 2,
+      shardOver = 4, shardTarget = 4) == 3)
+    def shards(): Seq[String] = fs.listStatus(logDir)
+      .map(_.getPath.getName).filter(_.startsWith("s-")).toSeq.sorted
+    def baseLines(): Seq[String] = {
+      val base = GraftParquetWrite.logRecordFiles(fs, table)
+        .map(_.getPath.getName).filter(_.contains("logbase-"))
+      assert(base.length == 1)
+      val in = fs.open(new Path(logDir, base.head))
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      text.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    val shards1 = shards()
+    assert(shards1.nonEmpty, "an over-threshold base must tier into shards")
+    assert(baseLines().forall(_.startsWith(">")),
+      "the sharded base must hold only pointer lines")
+    assert(baseLines().map(_.substring(1)).sorted == shards1,
+      "every shard on disk is referenced (orphans swept)")
+    // membership and reads are unchanged through the tiering
+    val after = GraftParquetWrite.listDataFiles(fs, table)
+      .map(st => (st.getPath.getName, st.getLen)).sortBy(_._1)
+    assert(after == before, "tiering must preserve membership and lengths exactly")
+    assert(spark.read.format("graft-parquet").load(dir).count() == 100)
+    // AS-OF at the base and in the retained tail resolve through shards
+    assert(spark.read.format("graft-parquet").option("graft.asOfSeq", "7")
+      .load(dir).count() == 80)
+    assert(spark.read.format("graft-parquet").option("graft.asOfSeq", "9")
+      .load(dir).count() == 100)
+    // two more commits, fold again: bucket count is stable here, so at
+    // most two buckets dirty — the rest REUSE their shard files by name
+    // (content-addressed), which is what bounds per-fold rewrite cost
+    (10 until 12).foreach { i =>
+      spark.range(i * 10L, (i + 1) * 10L).select(col("id"), lit("x").as("name"))
+        .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    }
+    assert(GraftTableOptimize.foldLog(fs, table, retain = 2,
+      shardOver = 4, shardTarget = 4) == 3)
+    val shards2 = shards()
+    assert(shards2.intersect(shards1).size >= shards1.size - 2,
+      s"clean shards must reuse: fold1=$shards1 fold2=$shards2")
+    assert(baseLines().map(_.substring(1)).sorted == shards2,
+      "orphaned fold-1 shards are swept once unreferenced")
+    assert(spark.read.format("graft-parquet").load(dir).count() == 120)
+    // vacuum/fsck see through the tiering: retired nothing, lost nothing
+    val health = GraftTableOptimize.fsck(spark, dir)
+    assert(health.healthy && health.missingDataFiles == 0 && health.unloggedDataFiles == 0,
+      s"got $health")
+    assert(GraftTableOptimize.vacuum(spark, dir, graceMs = 0L) == 0,
+      "every member is reachable through the shards — vacuum must not touch them")
+    assert(spark.read.format("graft-parquet").load(dir).count() == 120)
+  }
+
   test("AS-OF inside an interrupted fold's rootless suffix fails loudly, never incomplete") {
     import graft.sources.v2.GraftParquetWrite
     val dir = freshTable("graft-zm-rootless")
