@@ -740,8 +740,12 @@ object SparkEntry {
       val out = scratchDir("graft_widen") + "/t"
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"), col("value"))
+      // the int-range guard keeps the claim scale-free: an even id beyond
+      // Int.MaxValue would wrap under the narrow-era cast, so both engines
+      // exclude such rows (a no-op at every driver scale factor today)
       val shift = 5000000000L
-      val era1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      val era1 = ev.filter(pmod(col("event_id"), lit(2)) === 0 &&
+          col("event_id") <= Int.MaxValue.toLong)
         .select(col("event_id").cast("int").as("event_id"), col("user_id"),
           col("value").cast("float").as("value"))
       val era2 = ev.filter(pmod(col("event_id"), lit(2)) === 1)
@@ -4329,7 +4333,8 @@ object SparkEntry {
         |  CASE WHEN ((event_id % 2) + 2) % 2 = 0 THEN CAST(CAST(value AS REAL) AS DOUBLE)
         |       ELSE value END AS value,
         |  TRUE AS wid_ok
-        |FROM events""".stripMargin,
+        |FROM events
+        |WHERE ((event_id % 2) + 2) % 2 = 1 OR event_id <= 2147483647""".stripMargin,
 
     "table_update_where" ->
       """SELECT event_id, user_id,

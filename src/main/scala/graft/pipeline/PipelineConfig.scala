@@ -58,7 +58,11 @@ object PipelineConfig {
       val skip = marker.exists { m =>
         val table = new org.apache.hadoop.fs.Path(path)
         val fs = table.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-        if (fs.exists(table)) graft.sources.v2.GraftParquetWrite.recover(fs, table)
+        // heal (complete published commits — may hold this very marker),
+        // never the full recover sweep: a concurrent appender mid-stage is
+        // legal under the commit log's optimistic concurrency, and the
+        // sweep would kill its batch
+        if (fs.exists(table)) graft.sources.v2.GraftParquetWrite.healPublished(fs, table)
         graft.sources.v2.GraftParquetWrite.markerExists(fs, table, m)
       }
       if (!skip) {

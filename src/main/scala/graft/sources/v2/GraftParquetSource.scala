@@ -177,17 +177,12 @@ final case class GraftParquetTable(path: String, tableSchema: StructType)
     // construction), and existing columns keep any nullability the table
     // already admits — a stricter writer must never flip an epoch to
     // non-nullable over files that may hold nulls.
-    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
-      case (IntegerType, LongType) => true
-      case (FloatType, DoubleType) => true
-      case _ => false
-    }
     val tFields = tableSchema.fields
     val wFields = info.schema().fields
     val compatible = wFields.length >= tFields.length &&
       tFields.zip(wFields).forall { case (tf, wf) =>
-        tf.name == wf.name &&
-          (tf.dataType == wf.dataType || widens(tf.dataType, wf.dataType))
+        tf.name == wf.name && (tf.dataType == wf.dataType ||
+          GraftParquetWrite.typeWidens(tf.dataType, wf.dataType))
       }
     require(tableSchema.isEmpty || compatible,
       s"graft-parquet append schema ${info.schema().simpleString} does not match " +
@@ -197,18 +192,10 @@ final case class GraftParquetTable(path: String, tableSchema: StructType)
       if (tableSchema.isEmpty) info.schema() // first commit: files define it exactly
       else StructType(wFields.zipWithIndex.map { case (f, i) =>
         if (i >= tFields.length) f.copy(nullable = true) // appended: old files read NULL
-        else {
-          val tf = tFields(i)
-          // epoch metadata carries forward (a widenedFrom marker must
-          // survive later evolutions), gaining the float marker when THIS
-          // write performs the float→double widening
-          val md =
-            if (tf.dataType == FloatType && f.dataType == DoubleType)
-              new MetadataBuilder().withMetadata(tf.metadata)
-                .putString(GraftScan.WidenedFromKey, "float").build()
-            else tf.metadata
-          f.copy(nullable = f.nullable || tf.nullable, metadata = md)
-        }
+        // nullability widens, metadata (incl. any widenedFrom marker the
+        // float→double case gains) carries — shared with the commit-time
+        // epoch validation so the two can never diverge
+        else GraftParquetWrite.mergeEpochField(tFields(i), f)
       })
     // the `@` epoch line rides the manifest only when this write would
     // actually move the epoch (first commit of an empty table, appended

@@ -610,6 +610,34 @@ object GraftParquetWrite {
     rest.substring(rest.indexOf('-') + 1)
   }
 
+  /** The admissible TYPE WIDENINGS between epochs — value-preserving
+    * upcasts the reader performs per file. ONE definition shared by
+    * plan-time acceptance ([[GraftParquetTable.newWriteBuilder]]) and
+    * commit-time epoch validation ([[appendSchemaRecord]]): if the two
+    * ever disagreed, a write could be accepted at plan time and then die
+    * AFTER its files are physically in the table.
+    */
+  private[v2] def typeWidens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
+  }
+
+  /** Merge one epoch field forward: nullability is MONOTONE (ever-nullable
+    * stays nullable), prior field metadata carries (widenedFrom evidence
+    * must survive later epochs), and a float→double widening gains the
+    * [[GraftScan.WidenedFromKey]] marker pruning depends on.
+    */
+  private[v2] def mergeEpochField(prev: StructField, incoming: StructField): StructField = {
+    val md =
+      if (prev.dataType == FloatType && incoming.dataType == DoubleType)
+        new MetadataBuilder().withMetadata(prev.metadata).withMetadata(incoming.metadata)
+          .putString(GraftScan.WidenedFromKey, "float").build()
+      else if (incoming.metadata == Metadata.empty) prev.metadata
+      else incoming.metadata
+    incoming.copy(nullable = incoming.nullable || prev.nullable, metadata = md)
+  }
+
   /** The table's schema epoch current at `asOfSeq` (or the newest with
     * None): the highest-seq metadata record at or below the bound. None on
     * tables that have never published one (pre-evolution tables — the
@@ -656,33 +684,21 @@ object GraftParquetWrite {
     // column that was ever nullable stays nullable — files from the
     // permissive epoch may hold nulls forever, and a non-nullable epoch
     // over them would let Spark miscompile null checks away. Types may
-    // only WIDEN (int→long, float→double) — a narrowing epoch over wide
-    // files would truncate values, so hand-built manifests die here too.
-    // The float→double marker and any prior field metadata carry forward
-    // (a later epoch must not silently drop the widenedFrom evidence
-    // pruning depends on).
-    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
-      case (IntegerType, LongType) => true
-      case (FloatType, DoubleType) => true
-      case _ => false
-    }
+    // only WIDEN ([[typeWidens]]) — a narrowing epoch over wide files
+    // would truncate values, so hand-built manifests die here too. The
+    // float→double marker and any prior field metadata carry forward
+    // ([[mergeEpochField]]).
     val prev = latestSchemaAt(fs, table, None)
     val epoch = prev match {
       case None => incoming
       case Some(p) => StructType(incoming.fields.zipWithIndex.map { case (f, i) =>
         if (i < p.fields.length && p.fields(i).name == f.name) {
           val pf = p.fields(i)
-          if (pf.dataType != f.dataType && !widens(pf.dataType, f.dataType))
+          if (pf.dataType != f.dataType && !typeWidens(pf.dataType, f.dataType))
             throw new graft.GraftDataError(
               s"schema epoch may not change '${f.name}' from ${pf.dataType.catalogString} " +
                 s"to ${f.dataType.catalogString} (only int->long / float->double widening)")
-          val md =
-            if (pf.dataType == FloatType && f.dataType == DoubleType)
-              new MetadataBuilder().withMetadata(pf.metadata).withMetadata(f.metadata)
-                .putString(GraftScan.WidenedFromKey, "float").build()
-            else if (f.metadata == Metadata.empty) pf.metadata
-            else f.metadata
-          f.copy(nullable = f.nullable || pf.nullable, metadata = md)
+          mergeEpochField(pf, f)
         } else f.copy(nullable = true)
       })
     }

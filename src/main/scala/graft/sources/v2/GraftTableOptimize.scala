@@ -230,6 +230,51 @@ object GraftTableOptimize {
   private def addLines(moved: Seq[(String, Option[ZoneMap.FileStats])]): Seq[String] =
     moved.map { case (n, s) => s.map(st => s"$n\t${ZoneMap.encode(st)}").getOrElse(n) }
 
+  /** Shape a maintenance rewrite for the staged write: coalesce to `nOut`
+    * files, or — with `clusterBy` — range-repartition plus an intra-file
+    * sort so every rewritten file keeps a tight zone on the cluster key
+    * (the layout contract deletes/updates/merges must not quietly erode).
+    * One implementation for all three row-level ops.
+    */
+  private def shapeForWrite(df: org.apache.spark.sql.DataFrame, nOut: Int,
+      clusterBy: Seq[String]): org.apache.spark.sql.DataFrame =
+    if (clusterBy.isEmpty) df.coalesce(nOut)
+    else {
+      val keys = clusterBy.map(org.apache.spark.sql.functions.col)
+      df.repartitionByRange(nOut, keys: _*).sortWithinPartitions(keys: _*)
+    }
+
+  /** Pruned candidate discovery shared by DELETE and UPDATE: the
+    * condition's pushable conjuncts test the zone map driver-side (files
+    * the statistics refute are never opened), then ONE pushed-down scan
+    * over the survivors counts condition-TRUE rows per file — the
+    * candidate set and the exact matched-row count in a single pass.
+    */
+  private def discoverMatches(spark: SparkSession, fs: FileSystem, table: Path,
+      members: Seq[org.apache.hadoop.fs.FileStatus],
+      epoch: Option[org.apache.spark.sql.types.StructType],
+      schema: org.apache.spark.sql.types.StructType,
+      condition: org.apache.spark.sql.Column): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit}
+    val pushable = pushableConjuncts(condition)
+    val scanSet =
+      if (pushable.isEmpty) members
+      else {
+        val zm = ZoneMap.load(fs, table)
+        if (zm.isEmpty) members
+        else members.filter(st =>
+          zm.get(st.getPath.getName).forall(ZoneMap.mayMatchAll(pushable, _, schema)))
+      }
+    if (scanSet.isEmpty) Map.empty
+    else readUnderEpoch(spark, epoch, scanSet.map(_.getPath.toString))
+      .filter(condition)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect().map { r =>
+        val u = r.getString(0)
+        (u.substring(u.lastIndexOf('/') + 1), r.getLong(1))
+      }.toMap
+  }
+
   final case class DeleteReport(
       filesScanned: Int, filesRewritten: Int, rowsDeleted: Long,
       filesAfter: Int, purged: Boolean)
@@ -278,7 +323,7 @@ object GraftTableOptimize {
       targetBytes: Long = 128L * 1024 * 1024,
       purge: Boolean = true, retainLog: Int = 8,
       clusterBy: Seq[String] = Nil): DeleteReport = {
-    import org.apache.spark.sql.functions.{coalesce, count, input_file_name, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(table), s"no table at $path")
@@ -302,30 +347,10 @@ object GraftTableOptimize {
     }
     if (members.isEmpty) return DeleteReport(0, 0, 0L, 0, purge)
     val schema = epoch.getOrElse(spark.read.parquet(members.head.getPath.toString).schema)
-    // 1a. driver-side zone pruning on the condition's pushable conjuncts:
-    //     conservative — files without an entry (or conjuncts that don't
-    //     translate) stay candidates for the scan. The sidecar is read
-    //     only when there is something to test it with.
-    val pushable = pushableConjuncts(condition)
-    val scanSet =
-      if (pushable.isEmpty) members
-      else {
-        val zm = ZoneMap.load(fs, table)
-        if (zm.isEmpty) members
-        else members.filter(st =>
-          zm.get(st.getPath.getName).forall(ZoneMap.mayMatchAll(pushable, _, schema)))
-      }
-    // 1b. one distributed scan: TRUE rows per file — both the candidate
-    //     set and the exact deleted-row count
-    val trueByFile: Map[String, Long] =
-      if (scanSet.isEmpty) Map.empty
-      else readUnderEpoch(spark, epoch, scanSet.map(_.getPath.toString))
-        .filter(condition)
-        .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-        .collect().map { r =>
-          val u = r.getString(0)
-          (u.substring(u.lastIndexOf('/') + 1), r.getLong(1))
-        }.toMap
+    // 1. pruned discovery ([[discoverMatches]]): zone pre-prune on the
+    //    pushable conjuncts, then ONE pushed-down scan counting TRUE rows
+    //    per file — candidates and the exact deleted-row count in one pass
+    val trueByFile = discoverMatches(spark, fs, table, members, epoch, schema, condition)
     val cands = members.filter(st => trueByFile.contains(st.getPath.getName))
     // matched nothing: report the no-op without touching history — the
     // interrupted-purge case was already converged via the marker above
@@ -344,18 +369,11 @@ object GraftTableOptimize {
     //    non-range delete (user_id IN ...) on an event_id-clustered table
     //    intersects MANY disjoint slabs, and a bare coalesce would merge
     //    them into wide-zone files — silently degrading range pruning on
-    //    the cluster key until the next OPTIMIZE. Range-repartition + the
-    //    intra-file sort keeps every rewritten file's [min,max] tight.
+    //    the cluster key until the next OPTIMIZE ([[shapeForWrite]]).
     val nOut = math.max(1, math.ceil(cands.map(_.getLen).sum.toDouble / targetBytes).toInt)
     val kept = readUnderEpoch(spark, epoch, cands.map(_.getPath.toString))
       .filter(not(coalesce(condition, lit(false))))
-    val survivors =
-      if (clusterBy.isEmpty) kept.coalesce(nOut)
-      else {
-        val keys = clusterBy.map(org.apache.spark.sql.functions.col)
-        kept.repartitionByRange(nOut, keys: _*).sortWithinPartitions(keys: _*)
-      }
-    val moved = stageRewrite(fs, staging, delId, survivors)
+    val moved = stageRewrite(fs, staging, delId, shapeForWrite(kept, nOut, clusterBy))
     val lines = addLines(moved) ++ cands.map(st => s"~${st.getPath.getName}")
     // 3. commit point + roll-forward; then retention policy
     GraftParquetWrite.commitLines(fs, table, staging, lines)
@@ -415,7 +433,6 @@ object GraftTableOptimize {
       targetBytes: Long = 128L * 1024 * 1024,
       purge: Boolean = false, retainLog: Int = 8,
       clusterBy: Seq[String] = Nil): UpdateReport = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
     require(set.nonEmpty, "updateWhere needs at least one column assignment")
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -441,24 +458,7 @@ object GraftTableOptimize {
     }
     if (members.isEmpty) return UpdateReport(0, 0, 0L, 0, purge)
     val schema = epoch.getOrElse(spark.read.parquet(members.head.getPath.toString).schema)
-    val pushable = pushableConjuncts(condition)
-    val scanSet =
-      if (pushable.isEmpty) members
-      else {
-        val zm = ZoneMap.load(fs, table)
-        if (zm.isEmpty) members
-        else members.filter(st =>
-          zm.get(st.getPath.getName).forall(ZoneMap.mayMatchAll(pushable, _, schema)))
-      }
-    val trueByFile: Map[String, Long] =
-      if (scanSet.isEmpty) Map.empty
-      else readUnderEpoch(spark, epoch, scanSet.map(_.getPath.toString))
-        .filter(condition)
-        .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-        .collect().map { r =>
-          val u = r.getString(0)
-          (u.substring(u.lastIndexOf('/') + 1), r.getLong(1))
-        }.toMap
+    val trueByFile = discoverMatches(spark, fs, table, members, epoch, schema, condition)
     val cands = members.filter(st => trueByFile.contains(st.getPath.getName))
     if (cands.isEmpty) return UpdateReport(members.length, 0, 0L, members.length, purge)
     val rowsUpdated = trueByFile.values.sum
@@ -472,19 +472,35 @@ object GraftTableOptimize {
     val nOut = math.max(1, math.ceil(cands.map(_.getLen).sum.toDouble / targetBytes).toInt)
     val rewritten = applyAssignments(
       readUnderEpoch(spark, epoch, cands.map(_.getPath.toString)), schema, condition, set)
-    val shaped =
-      if (clusterBy.isEmpty) rewritten.coalesce(nOut)
-      else {
-        val keys = clusterBy.map(col)
-        rewritten.repartitionByRange(nOut, keys: _*).sortWithinPartitions(keys: _*)
-      }
-    val moved = stageRewrite(fs, staging, updId, shaped)
-    val lines = addLines(moved) ++ cands.map(st => s"~${st.getPath.getName}")
+    val moved = stageRewrite(fs, staging, updId, shapeForWrite(rewritten, nOut, clusterBy))
+    val lines = addLines(moved) ++ cands.map(st => s"~${st.getPath.getName}") ++
+      // an assignment may introduce NULLs (e.g. set(col -> lit(null)))
+      // into a column the epoch declares non-nullable: the swap must
+      // publish a nullability-widened epoch with its own commit, or Spark
+      // would compile `IS NULL` checks away over rows that hold nulls
+      epochWideningLine(schema, rewritten.schema)
     GraftParquetWrite.commitLines(fs, table, staging, lines)
     foldSidecars(fs, table): Unit
     if (purge) purgeFinalize(spark, fs, path, table) else foldLog(fs, table, retainLog): Unit
     val after = GraftParquetWrite.listDataFiles(fs, table).length
     UpdateReport(members.length, cands.length, rowsUpdated, after, purge)
+  }
+
+  /** An `@` epoch manifest line when the rewritten frame's nullability
+    * exceeds the table epoch's (per name-matched position), else nothing.
+    * Shared by the maintenance swaps that synthesize rows (UPDATE, MERGE);
+    * DELETE only drops rows and can never need it.
+    */
+  private def epochWideningLine(epoch: org.apache.spark.sql.types.StructType,
+      written: org.apache.spark.sql.types.StructType): Option[String] = {
+    val widened = org.apache.spark.sql.types.StructType(
+      epoch.fields.zipWithIndex.map { case (ef, i) =>
+        val introducesNull = i < written.fields.length &&
+          written.fields(i).name == ef.name && written.fields(i).nullable
+        ef.copy(nullable = ef.nullable || introducesNull)
+      })
+    if (widened.fields.map(_.nullable).sameElements(epoch.fields.map(_.nullable))) None
+    else Some("@" + widened.json)
   }
 
   /** The UPDATE projection: assigned columns become
@@ -575,9 +591,13 @@ object GraftTableOptimize {
         val mrgId = maintenanceId("mrg")
         val staging = GraftParquetWrite.stagingDir(table, mrgId)
         fs.mkdirs(staging)
-        val nOut = 1
+        // size the pure insert like every other write path — a large
+        // backfill into a fresh table must not serialize into one slab
+        val nOut = math.max(1,
+          math.ceil((srcCount * 64L).toDouble / targetBytes).toInt)
         val moved = stageRewrite(fs, staging, mrgId, src.coalesce(nOut))
-        GraftParquetWrite.commitLines(fs, table, staging, addLines(moved))
+        GraftParquetWrite.commitLines(fs, table, staging,
+          addLines(moved) ++ epochWideningLine(schema, src.schema))
         return MergeReport(0, 0, 0L, srcCount,
           GraftParquetWrite.listDataFiles(fs, table).length)
       }
@@ -617,14 +637,12 @@ object GraftTableOptimize {
         else readUnderEpoch(spark, epoch, cands.map(_.getPath.toString))
           .join(broadcast(srcKeys), keys, "left_anti")
           .unionByName(src)
-      val shaped =
-        if (clusterBy.isEmpty) survivors.coalesce(nOut)
-        else {
-          val ckeys = clusterBy.map(col)
-          survivors.repartitionByRange(nOut, ckeys: _*).sortWithinPartitions(ckeys: _*)
-        }
+      val shaped = shapeForWrite(survivors, nOut, clusterBy)
       val moved = stageRewrite(fs, staging, mrgId, shaped)
-      val lines = addLines(moved) ++ cands.map(st => s"~${st.getPath.getName}")
+      val lines = addLines(moved) ++ cands.map(st => s"~${st.getPath.getName}") ++
+        // a nullable source column merged into a non-nullable epoch must
+        // widen the epoch with the same swap (see epochWideningLine)
+        epochWideningLine(schema, shaped.schema)
       GraftParquetWrite.commitLines(fs, table, staging, lines)
       foldSidecars(fs, table): Unit
       foldLog(fs, table, retainLog): Unit
@@ -669,11 +687,18 @@ object GraftTableOptimize {
       // schema epoch records retained in the log (0 = pre-epoch table,
       // schema comes from parquet inference; >1 = the table has evolved
       // within the retention horizon)
-      schemaRecords: Int = 0) {
+      schemaRecords: Int = 0,
+      // the commit log holds records but NO history root (first record or
+      // fold snapshot) — the residue of an interrupted fold or lost
+      // records: reads fail loudly by design, and fsck reports the state
+      // instead of dying on it (data fields below fall back to the
+      // physical listing so the operator can still see what is on disk)
+      logRootMissing: Boolean = false) {
     // a member the disk no longer holds is DATA LOSS, not a maintenance
     // backlog — no recover()/optimize() can restore it, so it fails health
     def healthy: Boolean =
-      stagingCommitted == 0 && stagingGarbage == 0 && missingDataFiles == 0
+      stagingCommitted == 0 && stagingGarbage == 0 && missingDataFiles == 0 &&
+        !logRootMissing
   }
 
   def fsck(spark: SparkSession, path: String): FsckReport = {
@@ -681,7 +706,16 @@ object GraftTableOptimize {
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(table), s"no table at $path")
     val st = fs.listStatus(table)
-    val data = GraftParquetWrite.listDataFiles(fs, table)
+    // the diagnostic must SURVIVE the damage it diagnoses: a rootless log
+    // makes membership resolution fail loudly (correct for reads), so fsck
+    // degrades to the physical listing and raises logRootMissing instead
+    val (data, rootMissing) =
+      try (GraftParquetWrite.listDataFiles(fs, table), false)
+      catch {
+        case e: IllegalArgumentException if e.getMessage != null &&
+            e.getMessage.contains("history root") =>
+          (st.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toSeq, true)
+      }
     val dataNames = data.map(_.getPath.getName).toSet
     // the physical cross-check the log demoted the listing to: membership
     // says what SHOULD be on disk, the listing (already in hand as `st` —
@@ -724,7 +758,8 @@ object GraftTableOptimize {
       unloggedDataFiles = listed.count(n => !dataNames.contains(n) && !referenced.contains(n)),
       retiredRetained = listed.count(n => !dataNames.contains(n) && referenced.contains(n)),
       logSeqCollisions = collisions,
-      schemaRecords = schemaRecs)
+      schemaRecords = schemaRecs,
+      logRootMissing = rootMissing)
   }
 
   private def zmFiles(fs: FileSystem, table: Path): Array[Path] = {
@@ -809,9 +844,12 @@ object GraftTableOptimize {
     * loudly at plan time (its records are gone), never by dangling file.
     *
     * Healing (not [[GraftParquetWrite.recover]]) runs first: a published
-    * commit is completed so its pending files get logged before the sweep,
-    * while an UNMANIFESTED staging dir — possibly a live writer mid-stage —
-    * is left alone; vacuum therefore needs no writer lock. `graceMs`
+    * commit is completed so its pending files get logged before the sweep.
+    * UNMANIFESTED staging dirs are swept only once OLDER than `graceMs` —
+    * a live concurrent appender's stage is always younger than any sane
+    * grace, so the default needs no writer lock; `graceMs = 0` says "I
+    * hold an exclusive window, reclaim everything now" (what the purge
+    * finalization passes, inside the maintenance contract). `graceMs`
     * absorbs clock skew and any in-flight rename of files outside staging —
     * and for files OPTIMIZE retired, [[foldLog]] stamps the retirement time
     * DURABLY (an `r-` record under `_log`, plus a best-effort mtime

@@ -1577,6 +1577,30 @@ class ZoneMapSpec extends SparkTestBase {
       spark.read.format("graft-parquet").load(dir).count()
     }
     assert(boom2.getMessage.contains("history root"), s"got: ${boom2.getMessage}")
+    // the DIAGNOSTIC survives the damage it diagnoses: fsck reports the
+    // rootless log (degrading to the physical listing) instead of dying
+    val health = graft.sources.v2.GraftTableOptimize.fsck(spark, dir)
+    assert(health.logRootMissing && !health.healthy, s"got $health")
+    assert(health.dataFiles == 5, "fsck must still show what is physically on disk")
+  }
+
+  test("an update that introduces NULLs widens the epoch's nullability with the same swap") {
+    import graft.sources.v2.GraftTableOptimize
+    val dir = freshTable("graft-zm-nullwiden")
+    // spark.range + a literal: both columns land NON-NULLABLE in the epoch
+    spark.range(0, 10).select(col("id"), lit("x").as("name"))
+      .coalesce(1).write.format("graft-parquet").mode("append").save(dir)
+    assert(!spark.read.format("graft-parquet").load(dir).schema("name").nullable)
+    val rep = GraftTableOptimize.updateWhere(spark, dir, col("id") < 5L,
+      Seq("name" -> lit(null).cast("string")))
+    assert(rep.rowsUpdated == 5L)
+    val back = spark.read.format("graft-parquet").load(dir)
+    // without the widened epoch record, Spark would compile IS NULL away
+    // over a non-nullable schema and this query would return 0 silently
+    assert(back.schema("name").nullable,
+      "the swap must publish a nullability-widened epoch")
+    assert(back.filter(col("name").isNull).count() == 5)
+    assert(back.filter(col("name").isNotNull).count() == 5)
   }
 
   test("a commit that loses the seq race retracts and lands at the next sequence") {
