@@ -83,8 +83,14 @@ object PipelineConfig {
       o.get("clusterBy").filter(_.nonEmpty).foreach { keys =>
         graft.sources.v2.GraftTableOptimize.optimize(df.sparkSession, path,
           clusterBy = keys.split(",").map(_.trim).toSeq): Unit
-        graft.sources.v2.GraftTableOptimize.vacuum(df.sparkSession, path): Unit
       }
+      // vacuum runs on EVERY declared run, not just clustered ones: the
+      // write path no longer sweeps unmanifested crash staging (it may be
+      // a live concurrent appender's), so without this age-gated sweep a
+      // crash-looping scheduled pipeline would leak a staged copy of its
+      // batch per crash forever. Default 24h grace protects anything
+      // recent; retained AS-OF history is never touched.
+      graft.sources.v2.GraftTableOptimize.vacuum(df.sparkSession, path): Unit
     }),
     "jdbc" -> ((df, o) =>
       Sinks.jdbcWrite(df, req(o, "url", "jdbc"), req(o, "table", "jdbc"), o - "url" - "table")),

@@ -209,14 +209,28 @@ object GraftParquetWrite {
     // still reads them — physical deletion is retention policy, owned by
     // [[GraftTableOptimize.vacuum]] (and OPTIMIZE's inline reclaim once the
     // retiring records themselves fold away).
-    val seq = appendLogRecord(fs, table, staging,
-      adds.map(_._1), removalLines.map(_.substring(1)))
-    // schema epoch AFTER the membership record (same seq): a reader in the
-    // window between the two serves the previous epoch over the new files —
-    // consistent (the evolved column simply reads as absent) and closed by
-    // replay, since both publications are idempotent by commitId
-    schemaLines.headOption.foreach(sl =>
-      appendSchemaRecord(fs, table, staging, seq, sl.substring(1)))
+    // schema epoch BEFORE the membership record: epochs only WIDEN
+    // (appended columns, nullability, int→long/float→double), so the new
+    // epoch over the OLD membership is always sound (appended columns read
+    // absent, widened types upcast, widened nullability merely permits) —
+    // whereas membership-first would leave a crash window where the NEW
+    // files are members under the old NARROW epoch: nulls under a
+    // non-nullable schema let Spark compile IS NULL checks away (silent
+    // wrong answers for a read-only session until a writer heals), and
+    // long values under an int epoch fail the decode outright. The epoch
+    // stamps the sequence the membership record is ABOUT to take; if a
+    // concurrent committer wins that seq first, the epoch simply becomes
+    // current a seq early — readers between see wider-over-older, sound.
+    // Both publications stay idempotent by commitId.
+    schemaLines.headOption.foreach { sl =>
+      val recs = logRecordFiles(fs, table)
+      val provisional =
+        if (recs.isEmpty) 0L
+        else recs.map(st => logSeqOf(st.getPath.getName)).max + 1L
+      appendSchemaRecord(fs, table, staging, provisional, sl.substring(1))
+    }
+    appendLogRecord(fs, table, staging,
+      adds.map(_._1), removalLines.map(_.substring(1))): Unit
     // sidecar BEFORE the staging delete: a crash between the two replays
     // this commit (manifest still present) and overwrites the same
     // zm-<queryId> idempotently; a crash before it replays the same way.
@@ -629,12 +643,17 @@ object GraftParquetWrite {
     * [[GraftScan.WidenedFromKey]] marker pruning depends on.
     */
   private[v2] def mergeEpochField(prev: StructField, incoming: StructField): StructField = {
+    // always a UNION of prior and incoming metadata (incoming wins on
+    // overlapping keys): a writer frame carrying unrelated field metadata
+    // must never evict the prior epoch's widenedFrom marker — losing it
+    // would switch float-era zone bounds back to exact-double parsing and
+    // silently prune files that hold matching rows
+    val merged = new MetadataBuilder()
+      .withMetadata(prev.metadata).withMetadata(incoming.metadata)
     val md =
       if (prev.dataType == FloatType && incoming.dataType == DoubleType)
-        new MetadataBuilder().withMetadata(prev.metadata).withMetadata(incoming.metadata)
-          .putString(GraftScan.WidenedFromKey, "float").build()
-      else if (incoming.metadata == Metadata.empty) prev.metadata
-      else incoming.metadata
+        merged.putString(GraftScan.WidenedFromKey, "float").build()
+      else merged.build()
     incoming.copy(nullable = incoming.nullable || prev.nullable, metadata = md)
   }
 

@@ -591,11 +591,17 @@ object GraftTableOptimize {
         val mrgId = maintenanceId("mrg")
         val staging = GraftParquetWrite.stagingDir(table, mrgId)
         fs.mkdirs(staging)
-        // size the pure insert like every other write path — a large
-        // backfill into a fresh table must not serialize into one slab
+        // size and shape the pure insert like every other write path — a
+        // large backfill into a fresh table must not serialize into one
+        // slab (coalesce can never INCREASE partition count; shapeForWrite
+        // repartitions when clusterBy asks), and clusterBy must cluster
         val nOut = math.max(1,
           math.ceil((srcCount * 64L).toDouble / targetBytes).toInt)
-        val moved = stageRewrite(fs, staging, mrgId, src.coalesce(nOut))
+        val insertShaped =
+          if (clusterBy.isEmpty && src.rdd.getNumPartitions < nOut)
+            src.repartition(nOut)
+          else shapeForWrite(src, nOut, clusterBy)
+        val moved = stageRewrite(fs, staging, mrgId, insertShaped)
         GraftParquetWrite.commitLines(fs, table, staging,
           addLines(moved) ++ epochWideningLine(schema, src.schema))
         return MergeReport(0, 0, 0L, srcCount,
