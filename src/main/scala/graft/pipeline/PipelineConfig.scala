@@ -75,11 +75,6 @@ object PipelineConfig {
       // Default log retention applies, so AS-OF handles issued against
       // this table SURVIVE routine scheduled runs instead of being retired
       // by every fold — snapshots die only past the retention horizon.
-      // vacuum completes the self-maintenance loop: with logical removals,
-      // each run's retired tail stays on disk until its retiring records
-      // fold past the horizon — without this call those dead bytes would
-      // grow with every scheduled run, unbounded. The default 24h grace
-      // protects anything recent; retained AS-OF history is never touched.
       o.get("clusterBy").filter(_.nonEmpty).foreach { keys =>
         graft.sources.v2.GraftTableOptimize.optimize(df.sparkSession, path,
           clusterBy = keys.split(",").map(_.trim).toSeq): Unit

@@ -209,28 +209,24 @@ object GraftParquetWrite {
     // still reads them — physical deletion is retention policy, owned by
     // [[GraftTableOptimize.vacuum]] (and OPTIMIZE's inline reclaim once the
     // retiring records themselves fold away).
-    // schema epoch BEFORE the membership record: epochs only WIDEN
-    // (appended columns, nullability, int→long/float→double), so the new
-    // epoch over the OLD membership is always sound (appended columns read
-    // absent, widened types upcast, widened nullability merely permits) —
-    // whereas membership-first would leave a crash window where the NEW
-    // files are members under the old NARROW epoch: nulls under a
-    // non-nullable schema let Spark compile IS NULL checks away (silent
-    // wrong answers for a read-only session until a writer heals), and
-    // long values under an int epoch fail the decode outright. The epoch
-    // stamps the sequence the membership record is ABOUT to take; if a
-    // concurrent committer wins that seq first, the epoch simply becomes
-    // current a seq early — readers between see wider-over-older, sound.
-    // Both publications stay idempotent by commitId.
-    schemaLines.headOption.foreach { sl =>
-      val recs = logRecordFiles(fs, table)
-      val provisional =
-        if (recs.isEmpty) 0L
-        else recs.map(st => logSeqOf(st.getPath.getName)).max + 1L
-      appendSchemaRecord(fs, table, staging, provisional, sl.substring(1))
-    }
-    appendLogRecord(fs, table, staging,
-      adds.map(_._1), removalLines.map(_.substring(1))): Unit
+    val seq = appendLogRecord(fs, table, staging,
+      adds.map(_._1), removalLines.map(_.substring(1)))
+    // schema epoch AFTER the membership record, stamped with the SEQ THE
+    // CAS ACTUALLY WON — the only seq that is correct under concurrency
+    // and replay (a locally-guessed max+1 would let a late heal-replay of
+    // a crashed evolving commit stamp its STALE epoch above newer ones,
+    // and two concurrent evolvers tie one m-seq with different JSON). The
+    // window between the two renames is bounded and self-closing: any
+    // writer or heal-capable reader completes the commit (healQuietly runs
+    // before schema resolution), so only a READ-ONLY session inside the
+    // crash window resolves new files under the previous epoch — sound for
+    // appended columns (they read as absent), LOUD (failed decode, never
+    // silent) for a type widening, and for a nullability widening the
+    // null-introducing paths under our control (UPDATE/MERGE) publish
+    // their widened epoch BEFORE their swap instead, inside their
+    // exclusive maintenance window (GraftTableOptimize.epochWideningJson).
+    schemaLines.headOption.foreach(sl =>
+      appendSchemaRecord(fs, table, staging, seq, sl.substring(1)))
     // sidecar BEFORE the staging delete: a crash between the two replays
     // this commit (manifest still present) and overwrites the same
     // zm-<queryId> idempotently; a crash before it replays the same way.
@@ -688,7 +684,7 @@ object GraftParquetWrite {
     * (the overwhelmingly common case) add nothing, so the schema history
     * stays O(evolutions), not O(commits).
     */
-  private def appendSchemaRecord(fs: FileSystem, table: Path, staging: Path,
+  private[v2] def appendSchemaRecord(fs: FileSystem, table: Path, staging: Path,
       seq: Long, schemaJson: String): Unit = {
     val commitId = staging.getName.stripPrefix(StagingPrefix)
     val recs = schemaRecordFiles(fs, table)

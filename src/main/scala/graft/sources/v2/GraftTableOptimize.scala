@@ -238,8 +238,14 @@ object GraftTableOptimize {
     */
   private def shapeForWrite(df: org.apache.spark.sql.DataFrame, nOut: Int,
       clusterBy: Seq[String]): org.apache.spark.sql.DataFrame =
-    if (clusterBy.isEmpty) df.coalesce(nOut)
-    else {
+    if (clusterBy.isEmpty) {
+      // coalesce can never INCREASE partition count: a low-partition input
+      // (one post-aggregate source, one giant candidate file) must
+      // repartition UP or the write serializes into too-few oversized
+      // slabs, violating the targetBytes contract every caller sized for
+      if (df.rdd.getNumPartitions < nOut) df.repartition(nOut)
+      else df.coalesce(nOut)
+    } else {
       val keys = clusterBy.map(org.apache.spark.sql.functions.col)
       df.repartitionByRange(nOut, keys: _*).sortWithinPartitions(keys: _*)
     }
@@ -472,13 +478,13 @@ object GraftTableOptimize {
     val nOut = math.max(1, math.ceil(cands.map(_.getLen).sum.toDouble / targetBytes).toInt)
     val rewritten = applyAssignments(
       readUnderEpoch(spark, epoch, cands.map(_.getPath.toString)), schema, condition, set)
+    // an assignment may introduce NULLs (e.g. set(col -> lit(null))) into
+    // a column the epoch declares non-nullable: widen the epoch BEFORE the
+    // swap, or Spark would compile `IS NULL` checks away over rows that
+    // hold nulls (the pre-publication closes the crash windows too)
+    publishWideningEpoch(fs, table, staging, schema, rewritten.schema)
     val moved = stageRewrite(fs, staging, updId, shapeForWrite(rewritten, nOut, clusterBy))
-    val lines = addLines(moved) ++ cands.map(st => s"~${st.getPath.getName}") ++
-      // an assignment may introduce NULLs (e.g. set(col -> lit(null)))
-      // into a column the epoch declares non-nullable: the swap must
-      // publish a nullability-widened epoch with its own commit, or Spark
-      // would compile `IS NULL` checks away over rows that hold nulls
-      epochWideningLine(schema, rewritten.schema)
+    val lines = addLines(moved) ++ cands.map(st => s"~${st.getPath.getName}")
     GraftParquetWrite.commitLines(fs, table, staging, lines)
     foldSidecars(fs, table): Unit
     if (purge) purgeFinalize(spark, fs, path, table) else foldLog(fs, table, retainLog): Unit
@@ -486,21 +492,34 @@ object GraftTableOptimize {
     UpdateReport(members.length, cands.length, rowsUpdated, after, purge)
   }
 
-  /** An `@` epoch manifest line when the rewritten frame's nullability
-    * exceeds the table epoch's (per name-matched position), else nothing.
-    * Shared by the maintenance swaps that synthesize rows (UPDATE, MERGE);
-    * DELETE only drops rows and can never need it.
+  /** Publish a nullability-widened epoch BEFORE a maintenance swap whose
+    * rewritten rows may hold NULLs in a column the epoch declares
+    * non-nullable (UPDATE assigning lit(null), MERGE with a nullable
+    * source; DELETE only drops rows and can never need it). Pre-publishing
+    * is safe — a widened epoch over unchanged membership merely PERMITS —
+    * and closes every crash window: once the swap's rows can exist, the
+    * epoch already admits them, so Spark can never compile IS NULL checks
+    * away over them. The record lands at the seq the swap is about to take
+    * (race-free inside the op's exclusive maintenance window) through
+    * [[GraftParquetWrite.appendSchemaRecord]], which keeps it idempotent
+    * by the op's id and nullability/type-monotone against the live epoch.
     */
-  private def epochWideningLine(epoch: org.apache.spark.sql.types.StructType,
-      written: org.apache.spark.sql.types.StructType): Option[String] = {
+  private def publishWideningEpoch(fs: FileSystem, table: Path, staging: Path,
+      epoch: org.apache.spark.sql.types.StructType,
+      written: org.apache.spark.sql.types.StructType): Unit = {
     val widened = org.apache.spark.sql.types.StructType(
       epoch.fields.zipWithIndex.map { case (ef, i) =>
         val introducesNull = i < written.fields.length &&
           written.fields(i).name == ef.name && written.fields(i).nullable
         ef.copy(nullable = ef.nullable || introducesNull)
       })
-    if (widened.fields.map(_.nullable).sameElements(epoch.fields.map(_.nullable))) None
-    else Some("@" + widened.json)
+    if (!widened.fields.map(_.nullable).sameElements(epoch.fields.map(_.nullable))) {
+      val recs = GraftParquetWrite.logRecordFiles(fs, table)
+      val seq =
+        if (recs.isEmpty) 0L
+        else recs.map(st => GraftParquetWrite.logSeqOf(st.getPath.getName)).max + 1L
+      GraftParquetWrite.appendSchemaRecord(fs, table, staging, seq, widened.json)
+    }
   }
 
   /** The UPDATE projection: assigned columns become
@@ -591,19 +610,13 @@ object GraftTableOptimize {
         val mrgId = maintenanceId("mrg")
         val staging = GraftParquetWrite.stagingDir(table, mrgId)
         fs.mkdirs(staging)
-        // size and shape the pure insert like every other write path — a
-        // large backfill into a fresh table must not serialize into one
-        // slab (coalesce can never INCREASE partition count; shapeForWrite
-        // repartitions when clusterBy asks), and clusterBy must cluster
+        // size the pure insert like every other write path — a large
+        // backfill into a fresh table must not serialize into one slab
         val nOut = math.max(1,
           math.ceil((srcCount * 64L).toDouble / targetBytes).toInt)
-        val insertShaped =
-          if (clusterBy.isEmpty && src.rdd.getNumPartitions < nOut)
-            src.repartition(nOut)
-          else shapeForWrite(src, nOut, clusterBy)
-        val moved = stageRewrite(fs, staging, mrgId, insertShaped)
-        GraftParquetWrite.commitLines(fs, table, staging,
-          addLines(moved) ++ epochWideningLine(schema, src.schema))
+        publishWideningEpoch(fs, table, staging, schema, src.schema)
+        val moved = stageRewrite(fs, staging, mrgId, shapeForWrite(src, nOut, clusterBy))
+        GraftParquetWrite.commitLines(fs, table, staging, addLines(moved))
         return MergeReport(0, 0, 0L, srcCount,
           GraftParquetWrite.listDataFiles(fs, table).length)
       }
@@ -644,11 +657,11 @@ object GraftTableOptimize {
           .join(broadcast(srcKeys), keys, "left_anti")
           .unionByName(src)
       val shaped = shapeForWrite(survivors, nOut, clusterBy)
+      // a nullable source column merged into a non-nullable epoch widens
+      // the epoch BEFORE the swap (see publishWideningEpoch)
+      publishWideningEpoch(fs, table, staging, schema, shaped.schema)
       val moved = stageRewrite(fs, staging, mrgId, shaped)
-      val lines = addLines(moved) ++ cands.map(st => s"~${st.getPath.getName}") ++
-        // a nullable source column merged into a non-nullable epoch must
-        // widen the epoch with the same swap (see epochWideningLine)
-        epochWideningLine(schema, shaped.schema)
+      val lines = addLines(moved) ++ cands.map(st => s"~${st.getPath.getName}")
       GraftParquetWrite.commitLines(fs, table, staging, lines)
       foldSidecars(fs, table): Unit
       foldLog(fs, table, retainLog): Unit
