@@ -248,39 +248,49 @@ object Bm25Index {
     }
     val marker = new Path(batchesDir(dir), s"b$batchId")
     if (fs.exists(marker)) return
+    // ONE tokenize pass per batch: postings, stats and doclens are three
+    // separate actions over the same tokenized frame, and without the
+    // persist each re-reads and re-tokenizes the batch from source — at
+    // corpus scale that is 3 full scans + 3 regex tokenizations where 1
+    // suffices (optimization guide §1.2: remove unnecessary passes). The
+    // cache is batch-sized (the foreachBatch persist idiom) and dropped
+    // before the commit marker lands.
     val toks = docs.select(
       col(idCol).cast("long").as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
-    val postings = toks
-      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-        lit(batchId).as("__b"),
-        pmod(xxhash64(col("term")), lit(mod.toLong)).cast("int").as("__tshard"))
-    // one file per touched shard per micro-batch (without the clustering,
-    // partitionBy fans out one file per input partition per shard); the
-    // salt mixes all bits so subSplits never collapses (see
-    // KeyTableSidecar.clusterByShard)
-    val clustered =
-      if (subSplits == 1) postings.repartition(col("__tshard"))
-      else postings.repartition(col("__tshard"),
-        pmod(xxhash64(col("doc_id")), lit(subSplits.toLong)))
-    clustered
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("append").partitionBy("__tshard")
-      .parquet(postingsDir(dir).toString)
-    val stats = toks.select(size(col("toks")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("total_dl"))
-      .withColumn("__b", lit(batchId))
-    stats.coalesce(1).write.mode("overwrite")
-      .parquet(new Path(statsDir(dir), s"b$batchId").toString)
-    // the doc-length sidecar: docs-count-sized (16 bytes/doc), so a purge
-    // recovers its targets' dl from here instead of scanning the
-    // corpus-scale postings table
-    toks.select(col("doc_id"), size(col("toks")).as("dl"), lit(batchId).as("__b"))
-      .coalesce(subSplits).write.mode("overwrite")
-      .parquet(new Path(doclensDir(dir), s"b$batchId").toString)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val postings = toks
+        .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+          lit(batchId).as("__b"),
+          pmod(xxhash64(col("term")), lit(mod.toLong)).cast("int").as("__tshard"))
+      // one file per touched shard per micro-batch (without the clustering,
+      // partitionBy fans out one file per input partition per shard); the
+      // salt mixes all bits so subSplits never collapses (see
+      // KeyTableSidecar.clusterByShard)
+      val clustered =
+        if (subSplits == 1) postings.repartition(col("__tshard"))
+        else postings.repartition(col("__tshard"),
+          pmod(xxhash64(col("doc_id")), lit(subSplits.toLong)))
+      clustered
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("append").partitionBy("__tshard")
+        .parquet(postingsDir(dir).toString)
+      val stats = toks.select(size(col("toks")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("total_dl"))
+        .withColumn("__b", lit(batchId))
+      stats.coalesce(1).write.mode("overwrite")
+        .parquet(new Path(statsDir(dir), s"b$batchId").toString)
+      // the doc-length sidecar: docs-count-sized (16 bytes/doc), so a purge
+      // recovers its targets' dl from here instead of scanning the
+      // corpus-scale postings table
+      toks.select(col("doc_id"), size(col("toks")).as("dl"), lit(batchId).as("__b"))
+        .coalesce(subSplits).write.mode("overwrite")
+        .parquet(new Path(doclensDir(dir), s"b$batchId").toString)
+    } finally toks.unpersist(false)
     fs.mkdirs(batchesDir(dir))
     val m = fs.create(marker, true)
     m.close()
@@ -606,13 +616,15 @@ object Bm25Index {
       .distinct()
     // queries are SMALL by the same contract as bm25TopK (they broadcast);
     // the term list is collected to drive planning-time pruning: the
-    // shard set prunes whole directories, the IN list pushes to parquet
-    val terms = qterms.select(col("term")).distinct()
-      .collect().map(_.getString(0)).sorted.toIndexedSeq
-    if (terms.isEmpty) return emptyResult
-    val shards = qterms.select(
+    // shard set prunes whole directories, the IN list pushes to parquet.
+    // ONE collect carries both the terms and their shards (two separate
+    // collects were two driver round-trips over the same tiny frame).
+    val termShards = qterms.select(col("term"),
         pmod(xxhash64(col("term")), lit(mod.toLong)).cast("int").as("s"))
-      .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
+      .distinct().collect()
+    val terms = termShards.map(_.getString(0)).sorted.toIndexedSeq
+    if (terms.isEmpty) return emptyResult
+    val shards = termShards.map(_.getInt(1)).distinct.sorted.toIndexedSeq
 
     // explicit schema: a fully-purged index may have zero shard dirs, and
     // inference over an empty partitioned dir throws (KeyTableSidecar

@@ -657,15 +657,20 @@ object IvfIngest {
     val index = spark.read.parquet(indexDir)
     // partition discovery may infer centroid_id as INT — keep the native
     // values for the isin filter (a cast around the partition column would
-    // defeat the pruning this operator exists for)
-    val affectedRaw: Seq[Any] = index.select(col(idCol), col("centroid_id"))
+    // defeat the pruning this operator exists for). ONE discovery pass
+    // carries both the affected-list census and the removed-row count
+    // (previously a distinct-collect plus a second semi-join count — two
+    // two-column scans of the index where one aggregation suffices; every
+    // removed row's list is affected by definition, so counting on the
+    // unscoped join is the same number).
+    val discovery = index.select(col(idCol), col("centroid_id"))
       .join(ids, Seq(idCol), "left_semi")
-      .select(col("centroid_id")).distinct()
-      .collect().map(_.get(0)).toIndexedSeq
+      .agg(count(lit(1)), collect_set(col("centroid_id"))).head()
+    val rowsRemoved = discovery.getLong(0)
+    val affectedRaw: Seq[Any] = discovery.getSeq[Any](1).toIndexedSeq
     val affected = affectedRaw.map(_.asInstanceOf[Number].longValue).sorted
     if (affected.isEmpty) return PurgeReport(Nil, Nil, 0L)
     val scoped = index.filter(col("centroid_id").isin(affectedRaw: _*))
-    val rowsRemoved = scoped.join(ids, Seq(idCol), "left_semi").count()
     val survivors = scoped.join(ids, Seq(idCol), "left_anti")
       .select(index.columns.map(col).toIndexedSeq: _*)
     val staging = purgeStagingPath(dir)
