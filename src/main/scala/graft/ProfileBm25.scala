@@ -14,15 +14,18 @@ object ProfileBm25 {
       val t0 = System.nanoTime(); val r = f
       println(f"[phase] $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
     }
-    (1 to 2).foreach { round =>
-      println(s"--- round $round ---")
+    val shardChoices = if (args.isEmpty) Seq(64, 64) else args.map(_.toInt).toSeq
+    shardChoices.zipWithIndex.foreach { case (nSh, round) =>
+      println(s"--- round $round (nShards=$nSh) ---")
       val idx = java.nio.file.Files.createTempDirectory("bm25prof").toString + "/index"
       val docs = Tables.documents(s, dir)
-      if (round == 1) docs.count() // warm scan
+      if (round == 0) docs.count() // warm scan
       time("ingest b0")(streaming.Bm25Index.ingestBatch(
-        docs.filter(col("doc_id") % 2 === 0), idx, "doc_id", "text", batchId = 0L))
+        docs.filter(col("doc_id") % 2 === 0), idx, "doc_id", "text", batchId = 0L,
+        nShards = nSh))
       time("ingest b1")(streaming.Bm25Index.ingestBatch(
-        docs.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text", batchId = 1L))
+        docs.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text", batchId = 1L,
+        nShards = nSh))
       time("purge")(streaming.Bm25Index.purge(s, idx,
         docs.select(col("doc_id")).filter(pmod(col("doc_id"), lit(9)) === 0), "doc_id"))
       val queries = Seq(

@@ -2114,7 +2114,7 @@ object SparkEntry {
       // flush below rewrites the very files this frame reads
       val admitted = Checkpointing.materialize(s.read.parquet(corpus))
       // 16 shards, not the 64 default: shard count never touches scores
-      // (bm25_index_purge exercises the default), and this query's cost
+      // (bm25_index_topk exercises the default), and this query's cost
       // should be the composed-flush semantics, not postings fan-out
       streaming.Bm25Index.ingestBatch(
         admitted.select(col("doc_id"), col("text")), idx, "doc_id", "text",
@@ -3895,10 +3895,16 @@ object SparkEntry {
       import s.implicits._
       val idx = scratchDir("graft_bm25prg") + "/index"
       val docs = Tables.documents(s, dir)
+      // 16 shards, corpus-sized like gdpr_composed_flush: shard count never
+      // touches scores (spec-pinned), and this query's cost should be the
+      // purge/vacuum semantics, not 64-way file fan-out over a test corpus
+      // (bm25_index_topk keeps the 64 default under bench coverage)
       streaming.Bm25Index.ingestBatch(
-        docs.filter(col("doc_id") % 2 === 0), idx, "doc_id", "text", batchId = 0L)
+        docs.filter(col("doc_id") % 2 === 0), idx, "doc_id", "text", batchId = 0L,
+        nShards = 16)
       streaming.Bm25Index.ingestBatch(
-        docs.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text", batchId = 1L)
+        docs.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text", batchId = 1L,
+        nShards = 16)
       streaming.Bm25Index.purge(s, idx,
         docs.select(col("doc_id")).filter(pmod(col("doc_id"), lit(9)) === 0),
         "doc_id"): Unit

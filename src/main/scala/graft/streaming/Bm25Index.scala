@@ -472,20 +472,22 @@ object Bm25Index {
     // distinct over the docs-count-sized sidecar purge scans anyway, plus
     // the batches-sized stats read — compliance is worth a second
     // sidecar pass.
-    val coveredB = lens.select(col("__b")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    val needB = readStampedStats(spark, fs, dir, "purging") match {
-      case Some(df) => df.distinct().filter(col("n_docs") > 0L)
-        .select(col("__b")).collect().map(_.getLong(0)).toSet
-      case None =>
-        // doclens exists but stats does not: a differently-torn index —
-        // name THAT shape, not the pre-stamp one (the old shared message
-        // misdiagnosed this case as "predates the __b stamp")
-        throw new graft.GraftDataError(
-          s"BM25 index at $indexDir has doclens rows but no complete _stats " +
-            "sidecar — purge cannot prove batch coverage; rebuild the index " +
-            "before purging")
-    }
+    // ONE collect carries both coverage sets (tagged union of the two
+    // batches-sized sidecar projections — was two sequential driver jobs)
+    val statsDf = readStampedStats(spark, fs, dir, "purging").getOrElse(
+      // doclens exists but stats does not: a differently-torn index —
+      // name THAT shape, not the pre-stamp one (the old shared message
+      // misdiagnosed this case as "predates the __b stamp")
+      throw new graft.GraftDataError(
+        s"BM25 index at $indexDir has doclens rows but no complete _stats " +
+          "sidecar — purge cannot prove batch coverage; rebuild the index " +
+          "before purging"))
+    val coverage = lens.select(col("__b"), lit(true).as("__lens")).distinct()
+      .unionByName(statsDf.distinct().filter(col("n_docs") > 0L)
+        .select(col("__b"), lit(false).as("__lens")).distinct())
+      .collect()
+    val coveredB = coverage.filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    val needB = coverage.filterNot(_.getBoolean(1)).map(_.getLong(0)).toSet
     val uncovered = needB -- coveredB
     if (uncovered.nonEmpty)
       throw new graft.GraftDataError(
@@ -590,9 +592,9 @@ object Bm25Index {
     // bitwise, and the distinct restores one row per committed batch
     val statsDfOpt = readStampedStats(spark, fs, dir, "querying")
     if (statsDfOpt.isEmpty) return emptyResult
-    val statsRow = statsDfOpt.get.distinct()
-      .agg(coalesce(sum(col("n_docs")), lit(0L)),
-        coalesce(sum(col("total_dl")), lit(0L))).head()
+    val statsAgg = statsDfOpt.get.distinct()
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("__nd"),
+        coalesce(sum(col("total_dl")), lit(0L)).as("__tdl"))
     // purge tombstones: mask the postings AND correct the corpus constants
     // from the same (doc_id, dl) rows — exact long sums, so the scores are
     // bitwise those of an index never holding the purged docs
@@ -600,15 +602,21 @@ object Bm25Index {
       if (completeDirs(fs, deletedDir(dir)).nonEmpty)
         Some(readDeleted(spark, fs, dir))
       else None
-    val delRow = tombstones.map(
-      _.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head())
+    // ONE driver action computes the corpus constants AND the tombstone
+    // correction: both are 1-row aggregates, so they cross-join into a
+    // single head() instead of two sequential scalar jobs per query
+    val cRow = tombstones.fold(statsAgg)(t => statsAgg.crossJoin(
+      t.agg(count(lit(1)).as("__dc"), coalesce(sum(col("dl")), lit(0L)).as("__ddl"))))
+      .head()
+    val (delCount, delDl) =
+      if (tombstones.isDefined) (cRow.getLong(2), cRow.getLong(3)) else (0L, 0L)
     // <= 0, not == 0: a purge can tombstone docs from the documented
     // postings-landed/stats-pending crash window, driving the corrected
     // count below zero until the batch redelivers — degrade empty, never
     // feed a negative nDocs/avgdl into the scoring formula
-    val nDocs = statsRow.getLong(0) - delRow.fold(0L)(_.getLong(0))
+    val nDocs = cRow.getLong(0) - delCount
     if (nDocs <= 0L) return emptyResult
-    val avgdl = (statsRow.getLong(1) - delRow.fold(0L)(_.getLong(1))).toDouble / nDocs
+    val avgdl = (cRow.getLong(1) - delDl).toDouble / nDocs
 
     val qterms = queries.select(
         col("query_id"),

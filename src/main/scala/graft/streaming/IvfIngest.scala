@@ -204,37 +204,43 @@ object IvfIngest {
         s"$indexDir is an IVF-PQ index (has a _pq_codebook sidecar) — " +
           "use ingestPqBatch; ingestBatch would mix float-vector rows into pq_code lists")
 
-    val n = batch.count()
-    val (model, trained) = readCodebook(fs, dir) match {
-      case Some(m) => (m, false)
-      case None =>
-        // same retrain-over-assigned-rows guard as the PQ path: a
-        // populated index with no codebook sidecar is foreign or corrupt
-        if (assignedDataExists(fs, dir))
-          throw new graft.GraftDataError(
-            s"$indexDir has assigned index data but no codebook sidecar — " +
-              "refusing to retrain over rows assigned under another quantizer")
-        gateBootstrap(n, resolveMinBootstrap(minBootstrapRows, nlist), nlist, indexDir)
-        val init = batch.orderBy(col(idCol)).limit(nlist)
-          .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
-        require(init.nonEmpty, "cannot bootstrap a codebook from an empty batch")
-        val m = Similarity.IvfModel(
-          Similarity.trainCodebook(batch, idCol, vecCol, init, iters))
-        (m, true)
-    }
+    // one source pass per micro-batch: the gate count, the (bootstrap-only)
+    // Lloyd iterations and the assigned append all reuse the cached batch
+    // instead of re-reading the stream source (foreachBatch persist idiom)
+    val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = cached.count()
+      val (model, trained) = readCodebook(fs, dir) match {
+        case Some(m) => (m, false)
+        case None =>
+          // same retrain-over-assigned-rows guard as the PQ path: a
+          // populated index with no codebook sidecar is foreign or corrupt
+          if (assignedDataExists(fs, dir))
+            throw new graft.GraftDataError(
+              s"$indexDir has assigned index data but no codebook sidecar — " +
+                "refusing to retrain over rows assigned under another quantizer")
+          gateBootstrap(n, resolveMinBootstrap(minBootstrapRows, nlist), nlist, indexDir)
+          val init = cached.orderBy(col(idCol)).limit(nlist)
+            .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+          require(init.nonEmpty, "cannot bootstrap a codebook from an empty batch")
+          val m = Similarity.IvfModel(
+            Similarity.trainCodebook(cached, idCol, vecCol, init, iters))
+          (m, true)
+      }
 
-    val assigned = batch.select(
-      col(idCol), col(vecCol),
-      VectorExpressions.nearestCentroid(col(vecCol), model.centroids).as("centroid_id"))
-    // crash-safety ordering on bootstrap: codebook FIRST, then data. A
-    // crash in between leaves an empty index with a codebook — the next
-    // batch appends under it and nothing orphans. The reverse order would
-    // strand partitions assigned under a codebook that was never persisted,
-    // and the retrained replacement would assign differently.
-    if (trained) writeCodebook(fs, dir, model, rowsAtTraining = n)
-    if (n > 0)
-      assigned.write.mode("append").partitionBy("centroid_id").parquet(indexDir)
-    IvfIngestStats(n, trained)
+      val assigned = cached.select(
+        col(idCol), col(vecCol),
+        VectorExpressions.nearestCentroid(col(vecCol), model.centroids).as("centroid_id"))
+      // crash-safety ordering on bootstrap: codebook FIRST, then data. A
+      // crash in between leaves an empty index with a codebook — the next
+      // batch appends under it and nothing orphans. The reverse order would
+      // strand partitions assigned under a codebook that was never persisted,
+      // and the retrained replacement would assign differently.
+      if (trained) writeCodebook(fs, dir, model, rowsAtTraining = n)
+      if (n > 0)
+        assigned.write.mode("append").partitionBy("centroid_id").parquet(indexDir)
+      IvfIngestStats(n, trained)
+    } finally cached.unpersist(false)
   }
 
   /** One IVF-PQ ingestion micro-batch — [[ingestBatch]]'s discipline for
@@ -268,41 +274,45 @@ object IvfIngest {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverRefresh(fs, dir)
 
-    val n = batch.count()
-    val (ivf, pq, trained) =
-      (readCodebook(fs, dir), readPqCodebook(fs, dir)) match {
-        case (Some(iv), Some(p)) => (iv, p, false)
-        case (cb, pcb) =>
-          // data already assigned without BOTH codebooks present:
-          // retraining would swap the quantizer out from under existing
-          // rows (or mix a float IVF index with pq_code rows) — fail
-          // fast. The bootstrap writes both codebooks BEFORE any data, so
-          // legitimate state never has data with a missing codebook; a
-          // codebook-only partial state (crashed bootstrap, no data) still
-          // retrains safely.
-          if (assignedDataExists(fs, dir))
-            throw new graft.GraftDataError(
-              s"$indexDir has assigned index data but not the full codebook " +
-                s"pair (coarse=${cb.isDefined}, pq=${pcb.isDefined}) — a " +
-                "foreign index (plain-IVF or batch-built) or a corrupt " +
-                "state; refusing to retrain over assigned rows")
-          gateBootstrap(n, resolveMinBootstrap(minBootstrapRows, nlist), nlist, indexDir)
-          // bootstrap: one joint training pass over the batch (the
-          // batch-build trainer, so codebooks match a batch build bitwise)
-          val (_, iv, p) = Similarity.ivfPqIndex(batch, idCol, vecCol, dim,
-            nlist, iters, m, k)
-          (iv, p, true)
+    // one source pass per micro-batch (see [[ingestBatch]]'s persist note)
+    val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = cached.count()
+      val (ivf, pq, trained) =
+        (readCodebook(fs, dir), readPqCodebook(fs, dir)) match {
+          case (Some(iv), Some(p)) => (iv, p, false)
+          case (cb, pcb) =>
+            // data already assigned without BOTH codebooks present:
+            // retraining would swap the quantizer out from under existing
+            // rows (or mix a float IVF index with pq_code rows) — fail
+            // fast. The bootstrap writes both codebooks BEFORE any data, so
+            // legitimate state never has data with a missing codebook; a
+            // codebook-only partial state (crashed bootstrap, no data) still
+            // retrains safely.
+            if (assignedDataExists(fs, dir))
+              throw new graft.GraftDataError(
+                s"$indexDir has assigned index data but not the full codebook " +
+                  s"pair (coarse=${cb.isDefined}, pq=${pcb.isDefined}) — a " +
+                  "foreign index (plain-IVF or batch-built) or a corrupt " +
+                  "state; refusing to retrain over assigned rows")
+            gateBootstrap(n, resolveMinBootstrap(minBootstrapRows, nlist), nlist, indexDir)
+            // bootstrap: one joint training pass over the batch (the
+            // batch-build trainer, so codebooks match a batch build bitwise)
+            val (_, iv, p) = Similarity.ivfPqIndex(cached, idCol, vecCol, dim,
+              nlist, iters, m, k)
+            (iv, p, true)
+        }
+      if (trained) {
+        // codebooks FIRST, then data (see [[ingestBatch]]'s ordering note) —
+        // both sidecars must land before any row is assigned under them
+        writeCodebook(fs, dir, ivf, rowsAtTraining = n)
+        writePqCodebook(fs, dir, pq)
       }
-    if (trained) {
-      // codebooks FIRST, then data (see [[ingestBatch]]'s ordering note) —
-      // both sidecars must land before any row is assigned under them
-      writeCodebook(fs, dir, ivf, rowsAtTraining = n)
-      writePqCodebook(fs, dir, pq)
-    }
-    if (n > 0)
-      Similarity.ivfPqEncode(batch, idCol, vecCol, ivf, pq)
-        .write.mode("append").partitionBy("centroid_id").parquet(indexDir)
-    IvfIngestStats(n, trained)
+      if (n > 0)
+        Similarity.ivfPqEncode(cached, idCol, vecCol, ivf, pq)
+          .write.mode("append").partitionBy("centroid_id").parquet(indexDir)
+      IvfIngestStats(n, trained)
+    } finally cached.unpersist(false)
   }
 
   /** Continuous IVF-PQ form: every micro-batch of the embedding stream is
