@@ -730,16 +730,20 @@ object Streaming {
     val ids = tombstones.select(col(idCol)).na.drop().distinct()
       .transform(Checkpointing.materialize)
     val corpus = spark.read.parquet(corpusDir)
-    // cheapest test first: the no-op purge (tombstoned ids absent from the
-    // corpus — the idempotent-replay case) pays ONE semi-join count and
-    // returns before any key derivation materializes
-    val rowsRemoved = corpus.join(ids, Seq(idCol), "left_semi").count()
-    if (rowsRemoved == 0L) return CorpusPurgeStats(0L, 0L, bloomRetired = false)
-    // every pre-rewrite derivation materializes BEFORE the rewrite retires
-    // the files a lazy plan would try to re-read
-    val removedKeys = corpus.join(ids, Seq(idCol), "left_semi")
-      .select(key.as("__k")).distinct()
+    // ONE corpus pass feeds the no-op probe AND the removed-key derivation:
+    // the semi-join's keys materialize (removed-rows-sized — bounded by the
+    // tombstone set times its duplicates, never corpus-sized), the count
+    // reads the cache, and the no-op purge (ids absent — the idempotent-
+    // replay case) still returns before anything else runs. Previously the
+    // count and the key set were two separate corpus-scale semi-join scans.
+    // Materialized BEFORE the rewrite retires the files a lazy plan would
+    // try to re-read, like every pre-rewrite derivation here.
+    val removed = corpus.join(ids, Seq(idCol), "left_semi")
+      .select(key.as("__k"))
       .transform(Checkpointing.materialize)
+    val rowsRemoved = removed.count()
+    if (rowsRemoved == 0L) return CorpusPurgeStats(0L, 0L, bloomRetired = false)
+    val removedKeys = removed.distinct()
     val stillHeld = corpus.join(ids, Seq(idCol), "left_anti")
       .select(key.as("__k"))
       .join(broadcast(removedKeys), Seq("__k"), "left_semi").distinct()
