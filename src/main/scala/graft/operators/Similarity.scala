@@ -196,29 +196,37 @@ object Similarity {
   private[graft] def trainCodebook(
       corpus: DataFrame, idCol: String, vecCol: String,
       init: Array[Array[Float]], iters: Int): Array[Array[Float]] = {
-    var cents = init
-    var it = 0
-    while (it < iters) {
-      val rows = Ops.spread(corpus.select(col(vecCol)))
-        .select(
-          VectorExpressions.nearestCentroid(col(vecCol), cents).as("cid"),
-          posexplode(col(vecCol)).as(Seq("d", "x")))
-        .groupBy(col("cid"), col("d"))
-        .agg(
-          sum(floor(col("x").cast("double") * lit(FixedPoint))).as("qsum"),
-          count(lit(1)).as("cnt"))
-        .collect()
-      val next = cents.map(_.clone()) // empty clusters keep previous centroid
-      rows.foreach { r =>
-        val cid = r.getInt(0); val d = r.getInt(1)
-        val qsum = r.getLong(2); val cnt = r.getLong(3)
-        if (cid >= 0 && cid < next.length && d < next(cid).length)
-          next(cid)(d) = ((qsum.toDouble / cnt) / FixedPoint).toFloat
+    // every Lloyd iteration re-reads the training vectors; persist the
+    // one-column projection once so iteration k scans the cache, not the
+    // source (the standard k-means discipline — results are unchanged:
+    // the per-cluster sums are fixed-point, order-free)
+    val vecs = Ops.spread(corpus.select(col(vecCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents = init
+      var it = 0
+      while (it < iters) {
+        val rows = vecs
+          .select(
+            VectorExpressions.nearestCentroid(col(vecCol), cents).as("cid"),
+            posexplode(col(vecCol)).as(Seq("d", "x")))
+          .groupBy(col("cid"), col("d"))
+          .agg(
+            sum(floor(col("x").cast("double") * lit(FixedPoint))).as("qsum"),
+            count(lit(1)).as("cnt"))
+          .collect()
+        val next = cents.map(_.clone()) // empty clusters keep previous centroid
+        rows.foreach { r =>
+          val cid = r.getInt(0); val d = r.getInt(1)
+          val qsum = r.getLong(2); val cnt = r.getLong(3)
+          if (cid >= 0 && cid < next.length && d < next(cid).length)
+            next(cid)(d) = ((qsum.toDouble / cnt) / FixedPoint).toFloat
+        }
+        cents = next
+        it += 1
       }
-      cents = next
-      it += 1
-    }
-    cents
+      cents
+    } finally vecs.unpersist(false)
   }
 
   /** Build the IVF index. The codebook is k-means-trained by
@@ -459,32 +467,38 @@ object Similarity {
     require(seedVecs.length == k, s"training sample has < $k vectors")
     var books: Array[Array[Array[Float]]] =
       Array.tabulate(m, k)((s, c) => seedVecs(c).slice(s * subDim, (s + 1) * subDim))
-    var it = 0
-    while (it < iters) {
-      val cidCols = (0 until m).map(s => VectorExpressions
-        .nearestCentroid(slice(col(vecCol), s * subDim + 1, subDim), books(s))
-        .as(s"__cid$s"))
-      val entries = for { s <- 0 until m; d <- 0 until subDim } yield struct(
-        lit(s).as("s"), col(s"__cid$s").as("cid"), lit(d).as("d"),
-        element_at(col(vecCol), s * subDim + d + 1).as("x"))
-      val rows = Ops.spread(train.select(col(vecCol)))
-        .select(col(vecCol) +: cidCols: _*)
-        .select(explode(array(entries: _*)).as("e"))
-        .select(col("e.s"), col("e.cid"), col("e.d"), col("e.x"))
-        .groupBy(col("s"), col("cid"), col("d"))
-        .agg(sum(floor(col("x").cast("double") * lit(FixedPoint))).as("qsum"),
-          count(lit(1)).as("cnt"))
-        .collect()
-      val next = books.map(_.map(_.clone()))
-      rows.foreach { r =>
-        val s = r.getInt(0); val cid = r.getInt(1); val d = r.getInt(2)
-        val qsum = r.getLong(3); val cnt = r.getLong(4)
-        if (s >= 0 && s < m && cid >= 0 && cid < k && d >= 0 && d < subDim)
-          next(s)(cid)(d) = ((qsum.toDouble / cnt) / FixedPoint).toFloat
+    // persist the one-column training projection across Lloyd iterations
+    // (see [[trainCodebook]]): iteration k scans the cache, not the source
+    val vecs = Ops.spread(train.select(col(vecCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var it = 0
+      while (it < iters) {
+        val cidCols = (0 until m).map(s => VectorExpressions
+          .nearestCentroid(slice(col(vecCol), s * subDim + 1, subDim), books(s))
+          .as(s"__cid$s"))
+        val entries = for { s <- 0 until m; d <- 0 until subDim } yield struct(
+          lit(s).as("s"), col(s"__cid$s").as("cid"), lit(d).as("d"),
+          element_at(col(vecCol), s * subDim + d + 1).as("x"))
+        val rows = vecs
+          .select(col(vecCol) +: cidCols: _*)
+          .select(explode(array(entries: _*)).as("e"))
+          .select(col("e.s"), col("e.cid"), col("e.d"), col("e.x"))
+          .groupBy(col("s"), col("cid"), col("d"))
+          .agg(sum(floor(col("x").cast("double") * lit(FixedPoint))).as("qsum"),
+            count(lit(1)).as("cnt"))
+          .collect()
+        val next = books.map(_.map(_.clone()))
+        rows.foreach { r =>
+          val s = r.getInt(0); val cid = r.getInt(1); val d = r.getInt(2)
+          val qsum = r.getLong(3); val cnt = r.getLong(4)
+          if (s >= 0 && s < m && cid >= 0 && cid < k && d >= 0 && d < subDim)
+            next(s)(cid)(d) = ((qsum.toDouble / cnt) / FixedPoint).toFloat
+        }
+        books = next
+        it += 1
       }
-      books = next
-      it += 1
-    }
+    } finally vecs.unpersist(false)
     PqModel(m, k, subDim, books)
   }
 
